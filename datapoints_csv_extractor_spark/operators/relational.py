@@ -1,0 +1,387 @@
+"""Standard relational operator surface over the TPC-H-ish testdata.
+
+The reference's dataflow surface is tiny (SURVEY.md §2: one anti-join
+J1, scalar funcs F1-F5, filters P1-P6, unpivot T1, metric aggregates
+A1-A4, top-k O1-O2). This module exercises each of those semantics over
+the driver's relational tables PLUS the standard Spark surface the
+reference lacks (§7 Phase 2): multi-way joins, grouped/rollup aggs,
+window functions, set ops, as-of alignment.
+
+Every builder takes ``(spark, sf_dir)`` and returns a lazy DataFrame
+whose column names exactly match the DuckDB oracle twin in
+``__spark_entry__.oracle_sql`` (driver hashes values under sorted
+column names). Aggregated doubles are rounded identically on both
+sides so cross-engine float-summation noise cannot flip the hash.
+
+Scale notes are inline per operator; the common themes:
+- dimensions (region/nation/customer at these SFs) broadcast — no
+  fact shuffle; Catalyst/AQE picks broadcast automatically under the
+  64 MiB threshold set in session.py, `F.broadcast` marks intent where
+  the dimension is guaranteed small.
+- aggregations are partial (map-side combine) by construction in
+  Spark's hash aggregate; rollup adds no extra pass.
+- window functions partition by their natural key; skew on a hot key
+  is handled by AQE (or salting for pathological keys, see
+  plans/scale.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table, normalizing parquet TIMESTAMP(NANOS).
+
+    The events table stores ns-precision timestamps, which Spark's
+    parquet reader rejects unless nanos are surfaced as LONG
+    (spark.sql.legacy.parquet.nanosAsLong, runtime-settable). We then
+    truncate ns -> us with integer division (``div``, not ``/`` — a
+    double roundtrip would lose precision above 2^53 ns) to match
+    DuckDB's read of the same file as a microsecond TIMESTAMP.
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _r(c, n: int = 2):
+    return F.round(c, n)
+
+
+# --------------------------------------------------------------------
+# Aggregations (A1-A4 analogs + Phase-2 grouped aggregate surface)
+# --------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style grouped aggregate over the fact table.
+
+    Scan -> partial hash agg -> exchange on tiny (flag,status) key ->
+    final agg. Only 7 of 11 lineitem columns are read (column pruning)
+    and the shipdate predicate reaches the parquet scan (pushdown).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped metrics with ROLLUP totals (A1/A2 analog + grouping sets).
+
+    countDistinct forces an expand+two-phase agg; at 100 TB swap for
+    approx_count_distinct (HLL, single pass) — see q_approx_distinct.
+    NULL group cells are coalesced to 'ALL' on both engines so the
+    hash compares rollup rows deterministically.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _r(F.sum("value")).alias("sum_value"),
+            _r(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "n_users",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup-by-all-columns primitive)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------
+# Joins (J1 + Phase-2 join surface)
+# --------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the reference's create-if-missing membership
+    probe (J1, csv_extractor.py:151) over customer/orders: customers
+    that never ordered. Build side (distinct custkeys) broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one urgent high-value order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") > 100000) & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + top-k by revenue.
+
+    customer(filtered) broadcasts into orders, the orders->lineitem
+    join shuffles on orderkey (the natural co-location key for a
+    bucketed lake layout at scale).
+    """
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: revenue by nation where the supplier
+    and customer share a nation. All dims broadcast; only the
+    orders<->lineitem join shuffles."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each 'click' event aligned to the user's most recent
+    'purchase' at-or-before it (time-series alignment — the canonical
+    datapoints operation the reference's model implies).
+
+    Spark-first strategy: UNION the two sides tagged, single shuffle
+    + sort per user_id, then ``last_value(ignorenulls)`` over an
+    unbounded-preceding window carries the latest purchase forward.
+    One exchange total — beats the naive join+filter+row_number
+    (which shuffles both sides AND explodes the join) and is exactly
+    how a 100 TB as-of should run: sort-merge within user partitions.
+    DuckDB expresses the same thing natively as ASOF JOIN.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id",
+        F.col("ts"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    # Purchases sort before a click at the same ts (is_click=1 after 0)
+    # so "at-or-before" includes same-timestamp purchases, matching
+    # DuckDB's ASOF JOIN (>=) semantics.
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_click", F.col("event_id").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.select(
+            "event_id", "user_id", "ts",
+            F.last("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+            F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+            "is_click",
+        )
+        .where(F.col("is_click") == 1)
+        .where(F.col("purchase_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+    )
+
+
+# --------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer by totalprice: each customer's single
+    most expensive order (O2 top-k generalized to top-k-per-group)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", _r(F.col("o_totalprice")).alias("top_price"))
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag over event time per user: inter-event value delta + gap
+    seconds (sessionization building block)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r(F.col("value") - prev_v).alias("value_delta"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
+    ).where(F.col("value_delta").isNotNull())
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total ordered by time (cumulative frame)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", _r(F.sum("value").over(w)).alias("running_value")
+    )
+
+
+# --------------------------------------------------------------------
+# Filters / projections / ordering (P-ops, O-ops, F-ops on testdata)
+# --------------------------------------------------------------------
+
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-exclusive range predicate — the reference's filename-ts
+    pruning semantics (P5, csv_extractor.py:252) as a row filter that
+    pushes down to the parquet scan."""
+    ev = load(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") > F.lit("2024-01-10 00:00:00")) & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    ).select("event_id", "user_id", "ts", "event_type")
+
+
+def q_topk_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 newest by timestamp (O2, find_live_files_in_path
+    csv_extractor.py:279-280). Spark runs TakeOrderedAndProject — no
+    full sort. event_id desc tiebreak keeps the set deterministic."""
+    ev = load(spark, sf_dir, "events")
+    return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(20).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar kit (F1-F3) over relational data:
+    last-colon split on a synthesized 'external_id : name' header,
+    decimal-comma parse, seconds->ms."""
+    p = load(spark, sf_dir, "part")
+    header = F.concat_ws(" : ", F.col("p_brand"), F.col("p_name"))
+    comma_price = F.replace(
+        F.col("p_retailprice").cast("string"), F.lit("."), F.lit(",")
+    )
+    return p.select(
+        "p_partkey",
+        F.trim(F.substring_index(header, ":", -1)).alias("series_name"),
+        F.trim(F.regexp_extract(header, r"^(.*):[^:]*$", 1)).alias("series_external_id"),
+        _r(F.replace(comma_price, F.lit(","), F.lit(".")).try_cast("double")).alias(
+            "price_roundtrip"
+        ),
+        (F.lit(1550092500000) + F.col("p_partkey")).alias("ts_ms"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (T1, the reference's core transform) over
+    lineitem measure columns. Spark's native ``unpivot`` lowers to
+    Expand — one pass, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select("l_orderkey", "l_linenumber", "measure", _r(F.col("value"), 4).alias("value"))
+
+
+# --------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets by segment."""
+    c = load(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    household = c.where(F.col("c_mktsegment") == "HOUSEHOLD").select("c_nationkey")
+    both = building.intersect(machinery)
+    either_minus = building.union(machinery).distinct().exceptAll(household.distinct())
+    return (
+        both.withColumn("set_kind", F.lit("building_and_machinery"))
+        .unionByName(either_minus.withColumn("set_kind", F.lit("bm_minus_household")))
+        .select("set_kind", "c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Semi-structured (events.props JSON)
+# --------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation over the props column
+    (from_json with an explicit schema — vectorized, no UDF)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs approx distinct users per event type. At 100 TB the
+    HLL sketch (approx) is the default; exact countDistinct is the
+    correctness anchor here. No SQL oracle for the sketch value —
+    checked in pytest against a relative-error bound instead; the
+    oracle-facing columns are the exact ones."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+    )

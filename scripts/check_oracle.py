@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+sorted column names, and the order-insensitive multiset of values
+(exact equality after normalization; floats also get an isclose
+fallback report so near-misses are visible before they become driver
+hash mismatches).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, float) and v.is_integer():
+        return v
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def cells_close(a, b):
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if math.isnan(a) and math.isnan(float(b)):
+            return True
+        return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from datapoints_csv_extractor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(
+        app_name="check-oracle",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows-only  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            rel = con.sql(sql)
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            sn, dn = norm_rows(s_cols, s_rows), norm_rows(d_cols, d_rows)
+            exact = sn == dn
+            if not exact:
+                n_bad, max_diff, first = 0, 0.0, None
+                for a, b in zip(sn, dn):
+                    if a == b:
+                        continue
+                    for x, y in zip(a, b):
+                        if x != y and not cells_close(x, y):
+                            n_bad += 1
+                            if first is None:
+                                first = (x, y)
+                        if isinstance(x, float) and isinstance(y, (int, float)):
+                            try:
+                                max_diff = max(max_diff, abs(x - float(y)))
+                            except (TypeError, OverflowError):
+                                pass
+                if n_bad:
+                    problems.append(f"{n_bad} cells differ beyond tolerance, first={first}")
+                else:
+                    problems.append(
+                        f"float-noise only (max abs diff {max_diff:.2e}) — "
+                        "driver hash would MISMATCH; tighten rounding"
+                    )
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows exact-match")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
