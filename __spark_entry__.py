@@ -13,7 +13,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datapoints_csv_extractor_spark.operators import dedup as D
+from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
+from datapoints_csv_extractor_spark.operators import similarity as V
+from datapoints_csv_extractor_spark.operators import textops as X
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,6 +45,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": R.q_set_ops,
         "q_json_extract": R.q_json_extract,
         "q_approx_distinct": R.q_approx_distinct,
+        # Text analysis (north-star)
+        "q_token_stats": X.q_token_stats,
+        "q_text_quality": X.q_text_quality,
+        "q_lang_id": X.q_lang_id,
+        "q_fingerprint": X.q_fingerprint,
+        # Deduplication (north-star)
+        "q_dedup_exact": D.q_dedup_exact,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_minhash_signatures": D.q_minhash_signatures,
+        "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
+        "q_simhash": D.q_simhash,
+        # Similarity search (north-star)
+        "q_embedding_norms": V.q_embedding_norms,
+        "q_knn_brute_force": V.q_knn_brute_force,
+        "q_embedding_near_dup": V.q_embedding_near_dup,
+        # Multimodal (north-star)
+        "q_multimodal_meta": M.q_multimodal_meta,
     }
 
 
@@ -200,5 +221,161 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users
             FROM events
             GROUP BY event_type
+        """,
+        "q_token_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)                 AS n_tokens,
+                   len(list_distinct(toks))  AS n_distinct_tokens,
+                   round(coalesce(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))), 0)
+                         / greatest(len(toks), 1), 4) AS avg_token_len
+            FROM t
+        """,
+        "q_text_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+                       length(text) AS text_len,
+                       length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, text_len,
+                   len(toks) AS n_words,
+                   round(n_punct * 1.0 / greatest(text_len, 1), 4) AS punct_ratio,
+                   round(len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','is','in','that','it','for'], x)))
+                       * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+                   round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) AS type_token_ratio,
+                   (text_len >= 20 AND round(n_punct * 1.0 / greatest(text_len, 1), 4) < 0.3) AS passes_quality
+            FROM t
+        """,
+        "q_lang_id": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                 x -> x <> '')) AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in','that','it','for'], x))) AS en_hits,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x)))      AS de_hits,
+                       len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x)))                     AS es_hits,
+                       len(list_filter(toks, x -> list_contains(['le','les','des','et','une','dans','pour'], x)))              AS fr_hits
+                FROM t
+            )
+            SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+                   CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                        WHEN es_hits >= fr_hits THEN 'es'
+                        ELSE 'fr' END AS guessed_lang,
+                   (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                         WHEN es_hits >= fr_hits THEN 'es'
+                         ELSE 'fr' END = lang) AS agrees
+            FROM h
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS fingerprint,
+                   CAST(floor(length(text) / 100) * 100 AS BIGINT) AS len_bucket
+            FROM documents
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text)  AS text_hash,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*)    AS n_copies
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "q_dedup_ngram_jaccard": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_1, doc_id_2,
+                   round(shared * 1.0 / (c1.n_sh + c2.n_sh - shared), 4) AS jaccard
+            FROM pairs
+            JOIN cnt c1 ON doc_id_1 = c1.doc_id
+            JOIN cnt c2 ON doc_id_2 = c2.doc_id
+            WHERE shared * 1.0 / (c1.n_sh + c2.n_sh - shared) >= 0.3
+        """,
+        # q_minhash_signatures / q_minhash_lsh_candidates / q_simhash:
+        # intentionally no oracle (xxhash64 not reproducible in DuckDB)
+        # -> driver rows-only check; pytest asserts LSH candidates
+        # cover all high-Jaccard pairs.
+        "q_embedding_norms": """
+            SELECT vec_id, label,
+                   len(embedding) AS dim,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+                   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                         / len(embedding), 4) AS mean_component
+            FROM embeddings
+        """,
+        "q_knn_brute_force": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id, e.label,
+                       round(
+                           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) AS cosine
+                FROM embeddings e, q
+                WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, label, cosine
+            FROM scored
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "q_embedding_near_dup": """
+            SELECT * FROM (
+                SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label AS label,
+                       round(
+                           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) AS cosine
+                FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            WHERE cosine >= 0.45
+        """,
+        "q_multimodal_meta": """
+            WITH b AS (
+                SELECT doc_id AS blob_id,
+                       (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+                       octet_length(encode(text)) AS byte_len,
+                       sha256(text) AS sha256
+                FROM documents
+            )
+            SELECT mime,
+                   count(*)                       AS n_blobs,
+                   CAST(sum(byte_len) AS BIGINT)  AS total_bytes,
+                   max(byte_len)                  AS max_bytes,
+                   count(DISTINCT sha256)         AS distinct_payloads
+            FROM b
+            GROUP BY mime
         """,
     }

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is materialized through the noop sink (full JVM-side
+execution, no driver-side row serialization skewing the numbers).
+Also benches the reference's raison d'être — TEBIS wide-CSV ingest —
+on a deterministic synthetic folder sized to the scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_asof_join",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_unpivot",
+    "q_json_extract",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_signatures",
+    "q_knn_brute_force",
+    "q_text_quality",
+    "q_token_stats",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _make_tebis_folder(sf: float) -> Path:
+    """Deterministic synthetic TEBIS csv folder scaled by sf.
+
+    sf0.1 -> 40 files x 25 series x 600 rows = 600k datapoints,
+    matching the lineitem row count at the same sf.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from fixtures import write_tebis_csv
+
+    folder = Path(tempfile.mkdtemp(prefix="bench_tebis_"))
+    n_files = max(2, int(40 * (sf / 0.1)))
+    for i in range(n_files):
+        write_tebis_csv(
+            folder,
+            prefix="BENCH_FK",
+            file_ts=1550092560 + i * 60,
+            n_series=25,
+            n_rows=600,
+            seed=1000 + i,
+            id_colon_rate=0.2,
+            null_rate=0.01,
+            bad_value_rate=0.005,
+        )
+    return folder
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from datapoints_csv_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    # Warm up the JVM + parquet footers once so per-query numbers
+    # measure execution, not first-touch JIT/IO.
+    _materialize(qs["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # TEBIS ingest throughput (the reference's core workload).
+    folder = _make_tebis_folder(sf)
+    try:
+        from datapoints_csv_extractor_spark.sources.tebis_csv import (
+            read_datapoints_from_folder,
+        )
+
+        t0 = time.perf_counter()
+        _materialize(read_datapoints_from_folder(spark, folder))
+        timings["tebis_ingest"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(folder, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Deduplication operators over the documents table.
+
+Four strategies a training-data pipeline layers (BASELINE.json
+north-star), ordered by cost:
+
+1. exact            — md5 hash-groupBy (one shuffle on the hash key)
+2. n-gram Jaccard   — word-3-gram shingles, shingle-equijoin blocked
+                      pair generation, exact Jaccard verify
+3. MinHash + LSH    — deterministic 32-perm signatures, 8 bands x 4
+                      rows, band-bucket join for candidates (the
+                      100 TB path: candidates ~ O(dups), not O(n^2))
+4. SimHash          — 32-bit token-hash sign aggregate, near-dup by
+                      small hamming distance
+
+All are pure DataFrame ops; hashes are Spark's deterministic
+xxhash64, modular-arithmetic permutations stay inside long range
+(p = 2^31-1, a,b < 2^31 => a*h' + b < 2^62). MinHash/SimHash have no
+SQL oracle (xxhash64 isn't reproducible in DuckDB) — they get the
+driver's rows-only check plus a pytest property: LSH candidates must
+cover every pair the exact Jaccard operator scores >= 0.6.
+
+Scale notes: exact dedup shuffles once on the fingerprint; the
+shingle join's fan-out is bounded by ``DISTINCT`` shingles per doc and
+at 100 TB is replaced by the MinHash path whose band join shuffles
+only (doc_id, band_hash) pairs — 8 small rows per document instead of
+every shingle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.relational import load
+from datapoints_csv_extractor_spark.operators.textops import tokens
+
+MERSENNE_P = (1 << 31) - 1
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+# Deterministic permutation parameters (seeded LCG expansion, fixed).
+_PERMS = []
+_state = 0x5DEECE66D
+for _ in range(N_PERM):
+    _state = (_state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _a = (_state % (MERSENNE_P - 1)) + 1
+    _state = (_state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    _b = _state % MERSENNE_P
+    _PERMS.append((_a, _b))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document.
+
+    Guarded for docs with < k tokens: F.sequence(1, n-k+1) would
+    generate a DESCENDING [1, 0] when n-k+1 < 1, so short docs map to
+    an empty shingle set explicitly.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) groupBy, canonical = min doc_id.
+    One shuffle on the 128-bit fingerprint; at 100 TB this is the
+    textbook hash-partitioned distinct."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= threshold.
+
+    Pair generation is blocked on shared shingles (equijoin on the
+    shingle — only docs sharing at least one shingle ever meet), then
+    |A ∩ B| comes from the join row count and |A ∪ B| = n1+n2-shared.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    jaccard = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(c1), "doc_id_1")
+        .join(F.broadcast(c2), "doc_id_2")
+        .where(jaccard >= threshold)
+        .select("doc_id_1", "doc_id_2", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-permutation MinHash signature per document.
+
+    Shingle -> xxhash64 -> h' = |h| mod p, then min over
+    (a_i*h' + b_i) mod p per permutation, computed as 32 column-wise
+    min aggregates after one explode — partial aggregation handles
+    the combine map-side, so the shuffle carries one 32-long row per
+    (doc, partition), not per shingle.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P)).alias("h")
+    hashed = sh.select("doc_id", h)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("signature")
+    )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 8 bands x 4 rows; docs agreeing on any
+    full band collide. Shuffle volume is 8 (band_id, band_hash) rows
+    per doc — the O(n) scale path that replaces the all-shingles join."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[band * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: signature summarized to a stable scalar per doc
+    (full arrays are checked in pytest; rows-only at the driver)."""
+    sig = minhash_signatures(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.aggregate(
+            F.col("signature"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("signature_sum"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from token xxhash64 bit votes.
+
+    Per token, bit j votes +1/-1 by whether bit j of the hash is set;
+    the per-doc sign vector packs back into a 32-bit fingerprint.
+    Expressed as explode -> 32 conditional sums -> bit assembly; all
+    JVM-side, one shuffle on doc_id with map-side partials.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    h = F.xxhash64(F.col("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for j in range(32):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))

@@ -1,0 +1,172 @@
+"""Similarity search over the embeddings table (ARRAY<FLOAT>).
+
+Baseline: brute-force cosine top-k — exact, O(n) per query, the
+correctness anchor. Scale path: random-hyperplane LSH bucketing that
+prunes the candidate set before exact re-scoring (recall checked in
+pytest against the brute-force truth).
+
+All vector math is double-precision JVM higher-order functions
+(zip_with + aggregate) — deterministic sequential accumulation, which
+the DuckDB oracle mirrors with unnest-based double sums (DuckDB's own
+list_cosine_similarity runs float32 and would diverge).
+
+Scale notes: brute-force per-query is a broadcast of the query vector
+and a full scan — fine for one query over any n, wrong for n x n.
+Pairwise similarity uses label blocking here (stand-in for an IVF
+coarse quantizer / LSH bucket at 100 TB): pairs only form inside a
+block, collapsing O(n^2) to O(sum b_i^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.relational import load
+
+_HYPERPLANE_BITS = 16
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector basics: dimension, L2 norm, component mean per vector."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.round(_norm(emb), 4).alias("l2_norm"),
+        F.round(
+            _dot(emb, F.transform(emb, lambda _: F.lit(1.0))) / F.size(emb), 4
+        ).alias("mean_component"),
+    )
+
+
+def q_knn_brute_force(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one query vector.
+
+    The query vector is fetched once driver-side (a parameter, like a
+    literal in SQL) and inlined as an array literal -> broadcast to
+    every task; the scan stays a single no-shuffle pass + TakeOrdered.
+    Ordering ties break on vec_id over the ROUNDED score so the top-k
+    set is engine-independent.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    return (
+        e.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Pairwise near-duplicate vectors (cosine >= threshold), blocked
+    by label: the blocking key caps the quadratic pair space exactly
+    the way an IVF/LSH bucket does at scale."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_bucket(emb: Column, n_bits: int = _HYPERPLANE_BITS) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign of dot(emb, H_j)
+    with deterministic pseudo-hyperplanes H_j[i] derived from
+    xxhash64(j, i) — reproducible across runs and engines with no
+    stored model."""
+    dim = F.size(emb)
+    def bit(j: int) -> Column:
+        comp = F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit(j), i), F.lit(2001)) - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0),
+        )
+        d = F.aggregate(
+            F.zip_with(emb, comp, lambda x, y: x.cast("double") * y),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for j in range(n_bits):
+        out = out + bit(j)
+    return out.cast("long")
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k over the embeddings table (see ann_lsh_topk_df)."""
+    return ann_lsh_topk_df(
+        load(spark, sf_dir, "embeddings"), query_vec_id, k=k, n_bits=n_bits
+    )
+
+
+def ann_lsh_topk_df(
+    e: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket
+    (or differing in one bit — multi-probe) are exactly re-scored.
+    Input needs (vec_id, label, embedding). Recall on data with real
+    near-neighbors is asserted in pytest (planted-duplicate test;
+    isotropic random data has no structure for LSH to exploit)."""
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), n_bits))
+    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select("embedding", "bucket").first()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qbucket = qrow[1]
+    probes = [qbucket] + [qbucket ^ (1 << j) for j in range(n_bits)]
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    return (
+        bucketed.where(F.col("bucket").isin(probes))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

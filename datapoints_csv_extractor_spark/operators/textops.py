@@ -1,0 +1,122 @@
+"""Text-analysis operators over the documents table (SURVEY.md §7
+Phase 4 / BASELINE.json north-star: the text half of an LLM
+training-data pipeline).
+
+All hot-path expressions are built-in JVM functions (split/regexp/
+higher-order array ops) — no Python in the token loop. Tokenization is
+pinned to ``split(trim(text), '\\s+')`` minus empty strings so the
+DuckDB oracle (string_split_regex) produces the identical token
+stream.
+
+Scale: every operator here is embarrassingly parallel per document
+(scan -> project, no shuffle except the final aggregate when one is
+asked for), so it runs at 100 TB as a single map stage fused by
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.relational import load
+
+# Deterministic stopword lists shared verbatim with the SQL oracle.
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"]
+STOPWORDS_ES = ["el", "la", "de", "que", "y", "en", "un"]
+STOPWORDS_FR = ["le", "les", "des", "et", "une", "dans", "pour"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings removed (matches
+    ``list_filter(string_split_regex(trim(x), '\\s+'), t -> t <> '')``)."""
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: total, distinct, avg token length."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, word count, punctuation ratio,
+    stopword ratio, type-token ratio — the standard cheap filters a
+    pretraining pipeline applies before expensive dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    text_len = F.length(F.col("text"))
+    n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    return d.select(
+        "doc_id",
+        text_len.alias("text_len"),
+        n_tok.alias("n_words"),
+        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "type_token_ratio"
+        ),
+        (
+            (text_len >= 20)
+            & (F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic + agreement with the
+    labeled lang column. (A production system would use char n-gram
+    profiles; the mechanism — per-doc token-set scoring, argmax over
+    langs — is identical and equally shuffle-free.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en, de = _hits(toks, STOPWORDS_EN), _hits(toks, STOPWORDS_DE)
+    es, fr = _hits(toks, STOPWORDS_ES), _hits(toks, STOPWORDS_FR)
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        guess.alias("guessed_lang"),
+        (guess == F.col("lang")).alias("agrees"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the case/space-normalized text
+    (exact-dup key) + a coarse length bucket (cheap blocking key)."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        (F.floor(F.length(F.col("text")) / 100) * 100).cast("long").alias("len_bucket"),
+    )

@@ -1,0 +1,127 @@
+"""Property tests for the north-star operators that have no SQL oracle
+(MinHash/SimHash/ANN) plus the multimodal decode plumbing.
+
+sf0.001 keeps these fast; the driver's DuckDB gate covers the
+oracle-able operators at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators import dedup as D
+from datapoints_csv_extractor_spark.operators import multimodal as M
+from datapoints_csv_extractor_spark.operators import similarity as V
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_covers_high_jaccard_pairs(spark):
+    # LSH banding (8 bands x 4 rows) must surface every pair whose
+    # true 3-gram Jaccard is high: P[collide] = 1-(1-j^4)^8 > 0.99
+    # for j >= 0.8 — a missed 0.8+ pair means the bucketing is broken.
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.q_dedup_ngram_jaccard(spark, SF, threshold=0.8).collect()
+    }
+    candidates = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.q_minhash_lsh_candidates(spark, SF).collect()
+    }
+    assert exact, "testdata should contain at least one 0.8+ near-dup pair"
+    missed = exact - candidates
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sig1 = D.minhash_signatures(spark, SF)
+    rows = sig1.orderBy("doc_id").limit(5).collect()
+    assert all(len(r.signature) == D.N_PERM for r in rows)
+    assert all(
+        0 <= v < D.MERSENNE_P for r in rows for v in r.signature
+    )
+    # Deterministic across independent plan builds.
+    rows2 = D.minhash_signatures(spark, SF).orderBy("doc_id").limit(5).collect()
+    assert [r.signature for r in rows] == [r.signature for r in rows2]
+
+
+def test_simhash_near_dup_hamming(spark):
+    # Exact near-dup docs (jaccard >= 0.8) must have close simhashes;
+    # use popcount of xor as hamming distance.
+    pairs = D.q_dedup_ngram_jaccard(spark, SF, threshold=0.8).collect()
+    sim = {r.doc_id: r.simhash for r in D.q_simhash(spark, SF).collect()}
+    assert pairs
+    for p in pairs:
+        ham = bin(sim[p.doc_id_1] ^ sim[p.doc_id_2]).count("1")
+        assert ham <= 10, f"pair {p} jaccard={p.jaccard} but hamming={ham}"
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    # Isotropic random testdata has no neighbor structure for LSH to
+    # exploit, so recall there is statistically meaningless. Plant
+    # genuine near-duplicates of a query vector (cosine > 0.99) in a
+    # sea of random vectors: hyperplane LSH must put nearly all of
+    # them in the query's probe set.
+    import random
+
+    rng = random.Random(7)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, query)]
+    for i in range(1, 11):  # planted near-dups of the query
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    for i in range(11, 211):  # random background
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    approx_df = V.ann_lsh_topk_df(e, query_vec_id=0, k=10, n_bits=8)
+    got = [r.vec_id for r in approx_df.collect()]
+    planted = set(range(1, 11))
+    recall = len(planted & set(got)) / 10
+    assert recall >= 0.8, f"planted near-dups missed: {sorted(set(got))}"
+    cosines = [r.cosine for r in approx_df.collect()]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_multimodal_decode_plumbing(spark):
+    blobs = M.blobs_from_documents(spark, SF)
+    decoded = M.decode_blobs(blobs)
+    rows = decoded.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert 1 <= r.n_frames <= 7
+        assert len(r.feature) == 8
+    # Deterministic fake decode: same input -> same dims.
+    again = {r.blob_id: (r.width, r.height) for r in decoded.limit(20).collect()}
+    assert {r.blob_id: (r.width, r.height) for r in rows} == again
+
+
+def test_frame_sampling(spark):
+    decoded = M.decode_blobs(M.blobs_from_documents(spark, SF))
+    frames = M.frame_sample(decoded, every_n=2)
+    rows = frames.collect()
+    assert rows
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_blob_metadata_prunes_payload_column(spark):
+    # Scale guard: the metadata aggregate must not read the payload
+    # bytes. blobs_from_documents derives metadata from text, so check
+    # the executed plan only scans what it needs (doc_id, text).
+    plan = (
+        M.q_multimodal_meta(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema" in plan
+    assert "lang" not in plan and "source" not in plan
+
+
+def test_knn_excludes_query_and_is_sorted(spark):
+    rows = V.q_knn_brute_force(spark, SF, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != 0 for r in rows)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
