@@ -49,14 +49,22 @@ for _ in range(N_PERM):
     _PERMS.append((_a, _b))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a document.
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from an ALREADY-MATERIALIZED token
+    array column.
+
+    ``toks`` must be a plain column reference, not a nested expression:
+    higher-order-function lambdas re-evaluate captured subexpressions
+    per element (no codegen/CSE), so ``element_at(tokens(text), i)``
+    inside the lambda would re-tokenize the whole document for every
+    shingle index — O(len^2) interpreted work per row (measured 70x
+    slowdown at sf0.1). Callers materialize tokens via withColumn
+    first.
 
     Guarded for docs with < k tokens: F.sequence(1, n-k+1) would
     generate a DESCENDING [1, 0] when n-k+1 < 1, so short docs map to
     an empty shingle set explicitly.
     """
-    toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     sh = F.array_distinct(
@@ -68,6 +76,12 @@ def shingles(text: Column, k: int = 3) -> Column:
         )
     )
     return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document (convenience; for
+    hot paths prefer materializing tokens then shingles_of_tokens)."""
+    return shingles_of_tokens(tokens(text), k)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,8 +101,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    return (
+        d.withColumn("toks", tokens(F.col("text")))
+        .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle"))
     )
 
 
@@ -99,13 +114,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0
     shingle — only docs sharing at least one shingle ever meet), then
     |A ∩ B| comes from the join row count and |A ∪ B| = n1+n2-shared.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # Join on the 64-bit shingle hash, not the ~50-byte string — same
+    # pair counts (collision odds ~n^2/2^64), a fraction of the
+    # shuffle bytes.
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_hash")
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "sh_hash")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        a.join(b, "sh_hash")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count("*").alias("shared"))
     )
     c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))

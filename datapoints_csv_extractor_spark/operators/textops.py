@@ -40,9 +40,14 @@ def _hits(toks: Column, words: list[str]) -> Column:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per document: total, distinct, avg token length."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    """Token counting per document: total, distinct, avg token length.
+
+    Tokens are materialized once per row (withColumn) — referencing
+    the tokenizer expression from several output columns would
+    re-evaluate it per column (HOFs skip codegen/CSE).
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -59,8 +64,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, word count, punctuation ratio,
     stopword ratio, type-token ratio — the standard cheap filters a
     pretraining pipeline applies before expensive dedup."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     text_len = F.length(F.col("text"))
     n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
@@ -88,8 +93,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled lang column. (A production system would use char n-gram
     profiles; the mechanism — per-doc token-set scoring, argmax over
     langs — is identical and equally shuffle-free.)"""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
     en, de = _hits(toks, STOPWORDS_EN), _hits(toks, STOPWORDS_DE)
     es, fr = _hits(toks, STOPWORDS_ES), _hits(toks, STOPWORDS_FR)
     guess = (

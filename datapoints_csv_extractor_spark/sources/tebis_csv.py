@@ -7,31 +7,37 @@ float parse (skip empty/bad), pair with ``int(ts)*1000``.
 
 Spark-first re-expression (SURVEY.md §1.5, §7 Phase 0):
 
-1. Files are grouped by header signature (the column set is dynamic
-   per file — SURVEY.md §7 "what's hard" #1). The header peek is
-   driver-side metadata work on the first line of each file, the same
-   cost class as Spark's own FileIndex listing / schema inference; the
-   bulk data path is fully distributed.
-2. Each group is read with an explicit all-string positional schema and
-   ``header=False`` so the header row stays a data row; header + units
-   rows are then dropped by the one predicate "timestamp cell is not an
-   integer" — deterministic, distributed, and order-independent (Spark
-   gives no stable row order inside a file split; the reference's
-   positional ``[1:]`` drop is re-expressed as this content predicate,
-   pinned by tests including the nonfloat.csv named-ts-column edge).
-3. The wide->long unpivot (T1) is ``explode(array(struct(lit(header),
-   col)))`` — melt with the real header string inlined as a literal, so
-   no join and no SQL-string parsing; it stays inside whole-stage
-   codegen as Project+Generate.
-4. All scalar rules (F1-F3, P3-P4) are built-in Column expressions from
-   functions/tebis.py — zero Python UDFs in the hot path.
+1. The column set is dynamic per file (SURVEY.md §7 "what's hard" #1),
+   so the engine peeks only the FIRST LINE of each file driver-side —
+   the same cost class as Spark's own FileIndex listing / schema
+   inference — and builds a tiny ``(file_name, headers[])`` dimension.
+2. ALL files are read in ONE scan with a positional all-string schema
+   sized to the widest header (PERMISSIVE mode pads narrower files
+   with NULLs). One scan = one job regardless of how many distinct
+   header signatures exist; a per-signature read would plan one scan
+   per signature (measured: 40 single-file scans cost ~20 s of pure
+   driver/job overhead for 12 MB of data).
+3. The header dimension is broadcast-joined to the raw rows BEFORE the
+   unpivot — one hash probe per input row, not per datapoint.
+4. Header + units rows are dropped by the one content predicate
+   "timestamp cell is not an integer" — deterministic, distributed,
+   order-independent (Spark gives no stable row order inside a file
+   split; the reference's positional ``[1:]`` drop is re-expressed as
+   this predicate, pinned by tests incl. the nonfloat.csv edge).
+5. The wide->long unpivot (T1) is one ``posexplode`` of the value
+   columns; the header string for each position comes from
+   ``element_at(headers, pos+2)``. All scalar rules (F1-F3, P3-P4)
+   are built-in Column expressions — zero Python UDFs.
 
-Scale notes (100 TB): the per-group plan is an embarrassingly parallel
-scan->project->generate->filter with NO shuffle at all; throughput is
-bounded by CSV decode. Group count is bounded by distinct header
-signatures (sites), not file count. For a permanent lake, land the long
-output partitioned by date(ts)/bucket(external_id) so downstream aggs
-and as-of joins prune and co-locate (see plans/scale.md).
+Scale notes (100 TB): scan->join(broadcast)->generate->filter, NO
+shuffle. Throughput is bounded by CSV decode. The header dimension is
+one row per file; for millions of files it still broadcasts (file
+name + ~30 strings each), and if it ever didn't, the join degrades
+gracefully to a shuffle join on file_name. A single pathologically
+wide file widens the schema for all rows of the batch (PERMISSIVE
+NULL padding is cheap but not free) — callers can pre-bucket by width
+if that matters. Files sharing a basename across directories in one
+call are not supported (the reference processes one folder).
 """
 
 from __future__ import annotations
@@ -39,7 +45,6 @@ from __future__ import annotations
 import csv
 import io
 from concurrent.futures import ThreadPoolExecutor
-from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,76 +80,15 @@ def _peek_header(path: Path, encoding: str, sep: str) -> tuple[str, ...]:
     return tuple(row)
 
 
-def group_files_by_header(
+def peek_headers(
     paths: list[Path], encoding: str = "latin-1", sep: str = ";"
-) -> dict[tuple[str, ...], list[Path]]:
-    """Group files by exact header signature so each group shares one
-    read schema. Peeks only the first line per file (parallel)."""
-    groups: dict[tuple[str, ...], list[Path]] = {}
+) -> list[tuple[Path, tuple[str, ...]]]:
+    """(path, header) for each file, first lines peeked in parallel."""
     if not paths:
-        return groups
+        return []
     with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
         headers = list(pool.map(lambda p: _peek_header(p, encoding, sep), paths))
-    for path, header in zip(paths, headers):
-        if len(header) < 2:
-            continue  # no value columns -> nothing to emit
-        groups.setdefault(header, []).append(path)
-    return groups
-
-
-def _read_group(
-    spark: SparkSession,
-    header: tuple[str, ...],
-    paths: list[Path],
-    encoding: str,
-    sep: str,
-) -> DataFrame:
-    """One header-signature group -> long datapoints DataFrame."""
-    n = len(header)
-    pos_schema = T.StructType(
-        [T.StructField(f"_c{i}", T.StringType()) for i in range(n)]
-    )
-    # Spark's CSV reader names this charset iso-8859-1; 'latin-1' is the
-    # Python alias the reference uses (csv_extractor.py:118).
-    charset = "iso-8859-1" if encoding.lower().replace("-", "") == "latin1" else encoding
-    raw = (
-        spark.read.schema(pos_schema)
-        .options(sep=sep, encoding=charset, quote='"', header="false", mode="PERMISSIVE")
-        .csv([str(p) for p in paths])
-    )
-    ts_ms = seconds_to_ms(F.col("_c0"))
-    # One content predicate drops BOTH the header row and the units row
-    # (neither has an integer timestamp cell) — the reference's
-    # positional [1:] drop, made order-independent.
-    rows = raw.where(ts_ms.isNotNull()).select(
-        ts_ms.alias("ts_ms"),
-        F.input_file_name().alias("source_file"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(header[i]).alias("header"),
-                        F.col(f"_c{i}").alias("raw_value"),
-                    )
-                    for i in range(1, n)
-                ]
-            )
-        ).alias("kv"),
-    )
-    value = decimal_comma_double(F.col("kv.raw_value"))
-    return (
-        rows.select(
-            header_external_id(F.col("kv.header")).alias("external_id"),
-            header_name(F.col("kv.header")).alias("name"),
-            F.col("ts_ms"),
-            value.alias("value"),
-            F.col("source_file"),
-            file_timestamp(F.col("source_file")).alias("file_ts"),
-        )
-        # Empty cells ('' -> NULL cast) and unparseable floats are
-        # skipped, not errors: csv_extractor.py:97-102.
-        .where(F.col("value").isNotNull())
-    )
+    return list(zip(paths, headers))
 
 
 def read_datapoints(
@@ -159,14 +103,66 @@ def read_datapoints(
     value, source_file, file_ts).
     """
     norm = [Path(p) for p in paths]
-    groups = group_files_by_header(norm, encoding=encoding, sep=sep)
-    if not groups:
+    peeked = [(p, h) for p, h in peek_headers(norm, encoding, sep) if len(h) >= 2]
+    if not peeked:
         return spark.createDataFrame([], DATAPOINTS_SCHEMA)
-    parts = [
-        _read_group(spark, header, ps, encoding, sep)
-        for header, ps in groups.items()
-    ]
-    return reduce(DataFrame.unionByName, parts)
+
+    n_max = max(len(h) for _, h in peeked)
+    header_dim = spark.createDataFrame(
+        [(p.name, list(h)) for p, h in peeked],
+        "file_name string, headers array<string>",
+    )
+
+    # Spark's CSV reader names this charset iso-8859-1; 'latin-1' is
+    # the Python alias the reference uses (csv_extractor.py:118).
+    charset = "iso-8859-1" if encoding.lower().replace("-", "") == "latin1" else encoding
+    pos_schema = T.StructType(
+        [T.StructField(f"_c{i}", T.StringType()) for i in range(n_max)]
+    )
+    raw = (
+        spark.read.schema(pos_schema)
+        .options(sep=sep, encoding=charset, quote='"', header="false", mode="PERMISSIVE")
+        .csv([str(p) for p, _ in peeked])
+    )
+
+    ts_ms = seconds_to_ms(F.col("_c0"))
+    file_name = F.url_decode(F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))
+    rows = (
+        # One content predicate drops BOTH the header row and the
+        # units row (neither has an integer timestamp cell).
+        raw.where(ts_ms.isNotNull())
+        .select(
+            ts_ms.alias("ts_ms"),
+            F.input_file_name().alias("source_file"),
+            file_name.alias("file_name"),
+            F.array(*[F.col(f"_c{i}") for i in range(1, n_max)]).alias("vals"),
+        )
+        .join(F.broadcast(header_dim), "file_name")
+        .select(
+            "ts_ms",
+            "source_file",
+            "headers",
+            F.posexplode(F.col("vals")).alias("pos", "raw_value"),
+        )
+    )
+    # Value column at 0-based pos maps to header index pos+2 (1-based
+    # element_at; headers[1] is the timestamp column's header cell).
+    header = F.element_at(F.col("headers"), F.col("pos") + 2)
+    value = decimal_comma_double(F.col("raw_value"))
+    return (
+        rows.where(header.isNotNull())
+        .select(
+            header_external_id(header).alias("external_id"),
+            header_name(header).alias("name"),
+            F.col("ts_ms"),
+            value.alias("value"),
+            F.col("source_file"),
+            file_timestamp(F.col("source_file")).alias("file_ts"),
+        )
+        # Empty cells ('' -> NULL cast) and unparseable floats are
+        # skipped, not errors: csv_extractor.py:97-102.
+        .where(F.col("value").isNotNull())
+    )
 
 
 def read_datapoints_from_folder(
