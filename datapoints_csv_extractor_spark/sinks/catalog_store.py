@@ -1,0 +1,58 @@
+"""Persistent time-series catalog (S6 load + S8 create-if-missing).
+
+The reference holds the catalog in a driver dict fetched once
+(csv_extractor.py:53-67) and created-into on miss (:107-112,:151-154).
+Here the catalog is a small parquet dimension table:
+
+- ``load_catalog`` -> the dimension DataFrame (empty-but-typed when
+  the store doesn't exist yet), always broadcastable downstream.
+- ``append_missing`` -> the per-batch upsert: distinct observed ids,
+  broadcast LEFT ANTI vs the store, append only the new rows. For a
+  single writer (the reference's deployment model) append-only is
+  atomic enough; concurrent writers need a transactional format's
+  MERGE (SURVEY.md §7 "what's hard" #5 documents the caveat).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datapoints_csv_extractor_spark.sources.catalog import (
+    CATALOG_COLUMNS,
+    missing_series,
+)
+
+CATALOG_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in CATALOG_COLUMNS]
+)
+
+
+def load_catalog(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Catalog dimension from the store; typed-empty if absent (S6)."""
+    if not Path(path).exists():
+        return spark.createDataFrame([], CATALOG_SCHEMA)
+    return spark.read.schema(CATALOG_SCHEMA).parquet(str(path))
+
+
+def append_missing(
+    spark: SparkSession, datapoints: DataFrame, path: str | Path
+) -> int:
+    """Create-if-missing upsert (J1 + S8); returns #series created.
+
+    The count comes back from the same job that writes (no second
+    scan): the new rows are tiny (bounded by distinct new series per
+    batch), so a local checkpointless ``collect``-free write + count
+    via ``observe`` would be overkill — we just cache the small frame.
+    """
+    catalog = load_catalog(spark, path)
+    new_rows = missing_series(datapoints, catalog).cache()
+    try:
+        n_new = new_rows.count()
+        if n_new:
+            new_rows.write.mode("append").parquet(str(path))
+        return n_new
+    finally:
+        new_rows.unpersist()
