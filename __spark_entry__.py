@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datapoints_csv_extractor_spark.operators import analytic as A
 from datapoints_csv_extractor_spark.operators import dedup as D
 from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
@@ -45,6 +46,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": R.q_set_ops,
         "q_json_extract": R.q_json_extract,
         "q_approx_distinct": R.q_approx_distinct,
+        # Temporal / OLAP analytics
+        "q_time_window_rollup": A.q_time_window_rollup,
+        "q_session_window": A.q_session_window,
+        "q_cube": A.q_cube,
+        "q_pivot": A.q_pivot,
+        "q_percentiles": A.q_percentiles,
+        "q_range_join": A.q_range_join,
+        # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
+        # have no DuckDB twin)
+        "q_ann_lsh_topk": V.ann_lsh_topk,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_text_quality": X.q_text_quality,
@@ -221,6 +232,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users
             FROM events
             GROUP BY event_type
+        """,
+        "q_time_window_rollup": """
+            SELECT date_trunc('day', ts)   AS window_start,
+                   event_type,
+                   count(*)                AS n_events,
+                   round(sum(value), 2)    AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_session_window": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts)                               AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE          AS session_end,
+                   count(*)                              AS n_events,
+                   round(sum(value), 2)                  AS sum_value
+            FROM sessions
+            GROUP BY user_id, session_id
+        """,
+        "q_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)                         AS n_orders,
+                   round(sum(o_totalprice), 2)      AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_pivot": """
+            SELECT user_id,
+                   coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0.0)    AS click,
+                   coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0.0)    AS error,
+                   coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0.0) AS purchase,
+                   coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0.0)   AS signup,
+                   coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0.0)     AS view
+            FROM events
+            GROUP BY user_id
+        """,
+        "q_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_range_join": """
+            WITH weeks AS (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2024-01-29',
+                                              INTERVAL 7 DAY)) AS week_start
+            )
+            SELECT week_start,
+                   count(*)             AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events
+            JOIN weeks ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
+            GROUP BY week_start
         """,
         "q_token_stats": """
             WITH t AS (

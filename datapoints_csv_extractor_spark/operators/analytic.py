@@ -1,0 +1,163 @@
+"""Temporal / OLAP analytics beyond the reference's operator set.
+
+The reference has no grouped analytics at all (SURVEY.md §2.6: its
+aggregates are metrics-grade scalars), but a datapoints engine is used
+through exactly these shapes — time-bucket rollups (the hypertable
+pattern), sessionization, CUBE summaries, long->wide pivot, exact
+percentiles, interval/range joins. All are built-in DataFrame ops;
+every query here has a DuckDB oracle twin.
+
+Scale notes per operator are inline; the common theme: one shuffle on
+the declared grouping key, map-side partial aggregation, dimension
+sides broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.relational import load
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_time_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type (hypertable-style rollup).
+
+    ``F.window`` is the native tumbling bucketizer; at 100 TB this is
+    the standing pre-aggregation that turns raw events into a rollup
+    table, and the bucket column doubles as the partition key for the
+    rollup's layout. One shuffle, partial aggs map-side.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap.
+
+    ``F.session_window`` merges events whose gaps are < 30 min; the
+    window ends 30 min after the last event (pinned by the oracle's
+    gaps-and-islands formulation: lag -> new-session flag -> running
+    sum -> group). Scale: shuffle on user_id only; session merging is
+    per-key and streaming-compatible (same expression works under
+    ``withWatermark`` in Structured Streaming).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping sets in
+    one pass (Expand -> single shuffle), the OLAP summary the reference
+    computes piecemeal with driver-side counters."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot (T1's inverse): per-user value totals by event
+    type. The pivot value list is EXPLICIT — with it, Spark skips the
+    extra distinct-scan job and the output schema is stable; never
+    pivot on unbounded cardinality at scale."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) of order totalprice per
+    orderpriority. Exact ``percentile`` needs the full value set per
+    group (sort-based, memory ~ group size); the 100 TB path swaps in
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) —
+    same call shape, documented trade."""
+    o = load(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("p")[0], 2).alias("p50"),
+            F.round(F.col("p")[1], 2).alias("p90"),
+            F.round(F.col("p")[2], 2).alias("p99"),
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events bucketed into generated 7-day
+    intervals via ``start <= ts < end``.
+
+    The interval dimension is tiny and broadcast, so the non-equi
+    condition runs as BroadcastNestedLoopJoin — the right plan for
+    few-intervals x many-facts. (Many-x-many range joins instead get
+    bucketized to an equijoin on overlapping bucket ids — that
+    pattern is what q_time_window_rollup's bucketing gives.)
+    """
+    e = load(spark, sf_dir, "events")
+    weeks = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-01")),
+                F.to_timestamp(F.lit("2024-01-29")),
+                F.expr("INTERVAL 7 DAYS"),
+            )
+        ).alias("week_start")
+    )
+    weeks = weeks.withColumn("week_end", F.col("week_start") + F.expr("INTERVAL 7 DAYS"))
+    return (
+        e.join(
+            F.broadcast(weeks),
+            (F.col("ts") >= F.col("week_start")) & (F.col("ts") < F.col("week_end")),
+        )
+        .groupBy("week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

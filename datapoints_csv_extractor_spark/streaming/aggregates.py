@@ -1,0 +1,155 @@
+"""Streaming analytics over the long datapoints table (ST4 north-star).
+
+The reference needs no watermarks (SURVEY.md §2.8 ST4 — files carry
+their own timestamps, no event-time aggregation exists). These are the
+extensions a datapoints engine actually serves once ingest lands in a
+table: continuous time-bucket rollups and custom per-series state.
+
+- ``stream_datapoints``: readStream over the datapoints sink layout —
+  the natural handoff from streaming/live.py's foreachBatch writer to
+  downstream consumers (one pipeline writes, N independent readers
+  aggregate, each with its own checkpoint).
+- ``windowed_rollup``: tumbling event-time windows + watermark. The
+  watermark bounds state: without it a 100 TB stream accumulates every
+  window ever seen; with it, state is O(series x windows-in-horizon)
+  and late datapoints beyond the horizon are dropped (counted by the
+  streaming metrics, mirroring the reference's skip-and-log posture
+  for bad values).
+- ``series_state_tracker``: applyInPandasWithState — per-series
+  running aggregates (count / sum / last_ts / max inter-arrival gap)
+  that survive across micro-batches via the state store. This is the
+  custom-stateful-operator escape hatch for semantics window
+  functions can't express incrementally (gap tracking needs the
+  previous batch's last timestamp).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from datapoints_csv_extractor_spark.sources.tebis_csv import DATAPOINTS_SCHEMA
+
+
+def stream_datapoints(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream over a long-format datapoints directory (parquet),
+    with a real event-time column derived from ts_ms."""
+    return (
+        spark.readStream.schema(DATAPOINTS_SCHEMA)
+        .parquet(path)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+
+
+def windowed_rollup(
+    datapoints: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-series tumbling-window rollup with bounded state.
+
+    Append output mode: a window emits once, when the watermark passes
+    its end — the exactly-once rollup-table pattern. State per key is
+    a partial agg (count/sum/min/max), mergeable and tiny.
+    """
+    return (
+        datapoints.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "external_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "external_id",
+            "n_points",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_points", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("max_gap_ms", T.LongType()),
+    ]
+)
+
+TRACKER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("external_id", T.StringType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("max_gap_ms", T.LongType()),
+    ]
+)
+
+
+def _track_series(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's datapoints for one series into running state.
+
+    Arrow hands the group as pandas batches (vectorized — the sort and
+    diff below are numpy ops, not per-row Python). Gap tracking bridges
+    batches through ``last_ts_ms`` carried in the state store.
+    """
+    if state.exists:
+        n, total, last_ts, max_gap = state.get
+    else:
+        n, total, last_ts, max_gap = 0, 0.0, None, 0
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ts = pdf["ts_ms"].sort_values()
+        gaps = ts.diff()
+        if last_ts is not None:
+            gaps.iloc[0] = ts.iloc[0] - last_ts
+        batch_max_gap = int(gaps.max()) if gaps.notna().any() else 0
+        max_gap = max(max_gap, batch_max_gap)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_ts = int(ts.iloc[-1])
+
+    state.update((n, total, last_ts if last_ts is not None else 0, max_gap))
+    yield pd.DataFrame(
+        {
+            "external_id": [key[0]],
+            "n_points": [n],
+            "sum_value": [total],
+            "last_ts_ms": [last_ts if last_ts is not None else 0],
+            "max_gap_ms": [max_gap],
+        }
+    )
+
+
+def series_state_tracker(datapoints: DataFrame) -> DataFrame:
+    """Running per-series aggregates via the arbitrary-state API.
+
+    Emits one updated row per series per micro-batch (Update mode).
+    State is one fixed-width tuple per series — O(series), not
+    O(datapoints) — so a million-series stream holds ~MBs of state
+    per executor after key partitioning.
+    """
+    return datapoints.groupBy("external_id").applyInPandasWithState(
+        _track_series,
+        outputStructType=TRACKER_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
