@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "q_window_running_sum",
     "q_unpivot",
     "q_json_extract",
+    "q_time_window_rollup",
+    "q_session_window",
+    "q_pivot",
+    "q_range_join",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_minhash_signatures",

@@ -1,0 +1,89 @@
+"""CLI entry point mirroring the reference's main.py surface.
+
+Flag parity with main.py:24-53 (reference), re-targeted at the
+Spark-native sinks:
+
+- ``--live`` / default historical (the reference's ``--historical``
+  flag is a no-op there — default True, main.py:34-36 — and is kept
+  only for drop-in compatibility).
+- ``--input/-i`` input folder; ``--from-time``/``--until-time``
+  exclusive filename-ts bounds (csv_extractor.py:252).
+- ``--keep-finished`` moves processed files to ``finished/`` instead
+  of deleting (main.py:92-94; post_all_data :184-192).
+  ``--move-failed`` quarantines to ``failed/`` (always on in our
+  engine for live mode; the flag is accepted for compatibility).
+- The CDF API key/client flags are replaced by ``--output`` (the
+  datapoints table path) and ``--catalog`` (the series dimension) —
+  this engine's sinks are tables, not an HTTP API.
+
+Run: ``python -m datapoints_csv_extractor_spark -i DIR -o OUT``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from datapoints_csv_extractor_spark.session import get_spark
+
+
+def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(prog="datapoints_csv_extractor_spark")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument(
+        "--live", "-l", action="store_true",
+        help="Process live data continuously (8 s trigger); default is historical batch",
+    )
+    group.add_argument(
+        "--historical", default=True, action="store_true",
+        help="Process historical data (default; kept for reference-CLI compatibility)",
+    )
+    parser.add_argument("--input", "-i", required=True, help="Folder of csv files to process")
+    parser.add_argument("--output", "-o", required=True, help="Datapoints table path (parquet)")
+    parser.add_argument("--catalog", "-c", required=False, help="Series catalog path (default <output>_catalog)")
+    parser.add_argument("--checkpoint", required=False, help="Streaming checkpoint dir (live mode; default <output>_checkpoint)")
+    parser.add_argument("--keep-finished", action="store_true", help="Move processed files to finished/ instead of deleting")
+    parser.add_argument("--move-failed", action="store_true", help="Accepted for compatibility; failed files always quarantine")
+    parser.add_argument("--from-time", type=int, help="Only files with filename ts strictly after this epoch-second")
+    parser.add_argument("--until-time", type=int, help="Only files with filename ts strictly before this epoch-second")
+    parser.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv)
+    catalog = args.catalog or f"{args.output}_catalog"
+    spark = get_spark(app_name="datapoints-csv-extractor", master=args.master)
+
+    from datapoints_csv_extractor_spark.plans.pipeline import run_historical, run_live
+
+    if args.live:
+        query = run_live(
+            spark,
+            input_dir=args.input,
+            sink_dir=args.output,
+            catalog_path=catalog,
+            checkpoint_dir=args.checkpoint or f"{args.output}_checkpoint",
+            delete_on_success=not args.keep_finished,
+        )
+        query.awaitTermination()
+        return 0
+
+    stats = run_historical(
+        spark,
+        input_dir=args.input,
+        sink_dir=args.output,
+        catalog_path=catalog,
+        time_from=args.from_time,
+        time_until=args.until_time,
+        delete_on_success=not args.keep_finished,
+    )
+    print(
+        f"Extraction complete: {stats['files']} files, "
+        f"{stats['datapoints']} datapoints, {stats['new_series']} new series"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,40 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_from: str | None = None,
+    ts_until: str | None = None,
+) -> DataFrame:
+    """Events scan with a PUSHED-DOWN time-range predicate.
+
+    The nanos->micros conversion in ``load`` wraps ``ts`` in an
+    expression, so a predicate on the converted column cannot reach
+    the parquet scan (full scan at 100 TB). Here the bounds are
+    converted driver-side to raw int64 nanoseconds and applied to the
+    stored column BEFORE the conversion — Catalyst records them as
+    ``PushedFilters`` and parquet prunes row groups on min/max stats.
+    Bounds are strict-exclusive like the reference's pruning (P5,
+    csv_extractor.py:252). Pinned by tests/test_plan_shape.py.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        import pandas as pd
+
+        if ts_from is not None:
+            df = df.where(F.col("ts") > F.lit(int(pd.Timestamp(ts_from).value)))
+        if ts_until is not None:
+            df = df.where(F.col("ts") < F.lit(int(pd.Timestamp(ts_until).value)))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_from is not None:
+        df = df.where(F.col("ts") > F.lit(ts_from))
+    if ts_until is not None:
+        df = df.where(F.col("ts") < F.lit(ts_until))
+    return df
+
+
 def _r(c, n: int = 2):
     return F.round(c, n)
 
@@ -286,11 +320,12 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-exclusive range predicate — the reference's filename-ts
     pruning semantics (P5, csv_extractor.py:252) as a row filter that
-    pushes down to the parquet scan."""
-    ev = load(spark, sf_dir, "events")
-    return ev.where(
-        (F.col("ts") > F.lit("2024-01-10 00:00:00")) & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
-    ).select("event_id", "user_id", "ts", "event_type")
+    pushes down to the parquet scan (on the RAW stored column — see
+    load_events_range)."""
+    ev = load_events_range(
+        spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
+    return ev.select("event_id", "user_id", "ts", "event_type")
 
 
 def q_topk_newest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,33 @@
+"""CLI surface test: flag parity with the reference's main.py."""
+
+from __future__ import annotations
+
+from datapoints_csv_extractor_spark.cli import main
+from fixtures import write_tebis_csv
+
+
+def test_cli_historical_run(spark, tmp_path, capsys):
+    folder = tmp_path / "incoming"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=3, n_rows=20, seed=11)
+    write_tebis_csv(folder, file_ts=1550092620, n_series=3, n_rows=20, seed=12)
+    # Outside the (from, until) exclusive bounds -> pruned.
+    write_tebis_csv(folder, file_ts=1550099999, n_series=2, n_rows=5, seed=13)
+
+    out = tmp_path / "dp"
+    rc = main(
+        [
+            "-i", str(folder),
+            "-o", str(out),
+            "--keep-finished",
+            "--from-time", "1550092500",
+            "--until-time", "1550099999",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "2 files" in printed
+    assert spark.read.parquet(str(out)).count() > 0
+    # keep-finished: processed inputs archived, pruned input untouched.
+    assert len(list((folder / "finished").glob("*.csv"))) == 2
+    assert len(list(folder.glob("*.csv"))) == 1

@@ -1,0 +1,89 @@
+"""Physical-plan shape tests: the scale properties the engine promises.
+
+Correctness is pinned by the oracle; these pin the EXECUTION hygiene
+that matters at 100 TB — filter/column pushdown into the parquet scan,
+broadcast (not shuffle) joins for dimensions, shuffle-free ingest,
+whole-stage codegen on hot paths. A regression here is a performance
+bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators import relational as R
+from datapoints_csv_extractor_spark.operators.relational import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(R.q1_pricing_summary(spark, SF))
+    # Ship-date predicate reaches the parquet scan.
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    # Column pruning: the scan must NOT read l_comment (widest column).
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "l_comment" not in m.group(1)
+
+
+def test_range_filter_pushdown(spark):
+    plan = _plan(R.q_range_filter(spark, SF))
+    assert re.search(r"PushedFilters:.*GreaterThan.*ts", plan) or re.search(
+        r"PushedFilters:.*ts.*GreaterThan", plan
+    ), plan[plan.find("PushedFilters") : plan.find("PushedFilters") + 300]
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    """All dimension joins broadcast; the only shuffle exchanges allowed
+    are for the final aggregation (and AQE reads), never a sort-merge
+    join of the fact against a dimension."""
+    plan = _plan(R.q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tebis_ingest_is_shuffle_free(spark, tmp_path):
+    from datapoints_csv_extractor_spark.sources.tebis_csv import read_datapoints
+    from fixtures import write_tebis_csv
+
+    folder = tmp_path / "in"
+    folder.mkdir()
+    p1 = write_tebis_csv(folder, file_ts=1550092560, n_series=3, n_rows=10, seed=1)
+    p2 = write_tebis_csv(folder, file_ts=1550092620, n_series=5, n_rows=10, seed=2)
+    plan = _plan(read_datapoints(spark, [p1, p2]))
+    # Header-dimension join broadcasts; the data path never shuffles.
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # Unpivot runs as Generate (posexplode). (Codegen spans only show
+    # in the post-execution AQE final plan, so not asserted here.)
+    assert "Generate" in plan
+
+
+def test_anti_join_broadcasts_build_side(spark):
+    plan = _plan(R.q_anti_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(R.q_topk_newest(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_stats_single_projection_no_shuffle(spark):
+    from datapoints_csv_extractor_spark.operators.textops import q_token_stats
+
+    plan = _plan(q_token_stats(spark, SF))
+    assert "Exchange" not in plan
+    # Tokenizer array is materialized once (aliased), then reused —
+    # the expensive split must appear exactly once in the plan.
+    assert plan.count("array_remove(split(") == 1
