@@ -35,6 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": R.q_semi_join,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q_scalar_subquery": R.q_scalar_subquery,
         "q_asof_join": R.q_asof_join,
         "q_window_rank": R.q_window_rank,
         "q_window_lag": R.q_window_lag,
@@ -67,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": D.q_minhash_signatures,
         "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
         "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -131,6 +135,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation,
+                       n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_7')
+                   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_11')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_scalar_subquery": """
+            WITH per_cust AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders
+                GROUP BY o_custkey
+            )
+            SELECT o_custkey, n_orders
+            FROM per_cust
+            WHERE n_orders > 2 * (SELECT avg(n_orders) FROM per_cust)
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

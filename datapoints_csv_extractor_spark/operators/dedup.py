@@ -235,3 +235,61 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def q_simhash_near_dup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate blocking splits the 32-bit fingerprint into
+    ``max_hamming + 1`` bands: by pigeonhole, any pair within the
+    hamming budget agrees exactly on at least one band, so the
+    equijoin on (band_id, band_bits) finds every qualifying pair
+    without the O(n^2) cross join; bit_count(xor) then verifies the
+    true distance. Same shape as the MinHash band join — shuffle
+    carries 4 small rows per doc.
+    """
+    n_bands = max_hamming + 1
+    band_width = 32 // n_bands
+    fp = q_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_bits"),
+                    )
+                    # Last band absorbs the remainder bits via the
+                    # shift; masking with band_width is fine because
+                    # agreement on the wider last band implies
+                    # agreement on its masked prefix.
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

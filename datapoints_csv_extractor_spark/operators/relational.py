@@ -420,3 +420,83 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-national volume: revenue shipped between two
+    nations per year, either direction.
+
+    Both nation sides broadcast into their dimension joins; lineitem
+    joins orders on orderkey (the single fact-fact shuffle); year
+    extraction is a codegen-stage scalar. The (supp_nation, cust_nation)
+    pair filter lands BEFORE the aggregate, so the shuffle carries two
+    nations' rows, not the world's.
+    """
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_11"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top 20 customers by revenue lost to returns in
+    one quarter. Join + agg + TakeOrdered top-k; customer/nation
+    broadcast, lineitem pre-filtered on the return flag before any
+    join so the shuffle only carries returned rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    # Sum in DECIMAL so the aggregate is exact and engine-independent:
+    # the per-row double product is IEEE-identical in both engines, but
+    # double SUMMATION order is not, and this query's top-k sits on a
+    # 0.005 rounding boundary at sf0.01.
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: customers whose order count exceeds
+    twice the per-customer average. The global scalar is one tiny
+    aggregate broadcast into the filter (Spark plans the cross join
+    as BroadcastNestedLoopJoin over a single row — free)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    avg_n = per_cust.agg(F.avg("n_orders").alias("avg_orders"))
+    return (
+        per_cust.join(F.broadcast(avg_n))
+        .where(F.col("n_orders") > 2 * F.col("avg_orders"))
+        .select("o_custkey", "n_orders")
+    )
