@@ -1,0 +1,47 @@
+"""Skew-handling join: salting for pathological hot keys (Phase 5).
+
+AQE's skew-join splitting (on in session.py) handles most skew for
+sort-merge joins at runtime. Salting is the explicit fallback for the
+cases AQE can't fix — e.g. a shuffled join where ONE key holds half
+the table (a "null island" or a mega-series in the datapoints model):
+
+    fact side:  salt = pmod(xxhash64(<row id cols>), n_salts)
+    dim side:   replicated n_salts times (explode)
+    join key:   (key, salt)  -> hot key spreads over n_salts tasks
+
+Cost: dim side grows n_salts x (fine — it's the small side by
+definition); fact side gets one extra tiny column. Result equality
+with the plain join is pinned by tests on deliberately skewed data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_from: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact`` with small ``dim`` on column ``on``, salted.
+
+    ``salt_from`` names fact columns whose hash spreads the hot key
+    (default: all non-key columns — any stable per-row attribute
+    works; monotonically_increasing_id would too but is
+    partition-layout-dependent).
+    """
+    cols = salt_from or [c for c in fact.columns if c != on]
+    if not cols:
+        raise ValueError("salted_join needs at least one non-key column to salt from")
+    salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    salted_fact = fact.withColumn("__salt", salt)
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_fact.join(salted_dim, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,78 @@
+"""Small-file compaction for the live datapoints table (Phase 5).
+
+Live mode appends one file set per micro-batch (8 s cadence => ~10k
+file sets/day). Small files are the classic lake killer at 100 TB:
+scan planning cost, footer reads, and per-file task overhead all scale
+with file COUNT, not bytes. Compaction rewrites each date partition
+to ~target-sized files.
+
+Design:
+- Partition-at-a-time rewrite into a staging directory + atomic
+  directory swap. Readers keep working against the old files until
+  the swap; a crash mid-compact leaves the original partition intact
+  (staging is simply abandoned). This is the manual analog of a table
+  format's OPTIMIZE/rewrite-files transaction, which is the right
+  tool once a transactional format is in play.
+- Only partitions exceeding ``max_files`` are touched, so steady-state
+  cost is proportional to churn (yesterday's partition), not table
+  size.
+- File sizing via ``repartition(n)`` where n = ceil(bytes /
+  target_file_bytes) measured from the partition's current footprint.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _partition_stats(part_dir: Path) -> tuple[int, int]:
+    files = [p for p in part_dir.glob("*.parquet") if p.is_file()]
+    return len(files), sum(p.stat().st_size for p in files)
+
+
+def compact_datapoints(
+    spark: SparkSession,
+    table_path: str | Path,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_files: int = 8,
+) -> dict[str, tuple[int, int]]:
+    """Compact oversized date partitions; returns {dt: (before, after)}.
+
+    Local-filesystem implementation (Path.rename swap). On an object
+    store the same flow runs over the store's rename/commit primitive
+    or, preferably, a transactional table format's rewrite API.
+    """
+    base = Path(table_path)
+    results: dict[str, tuple[int, int]] = {}
+    for part_dir in sorted(base.glob("dt=*")):
+        n_files, n_bytes = _partition_stats(part_dir)
+        if n_files <= max_files:
+            continue
+        n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+        if n_out >= n_files:
+            continue
+
+        staging = base / f"_compact_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(str(part_dir))
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        # Atomic-enough swap: old dir moves aside, staging takes its
+        # place, old dir removed last (crash leaves one valid copy).
+        retired = base / f"_retired_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+        part_dir.rename(retired)
+        staging.rename(part_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+        # Drop the staging _SUCCESS marker; partition dirs hold data only.
+        (part_dir / "_SUCCESS").unlink(missing_ok=True)
+        results[part_dir.name] = (n_files, _partition_stats(part_dir)[0])
+    return results

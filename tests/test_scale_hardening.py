@@ -1,0 +1,71 @@
+"""Phase-5 scale tools: compaction and skew salting."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.skew import salted_join
+from datapoints_csv_extractor_spark.plans.compaction import compact_datapoints
+from datapoints_csv_extractor_spark.sinks.datapoints import write_datapoints
+
+
+def test_compact_datapoints_reduces_files_preserves_rows(spark, tmp_path):
+    sink = tmp_path / "dp"
+    # Simulate live mode: 12 tiny appends into the same date partition.
+    for i in range(12):
+        df = spark.createDataFrame(
+            [(f"s{j}", f"n{j}", 1_550_092_560_000 + i * 1000 + j, float(i * j))
+             for j in range(20)],
+            "external_id string, name string, ts_ms long, value double",
+        ).withColumn("source_file", F.lit(f"batch{i}")).withColumn("file_ts", F.lit(0))
+        write_datapoints(df.coalesce(1), str(sink))
+
+    before = spark.read.parquet(str(sink))
+    n_rows = before.count()
+    # Materialize BEFORE compaction: the lazy plan pins file paths that
+    # won't exist afterwards.
+    before_stats = before.agg(F.sum("value"), F.countDistinct("external_id")).first()
+    part = next(Path(sink).glob("dt=*"))
+    n_files_before = len(list(part.glob("*.parquet")))
+    assert n_files_before >= 12
+
+    stats = compact_datapoints(spark, sink, max_files=4)
+    assert stats, "oversized partition should have been compacted"
+    (b, a), = stats.values()
+    assert b == n_files_before and a < b
+
+    after = spark.read.parquet(str(sink))
+    assert after.count() == n_rows
+    # Values intact, not just counts.
+    assert (
+        after.agg(F.sum("value"), F.countDistinct("external_id")).first()
+        == before_stats
+    )
+
+
+def test_compact_skips_small_partitions(spark, tmp_path):
+    sink = tmp_path / "dp"
+    df = spark.createDataFrame(
+        [("s1", "n1", 1_550_092_560_000, 1.0)],
+        "external_id string, name string, ts_ms long, value double",
+    ).withColumn("source_file", F.lit("f")).withColumn("file_ts", F.lit(0))
+    write_datapoints(df, str(sink))
+    assert compact_datapoints(spark, sink, max_files=4) == {}
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    # 90% of fact rows share one hot key.
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label")
+    )
+    plain = fact.join(dim, "k").select("k", "payload", "label")
+    salted = salted_join(fact, dim, "k", n_salts=8).select("k", "payload", "label")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
