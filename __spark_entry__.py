@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
+        "q_ann_ivf_topk": V.ann_ivf_topk,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_text_quality": X.q_text_quality,

@@ -88,6 +88,34 @@ def _chunk_rows(
         yield list(current.items())
 
 
+def write_datapoints_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    mode: str = "append",
+) -> None:
+    """Datapoints as a BUCKETED catalog table: hash-bucketed + sorted
+    on external_id.
+
+    Bucketing is the shuffle-killer for the engine's dominant join
+    pattern (datapoints x series catalog / datapoints x datapoints
+    alignment): two tables bucketed on the same key join with ZERO
+    exchange — the co-location was paid once at write. Also gives
+    bucket pruning for point lookups on external_id. Requires
+    saveAsTable (bucket metadata lives in the catalog, not the files);
+    pinned by tests/test_bucketed_join.py asserting an exchange-free
+    sort-merge join plan.
+    """
+    out = df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("ts_ms"))))
+    (
+        out.write.mode(mode)
+        .bucketBy(n_buckets, "external_id")
+        .sortBy("external_id", "ts_ms")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def post_datapoints(
     df: DataFrame,
     post_fn: Callable[[list[tuple[str, list[tuple[int, float]]]]], None],

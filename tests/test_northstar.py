@@ -144,3 +144,32 @@ def test_simhash_near_dup_matches_brute_force(spark):
         for r in D.q_simhash_near_dup(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_ann_ivf_recall_on_planted_neighbors(spark):
+    """IVF with nearest-cell assignment + multi-probe must recover
+    planted near-duplicates: they share the query's cell by
+    construction (cosine > 0.99 to the query implies the same argmax
+    centroid in all but boundary cases, which n_probe covers)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    # Centroids are taken from the LOWEST vec_ids, so ids 0..7 must be
+    # the query + diverse background (near-duplicate centroids would
+    # degenerate the quantizer — same requirement k-means satisfies by
+    # construction). Planted near-dups live at high ids.
+    rows = [(0, 0, query)]
+    for i in range(1, 211):
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    planted = set(range(500, 510))
+    for i in planted:
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    approx_df = V.ann_ivf_topk_df(e, query_vec_id=0, k=10, n_centroids=8, n_probe=2)
+    got = [r.vec_id for r in approx_df.collect()]
+    recall = len(planted & set(got)) / 10
+    assert recall >= 0.8, f"planted near-dups missed: {sorted(set(got))}"
