@@ -15,6 +15,7 @@ Here the catalog is a small parquet dimension table:
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,34 @@ def load_catalog(spark: SparkSession, path: str | Path) -> DataFrame:
     if not Path(path).exists():
         return spark.createDataFrame([], CATALOG_SCHEMA)
     return spark.read.schema(CATALOG_SCHEMA).parquet(str(path))
+
+
+def load_catalog_with_retry(
+    spark: SparkSession,
+    path: str | Path,
+    max_attempts: int = 10,
+    sleep=time.sleep,
+) -> DataFrame:
+    """S6 retry parity: attempt the catalog load up to ``max_attempts``
+    times with LINEAR backoff (sleep 1s, 2s, ... like
+    csv_extractor.py:55-65), then raise SystemExit(1) as the reference
+    does — a missing catalog store at startup is fatal, a flaky one is
+    retried. The load is validated by forcing schema resolution +
+    a 1-row probe (parquet footer read), the local analog of the
+    reference's remote fetch."""
+    last_error: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            df = load_catalog(spark, path)
+            df.limit(1).collect()
+            return df
+        except SystemExit:
+            raise
+        except Exception as exc:  # transient store/read failure
+            last_error = exc
+            if attempt < max_attempts:
+                sleep(attempt)
+    raise SystemExit(1) from last_error
 
 
 def append_missing(

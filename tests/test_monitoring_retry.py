@@ -1,0 +1,67 @@
+"""S6 retry policy + C3 metrics listener."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapoints_csv_extractor_spark.sinks.catalog_store import (
+    load_catalog_with_retry,
+)
+from datapoints_csv_extractor_spark.streaming.live import start_live_ingest
+from datapoints_csv_extractor_spark.streaming.monitoring import (
+    IngestMetricsListener,
+)
+from fixtures import write_tebis_csv
+
+
+def test_load_catalog_with_retry_linear_backoff_then_exit(spark, tmp_path, monkeypatch):
+    """A persistently broken store is retried max_attempts times with
+    linear backoff then exits(1), mirroring csv_extractor.py:55-65."""
+    sleeps: list[int] = []
+    # A FILE (not directory) at the path makes the parquet read raise.
+    broken = tmp_path / "catalog"
+    broken.write_text("not parquet")
+
+    with pytest.raises(SystemExit) as exc_info:
+        load_catalog_with_retry(
+            spark, broken, max_attempts=4, sleep=sleeps.append
+        )
+    assert exc_info.value.code == 1
+    assert sleeps == [1, 2, 3]  # linear backoff, no sleep after last
+
+
+def test_load_catalog_with_retry_succeeds_when_store_ok(spark, tmp_path):
+    df = load_catalog_with_retry(spark, tmp_path / "absent", sleep=lambda s: None)
+    assert df.count() == 0
+
+
+def test_metrics_listener_captures_batch_progress(spark, tmp_path):
+    folder = tmp_path / "in"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=2, n_rows=10, seed=3)
+
+    listener = IngestMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = start_live_ingest(
+            spark, folder, tmp_path / "dp", tmp_path / "cat", tmp_path / "ckpt",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # Listener delivery is asynchronous (separate event bus thread);
+        # wait briefly for progress events to land.
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            r["event"] == "progress" for r in listener.records
+        ):
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+
+    events = {r["event"] for r in listener.records}
+    assert "started" in events and "progress" in events
+    progress = [r for r in listener.records if r["event"] == "progress"]
+    assert sum(r["num_input_rows"] for r in progress) > 0
+    assert all("duration_ms" in r for r in progress)
