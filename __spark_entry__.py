@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": A.q_pivot,
         "q_percentiles": A.q_percentiles,
         "q_range_join": A.q_range_join,
+        "q_window_range_frame": A.q_window_range_frame,
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
@@ -337,6 +338,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.99), 2) AS p99
             FROM orders
             GROUP BY o_orderpriority
+        """,
+        "q_window_range_frame": """
+            SELECT event_id, user_id, ts,
+                   round(avg(value) OVER w, 4) AS trailing_1h_avg,
+                   count(*) OVER w             AS trailing_1h_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "q_range_join": """
             WITH weeks AS (

@@ -161,3 +161,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour moving average —
+    the datapoints-smoothing shape (ROWS frames count rows; RANGE
+    frames bound by VALUE distance, which is what time series need:
+    irregular cadence means a fixed row count is a variable time
+    span). Ordered by epoch seconds so the frame bound is numeric on
+    both engines. One shuffle on user_id; the frame scan is a single
+    ordered pass per partition."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("trailing_1h_avg"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )

@@ -117,6 +117,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0
     # Join on the 64-bit shingle hash, not the ~50-byte string — same
     # pair counts (collision odds ~n^2/2^64), a fraction of the
     # shuffle bytes.
+    #
+    # NOTE (measured, sf0.1): carrying n_sh alongside the explode
+    # ("size + explode of the same array in one projection, counts
+    # ride the join") looks like it saves the separate counts
+    # aggregation, but runs 7x SLOWER (14 s vs 2 s) — the optimizer's
+    # projection collapsing re-expands the HOF shingle expression into
+    # both consumers and the array is evaluated per use. Keeping
+    # counts as an independent subtree (3 cheap scans of a small
+    # table) beats one "clever" pass; the broadcast joins on the tiny
+    # per-doc counts are ~free.
     sh = _doc_shingles(spark, sf_dir).select(
         "doc_id", F.xxhash64("shingle").alias("sh_hash")
     )
