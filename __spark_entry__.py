@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": V.q_embedding_near_dup,
         # Multimodal (north-star)
         "q_multimodal_meta": M.q_multimodal_meta,
+        "q_multimodal_decode": M.q_multimodal_decode,
+        "q_array_functions": A.q_array_functions,
     }
 
 
@@ -282,6 +284,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users
             FROM events
             GROUP BY event_type
+        """,
+        "q_array_functions": """
+            SELECT vec_id,
+                   len(embedding)                                        AS dim,
+                   round(CAST(list_max(embedding) AS DOUBLE), 4)         AS max_component,
+                   round(CAST(list_min(embedding) AS DOUBLE), 4)         AS min_component,
+                   round(list_sum(list_transform(embedding[1:8],
+                                                 x -> CAST(x AS DOUBLE))), 4) AS head8_sum,
+                   len(list_filter(embedding, x -> x > 0))               AS n_positive
+            FROM embeddings
         """,
         "q_time_window_rollup": """
             SELECT date_trunc('day', ts)   AS window_start,

@@ -187,3 +187,23 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("trailing_1h_avg"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embeddings table: slice, sort,
+    element stats — all JVM higher-order/collection functions, the
+    vector-column manipulation kit an embedding pipeline leans on.
+    Shuffle-free scan->project."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(F.array_sort(as_double), -1), 4).alias("max_component"),
+        F.round(F.element_at(F.array_sort(as_double), 1), 4).alias("min_component"),
+        F.round(
+            F.aggregate(F.slice(as_double, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head8_sum"),
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
+    )

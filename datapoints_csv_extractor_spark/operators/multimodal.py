@@ -129,3 +129,25 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         "blob_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).where(F.col("frame_idx") % every_n == 0)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing decode pipeline (rows-only: the Arrow-batched
+    pandas decode has no SQL twin): blob table -> mapInPandas decode ->
+    per-mime feature/dimension stats. Exercises the full multimodal
+    dataflow — binary payload scan, vectorized Python boundary,
+    JVM-side aggregation of the decoded output."""
+    decoded = decode_blobs(blobs_from_documents(spark, sf_dir))
+    return (
+        decoded.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_decoded"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.max("n_frames").alias("max_frames"),
+            F.round(
+                F.avg(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 2
+            ).alias("avg_feature_mass"),
+        )
+        .orderBy("mime")
+    )

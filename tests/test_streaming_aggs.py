@@ -151,3 +151,46 @@ def test_series_state_tracker_across_batches(spark, tmp_path):
     assert rows2["s1"].n_points == 3
     assert rows2["s1"].sum_value == 6.0
     assert rows2["s1"].max_gap_ms == 60_000
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """session_window works under a watermark in streaming: two bursts
+    separated by > gap close as two sessions once the watermark passes."""
+    from pyspark.sql import functions as F
+    from datapoints_csv_extractor_spark.streaming.aggregates import stream_datapoints
+
+    src = tmp_path / "dp"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    t0 = 1_550_092_560_000
+
+    def sessionized(stream):
+        return (
+            stream.withWatermark("event_time", "1 minute")
+            .groupBy(
+                F.session_window("event_time", "30 seconds").alias("w"), "external_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("external_id", F.col("w.start").alias("start"), "n")
+        )
+
+    # Burst 1 (3 points, 5 s apart), burst 2 (2 points) 10 min later,
+    # then a far-future point to push the watermark past both bursts.
+    _write_points(spark, src, [("s1", t0 + i * 5_000, 1.0) for i in range(3)])
+    _write_points(spark, src, [("s1", t0 + 600_000, 1.0), ("s1", t0 + 610_000, 1.0)])
+    _write_points(spark, src, [("s1", t0 + 3_600_000, 1.0)])
+
+    out: list = []
+    q = (
+        sessionized(stream_datapoints(spark, str(src)))
+        .writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    finalized = {int(r.start.timestamp() * 1000): r.n for r in out}
+    assert finalized.get(t0) == 3
+    assert finalized.get(t0 + 600_000) == 2
