@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_window_rollup": A.q_time_window_rollup,
         "q_session_window": A.q_session_window,
         "q_cube": A.q_cube,
+        "q_grouping_sets": A.q_grouping_sets,
         "q_pivot": A.q_pivot,
         "q_percentiles": A.q_percentiles,
         "q_range_join": A.q_range_join,
@@ -332,6 +333,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)                         AS n_orders,
+                   round(sum(o_totalprice), 2)      AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """,
         "q_pivot": """
             SELECT user_id,

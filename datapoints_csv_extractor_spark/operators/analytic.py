@@ -207,3 +207,28 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head8_sum"),
         F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE:
+    totals by status and, separately, by priority, in ONE pass (Expand
+    duplicates each row per set -> single shuffle; two separate
+    groupBys would scan and shuffle twice)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )

@@ -60,9 +60,10 @@ def test_tebis_ingest_is_shuffle_free(spark, tmp_path):
     p1 = write_tebis_csv(folder, file_ts=1550092560, n_series=3, n_rows=10, seed=1)
     p2 = write_tebis_csv(folder, file_ts=1550092620, n_series=5, n_rows=10, seed=2)
     plan = _plan(read_datapoints(spark, [p1, p2]))
-    # Header-dimension join broadcasts; the data path never shuffles.
+    # Header-dimension join broadcasts; the data path never shuffles
+    # (the only Exchange allowed is the broadcast one).
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert not re.findall(r"\(\d+\) Exchange\b(?!.*broadcast)", plan)
     assert "SortMergeJoin" not in plan
     # Unpivot runs as Generate (posexplode). (Codegen spans only show
     # in the post-execution AQE final plan, so not asserted here.)
@@ -87,3 +88,40 @@ def test_token_stats_single_projection_no_shuffle(spark):
     # Tokenizer array is materialized once (aliased), then reused —
     # the expensive split must appear exactly once in the plan.
     assert plan.count("array_remove(split(") == 1
+
+
+def test_knn_is_single_pass_take_ordered(spark):
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        q_knn_brute_force,
+    )
+
+    plan = _plan(q_knn_brute_force(spark, SF))
+    # Exact top-k: one scan + TakeOrdered; no shuffle, no global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(plan) == 0
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count Exchange operator NODES in a formatted plan (formatted
+    mode prints '(n) Exchange' in the detail section; the string
+    'Exchange hashpartitioning' only exists in simple mode)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_time_window_rollup_single_shuffle(spark):
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_time_window_rollup,
+    )
+
+    plan = _plan(q_time_window_rollup(spark, SF))
+    # Partial agg map-side, ONE exchange on the grouping key, final agg.
+    assert _n_exchanges(plan) == 1
+    assert "HashAggregate" in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    from datapoints_csv_extractor_spark.operators.analytic import q_grouping_sets
+
+    plan = _plan(q_grouping_sets(spark, SF))
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert _n_exchanges(plan) == 1
