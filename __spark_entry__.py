@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Deduplication (north-star)
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_dedup_clusters": D.q_dedup_clusters,
         "q_minhash_signatures": D.q_minhash_signatures,
         "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
         "q_simhash": D.q_simhash,
@@ -475,6 +476,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt c1 ON doc_id_1 = c1.doc_id
             JOIN cnt c2 ON doc_id_2 = c2.doc_id
             WHERE shared * 1.0 / (c1.n_sh + c2.n_sh - shared) >= 0.3
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), shared_counts AS (
+                SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), near_pairs AS (
+                SELECT doc_id_1, doc_id_2
+                FROM shared_counts
+                JOIN cnt c1 ON doc_id_1 = c1.doc_id
+                JOIN cnt c2 ON doc_id_2 = c2.doc_id
+                WHERE shared * 1.0 / (c1.n_sh + c2.n_sh - shared) >= 0.3
+            ), edges AS (
+                SELECT doc_id_1 AS src, doc_id_2 AS dst FROM near_pairs
+                UNION
+                SELECT doc_id_2, doc_id_1 FROM near_pairs
+            ), reach(doc_id, peer) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT reach.doc_id, e.dst
+                FROM reach JOIN edges e ON reach.peer = e.src
+            )
+            SELECT doc_id, min(peer) AS canonical_doc_id
+            FROM reach
+            GROUP BY doc_id
         """,
         # q_minhash_signatures / q_minhash_lsh_candidates / q_simhash:
         # intentionally no oracle (xxhash64 not reproducible in DuckDB)

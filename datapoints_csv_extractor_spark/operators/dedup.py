@@ -303,3 +303,80 @@ def q_simhash_near_dup(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, canonical).
+
+    The finisher of every near-dup pipeline: candidate pairs from any
+    blocking scheme (shingle join, MinHash bands, SimHash bands,
+    embedding buckets) form a graph; each component keeps one
+    canonical doc (its min doc_id).
+
+    Iterative min-label propagation: every node adopts the smallest
+    label among itself and its neighbors until fixpoint. Each round is
+    one join + one groupBy (both shuffle on doc_id/label keys);
+    rounds needed = graph diameter, which for dedup graphs is tiny
+    (near-dup clusters are dense cliques from banding, diameter 1-2).
+    The driver-side loop is control flow only — data never leaves
+    executors; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1.
+
+    Input: columns (doc_id_1, doc_id_2). Output: one row per doc that
+    appears in ANY pair: (doc_id, canonical_doc_id).
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_id_1").cast("long").alias("src"),
+            F.col("doc_id_2").cast("long").alias("dst"),
+        )
+        .union(
+            pairs.select(
+                F.col("doc_id_2").cast("long").alias("src"),
+                F.col("doc_id_1").cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: components over the exact-Jaccard >= 0.3 pair
+    graph (oracle-able: DuckDB walks the same pairs with a recursive
+    CTE)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return dedup_clusters(pairs)

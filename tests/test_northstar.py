@@ -173,3 +173,14 @@ def test_ann_ivf_recall_on_planted_neighbors(spark):
     got = [r.vec_id for r in approx_df.collect()]
     recall = len(planted & set(got)) / 10
     assert recall >= 0.8, f"planted near-dups missed: {sorted(set(got))}"
+
+
+def test_dedup_clusters_label_propagation(spark):
+    """Connected components on a hand-built graph: a 4-chain (needs
+    multiple propagation rounds), a triangle, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    got = {r.doc_id: r.canonical_doc_id for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
