@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": R.q7_volume_shipping,
         "q10_returned_items": R.q10_returned_items,
         "q_scalar_subquery": R.q_scalar_subquery,
+        "q_outer_join": R.q_outer_join,
         "q_asof_join": R.q_asof_join,
         "q_window_rank": R.q_window_rank,
         "q_window_lag": R.q_window_lag,
@@ -175,6 +176,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q_outer_join": """
+            SELECT c_custkey, c_mktsegment,
+                   count(o_orderkey)                          AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer
+            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_mktsegment
         """,
         "q_scalar_subquery": """
             WITH per_cust AS (

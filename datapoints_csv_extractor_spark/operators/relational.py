@@ -500,3 +500,20 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 2 * F.col("avg_orders"))
         .select("o_custkey", "n_orders")
     )
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-aware aggregation: order count and value
+    per customer INCLUDING never-ordered customers (count(order_key)
+    skips nulls, so empty customers report 0). The unmatched-side
+    preservation is the semantic q_anti_join only tests negatively."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
