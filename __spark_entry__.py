@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": R.q_scalar_subquery,
         "q_outer_join": R.q_outer_join,
         "q_asof_join": R.q_asof_join,
+        "q_asof_join_tolerance": R.q_asof_join_tolerance,
+        "q_fuzzy_match": R.q_fuzzy_match,
         "q_window_rank": R.q_window_rank,
         "q_window_lag": R.q_window_lag,
         "q_window_running_sum": R.q_window_running_sum,
@@ -65,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_topk": V.ann_ivf_topk,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
+        "q_bpe_token_count": X.q_bpe_token_count,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
@@ -214,6 +217,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_asof_join_tolerance": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.ts    AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            WHERE epoch(c.ts) - epoch(p.ts) <= 24 * 3600
+        """,
+        "q_fuzzy_match": """
+            SELECT a.p_brand   AS brand,
+                   a.p_partkey AS partkey_1,
+                   b.p_partkey AS partkey_2,
+                   levenshtein(a.p_name, b.p_name) AS edit_distance
+            FROM part a
+            JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "q_window_rank": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
@@ -390,6 +411,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             JOIN weeks ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
             GROUP BY week_start
+        """,
+        "q_bpe_token_count": """
+            WITH p AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS pieces
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(pieces) AS n_bpe_tokens,
+                   len(list_filter(pieces, x -> regexp_full_match(x, '[A-Za-z]+')))  AS n_word_tokens,
+                   len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+')))     AS n_digit_tokens,
+                   round(coalesce(list_sum(list_transform(pieces, x -> CAST(length(x) AS DOUBLE))), 0)
+                         / greatest(len(pieces), 1), 4) AS avg_piece_len
+            FROM p
         """,
         "q_token_stats": """
             WITH t AS (

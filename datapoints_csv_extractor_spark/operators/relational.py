@@ -517,3 +517,44 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
         )
     )
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a tolerance: clicks matched to the most recent
+    purchase AT MOST 24 h older. Same single-shuffle union+window plan
+    as q_asof_join; the tolerance is one post-window predicate (stale
+    carried-forward purchases fall out), exactly how pandas
+    merge_asof(tolerance=...) semantics map onto Spark."""
+    base = q_asof_join(spark, sf_dir)
+    return base.where(
+        F.col("ts").cast("long") - F.col("purchase_ts").cast("long") <= 24 * 3600
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFrame:
+    """Fuzzy string matching: part-name pairs within a small edit
+    distance, blocked by brand.
+
+    The blocking key caps the quadratic pair space (same role as the
+    LSH bands in dedup: pairs only form inside a block); levenshtein
+    runs JVM-side on the surviving candidates. The entity-resolution
+    primitive for catalog/series-name reconciliation.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey_1"),
+        F.col("p_name").alias("name_1"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("partkey_2"),
+        F.col("p_name").alias("name_2"),
+    )
+    dist = F.levenshtein("name_1", "name_2")
+    return (
+        a.join(b, "brand")
+        .where(F.col("partkey_1") < F.col("partkey_2"))
+        .where(dist <= max_edit)
+        .select("brand", "partkey_1", "partkey_2", dist.alias("edit_distance"))
+    )

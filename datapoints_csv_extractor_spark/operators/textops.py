@@ -125,3 +125,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         (F.floor(F.length(F.col("text")) / 100) * 100).cast("long").alias("len_bucket"),
     )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: split into letter runs / digit runs /
+    punctuation runs (the pre-tokenization pass every BPE tokenizer
+    applies before merges), via one vectorized regexp_extract_all —
+    the cheap token-budget estimator a training pipeline runs over
+    every document. Pattern is RE2-safe (no lookahead) so the DuckDB
+    oracle evaluates the identical automaton."""
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0
+    )
+    n = F.size(pieces)
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))).alias("n_digit_tokens"),
+        F.round(
+            F.aggregate(pieces, F.lit(0.0), lambda acc, p: acc + F.length(p))
+            / F.greatest(n, F.lit(1)),
+            4,
+        ).alias("avg_piece_len"),
+    )
