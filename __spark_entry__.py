@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
+        "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         # Deduplication (north-star)
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,

@@ -150,3 +150,48 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_piece_len"),
     )
+
+
+def winnowing_fingerprints(
+    d: DataFrame, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash document signature):
+    hash every k-gram of tokens, slide a window of ``window``
+    consecutive hashes, keep each window's minimum — the classic
+    plagiarism/near-dup signature whose guarantee is that any match
+    of length >= window+k-1 tokens is always detected.
+
+    Input needs (doc_id, text). All array ops are JVM HOFs over a
+    token array materialized ONCE (the HOF-CSE rule); one explode at
+    the end produces the long (doc_id, fingerprint) table that joins
+    against itself for match detection — same blocked-equijoin shape
+    as the shingle dedup. Selection density is ~2/(window+1) of all
+    k-grams, so the fingerprint table is a fraction of the full
+    shingle table at 100 TB.
+    """
+    toks = tokens(F.col("text"))
+    d2 = d.withColumn("toks", toks).where(F.size("toks") >= k + window - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j) for j in range(k)])
+        ),
+    )
+    d3 = d2.withColumn("ghash", grams)
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ghash")) - (window - 1)),
+            lambda i: F.array_min(F.slice(F.col("ghash"), i, window)),
+        )
+    )
+    return d3.select("doc_id", F.explode(mins).alias("fingerprint"))
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only: xxhash64 has no DuckDB twin):
+    per-doc winnowing fingerprint count + xor-fold summary."""
+    fp = winnowing_fingerprints(load(spark, sf_dir, "documents"))
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum("fingerprint").alias("fingerprint_sum"),
+    )

@@ -184,3 +184,43 @@ def test_dedup_clusters_label_propagation(spark):
     )
     got = {r.doc_id: r.canonical_doc_id for r in D.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's defining property: every window of `window`
+    consecutive k-gram hashes contributes at least one selected
+    fingerprint — verified by recomputing hashes driver-side for a
+    few docs and checking each window intersects the selected set."""
+    from datapoints_csv_extractor_spark.operators import textops as X
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    k, w = 5, 4
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").limit(5).collect()}
+    fp = (
+        X.winnowing_fingerprints(
+            load(spark, SF, "documents").where(F.col("doc_id").isin(*docs)), k=k, window=w
+        )
+        .collect()
+    )
+    selected: dict[int, set] = {}
+    for r in fp:
+        selected.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    # Recompute k-gram hashes with Spark itself (same xxhash64) to
+    # compare window-by-window.
+    from pyspark.sql import functions as FF
+
+    for doc_id, text in docs.items():
+        toks = [t for t in text.strip().split() if t]
+        if len(toks) < k + w - 1:
+            assert doc_id not in selected
+            continue
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hdf = spark.createDataFrame([(g,) for g in grams], "g string").select(
+            FF.xxhash64("g").alias("h")
+        )
+        hashes = [r.h for r in hdf.collect()]
+        for i in range(len(hashes) - w + 1):
+            assert set(hashes[i : i + w]) & selected[doc_id], (
+                f"doc {doc_id}: window {i} has no selected fingerprint"
+            )
