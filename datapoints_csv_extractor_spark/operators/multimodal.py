@@ -151,3 +151,53 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def resize_blobs(
+    blobs: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Arrow-batched resize over mapInPandas.
+
+    DETERMINISTIC FAKE resample (no PIL/ffmpeg in this container): the
+    "thumbnail" is a strided byte subsample of the payload sized
+    target_w*target_h/8 — byte-for-byte reproducible, so tests pin
+    output size and determinism. A production build replaces the inner
+    function with the real resampler; the dataflow (binary in, binary
+    out, per-batch vectorized, schema typed) is unchanged. Output
+    payloads shrink ~payload/thumb ratio, which is the point at
+    100 TB: resize early, ship thumbnails through the rest of the
+    pipeline, keep originals cold.
+    """
+    n_bytes = max(1, (target_w * target_h) // 8)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def thumb(p) -> bytes:
+                raw = bytes(p)
+                if not raw:
+                    return b"\x00" * n_bytes
+                step = max(1, len(raw) // n_bytes)
+                return (raw[::step] + b"\x00" * n_bytes)[:n_bytes]
+
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "mime": pdf["mime"],
+                    "width": target_w,
+                    "height": target_h,
+                    "thumbnail": pdf["payload"].map(thumb),
+                }
+            )
+
+    return blobs.mapInPandas(resize, RESIZED_SCHEMA)

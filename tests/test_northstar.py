@@ -224,3 +224,15 @@ def test_winnowing_guarantee(spark):
             assert set(hashes[i : i + w]) & selected[doc_id], (
                 f"doc {doc_id}: window {i} has no selected fingerprint"
             )
+
+
+def test_resize_blobs_deterministic_and_sized(spark):
+    blobs = M.blobs_from_documents(spark, SF)
+    resized = M.resize_blobs(blobs, target_w=32, target_h=32)
+    rows = resized.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert (r.width, r.height) == (32, 32)
+        assert len(r.thumbnail) == (32 * 32) // 8
+    again = {r.blob_id: bytes(r.thumbnail) for r in resized.limit(10).collect()}
+    assert {r.blob_id: bytes(r.thumbnail) for r in rows} == again

@@ -125,3 +125,31 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
     plan = _plan(q_grouping_sets(spark, SF))
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
     assert _n_exchanges(plan) == 1
+
+
+def test_datapoints_sink_partition_pruning(spark, tmp_path):
+    """The date-partitioned sink must prune directories for time-range
+    scans (PartitionFilters on dt, not a full-table scan) — the 100 TB
+    payoff of the layout chosen in sinks/datapoints.py."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.sinks.datapoints import write_datapoints
+
+    day_ms = 86_400_000
+    rows = [
+        ("s1", "n", 1_550_092_560_000 + d * day_ms, 1.0, "f", 0)
+        for d in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    write_datapoints(df, str(tmp_path / "dp"))
+
+    scan = spark.read.parquet(str(tmp_path / "dp")).where(
+        F.col("dt") == "2019-02-14"
+    )
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "dt" in plan
+    assert scan.count() == 1
