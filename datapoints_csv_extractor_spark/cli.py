@@ -42,6 +42,11 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     parser.add_argument("--output", "-o", required=True, help="Datapoints table path (parquet)")
     parser.add_argument("--catalog", "-c", required=False, help="Series catalog path (default <output>_catalog)")
     parser.add_argument("--checkpoint", required=False, help="Streaming checkpoint dir (live mode; default <output>_checkpoint)")
+    parser.add_argument(
+        "--drain", action="store_true",
+        help="Live mode catch-up: process everything currently in the folder, then exit "
+             "(Trigger.AvailableNow) instead of polling forever",
+    )
     parser.add_argument("--keep-finished", action="store_true", help="Move processed files to finished/ instead of deleting")
     parser.add_argument("--move-failed", action="store_true", help="Accepted for compatibility; failed files always quarantine")
     parser.add_argument("--from-time", type=int, help="Only files with filename ts strictly after this epoch-second")
@@ -65,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             catalog_path=catalog,
             checkpoint_dir=args.checkpoint or f"{args.output}_checkpoint",
             delete_on_success=not args.keep_finished,
+            available_now=args.drain,
         )
         query.awaitTermination()
         return 0

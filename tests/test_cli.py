@@ -31,3 +31,28 @@ def test_cli_historical_run(spark, tmp_path, capsys):
     # keep-finished: processed inputs archived, pruned input untouched.
     assert len(list((folder / "finished").glob("*.csv"))) == 2
     assert len(list(folder.glob("*.csv"))) == 1
+
+
+def test_cli_live_drain(spark, tmp_path):
+    """--live --drain: Structured Streaming catch-up that drains the
+    folder then exits (the testable live path; continuous mode is the
+    same query with a processing-time trigger)."""
+    folder = tmp_path / "incoming"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=2, n_rows=10, seed=21)
+    write_tebis_csv(folder, file_ts=1550092620, n_series=2, n_rows=10, seed=22)
+
+    out = tmp_path / "dp"
+    rc = main(
+        [
+            "--live", "--drain",
+            "-i", str(folder),
+            "-o", str(out),
+            "--keep-finished",
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out)).count() > 0
+    assert list(folder.glob("*.csv")) == []
+    assert len(list((folder / "finished").glob("*.csv"))) == 2
