@@ -38,9 +38,19 @@ from datapoints_csv_extractor_spark.sources.tebis_csv import DATAPOINTS_SCHEMA
 
 def stream_datapoints(spark: SparkSession, path: str) -> DataFrame:
     """File-stream over a long-format datapoints directory (parquet),
-    with a real event-time column derived from ts_ms."""
+    with a real event-time column derived from ts_ms.
+
+    ``recursiveFileLookup`` is REQUIRED for the engine's own sink
+    layout: the datapoints table is date-partitioned (``dt=...``
+    subdirectories), and the file stream source does not descend into
+    them by default — without the option it silently reads ZERO rows
+    (pinned by the partitioned-sink streaming test).
+    ``pathGlobFilter`` skips _SUCCESS/_committed markers.
+    """
     return (
         spark.readStream.schema(DATAPOINTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
         .parquet(path)
         .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
     )

@@ -194,3 +194,23 @@ def test_session_window_streaming(spark, tmp_path):
     finalized = {int(r.start.timestamp() * 1000): r.n for r in out}
     assert finalized.get(t0) == 3
     assert finalized.get(t0 + 600_000) == 2
+
+
+def test_stream_reads_date_partitioned_sink(spark, tmp_path):
+    """Integration: the live sink writes dt= partitions; the stream
+    source must see rows inside them (regression: without
+    recursiveFileLookup the file source silently read zero rows)."""
+    from datapoints_csv_extractor_spark.sinks.datapoints import write_datapoints
+
+    df = spark.createDataFrame(
+        [("s1", "n", 1_550_092_560_000 + i * 1000, float(i), "f", 0) for i in range(10)],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    write_datapoints(df, str(tmp_path / "dp"))
+    rows = _drain(
+        spark,
+        series_state_tracker(stream_datapoints(spark, str(tmp_path / "dp"))),
+        "part_trk", tmp_path / "ckpt", "update",
+    )
+    assert rows and rows[0].n_points == 10
