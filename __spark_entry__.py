@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": A.q_percentiles,
         "q_range_join": A.q_range_join,
         "q_window_range_frame": A.q_window_range_frame,
+        "q_histogram": A.q_histogram,
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
@@ -365,6 +366,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_histogram": """
+            -- DuckDB has no width_bucket; same semantics arithmetically:
+            -- bucket i covers [min + (i-1)*w, min + i*w), 0/n+1 overflow.
+            SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                        WHEN o_totalprice >= 600000.0 THEN 13
+                        ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+                   END                          AS bucket,
+                   count(*)                     AS n_orders,
+                   round(min(o_totalprice), 2)  AS bucket_min,
+                   round(max(o_totalprice), 2)  AS bucket_max
+            FROM orders
+            GROUP BY 1
         """,
         "q_grouping_sets": """
             SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,

@@ -232,3 +232,21 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals via width_bucket: the
+    single-pass distribution profile (one groupBy on the bucket id —
+    contrast percentiles, which need per-group value sets). Bounds are
+    literals so both engines bucket identically; the +2 buckets catch
+    underflow/overflow."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
