@@ -214,3 +214,32 @@ def test_stream_reads_date_partitioned_sink(spark, tmp_path):
         "part_trk", tmp_path / "ckpt", "update",
     )
     assert rows and rows[0].n_points == 10
+
+
+def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
+    """A datapoint re-delivered in a later micro-batch (at-least-once
+    replay) must be emitted exactly once downstream."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_dedup_exact,
+    )
+
+    src = tmp_path / "dp"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    t0 = 1_550_092_560_000
+
+    _write_points(spark, src, [("s1", t0, 1.0), ("s1", t0 + 1000, 2.0)])
+    out1 = _drain(
+        spark, stream_dedup_exact(stream_datapoints(spark, str(src))),
+        "dd1", ckpt, "append",
+    )
+    # Replay of (s1, t0, 1.0) plus one genuinely new point.
+    _write_points(spark, src, [("s1", t0, 1.0), ("s2", t0 + 2000, 3.0)])
+    out2 = _drain(
+        spark, stream_dedup_exact(stream_datapoints(spark, str(src))),
+        "dd2", ckpt, "append",
+    )
+    emitted = [(r.external_id, r.ts_ms, r.value) for r in out1 + out2]
+    assert sorted(emitted) == [
+        ("s1", t0, 1.0), ("s1", t0 + 1000, 2.0), ("s2", t0 + 2000, 3.0)
+    ]
