@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": A.q_range_join,
         "q_window_range_frame": A.q_window_range_frame,
         "q_histogram": A.q_histogram,
+        "q_string_agg": A.q_string_agg,
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
@@ -366,6 +367,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_string_agg": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+                   count(DISTINCT o_orderstatus)                                 AS n_statuses
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "q_histogram": """
             -- DuckDB has no width_bucket; same semantics arithmetically:

@@ -250,3 +250,18 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct order statuses per
+    priority as one sorted CSV cell. collect_set -> array_sort ->
+    array_join is the DETERMINISTIC form (bare listagg/string_agg
+    concatenates in arrival order, which differs per partitioning —
+    a cross-engine hash would never match)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
