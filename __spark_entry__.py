@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": A.q_window_range_frame,
         "q_histogram": A.q_histogram,
         "q_string_agg": A.q_string_agg,
+        "q_gap_fill": A.q_gap_fill,
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
@@ -367,6 +368,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_gap_fill": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(TIMESTAMP '2024-01-02',
+                                              TIMESTAMP '2024-01-30',
+                                              INTERVAL 1 DAY)) AS grid_ts
+                FROM users
+            )
+            SELECT g.user_id, g.grid_ts, round(e.value, 2) AS filled_value
+            FROM grid g
+            ASOF LEFT JOIN events e
+              ON g.user_id = e.user_id AND g.grid_ts >= e.ts
         """,
         "q_string_agg": """
             SELECT o_orderpriority,

@@ -14,7 +14,7 @@ sides broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -264,4 +264,51 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses"
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + forward-fill (gap filling): each user's value series
+    sampled onto a regular daily grid, carrying the last observation
+    forward — THE canonical datapoints read pattern (irregular sensor
+    cadence -> regular analytical grid).
+
+    Same single-shuffle union+window plan as the as-of join: grid
+    points and events union into one stream per user, one sort, and
+    ``last(ignorenulls)`` carries values onto grid rows. Grid points
+    with no prior observation stay NULL (left-asof semantics). At
+    100 TB this beats a grid-to-events range join by never building
+    the quadratic candidate space.
+    """
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    grid_ts = F.explode(
+        F.sequence(
+            F.to_timestamp(F.lit("2024-01-02")),
+            F.to_timestamp(F.lit("2024-01-30")),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("ts")
+    grid = users.select("user_id", grid_ts).select(
+        "user_id", "ts",
+        F.lit(None).cast("double").alias("obs_value"), F.lit(1).alias("is_grid"),
+    )
+    obs = e.select(
+        "user_id", "ts", F.col("value").alias("obs_value"), F.lit(0).alias("is_grid")
+    )
+    # Events sort before a grid point at the same instant (is_grid
+    # ascending), so "at-or-before" includes them — ASOF >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.unionByName(obs)
+        .select(
+            "user_id", "ts", "is_grid",
+            F.round(F.last("obs_value", ignorenulls=True).over(w), 2).alias("filled_value"),
+        )
+        .where(F.col("is_grid") == 1)
+        .select("user_id", F.col("ts").alias("grid_ts"), "filled_value")
     )
