@@ -103,6 +103,17 @@ def read_datapoints(
     value, source_file, file_ts).
     """
     norm = [Path(p) for p in paths]
+    # The header dimension keys on basename (input_file_name gives a
+    # URI; joining on the full path would be brittle across schemes).
+    # Two files sharing a basename would cross-join their headers —
+    # refuse loudly instead of corrupting silently. The reference
+    # processes one folder, where basenames are unique by construction.
+    names = [p.name for p in norm]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate file basenames not supported in one ingest: {dupes}"
+        )
     peeked = [(p, h) for p, h in peek_headers(norm, encoding, sep) if len(h) >= 2]
     if not peeked:
         return spark.createDataFrame([], DATAPOINTS_SCHEMA)

@@ -1,0 +1,55 @@
+"""Driver-contract meta-tests: __spark_entry__ stays self-consistent.
+
+The DuckDB gate only checks queries it can see; these pin the contract
+SHAPE so a future round can't silently drop an oracle or register a
+broken callable.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as E
+
+# Operators whose Spark implementation has no DuckDB-expressible twin
+# (xxhash64-based hashing, Arrow-batched Python decode). Anything else
+# registered without an oracle is a contract regression.
+ROWS_ONLY_ALLOWED = {
+    "q_minhash_signatures",
+    "q_minhash_lsh_candidates",
+    "q_simhash",
+    "q_simhash_near_dup",
+    "q_winnowing_fingerprints",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_multimodal_decode",
+}
+
+
+def test_every_query_is_oracle_checked_or_whitelisted():
+    qs = set(E.queries())
+    oracles = set(E.oracle_sql())
+    missing = qs - oracles - ROWS_ONLY_ALLOWED
+    assert not missing, f"queries without oracle nor whitelist: {sorted(missing)}"
+
+
+def test_no_orphan_oracles():
+    orphans = set(E.oracle_sql()) - set(E.queries())
+    assert not orphans, f"oracle_sql entries with no query: {sorted(orphans)}"
+
+
+def test_query_callables_have_driver_signature():
+    for name, fn in E.queries().items():
+        params = list(inspect.signature(fn).parameters.values())
+        assert len(params) >= 2, f"{name} must accept (spark, sf_dir)"
+        # Any extra params must be defaulted (driver passes exactly two).
+        for p in params[2:]:
+            assert p.default is not inspect.Parameter.empty, (
+                f"{name}: extra parameter {p.name} needs a default"
+            )
+
+
+def test_oracle_sql_mentions_no_spark_only_functions():
+    for name, sql in E.oracle_sql().items():
+        assert "xxhash64" not in sql.lower(), name
+        assert "F." not in sql, name

@@ -201,3 +201,39 @@ def test_ingest_plan_has_no_shuffle(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_basenames_rejected(spark, tmp_path):
+    from fixtures import write_tebis_csv
+    import pytest as _pytest
+    from datapoints_csv_extractor_spark.sources.tebis_csv import read_datapoints
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    p1 = write_tebis_csv(d1, file_ts=1550092560, n_series=2, n_rows=5, seed=1)
+    p2 = write_tebis_csv(d2, file_ts=1550092560, n_series=2, n_rows=5, seed=2)
+    with _pytest.raises(ValueError, match="duplicate file basenames"):
+        read_datapoints(spark, [p1, p2])
+
+
+def test_very_wide_file(spark, tmp_path):
+    """150-series file: PERMISSIVE padding + posexplode stay correct
+    at widths far beyond the fixtures."""
+    from fixtures import write_tebis_csv
+    from datapoints_csv_extractor_spark.sources.tebis_csv import read_datapoints
+
+    wide = write_tebis_csv(
+        tmp_path, file_ts=1550092560, n_series=150, n_rows=20, seed=77
+    )
+    narrow = write_tebis_csv(
+        tmp_path, prefix="TEBIS_N", file_ts=1550092620, n_series=2, n_rows=20, seed=999
+    )
+    dp = read_datapoints(spark, [wide, narrow])
+    by_file = {
+        r.file_ts: r.n
+        for r in dp.groupBy("file_ts").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_file[1550092560] == 150 * 20
+    assert by_file[1550092620] == 2 * 20
+    assert dp.select("external_id").distinct().count() == 152
