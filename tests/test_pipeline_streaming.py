@@ -180,3 +180,18 @@ def test_post_datapoints_chunking(spark, tmp_path):
     assert seen == {r.external_id for r in dp.select("external_id").distinct().collect()}
     # No series split across requests when clustered.
     assert sum(len(r) for r in requests) == len(seen)
+
+
+def test_run_historical_failure_quarantines_inputs(spark, tmp_path):
+    """ST7: when the batch fails (sink path is unwritable), inputs move
+    to failed/ and the error propagates."""
+    folder = _make_folder(tmp_path, n_files=2)
+    sink = tmp_path / "sink_blocker"
+    sink.write_text("not a directory")  # parquet write will fail
+
+    with pytest.raises(Exception):
+        run_historical(spark, folder, sink, tmp_path / "catalog")
+
+    assert list(folder.glob("*.csv")) == []
+    assert len(list((folder / "failed").glob("*.csv"))) == 2
+    assert list((folder / "finished").glob("*.csv")) == []
