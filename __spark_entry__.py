@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": A.q_histogram,
         "q_string_agg": A.q_string_agg,
         "q_gap_fill": A.q_gap_fill,
+        "q_stats_corr": A.q_stats_corr,
         # Approximate nearest neighbor (rows-only: xxhash64 LSH buckets
         # have no DuckDB twin)
         "q_ann_lsh_topk": V.ann_lsh_topk,
@@ -368,6 +369,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_stats_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+                   round(stddev_samp(l_extendedprice), 2)            AS price_stddev
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "q_gap_fill": """
             WITH users AS (SELECT DISTINCT user_id FROM events),

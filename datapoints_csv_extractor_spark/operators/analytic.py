@@ -312,3 +312,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_grid") == 1)
         .select("user_id", F.col("ts").alias("grid_ts"), "filled_value")
     )
+
+
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, sample covariance
+    and stddev of quantity vs extended price per return flag — one
+    pass, map-side partials (all three are algebraic aggregates with
+    constant-size state, the 100 TB-friendly kind)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
