@@ -104,3 +104,47 @@ def run_live(
     return start_live_ingest(
         spark, input_dir, sink_dir, catalog_path, checkpoint_dir, **kwargs
     )
+
+
+def run_rollup(
+    spark: SparkSession,
+    datapoints_dir: str | Path,
+    rollup_dir: str | Path,
+    checkpoint_dir: str | Path,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+    trigger: str | None = None,
+):
+    """Continuous aggregation: maintain a rollup table from the raw
+    datapoints sink (the hypertable continuous-aggregate pattern).
+
+    Chains off streaming/live.py's output: the raw table is the
+    hand-off point, so ingest and rollup scale, fail, and checkpoint
+    independently (one writer, N derived tables). Append mode means
+    each window lands in the rollup table exactly once, when the
+    watermark closes it — downstream dashboards read plain parquet
+    with no dedup logic. Returns the StreamingQuery.
+    """
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_datapoints,
+        windowed_rollup,
+    )
+
+    rolled = windowed_rollup(
+        stream_datapoints(spark, str(datapoints_dir)),
+        window=window,
+        watermark=watermark,
+    )
+    writer = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(rollup_dir))
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("datapoints_rollup")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()

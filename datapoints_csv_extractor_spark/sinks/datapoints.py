@@ -52,6 +52,8 @@ def write_datapoints(
     mode: str = "append",
     fmt: str = "parquet",
     partition_by_date: bool = True,
+    cluster_by_series: bool = False,
+    n_buckets: int = 32,
 ) -> None:
     """Engine-native datapoints sink (S7 re-expressed as a table).
 
@@ -59,8 +61,24 @@ def write_datapoints(
     layout by it, so time-range queries prune at the directory level
     (Catalyst partition pruning — the scale analog of the reference's
     filename-timestamp pruning, csv_extractor.py:242-254).
+
+    ``cluster_by_series=True`` additionally hash-partitions on
+    external_id and sorts rows (external_id, ts_ms) WITHIN each task
+    before writing: each series lands contiguously in few files and
+    every parquet row group carries tight external_id min/max stats,
+    so point-series reads prune row groups off the pushed filter —
+    the poor man's clustering key, worth it on any table queried by
+    series. Costs one shuffle at write time.
     """
     out = df.withColumn("dt", F.to_date(F.timestamp_millis(F.col("ts_ms"))))
+    if cluster_by_series:
+        # Lead the sort with the partition column: the dynamic-partition
+        # writer requires ordering by partition cols and would otherwise
+        # re-sort (unstably) by dt alone, destroying the clustering.
+        # With dt first, the required ordering is already satisfied and
+        # the writer preserves our (external_id, ts_ms) order.
+        sort_cols = (["dt"] if partition_by_date else []) + ["external_id", "ts_ms"]
+        out = out.repartition(n_buckets, "external_id").sortWithinPartitions(*sort_cols)
     writer = out.write.format(fmt).mode(mode)
     if partition_by_date:
         writer = writer.partitionBy("dt")

@@ -14,6 +14,7 @@ import pytest
 from datapoints_csv_extractor_spark.plans.pipeline import (
     ingest_metrics,
     run_historical,
+    run_rollup,
 )
 from datapoints_csv_extractor_spark.sinks.catalog_store import load_catalog
 from datapoints_csv_extractor_spark.sinks.datapoints import post_datapoints
@@ -195,3 +196,58 @@ def test_run_historical_failure_quarantines_inputs(spark, tmp_path):
     assert list(folder.glob("*.csv")) == []
     assert len(list((folder / "failed").glob("*.csv"))) == 2
     assert list((folder / "finished").glob("*.csv")) == []
+
+
+def test_run_rollup_continuous_aggregate(spark, tmp_path):
+    """Lakehouse chain: CSVs -> live ingest (raw table) -> run_rollup
+    (derived rollup table) with independent checkpoints. Windows only
+    land in the rollup once the watermark closes them, so drive two
+    ingest rounds with advancing timestamps."""
+    folder = tmp_path / "incoming"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=2, n_rows=30, seed=61)
+    raw, roll = tmp_path / "raw", tmp_path / "rollup"
+    q = start_live_ingest(spark, folder, raw, tmp_path / "cat", tmp_path / "ck1",
+                          available_now=True)
+    q.awaitTermination(120)
+
+    q2 = run_rollup(spark, raw, roll, tmp_path / "ck2")
+    q2.awaitTermination(120)
+
+    # A much later file advances the watermark past the first windows.
+    write_tebis_csv(folder, file_ts=1550099999, n_series=2, n_rows=5, seed=62,
+                    start_ts=1550099990)
+    q3 = start_live_ingest(spark, folder, raw, tmp_path / "cat", tmp_path / "ck1",
+                           available_now=True)
+    q3.awaitTermination(120)
+    q4 = run_rollup(spark, raw, roll, tmp_path / "ck2")
+    q4.awaitTermination(120)
+
+    out = spark.read.parquet(str(roll))
+    assert out.count() > 0
+    raw_n = spark.read.parquet(str(raw)).count()
+    # Rollup of CLOSED windows covers the first file entirely once the
+    # second file's watermark passes; totals never exceed raw points.
+    rolled_points = out.agg({"n_points": "sum"}).first()[0]
+    assert 0 < rolled_points <= raw_n
+    assert {"window_start", "external_id", "n_points", "avg_value"} <= set(out.columns)
+
+
+def test_write_datapoints_clustered_by_series(spark, tmp_path):
+    """cluster_by_series: rows within each file are sorted by
+    (external_id, ts_ms) so parquet row-group stats are tight."""
+    import pyarrow.parquet as pq
+    from datapoints_csv_extractor_spark.sinks.datapoints import write_datapoints
+
+    df = spark.createDataFrame(
+        [(f"s{i % 7}", "n", 1_550_092_560_000 + i, float(i), "f", 0) for i in range(500)],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    write_datapoints(df, str(tmp_path / "dp"), cluster_by_series=True, n_buckets=2)
+    files = list((tmp_path / "dp").rglob("*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["external_id", "ts_ms"])
+        pairs = list(zip(t["external_id"].to_pylist(), t["ts_ms"].to_pylist()))
+        assert pairs == sorted(pairs), f"{f} not clustered"
