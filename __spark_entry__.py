@@ -35,7 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": R.q_semi_join,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         "q7_volume_shipping": R.q7_volume_shipping,
+        "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q10_returned_items": R.q10_returned_items,
         "q_scalar_subquery": R.q_scalar_subquery,
         "q_outer_join": R.q_outer_join,
@@ -150,6 +152,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.05
+              AND l_quantity < 24
+        """,
+        "q12_late_shipment_priority": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
         """,
         "q7_volume_shipping": """
             SELECT supp_nation, cust_nation, l_year,

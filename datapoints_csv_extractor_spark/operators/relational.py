@@ -558,3 +558,43 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFr
         .where(dist <= max_edit)
         .select("brand", "partkey_1", "partkey_2", dist.alias("edit_distance"))
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-side aggregate — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, then one global sum. The query whose whole cost IS the scan;
+    at 100 TB it reads only 4 columns of the pruned row groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional aggregation (CASE inside SUM) —
+    high/low-priority line counts per line status for LATE shipments
+    (shipped more than 90 days after the order date; the synthetic
+    lineitem has no receipt/commit/shipmode columns, so the late
+    predicate uses date arithmetic on the columns that exist). One
+    join on orderkey, one shuffle for the groupBy; the CASE runs in
+    the same codegen stage as the join output."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
