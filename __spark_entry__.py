@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_bpe_token_count": X.q_bpe_token_count,
+        "q_text_normalize": X.q_text_normalize,
+        "q_top_bigrams": X.q_top_bigrams,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
@@ -479,6 +481,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             JOIN weeks ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
             GROUP BY week_start
+        """,
+        "q_text_normalize": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^0-9a-z\\s]', ' ', 'g'),
+                                           '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(norm)        AS norm_len,
+                   md5(norm)           AS norm_hash,
+                   substring(norm, 1, 40) AS norm_prefix
+            FROM n
+        """,
+        "q_top_bigrams": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), bg AS (
+                SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+                FROM words
+                QUALIFY bigram IS NOT NULL
+            )
+            SELECT bigram, count(*) AS n_occurrences
+            FROM bg
+            GROUP BY bigram
+            ORDER BY n_occurrences DESC, bigram
+            LIMIT 20
         """,
         "q_bpe_token_count": """
             WITH p AS (

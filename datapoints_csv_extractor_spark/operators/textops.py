@@ -195,3 +195,48 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_fingerprints"),
         F.sum("fingerprint").alias("fingerprint_sum"),
     )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumeric
+    punctuation, squeeze whitespace — the pass that runs before every
+    fingerprint/dedup so near-identical texts collapse. Pure codegen
+    expressions; the md5 over the normalized form is the dedup key
+    q_fingerprint uses on raw text."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^0-9a-z\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_hash"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+    )
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams: explode per-doc bigram arrays,
+    count, TakeOrdered. The n-gram frequency profile a data pipeline
+    uses for boilerplate detection (over-represented bigrams = repeated
+    template text). Shuffle only carries (bigram, partial count) after
+    map-side combine; top-k avoids a global sort."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.where(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -153,3 +153,12 @@ def test_datapoints_sink_partition_pruning(spark, tmp_path):
     plan = _plan(scan)
     assert "PartitionFilters" in plan and "dt" in plan
     assert scan.count() == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of strategy must cost exactly ONE exchange
+    (per-user sort), not the two-shuffles-plus-join of the naive
+    formulation."""
+    plan = _plan(R.q_asof_join(spark, SF))
+    assert _n_exchanges(plan) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
