@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_text_normalize": X.q_text_normalize,
         "q_top_bigrams": X.q_top_bigrams,
+        "q_curation_pipeline": X.q_curation_pipeline,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
@@ -481,6 +482,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             JOIN weeks ON ts >= week_start AND ts < week_start + INTERVAL 7 DAY
             GROUP BY week_start
+        """,
+        "q_curation_pipeline": """
+            WITH flagged AS (
+                SELECT doc_id,
+                       (length(text) >= 20 AND
+                        round((length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')))
+                              * 1.0 / greatest(length(text), 1), 4) < 0.3) AS passes_quality,
+                       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+                FROM documents
+            )
+            SELECT doc_id, passes_quality, is_canonical,
+                   (passes_quality AND is_canonical) AS keep,
+                   CASE WHEN NOT passes_quality THEN 'low_quality'
+                        WHEN NOT is_canonical  THEN 'exact_duplicate'
+                        ELSE 'kept' END AS reason
+            FROM flagged
         """,
         "q_text_normalize": """
             WITH n AS (

@@ -240,3 +240,43 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(20)
     )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composite: the end-to-end keep/drop decision a
+    training-data pipeline makes per document —
+
+      keep = passes cheap quality filters
+             AND is the canonical copy of its exact-dup group
+             (min doc_id per md5(text), from the dedup operator)
+
+    with the drop reason materialized. Composes q_text_quality's
+    predicate with exact dedup in one plan: scan -> project (quality,
+    hash) -> one shuffle on the hash for the canonical window -> final
+    project. At 100 TB near-dup canonicals (MinHash clusters) slot in
+    as one more join against the same frame.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    text_len = F.length("text")
+    n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
+    passes_quality = (text_len >= 20) & (
+        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    flagged = d.select(
+        "doc_id",
+        passes_quality.alias("passes_quality"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+    )
+    return flagged.select(
+        "doc_id",
+        "passes_quality",
+        "is_canonical",
+        (F.col("passes_quality") & F.col("is_canonical")).alias("keep"),
+        F.when(~F.col("passes_quality"), "low_quality")
+        .when(~F.col("is_canonical"), "exact_duplicate")
+        .otherwise("kept")
+        .alias("reason"),
+    )
