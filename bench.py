@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "q_session_window",
     "q_pivot",
     "q_range_join",
+    "q_gap_fill",
+    "q_curation_pipeline",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_minhash_signatures",
