@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",
@@ -38,8 +41,11 @@ BENCH_QUERIES = [
     "q_curation_pipeline",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
     "q_minhash_signatures",
+    "q_winnowing_fingerprints",
     "q_knn_brute_force",
+    "q_ann_lsh_topk",
     "q_text_quality",
     "q_token_stats",
 ]

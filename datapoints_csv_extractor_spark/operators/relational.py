@@ -539,24 +539,42 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFr
     LSH bands in dedup: pairs only form inside a block); levenshtein
     runs JVM-side on the surviving candidates. The entity-resolution
     primitive for catalog/series-name reconciliation.
+
+    A length-band prefilter (|len(a)-len(b)| <= max_edit) sits in the
+    join condition ahead of the levenshtein: edit distance is bounded
+    below by the length difference, so the filter is exact, and it
+    prices each candidate pair at an integer compare instead of an
+    O(len^2) DP — the cheap second blocking dimension that keeps big
+    brand blocks from going quadratic in levenshtein cost at scale.
     """
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a = p.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("partkey_1"),
         F.col("p_name").alias("name_1"),
+        F.length("p_name").alias("len_1"),
     )
     b = p.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("partkey_2"),
         F.col("p_name").alias("name_2"),
+        F.length("p_name").alias("len_2"),
     )
     dist = F.levenshtein("name_1", "name_2")
     return (
-        a.join(b, "brand")
-        .where(F.col("partkey_1") < F.col("partkey_2"))
+        a.join(
+            b,
+            (a["brand"] == b["brand"])
+            & (F.col("partkey_1") < F.col("partkey_2"))
+            & (F.abs(F.col("len_1") - F.col("len_2")) <= max_edit),
+        )
         .where(dist <= max_edit)
-        .select("brand", "partkey_1", "partkey_2", dist.alias("edit_distance"))
+        .select(
+            a["brand"].alias("brand"),
+            "partkey_1",
+            "partkey_2",
+            dist.alias("edit_distance"),
+        )
     )
 
 

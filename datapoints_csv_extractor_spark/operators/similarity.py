@@ -106,30 +106,38 @@ def q_embedding_near_dup(
     )
 
 
-def lsh_bucket(emb: Column, n_bits: int = _HYPERPLANE_BITS) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign of dot(emb, H_j)
-    with deterministic pseudo-hyperplanes H_j[i] derived from
-    xxhash64(j, i) — reproducible across runs and engines with no
-    stored model."""
-    dim = F.size(emb)
-    def bit(j: int) -> Column:
-        comp = F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda i: (
-                F.pmod(F.xxhash64(F.lit(j), i), F.lit(2001)) - F.lit(1000)
-            ).cast("double")
-            / F.lit(1000.0),
-        )
+def _hyperplanes(dim: int, n_bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), expanded
+    driver-side from a fixed LCG seed (same determinism contract as
+    dedup's MinHash permutation table): reproducible across runs and
+    engines with no stored model, and — unlike deriving components
+    per row from xxhash64 — computed exactly once instead of
+    n_bits x dim hash calls per input row."""
+    state = 0x5DEECE66D ^ 0x9E3779B9
+    planes: list[list[float]] = []
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(emb: Column, dim: int, n_bits: int = _HYPERPLANE_BITS) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign of dot(emb, H_j).
+    Hyperplanes are broadcast as array literals (the IVF
+    centroid-literal pattern); per row the work is n_bits dot
+    products, all JVM-side."""
+    out = F.lit(0)
+    for j, row in enumerate(_hyperplanes(dim, n_bits)):
+        comp = F.array(*[F.lit(x) for x in row])
         d = F.aggregate(
             F.zip_with(emb, comp, lambda x, y: x.cast("double") * y),
             F.lit(0).cast("double"),
             lambda acc, x: acc + x,
         )
-        return F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-
-    out = F.lit(0)
-    for j in range(n_bits):
-        out = out + bit(j)
+        out = out + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("long")
 
 
@@ -157,7 +165,8 @@ def ann_lsh_topk_df(
     Input needs (vec_id, label, embedding). Recall on data with real
     near-neighbors is asserted in pytest (planted-duplicate test;
     isotropic random data has no structure for LSH to exploit)."""
-    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), n_bits))
+    dim = len(e.select("embedding").first()[0])
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), dim, n_bits))
     qrow = bucketed.where(F.col("vec_id") == query_vec_id).select("embedding", "bucket").first()
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     qbucket = qrow[1]

@@ -191,9 +191,14 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing (rows-only: xxhash64 has no DuckDB twin):
     per-doc winnowing fingerprint count + xor-fold summary."""
     fp = winnowing_fingerprints(load(spark, sf_dir, "documents"))
+    # bit_xor, not sum: summing raw xxhash64 longs overflows int64 and
+    # hard-errors under ANSI mode (the driver's Spark 4 session default;
+    # this engine must be correct under the caller's session, not just
+    # its own ansi=false default). XOR folds are overflow-free and just
+    # as stable a per-doc summary.
     return fp.groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"),
-        F.sum("fingerprint").alias("fingerprint_sum"),
+        F.bit_xor("fingerprint").alias("fingerprint_xor"),
     )
 
 

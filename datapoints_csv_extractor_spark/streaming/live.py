@@ -24,11 +24,16 @@ Spark-first re-expression:
   stream state — SURVEY.md §2.8), then archives the inputs (S9).
   Re-reading ≤20 small files costs one extra scan but keeps ONE parser
   implementation — no batch/streaming semantic drift.
-- The 1 s mtime settle guard (ST3) has no native file-source
-  equivalent; the documented approximation is that the source only
-  picks up files on a later listing pass, and writers should
-  write-then-rename (the universal atomic-publish idiom). See
-  SURVEY.md §7 "what's hard" #6.
+- The 1 s mtime settle guard (ST3, csv_extractor.py:270-276) is
+  EXACT in streaming mode: the file-stream source commits a file to
+  its seen-files log at listing time, so a not-yet-settled file can't
+  be "un-seen" — instead ``foreachBatch`` defers it: each batch stats
+  its candidate files driver-side (metadata-only, same cost class as
+  the listing itself), processes only those whose mtime is at least
+  ``settle_seconds`` old, and parks the rest in a JSON sidecar next to
+  the checkpoint. Parked files are retried on the next trigger (and by
+  ``flush_pending`` after an availableNow drain); the sidecar persists
+  across restarts so deferral never becomes loss (ST6 preserved).
 
 At scale: each micro-batch is the batch plan — scan -> broadcast-join
 headers -> posexplode -> filter, shuffle-free; state never grows with
@@ -38,6 +43,8 @@ is O(series)).
 
 from __future__ import annotations
 
+import json
+import time
 from pathlib import Path
 from typing import Callable
 
@@ -56,6 +63,47 @@ from datapoints_csv_extractor_spark.sources.tebis_csv import read_datapoints
 
 LIVE_MAX_FILES_PER_TRIGGER = 20  # csv_extractor.py:279-280
 LIVE_TRIGGER = "8 seconds"  # csv_extractor.py:47
+SETTLE_SECONDS = 1.0  # csv_extractor.py:270-276 (writer settle guard)
+
+
+def _pending_file(checkpoint_dir: str | Path) -> Path:
+    return Path(checkpoint_dir) / "pending_unsettled.json"
+
+
+def _load_pending(checkpoint_dir: str | Path) -> set[str]:
+    try:
+        return set(json.loads(_pending_file(checkpoint_dir).read_text()))
+    except (OSError, ValueError):
+        return set()
+
+
+def _save_pending(checkpoint_dir: str | Path, pending: set[str]) -> None:
+    f = _pending_file(checkpoint_dir)
+    f.parent.mkdir(parents=True, exist_ok=True)
+    tmp = f.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(sorted(pending)))
+    tmp.replace(f)  # write-then-rename: the same atomic-publish idiom
+
+
+def split_settled(
+    paths: list[Path], settle_seconds: float, now: float | None = None
+) -> tuple[list[Path], list[Path]]:
+    """Partition paths into (settled, unsettled) by mtime age (ST3).
+
+    A file modified less than ``settle_seconds`` ago may still be
+    mid-write; it is deferred, not dropped. Files that vanished
+    between listing and stat are skipped (csv_extractor.py:270-273 —
+    another extractor claimed them)."""
+    now = time.time() if now is None else now
+    settled: list[Path] = []
+    unsettled: list[Path] = []
+    for p in paths:
+        try:
+            mtime = p.stat().st_mtime
+        except OSError:
+            continue
+        (unsettled if now - mtime < settle_seconds else settled).append(p)
+    return settled, unsettled
 
 
 def _batch_paths(batch_df: DataFrame) -> list[Path]:
@@ -126,15 +174,19 @@ def start_live_ingest(
     available_now: bool = False,
     max_files_per_trigger: int = LIVE_MAX_FILES_PER_TRIGGER,
     delete_on_success: bool = False,
+    settle_seconds: float = SETTLE_SECONDS,
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
 ) -> StreamingQuery:
     """Start the live-mode stream (entry point 2, main.py --live).
 
     ``available_now=True`` drains the current folder contents then
-    stops — the batch-test / catch-up mode. ``on_batch`` is an optional
-    metrics hook (C3's Prometheus push becomes the caller's concern).
+    stops — the batch-test / catch-up mode; call ``flush_pending``
+    afterwards to pick up files the settle guard deferred. ``on_batch``
+    is an optional metrics hook (C3's Prometheus push becomes the
+    caller's concern).
     """
     finished_dir, failed_dir = setup_directories(input_dir)
+    pending = _load_pending(checkpoint_dir)
 
     files = (
         spark.readStream.format("text")
@@ -148,15 +200,34 @@ def start_live_ingest(
     )
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        # ST3: merge this trigger's new files with previously deferred
+        # ones; only files whose mtime is >= settle_seconds old are
+        # parsed. A just-listed file gets its settle window inline
+        # (one bounded sleep, then re-stat): if its mtime is STILL
+        # fresh the writer is actively appending, so it defers to a
+        # later trigger via the sidecar (persisted BEFORE processing,
+        # so a crash re-defers rather than drops).
+        candidates = {str(p) for p in _batch_paths(batch_df)} | pending
+        settled, unsettled = split_settled(
+            [Path(p) for p in sorted(candidates)], settle_seconds
+        )
+        if unsettled:
+            time.sleep(settle_seconds)
+            more, unsettled = split_settled(unsettled, settle_seconds)
+            settled += more
+        pending.clear()
+        pending.update(str(p) for p in unsettled)
+        _save_pending(checkpoint_dir, pending)
         stats = process_batch(
             spark,
-            _batch_paths(batch_df),
+            settled,
             sink_dir=sink_dir,
             catalog_path=catalog_path,
             finished_dir=finished_dir,
             failed_dir=failed_dir,
             delete_on_success=delete_on_success,
         )
+        stats["deferred_unsettled"] = len(unsettled)
         if on_batch is not None:
             on_batch(batch_id, stats)
 
@@ -170,3 +241,48 @@ def start_live_ingest(
     elif trigger:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def flush_pending(
+    spark: SparkSession,
+    input_dir: str | Path,
+    sink_dir: str | Path,
+    catalog_path: str | Path,
+    checkpoint_dir: str | Path,
+    delete_on_success: bool = False,
+    settle_seconds: float = SETTLE_SECONDS,
+    max_wait: float = 30.0,
+) -> dict[str, int]:
+    """Process files the settle guard deferred (drain-mode epilogue).
+
+    An availableNow drain can end with files parked in the sidecar
+    (they were listed mid-write); the file source won't re-emit them —
+    its checkpoint already marks them seen — so a drain caller flushes
+    them here once they settle. Waits up to ``max_wait`` seconds for
+    stragglers, then processes whatever settled."""
+    finished_dir, failed_dir = setup_directories(input_dir)
+    deadline = time.time() + max_wait
+    stats = {"files": 0, "datapoints": 0, "series": 0, "new_series": 0}
+    while True:
+        pending = _load_pending(checkpoint_dir)
+        if not pending:
+            return stats
+        settled, unsettled = split_settled(
+            [Path(p) for p in sorted(pending)], settle_seconds
+        )
+        if settled:
+            batch = process_batch(
+                spark,
+                settled,
+                sink_dir=sink_dir,
+                catalog_path=catalog_path,
+                finished_dir=finished_dir,
+                failed_dir=failed_dir,
+                delete_on_success=delete_on_success,
+            )
+            for key in stats:
+                stats[key] += batch[key]
+        _save_pending(checkpoint_dir, {str(p) for p in unsettled})
+        if not unsettled or time.time() >= deadline:
+            return stats
+        time.sleep(min(settle_seconds, max(0.0, deadline - time.time())))

@@ -67,6 +67,120 @@ class IngestMetricsListener(StreamingQueryListener):
         pass
 
 
+class PrometheusExporter:
+    """Concrete Prometheus exporter behind the ``publish`` seam —
+    metric-name parity with the reference's registry
+    (monitoring.py:34-100): same counters/gauges, same
+    ``csv_live``/``csv_hist`` namespace split, same ``project_name``
+    label. Pure stdlib: the container has no prometheus_client, and the
+    text exposition format + pushgateway PUT protocol are public specs,
+    so this renders the format directly and pushes via urllib (or an
+    injectable ``sender`` for tests/alternate transports). Can also
+    write a textfile for the node_exporter textfile collector.
+    """
+
+    COUNTERS = {
+        "created_time_series_total": "Number of time series created since the extractor started running",
+        "posted_data_points_total": "Number of datapoints posted since the extractor started running",
+        "failed_processing_files": "Number of files where processing failed since the extractor started running",
+    }
+    GAUGES = {
+        "posted_time_series_count": "Number of timeseries that had valid datapoints in the current file",
+        "available_csv_files": "Number of csv files in the folder that could be processed by the extractor",
+        "unprocessed_files": "Number of csv files that remains to be processed in this batch",
+        "successfully_processed_files": "Number of csv files that has been successfully processed in this batch",
+    }
+
+    def __init__(
+        self,
+        live: bool = True,
+        project_name: str = "default",
+        job: str = "datapoints-csv-extractor",
+        gateway_url: str | None = None,
+        textfile: str | None = None,
+        sender: Callable[[str, str], None] | None = None,
+    ) -> None:
+        self.namespace = "csv_live" if live else "csv_hist"
+        self.project_name = project_name
+        self.job = job
+        self.gateway_url = gateway_url
+        self.textfile = textfile
+        self._sender = sender
+        self.values: dict[str, float] = {
+            name: 0.0 for name in {**self.COUNTERS, **self.GAUGES}
+        }
+
+    def incr(self, name: str, amount: float = 1) -> None:
+        self.values[name] += amount
+
+    def set_gauge(self, name: str, value: float) -> None:
+        self.values[name] = float(value)
+
+    def record_batch(self, stats: dict[str, int]) -> None:
+        """Fold one ``process_batch`` stats dict into the registry
+        (the reference increments after each posted file/batch)."""
+        self.incr("posted_data_points_total", stats.get("datapoints", 0))
+        self.incr("created_time_series_total", stats.get("new_series", 0))
+        self.set_gauge("posted_time_series_count", stats.get("series", 0))
+        self.set_gauge("successfully_processed_files", stats.get("files", 0))
+        self.set_gauge("unprocessed_files", stats.get("deferred_unsettled", 0))
+
+    def record_failure(self, n_files: int = 1) -> None:
+        self.incr("failed_processing_files", n_files)
+
+    def render(self) -> str:
+        """Standard text exposition format (one HELP/TYPE block per
+        metric, ``namespace_name{project_name="..."} value``)."""
+        lines: list[str] = []
+        for name, help_text in {**self.COUNTERS, **self.GAUGES}.items():
+            full = f"{self.namespace}_{name}"
+            kind = "counter" if name in self.COUNTERS else "gauge"
+            lines.append(f"# HELP {full} {help_text}")
+            lines.append(f"# TYPE {full} {kind}")
+            lines.append(
+                f'{full}{{project_name="{self.project_name}"}} {self.values[name]}'
+            )
+        return "\n".join(lines) + "\n"
+
+    def push(self) -> None:
+        """Push to the gateway and/or textfile; failures are logged,
+        never raised (reference monitoring.py:96-100 swallows push
+        errors the same way — metrics must not take down ingest)."""
+        body = self.render()
+        try:
+            if self._sender is not None:
+                self._sender(self.job, body)
+            elif self.gateway_url:
+                import urllib.request
+
+                req = urllib.request.Request(
+                    f"{self.gateway_url.rstrip('/')}/metrics/job/{self.job}",
+                    data=body.encode("utf-8"),
+                    method="PUT",
+                    headers={"Content-Type": "text/plain; version=0.0.4"},
+                )
+                urllib.request.urlopen(req, timeout=5).close()
+            if self.textfile:
+                import pathlib
+
+                tmp = pathlib.Path(self.textfile + ".tmp")
+                tmp.write_text(body)
+                tmp.replace(self.textfile)
+        except Exception as exc:  # noqa: BLE001 - metrics are best-effort
+            import logging
+
+            logging.getLogger(__name__).error(
+                "Failed to push prometheus data: %s", exc
+            )
+
+    def publish(self, rec: dict) -> None:
+        """IngestMetricsListener-compatible hook: gauge the stream's
+        progress signals, then push."""
+        if rec.get("event") == "progress":
+            self.set_gauge("available_csv_files", rec.get("num_input_rows", 0))
+        self.push()
+
+
 def log_publisher(logger) -> Callable[[dict], None]:
     """Publish metrics records as structured log lines (the in-container
     stand-in for the reference's Prometheus pushgateway at

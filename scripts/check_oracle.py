@@ -8,6 +8,12 @@ sorted column names, and the order-insensitive multiset of values
 fallback report so near-misses are visible before they become driver
 hash mismatches).
 
+The Spark session runs with ``spark.sql.ansi.enabled=true`` by default
+— the driver builds its own session where Spark 4's ANSI default is ON,
+so every query must survive ANSI semantics (no silent long wraps, no
+invalid-cast NULLs) regardless of the engine's own ansi=false default.
+Set SPARK_GRAFT_ANSI=0 to check under the engine session instead.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -61,10 +67,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    ansi = os.environ.get("SPARK_GRAFT_ANSI", "1") != "0"
     spark = get_spark(
         app_name="check-oracle",
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ansi.enabled": "true" if ansi else "false",
+        },
     )
+    print(f"spark.sql.ansi.enabled={ansi} (driver mirror)" if ansi else "ansi off")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -56,3 +56,33 @@ def test_cli_live_drain(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() > 0
     assert list(folder.glob("*.csv")) == []
     assert len(list((folder / "finished").glob("*.csv"))) == 2
+
+
+def test_cli_log_flags(spark, tmp_path, capsys):
+    """--log/-d and --log-level parity (reference main.py:39-40): a
+    file handler lands in the given directory with the
+    extractor-{historical|live}.log naming."""
+    import logging
+
+    folder = tmp_path / "incoming"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=2, n_rows=5, seed=21)
+    log_dir = tmp_path / "logs"
+    rc = main(
+        [
+            "-i", str(folder),
+            "-o", str(tmp_path / "dp"),
+            "--keep-finished",
+            "--log", str(log_dir),
+            "--log-level", "DEBUG",
+        ]
+    )
+    assert rc == 0
+    assert (log_dir / "extractor-historical.log").exists()
+    logger = logging.getLogger("datapoints_csv_extractor_spark")
+    assert logger.level == logging.DEBUG
+    # Cleanup so later tests don't keep the file handler.
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            logger.removeHandler(h)
+            h.close()

@@ -65,3 +65,59 @@ def test_metrics_listener_captures_batch_progress(spark, tmp_path):
     progress = [r for r in listener.records if r["event"] == "progress"]
     assert sum(r["num_input_rows"] for r in progress) > 0
     assert all("duration_ms" in r for r in progress)
+
+
+def test_prometheus_exporter_exposition_format(tmp_path):
+    """C3 parity: the exporter renders the reference's metric names
+    (monitoring.py:49-80) in valid text exposition format and pushes
+    through an injectable sender + textfile."""
+    from datapoints_csv_extractor_spark.streaming.monitoring import (
+        PrometheusExporter,
+    )
+
+    pushes: list[tuple[str, str]] = []
+    textfile = tmp_path / "metrics.prom"
+    exp = PrometheusExporter(
+        live=True,
+        project_name="proj1",
+        sender=lambda job, body: pushes.append((job, body)),
+        textfile=str(textfile),
+    )
+    exp.record_batch(
+        {"files": 3, "datapoints": 1200, "series": 5, "new_series": 2,
+         "deferred_unsettled": 1}
+    )
+    exp.record_batch({"files": 1, "datapoints": 300, "series": 4, "new_series": 0})
+    exp.record_failure()
+    exp.push()
+
+    job, body = pushes[-1]
+    assert job == "datapoints-csv-extractor"
+    assert textfile.read_text() == body
+    # Counters accumulate across batches; gauges hold the latest value.
+    assert 'csv_live_posted_data_points_total{project_name="proj1"} 1500.0' in body
+    assert 'csv_live_created_time_series_total{project_name="proj1"} 2.0' in body
+    assert 'csv_live_failed_processing_files{project_name="proj1"} 1.0' in body
+    assert 'csv_live_posted_time_series_count{project_name="proj1"} 4.0' in body
+    assert 'csv_live_successfully_processed_files{project_name="proj1"} 1.0' in body
+    # Exposition structure: every metric has HELP and TYPE lines.
+    for line in body.splitlines():
+        assert line.startswith(("# HELP csv_live_", "# TYPE csv_live_", "csv_live_"))
+    assert "# TYPE csv_live_posted_data_points_total counter" in body
+    assert "# TYPE csv_live_unprocessed_files gauge" in body
+
+    # Historical mode swaps the namespace, like the reference.
+    hist = PrometheusExporter(live=False, sender=lambda j, b: None)
+    assert hist.render().startswith("# HELP csv_hist_")
+
+
+def test_prometheus_exporter_push_never_raises():
+    from datapoints_csv_extractor_spark.streaming.monitoring import (
+        PrometheusExporter,
+    )
+
+    def broken_sender(job, body):
+        raise ConnectionError("gateway down")
+
+    exp = PrometheusExporter(sender=broken_sender)
+    exp.push()  # must log, not raise (metrics never take down ingest)

@@ -34,6 +34,41 @@ def test_minhash_lsh_covers_high_jaccard_pairs(spark):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_stop_shingle_cap_kills_hot_key(spark):
+    # A boilerplate phrase shared by n docs makes the shingle
+    # self-join quadratic (n^2/2 rows on one key). With the df cap the
+    # hot shingles are dropped from the representation, so boilerplate
+    # alone can no longer pair documents — while genuine near-dups
+    # (sharing many low-df shingles) still surface.
+    boiler = "all rights reserved by this site"
+    docs = [(i, f"{boiler} unique{i}x unique{i}y unique{i}z") for i in range(40)]
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = D.ngram_jaccard_pairs(d, threshold=0.01, max_shingle_df=10**6).collect()
+    capped = D.ngram_jaccard_pairs(d, threshold=0.01, max_shingle_df=10).collect()
+
+    # Uncapped: the 4 boilerplate shingles (df=40) pair every
+    # boilerplate doc with every other -> quadratic pair count.
+    assert len(uncapped) >= 40 * 39 // 2
+    # Capped: boilerplate carries no signal; only the genuine pair
+    # (plus nothing else) remains.
+    capped_pairs = {(r.doc_id_1, r.doc_id_2) for r in capped}
+    assert capped_pairs == {(100, 101)}
+    [real] = [r for r in capped if (r.doc_id_1, r.doc_id_2) == (100, 101)]
+    assert real.jaccard > 0.5
+
+
+def test_lsh_bucket_cap_plumbing(spark):
+    # max_bucket=0 drops every band bucket -> zero candidates; the
+    # default cap (far above any testdata bucket) changes nothing —
+    # coverage of high-Jaccard pairs is asserted in
+    # test_minhash_lsh_covers_high_jaccard_pairs.
+    none = D.q_minhash_lsh_candidates(spark, SF, max_bucket=0).count()
+    assert none == 0
+
+
 def test_minhash_signature_shape_and_determinism(spark):
     sig1 = D.minhash_signatures(spark, SF)
     rows = sig1.orderBy("doc_id").limit(5).collect()

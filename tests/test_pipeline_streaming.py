@@ -157,6 +157,60 @@ def test_live_ingest_processing_time_trigger(spark, tmp_path):
         q.stop()
 
 
+def test_live_settle_guard_defers_mid_write_file(spark, tmp_path):
+    """ST3 exact: a file still being written (mtime refreshed within
+    the settle window) is NOT parsed by the trigger that listed it —
+    it parks in the pending sidecar — and flush_pending picks it up
+    once the writer stops, so deferral never becomes loss."""
+    import threading
+
+    from datapoints_csv_extractor_spark.streaming.live import (
+        _load_pending,
+        flush_pending,
+    )
+
+    folder = _make_folder(tmp_path, n_files=1, n_series=2)
+    hot = write_tebis_csv(
+        folder, file_ts=1550093333, n_series=2, n_rows=10, seed=55
+    )
+    stop = threading.Event()
+
+    def keep_writing() -> None:  # simulate a slow writer: mtime stays fresh
+        import os
+
+        while not stop.is_set():
+            os.utime(hot)
+            time.sleep(0.2)
+
+    writer = threading.Thread(target=keep_writing, daemon=True)
+    writer.start()
+    try:
+        sink, catalog, ckpt = tmp_path / "dp", tmp_path / "catalog", tmp_path / "ckpt"
+        batches: list[dict] = []
+        q = start_live_ingest(
+            spark, folder, sink, catalog, ckpt,
+            available_now=True,
+            settle_seconds=2.0,
+            on_batch=lambda bid, stats: batches.append(stats),
+        )
+        q.awaitTermination(120)
+        # The settled file was processed; the mid-write file was not.
+        assert hot.exists(), "mid-write file must not be archived"
+        assert str(hot) in _load_pending(ckpt)
+        assert sum(b["files"] for b in batches) == 1
+        assert sum(b.get("deferred_unsettled", 0) for b in batches) >= 1
+    finally:
+        stop.set()
+        writer.join()
+
+    flushed = flush_pending(
+        spark, folder, sink, catalog, ckpt, settle_seconds=2.0, max_wait=30.0
+    )
+    assert flushed["files"] == 1
+    assert not hot.exists()  # now archived like any processed input
+    assert _load_pending(ckpt) == set()
+
+
 def test_post_datapoints_chunking(spark, tmp_path):
     """S7: connector sink respects the ≤N-series-per-request contract."""
     folder = tmp_path / "in"
