@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_range_frame": A.q_window_range_frame,
         "q_histogram": A.q_histogram,
         "q_stats_corr": A.q_stats_corr,
+        # Scale-path composites (rows-only: xxhash64-based end to end)
+        "q_minhash_dedup_pipeline": D.q_minhash_dedup_pipeline,
+        "q_embedding_near_dup_lsh": V.q_embedding_near_dup_lsh,
     }
 
 

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
+    "q_minhash_dedup_pipeline",
     "q_minhash_signatures",
     "q_winnowing_fingerprints",
     "q_knn_brute_force",
@@ -109,7 +110,11 @@ def main() -> None:
     # 20-30x slower, not reproducible, independent of the query).
     # Min-of-N measures the engine rather than the hypervisor while
     # keeping total bench wall-time bounded.
-    def _best_of(fn, clean_sec: float = 3.0, max_runs: int = 3) -> float:
+    # max_runs=6: a stall WINDOW can outlast 3 back-to-back runs
+    # (observed: tebis_ingest best-of-3 read 54 s during one, 0.9 s
+    # warm outside it); extra retries cost nothing on clean runs
+    # because of the early exit.
+    def _best_of(fn, clean_sec: float = 3.0, max_runs: int = 6) -> float:
         best = float("inf")
         for _ in range(max_runs):
             t0 = time.perf_counter()
@@ -119,11 +124,18 @@ def main() -> None:
                 break
         return round(best, 3)
 
+    # Iterative queries (connected components: ~8 Spark jobs/round)
+    # legitimately run past the default clean threshold — a higher one
+    # stops them from burning retries on every bench run.
+    clean_sec = {"q_dedup_clusters": 5.0, "q_minhash_dedup_pipeline": 4.0}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        timings[name] = _best_of(lambda: _materialize(qs[name](spark, sf_dir)))
+        timings[name] = _best_of(
+            lambda: _materialize(qs[name](spark, sf_dir)),
+            clean_sec=clean_sec.get(name, 3.0),
+        )
 
     # TEBIS ingest throughput (the reference's core workload).
     folder = _make_tebis_folder(sf)

@@ -234,7 +234,16 @@ def q_minhash_lsh_candidates(
     dropped bucket still surface through any of their other 7 bands,
     the standard LSH redundancy argument. Cap is far above any
     testdata bucket size, so output is unchanged at oracle scale."""
-    sig = minhash_signatures(spark, sf_dir)
+    return lsh_candidates_from_signatures(
+        minhash_signatures(spark, sf_dir), max_bucket
+    )
+
+
+def lsh_candidates_from_signatures(
+    sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Band-bucket candidate pairs from a (doc_id, signature) frame
+    (see q_minhash_lsh_candidates for semantics and the bucket cap)."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -446,3 +455,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE)."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
     return dedup_clusters(pairs)
+
+
+def minhash_dedup_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    est_threshold: float = 0.5,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The full 100 TB near-dup dedup pipeline, end to end:
+
+      signatures (one pass, O(n))
+      -> LSH band candidates (band join, O(n + near-dups))
+      -> signature-estimated Jaccard verify (the fraction of agreeing
+         MinHash positions is an unbiased estimator of true Jaccard —
+         no re-tokenization, just two array lookups per candidate)
+      -> connected components
+      -> (doc_id, canonical_doc_id, est_jaccard-free label table)
+
+    No stage ever touches the O(n^2) pair space and the all-shingles
+    join never runs: this is the composition a training pipeline
+    actually deploys at corpus scale, with the exact-Jaccard operator
+    (q_dedup_ngram_jaccard) relegated to spot-check duty.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    cand = lsh_candidates_from_signatures(sig, max_bucket)
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("signature").alias("sig_1")
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("signature").alias("sig_2")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(N_PERM)
+    )
+    verified = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .where(est >= est_threshold)
+        .select("doc_id_1", "doc_id_2")
+    )
+    return dedup_clusters(verified)
+
+
+def q_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only: xxhash64-based end to end)."""
+    return minhash_dedup_pipeline(spark, sf_dir)

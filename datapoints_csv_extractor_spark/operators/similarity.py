@@ -124,6 +124,41 @@ def _hyperplanes(dim: int, n_bits: int) -> list[list[float]]:
     return planes
 
 
+def embedding_near_dup_lsh_df(
+    e: DataFrame, threshold: float = 0.45, n_bits: int = 6
+) -> DataFrame:
+    """Embedding near-dup pairs with LSH-bucket blocking — the scale
+    path that replaces q_embedding_near_dup's label blocking when no
+    natural blocking key exists. Vectors pair only inside their
+    hyperplane bucket (high-cosine pairs agree on most hyperplane
+    signs, so near-dups co-bucket with high probability; recall is
+    tunable via n_bits and band-OR over bucket families, exactly like
+    MinHash bands). Input needs (vec_id, embedding); approximate, so
+    rows-only at the driver + a planted-duplicate pytest."""
+    dim = len(e.select("embedding").first()[0])
+    b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), dim, n_bits))
+    a2, b2 = b.alias("a"), b.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing LSH-blocked embedding near-dup (rows-only)."""
+    return embedding_near_dup_lsh_df(load(spark, sf_dir, "embeddings"))
+
+
 def lsh_bucket(emb: Column, dim: int, n_bits: int = _HYPERPLANE_BITS) -> Column:
     """Random-hyperplane LSH bucket id: bit j = sign of dot(emb, H_j).
     Hyperplanes are broadcast as array literals (the IVF

@@ -271,3 +271,62 @@ def test_resize_blobs_deterministic_and_sized(spark):
         assert len(r.thumbnail) == (32 * 32) // 8
     again = {r.blob_id: bytes(r.thumbnail) for r in resized.limit(10).collect()}
     assert {r.blob_id: bytes(r.thumbnail) for r in rows} == again
+
+
+def test_hash_aggregates_survive_ansi_mode(spark):
+    # The driver runs a plain Spark 4 session where ANSI is ON; any
+    # silent long-wrap arithmetic (summing raw xxhash64 values) becomes
+    # a hard ARITHMETIC_OVERFLOW there. Pin the hash-heavy operators
+    # under ANSI so the regression can't come back.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert X.q_winnowing_fingerprints(spark, SF).count() > 0
+        assert D.q_minhash_signatures(spark, SF).count() > 0
+        assert D.q_simhash(spark, SF).count() > 0
+        assert D.q_minhash_lsh_candidates(spark, SF).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_minhash_dedup_pipeline_covers_exact_clusters(spark):
+    # The end-to-end MinHash pipeline (signatures -> LSH candidates ->
+    # signature-estimated Jaccard -> components) must put every
+    # high-confidence exact pair (true Jaccard >= 0.8) in one cluster:
+    # banding surfaces them (P > 0.99) and the signature estimate
+    # concentrates near the true Jaccard, far above the 0.5 gate.
+    exact_pairs = D.q_dedup_ngram_jaccard(spark, SF, threshold=0.8).collect()
+    assert exact_pairs
+    labels = {
+        r.doc_id: r.canonical_doc_id
+        for r in D.q_minhash_dedup_pipeline(spark, SF).collect()
+    }
+    for p in exact_pairs:
+        assert labels.get(p.doc_id_1) == labels.get(p.doc_id_2), (
+            f"exact near-dup pair {p} split across minhash clusters"
+        )
+
+
+def test_embedding_near_dup_lsh_finds_planted_pairs(spark):
+    # Deterministic hyperplanes + fixed data -> deterministic output.
+    # Planted near-identical vectors (cosine ~1) agree on almost every
+    # hyperplane sign, so they co-bucket and surface as pairs; every
+    # reported pair must genuinely clear the cosine threshold.
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    rows = []
+    for g in range(5):  # 5 planted duplicate groups of 2
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    for i in range(10, 110):  # random background
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = V.embedding_near_dup_lsh_df(e, threshold=0.9).collect()
+    pairs = {(r.vec_id_1, r.vec_id_2) for r in got}
+    planted = {(2 * g, 2 * g + 1) for g in range(5)}
+    assert len(planted & pairs) >= 3, f"LSH blocking missed planted dups: {pairs}"
+    assert all(r.cosine >= 0.9 for r in got)
