@@ -426,24 +426,24 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The update join already sees old and new labels side by side,
+        # so convergence rides along as a boolean column — the probe
+        # below is a filter over the checkpointed result, not the extra
+        # old-vs-new join a naive fixpoint check would add per round.
+        proposed = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                proposed.alias("new_label"),
+                (proposed < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))

@@ -540,12 +540,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFr
     runs JVM-side on the surviving candidates. The entity-resolution
     primitive for catalog/series-name reconciliation.
 
-    A length-band prefilter (|len(a)-len(b)| <= max_edit) sits in the
-    join condition ahead of the levenshtein: edit distance is bounded
-    below by the length difference, so the filter is exact, and it
-    prices each candidate pair at an integer compare instead of an
-    O(len^2) DP — the cheap second blocking dimension that keeps big
-    brand blocks from going quadratic in levenshtein cost at scale.
+    A length-band prefilter (|len(a)-len(b)| <= max_edit) guards the
+    levenshtein: edit distance is bounded below by the length
+    difference, so the filter is exact, and it prices most candidate
+    pairs at an integer compare instead of an O(len^2) DP — the cheap
+    second blocking dimension that keeps big brand blocks from going
+    quadratic in levenshtein cost at scale. The guard lives INSIDE a
+    ``when``, not as a separate conjunct: Catalyst merges filter
+    conjuncts into the join condition in arbitrary order (observed:
+    levenshtein first), while ``when`` short-circuits per row
+    unconditionally.
     """
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a = p.select(
@@ -560,13 +564,14 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFr
         F.col("p_name").alias("name_2"),
         F.length("p_name").alias("len_2"),
     )
-    dist = F.levenshtein("name_1", "name_2")
+    dist = F.when(
+        F.abs(F.col("len_1") - F.col("len_2")) <= max_edit,
+        F.levenshtein("name_1", "name_2"),
+    ).otherwise(F.lit(max_edit + 1))
     return (
         a.join(
             b,
-            (a["brand"] == b["brand"])
-            & (F.col("partkey_1") < F.col("partkey_2"))
-            & (F.abs(F.col("len_1") - F.col("len_2")) <= max_edit),
+            (a["brand"] == b["brand"]) & (F.col("partkey_1") < F.col("partkey_2")),
         )
         .where(dist <= max_edit)
         .select(
