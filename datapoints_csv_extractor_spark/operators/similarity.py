@@ -125,31 +125,79 @@ def _hyperplanes(dim: int, n_bits: int) -> list[list[float]]:
 
 
 def embedding_near_dup_lsh_df(
-    e: DataFrame, threshold: float = 0.45, n_bits: int = 6
+    e: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 6,
+    n_bands: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """Embedding near-dup pairs with LSH-bucket blocking — the scale
-    path that replaces q_embedding_near_dup's label blocking when no
-    natural blocking key exists. Vectors pair only inside their
-    hyperplane bucket (high-cosine pairs agree on most hyperplane
-    signs, so near-dups co-bucket with high probability; recall is
-    tunable via n_bits and band-OR over bucket families, exactly like
-    MinHash bands). Input needs (vec_id, embedding); approximate, so
-    rows-only at the driver + a planted-duplicate pytest."""
+    """Embedding near-dup pairs with banded hyperplane-LSH blocking —
+    the scale path that replaces q_embedding_near_dup's label blocking
+    when no natural blocking key exists.
+
+    Standard AND-OR amplification (same shape as the MinHash band
+    join): ``n_bands`` independent families of ``n_bits`` hyperplanes
+    each; a pair becomes a candidate when it agrees on EVERY sign in
+    ANY band. High-cosine pairs agree on most signs, so per-band
+    collision probability is high and the OR over bands drives recall
+    toward 1, while random pairs need all n_bits agreements at once.
+    Candidates are then exactly re-scored (cosine >= threshold) — the
+    verify join fetches embeddings by vec_id, a shuffle proportional to
+    candidates, not n^2. Band buckets over ``max_bucket`` are dropped
+    (hot-key guard; a hub bucket re-surfaces through other bands).
+
+    Input needs (vec_id, embedding); approximate, so rows-only at the
+    driver + a planted-duplicate pytest.
+    """
     dim = len(e.select("embedding").first()[0])
-    b = e.withColumn("bucket", lsh_bucket(F.col("embedding"), dim, n_bits))
-    a2, b2 = b.alias("a"), b.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
-    return (
+    vecs = e.select("vec_id", "embedding")
+    planes = _hyperplanes(dim, n_bands * n_bits)
+    band_structs = []
+    for band in range(n_bands):
+        # Band b uses hyperplanes [b*n_bits, (b+1)*n_bits) of one
+        # deterministic family — independent across bands.
+        bucket = F.lit(0)
+        for j, row in enumerate(planes[band * n_bits : (band + 1) * n_bits]):
+            comp = F.array(*[F.lit(x) for x in row])
+            d = F.aggregate(
+                F.zip_with(F.col("embedding"), comp, lambda x, y: x.cast("double") * y),
+                F.lit(0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(band).alias("band_id"), bucket.cast("long").alias("bucket"))
+        )
+    bands = vecs.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vec_id", "b.band_id", "b.bucket")
+    hot = (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") > max_bucket)
+        .select("band_id", "bucket")
+    )
+    bands = bands.join(F.broadcast(hot), ["band_id", "bucket"], "left_anti")
+    a2, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
         a2.join(
             b2,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            cos.alias("cosine"),
+            F.col("a.vec_id").alias("vec_id_1"), F.col("b.vec_id").alias("vec_id_2")
         )
+        .distinct()
+    )
+    e1 = vecs.select(F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("emb_1"))
+    e2 = vecs.select(F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("emb_2"))
+    cos = F.round(cosine(F.col("emb_1"), F.col("emb_2")), 4)
+    return (
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -162,3 +162,32 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(R.q_asof_join(spark, SF))
     assert _n_exchanges(plan) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_fuzzy_match_levenshtein_is_guarded_by_length_band(spark):
+    """The length-band guard must wrap the levenshtein in a CASE (per-row
+    short-circuit): Catalyst merges plain filter conjuncts into the join
+    condition in arbitrary order, which once put the O(len^2) DP ahead
+    of the integer length check."""
+    plan = _plan(R.q_fuzzy_match(spark, SF))
+    m = re.search(r"CASE WHEN.*?END", plan)
+    assert m, f"no CASE guard in join condition: {plan[:2000]}"
+    guard = m.group(0)
+    assert "abs(" in guard.split("levenshtein")[0], (
+        "length check must precede levenshtein inside the guard"
+    )
+
+
+def test_ngram_jaccard_hot_shingle_cap_is_broadcast_anti_join(spark):
+    """The stop-shingle df cap must anti-join against a BROADCAST hot
+    list (tiny by construction), never a shuffled one."""
+    from datapoints_csv_extractor_spark.operators import dedup as D
+
+    plan = _plan(D.q_dedup_ngram_jaccard(spark, SF))
+    anti = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftAnti" in ln and ("HashJoin" in ln or "SortMergeJoin" in ln)
+    ]
+    assert anti, "expected a left-anti join for the hot-shingle cap"
+    assert all("Broadcast" in ln for ln in anti), anti
