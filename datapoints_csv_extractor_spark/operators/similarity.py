@@ -264,49 +264,88 @@ def ann_lsh_topk_df(
     )
 
 
+def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the max-cosine centroid, via a per-row HOF over
+    a broadcast centroid array literal — NO join, NO shuffle."""
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    sims = F.transform(cent_lit, lambda c: cosine(emb, c))
+    # array_position is 1-based; cell ids 0-based.
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def train_ivf_centroids(
+    e: DataFrame, n_centroids: int = 16, n_iters: int = 2
+) -> list[list[float]]:
+    """Deterministic distributed k-means for the IVF coarse quantizer.
+
+    Init = the first ``n_centroids`` vectors by vec_id (deterministic,
+    no RNG); each Lloyd iteration is one distributed pass — map-only
+    nearest-centroid assignment (broadcast literal, no join) + a
+    groupBy(cell) mean whose shuffle carries only n_centroids x dim
+    partial sums after map-side combine. Driver handles parameter-sized
+    data only (the centroid table). This is the textbook scale shape:
+    cost is n_iters scans, independent of n^2.
+
+    Empty cells keep their previous centroid (standard fix).
+    """
+    first = (
+        e.where(F.col("vec_id") < n_centroids).select("vec_id", "embedding").collect()
+    )
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in sorted(first, key=lambda r: r.vec_id)
+    ]
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in sums}
+        centroids = [
+            [by_cell[c][f"s{i}"] / by_cell[c]["n"] for i in range(dim)]
+            if c in by_cell
+            else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
 def ann_ivf_topk_df(
     e: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_train_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k over (vec_id, label,
     embedding).
 
-    Coarse quantizer: the first ``n_centroids`` vectors by vec_id act
-    as centroids — a deterministic stand-in for k-means (the
-    assignment/probe DATAFLOW, which is what scales, is identical;
-    training better centroids changes recall, not the plan). Every
-    vector is assigned to its nearest centroid with a per-row
-    higher-order ``transform`` over a broadcast centroid array literal
-    — NO join, NO shuffle for assignment. The query probes its
-    ``n_probe`` nearest cells and re-scores exactly inside them.
+    Coarse quantizer: deterministic distributed k-means
+    (``train_ivf_centroids``: first-n init + ``n_train_iters`` Lloyd
+    passes, each one scan). Every vector is assigned to its nearest
+    centroid with a per-row higher-order ``transform`` over a broadcast
+    centroid array literal — NO join, NO shuffle for assignment. The
+    query probes its ``n_probe`` nearest cells and re-scores exactly
+    inside them.
 
-    At 100 TB the assignment pass is a map-only column add computed at
-    ingest and stored; queries then prune to n_probe/n_centroids of
-    the data — the same partition-pruning story as the date-partitioned
-    datapoints sink, applied to vector space.
+    At 100 TB the training runs once at ingest, the assignment pass is
+    a map-only column add computed at ingest and stored; queries then
+    prune to n_probe/n_centroids of the data — the same
+    partition-pruning story as the date-partitioned datapoints sink,
+    applied to vector space.
     """
-    centroid_rows = (
-        e.where(F.col("vec_id") < n_centroids)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = [
-        [float(x) for x in r.embedding]
-        for r in sorted(centroid_rows, key=lambda r: r.vec_id)
-    ]
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
-
-    def nearest_cell(emb: Column) -> Column:
-        sims = F.transform(cent_lit, lambda c: cosine(emb, c))
-        # array_position is 1-based; cell ids 0-based.
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-
-    assigned = e.withColumn("cell", nearest_cell(F.col("embedding")))
+    centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
+    assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
 
     qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").first()
     qvec = [float(x) for x in qrow[0]]

@@ -330,3 +330,32 @@ def test_embedding_near_dup_lsh_finds_planted_pairs(spark):
     planted = {(2 * g, 2 * g + 1) for g in range(5)}
     assert len(planted & pairs) >= 3, f"LSH blocking missed planted dups: {pairs}"
     assert all(r.cosine >= 0.9 for r in got)
+
+
+def test_ivf_kmeans_training_recovers_planted_clusters(spark):
+    # Two tight planted clusters: after Lloyd iterations with
+    # first-n init, trained centroids must sit near the true cluster
+    # means (cosine > 0.95 to one of them), and training must be
+    # deterministic across runs.
+    import random
+
+    rng = random.Random(3)
+    dim = 16
+    c_a = [1.0] * dim
+    c_b = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    rows = []
+    for i in range(60):
+        base = c_a if i % 2 == 0 else c_b
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in base]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = V.train_ivf_centroids(e, n_centroids=2, n_iters=3)
+    again = V.train_ivf_centroids(e, n_centroids=2, n_iters=3)
+    assert got == again  # deterministic
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / ((sum(x * x for x in a) ** 0.5) * (sum(x * x for x in b) ** 0.5))
+
+    for true_c in (c_a, c_b):
+        assert max(cos(true_c, c) for c in got) > 0.95
