@@ -92,6 +92,16 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     parser.add_argument("--from-time", type=int, help="Only files with filename ts strictly after this epoch-second")
     parser.add_argument("--until-time", type=int, help="Only files with filename ts strictly before this epoch-second")
     parser.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")
+    parser.add_argument(
+        "--prometheus-gateway", default=None,
+        help="Pushgateway base URL; per-batch ingest metrics are PUT there "
+             "(reference monitoring.py:96-100 parity)",
+    )
+    parser.add_argument(
+        "--metrics-textfile", default=None,
+        help="Write per-batch metrics in Prometheus text exposition format to "
+             "this file (node_exporter textfile-collector pattern)",
+    )
     return parser.parse_args(argv)
 
 
@@ -103,8 +113,26 @@ def main(argv: list[str] | None = None) -> int:
 
     from datapoints_csv_extractor_spark.plans.pipeline import run_historical, run_live
 
+    exporter = None
+    if args.prometheus_gateway or args.metrics_textfile:
+        from datapoints_csv_extractor_spark.streaming.monitoring import (
+            PrometheusExporter,
+        )
+
+        exporter = PrometheusExporter(
+            live=args.live,
+            gateway_url=args.prometheus_gateway,
+            textfile=args.metrics_textfile,
+        )
+
     if args.live:
         checkpoint = args.checkpoint or f"{args.output}_checkpoint"
+
+        def _on_batch(batch_id: int, stats: dict) -> None:
+            if exporter is not None:
+                exporter.record_batch(stats)
+                exporter.push()
+
         query = run_live(
             spark,
             input_dir=args.input,
@@ -113,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=checkpoint,
             delete_on_success=not args.keep_finished,
             available_now=args.drain,
+            on_batch=_on_batch,
         )
         query.awaitTermination()
         if args.drain:

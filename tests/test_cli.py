@@ -86,3 +86,28 @@ def test_cli_log_flags(spark, tmp_path, capsys):
         if isinstance(h, logging.FileHandler):
             logger.removeHandler(h)
             h.close()
+
+
+def test_cli_live_drain_writes_metrics_textfile(spark, tmp_path):
+    """--metrics-textfile: per-batch metrics land in Prometheus text
+    exposition format (C3 parity end to end through the CLI)."""
+    folder = tmp_path / "incoming"
+    folder.mkdir()
+    write_tebis_csv(folder, file_ts=1550092560, n_series=2, n_rows=10, seed=31)
+    metrics = tmp_path / "metrics.prom"
+    rc = main(
+        [
+            "--live", "--drain",
+            "-i", str(folder),
+            "-o", str(tmp_path / "dp"),
+            "--keep-finished",
+            "--metrics-textfile", str(metrics),
+        ]
+    )
+    assert rc == 0
+    body = metrics.read_text()
+    assert "# TYPE csv_live_posted_data_points_total counter" in body
+    import re
+
+    m = re.search(r'csv_live_posted_data_points_total\{project_name="default"\} (\d+)', body)
+    assert m and int(m.group(1)) > 0
