@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Scale-path composites (rows-only: xxhash64-based end to end)
         "q_minhash_dedup_pipeline": D.q_minhash_dedup_pipeline,
         "q_embedding_near_dup_lsh": V.q_embedding_near_dup_lsh,
+        "q_repetition_stats": X.q_repetition_stats,
     }
 
 
@@ -735,6 +736,27 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             )
             WHERE cosine >= 0.45
+        """,
+        "q_repetition_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+                FROM t
+                WHERE len(toks) >= 2
+            )
+            SELECT doc_id,
+                   n AS n_tokens,
+                   round(list_max(list_transform(list_distinct(toks),
+                         d -> len(list_filter(toks, x -> x = d)))) * 1.0 / n,
+                         4) AS top_token_fraction,
+                   round((len(bgs) - len(list_distinct(bgs))) * 1.0 / len(bgs),
+                         4) AS dup_bigram_fraction
+            FROM b
         """,
         "q_multimodal_meta": """
             WITH b AS (

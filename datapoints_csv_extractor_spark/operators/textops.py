@@ -247,6 +247,41 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher-style boilerplate filters a
+    pretraining pipeline applies): the fraction of mass held by the
+    single most frequent token, and the fraction of repeated bigrams.
+    High values mean templated/degenerate text.
+
+    All per-document HOF arithmetic over the one materialized token
+    array; the per-distinct-token count is O(distinct * n) per row —
+    bounded by document length, embarrassingly parallel, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = F.col("toks")
+    n = F.size(toks)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda dt: F.size(F.filter(toks, lambda t: t == dt)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    d2 = d.where(n >= 2).withColumn("bgs", bigrams)
+    n_bg = F.size(F.col("bgs"))
+    return d2.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(top_count / n, 4).alias("top_token_fraction"),
+        F.round(
+            (n_bg - F.size(F.array_distinct(F.col("bgs")))) / n_bg, 4
+        ).alias("dup_bigram_fraction"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composite: the end-to-end keep/drop decision a
     training-data pipeline makes per document —
