@@ -191,3 +191,33 @@ def test_ngram_jaccard_hot_shingle_cap_is_broadcast_anti_join(spark):
     ]
     assert anti, "expected a left-anti join for the hot-shingle cap"
     assert all("Broadcast" in ln for ln in anti), anti
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Sweeping scale guard: no queries() entry may plan a
+    CartesianProduct, and a BroadcastNestedLoopJoin is allowed only
+    where the build side is parameter-sized by construction — every
+    other join must have an equi-condition (blocked/bucketed), or the
+    operator is O(n^2) at corpus scale."""
+    import __spark_entry__ as E
+
+    # NLJ against a broadcast side that never grows with the data:
+    # q_range_join probes a generated weekly calendar (O(weeks) rows);
+    # q_scalar_subquery compares against a 1-row scalar aggregate.
+    NLJ_PARAM_SIZED_BUILD = {"q_range_join", "q_scalar_subquery"}
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = _plan(fn(spark, SF))
+        bad = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if "CartesianProduct" in ln
+            or (
+                "BroadcastNestedLoopJoin" in ln
+                and name not in NLJ_PARAM_SIZED_BUILD
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"quadratic join shapes: {offenders}"
