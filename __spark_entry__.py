@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup_pipeline": D.q_minhash_dedup_pipeline,
         "q_embedding_near_dup_lsh": V.q_embedding_near_dup_lsh,
         "q_repetition_stats": X.q_repetition_stats,
+        "q_winnowing_near_dup": X.q_winnowing_near_dup,
+        "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
     }
 
 

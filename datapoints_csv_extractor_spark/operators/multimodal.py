@@ -153,6 +153,33 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_feature_knn(
+    spark: SparkSession, sf_dir: str, query_blob_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Multimodal -> similarity composition: decode blobs to feature
+    vectors (Arrow-batched Python boundary), then exact cosine top-k
+    neighbors of one blob's feature — the retrieval step a multimodal
+    curation pipeline runs after embedding extraction. Same
+    broadcast-literal + TakeOrdered shape as the embedding kNN; the
+    only Python in the plan is the vectorized decode."""
+    from datapoints_csv_extractor_spark.operators.similarity import cosine
+
+    decoded = decode_blobs(blobs_from_documents(spark, sf_dir)).select(
+        "blob_id", "mime", F.col("feature").cast("array<double>").alias("feature")
+    )
+    qrow = (
+        decoded.where(F.col("blob_id") == query_blob_id).select("feature").first()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cos = F.round(cosine(F.col("feature"), qlit), 4)
+    return (
+        decoded.where(F.col("blob_id") != query_blob_id)
+        .select("blob_id", "mime", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("blob_id"))
+        .limit(k)
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("blob_id", T.LongType()),

@@ -202,6 +202,47 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnowing_near_dup(
+    fp: DataFrame, min_shared: int = 2, max_fingerprint_df: int = 128
+) -> DataFrame:
+    """Match detection over winnowing fingerprints: document pairs
+    sharing >= ``min_shared`` selected fingerprints — the guarantee is
+    that any common run of >= window+k-1 tokens shares at least one
+    fingerprint, so plagiarized/near-dup spans always collide.
+
+    Same blocked-equijoin shape (and hot-key df cap) as the shingle
+    join, but over the winnowed signature (~2/(window+1) density), so
+    the join input is a fraction of the full shingle table. Input:
+    (doc_id, fingerprint) from winnowing_fingerprints.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    fp = fp.distinct()
+    hot = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_fingerprint_df)
+        .select("fingerprint")
+    )
+    fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = fp.select(F.col("doc_id").alias("doc_id_1"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_id_2"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+def q_winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only: xxhash64-based): winnowing match pairs."""
+    return winnowing_near_dup(
+        winnowing_fingerprints(load(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization: lowercase, strip non-alphanumeric
     punctuation, squeeze whitespace — the pass that runs before every

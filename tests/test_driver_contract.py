@@ -25,6 +25,8 @@ ROWS_ONLY_ALLOWED = {
     "q_multimodal_decode",
     "q_minhash_dedup_pipeline",
     "q_embedding_near_dup_lsh",
+    "q_winnowing_near_dup",
+    "q_multimodal_feature_knn",
 }
 
 

@@ -359,3 +359,30 @@ def test_ivf_kmeans_training_recovers_planted_clusters(spark):
 
     for true_c in (c_a, c_b):
         assert max(cos(true_c, c) for c in got) > 0.95
+
+
+def test_winnowing_near_dup_finds_exact_near_dups(spark):
+    # The winnowing guarantee: any shared token run of >= window+k-1
+    # tokens shares a fingerprint, so high-Jaccard doc pairs (long
+    # shared spans) must surface as winnowing matches.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.q_dedup_ngram_jaccard(spark, SF, threshold=0.8).collect()
+    }
+    assert exact
+    got = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in X.q_winnowing_near_dup(spark, SF).collect()
+    }
+    missed = exact - got
+    assert not missed, f"winnowing missed high-similarity pairs: {missed}"
+
+
+def test_multimodal_feature_knn_shape(spark):
+    rows = M.q_multimodal_feature_knn(spark, SF, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.blob_id != 0 for r in rows)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
