@@ -164,11 +164,18 @@ def q_multimodal_feature_knn(
     only Python in the plan is the vectorized decode."""
     from datapoints_csv_extractor_spark.operators.similarity import cosine
 
-    decoded = decode_blobs(blobs_from_documents(spark, sf_dir)).select(
+    blobs = blobs_from_documents(spark, sf_dir)
+    decoded = decode_blobs(blobs).select(
         "blob_id", "mime", F.col("feature").cast("array<double>").alias("feature")
     )
+    # Query-feature fetch filters BEFORE the decode: predicates cannot
+    # push through mapInPandas (the Python map is a pushdown barrier),
+    # so filtering the decoded frame would decode the whole corpus to
+    # find one row.
     qrow = (
-        decoded.where(F.col("blob_id") == query_blob_id).select("feature").first()
+        decode_blobs(blobs.where(F.col("blob_id") == query_blob_id))
+        .select("feature")
+        .first()
     )
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     cos = F.round(cosine(F.col("feature"), qlit), 4)
