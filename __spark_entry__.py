@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": X.q_repetition_stats,
         "q_winnowing_near_dup": X.q_winnowing_near_dup,
         "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
+        "q_decontamination": D.q_decontamination,
     }
 
 
@@ -759,6 +760,30 @@ def oracle_sql() -> dict[str, str]:
                    round((len(bgs) - len(list_distinct(bgs))) * 1.0 / len(bgs),
                          4) AS dup_bigram_fraction
             FROM b
+        """,
+        "q_decontamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win AS gram
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(w, 7) OVER win IS NOT NULL
+            )
+            SELECT t.doc_id,
+                   count(DISTINCT t.gram)        AS n_contaminated_grams,
+                   count(DISTINCT e.eval_doc_id) AS n_eval_docs_hit
+            FROM (SELECT * FROM sh WHERE doc_id % 50 != 0) t
+            JOIN (SELECT doc_id AS eval_doc_id, gram FROM sh WHERE doc_id % 50 = 0) e
+              ON t.gram = e.gram
+            GROUP BY t.doc_id
         """,
         "q_multimodal_meta": """
             WITH b AS (

@@ -507,3 +507,67 @@ def minhash_dedup_pipeline(
 def q_minhash_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing (rows-only: xxhash64-based end to end)."""
     return minhash_dedup_pipeline(spark, sf_dir)
+
+
+def decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 8,
+    max_gram_df: int = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word k-gram with an evaluation document — the overlap check every
+    pretraining pipeline runs before training, asymmetric by design
+    (containment of eval spans, not mutual similarity).
+
+    Both sides reduce to DISTINCT k-gram hashes; the equijoin is
+    blocked on the gram (a train doc only meets the eval docs it
+    actually overlaps), and the eval side is tiny relative to the
+    corpus, so at scale the gram join broadcasts the eval grams.
+    Hot grams above ``max_gram_df`` in the TRAIN corpus are dropped
+    (ubiquitous boilerplate is not evidence of contamination — the cap
+    mirrors standard 13-gram decontamination practice of ignoring
+    overly common n-grams).
+
+    Inputs: (doc_id, text) frames. Output per contaminated train doc:
+    number of distinct shared k-grams and of eval docs hit.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("toks", tokens(F.col("text")))
+            .select(
+                "doc_id",
+                F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
+            )
+            .select("doc_id", F.xxhash64("gram").alias("gram_hash"))
+        )
+
+    tg = grams(train)
+    hot = (
+        tg.groupBy("gram_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_gram_df)
+        .select("gram_hash")
+    )
+    tg = tg.join(F.broadcast(hot), "gram_hash", "left_anti")
+    eg = grams(eval_set).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram_hash"
+    )
+    return (
+        tg.join(F.broadcast(eg), "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram_hash").alias("n_contaminated_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: every 50th document plays the eval set; the rest
+    are the training corpus scanned for 8-gram overlap."""
+    d = load(spark, sf_dir, "documents")
+    return decontamination(
+        d.where(F.col("doc_id") % 50 != 0),
+        d.where(F.col("doc_id") % 50 == 0),
+    )

@@ -386,3 +386,20 @@ def test_multimodal_feature_knn_shape(spark):
     assert all(r.blob_id != 0 for r in rows)
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    # A train doc embedding an eval doc's 8-gram span must be flagged
+    # with the right gram count; disjoint docs must not be.
+    eval_text = "zeta one two three four five six seven eight nine"
+    train_docs = [
+        # contains eval tokens 1..8 and 2..9 -> two shared 8-grams
+        (1, "prefix one two three four five six seven eight nine suffix"),
+        (2, "totally different words with no overlap at all here ok"),
+    ]
+    train = spark.createDataFrame(train_docs, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = {r.doc_id: r for r in D.decontamination(train, ev).collect()}
+    assert set(got) == {1}
+    assert got[1].n_contaminated_grams == 2
+    assert got[1].n_eval_docs_hit == 1
