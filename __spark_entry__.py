@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnowing_near_dup": X.q_winnowing_near_dup,
         "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
         "q_decontamination": D.q_decontamination,
+        "q_dataset_split": X.q_dataset_split,
+        "q_vocab_coverage": X.q_vocab_coverage,
     }
 
 
@@ -760,6 +762,31 @@ def oracle_sql() -> dict[str, str]:
                    round((len(bgs) - len(list_distinct(bgs))) * 1.0 / len(bgs),
                          4) AS dup_bigram_fraction
             FROM b
+        """,
+        "q_vocab_coverage": """
+            WITH tok AS (
+                SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), totals AS (
+                SELECT sum(c) AS n_total_tokens, count(*) AS n_distinct_tokens FROM counts
+            ), top AS (
+                SELECT sum(c) AS top_c
+                FROM (SELECT c FROM counts ORDER BY c DESC, token LIMIT 100)
+            )
+            SELECT CAST(n_total_tokens AS BIGINT) AS n_total_tokens,
+                   n_distinct_tokens,
+                   round(top_c * 1.0 / n_total_tokens, 4) AS top100_coverage
+            FROM totals, top
+        """,
+        "q_dataset_split": """
+            SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "q_decontamination": """
             WITH words AS (

@@ -288,6 +288,49 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id — the
+    reproducible-split idiom (hash-mod, not RNG: stable across runs,
+    engines, and corpus growth; a doc's split never depends on what
+    else is in the dataset). md5's first two hex chars partition
+    [00..ff] into ~80/10/10; pure projection, no shuffle, and the same
+    expression runs verbatim in any engine for audit."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("hash_bucket"), split.alias("split"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics for tokenizer budgeting: total and
+    distinct token counts, plus the token-mass fraction covered by the
+    top-100 vocabulary (ties broken by token text so the cut is
+    engine-independent). One shuffle to count the vocab (map-side
+    combined); the two singleton aggregates then cross-join — a 1x1
+    broadcast nested loop, parameter-sized by construction."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+    )
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(100)
+        .agg(F.sum("c").alias("top_c"))
+    )
+    return totals.crossJoin(top).select(
+        "n_total_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("top_c") / F.col("n_total_tokens"), 4).alias(
+            "top100_coverage"
+        ),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals (the Gopher-style boilerplate filters a
     pretraining pipeline applies): the fraction of mass held by the

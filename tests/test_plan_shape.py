@@ -202,9 +202,11 @@ def test_no_cartesian_product_in_any_registered_query(spark):
     import __spark_entry__ as E
 
     # NLJ against a broadcast side that never grows with the data:
-    # q_range_join probes a generated weekly calendar (O(weeks) rows);
-    # q_scalar_subquery compares against a 1-row scalar aggregate.
-    NLJ_PARAM_SIZED_BUILD = {"q_range_join", "q_scalar_subquery"}
+    NLJ_PARAM_SIZED_BUILD = {
+        "q_range_join",       # generated weekly calendar (O(weeks) rows)
+        "q_scalar_subquery",  # 1-row scalar aggregate
+        "q_vocab_coverage",   # 1-row x 1-row singleton-aggregate cross join
+    }
 
     offenders = {}
     for name, fn in E.queries().items():
