@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": D.q_decontamination,
         "q_dataset_split": X.q_dataset_split,
         "q_vocab_coverage": X.q_vocab_coverage,
+        "q_curation_pipeline_full": X.q_curation_pipeline_full,
     }
 
 

@@ -366,6 +366,83 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation decision, one row per document:
+
+      keep = passes cheap quality filters
+             AND canonical for its EXACT-dup group (min doc_id per md5)
+             AND canonical for its NEAR-dup cluster (MinHash pipeline
+                 components; docs in no cluster are their own canonical)
+             AND not contaminated against the held-out eval slice
+
+    with the drop reason materialized at the standard precedence
+    (quality < exact-dup < near-dup < contamination). This is the
+    whole-engine composite: scan-side quality predicates, one md5
+    shuffle, the O(n) MinHash band path, and the blocked decontamination
+    join — every stage individually scale-shaped, composed here exactly
+    as a production pipeline deploys them. Rows-only at the driver
+    (xxhash64 inside the MinHash stage).
+    """
+    from pyspark.sql import Window
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        minhash_dedup_pipeline,
+        q_decontamination,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    text_len = F.length("text")
+    n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
+    passes_quality = (text_len >= 20) & (
+        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3
+    )
+    exact_canonical = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    flagged = d.select(
+        "doc_id",
+        passes_quality.alias("passes_quality"),
+        (F.col("doc_id") == exact_canonical).alias("is_exact_canonical"),
+    )
+    clusters = minhash_dedup_pipeline(spark, sf_dir).select(
+        "doc_id", F.col("canonical_doc_id").alias("near_canonical")
+    )
+    contaminated = q_decontamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contaminated")
+    )
+    out = (
+        flagged.join(clusters, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "passes_quality",
+            "is_exact_canonical",
+            F.coalesce(
+                F.col("near_canonical") == F.col("doc_id"), F.lit(True)
+            ).alias("is_near_canonical"),
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        )
+    )
+    keep = (
+        F.col("passes_quality")
+        & F.col("is_exact_canonical")
+        & F.col("is_near_canonical")
+        & ~F.col("is_contaminated")
+    )
+    return out.select(
+        "doc_id",
+        "passes_quality",
+        "is_exact_canonical",
+        "is_near_canonical",
+        "is_contaminated",
+        keep.alias("keep"),
+        F.when(~F.col("passes_quality"), "low_quality")
+        .when(~F.col("is_exact_canonical"), "exact_duplicate")
+        .when(~F.col("is_near_canonical"), "near_duplicate")
+        .when(F.col("is_contaminated"), "contaminated")
+        .otherwise("kept")
+        .alias("reason"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composite: the end-to-end keep/drop decision a
     training-data pipeline makes per document —

@@ -27,6 +27,7 @@ ROWS_ONLY_ALLOWED = {
     "q_embedding_near_dup_lsh",
     "q_winnowing_near_dup",
     "q_multimodal_feature_knn",
+    "q_curation_pipeline_full",
 }
 
 

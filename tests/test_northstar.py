@@ -403,3 +403,29 @@ def test_decontamination_flags_planted_overlap(spark):
     assert set(got) == {1}
     assert got[1].n_contaminated_grams == 2
     assert got[1].n_eval_docs_hit == 1
+
+
+def test_curation_pipeline_full_consistency(spark):
+    # Whole-engine composite: one decision row per document, reasons
+    # consistent with the component operators.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    rows = X.q_curation_pipeline_full(spark, SF).collect()
+    n_docs = 500
+    assert len(rows) == n_docs
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(r.reason, 0)
+        by_reason[r.reason] += 1
+        if r.keep:
+            assert r.reason == "kept"
+            assert r.passes_quality and r.is_exact_canonical
+            assert r.is_near_canonical and not r.is_contaminated
+        else:
+            assert r.reason != "kept"
+    # The corpus contains planted dups, so some docs must be dropped
+    # as duplicates and most kept.
+    assert by_reason.get("kept", 0) > n_docs // 2
+    assert (
+        by_reason.get("exact_duplicate", 0) + by_reason.get("near_duplicate", 0)
+    ) > 0
