@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_gap_fill",
     "q_curation_pipeline",
+    "q_curation_pipeline_full",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
@@ -127,7 +128,11 @@ def main() -> None:
     # Iterative queries (connected components: ~8 Spark jobs/round)
     # legitimately run past the default clean threshold — a higher one
     # stops them from burning retries on every bench run.
-    clean_sec = {"q_dedup_clusters": 5.0, "q_minhash_dedup_pipeline": 4.0}
+    clean_sec = {
+        "q_dedup_clusters": 5.0,
+        "q_minhash_dedup_pipeline": 4.0,
+        "q_curation_pipeline_full": 6.0,
+    }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
