@@ -478,7 +478,12 @@ def minhash_dedup_pipeline(
     actually deploys at corpus scale, with the exact-Jaccard operator
     (q_dedup_ngram_jaccard) relegated to spot-check duty.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    # Signatures feed three consumers (band join + both sides of the
+    # estimate join); localCheckpoint materializes the shingle+min-agg
+    # work ONCE instead of re-deriving it per consumer. The pipeline is
+    # already eager (the component loop runs driver-side), so the
+    # checkpoint does not change laziness semantics.
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint()
     cand = lsh_candidates_from_signatures(sig, max_bucket)
     s1 = sig.select(
         F.col("doc_id").alias("doc_id_1"), F.col("signature").alias("sig_1")
