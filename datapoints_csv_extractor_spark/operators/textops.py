@@ -215,8 +215,6 @@ def winnowing_near_dup(
     the join input is a fraction of the full shingle table. Input:
     (doc_id, fingerprint) from winnowing_fingerprints.
     """
-    from pyspark.sql import functions as F  # local alias for clarity
-
     fp = fp.distinct()
     hot = (
         fp.groupBy("fingerprint")
