@@ -1,0 +1,65 @@
+"""Document-corpus sources: JSONL + text-tree readers feed the
+LLM-pipeline operators with the canonical (doc_id, text, ...) frame."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.sources.documents import (
+    corrupt_line_stats,
+    read_documents_jsonl,
+    read_documents_text_tree,
+)
+from datapoints_csv_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _write_jsonl(path: Path, rows, corrupt_lines=()) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        for line in corrupt_lines:
+            f.write(line + "\n")
+
+
+def test_jsonl_reader_schema_and_corrupt_handling(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    _write_jsonl(
+        p,
+        [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon", "lang": "en"},
+            {"doc_id": 2, "text": "uno dos tres cuatro cinco", "lang": "es"},
+        ],
+        corrupt_lines=['{"doc_id": broken', "not json at all"],
+    )
+    clean = read_documents_jsonl(spark, str(p))
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].lang == "en"
+    # Explicit schema: no inference pass, stable column set.
+    assert clean.columns == ["doc_id", "text", "lang", "source"]
+
+    stats = corrupt_line_stats(spark, str(p)).collect()[0]
+    assert stats.n_lines == 4
+    assert stats.n_corrupt == 2
+
+
+def test_text_tree_reader_deterministic_ids(spark, tmp_path):
+    tree = tmp_path / "tree" / "sub"
+    tree.mkdir(parents=True)
+    (tree / "a.txt").write_text("alpha beta gamma delta epsilon zeta")
+    (tree / "b.txt").write_text("alpha beta gamma delta epsilon eta")
+    docs = read_documents_text_tree(spark, str(tmp_path / "tree"))
+    rows = docs.collect()
+    assert len(rows) == 2
+    assert all(r.source.endswith(".txt") for r in rows)
+    # Deterministic ids across reads.
+    again = {r.source: r.doc_id for r in docs.collect()}
+    assert {r.source: r.doc_id for r in rows} == again
+
+    # The canonical frame feeds the dedup operators directly.
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard > 0.4
