@@ -63,3 +63,24 @@ def test_text_tree_reader_deterministic_ids(spark, tmp_path):
     pairs = ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert len(pairs) == 1
     assert pairs[0].jaccard > 0.4
+
+
+def test_write_curated_corpus_partitioned_by_split(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.sinks.corpus import write_curated_corpus
+
+    out = tmp_path / "curated"
+    counts = write_curated_corpus(spark, "/root/testdata/sf0.001", str(out))
+    assert counts and sum(counts.values()) > 0
+    # Partitioned layout: split=... directories exist.
+    assert any(p.name.startswith("split=") for p in out.iterdir() if p.is_dir())
+    # Partition pruning: a split-filtered scan reads only its directory.
+    scan = spark.read.parquet(str(out)).where(F.col("split") == "train")
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "split" in plan
+    # Kept set excludes near-dup non-canonicals: strictly fewer rows
+    # than the raw corpus.
+    assert sum(counts.values()) < 500
