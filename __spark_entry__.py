@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dataset_split": X.q_dataset_split,
         "q_vocab_coverage": X.q_vocab_coverage,
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
+        "q_sequence_packing": X.q_sequence_packing,
     }
 
 
@@ -780,6 +781,21 @@ def oracle_sql() -> dict[str, str]:
                    n_distinct_tokens,
                    round(top_c * 1.0 / n_total_tokens, 4) AS top100_coverage
             FROM totals, top
+        """,
+        "q_sequence_packing": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(doc_id % 32 AS INT) AS pack_group,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, pack_group, n_tokens,
+                   (CAST(pack_group AS BIGINT) * 1000000 +
+                    CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY pack_group ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 2048) AS BIGINT)) AS pack_id
+            FROM t
         """,
         "q_dataset_split": """
             SELECT doc_id,

@@ -329,6 +329,47 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(
+    spark: SparkSession, sf_dir: str, token_budget: int = 2048, n_groups: int = 32
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a
+    training pack of ~``token_budget`` whitespace tokens — the
+    pre-tokenization packing step that turns a curated corpus into
+    fixed-size training sequences.
+
+    Scale shape: a single global running sum would serialize into one
+    partition, so documents first hash into ``n_groups`` independent
+    groups (deterministic: doc_id mod) and pack by cumulative token
+    count WITHIN their group — the windows parallelize per group and
+    the global pack id is (group, bucket). Deterministic ordering
+    (doc_id) makes the assignment reproducible across runs and engines.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.col("toks"))
+    g = (F.col("doc_id") % n_groups).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = d.select(
+        "doc_id", g.alias("pack_group"), n_tok.alias("n_tokens")
+    ).withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    pack_in_group = F.floor(F.col("tokens_before") / token_budget)
+    return staged.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        (F.col("pack_group").cast("long") * 1_000_000 + pack_in_group).alias(
+            "pack_id"
+        ),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals (the Gopher-style boilerplate filters a
     pretraining pipeline applies): the fraction of mass held by the

@@ -429,3 +429,31 @@ def test_curation_pipeline_full_consistency(spark):
     assert (
         by_reason.get("exact_duplicate", 0) + by_reason.get("near_duplicate", 0)
     ) > 0
+
+
+def test_sequence_packing_invariants(spark):
+    from collections import defaultdict
+
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    budget = 2048
+    rows = X.q_sequence_packing(spark, SF, token_budget=budget).collect()
+    assert len(rows) == 500
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.pack_group].append(r)
+    for g, docs in groups.items():
+        docs.sort(key=lambda r: r.doc_id)
+        # Packs are contiguous and non-decreasing in doc order.
+        pack_ids = [r.pack_id for r in docs]
+        assert pack_ids == sorted(pack_ids)
+        # Greedy cumsum packing: every pack is "full" (adding its first
+        # doc crossed the boundary), so a pack's token total can
+        # overshoot by at most its largest member and every non-final
+        # pack holds at least one boundary crossing.
+        totals = defaultdict(int)
+        for r in docs:
+            totals[r.pack_id] += r.n_tokens
+        per_pack = sorted(totals.items())
+        for pid, tot in per_pack[:-1]:
+            assert tot + max(r.n_tokens for r in docs) >= budget
