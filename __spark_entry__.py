@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_coverage": X.q_vocab_coverage,
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
         "q_sequence_packing": X.q_sequence_packing,
+        "q_dedup_incremental": D.q_dedup_incremental,
     }
 
 
@@ -790,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, pack_group, n_tokens,
-                   (CAST(pack_group AS BIGINT) * 1000000 +
+                   (CAST(pack_group AS BIGINT) * 1099511627776 +
                     CAST(floor(coalesce(sum(n_tokens) OVER (
                         PARTITION BY pack_group ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

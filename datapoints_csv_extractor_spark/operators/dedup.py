@@ -200,15 +200,27 @@ def q_dedup_ngram_jaccard(
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-permutation MinHash signature per document.
+    """32-permutation MinHash signature per document of the documents
+    table (see minhash_signatures_df)."""
+    sh = _doc_shingles(spark, sf_dir)
+    return _signatures_of_shingles(sh)
 
-    Shingle -> xxhash64 -> h' = |h| mod p, then min over
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """32-permutation MinHash signature per (doc_id, text) row."""
+    sh = docs.withColumn("toks", tokens(F.col("text"))).select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle")
+    )
+    return _signatures_of_shingles(sh)
+
+
+def _signatures_of_shingles(sh: DataFrame) -> DataFrame:
+    """Shingle -> xxhash64 -> h' = |h| mod p, then min over
     (a_i*h' + b_i) mod p per permutation, computed as 32 column-wise
     min aggregates after one explode — partial aggregation handles
     the combine map-side, so the shuffle carries one 32-long row per
     (doc, partition), not per shingle.
     """
-    sh = _doc_shingles(spark, sf_dir)
     h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_P)).alias("h")
     hashed = sh.select("doc_id", h)
     mins = [
@@ -239,12 +251,11 @@ def q_minhash_lsh_candidates(
     )
 
 
-def lsh_candidates_from_signatures(
-    sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET
-) -> DataFrame:
-    """Band-bucket candidate pairs from a (doc_id, signature) frame
-    (see q_minhash_lsh_candidates for semantics and the bucket cap)."""
-    bands = sig.select(
+def signature_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per LSH band per doc,
+    from a (doc_id, signature) frame. The unit the band store persists
+    and the band join shuffles: 8 small rows per document."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -263,6 +274,14 @@ def lsh_candidates_from_signatures(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidates_from_signatures(
+    sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Band-bucket candidate pairs from a (doc_id, signature) frame
+    (see q_minhash_lsh_candidates for semantics and the bucket cap)."""
+    bands = signature_bands(sig)
     hot = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("sz"))
@@ -527,8 +546,12 @@ def decontamination(
 
     Both sides reduce to DISTINCT k-gram hashes; the equijoin is
     blocked on the gram (a train doc only meets the eval docs it
-    actually overlaps), and the eval side is tiny relative to the
-    corpus, so at scale the gram join broadcasts the eval grams.
+    actually overlaps). No broadcast is FORCED on the eval side: an
+    eval set is usually parameter-sized, but nothing bounds it by
+    contract (the driver query uses 2% of the corpus), so the strategy
+    is left to AQE — it broadcasts when the gram frame actually is
+    small and falls back to a shuffle join when not, instead of
+    OOMing on a large eval set.
     Hot grams above ``max_gram_df`` in the TRAIN corpus are dropped
     (ubiquitous boilerplate is not evidence of contamination — the cap
     mirrors standard 13-gram decontamination practice of ignoring
@@ -559,7 +582,7 @@ def decontamination(
         F.col("doc_id").alias("eval_doc_id"), "gram_hash"
     )
     return (
-        tg.join(F.broadcast(eg), "gram_hash")
+        tg.join(eg, "gram_hash")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gram_hash").alias("n_contaminated_grams"),
@@ -576,3 +599,187 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 50 != 0),
         d.where(F.col("doc_id") % 50 == 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-shard-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+#
+# A production pipeline ingests shards daily and dedups each NEW shard
+# against the EXISTING corpus without recomputing the corpus — the
+# "new vs known" pattern of the reference's catalog cache mutated
+# across batches (/root/reference/csv-extractor/csv_extractor.py:151-154),
+# applied at corpus scale. The persisted state is the MinHash band
+# store:
+#
+#   <store>/signatures/     (doc_id, signature array<long>)   append-only
+#   <store>/bands/          (doc_id, band_id, band_hash)      append-only
+#   <store>/bucket_counts/  (band_id, band_hash, n)           rewritten
+#
+# Per-shard work is O(|shard| + candidates): signatures + bands for
+# the new docs only (one pass over the shard), an ASYMMETRIC band join
+# (new bands vs stored bands — the stored side is never re-derived
+# from text), plus the new-vs-new self join. Hot-bucket caps apply to
+# the MERGED bucket counts, so a bucket that goes hot across shards is
+# dropped from candidate generation even when no single shard makes it
+# hot. bucket_counts is an aggregate (≤8 distinct rows per doc, far
+# fewer after merge) — rewriting it per shard is the cheap part; the
+# big tables only ever append.
+
+
+def _store_exists(store_path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(store_path, "signatures", "_SUCCESS"))
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    est_threshold: float = 0.5,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Dedup a new (doc_id, text) shard against the persisted band
+    store, then fold the shard into the store.
+
+    Returns one row per duplicate relation found:
+      (doc_id, dup_of_doc_id, est_jaccard, dup_kind)
+    where ``dup_kind`` is 'known' (duplicate of an already-ingested
+    doc) or 'new' (duplicate inside this shard; doc_id > dup_of).
+    Verification is the signature-estimated Jaccard (fraction of
+    agreeing MinHash positions) — no text is ever re-read for either
+    side. doc_ids must be globally unique across shards (caller's
+    contract, same as any append-only fact table).
+    """
+    import os
+
+    spark = new_docs.sparkSession
+    sig_new = minhash_signatures_df(new_docs).localCheckpoint()
+    bands_new = signature_bands(sig_new).localCheckpoint()
+
+    counts_new = bands_new.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n")
+    )
+    has_store = _store_exists(store_path)
+    if has_store:
+        stored_counts = spark.read.parquet(
+            os.path.join(store_path, "bucket_counts")
+        )
+        counts_total = (
+            counts_new.unionByName(stored_counts)
+            .groupBy("band_id", "band_hash")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()  # computed before the store is rewritten
+        )
+    else:
+        counts_total = counts_new.localCheckpoint()
+    hot = counts_total.where(F.col("n") > max_bucket).select(
+        "band_id", "band_hash"
+    )
+    bands_new_f = bands_new.join(
+        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+    )
+
+    # New-vs-new candidates (within the shard).
+    a, b = bands_new_f.alias("a"), bands_new_f.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("dup_of_doc_id"),
+        )
+        .distinct()
+        .withColumn("dup_kind", F.lit("new"))
+    )
+
+    if has_store:
+        # New-vs-known: asymmetric — the stored side joins as-is, its
+        # signatures were computed when ITS shard arrived.
+        bands_known = spark.read.parquet(
+            os.path.join(store_path, "bands")
+        ).join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+        k = bands_known.alias("k")
+        cand_known = (
+            bands_new_f.alias("a")
+            .join(
+                k,
+                (F.col("a.band_id") == F.col("k.band_id"))
+                & (F.col("a.band_hash") == F.col("k.band_hash")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("k.doc_id").alias("dup_of_doc_id"),
+            )
+            .distinct()
+            .withColumn("dup_kind", F.lit("known"))
+        )
+        cand = cand_new.unionByName(cand_known)
+        sig_all = sig_new.unionByName(
+            spark.read.parquet(os.path.join(store_path, "signatures"))
+        )
+    else:
+        cand = cand_new
+        sig_all = sig_new
+
+    s1 = sig_new.select(
+        F.col("doc_id").alias("doc_id"), F.col("signature").alias("sig_1")
+    )
+    s2 = sig_all.select(
+        F.col("doc_id").alias("dup_of_doc_id"),
+        F.col("signature").alias("sig_2"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda x, y: x == y),
+                lambda x: x,
+            )
+        )
+        / F.lit(N_PERM)
+    )
+    verdicts = (
+        cand.join(s1, "doc_id")
+        .join(s2, "dup_of_doc_id")
+        .select(
+            "doc_id",
+            "dup_of_doc_id",
+            F.round(est, 4).alias("est_jaccard"),
+            "dup_kind",
+        )
+        .where(F.col("est_jaccard") >= est_threshold)
+        .localCheckpoint()  # materialize BEFORE the store mutates below
+    )
+
+    sig_new.write.mode("append").parquet(os.path.join(store_path, "signatures"))
+    bands_new.write.mode("append").parquet(os.path.join(store_path, "bands"))
+    # Rewrite via a staging dir: "overwrite" on the live path would
+    # delete the input of a plan that still has to read it.
+    staged = os.path.join(store_path, "bucket_counts_staged")
+    counts_total.write.mode("overwrite").parquet(staged)
+    final = os.path.join(store_path, "bucket_counts")
+    spark.read.parquet(staged).write.mode("overwrite").parquet(final)
+    return verdicts
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only): split the documents table into two
+    'daily shards' (first/second half by doc_id), ingest shard 1 to a
+    fresh scratch store, then return shard 2's verdicts against it —
+    the second ingest never recomputes shard 1's signatures."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_bandstore_{tag}")
+    shutil.rmtree(store, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    dedup_incremental(d.where(F.col("doc_id") <= cut), store).count()
+    return dedup_incremental(d.where(F.col("doc_id") > cut), store)

@@ -177,6 +177,8 @@ def q_multimodal_feature_knn(
         .select("feature")
         .first()
     )
+    if qrow is None:
+        raise ValueError(f"no blob found for query blob_id={query_blob_id}")
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     cos = F.round(cosine(F.col("feature"), qlit), 4)
     return (

@@ -19,12 +19,25 @@ block, collapsing O(n^2) to O(sum b_i^2).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
 
 _HYPERPLANE_BITS = 16
+
+
+def _require_row(row: Row | None, what: str) -> Row:
+    """Guard for driver-side parameter fetches: a missing query id or
+    an empty input frame raises a clear ValueError instead of the
+    TypeError that indexing None would produce."""
+    if row is None:
+        raise ValueError(f"no row found for {what}")
+    return row
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -70,7 +83,10 @@ def q_knn_brute_force(
     set is engine-independent.
     """
     e = load(spark, sf_dir, "embeddings")
-    qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     return (
@@ -118,8 +134,12 @@ def _hyperplanes(dim: int, n_bits: int) -> list[list[float]]:
     for _ in range(n_bits):
         row = []
         for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            row.append(((state % 2001) - 1000) / 1000.0)
+            # Full 2^64 modulus (the multiplier's design modulus) and
+            # HIGH bits only: low-order LCG bits have short periods, so
+            # deriving components from `state % 2001` correlates
+            # consecutive draws and weakens hyperplane independence.
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((((state >> 33) % 2001) - 1000) / 1000.0)
         planes.append(row)
     return planes
 
@@ -149,7 +169,14 @@ def embedding_near_dup_lsh_df(
     Input needs (vec_id, embedding); approximate, so rows-only at the
     driver + a planted-duplicate pytest.
     """
-    dim = len(e.select("embedding").first()[0])
+    first = e.select("embedding").first()
+    if first is None:
+        # Empty input: no pairs, and no dimension to derive planes
+        # from — return the (empty) output shape directly.
+        return e.sparkSession.createDataFrame(
+            [], "vec_id_1 long, vec_id_2 long, cosine double"
+        )
+    dim = len(first[0])
     vecs = e.select("vec_id", "embedding")
     planes = _hyperplanes(dim, n_bands * n_bits)
     band_structs = []
@@ -248,9 +275,14 @@ def ann_lsh_topk_df(
     Input needs (vec_id, label, embedding). Recall on data with real
     near-neighbors is asserted in pytest (planted-duplicate test;
     isotropic random data has no structure for LSH to exploit)."""
-    dim = len(e.select("embedding").first()[0])
+    dim = len(_require_row(e.select("embedding").first(), "any embedding row")[0])
     bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), dim, n_bits))
-    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select("embedding", "bucket").first()
+    qrow = _require_row(
+        bucketed.where(F.col("vec_id") == query_vec_id)
+        .select("embedding", "bucket")
+        .first(),
+        f"query vec_id={query_vec_id}",
+    )
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     qbucket = qrow[1]
     probes = [qbucket] + [qbucket ^ (1 << j) for j in range(n_bits)]
@@ -347,7 +379,10 @@ def ann_ivf_topk_df(
     centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
     assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
 
-    qrow = e.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
     qvec = [float(x) for x in qrow[0]]
 
     def _cos(a: list[float], b: list[float]) -> float:
@@ -374,11 +409,129 @@ def ann_ivf_topk_df(
     )
 
 
+def build_ivf_index(
+    e: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    n_train_iters: int = 2,
+) -> list[list[float]]:
+    """Build-once half of the IVF lifecycle: train the coarse quantizer
+    and PERSIST the index so queries never retrain.
+
+    Writes two parquet tables under ``index_dir``:
+
+    - ``centroids``: (cell, centroid) — parameter-sized (n_centroids
+      rows), read and collected by every query.
+    - ``assignments``: the input rows plus their ``cell``, partitioned
+      by cell on disk. A query probing n_probe cells then touches only
+      n_probe/n_centroids of the files — vector-space partition
+      pruning, the same mechanism as date-partition pruning on a fact
+      table. At 100 TB this runs once at ingest (or incrementally per
+      shard: assignment is a map-only column add against the stored
+      centroids); queries amortize it forever.
+
+    Returns the trained centroids (parameter-sized, for callers that
+    want to assign new shards without re-reading the centroid table).
+    """
+    centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
+    spark = e.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    return centroids
+
+
+def ann_ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query-once half of the IVF lifecycle: top-k over a PERSISTED
+    index, with zero training work in the plan.
+
+    Reads the parameter-sized centroid table, picks the ``n_probe``
+    nearest cells driver-side, then scans ONLY those cell partitions of
+    the assignment table (``cell`` is a partition column, so the filter
+    prunes at file-listing time — verified by the plan test). The scan
+    is a no-shuffle filter + TakeOrdered.
+    """
+    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF centroid table under {index_dir}")
+    centroids = {r["cell"]: [float(x) for x in r["centroid"]] for r in cent_rows}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos(query_vec, c)) for cid, c in centroids.items()),
+            key=lambda t: -t[1],
+        )[:n_probe]
+    ]
+    assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    out = assigned.where(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _default_index_dir(sf_dir: str) -> str:
+    """Per-dataset scratch location for the driver-facing indexed
+    query (build-once, query-many within a process/bench run)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
 ) -> DataFrame:
-    """Driver-facing IVF ANN over the embeddings table (rows-only)."""
-    return ann_ivf_topk_df(load(spark, sf_dir, "embeddings"), query_vec_id, k=k)
+    """Driver-facing IVF ANN over the embeddings table (rows-only).
+
+    Exercises the PERSISTED-index lifecycle: builds the index under a
+    per-dataset scratch dir if absent (once), then answers from the
+    stored centroids + cell-partitioned assignments — the query plan
+    contains no k-means work. Results are identical to the
+    self-contained ``ann_ivf_topk_df`` because the same deterministic
+    training produced the stored index.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    index_dir = _default_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "assignments", "_SUCCESS")
+    if not os.path.exists(marker):
+        build_ivf_index(e, index_dir)
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
+    return ann_ivf_topk_from_index(
+        spark,
+        index_dir,
+        [float(x) for x in qrow[0]],
+        k=k,
+        exclude_vec_id=query_vec_id,
+    )

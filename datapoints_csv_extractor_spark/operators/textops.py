@@ -329,8 +329,19 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence-packing parallelism target: each hash group's running-sum
+# window sorts and scans its docs serially, so groups should stay
+# around this many documents. 32 groups suffice for every test SF; a
+# 10B-doc corpus derives ~1000 groups instead of scanning 312M docs
+# per window partition.
+PACKING_DOCS_PER_GROUP = 10_000_000
+
+
 def q_sequence_packing(
-    spark: SparkSession, sf_dir: str, token_budget: int = 2048, n_groups: int = 32
+    spark: SparkSession,
+    sf_dir: str,
+    token_budget: int = 2048,
+    n_groups: int | None = 32,
 ) -> DataFrame:
     """Token-budget sequence packing: assign each document to a
     training pack of ~``token_budget`` whitespace tokens — the
@@ -343,8 +354,19 @@ def q_sequence_packing(
     count WITHIN their group — the windows parallelize per group and
     the global pack id is (group, bucket). Deterministic ordering
     (doc_id) makes the assignment reproducible across runs and engines.
+
+    ``n_groups=None`` derives the group count from the corpus size
+    (ceil(n_docs / PACKING_DOCS_PER_GROUP), floor 32) so window
+    parallelism scales with the data; the default stays a fixed 32 for
+    cross-engine oracle stability (the group assignment is part of the
+    output contract). Pack ids are ``pack_group * 2^40 + bucket`` —
+    disjoint id ranges up to 2^40 packs (~2200 tera-tokens) per group,
+    so ids cannot alias across groups.
     """
     d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    if n_groups is None:
+        n_docs = d.count()
+        n_groups = max(32, -(-n_docs // PACKING_DOCS_PER_GROUP))
     from pyspark.sql import Window
 
     n_tok = F.size(F.col("toks"))
@@ -364,7 +386,7 @@ def q_sequence_packing(
         "doc_id",
         "pack_group",
         "n_tokens",
-        (F.col("pack_group").cast("long") * 1_000_000 + pack_in_group).alias(
+        (F.col("pack_group").cast("long") * F.lit(1 << 40) + pack_in_group).alias(
             "pack_id"
         ),
     )

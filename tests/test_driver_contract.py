@@ -28,6 +28,7 @@ ROWS_ONLY_ALLOWED = {
     "q_winnowing_near_dup",
     "q_multimodal_feature_knn",
     "q_curation_pipeline_full",
+    "q_dedup_incremental",
 }
 
 

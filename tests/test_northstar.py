@@ -457,3 +457,199 @@ def test_sequence_packing_invariants(spark):
         per_pack = sorted(totals.items())
         for pid, tot in per_pack[:-1]:
             assert tot + max(r.n_tokens for r in docs) >= budget
+
+
+def test_sequence_packing_large_n_groups_and_derived(spark):
+    """Pack invariants must hold when window parallelism scales up
+    (n_groups=256 > n_docs/2) and on the size-derived path
+    (n_groups=None -> floor of 32 at test scale). Pack ids stay
+    disjoint across groups by the 2^40 stride."""
+    from collections import defaultdict
+
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    budget = 2048
+    for n_groups in (256, None):
+        rows = X.q_sequence_packing(
+            spark, SF, token_budget=budget, n_groups=n_groups
+        ).collect()
+        assert len(rows) == 500
+        eff = max(r.pack_group for r in rows) + 1
+        assert eff <= (256 if n_groups == 256 else 32)
+        groups = defaultdict(list)
+        for r in rows:
+            groups[r.pack_group].append(r)
+            # id stride: bucket lives strictly inside the group's range
+            assert r.pack_id >> 40 == r.pack_group
+        for g, docs in groups.items():
+            docs.sort(key=lambda r: r.doc_id)
+            pack_ids = [r.pack_id for r in docs]
+            assert pack_ids == sorted(pack_ids)
+            totals = defaultdict(int)
+            for r in docs:
+                totals[r.pack_id] += r.n_tokens
+            biggest = max(r.n_tokens for r in docs)
+            for pid, tot in sorted(totals.items())[:-1]:
+                assert tot + biggest >= budget
+
+
+def test_ivf_index_build_query_split(spark, tmp_path):
+    """The persisted-index lifecycle: build once, then queries must
+    (a) return the same top-k as the self-contained training variant,
+    (b) contain ZERO training work — no aggregate/join in the plan —
+    and (c) prune assignment partitions by cell (PartitionFilters)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, query)]
+    for i in range(1, 211):
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    for i in range(500, 510):
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivf")
+    V.build_ivf_index(e, index_dir, n_centroids=8, n_train_iters=2)
+
+    baseline = V.ann_ivf_topk_df(
+        e, query_vec_id=0, k=10, n_centroids=8, n_probe=4
+    ).collect()
+    indexed_df = V.ann_ivf_topk_from_index(
+        spark, index_dir, query, k=10, n_probe=4, exclude_vec_id=0
+    )
+    indexed = indexed_df.collect()
+    assert [(r.vec_id, r.cosine) for r in indexed] == [
+        (r.vec_id, r.cosine) for r in baseline
+    ]
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan, plan
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # Pruning must actually drop files: probing 4 of 8 cells reads
+    # fewer assignment files than exist.
+    import glob
+
+    n_files = len(glob.glob(f"{index_dir}/assignments/cell=*"))
+    assert n_files > 4  # data spans more cells than we probe
+
+
+def test_ivf_indexed_matches_planted_recall(spark, tmp_path):
+    """End-to-end driver-facing shape on planted near-dups: recall
+    through the persisted index matches the training variant."""
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, query)]
+    for i in range(1, 211):
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    planted = set(range(500, 510))
+    for i in planted:
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivf")
+    V.build_ivf_index(e, index_dir, n_centroids=8, n_train_iters=2)
+    got = [
+        r.vec_id
+        for r in V.ann_ivf_topk_from_index(
+            spark, index_dir, query, k=10, n_probe=2, exclude_vec_id=0
+        ).collect()
+    ]
+    recall = len(planted & set(got)) / 10
+    assert recall >= 0.8, f"planted near-dups missed: {sorted(set(got))}"
+
+
+def _mkdoc(i, seed_words):
+    return (i, " ".join(seed_words))
+
+
+def test_dedup_incremental_flags_dups_across_shards(spark, tmp_path):
+    """Second ingest must flag dups against the FIRST shard from the
+    persisted band store, without recomputing shard 1 (its signature
+    rows are appended once and byte-identical afterwards)."""
+    store = str(tmp_path / "bandstore")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    ).split()
+    other = (
+        "completely different content about distributed query engines "
+        "shuffling partitions across executors with adaptive plans and "
+        "columnar parquet scans pruned by predicate pushdown today"
+    ).split()
+    third = (
+        "a third unrelated narrative concerning alpine meadows filled "
+        "with wildflowers bees and the slow patient work of glaciers "
+        "carving valleys over countless quiet millennia again"
+    ).split()
+    shard1 = spark.createDataFrame(
+        [
+            _mkdoc(1, base),
+            _mkdoc(2, other),
+            _mkdoc(3, other[:-1] + ["tomorrow"]),  # near-dup of 2
+            _mkdoc(4, third),
+        ],
+        "doc_id long, text string",
+    )
+    v1 = D.dedup_incremental(shard1, store).collect()
+    assert {(r.doc_id, r.dup_of_doc_id, r.dup_kind) for r in v1} == {
+        (3, 2, "new")
+    }
+    sig_before = {
+        r.doc_id: r.signature
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert set(sig_before) == {1, 2, 3, 4}
+
+    shard2 = spark.createDataFrame(
+        [
+            _mkdoc(101, base[:-1] + ["stars"]),  # near-dup of known doc 1
+            _mkdoc(102, "fresh unique words " * 5 + "ending differently now"),
+        ],
+        "doc_id long, text string",
+    )
+    v2 = D.dedup_incremental(shard2, store).collect()
+    flagged = {(r.doc_id, r.dup_of_doc_id, r.dup_kind) for r in v2}
+    assert (101, 1, "known") in flagged, flagged
+    assert all(r.dup_kind == "known" for r in v2)
+
+    sig_after = {
+        r.doc_id: r.signature
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert set(sig_after) == {1, 2, 3, 4, 101, 102}
+    # Append-only: shard 1 signatures were not recomputed or rewritten.
+    for i in (1, 2, 3, 4):
+        assert sig_after[i] == sig_before[i]
+
+
+def test_dedup_incremental_hot_bucket_cap_merges_across_shards(spark, tmp_path):
+    """A bucket that only goes hot ACROSS shards must still be dropped:
+    ingest the same boilerplate doc under many ids in two shards with a
+    tiny max_bucket; the merged bucket_counts make the second ingest's
+    candidate generation skip the hot band buckets entirely."""
+    store = str(tmp_path / "bandstore")
+    boiler = (
+        "all rights reserved contact the webmaster for further details "
+        "terms of service apply to every page on this site always"
+    ).split()
+    shard1 = spark.createDataFrame(
+        [_mkdoc(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    D.dedup_incremental(shard1, store, max_bucket=12).count()
+    shard2 = spark.createDataFrame(
+        [_mkdoc(100 + i, boiler) for i in range(10)],
+        "doc_id long, text string",
+    )
+    v2 = D.dedup_incremental(shard2, store, max_bucket=12).collect()
+    # 10 stored + 10 new copies > 12 cap -> every band bucket of the
+    # boilerplate text is hot, so no candidates survive.
+    assert v2 == []
+    counts = spark.read.parquet(f"{store}/bucket_counts").collect()
+    assert all(r.n == 20 for r in counts)
