@@ -208,7 +208,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per (doc_id, text) row."""
-    sh = docs.withColumn("toks", tokens(F.col("text"))).select(
+    return minhash_signatures_from_toks(
+        docs.withColumn("toks", tokens(F.col("text")))
+    )
+
+
+def minhash_signatures_from_toks(docs_toks: DataFrame) -> DataFrame:
+    """Signatures from an ALREADY-TOKENIZED (doc_id, toks) frame — the
+    entry point composites use to share one tokenization pass across
+    consumers instead of re-tokenizing per stage."""
+    sh = docs_toks.select(
         "doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle")
     )
     return _signatures_of_shingles(sh)
@@ -497,12 +506,31 @@ def minhash_dedup_pipeline(
     actually deploys at corpus scale, with the exact-Jaccard operator
     (q_dedup_ngram_jaccard) relegated to spot-check duty.
     """
+    sig = minhash_signatures(spark, sf_dir)
+    return _minhash_dedup_from_signatures(sig, est_threshold, max_bucket)
+
+
+def minhash_dedup_pipeline_from_toks(
+    docs_toks: DataFrame,
+    est_threshold: float = 0.5,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The same end-to-end pipeline over a pre-tokenized (doc_id, toks)
+    frame (see minhash_dedup_pipeline; composites pass their shared
+    tokenized scan here)."""
+    sig = minhash_signatures_from_toks(docs_toks)
+    return _minhash_dedup_from_signatures(sig, est_threshold, max_bucket)
+
+
+def _minhash_dedup_from_signatures(
+    sig: DataFrame, est_threshold: float, max_bucket: int
+) -> DataFrame:
     # Signatures feed three consumers (band join + both sides of the
     # estimate join); localCheckpoint materializes the shingle+min-agg
     # work ONCE instead of re-deriving it per consumer. The pipeline is
     # already eager (the component loop runs driver-side), so the
     # checkpoint does not change laziness semantics.
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint()
+    sig = sig.localCheckpoint()
     cand = lsh_candidates_from_signatures(sig, max_bucket)
     s1 = sig.select(
         F.col("doc_id").alias("doc_id_1"), F.col("signature").alias("sig_1")
@@ -560,17 +588,29 @@ def decontamination(
     Inputs: (doc_id, text) frames. Output per contaminated train doc:
     number of distinct shared k-grams and of eval docs hit.
     """
-    def grams(d: DataFrame) -> DataFrame:
-        return (
-            d.withColumn("toks", tokens(F.col("text")))
-            .select(
-                "doc_id",
-                F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
-            )
-            .select("doc_id", F.xxhash64("gram").alias("gram_hash"))
-        )
+    return decontamination_from_toks(
+        train.withColumn("toks", tokens(F.col("text"))),
+        eval_set.withColumn("toks", tokens(F.col("text"))),
+        k,
+        max_gram_df,
+    )
 
-    tg = grams(train)
+
+def decontamination_from_toks(
+    train_toks: DataFrame,
+    eval_toks: DataFrame,
+    k: int = 8,
+    max_gram_df: int = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Decontamination over pre-tokenized (doc_id, toks) frames (see
+    decontamination; composites pass their shared tokenized scan)."""
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("gram_hash"))
+
+    tg = grams(train_toks)
     hot = (
         tg.groupBy("gram_hash")
         .agg(F.count("*").alias("df"))
@@ -578,7 +618,7 @@ def decontamination(
         .select("gram_hash")
     )
     tg = tg.join(F.broadcast(hot), "gram_hash", "left_anti")
-    eg = grams(eval_set).select(
+    eg = grams(eval_toks).select(
         F.col("doc_id").alias("eval_doc_id"), "gram_hash"
     )
     return (

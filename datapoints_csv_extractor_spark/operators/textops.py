@@ -443,15 +443,29 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — every stage individually scale-shaped, composed here exactly
     as a production pipeline deploys them. Rows-only at the driver
     (xxhash64 inside the MinHash stage).
+
+    The corpus is scanned and TOKENIZED exactly once: a
+    localCheckpointed (doc_id, text, toks) frame feeds the quality
+    predicates, the md5 window, the MinHash shingles (k=3), and the
+    decontamination grams (k=8). Without the shared frame each subtree
+    independently re-reads and re-tokenizes the corpus — 3 extra full
+    passes whose cost dominates at scale; materializing once trades
+    executor storage for those passes, the standard cache-reuse call
+    for a multi-consumer scan.
     """
     from pyspark.sql import Window
 
     from datapoints_csv_extractor_spark.operators.dedup import (
-        minhash_dedup_pipeline,
-        q_decontamination,
+        decontamination_from_toks,
+        minhash_dedup_pipeline_from_toks,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("toks", tokens(F.col("text")))
+        .localCheckpoint()
+    )
     text_len = F.length("text")
     n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
     passes_quality = (text_len >= 20) & (
@@ -463,12 +477,13 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         passes_quality.alias("passes_quality"),
         (F.col("doc_id") == exact_canonical).alias("is_exact_canonical"),
     )
-    clusters = minhash_dedup_pipeline(spark, sf_dir).select(
-        "doc_id", F.col("canonical_doc_id").alias("near_canonical")
-    )
-    contaminated = q_decontamination(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("is_contaminated")
-    )
+    clusters = minhash_dedup_pipeline_from_toks(
+        d.select("doc_id", "toks")
+    ).select("doc_id", F.col("canonical_doc_id").alias("near_canonical"))
+    contaminated = decontamination_from_toks(
+        d.where(F.col("doc_id") % 50 != 0).select("doc_id", "toks"),
+        d.where(F.col("doc_id") % 50 == 0).select("doc_id", "toks"),
+    ).select("doc_id", F.lit(True).alias("is_contaminated"))
     out = (
         flagged.join(clusters, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
