@@ -228,6 +228,9 @@ def start_live_ingest(
             delete_on_success=delete_on_success,
         )
         stats["deferred_unsettled"] = len(unsettled)
+        # A real FILE count for the available_csv_files gauge (this
+        # trigger's candidate set: newly listed + previously deferred).
+        stats["available_files"] = len(candidates)
         if on_batch is not None:
             on_batch(batch_id, stats)
 

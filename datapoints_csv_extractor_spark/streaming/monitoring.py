@@ -89,6 +89,7 @@ class PrometheusExporter:
         "available_csv_files": "Number of csv files in the folder that could be processed by the extractor",
         "unprocessed_files": "Number of csv files that remains to be processed in this batch",
         "successfully_processed_files": "Number of csv files that has been successfully processed in this batch",
+        "input_rows_last_batch": "Number of input rows in the most recent micro-batch",
     }
 
     def __init__(
@@ -124,22 +125,34 @@ class PrometheusExporter:
         self.set_gauge("posted_time_series_count", stats.get("series", 0))
         self.set_gauge("successfully_processed_files", stats.get("files", 0))
         self.set_gauge("unprocessed_files", stats.get("deferred_unsettled", 0))
+        if "available_files" in stats:
+            # Only callers that actually COUNT files feed this gauge —
+            # its HELP text promises csv files, not rows.
+            self.set_gauge("available_csv_files", stats["available_files"])
 
     def record_failure(self, n_files: int = 1) -> None:
         self.incr("failed_processing_files", n_files)
 
+    @staticmethod
+    def _escape_label(value: str) -> str:
+        """Label-value escaping per the exposition spec: backslash,
+        double quote, and newline must be escaped or the rendered text
+        is invalid and scrapes fail."""
+        return (
+            value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        )
+
     def render(self) -> str:
         """Standard text exposition format (one HELP/TYPE block per
         metric, ``namespace_name{project_name="..."} value``)."""
+        label = self._escape_label(self.project_name)
         lines: list[str] = []
         for name, help_text in {**self.COUNTERS, **self.GAUGES}.items():
             full = f"{self.namespace}_{name}"
             kind = "counter" if name in self.COUNTERS else "gauge"
             lines.append(f"# HELP {full} {help_text}")
             lines.append(f"# TYPE {full} {kind}")
-            lines.append(
-                f'{full}{{project_name="{self.project_name}"}} {self.values[name]}'
-            )
+            lines.append(f'{full}{{project_name="{label}"}} {self.values[name]}')
         return "\n".join(lines) + "\n"
 
     def push(self) -> None:
@@ -175,9 +188,12 @@ class PrometheusExporter:
 
     def publish(self, rec: dict) -> None:
         """IngestMetricsListener-compatible hook: gauge the stream's
-        progress signals, then push."""
+        progress signals, then push. numInputRows counts ROWS, so it
+        feeds the rows gauge — available_csv_files (a file count by
+        its HELP contract) is only set by callers that count files
+        (record_batch with ``available_files``)."""
         if rec.get("event") == "progress":
-            self.set_gauge("available_csv_files", rec.get("num_input_rows", 0))
+            self.set_gauge("input_rows_last_batch", rec.get("num_input_rows", 0))
         self.push()
 
 

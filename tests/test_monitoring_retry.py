@@ -121,3 +121,31 @@ def test_prometheus_exporter_push_never_raises():
 
     exp = PrometheusExporter(sender=broken_sender)
     exp.push()  # must log, not raise (metrics never take down ingest)
+
+
+def test_prometheus_label_escaping_and_row_gauge():
+    """Exposition-spec escaping: quote/backslash/newline in the project
+    label must render escaped; numInputRows feeds the rows gauge, not
+    the file-count gauge (whose HELP text promises csv files)."""
+    from datapoints_csv_extractor_spark.streaming.monitoring import (
+        PrometheusExporter,
+    )
+
+    pushes: list[str] = []
+    exp = PrometheusExporter(
+        project_name='we"ird\\proj\nname',
+        sender=lambda job, body: pushes.append(body),
+    )
+    exp.publish({"event": "progress", "num_input_rows": 7})
+    body = pushes[-1]
+    assert 'project_name="we\\"ird\\\\proj\\nname"' in body
+    assert "\nname" not in body.split("# HELP")[0]  # no raw newline in labels
+    for line in body.splitlines():
+        assert line.startswith("#") or "{" in line  # every sample line parses
+    assert 'input_rows_last_batch{project_name="we\\"ird\\\\proj\\nname"} 7.0' in body
+    # available_csv_files untouched by row counts...
+    assert 'available_csv_files{project_name="we\\"ird\\\\proj\\nname"} 0.0' in body
+    # ...and fed only by a real file count.
+    exp.record_batch({"files": 2, "available_files": 5})
+    assert "available_csv_files" in exp.values
+    assert exp.values["available_csv_files"] == 5.0
