@@ -7,14 +7,21 @@ Here the catalog is a small parquet dimension table:
 - ``load_catalog`` -> the dimension DataFrame (empty-but-typed when
   the store doesn't exist yet), always broadcastable downstream.
 - ``append_missing`` -> the per-batch upsert: distinct observed ids,
-  broadcast LEFT ANTI vs the store, append only the new rows. For a
-  single writer (the reference's deployment model) append-only is
-  atomic enough; concurrent writers need a transactional format's
-  MERGE (SURVEY.md §7 "what's hard" #5 documents the caveat).
+  broadcast LEFT ANTI vs the store, append only the new rows. The
+  check-then-append critical section is serialized by an exclusive
+  lock file (O_CREAT|O_EXCL — atomic on POSIX and the create-if-absent
+  primitive object stores emulate), so concurrent writers converge to
+  the union instead of double-creating series that race the membership
+  probe. Locks abandoned by a crashed writer are taken over after
+  ``stale_after``. A transactional table format's MERGE (Delta/
+  Iceberg) is the production-grade replacement at fleet scale; the
+  lock file keeps plain parquet correct for a handful of writers.
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
 import time
 from pathlib import Path
 
@@ -66,6 +73,45 @@ def load_catalog_with_retry(
     raise SystemExit(1) from last_error
 
 
+@contextlib.contextmanager
+def catalog_lock(
+    path: str | Path,
+    timeout: float = 30.0,
+    stale_after: float = 120.0,
+    sleep=time.sleep,
+):
+    """Exclusive advisory lock for the catalog's check-then-append
+    critical section. ``<path>.lock`` is created with O_CREAT|O_EXCL
+    (atomic create-if-absent); contenders spin with a short sleep until
+    ``timeout``. A lock older than ``stale_after`` is presumed
+    abandoned by a crashed writer and broken — the unlink+retry race
+    is itself safe because creation stays atomic."""
+    lock = f"{path}.lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            with contextlib.suppress(FileNotFoundError):
+                if time.time() - os.path.getmtime(lock) > stale_after:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(lock)
+                    continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"catalog lock {lock} still held after {timeout}s"
+                )
+            sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock)
+
+
 def append_missing(
     spark: SparkSession, datapoints: DataFrame, path: str | Path
 ) -> int:
@@ -75,13 +121,18 @@ def append_missing(
     scan): the new rows are tiny (bounded by distinct new series per
     batch), so a local checkpointless ``collect``-free write + count
     via ``observe`` would be overkill — we just cache the small frame.
+
+    The load-probe-append sequence holds ``catalog_lock`` so two
+    writers can't both miss the same series and append it twice —
+    interleaved appends converge to the union of their series.
     """
-    catalog = load_catalog(spark, path)
-    new_rows = missing_series(datapoints, catalog).cache()
-    try:
-        n_new = new_rows.count()
-        if n_new:
-            new_rows.write.mode("append").parquet(str(path))
-        return n_new
-    finally:
-        new_rows.unpersist()
+    with catalog_lock(path):
+        catalog = load_catalog(spark, path)
+        new_rows = missing_series(datapoints, catalog).cache()
+        try:
+            n_new = new_rows.count()
+            if n_new:
+                new_rows.write.mode("append").parquet(str(path))
+            return n_new
+        finally:
+            new_rows.unpersist()

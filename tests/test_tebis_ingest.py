@@ -237,3 +237,66 @@ def test_very_wide_file(spark, tmp_path):
     assert by_file[1550092560] == 150 * 20
     assert by_file[1550092620] == 2 * 20
     assert dp.select("external_id").distinct().count() == 152
+
+
+def test_append_missing_concurrent_writers_converge(spark, tmp_path):
+    """Two writers appending interleaved batches (overlapping series)
+    must converge to the union with no series lost AND none
+    double-created — the lock serializes the check-then-append."""
+    import threading
+
+    from datapoints_csv_extractor_spark.sinks.catalog_store import (
+        append_missing,
+        load_catalog,
+    )
+
+    path = str(tmp_path / "catalog")
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(series: list[str]) -> None:
+        try:
+            dps = spark.createDataFrame(
+                [(s, f"name_{s}", 1700000000000, 1.0) for s in series],
+                "external_id string, name string, ts_ms long, value double",
+            )
+            barrier.wait()
+            append_missing(spark, dps, path)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    # Overlap: B is in both writers' batches — the race target.
+    t1 = threading.Thread(target=writer, args=(["A", "B", "C"],))
+    t2 = threading.Thread(target=writer, args=(["B", "D"],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    rows = load_catalog(spark, path).collect()
+    ids = sorted(r.external_id for r in rows)
+    assert ids == ["A", "B", "C", "D"], ids  # union, and B exactly once
+
+
+def test_catalog_lock_stale_takeover_and_timeout(tmp_path):
+    import os
+    import time as _time
+
+    from datapoints_csv_extractor_spark.sinks.catalog_store import catalog_lock
+
+    path = str(tmp_path / "catalog")
+    lock = f"{path}.lock"
+    # Abandoned lock (old mtime) is broken and taken over.
+    with open(lock, "w") as f:
+        f.write("999999")
+    old = _time.time() - 600
+    os.utime(lock, (old, old))
+    with catalog_lock(path, timeout=1.0, stale_after=120.0):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    # A FRESH foreign lock times out instead of being broken.
+    with open(lock, "w") as f:
+        f.write("999999")
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        with catalog_lock(path, timeout=0.3, stale_after=120.0, sleep=lambda s: None):
+            pass
+    os.unlink(lock)
