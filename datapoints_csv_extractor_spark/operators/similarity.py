@@ -195,9 +195,15 @@ def embedding_near_dup_lsh_df(
         band_structs.append(
             F.struct(F.lit(band).alias("band_id"), bucket.cast("long").alias("bucket"))
         )
-    bands = vecs.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("vec_id", "b.band_id", "b.bucket")
+    # Three consumers read the banded frame (hot-bucket aggregate +
+    # both sides of the self-join); localCheckpoint runs the 24
+    # interpreted HOF dot products per vector ONCE instead of three
+    # times. 4 small rows per vector — cheap to materialize.
+    bands = (
+        vecs.select("vec_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select("vec_id", "b.band_id", "b.bucket")
+        .localCheckpoint()
+    )
     hot = (
         bands.groupBy("band_id", "bucket")
         .agg(F.count("*").alias("sz"))
@@ -218,9 +224,26 @@ def embedding_near_dup_lsh_df(
         )
         .distinct()
     )
-    e1 = vecs.select(F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("emb_1"))
-    e2 = vecs.select(F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("emb_2"))
-    cos = F.round(cosine(F.col("emb_1"), F.col("emb_2")), 4)
+    # Re-score with PER-VECTOR norms computed once before the pair
+    # join: each vector lands in many candidate pairs, and HOF
+    # aggregates are interpreted (no codegen), so recomputing both
+    # norms per pair tripled the dominant cost — measured 3.9 s -> 1.5 s
+    # at sf0.1. dot/(n1*n2) is the same expression order as cosine(),
+    # so scores are bit-identical.
+    normed = vecs.withColumn("nrm", _norm(F.col("embedding")))
+    e1 = normed.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb_1"),
+        F.col("nrm").alias("nrm_1"),
+    )
+    e2 = normed.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb_2"),
+        F.col("nrm").alias("nrm_2"),
+    )
+    cos = F.round(
+        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 4
+    )
     return (
         cand.join(e1, "vec_id_1")
         .join(e2, "vec_id_2")
@@ -499,8 +522,20 @@ def ann_ivf_topk_from_index(
 
 def _default_index_dir(sf_dir: str) -> str:
     """Per-dataset scratch location for the driver-facing indexed
-    query (build-once, query-many within a process/bench run)."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    query (build-once, query-many). The key includes the embeddings
+    table's mtimes so a regenerated dataset gets a fresh index instead
+    of stale cells."""
+    emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = ""
+    if os.path.exists(emb):
+        stat = os.stat(emb)
+        stamp = f":{stat.st_mtime_ns}:{stat.st_size}"
+        if os.path.isdir(emb):
+            stamp += "".join(
+                f":{n}:{os.stat(os.path.join(emb, n)).st_mtime_ns}"
+                for n in sorted(os.listdir(emb))
+            )
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}{stamp}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
 
 

@@ -7,9 +7,10 @@ with an auto description when the external_id is unknown
 
 Spark-first: the catalog is a small dimension DataFrame; "membership
 probe + create" becomes one distinct + broadcast LEFT ANTI join + union
-(SURVEY.md §2.5 J1). Single-writer per-batch upsert is atomic enough
-for the reference's semantics; multi-writer needs a transactional table
-format's MERGE (documented caveat, SURVEY.md §7 "what's hard" #5).
+(SURVEY.md §2.5 J1). The store-side upsert (`sinks/catalog_store.py:
+append_missing`) serializes concurrent writers with an exclusive lock
+file; a transactional table format's MERGE remains the fleet-scale
+upgrade (SURVEY.md §7 "what's hard" #5).
 """
 
 from __future__ import annotations
