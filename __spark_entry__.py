@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
         "q_sequence_packing": X.q_sequence_packing,
         "q_dedup_incremental": D.q_dedup_incremental,
+        "q_tfidf_top_terms": X.q_tfidf_top_terms,
+        "q_unigram_logprob": X.q_unigram_logprob,
+        "q_token_chunks": X.q_token_chunks,
     }
 
 
@@ -765,6 +768,75 @@ def oracle_sql() -> dict[str, str]:
                    round((len(bgs) - len(list_distinct(bgs))) * 1.0 / len(bgs),
                          4) AS dup_bigram_fraction
             FROM b
+        """,
+        "q_tfidf_top_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, unnest(toks) AS token FROM t
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM pairs GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+                FROM tf JOIN df USING (token), n
+            )
+            SELECT doc_id, rank, token, tf, tfidf
+            FROM (
+                SELECT doc_id, token, tf, tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, token
+                       ) AS INT) AS rank
+                FROM scored
+            )
+            WHERE rank <= 3
+        """,
+        "q_unigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, unnest(toks) AS token FROM t
+            ), counts AS (
+                SELECT token, count(*) AS cnt FROM pairs GROUP BY token
+            ), total AS (
+                SELECT count(*) AS total FROM pairs
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(CAST(sum(CAST(round(ln(cnt * 1.0 / total), 6) AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*), 4) AS mean_token_logprob
+            FROM pairs JOIN counts USING (token), total
+            GROUP BY doc_id
+        """,
+        "q_token_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       1 + CAST(ceil(greatest(len(toks) - 128, 0) / 96.0) AS INT) AS n_chunks
+                FROM t
+                WHERE len(toks) > 0
+            ), exploded AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_idx
+                FROM sized
+            )
+            SELECT doc_id, chunk_idx,
+                   chunk_idx * 96 + 1 AS start_token,
+                   len(toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128]) AS chunk_n_tokens,
+                   md5(array_to_string(toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128], ' ')) AS chunk_hash
+            FROM exploded
         """,
         "q_vocab_coverage": """
             WITH tok AS (

@@ -557,3 +557,124 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("reason"),
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document — the classic salient-
+    term extraction a corpus-analysis pass runs (tagging, clustering
+    features, search-index previews).
+
+    tf counts shuffle once on (doc_id, token) with map-side combine;
+    document frequency is one more aggregate over the distinct pairs
+    (no second scan of the text); idf = ln((N+1)/(df+1)) with the +1
+    smoothing that keeps corpus-wide terms finite. The per-doc top-k
+    is a rank window over the scored pairs — rows by then are a few
+    per (doc, distinct token), not per occurrence. Ties break on token
+    text so the cut is engine-independent.
+
+    The doc count N is parameter-sized and joins in as a 1-row
+    broadcast (same shape as q_vocab_coverage's totals join).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    pairs = d.select("doc_id", F.explode(F.col("toks")).alias("token"))
+    tf = pairs.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "token", F.col("tf").alias("tf"), "tfidf")
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score per document: the mean unigram log
+    probability of its tokens under the corpus's own unigram model —
+    the cheap perplexity proxy (CCNet-style) pipelines use to rank
+    documents by "typicality" before an expensive model pass.
+
+    Two aggregates: corpus token counts (one shuffle, map-side
+    combined), then token-level explode joined to the counts and
+    folded per doc. The counts table has one row per DISTINCT token —
+    not broadcastable at corpus scale, so the join strategy is left to
+    AQE. Per-token log-probs are rounded to 6 dp and summed as
+    DECIMAL(18,6) so the per-doc sum is order-independent and
+    engine-exact (double summation order differs between engines).
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    pairs = d.select("doc_id", F.explode(F.col("toks")).alias("token"))
+    counts = pairs.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = pairs.select(F.count("*").alias("total"))
+    lp = F.round(
+        F.log(F.col("cnt") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    return (
+        pairs.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # The exact decimal sum casts to double BEFORE dividing:
+            # decimal-division precision/scale rules differ between
+            # engines, double division does not.
+            F.round(
+                F.sum(lp).cast("double") / F.count("*"), 4
+            ).alias("mean_token_logprob"),
+        )
+    )
+
+
+def q_token_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window - stride) — the context-window chunking step that prepares
+    long documents for fixed-length training or embedding.
+
+    Chunk count = 1 + ceil(max(n - window, 0) / stride) (the last
+    chunk may be short; every token lands in >= 1 chunk). One explode
+    per chunk, per-row HOF slicing, NO shuffle — embarrassingly
+    parallel at any scale. The chunk content is fingerprinted (md5 of
+    the space-joined slice) so results stay compact and verifiable.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    n = F.size(F.col("toks"))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    d2 = d.where(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride + 1
+    chunk = F.slice(F.col("toks"), start, window)
+    return d2.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_token"),
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
