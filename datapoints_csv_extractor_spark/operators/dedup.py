@@ -448,19 +448,22 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for round_no in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         # The update join already sees old and new labels side by side,
-        # so convergence rides along as a boolean column — the probe
-        # below is a filter over the checkpointed result, not the extra
-        # old-vs-new join a naive fixpoint check would add per round.
+        # so convergence rides along as a boolean column, and the probe
+        # is an Observation collected FROM THE CHECKPOINT JOB itself —
+        # one Spark job per round total, no separate count action.
         proposed = F.least(
             F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
         )
+        obs = Observation(f"cc_round_{round_no}")
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -468,11 +471,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 proposed.alias("new_label"),
                 (proposed < F.col("label")).alias("changed"),
             )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("n_changed"))
             .localCheckpoint()
         )
-        changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     return labels.select("doc_id", F.col("label").alias("canonical_doc_id"))
 
