@@ -183,3 +183,47 @@ def stream_dedup_exact(
     return datapoints.withWatermark(
         "event_time", watermark
     ).dropDuplicatesWithinWatermark(["external_id", "ts_ms", "value"])
+
+
+def stream_dedup_incremental(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    est_threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuous corpus ingestion with shard-vs-corpus dedup: each
+    micro-batch of (doc_id, text) documents is deduped against the
+    persisted MinHash band store (``operators/dedup.py:
+    dedup_incremental`` — asymmetric new-vs-known band join, no
+    recomputation of prior shards) and then folded into the store.
+
+    This is the streaming composition of the reference's "new vs
+    known" catalog pattern (csv_extractor.py:151-154) applied to
+    corpus dedup: the file-source checkpoint guarantees each shard is
+    ingested into the store exactly once across restarts, the store
+    itself is the cross-batch state (no in-memory state to bound), and
+    per-batch work is O(|shard| + candidates).
+
+    ``on_batch(batch_id, verdicts_df)`` receives each batch's verdict
+    frame (already materialized via localCheckpoint, so callers may
+    collect or write it without re-triggering the dedup).
+    """
+    from datapoints_csv_extractor_spark.operators.dedup import dedup_incremental
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return  # nothing to fold in; don't append empty shards
+        verdicts = dedup_incremental(batch_df, store_path, est_threshold)
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("corpus_dedup_incremental")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

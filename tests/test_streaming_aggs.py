@@ -243,3 +243,68 @@ def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
     assert sorted(emitted) == [
         ("s1", t0, 1.0), ("s1", t0 + 1000, 2.0), ("s2", t0 + 2000, 3.0)
     ]
+
+
+def test_stream_dedup_incremental_across_restarts(spark, tmp_path):
+    """Two availableNow runs over a growing document folder: the second
+    run must process ONLY the new shard (file-source checkpoint), flag
+    its near-dups against shard 1 from the persisted band store, and
+    leave shard 1's stored signatures untouched."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    store = str(tmp_path / "bandstore")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "shuffling partitions across executors with adaptive plans"
+    )
+    spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    batches: list[tuple[int, list]] = []
+    q = stream_dedup_incremental(
+        stream, store, ckpt,
+        on_batch=lambda bid, v: batches.append((bid, v.collect())),
+    )
+    q.awaitTermination(120)
+    assert all(not rows for _, rows in batches)  # no dups inside shard 1
+    sig1 = {
+        r.doc_id: r.signature
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert set(sig1) == {1, 2}
+
+    # Shard 2: a near-copy of doc 1 plus a unique doc.
+    spark.createDataFrame(
+        [(101, base.replace("pale", "dark")), (102, "entirely novel words here today")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    batches.clear()
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q2 = stream_dedup_incremental(
+        stream2, store, ckpt,
+        on_batch=lambda bid, v: batches.append((bid, v.collect())),
+    )
+    q2.awaitTermination(120)
+    flagged = {
+        (r.doc_id, r.dup_of_doc_id, r.dup_kind)
+        for _, rows in batches
+        for r in rows
+    }
+    assert (101, 1, "known") in flagged, flagged
+    sig2 = {
+        r.doc_id: r.signature
+        for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert set(sig2) == {1, 2, 101, 102}
+    assert sig2[1] == sig1[1] and sig2[2] == sig1[2]
