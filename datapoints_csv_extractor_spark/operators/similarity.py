@@ -570,3 +570,31 @@ def ann_ivf_topk(
         k=k,
         exclude_vec_id=query_vec_id,
     )
+
+
+def assign_to_ivf_index(new_vecs: DataFrame, index_dir: str) -> None:
+    """Fold a NEW embedding shard into a persisted IVF index without
+    retraining: read the parameter-sized centroid table, assign each
+    new vector to its nearest cell (map-only, broadcast centroid
+    literals — no join, no shuffle), and APPEND to the cell-partitioned
+    assignment table. Prior shards are never touched — the ANN
+    counterpart of dedup_incremental's band-store append, completing
+    the ingest-once/query-many lifecycle for continuously arriving
+    embeddings. Centroid drift over many shards is handled by periodic
+    ``build_ivf_index`` rebuilds (standard IVF practice), not per-shard
+    retraining.
+    """
+    spark = new_vecs.sparkSession
+    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF centroid table under {index_dir}")
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    assigned = new_vecs.withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assignments")
+    )

@@ -653,3 +653,46 @@ def test_dedup_incremental_hot_bucket_cap_merges_across_shards(spark, tmp_path):
     assert v2 == []
     counts = spark.read.parquet(f"{store}/bucket_counts").collect()
     assert all(r.n == 20 for r in counts)
+
+
+def test_ivf_incremental_shard_assignment(spark, tmp_path):
+    """A shard appended via assign_to_ivf_index must be queryable from
+    the stored index with no retraining: near-dups of the query planted
+    ONLY in the second shard are found, and shard 1's assignment files
+    are untouched (append-only)."""
+    import glob
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    shard1 = [(0, 0, query)] + [
+        (i, 1, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 211)
+    ]
+    e1 = spark.createDataFrame(
+        shard1, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivf")
+    V.build_ivf_index(e1, index_dir, n_centroids=8, n_train_iters=2)
+    files_before = set(glob.glob(f"{index_dir}/assignments/cell=*/*.parquet"))
+
+    planted = list(range(500, 510))
+    shard2 = [
+        (i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]) for i in planted
+    ]
+    e2 = spark.createDataFrame(
+        shard2, "vec_id long, label int, embedding array<double>"
+    )
+    V.assign_to_ivf_index(e2, index_dir)
+
+    files_after = set(glob.glob(f"{index_dir}/assignments/cell=*/*.parquet"))
+    assert files_before < files_after  # append-only: old files intact
+
+    got = [
+        r.vec_id
+        for r in V.ann_ivf_topk_from_index(
+            spark, index_dir, query, k=10, n_probe=2, exclude_vec_id=0
+        ).collect()
+    ]
+    recall = len(set(planted) & set(got)) / 10
+    assert recall >= 0.8, f"shard-2 planted near-dups missed: {sorted(set(got))}"
