@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": X.q_tfidf_top_terms,
         "q_unigram_logprob": X.q_unigram_logprob,
         "q_token_chunks": X.q_token_chunks,
+        "q_knn_multi": V.q_knn_multi,
     }
 
 
@@ -733,6 +734,32 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "q_knn_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_vec_id, e.vec_id, e.label,
+                       round(
+                           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) AS cosine
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_vec_id
+            )
+            SELECT query_vec_id, rank, vec_id, label, cosine
+            FROM (
+                SELECT query_vec_id, vec_id, label, cosine,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id
+                       ) AS INT) AS rank
+                FROM scored
+            )
+            WHERE rank <= 10
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

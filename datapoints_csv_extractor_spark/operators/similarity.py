@@ -598,3 +598,47 @@ def assign_to_ivf_index(new_vecs: DataFrame, index_dir: str) -> None:
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "assignments")
     )
+
+
+def q_knn_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Batched exact kNN: top-``k`` cosine neighbors for a SET of
+    query vectors (vec_id < ``n_queries``) in ONE corpus scan — the
+    retrieval shape evaluation harnesses run (many probes against one
+    index) where per-query scans would cost Q passes.
+
+    The query side is parameter-sized (``n_queries`` rows) and joins
+    as a broadcast nested loop — each corpus row scores against the
+    broadcast probe set, so the fact table is still scanned exactly
+    once with no shuffle before the per-query top-k window. Ties break
+    on vec_id over the rounded score (engine-independent cut).
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("query_embedding")), 4)
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_vec_id"))
+        .select(
+            "query_vec_id",
+            "vec_id",
+            "label",
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_vec_id", "rank", "vec_id", "label", "cosine")
+    )

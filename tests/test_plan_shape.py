@@ -208,6 +208,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_vocab_coverage",   # 1-row x 1-row singleton-aggregate cross join
         "q_tfidf_top_terms",  # 1-row doc-count aggregate broadcast
         "q_unigram_logprob",  # 1-row token-total aggregate broadcast
+        "q_knn_multi",        # n_queries-row probe set broadcast
     }
 
     offenders = {}
