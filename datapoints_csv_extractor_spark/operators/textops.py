@@ -286,19 +286,39 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment by hashed id — the
-    reproducible-split idiom (hash-mod, not RNG: stable across runs,
-    engines, and corpus growth; a doc's split never depends on what
-    else is in the dataset). md5's first two hex chars partition
-    [00..ff] into ~80/10/10; pure projection, no shuffle, and the same
-    expression runs verbatim in any engine for audit."""
-    d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
+def quality_passes(text: Column) -> Column:
+    """The pipeline's cheap quality gate (shared by the curation
+    composites and the shard-ingest plan): minimum length and a
+    punctuation-ratio ceiling."""
+    text_len = F.length(text)
+    n_punct = text_len - F.length(F.regexp_replace(text, r"[^0-9A-Za-z\s]", ""))
+    return (text_len >= 20) & (
+        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3
+    )
+
+
+def split_assignment(doc_id: Column) -> Column:
+    """Deterministic train/val/test split by hashed id (~80/10/10) —
+    hash-mod, not RNG: stable across runs, engines, and corpus growth."""
+    bucket = F.substring(F.md5(doc_id.cast("string")), 1, 2)
+    return (
         F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
     )
-    return d.select("doc_id", bucket.alias("hash_bucket"), split.alias("split"))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id — the
+    reproducible-split idiom (see split_assignment). md5's first two
+    hex chars partition [00..ff] into ~80/10/10; pure projection, no
+    shuffle, and the same expression runs verbatim in any engine for
+    audit."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("hash_bucket"),
+        split_assignment(F.col("doc_id")).alias("split"),
+    )
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,3 +84,68 @@ def test_write_curated_corpus_partitioned_by_split(spark, tmp_path):
     # Kept set excludes near-dup non-canonicals: strictly fewer rows
     # than the raw corpus.
     assert sum(counts.values()) < 500
+
+
+def test_ingest_corpus_shard_two_days(spark, tmp_path):
+    """Two daily JSONL shards through the full ingest plan: day 2's
+    near-copy of a day-1 doc is dropped against the persisted band
+    store, low-quality docs never reach dedup, survivors land in the
+    split-partitioned corpus, and the counts add up."""
+    import json
+
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "shuffling partitions across executors with adaptive plans"
+    )
+
+    def write_shard(name, docs):
+        p = tmp_path / name
+        p.write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t, "lang": "en", "source": name}) for i, t in docs)
+        )
+        return str(p)
+
+    day1 = write_shard(
+        "day1.jsonl", [(1, base), (2, other), (3, "too short!!")]
+    )
+    stats1 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, day1), corpus, store
+    )
+    assert stats1 == {
+        "received": 3, "low_quality": 1, "duplicate": 0, "published": 2
+    }
+
+    day2 = write_shard(
+        "day2.jsonl",
+        [
+            (101, base.replace("pale", "dark")),  # near-dup of day-1 doc 1
+            (102, "entirely novel prose about alpine meadows and patient glaciers"),
+        ],
+    )
+    stats2 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, day2), corpus, store
+    )
+    assert stats2 == {
+        "received": 2, "low_quality": 0, "duplicate": 1, "published": 1
+    }
+
+    out = spark.read.parquet(corpus)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 102]
+    assert "split" in out.columns
+    # Partition layout: split is a directory column (pruned reads).
+    import glob
+
+    assert glob.glob(f"{corpus}/split=*"), "corpus must be split-partitioned"
