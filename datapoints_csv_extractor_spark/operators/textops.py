@@ -486,15 +486,10 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("toks", tokens(F.col("text")))
         .localCheckpoint()
     )
-    text_len = F.length("text")
-    n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
-    passes_quality = (text_len >= 20) & (
-        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3
-    )
     exact_canonical = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
     flagged = d.select(
         "doc_id",
-        passes_quality.alias("passes_quality"),
+        quality_passes(F.col("text")).alias("passes_quality"),
         (F.col("doc_id") == exact_canonical).alias("is_exact_canonical"),
     )
     clusters = minhash_dedup_pipeline_from_toks(
@@ -556,15 +551,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
-    text_len = F.length("text")
-    n_punct = text_len - F.length(F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", ""))
-    passes_quality = (text_len >= 20) & (
-        F.round(n_punct / F.greatest(text_len, F.lit(1)), 4) < 0.3
-    )
     canonical = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
     flagged = d.select(
         "doc_id",
-        passes_quality.alias("passes_quality"),
+        quality_passes(F.col("text")).alias("passes_quality"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
     )
     return flagged.select(
