@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_ann_ivf_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
+    "q_dedup_incremental",
     "q_sequence_packing",
     "q_text_quality",
     "q_token_stats",
@@ -179,6 +180,8 @@ def main() -> None:
         # (plan-compile-heavy) run, without burning retries.
         "q_curation_pipeline_full": 3.5,
         "q_embedding_near_dup_lsh": 4.0,
+        # Rebuilds its scratch band store (two full ingests) per call.
+        "q_dedup_incremental": 5.0,
     }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -76,3 +76,60 @@ def compact_datapoints(
         (part_dir / "_SUCCESS").unlink(missing_ok=True)
         results[part_dir.name] = (n_files, _partition_stats(part_dir)[0])
     return results
+
+
+def compact_flat_table(
+    spark: SparkSession,
+    table_path: str | Path,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_files: int = 8,
+) -> tuple[int, int] | None:
+    """Compact a FLAT (non-partitioned) append-only parquet dir with
+    the same staging + swap flow as compact_datapoints. Returns
+    (files_before, files_after), or None when under ``max_files``.
+    Keeps the _SUCCESS marker — stores use it as their existence
+    probe."""
+    part_dir = Path(table_path)
+    if not part_dir.exists():
+        return None
+    n_files, n_bytes = _partition_stats(part_dir)
+    if n_files <= max_files:
+        return None
+    n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+    if n_out >= n_files:
+        return None
+    staging = part_dir.parent / f"_compact_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(str(part_dir))
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    retired = part_dir.parent / f"_retired_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+    part_dir.rename(retired)
+    staging.rename(part_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+    return (n_files, _partition_stats(part_dir)[0])
+
+
+def compact_band_store(
+    spark: SparkSession,
+    store_path: str | Path,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_files: int = 8,
+) -> dict[str, tuple[int, int]]:
+    """Compact the incremental-dedup band store's append-only tables
+    (``signatures`` and ``bands`` grow one file set per ingested
+    shard; ``bucket_counts`` is rewritten per shard and never
+    fragments). Run between ingests — the store has no writer lock, so
+    compaction concurrent with an ingest could drop that shard's
+    append (same maintenance-window contract as any manual OPTIMIZE).
+    """
+    results: dict[str, tuple[int, int]] = {}
+    for name in ("signatures", "bands"):
+        r = compact_flat_table(
+            spark, Path(store_path) / name, target_file_bytes, max_files
+        )
+        if r is not None:
+            results[name] = r
+    return results

@@ -69,3 +69,53 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_compact_band_store_preserves_dedup_state(spark, tmp_path):
+    """Five single-doc shards fragment the band store into 5+ file
+    sets; compaction shrinks the file counts without changing any
+    signature/band row, and a post-compaction ingest still flags dups
+    against pre-compaction shards."""
+    from datapoints_csv_extractor_spark.operators.dedup import dedup_incremental
+    from datapoints_csv_extractor_spark.plans.compaction import compact_band_store
+
+    store = str(tmp_path / "bandstore")
+    texts = [
+        f"shard {i} carries its own entirely distinct narrative about "
+        f"topic number {i} with plenty of unique words like token{i}a "
+        f"token{i}b token{i}c spread across the document body"
+        for i in range(5)
+    ]
+    for i, t in enumerate(texts):
+        dedup_incremental(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), store
+        ).count()
+
+    import glob
+
+    sig_dir = f"{store}/signatures"
+    before_rows = sorted(
+        (r.doc_id, tuple(r.signature))
+        for r in spark.read.parquet(sig_dir).collect()
+    )
+    assert len(glob.glob(f"{sig_dir}/*.parquet")) >= 5
+
+    results = compact_band_store(spark, store, max_files=2)
+    assert set(results) == {"signatures", "bands"}
+    for name, (before, after) in results.items():
+        assert after < before, (name, before, after)
+
+    after_rows = sorted(
+        (r.doc_id, tuple(r.signature))
+        for r in spark.read.parquet(sig_dir).collect()
+    )
+    assert after_rows == before_rows
+
+    # The compacted store still recognizes old content as known.
+    v = dedup_incremental(
+        spark.createDataFrame([(100, texts[0])], "doc_id long, text string"),
+        store,
+    ).collect()
+    assert {(r.doc_id, r.dup_of_doc_id, r.dup_kind) for r in v} == {
+        (100, 0, "known")
+    }
