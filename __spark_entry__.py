@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": X.q_unigram_logprob,
         "q_token_chunks": X.q_token_chunks,
         "q_knn_multi": V.q_knn_multi,
+        "q_source_mixture": X.q_source_mixture,
     }
 
 
@@ -795,6 +796,22 @@ def oracle_sql() -> dict[str, str]:
                    round((len(bgs) - len(list_distinct(bgs))) * 1.0 / len(bgs),
                          4) AS dup_bigram_fraction
             FROM b
+        """,
+        "q_source_mixture": """
+            WITH per_source AS (
+                SELECT source,
+                       count(*) AS n_docs,
+                       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents
+                GROUP BY source
+            ), totals AS (
+                SELECT sum(n_tokens) AS total_tokens FROM per_source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens * 1.0 / total_tokens, 4) AS token_share,
+                   CAST(round(n_tokens * 1.0 / total_tokens * 1000000, 0) AS BIGINT) AS budget_tokens
+            FROM per_source, totals
+            ORDER BY source
         """,
         "q_tfidf_top_terms": """
             WITH t AS (

@@ -688,3 +688,37 @@ def q_token_chunks(
         F.size(chunk).alias("chunk_n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+def q_source_mixture(
+    spark: SparkSession, sf_dir: str, token_budget: int = 1_000_000
+) -> DataFrame:
+    """Training-mixture bookkeeping per corpus source: document and
+    token counts, each source's share of total token mass, and its
+    allocation of a fixed training token budget at natural
+    (share-proportional) weighting — the table a pretraining run's
+    data card starts from, and the input to any reweighting decision.
+
+    One groupBy(source) with map-side combine; the totals join is a
+    1-row broadcast (parameter-sized by construction). Counts are
+    integer-exact, so the single double division per row is
+    engine-deterministic.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.col("toks")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_source.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.col("n_tokens") / F.col("total_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 4).alias("token_share"),
+            F.round(share * token_budget, 0).cast("long").alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )
