@@ -642,3 +642,64 @@ def q_knn_multi(
         .where(F.col("rank") <= k)
         .select("query_vec_id", "rank", "vec_id", "label", "cosine")
     )
+
+
+def build_lsh_index(
+    e: DataFrame, index_dir: str, n_bits: int = 8
+) -> None:
+    """Build-once half of the hyperplane-LSH lifecycle: bucket every
+    vector (map-only — the hyperplanes are deterministic literals, so
+    no model table is even needed) and persist the assignment table
+    PARTITIONED BY bucket. A query then reads only its probe buckets
+    via partition pruning — the same layout payoff as the IVF index,
+    with the multi-probe set (bucket ± one bit) replacing n_probe
+    cells. ``meta`` records dim/n_bits so the query path derives the
+    identical hyperplane family.
+    """
+    import json
+
+    dim = len(_require_row(e.select("embedding").first(), "any embedding row")[0])
+    assigned = e.withColumn("bucket", lsh_bucket(F.col("embedding"), dim, n_bits))
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_bits": n_bits}, f)
+
+
+def ann_lsh_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query-once half: compute the query's bucket driver-side from
+    the stored hyperplane parameters, scan ONLY the multi-probe
+    partitions (bucket and its one-bit neighbors — n_bits+1 of 2^n_bits
+    partitions), and exactly re-score. No banding work over the corpus
+    appears in the plan."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    dim, n_bits = meta["dim"], meta["n_bits"]
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    qbucket = 0
+    for j, row in enumerate(_hyperplanes(dim, n_bits)):
+        d = sum(float(x) * y for x, y in zip(query_vec, row))
+        if d > 0:
+            qbucket += 1 << j
+    probes = [qbucket] + [qbucket ^ (1 << j) for j in range(n_bits)]
+    assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    out = assigned.where(F.col("bucket").isin(probes))
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -696,3 +696,36 @@ def test_ivf_incremental_shard_assignment(spark, tmp_path):
     ]
     recall = len(set(planted) & set(got)) / 10
     assert recall >= 0.8, f"shard-2 planted near-dups missed: {sorted(set(got))}"
+
+
+def test_lsh_index_build_query_split(spark, tmp_path):
+    """Persisted-LSH lifecycle parity with the self-contained variant:
+    same top-k, no corpus banding in the query plan, and bucket
+    partition pruning in effect."""
+    import random
+
+    rng = random.Random(7)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, query)]
+    for i in range(1, 11):
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    for i in range(11, 211):
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "lsh")
+    V.build_lsh_index(e, index_dir, n_bits=8)
+
+    baseline = V.ann_lsh_topk_df(e, query_vec_id=0, k=10, n_bits=8).collect()
+    indexed_df = V.ann_lsh_topk_from_index(
+        spark, index_dir, query, k=10, exclude_vec_id=0
+    )
+    indexed = indexed_df.collect()
+    assert [(r.vec_id, r.cosine) for r in indexed] == [
+        (r.vec_id, r.cosine) for r in baseline
+    ]
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "Join" not in plan, plan
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
