@@ -729,3 +729,62 @@ def test_lsh_index_build_query_split(spark, tmp_path):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" not in plan and "Join" not in plan, plan
     assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
+def test_incremental_dedup_equals_batch_pipeline_pairs(spark, tmp_path):
+    """Equivalence property: union of per-shard incremental verdicts ==
+    the verified pair set of the one-shot batch MinHash pipeline over
+    the whole corpus. Holds because signatures are deterministic, the
+    asymmetric band join covers exactly the cross-shard pairs, and the
+    incremental hot-bucket cap uses MERGED counts (same totals the
+    batch run sees)."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        lsh_candidates_from_signatures,
+        minhash_signatures_df,
+        N_PERM,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(25))))
+    # Plant near-dups across and within the shard boundary (id 15).
+    docs.append((40, docs[2][1].replace("w", "w", 1)))        # exact copy of 2
+    docs.append((41, docs[20][1] + " extraword"))             # near-dup of 20
+    docs.append((14, docs[5][1] + " tail"))                   # within shard 1
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # Batch truth: candidates + estimated-jaccard >= 0.5 over the corpus.
+    sig = minhash_signatures_df(all_docs).localCheckpoint()
+    cand = lsh_candidates_from_signatures(sig)
+    s1 = sig.select(F.col("doc_id").alias("doc_id_1"), F.col("signature").alias("sig_1"))
+    s2 = sig.select(F.col("doc_id").alias("doc_id_2"), F.col("signature").alias("sig_2"))
+    est = (
+        F.size(
+            F.filter(F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda a, b: a == b), lambda x: x)
+        ) / F.lit(N_PERM)
+    )
+    batch_pairs = {
+        frozenset((r.doc_id_1, r.doc_id_2))
+        for r in cand.join(s1, "doc_id_1").join(s2, "doc_id_2")
+        .where(est >= 0.5).select("doc_id_1", "doc_id_2").collect()
+    }
+
+    store = str(tmp_path / "bandstore")
+    incr_pairs: set[frozenset] = set()
+    for lo, hi in ((0, 16), (16, 100)):
+        shard = all_docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        for r in D.dedup_incremental(shard, store).collect():
+            incr_pairs.add(frozenset((r.doc_id, r.dup_of_doc_id)))
+
+    assert batch_pairs, "corpus must contain planted near-dup pairs"
+    assert incr_pairs == batch_pairs, (
+        f"batch-only: {batch_pairs - incr_pairs}, "
+        f"incremental-only: {incr_pairs - batch_pairs}"
+    )
