@@ -173,7 +173,9 @@ def main() -> None:
     # legitimately run past the default clean threshold — a higher one
     # stops them from burning retries on every bench run.
     clean_sec = {
-        "q_dedup_clusters": 5.0,
+        # Warm runs measure ~2.7 s (first run pays plan compile for the
+        # iterative rounds); threshold sits just above warm.
+        "q_dedup_clusters": 3.5,
         "q_minhash_dedup_pipeline": 4.0,
         # Warm runs measure ~2.2-2.5 s; the threshold sits above them
         # so the bench records a warm number instead of the first

@@ -788,3 +788,25 @@ def test_incremental_dedup_equals_batch_pipeline_pairs(spark, tmp_path):
         f"batch-only: {batch_pairs - incr_pairs}, "
         f"incremental-only: {incr_pairs - batch_pairs}"
     )
+
+
+def test_decontamination_hot_gram_cap(spark):
+    """A boilerplate 8-gram present in BOTH an eval doc and most of the
+    training corpus must not flag the whole corpus: over the df cap it
+    is dropped from the representation, while genuine (rare) overlap
+    still flags."""
+    boiler = "this page is copyright protected all rights strictly reserved worldwide"
+    secret = "the seventh moon of kepler nine harbors silicate glaciers beneath amber clouds"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} document body number {i} diverges entirely here") for i in range(30)]
+        + [(99, f"prefix words then {secret} suffix words after")],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(1000, f"{boiler} and separately {secret} appears here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in D.decontamination(train, eval_set, max_gram_df=10).collect()}
+    # Only the genuine-overlap doc is flagged; the 30 boilerplate docs
+    # are not (their shared grams exceeded the df cap).
+    assert out == {99}, out
