@@ -653,27 +653,86 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "new vs known" pattern of the reference's catalog cache mutated
 # across batches (/root/reference/csv-extractor/csv_extractor.py:151-154),
 # applied at corpus scale. The persisted state is the MinHash band
-# store:
+# store, organized as one directory PER INGEST with a manifest as the
+# atomic commit point:
 #
-#   <store>/signatures/     (doc_id, signature array<long>)   append-only
-#   <store>/bands/          (doc_id, band_id, band_hash)      append-only
-#   <store>/bucket_counts/  (band_id, band_hash, n)           rewritten
+#   <store>/manifest.json                    committed ingest ids
+#   <store>/signatures/ingest=<id>/          (doc_id, signature)
+#   <store>/bands/ingest=<id>/               (doc_id, band_id, band_hash)
+#   <store>/bucket_counts/ingest=<id>/       that ingest's band counts
+#
+# Commit protocol: an ingest writes its three directories (Spark
+# overwrite — a replay of the same ingest id rewrites the same dirs),
+# then adds its id to the manifest via write-temp + atomic rename,
+# serialized by the catalog lock. Readers resolve the manifest first
+# and read ONLY committed directories, so a crash mid-fold leaves
+# garbage dirs (cleaned by compaction) but never a half-visible
+# ingest, and re-running an ingest id is idempotent — the properties
+# an at-least-once caller (foreachBatch replay) needs.
 #
 # Per-shard work is O(|shard| + candidates): signatures + bands for
 # the new docs only (one pass over the shard), an ASYMMETRIC band join
 # (new bands vs stored bands — the stored side is never re-derived
 # from text), plus the new-vs-new self join. Hot-bucket caps apply to
-# the MERGED bucket counts, so a bucket that goes hot across shards is
-# dropped from candidate generation even when no single shard makes it
-# hot. bucket_counts is an aggregate (≤8 distinct rows per doc, far
-# fewer after merge) — rewriting it per shard is the cheap part; the
-# big tables only ever append.
+# the bucket counts MERGED across committed ingests, so a bucket that
+# only goes hot across shards is still dropped; the merge is an
+# aggregate over per-ingest count tables (≤8 distinct rows per doc),
+# not over the band data.
 
 
-def _store_exists(store_path: str) -> bool:
+def _manifest_path(store_path: str) -> str:
     import os
 
-    return os.path.exists(os.path.join(store_path, "signatures", "_SUCCESS"))
+    return os.path.join(store_path, "manifest.json")
+
+
+def _read_manifest(store_path: str) -> list[str]:
+    import json
+    import os
+
+    p = _manifest_path(store_path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["ingests"]
+
+
+def _commit_manifest(store_path: str, mutate) -> list[str]:
+    """Read-modify-write the manifest under the exclusive catalog lock
+    (two concurrent committers must not lose each other's ingest), with
+    the write itself temp-file + atomic-rename so readers always see a
+    complete manifest. ``mutate(list) -> list`` produces the new ids."""
+    import json
+    import os
+    import uuid
+
+    from datapoints_csv_extractor_spark.sinks.catalog_store import catalog_lock
+
+    os.makedirs(store_path, exist_ok=True)
+    with catalog_lock(_manifest_path(store_path)):
+        ingests = mutate(_read_manifest(store_path))
+        tmp = _manifest_path(store_path) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"ingests": ingests}, f)
+        os.replace(tmp, _manifest_path(store_path))
+    return ingests
+
+
+def read_band_store(
+    spark: SparkSession, store_path: str, table: str
+) -> DataFrame | None:
+    """Committed rows of one store table (``signatures`` / ``bands`` /
+    ``bucket_counts``), or None when nothing is committed. Reads ONLY
+    manifest-listed directories — uncommitted crash leftovers are
+    invisible."""
+    import os
+
+    ingests = _read_manifest(store_path)
+    if not ingests:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_path, table, f"ingest={i}") for i in ingests]
+    )
 
 
 def dedup_incremental(
@@ -681,9 +740,11 @@ def dedup_incremental(
     store_path: str,
     est_threshold: float = 0.5,
     max_bucket: int = LSH_MAX_BUCKET,
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """Dedup a new (doc_id, text) shard against the persisted band
-    store, then fold the shard into the store.
+    store, then fold the shard into the store (manifest-committed —
+    see the layout comment above for the crash/replay contract).
 
     Returns one row per duplicate relation found:
       (doc_id, dup_of_doc_id, est_jaccard, dup_kind)
@@ -693,29 +754,41 @@ def dedup_incremental(
     agreeing MinHash positions) — no text is ever re-read for either
     side. doc_ids must be globally unique across shards (caller's
     contract, same as any append-only fact table).
+
+    ``ingest_id`` makes the fold IDEMPOTENT: re-running the same id
+    (an at-least-once caller's replay) recomputes the same verdicts —
+    the shard's own committed rows are excluded from the "known" side
+    — rewrites the same directories, and commits at most once. Without
+    it a fresh unique id is minted (plain at-most-once batch call).
     """
     import os
+    import uuid
 
     spark = new_docs.sparkSession
+    ingest_id = ingest_id or uuid.uuid4().hex[:12]
+    committed = [i for i in _read_manifest(store_path) if i != ingest_id]
+    already_committed = ingest_id in _read_manifest(store_path)
+
     sig_new = minhash_signatures_df(new_docs).localCheckpoint()
     bands_new = signature_bands(sig_new).localCheckpoint()
-
     counts_new = bands_new.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("n")
     )
-    has_store = _store_exists(store_path)
-    if has_store:
-        stored_counts = spark.read.parquet(
-            os.path.join(store_path, "bucket_counts")
+    has_store = bool(committed)
+
+    def _committed(table: str) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(store_path, table, f"ingest={i}") for i in committed]
         )
+
+    if has_store:
         counts_total = (
-            counts_new.unionByName(stored_counts)
+            counts_new.unionByName(_committed("bucket_counts"))
             .groupBy("band_id", "band_hash")
             .agg(F.sum("n").alias("n"))
-            .localCheckpoint()  # computed before the store is rewritten
         )
     else:
-        counts_total = counts_new.localCheckpoint()
+        counts_total = counts_new
     hot = counts_total.where(F.col("n") > max_bucket).select(
         "band_id", "band_hash"
     )
@@ -743,9 +816,9 @@ def dedup_incremental(
     if has_store:
         # New-vs-known: asymmetric — the stored side joins as-is, its
         # signatures were computed when ITS shard arrived.
-        bands_known = spark.read.parquet(
-            os.path.join(store_path, "bands")
-        ).join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+        bands_known = _committed("bands").join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
         k = bands_known.alias("k")
         cand_known = (
             bands_new_f.alias("a")
@@ -762,9 +835,7 @@ def dedup_incremental(
             .withColumn("dup_kind", F.lit("known"))
         )
         cand = cand_new.unionByName(cand_known)
-        sig_all = sig_new.unionByName(
-            spark.read.parquet(os.path.join(store_path, "signatures"))
-        )
+        sig_all = sig_new.unionByName(_committed("signatures"))
     else:
         cand = cand_new
         sig_all = sig_new
@@ -798,14 +869,19 @@ def dedup_incremental(
         .localCheckpoint()  # materialize BEFORE the store mutates below
     )
 
-    sig_new.write.mode("append").parquet(os.path.join(store_path, "signatures"))
-    bands_new.write.mode("append").parquet(os.path.join(store_path, "bands"))
-    # Rewrite via a staging dir: "overwrite" on the live path would
-    # delete the input of a plan that still has to read it.
-    staged = os.path.join(store_path, "bucket_counts_staged")
-    counts_total.write.mode("overwrite").parquet(staged)
-    final = os.path.join(store_path, "bucket_counts")
-    spark.read.parquet(staged).write.mode("overwrite").parquet(final)
+    if not already_committed:
+        for table, df in (
+            ("signatures", sig_new),
+            ("bands", bands_new),
+            ("bucket_counts", counts_new),
+        ):
+            df.write.mode("overwrite").parquet(
+                os.path.join(store_path, table, f"ingest={ingest_id}")
+            )
+        _commit_manifest(
+            store_path,
+            lambda ids: ids if ingest_id in ids else ids + [ingest_id],
+        )
     return verdicts
 
 
@@ -813,16 +889,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing (rows-only): split the documents table into two
     'daily shards' (first/second half by doc_id), ingest shard 1 to a
     fresh scratch store, then return shard 2's verdicts against it —
-    the second ingest never recomputes shard 1's signatures."""
-    import hashlib
-    import os
+    the second ingest never recomputes shard 1's signatures.
+
+    The scratch store is a PRIVATE mkdtemp per call (concurrent
+    sessions must not rmtree each other's live store) and is removed
+    before returning — safe because the verdict frame is
+    localCheckpoint-materialized inside dedup_incremental.
+    """
     import shutil
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), f"spark_graft_bandstore_{tag}")
-    shutil.rmtree(store, ignore_errors=True)
-    d = load(spark, sf_dir, "documents")
-    cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
-    dedup_incremental(d.where(F.col("doc_id") <= cut), store).count()
-    return dedup_incremental(d.where(F.col("doc_id") > cut), store)
+    store = tempfile.mkdtemp(prefix="spark_graft_bandstore_")
+    try:
+        d = load(spark, sf_dir, "documents")
+        cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        dedup_incremental(d.where(F.col("doc_id") <= cut), store).count()
+        return dedup_incremental(d.where(F.col("doc_id") > cut), store)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -162,7 +162,10 @@ def q_multimodal_feature_knn(
     curation pipeline runs after embedding extraction. Same
     broadcast-literal + TakeOrdered shape as the embedding kNN; the
     only Python in the plan is the vectorized decode."""
-    from datapoints_csv_extractor_spark.operators.similarity import cosine
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        _require_row,
+        cosine,
+    )
 
     blobs = blobs_from_documents(spark, sf_dir)
     decoded = decode_blobs(blobs).select(
@@ -172,13 +175,12 @@ def q_multimodal_feature_knn(
     # push through mapInPandas (the Python map is a pushdown barrier),
     # so filtering the decoded frame would decode the whole corpus to
     # find one row.
-    qrow = (
+    qrow = _require_row(
         decode_blobs(blobs.where(F.col("blob_id") == query_blob_id))
         .select("feature")
-        .first()
+        .first(),
+        f"query blob_id={query_blob_id}",
     )
-    if qrow is None:
-        raise ValueError(f"no blob found for query blob_id={query_blob_id}")
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     cos = F.round(cosine(F.col("feature"), qlit), 4)
     return (

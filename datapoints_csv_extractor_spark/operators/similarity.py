@@ -319,6 +319,17 @@ def ann_lsh_topk_df(
     )
 
 
+def _cos_list(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine for parameter-sized data (probe-cell
+    selection). Single definition: the training path and the
+    persisted-index path must pick probe cells IDENTICALLY for the
+    documented result-parity guarantee."""
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return dot / (na * nb)
+
+
 def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
     """0-based index of the max-cosine centroid, via a per-row HOF over
     a broadcast centroid array literal — NO join, NO shuffle."""
@@ -407,17 +418,10 @@ def ann_ivf_topk_df(
         f"query vec_id={query_vec_id}",
     )
     qvec = [float(x) for x in qrow[0]]
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot / (na * nb)
-
     probe_cells = [
         cid
         for cid, _ in sorted(
-            ((i, _cos(qvec, c)) for i, c in enumerate(centroids)),
+            ((i, _cos_list(qvec, c)) for i, c in enumerate(centroids)),
             key=lambda t: -t[1],
         )[:n_probe]
     ]
@@ -493,17 +497,10 @@ def ann_ivf_topk_from_index(
     if not cent_rows:
         raise ValueError(f"empty IVF centroid table under {index_dir}")
     centroids = {r["cell"]: [float(x) for x in r["centroid"]] for r in cent_rows}
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return dot / (na * nb)
-
     probe_cells = [
         cid
         for cid, _ in sorted(
-            ((cid, _cos(query_vec, c)) for cid, c in centroids.items()),
+            ((cid, _cos_list(query_vec, c)) for cid, c in centroids.items()),
             key=lambda t: -t[1],
         )[:n_probe]
     ]
@@ -524,7 +521,9 @@ def _default_index_dir(sf_dir: str) -> str:
     """Per-dataset scratch location for the driver-facing indexed
     query (build-once, query-many). The key includes the embeddings
     table's mtimes so a regenerated dataset gets a fresh index instead
-    of stale cells."""
+    of stale cells. (A dataset restored with PRESERVED mtimes — cp -p,
+    tar — keeps the old tag; delete the scratch dir to force a
+    rebuild in that case.)"""
     emb = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     stamp = ""
     if os.path.exists(emb):
@@ -554,11 +553,27 @@ def ann_ivf_topk(
     self-contained ``ann_ivf_topk_df`` because the same deterministic
     training produced the stored index.
     """
+    import uuid
+
     e = load(spark, sf_dir, "embeddings")
     index_dir = _default_index_dir(sf_dir)
     marker = os.path.join(index_dir, "assignments", "_SUCCESS")
     if not os.path.exists(marker):
-        build_ivf_index(e, index_dir)
+        # Build into a private dir, then ATOMICALLY rename into the
+        # cache slot: two concurrent processes (bench + driver on the
+        # same sf_dir) must never interleave writes into one index —
+        # exactly one rename wins, the loser discards its build and
+        # reads the winner's (identical, deterministic training).
+        staging = f"{index_dir}.build.{uuid.uuid4().hex[:8]}"
+        build_ivf_index(e, staging)
+        try:
+            os.rename(staging, index_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
     qrow = _require_row(
         e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
         f"query vec_id={query_vec_id}",

@@ -116,20 +116,58 @@ def compact_band_store(
     spark: SparkSession,
     store_path: str | Path,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
-    max_files: int = 8,
+    min_ingests: int = 2,
 ) -> dict[str, tuple[int, int]]:
-    """Compact the incremental-dedup band store's append-only tables
-    (``signatures`` and ``bands`` grow one file set per ingested
-    shard; ``bucket_counts`` is rewritten per shard and never
-    fragments). Run between ingests — the store has no writer lock, so
-    compaction concurrent with an ingest could drop that shard's
-    append (same maintenance-window contract as any manual OPTIMIZE).
-    """
+    """Compact the incremental-dedup band store: merge all committed
+    per-ingest directories into ONE new ingest (bucket_counts
+    re-aggregated to one row per bucket), commit a manifest listing
+    only it, then remove every directory the manifest no longer
+    references — which also garbage-collects crash leftovers from
+    uncommitted folds. The manifest rename is the atomic cut-over, and
+    an ingest racing the compaction commits through the same catalog
+    lock, so its id is either merged or preserved — never lost.
+    Returns per-table (files_before, files_after)."""
+    import uuid
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+        _read_manifest,
+        read_band_store,
+    )
+    from pyspark.sql import functions as F
+
+    store = Path(store_path)
+    ingests = _read_manifest(str(store))
+    if len(ingests) < min_ingests:
+        return {}
+    new_id = f"compact{uuid.uuid4().hex[:8]}"
+    tables = {
+        "signatures": read_band_store(spark, str(store), "signatures"),
+        "bands": read_band_store(spark, str(store), "bands"),
+        "bucket_counts": read_band_store(spark, str(store), "bucket_counts")
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("n").alias("n")),
+    }
     results: dict[str, tuple[int, int]] = {}
-    for name in ("signatures", "bands"):
-        r = compact_flat_table(
-            spark, Path(store_path) / name, target_file_bytes, max_files
+    for name, df in tables.items():
+        table_dir = store / name
+        files = list(table_dir.glob("ingest=*/*.parquet"))
+        before = len(files)
+        n_bytes = sum(p.stat().st_size for p in files)
+        n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+        df.repartition(n_out).write.mode("overwrite").parquet(
+            str(table_dir / f"ingest={new_id}")
         )
-        if r is not None:
-            results[name] = r
+        results[name] = (before, len(list((table_dir / f"ingest={new_id}").glob("*.parquet"))))
+
+    def _swap(ids: list[str]) -> list[str]:
+        # Preserve any ingest committed AFTER our snapshot (racing
+        # writer): it was not merged, so it must stay listed.
+        return [new_id] + [i for i in ids if i not in ingests]
+
+    kept = set(_commit_manifest(str(store), _swap))
+    for name in tables:
+        for d in (store / name).glob("ingest=*"):
+            if d.name.removeprefix("ingest=") not in kept:
+                shutil.rmtree(d, ignore_errors=True)
     return results

@@ -65,11 +65,10 @@ def ingest_corpus_shard(
         "split", split_assignment(F.col("doc_id"))
     )
     write_corpus(survivors, corpus_path, mode="append")
-    n_published = (
-        spark.read.parquet(corpus_path)
-        .join(shard.select("doc_id"), "doc_id", "left_semi")
-        .count()
-    )
+    # Counted from the shard-sized lineage (checkpointed shard +
+    # verdicts), NOT by re-reading the corpus: per-shard cost must stay
+    # O(|shard|), independent of how big the corpus has grown.
+    n_published = survivors.count()
     return {
         "received": n_received,
         "low_quality": n_received - n_passed,

@@ -86,6 +86,8 @@ def catalog_lock(
     ``timeout``. A lock older than ``stale_after`` is presumed
     abandoned by a crashed writer and broken — the unlink+retry race
     is itself safe because creation stays atomic."""
+    import uuid
+
     lock = f"{path}.lock"
     deadline = time.monotonic() + timeout
     while True:
@@ -97,8 +99,20 @@ def catalog_lock(
         except FileExistsError:
             with contextlib.suppress(FileNotFoundError):
                 if time.time() - os.path.getmtime(lock) > stale_after:
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(lock)
+                    # Break the stale lock via ATOMIC rename, then
+                    # re-verify staleness on the renamed file: a plain
+                    # check-then-unlink could delete a FRESH lock some
+                    # other breaker just created (TOCTOU). rename
+                    # succeeds for exactly one contender; a breaker
+                    # that renamed a lock which turned out fresh puts
+                    # it back.
+                    grave = f"{lock}.breaking.{uuid.uuid4().hex[:8]}"
+                    with contextlib.suppress(FileNotFoundError, OSError):
+                        os.rename(lock, grave)
+                        if time.time() - os.path.getmtime(grave) > stale_after:
+                            os.unlink(grave)
+                        else:
+                            os.rename(grave, lock)
                     continue
             if time.monotonic() >= deadline:
                 raise TimeoutError(

@@ -201,9 +201,12 @@ def stream_dedup_incremental(
 
     This is the streaming composition of the reference's "new vs
     known" catalog pattern (csv_extractor.py:151-154) applied to
-    corpus dedup: the file-source checkpoint guarantees each shard is
-    ingested into the store exactly once across restarts, the store
-    itself is the cross-batch state (no in-memory state to bound), and
+    corpus dedup: each batch folds under ``ingest_id=batch_<id>``, so
+    a batch REPLAYED after a crash (foreachBatch is at-least-once)
+    recomputes the same verdicts and commits at most once — the
+    manifest-committed store makes the fold idempotent, upgrading the
+    at-least-once delivery to effectively-once store state. The store
+    is the cross-batch state (no in-memory state to bound) and
     per-batch work is O(|shard| + candidates).
 
     ``on_batch(batch_id, verdicts_df)`` receives each batch's verdict
@@ -215,7 +218,9 @@ def stream_dedup_incremental(
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return  # nothing to fold in; don't append empty shards
-        verdicts = dedup_incremental(batch_df, store_path, est_threshold)
+        verdicts = dedup_incremental(
+            batch_df, store_path, est_threshold, ingest_id=f"batch_{batch_id}"
+        )
         if on_batch is not None:
             on_batch(batch_id, verdicts)
 

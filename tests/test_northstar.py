@@ -651,8 +651,43 @@ def test_dedup_incremental_hot_bucket_cap_merges_across_shards(spark, tmp_path):
     # 10 stored + 10 new copies > 12 cap -> every band bucket of the
     # boilerplate text is hot, so no candidates survive.
     assert v2 == []
-    counts = spark.read.parquet(f"{store}/bucket_counts").collect()
-    assert all(r.n == 20 for r in counts)
+    # Counts are stored per ingest; the MERGED totals are what the cap
+    # sees: 10 + 10 per bucket.
+    merged = (
+        spark.read.parquet(f"{store}/bucket_counts")
+        .groupBy("band_id", "band_hash")
+        .sum("n")
+        .collect()
+    )
+    assert merged and all(r["sum(n)"] == 20 for r in merged)
+
+
+def test_dedup_incremental_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once caller replaying the SAME ingest_id must get
+    the same verdicts back and must not double the store (the
+    self-match corruption a naive append would produce)."""
+    store = str(tmp_path / "bandstore")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    v1 = sorted(
+        (r.doc_id, r.dup_of_doc_id, r.dup_kind)
+        for r in D.dedup_incremental(docs, store, ingest_id="batch_0").collect()
+    )
+    assert v1 == [(2, 1, "new")]
+    # Replay: same batch id, e.g. foreachBatch retry after a crash.
+    v2 = sorted(
+        (r.doc_id, r.dup_of_doc_id, r.dup_kind)
+        for r in D.dedup_incremental(docs, store, ingest_id="batch_0").collect()
+    )
+    assert v2 == v1  # no self-matches, no 'known' phantom dups
+    sigs = spark.read.parquet(f"{store}/signatures").collect()
+    assert sorted(r.doc_id for r in sigs) == [1, 2]  # not doubled
+    assert D._read_manifest(store) == ["batch_0"]
 
 
 def test_ivf_incremental_shard_assignment(spark, tmp_path):

@@ -98,12 +98,14 @@ def test_compact_band_store_preserves_dedup_state(spark, tmp_path):
         (r.doc_id, tuple(r.signature))
         for r in spark.read.parquet(sig_dir).collect()
     )
-    assert len(glob.glob(f"{sig_dir}/*.parquet")) >= 5
+    assert len(glob.glob(f"{sig_dir}/ingest=*")) == 5
 
-    results = compact_band_store(spark, store, max_files=2)
-    assert set(results) == {"signatures", "bands"}
+    results = compact_band_store(spark, store)
+    assert set(results) == {"signatures", "bands", "bucket_counts"}
     for name, (before, after) in results.items():
         assert after < before, (name, before, after)
+    # One committed ingest remains; old dirs are garbage-collected.
+    assert len(glob.glob(f"{sig_dir}/ingest=*")) == 1
 
     after_rows = sorted(
         (r.doc_id, tuple(r.signature))
