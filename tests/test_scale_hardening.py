@@ -121,3 +121,24 @@ def test_compact_band_store_preserves_dedup_state(spark, tmp_path):
     assert {(r.doc_id, r.dup_of_doc_id, r.dup_kind) for r in v} == {
         (100, 0, "known")
     }
+
+
+def test_compact_flat_table(spark, tmp_path):
+    """Generic flat-dir compaction: many appended file sets rewrite to
+    fewer files with identical rows; under-threshold dirs are left
+    alone."""
+    from datapoints_csv_extractor_spark.plans.compaction import (
+        compact_flat_table,
+    )
+
+    path = str(tmp_path / "flat")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    result = compact_flat_table(spark, path, max_files=4)
+    assert result is not None and result[1] < result[0]
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    # Already compact: no-op.
+    assert compact_flat_table(spark, path, max_files=64) is None
