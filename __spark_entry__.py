@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datapoints_csv_extractor_spark.operators import analytic as A
+from datapoints_csv_extractor_spark.operators import curation as C
 from datapoints_csv_extractor_spark.operators import dedup as D
 from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
@@ -30,11 +31,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every distinct operator family lands inside the
     driver's 50-entry correctness capture window: reference-surface
     twins first, then TPC-H relational, OLAP analytics, and the full
-    LLM-pipeline north-star set (text / dedup / similarity /
-    multimodal). The last 12 entries are close variants of operators
-    already checked earlier in the list (tolerance/frame/agg-shape
-    variants) — still registered and pytest/oracle-checked locally,
-    just outside the capture window."""
+    LLM-pipeline north-star set (text / curation / dedup / similarity
+    / multimodal). Every in-window entry has a DuckDB oracle twin;
+    rows-only queries (xxhash64 / engine-specific hashing end to end)
+    and close variants of in-window operators sit past entry 50 —
+    still registered and pytest/oracle-checked locally via
+    scripts/check_oracle.py, just outside the capture window."""
     return {
         # Reference-surface twins (SURVEY.md §2 S/P/F/T/J/A/O rows)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -73,27 +75,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
-        "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         "q_curation_pipeline": X.q_curation_pipeline,
+        # Corpus curation (north-star)
+        "q_pii_redact": C.q_pii_redact,
+        "q_pii_stats": C.q_pii_stats,
+        "q_quality_classifier": C.q_quality_classifier,
+        "q_mixture_resample": C.q_mixture_resample,
+        "q_repeated_spans": C.q_repeated_spans,
+        "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_clusters": D.q_dedup_clusters,
-        "q_minhash_signatures": D.q_minhash_signatures,
         "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
-        "q_simhash": D.q_simhash,
-        "q_simhash_near_dup": D.q_simhash_near_dup,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
         "q_embedding_near_dup": V.q_embedding_near_dup,
-        "q_ann_lsh_topk": V.ann_lsh_topk,
         "q_ann_ivf_topk": V.ann_ivf_topk,
         # Multimodal + array kit (north-star)
         "q_multimodal_meta": M.q_multimodal_meta,
-        "q_multimodal_decode": M.q_multimodal_decode,
         "q_array_functions": A.q_array_functions,
-        # ---- entry 51+: variants of operators already captured above
+        # ---- entry 51+: rows-only (engine-specific hashing) + variants
+        "q_minhash_signatures": D.q_minhash_signatures,
+        "q_simhash": D.q_simhash,
+        "q_simhash_near_dup": D.q_simhash_near_dup,
+        "q_ann_lsh_topk": V.ann_lsh_topk,
+        "q_multimodal_decode": M.q_multimodal_decode,
+        "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         "q_distinct": R.q_distinct,
         "q_semi_join": R.q_semi_join,
         "q_scalar_subquery": R.q_scalar_subquery,
@@ -961,5 +970,126 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT sha256)         AS distinct_payloads
             FROM b
             GROUP BY mime
+        """,
+        "q_pii_redact": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com'
+                         WHEN doc_id % 4 = 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         WHEN doc_id % 4 = 2 THEN ' host 10.0.' || (doc_id % 256) || '.1'
+                         ELSE '' END AS text_pii
+                FROM documents
+            ), hits AS (
+                SELECT doc_id, text_pii,
+                       len(regexp_extract_all(text_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                       len(regexp_extract_all(text_pii, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                       len(regexp_extract_all(text_pii, '\\b(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)[0-9]{1,3}\\b')) AS n_ips
+                FROM aug
+            )
+            SELECT doc_id, n_emails, n_phones, n_ips,
+                   (n_emails + n_phones + n_ips) > 0 AS has_pii,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text_pii,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                     '\\b(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)[0-9]{1,3}\\b', '<IP>', 'g') AS redacted_text
+            FROM hits
+        """,
+        "q_pii_stats": """
+            WITH aug AS (
+                SELECT doc_id, source,
+                       text || CASE
+                         WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com'
+                         WHEN doc_id % 4 = 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         WHEN doc_id % 4 = 2 THEN ' host 10.0.' || (doc_id % 256) || '.1'
+                         ELSE '' END AS text_pii
+                FROM documents
+            ), hits AS (
+                SELECT source,
+                       len(regexp_extract_all(text_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+                       len(regexp_extract_all(text_pii, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS p,
+                       len(regexp_extract_all(text_pii, '\\b(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)[0-9]{1,3}\\b')) AS i
+                FROM aug
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+                   CAST(sum(e) AS BIGINT) AS n_emails,
+                   CAST(sum(p) AS BIGINT) AS n_phones,
+                   CAST(sum(i) AS BIGINT) AS n_ips
+            FROM hits
+            GROUP BY source
+            ORDER BY source
+        """,
+        "q_quality_classifier": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       0.05 + (coalesce(list_sum(list_transform(toks,
+                           t -> ([8, -5, 3, -2, 6, -7, 1, 4, -3, 2, -6, 5, -1, 7, -4, 0])
+                                [list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                               substring(md5(t), 1, 1))])), 0) / 10.0)
+                            / greatest(len(toks), 1) AS z
+                FROM tok
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+                   round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+            FROM z
+        """,
+        "q_mixture_resample": """
+            SELECT doc_id, source,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < (['zz', '80', '40', '1a'])[(CAST(substring(source, 4, 10) AS INT) % 4) + 1] AS keep
+            FROM documents
+        """,
+        "q_repeated_spans": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(w, 4) OVER win IS NOT NULL
+            ), per_doc AS (
+                SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+            ), rep AS (
+                SELECT g.doc_id, count(*) AS n_repeated_grams
+                FROM g
+                JOIN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2) d USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT p.doc_id, p.n_grams,
+                   coalesce(r.n_repeated_grams, 0) AS n_repeated_grams,
+                   round(coalesce(r.n_repeated_grams, 0) * 1.0 / greatest(p.n_grams, 1), 4) AS repeated_fraction
+            FROM per_doc p LEFT JOIN rep r USING (doc_id)
+        """,
+        "q_export_shards": """
+            WITH t AS (
+                SELECT CAST((
+                         (list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                          substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                       ) % 16 AS INT) AS shard,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_toks
+                FROM documents
+            )
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM t
+            GROUP BY shard
+            ORDER BY shard
         """,
     }

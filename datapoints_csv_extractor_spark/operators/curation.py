@@ -1,0 +1,379 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between raw ingest and shard export: PII redaction, model-based quality
+scoring, mixture resampling, repeated-span (exact substring) detection,
+and deterministic sharded export.
+
+Like the rest of the text surface (operators/textops.py), every hot
+path is built-in JVM expressions — regexp/HOF/array ops fused by
+whole-stage codegen, zero Python in the loop. Each query's DuckDB twin
+in ``__spark_entry__.oracle_sql`` computes the identical expression, so
+the driver's value-hash compare verifies semantics cross-engine.
+
+Regex note: DuckDB's regex engine is RE2 while Spark's is
+java.util.regex. Every pattern here is restricted to the intersection
+both implement identically (character classes, bounded repetition,
+non-capturing groups, ``\\b``) — no backrefs, no lookaround.
+
+Scale notes per operator are inline; the shared story: PII/classifier/
+resample are pure projections (map-only at 100 TB), repeated-span is
+the decontamination shape (one gram aggregate + one equijoin, both
+linear), and shard export partitions by a hash prefix so no global
+sort or single-partition window exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators.relational import load
+from datapoints_csv_extractor_spark.operators.textops import tokens
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 patterns (no lookaround, no backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b"
+
+
+def _with_pii(d: DataFrame) -> DataFrame:
+    """Deterministically augment the synthetic corpus with PII spans.
+
+    The driver's documents table is clean synthetic text, so a PII
+    operator run directly on it would trivially match on zero hits.
+    To make the oracle compare *real* detection/redaction behavior,
+    both engines first append engine-identical synthetic PII derived
+    from doc_id (email / phone / IPv4 by doc_id % 4; % 4 == 3 stays
+    clean as the negative class), then detect and redact it.
+    Production use is ``pii_redact(df, "text")`` on real text.
+    """
+    did = F.col("doc_id")
+    pii = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("text_pii", F.concat(F.col("text"), pii))
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (regexp_extract_all, JVM-side)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)),
+    }
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII class with a typed placeholder token.
+
+    Pure projection — at 100 TB this is a map-only stage fused into
+    whatever scan precedes it; regexp_replace is a single pass per
+    pattern inside codegen. Order matters: emails first so the
+    host-part of an address can't be half-eaten by the IPv4 rule.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    return df.withColumn(f"{text_col}_redacted", redacted)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection + redaction (the per-doc scrub a
+    pretraining pipeline applies before any text leaves curation)."""
+    d = _with_pii(load(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text_pii"))
+    d = pii_redact(d, "text_pii")
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        (counts["n_emails"] + counts["n_phones"] + counts["n_ips"] > 0).alias("has_pii"),
+        F.col("text_pii_redacted").alias("redacted_text"),
+    )
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit per source — the summary row a data card
+    reports. One groupBy(source) with map-side combine."""
+    d = _with_pii(load(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text_pii"))
+    return (
+        d.select(
+            "source",
+            counts["n_emails"].alias("e"),
+            counts["n_phones"].alias("p"),
+            counts["n_ips"].alias("i"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("long")).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("i").cast("long").alias("n_ips"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashed-bag-of-words linear quality classifier
+# --------------------------------------------------------------------------
+
+# 16-bucket hashed vocabulary -> fixed weight vector. A real pipeline
+# trains these offline (fasttext-style) and ships them as literals
+# exactly like this: scoring is then a pure map-side expression, no
+# model server, no shuffle. Weights here are a deterministic stand-in,
+# stored as integer tenths so the per-token accumulation is EXACT
+# integer arithmetic in both engines — float summation order can
+# differ between Spark's fold and DuckDB's list_sum, and an exact
+# accumulator removes that nondeterminism before the single float
+# division/sigmoid at the end.
+CLASSIFIER_WEIGHTS_X10 = [
+    8, -5, 3, -2, 6, -7, 1, 4,
+    -3, 2, -6, 5, -1, 7, -4, 0,
+]
+CLASSIFIER_BIAS = 0.05
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_val(c: Column) -> Column:
+    """0..15 value of one lowercase hex character, via array_position
+    over a 16-literal array — md5-prefix hashing both Spark and DuckDB
+    (list_position) compute byte-identically AND uniformly. (ascii()%16
+    would be the obvious shortcut, but it maps '0'-'9'/'a'-'f' onto
+    only 10 residues with 6 collisions — a badly skewed hash.)"""
+    return (F.array_position(F.array(*[F.lit(ch) for ch in _HEX]), c) - 1).cast(
+        "int"
+    )
+
+
+def _token_bucket(tok: Column) -> Column:
+    """Hash a token into one of 16 uniform buckets via the first md5
+    hex char."""
+    return _hex_val(F.substring(F.md5(tok), 1, 1))
+
+
+def quality_classifier_score(toks: Column) -> Column:
+    """Mean hashed-bucket weight + bias, squashed by a sigmoid.
+
+    F.aggregate folds JVM-side over the token array — the whole
+    feature-extract + dot-product + sigmoid is one codegen'd
+    expression per row. The fold accumulates integer tenths (exact),
+    so only the final divide + exp are float ops.
+    """
+    w = F.array(*[F.lit(x) for x in CLASSIFIER_WEIGHTS_X10])
+    acc = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda a, t: a + F.element_at(w, _token_bucket(t) + 1),
+    )
+    z = F.lit(CLASSIFIER_BIAS) + (acc / F.lit(10.0)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (hashed linear classifier): the
+    fasttext-quality-filter idiom — score every document with a
+    shipped weight vector, keep those above threshold. Pure
+    projection; map-only at any scale."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    score = quality_classifier_score(F.col("toks"))
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling
+# --------------------------------------------------------------------------
+
+# Per-source-class sampling rates: sources are downweighted by class
+# (source index % 4) the way a mixture rebalance downweights
+# overrepresented crawls. Thresholds are md5-hex-prefix string bounds
+# (same idiom as textops.split_assignment): rate 1.0 / 0.5 / 0.25 /
+# ~0.1 of the [00..ff] bucket space.
+RESAMPLE_THRESHOLDS = ["zz", "80", "40", "1a"]
+
+
+def resample_keep(doc_id: Column, source: Column) -> Column:
+    """Deterministic hash-based keep decision for mixture reweighting.
+
+    Hash-mod, not RNG: re-running the pipeline (or re-ingesting one
+    shard) makes the identical decision per document, so downstream
+    incremental stages stay consistent. Pure projection.
+    """
+    bucket = F.substring(F.md5(doc_id.cast("string")), 1, 2)
+    cls = F.substring(source, 4, 10).cast("int") % 4
+    threshold = F.element_at(
+        F.array(*[F.lit(t) for t in RESAMPLE_THRESHOLDS]), cls + 1
+    )
+    return bucket < threshold
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling: deterministically downsample each source to
+    its target rate (rebalancing a source-skewed corpus toward a
+    target training mixture). Map-only; the keep decision is a pure
+    function of (doc_id, source)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        resample_keep(F.col("doc_id"), F.col("source")).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repeated-span (exact substring) detection
+# --------------------------------------------------------------------------
+
+
+def repeated_spans(
+    docs_toks: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring repetition audit: the fraction of a
+    document's k-token grams that also occur in >= min_docs other
+    documents (the signal behind suffix-array substring dedup, Lee et
+    al. 2022, computed here in its scalable gram-hash form).
+
+    Shape (same as decontamination, operators/dedup.py): stride-1
+    grams per doc -> distinct -> (a) per-doc gram counts (map-side
+    combined groupBy) and (b) gram document-frequency (one shuffle on
+    the gram) -> equijoin doc-grams against the df>=min_docs gram set.
+    Both stages are linear in corpus gram count; no all-pairs work
+    exists. At 100 TB the join key would be xxhash64(gram) to shuffle
+    8-byte keys instead of strings — kept as the string here so the
+    DuckDB twin is value-identical.
+
+    Input must carry ``doc_id`` and a ``toks`` array column (a plain
+    column, not an expression — see shingles_of_tokens' HOF-CSE note).
+    """
+    from datapoints_csv_extractor_spark.operators.dedup import shingles_of_tokens
+
+    gram_arr = shingles_of_tokens(F.col("toks"), k=k)
+    with_grams = docs_toks.select("doc_id", gram_arr.alias("grams"))
+    # Per-doc distinct-gram count is map-side (array length) — no
+    # groupBy needed; docs shorter than k grams drop out, matching
+    # the window-lead oracle.
+    per_doc = with_grams.select(
+        "doc_id", F.size(F.col("grams")).alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    doc_grams = with_grams.select("doc_id", F.explode(F.col("grams")).alias("gram"))
+    gram_df = (
+        doc_grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+    repeated = (
+        doc_grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_repeated_grams"))
+    )
+    return (
+        per_doc.join(repeated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_repeated_grams"), F.lit(0)).alias("n_repeated_grams"),
+            F.round(
+                F.coalesce(F.col("n_repeated_grams"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                4,
+            ).alias("repeated_fraction"),
+        )
+    )
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    return repeated_spans(d, k=5, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# Deterministic sharded training export
+# --------------------------------------------------------------------------
+
+
+def shard_assignment(doc_id: Column, n_shards: int = 16) -> Column:
+    """Shard id from the md5 hex prefix: a deterministic global
+    shuffle WITHOUT a global sort. Ordering documents by hash and
+    cutting into equal hash ranges is equivalent to shuffling then
+    chunking — but it's a pure projection (map-only), whereas
+    row_number over a global ordering would serialize the corpus
+    through one window partition. n_shards must divide 256 so the
+    mod of the uniform two-hex-digit value stays uniform."""
+    h = F.md5(doc_id.cast("string"))
+    v = _hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1))
+    return (v % n_shards).cast("int")
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for a training export: per-shard document and
+    token counts over the hash-sharded corpus. One map-side-combined
+    groupBy over 16 keys."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    return (
+        d.select(
+            shard_assignment(F.col("doc_id")).alias("shard"),
+            F.size(F.col("toks")).cast("long").alias("n_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def export_training_shards(
+    docs: DataFrame, out_path: str, n_shards: int = 16
+) -> None:
+    """Write the corpus partitioned by hash shard, ordered by the full
+    hash within each shard (deterministic within-shard order without
+    any cross-shard coordination).
+
+    ``partitionBy("shard")`` gives one directory per shard that a
+    training loader can claim independently;
+    ``sortWithinPartitions`` orders rows inside each file with no
+    extra shuffle beyond the repartition that co-locates a shard.
+    """
+    with_shard = docs.withColumn(
+        "shard", shard_assignment(F.col("doc_id"), n_shards)
+    ).withColumn("sort_key", F.md5(F.col("doc_id").cast("string")))
+    (
+        with_shard.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .drop("sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )

@@ -296,7 +296,14 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         _r(F.col("value") - prev_v).alias("value_delta"),
-        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("gap_ms"),
+        # cast("timestamp") first: events.parquet generations have
+        # carried both TIMESTAMP and TIMESTAMP_NTZ ts columns, and
+        # unix_millis only accepts the former (the cast is a no-op
+        # for TIMESTAMP and a UTC-session reinterpretation for NTZ).
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(prev_ts.cast("timestamp"))
+        ).alias("gap_ms"),
     ).where(F.col("value_delta").isNotNull())
 
 
@@ -526,8 +533,14 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried-forward purchases fall out), exactly how pandas
     merge_asof(tolerance=...) semantics map onto Spark."""
     base = q_asof_join(spark, sf_dir)
+    # unix_timestamp, not cast("long"): the driver's events.parquet has
+    # carried TIMESTAMP(NANOS) in some generations and TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) in others — the latter reads as
+    # TIMESTAMP_NTZ, which Spark refuses to cast to BIGINT, while
+    # unix_timestamp accepts both (session tz pinned to UTC).
     return base.where(
-        F.col("ts").cast("long") - F.col("purchase_ts").cast("long") <= 24 * 3600
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("purchase_ts"))
+        <= 24 * 3600
     )
 
 

@@ -718,3 +718,65 @@ def ann_lsh_topk_from_index(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    e: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.45,
+    n_train_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, compare
+    pairs ONLY within a cluster, and drop every vector that has a
+    higher-priority (lower vec_id) neighbor above the cosine
+    threshold.
+
+    Scale shape: the cluster id is the blocking key — pair work is
+    quadratic only within a cell, and cells hold ~n/k vectors, so the
+    operator's cost is n^2/k instead of n^2. That is the paper's own
+    scaling lever: k grows with the corpus (they use 50k clusters for
+    LAION-scale data; callers here pass n_centroids ~ n / desired
+    cell size). Everything else is one shuffle on the cell key; the
+    centroid table is parameter-sized and rides along as a broadcast
+    literal (see _nearest_cell — assignment is map-only, no join).
+
+    Returns (vec_id, cell, keep, rep_id): keep=false rows name the
+    surviving representative rep_id (the smallest-id neighbor above
+    threshold in the same cell).
+    """
+    centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
+    assigned = e.withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
+    ).localCheckpoint(eager=False)
+
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    dup_of = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("rep_id"))
+    )
+    return (
+        assigned.join(dup_of, assigned.vec_id == dup_of.id_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("rep_id").isNull().alias("keep"),
+            "rep_id",
+        )
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing SemDeDup verdict table (rows-only: the k-means
+    assignment is not expressible in the DuckDB oracle; pytest pins
+    planted-duplicate behavior instead)."""
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))

@@ -1,0 +1,185 @@
+"""Curation-operator tests: PII redaction on planted spans, the hashed
+linear classifier against a pure-Python reimplementation, deterministic
+mixture resampling, repeated-span detection on planted boilerplate, and
+the sharded-export lifecycle (partition layout + within-shard order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.operators import curation as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_redact_removes_planted_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+spam@corp.example.org today"),
+            (2, "call +47-555-1234 now"),
+            (3, "server 192.168.100.7 is down"),
+            (4, "clean text with no identifiers at all"),
+            (5, "two mails a@b.io and c.d@e.co plus host 10.0.0.1"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in C.pii_redact(df).collect()}
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> today"
+    assert out[2]["text_redacted"] == "call <PHONE> now"
+    assert out[3]["text_redacted"] == "server <IP> is down"
+    assert out[4]["text_redacted"] == out[4]["text"]
+    assert out[5]["text_redacted"] == "two mails <EMAIL> and <EMAIL> plus host <IP>"
+
+    counts = (
+        df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in C.pii_counts(F.col("text")).items()],
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in counts}
+    assert (by_id[1]["n_emails"], by_id[1]["n_phones"], by_id[1]["n_ips"]) == (1, 0, 0)
+    assert (by_id[5]["n_emails"], by_id[5]["n_ips"]) == (2, 1)
+    assert by_id[4]["n_emails"] + by_id[4]["n_phones"] + by_id[4]["n_ips"] == 0
+
+
+def test_pii_email_redaction_precedes_ip(spark):
+    # The host part of an address must be consumed by the email rule,
+    # never half-eaten by the IPv4 rule.
+    df = spark.createDataFrame([(1, "x user@10.1.2.3.example.com y")], ["doc_id", "text"])
+    red = C.pii_redact(df).collect()[0]["text_redacted"]
+    assert red == "x <EMAIL> y"
+
+
+# ------------------------------------------------------- classifier
+
+
+def _py_score(text: str) -> float:
+    toks = [t for t in text.strip().split() if t]
+    acc = 0
+    for t in toks:
+        bucket = int(hashlib.md5(t.encode()).hexdigest()[0], 16)
+        acc += C.CLASSIFIER_WEIGHTS_X10[bucket]
+    z = C.CLASSIFIER_BIAS + (acc / 10.0) / max(len(toks), 1)
+    return round(1.0 / (1.0 + math.exp(-z)), 4)
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    out = {
+        r["doc_id"]: r
+        for r in C.q_quality_classifier(spark, SF_DIR).limit(50).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id").isin(*out.keys()))
+        .collect()
+    }
+    for did, row in out.items():
+        expected = _py_score(texts[did])
+        assert row["quality_score"] == pytest.approx(expected, abs=1e-4)
+        assert row["keep"] == (row["quality_score"] >= 0.5)
+
+
+# --------------------------------------------------------- resample
+
+
+def test_mixture_resample_is_deterministic_and_rate_shaped(spark):
+    out = C.q_mixture_resample(spark, SF_DIR).collect()
+    again = C.q_mixture_resample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    for r in out:
+        bucket = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+        cls = int(r["source"][3:]) % 4
+        assert r["keep"] == (bucket < C.RESAMPLE_THRESHOLDS[cls])
+
+    # Class-0 sources (rate 1.0) keep everything.
+    class0 = [r for r in out if int(r["source"][3:]) % 4 == 0]
+    assert class0 and all(r["keep"] for r in class0)
+
+
+# ----------------------------------------------------- repeated spans
+
+
+def test_repeated_spans_flags_planted_boilerplate(spark):
+    boiler = "all rights reserved do not redistribute this document"
+    rows = [
+        (1, f"unique alpha beta gamma delta epsilon {boiler}"),
+        (2, f"other zeta eta theta iota kappa {boiler}"),
+        (3, "completely fresh text nothing shared here at all today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    out = {r["doc_id"]: r for r in C.repeated_spans(df, k=5, min_docs=2).collect()}
+    # The 8-token boilerplate yields 4 shared 5-grams in docs 1 and 2.
+    assert out[1]["n_repeated_grams"] == 4
+    assert out[2]["n_repeated_grams"] == 4
+    assert out[3]["n_repeated_grams"] == 0
+    assert out[1]["repeated_fraction"] > 0.3
+    assert out[3]["repeated_fraction"] == 0.0
+
+
+def test_repeated_spans_short_docs_drop_out(spark):
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "a longer document with six tokens")],
+        ["doc_id", "text"],
+    ).withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+    out = C.repeated_spans(df, k=5, min_docs=2).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_repeated_grams"] == 0
+
+
+# ------------------------------------------------------- shard export
+
+
+def test_export_training_shards_layout_and_order(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "shards")
+    C.export_training_shards(docs, out, n_shards=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # Every row landed in the shard its hash dictates.
+    mismatch = back.filter(
+        F.col("shard") != C.shard_assignment(F.col("doc_id"), 16)
+    ).count()
+    assert mismatch == 0
+
+    # Partition pruning: a one-shard filter reaches the scan as a
+    # partition filter, so the job reads a single shard directory.
+    one = back.filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+
+    # Within-shard order is the md5 hash order (deterministic shuffle).
+    rows = (
+        spark.read.parquet(f"{out}/shard=3")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    hashes = [hashlib.md5(str(d).encode()).hexdigest() for d in rows]
+    assert hashes == sorted(hashes)
+
+
+def test_shard_assignment_range_and_determinism(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    for n in (16, 32, 256):
+        vals = (
+            df.select(C.shard_assignment(F.col("doc_id"), n).alias("s"))
+            .agg(F.min("s"), F.max("s"), F.countDistinct("s"))
+            .collect()[0]
+        )
+        assert vals[0] >= 0 and vals[1] < n
+        # 1000 hashed ids should spread over most of the shard space.
+        assert vals[2] >= min(n, 16)
