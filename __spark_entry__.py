@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_chunks": X.q_token_chunks,
         "q_knn_multi": V.q_knn_multi,
         "q_source_mixture": X.q_source_mixture,
+        "q_semantic_dedup": V.q_semantic_dedup,
     }
 
 

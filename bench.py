@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "q_sequence_packing",
     "q_text_quality",
     "q_token_stats",
+    "q_pii_redact",
+    "q_quality_classifier",
+    "q_mixture_resample",
+    "q_repeated_spans",
+    "q_export_shards",
+    "q_semantic_dedup",
 ]
 
 

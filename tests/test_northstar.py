@@ -845,3 +845,34 @@ def test_decontamination_hot_gram_cap(spark):
     # Only the genuine-overlap doc is flagged; the 30 boilerplate docs
     # are not (their shared grams exceeded the df cap).
     assert out == {99}, out
+
+
+def test_semantic_dedup_drops_planted_near_identical_vectors(spark):
+    # SemDeDup: planted near-identical pairs must land in the same
+    # k-means cell (cosine ~1 vectors quantize identically) and the
+    # higher vec_id of each pair must be dropped with the lower id as
+    # its representative; background vectors survive.
+    import random
+
+    rng = random.Random(23)
+    dim = 16
+    rows = []
+    for g in range(4):  # 4 planted duplicate pairs
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((100 + 2 * g, base))
+        rows.append((100 + 2 * g + 1, [x + rng.uniform(-0.005, 0.005) for x in base]))
+    for i in range(0, 40):  # background, ids 0..39 seed the k-means init
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in V.semantic_dedup(e, n_centroids=8, threshold=0.98).collect()}
+    assert len(out) == len(rows)
+    for g in range(4):
+        keeper, dup = 100 + 2 * g, 100 + 2 * g + 1
+        assert out[keeper]["keep"], f"keeper {keeper} wrongly dropped"
+        assert not out[dup]["keep"], f"planted dup {dup} survived"
+        assert out[dup]["rep_id"] == keeper
+        assert out[dup]["cell"] == out[keeper]["cell"]
+    # Dropping is deterministic across runs.
+    again = {r.vec_id: r["keep"] for r in V.semantic_dedup(e, n_centroids=8, threshold=0.98).collect()}
+    assert again == {k: v["keep"] for k, v in out.items()}
