@@ -179,31 +179,51 @@ def embedding_near_dup_lsh_df(
     dim = len(first[0])
     vecs = e.select("vec_id", "embedding")
     planes = _hyperplanes(dim, n_bands * n_bits)
-    band_structs = []
-    for band in range(n_bands):
-        # Band b uses hyperplanes [b*n_bits, (b+1)*n_bits) of one
-        # deterministic family — independent across bands.
-        bucket = F.lit(0)
-        for j, row in enumerate(planes[band * n_bits : (band + 1) * n_bits]):
-            comp = F.array(*[F.lit(x) for x in row])
-            d = F.aggregate(
-                F.zip_with(F.col("embedding"), comp, lambda x, y: x.cast("double") * y),
-                F.lit(0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(band).alias("band_id"), bucket.cast("long").alias("bucket"))
-        )
+    # Banding is ONE Arrow-batched matrix product per partition:
+    # (batch x dim) @ (dim x n_bands*n_bits) then sign -> bucket bits.
+    # The HOF formulation (24 interpreted aggregate/zip_with folds per
+    # vector — higher-order functions skip codegen) measured ~2 s of
+    # this query's sf0.1 runtime; the matmul is microseconds per batch
+    # and the Arrow transfer ships each vector once. numpy's pairwise
+    # summation can differ from a sequential fold in the last ulp for
+    # dots ~0, which is fine HERE because both sides of the band join
+    # come from this same pass (self-consistent blocking) and the
+    # operator is approximate/rows-only by contract; the persisted-LSH
+    # lifecycle (build_lsh_index / ann_lsh_topk_from_index) keeps the
+    # sequential-fold lsh_bucket so driver-side query bucketing stays
+    # bit-identical to the stored corpus buckets.
+    bits_schema = "vec_id long, band_id int, bucket long"
+
+    def _band(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64).T  # dim x (n_bands*n_bits)
+        bitvals = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            signs = (M @ P) > 0
+            frames = []
+            for band in range(n_bands):
+                chunk = signs[:, band * n_bits : (band + 1) * n_bits]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "band_id": band,
+                            "bucket": (chunk * bitvals).sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
     # Three consumers read the banded frame (hot-bucket aggregate +
-    # both sides of the self-join); localCheckpoint runs the 24
-    # interpreted HOF dot products per vector ONCE instead of three
-    # times. 4 small rows per vector — cheap to materialize.
-    bands = (
-        vecs.select("vec_id", F.explode(F.array(*band_structs)).alias("b"))
-        .select("vec_id", "b.band_id", "b.bucket")
-        .localCheckpoint()
-    )
+    # both sides of the self-join); localCheckpoint runs the banding
+    # pass ONCE instead of three times. 4 small rows per vector —
+    # cheap to materialize.
+    bands = vecs.mapInPandas(_band, bits_schema).localCheckpoint()
     hot = (
         bands.groupBy("band_id", "bucket")
         .agg(F.count("*").alias("sz"))
@@ -225,11 +245,12 @@ def embedding_near_dup_lsh_df(
         .distinct()
     )
     # Re-score with PER-VECTOR norms computed once before the pair
-    # join: each vector lands in many candidate pairs, and HOF
-    # aggregates are interpreted (no codegen), so recomputing both
-    # norms per pair tripled the dominant cost — measured 3.9 s -> 1.5 s
-    # at sf0.1. dot/(n1*n2) is the same expression order as cosine(),
-    # so scores are bit-identical.
+    # join (each vector lands in many candidate pairs), then the
+    # per-pair dot product in one Arrow batch per partition: the
+    # candidate set is the big intermediate here (hundreds of pairs
+    # per vector pre-dedup), and an interpreted HOF fold per pair was
+    # the dominant cost after banding went vectorized — the einsum
+    # row-dot is the same n*dim work at C speed.
     normed = vecs.withColumn("nrm", _norm(F.col("embedding")))
     e1 = normed.select(
         F.col("vec_id").alias("vec_id_1"),
@@ -241,13 +262,33 @@ def embedding_near_dup_lsh_df(
         F.col("embedding").alias("emb_2"),
         F.col("nrm").alias("nrm_2"),
     )
-    cos = F.round(
-        _dot(F.col("emb_1"), F.col("emb_2")) / (F.col("nrm_1") * F.col("nrm_2")), 4
-    )
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m1 = np.array(pdf["emb_1"].tolist(), dtype=np.float64)
+            m2 = np.array(pdf["emb_2"].tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", m1, m2)
+            cos = np.round(
+                dots / (pdf["nrm_1"].to_numpy() * pdf["nrm_2"].to_numpy()), 4
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": pdf["vec_id_1"].to_numpy(),
+                    "vec_id_2": pdf["vec_id_2"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
     return (
         cand.join(e1, "vec_id_1")
         .join(e2, "vec_id_2")
-        .select("vec_id_1", "vec_id_2", cos.alias("cosine"))
+        .select("vec_id_1", "vec_id_2", "emb_1", "emb_2", "nrm_1", "nrm_2")
+        .mapInPandas(_score, "vec_id_1 long, vec_id_2 long, cosine double")
         .where(F.col("cosine") >= threshold)
     )
 
