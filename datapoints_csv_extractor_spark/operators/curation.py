@@ -275,25 +275,35 @@ def repeated_spans(
 
     Input must carry ``doc_id`` and a ``toks`` array column (a plain
     column, not an expression — see shingles_of_tokens' HOF-CSE note).
+
+    Plan-shape caution (measured 17 s -> 1 s at sf0.1): the explode
+    MUST sit directly on the tokenized frame. An intermediate
+    ``select(shingles(...).alias("grams"))`` is a Project adjacent to
+    the ``withColumn("toks", ...)`` Project, so CollapseProject merges
+    them and inlines the tokenizer into the shingle HOF lambda — every
+    ``element_at(toks, i+j)`` then re-splits the document (k re-parses
+    per gram). Generate is not a Project, so exploding straight off
+    the frame keeps ``toks`` a materialized attribute. Per-doc gram
+    counts therefore come from a groupBy over the exploded rows (one
+    extra map-side-combined shuffle), not from F.size over a second
+    reference to the gram array, which would re-trigger the collapse.
     """
     from datapoints_csv_extractor_spark.operators.dedup import shingles_of_tokens
 
-    gram_arr = shingles_of_tokens(F.col("toks"), k=k)
-    with_grams = docs_toks.select("doc_id", gram_arr.alias("grams"))
-    # Per-doc distinct-gram count is map-side (array length) — no
-    # groupBy needed; docs shorter than k grams drop out, matching
-    # the window-lead oracle.
-    per_doc = with_grams.select(
-        "doc_id", F.size(F.col("grams")).alias("n_grams")
-    ).filter(F.col("n_grams") > 0)
-    doc_grams = with_grams.select("doc_id", F.explode(F.col("grams")).alias("gram"))
+    # Grams are hashed to 64-bit before any shuffle (join semantics
+    # unchanged, collision odds ~n^2/2^64; only counts surface in the
+    # output, so the string-keyed DuckDB oracle still matches values).
+    doc_grams = docs_toks.select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("toks"), k=k)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("g"))
+    per_doc = doc_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     gram_df = (
-        doc_grams.groupBy("gram")
+        doc_grams.groupBy("g")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_docs)
     )
     repeated = (
-        doc_grams.join(gram_df, "gram")
+        doc_grams.join(gram_df, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_repeated_grams"))
     )

@@ -227,3 +227,51 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"quadratic join shapes: {offenders}"
+
+
+def test_pii_redact_is_map_only_with_pruned_scan(spark):
+    """PII detect+redact must stay a single map stage: no Exchange
+    anywhere, and the scan reads only (doc_id, text)."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_pii_redact(spark, SF))
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_quality_classifier_is_map_only(spark):
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_quality_classifier(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_mixture_resample_is_map_only(spark):
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_mixture_resample(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_repeated_spans_has_no_pair_explosion(spark):
+    """Repeated-span detection is the decontamination shape: gram
+    aggregate + equijoin. There must be NO join keyed on doc pairs
+    (no quadratic candidate work), only gram-keyed exchanges."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_repeated_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_export_shards_single_aggregation_shuffle(spark):
+    """Shard manifest = one hash-partitioned aggregate over 16 keys;
+    partial aggregation must appear before the exchange."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_export_shards(spark, SF))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # agg + final orderBy range exchange
+    assert "HashAggregate" in plan
