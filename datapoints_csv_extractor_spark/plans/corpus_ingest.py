@@ -8,7 +8,13 @@ published, without ever recomputing the existing corpus. This plan
 wires the incremental pieces end to end:
 
     JSONL shard (sources/documents.py — skip-don't-fail parse)
-      -> cheap quality gate (textops.quality_passes, scan-side)
+      -> PII redaction (operators/curation.py — map-only regex scrub;
+         runs FIRST so no un-redacted text flows anywhere downstream)
+      -> cheap quality gate (textops.quality_passes, scan-side),
+         optionally AND a shipped-weights classifier score
+         (curation.quality_classifier_score)
+      -> optional per-source mixture resampling (deterministic
+         hash-mod; a re-ingested shard makes identical decisions)
       -> dedup_incremental (operators/dedup.py — asymmetric band join
          against the persisted MinHash store; O(|shard| + candidates))
       -> deterministic split assignment (textops.split_assignment)
@@ -25,10 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapoints_csv_extractor_spark.operators.curation import (
+    pii_counts,
+    pii_redact,
+    quality_classifier_score,
+)
 from datapoints_csv_extractor_spark.operators.dedup import dedup_incremental
 from datapoints_csv_extractor_spark.operators.textops import (
     quality_passes,
     split_assignment,
+    tokens,
 )
 from datapoints_csv_extractor_spark.sinks.corpus import write_corpus
 
@@ -39,23 +51,71 @@ def ingest_corpus_shard(
     corpus_path: str,
     store_path: str,
     est_threshold: float = 0.5,
+    redact_pii: bool = True,
+    classifier_threshold: float | None = None,
+    resample_thresholds: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """Ingest one (doc_id, text, ...) shard into the curated corpus.
 
-    Quality-rejected docs never reach the dedup stage (no signatures
-    are wasted on them — and a low-quality doc must not block a later
-    clean near-copy). Docs flagged by the incremental dedup (against
-    the stored corpus OR an earlier doc in the same shard) are
-    dropped; survivors get their split and append to the corpus.
+    PII is scrubbed before anything else touches the text (signatures,
+    the band store, and the published corpus only ever see redacted
+    text). Quality-rejected and resampled-out docs never reach the
+    dedup stage (no signatures are wasted on them — and a dropped doc
+    must not block a later clean near-copy). Docs flagged by the
+    incremental dedup (against the stored corpus OR an earlier doc in
+    the same shard) are dropped; survivors get their split and append
+    to the corpus.
+
+    ``classifier_threshold`` additionally gates on the shipped-weights
+    hashed linear classifier score; ``resample_thresholds`` maps a
+    source name to an md5-prefix hex bound (e.g. ``{"crawl": "40"}``
+    keeps ~25% of that source; unlisted sources keep everything) —
+    both stages are pure projections, so the whole pre-dedup pipeline
+    stays one map-only pass over the shard.
 
     Returns the shard's bookkeeping counts (the numbers an ingest
-    pipeline alarms on): ``received``, ``low_quality``, ``duplicate``,
-    ``published``.
+    pipeline alarms on): ``received``, ``pii_redacted``,
+    ``low_quality``, ``resampled_out``, ``duplicate``, ``published``.
     """
     shard = shard.localCheckpoint()  # one materialization feeds 3 consumers
     n_received = shard.count()
-    passed = shard.where(quality_passes(F.col("text"))).localCheckpoint()
+
+    n_pii = 0
+    if redact_pii:
+        c = pii_counts(F.col("text"))
+        flagged = pii_redact(shard)
+        n_pii = (
+            flagged.where((c["n_emails"] + c["n_phones"] + c["n_ips"]) > 0).count()
+        )
+        shard = (
+            flagged.drop("text")
+            .withColumnRenamed("text_redacted", "text")
+            .localCheckpoint()
+        )
+
+    quality_ok = quality_passes(F.col("text"))
+    if classifier_threshold is not None:
+        quality_ok = quality_ok & (
+            quality_classifier_score(tokens(F.col("text"))) >= classifier_threshold
+        )
+    passed = shard.where(quality_ok).localCheckpoint()
     n_passed = passed.count()
+
+    n_resampled_out = 0
+    if resample_thresholds:
+        bound = F.coalesce(
+            *(
+                [
+                    F.when(F.col("source") == src, F.lit(thr))
+                    for src, thr in sorted(resample_thresholds.items())
+                ]
+                + [F.lit("zz")]
+            )
+        )
+        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        sampled = passed.where(bucket < bound).localCheckpoint()
+        n_resampled_out = n_passed - sampled.count()
+        passed = sampled
 
     verdicts = dedup_incremental(
         passed.select("doc_id", "text"), store_path, est_threshold
@@ -71,7 +131,9 @@ def ingest_corpus_shard(
     n_published = survivors.count()
     return {
         "received": n_received,
+        "pii_redacted": n_pii,
         "low_quality": n_received - n_passed,
-        "duplicate": n_passed - n_published,
+        "resampled_out": n_resampled_out,
+        "duplicate": n_passed - n_resampled_out - n_published,
         "published": n_published,
     }

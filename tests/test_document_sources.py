@@ -125,7 +125,8 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
         spark, read_documents_jsonl(spark, day1), corpus, store
     )
     assert stats1 == {
-        "received": 3, "low_quality": 1, "duplicate": 0, "published": 2
+        "received": 3, "pii_redacted": 0, "low_quality": 1,
+        "resampled_out": 0, "duplicate": 0, "published": 2,
     }
 
     day2 = write_shard(
@@ -139,7 +140,8 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
         spark, read_documents_jsonl(spark, day2), corpus, store
     )
     assert stats2 == {
-        "received": 2, "low_quality": 0, "duplicate": 1, "published": 1
+        "received": 2, "pii_redacted": 0, "low_quality": 0,
+        "resampled_out": 0, "duplicate": 1, "published": 1,
     }
 
     out = spark.read.parquet(corpus)
@@ -149,3 +151,71 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{corpus}/split=*"), "corpus must be split-partitioned"
+
+
+def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
+    """The full curation stack inside the ingest plan: PII is scrubbed
+    before text reaches the band store or the corpus, the classifier
+    gate and per-source resampling drop docs deterministically, and
+    the counts ledger adds up."""
+    import json
+
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    filler = (
+        "substantial enough prose discussing renewable microgrids and "
+        "long horizon storage economics in coastal towns"
+    )
+    docs = [
+        # kept, but carries an email that must be scrubbed
+        {"doc_id": 1, "text": f"{filler} write to alice@example.com", "source": "keepall"},
+        {
+            "doc_id": 2,
+            "text": (
+                "wholly unrelated survey of medieval manuscript binding "
+                "techniques and the trade routes that carried vellum north"
+            ),
+            "source": "keepall",
+        },
+        {"doc_id": 3, "text": "tiny!!", "source": "keepall"},  # low quality
+        # downsampled source: threshold '00' keeps nothing
+        {"doc_id": 4, "text": f"{filler} from the oversampled crawl", "source": "crawl"},
+    ]
+    p = tmp_path / "shard.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+
+    stats = ingest_corpus_shard(
+        spark,
+        read_documents_jsonl(spark, str(p)),
+        corpus,
+        store,
+        resample_thresholds={"crawl": "00"},
+    )
+    assert stats == {
+        "received": 4, "pii_redacted": 1, "low_quality": 1,
+        "resampled_out": 1, "duplicate": 0, "published": 2,
+    }
+    out = spark.read.parquet(corpus)
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert set(texts) == {1, 2}
+    assert "alice@example.com" not in texts[1]
+    assert "<EMAIL>" in texts[1]
+
+    # Re-ingesting the same shard is idempotent on decisions: doc 1's
+    # redacted text is now a known dup against the store.
+    stats2 = ingest_corpus_shard(
+        spark,
+        read_documents_jsonl(spark, str(p)),
+        corpus,
+        store,
+        resample_thresholds={"crawl": "00"},
+    )
+    assert stats2["published"] == 0
+    assert stats2["duplicate"] == 2
