@@ -133,6 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_multi": V.q_knn_multi,
         "q_source_mixture": X.q_source_mixture,
         "q_semantic_dedup": V.q_semantic_dedup,
+        # TPC-H widening (round 4): more of the classic suite, adapted
+        # to the driver's trimmed schema (no partsupp/commitdate).
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q18_large_volume_customers": R.q18_large_volume_customers,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     }
 
 
@@ -1092,5 +1100,74 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             GROUP BY shard
             ORDER BY shard
+        """,
+        "q13_customer_distribution": """
+            WITH pc AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM pc
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-02-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+                GROUP BY l_suppkey
+            ), rk AS (
+                SELECT l_suppkey, total_revenue,
+                       rank() OVER (ORDER BY total_revenue DESC) AS rk
+                FROM rev
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rk JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rk = 1
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            WITH branded AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#12'
+            ), bounds AS (
+                SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.4 AS qty_bound
+                FROM branded GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM branded JOIN bounds ON l_partkey = ap_partkey
+            WHERE l_quantity < qty_bound
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         """,
     }

@@ -634,3 +634,156 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join so
+    never-ordered customers land in the zero bucket, then a two-level
+    aggregation (per customer, then per count). Both aggregations are
+    map-side combined; the second one's key space is tiny (max orders
+    per customer), so the final shuffle is parameter-sized."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion revenue share: one month of lineitem
+    joined to part (broadcast dim), conditional aggregation for the
+    promo share. The date predicate pushes to the scan; the single
+    output row is the classic map-side-combined global aggregate."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            _r(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier(s): quarterly revenue per supplier,
+    then the max via a window over an unpartitioned-but-tiny frame
+    (one row per supplier AFTER aggregation — the window input is
+    already reduced, so the single-partition sort is parameter-sized,
+    not corpus-sized)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    return (
+        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one
+    brand whose quantity is under 20% of that part's average quantity.
+    The correlated scalar subquery decorrelates into a per-part
+    aggregate joined back to the fact — the standard Catalyst shape;
+    the per-part averages frame is dimension-sized, so AQE broadcasts
+    it."""
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    li = load(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_q = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.4).alias("qty_bound")
+    )
+    return (
+        branded.join(avg_q, branded.l_partkey == avg_q.ap_partkey)
+        .where(F.col("l_quantity") < F.col("qty_bound"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    quantity exceeds a threshold (HAVING over a grouped sum), joined
+    back to customer and re-aggregated. The heavy lineitem aggregate
+    shuffles once on orderkey; the qualifying-order set is then small
+    enough that AQE broadcasts it into the second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 280)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            "o_totalprice",
+            _r(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate revenue: three OR'd
+    brand/size/quantity band conditions evaluated after the part
+    broadcast join. The join keys stay conjunctive (partkey), so the
+    disjunction never blocks the broadcast hash join — the classic
+    test that an optimizer keeps OR-of-ANDs out of the join condition
+    and in a post-join filter it can still simplify."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.where(band1 | band2 | band3).agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
