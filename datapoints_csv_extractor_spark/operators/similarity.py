@@ -799,6 +799,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     threshold: float = 0.45,
     n_train_iters: int = 2,
+    max_cell_size: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, compare
@@ -815,13 +816,35 @@ def semantic_dedup(
     centroid table is parameter-sized and rides along as a broadcast
     literal (see _nearest_cell — assignment is map-only, no join).
 
+    Hot-cell guard: a degenerate centroid (e.g. a near-duplicate
+    flood, or too-few centroids for the corpus) would hand
+    applyInPandas an unbounded group — the same single-key failure
+    mode as a hot LSH bucket. Cells over ``max_cell_size`` are salted
+    into ceil(size/max_cell_size) deterministic sub-blocks
+    (vec_id-hash mod); comparisons then happen within a sub-block
+    only. That bounds worst-case group memory at the cost of recall
+    ACROSS sub-blocks of an oversized cell — the standard banding
+    trade, and the doc-level answer is still "resize n_centroids".
+
     Returns (vec_id, cell, keep, rep_id): keep=false rows name the
     surviving representative rep_id (the smallest-id neighbor above
-    threshold in the same cell).
+    threshold in the same cell/sub-block).
     """
     centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
     assigned = e.select("vec_id", "embedding").withColumn(
         "cell", _nearest_cell(F.col("embedding"), centroids)
+    )
+    cell_sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    n_sub = F.greatest(
+        F.ceil(F.col("cell_n") / F.lit(max_cell_size)), F.lit(1)
+    ).cast("int")
+    assigned = (
+        assigned.join(F.broadcast(cell_sizes), "cell")
+        .withColumn(
+            "sub",
+            F.pmod(F.xxhash64(F.col("vec_id")), n_sub).cast("int"),
+        )
+        .drop("cell_n")
     )
 
     # Verdicts are computed per cell with ONE gram-matrix product via
@@ -872,7 +895,7 @@ def semantic_dedup(
         )
 
     return (
-        assigned.groupBy("cell")
+        assigned.groupBy("cell", "sub")
         .applyInPandas(
             _cell_verdicts, "vec_id long, cell int, keep boolean, rep_id long"
         )

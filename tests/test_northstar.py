@@ -876,3 +876,34 @@ def test_semantic_dedup_drops_planted_near_identical_vectors(spark):
     # Dropping is deterministic across runs.
     again = {r.vec_id: r["keep"] for r in V.semantic_dedup(e, n_centroids=8, threshold=0.98).collect()}
     assert again == {k: v["keep"] for k, v in out.items()}
+
+
+def test_semantic_dedup_hot_cell_guard_bounds_group_size(spark):
+    # A near-duplicate flood collapsing into one cell must not hand
+    # applyInPandas an unbounded group: with max_cell_size=10, the
+    # 60-vector flood salts into sub-blocks, every block still finds
+    # its within-block dups, and no verdict row is lost.
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(i, [x + rng.uniform(-0.001, 0.001) for x in base]) for i in range(60)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = V.semantic_dedup(
+        e, n_centroids=4, threshold=0.99, max_cell_size=10
+    ).collect()
+    assert len(out) == len(rows)
+    flood = [r for r in out if r.vec_id < 100]
+    # Within each sub-block exactly one survivor: dups dropped despite
+    # the salt, survivors bounded by the number of sub-blocks (6).
+    dropped = [r for r in flood if not r.keep]
+    kept = [r for r in flood if r.keep]
+    # One survivor per sub-block; background vectors sharing the cell
+    # can push the block count slightly past ceil(60/10).
+    assert len(kept) <= 8
+    assert len(dropped) >= 52
+    for r in dropped:
+        assert r.rep_id is not None and r.rep_id < r.vec_id
