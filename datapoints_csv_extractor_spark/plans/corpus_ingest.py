@@ -54,6 +54,8 @@ def ingest_corpus_shard(
     redact_pii: bool = True,
     classifier_threshold: float | None = None,
     resample_thresholds: dict[str, str] | None = None,
+    ingest_id: str | None = None,
+    corpus_mode: str = "append",
 ) -> dict[str, int]:
     """Ingest one (doc_id, text, ...) shard into the curated corpus.
 
@@ -118,13 +120,14 @@ def ingest_corpus_shard(
         passed = sampled
 
     verdicts = dedup_incremental(
-        passed.select("doc_id", "text"), store_path, est_threshold
+        passed.select("doc_id", "text"), store_path, est_threshold,
+        ingest_id=ingest_id,
     )
     dup_ids = verdicts.select("doc_id").distinct()
     survivors = passed.join(dup_ids, "doc_id", "left_anti").withColumn(
         "split", split_assignment(F.col("doc_id"))
     )
-    write_corpus(survivors, corpus_path, mode="append")
+    write_corpus(survivors, corpus_path, mode=corpus_mode)
     # Counted from the shard-sized lineage (checkpointed shard +
     # verdicts), NOT by re-reading the corpus: per-shard cost must stay
     # O(|shard|), independent of how big the corpus has grown.
@@ -137,3 +140,54 @@ def ingest_corpus_shard(
         "duplicate": n_passed - n_resampled_out - n_published,
         "published": n_published,
     }
+
+
+def stream_ingest_corpus(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    corpus_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    on_batch=None,
+    **stage_kwargs,
+):
+    """Continuous corpus ingestion: the full curation plan
+    (``ingest_corpus_shard`` — PII scrub, quality gate, resample,
+    incremental dedup, split) applied to every micro-batch of a
+    document stream.
+
+    Replay safety (foreachBatch is at-least-once): each batch
+    publishes into ``corpus_path/batch=<id>/`` with OVERWRITE mode, so
+    a crash-replayed batch rewrites its own directory instead of
+    double-appending, and the band-store fold is keyed by the same
+    batch id (manifest-committed, idempotent — operators/dedup.py).
+    Readers see one corpus: partition discovery turns ``batch=`` into
+    a column, and the ``split=`` layout nests beneath it unchanged.
+
+    ``on_batch(batch_id, stats)`` receives each batch's count ledger.
+    Extra keyword args flow to ``ingest_corpus_shard`` (e.g.
+    ``classifier_threshold``, ``resample_thresholds``).
+    """
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        stats = ingest_corpus_shard(
+            spark,
+            batch_df,
+            f"{corpus_path}/batch={batch_id}",
+            store_path,
+            ingest_id=f"batch_{batch_id}",
+            corpus_mode="overwrite",
+            **stage_kwargs,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, stats)
+
+    writer = docs_stream.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -308,3 +308,79 @@ def test_stream_dedup_incremental_across_restarts(spark, tmp_path):
     }
     assert set(sig2) == {1, 2, 101, 102}
     assert sig2[1] == sig1[1] and sig2[2] == sig1[2]
+
+
+def test_stream_ingest_corpus_end_to_end(spark, tmp_path):
+    """The full curation plan as a stream: two availableNow runs over a
+    growing document folder publish batch-partitioned corpus output,
+    scrub PII before anything persists, and drop cross-batch near-dups
+    via the shared band store."""
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        stream_ingest_corpus,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(
+        [
+            (1, base + " email me at bob@example.net", "web"),
+            (2, "short!", "web"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    ledgers: list[tuple[int, dict]] = []
+    q = stream_ingest_corpus(
+        spark,
+        spark.readStream.schema(schema).parquet(str(src)),
+        corpus,
+        store,
+        ckpt,
+        on_batch=lambda bid, stats: ledgers.append((bid, stats)),
+    )
+    q.awaitTermination(120)
+    assert ledgers and ledgers[0][1]["published"] == 1
+    assert ledgers[0][1]["pii_redacted"] == 1
+    out1 = spark.read.parquet(corpus)
+    texts = [r.text for r in out1.collect()]
+    assert len(texts) == 1 and "<EMAIL>" in texts[0]
+    assert "bob@example.net" not in texts[0]
+
+    # Second run: a near-copy of doc 1 arrives — dropped against the
+    # store; a novel doc publishes under a new batch directory.
+    spark.createDataFrame(
+        [
+            (101, base.replace("pale", "dark"), "web"),
+            (
+                102,
+                "entirely new discussion of tidal energy converters and "
+                "their maintenance schedules in northern waters",
+                "web",
+            ),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    ledgers.clear()
+    q2 = stream_ingest_corpus(
+        spark,
+        spark.readStream.schema(schema).parquet(str(src)),
+        corpus,
+        store,
+        ckpt,
+        on_batch=lambda bid, stats: ledgers.append((bid, stats)),
+    )
+    q2.awaitTermination(120)
+    assert ledgers and ledgers[0][1]["duplicate"] == 1
+    assert ledgers[0][1]["published"] == 1
+    out2 = spark.read.parquet(corpus)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 102]
+    # Batch-partitioned layout: each run's publish is its own directory.
+    assert "batch" in out2.columns and "split" in out2.columns
