@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q18_large_volume_customers": R.q18_large_volume_customers,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q_quality_calibration": C.q_quality_calibration,
     }
 
 
@@ -1169,5 +1170,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_quality_calibration": """
+            WITH tok AS (
+                SELECT source,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), z AS (
+                SELECT source,
+                       0.05 + (coalesce(list_sum(list_transform(toks,
+                           t -> ([8, -5, 3, -2, 6, -7, 1, 4, -3, 2, -6, 5, -1, 7, -4, 0])
+                                [list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                               substring(md5(t), 1, 1))])), 0) / 10.0)
+                            / greatest(len(toks), 1) AS z
+                FROM tok
+            ), s AS (
+                SELECT source, round(1.0 / (1.0 + exp(-z)), 4) AS s FROM z
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   round(quantile_cont(s, 0.1), 4) AS p10,
+                   round(quantile_cont(s, 0.5), 4) AS p50,
+                   round(quantile_cont(s, 0.9), 4) AS p90,
+                   round(avg(CASE WHEN s >= 0.5 THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+            FROM s
+            GROUP BY source
+            ORDER BY source
         """,
     }

@@ -387,3 +387,42 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(out_path)
     )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration of the quality classifier: score
+    percentiles and the pass rate at the 0.5 cut — the table a
+    curation run consults before choosing per-source thresholds
+    (quality distributions differ by source, so one global cut over-
+    or under-filters somewhere).
+
+    One map-only scoring pass, then a groupBy(source) whose exact
+    percentile needs each group's value set (sort-based); at 100 TB
+    swap ``percentile`` for ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) — same call shape, documented trade as
+    q_percentiles.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    scored = d.select(
+        "source", quality_classifier_score(F.col("toks")).alias("s")
+    )
+    pct = F.percentile("s", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            pct.alias("p"),
+            F.round(
+                F.avg(F.when(F.col("s") >= 0.5, 1.0).otherwise(0.0)), 4
+            ).alias("pass_rate"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("p")[0], 4).alias("p10"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p90"),
+            "pass_rate",
+        )
+        .orderBy("source")
+    )

@@ -29,6 +29,7 @@ ROWS_ONLY_ALLOWED = {
     "q_multimodal_feature_knn",
     "q_curation_pipeline_full",
     "q_dedup_incremental",
+    "q_semantic_dedup",  # k-means assignment has no SQL twin
 }
 
 
