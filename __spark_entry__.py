@@ -142,11 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": R.q18_large_volume_customers,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q_quality_calibration": C.q_quality_calibration,
+        "q_dedup_clusters_twostar": D.q_dedup_clusters_twostar,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -1198,3 +1199,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    # Output-identical algorithms share one oracle: the two-star
+    # components finisher produces the same (doc_id, canonical) table
+    # as min-label propagation over the same pair graph.
+    sql["q_dedup_clusters_twostar"] = sql["q_dedup_clusters"]
+    return sql

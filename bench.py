@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
+    "q_dedup_clusters_twostar",
     "q_minhash_dedup_pipeline",
     "q_minhash_signatures",
     "q_winnowing_fingerprints",

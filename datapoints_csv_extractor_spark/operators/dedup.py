@@ -907,3 +907,105 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dedup_incremental(d.where(F.col("doc_id") > cut), store)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — same output contract as ``dedup_clusters`` (one row per
+    doc in any pair: (doc_id, canonical_doc_id) = component min), in
+    O(log d) rounds instead of O(d).
+
+    Why it exists: min-label propagation needs as many rounds as the
+    graph DIAMETER. Dedup graphs from banding are usually dense
+    cliques (diameter 1-2), but chained near-dup clusters (A~B~C~...,
+    each link above threshold, ends below it) produce paths — at 100 TB
+    a 10k-long chain means 10k propagation rounds but only ~14
+    two-star rounds. Each round here is the same shuffle shape as one
+    propagation round (a groupBy(min) + a join-free re-emit), so the
+    round SAVINGS is the whole win.
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    its smallest neighbor (or itself); small-star: every node's
+    not-larger neighbors re-attach likewise. At fixpoint each
+    component is a star centered at its min node. Convergence is
+    detected by an order-insensitive xxhash64 checksum of the oriented
+    edge set (one tiny aggregate per round, collision odds ~2^-64).
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_id_1").cast("long").alias("a"),
+            F.col("doc_id_2").cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.explode(F.array("a", "b")).alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: summing 64-bit hashes overflows LONG under
+        # the driver's ANSI-on sessions (the round-1 winnowing lesson);
+        # xor is order-insensitive and closed over int64. Edges are
+        # distinct, so (count, xor) identifies the set up to ~2^-64.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    for _ in range(max_rounds):
+        # large-star over the symmetrized neighborhoods.
+        sym = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m_of = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(m_of, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the (big -> small) oriented edges.
+        m_small = large.groupBy("a").agg(F.min("b").alias("m"))
+        joined = large.join(m_small, "a")
+        small = (
+            joined.where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m_small.select("a", F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    parent = edges.groupBy("a").agg(F.min("b").alias("canonical"))
+    return nodes.join(parent, nodes.doc_id == parent.a, "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical"), F.col("doc_id")).alias(
+            "canonical_doc_id"
+        ),
+    )
+
+
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the two-star components finisher over the same
+    exact-Jaccard pair graph as q_dedup_clusters — output-identical,
+    so it shares the recursive-CTE oracle."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return dedup_clusters_twostar(pairs)

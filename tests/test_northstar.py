@@ -907,3 +907,54 @@ def test_semantic_dedup_hot_cell_guard_bounds_group_size(spark):
     assert len(dropped) >= 52
     for r in dropped:
         assert r.rep_id is not None and r.rep_id < r.vec_id
+
+
+def test_twostar_components_match_label_propagation(spark):
+    # Output contract: identical (doc_id, canonical) verdicts as the
+    # min-label propagation finisher, on shapes that stress both —
+    # cliques, a long path (high diameter), bridges, and singleton
+    # pairs.
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_twostar,
+    )
+
+    rng = random.Random(5)
+    edges = []
+    # clique 0..5
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.append((i, j))
+    # path 100..140 (diameter 40)
+    for i in range(100, 140):
+        edges.append((i, i + 1))
+    # random blobs
+    for _ in range(60):
+        a, b = rng.randrange(200, 260), rng.randrange(200, 260)
+        if a != b:
+            edges.append((a, b))
+    # bridge the clique to the path tail
+    edges.append((5, 140))
+    pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+
+    lp = {(r.doc_id, r.canonical_doc_id) for r in dedup_clusters(pairs, max_iterations=60).collect()}
+    ts = {(r.doc_id, r.canonical_doc_id) for r in dedup_clusters_twostar(pairs).collect()}
+    assert ts == lp
+
+
+def test_twostar_converges_logarithmically_on_a_path(spark):
+    # A 64-node path has diameter 63: label propagation needs ~63
+    # rounds; two-star must finish in far fewer (O(log n)) — pinned by
+    # giving it only 12 rounds and checking the answer is exact.
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_clusters_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = dedup_clusters_twostar(pairs, max_rounds=12).collect()
+    assert len(out) == 65
+    assert all(r.canonical_doc_id == 0 for r in out)
