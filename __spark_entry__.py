@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q_quality_calibration": C.q_quality_calibration,
         "q_dedup_clusters_twostar": D.q_dedup_clusters_twostar,
+        "q22_idle_rich_customers": R.q22_idle_rich_customers,
     }
 
 
@@ -1199,6 +1200,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    sql["q22_idle_rich_customers"] = """
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
     # Output-identical algorithms share one oracle: the two-star
     # components finisher produces the same (doc_id, canonical) table
     # as min-label propagation over the same pair graph.

@@ -1,0 +1,109 @@
+"""CLI for the corpus-curation side of the engine: run the full
+shard-ingest plan (PII scrub -> quality gate -> optional classifier /
+resampling -> incremental dedup -> split -> publish) over a JSONL
+shard, in batch or streaming (availableNow drain) mode.
+
+Run:
+    python -m datapoints_csv_extractor_spark.corpus_cli \
+        --input shard.jsonl --corpus corpus/ --store bandstore/
+
+Streaming over a growing folder of shards:
+    python -m datapoints_csv_extractor_spark.corpus_cli \
+        --input shards_dir/ --corpus corpus/ --store bandstore/ \
+        --stream --checkpoint ckpt/
+
+The batch mode prints the count ledger as one JSON line (received /
+pii_redacted / low_quality / resampled_out / duplicate / published) —
+the numbers an ingest pipeline alarms on.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from datapoints_csv_extractor_spark.session import get_spark
+
+
+def _parse_resample(specs: list[str]) -> dict[str, str]:
+    """``source=hexbound`` pairs -> dict (e.g. crawl=40 keeps ~25%)."""
+    out: dict[str, str] = {}
+    for spec in specs:
+        if "=" not in spec:
+            raise SystemExit(f"--resample expects source=hexbound, got {spec!r}")
+        src, bound = spec.split("=", 1)
+        out[src] = bound
+    return out
+
+
+def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="datapoints_csv_extractor_spark.corpus_cli"
+    )
+    parser.add_argument("--input", "-i", required=True, help="JSONL shard file (batch) or folder of shards (--stream)")
+    parser.add_argument("--corpus", "-o", required=True, help="Curated corpus path (split-partitioned parquet)")
+    parser.add_argument("--store", "-s", required=True, help="Persisted MinHash band store path")
+    parser.add_argument("--stream", action="store_true", help="Streaming mode over a folder (availableNow drain)")
+    parser.add_argument("--checkpoint", default=None, help="Streaming checkpoint dir (default <corpus>_checkpoint)")
+    parser.add_argument("--no-pii-redaction", action="store_true", help="Skip the PII scrub stage")
+    parser.add_argument("--classifier-threshold", type=float, default=None, help="Also gate on the hashed linear classifier score")
+    parser.add_argument(
+        "--resample", action="append", default=[],
+        metavar="SOURCE=HEXBOUND",
+        help="Per-source md5-prefix keep bound (repeatable), e.g. crawl=40 keeps ~25%% of source 'crawl'",
+    )
+    parser.add_argument("--est-threshold", type=float, default=0.5, help="Estimated-Jaccard duplicate threshold")
+    parser.add_argument("--master", default=None, help="Spark master override")
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv)
+    spark = get_spark(app_name="corpus-ingest", master=args.master)
+    stage_kwargs = dict(
+        est_threshold=args.est_threshold,
+        redact_pii=not args.no_pii_redaction,
+        classifier_threshold=args.classifier_threshold,
+        resample_thresholds=_parse_resample(args.resample) or None,
+    )
+
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+        stream_ingest_corpus,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        DOCUMENT_SCHEMA,
+        read_documents_jsonl,
+    )
+
+    if args.stream:
+        checkpoint = args.checkpoint or f"{args.corpus}_checkpoint"
+        ledgers: list[dict] = []
+        q = stream_ingest_corpus(
+            spark,
+            spark.readStream.schema(DOCUMENT_SCHEMA).json(args.input),
+            args.corpus,
+            args.store,
+            checkpoint,
+            on_batch=lambda bid, stats: ledgers.append({"batch": bid, **stats}),
+            **stage_kwargs,
+        )
+        q.awaitTermination()
+        for ledger in ledgers:
+            print(json.dumps(ledger))
+        return 0
+
+    stats = ingest_corpus_shard(
+        spark,
+        read_documents_jsonl(spark, args.input),
+        args.corpus,
+        args.store,
+        **stage_kwargs,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

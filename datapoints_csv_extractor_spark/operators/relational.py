@@ -787,3 +787,28 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style sales-opportunity scan: customers with an
+    above-average (positive) balance and no high-value order
+    (totalprice > 250k), rolled up by market segment. Composes the
+    scalar aggregate subquery (1-row broadcast), the NOT-EXISTS
+    anti-join over a filtered build side, and a final tiny aggregate —
+    Q22's shape without the phone-prefix column this schema lacks."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _r(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -111,3 +111,57 @@ def test_cli_live_drain_writes_metrics_textfile(spark, tmp_path):
 
     m = re.search(r'csv_live_posted_data_points_total\{project_name="default"\} (\d+)', body)
     assert m and int(m.group(1)) > 0
+
+
+def test_corpus_cli_batch_ledger(spark, tmp_path, capsys):
+    import json
+
+    from datapoints_csv_extractor_spark.corpus_cli import main as corpus_main
+
+    docs = [
+        {"doc_id": 1, "text": "a long enough document about river deltas and the silt they deposit each spring", "source": "a"},
+        {"doc_id": 2, "text": "contact me at eve@example.org for a long enough discussion of tidal marsh restoration", "source": "a"},
+        {"doc_id": 3, "text": "nope", "source": "a"},
+    ]
+    shard = tmp_path / "shard.jsonl"
+    shard.write_text("\n".join(json.dumps(d) for d in docs))
+    rc = corpus_main(
+        [
+            "--input", str(shard),
+            "--corpus", str(tmp_path / "corpus"),
+            "--store", str(tmp_path / "store"),
+        ]
+    )
+    assert rc == 0
+    ledger = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ledger["received"] == 3
+    assert ledger["pii_redacted"] == 1
+    assert ledger["low_quality"] == 1
+    assert ledger["published"] == 2
+    texts = [r.text for r in spark.read.parquet(str(tmp_path / "corpus")).collect()]
+    assert all("eve@example.org" not in t for t in texts)
+
+
+def test_corpus_cli_stream_drain(spark, tmp_path, capsys):
+    import json
+
+    from datapoints_csv_extractor_spark.corpus_cli import main as corpus_main
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    (shards / "s1.jsonl").write_text(
+        json.dumps({"doc_id": 10, "text": "streamed document with a healthy number of words describing alpine weather fronts", "source": "s"})
+    )
+    rc = corpus_main(
+        [
+            "--input", str(shards),
+            "--corpus", str(tmp_path / "corpus"),
+            "--store", str(tmp_path / "store"),
+            "--stream",
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out_lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines() if x.startswith("{")]
+    assert out_lines and out_lines[-1]["published"] == 1
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 1

@@ -275,3 +275,26 @@ def test_export_shards_single_aggregation_shuffle(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan  # agg + final orderBy range exchange
     assert "HashAggregate" in plan
+
+
+def test_q14_broadcasts_part_and_pushes_date_filter(spark):
+    plan = _plan(R.q14_promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+
+
+def test_q19_disjunction_stays_out_of_the_join_condition(spark):
+    """The OR-of-ANDs must be a post-join filter over the broadcast
+    hash join on partkey, never a nested-loop join condition."""
+    plan = _plan(R.q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_subquery_and_anti_join_broadcast(spark):
+    plan = _plan(R.q22_idle_rich_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # The anti-join against orders must not sort-merge at this scale.
+    assert "SortMergeJoin" not in plan
