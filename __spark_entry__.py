@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_calibration": C.q_quality_calibration,
         "q_dedup_clusters_twostar": D.q_dedup_clusters_twostar,
         "q22_idle_rich_customers": R.q22_idle_rich_customers,
+        "q8_market_share": R.q8_market_share,
+        "q_lttb_downsample": A.q_lttb_downsample,
     }
 
 
@@ -1200,6 +1202,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    sql["q8_market_share"] = """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY o_year
+        ORDER BY o_year
+    """
     sql["q22_idle_rich_customers"] = """
         WITH avg_bal AS (
             SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0

@@ -325,3 +325,76 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    standard algorithm a datapoints UI uses to draw a million-point
+    series with a few hundred visually-faithful points (Steinarsson
+    2013). Endpoints are kept; each interior bucket keeps the point
+    maximizing the triangle area with the previously kept point and
+    the next bucket's centroid.
+
+    The selection is inherently sequential WITHIN a series (each
+    choice depends on the previous kept point), so it cannot be a
+    window expression; it is embarrassingly parallel ACROSS series,
+    which is exactly applyInPandas' contract: one shuffle on the
+    series key, then a per-group numpy pass. Group memory is one
+    series (the same bound the reference's per-file pivot loop had,
+    csv_extractor.py:92-160); series longer than executor memory
+    would pre-split by time range first.
+
+    Rows-only at the driver (no SQL twin for the sequential
+    selection); pytest pins parity with a pure-Python reference.
+    """
+
+    def _lttb(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_buckets:
+            return pdf[[series_col, ts_col, value_col]]
+        ts64 = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        # Bucket boundaries over the interior points [1, n-1).
+        bounds = np.linspace(1, n - 1, n_buckets - 1).astype(np.int64)
+        keep = [0]
+        prev = 0
+        for b in range(n_buckets - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            nxt_lo, nxt_hi = hi, (bounds[b + 2] if b + 2 < len(bounds) else n)
+            cx = ts64[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else ts64[-1]
+            cy = vals[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else vals[-1]
+            # Triangle area vs (prev kept, candidate, next centroid).
+            area = np.abs(
+                (ts64[prev] - cx) * (vals[lo:hi] - vals[prev])
+                - (ts64[prev] - ts64[lo:hi]) * (cy - vals[prev])
+            )
+            choice = lo + int(area.argmax())
+            keep.append(choice)
+            prev = choice
+        keep.append(n - 1)
+        return pdf.iloc[keep][[series_col, ts_col, value_col]]
+
+    out_schema = df.select(series_col, ts_col, value_col).schema
+    return (
+        df.select(series_col, ts_col, value_col)
+        .groupBy(series_col)
+        .applyInPandas(_lttb, out_schema)
+    )
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: LTTB-downsample each user's event series to 20
+    points (rows-only; parity with a pure-Python LTTB is pinned in
+    pytest)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return lttb_downsample(ev, n_buckets=20)

@@ -70,3 +70,64 @@ def test_range_join_buckets_cover_january(spark):
         (F.col("ts") >= F.lit("2024-01-01")) & (F.col("ts") < F.lit("2024-02-05"))
     )
     assert out.agg(F.sum("n_events")).first()[0] == jan.count()
+
+
+def test_lttb_matches_python_reference_and_keeps_endpoints(spark):
+    """LTTB parity: the distributed per-series pass must select the
+    exact same points as a sequential pure-Python LTTB."""
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import lttb_downsample
+
+    def py_lttb(pts, n_buckets):
+        n = len(pts)
+        if n <= n_buckets:
+            return pts
+        import numpy as np
+
+        ts = np.array([p[0] for p in pts], dtype=float)
+        vals = np.array([p[1] for p in pts], dtype=float)
+        bounds = np.linspace(1, n - 1, n_buckets - 1).astype(int)
+        keep, prev = [0], 0
+        for b in range(n_buckets - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            nxt_lo, nxt_hi = hi, (bounds[b + 2] if b + 2 < len(bounds) else n)
+            cx = ts[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else ts[-1]
+            cy = vals[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else vals[-1]
+            area = abs(
+                (ts[prev] - cx) * (vals[lo:hi] - vals[prev])
+                - (ts[prev] - ts[lo:hi]) * (cy - vals[prev])
+            )
+            choice = lo + int(area.argmax())
+            keep.append(choice)
+            prev = choice
+        keep.append(n - 1)
+        return [pts[i] for i in keep]
+
+    rows = []
+    series = {}
+    for uid in (1, 2):
+        pts = [
+            (i * 1_000_000, math.sin(i / 7.0 + uid) * 10 + (i % 13))
+            for i in range(200)
+        ]
+        series[uid] = pts
+        rows += [(uid, t, v) for t, v in pts]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+    out = lttb_downsample(df, n_buckets=25).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append((r.ts, r.value))
+    for uid, pts in series.items():
+        expect = py_lttb(pts, 25)
+        assert sorted(got[uid]) == sorted(expect)
+        assert len(got[uid]) == 25
+        kept_ts = {t for t, _ in got[uid]}
+        assert pts[0][0] in kept_ts and pts[-1][0] in kept_ts
+
+    # Short series pass through untouched.
+    short = spark.createDataFrame(
+        [(9, i, float(i)) for i in range(10)], "user_id long, ts long, value double"
+    )
+    assert lttb_downsample(short, n_buckets=25).count() == 10

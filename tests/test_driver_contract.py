@@ -30,6 +30,7 @@ ROWS_ONLY_ALLOWED = {
     "q_curation_pipeline_full",
     "q_dedup_incremental",
     "q_semantic_dedup",  # k-means assignment has no SQL twin
+    "q_lttb_downsample",  # sequential per-series selection has no SQL twin
 }
 
 
