@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_rich_customers": R.q22_idle_rich_customers,
         "q8_market_share": R.q8_market_share,
         "q_lttb_downsample": A.q_lttb_downsample,
+        "q_line_dedup": C.q_line_dedup,
+        "q_corpus_datacard": C.q_corpus_datacard,
     }
 
 
@@ -1202,6 +1204,74 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    sql["q_corpus_datacard"] = """
+        WITH t AS (
+            SELECT doc_id, text, source,
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id, source, text, toks,
+                   (length(text) >= 20 AND
+                    round((length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1), 4) < 0.3) AS q,
+                   round(1.0 / (1.0 + exp(-(0.05 + (coalesce(list_sum(list_transform(toks,
+                       tk -> ([8, -5, 3, -2, 6, -7, 1, 4, -3, 2, -6, 5, -1, 7, -4, 0])
+                            [list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                           substring(md5(tk), 1, 1))])), 0) / 10.0)
+                        / greatest(len(toks), 1)))), 4) AS score,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))
+                    + len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)[0-9]{1,3}\\b'))) > 0 AS has_pii,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t
+        )
+        SELECT count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               round(avg(CASE WHEN q THEN 1.0 ELSE 0.0 END), 4) AS quality_pass_rate,
+               round(avg(CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END), 4) AS classifier_pass_rate,
+               CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+               CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+               round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS exact_dup_rate
+        FROM f
+    """
+    sql["q_line_dedup"] = """
+        WITH tok AS (
+            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents
+        ), ln AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i,
+                   toks
+            FROM tok
+        ), lines AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS line_idx,
+                   array_to_string(list_slice(toks, (i-1)*10 + 1, (i-1)*10 + 10), ' ') AS line
+            FROM ln
+        ), kept AS (
+            SELECT doc_id, line_idx, line
+            FROM (SELECT doc_id, line_idx, line,
+                         row_number() OVER (PARTITION BY md5(line)
+                                            ORDER BY doc_id, line_idx) AS rn
+                  FROM lines)
+            WHERE rn = 1
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        ), keptagg AS (
+            SELECT doc_id, count(*) AS n_kept_lines,
+                   string_agg(line, ' ' ORDER BY line_idx) AS retained_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_lines,
+               coalesce(k.n_kept_lines, 0) AS n_kept_lines,
+               coalesce(k.retained_text, '') AS retained_text
+        FROM totals t LEFT JOIN keptagg k USING (doc_id)
+    """
     sql["q8_market_share"] = """
         SELECT year(o_orderdate) AS o_year,
                round(sum(CASE WHEN n2.n_name = 'NATION_2'

@@ -426,3 +426,119 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level dedup (C4-style)
+# --------------------------------------------------------------------------
+
+
+def line_dedup(docs_lines: DataFrame) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 idiom: a repeated line —
+    boilerplate, navigation, license header — survives only at its
+    FIRST occurrence; every later copy is dropped from its document).
+
+    Input: (doc_id, line_idx, line) — one row per line, line_idx
+    giving the within-doc order. Output: (doc_id, line_idx, line) of
+    KEPT lines.
+
+    Shape: one window over the line hash ordered by (doc_id,
+    line_idx); the shuffle key is the line content hash, so identical
+    lines co-locate and everything else streams. Skew note: a line
+    repeated n times lands n rows in one hash partition — bounded by
+    the corpus's duplication factor, and the window computes only
+    row_number (no buffering beyond the sort run).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("doc_id", "line_idx")
+    return (
+        docs_lines.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing line dedup: documents are segmented into
+    deterministic 10-token lines (the synthetic corpus has no
+    newlines; both engines build identical lines from the token
+    array), repeated lines keep only their first (doc_id, line_idx)
+    occurrence, and each document's surviving text is reassembled in
+    order. Per-doc output: kept/total line counts + retained text."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    n = F.size(F.col("toks"))
+    n_lines = F.ceil(n / F.lit(10)).cast("int")
+    # Empty docs: F.sequence(0, -1) would generate a DESCENDING [0,-1]
+    # (the shingles_of_tokens lesson), so they map to no lines at all.
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select(
+        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+    )
+    kept = line_dedup(exploded)
+    per_doc_total = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines")
+    )
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_lines"),
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("line_idx", "line"))).getField("line")
+        ).alias("retained_text"),
+    )
+    return (
+        per_doc_total.join(per_doc_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept_lines"), F.lit(0)).alias("n_kept_lines"),
+            F.coalesce(F.col("retained_text"), F.lit("")).alias("retained_text"),
+        )
+    )
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus data card: the summary table a pretraining
+    run publishes next to its checkpoints — sizes, source diversity,
+    exact-dup rate, quality/classifier pass rates, PII incidence, and
+    the split census. Composes only already-oracle-verified
+    expressions, in ONE scan + one global aggregate (the two
+    count-distincts are the only expand; everything else map-side
+    combines)."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        quality_passes,
+        split_assignment,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    counts = pii_counts(F.col("text"))
+    has_pii = (counts["n_emails"] + counts["n_phones"] + counts["n_ips"]) > 0
+    score = quality_classifier_score(F.col("toks"))
+    split = split_assignment(F.col("doc_id"))
+    agg = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(F.col("toks")).cast("long")).alias("n_tokens"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        F.round(F.avg(quality_passes(F.col("text")).cast("double")), 4).alias(
+            "quality_pass_rate"
+        ),
+        F.round(F.avg((score >= 0.5).cast("double")), 4).alias(
+            "classifier_pass_rate"
+        ),
+        F.sum(has_pii.cast("long")).alias("n_docs_with_pii"),
+        F.sum((split == "train").cast("long")).alias("n_train"),
+        F.sum((split == "val").cast("long")).alias("n_val"),
+        F.sum((split == "test").cast("long")).alias("n_test"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 4
+        ).alias("exact_dup_rate"),
+    )

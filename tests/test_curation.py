@@ -240,3 +240,23 @@ def test_repeated_fraction_bounded(spark):
         assert r.repeated_fraction == pytest.approx(
             round(r.n_repeated_grams / max(r.n_grams, 1), 4), abs=1e-9
         )
+
+
+# ----------------------------------------------------------- line dedup
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    from datapoints_csv_extractor_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, 0, "all rights reserved"),
+        (1, 1, "unique alpha content"),
+        (2, 0, "all rights reserved"),   # repeat -> dropped
+        (2, 1, "unique beta content"),
+        (3, 0, "unique gamma content"),
+        (3, 1, "all rights reserved"),   # repeat -> dropped
+        (3, 2, "unique beta content"),   # repeat of doc2 line -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line_idx int, line string")
+    kept = {(r.doc_id, r.line_idx) for r in line_dedup(df).collect()}
+    assert kept == {(1, 0), (1, 1), (2, 1), (3, 0)}
