@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "q_repeated_spans",
     "q_export_shards",
     "q_semantic_dedup",
+    "q_line_dedup",
+    "q_corpus_datacard",
+    "q_quality_calibration",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "q_lttb_downsample",
 ]
 
 
