@@ -1,0 +1,71 @@
+"""Z-order layout: the clustering must make parquet row-group stats
+selective for EVERY participating column, not just a sort's leading
+one — measured directly from file metadata, not inferred."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.plans.layout import morton_key, write_zordered
+
+
+def _avg_span(path_glob: str, column: str) -> float:
+    """Mean (max-min) span of a column across all row groups."""
+    spans = []
+    for f in glob.glob(path_glob):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == column
+            )
+            st = col.statistics
+            spans.append(float(st.max - st.min))
+    assert spans
+    return sum(spans) / len(spans)
+
+
+def test_morton_key_interleaves_bits(spark):
+    df = spark.range(1).select(
+        morton_key([F.lit(0b101).cast("long"), F.lit(0b011).cast("long")], bits=3).alias("k")
+    )
+    # x=101, y=011 -> bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
+    assert df.collect()[0]["k"] == 0b011011
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    # 64 users x 512 timestamps, uniformly crossed: a ts-sorted layout
+    # leaves every row group spanning ALL users; the z-ordered layout
+    # must cut the per-row-group user span by a large factor while
+    # keeping ts spans far below the full range.
+    df = (
+        spark.range(64 * 512)
+        .select(
+            (F.col("id") % 64).alias("user_id"),
+            (F.col("id") / 64).cast("long").alias("ts_s"),
+        )
+    )
+    flat = str(tmp_path / "ts_sorted")
+    (
+        df.repartitionByRange(32, "ts_s")
+        .sortWithinPartitions("ts_s")
+        .write.mode("overwrite")
+        .parquet(flat)
+    )
+    zed = str(tmp_path / "zordered")
+    write_zordered(df, zed, ["user_id", "ts_s"], n_files=32)
+
+    assert spark.read.parquet(zed).count() == 64 * 512
+
+    user_span_flat = _avg_span(f"{flat}/*.parquet", "user_id")
+    user_span_z = _avg_span(f"{zed}/*.parquet", "user_id")
+    ts_span_z = _avg_span(f"{zed}/*.parquet", "ts_s")
+    # ts-sorted: every file spans ~all 64 users.
+    assert user_span_flat > 60
+    # z-ordered: both dimensions localized.
+    assert user_span_z <= user_span_flat / 2
+    assert ts_span_z < 512 * 0.8
