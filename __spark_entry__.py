@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lttb_downsample": A.q_lttb_downsample,
         "q_line_dedup": C.q_line_dedup,
         "q_corpus_datacard": C.q_corpus_datacard,
+        "q_bpe_train_merges": X.q_bpe_train_merges,
     }
 
 

@@ -722,3 +722,94 @@ def q_source_mixture(
         )
         .orderBy("source")
     )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.
+    2016): learn the first ``n_merges`` merge rules from a corpus.
+
+    The classic formulation operates on the WORD VOCABULARY with
+    frequencies, not the raw corpus — so the corpus is touched exactly
+    once (explode tokens -> groupBy word, map-side combined), and
+    every merge iteration runs on the vocab table (distinct words:
+    orders of magnitude smaller than the corpus; ~10M rows even at
+    100 TB). Per iteration: one pair-count aggregate weighted by word
+    frequency (map-side combined), one TakeOrdered(1) for the best
+    pair (count desc, pair asc — deterministic tie-break), and one
+    codegen'd fold that applies the merge left-to-right to each
+    symbol sequence. The driver holds only the merge table.
+
+    Returns the merge rules in order. No SQL twin (iterative state);
+    pytest pins parity with a pure-Python BPE reference.
+    """
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("word"))),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    state = vocab.select(
+        "freq", chars.alias("syms")
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = F.col("syms")
+        n = F.size(syms)
+        pair_arr = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("left"),
+                    F.element_at(syms, i + 1).alias("right"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        top = (
+            state.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["left"], top[0]["right"]
+        merges.append((a, b))
+        # Left-to-right merge fold: append each symbol, fusing it into
+        # the accumulator's tail when (tail, symbol) == (a, b). The
+        # when() is lazily evaluated, so element_at on an empty
+        # accumulator never runs (ANSI-safe).
+        fold = F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        state = state.select("freq", fold.alias("syms")).localCheckpoint()
+    return merges
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the first 10 BPE merge rules learned from the
+    corpus, with their rank (rows-only: iterative training has no SQL
+    twin; python-reference parity pinned in pytest)."""
+    merges = bpe_train(load(spark, sf_dir, "documents"), n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    )

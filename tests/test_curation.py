@@ -260,3 +260,58 @@ def test_line_dedup_keeps_first_occurrence_only(spark):
     df = spark.createDataFrame(rows, "doc_id long, line_idx int, line string")
     kept = {(r.doc_id, r.line_idx) for r in line_dedup(df).collect()}
     assert kept == {(1, 0), (1, 1), (2, 1), (3, 0)}
+
+
+# ------------------------------------------------------------- BPE
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE merge training must learn the same ordered
+    merge rules as the classic in-memory algorithm (same tie-break:
+    count desc, then pair lexicographic)."""
+    from collections import Counter
+
+    from datapoints_csv_extractor_spark.operators.textops import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+    ]
+
+    def py_bpe(texts, n_merges):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[w] += 1
+        seqs = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, f in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if out and out[-1] == a and s[i] == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s[i])
+                    i += 1
+                seqs[w] = out
+            # Re-key: the merge fold above already matches the Spark
+            # fold's left-to-right semantics.
+        return merges
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = bpe_train(df, n_merges=8)
+    expect = py_bpe(texts, 8)
+    assert got == expect
+    assert len(got) == 8
