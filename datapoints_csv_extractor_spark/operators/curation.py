@@ -442,20 +442,26 @@ def line_dedup(docs_lines: DataFrame) -> DataFrame:
     giving the within-doc order. Output: (doc_id, line_idx, line) of
     KEPT lines.
 
-    Shape: one window over the line hash ordered by (doc_id,
-    line_idx); the shuffle key is the line content hash, so identical
-    lines co-locate and everything else streams. Skew note: a line
-    repeated n times lands n rows in one hash partition — bounded by
-    the corpus's duplication factor, and the window computes only
-    row_number (no buffering beyond the sort run).
+    Shape: ONE aggregate — min(struct(doc_id, line_idx, line)) per
+    line hash. Struct ordering compares fields left-to-right, so the
+    min IS the first occurrence, and the line text rides along in the
+    struct (no join-back). Crucially this is hot-key-proof where a
+    row_number window is not: a boilerplate line repeated 10^8 times
+    collapses to one candidate per map task in the PARTIAL aggregate,
+    so the shuffle carries ~n_tasks rows for that key instead of 10^8
+    into one sort run.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("doc_id", "line_idx")
+    first = F.min(
+        F.struct(F.col("doc_id"), F.col("line_idx"), F.col("line"))
+    ).alias("first")
     return (
-        docs_lines.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        docs_lines.groupBy(F.md5(F.col("line")).alias("_h"))
+        .agg(first)
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.line_idx").alias("line_idx"),
+            F.col("first.line").alias("line"),
+        )
     )
 
 
