@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": C.q_line_dedup,
         "q_corpus_datacard": C.q_corpus_datacard,
         "q_bpe_train_merges": X.q_bpe_train_merges,
+        "q_source_cap": C.q_source_cap,
     }
 
 
@@ -1205,6 +1206,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    sql["q_source_cap"] = """
+        SELECT doc_id, source, pick_rank FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS INT) AS pick_rank
+            FROM documents
+        ) WHERE pick_rank <= 10
+    """
     sql["q_corpus_datacard"] = """
         WITH t AS (
             SELECT doc_id, text, source,

@@ -548,3 +548,28 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 4
         ).alias("exact_dup_rate"),
     )
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str, cap: int = 10) -> DataFrame:
+    """Cap every source at ``cap`` documents, chosen by hash order —
+    the deterministic reservoir a mixture rebalance uses when a source
+    must be hard-limited rather than rate-sampled (rerunning the
+    pipeline or growing OTHER sources never changes a source's pick,
+    because the hash order is a pure function of its own doc ids).
+
+    One window per source ordered by (md5(doc_id), doc_id): rank <=
+    cap. Skew note: the per-source sort is bounded by source size; for
+    a pathologically hot source the rate-sampling path
+    (q_mixture_resample) is the pressure valve — cap selection after
+    rate-sampling touches only the survivors.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").alias("pick_rank"))
+    )
