@@ -87,20 +87,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_clusters": D.q_dedup_clusters,
-        "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
+        "q_decontamination": D.q_decontamination,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
         "q_embedding_near_dup": V.q_embedding_near_dup,
-        "q_ann_ivf_topk": V.ann_ivf_topk,
+        "q_dataset_split": X.q_dataset_split,
         # Multimodal + array kit (north-star)
         "q_multimodal_meta": M.q_multimodal_meta,
         "q_array_functions": A.q_array_functions,
         # ---- entry 51+: rows-only (engine-specific hashing) + variants
         "q_minhash_signatures": D.q_minhash_signatures,
+        "q_minhash_lsh_candidates": D.q_minhash_lsh_candidates,
         "q_simhash": D.q_simhash,
         "q_simhash_near_dup": D.q_simhash_near_dup,
         "q_ann_lsh_topk": V.ann_lsh_topk,
+        "q_ann_ivf_topk": V.ann_ivf_topk,
         "q_multimodal_decode": M.q_multimodal_decode,
         "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         "q_distinct": R.q_distinct,
@@ -121,8 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": X.q_repetition_stats,
         "q_winnowing_near_dup": X.q_winnowing_near_dup,
         "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
-        "q_decontamination": D.q_decontamination,
-        "q_dataset_split": X.q_dataset_split,
         "q_vocab_coverage": X.q_vocab_coverage,
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
         "q_sequence_packing": X.q_sequence_packing,

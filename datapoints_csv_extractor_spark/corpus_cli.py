@@ -27,12 +27,26 @@ from datapoints_csv_extractor_spark.session import get_spark
 
 
 def _parse_resample(specs: list[str]) -> dict[str, str]:
-    """``source=hexbound`` pairs -> dict (e.g. crawl=40 keeps ~25%)."""
+    """``source=hexbound`` pairs -> dict (e.g. crawl=40 keeps ~25%).
+
+    Bounds are validated and lowercased: the keep decision is a
+    lexicographic compare against a LOWERCASE md5 prefix, so an
+    uppercase or short bound would silently shift the keep rate
+    instead of erroring.
+    """
+    import re
+
     out: dict[str, str] = {}
     for spec in specs:
         if "=" not in spec:
             raise SystemExit(f"--resample expects source=hexbound, got {spec!r}")
         src, bound = spec.split("=", 1)
+        bound = bound.lower()
+        if not re.fullmatch(r"[0-9a-f]{2}|zz", bound):
+            raise SystemExit(
+                f"--resample bound must be two hex digits (00..ff) or 'zz' "
+                f"(keep all), got {spec!r}"
+            )
         out[src] = bound
     return out
 
@@ -80,9 +94,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         checkpoint = args.checkpoint or f"{args.corpus}_checkpoint"
         ledgers: list[dict] = []
+        # The file-stream source cannot run the batch reader's two-pass
+        # skip-don't-fail parse; PERMISSIVE mode turns malformed lines
+        # into all-null rows instead. Dropping null-keyed rows here
+        # keeps the streaming ledger consistent with batch mode (a
+        # corrupt line is never counted as 'received').
+        docs_stream = (
+            spark.readStream.schema(DOCUMENT_SCHEMA)
+            .json(args.input)
+            .where("doc_id IS NOT NULL AND text IS NOT NULL")
+        )
         q = stream_ingest_corpus(
             spark,
-            spark.readStream.schema(DOCUMENT_SCHEMA).json(args.input),
+            docs_stream,
             args.corpus,
             args.store,
             checkpoint,

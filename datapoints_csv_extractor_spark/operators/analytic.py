@@ -358,7 +358,12 @@ def lttb_downsample(
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # Stable sort with a value tie-break: quicksort's arbitrary
+        # order for duplicate timestamps would make area.argmax() (and
+        # therefore the selected points) nondeterministic across runs.
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+            drop=True
+        )
         n = len(pdf)
         if n <= n_buckets:
             return pdf[[series_col, ts_col, value_col]]

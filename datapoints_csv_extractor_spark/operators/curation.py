@@ -228,7 +228,9 @@ def resample_keep(doc_id: Column, source: Column) -> Column:
     shard) makes the identical decision per document, so downstream
     incremental stages stay consistent. Pure projection.
     """
-    bucket = F.substring(F.md5(doc_id.cast("string")), 1, 2)
+    from datapoints_csv_extractor_spark.operators.textops import md5_prefix_bucket
+
+    bucket = md5_prefix_bucket(doc_id)
     cls = F.substring(source, 4, 10).cast("int") % 4
     threshold = F.element_at(
         F.array(*[F.lit(t) for t in RESAMPLE_THRESHOLDS]), cls + 1

@@ -932,20 +932,24 @@ def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     detected by an order-insensitive xxhash64 checksum of the oriented
     edge set (one tiny aggregate per round, collision odds ~2^-64).
     """
-    edges = (
-        pairs.select(
-            F.col("doc_id_1").cast("long").alias("a"),
-            F.col("doc_id_2").cast("long").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        )
+    raw = pairs.select(
+        F.col("doc_id_1").cast("long").alias("a"),
+        F.col("doc_id_2").cast("long").alias("b"),
+    )
+    # Nodes come from the UNFILTERED pair set: a doc appearing only in
+    # a self-pair still gets its (doc, doc) verdict row, matching
+    # dedup_clusters' output contract; only the edge set drops
+    # self-loops (they never merge anything).
+    nodes = (
+        raw.select(F.explode(F.array("a", "b")).alias("doc_id"))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.explode(F.array("a", "b")).alias("doc_id"))
+    edges = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
         .distinct()
         .localCheckpoint()
     )

@@ -273,9 +273,14 @@ def embedding_near_dup_lsh_df(
             m1 = np.array(pdf["emb_1"].tolist(), dtype=np.float64)
             m2 = np.array(pdf["emb_2"].tolist(), dtype=np.float64)
             dots = np.einsum("ij,ij->i", m1, m2)
-            cos = np.round(
-                dots / (pdf["nrm_1"].to_numpy() * pdf["nrm_2"].to_numpy()), 4
-            )
+            raw = dots / (pdf["nrm_1"].to_numpy() * pdf["nrm_2"].to_numpy())
+            # floor(x*1e4+0.5), not np.round: numpy rounds half-to-even
+            # while Spark's F.round (used by every sibling scorer, e.g.
+            # the brute-force kNN) rounds half-up — boundary cosines
+            # like 0.44995 must cut the threshold identically on both
+            # paths. Valid for the non-negative scores that survive the
+            # threshold filter.
+            cos = np.floor(raw * 10000.0 + 0.5) / 10000.0
             yield pd.DataFrame(
                 {
                     "vec_id_1": pdf["vec_id_1"].to_numpy(),

@@ -297,10 +297,19 @@ def quality_passes(text: Column) -> Column:
     )
 
 
+def md5_prefix_bucket(doc_id: Column) -> Column:
+    """First two md5 hex chars of the id — THE shared hash-decision
+    bucket for split assignment, mixture resampling, and the ingest
+    plan's resample stage. Single definition on purpose: those
+    decisions are only mutually consistent (and reproducible across
+    re-ingests) while every consumer computes the identical bytes."""
+    return F.substring(F.md5(doc_id.cast("string")), 1, 2)
+
+
 def split_assignment(doc_id: Column) -> Column:
     """Deterministic train/val/test split by hashed id (~80/10/10) —
     hash-mod, not RNG: stable across runs, engines, and corpus growth."""
-    bucket = F.substring(F.md5(doc_id.cast("string")), 1, 2)
+    bucket = md5_prefix_bucket(doc_id)
     return (
         F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
     )
@@ -313,10 +322,9 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and the same expression runs verbatim in any engine for
     audit."""
     d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return d.select(
         "doc_id",
-        bucket.alias("hash_bucket"),
+        md5_prefix_bucket(F.col("doc_id")).alias("hash_bucket"),
         split_assignment(F.col("doc_id")).alias("split"),
     )
 

@@ -38,6 +38,7 @@ from datapoints_csv_extractor_spark.operators.curation import (
 )
 from datapoints_csv_extractor_spark.operators.dedup import dedup_incremental
 from datapoints_csv_extractor_spark.operators.textops import (
+    md5_prefix_bucket,
     quality_passes,
     split_assignment,
     tokens,
@@ -114,7 +115,7 @@ def ingest_corpus_shard(
                 + [F.lit("zz")]
             )
         )
-        bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        bucket = md5_prefix_bucket(F.col("doc_id"))
         sampled = passed.where(bucket < bound).localCheckpoint()
         n_resampled_out = n_passed - sampled.count()
         passed = sampled

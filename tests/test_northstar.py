@@ -937,6 +937,8 @@ def test_twostar_components_match_label_propagation(spark):
             edges.append((a, b))
     # bridge the clique to the path tail
     edges.append((5, 140))
+    # self-pair: the doc must still get its (doc, doc) verdict row
+    edges.append((999, 999))
     pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
 
     lp = {(r.doc_id, r.canonical_doc_id) for r in dedup_clusters(pairs, max_iterations=60).collect()}
