@@ -299,3 +299,14 @@ def test_q22_scalar_subquery_and_anti_join_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # The anti-join against orders must not sort-merge at this scale.
     assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_is_aggregate_not_window(spark):
+    """The first-occurrence pick must be a partially-aggregated
+    min(struct), never a row_number window: partial aggregation is
+    what collapses a hot repeated line map-side before the shuffle."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_line_dedup(spark, SF))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
