@@ -960,3 +960,61 @@ def test_twostar_converges_logarithmically_on_a_path(spark):
     out = dedup_clusters_twostar(pairs, max_rounds=12).collect()
     assert len(out) == 65
     assert all(r.canonical_doc_id == 0 for r in out)
+
+
+def test_twostar_matches_union_find_on_random_graphs(spark):
+    """Property check: two-star components equal a union-find ground
+    truth on arbitrary random graphs (not just the fixed shapes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_clusters_twostar,
+    )
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 60), st.integers(0, 60)),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # Canonical = component min: chase every node to its root, then
+        # min per root set.
+        roots = {}
+        for x in parent:
+            roots.setdefault(find(x), []).append(x)
+        expect = {
+            x: min(members) for r, members in roots.items() for x in members
+        }
+
+        pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+        got = {
+            r.doc_id: r.canonical_doc_id
+            for r in dedup_clusters_twostar(pairs).collect()
+        }
+        assert got == expect
+
+    run()
