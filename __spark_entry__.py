@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_datacard": C.q_corpus_datacard,
         "q_bpe_train_merges": X.q_bpe_train_merges,
         "q_source_cap": C.q_source_cap,
+        "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
     }
 
 

@@ -912,3 +912,137 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is not expressible in the DuckDB oracle; pytest pins
     planted-duplicate behavior instead)."""
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup_incremental(
+    new_vecs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.45,
+    append: bool = True,
+) -> DataFrame:
+    """Dedup a NEW embedding shard against a persisted IVF index
+    without recomputing the stored corpus — the semantic counterpart
+    of ``dedup_incremental``'s band store (and of the reference's
+    fetch-known/create-missing catalog loop).
+
+    Per shard: a map-only nearest-cell assignment against the stored
+    centroid table (broadcast literals, no join), then ONE cogrouped
+    applyInPandas per cell comparing each new vector against (a) the
+    stored vectors of that cell and (b) earlier new vectors of the
+    same shard — both as whole-cell matrix products. Stored cells the
+    shard never touches are pruned at the parquet scan (the
+    cell-partitioned layout), so per-shard cost is
+    O(|shard| x cell population), independent of corpus size.
+
+    Verdicts: (vec_id, cell, keep, rep_id, rep_kind) where rep_kind is
+    'known' (duplicate of a stored vector) or 'new' (duplicate of an
+    earlier vector in the same shard). With ``append=True`` the KEPT
+    vectors fold into the index (mode=append, prior shards untouched),
+    so the index stays exactly the deduplicated corpus.
+    """
+    import os as _os
+
+    spark = new_vecs.sparkSession
+    cent_rows = spark.read.parquet(_os.path.join(index_dir, "centroids")).collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF centroid table under {index_dir}")
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    new_assigned = (
+        new_vecs.select("vec_id", "embedding")
+        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+        .localCheckpoint()
+    )
+    # Parameter-sized cell list (<= n_centroids) prunes the stored
+    # assignment scan to only the partitions this shard touches.
+    cells = [r["cell"] for r in new_assigned.select("cell").distinct().collect()]
+    stored = (
+        spark.read.parquet(_os.path.join(index_dir, "assignments"))
+        .where(F.col("cell").isin(cells))
+        .select("cell", "vec_id", "embedding")
+    )
+
+    def _verdicts(new_pdf, known_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(new_pdf) == 0:
+            return pd.DataFrame(
+                columns=["vec_id", "cell", "keep", "rep_id", "rep_kind"]
+            )
+        new_pdf = new_pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = new_pdf["vec_id"].to_numpy()
+        m = np.array(new_pdf["embedding"].tolist(), dtype=np.float64)
+        mn = np.sqrt((m * m).sum(axis=1))
+        mn[mn == 0.0] = 1.0
+        m_hat = m / mn[:, None]
+
+        rep = pd.array([None] * len(ids), dtype="Int64")
+        kind = pd.array([None] * len(ids), dtype="string")
+
+        if len(known_pdf):
+            k = np.array(known_pdf["embedding"].tolist(), dtype=np.float64)
+            kn = np.sqrt((k * k).sum(axis=1))
+            kn[kn == 0.0] = 1.0
+            sims = m_hat @ (k / kn[:, None]).T
+            kids = known_pdf["vec_id"].to_numpy()
+            above = sims >= threshold
+            for i in np.nonzero(above.any(axis=1))[0]:
+                rep[i] = int(kids[above[i]].min())
+                kind[i] = "known"
+
+        intra = np.triu(m_hat @ m_hat.T >= threshold, k=1)
+        for j in np.nonzero(intra.any(axis=0))[0]:
+            if rep[j] is pd.NA or rep[j] is None:
+                rep[j] = int(ids[intra[:, j].argmax()])
+                kind[j] = "new"
+
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": new_pdf["cell"].to_numpy(),
+                "keep": pd.isna(rep),
+                "rep_id": rep,
+                "rep_kind": kind,
+            }
+        )
+
+    verdicts = (
+        new_assigned.groupBy("cell")
+        .cogroup(stored.groupBy("cell"))
+        .applyInPandas(
+            _verdicts,
+            "vec_id long, cell int, keep boolean, rep_id long, rep_kind string",
+        )
+        .localCheckpoint()
+    )
+    if append:
+        survivors = new_assigned.join(
+            verdicts.where("keep").select("vec_id"), "vec_id"
+        )
+        survivors.write.mode("append").partitionBy("cell").parquet(
+            _os.path.join(index_dir, "assignments")
+        )
+    return verdicts
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only): split the embeddings table into two
+    'daily shards' by vec_id, build the IVF index from shard 1, and
+    return shard 2's semantic-dedup verdicts against it — shard 1's
+    vectors are never re-scored. Scratch index per call (mkdtemp), like
+    q_dedup_incremental's scratch band store."""
+    import shutil
+
+    index_dir = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    try:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cut = e.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+        build_ivf_index(e.where(F.col("vec_id") <= cut), index_dir)
+        return semantic_dedup_incremental(
+            e.where(F.col("vec_id") > cut), index_dir, append=False
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)

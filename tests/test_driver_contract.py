@@ -32,6 +32,7 @@ ROWS_ONLY_ALLOWED = {
     "q_semantic_dedup",  # k-means assignment has no SQL twin
     "q_lttb_downsample",  # sequential per-series selection has no SQL twin
     "q_bpe_train_merges",  # iterative training state has no SQL twin
+    "q_semantic_dedup_incremental",  # k-means index lifecycle, no SQL twin
 }
 
 

@@ -1018,3 +1018,62 @@ def test_twostar_matches_union_find_on_random_graphs(spark):
         assert got == expect
 
     run()
+
+
+def test_semantic_dedup_incremental_against_persisted_index(spark, tmp_path):
+    """Shard-vs-index semantic dedup: a near-copy of a stored vector is
+    flagged 'known' without rescanning the corpus, an intra-shard pair
+    keeps only its first member, survivors fold into the index, and a
+    replayed copy is then caught against the grown index."""
+    import random
+
+    rng = random.Random(31)
+    dim = 16
+
+    def jitter(v, eps=0.003):
+        return [x + rng.uniform(-eps, eps) for x in v]
+
+    base_vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    index_dir = str(tmp_path / "ivf")
+    e = spark.createDataFrame(base_vecs, "vec_id long, embedding array<double>")
+    V.build_ivf_index(e, index_dir, n_centroids=8)
+
+    stored_target = base_vecs[7][1]
+    novel = [rng.uniform(-1, 1) for _ in range(dim)]
+    shard = spark.createDataFrame(
+        [
+            (100, jitter(stored_target)),   # dup of stored vec 7
+            (101, novel),                   # kept
+            (102, jitter(novel)),           # dup of 101 within the shard
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    verdicts = {
+        r.vec_id: r
+        for r in V.semantic_dedup_incremental(
+            shard, index_dir, threshold=0.98
+        ).collect()
+    }
+    assert not verdicts[100].keep and verdicts[100].rep_kind == "known"
+    assert verdicts[100].rep_id == 7
+    assert verdicts[101].keep
+    assert not verdicts[102].keep and verdicts[102].rep_kind == "new"
+    assert verdicts[102].rep_id == 101
+
+    # Only the survivor joined the index.
+    stored_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/assignments").collect()
+    }
+    assert 101 in stored_ids and 100 not in stored_ids and 102 not in stored_ids
+
+    # A replayed copy of the survivor is now a 'known' dup of 101.
+    replay = spark.createDataFrame(
+        [(200, jitter(novel))], "vec_id long, embedding array<double>"
+    )
+    v2 = V.semantic_dedup_incremental(
+        replay, index_dir, threshold=0.98, append=False
+    ).collect()[0]
+    assert not v2.keep and v2.rep_kind == "known" and v2.rep_id == 101
