@@ -232,3 +232,52 @@ def stream_dedup_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup_incremental(
+    vecs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    threshold: float = 0.45,
+    available_now: bool = True,
+):
+    """Continuous embedding ingestion with shard-vs-corpus SEMANTIC
+    dedup: each micro-batch of (vec_id, embedding) rows is deduped
+    against the persisted IVF index
+    (operators/similarity.py:semantic_dedup_incremental — map-only
+    centroid assignment, cell-pruned stored scan, whole-cell matrix
+    verdicts) and its kept vectors fold into the index.
+
+    The embedding-side twin of ``stream_dedup_incremental``: the index
+    is the cross-batch state (nothing in executor memory grows with
+    the corpus), per-batch cost is O(|batch| x touched-cell
+    population), and the index must already exist
+    (``build_ivf_index`` at bootstrap — centroids are NOT retrained
+    per batch; periodic rebuilds handle drift, standard IVF practice).
+
+    ``on_batch(batch_id, verdicts_df)`` receives each batch's verdict
+    frame (localCheckpoint-materialized; callers may collect or write
+    it without re-triggering the dedup).
+    """
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        verdicts = semantic_dedup_incremental(
+            batch_df, index_dir, threshold=threshold, append=True
+        )
+        if on_batch is not None:
+            on_batch(batch_id, verdicts)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("semantic_dedup_incremental")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

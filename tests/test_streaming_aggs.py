@@ -384,3 +384,72 @@ def test_stream_ingest_corpus_end_to_end(spark, tmp_path):
     assert sorted(r.doc_id for r in out2.collect()) == [1, 102]
     # Batch-partitioned layout: each run's publish is its own directory.
     assert "batch" in out2.columns and "split" in out2.columns
+
+
+def test_stream_semantic_dedup_incremental(spark, tmp_path):
+    """Two availableNow runs over a growing embedding folder: run 2
+    processes only the new shard, flags its near-dup of a run-1 vector
+    against the persisted IVF index, and the index grows by survivors
+    only."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_semantic_dedup_incremental,
+    )
+
+    rng = random.Random(13)
+    dim = 12
+    src = tmp_path / "vecs"
+    src.mkdir()
+    index_dir = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    build_ivf_index(
+        spark.createDataFrame(base, "vec_id long, embedding array<double>"),
+        index_dir,
+        n_centroids=4,
+    )
+
+    novel = [rng.uniform(-1, 1) for _ in range(dim)]
+    spark.createDataFrame(
+        [(100, novel)], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    batches = []
+    q = stream_semantic_dedup_incremental(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(str(src)),
+        index_dir, ckpt, threshold=0.98,
+        on_batch=lambda bid, v: batches.append((bid, v.collect())),
+    )
+    q.awaitTermination(120)
+    assert batches and all(r.keep for _, rows in batches for r in rows)
+
+    # Shard 2: a near-copy of shard 1's vector 100 + a fresh one.
+    spark.createDataFrame(
+        [
+            (200, [x + rng.uniform(-0.002, 0.002) for x in novel]),
+            (201, [rng.uniform(-1, 1) for _ in range(dim)]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    batches.clear()
+    q2 = stream_semantic_dedup_incremental(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(str(src)),
+        index_dir, ckpt, threshold=0.98,
+        on_batch=lambda bid, v: batches.append((bid, v.collect())),
+    )
+    q2.awaitTermination(120)
+    verdicts = {r.vec_id: r for _, rows in batches for r in rows}
+    assert set(verdicts) == {200, 201}
+    assert not verdicts[200].keep and verdicts[200].rep_id == 100
+    assert verdicts[200].rep_kind == "known"
+    assert verdicts[201].keep
+
+    stored = {
+        r.vec_id for r in spark.read.parquet(f"{index_dir}/assignments").collect()
+    }
+    assert 100 in stored and 201 in stored and 200 not in stored
