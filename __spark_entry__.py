@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train_merges": X.q_bpe_train_merges,
         "q_source_cap": C.q_source_cap,
         "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
+        "q_datapoint_aggregates": A.q_datapoint_aggregates,
+        "q_interpolate_linear": A.q_interpolate_linear,
     }
 
 
@@ -1207,6 +1209,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source
         """,
     }
+    sql["q_datapoint_aggregates"] = """
+        SELECT user_id, date_trunc('month', ts) AS month,
+               count(*) AS n_points,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value
+        FROM events
+        GROUP BY user_id, month
+        ORDER BY user_id, month
+    """
+    sql["q_interpolate_linear"] = """
+        WITH grid AS (
+            SELECT u.user_id, g.ts, CAST(NULL AS DOUBLE) AS obs_value, 1 AS is_grid
+            FROM (SELECT DISTINCT user_id FROM events) u,
+                 (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                                TIMESTAMP '2001-06-01',
+                                                INTERVAL 1 MONTH)) AS ts) g
+        ), obs AS (
+            SELECT user_id, ts, value AS obs_value, 0 AS is_grid FROM events
+        ), st AS (
+            SELECT * FROM grid UNION ALL SELECT * FROM obs
+        ), c AS (
+            SELECT user_id, ts, is_grid,
+                   last_value(obs_value IGNORE NULLS) OVER wback AS prev_v,
+                   first_value(obs_value IGNORE NULLS) OVER wfwd AS next_v,
+                   last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wback AS prev_t,
+                   first_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wfwd AS next_t
+            FROM st
+            WINDOW wback AS (PARTITION BY user_id ORDER BY ts, is_grid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wfwd AS (PARTITION BY user_id ORDER BY ts, is_grid
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, ts,
+               round(CASE WHEN epoch(next_t) = epoch(prev_t) THEN prev_v
+                     ELSE prev_v + (next_v - prev_v)
+                          * (epoch(ts) - epoch(prev_t))
+                          / (epoch(next_t) - epoch(prev_t)) END, 2) AS interp_value
+        FROM c WHERE is_grid = 1
+    """
     sql["q_source_cap"] = """
         SELECT doc_id, source, pick_rank FROM (
             SELECT doc_id, source,

@@ -403,3 +403,94 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     return lttb_downsample(ev, n_buckets=20)
+
+
+def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard datapoints-API aggregate set per (series, month):
+    count / sum / avg / min / max / first / last — what the reference's
+    downstream (a time-series store) serves for every granularity
+    bucket. One map-side-combined groupBy; first/last use min_by /
+    max_by on the timestamp (unique per series in this data, so the
+    pick is deterministic)."""
+    ev = load(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).alias("month")
+    return (
+        ev.groupBy("user_id", month)
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .orderBy("user_id", "month")
+    )
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: each user's series sampled onto
+    a regular monthly grid, interpolating BETWEEN the surrounding
+    observations (the datapoints-API 'interpolation' aggregate, next
+    to q_gap_fill's step/'stepInterpolation' forward-fill).
+
+    Same single-shuffle union+window plan as gap_fill/as-of: grid and
+    events union into one per-user stream, ONE sort, then last()
+    ignorenulls looking back and first() ignorenulls looking forward
+    fetch the bracketing (ts, value) pairs — never a grid-to-events
+    range join (quadratic candidate space). Grid points outside the
+    observed range stay NULL (no extrapolation).
+    """
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    grid_ts = F.explode(
+        F.sequence(
+            F.to_timestamp(F.lit("1996-01-01")),
+            F.to_timestamp(F.lit("2001-06-01")),
+            F.expr("INTERVAL 1 MONTH"),
+        )
+    ).alias("ts")
+    grid = users.select("user_id", grid_ts).select(
+        "user_id", "ts",
+        F.lit(None).cast("double").alias("obs_value"), F.lit(1).alias("is_grid"),
+    )
+    obs = e.select(
+        "user_id", "ts", F.col("value").alias("obs_value"), F.lit(0).alias("is_grid")
+    )
+    both = grid.unionByName(obs)
+    # Events sort before grid points at the same instant, so a
+    # coincident observation is the 'previous' bracket and the
+    # interpolation collapses to its exact value.
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("obs_value", ignorenulls=True).over(back)
+    next_v = F.first("obs_value", ignorenulls=True).over(fwd)
+    prev_t = F.last(
+        F.when(F.col("is_grid") == 0, F.col("ts")), ignorenulls=True
+    ).over(back)
+    next_t = F.first(
+        F.when(F.col("is_grid") == 0, F.col("ts")), ignorenulls=True
+    ).over(fwd)
+    t_s = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double")
+    pt_s = F.unix_timestamp(prev_t.cast("timestamp")).cast("double")
+    nt_s = F.unix_timestamp(next_t.cast("timestamp")).cast("double")
+    interp = F.when(nt_s == pt_s, prev_v).otherwise(
+        prev_v + (next_v - prev_v) * (t_s - pt_s) / (nt_s - pt_s)
+    )
+    return (
+        both.where(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.round(interp, 2).alias("interp_value"),
+        )
+    )
