@@ -1210,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     sql["q_datapoint_aggregates"] = """
-        SELECT user_id, date_trunc('month', ts) AS month,
+        SELECT user_id, date_trunc('day', ts) AS day,
                count(*) AS n_points,
                round(sum(value), 2) AS sum_value,
                round(avg(value), 4) AS avg_value,
@@ -1219,16 +1219,16 @@ def oracle_sql() -> dict[str, str]:
                arg_min(value, ts) AS first_value,
                arg_max(value, ts) AS last_value
         FROM events
-        GROUP BY user_id, month
-        ORDER BY user_id, month
+        GROUP BY user_id, day
+        ORDER BY user_id, day
     """
     sql["q_interpolate_linear"] = """
         WITH grid AS (
             SELECT u.user_id, g.ts, CAST(NULL AS DOUBLE) AS obs_value, 1 AS is_grid
             FROM (SELECT DISTINCT user_id FROM events) u,
-                 (SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
-                                                TIMESTAMP '2001-06-01',
-                                                INTERVAL 1 MONTH)) AS ts) g
+                 (SELECT unnest(generate_series(TIMESTAMP '2024-01-02',
+                                                TIMESTAMP '2024-01-30',
+                                                INTERVAL 1 DAY)) AS ts) g
         ), obs AS (
             SELECT user_id, ts, value AS obs_value, 0 AS is_grid FROM events
         ), st AS (
@@ -1246,10 +1246,10 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT user_id, ts,
-               round(CASE WHEN epoch(next_t) = epoch(prev_t) THEN prev_v
+               round(CASE WHEN epoch_us(next_t) = epoch_us(prev_t) THEN prev_v
                      ELSE prev_v + (next_v - prev_v)
-                          * (epoch(ts) - epoch(prev_t))
-                          / (epoch(next_t) - epoch(prev_t)) END, 2) AS interp_value
+                          * (epoch_us(ts) - epoch_us(prev_t))
+                          / (epoch_us(next_t) - epoch_us(prev_t)) END, 2) AS interp_value
         FROM c WHERE is_grid = 1
     """
     sql["q_source_cap"] = """

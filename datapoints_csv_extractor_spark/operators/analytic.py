@@ -409,13 +409,14 @@ def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard datapoints-API aggregate set per (series, month):
     count / sum / avg / min / max / first / last — what the reference's
     downstream (a time-series store) serves for every granularity
-    bucket. One map-side-combined groupBy; first/last use min_by /
-    max_by on the timestamp (unique per series in this data, so the
-    pick is deterministic)."""
+    bucket (daily here, matching the events table's one-month span).
+    One map-side-combined groupBy; first/last use min_by / max_by on
+    the timestamp (unique per series in this data, so the pick is
+    deterministic)."""
     ev = load(spark, sf_dir, "events")
-    month = F.date_trunc("month", F.col("ts")).alias("month")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
     return (
-        ev.groupBy("user_id", month)
+        ev.groupBy("user_id", day)
         .agg(
             F.count("*").alias("n_points"),
             F.round(F.sum("value"), 2).alias("sum_value"),
@@ -425,13 +426,13 @@ def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("value", "ts").alias("first_value"),
             F.max_by("value", "ts").alias("last_value"),
         )
-        .orderBy("user_id", "month")
+        .orderBy("user_id", "day")
     )
 
 
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling: each user's series sampled onto
-    a regular monthly grid, interpolating BETWEEN the surrounding
+    a regular daily grid, interpolating BETWEEN the surrounding
     observations (the datapoints-API 'interpolation' aggregate, next
     to q_gap_fill's step/'stepInterpolation' forward-fill).
 
@@ -446,9 +447,9 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = e.select("user_id").distinct()
     grid_ts = F.explode(
         F.sequence(
-            F.to_timestamp(F.lit("1996-01-01")),
-            F.to_timestamp(F.lit("2001-06-01")),
-            F.expr("INTERVAL 1 MONTH"),
+            F.to_timestamp(F.lit("2024-01-02")),
+            F.to_timestamp(F.lit("2024-01-30")),
+            F.expr("INTERVAL 1 DAY"),
         )
     ).alias("ts")
     grid = users.select("user_id", grid_ts).select(
@@ -480,17 +481,27 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_t = F.first(
         F.when(F.col("is_grid") == 0, F.col("ts")), ignorenulls=True
     ).over(fwd)
-    t_s = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double")
-    pt_s = F.unix_timestamp(prev_t.cast("timestamp")).cast("double")
-    nt_s = F.unix_timestamp(next_t.cast("timestamp")).cast("double")
+    # Microsecond-exact epochs (unix_micros / DuckDB epoch_us), NOT
+    # unix_timestamp: second-truncated epochs drop the observations'
+    # sub-second offsets, which shifts the interpolation weights enough
+    # to flip the 2-decimal rounding on ~10% of grid points vs the
+    # oracle's fractional epoch() arithmetic.
+    t_s = F.unix_micros(F.col("ts").cast("timestamp"))
+    pt_s = F.unix_micros(prev_t.cast("timestamp"))
+    nt_s = F.unix_micros(next_t.cast("timestamp"))
     interp = F.when(nt_s == pt_s, prev_v).otherwise(
         prev_v + (next_v - prev_v) * (t_s - pt_s) / (nt_s - pt_s)
     )
+    # Window columns are computed BEFORE the grid filter (the filter
+    # would otherwise remove the observation rows the frames read —
+    # windows evaluate over their input frame, not the pre-filter one).
     return (
-        both.where(F.col("is_grid") == 1)
-        .select(
+        both.select(
             "user_id",
             "ts",
+            "is_grid",
             F.round(interp, 2).alias("interp_value"),
         )
+        .where(F.col("is_grid") == 1)
+        .select("user_id", "ts", "interp_value")
     )
