@@ -187,7 +187,9 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": """
             SELECT c_custkey, c_name, c_mktsegment
             FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
         """,
         "q_semi_join": """
             SELECT c_custkey, c_name

@@ -160,9 +160,15 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — the reference's create-if-missing membership
     probe (J1, csv_extractor.py:151) over customer/orders: customers
-    that never ordered. Build side (distinct custkeys) broadcasts."""
+    with no URGENT order. Build side (filtered distinct custkeys)
+    broadcasts. (The build side is filtered so the result is
+    NON-EMPTY at every SF — in this synthetic data every customer has
+    ordered *something*, and a 0-row anti-join would verify the
+    operator only vacuously.)"""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
