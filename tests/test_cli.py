@@ -165,3 +165,15 @@ def test_corpus_cli_stream_drain(spark, tmp_path, capsys):
     out_lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines() if x.startswith("{")]
     assert out_lines and out_lines[-1]["published"] == 1
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == 1
+
+
+def test_corpus_cli_rejects_malformed_resample_bounds():
+    import pytest as _pytest
+
+    from datapoints_csv_extractor_spark.corpus_cli import _parse_resample
+
+    assert _parse_resample(["crawl=40", "web=ZZ"]) == {"crawl": "40", "web": "zz"}
+    assert _parse_resample(["crawl=4A"]) == {"crawl": "4a"}
+    for bad in (["crawl=4"], ["crawl=g0"], ["crawl"]):
+        with _pytest.raises(SystemExit):
+            _parse_resample(bad)
