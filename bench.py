@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q_json_extract",
     "q_time_window_rollup",
     "q_session_window",
+    "q_datapoint_aggregates",
+    "q_interpolate_linear",
     "q_pivot",
     "q_range_join",
     "q_gap_fill",

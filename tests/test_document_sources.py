@@ -219,3 +219,45 @@ def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
     )
     assert stats2["published"] == 0
     assert stats2["duplicate"] == 2
+
+
+def test_ingest_corpus_shard_classifier_gate(spark, tmp_path):
+    """The optional classifier threshold gates documents the cheap
+    quality filter alone would keep; rejected docs count as
+    low_quality and never reach the band store."""
+    import json
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        quality_classifier_score,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        {"doc_id": i, "text": f"sufficiently long document number {i} about topic{i} with several tokens", "source": "a"}
+        for i in range(8)
+    ]
+    p = tmp_path / "shard.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    frame = read_documents_jsonl(spark, str(p))
+    scores = {
+        r.doc_id: r.s
+        for r in frame.select(
+            "doc_id", quality_classifier_score(tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    threshold = sorted(scores.values())[len(scores) // 2]  # median cut
+    expect_pass = sum(1 for s in scores.values() if s >= threshold)
+
+    stats = ingest_corpus_shard(
+        spark, frame, str(tmp_path / "corpus"), str(tmp_path / "store"),
+        classifier_threshold=threshold,
+    )
+    assert stats["low_quality"] == len(docs) - expect_pass
+    assert stats["published"] + stats["duplicate"] == expect_pass

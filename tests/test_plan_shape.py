@@ -310,3 +310,17 @@ def test_line_dedup_is_aggregate_not_window(spark):
     plan = _plan(C.q_line_dedup(spark, SF))
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_interpolation_single_shuffle_like_asof(spark):
+    """Linear interpolation must keep the union+window shape: ONE
+    exchange (the per-user sort), never a grid-to-events range join."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_interpolate_linear,
+    )
+
+    plan = _plan(q_interpolate_linear(spark, SF))
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # Union + distinct-users subtree adds an exchange for the distinct;
+    # the window itself must contribute exactly one more.
+    assert _n_exchanges(plan) <= 2, plan[:1500]
