@@ -153,6 +153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
         "q_datapoint_aggregates": A.q_datapoint_aggregates,
         "q_interpolate_linear": A.q_interpolate_linear,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q4_order_priority": R.q4_order_priority,
+        "q9_product_profit": R.q9_product_profit,
+        "q11_important_parts": R.q11_important_parts,
+        "q16_part_supplier_counts": R.q16_part_supplier_counts,
+        "q20_promotion_suppliers": R.q20_promotion_suppliers,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
     }
 
 
@@ -1360,6 +1367,110 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """
+    sql["q2_min_cost_supplier"] = """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), asia AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ), offers AS (
+            SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, unit_cost
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN asia ON l_suppkey = s_suppkey
+            WHERE p_size = 15 AND p_type = 'STANDARD'
+        )
+        SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+               round(unit_cost, 2) AS unit_cost
+        FROM offers o
+        WHERE unit_cost = (SELECT min(unit_cost) FROM offers i
+                           WHERE i.p_partkey = o.p_partkey)
+    """
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        GROUP BY o_orderpriority
+    """
+    sql["q9_product_profit"] = """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity), 2) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE 'red %'
+        GROUP BY n_name, year(o_orderdate)
+    """
+    sql["q11_important_parts"] = """
+        WITH val AS (
+            SELECT l_partkey AS partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_partkey
+        )
+        SELECT partkey, round(v, 2) AS part_value
+        FROM val
+        WHERE v > (SELECT 2.5 * avg(v) FROM val)
+    """
+    sql["q16_part_supplier_counts"] = """
+        WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM supply JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#15' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """
+    sql["q20_promotion_suppliers"] = """
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small %'
+              AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 40)
+    """
+    sql["q21_waiting_suppliers"] = """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F' AND r_name = 'ASIA'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate
+                                               + INTERVAL 60 DAYS)
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     """
     # Output-identical algorithms share one oracle: the two-star
     # components finisher produces the same (doc_id, canonical) table

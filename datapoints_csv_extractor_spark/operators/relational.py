@@ -853,3 +853,250 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for every STANDARD size-15
+    part, the ASIA supplier(s) offering it at the lowest unit cost.
+    The schema has no partsupp table (reference testdata trims it), so
+    the part-supplier offer list is DERIVED from lineitem — min
+    observed unit price per (part, supplier) — which is itself the
+    realistic 100 TB shape (supply facts distilled from the fact
+    table). The correlated min decorrelates into a per-part aggregate
+    joined back on (partkey, unit_cost); both the filtered part dim
+    and the ASIA supplier dim broadcast, so the only shuffles are the
+    two part-keyed aggregates.
+
+    Reference parity: the catalog min-timestamp probe
+    (csv_extractor.py:96-108) is this same correlated-min shape over a
+    1-table catalog; this exercises it over a derived supply table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    offers = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(asia), ps.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.p_partkey == min_cost.mc_partkey)
+            & (offers.unit_cost == min_cost.min_cost),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            _r("unit_cost").alias("unit_cost"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking: orders placed in 1996-Q1
+    with at least one lineitem shipped >30 days after the order date
+    (the trimmed schema has no commit/receipt dates, so "late" is date
+    arithmetic on the columns that exist — same adaptation as Q12),
+    counted per priority. The EXISTS becomes a left-semi join whose
+    extra inequality rides the orderkey equi-condition; the quarter
+    predicate pushes to the orders scan so the semi join probes only
+    the quarter's orders."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by nation and year for parts
+    named 'red *'. No partsupp → supply cost is proxied as 80% of the
+    part's retail price (documented, deterministic). Every dimension
+    (filtered part, supplier, nation) broadcasts; orders<->lineitem is
+    the one fact shuffle, and the name predicate prunes the part dim
+    BEFORE the broadcast so the join builds a small hash table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").startswith("red "))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.8) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(_r(F.sum(profit)).alias("profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock scan: parts whose ASIA-supplied
+    revenue exceeds 2.5x the average per-part value — HAVING against a
+    scalar aggregate subquery. The threshold is a multiple of the MEAN
+    rather than Q11's fixed fraction of the total so the predicate's
+    selectivity is scale-free (a fixed fraction selects nothing once
+    the part count exceeds 1/fraction). The per-part aggregate is
+    computed once and reused for both the threshold and the filter —
+    Catalyst plans the 1-row threshold as a broadcast nested-loop over
+    the same exchange, not a recompute."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+    )
+    thr = val.agg((F.avg("v") * 2.5).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .where(F.col("v") > F.col("thr"))
+        .select("partkey", _r("v").alias("part_value"))
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-relationship count: distinct suppliers
+    per (brand, type, size) over the lineitem-derived supply table,
+    excluding one brand, one type, off-list sizes, and suppliers in
+    arrears (negative balance — the NOT IN, planned as a broadcast
+    anti-join over the tiny excluded set). count(DISTINCT) shuffles
+    once on the grouping key with the distinct handled by Spark's
+    two-phase distinct-aggregate expansion."""
+    li = load(spark, sf_dir, "lineitem")
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    arrears = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(arrears), supply.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style promotion-candidate suppliers: ASIA suppliers
+    who moved more than 40 units of any one 'small *' part during 1997
+    — a grouped HAVING feeding an IN, planned as a left-semi join. The
+    inner aggregate groups on (suppkey, partkey) — one fact shuffle —
+    and its qualifying-supplier projection is small enough for AQE to
+    broadcast into the semi join."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_name").startswith("small "))
+    qual = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", _r("s_acctbal").alias("s_acctbal"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: for finished
+    ('F') multi-supplier orders, the ASIA supplier who was the ONLY
+    late shipper (late = shipped >60 days after order date, the
+    no-receiptdate adaptation). Composes EXISTS (another supplier on
+    the order → left-semi) with NOT EXISTS (another LATE supplier →
+    left-anti); both ride the orderkey equi-join with the suppkey
+    inequality as a residual condition, so neither blows up into a
+    cross product. Top-20 by wait count with a deterministic name
+    tiebreak."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(late)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .where(late)
+        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    )
+    return (
+        base.join(
+            others,
+            (base.l_orderkey == F.col("ok2")) & (base.l_suppkey != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (base.l_orderkey == F.col("ok3")) & (base.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
