@@ -390,8 +390,12 @@ def lttb_downsample(
         return pdf.iloc[keep][[series_col, ts_col, value_col]]
 
     out_schema = df.select(series_col, ts_col, value_col).schema
+    # AQE would coalesce this small-by-bytes shuffle to one task and
+    # serialize the whole Arrow stage; see pin_grouped_parallelism.
+    from .skew import pin_grouped_parallelism
+
     return (
-        df.select(series_col, ts_col, value_col)
+        pin_grouped_parallelism(df.select(series_col, ts_col, value_col), series_col)
         .groupBy(series_col)
         .applyInPandas(_lttb, out_schema)
     )

@@ -31,6 +31,27 @@ from datapoints_csv_extractor_spark.operators.relational import load
 _HYPERPLANE_BITS = 16
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism before a
+    per-row-expensive map stage (the interpreted `_nearest_cell` HOF).
+
+    A small-by-bytes parquet scan arrives as ONE split, so the
+    assignment fold runs single-threaded even on local[32]; an
+    explicit repartition is exempt from AQE coalescing and costs one
+    tiny shuffle. Row-local expressions are unaffected by placement,
+    so output values are identical — only task fan-out changes. At
+    real scale the scan already yields >= parallelism splits and this
+    is a near-no-op (Spark still inserts the exchange, amortized by
+    the downstream per-row work it balances).
+    """
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return df.repartition(n)
+
+
 def _require_row(row: Row | None, what: str) -> Row:
     """Guard for driver-side parameter fetches: a missing query id or
     an empty input frame raises a clear ValueError instead of the
@@ -418,7 +439,10 @@ def train_ivf_centroids(
     # measured ~8 s at sf0.1 — interpreted HOFs skip codegen — vs
     # sub-second vectorized. The per-vector FINAL assignment consumers
     # (ingest-time `_nearest_cell` column) stay JVM/map-only.
-    vecs = e.select("embedding")
+    # _spread: the Lloyd pass is per-row-expensive Python work over a
+    # scan that may arrive as one split; repartition is deterministic
+    # (sortBeforeRepartition), so run-to-run centroid equality holds.
+    vecs = _spread(e.select("embedding"))
     schema = "cell int, n long, " + ", ".join(f"s{i} double" for i in range(dim))
     cols = ["cell", "n"] + [f"s{i}" for i in range(dim)]
     for _ in range(n_iters):
@@ -490,7 +514,9 @@ def ann_ivf_topk_df(
     applied to vector space.
     """
     centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
-    assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+    assigned = _spread(e).withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
+    )
 
     qrow = _require_row(
         e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
@@ -548,7 +574,14 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    assigned = e.withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+    # Spread the assignment fold, then cluster by cell so the
+    # partitionBy write emits one file per (cell, task) instead of
+    # n_tasks x n_cells shards.
+    assigned = (
+        _spread(e)
+        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+        .repartition(F.col("cell"))
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, "assignments")
     )
@@ -686,8 +719,10 @@ def assign_to_ivf_index(new_vecs: DataFrame, index_dir: str) -> None:
         [float(x) for x in r["centroid"]]
         for r in sorted(cent_rows, key=lambda r: r["cell"])
     ]
-    assigned = new_vecs.withColumn(
-        "cell", _nearest_cell(F.col("embedding"), centroids)
+    assigned = (
+        _spread(new_vecs)
+        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+        .repartition(F.col("cell"))
     )
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "assignments")
@@ -836,7 +871,7 @@ def semantic_dedup(
     threshold in the same cell/sub-block).
     """
     centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
-    assigned = e.select("vec_id", "embedding").withColumn(
+    assigned = _spread(e.select("vec_id", "embedding")).withColumn(
         "cell", _nearest_cell(F.col("embedding"), centroids)
     )
     cell_sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
@@ -899,8 +934,13 @@ def semantic_dedup(
             }
         )
 
+    # AQE would coalesce this small-by-bytes shuffle to one task and
+    # serialize the whole Arrow stage; see pin_grouped_parallelism.
+    from .skew import pin_grouped_parallelism
+
     return (
-        assigned.groupBy("cell", "sub")
+        pin_grouped_parallelism(assigned, "cell", "sub")
+        .groupBy("cell", "sub")
         .applyInPandas(
             _cell_verdicts, "vec_id long, cell int, keep boolean, rep_id long"
         )
@@ -951,7 +991,7 @@ def semantic_dedup_incremental(
         for r in sorted(cent_rows, key=lambda r: r["cell"])
     ]
     new_assigned = (
-        new_vecs.select("vec_id", "embedding")
+        _spread(new_vecs.select("vec_id", "embedding"))
         .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
         .localCheckpoint()
     )
@@ -1009,9 +1049,14 @@ def semantic_dedup_incremental(
             }
         )
 
+    # Pin both cogroup sides (same rationale as pin_grouped_parallelism
+    # for groupBy: AQE would coalesce the tiny shuffles to one task).
+    from .skew import pin_grouped_parallelism
+
     verdicts = (
-        new_assigned.groupBy("cell")
-        .cogroup(stored.groupBy("cell"))
+        pin_grouped_parallelism(new_assigned, "cell")
+        .groupBy("cell")
+        .cogroup(pin_grouped_parallelism(stored, "cell").groupBy("cell"))
         .applyInPandas(
             _verdicts,
             "vec_id long, cell int, keep boolean, rep_id long, rep_kind string",
