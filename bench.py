@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q18_large_volume_customers",
     "q_lttb_downsample",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q_semantic_dedup_incremental",
 ]
 
 

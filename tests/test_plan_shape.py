@@ -211,6 +211,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_knn_multi",        # n_queries-row probe set broadcast
         "q_source_mixture",   # 1-row token-total aggregate broadcast
         "q22_idle_rich_customers",  # 1-row avg-balance scalar broadcast
+        "q11_important_parts",  # 1-row avg-part-value scalar broadcast
     }
 
     offenders = {}
@@ -324,3 +325,19 @@ def test_interpolation_single_shuffle_like_asof(spark):
     # Union + distinct-users subtree adds an exchange for the distinct;
     # the window itself must contribute exactly one more.
     assert _n_exchanges(plan) <= 2, plan[:1500]
+
+
+def test_lttb_series_shuffle_is_exempt_from_aqe_coalescing(spark):
+    # AQE prices shuffle BYTES, so the 100k-row series shuffle would
+    # coalesce to one task and serialize the whole Arrow stage behind
+    # a single Python worker (measured 5.2 s -> 0.9 s at sf0.1). The
+    # pin is an explicit repartition-by-num, the one shuffle origin
+    # AQE's coalescer must leave alone; losing it is a silent 32x
+    # parallelism regression that no correctness test would catch.
+    from datapoints_csv_extractor_spark.operators.analytic import q_lttb_downsample
+
+    plan = _plan(q_lttb_downsample(spark, SF))
+    assert "REPARTITION_BY_NUM" in plan
+    m = re.search(r"hashpartitioning\(user_id[^,]*, (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) >= spark.sparkContext.defaultParallelism
