@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
+from datapoints_csv_extractor_spark.operators.skew import spread_scan
 from datapoints_csv_extractor_spark.operators.textops import tokens
 
 MERSENNE_P = (1 << 31) - 1
@@ -110,7 +111,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread_scan(load(spark, sf_dir, "documents"))
     return (
         d.withColumn("toks", tokens(F.col("text")))
         .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"))).alias("shingle"))
@@ -151,7 +152,7 @@ def ngram_jaccard_pairs(
     # table) beats one "clever" pass; the broadcast joins on the tiny
     # per-doc counts are ~free.
     sh = (
-        docs.withColumn("toks", tokens(F.col("text")))
+        spread_scan(docs).withColumn("toks", tokens(F.col("text")))
         .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
     )
@@ -209,7 +210,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature per (doc_id, text) row."""
     return minhash_signatures_from_toks(
-        docs.withColumn("toks", tokens(F.col("text")))
+        spread_scan(docs).withColumn("toks", tokens(F.col("text")))
     )
 
 
@@ -333,7 +334,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed as explode -> 32 conditional sums -> bit assembly; all
     JVM-side, one shuffle on doc_id with map-side partials.
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread_scan(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     h = F.xxhash64(F.col("token"))
     votes = [
@@ -592,7 +593,7 @@ def decontamination(
     number of distinct shared k-grams and of eval docs hit.
     """
     return decontamination_from_toks(
-        train.withColumn("toks", tokens(F.col("text"))),
+        spread_scan(train).withColumn("toks", tokens(F.col("text"))),
         eval_set.withColumn("toks", tokens(F.col("text"))),
         k,
         max_gram_df,

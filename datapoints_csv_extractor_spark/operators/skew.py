@@ -67,3 +67,27 @@ def pin_grouped_parallelism(df: DataFrame, *keys: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
     )
     return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Conditionally fan a NARROW scan out to cluster parallelism
+    before per-row-heavy map work (tokenize -> explode -> hash chains).
+
+    A corpus that is one parquet split runs its whole scan stage on
+    one core — the map-side twin of the grouped-stage trap
+    pin_grouped_parallelism handles (there the fix pins an existing
+    shuffle's partition count; here there is NO shuffle to pin, so
+    one must be introduced). The repartition only fires when the scan
+    yields fewer splits than the executor count: at real scale file
+    splits >> cores and this is a plan no-op — no shuffle, no cost —
+    so the full-corpus reshuffle it would imply at 100 TB never
+    happens.
+    """
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

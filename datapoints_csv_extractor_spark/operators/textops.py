@@ -488,9 +488,10 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_pipeline_from_toks,
     )
 
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
     d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        spread_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
         .withColumn("toks", tokens(F.col("text")))
         .localCheckpoint()
     )
