@@ -341,3 +341,16 @@ def test_lttb_series_shuffle_is_exempt_from_aqe_coalescing(spark):
     m = re.search(r"hashpartitioning\(user_id[^,]*, (\d+)", plan)
     assert m, plan
     assert int(m.group(1)) >= spark.sparkContext.defaultParallelism
+
+
+def test_spread_scan_is_a_noop_once_the_scan_is_parallel(spark):
+    # The scale contract: spread_scan exists for the one-split local
+    # corpus; a scan already at >= cluster parallelism must pass
+    # through UNCHANGED (no round-robin exchange — at 100 TB that
+    # branch would reshuffle the whole corpus for nothing).
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    docs = load(spark, SF, "documents")
+    assert "RoundRobinPartitioning" in _plan(spread_scan(docs))  # 1 split: fires
+    wide = docs.repartition(64)
+    assert spread_scan(wide) is wide  # already parallel: identity
