@@ -1357,14 +1357,17 @@ def oracle_sql() -> dict[str, str]:
     sql["q22_idle_rich_customers"] = """
         WITH avg_bal AS (
             SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+        ), cut AS (
+            SELECT round(quantile_cont(o_totalprice, 0.9), 0) AS cutoff
+            FROM orders
         )
         SELECT c_mktsegment,
                count(*) AS n_customers,
                round(sum(c_acctbal), 2) AS total_acctbal
-        FROM customer, avg_bal
+        FROM customer, avg_bal, cut
         WHERE c_acctbal > avg_bal
           AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+                          WHERE o_custkey = c_custkey AND o_totalprice > cutoff)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """

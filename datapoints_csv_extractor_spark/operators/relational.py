@@ -797,13 +797,25 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style sales-opportunity scan: customers with an
-    above-average (positive) balance and no high-value order
-    (totalprice > 250k), rolled up by market segment. Composes the
-    scalar aggregate subquery (1-row broadcast), the NOT-EXISTS
-    anti-join over a filtered build side, and a final tiny aggregate —
-    Q22's shape without the phone-prefix column this schema lacks."""
+    above-average (positive) balance and no high-value order,
+    rolled up by market segment. Composes the scalar aggregate
+    subquery (1-row broadcast), the NOT-EXISTS anti-join over a
+    filtered build side, and a final tiny aggregate — Q22's shape
+    without the phone-prefix column this schema lacks.
+
+    The high-value cutoff is the p90 of order totals (rounded so both
+    engines agree bit-exactly) rather than a fixed constant: a
+    constant tuned for one SF empties the anti-join survivor set at a
+    smaller one, turning the correctness check vacuous — the same
+    principle already applied to q_anti_join."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    o_all = load(spark, sf_dir, "orders")
+    cutoff = o_all.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 0).alias("cutoff")
+    )
+    o = o_all.crossJoin(F.broadcast(cutoff)).where(
+        F.col("o_totalprice") > F.col("cutoff")
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )

@@ -69,7 +69,7 @@ def pin_grouped_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, already_parallel: bool | None = None) -> DataFrame:
     """Conditionally fan a NARROW scan out to cluster parallelism
     before per-row-heavy map work (tokenize -> explode -> hash chains).
 
@@ -82,12 +82,35 @@ def spread_scan(df: DataFrame) -> DataFrame:
     splits >> cores and this is a plan no-op — no shuffle, no cost —
     so the full-corpus reshuffle it would imply at 100 TB never
     happens.
+
+    The parallelism probe is METADATA-ONLY: ``df.inputFiles()`` (the
+    scan's file listing — a lower bound on its split count) plus a
+    logical-plan check for an upstream ``Repartition``. The earlier
+    RDD-based probe (getNumPartitions) forced an eager plan-to-RDD
+    conversion on the driver per call, which defeats lazy composition
+    inside ``foreachBatch``-style loops. Callers that already know
+    their frame's layout can skip the probe entirely with
+    ``already_parallel``.
     """
     spark = df.sparkSession
     n = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
     )
-    if df.rdd.getNumPartitions() >= n:
+    if already_parallel is None:
+        if len(df.inputFiles()) >= n:
+            # >= n source files: treat the scan as parallel. (Tiny
+            # files can still be packed into fewer FilePartitions; a
+            # miss in that corner costs fan-out for one stage, never
+            # correctness — and a corpus of >= n files that small is
+            # below the regime where the fan-out matters.)
+            already_parallel = True
+        else:
+            # An in-plan Repartition/RepartitionByExpression already
+            # fans the frame out; reading the ANALYZED logical plan is
+            # driver-side metadata (no physical planning, no RDD).
+            logical = df._jdf.queryExecution().analyzed().toString()
+            already_parallel = "Repartition" in logical
+    if already_parallel:
         return df
     return df.repartition(n)

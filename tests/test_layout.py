@@ -37,6 +37,44 @@ def test_morton_key_interleaves_bits(spark):
     assert df.collect()[0]["k"] == 0b011011
 
 
+def test_morton_key_rejects_oversized_bit_width(spark):
+    # 4 cols x 16 bits puts a bit at position 63 (the long sign bit)
+    # and 5 cols shift past 64 (JVM wraps mod 64, aliasing keys) —
+    # both must fail loudly instead of silently corrupting the layout.
+    import pytest
+
+    cols = [F.lit(1).cast("long")] * 4
+    with pytest.raises(ValueError, match="63"):
+        morton_key(cols, bits=16)
+    # The adapted width fits: 4 cols x 15 bits = 60 <= 63.
+    morton_key(cols, bits=15)
+    with pytest.raises(ValueError, match="at least one"):
+        morton_key([])
+
+
+def test_write_zordered_adapts_bits_and_handles_nulls(spark, tmp_path):
+    # 4 z-order columns: write_zordered must narrow per-column bits
+    # (63 // 4 = 15) instead of tripping morton_key's overflow guard;
+    # rows with a NULL in one key column must still land in the file
+    # (coalesced to that column's min), and an entirely-NULL column
+    # must raise a clear error, not TypeError(float(None)).
+    import pytest
+
+    df = spark.range(256).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") % 8).alias("b"),
+        (F.col("id") % 16).alias("c"),
+        F.when(F.col("id") % 32 == 0, None).otherwise(F.col("id")).alias("d"),
+    )
+    out = str(tmp_path / "z4")
+    write_zordered(df, out, ["a", "b", "c", "d"], n_files=4)
+    assert spark.read.parquet(out).count() == 256
+
+    all_null = df.withColumn("e", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        write_zordered(all_null, str(tmp_path / "znull"), ["a", "e"])
+
+
 def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # 64 users x 512 timestamps, uniformly crossed: a ts-sorted layout
     # leaves every row group spanning ALL users; the z-ordered layout

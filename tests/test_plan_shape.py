@@ -354,3 +354,13 @@ def test_spread_scan_is_a_noop_once_the_scan_is_parallel(spark):
     assert "RoundRobinPartitioning" in _plan(spread_scan(docs))  # 1 split: fires
     wide = docs.repartition(64)
     assert spread_scan(wide) is wide  # already parallel: identity
+    assert spread_scan(docs, already_parallel=True) is docs  # explicit hint
+
+    # The probe must stay metadata-only: an eager plan-to-RDD
+    # conversion per call would defeat lazy composition in
+    # foreachBatch loops (round-4 verdict item).
+    import inspect
+
+    from datapoints_csv_extractor_spark.operators import skew
+
+    assert ".rdd" not in inspect.getsource(skew)
