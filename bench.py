@@ -54,7 +54,6 @@ BENCH_QUERIES = [
     "q_ann_ivf_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
-    "q_dedup_incremental",
     "q_sequence_packing",
     "q_text_quality",
     "q_token_stats",
@@ -74,7 +73,6 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q9_product_profit",
     "q21_waiting_suppliers",
-    "q_semantic_dedup_incremental",
 ]
 
 
@@ -210,8 +208,6 @@ def main() -> None:
         # (plan-compile-heavy) run, without burning retries.
         "q_curation_pipeline_full": 3.5,
         "q_embedding_near_dup_lsh": 4.0,
-        # Rebuilds its scratch band store (two full ingests) per call.
-        "q_dedup_incremental": 5.0,
     }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -221,6 +217,68 @@ def main() -> None:
             lambda: _materialize(qs[name](spark, sf_dir)),
             clean_sec=clean_sec.get(name, 3.0),
         )
+
+    # Incremental-dedup benches, split into BUILD vs QUERY phases.
+    # The combined driver-facing wrappers (still in queries() for the
+    # correctness gate) rebuild a scratch store per call, so their
+    # single number was ~3/4 setup (band-store seeding / k-means
+    # training) — a regression in the actual incremental path the
+    # operators exist to make cheap would have been invisible. Here
+    # the store is seeded once (the *_build entries, best-of-2 over
+    # fresh stores) and the *_query entries time ONLY the second
+    # shard's incremental cost — the number a daily-ingest user pays.
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.dedup import dedup_incremental
+    from datapoints_csv_extractor_spark.operators.relational import load
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+
+    inc_root = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        d = load(spark, sf_dir, "documents")
+        cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        shard1 = d.where(F.col("doc_id") <= cut)
+        shard2 = d.where(F.col("doc_id") > cut)
+        band_builds = []
+        band_store = None
+        for i in range(2):
+            band_store = os.path.join(inc_root, f"band{i}")
+            t0 = time.perf_counter()
+            _materialize(dedup_incremental(shard1, band_store, ingest_id="seed"))
+            band_builds.append(time.perf_counter() - t0)
+        timings["q_dedup_incremental_build"] = round(min(band_builds), 3)
+        # Replaying a fixed ingest_id is the documented at-least-once
+        # path: verdicts recompute against the seeded store and the
+        # fold rewrites the same directories — i.e. each run times one
+        # full incremental shard ingest, store state unchanged.
+        timings["q_dedup_incremental_query"] = _best_of(
+            lambda: _materialize(
+                dedup_incremental(shard2, band_store, ingest_id="bench")
+            )
+        )
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ecut = e.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+        e1 = e.where(F.col("vec_id") <= ecut)
+        e2 = e.where(F.col("vec_id") > ecut)
+        ivf_builds = []
+        ivf_dir = None
+        for i in range(2):
+            ivf_dir = os.path.join(inc_root, f"ivf{i}")
+            t0 = time.perf_counter()
+            build_ivf_index(e1, ivf_dir)
+            ivf_builds.append(time.perf_counter() - t0)
+        timings["q_semantic_dedup_incremental_build"] = round(min(ivf_builds), 3)
+        timings["q_semantic_dedup_incremental_query"] = _best_of(
+            lambda: _materialize(
+                semantic_dedup_incremental(e2, ivf_dir, append=False)
+            )
+        )
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
 
     # TEBIS ingest throughput (the reference's core workload).
     folder = _make_tebis_folder(sf)

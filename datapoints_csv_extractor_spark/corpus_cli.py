@@ -68,6 +68,17 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="Per-source md5-prefix keep bound (repeatable), e.g. crawl=40 keeps ~25%% of source 'crawl'",
     )
     parser.add_argument("--est-threshold", type=float, default=0.5, help="Estimated-Jaccard duplicate threshold")
+    parser.add_argument(
+        "--line-dedup", type=int, default=None, metavar="TOKENS_PER_LINE",
+        help="C4-style within-shard line dedup: repeated N-token lines "
+        "survive only at their first occurrence; documents are "
+        "reassembled from kept lines (try 10)",
+    )
+    parser.add_argument(
+        "--max-repeated-fraction", type=float, default=None, metavar="FRAC",
+        help="Drop documents whose repeated-5-gram fraction exceeds FRAC "
+        "(the suffix-array-style repetition filter), e.g. 0.5",
+    )
     parser.add_argument("--master", default=None, help="Spark master override")
     return parser.parse_args(argv)
 
@@ -80,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
         redact_pii=not args.no_pii_redaction,
         classifier_threshold=args.classifier_threshold,
         resample_thresholds=_parse_resample(args.resample) or None,
+        line_dedup_tokens=args.line_dedup,
+        max_repeated_fraction=args.max_repeated_fraction,
     )
 
     from datapoints_csv_extractor_spark.plans.corpus_ingest import (

@@ -467,23 +467,33 @@ def line_dedup(docs_lines: DataFrame) -> DataFrame:
     )
 
 
-def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing line dedup: documents are segmented into
-    deterministic 10-token lines (the synthetic corpus has no
-    newlines; both engines build identical lines from the token
-    array), repeated lines keep only their first (doc_id, line_idx)
-    occurrence, and each document's surviving text is reassembled in
-    order. Per-doc output: kept/total line counts + retained text."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+def line_dedup_reassemble(
+    docs: DataFrame, tokens_per_line: int = 10
+) -> DataFrame:
+    """C4-style line dedup over a (doc_id, text) frame, reassembled:
+    segment each document into deterministic ``tokens_per_line``-token
+    lines, keep only each repeated line's FIRST (doc_id, line_idx)
+    occurrence corpus-wide, and stitch each document's surviving lines
+    back together in order.
+
+    Output: (doc_id, n_lines, n_kept_lines, retained_text) — one row
+    per document that produced at least one line (empty/whitespace
+    docs yield none; callers that must preserve them left-join back).
+    Shape: one explode + the hot-key-proof min-struct aggregate of
+    ``line_dedup`` + one per-doc reassembly aggregate — all linear,
+    no windows."""
+    d = docs.withColumn("toks", tokens(F.col("text")))
     n = F.size(F.col("toks"))
-    n_lines = F.ceil(n / F.lit(10)).cast("int")
+    n_lines = F.ceil(n / F.lit(tokens_per_line)).cast("int")
     # Empty docs: F.sequence(0, -1) would generate a DESCENDING [0,-1]
     # (the shingles_of_tokens lesson), so they map to no lines at all.
     lines = F.when(
         n_lines > 0,
         F.transform(
             F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 10 + 1, 10)),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("toks"), i * tokens_per_line + 1, tokens_per_line)
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = d.select(
@@ -508,6 +518,18 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("retained_text"), F.lit("")).alias("retained_text"),
         )
     )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing line dedup: documents are segmented into
+    deterministic 10-token lines (the synthetic corpus has no
+    newlines; both engines build identical lines from the token
+    array), repeated lines keep only their first (doc_id, line_idx)
+    occurrence, and each document's surviving text is reassembled in
+    order. Per-doc output: kept/total line counts + retained text."""
+    return line_dedup_reassemble(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "n_lines", "n_kept_lines", "retained_text")
 
 
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:

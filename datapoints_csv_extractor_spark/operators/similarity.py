@@ -541,6 +541,61 @@ def ann_ivf_topk_df(
     )
 
 
+def read_ivf_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    """The stored coarse quantizer, cell-ordered (parameter-sized:
+    n_centroids rows — every query collects it)."""
+    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    if not cent_rows:
+        raise ValueError(f"empty IVF centroid table under {index_dir}")
+    return [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+
+
+def read_ivf_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Committed rows of the IVF assignment store (with their ``cell``
+    partition column, ``ingest`` dropped).
+
+    The store is manifest-committed like the text-side band store
+    (``assignments/ingest=<id>/cell=<n>/``, ``manifest.json`` at the
+    index root): readers see ONLY manifest-listed ingest directories,
+    so crash leftovers from an uncommitted fold are invisible and a
+    compaction's directory GC can never race a reader that holds the
+    old manifest. ``cell`` stays a partition column, so an
+    ``isin(cells)`` filter still prunes at file-listing time.
+    Pre-manifest stores (flat ``assignments/cell=<n>/``) read as-is
+    for backward compatibility."""
+    from datapoints_csv_extractor_spark.operators.dedup import _read_manifest
+
+    base = os.path.join(index_dir, "assignments")
+    ingests = _read_manifest(index_dir)
+    if not ingests:
+        return spark.read.parquet(base)
+    return (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, f"ingest={i}") for i in ingests])
+        .drop("ingest")
+    )
+
+
+def _write_ivf_ingest(assigned: DataFrame, index_dir: str, ingest_id: str) -> None:
+    """One committed fold of the assignment store: write the shard's
+    rows (cell-clustered, one file per cell) under a private
+    ``ingest=<id>`` directory — overwrite, so a replayed id rewrites
+    the same bytes — then publish it in the manifest (idempotent:
+    commit-at-most-once under the catalog lock)."""
+    from datapoints_csv_extractor_spark.operators.dedup import _commit_manifest
+
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "assignments", f"ingest={ingest_id}"))
+    _commit_manifest(
+        index_dir,
+        lambda ids: ids if ingest_id in ids else ids + [ingest_id],
+    )
+
+
 def build_ivf_index(
     e: DataFrame,
     index_dir: str,
@@ -554,8 +609,11 @@ def build_ivf_index(
 
     - ``centroids``: (cell, centroid) — parameter-sized (n_centroids
       rows), read and collected by every query.
-    - ``assignments``: the input rows plus their ``cell``, partitioned
-      by cell on disk. A query probing n_probe cells then touches only
+    - ``assignments``: the input rows plus their ``cell``, laid out
+      ``ingest=<id>/cell=<n>`` and published through ``manifest.json``
+      (the same commit protocol as the text-side band store, so
+      incremental folds, compaction, and refresh all share one
+      reader). A query probing n_probe cells touches only
       n_probe/n_centroids of the files — vector-space partition
       pruning, the same mechanism as date-partition pruning on a fact
       table. At 100 TB this runs once at ingest (or incrementally per
@@ -574,17 +632,21 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    # Spread the assignment fold, then cluster by cell so the
-    # partitionBy write emits one file per (cell, task) instead of
-    # n_tasks x n_cells shards.
-    assigned = (
-        _spread(e)
-        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
-        .repartition(F.col("cell"))
+    assigned = _spread(e).withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "assignments")
-    )
+    _write_ivf_ingest(assigned, index_dir, "base")
+    # A REBUILD over an existing store replaces it wholesale: the
+    # manifest resets to just the fresh base fold and superseded
+    # ingest directories are garbage-collected.
+    from datapoints_csv_extractor_spark.operators.dedup import _commit_manifest
+
+    _commit_manifest(index_dir, lambda ids: ["base"])
+    import shutil
+
+    for d in os.scandir(os.path.join(index_dir, "assignments")):
+        if d.is_dir() and d.name.startswith("ingest=") and d.name != "ingest=base":
+            shutil.rmtree(d.path, ignore_errors=True)
     return centroids
 
 
@@ -605,10 +667,7 @@ def ann_ivf_topk_from_index(
     prunes at file-listing time — verified by the plan test). The scan
     is a no-shuffle filter + TakeOrdered.
     """
-    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    if not cent_rows:
-        raise ValueError(f"empty IVF centroid table under {index_dir}")
-    centroids = {r["cell"]: [float(x) for x in r["centroid"]] for r in cent_rows}
+    centroids = dict(enumerate(read_ivf_centroids(spark, index_dir)))
     probe_cells = [
         cid
         for cid, _ in sorted(
@@ -616,7 +675,7 @@ def ann_ivf_topk_from_index(
             key=lambda t: -t[1],
         )[:n_probe]
     ]
-    assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
+    assigned = read_ivf_assignments(spark, index_dir)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     out = assigned.where(F.col("cell").isin(probe_cells))
@@ -646,7 +705,9 @@ def _default_index_dir(sf_dir: str) -> str:
                 f":{n}:{os.stat(os.path.join(emb, n)).st_mtime_ns}"
                 for n in sorted(os.listdir(emb))
             )
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}{stamp}".encode()).hexdigest()[:12]
+    # "v2": manifest-committed assignment layout — a cache built by an
+    # older round must rebuild, not read half a protocol.
+    tag = hashlib.md5(f"v2:{os.path.abspath(sf_dir)}{stamp}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
 
 
@@ -669,7 +730,7 @@ def ann_ivf_topk(
 
     e = load(spark, sf_dir, "embeddings")
     index_dir = _default_index_dir(sf_dir)
-    marker = os.path.join(index_dir, "assignments", "_SUCCESS")
+    marker = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(marker):
         # Build into a private dir, then ATOMICALLY rename into the
         # cache slot: two concurrent processes (bench + driver on the
@@ -699,34 +760,153 @@ def ann_ivf_topk(
     )
 
 
-def assign_to_ivf_index(new_vecs: DataFrame, index_dir: str) -> None:
+def assign_to_ivf_index(
+    new_vecs: DataFrame, index_dir: str, ingest_id: str | None = None
+) -> None:
     """Fold a NEW embedding shard into a persisted IVF index without
     retraining: read the parameter-sized centroid table, assign each
     new vector to its nearest cell (map-only, broadcast centroid
-    literals — no join, no shuffle), and APPEND to the cell-partitioned
-    assignment table. Prior shards are never touched — the ANN
-    counterpart of dedup_incremental's band-store append, completing
-    the ingest-once/query-many lifecycle for continuously arriving
-    embeddings. Centroid drift over many shards is handled by periodic
-    ``build_ivf_index`` rebuilds (standard IVF practice), not per-shard
-    retraining.
+    literals — no join, no shuffle), and commit it as one
+    manifest-listed ingest of the assignment store. Prior shards are
+    never touched — the ANN counterpart of dedup_incremental's
+    band-store append, completing the ingest-once/query-many lifecycle
+    for continuously arriving embeddings. Centroid drift over many
+    shards is handled by ``refresh_ivf_index`` (or full
+    ``build_ivf_index`` rebuilds), not per-shard retraining.
+
+    ``ingest_id`` makes the fold idempotent under at-least-once
+    replay: the same id rewrites its own directory and commits at most
+    once. Without it a fresh unique id is minted.
     """
+    import uuid
+
     spark = new_vecs.sparkSession
-    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    if not cent_rows:
-        raise ValueError(f"empty IVF centroid table under {index_dir}")
-    centroids = [
-        [float(x) for x in r["centroid"]]
-        for r in sorted(cent_rows, key=lambda r: r["cell"])
-    ]
-    assigned = (
-        _spread(new_vecs)
-        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
-        .repartition(F.col("cell"))
+    centroids = read_ivf_centroids(spark, index_dir)
+    assigned = _spread(new_vecs).withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "assignments")
+    _write_ivf_ingest(assigned, index_dir, ingest_id or uuid.uuid4().hex[:12])
+
+
+def ivf_cell_balance(
+    spark: SparkSession, index_dir: str, max_cell_size: int = 4096
+) -> DataFrame:
+    """Health report for the incremental IVF store, one row per cell:
+    (cell, n_vecs, n_files, over) — ``over`` marks cells whose
+    population exceeds ``max_cell_size``, the signal that centroid
+    drift is concentrating new shards into stale cells (recall decays
+    silently as whole-cell verdict matrices saturate) and a
+    ``refresh_ivf_index`` is due; ``n_files`` exposes the per-shard
+    append fragmentation ``compact_ivf_store`` folds away.
+
+    Parameter-sized everywhere: one count-by-cell aggregate over the
+    store (n_centroids result rows) plus a driver-side file listing of
+    the manifest-listed ingest directories.
+    """
+    import glob as _glob
+
+    from datapoints_csv_extractor_spark.operators.dedup import _read_manifest
+
+    counts = {
+        r["cell"]: r["n"]
+        for r in read_ivf_assignments(spark, index_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    base = os.path.join(index_dir, "assignments")
+    ingests = _read_manifest(index_dir)
+    dirs = [os.path.join(base, f"ingest={i}") for i in ingests] or [base]
+    n_files: dict[int, int] = {}
+    for d in dirs:
+        for f in _glob.glob(os.path.join(d, "cell=*", "*.parquet")):
+            cell = int(os.path.basename(os.path.dirname(f)).removeprefix("cell="))
+            n_files[cell] = n_files.get(cell, 0) + 1
+    return spark.createDataFrame(
+        [
+            (c, int(counts.get(c, 0)), int(n_files.get(c, 0)),
+             bool(counts.get(c, 0) > max_cell_size))
+            for c in sorted(set(counts) | set(n_files))
+        ],
+        "cell int, n_vecs long, n_files int, over boolean",
     )
+
+
+def refresh_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    n_train_iters: int = 2,
+) -> list[list[float]]:
+    """OFFLINE centroid refresh for a drifted incremental IVF store:
+    retrain the coarse quantizer from the STORED assignments (one scan
+    of the committed store — the raw corpus is never re-read), then
+    re-partition every stored vector under the new geometry as a
+    single fresh fold that replaces the manifest wholesale.
+
+    This is the drift escape hatch the per-shard append path
+    deliberately lacks (standard IVF practice: assign cheaply per
+    shard, retrain rarely). Offline means no concurrent readers or
+    appenders during the swap: the centroid table and the assignment
+    manifest cannot change in one atomic step, and a reader holding
+    new centroids against old assignments would prune the wrong cells.
+    Run it from the same maintenance window as ``compact_ivf_store``.
+
+    ``n_centroids`` defaults to the stored centroid count; pass a
+    larger value when the balance report shows cells over threshold
+    because the corpus outgrew the cell budget (not just drifted).
+    Returns the new centroids.
+    """
+    import shutil
+    import uuid
+
+    from datapoints_csv_extractor_spark.operators.dedup import _commit_manifest
+
+    if n_centroids is None:
+        n_centroids = len(read_ivf_centroids(spark, index_dir))
+    stored = read_ivf_assignments(spark, index_dir).drop("cell").localCheckpoint()
+    centroids = train_ivf_centroids(stored, n_centroids, n_train_iters)
+    refresh_id = f"refresh{uuid.uuid4().hex[:8]}"
+    assigned = _spread(stored).withColumn(
+        "cell", _nearest_cell(F.col("embedding"), centroids)
+    )
+    # Order: new fold first, then centroids, then the manifest cut to
+    # exactly the fold trained against them; stale folds GC'd last.
+    _write_ivf_ingest(assigned, index_dir, refresh_id)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    kept = set(_commit_manifest(index_dir, lambda ids: [refresh_id]))
+    for d in os.scandir(os.path.join(index_dir, "assignments")):
+        if d.is_dir() and d.name.startswith("ingest=") and d.name.removeprefix("ingest=") not in kept:
+            shutil.rmtree(d.path, ignore_errors=True)
+    return centroids
+
+
+def refresh_ivf_index_if_unbalanced(
+    spark: SparkSession,
+    index_dir: str,
+    max_cell_size: int = 4096,
+    n_train_iters: int = 2,
+) -> bool:
+    """Maintenance-window driver: consult the balance report and
+    refresh only when some cell is over threshold, growing the cell
+    budget so the refreshed store targets ~half-full cells. Returns
+    whether a refresh ran (idempotent when balanced — the common
+    case, costing one parameter-sized aggregate)."""
+    import math
+
+    report = ivf_cell_balance(spark, index_dir, max_cell_size).collect()
+    if not any(r["over"] for r in report):
+        return False
+    total = sum(r["n_vecs"] for r in report)
+    current = len(read_ivf_centroids(spark, index_dir))
+    target = max(current, math.ceil(2 * total / max_cell_size))
+    refresh_ivf_index(spark, index_dir, n_centroids=target, n_train_iters=n_train_iters)
+    return True
 
 
 def q_knn_multi(
@@ -959,6 +1139,7 @@ def semantic_dedup_incremental(
     index_dir: str,
     threshold: float = 0.45,
     append: bool = True,
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW embedding shard against a persisted IVF index
     without recomputing the stored corpus — the semantic counterpart
@@ -977,19 +1158,21 @@ def semantic_dedup_incremental(
     Verdicts: (vec_id, cell, keep, rep_id, rep_kind) where rep_kind is
     'known' (duplicate of a stored vector) or 'new' (duplicate of an
     earlier vector in the same shard). With ``append=True`` the KEPT
-    vectors fold into the index (mode=append, prior shards untouched),
-    so the index stays exactly the deduplicated corpus.
+    vectors fold into the index as one manifest-committed ingest
+    (prior shards untouched), so the index stays exactly the
+    deduplicated corpus; ``ingest_id`` makes the fold idempotent under
+    at-least-once replay (the shard's own committed rows are excluded
+    from the 'known' side, its directory is rewritten, and the
+    manifest commits at most once — same contract as
+    ``dedup_incremental``).
     """
-    import os as _os
+    import uuid
+
+    from datapoints_csv_extractor_spark.operators.dedup import _read_manifest
 
     spark = new_vecs.sparkSession
-    cent_rows = spark.read.parquet(_os.path.join(index_dir, "centroids")).collect()
-    if not cent_rows:
-        raise ValueError(f"empty IVF centroid table under {index_dir}")
-    centroids = [
-        [float(x) for x in r["centroid"]]
-        for r in sorted(cent_rows, key=lambda r: r["cell"])
-    ]
+    ingest_id = ingest_id or uuid.uuid4().hex[:12]
+    centroids = read_ivf_centroids(spark, index_dir)
     new_assigned = (
         _spread(new_vecs.select("vec_id", "embedding"))
         .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
@@ -997,11 +1180,22 @@ def semantic_dedup_incremental(
     )
     # Parameter-sized cell list (<= n_centroids) prunes the stored
     # assignment scan to only the partitions this shard touches.
+    # On replay, the shard's own earlier fold is excluded from the
+    # known side so verdicts are reproduced, not self-polluted.
     cells = [r["cell"] for r in new_assigned.select("cell").distinct().collect()]
-    stored = (
-        spark.read.parquet(_os.path.join(index_dir, "assignments"))
-        .where(F.col("cell").isin(cells))
-        .select("cell", "vec_id", "embedding")
+    committed = [i for i in _read_manifest(index_dir) if i != ingest_id]
+    base = os.path.join(index_dir, "assignments")
+    if committed:
+        stored_all = (
+            spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f"ingest={i}") for i in committed])
+            .drop("ingest")
+        )
+    else:
+        # Pre-manifest store (backward compat): read the flat layout.
+        stored_all = spark.read.parquet(base)
+    stored = stored_all.where(F.col("cell").isin(cells)).select(
+        "cell", "vec_id", "embedding"
     )
 
     def _verdicts(new_pdf, known_pdf):
@@ -1067,9 +1261,7 @@ def semantic_dedup_incremental(
         survivors = new_assigned.join(
             verdicts.where("keep").select("vec_id"), "vec_id"
         )
-        survivors.write.mode("append").partitionBy("cell").parquet(
-            _os.path.join(index_dir, "assignments")
-        )
+        _write_ivf_ingest(survivors, index_dir, ingest_id)
     return verdicts
 
 

@@ -171,3 +171,68 @@ def compact_band_store(
             if d.name.removeprefix("ingest=") not in kept:
                 shutil.rmtree(d, ignore_errors=True)
     return results
+
+
+def compact_ivf_store(
+    spark: SparkSession,
+    index_dir: str | Path,
+    min_ingests: int = 2,
+) -> tuple[int, int] | None:
+    """Compact the incremental IVF assignment store
+    (``operators/similarity.py``): fold every manifest-committed
+    per-shard ingest into ONE new ingest with exactly one file per
+    cell, commit a manifest listing only it, then remove every
+    directory the manifest no longer references (which also
+    garbage-collects crash leftovers from uncommitted folds).
+
+    The embedding-side mirror of ``compact_band_store`` — daily
+    ``semantic_dedup_incremental`` / ``assign_to_ivf_index`` folds
+    append one small file per (shard x cell) forever, and file COUNT
+    is what scan planning pays for at 100 TB. The manifest rename is
+    the atomic cut-over; an ingest racing the compaction commits
+    through the same catalog lock, so its id is either in our snapshot
+    (merged) or preserved by the swap — never lost. Readers keep the
+    ``cell`` partition column, so n_probe pruning is unchanged.
+    Centroids are untouched (compaction re-files rows; it never moves
+    them between cells — that is ``refresh_ivf_index``'s job).
+
+    Returns (files_before, files_after), or None when fewer than
+    ``min_ingests`` ingests are committed.
+    """
+    import os
+    import uuid
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+        _read_manifest,
+    )
+    from pyspark.sql import functions as F
+
+    store = Path(index_dir)
+    ingests = _read_manifest(str(store))
+    if len(ingests) < min_ingests:
+        return None
+    new_id = f"compact{uuid.uuid4().hex[:8]}"
+    base = store / "assignments"
+    snap_dirs = [base / f"ingest={i}" for i in ingests]
+    before = sum(len(list(d.glob("cell=*/*.parquet"))) for d in snap_dirs)
+    snapshot = (
+        spark.read.option("basePath", str(base))
+        .parquet(*[str(d) for d in snap_dirs])
+        .drop("ingest")
+    )
+    # Hash-partitioned by cell: every cell lands whole in one task, so
+    # partitionBy emits exactly one file per cell.
+    snapshot.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(base / f"ingest={new_id}"))
+
+    def _swap(ids: list[str]) -> list[str]:
+        return [new_id] + [i for i in ids if i not in ingests]
+
+    kept = set(_commit_manifest(str(store), _swap))
+    for d in base.glob("ingest=*"):
+        if d.name.removeprefix("ingest=") not in kept:
+            shutil.rmtree(d, ignore_errors=True)
+    after = len(list((base / f"ingest={new_id}").glob("cell=*/*.parquet")))
+    return (before, after)

@@ -55,6 +55,8 @@ def ingest_corpus_shard(
     redact_pii: bool = True,
     classifier_threshold: float | None = None,
     resample_thresholds: dict[str, str] | None = None,
+    line_dedup_tokens: int | None = None,
+    max_repeated_fraction: float | None = None,
     ingest_id: str | None = None,
     corpus_mode: str = "append",
 ) -> dict[str, int]:
@@ -76,9 +78,24 @@ def ingest_corpus_shard(
     both stages are pure projections, so the whole pre-dedup pipeline
     stays one map-only pass over the shard.
 
+    Two optional repetition stages run between the gates and the
+    MinHash dedup (boilerplate must be gone BEFORE signatures are
+    computed, or shared navigation text manufactures false near-dup
+    verdicts):
+
+    - ``line_dedup_tokens``: C4-style within-shard line dedup
+      (``curation.line_dedup_reassemble``) — each repeated
+      N-token line survives only at its first occurrence and documents
+      are reassembled from their kept lines (docs are rewritten, not
+      dropped).
+    - ``max_repeated_fraction``: drops documents whose
+      ``curation.repeated_spans`` repeated-gram fraction exceeds the
+      bound (the suffix-array-style self/cross-repetition filter).
+
     Returns the shard's bookkeeping counts (the numbers an ingest
     pipeline alarms on): ``received``, ``pii_redacted``,
-    ``low_quality``, ``resampled_out``, ``duplicate``, ``published``.
+    ``low_quality``, ``resampled_out``, ``line_deduped``,
+    ``repetition_filtered``, ``duplicate``, ``published``.
     """
     shard = shard.localCheckpoint()  # one materialization feeds 3 consumers
     n_received = shard.count()
@@ -120,6 +137,49 @@ def ingest_corpus_shard(
         n_resampled_out = n_passed - sampled.count()
         passed = sampled
 
+    n_line_deduped = 0
+    if line_dedup_tokens is not None:
+        from datapoints_csv_extractor_spark.operators.curation import (
+            line_dedup_reassemble,
+        )
+
+        reassembled = line_dedup_reassemble(
+            passed.select("doc_id", "text"), tokens_per_line=line_dedup_tokens
+        ).localCheckpoint()
+        n_line_deduped = reassembled.where(
+            F.col("n_kept_lines") < F.col("n_lines")
+        ).count()
+        # Left join + coalesce: zero-line docs (empty text) produce no
+        # reassembly row but must not vanish from the shard here —
+        # the quality gate owns that decision.
+        passed = (
+            passed.join(
+                reassembled.select(
+                    "doc_id", F.col("retained_text").alias("__retained")
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn("text", F.coalesce(F.col("__retained"), F.col("text")))
+            .drop("__retained")
+            .localCheckpoint()
+        )
+
+    n_repetition = 0
+    if max_repeated_fraction is not None:
+        from datapoints_csv_extractor_spark.operators.curation import (
+            repeated_spans,
+        )
+
+        repetitive = (
+            repeated_spans(passed.withColumn("toks", tokens(F.col("text"))))
+            .where(F.col("repeated_fraction") > max_repeated_fraction)
+            .select("doc_id")
+        )
+        before = passed.count()
+        passed = passed.join(repetitive, "doc_id", "left_anti").localCheckpoint()
+        n_repetition = before - passed.count()
+
     verdicts = dedup_incremental(
         passed.select("doc_id", "text"), store_path, est_threshold,
         ingest_id=ingest_id,
@@ -138,7 +198,9 @@ def ingest_corpus_shard(
         "pii_redacted": n_pii,
         "low_quality": n_received - n_passed,
         "resampled_out": n_resampled_out,
-        "duplicate": n_passed - n_resampled_out - n_published,
+        "line_deduped": n_line_deduped,
+        "repetition_filtered": n_repetition,
+        "duplicate": n_passed - n_resampled_out - n_repetition - n_published,
         "published": n_published,
     }
 

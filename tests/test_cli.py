@@ -177,3 +177,57 @@ def test_corpus_cli_rejects_malformed_resample_bounds():
     for bad in (["crawl=4"], ["crawl=g0"], ["crawl"]):
         with _pytest.raises(SystemExit):
             _parse_resample(bad)
+
+
+def test_corpus_cli_line_dedup_and_repetition_stages(spark, tmp_path, capsys):
+    """End-to-end drive of the promoted repetition stages: a repeated
+    boilerplate line survives only at its first occurrence (documents
+    are reassembled, not dropped) and a gram-repetitive document is
+    filtered before the MinHash stage."""
+    import json
+
+    from datapoints_csv_extractor_spark.corpus_cli import main as corpus_main
+
+    boiler = "please subscribe to our newsletter for updates about everything here"
+    body1 = "glacial moraines record the furthest advance of ice sheets over bedrock"
+    body2 = "peat bogs preserve pollen records spanning many thousand calendar years"
+    # Cross-document repeated span (repeated_spans counts grams seen
+    # in >= min_docs documents): docs 3 and 4 share a long span that
+    # dominates their gram sets, with distinct short tails.
+    span = ("boilerplate legal disclaimer text that appears verbatim in "
+            "multiple documents of this crawl covering limitation of "
+            "liability and governing law provisions in full detail")
+    # Doc 4 is offset by one leading token so its 10-token LINES all
+    # differ from doc 3's (the line-dedup stage must not eat the span
+    # first) while its 5-GRAMS still collide with doc 3's.
+    docs = [
+        {"doc_id": 1, "text": f"{boiler} {body1}", "source": "a"},
+        {"doc_id": 2, "text": f"{boiler} {body2}", "source": "a"},
+        {"doc_id": 3, "text": f"{span} tail alpha", "source": "a"},
+        {"doc_id": 4, "text": f"preamble {span} tail omega", "source": "a"},
+    ]
+    shard = tmp_path / "shard.jsonl"
+    shard.write_text("\n".join(json.dumps(d) for d in docs))
+    rc = corpus_main(
+        [
+            "--input", str(shard),
+            "--corpus", str(tmp_path / "corpus"),
+            "--store", str(tmp_path / "store"),
+            "--line-dedup", "10",
+            "--max-repeated-fraction", "0.5",
+        ]
+    )
+    assert rc == 0
+    ledger = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ledger["received"] == 4
+    assert ledger["line_deduped"] >= 1          # doc 2 lost the boilerplate line
+    assert ledger["repetition_filtered"] == 2   # docs 3+4 dropped
+    assert ledger["published"] == 2
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert set(texts) == {1, 2}
+    assert boiler.split()[0] in texts[1]        # first occurrence kept
+    assert "subscribe" not in texts[2]          # later copy removed
+    assert body2.split()[0] in texts[2]         # body intact

@@ -532,7 +532,7 @@ def test_ivf_index_build_query_split(spark, tmp_path):
     # fewer assignment files than exist.
     import glob
 
-    n_files = len(glob.glob(f"{index_dir}/assignments/cell=*"))
+    n_files = len(glob.glob(f"{index_dir}/assignments/ingest=*/cell=*"))
     assert n_files > 4  # data spans more cells than we probe
 
 
@@ -709,7 +709,7 @@ def test_ivf_incremental_shard_assignment(spark, tmp_path):
     )
     index_dir = str(tmp_path / "ivf")
     V.build_ivf_index(e1, index_dir, n_centroids=8, n_train_iters=2)
-    files_before = set(glob.glob(f"{index_dir}/assignments/cell=*/*.parquet"))
+    files_before = set(glob.glob(f"{index_dir}/assignments/ingest=*/cell=*/*.parquet"))
 
     planted = list(range(500, 510))
     shard2 = [
@@ -720,7 +720,7 @@ def test_ivf_incremental_shard_assignment(spark, tmp_path):
     )
     V.assign_to_ivf_index(e2, index_dir)
 
-    files_after = set(glob.glob(f"{index_dir}/assignments/cell=*/*.parquet"))
+    files_after = set(glob.glob(f"{index_dir}/assignments/ingest=*/cell=*/*.parquet"))
     assert files_before < files_after  # append-only: old files intact
 
     got = [

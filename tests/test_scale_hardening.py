@@ -142,3 +142,255 @@ def test_compact_flat_table(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
     # Already compact: no-op.
     assert compact_flat_table(spark, path, max_files=64) is None
+
+
+def _mk_vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, i % 3, v) for i, v in rows],
+        "vec_id long, label int, embedding array<double>",
+    )
+
+
+def _rand_vecs(rng, ids, dim, center=None, eps=1.0):
+    out = []
+    for i in ids:
+        if center is None:
+            out.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+        else:
+            out.append((i, [x + rng.uniform(-eps, eps) for x in center]))
+    return out
+
+
+def test_compact_ivf_store_preserves_results_one_file_per_cell(spark, tmp_path):
+    """Daily shard folds fragment the IVF assignment store into one
+    file per (shard x cell); compaction folds them to ONE file per
+    cell without changing a single stored row or any query answer, and
+    garbage-collects the superseded ingest directories."""
+    import glob
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        assign_to_ivf_index,
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+    from datapoints_csv_extractor_spark.plans.compaction import compact_ivf_store
+
+    rng = random.Random(7)
+    dim = 16
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(
+        _mk_vecs(spark, _rand_vecs(rng, range(100), dim)),
+        index_dir,
+        n_centroids=4,
+        n_train_iters=2,
+    )
+    for s in range(3):
+        shard = _rand_vecs(rng, range(200 + 20 * s, 220 + 20 * s), dim)
+        assign_to_ivf_index(_mk_vecs(spark, shard), index_dir, ingest_id=f"day{s}")
+
+    assert len(glob.glob(f"{index_dir}/assignments/ingest=*")) == 4
+    before_rows = sorted(
+        (r.vec_id, r.cell) for r in read_ivf_assignments(spark, index_dir).collect()
+    )
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    before_topk = [
+        (r.vec_id, r.cosine)
+        for r in ann_ivf_topk_from_index(spark, index_dir, query, k=10).collect()
+    ]
+
+    result = compact_ivf_store(spark, index_dir)
+    assert result is not None and result[1] < result[0]
+
+    # One committed ingest, exactly one file per cell, old dirs gone.
+    ingest_dirs = glob.glob(f"{index_dir}/assignments/ingest=*")
+    assert len(ingest_dirs) == 1
+    for cell_dir in glob.glob(f"{ingest_dirs[0]}/cell=*"):
+        assert len(glob.glob(f"{cell_dir}/*.parquet")) == 1, cell_dir
+
+    after_rows = sorted(
+        (r.vec_id, r.cell) for r in read_ivf_assignments(spark, index_dir).collect()
+    )
+    assert after_rows == before_rows
+    after_topk = [
+        (r.vec_id, r.cosine)
+        for r in ann_ivf_topk_from_index(spark, index_dir, query, k=10).collect()
+    ]
+    assert after_topk == before_topk
+    # Below threshold now: no-op.
+    assert compact_ivf_store(spark, index_dir) is None
+
+
+def test_compact_ivf_store_preserves_racing_ingest(spark, tmp_path):
+    """An ingest committed AFTER the compaction's manifest snapshot
+    must survive the swap: compact_ivf_store merges only what it
+    snapshotted and the racing shard stays listed (the catalog-lock
+    commit protocol makes losing it impossible)."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+        _read_manifest,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        assign_to_ivf_index,
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+    from datapoints_csv_extractor_spark.plans import compaction as C
+
+    rng = random.Random(13)
+    dim = 8
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(
+        _mk_vecs(spark, _rand_vecs(rng, range(40), dim)),
+        index_dir,
+        n_centroids=2,
+        n_train_iters=1,
+    )
+    assign_to_ivf_index(
+        _mk_vecs(spark, _rand_vecs(rng, range(100, 120), dim)),
+        index_dir,
+        ingest_id="day0",
+    )
+
+    # Simulate the race: between compaction's snapshot and its commit,
+    # another shard lands. Monkeypatch the commit to inject the racing
+    # ingest first, exactly as a concurrent writer would.
+    real_commit = _commit_manifest
+    racing = {"done": False}
+
+    def racy_commit(store_path, mutate):
+        if not racing["done"]:
+            racing["done"] = True
+            assign_to_ivf_index(
+                _mk_vecs(spark, _rand_vecs(rng, range(200, 210), dim)),
+                index_dir,
+                ingest_id="racer",
+            )
+        return real_commit(store_path, mutate)
+
+    import datapoints_csv_extractor_spark.operators.dedup as D
+
+    orig = D._commit_manifest
+    D._commit_manifest = racy_commit
+    try:
+        C.compact_ivf_store(spark, index_dir)
+    finally:
+        D._commit_manifest = orig
+
+    ids = _read_manifest(index_dir)
+    assert "racer" in ids and len(ids) == 2, ids
+    stored = {r.vec_id for r in read_ivf_assignments(spark, index_dir).collect()}
+    assert set(range(200, 210)) <= stored  # racing shard intact
+    assert set(range(40)) <= stored and set(range(100, 120)) <= stored
+
+
+def test_semantic_dedup_incremental_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of the same ingest_id reproduces the same
+    verdicts and does NOT double the folded survivors (same contract
+    as the band store's dedup_incremental)."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_assignments,
+        semantic_dedup_incremental,
+    )
+
+    rng = random.Random(23)
+    dim = 16
+    base = _rand_vecs(rng, range(40), dim)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(_mk_vecs(spark, base), index_dir, n_centroids=4)
+
+    novel = [rng.uniform(-1, 1) for _ in range(dim)]
+    shard = _mk_vecs(
+        spark,
+        [(100, [x + rng.uniform(-0.002, 0.002) for x in base[3][1]]), (101, novel)],
+    ).select("vec_id", "embedding")
+    v1 = sorted(
+        (r.vec_id, r.keep, r.rep_id, r.rep_kind)
+        for r in semantic_dedup_incremental(
+            shard, index_dir, threshold=0.98, ingest_id="shardA"
+        ).collect()
+    )
+    rows_once = sorted(
+        (r.vec_id, r.cell)
+        for r in read_ivf_assignments(spark, index_dir).collect()
+    )
+    # Replay the identical shard with the identical id.
+    v2 = sorted(
+        (r.vec_id, r.keep, r.rep_id, r.rep_kind)
+        for r in semantic_dedup_incremental(
+            shard, index_dir, threshold=0.98, ingest_id="shardA"
+        ).collect()
+    )
+    rows_twice = sorted(
+        (r.vec_id, r.cell)
+        for r in read_ivf_assignments(spark, index_dir).collect()
+    )
+    assert v1 == v2
+    assert rows_twice == rows_once  # no double-fold
+    assert (101, True) in {(v, k) for v, k, *_ in v1}
+
+
+def test_ivf_cell_balance_and_refresh_recovers_recall(spark, tmp_path):
+    """Centroid drift: an index trained on corpus A receives a dense
+    drifted cluster B far outside A's geometry — B crams into few
+    stale cells, the balance report flags them, and
+    refresh_ivf_index_if_unbalanced retrains so planted near-dup
+    recall through the refreshed index recovers."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        assign_to_ivf_index,
+        build_ivf_index,
+        ivf_cell_balance,
+        read_ivf_centroids,
+        refresh_ivf_index_if_unbalanced,
+    )
+
+    rng = random.Random(41)
+    dim = 16
+    index_dir = str(tmp_path / "ivf")
+    # Corpus A: unit-ish cube around origin.
+    build_ivf_index(
+        _mk_vecs(spark, _rand_vecs(rng, range(60), dim)),
+        index_dir,
+        n_centroids=6,
+        n_train_iters=2,
+    )
+    # Balanced store (total A = 60 <= max_cell_size): no-op.
+    assert not refresh_ivf_index_if_unbalanced(spark, index_dir, max_cell_size=60)
+    # Drifted corpus B: tight cluster far away (shifted +8 on every
+    # axis) — nearest-cell assignment under A's centroids dumps all of
+    # B into one or two cells.
+    b_center = [8.0] * dim
+    b_rows = _rand_vecs(rng, range(1000, 1120), dim, center=b_center, eps=0.5)
+    assign_to_ivf_index(_mk_vecs(spark, b_rows), index_dir, ingest_id="driftB")
+
+    report = {r.cell: r for r in ivf_cell_balance(spark, index_dir, max_cell_size=60).collect()}
+    assert any(r.over for r in report.values()), report
+
+    # Planted near-dups of one B vector; before refresh, a low-probe
+    # query may or may not find them — after refresh it must.
+    target = b_rows[11][1]
+    refreshed = refresh_ivf_index_if_unbalanced(
+        spark, index_dir, max_cell_size=60
+    )
+    assert refreshed
+    # More centroids than before (budget grew to fit the corpus).
+    assert len(read_ivf_centroids(spark, index_dir)) >= 6
+
+    got = [
+        r.vec_id
+        for r in ann_ivf_topk_from_index(
+            spark, index_dir, target, k=10, n_probe=2, exclude_vec_id=1011
+        ).collect()
+    ]
+    # B's tight cluster dominates the neighborhood of any B member:
+    # the refreshed geometry must place it in probeable cells.
+    assert len([v for v in got if v >= 1000]) >= 8, got
