@@ -119,6 +119,92 @@ def _make_skewed_corpus(spark, sf: float) -> "DataFrame":  # noqa: F821
     return base.select("doc_id", text.alias("text"))
 
 
+def _make_scaled_sfdir(spark, root: str, mult: int) -> str:
+    """Synthetic documents + embeddings tables at ``mult`` x the sf0.1
+    row counts (5000 docs / 2000 vectors at mult=1), laid out like a
+    testdata sf dir so the REGISTERED q_* functions run on it
+    unchanged. Deterministic Spark expressions end to end (no
+    driver-side generation): text is hash-picked words from a fixed
+    vocab with ~2% planted adjacent exact dups; embeddings are
+    hash-derived 64-dim floats with ~2.5% planted duplicate vectors —
+    enough dup structure that the dedup paths do real work at every
+    scale, identical in DISTRIBUTION across scales so wall-time ratios
+    measure data volume, not data shape.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    vocab = [
+        f"{a}{b}" for a in ("riv", "gla", "mor", "pol", "sed", "del", "bas",
+                            "ter", "str", "flu", "lac", "pal", "kar", "allu",
+                            "aeol", "lith", "cryo", "hydr", "geo", "topo")
+        for b in ("er", "cier", "aine", "len", "iment", "ta", "in", "race",
+                  "atum", "vial")
+    ]  # 200 distinct word-ish tokens
+    vlit = F.array(*[F.lit(w) for w in vocab])
+
+    docs_dir = os.path.join(root, "documents.parquet")
+    n_docs = 5000 * mult
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # ~2% of docs copy their predecessor's text seed (exact dups).
+    seed = F.when(
+        (F.col("doc_id") % 50 == 1) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    n_words = (F.lit(30) + F.pmod(seed, F.lit(40))).cast("int")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                vlit, (F.pmod(F.xxhash64(seed, i), F.lit(200)) + 1).cast("int")
+            ),
+        ),
+    )
+    (
+        base.select(
+            "doc_id",
+            text.alias("text"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias(
+                "source"
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+
+    emb_dir = os.path.join(root, "embeddings.parquet")
+    n_vecs = 2000 * mult
+    vbase = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    vseed = F.when(
+        (F.col("vec_id") % 40 == 1) & (F.col("vec_id") > 0),
+        F.col("vec_id") - 1,
+    ).otherwise(F.col("vec_id"))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(vseed, i), F.lit(2000001)) / F.lit(1000000.0)
+            - F.lit(1.0)
+        ).cast("float"),
+    )
+    (
+        vbase.select(
+            "vec_id",
+            emb.alias("embedding"),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(emb_dir)
+    )
+    return root
+
+
 def _make_tebis_folder(sf: float) -> Path:
     """Deterministic synthetic TEBIS csv folder scaled by sf.
 
@@ -332,18 +418,95 @@ def main() -> None:
     finally:
         shutil.rmtree(os.path.dirname(skew_dir), ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # sf1 scale probe: the heavy composites' docstrings claim LINEAR
+    # cost in corpus size; verify it by running the SAME registered
+    # queries on synthetic corpora at 1x and 10x the sf0.1 row counts
+    # (identical generator, so the wall-time ratio isolates volume).
+    # A linear operator lands <= ~12x at 10x data on a fixed-core
+    # machine (10x work + shuffle/setup overhead); a super-linear one
+    # (pair blowup, O(n^2) cell matrices) shows 30-100x. Skippable for
+    # quick local iteration via SPARK_GRAFT_SKIP_SF1=1.
+    sf1_section: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        from datapoints_csv_extractor_spark.operators.dedup import (
+            minhash_dedup_pipeline,
         )
-    )
+        from datapoints_csv_extractor_spark.operators.similarity import (
+            q_semantic_dedup,
+        )
+        from datapoints_csv_extractor_spark.operators.textops import (
+            q_curation_pipeline_full,
+        )
+
+        probe_root = tempfile.mkdtemp(prefix="bench_sf1_")
+        try:
+            per_scale: dict[str, dict[str, float]] = {}
+            for tag, mult in (("sf0.1_synth", 1), ("sf1_synth", 10)):
+                sdir = _make_scaled_sfdir(
+                    spark, os.path.join(probe_root, tag), mult
+                )
+                runs: dict[str, float] = {}
+                runs["q_minhash_dedup_pipeline"] = _best_of(
+                    lambda: _materialize(minhash_dedup_pipeline(spark, sdir)),
+                    clean_sec=1e9, max_runs=2,
+                )
+                runs["q_semantic_dedup"] = _best_of(
+                    lambda: _materialize(q_semantic_dedup(spark, sdir)),
+                    clean_sec=1e9, max_runs=2,
+                )
+                runs["q_curation_pipeline_full"] = _best_of(
+                    lambda: _materialize(q_curation_pipeline_full(spark, sdir)),
+                    clean_sec=1e9, max_runs=2,
+                )
+                # Incremental dedup, QUERY phase only (store seeded
+                # from the first half, second half timed).
+                store = os.path.join(probe_root, f"band_{tag}")
+                docs = spark.read.parquet(os.path.join(sdir, "documents.parquet"))
+                half = docs.agg(
+                    F.expr("percentile_approx(doc_id, 0.5)")
+                ).first()[0]
+                _materialize(
+                    dedup_incremental(
+                        docs.where(F.col("doc_id") <= half), store,
+                        ingest_id="seed",
+                    )
+                )
+                runs["q_dedup_incremental_query"] = _best_of(
+                    lambda: _materialize(
+                        dedup_incremental(
+                            docs.where(F.col("doc_id") > half), store,
+                            ingest_id="probe",
+                        )
+                    ),
+                    clean_sec=1e9, max_runs=2,
+                )
+                per_scale[tag] = runs
+            sf1_section = {
+                "sf0.1": per_scale["sf0.1_synth"],
+                "sf1": per_scale["sf1_synth"],
+                "ratio": {
+                    q: round(
+                        per_scale["sf1_synth"][q]
+                        / max(per_scale["sf0.1_synth"][q], 1e-9),
+                        2,
+                    )
+                    for q in per_scale["sf1_synth"]
+                },
+            }
+        finally:
+            shutil.rmtree(probe_root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if sf1_section:
+        out["sf1_probe"] = sf1_section
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -4,9 +4,11 @@ Models image/audio/video the way a 100 TB lake should: the payload is
 an opaque BINARY column; metadata (byte length, content hash, declared
 mime) is typed and queryable without touching the bytes. Decode /
 feature-extract runs as Arrow-batched pandas functions over
-``mapInPandas`` — the schema, batch shape, and partitioning are real;
-the codec itself is stubbed deterministically because no image/audio
-libraries exist in this container (clearly marked below).
+``mapInPandas`` — the schema, batch shape, and partitioning are real.
+The image codec is feature-gated: Pillow is used when importable
+(``decode_blobs(use_pil=None)`` auto-detects), and a deterministic
+stub stands in otherwise (this container ships no image/audio
+libraries; the audio/video codecs remain stubbed, clearly marked).
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -82,9 +84,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decoder.
 
     Real image/audio decoding (PIL/ffmpeg/soundfile) is unavailable in
-    this container; a production build swaps this function for the
-    actual codec — the mapInPandas plumbing around it is unchanged.
-    Dimensions are derived from payload bytes so tests are stable.
+    this container by default; a production build swaps this function
+    for the actual codec — the mapInPandas plumbing around it is
+    unchanged. Dimensions are derived from payload bytes so tests are
+    stable.
     """
     n = len(payload)
     w = 16 + (payload[0] if n else 0) % 64
@@ -93,25 +96,72 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return w, h, frames
 
 
-def decode_blobs(blobs: DataFrame) -> DataFrame:
+def pil_available() -> bool:
+    """Whether the real image codec (Pillow) is importable — the
+    feature gate for ``decode_blobs(use_pil=None)``."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction over mapInPandas.
 
     Partition-parallel, vectorized transfer; each pandas batch maps
     payload bytes -> (width, height, n_frames, 8-dim feature). The
     feature here is a byte histogram — stand-in for an embedding model
     forward pass, with the identical dataflow shape.
+
+    ``use_pil=None`` auto-detects Pillow: when importable, ``image/*``
+    payloads decode through the REAL codec (width/height/n_frames from
+    the actual image; a payload that claims image but fails to parse
+    yields NULL dims — skip-don't-fail, the engine's P4 rule — rather
+    than fake numbers); non-image mimes and PIL-less environments keep
+    the deterministic stub. The output schema is identical either way,
+    so downstream plans never know which codec ran.
     """
+    if use_pil is None:
+        use_pil = pil_available()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+            def dims(mime: str, p) -> tuple[int | None, int | None, int | None]:
+                raw = bytes(p)
+                if not mime.startswith("image/"):
+                    return _fake_decode(raw)
+                try:
+                    with Image.open(io.BytesIO(raw)) as img:
+                        return (
+                            int(img.width),
+                            int(img.height),
+                            int(getattr(img, "n_frames", 1)),
+                        )
+                except Exception:
+                    return (None, None, None)
+
+        else:
+
+            def dims(mime: str, p) -> tuple[int | None, int | None, int | None]:
+                return _fake_decode(bytes(p))
+
         for pdf in batches:
             out = {
                 "blob_id": pdf["blob_id"],
                 "mime": pdf["mime"],
             }
-            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
-            out["width"] = dims.map(lambda t: t[0]).astype("int32")
-            out["height"] = dims.map(lambda t: t[1]).astype("int32")
-            out["n_frames"] = dims.map(lambda t: t[2]).astype("int32")
+            decoded = [
+                dims(m, p) for m, p in zip(pdf["mime"], pdf["payload"])
+            ]
+            out["width"] = pd.array([t[0] for t in decoded], dtype="Int32")
+            out["height"] = pd.array([t[1] for t in decoded], dtype="Int32")
+            out["n_frames"] = pd.array([t[2] for t in decoded], dtype="Int32")
             out["feature"] = pdf["payload"].map(
                 lambda p: [
                     float(sum(1 for b in bytes(p) if b % 8 == i)) for i in range(8)

@@ -134,6 +134,53 @@ def test_multimodal_decode_plumbing(spark):
     assert {r.blob_id: (r.width, r.height) for r in rows} == again
 
 
+def test_decode_blobs_stub_gate_without_pil(spark):
+    # The feature gate: with Pillow absent (this container) the
+    # auto-detect path and the explicit use_pil=False path are
+    # byte-identical, and the schema is the same one the PIL path
+    # declares — downstream plans never know which codec ran.
+    blobs = M.blobs_from_documents(spark, SF).limit(10)
+    auto = M.decode_blobs(blobs)
+    stub = M.decode_blobs(blobs, use_pil=False)
+    assert auto.schema == stub.schema == M.decode_blobs(blobs).schema
+    if not M.pil_available():
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, stub.collect())
+        )
+
+
+def test_decode_blobs_real_pil_codec(spark):
+    # Runs only where Pillow is installed (skip-marked otherwise): a
+    # REAL png decodes to its true dimensions through the same
+    # mapInPandas plumbing, an undecodable image/* payload yields NULL
+    # dims (skip-don't-fail), and the schema is unchanged.
+    import pytest
+
+    if not M.pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(png), "image/png", len(png), "x"),
+            (2, bytearray(b"not a png at all"), "image/png", 16, "y"),
+            (3, bytearray(b"audio bytes"), "audio/wav", 11, "z"),
+        ],
+        M.BLOB_SCHEMA,
+    )
+    decoded = M.decode_blobs(blobs, use_pil=True)
+    assert decoded.schema == M.decode_blobs(blobs, use_pil=False).schema
+    rows = {r.blob_id: r for r in decoded.collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (37, 21, 1)
+    assert rows[2].width is None and rows[2].height is None
+    assert rows[3].width is not None  # non-image mime keeps the stub
+
+
 def test_frame_sampling(spark):
     decoded = M.decode_blobs(M.blobs_from_documents(spark, SF))
     frames = M.frame_sample(decoded, every_n=2)
