@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
         "q_datapoint_aggregates": A.q_datapoint_aggregates,
         "q_interpolate_linear": A.q_interpolate_linear,
+        "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
+        "q_discrete_variance": A.q_discrete_variance,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1229,6 +1231,71 @@ def oracle_sql() -> dict[str, str]:
                arg_max(value, ts) AS last_value
         FROM events
         GROUP BY user_id, day
+        ORDER BY user_id, day
+    """
+    sql["q_time_weighted_aggregates"] = """
+        WITH seg AS (
+            SELECT user_id,
+                   lag(ts) OVER w AS t0, lag(value) OVER w AS v0,
+                   ts AS t1, value AS v1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), seg2 AS (
+            SELECT * FROM seg WHERE t0 IS NOT NULL
+        ), pieces AS (
+            SELECT user_id, g.day,
+                   epoch_us(t0) AS tt0, epoch_us(t1) AS tt1, v0, v1,
+                   greatest(epoch_us(t0), epoch_us(g.day)) AS a,
+                   least(epoch_us(t1), epoch_us(g.day + INTERVAL 1 DAY)) AS b
+            FROM seg2,
+                 unnest(generate_series(date_trunc('day', t0),
+                                        date_trunc('day', t1),
+                                        INTERVAL 1 DAY)) AS g(day)
+        ), clipped AS (
+            SELECT user_id, day,
+                   (b - a) / 1000000.0 AS dur,
+                   (va + vb) / 2 * ((b - a) / 1000000.0) AS ivdt,
+                   (va * va + va * vb + vb * vb) / 3 * ((b - a) / 1000000.0) AS iv2dt,
+                   abs(vb - va) AS tv
+            FROM (
+                SELECT user_id, day, a, b,
+                       CASE WHEN tt1 = tt0 THEN v0
+                            ELSE v0 + (v1 - v0) * (a - tt0) / (tt1 - tt0) END AS va,
+                       CASE WHEN tt1 = tt0 THEN v1
+                            ELSE v0 + (v1 - v0) * (b - tt0) / (tt1 - tt0) END AS vb
+                FROM pieces
+            )
+        )
+        SELECT * FROM (
+            SELECT user_id, day,
+                   round(sum(dur), 6) AS coverage_sec,
+                   round(sum(ivdt) / sum(dur), 4) AS tw_avg,
+                   round(sum(iv2dt) / sum(dur)
+                         - (sum(ivdt) / sum(dur)) * (sum(ivdt) / sum(dur)), 4) AS cont_var,
+                   round(sum(tv), 4) AS total_variation
+            FROM clipped
+            GROUP BY user_id, day
+        ) WHERE coverage_sec > 0
+        ORDER BY user_id, day
+    """
+    sql["q_discrete_variance"] = """
+        WITH c AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ), a AS (
+            SELECT user_id, day, count(*) AS n_points,
+                   sum(x) AS s, sum(x * x) AS q
+            FROM c GROUP BY user_id, day
+        )
+        SELECT user_id, day, n_points,
+               floor(greatest((q - s * s / CAST(n_points AS DOUBLE))
+                              / CAST(n_points AS DOUBLE) / 10000.0, 0.0)
+                     * 10000 + 0.5) / 10000.0 AS disc_var,
+               floor(sqrt(greatest((q - s * s / CAST(n_points AS DOUBLE))
+                                   / CAST(n_points AS DOUBLE) / 10000.0, 0.0))
+                     * 10000 + 0.5) / 10000.0 AS disc_stddev
+        FROM a
         ORDER BY user_id, day
     """
     sql["q_interpolate_linear"] = """

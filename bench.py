@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q_session_window",
     "q_datapoint_aggregates",
     "q_interpolate_linear",
+    "q_time_weighted_aggregates",
+    "q_discrete_variance",
     "q_pivot",
     "q_range_join",
     "q_gap_fill",

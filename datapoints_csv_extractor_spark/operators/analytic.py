@@ -509,3 +509,158 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_grid") == 1)
         .select("user_id", "ts", "interp_value")
     )
+
+
+def time_weighted_aggregates(
+    df: DataFrame,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted datapoints aggregates per (series, day) bucket:
+    duration-weighted average, continuous variance, and total
+    variation — the half of the standard datapoints-API aggregate set
+    that ``q_datapoint_aggregates``'s point-weighted half cannot serve
+    (irregular sensor cadence makes point averages biased toward
+    burst periods; the time-weighted forms integrate the linearly
+    interpolated series instead).
+
+    Plan: ONE window shuffle on the series key builds consecutive-point
+    segments (lag), each segment is clipped to the day buckets it
+    overlaps (``sequence`` + ``explode`` — a segment spanning k days
+    yields k clipped pieces, so no range join and no quadratic
+    candidate space), and ONE groupBy on (series, day) folds the
+    per-piece closed forms:
+
+      - piece duration        dur  = B - A            (epoch micros)
+      - integral of v dt      ivdt = (va + vb)/2 * dur
+      - integral of v^2 dt    iv2  = (va^2 + va*vb + vb^2)/3 * dur
+      - variation             |vb - va|   (linear pieces are monotone)
+
+    with va/vb the interpolated values at the clip points. Then
+    tw_avg = sum(ivdt)/sum(dur) and
+    cont_var = sum(iv2)/sum(dur) - tw_avg^2 (exact for a piecewise
+    linear integrand). Buckets whose every piece is zero-length are
+    dropped (HAVING coverage > 0) so no engine-specific 0/0 value
+    appears. Both stages are algebraic aggregates with constant state:
+    map-side partials all the way, scale-linear at 100 TB.
+
+    Reference analog: the reference only SHIPS datapoints
+    (csv_extractor.py:150-166); these are the aggregates its
+    downstream time-series store serves on read.
+    """
+    s, t, v = F.col(series_col), F.col(ts_col), F.col(value_col)
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    seg = df.select(
+        s.alias("series"),
+        F.lag(t).over(w).alias("t0"),
+        F.lag(v).over(w).alias("v0"),
+        t.alias("t1"),
+        v.alias("v1"),
+    ).where(F.col("t0").isNotNull())
+    day = F.explode(
+        F.sequence(
+            F.date_trunc("day", F.col("t0")),
+            F.date_trunc("day", F.col("t1")),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("day")
+    pieces = seg.select("series", "t0", "v0", "t1", "v1", day)
+    # .cast("timestamp"): events.ts is TIMESTAMP_NTZ and unix_micros
+    # only takes TIMESTAMP (session UTC, so the cast is lossless).
+    T0 = F.unix_micros(F.col("t0").cast("timestamp"))
+    T1 = F.unix_micros(F.col("t1").cast("timestamp"))
+    A = F.greatest(T0, F.unix_micros(F.col("day").cast("timestamp")))
+    B = F.least(
+        T1,
+        F.unix_micros((F.col("day") + F.expr("INTERVAL 1 DAY")).cast("timestamp")),
+    )
+    # Interpolated values at the clip points; a zero-length segment
+    # (duplicate timestamps) degenerates to its endpoints' values.
+    dt = T1 - T0
+    va = F.when(dt == 0, F.col("v0")).otherwise(
+        F.col("v0") + (F.col("v1") - F.col("v0")) * (A - T0) / dt
+    )
+    vb = F.when(dt == 0, F.col("v1")).otherwise(
+        F.col("v0") + (F.col("v1") - F.col("v0")) * (B - T0) / dt
+    )
+    dur = (B - A) / F.lit(1000000.0)
+    clipped = pieces.select(
+        "series",
+        "day",
+        dur.alias("dur"),
+        ((va + vb) / 2 * dur).alias("ivdt"),
+        ((va * va + va * vb + vb * vb) / 3 * dur).alias("iv2dt"),
+        F.abs(vb - va).alias("tv"),
+    )
+    cov = F.sum("dur")
+    tw_avg = F.sum("ivdt") / cov
+    cont_var = F.sum("iv2dt") / cov - tw_avg * tw_avg
+    return (
+        clipped.groupBy("series", "day")
+        .agg(
+            F.round(cov, 6).alias("coverage_sec"),
+            F.round(tw_avg, 4).alias("tw_avg"),
+            F.round(cont_var, 4).alias("cont_var"),
+            F.round(F.sum("tv"), 4).alias("total_variation"),
+        )
+        .where(F.col("coverage_sec") > 0)
+        .orderBy("series", "day")
+        .withColumnRenamed("series", "user_id")
+    )
+
+
+def q_time_weighted_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: time-weighted aggregate set over the events
+    table per (user, day)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return time_weighted_aggregates(ev)
+
+
+def q_discrete_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datapoints-API 'discreteVariance' aggregate: population
+    variance of the OBSERVED points per (series, day) — the
+    point-weighted partner of ``time_weighted_aggregates``'s
+    continuous variance. Algebraic (count / sum / sum-of-squares
+    state), so one map-side-combined shuffle.
+
+    Cross-engine exactness: built-in var_pop implementations disagree
+    at the 4th decimal (Spark's incremental central moments vs the
+    oracle's formula — observed 485.4167 vs 485.4166), so the sums are
+    accumulated as EXACT integers over centi-units (the data is
+    2-decimal) and the variance assembled from them with one fixed
+    double expression — identical bit-for-bit in both engines, the
+    same exact-integer-accumulation pattern as the quality
+    classifier's margin (curation.py)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    x = F.round(F.col("value") * 100).cast("long")  # centi-units, exact
+    agg = ev.select("user_id", day.alias("day"), x.alias("x")).groupBy(
+        "user_id", "day"
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    n = F.col("n_points").cast("double")
+    # greatest(..., 0): a zero-variance bucket can assemble to -1 ulp
+    # (n^2*x^2/n is an inexact double division), and sqrt(-eps) is
+    # engine-divergent (NaN vs error).
+    disc_var = F.greatest(
+        (F.col("q") - F.col("s") * F.col("s") / n) / n / F.lit(10000.0), F.lit(0.0)
+    )
+    # floor(x*1e4 + 0.5), not round(x, 4): centi-unit rationals land
+    # exactly on .00005 boundaries (e.g. n=2 -> d^2/40000), where the
+    # engines' rounding modes diverge (HALF_UP vs half-even). floor of
+    # the identical double is identical.
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        agg.select(
+            "user_id",
+            "day",
+            "n_points",
+            r4(disc_var).alias("disc_var"),
+            r4(F.sqrt(disc_var)).alias("disc_stddev"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -131,3 +131,60 @@ def test_lttb_matches_python_reference_and_keeps_endpoints(spark):
         [(9, i, float(i)) for i in range(10)], "user_id long, ts long, value double"
     )
     assert lttb_downsample(short, n_buckets=25).count() == 10
+
+
+def test_time_weighted_aggregates_closed_form(spark):
+    """Hand-computed series with a midnight-spanning segment.
+
+    user 1: (Jan-1 12:00, 10) -> (Jan-2 12:00, 20) -> (Jan-2 18:00, 14).
+    Day 1 holds the clipped half-segment 10->15 (uniform slope, so
+    tw_avg = 12.5 and cont_var = (15-10)^2/12 = 25/12); day 2 holds
+    15->20 (12 h) then 20->14 (6 h).
+    """
+    rows = [
+        (1, "2024-01-01 12:00:00", 10.0),
+        (1, "2024-01-02 12:00:00", 20.0),
+        (1, "2024-01-02 18:00:00", 14.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = {r["day"].day: r for r in A.time_weighted_aggregates(df).collect()}
+    d1, d2 = out[1], out[2]
+    assert d1["coverage_sec"] == 43200.0
+    assert d1["tw_avg"] == 12.5
+    assert d1["cont_var"] == round(25 / 12, 4)
+    assert d1["total_variation"] == 5.0
+    assert d2["coverage_sec"] == 64800.0
+    # (17.5*43200 + 17*21600) / 64800 = 17.3333
+    assert d2["tw_avg"] == 17.3333
+    assert d2["total_variation"] == 11.0
+
+
+def test_time_weighted_aggregates_degenerate_segments(spark):
+    """Duplicate timestamps (zero-length segment) and single-point
+    series must not divide by zero or emit rows with no coverage."""
+    rows = [
+        (1, "2024-01-01 06:00:00", 5.0),
+        (1, "2024-01-01 06:00:00", 7.0),
+        (1, "2024-01-01 18:00:00", 5.0),
+        (2, "2024-01-03 00:00:00", 99.0),  # single point: no segment
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = A.time_weighted_aggregates(df).collect()
+    assert [r["user_id"] for r in out] == [1]
+    r = out[0]
+    assert r["coverage_sec"] == 43200.0  # only the 06:00->18:00 span
+    # flat 7->5 linear: tw_avg = 6.0; variation counts the 5->7 jump too
+    assert r["tw_avg"] == 6.0
+    assert r["total_variation"] == 4.0
+
+
+def test_discrete_variance_small_bucket(spark):
+    out = A.q_discrete_variance(spark, SF)
+    row = out.where((F.col("n_points") >= 2)).first()
+    assert row is not None and row["disc_var"] >= 0.0
+    # var_pop identity: stddev^2 == var (within the 4-decimal floor)
+    assert abs(row["disc_stddev"] ** 2 - row["disc_var"]) < 1e-2

@@ -126,7 +126,8 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats1 == {
         "received": 3, "pii_redacted": 0, "low_quality": 1,
-        "resampled_out": 0, "duplicate": 0, "published": 2,
+        "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "duplicate": 0, "published": 2,
     }
 
     day2 = write_shard(
@@ -141,7 +142,8 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats2 == {
         "received": 2, "pii_redacted": 0, "low_quality": 0,
-        "resampled_out": 0, "duplicate": 1, "published": 1,
+        "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "duplicate": 1, "published": 1,
     }
 
     out = spark.read.parquet(corpus)
@@ -200,7 +202,8 @@ def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
     )
     assert stats == {
         "received": 4, "pii_redacted": 1, "low_quality": 1,
-        "resampled_out": 1, "duplicate": 0, "published": 2,
+        "resampled_out": 1, "line_deduped": 0, "repetition_filtered": 0,
+        "duplicate": 0, "published": 2,
     }
     out = spark.read.parquet(corpus)
     texts = {r.doc_id: r.text for r in out.collect()}
