@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_knn_brute_force",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
+    "q_ann_pq_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
     "q_sequence_packing",

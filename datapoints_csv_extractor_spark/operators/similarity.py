@@ -1283,3 +1283,301 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-vector ANN with ADC scoring
+# ---------------------------------------------------------------------------
+#
+# The third ANN family next to hyperplane-LSH (bucket pruning) and IVF
+# (cell pruning): PQ attacks the MEMORY axis. Each vector is stored as
+# m sub-quantizer codes (m bytes at k<=256), a 64-dim float64 vector
+# compressing 512 B -> 8 B; at 100 TB of embeddings that is the
+# difference between an index that fits in cluster RAM and one that
+# does not. Query-time scoring is ADC (asymmetric distance
+# computation): the query stays exact, each candidate's distance is a
+# sum of m table lookups — the (m x k) lookup table is computed once
+# driver-side per query (parameter-sized, like a literal) and
+# broadcast. Vectors are L2-normalized before splitting, so ADC's
+# squared-L2 ranking is equivalent to cosine ranking (||a-b||^2 =
+# 2 - 2cos on the unit sphere).
+
+def train_pq_codebooks(
+    e: DataFrame, m: int = 8, k: int = 16, n_iters: int = 3
+) -> list[list[list[float]]]:
+    """Deterministic distributed k-means per PQ subspace.
+
+    ``codebooks[j][c]`` is centroid ``c`` of subspace ``j`` (dim/m
+    floats). All m subspaces train in the SAME Lloyd pass: one Arrow
+    scan per iteration emits (subspace, cell, n, partial-sum) rows for
+    every subspace at once — m independent k-means for the cost of
+    one — and a groupBy(subspace, cell) combine whose shuffle carries
+    ~m*k tiny rows per batch. Init is the first k vectors by vec_id
+    (deterministic, no RNG), mirroring ``train_ivf_centroids``.
+    The driver only ever holds the m*k*(dim/m) codebook parameters.
+    """
+    first = e.where(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    init = [
+        [float(x) for x in r.embedding] for r in sorted(first, key=lambda r: r.vec_id)
+    ]
+    dim = len(init[0])
+    if dim % m != 0:
+        raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
+    sub = dim // m
+
+    def _normed(vec_list):
+        import numpy as np
+
+        a = np.array(vec_list, dtype=np.float64)
+        n = np.sqrt((a * a).sum(axis=1))
+        n[n == 0.0] = 1.0
+        return a / n[:, None]
+
+    import numpy as _np
+
+    init_n = _normed(init)
+    codebooks = [
+        [list(map(float, init_n[c, j * sub : (j + 1) * sub])) for c in range(k)]
+        for j in range(m)
+    ]
+
+    vecs = _spread(e.select("embedding"))
+    schema = "sub int, cell int, n long, " + ", ".join(
+        f"s{i} double" for i in range(sub)
+    )
+    cols = ["sub", "cell", "n"] + [f"s{i}" for i in range(sub)]
+    for _ in range(n_iters):
+        cb_now = [[list(c) for c in book] for book in codebooks]
+
+        def _partials(batches, cb=cb_now):
+            import numpy as np
+            import pandas as pd
+
+            books = np.array(cb, dtype=np.float64)  # (m, k, sub)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                nrm[nrm == 0.0] = 1.0
+                mat = mat / nrm[:, None]
+                rows = []
+                for j in range(books.shape[0]):
+                    sv = mat[:, j * books.shape[2] : (j + 1) * books.shape[2]]
+                    # (n x k) squared-L2 via the expansion trick
+                    d2 = (
+                        (sv * sv).sum(axis=1)[:, None]
+                        - 2.0 * sv @ books[j].T
+                        + (books[j] * books[j]).sum(axis=1)[None, :]
+                    )
+                    cells = d2.argmin(axis=1)
+                    for c in np.unique(cells):
+                        sel = sv[cells == c]
+                        rows.append([j, int(c), len(sel), *sel.sum(axis=0)])
+                yield pd.DataFrame(rows, columns=cols)
+
+        sums = (
+            vecs.mapInPandas(_partials, schema)
+            .groupBy("sub", "cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        by_key = {(r["sub"], r["cell"]): r for r in sums}
+        codebooks = [
+            [
+                [by_key[(j, c)][f"s{i}"] / by_key[(j, c)]["n"] for i in range(sub)]
+                if (j, c) in by_key
+                else codebooks[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(e: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode every vector to its m sub-quantizer codes: one
+    Arrow-batched map-only pass (codebooks broadcast in the closure),
+    emitting (vec_id, label, codes array<int>). This is the table a
+    100 TB deployment persists INSTEAD of the raw embeddings."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def _enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        books = np.array(codebooks, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            mat = mat / nrm[:, None]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sv = mat[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2.0 * sv @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    return _spread(e.select("vec_id", "label", "embedding")).mapInPandas(
+        _enc, "vec_id long, label int, codes array<int>"
+    )
+
+
+def _adc_lut(query_vec: list[float], codebooks: list[list[list[float]]]) -> list[float]:
+    """Flat (m*k) table of squared-L2 distances from each query
+    subvector to each sub-centroid — tiny, computed driver-side."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    n = float(np.sqrt((q * q).sum())) or 1.0
+    q = q / n
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = books.shape
+    lut = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        diff = books[j] - q[j * sub : (j + 1) * sub][None, :]
+        lut[j] = (diff * diff).sum(axis=1)
+    return [float(x) for x in lut.reshape(-1)]
+
+
+def pq_topk_df(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the encoded table: score = sum of m JVM-side
+    ``element_at`` lookups into the broadcast flat lookup table —
+    no Python in the scoring path, no shuffle but the TakeOrdered.
+    Returns ascending approximate squared-L2 (= 2-2cos order)."""
+    n_k = len(codebooks[0])
+    lut = _adc_lut(query_vec, codebooks)
+    lut_lit = F.array(*[F.lit(x) for x in lut])
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(lut_lit, (j * F.lit(n_k) + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = encoded
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", "label", F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    source: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank_factor: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC prefilter + exact re-rank: take ``rerank_factor * k``
+    candidates by ADC, fetch ONLY those raw vectors from ``source``
+    (an isin filter over a parameter-sized candidate list — pushed to
+    the parquet scan), and exactly cosine-score them. The standard
+    two-stage PQ serving shape: the compressed table absorbs the full
+    scan, the expensive exact pass touches ~k rows."""
+    cand = [
+        r["vec_id"]
+        for r in pq_topk_df(
+            encoded, query_vec, codebooks, k=rerank_factor * k,
+            exclude_vec_id=exclude_vec_id,
+        ).collect()
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    return (
+        source.where(F.col("vec_id").isin(cand))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    e: DataFrame, index_dir: str, m: int = 8, k: int = 16, n_iters: int = 3
+) -> None:
+    """Build-once half of the PQ lifecycle: train codebooks, encode
+    the corpus, persist codes parquet + codebook meta. The codes table
+    is the only per-vector state (m ints/vector)."""
+    import json
+
+    codebooks = train_pq_codebooks(e, m=m, k=k, n_iters=n_iters)
+    pq_encode(e, codebooks).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"m": m, "k": k, "codebooks": codebooks}, f)
+
+
+def ann_pq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    source: DataFrame | None = None,
+    rerank_factor: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query-once half: load codebooks (parameter-sized), ADC-scan the
+    stored codes, optionally exact-re-rank against ``source``. No
+    training stage appears in the query plan."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    encoded = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if source is None:
+        return pq_topk_df(
+            encoded, query_vec, meta["codebooks"], k=k, exclude_vec_id=exclude_vec_id
+        )
+    return pq_topk_rerank(
+        encoded, source, query_vec, meta["codebooks"], k=k,
+        rerank_factor=rerank_factor, exclude_vec_id=exclude_vec_id,
+    )
+
+
+def q_ann_pq_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Driver-facing: PQ(8x16) + ADC + exact re-rank top-k neighbors
+    of vec 0 (rows-only: k-means training is not oracle-expressible;
+    recall vs the brute-force twin is pinned in pytest)."""
+    e = load(spark, sf_dir, "embeddings")
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
+    qvec = [float(x) for x in qrow[0]]
+    codebooks = train_pq_codebooks(e, m=8, k=16, n_iters=2)
+    encoded = pq_encode(e, codebooks)
+    return pq_topk_rerank(
+        encoded, e, qvec, codebooks, k=k, exclude_vec_id=query_vec_id
+    )

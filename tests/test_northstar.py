@@ -1124,3 +1124,54 @@ def test_semantic_dedup_incremental_against_persisted_index(spark, tmp_path):
         replay, index_dir, threshold=0.98, append=False
     ).collect()[0]
     assert not v2.keep and v2.rep_kind == "known" and v2.rep_id == 101
+
+
+def test_pq_recall_on_planted_neighbors(spark):
+    """PQ(4x8) + ADC + exact re-rank must recover planted near-dups:
+    quantization preserves coarse geometry, and the re-rank stage
+    makes the final ordering exact over the ADC candidate set."""
+    import random
+
+    rng = random.Random(13)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, query)]
+    for i in range(1, 211):  # diverse low ids: the k-means init set
+        rows.append((i, 1, [rng.uniform(-1, 1) for _ in range(dim)]))
+    planted = set(range(500, 510))
+    for i in planted:
+        rows.append((i, 0, [x + rng.uniform(-0.02, 0.02) for x in query]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    codebooks = V.train_pq_codebooks(e, m=4, k=8, n_iters=2)
+    encoded = V.pq_encode(e, codebooks)
+    got = [
+        r.vec_id
+        for r in V.pq_topk_rerank(
+            encoded, e, query, codebooks, k=10, exclude_vec_id=0
+        ).collect()
+    ]
+    recall = len(planted & set(got)) / 10
+    assert recall >= 0.8, f"planted near-dups missed: {sorted(set(got))}"
+
+
+def test_pq_index_lifecycle_matches_inline(spark, tmp_path):
+    """build_pq_index + ann_pq_topk_from_index == the inline path, and
+    ADC ranks the query's own code first (self-distance is pure
+    quantization error, minimal by construction for near-dups)."""
+    e = V.load(spark, SF, "embeddings")
+    idx = str(tmp_path / "pq_index")
+    V.build_pq_index(e, idx, m=8, k=16, n_iters=2)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    from_index = V.ann_pq_topk_from_index(
+        spark, idx, qvec, k=5, source=e, exclude_vec_id=0
+    ).collect()
+    codebooks = V.train_pq_codebooks(e, m=8, k=16, n_iters=2)
+    inline = V.pq_topk_rerank(
+        V.pq_encode(e, codebooks), e, qvec, codebooks, k=5, exclude_vec_id=0
+    ).collect()
+    assert [r.vec_id for r in from_index] == [r.vec_id for r in inline]
+    # Without exclusion, the query's own row wins the ADC scan.
+    self_top = V.ann_pq_topk_from_index(spark, idx, qvec, k=1).collect()
+    assert self_top[0].vec_id == 0
