@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate_linear": A.q_interpolate_linear,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         "q_discrete_variance": A.q_discrete_variance,
+        "q_synthetic_datapoints": A.q_synthetic_datapoints,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1298,6 +1299,49 @@ def oracle_sql() -> dict[str, str]:
                      * 10000 + 0.5) / 10000.0 AS disc_stddev
         FROM a
         ORDER BY user_id, day
+    """
+    sql["q_synthetic_datapoints"] = """
+        WITH pairs(pair_id, member_id, role) AS (
+            VALUES (1, 1, 'a'), (1, 2, 'b'),
+                   (2, 3, 'a'), (2, 4, 'b'),
+                   (3, 5, 'a'), (3, 6, 'b'),
+                   (4, 7, 'a'), (4, 8, 'b'),
+                   (5, 9, 'a'), (5, 10, 'b')
+        ), obs AS (
+            SELECT p.pair_id, e.ts, e.event_id AS row_id,
+                   CASE WHEN p.role = 'a' THEN e.value END AS va,
+                   CASE WHEN p.role = 'b' THEN e.value END AS vb
+            FROM events e JOIN pairs p ON e.user_id = p.member_id
+        ), c AS (
+            SELECT pair_id, ts, epoch_us(ts) AS t,
+                   last_value(va IGNORE NULLS) OVER wb AS pva,
+                   first_value(va IGNORE NULLS) OVER wf AS nva,
+                   last_value(CASE WHEN va IS NOT NULL THEN epoch_us(ts) END
+                              IGNORE NULLS) OVER wb AS pta,
+                   first_value(CASE WHEN va IS NOT NULL THEN epoch_us(ts) END
+                               IGNORE NULLS) OVER wf AS nta,
+                   last_value(vb IGNORE NULLS) OVER wb AS pvb,
+                   first_value(vb IGNORE NULLS) OVER wf AS nvb,
+                   last_value(CASE WHEN vb IS NOT NULL THEN epoch_us(ts) END
+                              IGNORE NULLS) OVER wb AS ptb,
+                   first_value(CASE WHEN vb IS NOT NULL THEN epoch_us(ts) END
+                               IGNORE NULLS) OVER wf AS ntb
+            FROM obs
+            WINDOW wb AS (PARTITION BY pair_id ORDER BY ts, row_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY pair_id ORDER BY ts, row_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT DISTINCT pair_id, ts, synth_value FROM (
+            SELECT pair_id, ts,
+                   round((CASE WHEN nta = pta THEN pva
+                          ELSE pva + (nva - pva) * (t - pta) / (nta - pta) END)
+                       + (CASE WHEN ntb = ptb THEN pvb
+                          ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END),
+                         2) AS synth_value
+            FROM c
+        ) WHERE synth_value IS NOT NULL
+        ORDER BY pair_id, ts
     """
     sql["q_interpolate_linear"] = """
         WITH grid AS (

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q_interpolate_linear",
     "q_time_weighted_aggregates",
     "q_discrete_variance",
+    "q_synthetic_datapoints",
     "q_pivot",
     "q_range_join",
     "q_gap_fill",

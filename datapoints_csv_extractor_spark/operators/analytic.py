@@ -664,3 +664,99 @@ def q_discrete_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+def synthetic_datapoints(
+    df: DataFrame,
+    pairs: list[tuple[int, int, int]],
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    combine=None,
+) -> DataFrame:
+    """Synthetic time series: evaluate an expression over two source
+    series aligned at the UNION of their timestamps, linearly
+    interpolating whichever series is not sampled at that instant —
+    the datapoints-API 'synthetic datapoints' read (e.g. sensorA +
+    sensorB when the sensors report on unrelated cadences).
+
+    ``pairs`` is a parameter-sized list of (pair_id, series_a,
+    series_b); it becomes a broadcast membership join, so a series
+    feeding many synthetic expressions just fans out. Alignment is the
+    repo's standard single-sort shape: both series' observations union
+    into ONE stream per pair (columns va/vb, null where the row is the
+    other series') and two back/fwd window passes per side fetch the
+    bracketing (ts, value) pairs — never a series-to-series range
+    join. Every observation instant of either series yields one output
+    row; coincident-instant duplicates collapse via distinct (their
+    computed values are identical by construction). The window order
+    carries the unique ``id_col`` as final tie-break so duplicate
+    timestamps order identically in any engine.
+
+    ``combine(a, b)`` defaults to a + b. Output outside the overlap of
+    the two series' observed ranges is dropped (no extrapolation).
+    """
+    if combine is None:
+        combine = lambda a, b: a + b
+    spark = df.sparkSession
+    pairs_df = spark.createDataFrame(
+        [(p, a, "a") for p, a, _ in pairs] + [(p, b, "b") for p, _, b in pairs],
+        "pair_id int, member_id long, role string",
+    )
+    obs = (
+        df.select(
+            F.col(series_col).alias("member_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("v"),
+            F.col(id_col).alias("row_id"),
+        )
+        .join(F.broadcast(pairs_df), "member_id")
+        .select(
+            "pair_id",
+            "ts",
+            "row_id",
+            F.when(F.col("role") == "a", F.col("v")).alias("va"),
+            F.when(F.col("role") == "b", F.col("v")).alias("vb"),
+        )
+    )
+    back = (
+        Window.partitionBy("pair_id")
+        .orderBy("ts", "row_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("pair_id")
+        .orderBy("ts", "row_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def interp(col):
+        pv = F.last(col, ignorenulls=True).over(back)
+        nv = F.first(col, ignorenulls=True).over(fwd)
+        pt = F.last(F.when(col.isNotNull(), t_us), ignorenulls=True).over(back)
+        nt = F.first(F.when(col.isNotNull(), t_us), ignorenulls=True).over(fwd)
+        return F.when(nt == pt, pv).otherwise(
+            pv + (nv - pv) * (t_us - pt) / (nt - pt)
+        )
+
+    a_i, b_i = interp(F.col("va")), interp(F.col("vb"))
+    return (
+        obs.select(
+            "pair_id",
+            "ts",
+            F.round(combine(a_i, b_i), 2).alias("synth_value"),
+        )
+        .where(F.col("synth_value").isNotNull())
+        .distinct()
+        .orderBy("pair_id", "ts")
+    )
+
+
+def q_synthetic_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: sum-of-two-series synthetic datapoints for five
+    user pairs of the events table."""
+    ev = load(spark, sf_dir, "events")
+    pairs = [(i, 2 * i - 1, 2 * i) for i in range(1, 6)]
+    return synthetic_datapoints(ev, pairs)

@@ -188,3 +188,23 @@ def test_discrete_variance_small_bucket(spark):
     assert row is not None and row["disc_var"] >= 0.0
     # var_pop identity: stddev^2 == var (within the 4-decimal floor)
     assert abs(row["disc_stddev"] ** 2 - row["disc_var"]) < 1e-2
+
+
+def test_synthetic_datapoints_closed_form(spark):
+    """a: 10@00:00 -> 20@02:00; b: 100@01:00 -> 200@03:00. The union
+    instants inside BOTH ranges are 01:00 (a interpolates to 15) and
+    02:00 (b interpolates to 150); the outer instants drop."""
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (2, 1, "2024-01-01 02:00:00", 20.0),
+        (3, 2, "2024-01-01 01:00:00", 100.0),
+        (4, 2, "2024-01-01 03:00:00", 200.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = A.synthetic_datapoints(df, [(7, 1, 2)]).collect()
+    assert [(r["pair_id"], r["ts"].hour, r["synth_value"]) for r in out] == [
+        (7, 1, 115.0),
+        (7, 2, 170.0),
+    ]
