@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         "q_discrete_variance": A.q_discrete_variance,
         "q_synthetic_datapoints": A.q_synthetic_datapoints,
+        "q_funnel_stages": A.q_funnel_stages,
+        "q_cohort_retention": A.q_cohort_retention,
+        "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1299,6 +1302,61 @@ def oracle_sql() -> dict[str, str]:
                      * 10000 + 0.5) / 10000.0 AS disc_stddev
         FROM a
         ORDER BY user_id, day
+    """
+    sql["q_cohort_retention"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        ), wc AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM uw
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+               count(*) AS n_users
+        FROM wc
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """
+    sql["q_sliding_window_rollup"] = """
+        WITH ws AS (
+            SELECT unnest(generate_series(TIMESTAMP '2023-12-26',
+                                          TIMESTAMP '2024-01-30',
+                                          INTERVAL 1 DAY)) AS window_start
+        )
+        SELECT w.window_start, e.event_type,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM ws w JOIN events e
+          ON e.ts >= w.window_start AND e.ts < w.window_start + INTERVAL 7 DAY
+        GROUP BY w.window_start, e.event_type
+        ORDER BY w.window_start, e.event_type
+    """
+    sql["q_funnel_stages"] = """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    WHEN v.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+        ORDER BY u.user_id
     """
     sql["q_synthetic_datapoints"] = """
         WITH pairs(pair_id, member_id, role) AS (

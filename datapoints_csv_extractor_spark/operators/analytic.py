@@ -760,3 +760,115 @@ def q_synthetic_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     pairs = [(i, 2 * i - 1, 2 * i) for i in range(1, 6)]
     return synthetic_datapoints(ev, pairs)
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy funnel analysis: how far each user progresses through an
+    ordered stage sequence (earliest-accept semantics — stage k+1 must
+    occur STRICTLY after the accepted stage-k event).
+
+    One shuffle total: per-user events collect into an array (bounded
+    per-user cardinality — the sessionized shape), ``array_sort``
+    orders it, and a JVM ``aggregate`` HOF walks it as a state machine
+    carrying (stage, last_accept_ts). No per-stage self-join cascade
+    (the textbook SQL needs one join per stage, each a shuffle; at
+    100 TB with a 5-stage funnel that is 5 shuffles vs this plan's 1).
+    The strict ts inequality makes the result independent of how
+    coincident-timestamp events tie-break in the sort.
+    """
+    stage_lit = F.array(*[F.lit(s) for s in stages])
+    events = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
+    )
+    walk = F.aggregate(
+        events,
+        F.struct(
+            F.lit(0).alias("stage"),
+            # Match the source ts type (TIMESTAMP vs TIMESTAMP_NTZ)
+            # so the state struct unifies with the event struct.
+            F.lit(None).cast(dict(df.dtypes)[ts_col]).alias("last_ts"),
+        ),
+        lambda acc, ev: F.when(
+            (acc["stage"] < F.size(stage_lit))
+            & (ev["t"] == F.element_at(stage_lit, acc["stage"] + 1))
+            & (acc["last_ts"].isNull() | (ev["ts"] > acc["last_ts"])),
+            F.struct((acc["stage"] + 1).alias("stage"), ev["ts"].alias("last_ts")),
+        ).otherwise(acc),
+        lambda acc: acc["stage"],
+    )
+    return (
+        df.groupBy(series_col)
+        .agg(walk.alias("funnel_stage"))
+        .orderBy(series_col)
+    )
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: view -> click -> purchase funnel progression per
+    user over the events table."""
+    ev = load(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    again in each later week — the canonical activation/retention
+    matrix.
+
+    Plan: distinct (user, week) pairs (one shuffle, map-side
+    combined), per-user cohort week via a min window over the SAME
+    user-keyed partitioning (no second shuffle — the distinct already
+    clustered by user since user leads the key), then one groupBy on
+    (cohort_week, week_offset). Retention is emitted as counts, not
+    ratios, so the oracle compares exact integers.
+    """
+    e = load(spark, sf_dir, "events")
+    uw = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    cohort = Window.partitionBy("user_id")
+    with_cohort = uw.withColumn("cohort_week", F.min("week").over(cohort))
+    offset = F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    return (
+        with_cohort.select(
+            "cohort_week", offset.cast("int").alias("week_offset"), "user_id"
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 7-day windows sliding by 1 day, per
+    event type — the trailing-week dashboard aggregate.
+
+    ``F.window(ts, "7 days", "1 day")`` expands each event into its 7
+    covering windows (an Expand node — fan-out 7, the slide ratio)
+    before ONE shuffle on (window, type); the 100 TB cost model is
+    explicit: slide ratio multiplies shuffle volume, so wide windows
+    with tiny slides belong in a two-level rollup (1-day tumbling
+    pre-agg -> 7-day reduce). At this ratio the direct form wins.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
