@@ -281,3 +281,111 @@ def stream_semantic_dedup_incremental(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+TW_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("external_id", T.StringType()),
+        T.StructField("day_ms", T.LongType()),
+        T.StructField("dur_sec", T.DoubleType()),
+        T.StructField("ivdt", T.DoubleType()),
+        T.StructField("iv2dt", T.DoubleType()),
+        T.StructField("tv", T.DoubleType()),
+    ]
+)
+
+TW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+_DAY_MS = 86_400_000
+
+
+def _tw_partials(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-series micro-batch fold for streaming time-weighted
+    aggregates: build the consecutive-point segments this batch adds
+    (including the BRIDGE segment from the carried last point to this
+    batch's first), clip each to its day buckets, and emit the
+    per-(series, day) integral partials. State is one (last_ts,
+    last_value) pair per series — O(series), independent of history.
+
+    Out-of-order points behind the carried state would create
+    negative-duration segments, so they are dropped — the streaming
+    twin of the batch operator's implicit total order (a watermarked
+    pre-sort upstream bounds how much this can discard).
+    """
+    import numpy as np
+
+    last_ts, last_v = state.get if state.exists else (None, None)
+    parts: dict[int, list[float]] = {}
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values("ts_ms")
+        ts = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        if last_ts is not None:
+            keep = ts > last_ts
+            ts, vs = ts[keep], vs[keep]
+            if len(ts) == 0:
+                continue
+            ts = np.concatenate(([last_ts], ts))
+            vs = np.concatenate(([last_v], vs))
+        for i in range(len(ts) - 1):
+            t0, t1, v0, v1 = int(ts[i]), int(ts[i + 1]), vs[i], vs[i + 1]
+            d0, d1 = t0 // _DAY_MS, t1 // _DAY_MS
+            for d in range(d0, d1 + 1):
+                a = max(t0, d * _DAY_MS)
+                b = min(t1, (d + 1) * _DAY_MS)
+                if b < a:
+                    continue
+                if t1 == t0:
+                    va, vb = v0, v1
+                else:
+                    va = v0 + (v1 - v0) * (a - t0) / (t1 - t0)
+                    vb = v0 + (v1 - v0) * (b - t0) / (t1 - t0)
+                dur = (b - a) / 1000.0
+                acc = parts.setdefault(d * _DAY_MS, [0.0, 0.0, 0.0, 0.0])
+                acc[0] += dur
+                acc[1] += (va + vb) / 2 * dur
+                acc[2] += (va * va + va * vb + vb * vb) / 3 * dur
+                acc[3] += abs(vb - va)
+        last_ts, last_v = int(ts[-1]), float(vs[-1])
+    if last_ts is not None:
+        state.update((last_ts, last_v))
+    if parts:
+        days = sorted(parts)
+        yield pd.DataFrame(
+            {
+                "external_id": [key[0]] * len(days),
+                "day_ms": days,
+                "dur_sec": [parts[d][0] for d in days],
+                "ivdt": [parts[d][1] for d in days],
+                "iv2dt": [parts[d][2] for d in days],
+                "tv": [parts[d][3] for d in days],
+            }
+        )
+
+
+def stream_time_weighted_partials(datapoints: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.analytic.time_weighted_aggregates``:
+    emits per-(series, day) integral PARTIALS each micro-batch; a
+    downstream reader folds them with a plain sum-groupBy (partials
+    are additive by construction — the whole point of the closed-form
+    decomposition) and finishes tw_avg / cont_var / total_variation
+    exactly as the batch operator does. Append mode: emitted partials
+    are immutable facts about segments that closed this batch."""
+    return datapoints.groupBy("external_id").applyInPandasWithState(
+        _tw_partials,
+        outputStructType=TW_PARTIAL_SCHEMA,
+        stateStructType=TW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -453,3 +453,89 @@ def test_stream_semantic_dedup_incremental(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(f"{index_dir}/assignments").collect()
     }
     assert 100 in stored and 201 in stored and 200 not in stored
+
+
+def test_stream_time_weighted_partials_bridge_across_batches(spark, tmp_path):
+    """Streaming partials must sum to the batch closed form, including
+    the bridge segment whose endpoints live in DIFFERENT micro-batches
+    and a segment spanning a day boundary.
+
+    s1: 10 @ day0 12:00 -> 20 @ day1 12:00 (batch 2) -> 14 @ day1 18:00.
+    Day0: uniform 10->15 half-day => dur 43200, integral 540000, tv 5.
+    Day1: 15->20 (12 h) then 20->14 (6 h) => dur 64800,
+          integral 756000 + 367200, tv 11.
+    """
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_time_weighted_partials,
+    )
+
+    src = tmp_path / "dp"
+    ckpt = tmp_path / "ckpt"
+    day = 86_400_000
+    t0 = 500 * day + day // 2  # noon, day index 500
+    _write_points(spark, src, [("s1", t0, 10.0)])
+    rows = _drain(
+        spark,
+        stream_time_weighted_partials(stream_datapoints(spark, str(src))),
+        "tw1",
+        ckpt,
+        "append",
+    )
+    assert rows == []  # one point, no segment yet
+
+    _write_points(
+        spark, src, [("s1", t0 + day, 20.0), ("s1", t0 + day + day // 4, 14.0)]
+    )
+    rows = _drain(
+        spark,
+        stream_time_weighted_partials(stream_datapoints(spark, str(src))),
+        "tw2",
+        ckpt,
+        "append",
+    )
+    by_day = {}
+    for r in rows:
+        acc = by_day.setdefault(r.day_ms, [0.0, 0.0, 0.0])
+        acc[0] += r.dur_sec
+        acc[1] += r.ivdt
+        acc[2] += r.tv
+    d0, d1 = 500 * day, 501 * day
+    assert set(by_day) == {d0, d1}
+    assert by_day[d0] == [43200.0, 540000.0, 5.0]
+    assert by_day[d1][0] == 64800.0
+    assert by_day[d1][1] == 756000.0 + 367200.0
+    assert by_day[d1][2] == 11.0
+
+
+def test_stream_time_weighted_drops_out_of_order(spark, tmp_path):
+    """A point behind the carried state must be dropped, not create a
+    negative-duration segment."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_time_weighted_partials,
+    )
+
+    src = tmp_path / "dp"
+    ckpt = tmp_path / "ckpt"
+    day = 86_400_000
+    t0 = 600 * day
+    _write_points(spark, src, [("s1", t0 + 2_000_000, 10.0)])
+    _drain(
+        spark,
+        stream_time_weighted_partials(stream_datapoints(spark, str(src))),
+        "tw3",
+        ckpt,
+        "append",
+    )
+    _write_points(
+        spark, src, [("s1", t0 + 1_000_000, 99.0), ("s1", t0 + 3_000_000, 20.0)]
+    )
+    rows = _drain(
+        spark,
+        stream_time_weighted_partials(stream_datapoints(spark, str(src))),
+        "tw4",
+        ckpt,
+        "append",
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dur_sec == 1000.0 and r.ivdt == 15000.0 and r.tv == 10.0
