@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q_time_weighted_aggregates",
     "q_discrete_variance",
     "q_synthetic_datapoints",
+    "q_funnel_stages",
+    "q_cohort_retention",
+    "q_sliding_window_rollup",
     "q_pivot",
     "q_range_join",
     "q_gap_fill",
@@ -55,7 +58,6 @@ BENCH_QUERIES = [
     "q_knn_brute_force",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
-    "q_ann_pq_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
     "q_sequence_packing",
@@ -365,6 +367,35 @@ def main() -> None:
         timings["q_semantic_dedup_incremental_query"] = _best_of(
             lambda: _materialize(
                 semantic_dedup_incremental(e2, ivf_dir, append=False)
+            )
+        )
+
+        # PQ ANN, same build/query split: codebook training + corpus
+        # encoding happen once (build); the serving cost is the ADC
+        # scan over stored codes + the exact re-rank (query).
+        from datapoints_csv_extractor_spark.operators.similarity import (
+            ann_pq_topk_from_index,
+            build_pq_index,
+        )
+
+        e_full = load(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in e_full.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        pq_builds = []
+        pq_dir = None
+        for i in range(2):
+            pq_dir = os.path.join(inc_root, f"pq{i}")
+            t0 = time.perf_counter()
+            build_pq_index(e_full, pq_dir, n_iters=2)
+            pq_builds.append(time.perf_counter() - t0)
+        timings["q_ann_pq_build"] = round(min(pq_builds), 3)
+        timings["q_ann_pq_query"] = _best_of(
+            lambda: _materialize(
+                ann_pq_topk_from_index(
+                    spark, pq_dir, qvec, k=10, source=e_full, exclude_vec_id=0
+                )
             )
         )
     finally:

@@ -364,3 +364,49 @@ def test_spread_scan_is_a_noop_once_the_scan_is_parallel(spark):
     from datapoints_csv_extractor_spark.operators import skew
 
     assert ".rdd" not in inspect.getsource(skew)
+
+
+def test_time_weighted_aggregates_two_data_shuffles(spark):
+    """Segment window (user key) + bucket groupBy are the only data
+    shuffles; the day-bucket clipping must run as a Generate (explode)
+    with NO range join, and the aggregation must have a map-side
+    partial below its exchange."""
+    from datapoints_csv_extractor_spark.operators import analytic as A
+
+    plan = _plan(A.q_time_weighted_aggregates(spark, SF))
+    assert "Join" not in plan  # no grid/range join anywhere
+    assert "Generate" in plan
+    assert "partial_sum" in plan
+    # window exchange + agg exchange + presentation orderBy only
+    assert _n_exchanges(plan) <= 3
+    assert "Python" not in plan
+
+
+def test_funnel_single_aggregation_shuffle(spark):
+    """The funnel state machine must be ONE collect_list aggregation
+    (map-side partial + one hash exchange) — never the per-stage join
+    cascade of the SQL formulation."""
+    from datapoints_csv_extractor_spark.operators import analytic as A
+
+    plan = _plan(A.q_funnel_stages(spark, SF))
+    assert "Join" not in plan
+    assert "partial_collect_list" in plan
+    assert _n_exchanges(plan) <= 2  # agg + presentation orderBy
+    assert "Python" not in plan
+
+
+def test_pq_adc_query_path_is_jvm_only(spark, tmp_path):
+    """The PQ serving scan must contain no Python stage (ADC is
+    element_at lookups into a literal) and no training job: the plan
+    over the stored codes is scan -> project -> TakeOrdered."""
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    e = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "pq")
+    V.build_pq_index(e, idx, n_iters=1)
+    qvec = [float(x) for x in e.select("embedding").first()[0]]
+    df = V.ann_pq_topk_from_index(spark, idx, qvec, k=5)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
