@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datapoint_aggregates": A.q_datapoint_aggregates,
         "q_interpolate_linear": A.q_interpolate_linear,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
+        "q_time_weighted_aggregates_hourly": A.q_time_weighted_aggregates_hourly,
+        "q_datapoint_aggregates_hourly": A.q_datapoint_aggregates_hourly,
         "q_discrete_variance": A.q_discrete_variance,
         "q_synthetic_datapoints": A.q_synthetic_datapoints,
         "q_funnel_stages": A.q_funnel_stages,
@@ -1283,6 +1285,14 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE coverage_sec > 0
         ORDER BY user_id, day
     """
+    sql["q_time_weighted_aggregates_hourly"] = (
+        sql["q_time_weighted_aggregates"]
+        .replace("date_trunc('day'", "date_trunc('hour'")
+        .replace("INTERVAL 1 DAY", "INTERVAL 1 HOUR")
+    )
+    sql["q_datapoint_aggregates_hourly"] = sql["q_datapoint_aggregates"].replace(
+        "date_trunc('day', ts)", "date_trunc('hour', ts)"
+    )
     sql["q_discrete_variance"] = """
         WITH c AS (
             SELECT user_id, date_trunc('day', ts) AS day,

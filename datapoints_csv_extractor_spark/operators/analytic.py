@@ -409,18 +409,31 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(ev, n_buckets=20)
 
 
-def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standard datapoints-API aggregate set per (series, month):
-    count / sum / avg / min / max / first / last — what the reference's
-    downstream (a time-series store) serves for every granularity
-    bucket (daily here, matching the events table's one-month span).
-    One map-side-combined groupBy; first/last use min_by / max_by on
-    the timestamp (unique per series in this data, so the pick is
-    deterministic)."""
-    ev = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+def datapoint_aggregates(
+    df: DataFrame,
+    granularity: str = "day",
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The standard point-weighted datapoints-API aggregate set per
+    (series, granularity) bucket: count / sum / avg / min / max /
+    first / last — what the reference's downstream (a time-series
+    store) serves for every granularity the caller asks for
+    (minute/hour/day/week named units). One map-side-combined
+    groupBy; first/last use min_by / max_by on the timestamp (unique
+    per series in this data, so the pick is deterministic)."""
+    if granularity not in ("minute", "hour", "day", "week"):
+        raise ValueError(f"unsupported granularity: {granularity!r}")
+    day = F.date_trunc(granularity, F.col(ts_col)).alias("day")
+    ev = df.select(
+        F.col(series_col).alias("user_id"),
+        day,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
     return (
-        ev.groupBy("user_id", day)
+        ev.groupBy("user_id", "day")
         .agg(
             F.count("*").alias("n_points"),
             F.round(F.sum("value"), 2).alias("sum_value"),
@@ -432,6 +445,18 @@ def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+def q_datapoint_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: daily point-weighted aggregate set over events."""
+    return datapoint_aggregates(load(spark, sf_dir, "events"), "day")
+
+
+def q_datapoint_aggregates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the same read at hourly granularity — pins that
+    the granularity parameter really re-buckets (the datapoints API's
+    core query axis)."""
+    return datapoint_aggregates(load(spark, sf_dir, "events"), "hour")
 
 
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,8 +541,11 @@ def time_weighted_aggregates(
     series_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    granularity: str = "day",
 ) -> DataFrame:
-    """Time-weighted datapoints aggregates per (series, day) bucket:
+    """Time-weighted datapoints aggregates per (series, granularity)
+    bucket (named calendar units: minute/hour/day/week — the read
+    API's granularity parameter):
     duration-weighted average, continuous variance, and total
     variation — the half of the standard datapoints-API aggregate set
     that ``q_datapoint_aggregates``'s point-weighted half cannot serve
@@ -549,6 +577,9 @@ def time_weighted_aggregates(
     (csv_extractor.py:150-166); these are the aggregates its
     downstream time-series store serves on read.
     """
+    if granularity not in ("minute", "hour", "day", "week"):
+        raise ValueError(f"unsupported granularity: {granularity!r}")
+    step = F.expr(f"INTERVAL 1 {granularity.upper()}")
     s, t, v = F.col(series_col), F.col(ts_col), F.col(value_col)
     w = Window.partitionBy(series_col).orderBy(ts_col)
     seg = df.select(
@@ -560,9 +591,9 @@ def time_weighted_aggregates(
     ).where(F.col("t0").isNotNull())
     day = F.explode(
         F.sequence(
-            F.date_trunc("day", F.col("t0")),
-            F.date_trunc("day", F.col("t1")),
-            F.expr("INTERVAL 1 DAY"),
+            F.date_trunc(granularity, F.col("t0")),
+            F.date_trunc(granularity, F.col("t1")),
+            step,
         )
     ).alias("day")
     pieces = seg.select("series", "t0", "v0", "t1", "v1", day)
@@ -571,10 +602,7 @@ def time_weighted_aggregates(
     T0 = F.unix_micros(F.col("t0").cast("timestamp"))
     T1 = F.unix_micros(F.col("t1").cast("timestamp"))
     A = F.greatest(T0, F.unix_micros(F.col("day").cast("timestamp")))
-    B = F.least(
-        T1,
-        F.unix_micros((F.col("day") + F.expr("INTERVAL 1 DAY")).cast("timestamp")),
-    )
+    B = F.least(T1, F.unix_micros((F.col("day") + step).cast("timestamp")))
     # Interpolated values at the clip points; a zero-length segment
     # (duplicate timestamps) degenerates to its endpoints' values.
     dt = T1 - T0
@@ -615,6 +643,15 @@ def q_time_weighted_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     table per (user, day)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     return time_weighted_aggregates(ev)
+
+
+def q_time_weighted_aggregates_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the time-weighted read at hourly granularity —
+    segments fan out to ~10x more clipped pieces (mean inter-point gap
+    >> 1 h), exercising the Generate clipping path under real
+    expansion."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return time_weighted_aggregates(ev, granularity="hour")
 
 
 def q_discrete_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
