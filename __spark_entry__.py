@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_stages": A.q_funnel_stages,
         "q_cohort_retention": A.q_cohort_retention,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
+        "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1342,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY w.window_start, e.event_type
         ORDER BY w.window_start, e.event_type
     """
+    # Output-identical by design: the two-level rollup shares the
+    # Expand twin's oracle.
+    sql["q_sliding_window_rollup_two_level"] = sql["q_sliding_window_rollup"]
     sql["q_funnel_stages"] = """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events

@@ -909,3 +909,70 @@ def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def q_sliding_window_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twin of ``q_sliding_window_rollup``: identical
+    output, different cost model. Instead of Expanding every event
+    into its windows/slide covering windows (shuffle volume x7 here,
+    x(window/slide) in general), events pre-aggregate into 1-day
+    tumbling buckets FIRST (one shuffle, map-side partials, output =
+    days x types rows), and each 7-day window start then sums its 7
+    covering buckets with a RANGE-frame window over epoch days.
+
+    The bucket table joins a generated full day-grid per type so
+    window starts whose own day is empty (but whose later days are
+    not) still appear — the Expand form emits those; a gaps-and-
+    islands range frame alone would not. The grid is days x types
+    (tiny at any corpus scale: time x schema, not data volume) and
+    broadcasts.
+
+    Crossover: Expand wins while (window/slide) x event_row_bytes <
+    bucket_cardinality costs; two-level wins at 100 TB where the x7
+    shuffle dwarfs the days x types bucket table. Output equality is
+    pinned by sharing the Expand twin's DuckDB oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    buckets = e.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_sum")
+    )
+    types = [r[0] for r in buckets.select("event_type").distinct().collect()]
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit("2023-12-26")),
+                    F.to_timestamp(F.lit("2024-01-30")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day")
+        )
+        .crossJoin(
+            spark.createDataFrame([(t,) for t in types], "event_type string")
+        )
+    )
+    full = F.broadcast(grid).join(
+        buckets.withColumn("day", F.col("day").cast("timestamp")),
+        ["day", "event_type"],
+        "left",
+    )
+    epoch_day = (F.unix_micros(F.col("day").cast("timestamp")) / 86_400_000_000).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch_day)
+        .rangeBetween(Window.currentRow, 6)
+    )
+    return (
+        full.select(
+            F.col("day").alias("window_start"),
+            "event_type",
+            F.sum("b_n").over(w).alias("n_events"),
+            F.round(F.sum("b_sum").over(w), 2).alias("sum_value"),
+        )
+        .where(F.col("n_events").isNotNull())
+        .orderBy("window_start", "event_type")
+    )
