@@ -300,3 +300,62 @@ def test_catalog_lock_stale_takeover_and_timeout(tmp_path):
         with catalog_lock(path, timeout=0.3, stale_after=120.0, sleep=lambda s: None):
             pass
     os.unlink(lock)
+
+
+def test_tebis_export_round_trip(spark, tmp_path):
+    """write_tebis_csv emits files the folder reader ingests back
+    losslessly: same (series, ts, value) set, chunk timestamp in the
+    filename (S2-prunable), units row and empty cells dropped."""
+    from datapoints_csv_extractor_spark.sinks.tebis_export import write_tebis_csv
+    from datapoints_csv_extractor_spark.sources.tebis_csv import (
+        read_datapoints_from_folder,
+    )
+
+    base = 1_550_092_560
+    rows = [
+        ("FK1", "temp", (base + 10) * 1000, 1.5),
+        ("FK1", "temp", (base + 20) * 1000, -2.25),
+        ("FK2:sub", "press", (base + 10) * 1000, 10.0),  # id containing ':'
+        ("FK2:sub", "press", (base + 4000) * 1000, 0.125),  # next hour chunk
+    ]
+    dp = spark.createDataFrame(
+        [(e, n, t, v, "src", 0) for e, n, t, v in rows],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    out = tmp_path / "export"
+    written = write_tebis_csv(dp, str(out))
+    assert len(written) == 2  # two hourly chunks
+    assert all(p.endswith(f"_{ts}.csv") for p, ts in zip(sorted(written),
+               [base - base % 3600, (base + 4000) - (base + 4000) % 3600]))
+
+    back = read_datapoints_from_folder(spark, str(out))
+    got = {
+        (r.external_id, r.name, r.ts_ms, r.value) for r in back.collect()
+    }
+    assert got == set(rows)
+    # The chunk epoch round-trips through the filename into file_ts.
+    assert {r.file_ts for r in back.collect()} == {
+        base - base % 3600, (base + 4000) - (base + 4000) % 3600
+    }
+
+
+def test_tebis_export_rejects_subsecond_and_semicolon(spark, tmp_path):
+    from datapoints_csv_extractor_spark.sinks.tebis_export import write_tebis_csv
+
+    import pytest as _pytest
+
+    dp = spark.createDataFrame(
+        [("a", "n", 1500, 1.0, "s", 0)],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    with _pytest.raises(ValueError, match="second resolution"):
+        write_tebis_csv(dp, str(tmp_path / "x"))
+    dp2 = spark.createDataFrame(
+        [("a;b", "n", 1000, 1.0, "s", 0)],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    with _pytest.raises(ValueError, match="';'"):
+        write_tebis_csv(dp2, str(tmp_path / "y"))
