@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": C.q_line_dedup,
         "q_corpus_datacard": C.q_corpus_datacard,
         "q_bpe_train_merges": X.q_bpe_train_merges,
+        "q_bpe_encode": X.q_bpe_encode,
         "q_source_cap": C.q_source_cap,
         "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
         "q_datapoint_aggregates": A.q_datapoint_aggregates,

@@ -795,21 +795,10 @@ def bpe_train(
         # Left-to-right merge fold: append each symbol, fusing it into
         # the accumulator's tail when (tail, symbol) == (a, b). The
         # when() is lazily evaluated, so element_at on an empty
-        # accumulator never runs (ANSI-safe).
-        fold = F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), s)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        state = state.select("freq", fold.alias("syms")).localCheckpoint()
+        # accumulator never runs (ANSI-safe). Shared with bpe_encode.
+        state = state.select(
+            "freq", _bpe_merge_fold(syms, a, b).alias("syms")
+        ).localCheckpoint()
     return merges
 
 
@@ -822,3 +811,90 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string",
     )
+
+
+def _bpe_merge_fold(syms: Column, a: str, b: str) -> Column:
+    """One merge rule applied left-to-right over a symbol array — the
+    same JVM fold ``bpe_train`` uses, factored for the encode path."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Apply trained BPE merges to a corpus — the tokenization step a
+    training export actually runs, inverse-side of ``bpe_train``.
+
+    Scale shape: merges apply to the DISTINCT WORD table (one
+    shuffle; vocabulary is orders of magnitude smaller than the
+    corpus — the same reduction the trainer exploits), in training
+    order via chained JVM folds (``localCheckpoint`` every
+    ``checkpoint_every`` rules keeps the expression tree bounded for
+    real vocab-sized merge lists). The corpus then joins its tokens
+    to the encoded vocabulary (AQE picks broadcast while the vocab
+    fits, shuffle join beyond) and each document reassembles in token
+    order with sort_array + flatten — all JVM, zero Python.
+
+    Returns (doc_col, bpe_tokens array<string>, n_bpe_tokens).
+    """
+    words = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("word")
+    ).distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("word"))),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    enc = words.select("word", chars.alias("syms"))
+    for i, (a, b) in enumerate(merges):
+        enc = enc.select("word", _bpe_merge_fold(F.col("syms"), a, b).alias("syms"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+
+    toks = docs.select(
+        F.col(doc_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    assembled = (
+        toks.join(enc, "word")
+        .groupBy(doc_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("syms")))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return assembled.select(
+        doc_col,
+        "bpe_tokens",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: corpus tokenized with the 10 trained merges;
+    returns per-doc BPE token counts (rows-only — iterative-training
+    lineage; pure-Python encode parity pinned in pytest)."""
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=10)
+    return bpe_encode(d, merges).select("doc_id", "n_bpe_tokens").orderBy("doc_id")

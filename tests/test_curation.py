@@ -315,3 +315,40 @@ def test_bpe_train_matches_python_reference(spark):
     expect = py_bpe(texts, 8)
     assert got == expect
     assert len(got) == 8
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Applying the trained merges via the distributed encode path
+    must reproduce the in-memory encoder's token streams exactly."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, n_merges=6)
+
+    def py_encode(text):
+        out_all = []
+        for w in text.split():
+            s = list(w)
+            for a, b in merges:
+                out = []
+                for ch in s:
+                    if out and out[-1] == a and ch == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(ch)
+                s = out
+            out_all.extend(s)
+        return out_all
+
+    got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, merges).collect()}
+    assert got == {i: py_encode(t) for i, t in enumerate(texts)}

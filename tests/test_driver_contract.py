@@ -32,7 +32,9 @@ ROWS_ONLY_ALLOWED = {
     "q_semantic_dedup",  # k-means assignment has no SQL twin
     "q_lttb_downsample",  # sequential per-series selection has no SQL twin
     "q_bpe_train_merges",  # iterative training state has no SQL twin
+    "q_bpe_encode",  # same iterative-training lineage as bpe_train
     "q_semantic_dedup_incremental",  # k-means index lifecycle, no SQL twin
+    "q_ann_pq_topk",  # k-means codebook training has no SQL twin
 }
 
 
