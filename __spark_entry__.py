@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": A.q_cohort_retention,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
+        "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,

@@ -976,3 +976,28 @@ def q_sliding_window_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataF
         .where(F.col("n_events").isNotNull())
         .orderBy("window_start", "event_type")
     )
+
+
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup via HLL sketches: per-(day,
+    type) user sketches union into per-type monthly distincts —
+    the pre-aggregation shape EXACT distinct cannot provide (distinct
+    counts don't add; sketches do). At 100 TB this is how a standing
+    daily rollup serves any ad-hoc coarser granularity without
+    re-scanning raw events: store ~1.5 KB binary sketches per bucket,
+    union at query time. Rows-only (sketch estimates have no SQL
+    twin); the relative-error bound vs exact countDistinct is pinned
+    in pytest."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily = ev.groupBy(day, "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_daily_buckets"),
+        )
+        .orderBy("event_type")
+    )

@@ -208,3 +208,24 @@ def test_synthetic_datapoints_closed_form(spark):
         (7, 1, 115.0),
         (7, 2, 170.0),
     ]
+
+
+def test_hll_rollup_merges_within_error_bound(spark):
+    """Unioned daily sketches must estimate monthly distinct users
+    within HLL's error envelope (lgConfigK=12 default: ~1.6% std
+    error; 5% is a >3-sigma bound) — pinning that the rollup really
+    MERGES sketches rather than re-counting."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in A.q_hll_distinct_rollup(spark, SF).collect()
+    }
+    e = load(spark, SF, "events")
+    exact = {
+        r.event_type: r.exact
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
