@@ -1581,3 +1581,83 @@ def q_ann_pq_topk(
     return pq_topk_rerank(
         encoded, e, qvec, codebooks, k=k, exclude_vec_id=query_vec_id
     )
+
+
+def pq_topk_multi(
+    encoded: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Batched PQ serving: ADC top-k for a SET of queries in ONE scan
+    of the compressed codes — ``q_knn_multi``'s shape moved onto the
+    PQ index. Each query's lookup table is driver-computed
+    (parameter-sized) and all Q tables ship as one broadcast literal;
+    every code row scores against all Q via JVM element_at lookups
+    (cost m lookups x Q per row, still no float vector math), then a
+    per-query top-k window cuts. The codes table is scanned exactly
+    once regardless of Q; compare Q separate scans for the serving
+    loop an evaluation harness runs."""
+    from pyspark.sql import Window
+
+    n_k = len(codebooks[0])
+    luts = F.array(
+        *[
+            F.array(*[F.lit(x) for x in _adc_lut(vec, codebooks)])
+            for _, vec in queries
+        ]
+    )
+    qids = F.array(*[F.lit(int(qid)) for qid, _ in queries])
+    qi = F.col("qi")
+    lut_q = F.element_at(luts, qi + 1)
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(lut_q, (j * F.lit(n_k) + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.select(
+            "vec_id",
+            "label",
+            "codes",
+            F.explode(F.sequence(F.lit(0), F.lit(len(queries) - 1))).alias("qi"),
+        )
+        .where(F.col("vec_id") != F.element_at(qids, qi + 1).cast("long"))
+        .select(
+            F.element_at(qids, qi + 1).alias("query_vec_id"),
+            "vec_id",
+            "label",
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_vec_id", "rank", "vec_id", "label", "adc_dist")
+    )
+
+
+def q_ann_pq_multi(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Driver-facing: batched ADC top-k for vec_ids < n_queries over
+    the PQ-encoded corpus (rows-only; single-query consistency is
+    pinned in pytest)."""
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows
+    )
+    codebooks = train_pq_codebooks(e, m=8, k=16, n_iters=2)
+    encoded = pq_encode(e, codebooks)
+    return pq_topk_multi(encoded, queries, codebooks, k=k)

@@ -35,6 +35,7 @@ ROWS_ONLY_ALLOWED = {
     "q_bpe_encode",  # same iterative-training lineage as bpe_train
     "q_semantic_dedup_incremental",  # k-means index lifecycle, no SQL twin
     "q_ann_pq_topk",  # k-means codebook training has no SQL twin
+    "q_ann_pq_multi",  # same PQ training lineage
     "q_hll_distinct_rollup",  # sketch estimates have no SQL twin
 }
 

@@ -1175,3 +1175,27 @@ def test_pq_index_lifecycle_matches_inline(spark, tmp_path):
     # Without exclusion, the query's own row wins the ADC scan.
     self_top = V.ann_pq_topk_from_index(spark, idx, qvec, k=1).collect()
     assert self_top[0].vec_id == 0
+
+
+def test_pq_multi_consistent_with_single_query(spark):
+    """The batched ADC scan must return exactly the single-query ADC
+    top-k for every query id — same distances, same tie-breaks."""
+    e = V.load(spark, SF, "embeddings")
+    codebooks = V.train_pq_codebooks(e, m=8, k=16, n_iters=2)
+    encoded = V.pq_encode(e, codebooks).localCheckpoint()
+    qrows = (
+        e.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )
+    queries = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+    multi = V.pq_topk_multi(encoded, queries, codebooks, k=5).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_vec_id, []).append((r.vec_id, r.adc_dist))
+    for qid, vec in queries:
+        single = [
+            (r.vec_id, r.adc_dist)
+            for r in V.pq_topk_df(
+                encoded, vec, codebooks, k=5, exclude_vec_id=qid
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
