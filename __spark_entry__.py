@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": D.q_dedup_exact,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_dedup_clusters": D.q_dedup_clusters,
+        "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
         "q_decontamination": D.q_decontamination,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
@@ -1666,4 +1667,34 @@ def oracle_sql() -> dict[str, str]:
     # components finisher produces the same (doc_id, canonical) table
     # as min-label propagation over the same pair graph.
     sql["q_dedup_clusters_twostar"] = sql["q_dedup_clusters"]
+    # Joint text+semantic components: the text twin's recursive CTE
+    # with the edge set widened by the label-blocked cosine pairs.
+    sql["q_multimodal_dedup_clusters"] = sql["q_dedup_clusters"].replace(
+        """), edges AS (
+                SELECT doc_id_1 AS src, doc_id_2 AS dst FROM near_pairs
+                UNION
+                SELECT doc_id_2, doc_id_1 FROM near_pairs
+            )""",
+        """), cos_pairs AS (
+                SELECT a.vec_id AS doc_id_1, b.vec_id AS doc_id_2
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                    4) >= 0.45
+            ), all_pairs AS (
+                SELECT doc_id_1, doc_id_2 FROM near_pairs
+                UNION
+                SELECT doc_id_1, doc_id_2 FROM cos_pairs
+            ), edges AS (
+                SELECT doc_id_1 AS src, doc_id_2 AS dst FROM all_pairs
+                UNION
+                SELECT doc_id_2, doc_id_1 FROM all_pairs
+            )""",
+    )
     return sql

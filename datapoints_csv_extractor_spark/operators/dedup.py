@@ -1014,3 +1014,32 @@ def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it shares the recursive-CTE oracle."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
     return dedup_clusters_twostar(pairs)
+
+
+def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint text+semantic dedup: union the exact-Jaccard near-dup
+    edges (text modality) with the label-blocked cosine near-dup
+    edges (embedding modality, vec_id == doc_id in this corpus) and
+    run ONE connected-components pass over the merged graph — a doc
+    caught by EITHER modality joins its cluster, the transitive
+    closure crossing modalities (text-dup of a semantic-dup of X
+    collapses to X's component).
+
+    This is the production shape for multimodal corpora: per-modality
+    candidate generation stays independently blocked/capped (each
+    linear), and only the edge lists — already tiny relative to the
+    corpus — meet in the component finisher. Fully oracle-able: both
+    edge generators and the recursive-CTE closure have SQL twins.
+    """
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        q_embedding_near_dup,
+    )
+
+    text_edges = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
+    sem_edges = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_id_1").alias("doc_id_1"),
+        F.col("vec_id_2").alias("doc_id_2"),
+    )
+    return dedup_clusters(text_edges.unionByName(sem_edges).distinct())
