@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
+        "q_latest_datapoints": A.q_latest_datapoints,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1317,6 +1318,13 @@ def oracle_sql() -> dict[str, str]:
                      * 10000 + 0.5) / 10000.0 AS disc_stddev
         FROM a
         ORDER BY user_id, day
+    """
+    sql["q_latest_datapoints"] = """
+        SELECT user_id, max(ts) AS latest_ts,
+               arg_max(value, ts) AS latest_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """
     sql["q_cohort_retention"] = """
         WITH uw AS (

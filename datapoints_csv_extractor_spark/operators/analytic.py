@@ -1001,3 +1001,19 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_latest_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datapoints-API 'latest' endpoint: newest observation per
+    series in one max_by/min-state aggregate — constant state per
+    series, map-side combined; at 100 TB this beats the
+    window-row_number formulation (no sort, no full-row shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.max_by("value", "ts").alias("latest_value"),
+        )
+        .orderBy("user_id")
+    )
