@@ -938,6 +938,8 @@ def q_sliding_window_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_sum")
     )
     types = [r[0] for r in buckets.select("event_type").distinct().collect()]
+    # Join-free grid: two explodes from one literal row (days x types
+    # both parameter-sized), so no nested-loop join ever appears.
     grid = (
         spark.range(1)
         .select(
@@ -949,8 +951,9 @@ def q_sliding_window_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataF
                 )
             ).alias("day")
         )
-        .crossJoin(
-            spark.createDataFrame([(t,) for t in types], "event_type string")
+        .select(
+            "day",
+            F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
         )
     )
     full = F.broadcast(grid).join(
