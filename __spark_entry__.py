@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": A.q_percentiles,
         "q_range_join": A.q_range_join,
         "q_gap_fill": A.q_gap_fill,
+        "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
+        "q_discrete_variance": A.q_discrete_variance,
+        "q_synthetic_datapoints": A.q_synthetic_datapoints,
+        "q_funnel_stages": A.q_funnel_stages,
+        "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_bpe_token_count": X.q_bpe_token_count,
@@ -157,15 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup_incremental": V.q_semantic_dedup_incremental,
         "q_datapoint_aggregates": A.q_datapoint_aggregates,
         "q_interpolate_linear": A.q_interpolate_linear,
-        "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         "q_time_weighted_aggregates_hourly": A.q_time_weighted_aggregates_hourly,
         "q_datapoint_aggregates_hourly": A.q_datapoint_aggregates_hourly,
-        "q_discrete_variance": A.q_discrete_variance,
-        "q_synthetic_datapoints": A.q_synthetic_datapoints,
-        "q_funnel_stages": A.q_funnel_stages,
         "q_cohort_retention": A.q_cohort_retention,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
-        "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
         "q_latest_datapoints": A.q_latest_datapoints,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
