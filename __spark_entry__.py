@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": C.q_pii_stats,
         "q_quality_classifier": C.q_quality_classifier,
         "q_mixture_resample": C.q_mixture_resample,
+        "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_repeated_spans": C.q_repeated_spans,
         "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
@@ -1092,6 +1093,31 @@ def oracle_sql() -> dict[str, str]:
                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                      < (['zz', '80', '40', '1a'])[(CAST(substring(source, 4, 10) AS INT) % 4) + 1] AS keep
             FROM documents
+        """,
+        "q_quality_importance_sample": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       0.05 + (coalesce(list_sum(list_transform(toks,
+                           t -> ([8, -5, 3, -2, 6, -7, 1, 4, -3, 2, -6, 5, -1, 7, -4, 0])
+                                [list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                               substring(md5(t), 1, 1))])), 0) / 10.0)
+                            / greatest(len(toks), 1) AS z,
+                       (list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16.0
+                       + (list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+                                        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+                FROM tok
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+                   round(hv / 256.0, 6) AS u,
+                   hv / 256.0 < round(1.0 / (1.0 + exp(-z)), 4) AS keep
+            FROM z
+            ORDER BY doc_id
         """,
         "q_repeated_spans": """
             WITH words AS (

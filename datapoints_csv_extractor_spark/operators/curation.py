@@ -597,3 +597,29 @@ def q_source_cap(spark: SparkSession, sf_dir: str, cap: int = 10) -> DataFrame:
         .where(F.col("rk") <= cap)
         .select("doc_id", "source", F.col("rk").alias("pick_rank"))
     )
+
+
+def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional (importance) sampling: each document keeps
+    with probability equal to its classifier quality score —
+    soft-filtering that preserves a calibrated share of mid-quality
+    text instead of the hard threshold's cliff (the
+    quality-pretraining-data recipe). The coin is the md5 two-hex
+    uniform of doc_id (deterministic, replay-stable, same idiom as
+    mixture resampling) compared against the score: map-only at any
+    scale, and the sample composition is reproducible bit-for-bit
+    across reruns and shard replays."""
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    score = quality_classifier_score(F.col("toks"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = (
+        _hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1))
+    ) / F.lit(256.0)
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.round(u, 6).alias("u"),
+        (u < score).alias("keep"),
+    ).orderBy("doc_id")
