@@ -389,3 +389,70 @@ def stream_time_weighted_partials(datapoints: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("funnel_stage", T.IntegerType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def make_funnel_tracker(stages: list[str]):
+    """Build the per-user micro-batch fold for streaming funnel
+    progression (the ``operators.analytic.funnel_stages`` semantics —
+    greedy earliest-accept, strictly increasing timestamps — carried
+    across batches by a two-field state).
+
+    The batch operator re-scans history; this twin holds (stage,
+    last_accept_ts) per user — O(users) state — and each batch only
+    walks its own sorted events, so a standing funnel over an
+    unbounded event stream costs each event exactly once.
+    """
+
+    def _track(
+        key: Tuple[int],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stage, last_ts = state.get if state.exists else (0, None)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts_ms")
+            for ts, et in zip(pdf["ts_ms"], pdf["event_type"]):
+                if stage < len(stages) and et == stages[stage] and (
+                    last_ts is None or ts > last_ts
+                ):
+                    stage += 1
+                    last_ts = int(ts)
+        state.update((stage, last_ts if last_ts is not None else 0))
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_stage": [stage]})
+
+    return _track
+
+
+def stream_funnel_stages(events: DataFrame, stages: list[str]) -> DataFrame:
+    """Streaming funnel: emits each user's current stage every
+    micro-batch (Update mode). Input needs (user_id, ts_ms,
+    event_type). Note the one semantic divergence from the batch
+    operator, inherent to streaming: the fold is greedy in ARRIVAL
+    order across batches — an out-of-order stage event arriving after
+    the state passed it cannot retroactively advance the funnel (the
+    batch operator, seeing all history, would). A watermarked upstream
+    sort bounds that window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_funnel_tracker(stages),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

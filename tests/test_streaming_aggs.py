@@ -539,3 +539,40 @@ def test_stream_time_weighted_drops_out_of_order(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r.dur_sec == 1000.0 and r.ivdt == 15000.0 and r.tv == 10.0
+
+
+def test_stream_funnel_stages_across_batches(spark, tmp_path):
+    """Funnel state must persist across micro-batches: a user whose
+    view arrives in batch 1 and click/purchase in batch 2 ends at
+    stage 3; stage events arriving out of order (behind the accepted
+    state) do not advance."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_funnel_stages,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+
+    def write_events(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_ms long, event_type string"
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema("user_id long, ts_ms long, event_type string")
+            .parquet(str(src))
+        )
+        return _drain(
+            spark, stream_funnel_stages(stream, ["view", "click", "purchase"]),
+            name, ckpt, "update",
+        )
+
+    write_events([(1, 1000, "view"), (2, 1000, "click")])  # u2: click first, no view
+    rows = {r.user_id: r.funnel_stage for r in drain("f1")}
+    assert rows == {1: 1, 2: 0}
+
+    write_events([(1, 2000, "click"), (1, 3000, "purchase"), (2, 4000, "view")])
+    rows = {r.user_id: r.funnel_stage for r in drain("f2")}
+    assert rows == {1: 3, 2: 1}
