@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
         "q_latest_datapoints": A.q_latest_datapoints,
+        "q_derivative": A.q_derivative,
+        "q_anomaly_zscore": A.q_anomaly_zscore,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1344,6 +1346,48 @@ def oracle_sql() -> dict[str, str]:
                      * 10000 + 0.5) / 10000.0 AS disc_stddev
         FROM a
         ORDER BY user_id, day
+    """
+    sql["q_derivative"] = """
+        WITH d AS (
+            SELECT user_id, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us,
+                   value - lag(value) OVER w AS dv
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, ts,
+               round(dv / (dt_us / 1000000.0), 6) + 0.0 AS deriv_per_sec
+        FROM d
+        WHERE dt_us > 0
+        ORDER BY user_id, ts
+    """
+    sql["q_anomaly_zscore"] = """
+        WITH c AS (
+            SELECT user_id, ts, value,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ), st AS (
+            SELECT user_id, ts, value,
+                   CAST(count(*) OVER w AS DOUBLE) AS n,
+                   sum(x) OVER w AS s,
+                   sum(x * x) OVER w AS q
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY es
+                         RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+            SELECT user_id, ts, value, n,
+                   s / n / 100.0 AS mean_v,
+                   sqrt(greatest((q - s * s / n) / n, 0.0)) / 100.0 AS std_v
+            FROM st
+        )
+        SELECT user_id, ts, value,
+               floor((value - mean_v) / std_v * 10000 + 0.5) / 10000.0 AS zscore,
+               abs(floor((value - mean_v) / std_v * 10000 + 0.5) / 10000.0) > 3.0
+                   AS is_anomaly
+        FROM z
+        WHERE n >= 2 AND std_v > 0
+        ORDER BY user_id, ts
     """
     sql["q_latest_datapoints"] = """
         SELECT user_id, max(ts) AS latest_ts,

@@ -1020,3 +1020,75 @@ def q_latest_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datapoints-API 'derivative' read: per-point rate of change
+    (value units per second) from the previous observation — one lag
+    window per series, no shuffle beyond it. Duplicate-timestamp
+    segments yield NULL (undefined slope) rather than a division
+    blow-up; epoch microseconds keep the denominators exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt_us = t - F.lag(t).over(w)
+    dv = F.col("value") - F.lag("value").over(w)
+    deriv = F.when(dt_us > 0, dv / (dt_us / F.lit(1_000_000.0)))
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            # + 0.0 canonicalizes IEEE negative zero: round() of a tiny
+            # negative slope yields -0.0 in one engine and 0.0 in the
+            # other, which value-hashes differently.
+            (F.round(deriv, 6) + F.lit(0.0)).alias("deriv_per_sec"),
+        )
+        .where(F.col("deriv_per_sec").isNotNull())
+        .orderBy("user_id", "ts")
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags: each observation scored
+    against the mean/std of its series' PRECEDING 24 h (current row
+    excluded — the score must not see itself). RANGE frame on epoch
+    seconds (irregular cadence: row-count frames are the wrong
+    window), one shuffle on the series key.
+
+    Cross-engine exactness: window mean/std assemble from exact
+    centi-unit integer sums (n, s, q) with one fixed double
+    expression and floor-rounding — built-in window stddev diverges
+    at the 4th decimal between engines (same pitfall as
+    q_discrete_variance). Scores only exist where the trailing window
+    holds >= 2 points and has nonzero spread.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    epoch_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-86400, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(x).over(w)
+    q = F.sum(x * x).over(w)
+    var_c = F.greatest((q - s * s / n) / n, F.lit(0.0))  # centi-units^2
+    mean_v = s / n / F.lit(100.0)
+    std_v = F.sqrt(var_c) / F.lit(100.0)
+    z = (F.col("value") - mean_v) / std_v
+    r4 = F.floor(z * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "value",
+            F.when((n >= 2) & (std_v > 0), r4).alias("zscore"),
+        )
+        .where(F.col("zscore").isNotNull())
+        .select(
+            "user_id", "ts", "value", "zscore",
+            (F.abs(F.col("zscore")) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "ts")
+    )
