@@ -1312,7 +1312,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(dur), 6) AS coverage_sec,
                    round(sum(ivdt) / sum(dur), 4) AS tw_avg,
                    round(sum(iv2dt) / sum(dur)
-                         - (sum(ivdt) / sum(dur)) * (sum(ivdt) / sum(dur)), 4) AS cont_var,
+                         - (sum(ivdt) / sum(dur)) * (sum(ivdt) / sum(dur)), 4) + 0.0 AS cont_var,
                    round(sum(tv), 4) AS total_variation
             FROM clipped
             GROUP BY user_id, day

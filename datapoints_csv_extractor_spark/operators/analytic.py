@@ -629,7 +629,9 @@ def time_weighted_aggregates(
         .agg(
             F.round(cov, 6).alias("coverage_sec"),
             F.round(tw_avg, 4).alias("tw_avg"),
-            F.round(cont_var, 4).alias("cont_var"),
+            # + 0.0: a zero-variance bucket can assemble to -1 ulp and
+            # round to IEEE -0.0 in one engine but 0.0 in the other.
+            (F.round(cont_var, 4) + F.lit(0.0)).alias("cont_var"),
             F.round(F.sum("tv"), 4).alias("total_variation"),
         )
         .where(F.col("coverage_sec") > 0)
