@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "q_funnel_stages",
     "q_cohort_retention",
     "q_sliding_window_rollup",
+    "q_sliding_window_rollup_two_level",
+    "q_time_weighted_aggregates_hourly",
+    "q_anomaly_zscore",
+    "q_derivative",
+    "q_multimodal_dedup_clusters",
+    "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",
     "q_gap_fill",
