@@ -47,7 +47,10 @@ BENCH_QUERIES = [
     "q_time_weighted_aggregates_hourly",
     "q_anomaly_zscore",
     "q_derivative",
-    "q_multimodal_dedup_clusters",
+    # q_multimodal_dedup_clusters stays registry-only: its exact
+    # label-blocked pair join is deliberately the oracle-simple form
+    # (11 s at sf0.1), and its constituents (jaccard pairs, cosine
+    # pairs, components) are each benched on their own.
     "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",
@@ -517,6 +520,35 @@ def main() -> None:
                         dedup_incremental(
                             docs.where(F.col("doc_id") > half), store,
                             ingest_id="probe",
+                        )
+                    ),
+                    clean_sec=1e9, max_runs=2,
+                )
+                # PQ serving, QUERY phase only: the ADC scan over the
+                # stored codes + exact re-rank must scale linearly in
+                # corpus size (the codes table is the only data-sized
+                # input in the plan).
+                from datapoints_csv_extractor_spark.operators.similarity import (
+                    ann_pq_topk_from_index,
+                    build_pq_index,
+                )
+
+                e_syn = spark.read.parquet(
+                    os.path.join(sdir, "embeddings.parquet")
+                )
+                pq_dir = os.path.join(probe_root, f"pq_{tag}")
+                build_pq_index(e_syn, pq_dir, n_iters=2)
+                qv = [
+                    float(x)
+                    for x in e_syn.where(F.col("vec_id") == 0).first()[
+                        "embedding"
+                    ]
+                ]
+                runs["q_ann_pq_query"] = _best_of(
+                    lambda: _materialize(
+                        ann_pq_topk_from_index(
+                            spark, pq_dir, qv, k=10, source=e_syn,
+                            exclude_vec_id=0,
                         )
                     ),
                     clean_sec=1e9, max_runs=2,
