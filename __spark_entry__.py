@@ -772,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                         / len(embedding), 4) AS mean_component
+                         / len(embedding), 4) + 0.0 AS mean_component
             FROM embeddings
         """,
         "q_knn_brute_force": """

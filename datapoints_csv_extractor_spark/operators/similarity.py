@@ -86,8 +86,13 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size(emb).alias("dim"),
         F.round(_norm(emb), 4).alias("l2_norm"),
-        F.round(
-            _dot(emb, F.transform(emb, lambda _: F.lit(1.0))) / F.size(emb), 4
+        # + 0.0: a tiny negative component mean rounds to IEEE -0.0 in
+        # one engine and 0.0 in the other (hash-divergent).
+        (
+            F.round(
+                _dot(emb, F.transform(emb, lambda _: F.lit(1.0))) / F.size(emb), 4
+            )
+            + F.lit(0.0)
         ).alias("mean_component"),
     )
 
