@@ -229,3 +229,93 @@ def test_hll_rollup_merges_within_error_bound(spark):
     assert set(approx) == set(exact)
     for t, est in approx.items():
         assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
+
+
+def test_time_weighted_aggregates_property_vs_python(spark):
+    """Property parity: for arbitrary per-series point sets (random
+    microsecond timestamps spanning multiple days, duplicate-instant
+    collisions allowed), the Spark closed-form must match a pure
+    Python trapezoid integrator to float tolerance on every bucket."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    DAY_US = 86_400_000_000
+
+    def py_reference(points):
+        """points: sorted [(ts_us, v)] for ONE series -> {day_start_us:
+        (dur_sec, ivdt, tv)}."""
+        out = {}
+        for (t0, v0), (t1, v1) in zip(points, points[1:]):
+            for d in range(t0 // DAY_US, t1 // DAY_US + 1):
+                a, b = max(t0, d * DAY_US), min(t1, (d + 1) * DAY_US)
+                if b < a:
+                    continue
+                if t1 == t0:
+                    va, vb = v0, v1
+                else:
+                    va = v0 + (v1 - v0) * (a - t0) / (t1 - t0)
+                    vb = v0 + (v1 - v0) * (b - t0) / (t1 - t0)
+                dur = (b - a) / 1e6
+                acc = out.setdefault(d * DAY_US, [0.0, 0.0, 0.0])
+                acc[0] += dur
+                acc[1] += (va + vb) / 2 * dur
+                acc[2] += abs(vb - va)
+        return {k: v for k, v in out.items() if v[0] > 0}
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5 * DAY_US),
+                st.floats(min_value=-100, max_value=100, allow_nan=False),
+            ),
+            min_size=2,
+            max_size=25,
+        )
+    )
+    def run(pts):
+        import datetime as dt
+
+        # Dedupe duplicate instants (keep one value): with 3+ distinct
+        # values at one instant, |a-b|+|b-c| depends on the engine's
+        # tie order — the operator is only order-independent when
+        # instants are unique, which real series (and the strict
+        # out-of-order drop in the streaming twin) guarantee.
+        pts = sorted({int(t): float(v) for t, v in pts}.items())
+        if len(pts) < 2:
+            return
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (1, base + dt.timedelta(microseconds=int(t)), float(v))
+            for t, v in pts
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+        got = {
+            r["day"]: (r["coverage_sec"], r["tw_avg"], r["total_variation"])
+            for r in A.time_weighted_aggregates(df).collect()
+        }
+        # Python reference over the points sorted the way the window
+        # sorts them (ts; equal-instant order is irrelevant to the
+        # integrals because zero-length segments contribute nothing
+        # to dur/ivdt and their tv uses both endpoint values the same
+        # way in either order only when values are equal — so dedupe
+        # exact-duplicate instants to the LAST value like lag sees).
+        pts_sorted = sorted((int(t), float(v)) for t, v in pts)
+        base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        shifted = [(base_us + t, v) for t, v in pts_sorted]
+        expect = py_reference(shifted)
+        assert set(got) == {
+            dt.datetime.utcfromtimestamp(k / 1e6) for k in expect
+        }
+        for k, (dur, ivdt, tv) in expect.items():
+            day = dt.datetime.utcfromtimestamp(k / 1e6)
+            gdur, gavg, gtv = got[day]
+            assert abs(gdur - round(dur, 6)) < 1e-6
+            assert abs(gavg - round(ivdt / dur, 4)) < 2e-4
+            assert abs(gtv - round(tv, 4)) < 2e-4
+
+    run()
