@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_aggregates_hourly": A.q_time_weighted_aggregates_hourly,
         "q_datapoint_aggregates_hourly": A.q_datapoint_aggregates_hourly,
         "q_cohort_retention": A.q_cohort_retention,
+        "q_funnel_conversion_time": A.q_funnel_conversion_time,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
         "q_latest_datapoints": A.q_latest_datapoints,
@@ -1395,6 +1396,27 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """
+    sql["q_funnel_conversion_time"] = """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT p.user_id,
+               round((epoch_us(p.t3) - epoch_us(v.t1)) / 1000000.0, 6)
+                   AS convert_sec
+        FROM p JOIN v ON p.user_id = v.user_id
+        ORDER BY p.user_id
     """
     sql["q_cohort_retention"] = """
         WITH uw AS (

@@ -1094,3 +1094,49 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts")
     )
+
+
+def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for users completing the full view -> click ->
+    purchase funnel: seconds from the ACCEPTED view to the ACCEPTED
+    purchase (greedy earliest-accept, same machine as
+    ``funnel_stages`` with the state widened to carry the first
+    accept's timestamp). Still one collect_list shuffle — the oracle
+    pays one join per stage for the same numbers."""
+    stages = ["view", "click", "purchase"]
+    stage_lit = F.array(*[F.lit(s) for s in stages])
+    ev = load(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    events = F.array_sort(
+        F.collect_list(F.struct(F.col("ts").alias("ts"), F.col("event_type").alias("t")))
+    )
+    walk = F.aggregate(
+        events,
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit(None).cast(ts_type).alias("last_ts"),
+            F.lit(None).cast(ts_type).alias("first_ts"),
+        ),
+        lambda acc, e: F.when(
+            (acc["stage"] < F.size(stage_lit))
+            & (e["t"] == F.element_at(stage_lit, acc["stage"] + 1))
+            & (acc["last_ts"].isNull() | (e["ts"] > acc["last_ts"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                e["ts"].alias("last_ts"),
+                F.coalesce(acc["first_ts"], e["ts"]).alias("first_ts"),
+            ),
+        ).otherwise(acc),
+    )
+    done = F.col("w")["stage"] == len(stages)
+    secs = (
+        F.unix_micros(F.col("w")["last_ts"].cast("timestamp"))
+        - F.unix_micros(F.col("w")["first_ts"].cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        ev.groupBy("user_id")
+        .agg(walk.alias("w"))
+        .where(done)
+        .select("user_id", F.round(secs, 6).alias("convert_sec"))
+        .orderBy("user_id")
+    )
