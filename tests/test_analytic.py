@@ -319,3 +319,70 @@ def test_time_weighted_aggregates_property_vs_python(spark):
             assert abs(gtv - round(tv, 4)) < 2e-4
 
     run()
+
+
+def test_synthetic_datapoints_property_vs_python(spark):
+    """Property parity: for arbitrary two-series point sets with
+    unique instants, the aligned sum must equal a pure-Python
+    interpolate-at-union-instants reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def interp_at(points, t):
+        """Linear interpolation of sorted [(t_us, v)] at t; None
+        outside the observed range."""
+        if not points or t < points[0][0] or t > points[-1][0]:
+            return None
+        for (t0, v0), (t1, v1) in zip(points, points[1:]):
+            if t0 <= t <= t1:
+                if t == t0:
+                    return v0
+                return v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        return points[-1][1] if t == points[-1][0] else None
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        a=st.lists(
+            st.tuples(st.integers(0, 10**9), st.floats(-50, 50, allow_nan=False)),
+            min_size=1, max_size=12,
+        ),
+        b=st.lists(
+            st.tuples(st.integers(0, 10**9), st.floats(-50, 50, allow_nan=False)),
+            min_size=1, max_size=12,
+        ),
+    )
+    def run(a, b):
+        import datetime as dt
+
+        a = sorted({t: v for t, v in a}.items())
+        b_ts = {t for t, _ in a}
+        b = sorted({t: v for t, v in b if t not in b_ts}.items())
+        base = dt.datetime(2024, 5, 1)
+        rows = [
+            (i, 1, base + dt.timedelta(microseconds=t), float(v))
+            for i, (t, v) in enumerate(a)
+        ] + [
+            (1000 + i, 2, base + dt.timedelta(microseconds=t), float(v))
+            for i, (t, v) in enumerate(b)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+        )
+        got = {
+            r["ts"]: r["synth_value"]
+            for r in A.synthetic_datapoints(df, [(9, 1, 2)]).collect()
+        }
+        expect = {}
+        for t, _ in a + b:
+            va, vb = interp_at(a, t), interp_at(b, t)
+            if va is not None and vb is not None:
+                expect[base + dt.timedelta(microseconds=t)] = round(va + vb, 2)
+        assert set(got) == set(expect)
+        for k in expect:
+            assert abs(got[k] - expect[k]) < 5e-2, (k, got[k], expect[k])
+
+    run()
