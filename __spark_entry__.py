@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datapoint_aggregates_hourly": A.q_datapoint_aggregates_hourly,
         "q_cohort_retention": A.q_cohort_retention,
         "q_funnel_conversion_time": A.q_funnel_conversion_time,
+        "q_event_transition_matrix": A.q_event_transition_matrix,
+        "q_interevent_gap_histogram": A.q_interevent_gap_histogram,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
         "q_latest_datapoints": A.q_latest_datapoints,
@@ -1396,6 +1398,32 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """
+    sql["q_event_transition_matrix"] = """
+        WITH p AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM p WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """
+    sql["q_interevent_gap_histogram"] = """
+        WITH g AS (
+            SELECT epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT CASE WHEN gap_us <= 0 THEN -1
+                    ELSE CAST(floor(log10(gap_us / 1000000.0)) AS INT)
+               END AS log10_bucket,
+               count(*) AS n_gaps
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY log10_bucket
+        ORDER BY log10_bucket
     """
     sql["q_funnel_conversion_time"] = """
         WITH v AS (

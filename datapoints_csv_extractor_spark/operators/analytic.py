@@ -1140,3 +1140,46 @@ def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.round(secs, 6).alias("convert_sec"))
         .orderBy("user_id")
     )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (the behavioral-model estimation read): one lag
+    window on the user key, one map-side-combined groupBy over at
+    most |types|^2 cells. Unique event_id tie-break keeps
+    coincident-timestamp ordering engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps in logarithmic
+    buckets (the cadence profile a capacity planner reads): lag diff
+    in seconds, bucketed by floor(log10) — lag window + one tiny
+    groupBy; exact integer second arithmetic so the bucket edges are
+    engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = t - F.lag(t).over(w)
+    gap_s = (gap_us / F.lit(1_000_000.0))
+    bucket = F.when(gap_us <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log10(gap_s)).cast("int")
+    )
+    gaps = ev.select(bucket.alias("log10_bucket")).where(
+        F.col("log10_bucket").isNotNull()
+    )
+    return (
+        gaps.groupBy("log10_bucket")
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("log10_bucket")
+    )
