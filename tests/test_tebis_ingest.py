@@ -359,3 +359,32 @@ def test_tebis_export_rejects_subsecond_and_semicolon(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="';'"):
         write_tebis_csv(dp2, str(tmp_path / "y"))
+
+
+def test_tebis_export_latin1_characters_round_trip(spark, tmp_path):
+    """Series names with latin-1 (non-ASCII) characters must survive
+    the export->ingest round trip byte-for-byte — the format's
+    declared charset, and the reference data's reality (German
+    sensor names)."""
+    from datapoints_csv_extractor_spark.sinks.tebis_export import write_tebis_csv
+    from datapoints_csv_extractor_spark.sources.tebis_csv import (
+        read_datapoints_from_folder,
+    )
+
+    base = 1_550_092_560
+    rows = [
+        ("FKÜ1", "Kühlung", (base + 10) * 1000, 1.5),
+        ("FKÜ1", "Kühlung", (base + 20) * 1000, 2.5),
+    ]
+    dp = spark.createDataFrame(
+        [(e, n, t, v, "src", 0) for e, n, t, v in rows],
+        "external_id string, name string, ts_ms long, value double, "
+        "source_file string, file_ts long",
+    )
+    out = tmp_path / "exp"
+    written = write_tebis_csv(dp, str(out))
+    raw = open(written[0], "rb").read()
+    assert b"\xdc" in raw and b"\xfc" in raw  # latin-1 bytes, not UTF-8
+    back = read_datapoints_from_folder(spark, str(out))
+    got = {(r.external_id, r.name, r.ts_ms, r.value) for r in back.collect()}
+    assert got == set(rows)
