@@ -386,3 +386,60 @@ def test_synthetic_datapoints_property_vs_python(spark):
             assert abs(got[k] - expect[k]) < 5e-2, (k, got[k], expect[k])
 
     run()
+
+
+def test_funnel_property_vs_python(spark):
+    """Random event sequences: the JVM fold must match a pure-Python
+    greedy earliest-accept walker for every user, including strict
+    timestamp inequality between accepted stages."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    STAGES = ["view", "click", "purchase"]
+
+    def py_walk(events):
+        stage, last = 0, None
+        for ts, et in sorted(events):
+            if stage < len(STAGES) and et == STAGES[stage] and (
+                last is None or ts > last
+            ):
+                stage += 1
+                last = ts
+        return stage
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        evs=st.lists(
+            st.tuples(
+                st.integers(0, 9),  # user
+                st.integers(0, 50),  # coarse ts (collisions likely)
+                st.sampled_from(STAGES + ["error", "signup"]),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(evs):
+        import datetime as dt
+
+        base = dt.datetime(2024, 6, 1)
+        rows = [
+            (u, base + dt.timedelta(seconds=t), et) for u, t, et in evs
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string"
+        )
+        got = {
+            r.user_id: r.funnel_stage
+            for r in A.funnel_stages(df, STAGES).collect()
+        }
+        by_user = {}
+        for u, t, et in evs:
+            by_user.setdefault(u, []).append((t, et))
+        assert got == {u: py_walk(e) for u, e in by_user.items()}
+
+    run()
