@@ -47,10 +47,7 @@ BENCH_QUERIES = [
     "q_time_weighted_aggregates_hourly",
     "q_anomaly_zscore",
     "q_derivative",
-    # q_multimodal_dedup_clusters stays registry-only: its exact
-    # label-blocked pair join is deliberately the oracle-simple form
-    # (11 s at sf0.1), and its constituents (jaccard pairs, cosine
-    # pairs, components) are each benched on their own.
+    "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",
