@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": A.q_cohort_retention,
         "q_funnel_conversion_time": A.q_funnel_conversion_time,
         "q_event_transition_matrix": A.q_event_transition_matrix,
+        "q_asof_nearest": R.q_asof_nearest,
         "q_interevent_gap_histogram": A.q_interevent_gap_histogram,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
@@ -1398,6 +1399,45 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """
+    sql["q_asof_nearest"] = """
+        WITH u AS (
+            SELECT event_id, user_id, ts,
+                   CAST(NULL AS TIMESTAMP) AS p_ts,
+                   CAST(NULL AS DOUBLE) AS p_value, 1 AS is_click
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT NULL, user_id, ts, ts, value, 0
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id, user_id, ts, is_click,
+                   last_value(p_ts IGNORE NULLS) OVER wb AS b_ts,
+                   last_value(p_value IGNORE NULLS) OVER wb AS b_v,
+                   first_value(p_ts IGNORE NULLS) OVER wf AS f_ts,
+                   first_value(p_value IGNORE NULLS) OVER wf AS f_v
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_click
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts, is_click
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(b_ts)
+                             <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_ts ELSE f_ts END AS purchase_ts,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(b_ts)
+                             <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_v ELSE f_v END AS purchase_value,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(b_ts)
+                             <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN 'back' ELSE 'fwd' END AS direction
+        FROM c
+        WHERE is_click = 1
+          AND (b_ts IS NOT NULL OR f_ts IS NOT NULL)
+        ORDER BY user_id, ts, event_id
     """
     sql["q_event_transition_matrix"] = """
         WITH p AS (

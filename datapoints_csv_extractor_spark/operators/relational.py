@@ -1112,3 +1112,59 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of: each click aligned to the user's
+    closest purchase in EITHER direction (the 'nearest' mode of a
+    datapoints alignment API, next to q_asof_join's backward mode).
+
+    Same single-shuffle union+window plan: one sort per user, a
+    backward last(ignorenulls) and a forward first(ignorenulls) fetch
+    both brackets, and a comparison picks the closer one (ties to the
+    earlier purchase — deterministic, and how a backward-biased store
+    resolves them). Never a join: the naive |clicks| x |purchases|
+    candidate join squares at scale; this stays n log n.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id",
+        F.col("ts"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_click", F.col("event_id").isNotNull().cast("int")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b_ts = F.last("p_ts", ignorenulls=True).over(back)
+    b_v = F.last("p_value", ignorenulls=True).over(back)
+    f_ts = F.first("p_ts", ignorenulls=True).over(fwd)
+    f_v = F.first("p_value", ignorenulls=True).over(fwd)
+    b_d = t_us - F.unix_micros(b_ts.cast("timestamp"))
+    f_d = F.unix_micros(f_ts.cast("timestamp")) - t_us
+    use_back = f_ts.isNull() | (b_ts.isNotNull() & (b_d <= f_d))
+    return (
+        unioned.select(
+            "event_id", "user_id", "ts", "is_click",
+            F.when(use_back, b_ts).otherwise(f_ts).alias("purchase_ts"),
+            F.when(use_back, b_v).otherwise(f_v).alias("purchase_value"),
+            F.when(use_back, F.lit("back")).otherwise(F.lit("fwd")).alias("direction"),
+        )
+        .where((F.col("is_click") == 1) & F.col("purchase_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "purchase_ts", "purchase_value", "direction")
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -410,3 +410,12 @@ def test_pq_adc_query_path_is_jvm_only(spark, tmp_path):
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_asof_nearest_single_data_shuffle(spark):
+    """The nearest-direction as-of must keep the union+window shape:
+    one data exchange (per-user sort) + the presentation orderBy —
+    never a click-to-purchase join."""
+    plan = _plan(R.q_asof_nearest(spark, SF))
+    assert "Join" not in plan
+    assert _n_exchanges(plan) <= 2
