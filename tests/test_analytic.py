@@ -443,3 +443,49 @@ def test_funnel_property_vs_python(spark):
         assert got == {u: py_walk(e) for u, e in by_user.items()}
 
     run()
+
+
+def test_read_api_modes(spark):
+    """The unified read facade: every mode runs over a long datapoints
+    frame with the ingest sink's column names, honoring the
+    inclusive/exclusive window and the series filter."""
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.plans.read_api import read_datapoints
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for sid in ("a", "b"):
+        for h in range(48):
+            rows.append((sid, base + dt.timedelta(hours=h), float(h)))
+    dp = spark.createDataFrame(rows, "external_id string, ts timestamp_ntz, value double")
+
+    raw = read_datapoints(
+        dp, series=["a"], start=base, end=base + dt.timedelta(hours=2), mode="raw"
+    ).collect()
+    assert [(r.external_id, r.value) for r in raw] == [("a", 0.0), ("a", 1.0)]
+
+    agg = read_datapoints(dp, mode="aggregates", granularity="day").collect()
+    assert {(r.external_id, r.day.day, r.n_points) for r in agg} == {
+        ("a", 1, 24), ("a", 2, 24), ("b", 1, 24), ("b", 2, 24)
+    }
+
+    tw = read_datapoints(
+        dp, series=["a"], mode="time_weighted", granularity="day"
+    ).collect()
+    # Hour-ramp 0..47: day-1 coverage is 23 h (no segment past 23:00
+    # until the 24:00 point starts day 2's first piece at 0us... the
+    # 23:00->24:00 segment IS clipped into day 1), so coverage 24h*3600
+    # minus nothing = 86400? The 47th point ends day 2 at 23:00.
+    d1 = [r for r in tw if r.day.day == 1][0]
+    assert d1.coverage_sec == 24 * 3600.0
+    assert d1.tw_avg == 12.0  # linear ramp 0->24 over the day
+
+    latest = read_datapoints(dp, mode="latest", end=base + dt.timedelta(hours=30))
+    got = {r.external_id: (r.latest_ts.hour, r.latest_value) for r in latest.collect()}
+    assert got == {"a": (5, 29.0), "b": (5, 29.0)}  # hour 29 = day2 05:00
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown read mode"):
+        read_datapoints(dp, mode="nope")
