@@ -489,3 +489,29 @@ def test_read_api_modes(spark):
 
     with _pytest.raises(ValueError, match="unknown read mode"):
         read_datapoints(dp, mode="nope")
+
+
+def test_derivative_matches_python(spark):
+    """q_derivative on sf0.001 must equal a pandas lag computation
+    per (user, ts) row — slope sign, magnitude, and the first-row /
+    duplicate-instant drops."""
+    import pandas as pd
+
+    ev = load(spark, SF, "events").select("user_id", "ts", "value").toPandas()
+    expect = {}
+    for uid, g in ev.sort_values(["user_id", "ts"]).groupby("user_id"):
+        prev_t, prev_v = None, None
+        for _, row in g.iterrows():
+            t_us = row.ts.value // 1000  # pandas ns -> us
+            if prev_t is not None and t_us > prev_t:
+                expect[(uid, row.ts)] = round(
+                    (row.value - prev_v) / ((t_us - prev_t) / 1e6), 6
+                ) + 0.0
+            prev_t, prev_v = t_us, row.value
+    got = {
+        (r.user_id, pd.Timestamp(r.ts)): r.deriv_per_sec
+        for r in A.q_derivative(spark, SF).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
