@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_conversion_time": A.q_funnel_conversion_time,
         "q_event_transition_matrix": A.q_event_transition_matrix,
         "q_asof_nearest": R.q_asof_nearest,
+        "q_autocorrelation": A.q_autocorrelation,
         "q_interevent_gap_histogram": A.q_interevent_gap_histogram,
         "q_sliding_window_rollup": A.q_sliding_window_rollup,
         "q_hll_distinct_rollup": A.q_hll_distinct_rollup,
@@ -1398,6 +1399,32 @@ def oracle_sql() -> dict[str, str]:
                arg_max(value, ts) AS latest_value
         FROM events
         GROUP BY user_id
+        ORDER BY user_id
+    """
+    sql["q_autocorrelation"] = """
+        WITH p AS (
+            SELECT user_id,
+                   CAST(round(lag(value) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) * 100)
+                        AS BIGINT) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ), a AS (
+            SELECT user_id, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM p WHERE x IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n AS n_pairs,
+               floor((sxy - sx * sy / CAST(n AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                            * (syy - sy * sy / CAST(n AS DOUBLE)))
+                     * 10000 + 0.5) / 10000.0 + 0.0 AS autocorr_lag1
+        FROM a
+        WHERE n >= 2
+          AND sxx - sx * sx / CAST(n AS DOUBLE) > 0
+          AND syy - sy * sy / CAST(n AS DOUBLE) > 0
         ORDER BY user_id
     """
     sql["q_asof_nearest"] = """

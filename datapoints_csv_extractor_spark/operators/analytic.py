@@ -1183,3 +1183,42 @@ def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_gaps"))
         .orderBy("log10_bucket")
     )
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (the persistence diagnostic a
+    forecasting pipeline reads before model choice): Pearson r over
+    consecutive (value_prev, value) pairs from one lag window, then
+    one per-series aggregate.
+
+    Cross-engine exactness: the same centi-unit integer-sum assembly
+    as q_discrete_variance — n, Σx, Σy, Σxy, Σx², Σy² are exact
+    longs, r is one fixed double expression, floor-rounded; built-in
+    corr() diverges between engines at the 4th decimal. Series whose
+    either side has zero variance emit no row (r undefined)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.lag("value").over(w) * 100).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    pairs = ev.select("user_id", x.alias("x"), y.alias("y")).where(
+        F.col("x").isNotNull()
+    )
+    agg = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    r = cov / F.sqrt(vx * vy)
+    r4 = F.floor(r * 10000 + F.lit(0.5)) / F.lit(10000.0) + F.lit(0.0)
+    return (
+        agg.where((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select("user_id", F.col("n").alias("n_pairs"), r4.alias("autocorr_lag1"))
+        .orderBy("user_id")
+    )
