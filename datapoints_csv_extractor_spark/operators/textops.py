@@ -898,3 +898,50 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     merges = bpe_train(d, n_merges=10)
     return bpe_encode(d, merges).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+
+def q_topk_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 word trigrams — the grouped heavy-hitters
+    report a pipeline uses to spot per-domain boilerplate (each
+    source's over-represented templates, not the global profile
+    q_top_bigrams gives).
+
+    Two-stage exact top-k: (1) explode trigrams -> count by
+    (source, trigram) with map-side partial aggregation, so the
+    shuffle carries one row per (partition, source, trigram), never
+    raw gram instances; (2) row_number window per source over the
+    COUNTED table — bounded by distinct grams per source, orders of
+    magnitude smaller than the corpus, so the sort is cheap and the
+    plan stays two shuffles total at any scale. A global TakeOrdered
+    (q_top_bigrams' shape) cannot express per-group k; a per-group
+    heap via window-on-counts is the standard scale answer."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    counts = (
+        d.where(n >= 3)
+        .select("source", F.explode(trigrams).alias("trigram"))
+        .groupBy("source", "trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_occurrences"), F.asc("trigram")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )

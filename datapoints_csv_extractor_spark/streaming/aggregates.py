@@ -456,3 +456,104 @@ def stream_funnel_stages(events: DataFrame, stages: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("es", T.ArrayType(T.LongType())),
+        T.StructField("cv", T.ArrayType(T.LongType())),
+    ]
+)
+
+_ZS_HORIZON_S = 86_400
+
+
+def _zscore_fold(
+    key: Tuple[int],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-series micro-batch fold for streaming trailing-window
+    z-scores (the ``operators.analytic.q_anomaly_zscore`` semantics:
+    each point scored against the mean/std of its series' PRECEDING
+    24 h, current second excluded, exact centi-unit integer sums).
+
+    State is the trailing 24 h of (epoch_s, centi-value) pairs per
+    series — bounded by the series' cadence times the horizon, the
+    inherent floor for an EXACT trailing score (a Welford running
+    moment can't forget expired points). Points arriving behind the
+    newest state timestamp are dropped, the same arrival-order
+    divergence every streaming twin here documents; in arrival order
+    the emitted scores equal the batch operator's exactly (pinned in
+    tests)."""
+    import math
+
+    es_l, cv_l = (
+        (list(state.get[0]), list(state.get[1]))
+        if state.exists
+        else ([], [])
+    )
+    out: dict[str, list] = {
+        "user_id": [], "ts_ms": [], "value": [], "zscore": [],
+        "is_anomaly": [],
+    }
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values("ts_ms")
+        for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
+            es = int(ts_ms) // 1000
+            if es_l and es < es_l[-1]:
+                continue  # behind the state: the batch op sorted it in
+            # evict beyond the horizon, then score against the window
+            lo = es - _ZS_HORIZON_S
+            while es_l and es_l[0] < lo:
+                es_l.pop(0)
+                cv_l.pop(0)
+            win = [c for e, c in zip(es_l, cv_l) if e <= es - 1]
+            n = len(win)
+            if n >= 2:
+                s, q = sum(win), sum(c * c for c in win)
+                var_c = max((q - s * s / n) / n, 0.0)
+                std_v = math.sqrt(var_c) / 100.0
+                if std_v > 0:
+                    mean_v = s / n / 100.0
+                    z = (float(v) - mean_v) / std_v
+                    r4 = math.floor(z * 10000 + 0.5) / 10000.0
+                    out["user_id"].append(key[0])
+                    out["ts_ms"].append(int(ts_ms))
+                    out["value"].append(float(v))
+                    out["zscore"].append(r4)
+                    out["is_anomaly"].append(abs(r4) > 3.0)
+            es_l.append(es)
+            cv_l.append(int(math.floor(float(v) * 100 + 0.5)))
+    state.update((es_l, cv_l))
+    if out["user_id"]:
+        yield pd.DataFrame(out)
+
+
+def stream_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_anomaly_zscore``: scores each point
+    against its series' trailing 24 h as it arrives (Append mode —
+    a score is an immutable fact about the window that preceded the
+    point). Input needs (user_id, ts_ms, value). The serving shape
+    for live anomaly alerting: state is the horizon's points per
+    series, each event is scored exactly once, and the emitted rows
+    match the batch operator on in-order input."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _zscore_fold,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

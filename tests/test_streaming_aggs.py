@@ -576,3 +576,63 @@ def test_stream_funnel_stages_across_batches(spark, tmp_path):
     write_events([(1, 2000, "click"), (1, 3000, "purchase"), (2, 4000, "view")])
     rows = {r.user_id: r.funnel_stage for r in drain("f2")}
     assert rows == {1: 3, 2: 1}
+
+
+def test_stream_anomaly_zscore_matches_batch_math(spark, tmp_path):
+    """Streaming z-scores must equal the batch formula (trailing 24 h,
+    current second excluded, centi-unit integer sums) even when the
+    window's points span micro-batches, and expired points must fall
+    out of both the score and the state."""
+    import math
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_anomaly_zscore,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+    H = 3_600_000
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts_ms long, value double"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema("user_id long, ts_ms long, value double")
+            .parquet(str(src))
+        )
+        return _drain(
+            spark, stream_anomaly_zscore(stream), name, ckpt, "append"
+        )
+
+    def expected(history, v):
+        win = [int(math.floor(x * 100 + 0.5)) for x in history]
+        n = len(win)
+        s, q = sum(win), sum(c * c for c in win)
+        var_c = max((q - s * s / n) / n, 0.0)
+        mean_v, std_v = s / n / 100.0, math.sqrt(var_c) / 100.0
+        z = (v - mean_v) / std_v
+        return math.floor(z * 10000 + 0.5) / 10000.0
+
+    t0 = 1_700_000_000_000
+    # Batch 1: two points — not enough preceding history, no scores.
+    write([(7, t0, 10.0), (7, t0 + H, 12.0)])
+    assert drain("z1") == []
+
+    # Batch 2: a third point scored against the two carried in state.
+    write([(7, t0 + 2 * H, 20.0)])
+    rows = drain("z2")
+    assert len(rows) == 1
+    assert rows[0].zscore == expected([10.0, 12.0], 20.0)
+    assert rows[0].is_anomaly  # (20 - 11) / std 1.0 = z 9.0
+
+    # Batch 3: 25 h later — every earlier point expired, so no score;
+    # the next point sees only the survivor.
+    t_late = t0 + 2 * H + 25 * 3_600_000
+    write([(7, t_late, 30.0), (7, t_late + H, 31.0), (7, t_late + 2 * H, 5.0)])
+    rows = drain("z3")
+    assert len(rows) == 1  # only the third has >= 2 preceding points
+    assert rows[0].value == 5.0
+    assert rows[0].zscore == expected([30.0, 31.0], 5.0)
