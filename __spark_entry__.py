@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_window_rollup": A.q_time_window_rollup,
         "q_session_window": A.q_session_window,
         "q_cube": A.q_cube,
-        "q_percentiles": A.q_percentiles,
+        "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
         "q_range_join": A.q_range_join,
         "q_gap_fill": A.q_gap_fill,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_bpe_token_count": X.q_bpe_token_count,
-        "q_text_normalize": X.q_text_normalize,
+        "q_bm25_search": X.q_bm25_search,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-swept): displaced in-window variants first.
         "q7_volume_shipping": R.q7_volume_shipping,
         "q_top_bigrams": X.q_top_bigrams,
+        "q_text_normalize": X.q_text_normalize,
+        "q_percentiles": A.q_percentiles,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -1945,5 +1947,65 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         QUALIFY rk <= 5
         ORDER BY source, rk
+    """
+    # BM25: expression trees parenthesized to match the Spark side's
+    # float assembly order exactly (FP + and * are not associative).
+    sql["q_bm25_search"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), dd AS (
+            SELECT doc_id, len(t) AS dl, t FROM d
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dd
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS f
+            FROM (SELECT doc_id, dl, unnest(t) AS term FROM dd)
+            WHERE term IN ('dup', 'window', 'merge')
+            GROUP BY doc_id, dl, term
+        ), dfs AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                   * ((CAST(f AS DOUBLE) * 2.2)
+                      / (CAST(f AS DOUBLE)
+                         + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                             / stats.avgdl)))
+               ), 4) AS bm25
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """
+    sql["q_quantile_sketch_rollup"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(floor(value / 1.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), monthly AS (
+            SELECT event_type, date_trunc('month', day) AS month, bin,
+                   sum(n) AS n
+            FROM daily GROUP BY 1, 2, 3
+        ), walked AS (
+            SELECT event_type, month, bin,
+                   sum(n) OVER (PARTITION BY event_type, month ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY event_type, month) AS total,
+                   bin * 1.0 + 0.5 AS mid
+            FROM monthly
+        )
+        SELECT event_type, month, max(total) AS n_points,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN mid END) AS p50_est,
+               min(CASE WHEN cum >= ceil(0.95 * total) THEN mid END) AS p95_est,
+               min(CASE WHEN cum >= ceil(0.99 * total) THEN mid END) AS p99_est
+        FROM walked GROUP BY event_type, month
+        ORDER BY event_type, month
     """
     return sql

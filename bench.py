@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q12_late_shipment_priority",
     "q_upsert_merge",
     "q_topk_ngrams_per_source",
+    "q_bm25_search",
+    "q_quantile_sketch_rollup",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

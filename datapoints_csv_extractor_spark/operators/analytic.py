@@ -1222,3 +1222,83 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("n").alias("n_pairs"), r4.alias("autocorr_lag1"))
         .orderBy("user_id")
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Mergeable quantile sketch partials: per-group equi-width bin
+    counts. The quantile analog of the HLL rollup
+    (``q_hll_distinct_rollup``): a (group, bin, count) table is a
+    SKETCH — tiny (value-range/bin_width rows per group, independent
+    of row count), additive under sum, so daily partials roll up to
+    any coarser period without re-touching raw data, and any quantile
+    read off the merged sketch is exact to within one bin width."""
+    b = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    return df.groupBy(*group_cols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Read quantiles off (merged) sketch partials: cumulative-count
+    walk per group, first bin whose cumulative count reaches
+    ceil(q * total). One window over the SKETCH table (bounded bins
+    per group, never raw rows) — the whole serving cost is
+    O(groups x bins). Estimates are bin midpoints: error <=
+    bin_width / 2, deterministic, engine-exact (pure integer
+    cumulative sums — no interpolation float paths)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = F.sum("n").over(w)
+    total = F.sum("n").over(tot)
+    mid = (F.col("bin") * F.lit(bin_width) + F.lit(bin_width / 2.0))
+    walked = sketch.select(
+        *group_cols, "bin", cum.alias("cum"), total.alias("total"), mid.alias("mid")
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("mid"))
+        ).alias(f"p{int(q * 100)}_est")
+        for q in qs
+    ]
+    return walked.groupBy(*group_cols).agg(
+        F.max("total").alias("n_points"), *aggs
+    )
+
+
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type quantile sketches merged to the month,
+    then p50/p95/p99 read off the merged sketch — the mergeable
+    pre-aggregation pattern for latency-percentile-style dashboards:
+    100 TB of raw points fold once into per-day sketches; every
+    coarser rollup (week, month, all-time) is a sum over sketches.
+    Oracle-exact because the sketch pipeline is deterministic
+    arithmetic end to end (the ESTIMATES are exact; their distance to
+    the true quantile is what's bounded by the bin width, pinned in
+    pytest)."""
+    ev = load(spark, sf_dir, "events")
+    daily = quantile_sketch(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts").cast("timestamp"))),
+        ["event_type", "day"],
+    )
+    monthly = (
+        daily.withColumn("month", F.date_trunc("month", "day"))
+        .groupBy("event_type", "month", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return sketch_quantiles(
+        monthly, ["event_type", "month"], [0.5, 0.95, 0.99]
+    ).orderBy("event_type", "month")

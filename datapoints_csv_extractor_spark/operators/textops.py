@@ -945,3 +945,71 @@ def q_topk_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("source", "rk")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Distributed BM25 keyword retrieval: score every document
+    against a bag-of-terms query and return the top-k.
+
+    The exact-match retrieval primitive the embedding ANN stack
+    (hybrid search's other leg) doesn't cover. Plan shape at scale:
+
+    - term frequencies: explode tokens -> ONE hash aggregate on
+      (doc_id, term), filtered to the query's terms BEFORE the
+      shuffle, so the exchange carries only matching-term partials
+      (|Q| terms, not the vocabulary).
+    - corpus stats (N, sum of doc lengths) are one tiny two-long
+      aggregate fetched to the driver — parameter-sized, the same
+      posture as the ANN centroid fetches; avgdl is derived as an
+      exact integer-sum quotient so both engines see the identical
+      double.
+    - per-term document frequencies aggregate the tf table (<= |Q|
+      rows out) and broadcast back — no second corpus scan, no
+      skew surface.
+    - the Lucene-style IDF ln((N - df + .5)/(df + .5) + 1) keeps
+      scores positive; final top-k is a TakeOrdered on the rounded
+      score with doc_id tie-break, never a global sort.
+    """
+    d = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    n_docs, dl_sum = d.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    avgdl = dl_sum / n_docs  # exact: integer sum / integer count
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.array_contains(qlit, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    f, dl = F.col("f").cast("double"), F.col("dl").cast("double")
+    part = idf * (
+        f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(part), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing BM25: a three-term query with deliberately mixed
+    document frequencies (one rare term dominates via IDF) over the
+    documents table, top-10."""
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(d, ["dup", "window", "merge"], k=10)

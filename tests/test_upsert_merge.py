@@ -116,3 +116,81 @@ def test_topk_ngrams_per_source_contract(spark):
         assert len(rs) <= 5
         counts = [r["n_occurrences"] for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_bm25_matches_pure_python(spark):
+    """BM25 scores on a tiny corpus must equal a straightforward
+    Python implementation of the same (Lucene-style IDF) formula."""
+    import math
+
+    from datapoints_csv_extractor_spark.operators.textops import bm25_topk
+
+    corpus = {
+        1: "cat sat on the mat",
+        2: "cat cat dog",
+        3: "dog runs far away from the mat",
+        4: "bird",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    q = ["cat", "mat"]
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, q, k=4).collect()}
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for d in toks.values() if t in d) for t in q}
+    k1, b = 1.2, 0.75
+    expected = {}
+    for i, d in toks.items():
+        s = 0.0
+        for t in q:
+            f = d.count(t)
+            if not f:
+                continue
+            idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            s += idf * (f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * len(d) / avgdl)))
+        if s:
+            expected[i] = round(s, 4)
+    assert got == expected
+    # doc 2 (two cats, short) must outrank doc 1 (one cat + mat)?
+    # Not asserted — ordering is the formula's business; parity is.
+
+
+def test_bm25_rare_term_idf_dominates(spark):
+    """A rare term must contribute more than a ubiquitous one at
+    equal tf: the classic IDF sanity check."""
+    from datapoints_csv_extractor_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "rare common"), (2, "common"), (3, "common"), (4, "common")],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, ["rare", "common"], k=4).collect()
+    assert top[0]["doc_id"] == 1  # rare-term doc on top
+    assert top[0]["bm25"] > 2 * top[1]["bm25"]
+
+
+def test_quantile_sketch_error_bound(spark):
+    """Sketch quantile estimates must land within one bin width of the
+    exact percentile on real data, and the merged monthly sketch must
+    count every point exactly."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_quantile_sketch_rollup,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    rows = q_quantile_sketch_rollup(spark, SF).collect()
+    ev = load(spark, SF, "events")
+    for r in rows:
+        sub = [
+            x["value"]
+            for x in ev.where(F.col("event_type") == r["event_type"]).collect()
+        ]
+        sub.sort()
+        assert r["n_points"] == len(sub)
+        for q, est in ((0.5, r["p50_est"]), (0.95, r["p95_est"]), (0.99, r["p99_est"])):
+            import math
+            exact = sub[min(len(sub) - 1, max(0, math.ceil(q * len(sub)) - 1))]
+            assert abs(est - exact) <= 1.0, (r["event_type"], q, est, exact)
