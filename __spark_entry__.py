@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_merge": R.q_upsert_merge,
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q10_returned_items": R.q10_returned_items,
-        "q_outer_join": R.q_outer_join,
+        "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
         "q_fuzzy_match": R.q_fuzzy_match,
         "q_window_rank": R.q_window_rank,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_bigrams": X.q_top_bigrams,
         "q_text_normalize": X.q_text_normalize,
         "q_percentiles": A.q_percentiles,
+        "q_outer_join": R.q_outer_join,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2007,5 +2008,76 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cum >= ceil(0.99 * total) THEN mid END) AS p99_est
         FROM walked GROUP BY event_type, month
         ORDER BY event_type, month
+    """
+    # Hybrid RRF: both legs' rank CTEs order by the ROUNDED leg score
+    # with id tie-break, mirroring the Spark windows exactly; the two
+    # reciprocal contributions add in the same written order.
+    sql["q_hybrid_rrf"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), dd AS (
+            SELECT doc_id, len(t) AS dl, t FROM d
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dd
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS f
+            FROM (SELECT doc_id, dl, unnest(t) AS term FROM dd)
+            WHERE term IN ('dup', 'window', 'merge')
+            GROUP BY doc_id, dl, term
+        ), dfs AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), lex AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                       * ((CAST(f AS DOUBLE) * 2.2)
+                          / (CAST(f AS DOUBLE)
+                             + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                                 / stats.avgdl)))
+                   ), 4) AS bm25
+            FROM tf JOIN dfs USING (term) CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 50
+        ), lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex
+        ), q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ), sem AS (
+            SELECT e.vec_id AS doc_id,
+                   round(
+                       list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, doc_id
+            LIMIT 50
+        ), semr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+            FROM sem
+        ), fused AS (
+            SELECT doc_id, lex_rank, sem_rank
+            FROM lexr FULL OUTER JOIN semr USING (doc_id)
+        )
+        SELECT doc_id,
+               round(coalesce(1.0 / (60 + lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score,
+               lex_rank, sem_rank
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
     """
     return sql

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q_upsert_merge",
     "q_topk_ngrams_per_source",
     "q_bm25_search",
+    "q_hybrid_rrf",
     "q_quantile_sketch_rollup",
     "q_asof_join",
     "q_window_rank",

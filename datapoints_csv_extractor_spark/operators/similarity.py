@@ -1714,3 +1714,75 @@ def q_ann_pq_multi(
     codebooks = train_pq_codebooks(e, m=8, k=16, n_iters=2)
     encoded = pq_encode(e, codebooks)
     return pq_topk_multi(encoded, queries, codebooks, k=k)
+
+
+def q_hybrid_rrf(
+    spark: SparkSession, sf_dir: str, k: int = 10, rrf_k: int = 60
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    leg and the embedding-cosine semantic leg — the standard fusion
+    (score = sum over legs of 1/(rrf_k + rank)) that needs no score
+    calibration between legs.
+
+    Scale shape: each leg is already top-N truncated (one corpus scan
+    + TakeOrdered each), so the fusion join and the rank windows run
+    over 2N rows — parameter-sized, broadcast-joined, irrelevant at
+    any corpus scale; the heavy lifting stays inside the legs, which
+    keep their own 100 TB plans (BM25's pre-shuffle term filter, the
+    ANN stack for the semantic leg when brute force is too dear).
+    Ranks come from row_number over ROUNDED leg scores with id
+    tie-break so both engines rank identically; the single-partition
+    window is over <= N rows by construction.
+
+    The id spaces join where they overlap (doc_id = vec_id for the
+    synthetic corpus); a doc found by one leg only still scores via
+    its one reciprocal rank — exactly RRF's contract."""
+    from pyspark.sql import Window
+
+    from datapoints_csv_extractor_spark.operators.textops import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(docs, ["dup", "window", "merge"], k=50)
+    wl = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    qrow = _require_row(
+        emb.where(F.col("vec_id") == 0).select("embedding").first(),
+        "query vec_id=0",
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(50)
+    )
+    ws = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    semr = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("long").alias("sem_rank"),
+    )
+
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    contrib = F.coalesce(
+        1.0 / (F.lit(float(rrf_k)) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        1.0 / (F.lit(float(rrf_k)) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(contrib, 6).alias("rrf_score"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -194,3 +194,32 @@ def test_quantile_sketch_error_bound(spark):
             import math
             exact = sub[min(len(sub) - 1, max(0, math.ceil(q * len(sub)) - 1))]
             assert abs(est - exact) <= 1.0, (r["event_type"], q, est, exact)
+
+
+def test_hybrid_rrf_fusion_contract(spark):
+    """RRF must (a) score every returned doc as the sum of its legs'
+    reciprocal ranks, (b) include docs found by only one leg, and
+    (c) put a doc ranked well by BOTH legs above one ranked equally
+    well by a single leg."""
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        q_hybrid_rrf,
+    )
+
+    rows = q_hybrid_rrf(spark, SF).collect()
+    assert rows, "fusion returned nothing"
+    for r in rows:
+        exp = 0.0
+        if r["lex_rank"] is not None:
+            exp += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            exp += 1.0 / (60 + r["sem_rank"])
+        assert abs(r["rrf_score"] - round(exp, 6)) < 1e-9
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # any both-leg doc must beat the best possible single-leg score
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    single_best = 1.0 / 61
+    for r in both:
+        if r["lex_rank"] + r["sem_rank"] <= 60:
+            assert r["rrf_score"] > single_best
