@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_normalize": X.q_text_normalize,
         "q_percentiles": A.q_percentiles,
         "q_outer_join": R.q_outer_join,
+        "q_bm25_index_query": X.q_bm25_index_query,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2080,4 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY rrf_score DESC, doc_id
         LIMIT 10
     """
+    # The persisted-index BM25 path is score-identical to the live
+    # scan by construction, so it shares the live scan's oracle.
+    sql["q_bm25_index_query"] = sql["q_bm25_search"]
     return sql

@@ -409,6 +409,31 @@ def main() -> None:
                 )
             )
         )
+
+        # BM25 inverted index, same build/query split: the serving
+        # cost is a bucket-pruned postings read + tiny rank join —
+        # the number that matters for a standing search index.
+        from datapoints_csv_extractor_spark.operators.textops import (
+            bm25_topk_from_index,
+            build_bm25_index,
+        )
+
+        docs_full = load(spark, sf_dir, "documents")
+        bm25_builds = []
+        bm25_dir = None
+        for i in range(2):
+            bm25_dir = os.path.join(inc_root, f"bm25_{i}")
+            t0 = time.perf_counter()
+            build_bm25_index(docs_full, bm25_dir)
+            bm25_builds.append(time.perf_counter() - t0)
+        timings["q_bm25_index_build"] = round(min(bm25_builds), 3)
+        timings["q_bm25_index_query"] = _best_of(
+            lambda: _materialize(
+                bm25_topk_from_index(
+                    spark, bm25_dir, ["dup", "window", "merge"], k=10
+                )
+            )
+        )
     finally:
         shutil.rmtree(inc_root, ignore_errors=True)
 

@@ -16,6 +16,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -990,6 +992,16 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    return _bm25_rank(tf, n_docs, avgdl, k1, b, k)
+
+
+def _bm25_rank(
+    tf: DataFrame, n_docs: int, avgdl: float, k1: float, b: float, k: int
+) -> DataFrame:
+    """Shared scoring tail for the live-scan and persisted-index BM25
+    paths: per-term document frequencies from the (already
+    query-filtered) tf table broadcast back, Lucene-style IDF, top-k
+    TakeOrdered on the rounded score."""
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -1013,3 +1025,97 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table, top-10."""
     d = load(spark, sf_dir, "documents")
     return bm25_topk(d, ["dup", "window", "merge"], k=10)
+
+
+def build_bm25_index(
+    docs: DataFrame, index_dir: str, n_buckets: int = 64
+) -> None:
+    """Build-once half of the BM25 lifecycle: persist the inverted
+    index as a postings table partitioned by term-hash bucket, plus
+    parameter-sized corpus stats.
+
+    The same build-once/query-many posture as the IVF/PQ ANN stores:
+    one corpus scan computes (term, doc_id, f, dl) postings; writing
+    them ``partitionBy(bucket = xxhash64(term) % n_buckets)`` means a
+    query later reads ONLY its terms' bucket directories — partition
+    pruning does the index lookup, no corpus re-scan, no driver-side
+    index structure. df is computed at query time from the fetched
+    postings (they are complete per term by construction), so the
+    store stays append-free of derived state."""
+    import json
+
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), "toks"
+    )
+    n_docs, dl_sum = d.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    postings = tf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(
+            {"n_docs": n_docs, "dl_sum": dl_sum, "n_buckets": n_buckets}, fh
+        )
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query-once half: identical scores to ``bm25_topk`` (pinned in
+    pytest) without touching the corpus. The query's bucket set is
+    computed with the same JVM xxhash64 the writer used (one
+    literal-frame job, no corpus scan), the postings read prunes to
+    those bucket directories, and scoring reuses the shared tail."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    avgdl = meta["dl_sum"] / meta["n_docs"]
+    bdf = (
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"]))
+            .cast("int")
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = [r["bucket"] for r in bdf]
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(
+            F.col("bucket").isin(buckets)
+            & F.array_contains(qlit, F.col("term"))
+        )
+        .select("doc_id", "dl", "term", "f")
+    )
+    return _bm25_rank(tf, meta["n_docs"], avgdl, k1, b, k)
+
+
+def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing persisted-index BM25: build the inverted index
+    into a scratch dir, then answer the same three-term query as
+    q_bm25_search from the store — same oracle, because the index
+    path is deterministically score-identical to the live scan."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="bm25_index_")
+    build_bm25_index(d, index_dir)
+    return bm25_topk_from_index(
+        spark, index_dir, ["dup", "window", "merge"], k=10
+    )

@@ -223,3 +223,46 @@ def test_hybrid_rrf_fusion_contract(spark):
     for r in both:
         if r["lex_rank"] + r["sem_rank"] <= 60:
             assert r["rrf_score"] > single_best
+
+
+def test_bm25_index_matches_live_scan(spark, tmp_path):
+    """The persisted-index path must return byte-identical results to
+    the live corpus scan, and its postings read must prune to the
+    query terms' bucket partitions (no full-index scan)."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, SF, "documents")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(d, idx, n_buckets=16)
+    terms = ["dup", "window", "merge"]
+    live = bm25_topk(d, terms, k=10).collect()
+    stored = bm25_topk_from_index(spark, idx, terms, k=10)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in live]
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned read must touch at most |terms| bucket directories
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+
+
+def test_bm25_index_unknown_term_is_harmless(spark, tmp_path):
+    """Querying a term absent from the corpus contributes nothing
+    (df=0 rows simply don't exist) rather than erroring."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(docs, idx, n_buckets=4)
+    rows = bm25_topk_from_index(spark, idx, ["alpha", "zzz_missing"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
