@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": A.q_percentiles,
         "q_outer_join": R.q_outer_join,
         "q_bm25_index_query": X.q_bm25_index_query,
+        "q_distribution_drift_psi": A.q_distribution_drift_psi,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2084,4 +2085,43 @@ def oracle_sql() -> dict[str, str]:
     # The persisted-index BM25 path is score-identical to the live
     # scan by construction, so it shares the live scan's oracle.
     sql["q_bm25_index_query"] = sql["q_bm25_search"]
+    # PSI drift: float assembly mirrored term-for-term; the smoothed
+    # shares keep every log argument strictly positive.
+    sql["q_distribution_drift_psi"] = """
+        WITH counts AS (
+            SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN 0 ELSE 1 END) AS cb
+            FROM events GROUP BY event_type, bin
+        ), walked AS (
+            SELECT event_type,
+                   CAST(count(*) OVER w AS DOUBLE) AS nb,
+                   CAST(sum(ca) OVER w AS DOUBLE) AS ta,
+                   CAST(sum(cb) OVER w AS DOUBLE) AS tb,
+                   ((ca + 0.5) / (CAST(sum(ca) OVER w AS DOUBLE)
+                                  + 0.5 * CAST(count(*) OVER w AS DOUBLE))
+                    - (cb + 0.5) / (CAST(sum(cb) OVER w AS DOUBLE)
+                                    + 0.5 * CAST(count(*) OVER w AS DOUBLE)))
+                   * ln(((ca + 0.5) / (CAST(sum(ca) OVER w AS DOUBLE)
+                                       + 0.5 * CAST(count(*) OVER w AS DOUBLE)))
+                        / ((cb + 0.5) / (CAST(sum(cb) OVER w AS DOUBLE)
+                                         + 0.5 * CAST(count(*) OVER w AS DOUBLE))))
+                   AS term
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type)
+        )
+        SELECT event_type,
+               CAST(max(nb) AS BIGINT) AS n_bins,
+               round(sum(term), 6) AS psi,
+               round(0.1 + (max(nb) - 1.0) * (1.0 / max(ta) + 1.0 / max(tb)),
+                     6) AS threshold,
+               round(sum(term), 6)
+                   > round(0.1 + (max(nb) - 1.0)
+                                 * (1.0 / max(ta) + 1.0 / max(tb)), 6)
+                   AS drifted
+        FROM walked GROUP BY event_type
+        ORDER BY event_type
+    """
     return sql

@@ -266,3 +266,56 @@ def test_bm25_index_unknown_term_is_harmless(spark, tmp_path):
     build_bm25_index(docs, idx, n_buckets=4)
     rows = bm25_topk_from_index(spark, idx, ["alpha", "zzz_missing"], k=5).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI must stay tiny on a stationary feed and fire on a planted
+    distribution shift; spot-check the formula against pure Python."""
+    import datetime as dt
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_distribution_drift_psi,
+    )
+
+    # Real (stationary) data: all series must be un-drifted — the
+    # noise-adjusted threshold is what makes this hold at the small
+    # SF, where raw PSI shot noise alone exceeds 0.1.
+    rows = q_distribution_drift_psi(spark, SF).collect()
+    assert rows and all(not r["drifted"] for r in rows)
+    assert all(r["threshold"] > 0.1 for r in rows)
+
+    # Planted drift in a scratch events table: period A clustered at
+    # 10.x, period B at 200.x -> PSI far over threshold.
+    import tempfile
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="psi_")
+    try:
+        a = [(i, dt.datetime(2024, 1, 2), 1, "click", 10.0 + (i % 3), "{}")
+             for i in range(60)]
+        b = [(1000 + i, dt.datetime(2024, 1, 20), 1, "click",
+              200.0 + (i % 3), "{}") for i in range(60)]
+        spark.createDataFrame(
+            a + b,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        drifted = q_distribution_drift_psi(spark, tmp).collect()
+        assert len(drifted) == 1 and drifted[0]["drifted"]
+        # pure-python replica of the smoothed PSI on the planted data
+        bins = {}
+        for _, _, _, _, v, _ in a:
+            bins.setdefault(int(v // 25), [0, 0])[0] += 1
+        for _, _, _, _, v, _ in b:
+            bins.setdefault(int(v // 25), [0, 0])[1] += 1
+        nb, ta, tb = len(bins), 60.0, 60.0
+        psi = sum(
+            ((ca + 0.5) / (ta + 0.5 * nb) - (cb + 0.5) / (tb + 0.5 * nb))
+            * math.log(((ca + 0.5) / (ta + 0.5 * nb))
+                       / ((cb + 0.5) / (tb + 0.5 * nb)))
+            for ca, cb in bins.values()
+        )
+        assert abs(drifted[0]["psi"] - round(psi, 6)) < 1e-9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
