@@ -1027,23 +1027,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, ["dup", "window", "merge"], k=10)
 
 
-def build_bm25_index(
-    docs: DataFrame, index_dir: str, n_buckets: int = 64
-) -> None:
-    """Build-once half of the BM25 lifecycle: persist the inverted
-    index as a postings table partitioned by term-hash bucket, plus
-    parameter-sized corpus stats.
+def _bm25_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta.json")
 
-    The same build-once/query-many posture as the IVF/PQ ANN stores:
-    one corpus scan computes (term, doc_id, f, dl) postings; writing
-    them ``partitionBy(bucket = xxhash64(term) % n_buckets)`` means a
-    query later reads ONLY its terms' bucket directories — partition
-    pruning does the index lookup, no corpus re-scan, no driver-side
-    index structure. df is computed at query time from the fetched
-    postings (they are complete per term by construction), so the
-    store stays append-free of derived state."""
+
+def _bm25_read_meta(index_dir: str) -> dict:
     import json
 
+    with open(_bm25_meta_path(index_dir)) as fh:
+        return json.load(fh)
+
+
+def _bm25_commit_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta cut-over (write temp + rename) — the commit point
+    for every store mutation, same posture as the band-store
+    manifest."""
+    import json
+
+    tmp = _bm25_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _bm25_meta_path(index_dir))
+
+
+def _bm25_write_shard(
+    docs: DataFrame, index_dir: str, shard_id: str, n_buckets: int
+) -> dict:
+    """Write one shard's postings under postings/shard=<id>/bucket=N
+    (overwrite — a crashed partial shard is simply rewritten on
+    replay) and return its stats entry. Not committed until the
+    caller folds it into meta."""
     d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), "toks"
     )
@@ -1057,12 +1070,99 @@ def build_bm25_index(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "postings")
+        os.path.join(index_dir, "postings", f"shard={shard_id}")
     )
-    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
-        json.dump(
-            {"n_docs": n_docs, "dl_sum": dl_sum, "n_buckets": n_buckets}, fh
-        )
+    return {"n_docs": n_docs, "dl_sum": dl_sum or 0}
+
+
+def build_bm25_index(
+    docs: DataFrame, index_dir: str, n_buckets: int = 64
+) -> None:
+    """Build half of the BM25 lifecycle: persist the inverted index as
+    a postings table partitioned by (shard, term-hash bucket), plus
+    parameter-sized per-shard corpus stats in a committed meta.
+
+    The same build-once/query-many posture as the IVF/PQ ANN stores:
+    one corpus scan computes (term, doc_id, f, dl) postings; writing
+    them partitioned by ``bucket = xxhash64(term) % n_buckets`` means
+    a query later reads ONLY its terms' bucket directories —
+    partition pruning does the index lookup, no corpus re-scan, no
+    driver-side index structure. df is computed at query time from
+    the fetched postings (complete per term by construction), so the
+    store holds no derived state. The shard level is the incremental
+    ingest unit (``append_bm25_shard``); meta lists COMMITTED shards
+    only, so queries never see a half-written ingest."""
+    stats = _bm25_write_shard(docs, index_dir, "base", n_buckets)
+    _bm25_commit_meta(
+        index_dir, {"n_buckets": n_buckets, "shards": {"base": stats}}
+    )
+
+
+def append_bm25_shard(
+    docs: DataFrame, index_dir: str, shard_id: str
+) -> bool:
+    """Incremental half: fold a new document shard into the standing
+    index WITHOUT touching existing postings — one shard-local scan,
+    a shard=<id> directory write, and an atomic meta commit adding
+    the shard's stats. Replay-idempotent: a shard id already in meta
+    is a no-op (returns False); a crashed previous attempt left an
+    uncommitted directory that the rewrite simply replaces. This is
+    the daily-ingest story the band store and IVF store already have,
+    on the retrieval axis."""
+    meta = _bm25_read_meta(index_dir)
+    if shard_id in meta["shards"]:
+        return False
+    stats = _bm25_write_shard(docs, index_dir, shard_id, meta["n_buckets"])
+    meta["shards"][shard_id] = stats
+    _bm25_commit_meta(index_dir, meta)
+    return True
+
+
+def compact_bm25_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """Fold all committed shards into one — the small-files answer for
+    a store that ingests daily. Reads only committed postings,
+    rewrites them as a single new shard, commits a meta listing just
+    it (stats summed), then removes unreferenced shard directories
+    (which also garbage-collects crashed ingest leftovers). Returns
+    (shards_before, shards_after)."""
+    import shutil
+    import uuid
+
+    meta = _bm25_read_meta(index_dir)
+    committed = list(meta["shards"])
+    if len(committed) < 2:
+        return (len(committed), len(committed))
+    new_id = f"compact{uuid.uuid4().hex[:8]}"
+    posts = _bm25_read_postings(spark, index_dir, meta).select(
+        "doc_id", "dl", "term", "f", "bucket"
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings", f"shard={new_id}")
+    )
+    folded = {
+        "n_docs": sum(s["n_docs"] for s in meta["shards"].values()),
+        "dl_sum": sum(s["dl_sum"] for s in meta["shards"].values()),
+    }
+    _bm25_commit_meta(
+        index_dir,
+        {"n_buckets": meta["n_buckets"], "shards": {new_id: folded}},
+    )
+    root = os.path.join(index_dir, "postings")
+    for name in os.listdir(root):
+        if name.startswith("shard=") and name != f"shard={new_id}":
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return (len(committed), 1)
+
+
+def _bm25_read_postings(
+    spark: SparkSession, index_dir: str, meta: dict
+) -> DataFrame:
+    """All COMMITTED postings (shard partition-pruned to meta's
+    ledger) — uncommitted/crashed shard directories are invisible."""
+    shards = [F.lit(s) for s in meta["shards"]]
+    return spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        F.col("shard").isin(*shards) if shards else F.lit(False)
+    )
 
 
 def bm25_topk_from_index(
@@ -1073,16 +1173,17 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Query-once half: identical scores to ``bm25_topk`` (pinned in
+    """Query half: identical scores to ``bm25_topk`` (pinned in
     pytest) without touching the corpus. The query's bucket set is
     computed with the same JVM xxhash64 the writer used (one
-    literal-frame job, no corpus scan), the postings read prunes to
-    those bucket directories, and scoring reuses the shared tail."""
-    import json
-
-    with open(os.path.join(index_dir, "meta.json")) as fh:
-        meta = json.load(fh)
-    avgdl = meta["dl_sum"] / meta["n_docs"]
+    literal-frame job, no corpus scan); the postings read prunes to
+    committed shards AND those buckets (both are partition columns),
+    and scoring reuses the shared tail with corpus stats summed over
+    the shard ledger."""
+    meta = _bm25_read_meta(index_dir)
+    n_docs = sum(s["n_docs"] for s in meta["shards"].values())
+    dl_sum = sum(s["dl_sum"] for s in meta["shards"].values())
+    avgdl = dl_sum / n_docs
     bdf = (
         spark.createDataFrame([(t,) for t in query_terms], "term string")
         .select(
@@ -1096,14 +1197,14 @@ def bm25_topk_from_index(
     buckets = [r["bucket"] for r in bdf]
     qlit = F.array(*[F.lit(t) for t in query_terms])
     tf = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        _bm25_read_postings(spark, index_dir, meta)
         .where(
             F.col("bucket").isin(buckets)
             & F.array_contains(qlit, F.col("term"))
         )
         .select("doc_id", "dl", "term", "f")
     )
-    return _bm25_rank(tf, meta["n_docs"], avgdl, k1, b, k)
+    return _bm25_rank(tf, n_docs, avgdl, k1, b, k)
 
 
 def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:

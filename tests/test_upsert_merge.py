@@ -319,3 +319,43 @@ def test_psi_drift_detects_planted_shift(spark):
         assert abs(drifted[0]["psi"] - round(psi, 6)) < 1e-9
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_incremental_shard_lifecycle(spark, tmp_path):
+    """Appending a shard must make the index equal a from-scratch
+    build over the full corpus; replaying the same shard id is a
+    no-op; compaction folds shards without changing any score."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+    from datapoints_csv_extractor_spark.operators.textops import (
+        append_bm25_shard,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    d = load(spark, SF, "documents")
+    first = d.where(F.col("doc_id") < 250)
+    second = d.where(F.col("doc_id") >= 250)
+    idx = str(tmp_path / "bm25")
+    terms = ["dup", "window", "merge"]
+
+    build_bm25_index(first, idx, n_buckets=16)
+    assert append_bm25_shard(second, idx, "day2") is True
+    full = [tuple(r) for r in bm25_topk(d, terms, k=10).collect()]
+    assert [
+        tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=10).collect()
+    ] == full
+
+    # replay of the committed shard id: no-op, results unchanged
+    assert append_bm25_shard(second, idx, "day2") is False
+    assert [
+        tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=10).collect()
+    ] == full
+
+    # compaction folds to one shard, scores identical
+    before, after = compact_bm25_index(spark, idx)
+    assert (before, after) == (2, 1)
+    assert [
+        tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=10).collect()
+    ] == full
