@@ -79,6 +79,12 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="Drop documents whose repeated-5-gram fraction exceeds FRAC "
         "(the suffix-array-style repetition filter), e.g. 0.5",
     )
+    parser.add_argument(
+        "--bm25-index", default=None, metavar="PATH",
+        help="Also fold published documents into a standing BM25 "
+        "inverted-index store at PATH (seeded on first use; per-shard "
+        "idempotent appends)",
+    )
     parser.add_argument("--master", default=None, help="Spark master override")
     return parser.parse_args(argv)
 
@@ -93,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         resample_thresholds=_parse_resample(args.resample) or None,
         line_dedup_tokens=args.line_dedup,
         max_repeated_fraction=args.max_repeated_fraction,
+        bm25_index_path=args.bm25_index,
     )
 
     from datapoints_csv_extractor_spark.plans.corpus_ingest import (

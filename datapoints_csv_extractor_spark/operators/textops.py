@@ -1076,7 +1076,8 @@ def _bm25_write_shard(
 
 
 def build_bm25_index(
-    docs: DataFrame, index_dir: str, n_buckets: int = 64
+    docs: DataFrame, index_dir: str, n_buckets: int = 64,
+    shard_id: str = "base",
 ) -> None:
     """Build half of the BM25 lifecycle: persist the inverted index as
     a postings table partitioned by (shard, term-hash bucket), plus
@@ -1091,10 +1092,12 @@ def build_bm25_index(
     the fetched postings (complete per term by construction), so the
     store holds no derived state. The shard level is the incremental
     ingest unit (``append_bm25_shard``); meta lists COMMITTED shards
-    only, so queries never see a half-written ingest."""
-    stats = _bm25_write_shard(docs, index_dir, "base", n_buckets)
+    only, so queries never see a half-written ingest. ``shard_id``
+    names the seed shard so a replayed seeding ingest (e.g. a
+    streaming batch) stays idempotent under its own id."""
+    stats = _bm25_write_shard(docs, index_dir, shard_id, n_buckets)
     _bm25_commit_meta(
-        index_dir, {"n_buckets": n_buckets, "shards": {"base": stats}}
+        index_dir, {"n_buckets": n_buckets, "shards": {shard_id: stats}}
     )
 
 

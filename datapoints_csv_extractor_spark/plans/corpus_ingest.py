@@ -59,6 +59,7 @@ def ingest_corpus_shard(
     max_repeated_fraction: float | None = None,
     ingest_id: str | None = None,
     corpus_mode: str = "append",
+    bm25_index_path: str | None = None,
 ) -> dict[str, int]:
     """Ingest one (doc_id, text, ...) shard into the curated corpus.
 
@@ -95,7 +96,10 @@ def ingest_corpus_shard(
     Returns the shard's bookkeeping counts (the numbers an ingest
     pipeline alarms on): ``received``, ``pii_redacted``,
     ``low_quality``, ``resampled_out``, ``line_deduped``,
-    ``repetition_filtered``, ``duplicate``, ``published``.
+    ``repetition_filtered``, ``duplicate``, ``published``,
+    ``indexed`` (docs folded into the optional standing BM25 store at
+    ``bm25_index_path`` — published text becomes immediately
+    searchable, same per-shard idempotence as the band-store fold).
     """
     shard = shard.localCheckpoint()  # one materialization feeds 3 consumers
     n_received = shard.count()
@@ -193,6 +197,30 @@ def ingest_corpus_shard(
     # verdicts), NOT by re-reading the corpus: per-shard cost must stay
     # O(|shard|), independent of how big the corpus has grown.
     n_published = survivors.count()
+    n_indexed = 0
+    if bm25_index_path is not None and n_published:
+        # Published docs also become searchable: fold them into the
+        # standing BM25 store. Same shard id as the band-store fold,
+        # so a replayed batch is a no-op here too; a brand-new store
+        # is seeded on first use.
+        import os
+
+        from datapoints_csv_extractor_spark.operators.textops import (
+            append_bm25_shard,
+            build_bm25_index,
+        )
+
+        pub = survivors.select("doc_id", "text")
+        sid = ingest_id or "base"
+        if os.path.exists(os.path.join(bm25_index_path, "meta.json")):
+            if append_bm25_shard(pub, bm25_index_path, sid):
+                n_indexed = n_published
+        else:
+            # Seed under THIS ingest's shard id: a replayed seeding
+            # batch re-seeds (overwrite + same-id commit), never
+            # double-appends.
+            build_bm25_index(pub, bm25_index_path, shard_id=sid)
+            n_indexed = n_published
     return {
         "received": n_received,
         "pii_redacted": n_pii,
@@ -202,6 +230,7 @@ def ingest_corpus_shard(
         "repetition_filtered": n_repetition,
         "duplicate": n_passed - n_resampled_out - n_repetition - n_published,
         "published": n_published,
+        "indexed": n_indexed,
     }
 
 

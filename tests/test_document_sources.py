@@ -127,7 +127,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     assert stats1 == {
         "received": 3, "pii_redacted": 0, "low_quality": 1,
         "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
-        "duplicate": 0, "published": 2,
+        "duplicate": 0, "published": 2, "indexed": 0,
     }
 
     day2 = write_shard(
@@ -143,7 +143,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     assert stats2 == {
         "received": 2, "pii_redacted": 0, "low_quality": 0,
         "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
-        "duplicate": 1, "published": 1,
+        "duplicate": 1, "published": 1, "indexed": 0,
     }
 
     out = spark.read.parquet(corpus)
@@ -203,7 +203,7 @@ def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
     assert stats == {
         "received": 4, "pii_redacted": 1, "low_quality": 1,
         "resampled_out": 1, "line_deduped": 0, "repetition_filtered": 0,
-        "duplicate": 0, "published": 2,
+        "duplicate": 0, "published": 2, "indexed": 0,
     }
     out = spark.read.parquet(corpus)
     texts = {r.doc_id: r.text for r in out.collect()}
@@ -264,3 +264,80 @@ def test_ingest_corpus_shard_classifier_gate(spark, tmp_path):
     )
     assert stats["low_quality"] == len(docs) - expect_pass
     assert stats["published"] + stats["duplicate"] == expect_pass
+
+
+def test_ingest_folds_published_docs_into_bm25_store(spark, tmp_path):
+    """With bm25_index_path set, every published doc becomes
+    searchable in the standing index; duplicates and rejects are NOT
+    indexed; a replayed shard id neither re-publishes nor re-indexes."""
+    import json
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk_from_index,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    idx = str(tmp_path / "bm25")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "shuffling partitions across executors with adaptive plans"
+    )
+
+    def write_shard(name, docs):
+        p = tmp_path / name
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": i, "text": t, "lang": "en", "source": name}
+                )
+                for i, t in docs
+            )
+        )
+        return str(p)
+
+    day1 = write_shard("d1.jsonl", [(1, base), (2, other), (3, "no!")])
+    s1 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, day1), corpus, store,
+        ingest_id="day1", bm25_index_path=idx,
+    )
+    assert s1["published"] == 2 and s1["indexed"] == 2
+    hits = bm25_topk_from_index(spark, idx, ["turtles"], k=5).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+
+    # day 2: one near-dup (dropped, must NOT be indexed), one new doc
+    day2 = write_shard(
+        "d2.jsonl",
+        [(11, base.replace("pale", "dark")),
+         (12, "entirely novel prose about alpine meadows and patient glaciers")],
+    )
+    s2 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, day2), corpus, store,
+        ingest_id="day2", bm25_index_path=idx,
+    )
+    assert s2["published"] == 1 and s2["indexed"] == 1
+    assert [
+        r["doc_id"]
+        for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    ] == [12]
+    # the dropped near-dup is nowhere in the index
+    assert bm25_topk_from_index(spark, idx, ["dark"], k=5).collect() == []
+
+    # replay of day2 (same ingest id): nothing double-indexed
+    s2b = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, day2), corpus, store,
+        ingest_id="day2", bm25_index_path=idx,
+    )
+    assert s2b["indexed"] == 0
+    hits = bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    assert len(hits) == 1
