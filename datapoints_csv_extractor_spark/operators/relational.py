@@ -1188,9 +1188,12 @@ def merge_upsert(
       change rows under the same schema),
     - per key, ``max_by(struct(<payload>), struct(<version>))``
       picks the winning version. Struct ordering gives the
-      lexicographic (ts, unique_id) tie-break, map-side combined, so
-      the shuffle carries ONE row per (partition, key) — not the full
-      history — and there is no sort and no row_number window.
+      lexicographic (ts, unique_id) tie-break, map-side combined
+      (Spark compiles struct-valued max_by to a SortAggregate — a
+      per-input-partition grouping-key sort, visible as
+      partial_max_by in the plan), so the shuffle carries ONE row per
+      (partition, key) — never the full history, and no row_number
+      window.
     - the delete decision rides inside the winning struct: a
       tombstone wins like any other version and is dropped by a
       post-aggregate filter. No separate anti-join pass, and a
@@ -1198,10 +1201,11 @@ def merge_upsert(
       without special-casing.
 
     At 100 TB this is the shape that matters: the window-row_number
-    formulation shuffles and SORTS the full history per key; this
-    plan reduces it map-side to one candidate row per partition
-    before the exchange. Re-running the merge over the same delta is
-    idempotent (max of a max).
+    formulation shuffles the FULL history and sorts it per key; this
+    plan reduces it map-side to one candidate row per (partition,
+    key) before the exchange, so shuffle volume is keys, not rows.
+    Re-running the merge over the same delta is idempotent (max of a
+    max).
 
     Reference analog: the extractor's catalog create-if-missing keeps
     only the newest state per external id

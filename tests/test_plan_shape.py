@@ -419,3 +419,67 @@ def test_asof_nearest_single_data_shuffle(spark):
     plan = _plan(R.q_asof_nearest(spark, SF))
     assert "Join" not in plan
     assert _n_exchanges(plan) <= 2
+
+
+def test_upsert_merge_partial_aggregates_before_exchange(spark):
+    """The CDC merge's scale property: NO row_number window, and the
+    history is reduced map-side — a partial_max_by aggregate feeds
+    the exchange, so the shuffle carries one candidate per
+    (partition, key) instead of the full change-log (struct-valued
+    max_by compiles to SortAggregate; the partial marker is what
+    proves the map-side combine)."""
+    plan = _plan(R.q_upsert_merge(spark, SF))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    # the exchange input is the 4-column aggregated form (key cols +
+    # the max_by combiner pair), not the 7-column raw log
+    m = re.search(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan)
+    assert m and int(m.group(1)) == 4
+
+
+def test_topk_ngrams_windows_over_counted_table_only(spark):
+    """Grouped heavy-hitters: the row_number window must consume the
+    COUNTED (source, trigram) aggregate, not raw exploded grams — the
+    plan shows Generate (explode) strictly below the HashAggregates,
+    and the Window strictly above them."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_topk_ngrams_per_source,
+    )
+
+    plan = _plan(q_topk_ngrams_per_source(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    gen = body.find("Generate")
+    win = body.find("Window")
+    agg = body.find("HashAggregate")
+    assert gen != -1 and win != -1 and agg != -1
+    assert win < agg < gen  # formatted plans print top-down
+
+
+def test_bm25_search_filters_terms_before_aggregate(spark):
+    """BM25 live scan: the query-term filter must sit BELOW the tf
+    aggregate (between explode and groupBy), so the shuffle carries
+    only matching-term rows."""
+    from datapoints_csv_extractor_spark.operators.textops import bm25_topk
+    from datapoints_csv_extractor_spark.operators.relational import load as _l
+
+    plan = _plan(bm25_topk(_l(spark, SF, "documents"), ["dup", "window"], k=5))
+    body = plan.split("== Physical Plan ==")[-1]
+    agg = body.find("HashAggregate")
+    filt = body.find("array_contains")
+    assert agg != -1 and filt != -1
+    assert filt > agg  # filter deeper than (printed after) the agg
+
+
+def test_quantile_sketch_single_window_over_sketch(spark):
+    """The sketch rollup's window runs over the merged sketch (bins),
+    never the raw events: Window above both HashAggregates."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_quantile_sketch_rollup,
+    )
+
+    plan = _plan(q_quantile_sketch_rollup(spark, SF))
+    body = plan.split("== Physical Plan ==")[-1]
+    win = body.find("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", body)]
+    assert win != -1 and aggs
+    assert all(win < a for a in aggs[-2:])  # daily+monthly aggs below
