@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outer_join": R.q_outer_join,
         "q_bm25_index_query": X.q_bm25_index_query,
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
+        "q_data_quality_report": R.q_data_quality_report,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2123,5 +2124,51 @@ def oracle_sql() -> dict[str, str]:
                    AS drifted
         FROM walked GROUP BY event_type
         ORDER BY event_type
+    """
+    sql["q_data_quality_report"] = """
+        WITH checks AS (
+            SELECT 'unique_c_custkey' AS check_name,
+                   'customer' AS table_name,
+                   count(c_custkey) - count(DISTINCT c_custkey)
+                       AS n_violations
+            FROM customer
+            UNION ALL
+            SELECT 'acctbal_nonneg', 'customer',
+                   sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+            FROM customer
+            UNION ALL
+            SELECT 'positive_quantity', 'lineitem',
+                   sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_range', 'lineitem',
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                            THEN 1 ELSE 0 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'value_range', 'events',
+                   sum(CASE WHEN value < 0 OR value > 1000
+                            THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'nonempty_text', 'documents',
+                   sum(CASE WHEN text IS NULL OR length(text) = 0
+                            THEN 1 ELSE 0 END)
+            FROM documents
+            UNION ALL
+            SELECT 'orders_custkey_fk', 'orders',
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'lineitem_orderkey_fk', 'lineitem',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+        )
+        SELECT check_name, table_name,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM checks ORDER BY check_name
     """
     return sql

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_hybrid_rrf",
     "q_quantile_sketch_rollup",
     "q_distribution_drift_psi",
+    "q_data_quality_report",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

@@ -1247,3 +1247,126 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("version_ts"),
         F.col("value").alias("current_value"),
     ).orderBy("user_id", "event_type")
+
+
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over the warehouse: the
+    expectations a pipeline asserts before publishing a load —
+    uniqueness, referential integrity, range and non-null checks —
+    each emitted as one (check, table, n_violations, passed) row.
+
+    Scale shape: same-table checks share ONE scan via conditional
+    aggregation (customer and lineitem each read once however many
+    constraints they carry); referential checks are anti-join COUNTS
+    (broadcast for dimension-sized build sides, shuffle otherwise) —
+    never a materialized orphan list at report time. The report is a
+    union of 1-row aggregates: total cost is one pass per table plus
+    the joins, independent of how many checks pass.
+
+    Reference analog: the reference validates per-cell (skip
+    non-floats, csv_extractor.py:190-199) but has no load-level
+    gate; this is that posture raised to table-level contracts."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def row(check: str, table: str, viol):
+        return F.struct(
+            F.lit(check).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            viol.cast("long").alias("n_violations"),
+        )
+
+    # one scan, two checks: key uniqueness + acctbal range
+    cust_checks = cust.agg(
+        F.array(
+            row(
+                "unique_c_custkey", "customer",
+                F.count("c_custkey") - F.count_distinct(F.col("c_custkey")),
+            ),
+            # intentionally tight: TPC-H acctbal goes negative, so the
+            # FAIL path of the report is exercised non-vacuously
+            row(
+                "acctbal_nonneg", "customer",
+                F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)),
+            ),
+        ).alias("checks")
+    )
+    li_checks = li.agg(
+        F.array(
+            row(
+                "positive_quantity", "lineitem",
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
+            ),
+            row(
+                "discount_range", "lineitem",
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+                        1,
+                    ).otherwise(0)
+                ),
+            ),
+        ).alias("checks")
+    )
+    ev_checks = ev.agg(
+        F.array(
+            row(
+                "value_range", "events",
+                F.sum(
+                    F.when(
+                        (F.col("value") < 0) | (F.col("value") > 1000), 1
+                    ).otherwise(0)
+                ),
+            ),
+        ).alias("checks")
+    )
+    docs_checks = docs.agg(
+        F.array(
+            row(
+                "nonempty_text", "documents",
+                F.sum(
+                    F.when(
+                        F.col("text").isNull() | (F.length("text") == 0), 1
+                    ).otherwise(0)
+                ),
+            ),
+        ).alias("checks")
+    )
+    # referential integrity: anti-join counts (customer broadcasts)
+    orphans_orders = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.array(row("orders_custkey_fk", "orders", F.col("n"))).alias("checks"))
+    )
+    orphans_li = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.array(row("lineitem_orderkey_fk", "lineitem", F.col("n"))).alias("checks"))
+    )
+    report = (
+        cust_checks.unionByName(li_checks)
+        .unionByName(ev_checks)
+        .unionByName(docs_checks)
+        .unionByName(orphans_orders)
+        .unionByName(orphans_li)
+        .select(F.explode("checks").alias("c"))
+        .select(
+            F.col("c.check_name").alias("check_name"),
+            F.col("c.table_name").alias("table_name"),
+            F.col("c.n_violations").alias("n_violations"),
+            (F.col("c.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+    return report

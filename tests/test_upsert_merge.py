@@ -359,3 +359,25 @@ def test_bm25_incremental_shard_lifecycle(spark, tmp_path):
     assert [
         tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=10).collect()
     ] == full
+
+
+def test_data_quality_report_contract(spark):
+    """The validation report must carry every declared check, count
+    real violations (acctbal goes negative in TPC-H — the fail path
+    is non-vacuous), and pass the referential checks on coherent
+    data."""
+    from datapoints_csv_extractor_spark.operators.relational import (
+        q_data_quality_report,
+    )
+
+    rows = {r["check_name"]: r for r in q_data_quality_report(spark, SF).collect()}
+    assert set(rows) == {
+        "unique_c_custkey", "acctbal_nonneg", "positive_quantity",
+        "discount_range", "value_range", "nonempty_text",
+        "orders_custkey_fk", "lineitem_orderkey_fk",
+    }
+    assert not rows["acctbal_nonneg"]["passed"]
+    assert rows["acctbal_nonneg"]["n_violations"] > 0
+    for name in ("unique_c_custkey", "orders_custkey_fk",
+                 "lineitem_orderkey_fk", "positive_quantity"):
+        assert rows[name]["passed"], name
