@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_index_query": X.q_bm25_index_query,
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
         "q_data_quality_report": R.q_data_quality_report,
+        "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2170,5 +2171,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_violations AS BIGINT) AS n_violations,
                n_violations = 0 AS passed
         FROM checks ORDER BY check_name
+    """
+    sql["q_rolling_quantile_sketch"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(floor(value / 1.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), contrib AS (
+            SELECT event_type, day + CAST(k AS INTEGER) AS day, bin, n
+            FROM daily CROSS JOIN (SELECT unnest(range(7)) AS k)
+        ), merged AS (
+            SELECT c.event_type, c.day, c.bin, sum(c.n) AS n
+            FROM contrib c
+            WHERE EXISTS (SELECT 1 FROM daily d
+                          WHERE d.event_type = c.event_type
+                            AND d.day = c.day)
+            GROUP BY 1, 2, 3
+        ), walked AS (
+            SELECT event_type, day, bin,
+                   sum(n) OVER (PARTITION BY event_type, day ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY event_type, day) AS total,
+                   bin * 1.0 + 0.5 AS mid
+            FROM merged
+        )
+        SELECT event_type, day, max(total) AS n_points,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN mid END) AS p50_est,
+               min(CASE WHEN cum >= ceil(0.95 * total) THEN mid END) AS p95_est
+        FROM walked GROUP BY event_type, day
+        ORDER BY event_type, day
     """
     return sql

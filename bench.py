@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q_quantile_sketch_rollup",
     "q_distribution_drift_psi",
     "q_data_quality_report",
+    "q_rolling_quantile_sketch",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

@@ -1361,3 +1361,49 @@ def q_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_rolling_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day p50/p95 per (event_type, day) — the rolling-
+    percentile dashboard query — computed ENTIRELY from the daily bin
+    sketches, never from raw points.
+
+    Rolling quantiles are the classic scale trap: a naive RANGE-frame
+    percentile re-sorts every window's raw rows (O(n * window)). The
+    sketch form is linear: each daily sketch row contributes FORWARD
+    to the <=7 target days whose trailing window contains it (explode
+    by offset — the same grid trick as the two-level sliding rollup),
+    one sum-groupBy merges per-target-day sketches, and the quantile
+    walk runs over merged BINS (bounded), not points. A day appears
+    in the output only if the series actually had points that day
+    (semi-join against the daily sketch), so trailing windows never
+    dangle past the data. Exact to one bin width, deterministic, and
+    oracle-EXACT because the whole pipeline is integer arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    daily = quantile_sketch(
+        ev.withColumn(
+            "day", F.date_trunc("day", F.col("ts").cast("timestamp"))
+        ),
+        ["event_type", "day"],
+    ).withColumn("day", F.col("day").cast("date"))
+    contrib = daily.select(
+        "event_type", "day", "bin", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("k")).alias("day"),
+        "bin",
+        "n",
+    )
+    merged = (
+        contrib.groupBy("event_type", "day", "bin")
+        .agg(F.sum("n").alias("n"))
+        .join(
+            daily.select("event_type", "day").distinct(),
+            ["event_type", "day"],
+            "left_semi",
+        )
+    )
+    return sketch_quantiles(
+        merged, ["event_type", "day"], [0.5, 0.95]
+    ).orderBy("event_type", "day")

@@ -381,3 +381,36 @@ def test_data_quality_report_contract(spark):
     for name in ("unique_c_custkey", "orders_custkey_fk",
                  "lineitem_orderkey_fk", "positive_quantity"):
         assert rows[name]["passed"], name
+
+
+def test_rolling_quantile_sketch_vs_exact_window(spark):
+    """Trailing-7-day sketch quantiles must land within one bin width
+    of the exact trailing-window percentile, for every (type, day)."""
+    import datetime as dt
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_rolling_quantile_sketch,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    rows = q_rolling_quantile_sketch(spark, SF).collect()
+    assert rows
+    raw = load(spark, SF, "events").select("event_type", "ts", "value").collect()
+    by_type: dict = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["ts"].date(), r["value"])
+        )
+    checked = 0
+    for r in rows[:40]:
+        days = by_type[r["event_type"]]
+        lo = r["day"] - dt.timedelta(days=6)
+        window = sorted(v for d, v in days if lo <= d <= r["day"])
+        assert r["n_points"] == len(window)
+        for q, est in ((0.5, r["p50_est"]), (0.95, r["p95_est"])):
+            exact = window[min(len(window) - 1,
+                               max(0, math.ceil(q * len(window)) - 1))]
+            assert abs(est - exact) <= 1.0, (r, q, est, exact)
+        checked += 1
+    assert checked
