@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
         "q_data_quality_report": R.q_data_quality_report,
         "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
+        "q_seasonal_profile": A.q_seasonal_profile,
+        "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2201,5 +2203,23 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cum >= ceil(0.95 * total) THEN mid END) AS p95_est
         FROM walked GROUP BY event_type, day
         ORDER BY event_type, day
+    """
+    sql["q_seasonal_profile"] = """
+        WITH prof AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   count(*) AS n_points,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour_of_day, n_points,
+               floor((s / n_points / 100.0) * 10000 + 0.5) / 10000.0
+                   AS hour_mean,
+               floor(((s / n_points / 100.0)
+                      / (CAST(sum(s) OVER w AS DOUBLE)
+                         / sum(n_points) OVER w / 100.0)) * 10000 + 0.5)
+                   / 10000.0 AS seasonal_index
+        FROM prof
+        WINDOW w AS (PARTITION BY event_type)
+        ORDER BY event_type, hour_of_day
     """
     return sql

@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q_distribution_drift_psi",
     "q_data_quality_report",
     "q_rolling_quantile_sketch",
+    "q_seasonal_profile",
+    "q_rolling_distinct_hll",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

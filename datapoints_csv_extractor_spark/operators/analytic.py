@@ -1407,3 +1407,84 @@ def q_rolling_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_quantiles(
         merged, ["event_type", "day"], [0.5, 0.95]
     ).orderBy("event_type", "day")
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: per-hour exact
+    mean and its seasonal index (hour mean / series mean) — the
+    decomposition a monitoring pipeline divides out before flagging
+    anomalies, so a nightly lull doesn't read as a drop.
+
+    One hash aggregate on (type, hour) — 24 x types rows — then the
+    series-level mean via a bounded window over the PROFILE, never a
+    second scan of raw events. Means assemble from exact centi-unit
+    integer sums with one fixed expression and floor-rounding (the
+    engine-exactness discipline of q_discrete_variance); the index is
+    a ratio of two such means, rounded once."""
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    prof = ev.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("s"),
+    )
+    w = Window.partitionBy("event_type")
+    g_mean = F.sum("s").over(w) / F.sum("n_points").over(w) / 100.0
+    h_mean = F.col("s") / F.col("n_points") / 100.0
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return (
+        prof.select(
+            "event_type",
+            "hour_of_day",
+            "n_points",
+            r4(h_mean).alias("hour_mean"),
+            r4(h_mean / g_mean).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) — the
+    WAU-style rolling-distinct dashboard — from daily HLL sketches
+    alone, via the same contribute-forward grid as
+    q_rolling_quantile_sketch: each day's ~1.5 KB sketch fans out to
+    the <=7 windows containing it and a union-aggregate merges per
+    window. Rolling DISTINCT is the op exact pre-aggregation
+    fundamentally cannot serve (distincts don't add; sketches union),
+    so at 100 TB this turns an O(n x window) distinct re-count into
+    sketch arithmetic. Rows-only (sketch binaries have no SQL twin);
+    the relative-error bound vs the exact rolling distinct is pinned
+    in pytest."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    contrib = daily.select(
+        "event_type", "day", "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("k")).alias("day"),
+        "sk",
+    )
+    return (
+        contrib.groupBy("event_type", "day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users_7d"
+            ),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .join(
+            daily.select("event_type", "day").distinct(),
+            ["event_type", "day"],
+            "left_semi",
+        )
+        .orderBy("event_type", "day")
+    )

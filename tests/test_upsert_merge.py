@@ -414,3 +414,65 @@ def test_rolling_quantile_sketch_vs_exact_window(spark):
             assert abs(est - exact) <= 1.0, (r, q, est, exact)
         checked += 1
     assert checked
+
+
+def test_seasonal_profile_contract(spark):
+    """Hourly means must equal a pure-Python computation from raw
+    events; seasonal indexes must average ~1 over hours weighted by
+    counts."""
+    from collections import defaultdict
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_seasonal_profile,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    rows = q_seasonal_profile(spark, SF).collect()
+    raw = load(spark, SF, "events").collect()
+    sums = defaultdict(lambda: [0, 0])
+    for r in raw:
+        key = (r["event_type"], r["ts"].hour)
+        sums[key][0] += round(r["value"] * 100)
+        sums[key][1] += 1
+    import math
+
+    for r in rows:
+        s, n = sums[(r["event_type"], r["hour_of_day"])]
+        assert r["n_points"] == n
+        expected = math.floor((s / n / 100.0) * 10000 + 0.5) / 10000.0
+        assert r["hour_mean"] == expected
+    # count-weighted mean of seasonal indexes ~ 1 per type
+    per_type = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        per_type[r["event_type"]][0] += r["seasonal_index"] * r["n_points"]
+        per_type[r["event_type"]][1] += r["n_points"]
+    for t, (acc, n) in per_type.items():
+        assert abs(acc / n - 1.0) < 0.01, t
+
+
+def test_rolling_distinct_hll_error_bound(spark):
+    """Trailing-7-day HLL estimates must stay within 5% of the exact
+    rolling distinct-user count."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_rolling_distinct_hll,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    rows = q_rolling_distinct_hll(spark, SF).collect()
+    assert rows
+    raw = load(spark, SF, "events").collect()
+    days = defaultdict(set)
+    for r in raw:
+        days[(r["event_type"], r["ts"].date())].add(r["user_id"])
+    for r in rows:
+        exact = set()
+        for k in range(7):
+            exact |= days.get(
+                (r["event_type"], r["day"] - dt.timedelta(days=k)), set()
+            )
+        assert exact, r
+        rel = abs(r["approx_users_7d"] - len(exact)) / len(exact)
+        assert rel <= 0.05, (r, len(exact))
