@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_seasonal_profile": A.q_seasonal_profile,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
+        "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2221,5 +2222,50 @@ def oracle_sql() -> dict[str, str]:
         FROM prof
         WINDOW w AS (PARTITION BY event_type)
         ORDER BY event_type, hour_of_day
+    """
+    sql["q_seasonal_adjusted_anomaly"] = """
+        WITH prof AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   count(*) AS n_points,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, hour_of_day,
+                   floor(((s / n_points / 100.0)
+                          / (CAST(sum(s) OVER w AS DOUBLE)
+                             / sum(n_points) OVER w / 100.0)) * 10000 + 0.5)
+                       / 10000.0 AS seasonal_index
+            FROM prof
+            WINDOW w AS (PARTITION BY event_type)
+        ), adj AS (
+            SELECT e.user_id, e.ts,
+                   CAST(round(e.value / i.seasonal_index * 100) AS BIGINT)
+                       AS xc,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS es
+            FROM events e JOIN idx i
+              ON e.event_type = i.event_type
+             AND CAST(hour(e.ts) AS INTEGER) = i.hour_of_day
+        ), st AS (
+            SELECT user_id, ts, xc / 100.0 AS adjusted_value,
+                   CAST(count(*) OVER w AS DOUBLE) AS n,
+                   sum(xc) OVER w AS s,
+                   sum(xc * xc) OVER w AS q
+            FROM adj
+            WINDOW w AS (PARTITION BY user_id ORDER BY es
+                         RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+            SELECT user_id, ts, adjusted_value, n,
+                   s / n / 100.0 AS mean_v,
+                   sqrt(greatest((q - s * s / n) / n, 0.0)) / 100.0 AS std_v
+            FROM st
+        )
+        SELECT user_id, ts, adjusted_value,
+               floor((adjusted_value - mean_v) / std_v * 10000 + 0.5)
+                   / 10000.0 AS zscore,
+               abs(floor((adjusted_value - mean_v) / std_v * 10000 + 0.5)
+                   / 10000.0) > 3.0 AS is_anomaly
+        FROM z
+        WHERE n >= 2 AND std_v > 0
+        ORDER BY user_id, ts
     """
     return sql

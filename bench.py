@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_data_quality_report",
     "q_rolling_quantile_sketch",
     "q_seasonal_profile",
+    "q_seasonal_adjusted_anomaly",
     "q_rolling_distinct_hll",
     "q_asof_join",
     "q_window_rank",

@@ -1488,3 +1488,74 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def q_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: each value is first deflated
+    by its (event_type, hour-of-day) seasonal index — so a nightly
+    lull or lunchtime spike is expected, not anomalous — then scored
+    with the trailing-24 h z-score machinery on the ADJUSTED series.
+    The composition monitoring systems actually deploy: profile
+    (q_seasonal_profile) x trailing z (q_anomaly_zscore).
+
+    Plan: the 24 x types profile is a broadcast join onto the events
+    scan (no fact shuffle), adjusted values re-enter the exact
+    centi-unit integer domain by one explicit rounding (the
+    cross-engine float discipline), and the single window shuffle on
+    the series key is shared with the plain z-score. The seasonal
+    index is floor-rounded at 4 decimals BEFORE the division on both
+    engines, so the adjusted series is bit-identical."""
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    prof = ev.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_points"), F.sum(x).alias("s"))
+    w = Window.partitionBy("event_type")
+    g_mean = F.sum("s").over(w) / F.sum("n_points").over(w) / 100.0
+    h_mean = F.col("s") / F.col("n_points") / 100.0
+    idx = F.floor((h_mean / g_mean) * 10000 + F.lit(0.5)) / 10000.0
+    profile = prof.select(
+        "event_type", "hour_of_day", idx.alias("seasonal_index")
+    )
+    joined = ev.join(
+        F.broadcast(profile),
+        (ev["event_type"] == profile["event_type"])
+        & (F.hour(ev["ts"].cast("timestamp")) == profile["hour_of_day"]),
+    ).select(
+        ev["user_id"], ev["ts"],
+        F.col("value"),
+        F.col("seasonal_index"),
+    )
+    adj_c = F.round(
+        F.col("value") / F.col("seasonal_index") * 100
+    ).cast("long")
+    base = joined.select(
+        "user_id", "ts",
+        adj_c.alias("xc"),
+        (adj_c / 100.0).alias("adjusted_value"),
+    )
+    epoch_s = F.unix_timestamp("ts")
+    win = (
+        Window.partitionBy("user_id").orderBy(epoch_s).rangeBetween(-86400, -1)
+    )
+    n = F.count(F.lit(1)).over(win).cast("double")
+    s = F.sum("xc").over(win)
+    q = F.sum(F.col("xc") * F.col("xc")).over(win)
+    var_c = F.greatest((q - s * s / n) / n, F.lit(0.0))
+    mean_v = s / n / F.lit(100.0)
+    std_v = F.sqrt(var_c) / F.lit(100.0)
+    z = (F.col("adjusted_value") - mean_v) / std_v
+    r4 = F.floor(z * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        base.select(
+            "user_id", "ts", "adjusted_value",
+            F.when((n >= 2) & (std_v > 0), r4).alias("zscore"),
+        )
+        .where(F.col("zscore").isNotNull())
+        .select(
+            "user_id", "ts", "adjusted_value", "zscore",
+            (F.abs(F.col("zscore")) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "ts")
+    )

