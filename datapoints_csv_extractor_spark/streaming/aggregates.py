@@ -557,3 +557,39 @@ def stream_anomaly_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_quantile_sketch(
+    datapoints: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Streaming producer for the mergeable quantile sketches
+    (``operators.analytic.quantile_sketch``): per-(series, window,
+    bin) counts with a watermark bounding state — each closed window
+    emits its sketch rows exactly once (Append mode).
+
+    This is why equi-width bin sketches were chosen over exact
+    percentiles: the sketch is a plain windowed COUNT, so the
+    streaming twin is a stock watermarked aggregate with tiny
+    mergeable state — a stream and a batch backfill produce
+    interchangeable sketch partials, and every downstream read
+    (monthly rollup, rolling quantiles, PSI drift) consumes either
+    without caring which wrote it."""
+    b = (F.floor(F.col("value") / F.lit(bin_width))).cast("long")
+    return (
+        datapoints.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            "external_id",
+            b.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "external_id",
+            "bin",
+            "n",
+        )
+    )

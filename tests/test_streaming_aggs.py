@@ -636,3 +636,59 @@ def test_stream_anomaly_zscore_matches_batch_math(spark, tmp_path):
     assert len(rows) == 1  # only the third has >= 2 preceding points
     assert rows[0].value == 5.0
     assert rows[0].zscore == expected([30.0, 31.0], 5.0)
+
+
+def test_stream_quantile_sketch_partials_match_batch_sketch(spark, tmp_path):
+    """The streaming sketch producer must emit exactly the batch
+    quantile_sketch partials for closed windows (stream/batch sketch
+    interchangeability — the property the sketch family is built on),
+    and drop points behind the watermark."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        quantile_sketch,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_quantile_sketch,
+    )
+
+    src = tmp_path / "dp"
+    ckpt = tmp_path / "ckpt"
+    day = 86_400_000
+    t0 = 500 * day
+    _write_points(
+        spark,
+        src,
+        [
+            ("s1", t0 + 1_000, 3.2),
+            ("s1", t0 + 2_000, 3.9),   # same bin as 3.2
+            ("s1", t0 + 3_000, 10.5),
+            ("s2", t0 + 4_000, 0.4),
+        ],
+    )
+    # batch mode over the same expression
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    batch_rows = {
+        (r.external_id, r.bin): r.n
+        for r in quantile_sketch(
+            batch.withColumn("day", F.date_trunc("day", "event_time")),
+            ["external_id", "day"],
+            value_col="value",
+        ).collect()
+    }
+    assert batch_rows == {("s1", 3): 2, ("s1", 10): 1, ("s2", 0): 1}
+
+    # streaming: window closes when a next-day point advances the
+    # watermark past its end
+    _write_points(spark, src, [("s1", t0 + 2 * day, 5.0)])
+    stream = stream_datapoints(spark, str(src)).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms"))
+    )
+    rows = _drain(
+        spark, stream_quantile_sketch(stream), "qs1", ckpt, "append"
+    )
+    got = {(r.external_id, r.bin): r.n for r in rows}
+    assert got == batch_rows  # day-500 window closed; day-502 not yet
