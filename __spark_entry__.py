@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_profile": A.q_seasonal_profile,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
         "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
+        "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2267,5 +2268,19 @@ def oracle_sql() -> dict[str, str]:
         FROM z
         WHERE n >= 2 AND std_v > 0
         ORDER BY user_id, ts
+    """
+    sql["q_weighted_sample_per_source"] = """
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   ln((((doc_id + 1) * 2654435761) % 4294967296 + 0.5)
+                      / 4294967296.0) / n_chars AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY es_key DESC, doc_id) AS rk
+        FROM keyed
+        QUALIFY rk <= 3
+        ORDER BY source, rk
     """
     return sql

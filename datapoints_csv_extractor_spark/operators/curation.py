@@ -623,3 +623,45 @@ def q_quality_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u"),
         (u < score).alias("keep"),
     ).orderBy("doc_id")
+
+
+def q_weighted_sample_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling without replacement, per source: the
+    Efraimidis-Spirakis one-pass scheme — each doc draws a
+    deterministic uniform u and ranks by ln(u)/weight (the monotone
+    form of u^(1/w)); the top-k per group IS a weight-proportional
+    sample without replacement. The primitive behind 'sample 1M docs
+    per domain, longer docs proportionally more often' in a training
+    mixture, at any scale, in ONE pass.
+
+    Determinism discipline: u comes from a Knuth multiplicative hash
+    of doc_id over 2^32 (exact integer arithmetic both engines — the
+    md5-hex trick elsewhere can't feed a logarithm), weight is
+    n_chars, and ranking is (key DESC, doc_id) so both engines select
+    the identical sample. Replayed runs reproduce the same sample —
+    the property mixture rebalancing needs (see q_mixture_resample's
+    md5 coin; this is its weighted generalization).
+
+    Plan: scan-side key computation, one shuffle on source for the
+    per-group top-k window; at 100 TB swap the window for a two-phase
+    per-partition heap if group cardinality is tiny — the key
+    computation and semantics stay identical."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        ((F.col("doc_id") + 1) * F.lit(2654435761)) % F.lit(4294967296)
+        + 0.5
+    ) / 4294967296.0
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(key), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )

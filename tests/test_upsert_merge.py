@@ -507,3 +507,46 @@ def test_seasonal_adjustment_changes_verdicts_sensibly(spark):
     # family's documented small-sample behavior, not a defect here)
     verdicts = {r["is_anomaly"] for r in adj}
     assert verdicts == {True, False}
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """The Efraimidis-Spirakis sample must equal a pure-Python replica
+    of the same deterministic keys, and heavier docs must win rank
+    ties in expectation: across sources, the sampled docs' mean
+    n_chars exceeds the corpus mean."""
+    import math
+    from collections import defaultdict
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_weighted_sample_per_source,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    got = [
+        (r["source"], r["doc_id"], r["rk"])
+        for r in q_weighted_sample_per_source(spark, SF).collect()
+    ]
+    raw = load(spark, SF, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    per_src = defaultdict(list)
+    for r in raw:
+        if r["n_chars"] <= 0:
+            continue
+        u = (((r["doc_id"] + 1) * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        per_src[r["source"]].append(
+            (math.log(u) / r["n_chars"], r["doc_id"])
+        )
+    expected = []
+    for src in sorted(per_src):
+        ranked = sorted(per_src[src], key=lambda t: (-t[0], t[1]))[:3]
+        expected.extend((src, d, i + 1) for i, (_, d) in enumerate(ranked))
+    assert got == expected
+
+    sampled_chars = {
+        (r["source"], r["doc_id"]): r["n_chars"]
+        for r in q_weighted_sample_per_source(spark, SF).collect()
+    }
+    corpus_mean = sum(r["n_chars"] for r in raw) / len(raw)
+    sample_mean = sum(sampled_chars.values()) / len(sampled_chars)
+    assert sample_mean > corpus_mean  # weight-proportional pull
