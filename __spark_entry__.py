@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
         "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
+        "q_gopher_rules": C.q_gopher_rules,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2282,5 +2283,39 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed
         QUALIFY rk <= 3
         ORDER BY source, rk
+    """
+    sql["q_gopher_rules"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   round(coalesce(list_sum(list_transform(toks,
+                             x -> CAST(length(x) AS DOUBLE))), 0)
+                         / greatest(len(toks), 1), 4) AS mean_word_len,
+                   round((length(text)
+                          - length(regexp_replace(text, '[#]|\\.\\.\\.',
+                                                  '', 'g')))
+                         / greatest(len(toks), 1), 4) AS symbol_ratio,
+                   round(len(list_filter(toks,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+                         / greatest(len(toks), 1), 4) AS frac_alpha_words,
+                   len(list_intersect(toks,
+                       ['scan','join','order','group',
+                        'value','data','key','row']))
+                       AS n_required_stopwords
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               frac_alpha_words, n_required_stopwords,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND frac_alpha_words >= 0.8
+                AND n_required_stopwords >= 2) AS passes_gopher
+        FROM m ORDER BY doc_id
     """
     return sql

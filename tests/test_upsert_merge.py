@@ -550,3 +550,33 @@ def test_weighted_sample_matches_python_replica(spark):
     corpus_mean = sum(r["n_chars"] for r in raw) / len(raw)
     sample_mean = sum(sampled_chars.values()) / len(sampled_chars)
     assert sample_mean > corpus_mean  # weight-proportional pull
+
+
+def test_gopher_rules_both_verdicts_and_published_default(spark):
+    """The corpus-localized gate must produce BOTH verdicts on real
+    data; the published-default list must pass a well-formed English
+    paragraph and fail a symbol-heavy one."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        gopher_rules,
+        q_gopher_rules,
+    )
+
+    rows = q_gopher_rules(spark, SF).collect()
+    verdicts = {r["passes_gopher"] for r in rows}
+    assert verdicts == {True, False}
+    # metric sanity on one row
+    r = rows[0]
+    assert r["n_words"] > 0 and 0 <= r["frac_alpha_words"] <= 1.0
+
+    good = " ".join(
+        ["the quick engine scans data and that is fine to have with care"]
+        * 5
+    )
+    bad = "### ### " + " ".join(["x#y"] * 60)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs, min_words=10).collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["passes_gopher"]
+    assert out[2]["symbol_ratio"] > 0.1
