@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         "q_gopher_rules": C.q_gopher_rules,
+        "q_compression_ratio": X.q_compression_ratio,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q_rolling_distinct_hll",
     "q_weighted_sample_per_source",
     "q_gopher_rules",
+    "q_compression_ratio",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

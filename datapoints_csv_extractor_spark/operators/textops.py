@@ -1223,3 +1223,61 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(
         spark, index_dir, ["dup", "window", "merge"], k=10
     )
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness signal (template/boilerplate text compresses far
+    below natural prose; near-random noise compresses above it).
+    Complements the exact repeated-span detector: spans find WHICH
+    text repeats, the ratio is a one-number prior that needs no
+    n-gram state.
+
+    Python is unavoidable here (no JVM zlib expression), so the cost
+    discipline is the Arrow one: ``mapInPandas`` batches (zero
+    per-row Python call overhead beyond the C zlib call itself) over
+    a scan fanned to cluster parallelism by ``spread_scan`` — the
+    same byte-priced-coalescer guard every other Arrow stage in this
+    repo carries. Output: (doc_id, n_bytes, compressed_bytes,
+    compression_ratio)."""
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    src = spread_scan(docs.select("doc_id", "text"))
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            cb = [len(zlib.compress(b, 6)) if b else 0 for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "compressed_bytes": cb,
+                    "compression_ratio": [
+                        round(c / n, 4) if n else 0.0
+                        for c, n in zip(cb, nb)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        _batches,
+        schema="doc_id long, n_bytes long, compressed_bytes long, "
+        "compression_ratio double",
+    )
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing compression-ratio signal over the documents
+    table (rows-only: no SQL zlib; the repetitive-vs-random ordering
+    property and determinism are pinned in pytest)."""
+    return compression_ratio(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

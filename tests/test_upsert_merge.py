@@ -580,3 +580,34 @@ def test_gopher_rules_both_verdicts_and_published_default(spark):
     assert out[1]["passes_gopher"]
     assert not out[2]["passes_gopher"]
     assert out[2]["symbol_ratio"] > 0.1
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    """zlib ratio must rank: repeated template << natural-ish prose <
+    high-entropy noise; and the real-corpus run must be deterministic
+    across invocations."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        compression_ratio,
+        q_compression_ratio,
+    )
+
+    template = "click here to unsubscribe " * 40
+    prose = (
+        "the river carved its patient way through granite and glacial "
+        "till while seventeen green turtles watched from a mossy bank "
+        "under pale skies and the evening light faded over the valley "
+        "as distant engines hummed across the water toward the delta"
+    )
+    docs = spark.createDataFrame(
+        [(1, template), (2, prose)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    assert out[1]["compression_ratio"] < 0.2  # template crushes
+    assert 0.3 < out[2]["compression_ratio"] < 0.95  # prose mid-band
+    for r in out.values():
+        assert r["compressed_bytes"] <= r["n_bytes"] + 16
+
+    a = q_compression_ratio(spark, SF).collect()
+    b = q_compression_ratio(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
