@@ -23,10 +23,13 @@ from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.analytic import (
     datapoint_aggregates,
+    quantile_sketch,
+    sketch_quantiles,
     time_weighted_aggregates,
 )
 
-MODES = ("raw", "aggregates", "time_weighted", "latest")
+MODES = ("raw", "aggregates", "time_weighted", "latest", "quantiles",
+         "anomaly")
 
 
 def read_datapoints(
@@ -49,6 +52,12 @@ def read_datapoints(
       variance, total variation per bucket.
     - ``mode="latest"``: newest observation at-or-before ``end`` per
       series (max_by — no sort).
+    - ``mode="quantiles"``: p50/p95/p99 per (series, granularity)
+      bucket off the mergeable bin sketches — exact to one bin width,
+      the rollup-friendly percentile read.
+    - ``mode="anomaly"``: trailing-24 h z-score per point (exact
+      centi-unit integer sums; the q_anomaly_zscore machinery,
+      column-parameterized).
 
     ``start`` is inclusive, ``end`` exclusive (the reference's
     exclusive-bound idiom, S2); pass None to leave a side unbounded.
@@ -76,6 +85,45 @@ def read_datapoints(
             out, series_col=series_col, ts_col=ts_col, value_col=value_col,
             granularity=granularity,
         ).withColumnRenamed("user_id", series_col)
+    if mode == "quantiles":
+        daily = quantile_sketch(
+            out.withColumn(
+                "bucket",
+                F.date_trunc(granularity, F.col(ts_col).cast("timestamp")),
+            ),
+            [series_col, "bucket"],
+            value_col=value_col,
+        )
+        return sketch_quantiles(
+            daily, [series_col, "bucket"], [0.5, 0.95, 0.99]
+        ).orderBy(series_col, "bucket")
+    if mode == "anomaly":
+        from pyspark.sql import Window
+
+        x = F.round(F.col(value_col) * 100).cast("long")
+        epoch_s = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        w = (
+            Window.partitionBy(series_col)
+            .orderBy(epoch_s)
+            .rangeBetween(-86400, -1)
+        )
+        n = F.count(F.lit(1)).over(w).cast("double")
+        s = F.sum(x).over(w)
+        q = F.sum(x * x).over(w)
+        var_c = F.greatest((q - s * s / n) / n, F.lit(0.0))
+        mean_v = s / n / F.lit(100.0)
+        std_v = F.sqrt(var_c) / F.lit(100.0)
+        z = (F.col(value_col) - mean_v) / std_v
+        r4 = F.floor(z * 10000 + F.lit(0.5)) / F.lit(10000.0)
+        return (
+            out.select(
+                series_col, ts_col, value_col,
+                F.when((n >= 2) & (std_v > 0), r4).alias("zscore"),
+            )
+            .where(F.col("zscore").isNotNull())
+            .withColumn("is_anomaly", F.abs(F.col("zscore")) > 3.0)
+            .orderBy(series_col, ts_col)
+        )
     return (
         out.groupBy(series_col)
         .agg(

@@ -515,3 +515,34 @@ def test_derivative_matches_python(spark):
     assert got.keys() == expect.keys()
     for k in expect:
         assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+
+
+def test_read_api_quantiles_and_anomaly_modes(spark):
+    """The facade's new modes must equal their standalone operators'
+    semantics on the events table (columns renamed through the
+    series_col parameter)."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+    from datapoints_csv_extractor_spark.plans.read_api import read_datapoints
+
+    ev = load(spark, SF, "events").select("user_id", "ts", "value")
+
+    qrows = read_datapoints(
+        ev, mode="quantiles", granularity="month", series_col="user_id"
+    ).collect()
+    assert qrows
+    for r in qrows:
+        assert r["p50_est"] <= r["p95_est"] <= r["p99_est"]
+        assert r["n_points"] > 0
+
+    arows = read_datapoints(
+        ev, mode="anomaly", series_col="user_id"
+    ).collect()
+    assert arows
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_anomaly_zscore,
+    )
+
+    base = q_anomaly_zscore(spark, SF).collect()
+    assert {(r["user_id"], r["ts"], r["zscore"]) for r in arows} == {
+        (r["user_id"], r["ts"], r["zscore"]) for r in base
+    }
