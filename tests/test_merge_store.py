@@ -1,0 +1,150 @@
+"""Hash-bucket-partitioned upsert store: MERGE INTO semantics, bucket
+locality, delete cleanup, replay idempotence, and the streaming drive."""
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from datapoints_csv_extractor_spark.sinks.merge_store import (
+    read_store,
+    stream_upsert_into_store,
+    upsert_into_store,
+)
+
+SCHEMA = (
+    "k string, ts timestamp, seq long, v double, deleted boolean"
+)
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(
+        [
+            (k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), s, v, d)
+            for (k, m, s, v, d) in rows
+        ],
+        SCHEMA,
+    )
+
+
+def _state(spark, path):
+    return {
+        r["k"]: (r["v"], r["seq"]) for r in read_store(spark, path).collect()
+    }
+
+
+def test_merge_store_upsert_delete_and_replay(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b1 = _delta(
+        spark,
+        [("a", 0, 0, 1.0, False), ("b", 0, 1, 2.0, False),
+         ("c", 0, 2, 3.0, False)],
+    )
+    upsert_into_store(
+        spark, b1, store, keys=["k"], version_cols=["ts", "seq"]
+    )
+    assert _state(spark, store) == {
+        "a": (1.0, 0), "b": (2.0, 1), "c": (3.0, 2)
+    }
+
+    b2 = _delta(
+        spark,
+        [("a", 5, 3, 10.0, False),   # update
+         ("b", 5, 4, 0.0, True),     # delete
+         ("d", 5, 5, 40.0, False)],  # insert
+    )
+    affected = upsert_into_store(
+        spark, b2, store, keys=["k"], version_cols=["ts", "seq"]
+    )
+    expected = {"a": (10.0, 3), "c": (3.0, 2), "d": (40.0, 5)}
+    assert _state(spark, store) == expected
+
+    # replay of the same batch: idempotent, same state, same buckets
+    assert upsert_into_store(
+        spark, b2, store, keys=["k"], version_cols=["ts", "seq"]
+    ) == affected
+    assert _state(spark, store) == expected
+
+
+def test_merge_store_touches_only_affected_buckets(spark, tmp_path):
+    """A delta must not rewrite bucket directories its keys don't hash
+    into — the O(affected) locality claim, checked via file mtimes."""
+    store = str(tmp_path / "store")
+    seed = _delta(
+        spark, [(f"k{i}", 0, i, float(i), False) for i in range(40)]
+    )
+    upsert_into_store(
+        spark, seed, store, keys=["k"], version_cols=["ts", "seq"]
+    )
+    one = _delta(spark, [("k0", 9, 99, 123.0, False)])
+    # find k0's bucket id via the store layout after a probe merge
+    before = {
+        d: max(
+            os.path.getmtime(os.path.join(store, d, f))
+            for f in os.listdir(os.path.join(store, d))
+        )
+        for d in os.listdir(store)
+        if d.startswith("__bucket=")
+    }
+    time.sleep(1.1)
+    affected = upsert_into_store(
+        spark, one, store, keys=["k"], version_cols=["ts", "seq"]
+    )
+    assert len(affected) == 1
+    after = {
+        d: max(
+            os.path.getmtime(os.path.join(store, d, f))
+            for f in os.listdir(os.path.join(store, d))
+        )
+        for d in os.listdir(store)
+        if d.startswith("__bucket=")
+    }
+    touched = {d for d in before if after.get(d, 0) > before[d]}
+    assert touched == {f"__bucket={affected[0]}"}
+    assert _state(spark, store)["k0"] == (123.0, 99)
+
+
+def test_merge_store_deleting_whole_bucket_clears_directory(spark, tmp_path):
+    store = str(tmp_path / "store")
+    upsert_into_store(
+        spark,
+        _delta(spark, [("solo", 0, 0, 7.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    dirs = [d for d in os.listdir(store) if d.startswith("__bucket=")]
+    assert len(dirs) == 1
+    upsert_into_store(
+        spark,
+        _delta(spark, [("solo", 5, 1, 0.0, True)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    assert _state(spark, store) == {}
+    assert not os.path.exists(os.path.join(store, dirs[0]))
+
+
+def test_stream_upsert_into_store(spark, tmp_path):
+    """The streaming drive applies every micro-batch's changes through
+    the same merge; final store equals the batch result."""
+    src = tmp_path / "deltas"
+    ckpt = tmp_path / "ckpt"
+    store = str(tmp_path / "store")
+
+    def push(rows):
+        _delta(spark, rows).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = stream_upsert_into_store(
+            spark, stream, store, str(ckpt),
+            keys=["k"], version_cols=["ts", "seq"],
+        )
+        q.awaitTermination(120)
+
+    push([("a", 0, 0, 1.0, False), ("b", 0, 1, 2.0, False)])
+    drain()
+    push([("a", 5, 2, 11.0, False), ("b", 5, 3, 0.0, True),
+          ("c", 5, 4, 30.0, False)])
+    drain()
+    assert _state(spark, store) == {"a": (11.0, 2), "c": (30.0, 4)}
