@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         "q_gopher_rules": C.q_gopher_rules,
         "q_compression_ratio": X.q_compression_ratio,
+        "q_audience_overlap": A.q_audience_overlap,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2318,5 +2319,17 @@ def oracle_sql() -> dict[str, str]:
                 AND frac_alpha_words >= 0.8
                 AND n_required_stopwords >= 2) AS passes_gopher
         FROM m ORDER BY doc_id
+    """
+    sql["q_audience_overlap"] = """
+        WITH m AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value >= 250
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM m a JOIN m b ON a.user_id = b.user_id
+        WHERE a.event_type <= b.event_type
+        GROUP BY type_a, type_b
+        ORDER BY type_a, type_b
     """
     return sql

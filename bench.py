@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q_weighted_sample_per_source",
     "q_gopher_rules",
     "q_compression_ratio",
+    "q_audience_overlap",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

@@ -1559,3 +1559,41 @@ def q_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts")
     )
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: for every (event_type_a,
+    event_type_b) pair, how many users did BOTH — the segment-overlap
+    matrix behind 'what fraction of purchasers also hit errors'.
+
+    Set-intersection cardinalities don't pre-aggregate (the same
+    reason rolling distinct needed HLL); the EXACT form here reduces
+    events to the distinct (user, type) membership table first — one
+    shuffle, bounded by users x types — then self-joins it on user
+    (co-partitioned by the same key, so no extra exchange) with
+    type_a <= type_b to emit each unordered pair once. At sketch
+    scale the same matrix comes from intersecting per-type HLL
+    unions; the exact form is the oracle-checkable ground truth.
+    Membership = high-value events only (value >= 250): the synthetic
+    feed is dense enough that unrestricted membership saturates the
+    matrix to the constant user count, which would verify the
+    intersection logic only vacuously (the q_anti_join non-vacuous
+    principle)."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.where(F.col("value") >= 250)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") <= F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
