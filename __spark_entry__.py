@@ -83,10 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline": X.q_curation_pipeline,
         # Corpus curation (north-star)
         "q_pii_redact": C.q_pii_redact,
-        "q_pii_stats": C.q_pii_stats,
+        "q_data_quality_report": R.q_data_quality_report,
         "q_quality_classifier": C.q_quality_classifier,
         "q_mixture_resample": C.q_mixture_resample,
-        "q_quality_importance_sample": C.q_quality_importance_sample,
+        "q_distribution_drift_psi": A.q_distribution_drift_psi,
         "q_repeated_spans": C.q_repeated_spans,
         "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
@@ -103,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": A.q_percentiles,
         "q_outer_join": R.q_outer_join,
         "q_bm25_index_query": X.q_bm25_index_query,
-        "q_distribution_drift_psi": A.q_distribution_drift_psi,
-        "q_data_quality_report": R.q_data_quality_report,
+        "q_pii_stats": C.q_pii_stats,
+        "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_seasonal_profile": A.q_seasonal_profile,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
