@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": C.q_gopher_rules,
         "q_compression_ratio": X.q_compression_ratio,
         "q_audience_overlap": A.q_audience_overlap,
+        "q_audience_overlap_hll": A.q_audience_overlap_hll,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,

@@ -1597,3 +1597,44 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for q_audience_overlap: per-type HLL user
+    sketches (one aggregate over the same high-value membership),
+    then pairwise |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) by
+    inclusion-exclusion over a types x types nested-loop join of the
+    PARAMETER-SIZED sketch table (one ~1.5 KB sketch per type).
+
+    This is the shape that survives when the exact path's membership
+    table (users x types) itself no longer fits a shuffle: raw events
+    fold once into sketches, every pairwise intersection is sketch
+    arithmetic. Rows-only (sketch estimates have no SQL twin); pytest
+    pins the estimates against the exact operator — at these
+    cardinalities HLL runs in sparse mode and the two agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    sk = (
+        ev.where(F.col("value") >= 250)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    est = F.hll_sketch_estimate
+    inter = (
+        est(F.col("a.sk"))
+        + est(F.col("b.sk"))
+        - est(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            F.col("a.event_type") <= F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            inter.cast("long").alias("approx_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )

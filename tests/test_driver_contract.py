@@ -39,6 +39,7 @@ ROWS_ONLY_ALLOWED = {
     "q_hll_distinct_rollup",  # sketch estimates have no SQL twin
     "q_rolling_distinct_hll",  # same HLL sketch lineage, rolling form
     "q_compression_ratio",  # zlib has no SQL twin; Arrow map stage
+    "q_audience_overlap_hll",  # HLL sketch arithmetic, no SQL twin
 }
 
 

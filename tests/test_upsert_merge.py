@@ -611,3 +611,26 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     a = q_compression_ratio(spark, SF).collect()
     b = q_compression_ratio(spark, SF).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_audience_overlap_hll_matches_exact_at_low_cardinality(spark):
+    """At testdata cardinalities the HLL sketches run in sparse mode,
+    so inclusion-exclusion must reproduce the exact overlap matrix
+    cell for cell."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_audience_overlap,
+        q_audience_overlap_hll,
+    )
+
+    exact = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in q_audience_overlap(spark, SF).collect()
+    }
+    approx = {
+        (r["type_a"], r["type_b"]): r["approx_users"]
+        for r in q_audience_overlap_hll(spark, SF).collect()
+    }
+    # the sketch path emits every pair (including zero-overlap ones);
+    # the exact path only pairs with members — compare on union
+    for k in set(exact) | set(approx):
+        assert approx.get(k, 0) == exact.get(k, 0), k
