@@ -128,6 +128,7 @@ def process_batch(
     finished_dir: Path | None = None,
     failed_dir: Path | None = None,
     delete_on_success: bool = False,
+    latest_store_path: str | None = None,
 ) -> dict[str, int]:
     """One live cycle over explicit paths: ingest -> sink -> upsert -> archive.
 
@@ -155,6 +156,31 @@ def process_batch(
             quarantine_failed(paths, failed_dir)
         raise
     n_new = append_missing(spark, dp, catalog_path)
+    if latest_store_path is not None:
+        # Serving index: fold this batch's newest point per series
+        # into the bucketed upsert store, so 'latest value' reads are
+        # an O(store) point lookup instead of a full-history scan.
+        # The batch pre-reduces to one candidate per series (the same
+        # max_by shape the store's merge applies), version-ordered by
+        # (ts_ms, value) for a deterministic same-timestamp tie.
+        from datapoints_csv_extractor_spark.sinks.merge_store import (
+            upsert_into_store,
+        )
+
+        latest = (
+            dp.groupBy("external_id")
+            .agg(
+                F.max("ts_ms").alias("ts_ms"),
+                F.max_by(
+                    "value", F.struct(F.col("ts_ms"), F.col("value"))
+                ).alias("value"),
+            )
+            .withColumn("deleted", F.lit(False))
+        )
+        upsert_into_store(
+            spark, latest, latest_store_path,
+            keys=["external_id"], version_cols=["ts_ms", "value"],
+        )
     finalize_succeeded(paths, finished_dir, delete=delete_on_success)
     return {
         "files": len(paths),
@@ -176,6 +202,7 @@ def start_live_ingest(
     delete_on_success: bool = False,
     settle_seconds: float = SETTLE_SECONDS,
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
+    latest_store_path: str | None = None,
 ) -> StreamingQuery:
     """Start the live-mode stream (entry point 2, main.py --live).
 
@@ -226,6 +253,7 @@ def start_live_ingest(
             finished_dir=finished_dir,
             failed_dir=failed_dir,
             delete_on_success=delete_on_success,
+            latest_store_path=latest_store_path,
         )
         stats["deferred_unsettled"] = len(unsettled)
         # A real FILE count for the available_csv_files gauge (this

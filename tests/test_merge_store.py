@@ -148,3 +148,50 @@ def test_stream_upsert_into_store(spark, tmp_path):
           ("c", 5, 4, 30.0, False)])
     drain()
     assert _state(spark, store) == {"a": (11.0, 2), "c": (30.0, 4)}
+
+
+def test_live_pipeline_maintains_latest_store(spark, tmp_path):
+    """With latest_store_path set, each live batch folds its newest
+    point per series into the serving store; after two batches the
+    store equals the groupBy-max over everything ingested."""
+    from datapoints_csv_extractor_spark.streaming.live import process_batch
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    sink = str(tmp_path / "sink")
+    catalog = str(tmp_path / "catalog")
+    store = str(tmp_path / "latest")
+
+    f1 = incoming / "a_plant_1550000000.csv"
+    f1.write_text(
+        "TS;s.one : One;s.two : Two\n"
+        ";unit;unit\n"
+        "1550000000;1,0;2,0\n"
+        "1550000060;1,5;\n",
+        encoding="iso-8859-1",
+    )
+    process_batch(
+        spark, [f1], sink, catalog, latest_store_path=store
+    )
+    f2 = incoming / "a_plant_1550000120.csv"
+    f2.write_text(
+        "TS;s.one : One;s.three : Three\n"
+        ";unit;unit\n"
+        "1550000120;9,9;7,7\n",
+        encoding="iso-8859-1",
+    )
+    process_batch(
+        spark, [f2], sink, catalog, latest_store_path=store
+    )
+
+    from datapoints_csv_extractor_spark.sinks.merge_store import read_store
+
+    got = {
+        r["external_id"]: (r["ts_ms"], r["value"])
+        for r in read_store(spark, store).collect()
+    }
+    assert got == {
+        "s.one": (1550000120000, 9.9),
+        "s.two": (1550000000000, 2.0),
+        "s.three": (1550000120000, 7.7),
+    }
