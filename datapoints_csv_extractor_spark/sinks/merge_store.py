@@ -1,31 +1,53 @@
 """Hash-bucket-partitioned current-state store: MERGE INTO semantics
-on plain parquet.
+on plain parquet, with versioned-manifest snapshots.
 
 The scale problem with materializing ``merge_upsert`` results: a
 naive implementation rewrites the WHOLE store every batch — O(corpus)
 per ingest. This store partitions current state by
 ``xxhash64(keys) % n_buckets``; an incoming delta only touches the
 buckets its keys hash into, so a batch's cost is
-O(|delta| + |affected buckets|) — the fraction the delta actually
-names — and Spark's dynamic partition overwrite makes the per-bucket
-rewrite the commit unit. Replaying a batch is harmless: latest-wins
-merge is idempotent (max of a max), so a crash between bucket writes
-heals on retry.
+O(|delta| + |affected buckets|).
+
+Commits are MANIFESTS, not directory mutations (the Iceberg/Delta
+idea reduced to its essentials): every bucket generation is an
+immutable parquet directory under ``buckets/``; a manifest maps
+bucket id -> generation directory; ``_latest`` is an atomically
+renamed pointer. An upsert writes ONLY the affected buckets' new
+generations and commits a manifest that references new generations
+for those buckets and the PRIOR generations for everything else — no
+copying, no in-place overwrite. That buys:
+
+- **snapshot isolation**: a reader pinned to a manifest never sees a
+  half-applied batch (the commit is one pointer rename);
+- **time travel**: ``read_store(version=k)`` reads any retained
+  snapshot;
+- **cheap rollback/audit**: old manifests are a few bytes;
+  ``vacuum_store`` reclaims unreferenced generation directories when
+  history is no longer needed.
+
+Replaying a batch is harmless: latest-wins merge is idempotent (max
+of a max) — the replay commits a new version with identical content.
+Single-writer assumed (the ingest pipeline owns the store; concurrent
+writers would need the catalog-store lock, sinks/catalog_store.py).
 
 Tombstones are applied and DROPPED at merge time (the store holds
-only live rows). That is correct under the streaming contract —
-batches arrive in order, so a delete can never be trumped by an
-out-of-order older update. For out-of-order ingestion keep the
-change-log and compact with ``merge_upsert`` instead.
+only live rows). Correct under the streaming contract — batches
+arrive in order, so a delete can never be trumped by an out-of-order
+older update. For out-of-order ingestion keep the change-log and
+compact with ``merge_upsert`` instead.
 
 Reference analog: the catalog store's append-missing upsert
 (sinks/catalog_store.py, S6/S8) is the insert-only special case;
-this adds updates and deletes with the same parquet-only posture.
+this adds updates, deletes, and snapshots with the same parquet-only
+posture.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +55,7 @@ from pyspark.sql import functions as F
 from datapoints_csv_extractor_spark.operators.relational import merge_upsert
 
 _BUCKET = "__bucket"
+_LATEST = "_latest"
 
 
 def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -40,20 +63,55 @@ def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     return df.withColumn(_BUCKET, b.cast("int"))
 
 
-def read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """Current state (all live rows). The bucket column stays
-    internal. A fully-emptied store (every key tombstoned) has no
-    parquet files to infer from; the schema sidecar written at first
-    merge covers that case with an empty frame."""
-    import glob
-    import json
+def _manifest_dir(store_path: str) -> str:
+    return os.path.join(store_path, "manifests")
 
+
+def latest_version(store_path: str) -> int | None:
+    p = os.path.join(store_path, _LATEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def _read_manifest(store_path: str, version: int | None = None) -> dict:
+    v = version if version is not None else latest_version(store_path)
+    if v is None:
+        return {"version": 0, "n_buckets": None, "schema": None, "buckets": {}}
+    with open(os.path.join(_manifest_dir(store_path), f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(store_path: str, manifest: dict) -> None:
+    """Write manifest v<k>, then atomically swing the pointer."""
+    os.makedirs(_manifest_dir(store_path), exist_ok=True)
+    mpath = os.path.join(_manifest_dir(store_path), f"v{manifest['version']}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+    ptmp = os.path.join(store_path, _LATEST + ".tmp")
+    with open(ptmp, "w") as fh:
+        fh.write(str(manifest["version"]))
+    os.replace(ptmp, os.path.join(store_path, _LATEST))
+
+
+def read_store(
+    spark: SparkSession, store_path: str, version: int | None = None
+) -> DataFrame:
+    """Current state at the latest (or a pinned) snapshot — all live
+    rows. An empty snapshot (every key tombstoned) returns an empty
+    frame from the manifest's schema."""
     from pyspark.sql import types as T
 
-    if glob.glob(os.path.join(store_path, f"{_BUCKET}=*", "*.parquet")):
-        return spark.read.parquet(store_path).drop(_BUCKET)
-    with open(os.path.join(store_path, "_schema.json")) as fh:
-        schema = T.StructType.fromJson(json.load(fh))
+    m = _read_manifest(store_path, version)
+    dirs = [
+        os.path.join(store_path, "buckets", d) for d in m["buckets"].values()
+    ]
+    if dirs:
+        return spark.read.parquet(*dirs)
+    schema = T.StructType.fromJson(m["schema"])
     return spark.createDataFrame([], schema)
 
 
@@ -66,74 +124,100 @@ def upsert_into_store(
     deleted_col: str = "deleted",
     n_buckets: int = 64,
 ) -> list[int]:
-    """Merge one delta batch into the store; returns the bucket ids
-    rewritten (the O(affected) unit of work).
+    """Merge one delta batch into the store as a new snapshot; returns
+    the bucket ids whose generations were rewritten (the O(affected)
+    unit of work).
 
     Plan per batch: bucket the delta, collect its DISTINCT bucket ids
-    (parameter-sized, <= n_buckets), read ONLY those bucket
-    partitions of the store (partition pruning), latest-wins merge
-    (one partial-aggregated shuffle over delta + affected state), and
-    dynamic-partition-overwrite exactly those directories."""
+    (parameter-sized, <= n_buckets), read ONLY those buckets' current
+    generation directories, latest-wins merge (one partial-aggregated
+    shuffle over delta + affected state), write the affected buckets'
+    NEW generation directories, and commit a manifest referencing new
+    generations for them and prior generations for the rest."""
+    m = _read_manifest(store_path)
+    n_buckets = m["n_buckets"] or n_buckets
     delta_b = _with_bucket(delta, keys, n_buckets)
     affected = sorted(
         r[_BUCKET] for r in delta_b.select(_BUCKET).distinct().collect()
     )
     if not affected:
         return []
-    if os.path.exists(os.path.join(store_path, "_SUCCESS")):
-        base = (
-            spark.read.parquet(store_path)
-            .where(F.col(_BUCKET).isin(affected))
-            .drop(_BUCKET)
-        )
-        # stored rows are live by construction
-        base = base.withColumn(deleted_col, F.lit(False))
-        merged = merge_upsert(
-            base,
-            delta_b.drop(_BUCKET),
-            keys=keys,
-            version_cols=version_cols,
-            deleted_col=deleted_col,
+    base_dirs = [
+        os.path.join(store_path, "buckets", m["buckets"][str(b)])
+        for b in affected
+        if str(b) in m["buckets"]
+    ]
+    if base_dirs:
+        base = spark.read.parquet(*base_dirs).withColumn(
+            deleted_col, F.lit(False)  # stored rows are live
         )
     else:
-        merged = merge_upsert(
-            delta_b.drop(_BUCKET).limit(0),
-            delta_b.drop(_BUCKET),
-            keys=keys,
-            version_cols=version_cols,
-            deleted_col=deleted_col,
-        )
+        base = delta_b.drop(_BUCKET).limit(0)
+    merged = merge_upsert(
+        base, delta_b.drop(_BUCKET), keys=keys,
+        version_cols=version_cols, deleted_col=deleted_col,
+    )
     out = _with_bucket(merged.drop(deleted_col), keys, n_buckets)
-    schema_path = os.path.join(store_path, "_schema.json")
-    if not os.path.exists(schema_path):
-        import json
 
-        os.makedirs(store_path, exist_ok=True)
-        with open(schema_path, "w") as fh:
-            json.dump(out.drop(_BUCKET).schema.jsonValue(), fh)
-    out = out.localCheckpoint()  # the survivor set is consumed twice
-    survivors = {
-        r[_BUCKET] for r in out.select(_BUCKET).distinct().collect()
-    }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(_BUCKET).parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # Dynamic overwrite only replaces partitions PRESENT in the
-    # output: an affected bucket whose every row was tombstoned has
-    # no output partition and would keep its stale directory — clear
-    # those explicitly.
-    import shutil
+    gen = uuid.uuid4().hex[:8]
+    staging = os.path.join(store_path, "buckets", f"_stage_{gen}")
+    out.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+    new_dirs: dict[str, str] = {}
+    for name in os.listdir(staging):
+        if not name.startswith(f"{_BUCKET}="):
+            continue
+        b = name.split("=", 1)[1]
+        dest = f"g{gen}_b{b}"
+        os.replace(
+            os.path.join(staging, name),
+            os.path.join(store_path, "buckets", dest),
+        )
+        new_dirs[b] = dest
+    shutil.rmtree(staging, ignore_errors=True)
 
+    buckets = dict(m["buckets"])
     for b in affected:
-        if b not in survivors:
-            shutil.rmtree(
-                os.path.join(store_path, f"{_BUCKET}={b}"),
-                ignore_errors=True,
-            )
+        buckets.pop(str(b), None)  # tombstoned-empty buckets drop out
+        if str(b) in new_dirs:
+            buckets[str(b)] = new_dirs[str(b)]
+    _commit_manifest(
+        store_path,
+        {
+            "version": m["version"] + 1,
+            "n_buckets": n_buckets,
+            "schema": m["schema"]
+            or merged.drop(deleted_col).schema.jsonValue(),
+            "buckets": buckets,
+        },
+    )
     return affected
+
+
+def vacuum_store(store_path: str, keep_last: int = 1) -> int:
+    """Reclaim history: keep the newest ``keep_last`` manifests (the
+    latest always survives), delete older manifest files and every
+    generation directory no retained manifest references. Returns the
+    number of directories removed. The time-travel window is exactly
+    the retained manifest set — the Delta VACUUM trade, stated
+    plainly."""
+    latest = latest_version(store_path)
+    if latest is None:
+        return 0
+    keep = {v for v in range(latest - keep_last + 1, latest + 1) if v >= 1}
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(store_path, v)["buckets"].values())
+    removed = 0
+    broot = os.path.join(store_path, "buckets")
+    for name in os.listdir(broot):
+        if name not in referenced:
+            shutil.rmtree(os.path.join(broot, name), ignore_errors=True)
+            removed += 1
+    for fname in os.listdir(_manifest_dir(store_path)):
+        v = int(fname.removeprefix("v").removesuffix(".json"))
+        if v not in keep:
+            os.remove(os.path.join(_manifest_dir(store_path), fname))
+    return removed
 
 
 def stream_upsert_into_store(
@@ -147,10 +231,11 @@ def stream_upsert_into_store(
     n_buckets: int = 64,
     available_now: bool = True,
 ):
-    """Continuous MERGE INTO: every micro-batch folds into the store
+    """Continuous MERGE INTO: every micro-batch commits one snapshot
     through ``upsert_into_store``. foreachBatch is at-least-once;
-    idempotent latest-wins makes the replay safe, and the checkpoint
-    carries the source offsets."""
+    idempotent latest-wins makes the replay safe (it commits an
+    identical-content version), and the checkpoint carries the source
+    offsets."""
 
     def _handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

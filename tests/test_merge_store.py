@@ -69,8 +69,14 @@ def test_merge_store_upsert_delete_and_replay(spark, tmp_path):
 
 
 def test_merge_store_touches_only_affected_buckets(spark, tmp_path):
-    """A delta must not rewrite bucket directories its keys don't hash
-    into — the O(affected) locality claim, checked via file mtimes."""
+    """A delta must produce NEW generation directories only for the
+    buckets its keys hash into — every other bucket's manifest entry
+    (and directory) carries over untouched: the O(affected) locality
+    claim read straight off the commit."""
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        _read_manifest,
+    )
+
     store = str(tmp_path / "store")
     seed = _delta(
         spark, [(f"k{i}", 0, i, float(i), False) for i in range(40)]
@@ -78,50 +84,80 @@ def test_merge_store_touches_only_affected_buckets(spark, tmp_path):
     upsert_into_store(
         spark, seed, store, keys=["k"], version_cols=["ts", "seq"]
     )
-    one = _delta(spark, [("k0", 9, 99, 123.0, False)])
-    # find k0's bucket id via the store layout after a probe merge
-    before = {
-        d: max(
-            os.path.getmtime(os.path.join(store, d, f))
-            for f in os.listdir(os.path.join(store, d))
-        )
-        for d in os.listdir(store)
-        if d.startswith("__bucket=")
-    }
-    time.sleep(1.1)
+    before = _read_manifest(store)["buckets"]
     affected = upsert_into_store(
-        spark, one, store, keys=["k"], version_cols=["ts", "seq"]
+        spark, _delta(spark, [("k0", 9, 99, 123.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
     )
     assert len(affected) == 1
-    after = {
-        d: max(
-            os.path.getmtime(os.path.join(store, d, f))
-            for f in os.listdir(os.path.join(store, d))
-        )
-        for d in os.listdir(store)
-        if d.startswith("__bucket=")
-    }
-    touched = {d for d in before if after.get(d, 0) > before[d]}
-    assert touched == {f"__bucket={affected[0]}"}
+    after = _read_manifest(store)["buckets"]
+    changed = {b for b in before if after.get(b) != before[b]}
+    assert changed == {str(affected[0])}
+    assert set(after) == set(before)
     assert _state(spark, store)["k0"] == (123.0, 99)
 
 
-def test_merge_store_deleting_whole_bucket_clears_directory(spark, tmp_path):
+def test_merge_store_deleting_whole_bucket_drops_manifest_entry(spark, tmp_path):
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        _read_manifest,
+    )
+
     store = str(tmp_path / "store")
     upsert_into_store(
         spark,
         _delta(spark, [("solo", 0, 0, 7.0, False)]),
         store, keys=["k"], version_cols=["ts", "seq"],
     )
-    dirs = [d for d in os.listdir(store) if d.startswith("__bucket=")]
-    assert len(dirs) == 1
+    assert len(_read_manifest(store)["buckets"]) == 1
     upsert_into_store(
         spark,
         _delta(spark, [("solo", 5, 1, 0.0, True)]),
         store, keys=["k"], version_cols=["ts", "seq"],
     )
+    assert _read_manifest(store)["buckets"] == {}
     assert _state(spark, store) == {}
-    assert not os.path.exists(os.path.join(store, dirs[0]))
+
+
+def test_merge_store_time_travel_and_vacuum(spark, tmp_path):
+    """Every commit is a readable snapshot until vacuumed; vacuum
+    keeps the retained window readable and reclaims the rest."""
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        latest_version,
+        vacuum_store,
+    )
+
+    store = str(tmp_path / "store")
+    upsert_into_store(
+        spark, _delta(spark, [("a", 0, 0, 1.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    upsert_into_store(
+        spark, _delta(spark, [("a", 5, 1, 2.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    upsert_into_store(
+        spark, _delta(spark, [("a", 9, 2, 0.0, True)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    assert latest_version(store) == 3
+    # time travel: each version shows its snapshot
+    assert {
+        r["k"]: r["v"] for r in read_store(spark, store, version=1).collect()
+    } == {"a": 1.0}
+    assert {
+        r["k"]: r["v"] for r in read_store(spark, store, version=2).collect()
+    } == {"a": 2.0}
+    assert read_store(spark, store, version=3).collect() == []
+    assert read_store(spark, store).collect() == []
+
+    removed = vacuum_store(store, keep_last=1)
+    assert removed >= 1
+    # latest still readable; history gone
+    assert read_store(spark, store).collect() == []
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_store(spark, store, version=1)
 
 
 def test_stream_upsert_into_store(spark, tmp_path):
