@@ -251,3 +251,69 @@ def stream_upsert_into_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def store_changes(
+    spark: SparkSession,
+    store_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed OUT of the store: diff two retained snapshots
+    into (change, <key cols>, <payload cols>) rows with change in
+    {'insert', 'update', 'delete'} — what a downstream consumer
+    replays to stay in sync without re-reading the full state.
+
+    Cost shape: both snapshots share every generation directory their
+    manifests agree on, so the only real work is the full-outer join
+    over the DIFFERING buckets' rows; identical buckets could be
+    pruned by comparing manifest entries before reading (done here —
+    shared generations are skipped entirely, making an idle store's
+    diff free)."""
+    m_from = _read_manifest(store_path, from_version)
+    m_to = _read_manifest(store_path, to_version)
+    if keys is None:
+        raise ValueError("keys is required to align the two snapshots")
+    changed = {
+        b
+        for b in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    }
+
+    def _read(m: dict) -> DataFrame:
+        from pyspark.sql import types as T
+
+        dirs = [
+            os.path.join(store_path, "buckets", d)
+            for b, d in m["buckets"].items()
+            if b in changed
+        ]
+        if dirs:
+            return spark.read.parquet(*dirs)
+        return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+
+    old = _read(m_from)
+    new = _read(m_to)
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*payload).alias("__old"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *keys, F.struct(*payload).alias("__new"), F.lit(True).alias("__in_new")
+    )
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    side = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            "change", *keys,
+            *[side[c].alias(c) for c in payload],
+        )
+    )

@@ -231,3 +231,35 @@ def test_live_pipeline_maintains_latest_store(spark, tmp_path):
         "s.two": (1550000000000, 2.0),
         "s.three": (1550000120000, 7.7),
     }
+
+
+def test_store_changes_between_snapshots(spark, tmp_path):
+    """The change feed must classify inserts, updates, and deletes
+    between any two retained snapshots, and an idle diff is empty."""
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        store_changes,
+    )
+
+    store = str(tmp_path / "store")
+    upsert_into_store(
+        spark,
+        _delta(spark, [("a", 0, 0, 1.0, False), ("b", 0, 1, 2.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    upsert_into_store(
+        spark,
+        _delta(spark, [("a", 5, 2, 9.0, False), ("b", 5, 3, 0.0, True),
+                       ("c", 5, 4, 30.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    feed = {
+        r["k"]: (r["change"], r["v"])
+        for r in store_changes(spark, store, 1, 2, keys=["k"]).collect()
+    }
+    assert feed == {
+        "a": ("update", 9.0),
+        "b": ("delete", 2.0),
+        "c": ("insert", 30.0),
+    }
+    # self-diff: nothing changed
+    assert store_changes(spark, store, 2, 2, keys=["k"]).collect() == []
