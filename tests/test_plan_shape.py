@@ -212,6 +212,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_source_mixture",   # 1-row token-total aggregate broadcast
         "q22_idle_rich_customers",  # 1-row avg-balance scalar broadcast
         "q11_important_parts",  # 1-row avg-part-value scalar broadcast
+        "q_audience_overlap_hll",  # types-row sketch table x itself
     }
 
     offenders = {}
