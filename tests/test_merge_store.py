@@ -263,3 +263,22 @@ def test_store_changes_between_snapshots(spark, tmp_path):
     }
     # self-diff: nothing changed
     assert store_changes(spark, store, 2, 2, keys=["k"]).collect() == []
+
+
+def test_store_stats_reports_live_layout(spark, tmp_path):
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        _read_manifest,
+        store_stats,
+    )
+
+    store = str(tmp_path / "store")
+    upsert_into_store(
+        spark,
+        _delta(spark, [(f"k{i}", 0, i, float(i), False) for i in range(30)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    rows = store_stats(spark, store).collect()
+    assert sum(r["n_rows"] for r in rows) == 30
+    m = _read_manifest(store)
+    assert {str(r["bucket"]) for r in rows} == set(m["buckets"])
+    assert {r["generation"] for r in rows} == set(m["buckets"].values())
