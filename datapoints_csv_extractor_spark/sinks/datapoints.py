@@ -158,3 +158,51 @@ def post_datapoints(
             post_fn(payload)
 
     slim.foreachPartition(_send)
+
+
+def backfill_datapoints(
+    spark,
+    folder: str,
+    sink_dir: str,
+    time_from: int | None = None,
+    time_until: int | None = None,
+) -> dict[str, int]:
+    """Repair/backfill a date range of the datapoints sink from the
+    source CSV folder: re-ingest the files the reference's
+    filename-timestamp pruning selects (S2 — strict-exclusive epoch
+    bounds), then REPLACE exactly the ``dt=`` partitions those rows
+    land in via dynamic partition overwrite.
+
+    The operation every partitioned pipeline eventually needs ("day X
+    was ingested with the bad parser — redo it") made idempotent: the
+    rewritten partitions' content is a pure function of the source
+    files, re-running converges, and untouched dt partitions are
+    never rewritten (dynamic mode only replaces partitions present in
+    the output). At 100 TB the cost is the re-ingested files plus the
+    affected directories — never a full-table rewrite.
+
+    Returns {"files": n, "datapoints": n, "partitions": n}.
+    """
+    from datapoints_csv_extractor_spark.sources.files import (
+        find_historical_files,
+    )
+    from datapoints_csv_extractor_spark.sources.tebis_csv import (
+        read_datapoints,
+    )
+
+    paths = find_historical_files(folder, time_from, time_until)
+    if not paths:
+        return {"files": 0, "datapoints": 0, "partitions": 0}
+    dp = read_datapoints(spark, paths)
+    out = dp.withColumn(
+        "dt", F.to_date(F.timestamp_millis(F.col("ts_ms")))
+    ).localCheckpoint()  # consumed twice: stats + write
+    n_rows = out.count()
+    n_parts = out.select("dt").distinct().count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("dt").parquet(sink_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"files": len(paths), "datapoints": n_rows, "partitions": n_parts}

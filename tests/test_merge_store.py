@@ -282,3 +282,66 @@ def test_store_stats_reports_live_layout(spark, tmp_path):
     m = _read_manifest(store)
     assert {str(r["bucket"]) for r in rows} == set(m["buckets"])
     assert {r["generation"] for r in rows} == set(m["buckets"].values())
+
+
+def test_backfill_rewrites_only_selected_partitions(spark, tmp_path):
+    """Backfill must (a) replace the affected dt partitions with a
+    pure function of the selected source files — healing corruption —
+    and (b) leave every other partition byte-untouched."""
+    import os
+
+    from datapoints_csv_extractor_spark.sinks.datapoints import (
+        backfill_datapoints,
+        write_datapoints,
+    )
+    from datapoints_csv_extractor_spark.sources.tebis_csv import (
+        read_datapoints,
+    )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    sink = str(tmp_path / "sink")
+    day = 86_400
+    d1, d2 = 1_550_000_000, 1_550_000_000 + day
+
+    f1 = incoming / ("a_x_%d.csv" % d1)
+    f1.write_text(
+        "TS;s.a : A\n;u\n%d;1,0\n%d;2,0\n" % (d1, d1 + 60),
+        encoding="iso-8859-1",
+    )
+    f2 = incoming / ("a_x_%d.csv" % d2)
+    f2.write_text(
+        "TS;s.a : A\n;u\n%d;3,0\n" % d2, encoding="iso-8859-1"
+    )
+    write_datapoints(read_datapoints(spark, [f1, f2]), sink)
+
+    # corrupt day 1's partition by appending a bogus duplicate batch
+    write_datapoints(read_datapoints(spark, [f1]), sink)
+    assert spark.read.parquet(sink).count() == 5  # 2 dup'd + 1
+
+    parts = {d for d in os.listdir(sink) if d.startswith("dt=")}
+    assert len(parts) == 2
+    day2_dir = sorted(parts)[1]
+    before = {
+        f: os.path.getmtime(os.path.join(sink, day2_dir, f))
+        for f in os.listdir(os.path.join(sink, day2_dir))
+    }
+
+    # backfill ONLY day 1's file-ts range (strict-exclusive bounds)
+    stats = backfill_datapoints(
+        spark, str(incoming), sink, time_from=d1 - 1, time_until=d1 + 1
+    )
+    assert stats == {"files": 1, "datapoints": 2, "partitions": 1}
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # healed
+    after = {
+        f: os.path.getmtime(os.path.join(sink, day2_dir, f))
+        for f in os.listdir(os.path.join(sink, day2_dir))
+    }
+    assert after == before  # day 2 untouched
+
+    # idempotent: re-running converges to the same content
+    backfill_datapoints(
+        spark, str(incoming), sink, time_from=d1 - 1, time_until=d1 + 1
+    )
+    assert spark.read.parquet(sink).count() == 3
