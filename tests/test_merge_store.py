@@ -345,3 +345,77 @@ def test_backfill_rewrites_only_selected_partitions(spark, tmp_path):
         spark, str(incoming), sink, time_from=d1 - 1, time_until=d1 + 1
     )
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_merge_upsert_property_vs_dict_replay(spark):
+    """Property parity: for arbitrary change-logs (random keys,
+    versions with collisions, tombstones), merge_upsert(base, delta)
+    must equal a Python dict replay that keeps the max-version row
+    per key and drops keys whose winner is a tombstone."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datapoints_csv_extractor_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    change = st.tuples(
+        st.integers(0, 5),        # key
+        st.integers(0, 20),       # ts minute (collides freely)
+        st.floats(-100, 100, allow_nan=False, width=32),
+        st.booleans(),            # tombstone
+    )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        base_rows=st.lists(change, max_size=12),
+        delta_rows=st.lists(change, max_size=12),
+    )
+    def run(base_rows, delta_rows):
+        # seq = global arrival index: unique, so the (ts, seq) version
+        # is a total order and both the engine and the model pick one
+        # well-defined winner (equal full versions would be genuinely
+        # nondeterministic in ANY engine).
+        base = [
+            (k, m, i, v, d) for i, (k, m, v, d) in enumerate(base_rows)
+        ]
+        delta = [
+            (k, m, len(base) + i, v, d)
+            for i, (k, m, v, d) in enumerate(delta_rows)
+        ]
+
+        def frame(rows):
+            return spark.createDataFrame(
+                [
+                    (k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                     s, float(v), d)
+                    for (k, m, s, v, d) in rows
+                ],
+                "k long, ts timestamp, seq long, v double, deleted boolean",
+            )
+
+        got = {
+            r["k"]: (r["ts"], r["seq"], r["v"])
+            for r in merge_upsert(
+                frame(base), frame(delta),
+                keys=["k"], version_cols=["ts", "seq"],
+            ).collect()
+        }
+        winners: dict = {}
+        for (k, m, s, v, d) in base + delta:
+            cur = winners.get(k)
+            if cur is None or (m, s) > (cur[0], cur[1]):
+                winners[k] = (m, s, float(v), d)
+        expected = {
+            k: (dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), s, v)
+            for k, (m, s, v, d) in winners.items()
+            if not d
+        }
+        assert got == expected
+
+    run()
