@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": X.q_compression_ratio,
         "q_audience_overlap": A.q_audience_overlap,
         "q_audience_overlap_hll": A.q_audience_overlap_hll,
+        "q_dedup_cluster_sizes": D.q_dedup_cluster_sizes,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -2179,6 +2180,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_violations AS BIGINT) AS n_violations,
                n_violations = 0 AS passed
         FROM checks ORDER BY check_name
+    """
+    # Cluster-size histogram: wrap the components oracle as a derived
+    # table and histogram its canonical groups.
+    sql["q_dedup_cluster_sizes"] = f"""
+        WITH sizes AS (
+            SELECT canonical_doc_id, count(*) AS cluster_size
+            FROM ({sql["q_dedup_clusters"]})
+            GROUP BY canonical_doc_id
+        )
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
     sql["q_rolling_quantile_sketch"] = """
         WITH daily AS (

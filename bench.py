@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q_compression_ratio",
     "q_audience_overlap",
     "q_audience_overlap_hll",
+    "q_dedup_cluster_sizes",
     "q_asof_join",
     "q_window_rank",
     "q_window_running_sum",

@@ -1043,3 +1043,25 @@ def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_2").alias("doc_id_2"),
     )
     return dedup_clusters(text_edges.unionByName(sem_edges).distinct())
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the duplicate-cluster size histogram —
+    how many near-dup groups of each size the corpus carries (the
+    number a curation team actually watches: a fat tail here means a
+    template farm or a crawler loop, not organic duplication).
+
+    Pure composition: components (the oracle-able label-propagation
+    finisher over the exact-Jaccard pair graph) -> size per canonical
+    -> histogram. Two tiny aggregates over the components table, which
+    is itself bounded by docs-in-clusters — at 100 TB the histogram is
+    metadata-cheap relative to the pair generation it reuses."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
