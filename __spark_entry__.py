@@ -468,7 +468,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "q_time_window_rollup": """
-            SELECT date_trunc('day', ts)   AS window_start,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                    event_type,
                    count(*)                AS n_events,
                    round(sum(value), 2)    AS sum_value
@@ -1287,7 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     sql["q_datapoint_aggregates"] = """
-        SELECT user_id, date_trunc('day', ts) AS day,
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                count(*) AS n_points,
                round(sum(value), 2) AS sum_value,
                round(avg(value), 4) AS avg_value,
@@ -1354,7 +1354,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["q_discrete_variance"] = """
         WITH c AS (
-            SELECT user_id, date_trunc('day', ts) AS day,
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CAST(round(value * 100) AS BIGINT) AS x
             FROM events
         ), a AS (
@@ -1535,7 +1535,9 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["q_cohort_retention"] = """
         WITH uw AS (
-            SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
         ), wc AS (
             SELECT user_id, week,
                    min(week) OVER (PARTITION BY user_id) AS cohort_week
@@ -2004,15 +2006,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1, 2, 3
         ), monthly AS (
-            SELECT event_type, date_trunc('month', day) AS month, bin,
-                   sum(n) AS n
+            SELECT event_type,
+                   CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+                   bin,
+                   CAST(sum(n) AS BIGINT) AS n
             FROM daily GROUP BY 1, 2, 3
         ), walked AS (
             SELECT event_type, month, bin,
-                   sum(n) OVER (PARTITION BY event_type, month ORDER BY bin
-                                ROWS UNBOUNDED PRECEDING) AS cum,
-                   sum(n) OVER (PARTITION BY event_type, month) AS total,
-                   bin * 1.0 + 0.5 AS mid
+                   CAST(sum(n) OVER (PARTITION BY event_type, month
+                                     ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum,
+                   CAST(sum(n) OVER (PARTITION BY event_type, month)
+                        AS BIGINT) AS total,
+                   CAST(bin AS DOUBLE) + 0.5 AS mid
             FROM monthly
         )
         SELECT event_type, month, max(total) AS n_points,
@@ -2202,7 +2209,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day + CAST(k AS INTEGER) AS day, bin, n
             FROM daily CROSS JOIN (SELECT unnest(range(7)) AS k)
         ), merged AS (
-            SELECT c.event_type, c.day, c.bin, sum(c.n) AS n
+            SELECT c.event_type, c.day, c.bin,
+                   CAST(sum(c.n) AS BIGINT) AS n
             FROM contrib c
             WHERE EXISTS (SELECT 1 FROM daily d
                           WHERE d.event_type = c.event_type
@@ -2210,10 +2218,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         ), walked AS (
             SELECT event_type, day, bin,
-                   sum(n) OVER (PARTITION BY event_type, day ORDER BY bin
-                                ROWS UNBOUNDED PRECEDING) AS cum,
-                   sum(n) OVER (PARTITION BY event_type, day) AS total,
-                   bin * 1.0 + 0.5 AS mid
+                   CAST(sum(n) OVER (PARTITION BY event_type, day
+                                     ORDER BY bin
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum,
+                   CAST(sum(n) OVER (PARTITION BY event_type, day)
+                        AS BIGINT) AS total,
+                   CAST(bin AS DOUBLE) + 0.5 AS mid
             FROM merged
         )
         SELECT event_type, day, max(total) AS n_points,

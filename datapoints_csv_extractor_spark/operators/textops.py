@@ -984,6 +984,13 @@ def bm25_topk(
     n_docs, dl_sum = d.agg(
         F.count(F.lit(1)), F.sum("dl")
     ).first()
+    if not n_docs:
+        # Empty corpus: no scores to rank — return the empty top-k
+        # frame (same defensive posture as read_store on an empty
+        # snapshot) instead of dividing by zero below.
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, bm25 double"
+        )
     avgdl = dl_sum / n_docs  # exact: integer sum / integer count
     qlit = F.array(*[F.lit(t) for t in query_terms])
     tf = (
@@ -1186,6 +1193,9 @@ def bm25_topk_from_index(
     meta = _bm25_read_meta(index_dir)
     n_docs = sum(s["n_docs"] for s in meta["shards"].values())
     dl_sum = sum(s["dl_sum"] for s in meta["shards"].values())
+    if not n_docs:
+        # All committed shards empty: nothing indexed, empty top-k.
+        return spark.createDataFrame([], "doc_id long, bm25 double")
     avgdl = dl_sum / n_docs
     bdf = (
         spark.createDataFrame([(t,) for t in query_terms], "term string")

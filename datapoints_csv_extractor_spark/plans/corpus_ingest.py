@@ -101,6 +101,17 @@ def ingest_corpus_shard(
     ``bm25_index_path`` — published text becomes immediately
     searchable, same per-shard idempotence as the band-store fold).
     """
+    # One id drives BOTH persisted folds (band store + BM25 store).
+    # When the caller didn't supply one, mint a fresh uuid — the
+    # at-most-once contract dedup_incremental documents. The BM25 fold
+    # previously defaulted a None id to the constant 'base', so every
+    # un-id'd CLI run after the first silently skipped indexing (the
+    # same-shard-id replay guard rejected it).
+    if ingest_id is None:
+        import uuid
+
+        ingest_id = uuid.uuid4().hex[:12]
+
     shard = shard.localCheckpoint()  # one materialization feeds 3 consumers
     n_received = shard.count()
 
@@ -211,7 +222,7 @@ def ingest_corpus_shard(
         )
 
         pub = survivors.select("doc_id", "text")
-        sid = ingest_id or "base"
+        sid = ingest_id
         if os.path.exists(os.path.join(bm25_index_path, "meta.json")):
             if append_bm25_shard(pub, bm25_index_path, sid):
                 n_indexed = n_published

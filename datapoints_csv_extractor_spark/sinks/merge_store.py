@@ -77,7 +77,11 @@ def latest_version(store_path: str) -> int | None:
 
 def _read_manifest(store_path: str, version: int | None = None) -> dict:
     v = version if version is not None else latest_version(store_path)
-    if v is None:
+    # Version 0 IS the empty store (commits start at v1): returning
+    # the empty manifest here gives store_changes(spark, path, 0, k) a
+    # supported bootstrap diff — the full state as inserts — instead
+    # of a FileNotFoundError on manifests/v0.json.
+    if v is None or v == 0:
         return {"version": 0, "n_buckets": None, "schema": None, "buckets": {}}
     with open(os.path.join(_manifest_dir(store_path), f"v{v}.json")) as fh:
         return json.load(fh)
@@ -291,7 +295,10 @@ def store_changes(
         ]
         if dirs:
             return spark.read.parquet(*dirs)
-        return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
+        # The v0 (empty-store) manifest carries no schema — borrow the
+        # populated side's so the bootstrap diff aligns columns.
+        schema = m["schema"] or m_to["schema"] or m_from["schema"]
+        return spark.createDataFrame([], T.StructType.fromJson(schema))
 
     old = _read(m_from)
     new = _read(m_to)

@@ -34,6 +34,58 @@ TABLES = [
 ]
 
 
+def _type_family(t: str) -> str:
+    """Collapse a Spark dtype or DuckDB type name to a comparison
+    family. The driver hashes RAW cell values, so a DuckDB DECIMAL /
+    HUGEINT / DATE against a Spark double / long / timestamp is a
+    driver hash mismatch even when ``norm_cell`` makes the local sweep
+    look exact — that exact gap shipped round 5's only red row
+    (q_quantile_sketch_rollup). This gate fails the pair BEFORE value
+    comparison so local green implies driver green."""
+    t = t.lower()
+    if t.startswith("decimal") or t in ("hugeint", "uhugeint"):
+        return "decimal"
+    if t in ("double", "float", "real", "float64", "float32"):
+        return "float"
+    if t in ("bigint", "int", "integer", "smallint", "tinyint", "long",
+             "short", "byte", "ubigint", "uinteger", "usmallint",
+             "utinyint", "int64", "int32"):
+        return "int"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    return t
+
+
+def dtype_parity_problems(s_dtypes, d_cols, d_types):
+    """Return a list of per-column dtype-family mismatches between the
+    Spark result schema and the DuckDB oracle output. DECIMAL/HUGEINT
+    on the oracle side is ALWAYS a failure (the driver's hash sees
+    Decimal objects); date-vs-timestamp likewise."""
+    spark_fam = {c: _type_family(t) for c, t in s_dtypes}
+    problems = []
+    for c, t in zip(d_cols, [str(x) for x in d_types]):
+        df_fam = _type_family(t)
+        sf_fam = spark_fam.get(c)
+        if sf_fam is None:
+            continue  # column-name mismatch is reported separately
+        if df_fam == "decimal":
+            problems.append(
+                f"oracle col {c!r} is {t} (DECIMAL/HUGEINT) vs spark "
+                f"{sf_fam} — CAST it in the oracle SQL"
+            )
+        elif df_fam != sf_fam:
+            problems.append(
+                f"oracle col {c!r} is {t} ({df_fam}) vs spark {sf_fam}"
+            )
+    return problems
+
+
 def norm_cell(v):
     if isinstance(v, Decimal):
         return float(v)
@@ -115,6 +167,7 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        problems.extend(dtype_parity_problems(df.dtypes, d_cols, rel.types))
         if not problems:
             sn, dn = norm_rows(s_cols, s_rows), norm_rows(d_cols, d_rows)
             exact = sn == dn

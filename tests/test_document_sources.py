@@ -341,3 +341,62 @@ def test_ingest_folds_published_docs_into_bm25_store(spark, tmp_path):
     assert s2b["indexed"] == 0
     hits = bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
     assert len(hits) == 1
+
+
+def test_ingest_without_ingest_id_indexes_every_run(spark, tmp_path):
+    """Un-id'd ingest runs mint a fresh shard id per call, so the BM25
+    fold indexes EVERY run's published docs. Previously a None
+    ingest_id collapsed to the constant 'base', making every run after
+    the first silently skip indexing (visible only as indexed:0)."""
+    import json
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk_from_index,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    idx = str(tmp_path / "bm25")
+
+    def write_shard(name, docs):
+        p = tmp_path / name
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": i, "text": t, "lang": "en", "source": name}
+                )
+                for i, t in docs
+            )
+        )
+        return str(p)
+
+    d1 = write_shard(
+        "u1.jsonl",
+        [(1, "the quick brown fox jumps over the lazy dog near a mossy "
+             "riverbank while seventeen green turtles watch quietly")],
+    )
+    d2 = write_shard(
+        "u2.jsonl",
+        [(2, "entirely novel prose about alpine meadows and patient "
+             "glaciers carving valleys through ancient granite ranges")],
+    )
+    s1 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, d1), corpus, store,
+        bm25_index_path=idx,
+    )
+    s2 = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, d2), corpus, store,
+        bm25_index_path=idx,
+    )
+    assert s1["indexed"] == 1
+    assert s2["indexed"] == 1, "second un-id'd run must still index"
+    assert [
+        r["doc_id"]
+        for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    ] == [2]

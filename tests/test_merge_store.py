@@ -264,6 +264,18 @@ def test_store_changes_between_snapshots(spark, tmp_path):
     # self-diff: nothing changed
     assert store_changes(spark, store, 2, 2, keys=["k"]).collect() == []
 
+    # bootstrap diff: version 0 is the empty store, so from_version=0
+    # yields the full current state as inserts — the initial-sync
+    # entry point a downstream consumer needs.
+    boot = {
+        r["k"]: (r["change"], r["v"])
+        for r in store_changes(spark, store, 0, 2, keys=["k"]).collect()
+    }
+    assert boot == {
+        "a": ("insert", 9.0),
+        "c": ("insert", 30.0),
+    }
+
 
 def test_store_stats_reports_live_layout(spark, tmp_path):
     from datapoints_csv_extractor_spark.sinks.merge_store import (

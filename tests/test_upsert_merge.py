@@ -268,6 +268,24 @@ def test_bm25_index_unknown_term_is_harmless(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == [1]
 
 
+def test_bm25_empty_corpus_returns_empty_topk(spark, tmp_path):
+    """An empty corpus (live scan) or an index whose committed shards
+    are all empty must return an empty top-k frame, not divide by
+    zero computing avgdl."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["alpha"], k=5).collect() == []
+
+    idx = str(tmp_path / "bm25_empty")
+    build_bm25_index(empty, idx, n_buckets=4)
+    assert bm25_topk_from_index(spark, idx, ["alpha"], k=5).collect() == []
+
+
 def test_psi_drift_detects_planted_shift(spark):
     """PSI must stay tiny on a stationary feed and fire on a planted
     distribution shift; spot-check the formula against pure Python."""
