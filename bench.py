@@ -208,6 +208,46 @@ def _make_scaled_sfdir(spark, root: str, mult: int) -> str:
         .parquet(docs_dir)
     )
 
+    # Events stream at mult x the sf0.1 row count (100k rows at
+    # mult=1), same shape as the testdata generator: 30 days of
+    # timestamps, 5 event types (click/purchase present so the as-of
+    # join is non-vacuous), ~1% sub-1.0 values (the upsert query's
+    # tombstone rule), user count scaled WITH the data so per-user
+    # window sizes stay constant — volume grows the way a real
+    # deployment grows (more users), keeping wall-time ratios a
+    # measure of data volume, not of per-key state blowup.
+    events_dir = os.path.join(root, "events.parquet")
+    n_events = 100000 * mult
+    ebase = spark.range(n_events).select(F.col("id").alias("event_id"))
+    etype = F.element_at(
+        F.array(
+            F.lit("click"), F.lit("purchase"), F.lit("view"),
+            F.lit("scroll"), F.lit("signup"),
+        ),
+        (F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(5)) + 1).cast("int"),
+    )
+    ts = F.expr(
+        "timestampadd(SECOND, "
+        "CAST(pmod(xxhash64(event_id, 2), 2592000) AS INT), "
+        "TIMESTAMP'2024-01-01 00:00:00')"
+    )
+    (
+        ebase.select(
+            "event_id",
+            ts.alias("ts"),
+            F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(1500 * mult)).alias(
+                "user_id"
+            ),
+            etype.alias("event_type"),
+            (F.pmod(F.xxhash64("event_id", F.lit(4)), F.lit(10000)) / 100.0).alias(
+                "value"
+            ),
+            F.lit('{"k":1}').alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(events_dir)
+    )
+
     emb_dir = os.path.join(root, "embeddings.parquet")
     n_vecs = 2000 * mult
     vbase = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
@@ -325,6 +365,7 @@ def main() -> None:
         "q_embedding_near_dup_lsh": 4.0,
     }
     timings: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -332,6 +373,16 @@ def main() -> None:
             lambda: _materialize(qs[name](spark, sf_dir)),
             clean_sec=clean_sec.get(name, 3.0),
         )
+        if name == "q_dedup_clusters_twostar":
+            # Rounds-to-convergence next to the wall time: a future
+            # regression is then readable as "more rounds" (pair
+            # graph changed) vs "slower rounds" (plan regressed).
+            from datapoints_csv_extractor_spark.operators import dedup as _dd
+
+            telemetry[name] = {
+                "sec": timings[name],
+                "rounds": _dd.TWOSTAR_TELEMETRY["rounds"],
+            }
 
     # Incremental-dedup benches, split into BUILD vs QUERY phases.
     # The combined driver-facing wrappers (still in queries() for the
@@ -541,6 +592,20 @@ def main() -> None:
                     lambda: _materialize(q_curation_pipeline_full(spark, sdir)),
                     clean_sec=1e9, max_runs=2,
                 )
+                # Time-series family over the scaled synthetic events
+                # stream: the same REGISTERED queries the correctness
+                # gate runs, so the ratio measures the shipped plans.
+                for ts_q in (
+                    "q_time_weighted_aggregates",
+                    "q_anomaly_zscore",
+                    "q_session_window",
+                    "q_asof_join",
+                    "q_upsert_merge",
+                ):
+                    runs[ts_q] = _best_of(
+                        lambda q=ts_q: _materialize(qs[q](spark, sdir)),
+                        clean_sec=1e9, max_runs=2,
+                    )
                 # Incremental dedup, QUERY phase only (store seeded
                 # from the first half, second half timed).
                 store = os.path.join(probe_root, f"band_{tag}")
@@ -609,16 +674,47 @@ def main() -> None:
             shutil.rmtree(probe_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "telemetry": telemetry,
     }
     if sf1_section:
-        out["sf1_probe"] = sf1_section
-    print(json.dumps(out))
+        detail["sf1_probe"] = sf1_section
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The driver keeps only the last ~2 kB of stdout; round 5's full
+    # per-query line (~3.4 kB) lost its head and parsed as null. The
+    # final line therefore carries the summary plus as many per-query
+    # entries as fit a byte budget (most-expensive-first, 2-decimal),
+    # with the complete detail in the sidecar above.
+    budget = 1600
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "bench_detail.json",
+        "telemetry": telemetry,
+        "queries": {},
+    }
+    if sf1_section:
+        out["sf1_ratio"] = sf1_section["ratio"]
+    for name in sorted(timings, key=timings.get, reverse=True):
+        out["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out["queries"][name]
+            break
+    out["n_queries_shown"] = len(out["queries"])
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

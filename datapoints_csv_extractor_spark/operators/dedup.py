@@ -910,6 +910,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+# Last-run convergence round count of dedup_clusters_twostar (the
+# bench records it next to wall time; rounds are deterministic for a
+# given pair graph, so re-runs agree).
+TWOSTAR_TELEMETRY: dict[str, int] = {"rounds": 0}
+
+
 def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -969,6 +975,7 @@ def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         return (row["n"], row["h"])
 
     prev = _checksum(edges)
+    rounds_run = 0
     for _ in range(max_rounds):
         # large-star over the symmetrized neighborhoods.
         sym = edges.select("a", "b").union(
@@ -994,10 +1001,16 @@ def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             .localCheckpoint()
         )
         edges = small
+        rounds_run += 1
         cur = _checksum(edges)
         if cur == prev:
             break
         prev = cur
+
+    # Convergence telemetry for the bench: a wall-time regression here
+    # is either MORE rounds (graph shape changed) or SLOWER rounds
+    # (plan regressed) — recording the count disambiguates.
+    TWOSTAR_TELEMETRY["rounds"] = rounds_run
 
     parent = edges.groupBy("a").agg(F.min("b").alias("canonical"))
     return nodes.join(parent, nodes.doc_id == parent.a, "left").select(

@@ -5,10 +5,11 @@ an opaque BINARY column; metadata (byte length, content hash, declared
 mime) is typed and queryable without touching the bytes. Decode /
 feature-extract runs as Arrow-batched pandas functions over
 ``mapInPandas`` — the schema, batch shape, and partitioning are real.
-The image codec is feature-gated: Pillow is used when importable
-(``decode_blobs(use_pil=None)`` auto-detects), and a deterministic
-stub stands in otherwise (this container ships no image/audio
-libraries; the audio/video codecs remain stubbed, clearly marked).
+The image codec is tiered: Pillow when importable
+(``decode_blobs(use_pil=None)`` auto-detects), else a pure-stdlib
+PNG/JPEG/GIF header parser — image dimension extraction is REAL in
+every environment. Only the audio/video codecs remain stubbed
+(clearly marked; this container ships no media libraries).
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -81,19 +82,78 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """DETERMINISTIC FAKE decoder.
+    """DETERMINISTIC FAKE decoder for NON-IMAGE payloads.
 
-    Real image/audio decoding (PIL/ffmpeg/soundfile) is unavailable in
-    this container by default; a production build swaps this function
-    for the actual codec — the mapInPandas plumbing around it is
-    unchanged. Dimensions are derived from payload bytes so tests are
-    stable.
+    Real audio/video decoding (ffmpeg/soundfile) is unavailable in
+    this container; a production build swaps this function for the
+    actual codec — the mapInPandas plumbing around it is unchanged.
+    Image payloads never reach this path: they get real dimension
+    extraction via Pillow or the stdlib header parser. Dimensions are
+    derived from payload bytes so tests are stable.
     """
     n = len(payload)
     w = 16 + (payload[0] if n else 0) % 64
     h = 16 + (payload[-1] if n else 0) % 64
     frames = 1 + n % 7
     return w, h, frames
+
+
+def _parse_image_header(raw: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib image dimension extraction for the three classic
+    container formats (public file-format knowledge: PNG IHDR, JPEG
+    SOFn, GIF logical screen descriptor). Returns (width, height,
+    n_frames) or None when the payload is not a recognized image —
+    the PIL-less environments' REAL decode tier, so dimension
+    extraction does not degrade to a stub just because Pillow is
+    absent.
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian
+      width/height; an APNG ``acTL`` chunk before IDAT supplies the
+      frame count.
+    - JPEG: walk marker segments from SOI to the first SOFn
+      (0xC0-0xCF minus the non-frame C4/C8/CC) and read its
+      big-endian height/width.
+    - GIF: little-endian width/height at offset 6.
+    """
+    import struct
+
+    if (
+        len(raw) >= 24
+        and raw[:8] == b"\x89PNG\r\n\x1a\n"
+        and raw[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", raw[16:24])
+        frames = 1
+        off = 8
+        while off + 8 <= len(raw):
+            ln, typ = struct.unpack(">I4s", raw[off : off + 8])
+            if typ == b"acTL" and off + 12 <= len(raw):
+                frames = struct.unpack(">I", raw[off + 8 : off + 12])[0] or 1
+                break
+            if typ == b"IDAT":
+                break
+            off += 12 + ln  # 4 len + 4 type + data + 4 crc
+        return (w, h, frames) if w and h else None
+    if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
+        off = 2
+        while off + 9 <= len(raw):
+            if raw[off] != 0xFF:
+                off += 1
+                continue
+            marker = raw[off + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", raw[off + 2 : off + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", raw[off + 5 : off + 9])
+                return (w, h, 1) if w and h else None
+            off += 2 + seg_len
+        return None
+    if len(raw) >= 10 and raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", raw[6:10])
+        return (w, h, 1) if w and h else None
+    return None
 
 
 def pil_available() -> bool:
@@ -115,12 +175,15 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
     feature here is a byte histogram — stand-in for an embedding model
     forward pass, with the identical dataflow shape.
 
-    ``use_pil=None`` auto-detects Pillow: when importable, ``image/*``
-    payloads decode through the REAL codec (width/height/n_frames from
-    the actual image; a payload that claims image but fails to parse
-    yields NULL dims — skip-don't-fail, the engine's P4 rule — rather
-    than fake numbers); non-image mimes and PIL-less environments keep
-    the deterministic stub. The output schema is identical either way,
+    ``use_pil=None`` auto-detects Pillow. ``image/*`` payloads always
+    get REAL dimension extraction: the full Pillow codec when
+    importable, else the pure-stdlib header parser
+    (``_parse_image_header`` — PNG/JPEG/GIF). In BOTH tiers a payload
+    that claims image but fails to parse yields NULL dims
+    (skip-don't-fail, the engine's P4 rule) rather than fake numbers,
+    so results agree across environments. Non-image mimes (audio,
+    video — no codec libs exist in this container) keep the
+    deterministic stub. The output schema is identical in every tier,
     so downstream plans never know which codec ran.
     """
     if use_pil is None:
@@ -149,7 +212,11 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
         else:
 
             def dims(mime: str, p) -> tuple[int | None, int | None, int | None]:
-                return _fake_decode(bytes(p))
+                raw = bytes(p)
+                if not mime.startswith("image/"):
+                    return _fake_decode(raw)
+                parsed = _parse_image_header(raw)
+                return parsed if parsed is not None else (None, None, None)
 
         for pdf in batches:
             out = {
