@@ -687,22 +687,33 @@ def _manifest_path(store_path: str) -> str:
     return os.path.join(store_path, "manifest.json")
 
 
-def _read_manifest(store_path: str) -> list[str]:
+def _read_manifest_full(store_path: str) -> dict:
+    """Whole manifest with defaults: ``ingests`` (committed ingest
+    ids) and ``deletes`` (committed tombstone-batch ids). Pre-tombstone
+    manifests read with an empty ``deletes`` list."""
     import json
     import os
 
     p = _manifest_path(store_path)
     if not os.path.exists(p):
-        return []
+        return {"ingests": [], "deletes": []}
     with open(p) as f:
-        return json.load(f)["ingests"]
+        m = json.load(f)
+    m.setdefault("ingests", [])
+    m.setdefault("deletes", [])
+    return m
 
 
-def _commit_manifest(store_path: str, mutate) -> list[str]:
+def _read_manifest(store_path: str) -> list[str]:
+    return _read_manifest_full(store_path)["ingests"]
+
+
+def _commit_manifest_full(store_path: str, mutate) -> dict:
     """Read-modify-write the manifest under the exclusive catalog lock
     (two concurrent committers must not lose each other's ingest), with
     the write itself temp-file + atomic-rename so readers always see a
-    complete manifest. ``mutate(list) -> list`` produces the new ids."""
+    complete manifest. ``mutate(dict) -> dict`` produces the new
+    manifest."""
     import json
     import os
     import uuid
@@ -711,12 +722,23 @@ def _commit_manifest(store_path: str, mutate) -> list[str]:
 
     os.makedirs(store_path, exist_ok=True)
     with catalog_lock(_manifest_path(store_path)):
-        ingests = mutate(_read_manifest(store_path))
+        manifest = mutate(_read_manifest_full(store_path))
         tmp = _manifest_path(store_path) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"ingests": ingests}, f)
+            json.dump(manifest, f)
         os.replace(tmp, _manifest_path(store_path))
-    return ingests
+    return manifest
+
+
+def _commit_manifest(store_path: str, mutate) -> list[str]:
+    """Ingest-list commit (``mutate(list) -> list``); preserves the
+    tombstone ledger."""
+
+    def _m(manifest: dict) -> dict:
+        manifest["ingests"] = mutate(manifest["ingests"])
+        return manifest
+
+    return _commit_manifest_full(store_path, _m)["ingests"]
 
 
 def read_band_store(
@@ -734,6 +756,78 @@ def read_band_store(
     return spark.read.parquet(
         *[os.path.join(store_path, table, f"ingest={i}") for i in ingests]
     )
+
+
+def store_tombstones(
+    spark: SparkSession, store_path: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """All committed tombstoned ids of a manifest-backed store (band
+    store or IVF assignment store — both share the manifest protocol),
+    or None when no delete batch is committed. Reads ONLY
+    manifest-listed ``tombstones/delete=<id>`` directories, mirroring
+    ``read_band_store``'s crash-invisibility."""
+    import os
+
+    deletes = _read_manifest_full(store_path)["deletes"]
+    if not deletes:
+        return None
+    return (
+        spark.read.parquet(
+            *[
+                os.path.join(store_path, "tombstones", f"delete={d}")
+                for d in deletes
+            ]
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def delete_from_store(
+    spark: SparkSession,
+    store_path: str,
+    ids,
+    delete_id: str | None = None,
+    id_col: str = "doc_id",
+) -> bool:
+    """Tombstone a batch of ids in a manifest-backed store — the
+    deletion/redaction path a PII pipeline needs: a redacted document
+    must stop matching as a dup candidate (band store) or serving as
+    a neighbor (IVF store) IMMEDIATELY, without rewriting any ingest
+    directory.
+
+    Tombstones are a delete-side mirror of ingests: the batch writes
+    ``tombstones/delete=<id>/`` then commits its id to the manifest's
+    ``deletes`` ledger (same lock + atomic rename). Query paths
+    anti-join against the committed tombstone set; ``compact_*``
+    folds them in physically (rows dropped, ledger cleared). Replay
+    of an already-committed ``delete_id`` is a no-op (returns False)
+    — the same at-least-once contract as the ingest fold.
+
+    ``ids`` is a list of ints or a DataFrame with ``id_col``.
+    """
+    import os
+    import uuid
+
+    delete_id = delete_id or uuid.uuid4().hex[:12]
+    if delete_id in _read_manifest_full(store_path)["deletes"]:
+        return False
+    df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    )
+    df.select(id_col).distinct().write.mode("overwrite").parquet(
+        os.path.join(store_path, "tombstones", f"delete={delete_id}")
+    )
+
+    def _m(manifest: dict) -> dict:
+        if delete_id not in manifest["deletes"]:
+            manifest["deletes"] = manifest["deletes"] + [delete_id]
+        return manifest
+
+    _commit_manifest_full(store_path, _m)
+    return True
 
 
 def dedup_incremental(
@@ -814,12 +908,21 @@ def dedup_incremental(
         .withColumn("dup_kind", F.lit("new"))
     )
 
+    # Tombstoned docs (deleted/redacted since their ingest) must stop
+    # matching as "known" candidates right away — the physical rows go
+    # at the next compaction; until then the anti-join hides them.
+    # Strategy left to AQE: delete batches are usually tiny
+    # (broadcast) but nothing bounds them by contract.
+    dead = store_tombstones(spark, store_path) if has_store else None
+
     if has_store:
         # New-vs-known: asymmetric — the stored side joins as-is, its
         # signatures were computed when ITS shard arrived.
         bands_known = _committed("bands").join(
             F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
         )
+        if dead is not None:
+            bands_known = bands_known.join(dead, "doc_id", "left_anti")
         k = bands_known.alias("k")
         cand_known = (
             bands_new_f.alias("a")

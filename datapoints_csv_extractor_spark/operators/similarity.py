@@ -618,18 +618,32 @@ def read_ivf_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     old manifest. ``cell`` stays a partition column, so an
     ``isin(cells)`` filter still prunes at file-listing time.
     Pre-manifest stores (flat ``assignments/cell=<n>/``) read as-is
-    for backward compatibility."""
-    from datapoints_csv_extractor_spark.operators.dedup import _read_manifest
+    for backward compatibility.
+
+    Tombstoned vec_ids (``delete_from_store`` on the index dir — the
+    redaction path) are anti-joined out here, so EVERY consumer
+    (top-k serving, cell balance, refresh, semantic dedup) stops
+    seeing deleted vectors immediately; ``compact_ivf_store`` later
+    drops the rows physically."""
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest,
+        store_tombstones,
+    )
 
     base = os.path.join(index_dir, "assignments")
     ingests = _read_manifest(index_dir)
     if not ingests:
-        return spark.read.parquet(base)
-    return (
-        spark.read.option("basePath", base)
-        .parquet(*[os.path.join(base, f"ingest={i}") for i in ingests])
-        .drop("ingest")
-    )
+        out = spark.read.parquet(base)
+    else:
+        out = (
+            spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f"ingest={i}") for i in ingests])
+            .drop("ingest")
+        )
+    dead = store_tombstones(spark, index_dir, id_col="vec_id")
+    if dead is not None:
+        out = out.join(dead, "vec_id", "left_anti")
+    return out
 
 
 def _write_ivf_ingest(assigned: DataFrame, index_dir: str, ingest_id: str) -> None:
@@ -913,10 +927,19 @@ def refresh_ivf_index(
     import shutil
     import uuid
 
-    from datapoints_csv_extractor_spark.operators.dedup import _commit_manifest
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest_full,
+        _read_manifest_full,
+    )
 
     if n_centroids is None:
         n_centroids = len(read_ivf_centroids(spark, index_dir))
+    # Snapshot the delete ledger BEFORE materializing the fold:
+    # read_ivf_assignments is tombstone-filtered, so the refreshed
+    # fold excludes at least these deletes — the refresh doubles as a
+    # tombstone fold and clears exactly this snapshot below (a delete
+    # committed mid-refresh stays listed).
+    deletes_snapshot = set(_read_manifest_full(index_dir)["deletes"])
     stored = read_ivf_assignments(spark, index_dir).drop("cell").localCheckpoint()
     centroids = train_ivf_centroids(stored, n_centroids, n_train_iters)
     refresh_id = f"refresh{uuid.uuid4().hex[:8]}"
@@ -932,10 +955,24 @@ def refresh_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    kept = set(_commit_manifest(index_dir, lambda ids: [refresh_id]))
+    def _swap(m: dict) -> dict:
+        m["ingests"] = [refresh_id]
+        # The fold already excluded snapshot-time tombstones; deletes
+        # committed DURING the refresh stay listed.
+        m["deletes"] = [d for d in m["deletes"] if d not in deletes_snapshot]
+        return m
+
+    final = _commit_manifest_full(index_dir, _swap)
+    kept = set(final["ingests"])
+    kept_deletes = set(final["deletes"])
     for d in os.scandir(os.path.join(index_dir, "assignments")):
         if d.is_dir() and d.name.startswith("ingest=") and d.name.removeprefix("ingest=") not in kept:
             shutil.rmtree(d.path, ignore_errors=True)
+    tomb_root = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_root):
+        for d in os.scandir(tomb_root):
+            if d.is_dir() and d.name.removeprefix("delete=") not in kept_deletes:
+                shutil.rmtree(d.path, ignore_errors=True)
     return centroids
 
 
@@ -1247,6 +1284,16 @@ def semantic_dedup_incremental(
     else:
         # Pre-manifest store (backward compat): read the flat layout.
         stored_all = spark.read.parquet(base)
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        store_tombstones,
+    )
+
+    dead = store_tombstones(spark, index_dir, id_col="vec_id")
+    if dead is not None:
+        # Deleted/redacted vectors must stop acting as dup
+        # representatives immediately (rows drop physically at the
+        # next compact_ivf_store).
+        stored_all = stored_all.join(dead, "vec_id", "left_anti")
     stored = stored_all.where(F.col("cell").isin(cells)).select(
         "cell", "vec_id", "embedding"
     )

@@ -1128,6 +1128,82 @@ def append_bm25_shard(
     return True
 
 
+def _bm25_tombstones(
+    spark: SparkSession, index_dir: str, meta: dict
+) -> DataFrame | None:
+    """Committed tombstoned doc_ids (meta's ``deletes`` ledger), or
+    None when nothing is deleted."""
+    deletes = meta.get("deletes", {})
+    if not deletes:
+        return None
+    return (
+        spark.read.parquet(
+            *[
+                os.path.join(index_dir, "tombstones", f"delete={d}")
+                for d in deletes
+            ]
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def delete_from_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids,
+    delete_id: str | None = None,
+) -> bool:
+    """Tombstone documents in the standing BM25 store — the redaction
+    path: a deleted doc must stop being retrievable immediately AND
+    stop distorting the corpus statistics (BM25's IDF and length
+    normalization both read N and avgdl).
+
+    The batch writes ``tombstones/delete=<id>/`` (doc_id), computes
+    the deleted docs' aggregate stats from the CURRENT postings (one
+    doc-filtered read: n_docs and summed dl over docs actually
+    present and not already tombstoned — double-deletes count zero),
+    and commits both into meta's ``deletes`` ledger atomically.
+    Scoring subtracts the ledger's stats and anti-joins the postings;
+    ``compact_bm25_index`` later drops the rows physically and clears
+    the ledger. Replaying a committed ``delete_id`` is a no-op
+    (returns False).
+
+    ``doc_ids`` is a list of ints or a DataFrame with ``doc_id``.
+    """
+    import uuid
+
+    from pyspark.sql import DataFrame as _DF
+
+    delete_id = delete_id or uuid.uuid4().hex[:12]
+    meta = _bm25_read_meta(index_dir)
+    deletes = meta.setdefault("deletes", {})
+    if delete_id in deletes:
+        return False
+    ids = (
+        doc_ids
+        if isinstance(doc_ids, _DF)
+        else spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    ).select("doc_id").distinct().localCheckpoint()
+    ids.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "tombstones", f"delete={delete_id}")
+    )
+    live = _bm25_read_postings(spark, index_dir, meta)
+    prior = _bm25_tombstones(spark, index_dir, meta)
+    if prior is not None:
+        live = live.join(prior, "doc_id", "left_anti")
+    n_docs, dl_sum = (
+        live.join(ids, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    deletes[delete_id] = {"n_docs": n_docs, "dl_sum": dl_sum or 0}
+    _bm25_commit_meta(index_dir, meta)
+    return True
+
+
 def compact_bm25_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     """Fold all committed shards into one — the small-files answer for
     a store that ingests daily. Reads only committed postings,
@@ -1140,18 +1216,26 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
 
     meta = _bm25_read_meta(index_dir)
     committed = list(meta["shards"])
-    if len(committed) < 2:
+    deletes = meta.get("deletes", {})
+    if len(committed) < 2 and not deletes:
         return (len(committed), len(committed))
     new_id = f"compact{uuid.uuid4().hex[:8]}"
     posts = _bm25_read_postings(spark, index_dir, meta).select(
         "doc_id", "dl", "term", "f", "bucket"
     )
+    dead = _bm25_tombstones(spark, index_dir, meta)
+    if dead is not None:
+        # Tombstone fold: deleted docs' postings drop physically and
+        # their stats leave the ledger (already subtracted below).
+        posts = posts.join(dead, "doc_id", "left_anti")
     posts.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings", f"shard={new_id}")
     )
     folded = {
-        "n_docs": sum(s["n_docs"] for s in meta["shards"].values()),
-        "dl_sum": sum(s["dl_sum"] for s in meta["shards"].values()),
+        "n_docs": sum(s["n_docs"] for s in meta["shards"].values())
+        - sum(d["n_docs"] for d in deletes.values()),
+        "dl_sum": sum(s["dl_sum"] for s in meta["shards"].values())
+        - sum(d["dl_sum"] for d in deletes.values()),
     }
     _bm25_commit_meta(
         index_dir,
@@ -1161,6 +1245,11 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     for name in os.listdir(root):
         if name.startswith("shard=") and name != f"shard={new_id}":
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    tomb_root = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_root):
+        for name in os.listdir(tomb_root):
+            if name.removeprefix("delete=") in deletes:
+                shutil.rmtree(os.path.join(tomb_root, name), ignore_errors=True)
     return (len(committed), 1)
 
 
@@ -1191,10 +1280,15 @@ def bm25_topk_from_index(
     and scoring reuses the shared tail with corpus stats summed over
     the shard ledger."""
     meta = _bm25_read_meta(index_dir)
-    n_docs = sum(s["n_docs"] for s in meta["shards"].values())
-    dl_sum = sum(s["dl_sum"] for s in meta["shards"].values())
-    if not n_docs:
-        # All committed shards empty: nothing indexed, empty top-k.
+    deletes = meta.get("deletes", {})
+    n_docs = sum(s["n_docs"] for s in meta["shards"].values()) - sum(
+        d["n_docs"] for d in deletes.values()
+    )
+    dl_sum = sum(s["dl_sum"] for s in meta["shards"].values()) - sum(
+        d["dl_sum"] for d in deletes.values()
+    )
+    if n_docs <= 0:
+        # Nothing (live) indexed: empty top-k, no division by zero.
         return spark.createDataFrame([], "doc_id long, bm25 double")
     avgdl = dl_sum / n_docs
     bdf = (
@@ -1217,6 +1311,11 @@ def bm25_topk_from_index(
         )
         .select("doc_id", "dl", "term", "f")
     )
+    dead = _bm25_tombstones(spark, index_dir, meta)
+    if dead is not None:
+        # Deleted docs stop being retrievable immediately; their
+        # postings drop physically at the next compaction.
+        tf = tf.join(dead, "doc_id", "left_anti")
     return _bm25_rank(tf, n_docs, avgdl, k1, b, k)
 
 

@@ -130,23 +130,46 @@ def compact_band_store(
     import uuid
 
     from datapoints_csv_extractor_spark.operators.dedup import (
-        _commit_manifest,
-        _read_manifest,
+        _commit_manifest_full,
+        _read_manifest_full,
         read_band_store,
+        store_tombstones,
     )
     from pyspark.sql import functions as F
 
     store = Path(store_path)
-    ingests = _read_manifest(str(store))
-    if len(ingests) < min_ingests:
+    manifest = _read_manifest_full(str(store))
+    ingests, deletes = manifest["ingests"], manifest["deletes"]
+    # A committed delete makes even a single-ingest store worth
+    # compacting (the fold is what physically drops the rows); with
+    # nothing ingested there is nothing to fold.
+    if not ingests or (len(ingests) < min_ingests and not deletes):
         return {}
     new_id = f"compact{uuid.uuid4().hex[:8]}"
+    signatures = read_band_store(spark, str(store), "signatures")
+    bands = read_band_store(spark, str(store), "bands")
+    dead = store_tombstones(spark, str(store))
+    if dead is not None:
+        # Tombstone fold: deleted docs' rows are physically dropped,
+        # and bucket counts are RECOMPUTED from the surviving bands
+        # (the stored per-ingest partials still include the deleted
+        # docs' contributions, so summing them would keep buckets
+        # artificially hot).
+        signatures = signatures.join(dead, "doc_id", "left_anti")
+        bands = bands.join(dead, "doc_id", "left_anti")
+        counts = bands.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("n")
+        )
+    else:
+        counts = (
+            read_band_store(spark, str(store), "bucket_counts")
+            .groupBy("band_id", "band_hash")
+            .agg(F.sum("n").alias("n"))
+        )
     tables = {
-        "signatures": read_band_store(spark, str(store), "signatures"),
-        "bands": read_band_store(spark, str(store), "bands"),
-        "bucket_counts": read_band_store(spark, str(store), "bucket_counts")
-        .groupBy("band_id", "band_hash")
-        .agg(F.sum("n").alias("n")),
+        "signatures": signatures,
+        "bands": bands,
+        "bucket_counts": counts,
     }
     results: dict[str, tuple[int, int]] = {}
     for name, df in tables.items():
@@ -160,16 +183,24 @@ def compact_band_store(
         )
         results[name] = (before, len(list((table_dir / f"ingest={new_id}").glob("*.parquet"))))
 
-    def _swap(ids: list[str]) -> list[str]:
-        # Preserve any ingest committed AFTER our snapshot (racing
-        # writer): it was not merged, so it must stay listed.
-        return [new_id] + [i for i in ids if i not in ingests]
+    def _swap(m: dict) -> dict:
+        # Preserve any ingest/delete committed AFTER our snapshot
+        # (racing writer): it was not merged/folded, so it must stay
+        # listed.
+        m["ingests"] = [new_id] + [i for i in m["ingests"] if i not in ingests]
+        m["deletes"] = [d for d in m["deletes"] if d not in deletes]
+        return m
 
-    kept = set(_commit_manifest(str(store), _swap))
+    final = _commit_manifest_full(str(store), _swap)
+    kept = set(final["ingests"])
+    kept_deletes = set(final["deletes"])
     for name in tables:
         for d in (store / name).glob("ingest=*"):
             if d.name.removeprefix("ingest=") not in kept:
                 shutil.rmtree(d, ignore_errors=True)
+    for d in (store / "tombstones").glob("delete=*"):
+        if d.name.removeprefix("delete=") not in kept_deletes:
+            shutil.rmtree(d, ignore_errors=True)
     return results
 
 
@@ -203,14 +234,16 @@ def compact_ivf_store(
     import uuid
 
     from datapoints_csv_extractor_spark.operators.dedup import (
-        _commit_manifest,
-        _read_manifest,
+        _commit_manifest_full,
+        _read_manifest_full,
+        store_tombstones,
     )
     from pyspark.sql import functions as F
 
     store = Path(index_dir)
-    ingests = _read_manifest(str(store))
-    if len(ingests) < min_ingests:
+    manifest = _read_manifest_full(str(store))
+    ingests, deletes = manifest["ingests"], manifest["deletes"]
+    if not ingests or (len(ingests) < min_ingests and not deletes):
         return None
     new_id = f"compact{uuid.uuid4().hex[:8]}"
     base = store / "assignments"
@@ -221,18 +254,29 @@ def compact_ivf_store(
         .parquet(*[str(d) for d in snap_dirs])
         .drop("ingest")
     )
+    dead = store_tombstones(spark, str(store), id_col="vec_id")
+    if dead is not None:
+        # Tombstone fold: deleted vectors leave the store physically.
+        snapshot = snapshot.join(dead, "vec_id", "left_anti")
     # Hash-partitioned by cell: every cell lands whole in one task, so
     # partitionBy emits exactly one file per cell.
     snapshot.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(str(base / f"ingest={new_id}"))
 
-    def _swap(ids: list[str]) -> list[str]:
-        return [new_id] + [i for i in ids if i not in ingests]
+    def _swap(m: dict) -> dict:
+        m["ingests"] = [new_id] + [i for i in m["ingests"] if i not in ingests]
+        m["deletes"] = [d for d in m["deletes"] if d not in deletes]
+        return m
 
-    kept = set(_commit_manifest(str(store), _swap))
+    final = _commit_manifest_full(str(store), _swap)
+    kept = set(final["ingests"])
+    kept_deletes = set(final["deletes"])
     for d in base.glob("ingest=*"):
         if d.name.removeprefix("ingest=") not in kept:
+            shutil.rmtree(d, ignore_errors=True)
+    for d in (store / "tombstones").glob("delete=*"):
+        if d.name.removeprefix("delete=") not in kept_deletes:
             shutil.rmtree(d, ignore_errors=True)
     after = len(list((base / f"ingest={new_id}").glob("cell=*/*.parquet")))
     return (before, after)

@@ -230,7 +230,6 @@ def test_compact_ivf_store_preserves_racing_ingest(spark, tmp_path):
     import random
 
     from datapoints_csv_extractor_spark.operators.dedup import (
-        _commit_manifest,
         _read_manifest,
     )
     from datapoints_csv_extractor_spark.operators.similarity import (
@@ -256,9 +255,12 @@ def test_compact_ivf_store_preserves_racing_ingest(spark, tmp_path):
     )
 
     # Simulate the race: between compaction's snapshot and its commit,
-    # another shard lands. Monkeypatch the commit to inject the racing
+    # another shard lands. Monkeypatch the full-manifest commit (the
+    # primitive every committer funnels through) to inject the racing
     # ingest first, exactly as a concurrent writer would.
-    real_commit = _commit_manifest
+    import datapoints_csv_extractor_spark.operators.dedup as D
+
+    real_commit = D._commit_manifest_full
     racing = {"done": False}
 
     def racy_commit(store_path, mutate):
@@ -271,14 +273,12 @@ def test_compact_ivf_store_preserves_racing_ingest(spark, tmp_path):
             )
         return real_commit(store_path, mutate)
 
-    import datapoints_csv_extractor_spark.operators.dedup as D
-
-    orig = D._commit_manifest
-    D._commit_manifest = racy_commit
+    orig = D._commit_manifest_full
+    D._commit_manifest_full = racy_commit
     try:
         C.compact_ivf_store(spark, index_dir)
     finally:
-        D._commit_manifest = orig
+        D._commit_manifest_full = orig
 
     ids = _read_manifest(index_dir)
     assert "racer" in ids and len(ids) == 2, ids

@@ -1,0 +1,266 @@
+"""Deletion/tombstone lifecycle of the three persisted index stores
+(band store, IVF assignment store, BM25 inverted index): a deleted —
+e.g. PII-redacted — document or vector must stop serving immediately
+(tombstone anti-join on the query path) and leave the store physically
+at the next compaction, with the delete ledger cleared. Replaying a
+committed delete id is a no-op, mirroring the ingest folds'
+at-least-once contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+
+def _texts(n: int) -> list[str]:
+    return [
+        f"shard {i} carries its own entirely distinct narrative about "
+        f"topic number {i} with plenty of unique words like token{i}a "
+        f"token{i}b token{i}c spread across the document body"
+        for i in range(n)
+    ]
+
+
+def test_band_store_tombstones_pre_and_post_compaction(spark, tmp_path):
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest_full,
+        delete_from_store,
+        dedup_incremental,
+        store_tombstones,
+    )
+    from datapoints_csv_extractor_spark.plans.compaction import (
+        compact_band_store,
+    )
+
+    store = str(tmp_path / "bandstore")
+    texts = _texts(3)
+    for i, t in enumerate(texts):
+        dedup_incremental(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), store
+        ).count()
+
+    def probe(new_id: int, text: str) -> set[tuple]:
+        v = dedup_incremental(
+            spark.createDataFrame(
+                [(new_id, text)], "doc_id long, text string"
+            ),
+            store,
+        ).collect()
+        return {(r.doc_id, r.dup_of_doc_id, r.dup_kind) for r in v}
+
+    # Baseline: doc 0's text is recognized as known.
+    assert probe(100, texts[0]) == {(100, 0, "known")}
+
+    # Tombstone doc 0 (and the probe's own fold, so later probes of
+    # the same text test the tombstone, not the probe ingest).
+    assert delete_from_store(spark, store, [0, 100], delete_id="redact1")
+    assert not delete_from_store(spark, store, [0, 100], delete_id="redact1")
+
+    # Pre-compaction: deleted doc no longer matches; others still do.
+    assert probe(101, texts[0]) == set()
+    assert delete_from_store(spark, store, [101], delete_id="redact2")
+    assert probe(102, texts[1]) == {(102, 1, "known")}
+    assert delete_from_store(spark, store, [102], delete_id="redact3")
+    assert store_tombstones(spark, store).count() == 4
+
+    # Compaction folds the tombstones physically and clears the ledger.
+    compact_band_store(spark, store, min_ingests=1)
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(f"{store}/signatures").collect()
+    }
+    assert 0 not in sig_ids and 1 in sig_ids and 2 in sig_ids
+    m = _read_manifest_full(store)
+    assert m["deletes"] == []
+    assert not glob.glob(f"{store}/tombstones/delete=*")
+
+    # Post-compaction the deleted doc still doesn't match.
+    assert probe(103, texts[0]) == set()
+    assert probe(104, texts[2]) == {(104, 2, "known")}
+
+
+def test_ivf_store_tombstones_pre_and_post_compaction(spark, tmp_path):
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest_full,
+        delete_from_store,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+        read_ivf_assignments,
+        semantic_dedup_incremental,
+    )
+    from datapoints_csv_extractor_spark.plans.compaction import (
+        compact_ivf_store,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, 0, base)]
+    for i in range(1, 40):
+        rows.append((i, 0, [rng.uniform(-1, 1) for _ in range(dim)]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, n_centroids=4)
+
+    # Baseline: querying with vec 0's own embedding finds vec 0.
+    hits = [
+        r.vec_id
+        for r in ann_ivf_topk_from_index(
+            spark, index_dir, base, k=3, n_probe=4
+        ).collect()
+    ]
+    assert hits[0] == 0
+
+    assert delete_from_store(
+        spark, index_dir, [0], delete_id="redact1", id_col="vec_id"
+    )
+    assert not delete_from_store(
+        spark, index_dir, [0], delete_id="redact1", id_col="vec_id"
+    )
+
+    # Pre-compaction: vec 0 is gone from serving and from the
+    # semantic-dedup known side.
+    assert 0 not in {
+        r.vec_id for r in read_ivf_assignments(spark, index_dir).collect()
+    }
+    hits = [
+        r.vec_id
+        for r in ann_ivf_topk_from_index(
+            spark, index_dir, base, k=3, n_probe=4
+        ).collect()
+    ]
+    assert 0 not in hits
+    verdicts = semantic_dedup_incremental(
+        spark.createDataFrame(
+            [(500, base)], "vec_id long, embedding array<double>"
+        ),
+        index_dir,
+        threshold=0.99,
+        append=False,
+    ).collect()
+    assert all(r.rep_id != 0 for r in verdicts)
+
+    # Compaction: physical removal + ledger cleared.
+    compact_ivf_store(spark, index_dir, min_ingests=1)
+    stored_ids = {
+        r.vec_id for r in read_ivf_assignments(spark, index_dir).collect()
+    }
+    assert 0 not in stored_ids and len(stored_ids) == 39
+    raw_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/assignments").collect()
+    }
+    assert 0 not in raw_ids, "tombstoned row must be physically gone"
+    m = _read_manifest_full(index_dir)
+    assert m["deletes"] == []
+    assert not glob.glob(f"{index_dir}/tombstones/delete=*")
+
+
+def test_bm25_tombstones_pre_and_post_compaction(spark, tmp_path):
+    from datapoints_csv_extractor_spark.operators.textops import (
+        _bm25_read_meta,
+        append_bm25_shard,
+        bm25_topk_from_index,
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    docs1 = spark.createDataFrame(
+        [
+            (1, "alpine glaciers carve granite valleys slowly"),
+            (2, "alpine meadows bloom under summer skies"),
+        ],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "glaciers retreat as granite ridges warm")],
+        "doc_id long, text string",
+    )
+    build_bm25_index(docs1, idx, n_buckets=8)
+    append_bm25_shard(docs2, idx, "s2")
+    meta0 = _bm25_read_meta(idx)
+    n0 = sum(s["n_docs"] for s in meta0["shards"].values())
+    assert n0 == 3
+
+    hits = {
+        r.doc_id
+        for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    }
+    assert hits == {1, 3}
+
+    assert delete_from_bm25_index(spark, idx, [1], delete_id="redact1")
+    assert not delete_from_bm25_index(spark, idx, [1], delete_id="redact1")
+
+    # Pre-compaction: doc 1 unretrievable, stats exclude it, and a
+    # double-delete of the same doc under a new id counts zero.
+    hits = {
+        r.doc_id
+        for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    }
+    assert hits == {3}
+    meta1 = _bm25_read_meta(idx)
+    assert meta1["deletes"]["redact1"]["n_docs"] == 1
+    assert meta1["deletes"]["redact1"]["dl_sum"] > 0
+    assert delete_from_bm25_index(spark, idx, [1], delete_id="redact1b")
+    assert _bm25_read_meta(idx)["deletes"]["redact1b"] == {
+        "n_docs": 0,
+        "dl_sum": 0,
+    }
+
+    # Compaction drops the postings physically and clears the ledger;
+    # the folded stats equal a fresh index over the live docs.
+    compact_bm25_index(spark, idx)
+    meta2 = _bm25_read_meta(idx)
+    assert meta2.get("deletes", {}) == {}
+    assert sum(s["n_docs"] for s in meta2["shards"].values()) == 2
+    assert not glob.glob(f"{idx}/tombstones/delete=*")
+    raw_ids = {
+        r.doc_id for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    assert 1 not in raw_ids
+    hits = {
+        r.doc_id
+        for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
+    }
+    assert hits == {3}
+    # avgdl parity with a from-scratch index over the live docs: the
+    # subtracted dl_sum must equal what a rebuild would compute.
+    fresh = str(tmp_path / "bm25_fresh")
+    live = docs1.where(F.col("doc_id") != 1).unionByName(docs2)
+    build_bm25_index(live, fresh, n_buckets=8)
+    fm = _bm25_read_meta(fresh)
+    assert sum(s["dl_sum"] for s in fm["shards"].values()) == sum(
+        s["dl_sum"] for s in meta2["shards"].values()
+    )
+
+
+def test_manifest_backward_compat_without_deletes_key(tmp_path):
+    # A pre-tombstone manifest (no "deletes") reads with an empty
+    # ledger and commits preserve it thereafter.
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+        _read_manifest,
+        _read_manifest_full,
+    )
+
+    store = str(tmp_path / "legacy")
+    import os
+
+    os.makedirs(store)
+    with open(os.path.join(store, "manifest.json"), "w") as fh:
+        json.dump({"ingests": ["a", "b"]}, fh)
+    m = _read_manifest_full(store)
+    assert m["ingests"] == ["a", "b"] and m["deletes"] == []
+    assert _commit_manifest(store, lambda ids: ids + ["c"]) == ["a", "b", "c"]
+    assert _read_manifest(store) == ["a", "b", "c"]
+    assert _read_manifest_full(store)["deletes"] == []
