@@ -48,13 +48,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": R.q_unpivot,
         "q_pivot": A.q_pivot,
         "q_approx_distinct": R.q_approx_distinct,
-        # TPC-H-style relational core (§7 Phase 2)
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        # TPC-H-style relational core (§7 Phase 2). q3/q5/q10 sit past
+        # the window now (still locally swept): their join+agg shape
+        # overlaps q1/q12/q6, and the freed slots carry three operator
+        # families the window didn't exercise (rolling sketch merge,
+        # seasonal decomposition, exact audience-overlap matrix).
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q_upsert_merge": R.q_upsert_merge,
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
-        "q10_returned_items": R.q10_returned_items,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
         "q_fuzzy_match": R.q_fuzzy_match,
@@ -65,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": A.q_session_window,
         "q_cube": A.q_cube,
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
+        "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
+        "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
+        "q_audience_overlap": A.q_audience_overlap,
         "q_range_join": A.q_range_join,
         "q_gap_fill": A.q_gap_fill,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
@@ -97,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": D.q_decontamination,
         # Past the 50-entry capture window from here down (locally
         # oracle-swept): displaced in-window variants first.
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q10_returned_items": R.q10_returned_items,
         "q7_volume_shipping": R.q7_volume_shipping,
         "q_top_bigrams": X.q_top_bigrams,
         "q_text_normalize": X.q_text_normalize,
@@ -105,14 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_index_query": X.q_bm25_index_query,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
-        "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_seasonal_profile": A.q_seasonal_profile,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
-        "q_seasonal_adjusted_anomaly": A.q_seasonal_adjusted_anomaly,
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         "q_gopher_rules": C.q_gopher_rules,
         "q_compression_ratio": X.q_compression_ratio,
-        "q_audience_overlap": A.q_audience_overlap,
         "q_audience_overlap_hll": A.q_audience_overlap_hll,
         "q_dedup_cluster_sizes": D.q_dedup_cluster_sizes,
         # Similarity search (north-star)
