@@ -156,6 +156,36 @@ def _parse_image_header(raw: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+def _parse_wav_header(raw: bytes) -> tuple[None, None, int] | None:
+    """Pure-stdlib WAV (RIFF) header parse (public file-format
+    knowledge): walk the chunk list for ``fmt `` (block align) and
+    ``data`` (payload size) and return the sample-frame count as
+    ``n_frames`` — the audio analog of image dimensions. Width/height
+    have no audio meaning and stay NULL. Returns None when the
+    payload is not a RIFF/WAVE stream (skip-don't-fail, matching the
+    image tiers)."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    off = 12
+    block_align = None
+    data_size = None
+    while off + 8 <= len(raw):
+        cid = raw[off : off + 4]
+        (size,) = struct.unpack("<I", raw[off + 4 : off + 8])
+        if cid == b"fmt " and off + 8 + 16 <= len(raw):
+            block_align = struct.unpack("<H", raw[off + 20 : off + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        if block_align is not None and data_size is not None:
+            break
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if not block_align or data_size is None:
+        return None
+    return (None, None, data_size // block_align)
+
+
 def pil_available() -> bool:
     """Whether the real image codec (Pillow) is importable — the
     feature gate for ``decode_blobs(use_pil=None)``."""
@@ -189,6 +219,16 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
     if use_pil is None:
         use_pil = pil_available()
 
+    def _non_image(mime: str, raw: bytes):
+        # Audio gets the REAL stdlib WAV parse (sample-frame count as
+        # n_frames, parse-or-NULL like the image tiers); only video
+        # keeps the documented deterministic stub (no container
+        # walker vendored for MP4).
+        if mime.startswith("audio/"):
+            parsed = _parse_wav_header(raw)
+            return parsed if parsed is not None else (None, None, None)
+        return _fake_decode(raw)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_pil:
             import io
@@ -198,7 +238,7 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
             def dims(mime: str, p) -> tuple[int | None, int | None, int | None]:
                 raw = bytes(p)
                 if not mime.startswith("image/"):
-                    return _fake_decode(raw)
+                    return _non_image(mime, raw)
                 try:
                     with Image.open(io.BytesIO(raw)) as img:
                         return (
@@ -214,7 +254,7 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
             def dims(mime: str, p) -> tuple[int | None, int | None, int | None]:
                 raw = bytes(p)
                 if not mime.startswith("image/"):
-                    return _fake_decode(raw)
+                    return _non_image(mime, raw)
                 parsed = _parse_image_header(raw)
                 return parsed if parsed is not None else (None, None, None)
 

@@ -126,13 +126,14 @@ def test_multimodal_decode_plumbing(spark):
     rows = decoded.limit(20).collect()
     assert rows
     for r in rows:
-        if r.mime.startswith("image/"):
-            # Synthetic payloads are text bytes, not real images:
-            # every decode tier (PIL or stdlib header parse) must
-            # report NULL dims — skip-don't-fail, identically across
-            # environments.
+        if r.mime.startswith(("image/", "audio/")):
+            # Synthetic payloads are text bytes, not real images or
+            # WAV streams: the real-parse tiers (PIL/stdlib image
+            # headers, stdlib RIFF) must report NULL dims —
+            # skip-don't-fail, identically across environments.
             assert r.width is None and r.height is None
         else:
+            # Video keeps the documented deterministic stub.
             assert 16 <= r.width < 80 and 16 <= r.height < 80
             assert 1 <= r.n_frames <= 7
         assert len(r.feature) == 8
@@ -181,6 +182,24 @@ def _minimal_png(width: int, height: int) -> bytes:
     )
 
 
+def _minimal_wav(n_samples: int, n_channels: int = 1) -> bytes:
+    """Hand-assemble a valid 16-bit PCM WAV with stdlib only (public
+    RIFF spec): RIFF/WAVE header + fmt chunk + data chunk."""
+    import struct
+
+    block_align = 2 * n_channels
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, 8000, 8000 * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def test_decode_blobs_real_image_dims_any_environment(spark):
     # Runs in EVERY environment (no PIL skip): a real PNG decodes to
     # its true dimensions through the same mapInPandas plumbing —
@@ -188,11 +207,14 @@ def test_decode_blobs_real_image_dims_any_environment(spark):
     # otherwise — an undecodable image/* payload yields NULL dims
     # (skip-don't-fail), and the schema is identical across tiers.
     png = _minimal_png(37, 21)
+    wav = _minimal_wav(n_samples=480, n_channels=2)
     blobs = spark.createDataFrame(
         [
             (1, bytearray(png), "image/png", len(png), "x"),
             (2, bytearray(b"not a png at all"), "image/png", 16, "y"),
-            (3, bytearray(b"audio bytes"), "audio/wav", 11, "z"),
+            (3, bytearray(wav), "audio/wav", len(wav), "z"),
+            (4, bytearray(b"not audio"), "audio/wav", 9, "w"),
+            (5, bytearray(b"video bytes"), "video/mp4", 11, "v"),
         ],
         M.BLOB_SCHEMA,
     )
@@ -201,7 +223,10 @@ def test_decode_blobs_real_image_dims_any_environment(spark):
     rows = {r.blob_id: r for r in decoded.collect()}
     assert (rows[1].width, rows[1].height, rows[1].n_frames) == (37, 21, 1)
     assert rows[2].width is None and rows[2].height is None
-    assert rows[3].width is not None  # non-image mime keeps the stub
+    # WAV: real sample-frame count, no width/height meaning.
+    assert (rows[3].width, rows[3].height, rows[3].n_frames) == (None, None, 480)
+    assert rows[4].n_frames is None  # non-WAV audio: skip-don't-fail
+    assert rows[5].width is not None  # video keeps the stub
     # The stdlib tier agrees with whatever tier auto-detect picked.
     stdlib_rows = {
         r.blob_id: r for r in M.decode_blobs(blobs, use_pil=False).collect()
@@ -251,6 +276,21 @@ def test_parse_image_header_formats():
 
     assert M._parse_image_header(b"plain text payload") is None
     assert M._parse_image_header(b"") is None
+
+    # WAV parser: sample-frame count honors block alignment; garbage
+    # and truncated RIFF streams are rejected.
+    assert M._parse_wav_header(_minimal_wav(480, n_channels=2)) == (
+        None,
+        None,
+        480,
+    )
+    assert M._parse_wav_header(_minimal_wav(100, n_channels=1)) == (
+        None,
+        None,
+        100,
+    )
+    assert M._parse_wav_header(b"RIFF....WAVE") is None
+    assert M._parse_wav_header(b"plain text") is None
 
 
 def test_frame_sampling(spark):
