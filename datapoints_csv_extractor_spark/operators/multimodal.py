@@ -5,11 +5,14 @@ an opaque BINARY column; metadata (byte length, content hash, declared
 mime) is typed and queryable without touching the bytes. Decode /
 feature-extract runs as Arrow-batched pandas functions over
 ``mapInPandas`` — the schema, batch shape, and partitioning are real.
-The image codec is tiered: Pillow when importable
-(``decode_blobs(use_pil=None)`` auto-detects), else a pure-stdlib
-PNG/JPEG/GIF header parser — image dimension extraction is REAL in
-every environment. Only the audio/video codecs remain stubbed
-(clearly marked; this container ships no media libraries).
+Metadata extraction is REAL for all three modalities in every
+environment: images through Pillow when importable
+(``decode_blobs(use_pil=None)`` auto-detects) else a pure-stdlib
+PNG/JPEG/GIF header parser; audio through a stdlib RIFF/WAVE walk
+(sample-frame count); video through a stdlib ISO-BMFF box walk
+(``stts`` frame count + ``tkhd`` dimensions). Only full sample/pixel
+DECODING (ffmpeg-class work) remains a clearly-marked stand-in — this
+container ships no media libraries.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -82,14 +85,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """DETERMINISTIC FAKE decoder for NON-IMAGE payloads.
+    """DETERMINISTIC stand-in decoder for UNKNOWN mime types.
 
-    Real audio/video decoding (ffmpeg/soundfile) is unavailable in
-    this container; a production build swaps this function for the
-    actual codec — the mapInPandas plumbing around it is unchanged.
-    Image payloads never reach this path: they get real dimension
-    extraction via Pillow or the stdlib header parser. Dimensions are
-    derived from payload bytes so tests are stable.
+    Image, audio, and video payloads never reach this path — they get
+    real container-level metadata extraction (Pillow or stdlib
+    PNG/JPEG/GIF headers; RIFF/WAVE; ISO-BMFF box walk). Full
+    sample/pixel decoding of audio/video (ffmpeg/soundfile) is not
+    available in this container; a production build adds the codec
+    behind the same mapInPandas plumbing. Dimensions here derive from
+    payload bytes so tests are stable.
     """
     n = len(payload)
     w = 16 + (payload[0] if n else 0) % 64
@@ -186,6 +190,92 @@ def _parse_wav_header(raw: bytes) -> tuple[None, None, int] | None:
     return (None, None, data_size // block_align)
 
 
+def _parse_mp4_frames(raw: bytes) -> tuple[int | None, int | None, int] | None:
+    """Pure-stdlib MP4 (ISO BMFF) box walk (public container spec):
+    find the video track (``hdlr`` handler 'vide') and sum its
+    ``stts`` sample counts — the container's frame count, no codec
+    needed. Width/height come from the track header (``tkhd``) when
+    present. Returns None for non-MP4 payloads (skip-don't-fail,
+    matching the image/audio tiers)."""
+    import struct
+
+    def boxes(start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            (size,) = struct.unpack(">I", raw[off : off + 4])
+            typ = raw[off + 4 : off + 8]
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", raw[off + 8 : off + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                return
+            yield typ, off + hdr, off + size
+            off += size
+
+    def find(typ: bytes, start: int, end: int) -> tuple[int, int] | None:
+        for t, s, e in boxes(start, end):
+            if t == typ:
+                return (s, e)
+        return None
+
+    # An MP4 leads with ftyp (or styp/moov for fragments/faststart).
+    head = {t for t, _, _ in boxes(0, min(len(raw), 64))}
+    if not head & {b"ftyp", b"styp", b"moov"}:
+        return None
+    moov = find(b"moov", 0, len(raw))
+    if moov is None:
+        return None
+    for t, s, e in boxes(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(b"mdia", s, e)
+        if mdia is None:
+            continue
+        hdlr = find(b"hdlr", *mdia)
+        if hdlr is None or raw[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        w = h = None
+        tkhd = find(b"tkhd", s, e)
+        if tkhd is not None:
+            ts, te = tkhd
+            version = raw[ts]
+            # width/height are the last two 16.16 fixed-point fields.
+            if te - 8 >= ts:
+                wq, hq = struct.unpack(">II", raw[te - 8 : te])
+                w, h = wq >> 16, hq >> 16
+                if not (w and h):
+                    w = h = None
+            del version
+        minf = find(b"minf", *mdia)
+        if minf is None:
+            continue
+        stbl = find(b"stbl", *minf)
+        if stbl is None:
+            continue
+        stts = find(b"stts", *stbl)
+        if stts is None:
+            continue
+        ss, se = stts
+        if se - ss < 8:
+            continue
+        (n_entries,) = struct.unpack(">I", raw[ss + 4 : ss + 8])
+        total = 0
+        off = ss + 8
+        for _ in range(n_entries):
+            if off + 8 > se:
+                return None
+            (count,) = struct.unpack(">I", raw[off : off + 4])
+            total += count
+            off += 8
+        return (w, h, total)
+    return None
+
+
 def pil_available() -> bool:
     """Whether the real image codec (Pillow) is importable — the
     feature gate for ``decode_blobs(use_pil=None)``."""
@@ -220,12 +310,15 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
         use_pil = pil_available()
 
     def _non_image(mime: str, raw: bytes):
-        # Audio gets the REAL stdlib WAV parse (sample-frame count as
-        # n_frames, parse-or-NULL like the image tiers); only video
-        # keeps the documented deterministic stub (no container
-        # walker vendored for MP4).
+        # Audio: REAL stdlib WAV parse (sample-frame count as
+        # n_frames). Video: REAL stdlib MP4 box walk (stts frame
+        # count + tkhd dims). Both parse-or-NULL, like the image
+        # tiers; unknown mimes keep the deterministic stand-in.
         if mime.startswith("audio/"):
             parsed = _parse_wav_header(raw)
+            return parsed if parsed is not None else (None, None, None)
+        if mime.startswith("video/"):
+            parsed = _parse_mp4_frames(raw)
             return parsed if parsed is not None else (None, None, None)
         return _fake_decode(raw)
 

@@ -126,16 +126,11 @@ def test_multimodal_decode_plumbing(spark):
     rows = decoded.limit(20).collect()
     assert rows
     for r in rows:
-        if r.mime.startswith(("image/", "audio/")):
-            # Synthetic payloads are text bytes, not real images or
-            # WAV streams: the real-parse tiers (PIL/stdlib image
-            # headers, stdlib RIFF) must report NULL dims —
-            # skip-don't-fail, identically across environments.
-            assert r.width is None and r.height is None
-        else:
-            # Video keeps the documented deterministic stub.
-            assert 16 <= r.width < 80 and 16 <= r.height < 80
-            assert 1 <= r.n_frames <= 7
+        # Synthetic payloads are text bytes, not real containers: all
+        # three real-parse tiers (image headers, RIFF, ISO-BMFF) must
+        # report NULL dims — skip-don't-fail, identically across
+        # environments — while feature extraction still runs.
+        assert r.width is None and r.height is None and r.n_frames is None
         assert len(r.feature) == 8
     # Deterministic decode: same input -> same dims.
     again = {r.blob_id: (r.width, r.height) for r in decoded.limit(20).collect()}
@@ -200,6 +195,35 @@ def _minimal_wav(n_samples: int, n_channels: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _minimal_mp4(n_frames: int, width: int = 0, height: int = 0) -> bytes:
+    """Hand-assemble a minimal ISO-BMFF stream with stdlib only
+    (public spec): ftyp + moov[trak[tkhd, mdia[hdlr(vide),
+    minf[stbl[stts]]]]] — enough structure for the box walker to
+    find the video track's frame count and dimensions."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stts = box(
+        b"stts",
+        struct.pack(">II", 0, 2)
+        + struct.pack(">II", n_frames - 1, 100)
+        + struct.pack(">II", 1, 100),
+    )
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    tkhd = box(
+        b"tkhd",
+        b"\x00" * 76 + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    return ftyp + box(b"moov", trak)
+
+
 def test_decode_blobs_real_image_dims_any_environment(spark):
     # Runs in EVERY environment (no PIL skip): a real PNG decodes to
     # its true dimensions through the same mapInPandas plumbing —
@@ -208,13 +232,15 @@ def test_decode_blobs_real_image_dims_any_environment(spark):
     # (skip-don't-fail), and the schema is identical across tiers.
     png = _minimal_png(37, 21)
     wav = _minimal_wav(n_samples=480, n_channels=2)
+    mp4 = _minimal_mp4(n_frames=24, width=640, height=360)
     blobs = spark.createDataFrame(
         [
             (1, bytearray(png), "image/png", len(png), "x"),
             (2, bytearray(b"not a png at all"), "image/png", 16, "y"),
             (3, bytearray(wav), "audio/wav", len(wav), "z"),
             (4, bytearray(b"not audio"), "audio/wav", 9, "w"),
-            (5, bytearray(b"video bytes"), "video/mp4", 11, "v"),
+            (5, bytearray(mp4), "video/mp4", len(mp4), "v"),
+            (6, bytearray(b"video bytes"), "video/mp4", 11, "u"),
         ],
         M.BLOB_SCHEMA,
     )
@@ -226,7 +252,9 @@ def test_decode_blobs_real_image_dims_any_environment(spark):
     # WAV: real sample-frame count, no width/height meaning.
     assert (rows[3].width, rows[3].height, rows[3].n_frames) == (None, None, 480)
     assert rows[4].n_frames is None  # non-WAV audio: skip-don't-fail
-    assert rows[5].width is not None  # video keeps the stub
+    # MP4: real stts frame count + tkhd dimensions.
+    assert (rows[5].width, rows[5].height, rows[5].n_frames) == (640, 360, 24)
+    assert rows[6].n_frames is None  # non-MP4 video: skip-don't-fail
     # The stdlib tier agrees with whatever tier auto-detect picked.
     stdlib_rows = {
         r.blob_id: r for r in M.decode_blobs(blobs, use_pil=False).collect()
@@ -292,13 +320,32 @@ def test_parse_image_header_formats():
     assert M._parse_wav_header(b"RIFF....WAVE") is None
     assert M._parse_wav_header(b"plain text") is None
 
+    # MP4 walker: stts frame sum + tkhd dims; zero dims read as NULL;
+    # non-BMFF payloads are rejected.
+    assert M._parse_mp4_frames(_minimal_mp4(24, 640, 360)) == (640, 360, 24)
+    assert M._parse_mp4_frames(_minimal_mp4(7)) == (None, None, 7)
+    assert M._parse_mp4_frames(b"random bytes here") is None
+    assert M._parse_mp4_frames(b"") is None
+
 
 def test_frame_sampling(spark):
-    decoded = M.decode_blobs(M.blobs_from_documents(spark, SF))
+    # Real MP4 containers (box-walked frame counts) drive the
+    # explode; a garbage video payload yields NULL n_frames and
+    # contributes no frames (NULL-safe sequence explode).
+    vids = [
+        (i, bytearray(_minimal_mp4(n_frames=4 + i)), "video/mp4", 0, "h")
+        for i in range(3)
+    ] + [(99, bytearray(b"not a video"), "video/mp4", 11, "g")]
+    decoded = M.decode_blobs(spark.createDataFrame(vids, M.BLOB_SCHEMA))
     frames = M.frame_sample(decoded, every_n=2)
     rows = frames.collect()
     assert rows
     assert all(r.frame_idx % 2 == 0 for r in rows)
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r.blob_id, []).append(r.frame_idx)
+    assert by_blob == {0: [0, 2], 1: [0, 2, 4], 2: [0, 2, 4]}
+    assert 99 not in by_blob
 
 
 def test_blob_metadata_prunes_payload_column(spark):
