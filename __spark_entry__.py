@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
         "q_sequence_packing": X.q_sequence_packing,
         "q_dedup_incremental": D.q_dedup_incremental,
+        "q_dedup_incremental_deletes": D.q_dedup_incremental_deletes,
         "q_tfidf_top_terms": X.q_tfidf_top_terms,
         "q_unigram_logprob": X.q_unigram_logprob,
         "q_token_chunks": X.q_token_chunks,

@@ -989,6 +989,37 @@ def dedup_incremental(
     return verdicts
 
 
+def q_dedup_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only): the tombstone lifecycle end to end.
+    Ingest the first half of the documents table into a scratch band
+    store, tombstone every third ingested doc (the PII-redaction
+    shape), then return the second half's verdicts — duplicates of
+    deleted docs must NOT appear as 'known' matches. Output adds a
+    constant n_deleted column so the row set pins both the verdict
+    filtering and the delete count."""
+    import shutil
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="spark_graft_bandstore_del_")
+    try:
+        d = load(spark, sf_dir, "documents")
+        cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        first = d.where(F.col("doc_id") <= cut)
+        dedup_incremental(first, store, ingest_id="seed").count()
+        dead = first.where(F.col("doc_id") % 3 == 0).select("doc_id")
+        n_deleted = dead.count()
+        delete_from_store(spark, store, dead, delete_id="redact")
+        # Verdicts returned UNFILTERED: if the tombstone anti-join
+        # broke, duplicates of deleted docs would reappear as 'known'
+        # rows and the recorded row count would move — the regression
+        # surfaces in the driver's rows-only record, not get masked.
+        return dedup_incremental(
+            d.where(F.col("doc_id") > cut), store
+        ).withColumn("n_deleted", F.lit(n_deleted))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing (rows-only): split the documents table into two
     'daily shards' (first/second half by doc_id), ingest shard 1 to a
