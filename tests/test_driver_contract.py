@@ -29,6 +29,7 @@ ROWS_ONLY_ALLOWED = {
     "q_multimodal_feature_knn",
     "q_curation_pipeline_full",
     "q_dedup_incremental",
+    "q_dedup_incremental_deletes",  # same xxhash64 lineage + store fold
     "q_semantic_dedup",  # k-means assignment has no SQL twin
     "q_lttb_downsample",  # sequential per-series selection has no SQL twin
     "q_bpe_train_merges",  # iterative training state has no SQL twin

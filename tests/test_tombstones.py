@@ -264,3 +264,90 @@ def test_manifest_backward_compat_without_deletes_key(tmp_path):
     assert _commit_manifest(store, lambda ids: ids + ["c"]) == ["a", "b", "c"]
     assert _read_manifest(store) == ["a", "b", "c"]
     assert _read_manifest_full(store)["deletes"] == []
+
+
+def test_forget_documents_across_all_stores(spark, tmp_path):
+    """The right-to-be-forgotten composite: one call removes a
+    published doc from the corpus (affected split partitions only),
+    the band store, and the BM25 index; replaying the same delete id
+    is a per-store no-op and removes nothing further."""
+    import json as _json
+    import os
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk_from_index,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.plans.redaction import (
+        forget_documents,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    idx = str(tmp_path / "bm25")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    docs = [
+        (1, base),
+        (2, "completely different content about distributed query engines "
+            "shuffling partitions across executors with adaptive plans"),
+        (3, "entirely novel prose about alpine meadows and patient "
+            "glaciers carving valleys through ancient granite ranges"),
+    ]
+    shard = tmp_path / "s.jsonl"
+    shard.write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": t, "lang": "en", "source": "s"}
+            )
+            for i, t in docs
+        )
+    )
+    stats = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, str(shard)), corpus, store,
+        ingest_id="day1", bm25_index_path=idx,
+    )
+    assert stats["published"] == 3
+
+    ledger = forget_documents(
+        spark, [1], corpus_path=corpus, band_store=store, bm25_index=idx,
+        delete_id="req1",
+    )
+    assert ledger["corpus_rows_removed"] == 1
+    assert ledger["band_store_committed"] and ledger["bm25_committed"]
+
+    # Corpus: doc 1 gone, others intact, split layout preserved.
+    out = spark.read.parquet(corpus)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    assert [d for d in os.listdir(corpus) if d.startswith("split=")]
+
+    # Retrieval: unfindable.
+    assert (
+        bm25_topk_from_index(spark, idx, ["turtles"], k=5).collect() == []
+    )
+    # Dedup state: a near-copy of the forgotten doc is NOT flagged.
+    v = dedup_incremental(
+        spark.createDataFrame(
+            [(50, base.replace("pale", "dark"))], "doc_id long, text string"
+        ),
+        store,
+    ).collect()
+    assert all(r.dup_of_doc_id != 1 for r in v)
+
+    # Replay: per-store no-op, nothing further removed.
+    again = forget_documents(
+        spark, [1], corpus_path=corpus, band_store=store, bm25_index=idx,
+        delete_id="req1",
+    )
+    assert again["corpus_rows_removed"] == 0
+    assert not again["band_store_committed"] and not again["bm25_committed"]
