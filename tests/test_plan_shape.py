@@ -484,3 +484,63 @@ def test_quantile_sketch_single_window_over_sketch(spark):
     aggs = [m.start() for m in re.finditer("HashAggregate", body)]
     assert win != -1 and aggs
     assert all(win < a for a in aggs[-2:])  # daily+monthly aggs below
+
+
+def test_tombstone_free_store_reads_add_no_join(spark, tmp_path):
+    """With no committed deletes, store_tombstones returns None and
+    the IVF read path's plan carries NO anti-join — the tombstone
+    capability must be free until it's used."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+
+    rng = random.Random(5)
+    e = spark.createDataFrame(
+        [
+            (i, 0, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, n_centroids=2)
+    plan = _plan(read_ivf_assignments(spark, index_dir))
+    assert "Join" not in plan, "no deletes -> no anti-join in the plan"
+
+
+def test_ivf_query_keeps_cell_pruning_with_tombstones(spark, tmp_path):
+    """Tombstone filtering must not break the 100 TB win: the probe
+    query still prunes to its cells at file-listing time (the cell
+    partition filter survives the added anti-join)."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        delete_from_store,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+    )
+
+    rng = random.Random(5)
+    vecs = [
+        (i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    e = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, n_centroids=4)
+    delete_from_store(
+        spark, index_dir, [1, 2], delete_id="d", id_col="vec_id"
+    )
+    q = ann_ivf_topk_from_index(
+        spark, index_dir, vecs[0][2], k=5, n_probe=1
+    )
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert {r.vec_id for r in q.collect()}.isdisjoint({1, 2})
