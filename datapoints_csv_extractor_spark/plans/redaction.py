@@ -106,6 +106,51 @@ def forget_documents(
     return ledger
 
 
+def stream_forget(
+    spark: SparkSession,
+    ids_stream: DataFrame,
+    checkpoint_dir: str,
+    corpus_path: str | None = None,
+    band_store: str | None = None,
+    bm25_index: str | None = None,
+    ivf_index: str | None = None,
+    available_now: bool = True,
+    on_batch=None,
+):
+    """Continuous takedown processing: a stream of (doc_id) rows —
+    the redaction queue a compliance pipeline feeds — drives
+    ``forget_documents`` per micro-batch.
+
+    Replay safety (foreachBatch is at-least-once): each batch's
+    deletes commit under ``delete_id=f"batch_{id}"``, so a
+    crash-replayed batch is a per-store no-op on the tombstone
+    ledgers, and the corpus rewrite removes nothing the first pass
+    didn't. ``on_batch(batch_id, ledger)`` receives each batch's
+    removal ledger."""
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        ledger = forget_documents(
+            spark,
+            batch_df.select("doc_id"),
+            corpus_path=corpus_path,
+            band_store=band_store,
+            bm25_index=bm25_index,
+            ivf_index=ivf_index,
+            delete_id=f"batch_{batch_id}",
+        )
+        if on_batch is not None:
+            on_batch(batch_id, ledger)
+
+    writer = ids_stream.writeStream.foreachBatch(_handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _rewrite_corpus_partitions(
     spark: SparkSession, corpus_path: str, ids_df: DataFrame
 ) -> int:
@@ -116,15 +161,22 @@ def _rewrite_corpus_partitions(
     removed."""
     root = Path(corpus_path)
     removed = 0
-    for part_dir in sorted(root.glob("split=*")):
+    # Batch-mode corpora lay out split=* at the root; streamed corpora
+    # nest it under batch=<id>/ (plans/corpus_ingest.py) — rewrite the
+    # leaf split directories in either layout.
+    part_dirs = sorted(root.glob("split=*")) or sorted(
+        root.glob("batch=*/split=*")
+    )
+    for part_dir in part_dirs:
         part = spark.read.parquet(str(part_dir))
         hit = part.join(ids_df, "doc_id", "left_semi").count()
         if not hit:
             continue
         survivors = part.join(ids_df, "doc_id", "left_anti")
-        staging = root / f"_redact_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+        base = part_dir.parent
+        staging = base / f"_redact_{part_dir.name}_{uuid.uuid4().hex[:8]}"
         survivors.write.mode("overwrite").parquet(str(staging))
-        retired = root / f"_retired_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+        retired = base / f"_retired_{part_dir.name}_{uuid.uuid4().hex[:8]}"
         part_dir.rename(retired)
         staging.rename(part_dir)
         shutil.rmtree(retired, ignore_errors=True)

@@ -351,3 +351,74 @@ def test_forget_documents_across_all_stores(spark, tmp_path):
     )
     assert again["corpus_rows_removed"] == 0
     assert not again["band_store_committed"] and not again["bm25_committed"]
+
+
+def test_stream_forget_processes_takedown_queue(spark, tmp_path):
+    """A streamed redaction queue drives forget_documents per batch:
+    after the availableNow run the docs are gone from the streamed
+    corpus, band store, and BM25 index; a checkpoint-restart replays
+    no work (per-store no-op ledgers)."""
+    import json as _json
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        bm25_topk_from_index,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.plans.redaction import stream_forget
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "bandstore")
+    idx = str(tmp_path / "bm25")
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog near a mossy "
+            "riverbank while seventeen green turtles watch quietly"),
+        (2, "completely different content about distributed query engines "
+            "shuffling partitions across executors with adaptive plans"),
+    ]
+    shard = tmp_path / "s.jsonl"
+    shard.write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": t, "lang": "en", "source": "s"}
+            )
+            for i, t in docs
+        )
+    )
+    ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, str(shard)), corpus, store,
+        ingest_id="seed", bm25_index_path=idx,
+    )
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "takedown1.json").write_text(_json.dumps({"doc_id": 1}))
+    ids_stream = spark.readStream.schema("doc_id long").json(str(qdir))
+    ledgers: list[tuple[int, dict]] = []
+    q = stream_forget(
+        spark, ids_stream, str(tmp_path / "ckpt"),
+        corpus_path=corpus, band_store=store, bm25_index=idx,
+        on_batch=lambda bid, led: ledgers.append((bid, led)),
+    )
+    q.awaitTermination(120)
+    assert ledgers and ledgers[0][1]["corpus_rows_removed"] == 1
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2]
+    assert (
+        bm25_topk_from_index(spark, idx, ["turtles"], k=5).collect() == []
+    )
+
+    # Restart from the checkpoint: the processed file is not replayed
+    # (and a forced replay of the same batch id would no-op anyway).
+    ledgers.clear()
+    q2 = stream_forget(
+        spark, ids_stream, str(tmp_path / "ckpt"),
+        corpus_path=corpus, band_store=store, bm25_index=idx,
+        on_batch=lambda bid, led: ledgers.append((bid, led)),
+    )
+    q2.awaitTermination(120)
+    assert ledgers == []
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2]
