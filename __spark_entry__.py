@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": A.q_percentiles,
         "q_outer_join": R.q_outer_join,
         "q_bm25_index_query": X.q_bm25_index_query,
+        "q_perplexity_filter": X.q_perplexity_filter,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2360,5 +2361,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.event_type <= b.event_type
         GROUP BY type_a, type_b
         ORDER BY type_a, type_b
+    """
+    # Bigram-LM perplexity filter: identical tokenization, identical
+    # add-1/2 smoothing arithmetic (integer counts + one ln/exp,
+    # rounded once — the BM25 exactness discipline).
+    sql["q_perplexity_filter"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), train AS (
+            SELECT * FROM tok WHERE doc_id % 2 = 0
+        ), score AS (
+            SELECT * FROM tok WHERE doc_id % 2 = 1
+        ), tb AS (
+            SELECT t[i] || ' ' || t[i + 1] AS gram, t[i] AS w1
+            FROM train CROSS JOIN LATERAL unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), big AS (
+            SELECT gram, w1, count(*) AS c12 FROM tb GROUP BY 1, 2
+        ), ctx AS (
+            SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1
+        ), v AS (
+            SELECT CAST(count(DISTINCT u.tk) AS DOUBLE) AS vs
+            FROM train CROSS JOIN LATERAL unnest(t) AS u(tk)
+        ), sb AS (
+            SELECT s.doc_id, t[i] || ' ' || t[i + 1] AS gram, t[i] AS w1
+            FROM score s CROSS JOIN LATERAL unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), j AS (
+            SELECT sb.doc_id,
+                   -ln((COALESCE(big.c12, 0) + 0.5)
+                       / (COALESCE(ctx.c1, 0) + 0.5 * v.vs)) AS nll
+            FROM sb
+            LEFT JOIN big USING (gram)
+            LEFT JOIN ctx ON sb.w1 = ctx.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(nll) / count(*), 4) AS avg_nll,
+               round(exp(sum(nll) / count(*)), 2) AS ppl,
+               exp(sum(nll) / count(*)) <= 1000.0 AS keep
+        FROM j GROUP BY doc_id ORDER BY doc_id
     """
     return sql

@@ -1390,3 +1390,103 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(load(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+def _bigram_array(toks: Column) -> Column:
+    """Adjacent word bigrams WITH multiplicity (unlike the dedup
+    shingles, which are distinct sets): "w1 w2" strings, empty for
+    docs under two tokens. ``toks`` must be a materialized column
+    reference (the shingles_of_tokens O(len^2) lambda lesson)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    bg = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(n >= 2, bg).otherwise(F.array().cast("array<string>"))
+
+
+def perplexity_score(
+    docs_score: DataFrame,
+    docs_train: DataFrame,
+    keep_below_ppl: float = 1000.0,
+) -> DataFrame:
+    """CCNet-style n-gram LM perplexity filter: score each document's
+    text under a bigram language model trained on a REFERENCE corpus,
+    and keep documents whose perplexity sits below the threshold —
+    the classic pretraining quality gate (train the LM on trusted
+    text; crawl pages that look nothing like it score high perplexity
+    and drop).
+
+    Model: bigram MLE with add-1/2 (Jeffreys) smoothing,
+    P(w2 | w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5 V), V = train
+    vocabulary size. Per doc: avg negative log-likelihood over its
+    adjacent bigrams and ppl = exp(avg_nll). Deterministic integer
+    counts + one ln/exp at the end — the same engine-exactness
+    discipline as the BM25 scorer, so the DuckDB twin is hash-exact.
+
+    Scale shape: training is two hash aggregates over the exploded
+    train bigrams (counts, then per-context totals) plus one
+    parameter-sized vocab count; scoring is an equijoin of the score
+    side's exploded bigrams against the (gram, count) table — no pair
+    space, no windows; AQE broadcasts the LM when it is small and
+    shuffle-joins when it is not. At 100 TB the LM table is bounded
+    by the TRAIN corpus's distinct bigrams, not by the data being
+    scored.
+    """
+    spark = docs_score.sparkSession
+    tr = docs_train.select(
+        tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
+    tb = tr.select(F.explode(_bigram_array(F.col("toks"))).alias("gram"))
+    big = (
+        tb.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    ).localCheckpoint()
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_size = (
+        tr.select(F.explode("toks").alias("tk")).agg(
+            F.countDistinct("tk")
+        ).first()[0]
+    ) or 1
+
+    sb = (
+        docs_score.select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id", F.explode(_bigram_array(F.col("toks"))).alias("gram")
+        )
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(0.5) * F.lit(float(vocab_size)))
+    )
+    avg_nll = F.sum(nll) / F.count(F.lit(1))
+    return (
+        sb.join(big.select("gram", "c12"), "gram", "left")
+        .join(ctx, "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(avg_nll, 4).alias("avg_nll"),
+            F.round(F.exp(avg_nll), 2).alias("ppl"),
+            (F.exp(avg_nll) <= F.lit(keep_below_ppl)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: even doc_ids play the trusted reference corpus,
+    odd doc_ids are the crawl being scored — every odd doc gets its
+    bigram-LM perplexity and a keep verdict."""
+    d = load(spark, sf_dir, "documents")
+    return perplexity_score(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+    )

@@ -652,3 +652,62 @@ def test_audience_overlap_hll_matches_exact_at_low_cardinality(spark):
     # the exact path only pairs with members — compare on union
     for k in set(exact) | set(approx):
         assert approx.get(k, 0) == exact.get(k, 0), k
+
+
+def test_perplexity_filter_matches_pure_python_and_flags_outliers(spark):
+    """Bigram-LM perplexity vs a pure-Python model of the same
+    add-1/2 arithmetic, and the gate's point: in-domain text scores
+    far lower than out-of-domain gibberish."""
+    import math
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        perplexity_score,
+    )
+
+    train_texts = [
+        "the cat sat on the mat while the dog slept by the door",
+        "the dog ran to the door and the cat sat by the mat",
+        "a cat and a dog sat by the warm door on the mat",
+    ]
+    score_texts = {
+        10: "the cat sat by the door",          # in-domain
+        11: "zxq vvk qpl mmr zzt qqw lkj",      # out-of-domain gibberish
+    }
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        list(score_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in perplexity_score(score, train, keep_below_ppl=10.0).collect()
+    }
+
+    # Pure-Python same-arithmetic model.
+    big: dict = {}
+    ctx: dict = {}
+    vocab = set()
+    for t in train_texts:
+        ws = t.split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    V = len(vocab)
+    for did, t in score_texts.items():
+        ws = t.split()
+        nlls = [
+            -math.log(
+                (big.get((a, b), 0) + 0.5) / (ctx.get(a, 0) + 0.5 * V)
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        avg = sum(nlls) / len(nlls)
+        assert got[did].n_bigrams == len(nlls)
+        assert got[did].avg_nll == round(avg, 4)
+        assert got[did].ppl == round(math.exp(avg), 2)
+
+    assert got[10].keep and not got[11].keep
+    assert got[11].ppl > 2 * got[10].ppl
