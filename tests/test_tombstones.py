@@ -422,3 +422,49 @@ def test_stream_forget_processes_takedown_queue(spark, tmp_path):
     q2.awaitTermination(120)
     assert ledgers == []
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2]
+
+
+def test_refresh_ivf_index_folds_tombstones(spark, tmp_path):
+    """An offline refresh retrains WITHOUT deleted vectors, clears
+    the delete ledger it snapshotted, and removes the tombstone
+    directories — the refresh doubles as a tombstone fold."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest_full,
+        delete_from_store,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_assignments,
+        refresh_ivf_index,
+    )
+
+    rng = random.Random(11)
+    e = spark.createDataFrame(
+        [
+            (i, 0, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, n_centroids=2)
+    delete_from_store(
+        spark, index_dir, [3, 4], delete_id="d", id_col="vec_id"
+    )
+
+    refresh_ivf_index(spark, index_dir, n_centroids=2, n_train_iters=1)
+
+    stored = {
+        r.vec_id for r in read_ivf_assignments(spark, index_dir).collect()
+    }
+    assert stored == set(range(30)) - {3, 4}
+    raw = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/assignments").collect()
+    }
+    assert raw == stored, "refresh fold must drop deleted rows physically"
+    m = _read_manifest_full(index_dir)
+    assert m["deletes"] == []
+    assert not glob.glob(f"{index_dir}/tombstones/delete=*")
