@@ -1833,3 +1833,322 @@ def q_hybrid_rrf(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + per-cell residual product codes
+# ---------------------------------------------------------------------------
+#
+# The composition FAISS ships as its default billion-scale index:
+# the IVF coarse quantizer prunes the SCAN (a query touches
+# n_probe/n_centroids of the codes), and PQ compresses what remains
+# (m ints per vector instead of dim floats). Residual encoding —
+# quantize x_hat - centroid(cell), not x_hat — is what makes the two
+# compose: within a cell the residuals are small and concentrated, so
+# the same codebook budget buys far less quantization error than
+# whole-vector PQ. Serving = per-probed-cell ADC tables (driver-side,
+# parameter-sized) + JVM element_at lookups over a cell-pruned
+# parquet scan. All arithmetic is in the normalized-vector space, so
+# ADC's squared-L2 ranking within the probe set equals cosine order.
+
+
+def _train_residual_pq(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    m: int,
+    k: int,
+    n_iters: int,
+) -> list[list[list[float]]]:
+    """Deterministic k-means per subspace over RESIDUALS
+    (x_hat - centroid_hat[cell]); same one-Arrow-pass-per-iteration
+    shape as ``train_pq_codebooks``, without the normalize step
+    (residuals are differences, not directions). Init: the first k
+    vectors' residual subvectors by vec_id."""
+    import numpy as np
+
+    dim = len(centroids[0])
+    if dim % m != 0:
+        raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
+    sub = dim // m
+    c_arr = np.array(centroids, dtype=np.float64)
+    c_norm = np.sqrt((c_arr * c_arr).sum(axis=1))
+    c_norm[c_norm == 0.0] = 1.0
+    c_hat = (c_arr / c_norm[:, None]).tolist()
+
+    first = (
+        assigned.orderBy("vec_id")
+        .select("vec_id", "embedding", "cell")
+        .limit(k)
+        .collect()
+    )
+    ch = np.array(c_hat)
+
+    def _res(row):
+        x = np.array([float(v) for v in row.embedding])
+        n = float(np.sqrt((x * x).sum())) or 1.0
+        return x / n - ch[row.cell]
+
+    init = [_res(r) for r in first]
+    codebooks = [
+        [list(map(float, init[c % len(init)][j * sub : (j + 1) * sub])) for c in range(k)]
+        for j in range(m)
+    ]
+
+    vecs = _spread(assigned.select("embedding", "cell"))
+    schema = "sub int, cell int, n long, " + ", ".join(
+        f"s{i} double" for i in range(sub)
+    )
+    cols = ["sub", "cell", "n"] + [f"s{i}" for i in range(sub)]
+    for _ in range(n_iters):
+        cb_now = [[list(c) for c in book] for book in codebooks]
+
+        def _partials(batches, cb=cb_now, chat=c_hat):
+            import numpy as np
+            import pandas as pd
+
+            books = np.array(cb, dtype=np.float64)  # (m, k, sub)
+            cmat = np.array(chat, dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                nrm[nrm == 0.0] = 1.0
+                res = mat / nrm[:, None] - cmat[pdf["cell"].to_numpy()]
+                rows = []
+                for j in range(books.shape[0]):
+                    sv = res[:, j * books.shape[2] : (j + 1) * books.shape[2]]
+                    d2 = (
+                        (sv * sv).sum(axis=1)[:, None]
+                        - 2.0 * sv @ books[j].T
+                        + (books[j] * books[j]).sum(axis=1)[None, :]
+                    )
+                    cells = d2.argmin(axis=1)
+                    for c in np.unique(cells):
+                        sel = sv[cells == c]
+                        rows.append([j, int(c), len(sel), *sel.sum(axis=0)])
+                yield pd.DataFrame(rows, columns=cols)
+
+        sums = (
+            vecs.mapInPandas(_partials, schema)
+            .groupBy("sub", "cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        by_key = {(r["sub"], r["cell"]): r for r in sums}
+        codebooks = [
+            [
+                [by_key[(j, c)][f"s{i}"] / by_key[(j, c)]["n"] for i in range(sub)]
+                if (j, c) in by_key
+                else codebooks[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return codebooks
+
+
+def build_ivfpq_index(
+    e: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+) -> None:
+    """Build-once half of the IVF-PQ lifecycle: train the coarse
+    quantizer, train residual codebooks, encode, and persist the
+    codes parquet PARTITIONED BY CELL (so serving inherits the IVF
+    store's file-listing-time pruning) plus a parameter-sized meta
+    with centroids + codebooks."""
+    import json
+
+    centroids = train_ivf_centroids(e, n_centroids, n_iters)
+    assigned = _spread(
+        e.select("vec_id", "label", "embedding")
+    ).withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+    assigned = assigned.localCheckpoint()  # one assignment feeds 3 passes
+    codebooks = _train_residual_pq(assigned, centroids, m, k, n_iters)
+
+    import numpy as np
+
+    c_arr = np.array(centroids, dtype=np.float64)
+    c_norm = np.sqrt((c_arr * c_arr).sum(axis=1))
+    c_norm[c_norm == 0.0] = 1.0
+    c_hat = (c_arr / c_norm[:, None]).tolist()
+
+    def _enc(batches, cb=codebooks, chat=c_hat):
+        import numpy as np
+        import pandas as pd
+
+        books = np.array(cb, dtype=np.float64)
+        cmat = np.array(chat, dtype=np.float64)
+        mm, _, sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            res = mat / nrm[:, None] - cmat[pdf["cell"].to_numpy()]
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                sv = res[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2.0 * sv @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cell": pdf["cell"],
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    (
+        assigned.mapInPandas(
+            _enc, "vec_id long, label int, cell int, codes array<int>"
+        )
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": n_centroids,
+                "m": m,
+                "k": k,
+                "centroids": centroids,
+                "codebooks": codebooks,
+            },
+            f,
+        )
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    source: DataFrame | None = None,
+    rerank_factor: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query-once half: probe the ``n_probe`` max-cosine cells
+    (driver-side over the parameter-sized centroid table — the same
+    rule as ``ann_ivf_topk_from_index``), build one ADC table PER
+    PROBED CELL from the query's residual against that cell, and
+    score ONLY those cells' codes — the scan is partition-pruned at
+    file listing AND each row costs m element_at lookups, no float
+    vector math. Optional exact re-rank against ``source``."""
+    import json
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    centroids = meta["centroids"]
+    codebooks = meta["codebooks"]
+    n_k = meta["k"]
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos_list(query_vec, c)) for cid, c in enumerate(centroids)),
+            key=lambda t: -t[1],
+        )[: n_probe]
+    ]
+
+    q = np.array(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+    q_hat = q / qn
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+    mm, _, sub = books.shape
+    c_arr = np.array(centroids, dtype=np.float64)
+    c_norm = np.sqrt((c_arr * c_arr).sum(axis=1))
+    c_norm[c_norm == 0.0] = 1.0
+    c_hat = c_arr / c_norm[:, None]
+
+    # One flat (m*k) lookup table per cell slot; non-probed slots stay
+    # empty (their rows are pruned before scoring ever runs).
+    luts: list[list[float]] = [[] for _ in centroids]
+    for cid in probe_cells:
+        q_res = q_hat - c_hat[cid]
+        lut = np.empty((mm, n_k), dtype=np.float64)
+        for j in range(mm):
+            diff = books[j] - q_res[j * sub : (j + 1) * sub][None, :]
+            lut[j] = (diff * diff).sum(axis=1)
+        luts[cid] = [float(x) for x in lut.reshape(-1)]
+    luts_lit = F.array(
+        *[F.array(*[F.lit(x) for x in lut]) for lut in luts]
+    )
+    lut_c = F.element_at(luts_lit, F.col("cell") + 1)
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(
+                lut_c, (j * F.lit(n_k) + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
+        F.col("cell").isin(probe_cells)
+    )
+    if exclude_vec_id is not None:
+        codes = codes.where(F.col("vec_id") != exclude_vec_id)
+    adc = (
+        codes.select("vec_id", "label", F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(rerank_factor * k if source is not None else k)
+    )
+    if source is None:
+        return adc
+    cand = [r["vec_id"] for r in adc.collect()]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine(F.col("embedding"), qlit), 4)
+    return (
+        source.where(F.col("vec_id").isin(cand))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Driver-facing IVF-PQ: build the composed index into a scratch
+    dir, probe half the cells, ADC + exact re-rank the neighbors of
+    vec 0 (rows-only: k-means training end to end; recall vs brute
+    force is pinned in pytest)."""
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
+    qvec = [float(x) for x in qrow[0]]
+    index_dir = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+    try:
+        build_ivfpq_index(e, index_dir, n_centroids=8, m=8, k=16, n_iters=2)
+        out = ann_ivfpq_topk(
+            spark, index_dir, qvec, k=k, n_probe=4, source=e,
+            exclude_vec_id=query_vec_id,
+        )
+        # Materialize before the scratch index dir disappears.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
