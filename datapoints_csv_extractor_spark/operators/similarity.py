@@ -2012,6 +2012,10 @@ def build_ivfpq_index(
                 }
             )
 
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+    )
+
     (
         assigned.mapInPandas(
             _enc, "vec_id long, label int, cell int, codes array<int>"
@@ -2019,7 +2023,7 @@ def build_ivfpq_index(
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "codes"))
+        .parquet(os.path.join(index_dir, "codes", "ingest=base"))
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(
@@ -2032,6 +2036,119 @@ def build_ivfpq_index(
             },
             f,
         )
+    # Same manifest protocol as the IVF assignment store: the codes
+    # directory is ingest-foldable (append_ivfpq_shard), tombstonable
+    # (delete_from_store on vec_id), and compactable.
+    _commit_manifest(index_dir, lambda ids: ["base"])
+
+
+def _read_ivfpq_codes(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Committed, tombstone-filtered codes (``ingest`` dropped,
+    ``cell`` kept as the pruning partition column) — the exact reader
+    contract of ``read_ivf_assignments``, on the codes table."""
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest,
+        store_tombstones,
+    )
+
+    base = os.path.join(index_dir, "codes")
+    ingests = _read_manifest(index_dir)
+    if not ingests:
+        out = spark.read.parquet(base)
+    else:
+        out = (
+            spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f"ingest={i}") for i in ingests])
+            .drop("ingest")
+        )
+    dead = store_tombstones(spark, index_dir, id_col="vec_id")
+    if dead is not None:
+        out = out.join(dead, "vec_id", "left_anti")
+    return out
+
+
+def append_ivfpq_shard(
+    e_new: DataFrame, index_dir: str, ingest_id: str | None = None
+) -> bool:
+    """Incremental half of the IVF-PQ lifecycle: encode a NEW
+    embedding shard against the FROZEN centroids + codebooks (one
+    map-only Arrow pass — no retraining, no touching stored codes)
+    and fold it in as a manifest-committed ingest. Replay of a
+    committed ``ingest_id`` is a no-op (returns False) — the same
+    at-least-once contract as every other store fold. Codebook drift
+    from corpus growth is the offline refresh's business (rebuild via
+    ``build_ivfpq_index``), mirroring ``refresh_ivf_index``."""
+    import json
+    import uuid
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+        _read_manifest,
+    )
+
+    spark = e_new.sparkSession
+    ingest_id = ingest_id or uuid.uuid4().hex[:12]
+    if ingest_id in _read_manifest(index_dir):
+        return False
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    c_arr = np.array(centroids, dtype=np.float64)
+    c_norm = np.sqrt((c_arr * c_arr).sum(axis=1))
+    c_norm[c_norm == 0.0] = 1.0
+    c_hat = (c_arr / c_norm[:, None]).tolist()
+
+    assigned = _spread(
+        e_new.select("vec_id", "label", "embedding")
+    ).withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+
+    def _enc(batches, cb=codebooks, chat=c_hat):
+        import numpy as np
+        import pandas as pd
+
+        books = np.array(cb, dtype=np.float64)
+        cmat = np.array(chat, dtype=np.float64)
+        mm, _, sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            res = mat / nrm[:, None] - cmat[pdf["cell"].to_numpy()]
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                sv = res[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2.0 * sv @ books[j].T
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cell": pdf["cell"],
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    (
+        assigned.mapInPandas(
+            _enc, "vec_id long, label int, cell int, codes array<int>"
+        )
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "codes", f"ingest={ingest_id}"))
+    )
+    _commit_manifest(
+        index_dir, lambda ids: ids if ingest_id in ids else ids + [ingest_id]
+    )
+    return True
 
 
 def ann_ivfpq_topk(
@@ -2102,7 +2219,7 @@ def ann_ivfpq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
+    codes = _read_ivfpq_codes(spark, index_dir).where(
         F.col("cell").isin(probe_cells)
     )
     if exclude_vec_id is not None:

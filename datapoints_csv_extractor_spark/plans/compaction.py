@@ -208,6 +208,7 @@ def compact_ivf_store(
     spark: SparkSession,
     index_dir: str | Path,
     min_ingests: int = 2,
+    table: str = "assignments",
 ) -> tuple[int, int] | None:
     """Compact the incremental IVF assignment store
     (``operators/similarity.py``): fold every manifest-committed
@@ -246,7 +247,7 @@ def compact_ivf_store(
     if not ingests or (len(ingests) < min_ingests and not deletes):
         return None
     new_id = f"compact{uuid.uuid4().hex[:8]}"
-    base = store / "assignments"
+    base = store / table
     snap_dirs = [base / f"ingest={i}" for i in ingests]
     before = sum(len(list(d.glob("cell=*/*.parquet"))) for d in snap_dirs)
     snapshot = (
@@ -280,3 +281,17 @@ def compact_ivf_store(
             shutil.rmtree(d, ignore_errors=True)
     after = len(list((base / f"ingest={new_id}").glob("cell=*/*.parquet")))
     return (before, after)
+
+
+def compact_ivfpq_store(
+    spark: SparkSession,
+    index_dir: str | Path,
+    min_ingests: int = 2,
+) -> tuple[int, int] | None:
+    """Compact the IVF-PQ codes store — identical layout and commit
+    protocol to the assignment store (``codes/ingest=<id>/cell=*``,
+    same manifest, same tombstone fold), so the same compactor
+    applies with the table switched."""
+    return compact_ivf_store(
+        spark, index_dir, min_ingests=min_ingests, table="codes"
+    )

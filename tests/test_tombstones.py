@@ -468,3 +468,86 @@ def test_refresh_ivf_index_folds_tombstones(spark, tmp_path):
     m = _read_manifest_full(index_dir)
     assert m["deletes"] == []
     assert not glob.glob(f"{index_dir}/tombstones/delete=*")
+
+
+def test_ivfpq_incremental_lifecycle_with_deletes(spark, tmp_path):
+    """Full IVF-PQ store lifecycle: build, manifest-committed
+    incremental append (replay no-op), tombstone delete honored by
+    serving, physical fold via compaction."""
+    import random
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest_full,
+        delete_from_store,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        append_ivfpq_shard,
+        build_ivfpq_index,
+    )
+    from datapoints_csv_extractor_spark.plans.compaction import (
+        compact_ivfpq_store,
+    )
+
+    rng = random.Random(19)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    base_rows = [(0, 0, query)] + [
+        (i, 1, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(1, 120)
+    ]
+    e = spark.createDataFrame(
+        base_rows, "vec_id long, label int, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e, index_dir, n_centroids=4, m=4, k=8, n_iters=2)
+
+    # Incremental shard: planted near-dups of the query arrive later.
+    shard = spark.createDataFrame(
+        [
+            (500 + i, 0, [x + rng.uniform(-0.02, 0.02) for x in query])
+            for i in range(10)
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    assert append_ivfpq_shard(shard, index_dir, ingest_id="day1")
+    assert not append_ivfpq_shard(shard, index_dir, ingest_id="day1")
+
+    got = [
+        r.vec_id
+        for r in ann_ivfpq_topk(
+            spark, index_dir, query, k=10, n_probe=4, exclude_vec_id=0
+        ).collect()
+    ]
+    planted = set(range(500, 510))
+    assert len(planted & set(got)) >= 8, got
+
+    # Tombstone half the planted shard: they stop serving.
+    dead = list(range(500, 505))
+    assert delete_from_store(
+        spark, index_dir, dead, delete_id="d1", id_col="vec_id"
+    )
+    got2 = [
+        r.vec_id
+        for r in ann_ivfpq_topk(
+            spark, index_dir, query, k=10, n_probe=4, exclude_vec_id=0
+        ).collect()
+    ]
+    assert set(got2).isdisjoint(dead)
+    assert len(set(range(505, 510)) & set(got2)) >= 4
+
+    # Compaction folds physically and clears the ledger.
+    compact_ivfpq_store(spark, index_dir, min_ingests=1)
+    raw = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/codes").collect()
+    }
+    assert raw.isdisjoint(dead)
+    assert _read_manifest_full(index_dir)["deletes"] == []
+    got3 = [
+        r.vec_id
+        for r in ann_ivfpq_topk(
+            spark, index_dir, query, k=10, n_probe=4, exclude_vec_id=0
+        ).collect()
+    ]
+    assert set(got3).isdisjoint(dead)
