@@ -473,6 +473,31 @@ def main() -> None:
             )
         )
 
+        # IVF-PQ, same build/query split: the composed index's serving
+        # cost is a cell-pruned ADC scan — the number that matters is
+        # how it compares to the whole-table PQ scan above.
+        from datapoints_csv_extractor_spark.operators.similarity import (
+            ann_ivfpq_topk,
+            build_ivfpq_index,
+        )
+
+        ivfpq_builds = []
+        ivfpq_dir = None
+        for i in range(2):
+            ivfpq_dir = os.path.join(inc_root, f"ivfpq{i}")
+            t0 = time.perf_counter()
+            build_ivfpq_index(e_full, ivfpq_dir, n_centroids=8, n_iters=2)
+            ivfpq_builds.append(time.perf_counter() - t0)
+        timings["q_ann_ivfpq_build"] = round(min(ivfpq_builds), 3)
+        timings["q_ann_ivfpq_query"] = _best_of(
+            lambda: _materialize(
+                ann_ivfpq_topk(
+                    spark, ivfpq_dir, qvec, k=10, n_probe=2,
+                    source=e_full, exclude_vec_id=0,
+                )
+            )
+        )
+
         # BM25 inverted index, same build/query split: the serving
         # cost is a bucket-pruned postings read + tiny rank join —
         # the number that matters for a standing search index.

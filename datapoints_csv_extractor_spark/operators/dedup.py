@@ -1212,3 +1212,37 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def band_store_stats(spark: SparkSession, store_path: str) -> DataFrame:
+    """Health report for the band store, one row per committed
+    ingest: (ingest, n_docs, n_bands, n_files) plus one 'tombstones'
+    summary row — the maintenance-window read that decides when
+    ``compact_band_store`` is due (file fragmentation) and how much
+    dead weight the tombstone ledger is hiding (anti-join cost per
+    query until the next fold).
+
+    One metadata-pruned aggregate per table; result is
+    ingest-count-sized, never data-sized."""
+    import glob as _glob
+    import os
+
+    manifest = _read_manifest_full(store_path)
+    rows = []
+    for i in manifest["ingests"]:
+        sig_dir = os.path.join(store_path, "signatures", f"ingest={i}")
+        band_dir = os.path.join(store_path, "bands", f"ingest={i}")
+        n_docs = spark.read.parquet(sig_dir).count()
+        n_bands = spark.read.parquet(band_dir).count()
+        n_files = len(_glob.glob(os.path.join(sig_dir, "*.parquet"))) + len(
+            _glob.glob(os.path.join(band_dir, "*.parquet"))
+        )
+        rows.append((i, n_docs, n_bands, n_files))
+    dead = store_tombstones(spark, store_path)
+    rows.append(
+        ("tombstones", dead.count() if dead is not None else 0, 0,
+         len(_glob.glob(os.path.join(store_path, "tombstones", "delete=*"))))
+    )
+    return spark.createDataFrame(
+        rows, "ingest string, n_docs long, n_bands long, n_files long"
+    )

@@ -1490,3 +1490,49 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 2 == 1),
         d.where(F.col("doc_id") % 2 == 0),
     )
+
+
+def bm25_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Health report for the BM25 store, one row per committed shard:
+    (shard, n_docs, dl_sum, n_postings, n_buckets_used) plus one
+    'deleted' summary row — when n_postings fragmentation grows or
+    the deleted row dominates, ``compact_bm25_index`` is due. One
+    shard-pruned aggregate over postings; shard-count-sized output."""
+    meta = _bm25_read_meta(index_dir)
+    per_shard = {
+        r["shard"]: r
+        for r in _bm25_read_postings(spark, index_dir, meta)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_postings"),
+            F.countDistinct("bucket").alias("n_buckets_used"),
+        )
+        .collect()
+    }
+    rows = []
+    for sid, s in meta["shards"].items():
+        p = per_shard.get(sid)
+        rows.append(
+            (
+                sid,
+                s["n_docs"],
+                s["dl_sum"],
+                p["n_postings"] if p else 0,
+                p["n_buckets_used"] if p else 0,
+            )
+        )
+    deletes = meta.get("deletes", {})
+    rows.append(
+        (
+            "deleted",
+            sum(d["n_docs"] for d in deletes.values()),
+            sum(d["dl_sum"] for d in deletes.values()),
+            0,
+            0,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "shard string, n_docs long, dl_sum long, n_postings long, "
+        "n_buckets_used long",
+    )

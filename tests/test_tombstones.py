@@ -551,3 +551,50 @@ def test_ivfpq_incremental_lifecycle_with_deletes(spark, tmp_path):
         ).collect()
     ]
     assert set(got3).isdisjoint(dead)
+
+
+def test_store_stats_reports(spark, tmp_path):
+    """The band-store and BM25 health reports: per-ingest/shard rows
+    plus a tombstone summary, consistent with the actual store
+    contents before and after deletes."""
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        band_store_stats,
+        dedup_incremental,
+        delete_from_store,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import (
+        append_bm25_shard,
+        bm25_index_stats,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    store = str(tmp_path / "band")
+    for i, t in enumerate(_texts(2)):
+        dedup_incremental(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"),
+            store, ingest_id=f"s{i}",
+        ).count()
+    delete_from_store(spark, store, [0], delete_id="d")
+    got = {r.ingest: r for r in band_store_stats(spark, store).collect()}
+    assert got["s0"].n_docs == 1 and got["s1"].n_docs == 1
+    assert got["tombstones"].n_docs == 1
+    assert all(r.n_files >= 1 for r in got.values())
+
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta delta")],
+            "doc_id long, text string",
+        ),
+        idx, n_buckets=8,
+    )
+    append_bm25_shard(
+        spark.createDataFrame([(3, "gamma epsilon")], "doc_id long, text string"),
+        idx, "s2",
+    )
+    delete_from_bm25_index(spark, idx, [2], delete_id="d")
+    stats = {r.shard: r for r in bm25_index_stats(spark, idx).collect()}
+    assert stats["base"].n_docs == 2 and stats["s2"].n_docs == 1
+    assert stats["base"].n_postings == 5 and stats["s2"].n_postings == 2
+    assert stats["deleted"].n_docs == 1 and stats["deleted"].dl_sum == 2
