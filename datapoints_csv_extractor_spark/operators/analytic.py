@@ -73,6 +73,80 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_scalable(
+    events: DataFrame, gap_minutes: int = 30, chunk: str = "hour"
+) -> DataFrame:
+    """Hot-key-safe exact sessionization — the two-phase answer to the
+    one skew surface a per-user window cannot dodge: ONE user with a
+    huge event history lands whole in one task under
+    ``q_session_window``'s user-partitioned sort.
+
+    Phase 1 chunks events by (user, time bucket) and sessionizes
+    WITHIN each chunk (gaps-and-islands over the chunk — a hot user's
+    day spreads across 24 hourly tasks). Chunk length must exceed the
+    gap, so a session crossing a boundary is split between EXACTLY
+    adjacent chunks. Phase 2 repairs the splits with the same
+    gaps-and-islands trick one level up: a window over the per-chunk
+    SESSION table (rows = sessions, bounded ~chunk_len/gap per chunk,
+    orders of magnitude below events) chains sessions whose gap
+    start - prev_last <= gap, then one aggregate merges each chain.
+    Output and semantics are identical to the single-window form —
+    it shares q_session_window's DuckDB oracle, which is the
+    equivalence proof.
+    """
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    ev = events.withColumn("chunk", F.date_trunc(chunk, F.col("ts")))
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") <= F.lag("ts").over(w1) + gap, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "lsid",
+        F.sum("new_session").over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    local = flagged.groupBy("user_id", "chunk", "lsid").agg(
+        F.min("ts").alias("start"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("start")
+    chained = local.withColumn(
+        "new_chain",
+        F.when(
+            F.col("start") <= F.lag("last_ts").over(w2) + gap, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "chain",
+        F.sum("new_chain").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        chained.groupBy("user_id", "chain")
+        .agg(
+            F.min("start").alias("session_start"),
+            (F.max("last_ts") + gap).alias("session_end"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
+def q_session_window_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the two-phase sessionizer over the events
+    stream — shares q_session_window's oracle (same output by
+    construction)."""
+    return session_window_scalable(load(spark, sf_dir, "events"))
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all 4 grouping sets in
     one pass (Expand -> single shuffle), the OLAP summary the reference

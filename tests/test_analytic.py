@@ -546,3 +546,74 @@ def test_read_api_quantiles_and_anomaly_modes(spark):
     assert {(r["user_id"], r["ts"], r["zscore"]) for r in arows} == {
         (r["user_id"], r["ts"], r["zscore"]) for r in base
     }
+
+
+def test_session_window_scalable_boundary_cases(spark):
+    """The two-phase sessionizer must repair every chunk-boundary
+    split: sessions crossing one boundary, continuous activity
+    spanning many chunks, an exact-gap tie (<= merges, matching the
+    oracle), and independence of unrelated users."""
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        session_window_scalable,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = []
+    # user 1: events every 20 min for 5 hours -> ONE session spanning
+    # 5 hourly chunks (the continuous-chain case).
+    rows += [(1, at(20 * i), 1.0) for i in range(16)]  # 0..300 min
+    # user 2: one event just before an hour boundary, one just after
+    # (gap 10 min) -> one session; then a 31-min gap -> new session.
+    rows += [(2, at(55), 2.0), (2, at(65), 2.0), (2, at(96), 2.0)]
+    # user 3: exact 30-min gap -> MERGES (oracle's <= semantics).
+    rows += [(3, at(0), 3.0), (3, at(30), 3.0)]
+    # user 4: exact 30-min-plus-one-second gap -> splits.
+    rows += [(4, at(0), 4.0), (4, at(0) + dt.timedelta(minutes=30, seconds=1), 4.0)]
+    ev = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r.user_id, r.session_start): r
+        for r in session_window_scalable(ev).collect()
+    }
+    per_user: dict[int, list] = {}
+    for (u, _), r in sorted(out.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        per_user.setdefault(u, []).append(r)
+
+    assert len(per_user[1]) == 1
+    s = per_user[1][0]
+    assert s.session_start == at(0) and s.n_events == 16
+    assert s.session_end == at(300) + dt.timedelta(minutes=30)
+
+    assert len(per_user[2]) == 2
+    assert per_user[2][0].n_events == 2  # 55+65 merged across boundary
+    assert per_user[2][1].session_start == at(96)
+
+    assert len(per_user[3]) == 1 and per_user[3][0].n_events == 2
+    assert len(per_user[4]) == 2
+
+    # Equivalence against the oracle-backed single-window form on the
+    # shared testdata (both are driver-registered; both hash-match the
+    # same DuckDB oracle — spot-check the frames agree here too).
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_session_window,
+        q_session_window_scalable,
+    )
+
+    a = {
+        tuple(r)
+        for r in q_session_window(spark, "/root/testdata/sf0.001").collect()
+    }
+    b = {
+        tuple(r)
+        for r in q_session_window_scalable(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert a == b
