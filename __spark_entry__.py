@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_index_query": X.q_bm25_index_query,
         "q_perplexity_filter": X.q_perplexity_filter,
         "q_session_window_scalable": A.q_session_window_scalable,
+        "q_asof_join_scalable": R.q_asof_join_scalable,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2368,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
     # form by construction — sharing the oracle IS the equivalence
     # proof.
     sql["q_session_window_scalable"] = sql["q_session_window"]
+    sql["q_asof_join_scalable"] = sql["q_asof_join"]
     # Bigram-LM perplexity filter: identical tokenization, identical
     # add-1/2 smoothing arithmetic (integer counts + one ln/exp,
     # rounded once — the BM25 exactness discipline).

@@ -272,6 +272,90 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_scalable(
+    events: DataFrame, chunk: str = "day"
+) -> DataFrame:
+    """Hot-key-safe exact as-of join — q_asof_join's answer to the
+    same skew surface the two-phase sessionizer handles: a hot user's
+    full history otherwise sorts in one task.
+
+    Distributed prefix-scan (carry) pattern: chunk by (user, time
+    bucket), compute each chunk's LAST purchase locally, run the
+    carry window over the per-(user, chunk) SUMMARY table (rows =
+    user x active-chunk, not events) to get "latest purchase strictly
+    before this chunk", then finish each chunk locally with the
+    carried value as the fallback. Unlike sessionization, the carry
+    reaches across ANY distance (a purchase weeks back still
+    resolves) — which is exactly what the summary-table window gives
+    for free. Output-identical to q_asof_join (shared oracle)."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id",
+        F.col("ts"), F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    unioned = (
+        clicks.unionByName(purchases)
+        .withColumn("is_click", F.col("event_id").isNotNull().cast("int"))
+        .withColumn("chunk", F.date_trunc(chunk, F.col("ts")))
+    )
+    # Per-chunk last purchase (struct max orders by p_ts first; the
+    # testdata's microsecond timestamps make ties vacuous, same
+    # assumption the single-window form and the ASOF oracle rely on).
+    last_local = (
+        unioned.where(F.col("is_click") == 0)
+        .groupBy("user_id", "chunk")
+        .agg(F.max(F.struct("p_ts", "p_value")).alias("lp"))
+    )
+    # Clicks in chunks with NO purchase row need the carry too: build
+    # it for every ACTIVE (user, chunk). One row per active chunk
+    # (lp NULL where the chunk had no purchase; max skips nulls), so
+    # the carry window runs over the chunk-summary table, never the
+    # events.
+    active = unioned.select("user_id", "chunk").distinct()
+    wc = Window.partitionBy("user_id").orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry_all = (
+        active.join(last_local, ["user_id", "chunk"], "left")
+        .select("user_id", "chunk", F.max("lp").over(wc).alias("carried"))
+    )
+    w_in = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = unioned.join(carry_all, ["user_id", "chunk"], "left")
+    local_p_ts = F.last("p_ts", ignorenulls=True).over(w_in)
+    local_p_val = F.last("p_value", ignorenulls=True).over(w_in)
+    return (
+        joined.select(
+            "event_id", "user_id", "ts", "is_click",
+            F.coalesce(local_p_ts, F.col("carried.p_ts")).alias("purchase_ts"),
+            F.coalesce(
+                # A local purchase always supersedes the carry (it is
+                # later by construction); only fall back when the
+                # chunk saw no purchase before this click.
+                local_p_val,
+                F.col("carried.p_value"),
+            ).alias("purchase_value"),
+        )
+        .where(F.col("is_click") == 1)
+        .where(F.col("purchase_ts").isNotNull())
+        .select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+    )
+
+
+def q_asof_join_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the carry-pattern as-of join — shares
+    q_asof_join's ASOF JOIN oracle (same output by construction)."""
+    return asof_join_scalable(load(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------

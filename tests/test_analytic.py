@@ -617,3 +617,62 @@ def test_session_window_scalable_boundary_cases(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_asof_join_scalable_carry_cases(spark):
+    """The carry-pattern as-of join must resolve purchases at ANY
+    distance back (not just the adjacent chunk), prefer a same-chunk
+    purchase over the carry, exclude clicks before any purchase, and
+    include same-timestamp purchases (at-or-before)."""
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.operators.relational import (
+        asof_join_scalable,
+    )
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def day(n, h=12):
+        return dt.datetime(2024, 1, 1 + n, h, 0, 0)
+
+    rows = [
+        # user 1: purchase day 0; clicks day 3 and day 9 both resolve
+        # to it across multi-day gaps (no purchases in between).
+        (100, day(0), 1, "purchase", 10.0),
+        (101, day(3), 1, "click", 0.0),
+        (102, day(9), 1, "click", 0.0),
+        # user 2: purchase day 0, purchase day 5 morning, click day 5
+        # afternoon -> same-chunk purchase wins over the carry.
+        (200, day(0), 2, "purchase", 20.0),
+        (201, day(5, 9), 2, "purchase", 25.0),
+        (202, day(5, 15), 2, "click", 0.0),
+        # user 3: click BEFORE any purchase -> excluded.
+        (300, day(0), 3, "click", 0.0),
+        (301, day(1), 3, "purchase", 30.0),
+        # user 4: purchase and click at the SAME timestamp -> included
+        # (at-or-before, matching DuckDB ASOF >=).
+        (400, day(2), 4, "purchase", 40.0),
+        (401, day(2), 4, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {r.event_id: r for r in asof_join_scalable(ev).collect()}
+    assert set(got) == {101, 102, 202, 401}
+    assert got[101].purchase_value == 10.0 and got[102].purchase_value == 10.0
+    assert got[202].purchase_value == 25.0  # same-chunk beats carry
+    assert got[401].purchase_value == 40.0  # same-ts purchase counts
+
+    # Whole-table equivalence with the single-window form.
+    from datapoints_csv_extractor_spark.operators.relational import (
+        q_asof_join,
+        q_asof_join_scalable,
+    )
+
+    a = {tuple(r) for r in q_asof_join(spark, "/root/testdata/sf0.001").collect()}
+    b = {
+        tuple(r)
+        for r in q_asof_join_scalable(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert a == b
