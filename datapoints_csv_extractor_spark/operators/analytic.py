@@ -56,7 +56,12 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key and streaming-compatible (same expression works under
     ``withWatermark`` in Structured Streaming).
     """
-    e = load(spark, sf_dir, "events")
+    return session_window_agg(load(spark, sf_dir, "events"))
+
+
+def session_window_agg(e: DataFrame) -> DataFrame:
+    """Single-window sessionization over an events frame (the
+    DataFrame-level form q_session_window and the skew bench share)."""
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(

@@ -239,7 +239,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a 100 TB as-of should run: sort-merge within user partitions.
     DuckDB expresses the same thing natively as ASOF JOIN.
     """
-    ev = load(spark, sf_dir, "events")
+    return asof_join(load(spark, sf_dir, "events"))
+
+
+def asof_join(ev: DataFrame) -> DataFrame:
+    """Single-window as-of join over an events frame (the
+    DataFrame-level form q_asof_join and the skew bench share)."""
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("p_ts"),
         F.lit(None).cast("double").alias("p_value"),
