@@ -85,6 +85,15 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "inverted-index store at PATH (seeded on first use; per-shard "
         "idempotent appends)",
     )
+    parser.add_argument(
+        "--lm-store", default=None, metavar="PATH",
+        help="Gate on bigram-LM perplexity against the persisted "
+        "reference model at PATH (textops.build_lm_store)",
+    )
+    parser.add_argument(
+        "--max-ppl", type=float, default=1000.0, metavar="PPL",
+        help="Perplexity bound for --lm-store (default 1000)",
+    )
     parser.add_argument("--master", default=None, help="Spark master override")
     return parser.parse_args(argv)
 
@@ -100,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         line_dedup_tokens=args.line_dedup,
         max_repeated_fraction=args.max_repeated_fraction,
         bm25_index_path=args.bm25_index,
+        lm_store_path=args.lm_store,
+        max_ppl=args.max_ppl,
     )
 
     from datapoints_csv_extractor_spark.plans.corpus_ingest import (

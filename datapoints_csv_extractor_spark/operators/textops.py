@@ -1536,3 +1536,77 @@ def bm25_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
         "shard string, n_docs long, dl_sum long, n_postings long, "
         "n_buckets_used long",
     )
+
+
+def build_lm_store(train_docs: DataFrame, store_path: str) -> None:
+    """Persist the bigram LM the perplexity gate scores against:
+    (gram, c12) and (w1, c1) parquet tables plus a parameter-sized
+    meta (vocab size). Train ONCE on the trusted reference corpus;
+    every later shard scores against the store without touching the
+    training data again — the standing-model pattern the BM25 and
+    ANN stores already follow, on the quality axis."""
+    import json
+
+    tr = train_docs.select(tokens(F.col("text")).alias("toks")).localCheckpoint()
+    big = (
+        tr.select(F.explode(_bigram_array(F.col("toks"))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    )
+    big.write.mode("overwrite").parquet(os.path.join(store_path, "bigrams"))
+    (
+        big.groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_path, "contexts"))
+    )
+    vocab_size = (
+        tr.select(F.explode("toks").alias("tk")).agg(F.countDistinct("tk")).first()[0]
+    ) or 1
+    tmp = os.path.join(store_path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"vocab_size": int(vocab_size)}, fh)
+    os.replace(tmp, os.path.join(store_path, "meta.json"))
+
+
+def perplexity_score_from_store(
+    docs_score: DataFrame, store_path: str, keep_below_ppl: float = 1000.0
+) -> DataFrame:
+    """Score documents against a persisted LM store — identical
+    arithmetic (and output) to ``perplexity_score``, zero training
+    work in the plan."""
+    import json
+
+    spark = docs_score.sparkSession
+    with open(os.path.join(store_path, "meta.json")) as fh:
+        vocab_size = json.load(fh)["vocab_size"]
+    big = spark.read.parquet(os.path.join(store_path, "bigrams"))
+    ctx = spark.read.parquet(os.path.join(store_path, "contexts"))
+    sb = (
+        docs_score.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", F.explode(_bigram_array(F.col("toks"))).alias("gram")
+        )
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0))
+            + F.lit(0.5) * F.lit(float(vocab_size))
+        )
+    )
+    avg_nll = F.sum(nll) / F.count(F.lit(1))
+    return (
+        sb.join(big.select("gram", "c12"), "gram", "left")
+        .join(ctx, "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(avg_nll, 4).alias("avg_nll"),
+            F.round(F.exp(avg_nll), 2).alias("ppl"),
+            (F.exp(avg_nll) <= F.lit(keep_below_ppl)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -60,6 +60,8 @@ def ingest_corpus_shard(
     ingest_id: str | None = None,
     corpus_mode: str = "append",
     bm25_index_path: str | None = None,
+    lm_store_path: str | None = None,
+    max_ppl: float = 1000.0,
 ) -> dict[str, int]:
     """Ingest one (doc_id, text, ...) shard into the curated corpus.
 
@@ -93,9 +95,15 @@ def ingest_corpus_shard(
       ``curation.repeated_spans`` repeated-gram fraction exceeds the
       bound (the suffix-array-style self/cross-repetition filter).
 
+    ``lm_store_path`` adds the CCNet-style perplexity gate: documents
+    scoring above ``max_ppl`` against the persisted reference bigram
+    LM (``textops.build_lm_store``) are dropped between the cheap
+    gates and the dedup stage.
+
     Returns the shard's bookkeeping counts (the numbers an ingest
     pipeline alarms on): ``received``, ``pii_redacted``,
-    ``low_quality``, ``resampled_out``, ``line_deduped``,
+    ``low_quality``, ``resampled_out``, ``perplexity_filtered``,
+    ``line_deduped``,
     ``repetition_filtered``, ``duplicate``, ``published``,
     ``indexed`` (docs folded into the optional standing BM25 store at
     ``bm25_index_path`` — published text becomes immediately
@@ -180,6 +188,30 @@ def ingest_corpus_shard(
             .localCheckpoint()
         )
 
+    n_perplexity = 0
+    if lm_store_path is not None:
+        # CCNet-style LM gate against the STANDING reference model
+        # (textops.build_lm_store): documents whose bigram perplexity
+        # exceeds the bound read nothing like the trusted corpus and
+        # drop BEFORE dedup spends signatures on them. Docs too short
+        # for any bigram produce no score row and pass (the length
+        # gate owns that decision).
+        from datapoints_csv_extractor_spark.operators.textops import (
+            perplexity_score_from_store,
+        )
+
+        too_weird = (
+            perplexity_score_from_store(
+                passed.select("doc_id", "text"), lm_store_path,
+                keep_below_ppl=max_ppl,
+            )
+            .where(~F.col("keep"))
+            .select("doc_id")
+        )
+        before = passed.count()
+        passed = passed.join(too_weird, "doc_id", "left_anti").localCheckpoint()
+        n_perplexity = before - passed.count()
+
     n_repetition = 0
     if max_repeated_fraction is not None:
         from datapoints_csv_extractor_spark.operators.curation import (
@@ -237,9 +269,11 @@ def ingest_corpus_shard(
         "pii_redacted": n_pii,
         "low_quality": n_received - n_passed,
         "resampled_out": n_resampled_out,
+        "perplexity_filtered": n_perplexity,
         "line_deduped": n_line_deduped,
         "repetition_filtered": n_repetition,
-        "duplicate": n_passed - n_resampled_out - n_repetition - n_published,
+        "duplicate": n_passed - n_resampled_out - n_perplexity
+        - n_repetition - n_published,
         "published": n_published,
         "indexed": n_indexed,
     }

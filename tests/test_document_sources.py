@@ -126,7 +126,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats1 == {
         "received": 3, "pii_redacted": 0, "low_quality": 1,
-        "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "resampled_out": 0, "perplexity_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
         "duplicate": 0, "published": 2, "indexed": 0,
     }
 
@@ -142,7 +142,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats2 == {
         "received": 2, "pii_redacted": 0, "low_quality": 0,
-        "resampled_out": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "resampled_out": 0, "perplexity_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
         "duplicate": 1, "published": 1, "indexed": 0,
     }
 
@@ -202,7 +202,8 @@ def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
     )
     assert stats == {
         "received": 4, "pii_redacted": 1, "low_quality": 1,
-        "resampled_out": 1, "line_deduped": 0, "repetition_filtered": 0,
+        "resampled_out": 1, "perplexity_filtered": 0, "line_deduped": 0,
+        "repetition_filtered": 0,
         "duplicate": 0, "published": 2, "indexed": 0,
     }
     out = spark.read.parquet(corpus)
@@ -400,3 +401,75 @@ def test_ingest_without_ingest_id_indexes_every_run(spark, tmp_path):
         r["doc_id"]
         for r in bm25_topk_from_index(spark, idx, ["glaciers"], k=5).collect()
     ] == [2]
+
+
+def test_lm_store_roundtrip_and_ingest_perplexity_gate(spark, tmp_path):
+    """The persisted LM store scores identically to the inline
+    trainer, and the ingest plan's perplexity gate drops
+    out-of-domain documents with the count ledger'd."""
+    import json
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        build_lm_store,
+        perplexity_score,
+        perplexity_score_from_store,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_jsonl,
+    )
+
+    trusted = [
+        "the committee reviewed the quarterly budget and approved the "
+        "infrastructure proposal after a long discussion of costs",
+        "the proposal allocates the budget across infrastructure and "
+        "maintenance with the committee reviewing costs quarterly",
+        "after discussion the committee approved the maintenance budget "
+        "and the infrastructure costs for the quarter",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(trusted)], "doc_id long, text string"
+    )
+    lm = str(tmp_path / "lm")
+    build_lm_store(train, lm)
+
+    probes = spark.createDataFrame(
+        [
+            (10, "the committee approved the budget for infrastructure "
+                 "maintenance after reviewing the quarterly costs"),
+            (11, "zzq vrk plm wqx jjt nnb qqy zpw mlk rrv ttx bbn"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, perplexity_score(probes, train).collect()))
+    b = sorted(map(tuple, perplexity_score_from_store(probes, lm).collect()))
+    assert a == b
+
+    # Ingest with the gate: the gibberish doc (which passes the cheap
+    # length/punct gates) is perplexity-filtered; the in-domain doc
+    # publishes.
+    shard = tmp_path / "s.jsonl"
+    shard.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s"})
+            for i, t in [
+                (1, probes.collect()[0].text),
+                (2, "zzq vrk plm wqx jjt nnb qqy zpw mlk rrv ttx bbn "
+                    "qpa wos edr fgt hyu jki olz xcv bnm asd fgh jkl"),
+            ]
+        )
+    )
+    stats = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, str(shard)),
+        str(tmp_path / "corpus"), str(tmp_path / "band"),
+        # The tiny trusted vocab compresses the ppl range (the
+        # unseen-bigram floor is ~ln(V)); 20 separates the measured
+        # in-domain 16.5 from the gibberish 22.0 deterministically.
+        lm_store_path=lm, max_ppl=20.0,
+    )
+    assert stats["perplexity_filtered"] == 1
+    assert stats["published"] == 1
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert [r.doc_id for r in out.collect()] == [1]
