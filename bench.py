@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q_upsert_merge",
     "q_topk_ngrams_per_source",
     "q_bm25_search",
+    "q_perplexity_filter",
     "q_hybrid_rrf",
     "q_quantile_sketch_rollup",
     "q_distribution_drift_psi",
@@ -46,12 +47,14 @@ BENCH_QUERIES = [
     "q_audience_overlap_hll",
     "q_dedup_cluster_sizes",
     "q_asof_join",
+    "q_asof_join_scalable",
     "q_window_rank",
     "q_window_running_sum",
     "q_unpivot",
     "q_json_extract",
     "q_time_window_rollup",
     "q_session_window",
+    "q_session_window_scalable",
     "q_datapoint_aggregates",
     "q_interpolate_linear",
     "q_time_weighted_aggregates",
@@ -624,7 +627,9 @@ def main() -> None:
                     "q_time_weighted_aggregates",
                     "q_anomaly_zscore",
                     "q_session_window",
+    "q_session_window_scalable",
                     "q_asof_join",
+    "q_asof_join_scalable",
                     "q_upsert_merge",
                 ):
                     runs[ts_q] = _best_of(
