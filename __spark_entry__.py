@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq_topk": V.q_ann_pq_topk,
         "q_ann_pq_multi": V.q_ann_pq_multi,
         "q_ann_ivfpq_topk": V.q_ann_ivfpq_topk,
+        "q_ann_recall_report": V.q_ann_recall_report,
         "q_multimodal_decode": M.q_multimodal_decode,
         "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         "q_distinct": R.q_distinct,

@@ -2269,3 +2269,124 @@ def q_ann_ivfpq_topk(
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def q_ann_recall_report(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5
+) -> DataFrame:
+    """Recall@k datacard for every ANN path against exact brute
+    force, one row per method — the measurement harness an embedding
+    platform runs before trusting an index family: pick n_queries
+    probe vectors, build each index once into scratch, and score
+    |approx ∩ exact| / k averaged over the probes.
+
+    Everything driver-side here is parameter-sized (n_queries probe
+    ids and k-sized result lists); each method's per-query plan is
+    the same one its serving path uses, so the recall measured IS the
+    recall shipped. Rows-only (k-means/LSH training end to end).
+
+    Reading the numbers: on the ISOTROPIC synthetic embeddings the
+    exact neighbors of a probe are near-orthogonal strangers, so
+    single-probe hyperplane LSH legitimately scores near-zero (its
+    recall on PLANTED near-duplicates — the workload it exists for —
+    is pinned separately in pytest), while the k-means families
+    (IVF/PQ/IVF-PQ) stay high because their cells/codes partition
+    even structureless space. That contrast is the point of the
+    report: it tells you which index family your data's geometry can
+    actually support."""
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < n_queries).collect()
+    ]
+
+    def topk_ids(df: DataFrame) -> list[int]:
+        return [int(r["vec_id"]) for r in df.collect()]
+
+    exact: dict[int, set[int]] = {}
+    for qid, qvec in probes:
+        qlit = F.array(*[F.lit(x) for x in qvec])
+        exact[qid] = set(
+            topk_ids(
+                e.where(F.col("vec_id") != qid)
+                .select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qlit), 6).alias("c"),
+                )
+                .orderBy(F.desc("c"), F.asc("vec_id"))
+                .limit(k)
+            )
+        )
+
+    results: list[tuple[str, float]] = []
+
+    def add(method: str, got_by_qid: dict[int, list[int]]) -> None:
+        rec = sum(
+            len(set(got_by_qid[qid]) & exact[qid]) / k for qid, _ in probes
+        ) / len(probes)
+        results.append((method, round(rec, 4)))
+
+    add(
+        "lsh_hyperplane",
+        {
+            qid: topk_ids(ann_lsh_topk_df(e, query_vec_id=qid, k=k))
+            for qid, _ in probes
+        },
+    )
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_recall_")
+    try:
+        ivf_dir = os.path.join(scratch, "ivf")
+        build_ivf_index(e, ivf_dir, n_centroids=8, n_train_iters=2)
+        add(
+            "ivf",
+            {
+                qid: topk_ids(
+                    ann_ivf_topk_from_index(
+                        spark, ivf_dir, qvec, k=k, n_probe=2,
+                        exclude_vec_id=qid,
+                    )
+                )
+                for qid, qvec in probes
+            },
+        )
+
+        pq_dir = os.path.join(scratch, "pq")
+        build_pq_index(e, pq_dir, n_iters=2)
+        add(
+            "pq_adc_rerank",
+            {
+                qid: topk_ids(
+                    ann_pq_topk_from_index(
+                        spark, pq_dir, qvec, k=k, source=e,
+                        exclude_vec_id=qid,
+                    )
+                )
+                for qid, qvec in probes
+            },
+        )
+
+        ivfpq_dir = os.path.join(scratch, "ivfpq")
+        build_ivfpq_index(e, ivfpq_dir, n_centroids=8, m=8, k=16, n_iters=2)
+        add(
+            "ivfpq_rerank",
+            {
+                qid: topk_ids(
+                    ann_ivfpq_topk(
+                        spark, ivfpq_dir, qvec, k=k, n_probe=2, source=e,
+                        exclude_vec_id=qid,
+                    )
+                )
+                for qid, qvec in probes
+            },
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(m, r, n_queries, k) for m, r in results],
+        "method string, recall_at_k double, n_queries int, k int",
+    ).orderBy("method")

@@ -38,6 +38,7 @@ ROWS_ONLY_ALLOWED = {
     "q_ann_pq_topk",  # k-means codebook training has no SQL twin
     "q_ann_pq_multi",  # same PQ training lineage
     "q_ann_ivfpq_topk",  # IVF + residual-PQ training lineage
+    "q_ann_recall_report",  # measures the trained-index paths
     "q_hll_distinct_rollup",  # sketch estimates have no SQL twin
     "q_rolling_distinct_hll",  # same HLL sketch lineage, rolling form
     "q_compression_ratio",  # zlib has no SQL twin; Arrow map stage

@@ -1416,3 +1416,16 @@ def test_ivfpq_recall_and_cell_pruning(spark, tmp_path):
     assert {r.cell for r in codes.select("cell").distinct().collect()} <= {
         0, 1, 2, 3,
     }
+
+
+def test_ann_recall_report_mechanics(spark):
+    """The recall datacard: one row per ANN family, recall in [0,1],
+    and the k-means families dominate single-probe LSH on isotropic
+    data (the report's documented reading)."""
+    df = V.q_ann_recall_report(spark, "/root/testdata/sf0.001", k=3, n_queries=2)
+    rows = {r.method: r for r in df.collect()}
+    assert set(rows) == {"lsh_hyperplane", "ivf", "pq_adc_rerank", "ivfpq_rerank"}
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_queries == 2 and r.k == 3
+    assert rows["ivf"].recall_at_k >= rows["lsh_hyperplane"].recall_at_k
