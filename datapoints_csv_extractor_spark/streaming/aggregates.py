@@ -283,6 +283,50 @@ def stream_semantic_dedup_incremental(
     return writer.start()
 
 
+def stream_ivfpq_ingest(
+    vecs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    available_now: bool = True,
+):
+    """Continuous IVF-PQ index maintenance: every micro-batch of
+    (vec_id, label, embedding) rows encodes against the FROZEN
+    centroids + codebooks (one map-only Arrow pass —
+    operators/similarity.py:append_ivfpq_shard) and folds in as a
+    manifest-committed ingest keyed ``batch_<id>``, so an
+    at-least-once replay is a no-op on the ledger. The index must
+    exist (``build_ivfpq_index`` at bootstrap); codebook drift is the
+    offline rebuild's business, standard IVF-PQ practice. Per-batch
+    cost is O(|batch|) encode + one cell-partitioned directory write
+    — nothing in executor memory or per-batch work grows with the
+    corpus.
+
+    ``on_batch(batch_id, folded)`` receives whether the batch folded
+    (False = replay skip)."""
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        append_ivfpq_shard,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        folded = append_ivfpq_shard(
+            batch_df, index_dir, ingest_id=f"batch_{batch_id}"
+        )
+        if on_batch is not None:
+            on_batch(batch_id, folded)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("ivfpq_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 TW_PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("external_id", T.StringType()),

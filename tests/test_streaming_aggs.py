@@ -692,3 +692,80 @@ def test_stream_quantile_sketch_partials_match_batch_sketch(spark, tmp_path):
     )
     got = {(r.external_id, r.bin): r.n for r in rows}
     assert got == batch_rows  # day-500 window closed; day-502 not yet
+
+
+def test_stream_ivfpq_ingest_folds_batches_replay_safe(spark, tmp_path):
+    """Streaming IVF-PQ maintenance: a drained folder of embedding
+    shards folds into the index batch by batch; a checkpoint restart
+    replays nothing; the planted near-dups that arrived via the
+    stream are immediately servable."""
+    import json
+    import random
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_ivfpq_ingest,
+    )
+
+    rng = random.Random(23)
+    dim = 32
+    query = [rng.uniform(-1, 1) for _ in range(dim)]
+    base_rows = [(0, 0, query)] + [
+        (i, 1, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(1, 100)
+    ]
+    index_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        spark.createDataFrame(
+            base_rows, "vec_id long, label int, embedding array<double>"
+        ),
+        index_dir, n_centroids=4, m=4, k=8, n_iters=2,
+    )
+
+    qdir = tmp_path / "shards"
+    qdir.mkdir()
+    (qdir / "s1.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "vec_id": 500 + i,
+                    "label": 0,
+                    "embedding": [
+                        x + rng.uniform(-0.02, 0.02) for x in query
+                    ],
+                }
+            )
+            for i in range(6)
+        )
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, label int, embedding array<double>"
+    ).json(str(qdir))
+    folds: list[tuple[int, bool]] = []
+    q = stream_ivfpq_ingest(
+        stream, index_dir, str(tmp_path / "ckpt"),
+        on_batch=lambda bid, ok: folds.append((bid, ok)),
+    )
+    q.awaitTermination(120)
+    assert folds and all(ok for _, ok in folds)
+
+    got = [
+        r.vec_id
+        for r in ann_ivfpq_topk(
+            spark, index_dir, query, k=6, n_probe=4, exclude_vec_id=0
+        ).collect()
+    ]
+    assert len(set(got) & set(range(500, 506))) >= 5
+
+    # Restart: the drained file is not replayed; a forced same-batch
+    # replay would no-op on the manifest anyway.
+    folds.clear()
+    q2 = stream_ivfpq_ingest(
+        stream, index_dir, str(tmp_path / "ckpt"),
+        on_batch=lambda bid, ok: folds.append((bid, ok)),
+    )
+    q2.awaitTermination(120)
+    assert folds == []
