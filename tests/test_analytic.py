@@ -676,3 +676,81 @@ def test_asof_join_scalable_carry_cases(spark):
         for r in q_asof_join_scalable(spark, "/root/testdata/sf0.001").collect()
     }
     assert a == b
+
+
+def test_scalable_twins_match_python_model_on_random_data(spark):
+    """One seeded random event set, three-way agreement: the
+    two-phase sessionizer and carry as-of join must match a pure
+    Python reference model exactly — boundary placement is random
+    here, so chunk-repair bugs that hand-picked cases miss would
+    surface as any row diff."""
+    import datetime as dt
+    import random
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        session_window_scalable,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import (
+        asof_join_scalable,
+    )
+
+    rng = random.Random(99)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(60):
+        t = rng.uniform(0, 600)
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([rng.uniform(0.1, 25), rng.uniform(35, 4000)])
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(minutes=t),
+                    u,
+                    rng.choice(["click", "purchase", "view"]),
+                    round(rng.uniform(0, 100), 2),
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    # Python session model (<= 30 min merges).
+    gap = dt.timedelta(minutes=30)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r[2], []).append(r)
+    want_sessions = set()
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r[1])
+        cur = [rs[0]]
+        for r in rs[1:]:
+            if r[1] <= cur[-1][1] + gap:
+                cur.append(r)
+            else:
+                want_sessions.add(
+                    (u, cur[0][1], cur[-1][1] + gap, len(cur),
+                     round(sum(x[4] for x in cur), 2))
+                )
+                cur = [r]
+        want_sessions.add(
+            (u, cur[0][1], cur[-1][1] + gap, len(cur),
+             round(sum(x[4] for x in cur), 2))
+        )
+    got_sessions = {tuple(r) for r in session_window_scalable(ev).collect()}
+    assert got_sessions == want_sessions
+
+    # Python as-of model (latest purchase at-or-before each click).
+    want_asof = set()
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r[1])
+        last_p = None
+        for r in rs:
+            if r[3] == "purchase":
+                last_p = r
+            elif r[3] == "click" and last_p is not None:
+                want_asof.add((r[0], u, r[1], last_p[1], last_p[4]))
+    got_asof = {tuple(r) for r in asof_join_scalable(ev).collect()}
+    assert got_asof == want_asof
