@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity_filter": X.q_perplexity_filter,
         "q_session_window_scalable": A.q_session_window_scalable,
         "q_asof_join_scalable": R.q_asof_join_scalable,
+        "q_phrase_search": X.q_phrase_search,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2371,6 +2372,25 @@ def oracle_sql() -> dict[str, str]:
     # proof.
     sql["q_session_window_scalable"] = sql["q_session_window"]
     sql["q_asof_join_scalable"] = sql["q_asof_join"]
+    # Exact-phrase retrieval: identical tokenization, start-position
+    # adjacency scan over the token list.
+    sql["q_phrase_search"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(range(1, len(t)),
+                   i -> t[i] = 'group' AND t[i + 1] = 'order'))
+                   AS n_hits
+        FROM tok
+        WHERE len(t) >= 2
+          AND len(list_filter(range(1, len(t)),
+                  i -> t[i] = 'group' AND t[i + 1] = 'order')) > 0
+        ORDER BY doc_id
+    """
     # Bigram-LM perplexity filter: identical tokenization, identical
     # add-1/2 smoothing arithmetic (integer counts + one ln/exp,
     # rounded once — the BM25 exactness discipline).

@@ -1610,3 +1610,49 @@ def perplexity_score_from_store(
         )
         .orderBy("doc_id")
     )
+
+
+def phrase_hits(toks: Column, phrase_terms: list[str]) -> Column:
+    """Occurrence count of an exact token phrase inside a materialized
+    token array: one pass over the start positions with an all-terms
+    adjacency check — pure JVM HOFs, map-only, O(len * phrase_len)
+    per document. Short docs count zero (guarded sequence)."""
+    n = len(phrase_terms)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    match = lambda i: reduce_and(  # noqa: E731
+        [
+            F.element_at(toks, i + j) == F.lit(t)
+            for j, t in enumerate(phrase_terms)
+        ]
+    )
+    hits = F.size(F.filter(starts, match))
+    return F.when(F.size(toks) >= n, hits).otherwise(F.lit(0))
+
+
+def reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def q_phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str = "group order"
+) -> DataFrame:
+    """Exact-phrase retrieval over the corpus — the "find this exact
+    quote" query a decontamination audit or takedown request runs
+    (BM25 finds topical matches; THIS finds verbatim spans). Map-only:
+    tokenize once, count phrase occurrences per doc with a
+    start-position scan, keep hits. No shuffle but the final sort;
+    at 100 TB it is one codegen'd pass over the corpus — or, when the
+    corpus has the BM25 store, the terms' buckets prune candidates
+    first and this verifies."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    terms = phrase.split()
+    return (
+        d.select("doc_id", phrase_hits(F.col("toks"), terms).alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )

@@ -711,3 +711,32 @@ def test_perplexity_filter_matches_pure_python_and_flags_outliers(spark):
 
     assert got[10].keep and not got[11].keep
     assert got[11].ppl > 2 * got[10].ppl
+
+
+def test_phrase_search_counts_overlaps_and_edges(spark):
+    """Exact-phrase hits: overlapping occurrences each count, phrase
+    at the document edges counts, short docs and near-miss token
+    splits don't."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        phrase_hits,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # "a b" at starts 1,3,5 -> 3 hits
+            (2, "a b"),              # exact doc == phrase
+            (3, "b a"),              # reversed: no hit
+            (4, "a"),                # shorter than the phrase
+            (5, "xa b ay"),          # substring of tokens, not tokens
+            (6, "c a b"),            # phrase at the end
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n
+        for r in docs.withColumn("toks", tokens(F.col("text")))
+        .select("doc_id", phrase_hits(F.col("toks"), ["a", "b"]).alias("n"))
+        .collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 0, 4: 0, 5: 0, 6: 1}
