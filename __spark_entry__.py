@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window_scalable": A.q_session_window_scalable,
         "q_asof_join_scalable": R.q_asof_join_scalable,
         "q_phrase_search": X.q_phrase_search,
+        "q_phrase_search_indexed": X.q_phrase_search_indexed,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2372,6 +2373,8 @@ def oracle_sql() -> dict[str, str]:
     # proof.
     sql["q_session_window_scalable"] = sql["q_session_window"]
     sql["q_asof_join_scalable"] = sql["q_asof_join"]
+    # The index-served phrase path is construction-identical to the
+    # live token scan.
     # Exact-phrase retrieval: identical tokenization, start-position
     # adjacency scan over the token list.
     sql["q_phrase_search"] = """
@@ -2391,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
                   i -> t[i] = 'group' AND t[i + 1] = 'order')) > 0
         ORDER BY doc_id
     """
+    sql["q_phrase_search_indexed"] = sql["q_phrase_search"]
     # Bigram-LM perplexity filter: identical tokenization, identical
     # add-1/2 smoothing arithmetic (integer counts + one ln/exp,
     # rounded once — the BM25 exactness discipline).

@@ -1068,10 +1068,19 @@ def _bm25_write_shard(
         "doc_id", F.size("toks").alias("dl"), "toks"
     )
     n_docs, dl_sum = d.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    # Positions ride along (0-based token offsets, sorted): they make
+    # the store PHRASE-CAPABLE (bucket-pruned candidate fetch +
+    # position-adjacency verify) at the cost of one int per token —
+    # the standard positional-postings trade.
     tf = (
-        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        d.select(
+            "doc_id", "dl", F.posexplode("toks").alias("pos", "term")
+        )
         .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
     )
     postings = tf.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
@@ -1220,9 +1229,13 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     if len(committed) < 2 and not deletes:
         return (len(committed), len(committed))
     new_id = f"compact{uuid.uuid4().hex[:8]}"
-    posts = _bm25_read_postings(spark, index_dir, meta).select(
-        "doc_id", "dl", "term", "f", "bucket"
-    )
+    posts = _bm25_read_postings(spark, index_dir, meta)
+    keep_cols = [
+        c
+        for c in ("doc_id", "dl", "term", "f", "positions", "bucket")
+        if c in posts.columns
+    ]
+    posts = posts.select(*keep_cols)
     dead = _bm25_tombstones(spark, index_dir, meta)
     if dead is not None:
         # Tombstone fold: deleted docs' postings drop physically and
@@ -1656,3 +1669,88 @@ def q_phrase_search(
         .where(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+def phrase_search_from_index(
+    spark: SparkSession, index_dir: str, phrase_terms: list[str]
+) -> DataFrame:
+    """Index-served exact-phrase retrieval: fetch ONLY the phrase
+    terms' bucket partitions (the same pruning the BM25 scorer uses),
+    align each candidate doc's per-term position lists, and count
+    adjacency runs — position of term j must equal position of term 0
+    plus j for every j. One bucket-pruned scan + one doc_id-grouped
+    join; the corpus text is never read. Requires a positional store
+    (shards written since positions shipped); raises a clear error on
+    a legacy store. Tombstoned docs are excluded like every other
+    read."""
+    if len(phrase_terms) < 2:
+        raise ValueError("phrase needs at least two terms")
+    meta = _bm25_read_meta(index_dir)
+    bdf = (
+        spark.createDataFrame([(t,) for t in set(phrase_terms)], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"]))
+            .cast("int")
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    buckets = [r["bucket"] for r in bdf]
+    qlit = F.array(*[F.lit(t) for t in phrase_terms])
+    posts = _bm25_read_postings(spark, index_dir, meta)
+    if "positions" not in posts.columns:
+        raise ValueError(
+            "store predates positional postings — rebuild or compact "
+            "after re-ingesting to enable phrase search"
+        )
+    posts = posts.where(
+        F.col("bucket").isin(buckets)
+        & F.array_contains(qlit, F.col("term"))
+    ).select("doc_id", "term", "positions")
+    dead = _bm25_tombstones(spark, index_dir, meta)
+    if dead is not None:
+        posts = posts.join(dead, "doc_id", "left_anti")
+    # Pivot the <=len(phrase) term rows per doc into one row of
+    # per-term position lists, then count adjacency runs JVM-side.
+    per_doc = posts.groupBy("doc_id").agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"p{j}")
+            for j, t in enumerate(phrase_terms)
+        ]
+    )
+    # A doc missing ANY term cannot match.
+    for j in range(len(phrase_terms)):
+        per_doc = per_doc.where(F.col(f"p{j}").isNotNull())
+    starts = F.col("p0")
+    run_ok = lambda i: reduce_and(  # noqa: E731
+        [
+            F.array_contains(F.col(f"p{j}"), i + j)
+            for j in range(1, len(phrase_terms))
+        ]
+    )
+    n_hits = F.size(F.filter(starts, run_ok))
+    return (
+        per_doc.select("doc_id", n_hits.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q_phrase_search_indexed(
+    spark: SparkSession, sf_dir: str, phrase: str = "group order"
+) -> DataFrame:
+    """Driver-facing index-served phrase search: build the positional
+    BM25 store into scratch, answer the same phrase as
+    q_phrase_search from postings alone — same oracle, because the
+    position-adjacency count is construction-identical to the live
+    token scan."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    index_dir = tempfile.mkdtemp(prefix="bm25_phrase_")
+    build_bm25_index(d, index_dir)
+    return phrase_search_from_index(spark, index_dir, phrase.split())

@@ -740,3 +740,71 @@ def test_phrase_search_counts_overlaps_and_edges(spark):
         .collect()
     }
     assert out == {1: 3, 2: 1, 3: 0, 4: 0, 5: 0, 6: 1}
+
+
+def test_phrase_index_lifecycle_and_tombstones(spark, tmp_path):
+    """Positional postings: the index-served phrase path matches the
+    live scan across appended shards, overlapping and repeated-term
+    phrases count correctly, tombstoned docs stop matching, and a
+    legacy (position-less) store errors clearly."""
+    import pytest
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        append_bm25_shard,
+        build_bm25_index,
+        delete_from_bm25_index,
+        phrase_search_from_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    docs1 = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "a cat mat is not a cat"),
+        ],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "cat mat cat mat cat mat")], "doc_id long, text string"
+    )
+    build_bm25_index(docs1, idx, n_buckets=8)
+    append_bm25_shard(docs2, idx, "s2")
+
+    got = {
+        r.doc_id: r.n_hits
+        for r in phrase_search_from_index(spark, idx, ["cat", "mat"]).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}
+
+    # Repeated-term phrase: positions of the SAME term align shifted.
+    rep = {
+        r.doc_id: r.n_hits
+        for r in phrase_search_from_index(
+            spark, idx, ["cat", "mat", "cat"]
+        ).collect()
+    }
+    assert rep == {3: 2}
+
+    delete_from_bm25_index(spark, idx, [3], delete_id="d")
+    got2 = {
+        r.doc_id: r.n_hits
+        for r in phrase_search_from_index(spark, idx, ["cat", "mat"]).collect()
+    }
+    assert got2 == {1: 1, 2: 1}
+
+    # Legacy store: strip positions by rewriting postings without the
+    # column and expect the clear error.
+    legacy = str(tmp_path / "legacy")
+    build_bm25_index(docs1, legacy, n_buckets=8)
+    import os
+
+    posts_dir = os.path.join(legacy, "postings")
+    stripped = spark.read.parquet(posts_dir).drop("positions")
+    tmp_out = str(tmp_path / "stripped")
+    stripped.write.partitionBy("shard", "bucket").parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(posts_dir)
+    shutil.move(tmp_out, posts_dir)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_search_from_index(spark, legacy, ["cat", "mat"])
