@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join_scalable": R.q_asof_join_scalable,
         "q_phrase_search": X.q_phrase_search,
         "q_phrase_search_indexed": X.q_phrase_search_indexed,
+        "q_table_stats": R.q_table_stats,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2395,6 +2396,84 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     sql["q_phrase_search_indexed"] = sql["q_phrase_search"]
+    # ANALYZE-style stats: one conditional-aggregate scan per table.
+    sql["q_table_stats"] = """
+        WITH li AS (
+            SELECT 'lineitem' AS table_name, col.* FROM (
+                SELECT unnest([
+                    {'column_name': 'l_orderkey',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT l_orderkey),
+                     'min_value': CAST(min(l_orderkey) AS VARCHAR),
+                     'max_value': CAST(max(l_orderkey) AS VARCHAR)},
+                    {'column_name': 'l_partkey',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT l_partkey),
+                     'min_value': CAST(min(l_partkey) AS VARCHAR),
+                     'max_value': CAST(max(l_partkey) AS VARCHAR)},
+                    {'column_name': 'l_shipdate',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT l_shipdate),
+                     'min_value': CAST(min(l_shipdate) AS VARCHAR),
+                     'max_value': CAST(max(l_shipdate) AS VARCHAR)},
+                    {'column_name': 'l_quantity',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT l_quantity),
+                     'min_value': CAST(min(l_quantity) AS VARCHAR),
+                     'max_value': CAST(max(l_quantity) AS VARCHAR)},
+                    {'column_name': 'l_returnflag',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT l_returnflag),
+                     'min_value': CAST(min(l_returnflag) AS VARCHAR),
+                     'max_value': CAST(max(l_returnflag) AS VARCHAR)}
+                ]) AS col FROM lineitem
+            )
+        ), ev AS (
+            SELECT 'events' AS table_name, col.* FROM (
+                SELECT unnest([
+                    {'column_name': 'event_id',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT event_id),
+                     'min_value': CAST(min(event_id) AS VARCHAR),
+                     'max_value': CAST(max(event_id) AS VARCHAR)},
+                    {'column_name': 'user_id',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT user_id),
+                     'min_value': CAST(min(user_id) AS VARCHAR),
+                     'max_value': CAST(max(user_id) AS VARCHAR)},
+                    {'column_name': 'event_type',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT event_type),
+                     'min_value': CAST(min(event_type) AS VARCHAR),
+                     'max_value': CAST(max(event_type) AS VARCHAR)},
+                    {'column_name': 'ts',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT ts),
+                     'min_value': CAST(min(ts) AS VARCHAR),
+                     'max_value': CAST(max(ts) AS VARCHAR)},
+                    {'column_name': 'value',
+                     'n_rows': count(*),
+                     'n_nulls': CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     'n_distinct': count(DISTINCT value),
+                     'min_value': CAST(min(value) AS VARCHAR),
+                     'max_value': CAST(max(value) AS VARCHAR)}
+                ]) AS col FROM events
+            )
+        )
+        SELECT table_name, column_name, n_rows, n_nulls, n_distinct,
+               min_value, max_value
+        FROM (SELECT * FROM li UNION ALL SELECT * FROM ev)
+        ORDER BY table_name, column_name
+    """
     # Bigram-LM perplexity filter: identical tokenization, identical
     # add-1/2 smoothing arithmetic (integer counts + one ln/exp,
     # rounded once — the BM25 exactness discipline).

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q_topk_ngrams_per_source",
     "q_bm25_search",
     "q_perplexity_filter",
+    "q_phrase_search",
     "q_hybrid_rrf",
     "q_quantile_sketch_rollup",
     "q_distribution_drift_psi",

@@ -1459,3 +1459,60 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("check_name")
     )
     return report
+
+
+def table_stats(df: DataFrame, table_name: str, columns: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan: per column a
+    (table, column, n_rows, n_nulls, n_distinct, min, max) row via
+    conditional aggregation — the stats a cost-based optimizer (or a
+    human sizing a join) reads before planning. Exact distincts keep
+    the DuckDB twin hash-exact at test scale; the 100 TB swap is
+    approx_count_distinct (HLL, mergeable map-side) with the same
+    call shape — the documented q_percentiles trade. Min/max render
+    as strings so heterogeneous column types share one report
+    schema."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(table_name).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("s"))
+        .select("s.*")
+        .orderBy("table_name", "column_name")
+    )
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: the CBO-stats report over the two fact tables —
+    one scan each, unioned."""
+    li = table_stats(
+        load(spark, sf_dir, "lineitem"),
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_shipdate", "l_quantity", "l_returnflag"],
+    )
+    ev = table_stats(
+        load(spark, sf_dir, "events"),
+        "events",
+        ["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    return li.unionByName(ev).orderBy("table_name", "column_name")
