@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": X.q_phrase_search,
         "q_phrase_search_indexed": X.q_phrase_search_indexed,
         "q_table_stats": R.q_table_stats,
+        "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2396,6 +2397,58 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     sql["q_phrase_search_indexed"] = sql["q_phrase_search"]
+    # DSIR (Xie et al. 2023): hashed-bigram importance log-weights +
+    # Gumbel-top-k resampling. Per-bucket log-ratios round to 6 dp and
+    # fold as DECIMAL(18,6) (order-independent sums); the Gumbel coin
+    # is the exact md5 dyadic rational so the RANKING is engine-exact.
+    sql["q_dsir_importance_sample"] = r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id,
+                 source IN ('src0','src1','src2','src3') AS tgt,
+                 (('0x' || substr(md5(bg),1,4))::INTEGER) % 4096 AS bucket
+          FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(toks)-1),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2
+          )
+        ), counts AS (
+          SELECT bucket, count(*) AS cr,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+          FROM pairs GROUP BY bucket
+        ), totals AS (
+          SELECT count(*) AS rt,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt FROM pairs
+        ), ratio AS (
+          SELECT bucket,
+                 CAST(round(ln((ct + 1.0) / (tt + 4096.0))
+                          - ln((cr + 1.0) / (rt + 4096.0)), 6)
+                      AS DECIMAL(18,6)) AS log_ratio
+          FROM counts, totals
+        ), lw AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(log_ratio) AS log_weight
+          FROM pairs JOIN ratio USING (bucket) GROUP BY doc_id
+        ), scored AS (
+          SELECT d.doc_id, d.source,
+                 CAST(coalesce(lw.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 coalesce(lw.log_weight, CAST(0 AS DECIMAL(18,6))) AS lwv,
+                 CAST(round(-ln(-ln(
+                     (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+                      + 0.5) / 4294967296.0)), 6) AS DECIMAL(18,6)) AS g
+          FROM documents d LEFT JOIN lw USING (doc_id)
+        )
+        SELECT doc_id, source, n_bigrams,
+               CAST(lwv AS DOUBLE) AS log_weight,
+               CAST(lwv + g AS DOUBLE) AS gumbel_score,
+               (row_number() OVER (ORDER BY lwv + g DESC, doc_id) <= 100)
+                   AS sampled
+        FROM scored
+    """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """
         WITH li AS (

@@ -747,3 +747,148 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         required_words=("scan", "join", "order", "group",
                         "value", "data", "key", "row"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed-bigram importance log-weights, the DSIR estimator
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): fit two add-1-smoothed bag-of-hashed-
+    bigram models — p over the TARGET slice (the domain you want more
+    of) and q over the RAW corpus — and score every document by
+    log w(x) = sum_f c_f(x) * (log p_f - log q_f). High weight means
+    "looks like the target domain relative to the raw pool".
+
+    Scale shape: one tokenize+explode pass builds (doc, bucket)
+    counts; the feature table is PARAMETER-SIZED (``n_buckets`` rows,
+    the paper uses 10^4) so the scoring join is a broadcast — the only
+    data-sized shuffle is the per-doc groupBy. Per-bucket log-ratios
+    are rounded to 6 dp and folded as DECIMAL(18,6) so the per-doc sum
+    is order-independent and engine-exact (same discipline as
+    q_unigram_logprob).
+
+    Returns (doc_id, n_bigrams, log_weight DECIMAL(18,6)) — callers
+    cast/round for display and layer selection on top.
+    """
+    d = docs.withColumn("toks", tokens(F.col("text"))).withColumn(
+        "tgt", is_target
+    )
+    n = F.size(F.col("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    pairs = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            "tgt",
+            F.explode(bigrams).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "tgt",
+            (
+                F.conv(F.substring(F.md5(F.col("bg")), 1, 4), 16, 10)
+                .cast("int")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    counts = pairs.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = pairs.select(
+        F.count("*").alias("rt"),
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tt"),
+    )
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + float(n_buckets)))
+                - F.log((F.col("cr") + 1.0) / (F.col("rt") + float(n_buckets))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_ratio"),
+        )
+    )
+    # Buckets unseen in the corpus contribute log((1/(tt+B))/(1/(rt+B)))
+    # to nothing (no doc carries them) — the join domain is exactly the
+    # seen buckets, so no grid completion is needed.
+    return (
+        pairs.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+
+
+def q_dsir_importance_sample(
+    spark: SparkSession, sf_dir: str, top_k: int = 100
+) -> DataFrame:
+    """DSIR selection over the synthetic corpus: target = the src0-src3
+    slice (a stand-in for "trusted domain"), raw = everything; each
+    document scores its hashed-bigram log importance weight, takes a
+    deterministic Gumbel perturbation (the paper's Gumbel-top-k
+    resampling trick: adding Gumbel noise to log-weights and taking
+    the top k IS sampling-without-replacement proportional to w), and
+    the top ``top_k`` scores are flagged sampled.
+
+    The Gumbel uses the md5-coin uniform (exact dyadic rational, both
+    engines compute the identical double) rounded to 6 dp and folded
+    in decimal, so the ranking — not just the weights — is
+    engine-exact. The global rank window is the testdata-sized
+    shortcut; at corpus scale the selection is a broadcast kth-score
+    threshold (TakeOrdered on score, then a map-only filter), which
+    this query's ORDER BY mirrors.
+    """
+    d = load(spark, sf_dir, "documents")
+    lw = dsir_log_weights(
+        d, F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 0.5
+    ) / F.lit(float(2**32))
+    gumbel = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    scored = (
+        d.select("doc_id", "source")
+        .join(lw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("log_weight"), F.lit(0).cast("decimal(18,6)"))
+            .alias("lw"),
+            gumbel.alias("g"),
+        )
+        .withColumn("score", F.col("lw") + F.col("g"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return scored.withColumn("rk", rk).select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        F.col("lw").cast("double").alias("log_weight"),
+        F.col("score").cast("double").alias("gumbel_score"),
+        (F.col("rk") <= top_k).alias("sampled"),
+    )

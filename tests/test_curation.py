@@ -352,3 +352,67 @@ def test_bpe_encode_matches_python_reference(spark):
 
     got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, merges).collect()}
     assert got == {i: py_encode(t) for i, t in enumerate(texts)}
+
+
+def test_dsir_importance_sample_python_replica(spark):
+    """The DSIR log-weight must equal the pure-Python hashed-bigram
+    estimator (add-1 smoothing over 4096 md5 buckets, 6-dp per-bucket
+    rounding), and Gumbel-top-k must select exactly top_k documents
+    deterministically across runs."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    import datapoints_csv_extractor_spark.operators.curation as C
+
+    rows = (
+        C.q_dsir_importance_sample(spark, SF_DIR, top_k=10)
+        .orderBy("doc_id")
+        .collect()
+    )
+    docs = {
+        r.doc_id: (r.text, r.source)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    B = 4096
+
+    def buckets(text):
+        toks = [t for t in text.strip().split() if t]
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:4], 16) % B
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    raw = Counter()
+    tgt = Counter()
+    for did, (text, source) in docs.items():
+        bs = buckets(text)
+        raw.update(bs)
+        if source in ("src0", "src1", "src2", "src3"):
+            tgt.update(bs)
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    ratio = {
+        b: Decimal(
+            str(
+                round(
+                    math.log((tgt.get(b, 0) + 1.0) / (tt + B))
+                    - math.log((raw.get(b, 0) + 1.0) / (rt + B)),
+                    6,
+                )
+            )
+        )
+        for b in raw
+    }
+    for r in rows:
+        expect = sum((ratio[b] for b in buckets(docs[r.doc_id][0])), Decimal(0))
+        assert abs(r.log_weight - float(expect)) < 1e-9, r.doc_id
+    assert sum(1 for r in rows if r.sampled) == 10
+    # Replay-stable: the same call selects the same documents.
+    again = {
+        r.doc_id
+        for r in C.q_dsir_importance_sample(spark, SF_DIR, top_k=10).collect()
+        if r.sampled
+    }
+    assert again == {r.doc_id for r in rows if r.sampled}
