@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search_indexed": X.q_phrase_search_indexed,
         "q_table_stats": R.q_table_stats,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
+        "q_global_shuffle": C.q_global_shuffle,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2448,6 +2449,26 @@ def oracle_sql() -> dict[str, str]:
                (row_number() OVER (ORDER BY lwv + g DESC, doc_id) <= 100)
                    AS sampled
         FROM scored
+    """
+    # Seeded global shuffle: md5 permutation key -> hash-range shard ->
+    # in-shard position (one hash shuffle + per-partition sort; the
+    # epoch order without a total-order exchange).
+    sql["q_global_shuffle"] = """
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('shuffle-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ), sharded AS (
+            SELECT doc_id, shuffle_key,
+                   (('0x' || substr(shuffle_key, 1, 4))::INTEGER) % 16 AS shard
+            FROM keyed
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY shuffle_key, doc_id) AS INT)
+                   AS position,
+               shuffle_key
+        FROM sharded
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -892,3 +892,52 @@ def q_dsir_importance_sample(
         F.col("score").cast("double").alias("gumbel_score"),
         (F.col("rk") <= top_k).alias("sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seeded global shuffle (training-order randomization)
+# --------------------------------------------------------------------------
+
+def global_shuffle_order(
+    docs: DataFrame, seed: int = 0, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training export: every
+    document gets a pseudo-random permutation key md5("<seed>:<id>"),
+    a shard from the key's hash range, and its position within the
+    shard's key order. Reading shards 0..N-1 each in position order IS
+    the epoch's global random order — per-example randomization without
+    a global sort.
+
+    Scale shape: ONE hash-partition shuffle on shard (the window's
+    partitionBy) and a per-partition sort — no total-order
+    range-exchange, no driver involvement. A writer pairs this with
+    ``partitionBy(shard)`` + ``sortWithinPartitions(key)`` so the
+    epoch order is baked into file layout; a new seed is a new epoch's
+    permutation (re-keying is map-only). The key is the md5 coin the
+    split/resample stages already use, so the shuffle is reproducible
+    across runs, engines, and corpus growth.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"shuffle-{seed}:"), F.col("doc_id").cast("string")
+        )
+    )
+    d = docs.select("doc_id", key.alias("shuffle_key"))
+    shard = (
+        F.conv(F.substring(F.col("shuffle_key"), 1, 4), 16, 10).cast("int")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w))
+        .select("doc_id", "shard", "position", "shuffle_key")
+    )
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-0 seeded global shuffle of the corpus (see
+    global_shuffle_order): shard + in-shard position per document."""
+    return global_shuffle_order(load(spark, sf_dir, "documents"), seed=0)

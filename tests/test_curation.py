@@ -416,3 +416,29 @@ def test_dsir_importance_sample_python_replica(spark):
         if r.sampled
     }
     assert again == {r.doc_id for r in rows if r.sampled}
+
+
+def test_global_shuffle_is_seeded_permutation(spark):
+    """The shuffle assigns every document exactly one (shard, position)
+    slot, positions are contiguous 1..n per shard, and a different
+    seed yields a different order while the same seed replays it."""
+    import datapoints_csv_extractor_spark.operators.curation as C
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = C.global_shuffle_order(docs, seed=0).collect()
+    assert len(a) == docs.count()
+    assert len({r.doc_id for r in a}) == len(a)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+    replay = C.global_shuffle_order(docs, seed=0).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in replay} == {
+        (r.doc_id, r.shard, r.position) for r in a
+    }
+    other = C.global_shuffle_order(docs, seed=1).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in other} != {
+        (r.doc_id, r.shard, r.position) for r in a
+    }
