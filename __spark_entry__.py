@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_stats": R.q_table_stats,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_global_shuffle": C.q_global_shuffle,
+        "q_bloom_decontamination": D.q_bloom_decontamination,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2469,6 +2470,46 @@ def oracle_sql() -> dict[str, str]:
                    AS position,
                shuffle_key
         FROM sharded
+    """
+    # Bloom decontamination: the oracle re-derives the bitset as a
+    # position SET (bit j of word w set <=> position 64w+j present), so
+    # set membership of all 4 double-hash probes IS the bitset test.
+    sql["q_bloom_decontamination"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                   generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                     || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                     || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                     || ' ' || lead(w, 7) OVER win AS gram
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            QUALIFY lead(w, 7) OVER win IS NOT NULL
+        ), hashed AS (
+            SELECT doc_id, gram,
+                   ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(gram), 9, 8))::BIGINT AS h2
+            FROM sh
+        ), pos AS (
+            SELECT DISTINCT (h1 + i * h2) % 131072 AS p
+            FROM (SELECT * FROM hashed WHERE doc_id % 50 = 0)
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        ), probes AS (
+            SELECT doc_id, gram, (h1 + i * h2) % 131072 AS p
+            FROM (SELECT * FROM hashed WHERE doc_id % 50 != 0)
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        ), hit AS (
+            SELECT doc_id, gram
+            FROM probes JOIN pos USING (p)
+            GROUP BY doc_id, gram
+            HAVING count(*) = 4
+        )
+        SELECT doc_id, CAST(count(*) AS INT) AS n_flagged_grams
+        FROM hit GROUP BY doc_id
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

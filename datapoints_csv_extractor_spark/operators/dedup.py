@@ -1246,3 +1246,122 @@ def band_store_stats(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ingest string, n_docs long, n_bands long, n_files long"
     )
+
+
+def bloom_decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 8,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the MAP-ONLY scale path next to
+    the exact gram equijoin (``decontamination``): fold the eval set's
+    k-gram hash positions into an ``m_bits`` bitset once, ship it to
+    every task as a literal, and probe each training document's grams
+    in place. The training corpus is never shuffled — at 100 TB the
+    exact path's gram join moves the whole tokenized corpus, while
+    this probe is embarrassingly parallel and the eval state is
+    m/64 longs regardless of eval-set size.
+
+    Bloom guarantees: NO false negatives (every truly shared gram is
+    flagged), false positives at ~(kn/m)^k; callers feed flagged docs
+    to the exact join for confirmation when precision matters — the
+    classic two-tier screen.
+
+    The bitset build is distributed: positions reduce to at most
+    m/64 (word, bits) rows via bit_or partial aggregation, so the
+    driver collect is bitset-bounded (parameter-sized), never
+    eval-gram-bounded. Hashing is Kirsch-Mitzenmacher double hashing
+    over the two md5 halves — deterministic, engine-reproducible (the
+    DuckDB oracle recomputes the identical positions), unlike
+    ``df.stat.bloomFilter``'s opaque sketch. The literal-array probe
+    holds to ~2^20 bits; past that the bitset rides a broadcast join
+    on the word index instead of a literal.
+    """
+    def gram_hashes(d: DataFrame) -> DataFrame:
+        g = d.withColumn("toks", tokens(F.col("text"))).select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
+        )
+        return g.select(
+            "doc_id",
+            "gram",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("gram"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+
+    n_words = m_bits // 64
+    # Variable-distance shifts aren't expressible in the classic Column
+    # API (shiftleft takes a literal), so single-bit masks come from a
+    # 64-entry powers-of-two lookup; bit 63 is the sign bit.
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    pos = (
+        gram_hashes(eval_set)
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_hashes)])
+            ).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("p"))
+        .distinct()
+    )
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("int").alias("wi"))
+        .agg(
+            F.bit_or(
+                F.element_at(pow2, (F.col("p") % 64).cast("int") + 1)
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitset = [0] * n_words
+    for r in words:
+        bitset[r.wi] = r.bits
+    bitset_lit = F.array(*[F.lit(b).cast("long") for b in bitset])
+
+    t = train.withColumn("toks", tokens(F.col("text"))).select(
+        "doc_id", shingles_of_tokens(F.col("toks"), k).alias("grams")
+    )
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(bitset_lit, (p / 64).cast("int") + 1)
+        mask = F.element_at(pow2, (p % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def probe(g: Column) -> Column:
+        h1 = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+        cond = F.lit(True)
+        for i in range(n_hashes):
+            cond = cond & bit_set((h1 + i * h2) % m_bits)
+        return cond
+
+    return (
+        t.select(
+            "doc_id",
+            F.size(F.filter(F.col("grams"), probe)).alias("n_flagged_grams"),
+        )
+        .where(F.col("n_flagged_grams") > 0)
+    )
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing Bloom screen with q_decontamination's eval split
+    (every 50th doc): flagged docs and their flagged-gram counts."""
+    d = load(spark, sf_dir, "documents")
+    return bloom_decontamination(
+        d.where(F.col("doc_id") % 50 != 0),
+        d.where(F.col("doc_id") % 50 == 0),
+    )

@@ -1429,3 +1429,28 @@ def test_ann_recall_report_mechanics(spark):
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_queries == 2 and r.k == 3
     assert rows["ivf"].recall_at_k >= rows["lsh_hyperplane"].recall_at_k
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """The Bloom screen must flag every doc the exact join flags (no
+    false negatives — the Bloom guarantee), with per-doc flagged-gram
+    counts >= the exact shared-gram counts, and reject disjoint docs
+    at testdata scale (FP rate (kn/m)^k ~ 1e-6 here)."""
+    eval_text = "zeta one two three four five six seven eight nine"
+    train_docs = [
+        (1, "prefix one two three four five six seven eight nine suffix"),
+        (2, "totally different words with no overlap at all here ok"),
+    ]
+    train = spark.createDataFrame(train_docs, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_flagged_grams for r in
+           D.bloom_decontamination(train, ev).collect()}
+    assert got == {1: 2}
+
+    # Corpus-level: Bloom ⊇ exact, counts dominate.
+    bloom = {r.doc_id: r.n_flagged_grams for r in
+             D.q_bloom_decontamination(spark, SF).collect()}
+    exact = {r.doc_id: r.n_contaminated_grams for r in
+             D.q_decontamination(spark, SF).collect()}
+    for did, n in exact.items():
+        assert did in bloom and bloom[did] >= n, did
