@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_global_shuffle": C.q_global_shuffle,
         "q_bloom_decontamination": D.q_bloom_decontamination,
+        "q_mixture_plan": C.q_mixture_plan,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2510,6 +2511,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST(count(*) AS INT) AS n_flagged_grams
         FROM hit GROUP BY doc_id
+    """
+    # Mixture plan: per-source token totals -> budgeted epochs/rates
+    # with the 4-epoch data-constrained cap. Pure double arithmetic in
+    # Spark's evaluation order.
+    sql["q_mixture_plan"] = r"""
+        WITH totals AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''))) AS BIGINT) AS available_tokens
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                   CAST((i % 4) * (i % 4) + 1 AS DOUBLE) AS weight
+            FROM (SELECT unnest(range(0, 20)) AS i)
+        ), calc AS (
+            SELECT t.source, t.available_tokens,
+                   CAST(round(coalesce(w.weight, 0.0) / 90.0 * 100000, 0)
+                        AS BIGINT) AS target_tokens
+            FROM totals t LEFT JOIN w USING (source)
+        ), calc2 AS (
+            SELECT source, available_tokens, target_tokens,
+                   round(CAST(target_tokens AS DOUBLE) / available_tokens, 4)
+                       AS epochs_wanted
+            FROM calc
+        )
+        SELECT source, available_tokens, target_tokens, epochs_wanted,
+               round(least(epochs_wanted, 4.0), 4) AS epochs_planned,
+               round(least(least(epochs_wanted, 4.0), 1.0), 4)
+                   AS sampling_rate,
+               CAST(round(least(CAST(target_tokens AS DOUBLE),
+                                available_tokens * 4.0), 0) AS BIGINT)
+                   AS realized_tokens,
+               (epochs_wanted > 4.0) AS shortfall
+        FROM calc2
+        ORDER BY source
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -941,3 +941,87 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-0 seeded global shuffle of the corpus (see
     global_shuffle_order): shard + in-shard position per document."""
     return global_shuffle_order(load(spark, sf_dir, "documents"), seed=0)
+
+
+# --------------------------------------------------------------------------
+# Training-mixture planning (token budget -> per-source epochs/rates)
+# --------------------------------------------------------------------------
+
+def plan_training_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Turn a target mixture + token budget into an executable
+    per-source sampling plan: how many tokens each source must
+    contribute (weight x budget), the epochs over its available tokens
+    that requires, the repeat factor capped at ``max_epochs`` (the
+    data-constrained scaling heuristic — Muennighoff et al. 2022 find
+    ~4 epochs of repetition is near-free, beyond that returns decay),
+    and the realized token count + shortfall after the cap.
+
+    One tokenize scan -> per-source token totals (20-ish rows), then
+    pure column arithmetic against the broadcast weight table — the
+    plan costs one aggregation regardless of corpus size. Sources
+    outside ``weights`` get weight 0 (excluded, listed with
+    sampling_rate 0 so the plan is a complete audit of the corpus).
+
+    The emitted ``sampling_rate`` is per-epoch: feed it to the md5-coin
+    resampler (resample_keep's idiom) for epochs < 1; epochs > 1 mean
+    full passes plus a fractional sampled pass.
+    """
+    totals = (
+        docs.withColumn("toks", tokens(F.col("text")))
+        .groupBy("source")
+        .agg(F.sum(F.size(F.col("toks")).cast("long")).alias("available_tokens"))
+    )
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        "source string, weight double",
+    )
+    total_w = sum(weights.values())
+    target = F.round(
+        F.coalesce(F.col("weight"), F.lit(0.0)) / total_w * token_budget, 0
+    ).cast("long")
+    epochs_wanted = F.round(
+        target.cast("double") / F.col("available_tokens"), 4
+    )
+    epochs = F.least(epochs_wanted, F.lit(float(max_epochs)))
+    realized = F.round(
+        F.least(
+            target.cast("double"),
+            F.col("available_tokens") * float(max_epochs),
+        ),
+        0,
+    ).cast("long")
+    return (
+        totals.join(F.broadcast(wdf), "source", "left")
+        .select(
+            "source",
+            "available_tokens",
+            target.alias("target_tokens"),
+            epochs_wanted.alias("epochs_wanted"),
+            F.round(epochs, 4).alias("epochs_planned"),
+            F.round(
+                F.least(epochs, F.lit(1.0)), 4
+            ).alias("sampling_rate"),
+            realized.alias("realized_tokens"),
+            (epochs_wanted > max_epochs).alias("shortfall"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing mixture plan: a 4-tier target mixture over the
+    synthetic sources (weight 1/2/5/10 by src index % 4) against a
+    100k-token budget, so all three regimes occur — under-sampled sources
+    (rate < 1), repeated sources (epochs > 1), and capped shortfalls."""
+    weights = {f"src{i}": float((i % 4) ** 2 + 1) for i in range(20)}
+    return plan_training_mixture(
+        load(spark, sf_dir, "documents"),
+        weights,
+        token_budget=100_000,
+    )

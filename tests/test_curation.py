@@ -442,3 +442,26 @@ def test_global_shuffle_is_seeded_permutation(spark):
     assert {(r.doc_id, r.shard, r.position) for r in other} != {
         (r.doc_id, r.shard, r.position) for r in a
     }
+
+
+def test_mixture_plan_invariants(spark):
+    """Plan arithmetic: realized = min(target, 4x available); shortfall
+    iff wanted epochs exceed the cap; sampling_rate = min(epochs, 1);
+    unknown sources get weight 0."""
+    import datapoints_csv_extractor_spark.operators.curation as C
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = C.plan_training_mixture(
+        docs, {"src0": 3.0, "src1": 1.0}, token_budget=10_000
+    ).collect()
+    by = {r.source: r for r in plan}
+    assert set(by) == {f"src{i}" for i in range(20)}
+    for r in plan:
+        if r.source not in ("src0", "src1"):
+            assert r.target_tokens == 0 and r.sampling_rate == 0.0
+        assert r.realized_tokens <= r.target_tokens
+        assert r.realized_tokens <= 4.0 * r.available_tokens
+        assert r.shortfall == (r.epochs_wanted > 4.0)
+        assert abs(r.sampling_rate - min(r.epochs_planned, 1.0)) < 1e-9
+    assert by["src0"].target_tokens == 7500
+    assert by["src1"].target_tokens == 2500
