@@ -544,3 +544,45 @@ def test_ivf_query_keeps_cell_pruning_with_tombstones(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
     assert {r.vec_id for r in q.collect()}.isdisjoint({1, 2})
+
+
+def test_bloom_decontamination_probe_is_map_only(spark):
+    """The Bloom probe's RETURNED plan must scan only (doc_id, text)
+    and contain no Exchange at all — the bitset rides in as a literal,
+    so the training corpus is filtered in place (the whole point of
+    the Bloom tier vs the exact gram equijoin)."""
+    from datapoints_csv_extractor_spark.operators import dedup as D
+
+    plan = _plan(D.q_bloom_decontamination(spark, SF))
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    """DSIR's per-doc scoring joins the parameter-sized (<= 4096-row)
+    bucket-ratio table — that join must be a BroadcastHashJoin, never
+    a shuffled join of the exploded bigram stream against it."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_dsir_importance_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_shuffle_single_hash_exchange(spark):
+    """The seeded shuffle must cost exactly one hash-partition
+    exchange (the shard window) — no range exchange / global sort."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_global_shuffle(spark, SF))
+    assert _n_exchanges(plan) == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_mixture_plan_single_aggregation_shuffle(spark):
+    """The mixture plan costs one aggregation over the corpus; the
+    weight table joins broadcast."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_mixture_plan(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
