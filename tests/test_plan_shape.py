@@ -213,6 +213,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q22_idle_rich_customers",  # 1-row avg-balance scalar broadcast
         "q11_important_parts",  # 1-row avg-part-value scalar broadcast
         "q_audience_overlap_hll",  # types-row sketch table x itself
+        "q_dsir_importance_sample",  # 1-row gram-total aggregate broadcast
     }
 
     offenders = {}
