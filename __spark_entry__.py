@@ -83,13 +83,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
-        "q_fingerprint": X.q_fingerprint,
+        "q_bloom_decontamination": D.q_bloom_decontamination,
         "q_curation_pipeline": X.q_curation_pipeline,
         # Corpus curation (north-star)
         "q_pii_redact": C.q_pii_redact,
         "q_data_quality_report": R.q_data_quality_report,
         "q_quality_classifier": C.q_quality_classifier,
-        "q_mixture_resample": C.q_mixture_resample,
+        "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
         "q_repeated_spans": C.q_repeated_spans,
         "q_export_shards": C.q_export_shards,
@@ -116,9 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": X.q_phrase_search,
         "q_phrase_search_indexed": X.q_phrase_search_indexed,
         "q_table_stats": R.q_table_stats,
-        "q_dsir_importance_sample": C.q_dsir_importance_sample,
+        "q_fingerprint": X.q_fingerprint,
+        "q_mixture_resample": C.q_mixture_resample,
         "q_global_shuffle": C.q_global_shuffle,
-        "q_bloom_decontamination": D.q_bloom_decontamination,
         "q_mixture_plan": C.q_mixture_plan,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
