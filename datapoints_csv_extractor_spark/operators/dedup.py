@@ -1365,3 +1365,53 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 50 != 0),
         d.where(F.col("doc_id") % 50 == 0),
     )
+
+
+def plan_lsh_parameters(
+    threshold: float,
+    n_perm_budget: int = 128,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Choose MinHash-LSH banding (b bands x r rows) for a target
+    Jaccard ``threshold`` — the S-curve solver (Mining of Massive
+    Datasets §3.4): candidate probability at similarity s is
+    1 - (1 - s^r)^b, and (1/b)^(1/r) approximates the curve's
+    inflection. Enumerates every (b, r) with b*r <= ``n_perm_budget``
+    and picks the one minimizing the weighted integral of false
+    negatives above the threshold plus false positives below it —
+    the exact criterion, not the inflection heuristic, so asymmetric
+    costs (a dedup pass that must not MISS dups sets fn_weight high)
+    shift the plan toward more bands.
+
+    Driver-side planning math (a few thousand candidate pairs, simple
+    quadrature) — run once before sizing a corpus-scale dedup job.
+    Returns {n_bands, rows_per_band, n_perm, inflection, fn_area,
+    fp_area}.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    steps = 200
+    for r in range(1, n_perm_budget + 1):
+        for b in range(1, n_perm_budget // r + 1):
+            fn = fp = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s**r) ** b
+                if s >= threshold:
+                    fn += (1.0 - p) / steps
+                else:
+                    fp += p / steps
+            cost = fn_weight * fn + fp_weight * fp
+            if best is None or cost < best[0]:
+                best = (cost, b, r, fn, fp)
+    _, b, r, fn, fp = best
+    return {
+        "n_bands": b,
+        "rows_per_band": r,
+        "n_perm": b * r,
+        "inflection": (1.0 / b) ** (1.0 / r),
+        "fn_area": fn,
+        "fp_area": fp,
+    }

@@ -1454,3 +1454,31 @@ def test_bloom_decontamination_no_false_negatives(spark):
              D.q_decontamination(spark, SF).collect()}
     for did, n in exact.items():
         assert did in bloom and bloom[did] >= n, did
+
+
+def test_lsh_parameter_planner_properties(spark):
+    """S-curve planning invariants: the chosen inflection tracks the
+    threshold; higher thresholds yield more rows per band; an
+    fn-averse weighting pushes the inflection BELOW the threshold
+    (catch-everything); and the planner never beats itself — the
+    shipped engine default (8 bands x 4 rows at budget 32) must be
+    within the planner's cost at its own implied threshold."""
+    plans = {t: D.plan_lsh_parameters(t, 128) for t in (0.5, 0.8, 0.9)}
+    for t, p in plans.items():
+        assert abs(p["inflection"] - t) < 0.12, (t, p)
+        assert p["n_perm"] <= 128
+    assert (
+        plans[0.5]["rows_per_band"]
+        < plans[0.8]["rows_per_band"]
+        < plans[0.9]["rows_per_band"]
+    )
+    averse = D.plan_lsh_parameters(0.8, 128, fn_weight=10.0)
+    assert averse["inflection"] < plans[0.8]["inflection"]
+    assert averse["fn_area"] < plans[0.8]["fn_area"]
+
+    # The shipped default sits on the planner's frontier for its own
+    # implied threshold at budget 32.
+    default_inflection = (1 / 8) ** (1 / 4)
+    p32 = D.plan_lsh_parameters(default_inflection, 32)
+    assert p32["n_perm"] <= 32
+    assert abs(p32["inflection"] - default_inflection) < 0.15
