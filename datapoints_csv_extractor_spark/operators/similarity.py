@@ -495,7 +495,10 @@ def train_ivf_centroids(
     # _spread: the Lloyd pass is per-row-expensive Python work over a
     # scan that may arrive as one split; repartition is deterministic
     # (sortBeforeRepartition), so run-to-run centroid equality holds.
-    vecs = _spread(e.select("embedding"))
+    # Iterative training re-reads its input once per Lloyd pass —
+    # persist it (memory, spill-to-disk) like any iterative ML loop,
+    # and release it before returning.
+    vecs = _spread(e.select("embedding")).persist()
     schema = "cell int, n long, " + ", ".join(f"s{i} double" for i in range(dim))
     cols = ["cell", "n"] + [f"s{i}" for i in range(dim)]
     for _ in range(n_iters):
@@ -538,6 +541,7 @@ def train_ivf_centroids(
             else centroids[c]
             for c in range(len(centroids))
         ]
+    vecs.unpersist()
     return centroids
 
 
@@ -696,7 +700,11 @@ def build_ivf_index(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), not coalesce(1): coalescing a driver-local
+    # createDataFrame frame makes ONE task drain all ~32 Python
+    # partitions SERIALLY (one Python-worker round-trip each, ~4 s
+    # measured); the 1-task shuffle runs the map side in parallel.
+    cent_df.repartition(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
     assigned = _spread(e).withColumn(
@@ -952,7 +960,7 @@ def refresh_ivf_index(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
     def _swap(m: dict) -> dict:
