@@ -1449,7 +1449,9 @@ def train_pq_codebooks(
         for j in range(m)
     ]
 
-    vecs = _spread(e.select("embedding"))
+    # Same iterative-training persist as train_ivf_centroids: one
+    # cached scan feeds every Lloyd pass.
+    vecs = _spread(e.select("embedding")).persist()
     schema = "sub int, cell int, n long, " + ", ".join(
         f"s{i} double" for i in range(sub)
     )
@@ -1503,6 +1505,7 @@ def train_pq_codebooks(
             ]
             for j in range(m)
         ]
+    vecs.unpersist()
     return codebooks
 
 
@@ -1902,7 +1905,7 @@ def _train_residual_pq(
         for j in range(m)
     ]
 
-    vecs = _spread(assigned.select("embedding", "cell"))
+    vecs = _spread(assigned.select("embedding", "cell")).persist()
     schema = "sub int, cell int, n long, " + ", ".join(
         f"s{i} double" for i in range(sub)
     )
@@ -1956,6 +1959,7 @@ def _train_residual_pq(
             ]
             for j in range(m)
         ]
+    vecs.unpersist()
     return codebooks
 
 
