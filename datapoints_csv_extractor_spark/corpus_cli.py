@@ -94,6 +94,15 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--max-ppl", type=float, default=1000.0, metavar="PPL",
         help="Perplexity bound for --lm-store (default 1000)",
     )
+    parser.add_argument(
+        "--dsir-store", default=None, metavar="PATH",
+        help="Gate on DSIR importance log-weight against the persisted "
+        "target/raw model at PATH (curation.build_dsir_store)",
+    )
+    parser.add_argument(
+        "--min-dsir-logweight", type=float, default=0.0, metavar="LW",
+        help="Log-weight floor for --dsir-store (default 0.0)",
+    )
     parser.add_argument("--master", default=None, help="Spark master override")
     return parser.parse_args(argv)
 
@@ -111,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
         bm25_index_path=args.bm25_index,
         lm_store_path=args.lm_store,
         max_ppl=args.max_ppl,
+        dsir_store_path=args.dsir_store,
+        min_dsir_logweight=args.min_dsir_logweight,
     )
 
     from datapoints_csv_extractor_spark.plans.corpus_ingest import (

@@ -1025,3 +1025,134 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights,
         token_budget=100_000,
     )
+
+
+def _dsir_bucket_pairs(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket) hashed-bigram feature stream (see
+    dsir_log_weights; shared by the live and store-backed paths)."""
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    n = F.size(F.col("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    return (
+        d.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("bg")), 1, 4), 16, 10)
+                .cast("int")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+
+
+def build_dsir_store(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    store_path: str,
+    n_buckets: int = 4096,
+) -> None:
+    """Persist the DSIR importance model: per-bucket log-ratio between
+    the TARGET corpus's hashed-bigram distribution and the RAW pool's
+    — trained once, then every future shard scores against the store
+    with zero training in the plan (the standing-model pattern of the
+    LM, BM25, and ANN stores, on the data-selection axis).
+
+    The store is parameter-sized regardless of corpus size: at most
+    ``n_buckets`` (bucket, log_ratio) rows plus a meta sidecar
+    carrying the smoothed default ratio for buckets neither corpus
+    exhibited (a new shard can hash there; the add-1 model still
+    defines its ratio)."""
+    import json
+    import math
+    import os
+
+    tp = _dsir_bucket_pairs(target_docs, n_buckets)
+    rp = _dsir_bucket_pairs(raw_docs, n_buckets)
+    tc = tp.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rc = rp.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tt = tp.count()
+    rt = rp.count()
+    ratio = (
+        rc.join(tc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (tt + float(n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                    / (rt + float(n_buckets))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_ratio"),
+        )
+    )
+    ratio.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(store_path, "ratios")
+    )
+    default = round(
+        math.log(1.0 / (tt + n_buckets)) - math.log(1.0 / (rt + n_buckets)), 6
+    )
+    tmp = os.path.join(store_path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "default_log_ratio": default,
+                "target_total": tt,
+                "raw_total": rt,
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(store_path, "meta.json"))
+
+
+def dsir_score_from_store(
+    docs: DataFrame,
+    store_path: str,
+    min_log_weight: float | None = None,
+) -> DataFrame:
+    """Score documents against a persisted DSIR store: per-doc bigram
+    features join the broadcast (<= n_buckets-row) ratio table, decimal
+    fold, done — map-side join + one per-doc groupBy, no training.
+    ``min_log_weight`` adds the gate verdict (keep = scores at least
+    that log-weight; the ingest plan's threshold form of Gumbel
+    resampling)."""
+    import json
+    import os
+
+    spark = docs.sparkSession
+    with open(os.path.join(store_path, "meta.json")) as fh:
+        meta = json.load(fh)
+    ratio = spark.read.parquet(os.path.join(store_path, "ratios"))
+    default = F.lit(str(meta["default_log_ratio"])).cast("decimal(18,6)")
+    pairs = _dsir_bucket_pairs(docs, meta["n_buckets"])
+    scored = (
+        pairs.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("log_ratio"), default)).alias("lw"),
+        )
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(
+            F.col("lw").cast("double"), F.lit(0.0)
+        ).alias("log_weight"),
+    )
+    if min_log_weight is not None:
+        out = out.withColumn(
+            "keep", F.col("log_weight") >= float(min_log_weight)
+        )
+    return out

@@ -62,6 +62,8 @@ def ingest_corpus_shard(
     bm25_index_path: str | None = None,
     lm_store_path: str | None = None,
     max_ppl: float = 1000.0,
+    dsir_store_path: str | None = None,
+    min_dsir_logweight: float = 0.0,
 ) -> dict[str, int]:
     """Ingest one (doc_id, text, ...) shard into the curated corpus.
 
@@ -98,12 +100,16 @@ def ingest_corpus_shard(
     ``lm_store_path`` adds the CCNet-style perplexity gate: documents
     scoring above ``max_ppl`` against the persisted reference bigram
     LM (``textops.build_lm_store``) are dropped between the cheap
-    gates and the dedup stage.
+    gates and the dedup stage. ``dsir_store_path`` adds the DSIR
+    domain-relevance gate next to it: documents whose hashed-bigram
+    importance log-weight against the persisted target/raw model
+    (``curation.build_dsir_store``) falls below
+    ``min_dsir_logweight`` are dropped the same way.
 
     Returns the shard's bookkeeping counts (the numbers an ingest
     pipeline alarms on): ``received``, ``pii_redacted``,
     ``low_quality``, ``resampled_out``, ``perplexity_filtered``,
-    ``line_deduped``,
+    ``dsir_filtered``, ``line_deduped``,
     ``repetition_filtered``, ``duplicate``, ``published``,
     ``indexed`` (docs folded into the optional standing BM25 store at
     ``bm25_index_path`` — published text becomes immediately
@@ -212,6 +218,29 @@ def ingest_corpus_shard(
         passed = passed.join(too_weird, "doc_id", "left_anti").localCheckpoint()
         n_perplexity = before - passed.count()
 
+    n_dsir = 0
+    if dsir_store_path is not None:
+        # DSIR gate against the standing importance model
+        # (curation.build_dsir_store): documents that read less like
+        # the target domain than ``min_dsir_logweight`` drop before
+        # dedup. Too-short docs (no bigram) score log-weight 0 and the
+        # threshold decides them like everyone else.
+        from datapoints_csv_extractor_spark.operators.curation import (
+            dsir_score_from_store,
+        )
+
+        off_domain = (
+            dsir_score_from_store(
+                passed.select("doc_id", "text"), dsir_store_path,
+                min_log_weight=min_dsir_logweight,
+            )
+            .where(~F.col("keep"))
+            .select("doc_id")
+        )
+        before = passed.count()
+        passed = passed.join(off_domain, "doc_id", "left_anti").localCheckpoint()
+        n_dsir = before - passed.count()
+
     n_repetition = 0
     if max_repeated_fraction is not None:
         from datapoints_csv_extractor_spark.operators.curation import (
@@ -270,9 +299,10 @@ def ingest_corpus_shard(
         "low_quality": n_received - n_passed,
         "resampled_out": n_resampled_out,
         "perplexity_filtered": n_perplexity,
+        "dsir_filtered": n_dsir,
         "line_deduped": n_line_deduped,
         "repetition_filtered": n_repetition,
-        "duplicate": n_passed - n_resampled_out - n_perplexity
+        "duplicate": n_passed - n_resampled_out - n_perplexity - n_dsir
         - n_repetition - n_published,
         "published": n_published,
         "indexed": n_indexed,

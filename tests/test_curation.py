@@ -465,3 +465,41 @@ def test_mixture_plan_invariants(spark):
         assert abs(r.sampling_rate - min(r.epochs_planned, 1.0)) < 1e-9
     assert by["src0"].target_tokens == 7500
     assert by["src1"].target_tokens == 2500
+
+
+def test_dsir_store_matches_live_scoring(spark, tmp_path):
+    """Store-backed DSIR scoring must reproduce the live estimator
+    exactly when the store is trained on the same (raw, target) split,
+    and unseen-bucket shards must fall back to the smoothed default
+    ratio instead of dropping features."""
+    import datapoints_csv_extractor_spark.operators.curation as C
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = str(tmp_path / "dsir")
+    C.build_dsir_store(
+        docs,
+        docs.where(F.col("source").isin("src0", "src1", "src2", "src3")),
+        store,
+    )
+    live = {
+        r.doc_id: r.log_weight
+        for r in C.q_dsir_importance_sample(spark, SF_DIR).collect()
+    }
+    stored = {
+        r.doc_id: r.log_weight
+        for r in C.dsir_score_from_store(docs, store).collect()
+    }
+    assert stored == live
+
+    novel = spark.createDataFrame(
+        [(9001, "qqqxyzzy wwwplugh qqqxyzzy wwwplugh zzyzx")],
+        "doc_id long, text string",
+    )
+    out = C.dsir_score_from_store(novel, store, min_log_weight=-1e9).collect()
+    assert out[0].n_bigrams == 4 and out[0].keep
+    # All-novel bigrams -> every feature scores the default ratio.
+    import json
+
+    meta = json.load(open(f"{store}/meta.json"))
+    assert abs(out[0].log_weight - 4 * meta["default_log_ratio"]) < 1e-6

@@ -473,3 +473,62 @@ def test_lm_store_roundtrip_and_ingest_perplexity_gate(spark, tmp_path):
     assert stats["published"] == 1
     out = spark.read.parquet(str(tmp_path / "corpus"))
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_dsir_store_ingest_gate(spark, tmp_path):
+    """The DSIR gate drops off-domain documents (negative importance
+    log-weight vs the target/raw model) before dedup and ledgers them
+    as dsir_filtered; on-domain docs publish."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        build_dsir_store,
+        dsir_score_from_store,
+    )
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_corpus_shard,
+    )
+
+    target = [
+        "the scan reads the partition and prunes the columns",
+        "the join broadcasts the dimension and keeps the keys",
+        "the window orders the rows and ranks the values",
+    ]
+    raw = target + [
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+        "quick brown foxes jump over lazy dogs near riverbanks daily",
+    ]
+    store = str(tmp_path / "dsir")
+    build_dsir_store(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(raw)], "doc_id long, text string"
+        ),
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(target)], "doc_id long, text string"
+        ),
+        store,
+    )
+
+    on_domain = "the scan prunes the columns and the join keeps the keys"
+    off_domain = "lorem ipsum dolor sit amet quick brown foxes jump daily"
+    probes = spark.createDataFrame(
+        [(1, on_domain), (2, off_domain)], "doc_id long, text string"
+    )
+    scored = {r.doc_id: r.log_weight
+              for r in dsir_score_from_store(probes, store).collect()}
+    assert scored[1] > 0 > scored[2]
+
+    shard = tmp_path / "s.jsonl"
+    shard.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s"})
+            for i, t in [(1, on_domain), (2, off_domain)]
+        )
+    )
+    stats = ingest_corpus_shard(
+        spark, read_documents_jsonl(spark, str(shard)),
+        str(tmp_path / "corpus"), str(tmp_path / "band"),
+        dsir_store_path=store, min_dsir_logweight=0.0,
+    )
+    assert stats["dsir_filtered"] == 1
+    assert stats["published"] == 1
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert [r.doc_id for r in out.collect()] == [1]
