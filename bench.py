@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "q_ann_ivf_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
+    "q_bloom_decontamination",
+    "q_dsir_importance_sample",
+    "q_global_shuffle",
+    "q_mixture_plan",
     "q_sequence_packing",
     "q_text_quality",
     "q_token_stats",

@@ -1625,21 +1625,36 @@ def perplexity_score_from_store(
     )
 
 
+def _term_eq(term: str):
+    """Unary element == literal lambda (factory, so the HOF sees a
+    1-arg function — a 2-arg lambda would receive the INDEX as its
+    second argument)."""
+    return lambda x: x == F.lit(term)
+
+
 def phrase_hits(toks: Column, phrase_terms: list[str]) -> Column:
-    """Occurrence count of an exact token phrase inside a materialized
-    token array: one pass over the start positions with an all-terms
-    adjacency check — pure JVM HOFs, map-only, O(len * phrase_len)
-    per document. Short docs count zero (guarded sequence)."""
+    """Occurrence count of an exact token phrase inside a token array:
+    per term j, an equality map over the array shifted by j, then a
+    positionwise AND fold — pure JVM HOFs, map-only, O(len *
+    phrase_len) per document, overlapping starts counted.
+
+    Deliberately CAPTURE-FREE: no lambda references ``toks``. An
+    element_at(toks, i) start-position scan re-evaluates the captured
+    tokenizer expression per position once CollapseProject inlines it
+    (HOF lambdas get no CSE) — O(len^2) interpreted work, measured 8x
+    slower at sf0.1. slice/transform/zip_with take ``toks`` as a
+    direct argument, so the tokenizer runs once per row per term.
+    Short docs count zero (greatest() clamps the slice length)."""
     n = len(phrase_terms)
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    match = lambda i: reduce_and(  # noqa: E731
-        [
-            F.element_at(toks, i + j) == F.lit(t)
-            for j, t in enumerate(phrase_terms)
-        ]
-    )
-    hits = F.size(F.filter(starts, match))
-    return F.when(F.size(toks) >= n, hits).otherwise(F.lit(0))
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    eqs = [
+        F.transform(F.slice(toks, j + 1, length), _term_eq(t))
+        for j, t in enumerate(phrase_terms)
+    ]
+    acc = eqs[0]
+    for e in eqs[1:]:
+        acc = F.zip_with(acc, e, lambda a, b: a & b)
+    return F.size(F.filter(acc, lambda x: x))
 
 
 def reduce_and(conds: list[Column]) -> Column:

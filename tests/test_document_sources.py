@@ -126,7 +126,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats1 == {
         "received": 3, "pii_redacted": 0, "low_quality": 1,
-        "resampled_out": 0, "perplexity_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "resampled_out": 0, "perplexity_filtered": 0, "dsir_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
         "duplicate": 0, "published": 2, "indexed": 0,
     }
 
@@ -142,7 +142,7 @@ def test_ingest_corpus_shard_two_days(spark, tmp_path):
     )
     assert stats2 == {
         "received": 2, "pii_redacted": 0, "low_quality": 0,
-        "resampled_out": 0, "perplexity_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
+        "resampled_out": 0, "perplexity_filtered": 0, "dsir_filtered": 0, "line_deduped": 0, "repetition_filtered": 0,
         "duplicate": 1, "published": 1, "indexed": 0,
     }
 
@@ -202,7 +202,7 @@ def test_ingest_corpus_shard_curation_stages(spark, tmp_path):
     )
     assert stats == {
         "received": 4, "pii_redacted": 1, "low_quality": 1,
-        "resampled_out": 1, "perplexity_filtered": 0, "line_deduped": 0,
+        "resampled_out": 1, "perplexity_filtered": 0, "dsir_filtered": 0, "line_deduped": 0,
         "repetition_filtered": 0,
         "duplicate": 0, "published": 2, "indexed": 0,
     }
