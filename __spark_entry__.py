@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_resample": C.q_mixture_resample,
         "q_global_shuffle": C.q_global_shuffle,
         "q_mixture_plan": C.q_mixture_plan,
+        "q_countmin_token_counts": X.q_countmin_token_counts,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2547,6 +2548,48 @@ def oracle_sql() -> dict[str, str]:
                (epochs_wanted > 4.0) AS shortfall
         FROM calc2
         ORDER BY source
+    """
+    # Count-Min sketch: depth x width additive cells, md5 row hashing,
+    # min-over-rows point estimates with the exact counts inline.
+    sql["q_countmin_token_counts"] = r"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) AS item
+            FROM documents
+        ), cells AS (
+            SELECT i AS rw,
+                   (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item),
+                                    1, 8))::BIGINT) % 1024 AS bucket
+            FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        ), sketch AS (
+            SELECT rw, bucket, count(*) AS c FROM cells GROUP BY rw, bucket
+        ), probes AS (
+            SELECT unnest(['scan','join','order','group','value',
+                           'data','key','row','window','merge']) AS item
+        ), pcells AS (
+            SELECT item, i AS rw,
+                   (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item),
+                                    1, 8))::BIGINT) % 1024 AS bucket
+            FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        ), est AS (
+            SELECT item, min(coalesce(c, 0)) AS n_est
+            FROM pcells LEFT JOIN sketch USING (rw, bucket)
+            GROUP BY item
+        ), ex AS (
+            SELECT item, count(*) AS n_exact
+            FROM toks
+            WHERE item IN ('scan','join','order','group','value',
+                           'data','key','row','window','merge')
+            GROUP BY item
+        )
+        SELECT p.item,
+               coalesce(est.n_est, 0)  AS n_est,
+               coalesce(ex.n_exact, 0) AS n_exact,
+               coalesce(est.n_est, 0) - coalesce(ex.n_exact, 0) AS overcount
+        FROM probes p
+        LEFT JOIN est USING (item)
+        LEFT JOIN ex USING (item)
+        ORDER BY item
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -1769,3 +1769,144 @@ def q_phrase_search_indexed(
     index_dir = tempfile.mkdtemp(prefix="bm25_phrase_")
     build_bm25_index(d, index_dir)
     return phrase_search_from_index(spark, index_dir, phrase.split())
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimation)
+# --------------------------------------------------------------------------
+
+def countmin_table(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build a Count-Min sketch over an item stream as a (row, bucket,
+    c) table — the frequency member of the mergeable-sketch family
+    next to HLL (distinct) and the equi-width bins (quantiles): counts
+    are additive, so per-shard/per-day sketches merge by summing
+    buckets, and the state is depth x width CELLS no matter how many
+    distinct items the stream carries. That cardinality independence
+    is the 100 TB point: exact token counts shuffle one row per
+    DISTINCT key (billions); this shuffles at most depth x width.
+
+    Hash row i uses the md5 of "<i>:<item>" (independent-enough rows,
+    engine-reproducible — the DuckDB oracle recomputes them). Point
+    estimates read min over rows: >= truth always, overshooting by
+    <= e*N/width with probability 1 - (1/2)^depth (Cormode &
+    Muthukrishnan 2005).
+    """
+    x = F.col(item_col).cast("string")
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        items.select(x.alias("item"), F.explode(rows).alias("row"))
+        .select(
+            "row",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("row").cast("string"),
+                                F.lit(":"),
+                                F.col("item"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the probes' frequencies from a Count-Min table:
+    each probe expands to its depth (row, bucket) cells, joins the
+    sketch (broadcast — the sketch is parameter-sized), and takes the
+    min over rows. Missing cells read 0 (an item that hashed to only
+    empty cells never occurred)."""
+    x = F.col(probe_col).cast("string")
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = (
+        probes.select(x.alias("item"), F.explode(rows).alias("row"))
+        .select(
+            "item",
+            "row",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("row").cast("string"),
+                                F.lit(":"),
+                                F.col("item"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est"))
+    )
+
+
+def q_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing Count-Min demo with its honesty check inline:
+    sketch every corpus token into 4 x 1024 cells, point-estimate ten
+    known tokens, and emit the exact count next to the estimate — the
+    overcount column IS the sketch's measured error (always >= 0; the
+    one-sided CM guarantee)."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    toks = d.select(F.explode(F.col("toks")).alias("item"))
+    sketch = countmin_table(toks)
+    probe_terms = [
+        "scan", "join", "order", "group", "value",
+        "data", "key", "row", "window", "merge",
+    ]
+    probes = spark.createDataFrame(
+        [(t,) for t in probe_terms], "item string"
+    )
+    est = countmin_estimate(sketch, probes)
+    exact = (
+        toks.join(F.broadcast(probes), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        probes.join(est, "item", "left")
+        .join(exact, "item", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("n_est"), F.lit(0)).alias("n_est"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            (
+                F.coalesce(F.col("n_est"), F.lit(0))
+                - F.coalesce(F.col("n_exact"), F.lit(0))
+            ).alias("overcount"),
+        )
+        .orderBy("item")
+    )

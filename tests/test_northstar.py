@@ -1482,3 +1482,53 @@ def test_lsh_parameter_planner_properties(spark):
     p32 = D.plan_lsh_parameters(default_inflection, 32)
     assert p32["n_perm"] <= 32
     assert abs(p32["inflection"] - default_inflection) < 0.15
+
+
+def test_countmin_sketch_properties(spark):
+    """Count-Min invariants: estimates NEVER undercount (one-sided
+    error), a deliberately narrow sketch (width 8) shows real
+    overcounts that the wide sketch avoids, shard sketches merged by
+    bucket-sum equal the whole-stream sketch (mergeability — the
+    pre-aggregation property), and state never exceeds depth x width
+    cells."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    rows = X.q_countmin_token_counts(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.n_est == r.n_exact + r.overcount for r in rows)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "toks", X.tokens(F.col("text"))
+    )
+    toks = d.select(F.explode("toks").alias("item"))
+    narrow = X.countmin_table(toks, width=8)
+    assert narrow.count() <= 4 * 8
+    probes = spark.createDataFrame([("scan",), ("join",)], "item string")
+    est8 = {r.item: r.n_est
+            for r in X.countmin_estimate(narrow, probes, width=8).collect()}
+    exact = {
+        r.item: r.cnt
+        for r in toks.groupBy("item").agg(F.count("*").alias("cnt"))
+        .where(F.col("item").isin("scan", "join")).collect()
+    }
+    assert all(est8[k] > exact[k] for k in exact)  # collisions at w=8
+
+    # Mergeability: sum of two half-corpus sketches == one full sketch.
+    half1 = X.countmin_table(
+        d.where(F.col("doc_id") % 2 == 0).select(F.explode("toks").alias("item"))
+    )
+    half2 = X.countmin_table(
+        d.where(F.col("doc_id") % 2 == 1).select(F.explode("toks").alias("item"))
+    )
+    merged = (
+        half1.unionAll(half2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = X.countmin_table(toks)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
