@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_global_shuffle",
     "q_mixture_plan",
     "q_sequence_packing",
+    "q_countmin_token_counts",
     "q_text_quality",
     "q_token_stats",
     "q_pii_redact",

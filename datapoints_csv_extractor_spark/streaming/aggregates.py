@@ -637,3 +637,60 @@ def stream_quantile_sketch(
             "n",
         )
     )
+
+
+def stream_countmin_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    time_col: str = "event_time",
+    window: str = "1 day",
+    watermark: str = "1 day",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming producer for the Count-Min frequency sketches
+    (``operators.textops.countmin_table``): per-(window, row, bucket)
+    counts under a watermark — same story as stream_quantile_sketch
+    on the frequency axis. Because CM cells are additive, each closed
+    window's depth x width partial merges with batch-built sketches
+    by bucket-sum; state is bounded by windows x depth x width
+    regardless of item cardinality (the whole point of sketching the
+    stream instead of counting distinct keys)."""
+    x = F.col(item_col).cast("string")
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = items.select(
+        F.col(time_col),
+        x.alias("item"),
+        F.explode(rows).alias("row"),
+    ).select(
+        F.col(time_col),
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("row").cast("string"),
+                            F.lit(":"),
+                            F.col("item"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        cells.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window).alias("w"),
+            "row",
+            "bucket",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "row", "bucket", "c")
+    )

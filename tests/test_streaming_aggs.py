@@ -769,3 +769,55 @@ def test_stream_ivfpq_ingest_folds_batches_replay_safe(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert folds == []
+
+
+def test_stream_countmin_partials_match_batch_sketch(spark, tmp_path):
+    """The streaming Count-Min producer's closed-window cells must
+    equal the batch countmin_table over the same items (mergeable
+    stream/batch interchangeability on the frequency axis)."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        countmin_table,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_countmin_sketch,
+    )
+
+    src = tmp_path / "dp"
+    ckpt = tmp_path / "ckpt"
+    day = 86_400_000
+    t0 = 500 * day
+    _write_points(
+        spark,
+        src,
+        [
+            ("alpha", t0 + 1_000, 1.0),
+            ("alpha", t0 + 2_000, 1.0),
+            ("beta", t0 + 3_000, 1.0),
+        ],
+    )
+    batch_cells = {
+        (r.row, r.bucket): r.c
+        for r in countmin_table(
+            spark.read.parquet(str(src)).select(
+                F.col("external_id").alias("item")
+            )
+        ).collect()
+    }
+    # advance the watermark past day 500 with a day-502 point
+    _write_points(spark, src, [("gamma", t0 + 2 * day, 1.0)])
+    stream = stream_datapoints(spark, str(src)).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms"))
+    )
+    rows = _drain(
+        spark,
+        stream_countmin_sketch(
+            stream.select("event_time", F.col("external_id").alias("item"))
+        ),
+        "cm1",
+        ckpt,
+        "append",
+    )
+    got = {(r.row, r.bucket): r.c for r in rows}
+    assert got == batch_cells
