@@ -808,3 +808,52 @@ def test_phrase_index_lifecycle_and_tombstones(spark, tmp_path):
     shutil.move(tmp_out, posts_dir)
     with pytest.raises(ValueError, match="positional"):
         phrase_search_from_index(spark, legacy, ["cat", "mat"])
+
+
+def test_phrase_hits_matches_python_reference_fuzzed(spark):
+    """Randomized parity for the capture-free phrase_hits rewrite:
+    over small random token streams (alphabet {a,b,c}) and phrases up
+    to length 3 — including periodic phrases like (a, a) whose
+    occurrences overlap — the JVM count must equal the pure-Python
+    start-position scan."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        phrase_hits,
+        tokens,
+    )
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(st.lists(tok, max_size=12), min_size=1, max_size=6),
+        phrase=st.lists(tok, min_size=1, max_size=3),
+    )
+    def check(docs, phrase):
+        def py_hits(toks):
+            n = len(phrase)
+            return sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i : i + n] == phrase
+            )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n
+            for r in df.withColumn("toks", tokens(F.col("text")))
+            .select("doc_id", phrase_hits(F.col("toks"), phrase).alias("n"))
+            .collect()
+        }
+        assert got == {i: py_hits(t) for i, t in enumerate(docs)}
+
+    check()
