@@ -642,6 +642,18 @@ def main() -> None:
                         lambda q=ts_q: _materialize(qs[q](spark, sdir)),
                         clean_sec=1e9, max_runs=2,
                     )
+                # New-curation linear scans (round-6 continuation):
+                # DSIR scoring, the Bloom screen, and the capture-free
+                # phrase scan — all claimed linear; the ratio checks it.
+                for corpus_q in (
+                    "q_dsir_importance_sample",
+                    "q_bloom_decontamination",
+                    "q_phrase_search",
+                ):
+                    runs[corpus_q] = _best_of(
+                        lambda q=corpus_q: _materialize(qs[q](spark, sdir)),
+                        clean_sec=1e9, max_runs=2,
+                    )
                 # Incremental dedup, QUERY phase only (store seeded
                 # from the first half, second half timed).
                 store = os.path.join(probe_root, f"band_{tag}")

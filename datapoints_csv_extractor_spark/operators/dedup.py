@@ -61,32 +61,34 @@ for _ in range(N_PERM):
 
 
 def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles from an ALREADY-MATERIALIZED token
-    array column.
+    """Distinct word k-gram shingles from a token array column, in
+    first-occurrence order.
 
-    ``toks`` must be a plain column reference, not a nested expression:
-    higher-order-function lambdas re-evaluate captured subexpressions
-    per element (no codegen/CSE), so ``element_at(tokens(text), i)``
-    inside the lambda would re-tokenize the whole document for every
-    shingle index — O(len^2) interpreted work per row (measured 70x
-    slowdown at sf0.1). Callers materialize tokens via withColumn
-    first.
+    CAPTURE-FREE on purpose: no lambda references ``toks``. The
+    earlier index-scan form (``element_at(toks, i + j)`` inside a
+    transform lambda) re-evaluated whatever expression ``toks``
+    resolves to once per shingle index — fine when it stays a
+    materialized attribute (explode consumers: Generate is a
+    CollapseProject barrier), but on pure-Project paths the optimizer
+    inlines the TOKENIZER into the lambda and every index re-splits
+    the document: O(len^2) interpreted work per row (70x at sf0.1 on
+    the jaccard path; ~4 s per 500-doc scan in the Bloom probe). Here
+    each of the k shifted slices evaluates ``toks`` exactly once per
+    row and the positionwise concat fold's lambdas touch only their
+    own arguments, so the builder is safe to embed in ANY plan shape.
 
-    Guarded for docs with < k tokens: F.sequence(1, n-k+1) would
-    generate a DESCENDING [1, 0] when n-k+1 < 1, so short docs map to
-    an empty shingle set explicitly.
+    greatest() clamps the slice length for docs with < k tokens
+    (empty shingle set).
     """
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    sh = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+    length = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, length)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, length),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-    )
-    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(acc)
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -1299,12 +1301,13 @@ def bloom_decontamination(
     # Variable-distance shifts aren't expressible in the classic Column
     # API (shiftleft takes a literal), so single-bit masks come from a
     # 64-entry powers-of-two lookup; bit 63 is the sign bit.
-    pow2 = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(64)
-        ]
-    )
+    # F.lit(list), NOT F.array(*lits): the latter is a CreateArray
+    # expression that HOF lambdas rebuild per evaluation (no CSE in
+    # lambdas — 2048 child exprs per probe, measured ~10x slower);
+    # lit folds to one reused array Literal object.
+    pow2 = F.lit(
+        [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    ).cast("array<long>")
     pos = (
         gram_hashes(eval_set)
         .select(
@@ -1329,7 +1332,7 @@ def bloom_decontamination(
     bitset = [0] * n_words
     for r in words:
         bitset[r.wi] = r.bits
-    bitset_lit = F.array(*[F.lit(b).cast("long") for b in bitset])
+    bitset_lit = F.lit(bitset).cast("array<long>")
 
     t = train.withColumn("toks", tokens(F.col("text"))).select(
         "doc_id", shingles_of_tokens(F.col("toks"), k).alias("grams")
@@ -1340,18 +1343,33 @@ def bloom_decontamination(
         mask = F.element_at(pow2, (p % 64).cast("int") + 1)
         return word.bitwiseAND(mask) != 0
 
-    def probe(g: Column) -> Column:
-        h1 = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        h2 = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+    # Two-stage probe: materialize each gram's (h1, h2) ONCE via a
+    # transform (interpreted lambdas get no CSE, so referencing
+    # md5(g) from all n_hashes probes would hash n_hashes*2 times),
+    # then test bits against struct-field reads of the lambda
+    # argument — 2 md5 evaluations per gram, total.
+    def hash_pair(g: Column) -> Column:
+        return F.struct(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(g), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+
+    def probe(h: Column) -> Column:
         cond = F.lit(True)
         for i in range(n_hashes):
-            cond = cond & bit_set((h1 + i * h2) % m_bits)
+            cond = cond & bit_set((h["h1"] + i * h["h2"]) % m_bits)
         return cond
 
     return (
         t.select(
             "doc_id",
-            F.size(F.filter(F.col("grams"), probe)).alias("n_flagged_grams"),
+            F.size(
+                F.filter(F.transform(F.col("grams"), hash_pair), probe)
+            ).alias("n_flagged_grams"),
         )
         .where(F.col("n_flagged_grams") > 0)
     )
