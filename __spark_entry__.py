@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_shuffle": C.q_global_shuffle,
         "q_mixture_plan": C.q_mixture_plan,
         "q_countmin_token_counts": X.q_countmin_token_counts,
+        "q_tokenizer_fertility": X.q_tokenizer_fertility,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2590,6 +2591,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN est USING (item)
         LEFT JOIN ex USING (item)
         ORDER BY item
+    """
+    # Tokenizer fertility: BPE-ish pieces per word, bytes per piece,
+    # digit/punct shares, per source. Sums are exact integers; only
+    # the final ratios round.
+    sql["q_tokenizer_fertility"] = r"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_pieces,
+                   CAST(len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(len(list_filter(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'),
+                       p -> regexp_matches(p, '^[0-9]+$'))) AS BIGINT)
+                       AS n_digit,
+                   CAST(len(list_filter(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'),
+                       p -> regexp_matches(p, '^[^A-Za-z0-9\s]+$')))
+                       AS BIGINT) AS n_punct
+            FROM documents
+        )
+        SELECT source,
+               CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+               CAST(sum(n_words) AS BIGINT)  AS total_words,
+               round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 4)
+                   AS fertility,
+               round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_pieces), 4)
+                   AS bytes_per_piece,
+               round(CAST(sum(n_digit) AS DOUBLE) / sum(n_pieces), 4)
+                   AS digit_share,
+               round(CAST(sum(n_punct) AS DOUBLE) / sum(n_pieces), 4)
+                   AS punct_share
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -1910,3 +1910,51 @@ def q_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-QA fertility report per source: BPE-ish pieces per
+    whitespace word (fertility — the number tokenizer evaluations
+    report per language/domain; high fertility = the vocab fragments
+    this source), bytes per piece, and the digit/punct piece shares
+    that explain WHY a source is expensive to tokenize. One scan, one
+    20-row aggregate; pure column arithmetic from exact integer sums
+    so both engines agree to the rounded digit."""
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0
+    )
+    per_doc = d.select(
+        "source",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.length(F.col("text")).cast("long").alias("n_bytes"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_digit"),
+        F.size(
+            F.filter(pieces, lambda p: p.rlike(r"^[^A-Za-z0-9\s]+$"))
+        )
+        .cast("long")
+        .alias("n_punct"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_pieces").alias("total_pieces"),
+            F.sum("n_words").alias("total_words"),
+            F.round(
+                F.sum("n_pieces") / F.sum("n_words"), 4
+            ).alias("fertility"),
+            F.round(F.sum("n_bytes") / F.sum("n_pieces"), 4).alias(
+                "bytes_per_piece"
+            ),
+            F.round(F.sum("n_digit") / F.sum("n_pieces"), 4).alias(
+                "digit_share"
+            ),
+            F.round(F.sum("n_punct") / F.sum("n_pieces"), 4).alias(
+                "punct_share"
+            ),
+        )
+        .orderBy("source")
+    )
