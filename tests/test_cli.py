@@ -231,3 +231,20 @@ def test_corpus_cli_line_dedup_and_repetition_stages(spark, tmp_path, capsys):
     assert boiler.split()[0] in texts[1]        # first occurrence kept
     assert "subscribe" not in texts[2]          # later copy removed
     assert body2.split()[0] in texts[2]         # body intact
+
+
+def test_corpus_cli_dsir_flags_plumb_through():
+    """--dsir-store/--min-dsir-logweight parse and map to the ingest
+    plan's kwargs (the gate itself is covered in
+    test_document_sources)."""
+    from datapoints_csv_extractor_spark.corpus_cli import _parse_args
+
+    base = ["-i", "/tmp/in", "-o", "/tmp/corpus", "-s", "/tmp/band"]
+    args = _parse_args(
+        base + ["--dsir-store", "/tmp/dsir", "--min-dsir-logweight", "-2.5"]
+    )
+    assert args.dsir_store == "/tmp/dsir"
+    assert args.min_dsir_logweight == -2.5
+    defaults = _parse_args(base)
+    assert defaults.dsir_store is None
+    assert defaults.min_dsir_logweight == 0.0
