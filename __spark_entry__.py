@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_plan": C.q_mixture_plan,
         "q_countmin_token_counts": X.q_countmin_token_counts,
         "q_tokenizer_fertility": X.q_tokenizer_fertility,
+        "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2628,6 +2629,56 @@ def oracle_sql() -> dict[str, str]:
         FROM per_doc
         GROUP BY source
         ORDER BY source
+    """
+    # SQ8 ANN: the whole serving path (per-dim min/max train, 8-bit
+    # affine encode, asymmetric decoded-cosine top-k) in deterministic
+    # double arithmetic — the one ANN family with a bit-exact oracle.
+    sql["q_ann_sq_topk"] = """
+        WITH dims AS (
+            SELECT i,
+                   min(CAST(embedding[i] AS DOUBLE)) AS mn,
+                   max(CAST(embedding[i] AS DOUBLE)) AS mx
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+            GROUP BY i
+        ), params AS (
+            SELECT list(mn ORDER BY i) AS mins,
+                   list(mx ORDER BY i) AS maxs
+            FROM dims
+        ), q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ), enc AS (
+            SELECT e.vec_id, e.label,
+                   list_transform(range(1, 65), i ->
+                       CASE WHEN p.maxs[i] = p.mins[i] THEN 0
+                            ELSE least(greatest(CAST(floor(
+                                (CAST(e.embedding[i] AS DOUBLE) - p.mins[i])
+                                / (p.maxs[i] - p.mins[i]) * 255.0 + 0.5)
+                                AS INT), 0), 255) END) AS codes
+            FROM embeddings e, params p
+            WHERE e.vec_id <> 0
+        ), dec AS (
+            SELECT vec_id, label,
+                   list_transform(range(1, 65), i ->
+                       p.mins[i] + CAST(codes[i] AS DOUBLE)
+                       * (p.maxs[i] - p.mins[i]) / 255.0) AS xh
+            FROM enc, params p
+        ), scored AS (
+            SELECT d.vec_id, d.label,
+                   round(
+                       list_sum(list_transform(list_zip(d.xh, q.qe),
+                           pr -> CAST(pr[1] AS DOUBLE)
+                                 * CAST(pr[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(d.xh,
+                              x -> x * x)))
+                          * sqrt(list_sum(list_transform(q.qe,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4) AS cosine_sq
+            FROM dec d, q
+        )
+        SELECT vec_id, label, cosine_sq
+        FROM scored
+        ORDER BY cosine_sq DESC, vec_id
+        LIMIT 10
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_knn_brute_force",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
+    "q_ann_sq_topk",
     "q_embedding_near_dup_lsh",
     "q_decontamination",
     "q_bloom_decontamination",

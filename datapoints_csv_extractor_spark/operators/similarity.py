@@ -2402,3 +2402,101 @@ def q_ann_recall_report(
         [(m, r, n_queries, k) for m, r in results],
         "method string, recall_at_k double, n_queries int, k int",
     ).orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the fourth ANN compression tier
+# ---------------------------------------------------------------------------
+
+def train_sq_minmax(e: DataFrame, dim: int = 64) -> tuple[list, list]:
+    """Per-dimension (min, max) for SQ8 scalar quantization — ONE scan
+    with 2*dim aggregate expressions; the result is parameter-sized
+    (2*dim doubles) like every quantizer's training output here.
+    """
+    emb = F.col("embedding")
+    row = e.select(
+        *[
+            F.min(F.element_at(emb, i + 1).cast("double")).alias(f"mn{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(emb, i + 1).cast("double")).alias(f"mx{i}")
+            for i in range(dim)
+        ],
+    ).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq_encode_df(
+    e: DataFrame, mins: list, maxs: list
+) -> DataFrame:
+    """SQ8 encode: per-dimension affine map to an 8-bit code,
+    code_i = clamp(floor((x_i - min_i) / (max_i - min_i) * 255 + .5)).
+    Map-only JVM transform; the (min, max) tables ride as folded array
+    literals. Codes persist as array<int> whose 0..255 values parquet
+    bit-packs to ~1 byte each — the 8x at-rest compression next to
+    PQ's 64x, trading ratio for per-dimension fidelity (SQ preserves
+    every axis; PQ quantizes subspaces jointly).
+
+    Explicit floor(x + 0.5) rounding and guarded degenerate
+    dimensions (max == min -> code 0) keep the codes engine-exact —
+    this tier is the one ANN family whose whole serving path a SQL
+    oracle can replay bit for bit.
+    """
+    mins_lit = F.lit(mins).cast("array<double>")
+    maxs_lit = F.lit(maxs).cast("array<double>")
+
+    def enc(x: Column, i: Column) -> Column:
+        mn = F.element_at(mins_lit, i + 1)
+        mx = F.element_at(maxs_lit, i + 1)
+        code = F.floor(
+            (x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5
+        ).cast("int")
+        return F.when(mx == mn, F.lit(0)).otherwise(
+            F.least(F.greatest(code, F.lit(0)), F.lit(255))
+        )
+
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), enc).alias("codes"),
+    )
+
+
+def q_ann_sq_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """SQ8-served top-k: asymmetric distance (raw query vs decoded
+    candidates — the standard SQ serving mode), cosine on the decoded
+    vectors, rounded score with vec_id tie-break. The scan reads only
+    codes-width data at scale; score arithmetic is the same JVM
+    aggregate fold as exact kNN, so this entry is ORACLE-exact — the
+    only ANN family whose end-to-end serving path the DuckDB twin
+    replays exactly (LSH/IVF/PQ train with engine-specific hashing /
+    k-means and are rows-only)."""
+    e = load(spark, sf_dir, "embeddings")
+    mins, maxs = train_sq_minmax(e)
+    codes = sq_encode_df(e, mins, maxs)
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    mins_lit = F.lit(mins).cast("array<double>")
+    maxs_lit = F.lit(maxs).cast("array<double>")
+
+    def dec(c: Column, i: Column) -> Column:
+        mn = F.element_at(mins_lit, i + 1)
+        mx = F.element_at(maxs_lit, i + 1)
+        return mn + c.cast("double") * (mx - mn) / 255.0
+
+    decoded = F.transform(F.col("codes"), dec)
+    score = F.round(cosine(decoded, qlit), 4)
+    return (
+        codes.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", score.alias("cosine_sq"))
+        .orderBy(F.desc("cosine_sq"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1532,3 +1532,39 @@ def test_countmin_sketch_properties(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_sq8_quantization_properties(spark):
+    """SQ8 invariants: codes live in [0,255]; per-dimension
+    reconstruction error is bounded by half a quantization step
+    (the affine-grid guarantee); degenerate dimensions encode 0; and
+    decoded-cosine top-k recalls most of the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mins, maxs = V.train_sq_minmax(e)
+    enc = V.sq_encode_df(e, mins, maxs).collect()
+    raw = {r.vec_id: r.embedding for r in e.collect()}
+    for r in enc:
+        x = raw[r.vec_id]
+        assert all(0 <= c <= 255 for c in r.codes)
+        for i, c in enumerate(r.codes):
+            step = (maxs[i] - mins[i]) / 255.0
+            xhat = mins[i] + c * step
+            assert abs(xhat - float(x[i])) <= step / 2 + 1e-9, (r.vec_id, i)
+
+    # Degenerate dimension: constant column -> code 0 everywhere.
+    tiny = spark.createDataFrame(
+        [(0, 0, [1.0, 5.0]), (1, 0, [1.0, 7.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    m2, x2 = V.train_sq_minmax(tiny, dim=2)
+    codes = {r.vec_id: r.codes for r in V.sq_encode_df(tiny, m2, x2).collect()}
+    assert codes[0][0] == 0 and codes[1][0] == 0
+    assert codes[0][1] == 0 and codes[1][1] == 255
+
+    exact = {r.vec_id for r in V.q_knn_brute_force(spark, SF).collect()}
+    sq = {r.vec_id for r in V.q_ann_sq_topk(spark, SF).collect()}
+    assert len(sq & exact) >= 7
