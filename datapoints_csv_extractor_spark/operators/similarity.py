@@ -2500,3 +2500,57 @@ def q_ann_sq_topk(
         .orderBy(F.desc("cosine_sq"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_sq_index(e: DataFrame, index_dir: str) -> tuple[list, list]:
+    """Persist the SQ8 index: codes parquet + (min, max) params JSON —
+    train once, serve forever, like every other quantizer store here.
+    The codes table is the only data-sized artifact; params are 2*dim
+    doubles. Returns (mins, maxs) for callers encoding new shards."""
+    import json
+    import os
+
+    mins, maxs = train_sq_minmax(e)
+    sq_encode_df(_spread(e), mins, maxs).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    tmp = os.path.join(index_dir, "params.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"mins": mins, "maxs": maxs}, fh)
+    os.replace(tmp, os.path.join(index_dir, "params.json"))
+    return mins, maxs
+
+
+def ann_sq_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list,
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted SQ8 index: scan codes (the 1-byte-
+    per-dim table), decode against the stored params, asymmetric
+    cosine vs the raw query, TakeOrdered. Zero training in the plan."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "params.json")) as fh:
+        params = json.load(fh)
+    mins_lit = F.lit(params["mins"]).cast("array<double>")
+    maxs_lit = F.lit(params["maxs"]).cast("array<double>")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    if exclude_vec_id is not None:
+        codes = codes.where(F.col("vec_id") != exclude_vec_id)
+
+    def dec(c: Column, i: Column) -> Column:
+        mn = F.element_at(mins_lit, i + 1)
+        mx = F.element_at(maxs_lit, i + 1)
+        return mn + c.cast("double") * (mx - mn) / 255.0
+
+    score = F.round(cosine(F.transform(F.col("codes"), dec), qlit), 4)
+    return (
+        codes.select("vec_id", "label", score.alias("cosine_sq"))
+        .orderBy(F.desc("cosine_sq"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1568,3 +1568,27 @@ def test_sq8_quantization_properties(spark):
     exact = {r.vec_id for r in V.q_knn_brute_force(spark, SF).collect()}
     sq = {r.vec_id for r in V.q_ann_sq_topk(spark, SF).collect()}
     assert len(sq & exact) >= 7
+
+
+def test_sq8_index_lifecycle(spark, tmp_path):
+    """The persisted SQ8 index serves byte-identical results to the
+    live path with zero training in the serving plan."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "sq")
+    V.build_sq_index(e, idx)
+    q = e.where(F.col("vec_id") == 0).first().embedding
+    live = [
+        (r.vec_id, r.cosine_sq)
+        for r in V.q_ann_sq_topk(spark, SF).collect()
+    ]
+    served = [
+        (r.vec_id, r.cosine_sq)
+        for r in V.ann_sq_topk_from_index(
+            spark, idx, list(q), exclude_vec_id=0
+        ).collect()
+    ]
+    assert served == live
