@@ -694,3 +694,42 @@ def stream_countmin_sketch(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "row", "bucket", "c")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "external_id",
+    tolerance_seconds: int = 60,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with every right event sharing its key within ±``tolerance_
+    seconds`` — the streaming twin of the batch tolerance join
+    (operators/relational.py q_asof_join_tolerance's all-matches
+    half; "nearest-only" needs a per-key aggregation downstream).
+
+    Spark's stream-stream join contract: BOTH sides carry watermarks
+    and the join condition bounds event time on both sides, so each
+    side's buffered state is evicted once the other side's watermark
+    passes key-time + tolerance — state is O(in-flight window), not
+    O(stream). Left columns keep their names; right time/value arrive
+    as ``right_time`` / ``right_value``.
+    """
+    l = left.withWatermark("event_time", watermark)
+    r = (
+        right.select(
+            F.col(key).alias("__rkey"),
+            F.col("event_time").alias("right_time"),
+            F.col("value").alias("right_value"),
+        )
+        .withWatermark("right_time", watermark)
+    )
+    tol = F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rkey"))
+        & (F.col("right_time") >= F.col("event_time") - tol)
+        & (F.col("right_time") <= F.col("event_time") + tol),
+        "inner",
+    ).drop("__rkey")

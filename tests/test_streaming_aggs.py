@@ -821,3 +821,66 @@ def test_stream_countmin_partials_match_batch_sketch(spark, tmp_path):
     )
     got = {(r.row, r.bucket): r.c for r in rows}
     assert got == batch_cells
+
+
+def test_stream_interval_join_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join parity: pairs within tolerance on
+    the same key match exactly the batch join's pairs; out-of-window
+    and cross-key rows never pair."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_interval_join,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    ckpt = tmp_path / "ckpt"
+    t0 = 1_700_000_000_000
+    _write_points(
+        spark, lsrc,
+        [("s1", t0, 1.0), ("s1", t0 + 300_000, 2.0), ("s2", t0, 3.0)],
+    )
+    _write_points(
+        spark, rsrc,
+        [
+            ("s1", t0 + 30_000, 10.0),   # within 60s of left#1 only
+            ("s1", t0 + 290_000, 20.0),  # within 60s of left#2 only
+            ("s2", t0 + 200_000, 30.0),  # out of window for s2's left
+            ("s3", t0, 40.0),            # no left key
+        ],
+    )
+
+    def prep(path):
+        return spark.read.parquet(str(path)).withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+
+    batch_l, batch_r = prep(lsrc), prep(rsrc)
+    tol = F.expr("INTERVAL 60 SECONDS")
+    rb = batch_r.select(
+        F.col("external_id").alias("__rkey"),
+        F.col("event_time").alias("right_time"),
+        F.col("value").alias("right_value"),
+    )
+    expected = {
+        (r.external_id, r.ts_ms, r.right_value)
+        for r in batch_l.join(
+            rb,
+            (F.col("external_id") == F.col("__rkey"))
+            & (F.col("right_time") >= F.col("event_time") - tol)
+            & (F.col("right_time") <= F.col("event_time") + tol),
+        ).collect()
+    }
+    assert expected == {("s1", t0, 10.0), ("s1", t0 + 300_000, 20.0)}
+
+    sl = stream_datapoints(spark, str(lsrc)).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms"))
+    )
+    sr = stream_datapoints(spark, str(rsrc)).withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms"))
+    )
+    rows = _drain(
+        spark, stream_interval_join(sl, sr), "ij1", ckpt, "append"
+    )
+    got = {(r.external_id, r.ts_ms, r.right_value) for r in rows}
+    assert got == expected
