@@ -702,6 +702,7 @@ def stream_interval_join(
     key: str = "external_id",
     tolerance_seconds: int = 60,
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left event
     with every right event sharing its key within ±``tolerance_
@@ -715,6 +716,12 @@ def stream_interval_join(
     passes key-time + tolerance — state is O(in-flight window), not
     O(stream). Left columns keep their names; right time/value arrive
     as ``right_time`` / ``right_value``.
+
+    ``how="leftOuter"`` keeps unmatched left events: they emit with
+    NULL right columns only once the RIGHT watermark has passed their
+    match window (before that a match could still arrive) — so outer
+    results trail the inner ones by up to the watermark delay, the
+    documented outer-join latency trade.
     """
     l = left.withWatermark("event_time", watermark)
     r = (
@@ -731,5 +738,5 @@ def stream_interval_join(
         (F.col(key) == F.col("__rkey"))
         & (F.col("right_time") >= F.col("event_time") - tol)
         & (F.col("right_time") <= F.col("event_time") + tol),
-        "inner",
+        how,
     ).drop("__rkey")

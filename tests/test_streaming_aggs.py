@@ -884,3 +884,48 @@ def test_stream_interval_join_matches_batch_join(spark, tmp_path):
     )
     got = {(r.external_id, r.ts_ms, r.right_value) for r in rows}
     assert got == expected
+
+
+def test_stream_interval_join_left_outer_flushes_on_watermark(spark, tmp_path):
+    """leftOuter interval join: unmatched left events emit with NULL
+    right columns once the right watermark passes their window; a
+    late-arriving advancing row triggers the flush."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_interval_join,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    ckpt = tmp_path / "ckpt"
+    day = 86_400_000
+    t0 = 1_700_000_000_000
+    _write_points(spark, lsrc, [("s1", t0, 1.0), ("s2", t0, 2.0)])
+    _write_points(
+        spark, rsrc,
+        [
+            ("s1", t0 + 10_000, 10.0),       # matches s1
+            # watermark pusher: 3 days later, far past t0 + tolerance
+            ("zz", t0 + 3 * day, 0.0),
+        ],
+    )
+    def mk():
+        sl = stream_datapoints(spark, str(lsrc)).withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+        sr = stream_datapoints(spark, str(rsrc)).withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+        return stream_interval_join(sl, sr, how="leftOuter")
+
+    rows = _drain(spark, mk(), "ij2", ckpt, "append")
+    # Outer flushes need a LATER batch to run in (watermark advances
+    # between batches) and BOTH sides' watermarks past the window —
+    # the left row's own state must be evictable too. Push far-future
+    # rows on both streams and resume from the same checkpoint.
+    _write_points(spark, lsrc, [("zz", t0 + 4 * day, 0.0)])
+    _write_points(spark, rsrc, [("zz", t0 + 4 * day, 0.0)])
+    rows += _drain(spark, mk(), "ij2", ckpt, "append")
+    got = {(r.external_id, r.right_value) for r in rows}
+    assert ("s1", 10.0) in got
+    assert ("s2", None) in got  # flushed as unmatched after watermark
