@@ -2287,7 +2287,8 @@ def q_ann_recall_report(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5
 ) -> DataFrame:
     """Recall@k datacard for every ANN path against exact brute
-    force, one row per method — the measurement harness an embedding
+    force, one row per method (hyperplane LSH, IVF, PQ, IVF-PQ, SQ8) — the
+    measurement harness an embedding
     platform runs before trusting an index family: pick n_queries
     probe vectors, build each index once into scratch, and score
     |approx ∩ exact| / k averaged over the probes.
@@ -2390,6 +2391,19 @@ def q_ann_recall_report(
                     ann_ivfpq_topk(
                         spark, ivfpq_dir, qvec, k=k, n_probe=2, source=e,
                         exclude_vec_id=qid,
+                    )
+                )
+                for qid, qvec in probes
+            },
+        )
+        sq_dir = os.path.join(scratch, "sq")
+        build_sq_index(e, sq_dir)
+        add(
+            "sq8",
+            {
+                qid: topk_ids(
+                    ann_sq_topk_from_index(
+                        spark, sq_dir, qvec, k=k, exclude_vec_id=qid
                     )
                 )
                 for qid, qvec in probes
