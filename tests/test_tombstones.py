@@ -598,3 +598,81 @@ def test_store_stats_reports(spark, tmp_path):
     assert stats["base"].n_docs == 2 and stats["s2"].n_docs == 1
     assert stats["base"].n_postings == 5 and stats["s2"].n_postings == 2
     assert stats["deleted"].n_docs == 1 and stats["deleted"].dl_sum == 2
+
+
+def test_store_inventory_reads_every_family(spark, tmp_path):
+    """The unified inventory reports one ok row per live store, an
+    ok=false row for a broken path, and never raises."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        build_dsir_store,
+    )
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        build_ivf_index,
+        build_sq_index,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import (
+        build_bm25_index,
+        build_lm_store,
+    )
+    from datapoints_csv_extractor_spark.plans.inventory import store_inventory
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        upsert_into_store,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50).select("doc_id", "text", "source")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    band = str(tmp_path / "band")
+    dedup_incremental(docs.select("doc_id", "text"), band, ingest_id="a")
+    bm25 = str(tmp_path / "bm25")
+    build_bm25_index(docs.select("doc_id", "text"), bm25)
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, n_centroids=4, n_train_iters=1)
+    sq = str(tmp_path / "sq")
+    build_sq_index(emb, sq)
+    lm = str(tmp_path / "lm")
+    build_lm_store(docs.select("doc_id", "text"), lm)
+    dsir = str(tmp_path / "dsir")
+    build_dsir_store(docs, docs.where(F.col("doc_id") % 2 == 0), dsir)
+    merge = str(tmp_path / "merge")
+    upsert_into_store(
+        spark,
+        docs.select(
+            F.col("doc_id").alias("k"),
+            F.col("text").alias("v"),
+            F.lit(1).alias("version"),
+            F.lit(False).alias("deleted"),
+        ),
+        merge,
+        keys=["k"],
+        version_cols=["version"],
+    )
+
+    inv = store_inventory(
+        spark,
+        {
+            "dedup": ("band", band),
+            "search": ("bm25", bm25),
+            "ann": ("ivf", ivf),
+            "ann8": ("sq", sq),
+            "quality-lm": ("lm", lm),
+            "selection": ("dsir", dsir),
+            "latest": ("merge", merge),
+            "broken": ("band", str(tmp_path / "nope")),
+            "weird": ("zzz", "/"),
+        },
+    ).collect()
+    by = {r.store_type: r for r in inv}
+    assert len(inv) == 9
+    for t in ("band:dedup", "bm25:search", "ivf:ann", "sq:ann8",
+              "lm:quality-lm", "dsir:selection", "merge:latest"):
+        assert by[t].ok and by[t].n_rows > 0, t
+    assert not by["band:broken"].ok
+    assert not by["weird"].ok
