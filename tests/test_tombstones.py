@@ -676,3 +676,52 @@ def test_store_inventory_reads_every_family(spark, tmp_path):
         assert by[t].ok and by[t].n_rows > 0, t
     assert not by["band:broken"].ok
     assert not by["weird"].ok
+
+
+def test_concurrent_band_store_folds_preserve_both_ingests(spark, tmp_path):
+    """Two racing ingest folds into one band store must both survive
+    the manifest (the lock-protected read-modify-write contract) —
+    neither committer may overwrite the other's entry — and the store
+    must afterwards serve candidates from BOTH shards."""
+    import threading
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest_full,
+        dedup_incremental,
+    )
+
+    store = str(tmp_path / "band")
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven"
+    shard_a = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    shard_b = spark.createDataFrame([(2, text_b)], "doc_id long, text string")
+
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def fold(shard, ingest_id):
+        try:
+            barrier.wait()
+            dedup_incremental(shard, store, ingest_id=ingest_id)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t1 = threading.Thread(target=fold, args=(shard_a, "racer_a"))
+    t2 = threading.Thread(target=fold, args=(shard_b, "racer_b"))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors
+    ingests = set(_read_manifest_full(store)["ingests"])
+    assert {"racer_a", "racer_b"} <= ingests
+
+    # Near-copies of both shards' docs are flagged against the store.
+    probe = spark.createDataFrame(
+        [(10, text_a + " tail"), (11, text_b + " tail")],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id
+        for r in dedup_incremental(
+            probe, store, ingest_id="probe"
+        ).collect()
+    }
+    assert flagged == {10, 11}
