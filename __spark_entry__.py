@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_countmin_token_counts": X.q_countmin_token_counts,
         "q_tokenizer_fertility": X.q_tokenizer_fertility,
         "q_ann_sq_topk": V.q_ann_sq_topk,
+        "q_holt_forecast": A.q_holt_forecast,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2679,6 +2680,41 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         ORDER BY cosine_sq DESC, vec_id
         LIMIT 10
+    """
+    # Holt smoothing: the recursive CTE replays the JVM fold's exact
+    # operation sequence (same literals, same order), so the smoothed
+    # state agrees to the rounded digit.
+    sql["q_holt_forecast"] = """
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS INT)
+                       AS rn
+            FROM events
+        ), counts AS (
+            SELECT event_type, CAST(count(*) AS INT) AS n
+            FROM ordered GROUP BY event_type
+        ), walk AS (
+            SELECT event_type, rn AS i, v AS level,
+                   CAST(0.0 AS DOUBLE) AS trend
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.rn,
+                   0.5 * o.v + 0.5 * (w.level + w.trend),
+                   0.3 * ((0.5 * o.v + 0.5 * (w.level + w.trend))
+                          - w.level) + 0.7 * w.trend
+            FROM walk w
+            JOIN ordered o
+              ON o.event_type = w.event_type AND o.rn = w.i + 1
+        )
+        SELECT w.event_type,
+               c.n AS n_points,
+               round(w.level, 4) AS level,
+               round(w.trend, 6) AS trend,
+               round(w.level + 24.0 * w.trend, 4) AS forecast_h24
+        FROM walk w JOIN counts c USING (event_type)
+        WHERE w.i = c.n
+        ORDER BY w.event_type
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_time_weighted_aggregates_hourly",
     "q_anomaly_zscore",
     "q_derivative",
+    "q_holt_forecast",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

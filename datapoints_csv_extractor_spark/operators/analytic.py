@@ -1717,3 +1717,77 @@ def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def q_holt_forecast(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 24,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing per series with an
+    h-step-ahead forecast — the classic sensor-stream forecasting
+    baseline (level/trend state folded once through the ordered
+    series; forecast_h = level + h * trend).
+
+    The recurrence is sequential, which normally exiles it to Python —
+    but as a left fold it is ONE JVM ``F.aggregate`` over the
+    per-series ordered value array: collect_list + sort_array (one
+    shuffle on the series key), then a struct-accumulator fold with
+    no Python anywhere. The DuckDB oracle replays the identical
+    operation sequence as a recursive CTE, so the smoothed state is
+    engine-exact to the rounded digit — the same
+    sequential-fold-parity trick as the BPE merge fold.
+
+    State per series is O(1); the array materialization bounds series
+    length per executor (fine for telemetry series; beyond memory,
+    the same fold runs in applyInPandasWithState — the streaming twin
+    shape)."""
+    e = load(spark, sf_dir, "events")
+    pts = e.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"), F.col("event_id"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ).alias("pts")
+    )
+    vals = F.transform(F.col("pts"), lambda s: s["v"])
+    a, b = float(alpha), float(beta)
+    # Parsed-literal complements, NOT 1-alpha: the SQL oracle writes
+    # 0.5/0.7 as literals, and 1.0-0.3 is a DIFFERENT double than
+    # parsed 0.7 — a one-ulp seed that diverges under iteration.
+    om_a, om_b = float(repr(1.0 - alpha)), float(repr(1.0 - beta))
+    acc0 = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0).cast("long").alias("i"),
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        lvl = F.when(first, x).otherwise(
+            a * x + om_a * (acc["level"] + acc["trend"])
+        )
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            b * (lvl - acc["level"]) + om_b * acc["trend"]
+        )
+        return F.struct(
+            lvl.alias("level"),
+            trend.alias("trend"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    fin = F.aggregate(vals, acc0, step)
+    return pts.select(
+        "event_type",
+        F.size(F.col("pts")).alias("n_points"),
+        F.round(fin["level"], 4).alias("level"),
+        F.round(fin["trend"], 6).alias("trend"),
+        F.round(fin["level"] + float(horizon) * fin["trend"], 4).alias(
+            "forecast_h24"
+        ),
+    ).orderBy("event_type")

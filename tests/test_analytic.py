@@ -754,3 +754,33 @@ def test_scalable_twins_match_python_model_on_random_data(spark):
                 want_asof.add((r[0], u, r[1], last_p[1], last_p[4]))
     got_asof = {tuple(r) for r in asof_join_scalable(ev).collect()}
     assert got_asof == want_asof
+
+
+def test_holt_forecast_matches_python_replica(spark):
+    """The JVM fold must replay the textbook Holt recurrence exactly
+    (level/trend seeded from the first point, alpha=.5 beta=.3)."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_holt_forecast,
+    )
+
+    rows = {r.event_type: r for r in q_holt_forecast(spark, SF).collect()}
+    ev = sorted(
+        (
+            (r.event_type, r.ts, r.event_id, float(r.value))
+            for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+        ),
+    )
+    series: dict = {}
+    for et, ts, eid, v in ev:
+        series.setdefault(et, []).append(v)
+    for et, vals in series.items():
+        level, trend = vals[0], 0.0
+        for v in vals[1:]:
+            nl = 0.5 * v + 0.5 * (level + trend)
+            trend = 0.3 * (nl - level) + 0.7 * trend
+            level = nl
+        r = rows[et]
+        assert r.n_points == len(vals)
+        assert abs(r.level - round(level, 4)) < 1e-9, et
+        assert abs(r.trend - round(trend, 6)) < 1e-9, et
+        assert abs(r.forecast_h24 - round(level + 24.0 * trend, 4)) < 1e-9
