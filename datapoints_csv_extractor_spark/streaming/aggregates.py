@@ -740,3 +740,78 @@ def stream_interval_join(
         & (F.col("right_time") <= F.col("event_time") + tol),
         how,
     ).drop("__rkey")
+
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast_h24", T.DoubleType()),
+    ]
+)
+HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def _holt_fold(
+    key: Tuple[str],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-series Holt(alpha=.5, beta=.3) state carried across
+    micro-batches: O(1) state per series — (level, trend, n,
+    last_ts) — each batch folds its in-order points and emits the
+    series' refreshed state + 24-step forecast. Points behind the
+    newest state timestamp are dropped (the documented arrival-order
+    divergence); in arrival order the final state equals the batch
+    q_holt_forecast fold exactly."""
+    level, trend, n, last_ts = (
+        tuple(state.get) if state.exists else (0.0, 0.0, 0, -1)
+    )
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
+            if ts_ms <= last_ts:
+                continue
+            v = float(v)
+            if n == 0:
+                level, trend = v, 0.0
+            else:
+                nl = 0.5 * v + 0.5 * (level + trend)
+                trend = 0.3 * (nl - level) + 0.7 * trend
+                level = nl
+            n += 1
+            last_ts = int(ts_ms)
+    state.update((level, trend, n, last_ts))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_points": [n],
+            "level": [level],
+            "trend": [trend],
+            "forecast_h24": [level + 24.0 * trend],
+        }
+    )
+
+
+def stream_holt_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_holt_forecast``: one O(1) Holt state per
+    series refreshed every micro-batch (Update mode), forecast always
+    current. Input needs (event_type, event_id, ts_ms, value)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _holt_fold,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

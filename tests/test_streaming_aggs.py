@@ -929,3 +929,62 @@ def test_stream_interval_join_left_outer_flushes_on_watermark(spark, tmp_path):
     got = {(r.external_id, r.right_value) for r in rows}
     assert ("s1", 10.0) in got
     assert ("s2", None) in got  # flushed as unmatched after watermark
+
+
+def test_stream_holt_state_matches_batch_fold(spark, tmp_path):
+    """Streaming Holt state across two micro-batches must equal the
+    batch fold over the concatenated in-order series."""
+    import json
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_holt_state,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    schema = (
+        "event_type string, event_id long, ts_ms long, value double"
+    )
+    write_batch(
+        "b1.jsonl",
+        [
+            {"event_type": "s", "event_id": i, "ts_ms": 1000 * i,
+             "value": float(v)}
+            for i, v in enumerate([10.0, 12.0, 11.0], start=1)
+        ],
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    rows = _drain(spark, stream_holt_state(stream), "hw1", ckpt, "update")
+
+    write_batch(
+        "b2.jsonl",
+        [
+            {"event_type": "s", "event_id": i, "ts_ms": 1000 * i,
+             "value": float(v)}
+            for i, v in enumerate([13.0, 15.0], start=4)
+        ],
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    rows = _drain(spark, stream_holt_state(stream), "hw2", ckpt, "update")
+    final = rows[-1]
+
+    level, trend = 10.0, 0.0
+    for v in [12.0, 11.0, 13.0, 15.0]:
+        nl = 0.5 * v + 0.5 * (level + trend)
+        trend = 0.3 * (nl - level) + 0.7 * trend
+        level = nl
+    assert final.n_points == 5
+    assert abs(final.level - level) < 1e-12
+    assert abs(final.trend - trend) < 1e-12
+    assert abs(final.forecast_h24 - (level + 24.0 * trend)) < 1e-12
