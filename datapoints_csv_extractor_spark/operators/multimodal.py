@@ -489,3 +489,104 @@ def resize_blobs(
             )
 
     return blobs.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def _parse_wav_pcm(raw: bytes):
+    """Locate a 16-bit PCM WAV's sample data: returns (sample_rate,
+    n_channels, data_offset, data_size) or None when the payload is
+    not RIFF/WAVE/PCM-16 (compressed codecs stay out of scope — the
+    stand-in boundary is now 'non-PCM codecs', not 'audio')."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    off = 12
+    rate = channels = bits = fmt_tag = None
+    data = None
+    while off + 8 <= len(raw):
+        cid = raw[off : off + 4]
+        (size,) = struct.unpack("<I", raw[off + 4 : off + 8])
+        if cid == b"fmt " and off + 8 + 16 <= len(raw):
+            fmt_tag, channels, rate = struct.unpack(
+                "<HHI", raw[off + 8 : off + 16]
+            )
+            bits = struct.unpack("<H", raw[off + 22 : off + 24])[0]
+        elif cid == b"data":
+            data = (off + 8, size)
+        if rate is not None and data is not None:
+            break
+        off += 8 + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or not rate or not channels or data is None:
+        return None
+    data_off, data_size = data
+    data_size = min(data_size, len(raw) - data_off)
+    return rate, channels, data_off, data_size
+
+
+def audio_features(blobs: DataFrame) -> DataFrame:
+    """REAL sample-level audio feature extraction for PCM WAV blobs —
+    duration, RMS energy, zero-crossing rate, peak amplitude — the
+    features an audio-curation pass gates on (silence/clipping
+    detection, speech-band heuristics). Arrow ``mapInPandas`` over
+    the binary column, numpy int16 decode, channels mono-mixed by
+    mean; non-WAV / non-PCM payloads emit NULL features
+    (skip-don't-fail, the module's contract). This closes the
+    sample-decode gap for the one audio container a pure-stdlib
+    environment can fully decode; compressed codecs remain the
+    documented stand-in boundary."""
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for bid, mime, payload in zip(
+                pdf["blob_id"], pdf["mime"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                parsed = _parse_wav_pcm(raw)
+                row = [None] * 6
+                if parsed is not None:
+                    rate, ch, off, size = parsed
+                    n16 = (size // 2 // ch) * ch
+                    x = (
+                        np.frombuffer(raw, dtype="<i2", count=n16, offset=off)
+                        .reshape(-1, ch)
+                        .mean(axis=1)
+                        / 32768.0
+                    )
+                    if len(x):
+                        zc = float(np.mean(np.abs(np.diff(np.signbit(x)))))
+                        row = [
+                            int(rate),
+                            int(len(x)),
+                            round(len(x) / rate, 6),
+                            round(float(np.sqrt(np.mean(x * x))), 6),
+                            round(zc, 6),
+                            round(float(np.max(np.abs(x))), 6),
+                        ]
+                out["blob_id"].append(int(bid))
+                out["mime"].append(mime)
+                for name, v in zip(
+                    ["sample_rate", "n_frames", "duration_s", "rms",
+                     "zero_crossing_rate", "peak"],
+                    row,
+                ):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "mime", "payload").mapInPandas(
+        extract, schema
+    )

@@ -157,3 +157,43 @@ def test_parsers_never_crash_on_garbage(raw):
     ):
         out = fn(raw)
         assert out is None or (isinstance(out, tuple) and len(out) == 3)
+
+
+def test_audio_features_decode_real_pcm(spark):
+    """Sample-level WAV decode is REAL: a synthesized 440 Hz sine at
+    8 kHz mono int16 must measure its closed-form RMS (amp/sqrt(2)),
+    zero-crossing rate (2f/rate), duration, and peak; non-audio
+    payloads emit NULL features."""
+    import math
+    import struct
+
+    import numpy as np
+
+    rate, freq, amp, secs = 8000, 440, 0.5, 1.0
+    n = int(rate * secs)
+    x = (amp * 32767 * np.sin(2 * math.pi * freq * np.arange(n) / rate)).astype(
+        "<i2"
+    )
+    data = x.tobytes()
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    blobs = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav)), (2, "text/plain", bytearray(b"no"))],
+        "blob_id long, mime string, payload binary",
+    )
+    rows = {r.blob_id: r for r in M.audio_features(blobs).collect()}
+    r = rows[1]
+    assert r.sample_rate == rate and r.n_frames == n
+    assert abs(r.duration_s - secs) < 1e-6
+    assert abs(r.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(r.zero_crossing_rate - 2 * freq / rate) < 0.005
+    assert abs(r.peak - amp) < 0.01
+    assert rows[2].rms is None and rows[2].n_frames is None
