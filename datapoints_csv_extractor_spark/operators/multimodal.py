@@ -10,9 +10,15 @@ environment: images through Pillow when importable
 (``decode_blobs(use_pil=None)`` auto-detects) else a pure-stdlib
 PNG/JPEG/GIF header parser; audio through a stdlib RIFF/WAVE walk
 (sample-frame count); video through a stdlib ISO-BMFF box walk
-(``stts`` frame count + ``tkhd`` dimensions). Only full sample/pixel
-DECODING (ffmpeg-class work) remains a clearly-marked stand-in — this
-container ships no media libraries.
+(``stts`` frame count + ``tkhd`` dimensions). SAMPLE-LEVEL decode is
+also real where a pure-stdlib codec exists: 16-bit PCM WAV decodes to
+actual audio features (``audio_features``: duration/RMS/ZCR/peak) and
+PNG decodes to actual pixels (``image_features``: zlib inflate +
+filter reconstruction -> brightness/contrast/channel means; PIL stays
+the preferred tier when importable). Only compressed-codec decoding
+(ffmpeg-class work: JPEG entropy decode without PIL, MP3/AAC, H.264)
+remains a clearly-marked stand-in — this container ships no media
+libraries.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -585,6 +591,156 @@ def audio_features(blobs: DataFrame) -> DataFrame:
                     row,
                 ):
                     out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "mime", "payload").mapInPandas(
+        extract, schema
+    )
+
+
+def _decode_png_pixels(raw: bytes):
+    """Pure-stdlib PNG pixel decode (public file-format knowledge:
+    zlib-inflated IDAT + per-scanline unfiltering, filters 0-4) for
+    8-bit depth, color types 0/2/4/6, non-interlaced. Returns a
+    (h, w, channels) uint8 numpy array or None for anything else —
+    with this, image sample decode needs no third-party codec at all
+    for PNG; PIL remains the preferred tier where present (more
+    formats, C-speed)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    off = 8
+    width = height = depth = ctype = interlace = None
+    idat = b""
+    while off + 8 <= len(raw):
+        (size,) = struct.unpack(">I", raw[off : off + 4])
+        typ = raw[off + 4 : off + 8]
+        body = raw[off + 8 : off + 8 + size]
+        if typ == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        off += 12 + size
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if (
+        not width
+        or not height
+        or depth != 8
+        or channels is None
+        or interlace != 0
+    ):
+        return None
+    try:
+        stream = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(stream) < height * (stride + 1):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint16)
+    prev = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for y in range(height):
+        filt = stream[pos]
+        row = np.frombuffer(
+            stream, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.uint16)
+        pos += 1 + stride
+        cur = row.copy()
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif filt == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif filt != 0:
+            return None
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(height, width, channels)
+
+
+def image_features(blobs: DataFrame) -> DataFrame:
+    """REAL pixel-level image features for PNG blobs with no
+    third-party codec: per-channel means, overall brightness, and
+    contrast (grayscale std) — the signals an image-curation pass
+    gates on (black/blank frames, exposure outliers). PIL-decodable
+    formats use PIL when present; PNG falls back to the stdlib
+    inflate+unfilter decoder, and anything else emits NULLs."""
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("brightness", T.DoubleType()),
+            T.StructField("contrast", T.DoubleType()),
+            T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    use_pil = pil_available()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for bid, mime, payload in zip(
+                pdf["blob_id"], pdf["mime"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                px = None
+                if use_pil:
+                    try:
+                        import io
+
+                        from PIL import Image
+
+                        px = np.asarray(Image.open(io.BytesIO(raw)))
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                    except Exception:
+                        px = None
+                if px is None:
+                    px = _decode_png_pixels(raw)
+                out["blob_id"].append(int(bid))
+                out["mime"].append(mime)
+                if px is None:
+                    for k in ("width", "height", "channels", "brightness",
+                              "contrast", "channel_means"):
+                        out[k].append(None)
+                    continue
+                h, w, c = px.shape
+                gray = px.astype(np.float64).mean(axis=2)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["channels"].append(int(c))
+                out["brightness"].append(round(float(gray.mean()) / 255.0, 6))
+                out["contrast"].append(round(float(gray.std()) / 255.0, 6))
+                out["channel_means"].append(
+                    [round(float(px[:, :, j].mean()), 4) for j in range(c)]
+                )
             yield pd.DataFrame(out)
 
     return blobs.select("blob_id", "mime", "payload").mapInPandas(

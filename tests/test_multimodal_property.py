@@ -197,3 +197,89 @@ def test_audio_features_decode_real_pcm(spark):
     assert abs(r.zero_crossing_rate - 2 * freq / rate) < 0.005
     assert abs(r.peak - amp) < 0.01
     assert rows[2].rms is None and rows[2].n_frames is None
+
+
+def _encode_png(px, filters):
+    """Minimal PNG encoder for tests: applies the REQUESTED filter id
+    per scanline (exercising each reconstruction path) and zlib-packs
+    the stream. px is (h, w, c) uint8; filters is one id per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    stream = b""
+    for y, f in zip(range(h), filters):
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # paeth
+            enc = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (cur[i] - pred) & 0xFF
+        stream += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_reconstructs_all_filters(spark):
+    """The stdlib PNG decoder must invert every filter type (0-4) on
+    random pixel data, and image_features must report the closed-form
+    brightness of a constant image."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        raw = _encode_png(px, filters)
+        got = M._decode_png_pixels(raw)
+        assert got is not None and np.array_equal(got, px), filters
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    blobs = spark.createDataFrame(
+        [(1, "image/png", bytearray(_encode_png(flat, [0] * 8))),
+         (2, "application/octet-stream", bytearray(b"junk"))],
+        "blob_id long, mime string, payload binary",
+    )
+    rows = {r.blob_id: r for r in M.image_features(blobs).collect()}
+    r = rows[1]
+    assert (r.width, r.height, r.channels) == (8, 8, 3)
+    assert abs(r.brightness - 128 / 255) < 1e-6
+    assert r.contrast == 0.0
+    assert r.channel_means == [128.0, 128.0, 128.0]
+    assert rows[2].brightness is None
