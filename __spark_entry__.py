@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq_topk": V.q_ann_ivfpq_topk,
         "q_ann_recall_report": V.q_ann_recall_report,
         "q_multimodal_decode": M.q_multimodal_decode,
+        "q_image_features": M.q_image_features,
+        "q_audio_features": M.q_audio_features,
         "q_winnowing_fingerprints": X.q_winnowing_fingerprints,
         "q_distinct": R.q_distinct,
         "q_semi_join": R.q_semi_join,

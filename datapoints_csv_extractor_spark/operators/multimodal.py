@@ -746,3 +746,137 @@ def image_features(blobs: DataFrame) -> DataFrame:
     return blobs.select("blob_id", "mime", "payload").mapInPandas(
         extract, schema
     )
+
+
+def encode_png(px) -> bytes:
+    """Minimal deterministic PNG encoder (filter 0 per scanline,
+    single IDAT) for 8-bit (h, w, c) uint8 arrays, c in {1, 2, 3, 4}.
+    Public file-format knowledge; exists so synthetic/round-trip
+    pipelines can MAKE valid PNG payloads without a media library
+    (the decoder's inverse for filter-0 streams)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    stream = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing REAL pixel decode: synthesize a deterministic
+    16x16 RGB PNG per document (pixels = sha256-expanded doc bytes),
+    run the full encode -> inflate -> unfilter -> feature path, and
+    report brightness/contrast/channel means. Rows-only (no SQL
+    engine decodes PNG), but the decode is the real codec, not a
+    stub — determinism and closed-form cases pinned in pytest."""
+    import hashlib
+
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"blob_id": [], "mime": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode()).digest()
+                buf = b"".join(
+                    hashlib.sha256(seed + bytes([i])).digest()
+                    for i in range(24)
+                )
+                px = np.frombuffer(buf[: 16 * 16 * 3], dtype=np.uint8)
+                rows["blob_id"].append(int(did))
+                rows["mime"].append("image/png")
+                rows["payload"].append(
+                    encode_png(px.reshape(16, 16, 3))
+                )
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return image_features(blobs).select(
+        "blob_id", "width", "height", "channels", "brightness", "contrast"
+    ).orderBy("blob_id")
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing REAL sample decode: synthesize a deterministic
+    PCM WAV tone per document (freq keyed by doc_id), run the full
+    RIFF -> int16 -> feature path (duration/RMS/ZCR/peak). Rows-only;
+    the closed-form feature math is pinned in pytest."""
+    import math
+    import struct
+
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 4000
+        for pdf in batches:
+            rows = {"blob_id": [], "mime": [], "payload": []}
+            for did in pdf["doc_id"]:
+                freq = 100 + int(did) % 37 * 20
+                n = rate // 4  # 250 ms
+                x = (
+                    0.5
+                    * 32767
+                    * np.sin(2 * math.pi * freq * np.arange(n) / rate)
+                ).astype("<i2")
+                data = x.tobytes()
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows["blob_id"].append(int(did))
+                rows["mime"].append("audio/wav")
+                rows["payload"].append(wav)
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return audio_features(blobs).select(
+        "blob_id", "sample_rate", "n_frames", "duration_s", "rms",
+        "zero_crossing_rate",
+    ).orderBy("blob_id")
