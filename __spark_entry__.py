@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenizer_fertility": X.q_tokenizer_fertility,
         "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_holt_forecast": A.q_holt_forecast,
+        "q_mixture_execute": C.q_mixture_execute,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2717,6 +2718,50 @@ def oracle_sql() -> dict[str, str]:
         FROM walk w JOIN counts c USING (event_type)
         WHERE w.i = c.n
         ORDER BY w.event_type
+    """
+    # Mixture execution: the plan's epochs expanded to epoch-tagged
+    # copies; fractional passes decided by the (doc, epoch) md5 coin.
+    sql["q_mixture_execute"] = r"""
+        WITH totals AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       x -> x <> ''))) AS BIGINT) AS available_tokens
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                   CAST((i % 4) * (i % 4) + 1 AS DOUBLE) AS weight
+            FROM (SELECT unnest(range(0, 20)) AS i)
+        ), calc AS (
+            SELECT t.source, t.available_tokens,
+                   CAST(round(coalesce(w.weight, 0.0) / 90.0 * 100000, 0)
+                        AS BIGINT) AS target_tokens
+            FROM totals t LEFT JOIN w USING (source)
+        ), plan AS (
+            SELECT source,
+                   round(least(
+                       round(CAST(target_tokens AS DOUBLE)
+                             / available_tokens, 4), 4.0), 4)
+                       AS epochs_planned
+            FROM calc
+        ), sized AS (
+            SELECT d.doc_id, d.source,
+                   CAST(floor(p.epochs_planned) AS INT) AS n_full,
+                   p.epochs_planned - CAST(floor(p.epochs_planned) AS INT)
+                       AS frac
+            FROM documents d JOIN plan p USING (source)
+        ), expanded AS (
+            SELECT doc_id, source, n_full, frac,
+                   CAST(unnest(range(0, n_full + 1)) AS INT) AS epoch
+            FROM sized
+        )
+        SELECT doc_id, source, epoch
+        FROM expanded
+        WHERE epoch < n_full
+           OR ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0) < frac
+        ORDER BY doc_id, epoch
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

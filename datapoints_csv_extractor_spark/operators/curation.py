@@ -1156,3 +1156,59 @@ def dsir_score_from_store(
             "keep", F.col("log_weight") >= float(min_log_weight)
         )
     return out
+
+
+def q_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the q_mixture_plan: expand each document into its
+    epoch-tagged training copies — floor(epochs) full passes plus one
+    fractional pass where the md5 coin falls under the remainder —
+    the materialization step between a mixture PLAN and a training
+    run. Deterministic end to end: the same corpus and plan yield the
+    identical multiset, and each epoch's coin is keyed by
+    (doc_id, epoch) so fractional passes sample independent subsets.
+
+    One broadcast join of the 20-row plan onto the corpus, one
+    explode of a sequence sized by the plan's epochs — shuffle-free
+    after the plan aggregate; output rows = realized corpus size."""
+    weights = {f"src{i}": float((i % 4) ** 2 + 1) for i in range(20)}
+    plan = plan_training_mixture(
+        load(spark, sf_dir, "documents"), weights, token_budget=100_000
+    ).select("source", "epochs_planned")
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    full = F.floor(F.col("epochs_planned")).cast("int")
+    frac = F.col("epochs_planned") - full
+    joined = d.join(F.broadcast(plan), "source")
+    exploded = joined.select(
+        "doc_id",
+        "source",
+        frac.alias("frac"),
+        F.explode(
+            F.sequence(F.lit(0), full)  # epochs 0..full (last = fractional)
+        ).alias("epoch"),
+        full.alias("n_full"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(float(2**32))
+    return (
+        exploded.where(
+            (F.col("epoch") < F.col("n_full")) | (coin < F.col("frac"))
+        )
+        .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )

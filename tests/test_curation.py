@@ -503,3 +503,29 @@ def test_dsir_store_matches_live_scoring(spark, tmp_path):
 
     meta = json.load(open(f"{store}/meta.json"))
     assert abs(out[0].log_weight - 4 * meta["default_log_ratio"]) < 1e-6
+
+
+def test_mixture_execute_realizes_the_plan(spark):
+    """Epoch expansion invariants: every doc appears in each full
+    epoch; the fractional epoch keeps ~frac of each source's docs;
+    realized copies track epochs_planned * n_docs per source."""
+    import datapoints_csv_extractor_spark.operators.curation as C
+
+    plan = {r.source: r for r in C.q_mixture_plan(spark, SF_DIR).collect()}
+    rows = C.q_mixture_execute(spark, SF_DIR).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    docs_per_source = 25 if "0.01" in SF_DIR else None
+    for src, rs in by_source.items():
+        p = plan[src]
+        n_docs = len({r.doc_id for r in rs})
+        full = int(p.epochs_planned)
+        # every doc present in epochs 0..full-1
+        for e in range(full):
+            assert sum(1 for r in rs if r.epoch == e) == n_docs, (src, e)
+        realized = len(rs)
+        expect = p.epochs_planned * n_docs
+        assert abs(realized - expect) <= max(3, 0.35 * n_docs), (
+            src, realized, expect,
+        )
