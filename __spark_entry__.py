@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_holt_forecast": A.q_holt_forecast,
         "q_mixture_execute": C.q_mixture_execute,
+        "q_window_distribution": R.q_window_distribution,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2762,6 +2763,25 @@ def oracle_sql() -> dict[str, str]:
                                  || CAST(epoch AS VARCHAR)), 1, 8))::BIGINT
                 + 0.5) / 4294967296.0) < frac
         ORDER BY doc_id, epoch
+    """
+    # Distribution window kit: ntile/percent_rank/cume_dist share one
+    # deterministic frame (price desc, orderkey tie-break).
+    sql["q_window_distribution"] = """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2) AS total_price,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        SELECT o_orderpriority, o_orderkey, total_price,
+               quartile, pct_rank, cume
+        FROM ranked
+        WHERE quartile = 1
+        ORDER BY o_orderpriority, o_orderkey
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

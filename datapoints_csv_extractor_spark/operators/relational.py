@@ -1516,3 +1516,28 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id", "user_id", "event_type", "ts", "value"],
     )
     return li.unionByName(ev).orderBy("table_name", "column_name")
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window kit — ntile quartiles, percent_rank,
+    cume_dist per order-priority partition over total price — the
+    remaining ANSI window functions next to rank/lag/running-sum.
+    Orders tie-break on o_orderkey so every engine cuts the quartile
+    boundaries identically; one window shuffle, all four functions
+    share the frame."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            _r(F.col("o_totalprice")).alias("total_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .where(F.col("quartile") == 1)
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
