@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holt_forecast": A.q_holt_forecast,
         "q_mixture_execute": C.q_mixture_execute,
         "q_window_distribution": R.q_window_distribution,
+        "q_lateral_topn": R.q_lateral_topn,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2782,6 +2783,20 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE quartile = 1
         ORDER BY o_orderpriority, o_orderkey
+    """
+    # LATERAL top-n: DuckDB evaluates the same correlated subquery.
+    sql["q_lateral_topn"] = """
+        SELECT c.c_nationkey, c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS total_price
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        ORDER BY c.c_nationkey, c.c_custkey, total_price DESC, t.o_orderkey
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

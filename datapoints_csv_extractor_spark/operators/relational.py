@@ -1541,3 +1541,38 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quartile") == 1)
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Correlated LATERAL top-n: for each nation's customer set, the
+    n most valuable orders via a lateral subquery (Spark 4's
+    DataFrame.lateralJoin / SQL LATERAL) — the correlated-subquery
+    physical operator the window-function form compiles away, shown
+    here as a first-class join. Functionally the per-group top-n; the
+    lateral form is what a user ports from PostgreSQL/DuckDB LATERAL
+    joins, so the engine keeps it runnable as written.
+
+    Catalyst rewrites the lateral correlation into a join +
+    row_number under the hood (DomainJoin), so the plan scales like
+    the window form rather than re-executing the subquery per row."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("lat_customer")
+    o.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_nationkey,
+               c.c_custkey,
+               t.o_orderkey,
+               round(t.o_totalprice, 2) AS total_price
+        FROM lat_customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT {int(n)}
+             ) t
+        ORDER BY c.c_nationkey, c.c_custkey, total_price DESC, t.o_orderkey
+        """
+    )
