@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_execute": C.q_mixture_execute,
         "q_window_distribution": R.q_window_distribution,
         "q_lateral_topn": R.q_lateral_topn,
+        "q_recursive_date_spine": R.q_recursive_date_spine,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2797,6 +2798,32 @@ def oracle_sql() -> dict[str, str]:
                  LIMIT 2
              ) t
         ORDER BY c.c_nationkey, c.c_custkey, total_price DESC, t.o_orderkey
+    """
+    # Recursive month spine: identical UNION ALL recursion in DuckDB;
+    # the month column is CAST to DATE on both engines (Spark's
+    # date_trunc yields timestamp, DuckDB's yields date).
+    sql["q_recursive_date_spine"] = """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM orders
+        ), spine(month) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT month + INTERVAL '1' MONTH
+            FROM spine WHERE month < (SELECT hi FROM bounds)
+        ), counts AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE)
+                       AS total_value
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(s.month AS DATE) AS month,
+               CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+               coalesce(c.total_value, 0.0) AS total_value
+        FROM spine s LEFT JOIN counts c ON s.month = c.month
+        ORDER BY s.month
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

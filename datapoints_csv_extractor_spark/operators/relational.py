@@ -1576,3 +1576,41 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
         ORDER BY c.c_nationkey, c.c_custkey, total_price DESC, t.o_orderkey
         """
     )
+
+
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE month spine (Spark 4's WITH RECURSIVE, UNION ALL
+    form) joined to order counts — the gap-free calendar rollup that
+    reports zero-order months instead of omitting them. The recursion
+    is bounded and acyclic (month+1 until the max month), the shape
+    Spark's recursion supports today; cyclic closures (UNION-distinct
+    dedup between steps) stay on the iterative DataFrame form
+    (dedup_clusters), which Spark's UNION-ALL-only recursion cannot
+    express yet — both facts pinned here on purpose."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("spine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM spine_orders
+        ), spine(month) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT month + INTERVAL '1' MONTH
+            FROM spine WHERE month < (SELECT hi FROM bounds)
+        ), counts AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice), 2) AS DOUBLE)
+                       AS total_value
+            FROM spine_orders GROUP BY 1
+        )
+        SELECT CAST(s.month AS DATE) AS month,
+               CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+               coalesce(c.total_value, 0.0) AS total_value
+        FROM spine s LEFT JOIN counts c ON s.month = c.month
+        ORDER BY s.month
+        """
+    )
