@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": R.q_window_distribution,
         "q_lateral_topn": R.q_lateral_topn,
         "q_recursive_date_spine": R.q_recursive_date_spine,
+        "q_variant_extract": R.q_variant_extract,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2824,6 +2825,14 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.total_value, 0.0) AS total_value
         FROM spine s LEFT JOIN counts c ON s.month = c.month
         ORDER BY s.month
+    """
+    # VARIANT path extraction: value-identical to plain JSON pathing.
+    sql["q_variant_extract"] = """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
+        ORDER BY event_id
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

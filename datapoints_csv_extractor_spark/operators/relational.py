@@ -1614,3 +1614,22 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.month
         """
     )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    parse each event's JSON props ONCE into a variant (a typed binary
+    encoding — repeated path extraction skips re-parsing the string,
+    the at-scale advantage over get_json_object on raw text) and pull
+    a typed path out. Values match the string-JSON oracle exactly;
+    the engine-side win is the parse-once representation."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k"),
+        )
+        .where(F.col("k") % 10 == 0)
+        .orderBy("event_id")
+    )
