@@ -815,3 +815,35 @@ def stream_holt_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked streaming session rollup on the NATIVE
+    ``F.session_window`` operator (dynamic-length merging windows; a
+    session closes once the watermark passes its end + gap): per
+    (user, session) event count, value sum, and bounds — the
+    streaming twin of the batch gaps-and-islands q_session_window,
+    with the same 30-minute gap definition. Append mode emits each
+    session exactly once at close."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window(F.col("event_time"), gap).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

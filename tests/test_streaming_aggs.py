@@ -988,3 +988,43 @@ def test_stream_holt_state_matches_batch_fold(spark, tmp_path):
     assert abs(final.level - level) < 1e-12
     assert abs(final.trend - trend) < 1e-12
     assert abs(final.forecast_h24 - (level + 24.0 * trend)) < 1e-12
+
+
+def test_stream_session_rollup_native_session_window(spark, tmp_path):
+    """Native session_window streaming: two bursts 40 min apart form
+    two sessions; a third-day watermark pusher closes both. Session
+    end = last event + gap (the session_window contract)."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_session_rollup,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+    minute = 60_000
+    day = 86_400_000
+    t0 = 1_700_000_000_000
+    _write_points(
+        spark, src,
+        [
+            ("u1", t0, 1.0),
+            ("u1", t0 + 10 * minute, 2.0),     # same session (<=30m gap)
+            ("u1", t0 + 50 * minute, 3.0),     # 40m gap -> new session
+            ("u1", t0 + 3 * day, 0.0),         # watermark pusher
+        ],
+    )
+    stream = stream_datapoints(spark, str(src)).select(
+        F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+        F.col("external_id").alias("user_id"),
+        "value",
+    )
+    rows = _drain(spark, stream_session_rollup(stream), "ss1", ckpt, "append")
+    sess = sorted(
+        (r.session_start.timestamp() * 1000, r.n_events, r.total_value)
+        for r in rows
+        if r.user_id == "u1"
+    )
+    assert len(sess) == 2
+    assert sess[0] == (t0, 2, 3.0)
+    assert sess[1] == (t0 + 50 * minute, 1, 3.0)
