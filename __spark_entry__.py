@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
         "q_fuzzy_match": R.q_fuzzy_match,
-        "q_window_rank": R.q_window_rank,
-        "q_json_extract": R.q_json_extract,
+        "q_window_distribution": R.q_window_distribution,
+        "q_variant_extract": R.q_variant_extract,
         # Temporal / OLAP analytics
         "q_time_window_rollup": A.q_time_window_rollup,
         "q_session_window": A.q_session_window,
@@ -125,10 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_holt_forecast": A.q_holt_forecast,
         "q_mixture_execute": C.q_mixture_execute,
-        "q_window_distribution": R.q_window_distribution,
+        "q_window_rank": R.q_window_rank,
         "q_lateral_topn": R.q_lateral_topn,
         "q_recursive_date_spine": R.q_recursive_date_spine,
-        "q_variant_extract": R.q_variant_extract,
+        "q_json_extract": R.q_json_extract,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
