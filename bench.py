@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_asof_join_scalable",
     "q_window_rank",
+    "q_window_distribution",
+    "q_variant_extract",
     "q_window_running_sum",
     "q_unpivot",
     "q_json_extract",
