@@ -23,6 +23,8 @@ ROWS_ONLY_ALLOWED = {
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_multimodal_decode",
+    "q_image_features",   # real PNG pixel decode — no SQL engine has the codec
+    "q_audio_features",   # real PCM sample decode — same
     "q_minhash_dedup_pipeline",
     "q_embedding_near_dup_lsh",
     "q_winnowing_near_dup",
