@@ -2554,6 +2554,9 @@ def ann_sq_topk_from_index(
     maxs_lit = F.lit(params["maxs"]).cast("array<double>")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    dead = _sq_tombstones(spark, index_dir)
+    if dead is not None:
+        codes = codes.join(F.broadcast(dead), "vec_id", "left_anti")
     if exclude_vec_id is not None:
         codes = codes.where(F.col("vec_id") != exclude_vec_id)
 
@@ -2568,3 +2571,57 @@ def ann_sq_topk_from_index(
         .orderBy(F.desc("cosine_sq"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def delete_from_sq_index(
+    spark: SparkSession, index_dir: str, vec_ids: list[int]
+) -> None:
+    """Tombstone vectors in the SQ8 store: append a deletes batch
+    (O(batch), replay-append-safe — duplicate ids fold to one row at
+    read time); the serving path anti-joins it until the next
+    ``compact_sq_index`` folds the rows out physically. Completes the
+    deletion story across all five ANN families."""
+    import os
+
+    spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id long"
+    ).repartition(1).write.mode("append").parquet(
+        os.path.join(index_dir, "deletes")
+    )
+
+
+def _sq_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    import os
+
+    d = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(d) or not any(
+        f.name.endswith(".parquet") for f in os.scandir(d)
+    ):
+        return None
+    return spark.read.parquet(d).select("vec_id").distinct()
+
+
+def compact_sq_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold tombstones out of the SQ8 codes physically (staging dir +
+    atomic swap so readers never see a half-written store) and clear
+    the deletes ledger. Returns rows removed."""
+    import os
+    import shutil
+
+    dead = _sq_tombstones(spark, index_dir)
+    if dead is None:
+        return 0
+    codes_dir = os.path.join(index_dir, "codes")
+    codes = spark.read.parquet(codes_dir)
+    before = codes.count()
+    staged = os.path.join(index_dir, "codes.staging")
+    codes.join(dead, "vec_id", "left_anti").write.mode("overwrite").parquet(
+        staged
+    )
+    old = os.path.join(index_dir, "codes.old")
+    os.rename(codes_dir, old)
+    os.rename(staged, codes_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
+    after = spark.read.parquet(codes_dir).count()
+    return before - after

@@ -46,6 +46,7 @@ def forget_documents(
     band_store: str | None = None,
     bm25_index: str | None = None,
     ivf_index: str | None = None,
+    sq_index: str | None = None,
     vec_ids=None,
     delete_id: str | None = None,
 ) -> dict:
@@ -57,7 +58,8 @@ def forget_documents(
     index store commits the tombstone batch under this id (an
     already-committed id is a per-store no-op), and the corpus
     rewrite is naturally idempotent (removing absent rows rewrites
-    nothing). Returns a ledger of what each store did.
+    nothing; the SQ8 deletes append folds to a distinct set at read).
+    Returns a ledger of what each store did.
     """
     from datapoints_csv_extractor_spark.operators.dedup import (
         delete_from_store,
@@ -103,6 +105,22 @@ def forget_documents(
         ledger["ivf_committed"] = delete_from_store(
             spark, ivf_index, vdf, delete_id=delete_id, id_col="vec_id"
         )
+    if sq_index is not None:
+        from datapoints_csv_extractor_spark.operators.similarity import (
+            delete_from_sq_index,
+        )
+
+        sq_ids = (
+            [int(r["vec_id"]) for r in vec_ids.collect()]
+            if isinstance(vec_ids, DataFrame)
+            else (
+                [int(i) for i in vec_ids]
+                if vec_ids is not None
+                else [int(r["doc_id"]) for r in ids_df.collect()]
+            )
+        )
+        delete_from_sq_index(spark, sq_index, sq_ids)
+        ledger["sq_deleted"] = len(sq_ids)
     return ledger
 
 

@@ -725,3 +725,37 @@ def test_concurrent_band_store_folds_preserve_both_ingests(spark, tmp_path):
         ).collect()
     }
     assert flagged == {10, 11}
+
+
+def test_sq8_tombstones_and_compaction(spark, tmp_path):
+    """SQ8 deletion lifecycle: a tombstoned vector vanishes from
+    serving immediately, compaction removes it physically and clears
+    the ledger, and results are unchanged for the survivors."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "sq")
+    V.build_sq_index(e, idx)
+    q = list(e.where(F.col("vec_id") == 0).first().embedding)
+
+    top = V.ann_sq_topk_from_index(spark, idx, q, exclude_vec_id=0).collect()
+    victim = top[0].vec_id
+    V.delete_from_sq_index(spark, idx, [victim])
+    after = V.ann_sq_topk_from_index(spark, idx, q, exclude_vec_id=0).collect()
+    assert victim not in {r.vec_id for r in after}
+    assert [r.vec_id for r in after[:5]] == [
+        r.vec_id for r in top if r.vec_id != victim
+    ][:5]
+
+    removed = V.compact_sq_index(spark, idx)
+    assert removed == 1
+    import os
+
+    assert not os.path.isdir(os.path.join(idx, "deletes"))
+    post = V.ann_sq_topk_from_index(spark, idx, q, exclude_vec_id=0).collect()
+    assert [r.vec_id for r in post] == [r.vec_id for r in after]
+    # replay-append-safe: deleting an already-gone id is a no-op fold
+    V.delete_from_sq_index(spark, idx, [victim])
+    assert V.compact_sq_index(spark, idx) == 0
