@@ -99,10 +99,18 @@ def _ivf(spark: SparkSession, path: str) -> tuple:
 
 
 def _sq(spark: SparkSession, path: str) -> tuple:
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        _sq_tombstones,
+    )
+
     with open(os.path.join(path, "params.json")) as fh:
         params = json.load(fh)
-    return 1, _count(spark, os.path.join(path, "codes")), 0, (
-        f"dim={len(params['mins'])}"
+    dead = _sq_tombstones(spark, path)
+    return (
+        1,
+        _count(spark, os.path.join(path, "codes")),
+        dead.count() if dead is not None else 0,
+        f"dim={len(params['mins'])}",
     )
 
 
