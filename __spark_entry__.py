@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_topn": R.q_lateral_topn,
         "q_recursive_date_spine": R.q_recursive_date_spine,
         "q_json_extract": R.q_json_extract,
+        "q_top_session_paths": A.q_top_session_paths,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2833,6 +2834,43 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
         ORDER BY event_id
+    """
+    # Top session paths: gaps-and-islands sessions -> first-4-step
+    # path strings -> exact top-k. Epochs floor to whole seconds on
+    # both engines (Spark unix_timestamp truncates; DuckDB epoch() is
+    # fractional, hence the floor).
+    sql["q_top_session_paths"] = """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT *,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+            FROM ordered
+        ), stepped AS (
+            SELECT user_id, session_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM sess
+        ), agg AS (
+            SELECT string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+            FROM stepped WHERE rn <= 4
+            GROUP BY user_id, session_id
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM agg GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 15
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

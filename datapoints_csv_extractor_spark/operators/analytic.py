@@ -1791,3 +1791,57 @@ def q_holt_forecast(
             "forecast_h24"
         ),
     ).orderBy("event_type")
+
+
+def q_top_session_paths(
+    spark: SparkSession, sf_dir: str, max_steps: int = 4, top_k: int = 15
+) -> DataFrame:
+    """Path analysis: the most common event-type sequences users walk
+    within a session (first ``max_steps`` steps, 30-minute gap
+    sessions) — the "what do people actually do" read next to the
+    funnel's "did they do THIS". Gaps-and-islands session ids (lag ->
+    flag -> running count), per-session ordered path assembled with
+    one sort-free aggregate (collect the (ts, event_id, type) structs,
+    sort_array, slice, join with '>'), then a count + exact top-k.
+    Two shuffles total (user window + path count); path strings are
+    bounded by max_steps so the count key space stays small."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.coalesce(
+                F.unix_timestamp("ts")
+                - F.lag(F.unix_timestamp("ts")).over(w)
+                > 1800,
+                F.lit(True),
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                max_steps,
+            ).alias("steps")
+        )
+        .select(F.concat_ws(">", F.col("steps")).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_k)
+    )
