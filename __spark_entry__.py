@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recursive_date_spine": R.q_recursive_date_spine,
         "q_json_extract": R.q_json_extract,
         "q_top_session_paths": A.q_top_session_paths,
+        "q_rfm_segments": R.q_rfm_segments,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2871,6 +2872,38 @@ def oracle_sql() -> dict[str, str]:
         FROM agg GROUP BY path
         ORDER BY n_sessions DESC, path
         LIMIT 15
+    """
+    # RFM quartile segmentation; same tie-breaks, same ntile cuts.
+    sql["q_rfm_segments"] = """
+        WITH anchor AS (
+            SELECT max(o_orderdate) AS mx FROM orders
+        ), per_cust AS (
+            SELECT o_custkey,
+                   datediff('day', max(o_orderdate),
+                            (SELECT mx FROM anchor)) AS days_since_last,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT o_custkey, days_since_last, n_orders, total_spend,
+                   ntile(4) OVER (ORDER BY days_since_last, o_custkey)
+                       AS r_score,
+                   ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                       AS f_score,
+                   ntile(4) OVER (ORDER BY total_spend DESC, o_custkey)
+                       AS m_score
+            FROM per_cust
+        )
+        SELECT o_custkey,
+               CAST(days_since_last AS INT) AS days_since_last,
+               n_orders, total_spend,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+        ORDER BY o_custkey
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -1633,3 +1633,57 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") % 10 == 0)
         .orderBy("event_id")
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every customer on Recency
+    (days since last order, fresher = higher), Frequency (order
+    count), and Monetary (total spend) and emit the three-digit
+    segment — the classic customer-scoring rollup. One aggregate over
+    orders + three ntile windows over the 1-row-per-customer result
+    (cheap: windows run on the aggregated table, not the fact table).
+    Ties break on c_custkey so quartile boundaries are
+    engine-identical."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias(
+                "days_since_last"
+            ),
+            "n_orders",
+            "total_spend",
+        )
+    )
+    wr = Window.orderBy(F.asc("days_since_last"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "days_since_last",
+        "n_orders",
+        "total_spend",
+        F.ntile(4).over(wr).alias("r_score"),
+        F.ntile(4).over(wf).alias("f_score"),
+        F.ntile(4).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "days_since_last",
+        "n_orders",
+        "total_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    ).orderBy("o_custkey")
