@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": R.q_json_extract,
         "q_top_session_paths": A.q_top_session_paths,
         "q_rfm_segments": R.q_rfm_segments,
+        "q_market_basket": R.q_market_basket,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2904,6 +2905,36 @@ def oracle_sql() -> dict[str, str]:
                    || CAST(m_score AS VARCHAR) AS segment
         FROM scored
         ORDER BY o_custkey
+    """
+    # Market basket: order-blocked pair counts + lift.
+    sql["q_market_basket"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+            FROM li
+        ), po AS (
+            SELECT l_partkey, count(*) AS n_orders_part
+            FROM li GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   count(*) AS n_pair_orders
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT p1, p2, n_pair_orders,
+               round(n_pair_orders / n.n_orders, 6) AS support,
+               round((n_pair_orders / n.n_orders)
+                     / ((c1.n_orders_part / n.n_orders)
+                        * (c2.n_orders_part / n.n_orders)), 4) AS lift
+        FROM pairs
+        JOIN po c1 ON c1.l_partkey = pairs.p1
+        JOIN po c2 ON c2.l_partkey = pairs.p2
+        CROSS JOIN n
+        ORDER BY n_pair_orders DESC, lift DESC, p1, p2
+        LIMIT 20
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -1687,3 +1687,70 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     ).orderBy("o_custkey")
+
+
+def q_market_basket(
+    spark: SparkSession, sf_dir: str, min_pair_orders: int = 2, top_k: int = 20
+) -> DataFrame:
+    """Market-basket association: part pairs co-appearing in the same
+    order, with support and lift — the frequent-itemset read every
+    retail OLAP deployment runs. The pair join is blocked ON THE
+    ORDER (p1 < p2 within an orderkey), so pair work is
+    sum(items_per_order^2)/2 — bounded by basket size (~4 here),
+    never the catalog's n^2; per-part order counts join in to price
+    the lift denominator. Exact counts, deterministic top-k."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_part")
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_pair_orders"))
+        .where(F.col("n_pair_orders") >= min_pair_orders)
+    )
+    lift = F.round(
+        (F.col("n_pair_orders") / F.lit(float(n_orders)))
+        / (
+            (F.col("c1") / F.lit(float(n_orders)))
+            * (F.col("c2") / F.lit(float(n_orders)))
+        ),
+        4,
+    )
+    return (
+        pairs.join(
+            part_orders.select(
+                F.col("l_partkey").alias("p1"),
+                F.col("n_orders_part").alias("c1"),
+            ),
+            "p1",
+        )
+        .join(
+            part_orders.select(
+                F.col("l_partkey").alias("p2"),
+                F.col("n_orders_part").alias("c2"),
+            ),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n_pair_orders",
+            F.round(F.col("n_pair_orders") / F.lit(float(n_orders)), 6).alias(
+                "support"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("n_pair_orders"), F.desc("lift"), "p1", "p2")
+        .limit(top_k)
+    )
