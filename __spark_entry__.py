@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_session_paths": A.q_top_session_paths,
         "q_rfm_segments": R.q_rfm_segments,
         "q_market_basket": R.q_market_basket,
+        "q_pareto_abc": R.q_pareto_abc,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2935,6 +2936,33 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN n
         ORDER BY n_pair_orders DESC, lift DESC, p1, p2
         LIMIT 20
+    """
+    # ABC/Pareto: exact centi-unit revenue, cumulative-share-before
+    # classification at 80/95.
+    sql["q_pareto_abc"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                       * 100.0, 0) AS BIGINT)) AS BIGINT)
+                       AS rev_c
+            FROM lineitem GROUP BY l_partkey
+        ), walked AS (
+            SELECT l_partkey, rev_c,
+                   CAST(coalesce(sum(rev_c) OVER (
+                       ORDER BY rev_c DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before,
+                   CAST(sum(rev_c) OVER () AS BIGINT) AS total
+            FROM per_part
+        )
+        SELECT l_partkey,
+               round(rev_c / 100.0, 2) AS revenue,
+               round(cum_before * 1.0 / total, 6) AS cum_share_before,
+               CASE WHEN cum_before * 1.0 / total < 0.80 THEN 'A'
+                    WHEN cum_before * 1.0 / total < 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM walked
+        ORDER BY revenue DESC, l_partkey
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

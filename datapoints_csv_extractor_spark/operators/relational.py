@@ -1754,3 +1754,49 @@ def q_market_basket(
         .orderBy(F.desc("n_pair_orders"), F.desc("lift"), "p1", "p2")
         .limit(top_k)
     )
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: rank parts by revenue, walk the
+    cumulative revenue share, and class A/B/C at the 80% / 95% cuts —
+    the inventory-prioritization rollup. One aggregate over lineitem
+    (revenue = extendedprice * (1 - discount), exact cents via
+    centi-unit rounding before the cumulative walk so the running
+    share is engine-exact), one window over the parts table. The
+    global-order window is fine here because parts is a DIMENSION
+    (the walk runs over one row per part, not the fact table); a
+    fact-sized cumulative walk would use the two-phase
+    chunk-prefix-sum form (see q_asof_join_scalable).
+    Boundary rule: a part is A while the cumulative share BEFORE
+    adding it is < 0.80 (the first part over the line still counts A
+    — standard Pareto bucketing), likewise for B at 0.95."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev_cents = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0, 0
+        ).cast("long")
+    )
+    per_part = li.groupBy("l_partkey").agg(rev_cents.alias("rev_c"))
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+    total = Window.partitionBy()
+    cum_before = F.coalesce(
+        F.sum("rev_c").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    share_before = cum_before / F.sum("rev_c").over(total)
+    return (
+        per_part.select(
+            "l_partkey",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(share_before, 6).alias("cum_share_before"),
+            F.when(share_before < 0.80, "A")
+            .when(share_before < 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+    )
