@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "q_synthetic_datapoints",
     "q_funnel_stages",
     "q_cohort_retention",
+    "q_top_session_paths",
+    "q_rfm_segments",
+    "q_market_basket",
+    "q_pareto_abc",
     "q_sliding_window_rollup",
     "q_sliding_window_rollup_two_level",
     "q_time_weighted_aggregates_hourly",
