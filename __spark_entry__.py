@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datapoints_csv_extractor_spark.operators import analytic as A
 from datapoints_csv_extractor_spark.operators import curation as C
 from datapoints_csv_extractor_spark.operators import dedup as D
+from datapoints_csv_extractor_spark.operators import graph as G
 from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
 from datapoints_csv_extractor_spark.operators import similarity as V
@@ -133,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": R.q_rfm_segments,
         "q_market_basket": R.q_market_basket,
         "q_pareto_abc": R.q_pareto_abc,
+        "q_graph_degree_histogram": G.q_graph_degree_histogram,
+        "q_triangle_count": G.q_triangle_count,
+        "q_pagerank": G.q_pagerank,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -2963,6 +2967,73 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'C' END AS abc_class
         FROM walked
         ORDER BY revenue DESC, l_partkey
+    """
+    # Graph family: the co-purchase edge build is shared CTE text in
+    # both oracles (order-blocked pair join, never a part cartesian).
+    sql["q_graph_degree_histogram"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT p1 AS node FROM edges
+                  UNION ALL SELECT p2 FROM edges)
+            GROUP BY node
+        )
+        SELECT degree, count(*) AS n_nodes
+        FROM deg GROUP BY degree
+        ORDER BY degree
+    """
+    # Degree-ordered triangle census (Suri-Vassilvitskii orientation):
+    # every intermediate is BIGINT; the coefficient is one double
+    # expression evaluated identically on both engines.
+    sql["q_triangle_count"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT p1 AS node FROM edges
+                  UNION ALL SELECT p2 FROM edges)
+            GROUP BY node
+        ), orient AS (
+            SELECT CASE WHEN (da.degree, e.p1) < (db.degree, e.p2)
+                        THEN e.p1 ELSE e.p2 END AS u,
+                   CASE WHEN (da.degree, e.p1) < (db.degree, e.p2)
+                        THEN e.p2 ELSE e.p1 END AS v
+            FROM edges e
+            JOIN deg da ON da.node = e.p1
+            JOIN deg db ON db.node = e.p2
+        ), wedge AS (
+            SELECT least(o1.v, o2.v) AS p1, greatest(o1.v, o2.v) AS p2
+            FROM orient o1
+            JOIN orient o2 ON o1.u = o2.u AND o1.v < o2.v
+        ), tri AS (
+            SELECT count(*) AS n_triangles
+            FROM wedge w
+            JOIN edges e ON e.p1 = w.p1 AND e.p2 = w.p2
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(degree * (degree - 1) / 2) AS BIGINT)
+                       AS n_wedges
+            FROM deg
+        )
+        SELECT s.n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               s.n_wedges,
+               t.n_triangles,
+               round(3.0 * CAST(t.n_triangles AS DOUBLE)
+                     / CAST(s.n_wedges AS DOUBLE), 6)
+                   AS clustering_coefficient
+        FROM stats s, tri t
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

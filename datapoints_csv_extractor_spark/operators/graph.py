@@ -1,0 +1,231 @@
+"""Graph analytics over relation-derived edge sets.
+
+The reference (cognitedata/datapoints-csv-extractor) has no graph
+surface; this module adds the standard distributed graph reads an
+analytics engine layers over its relational core, all built from the
+co-purchase graph the market-basket operator already prices
+(`relational.q_market_basket`): parts are nodes, an edge connects two
+parts that co-appear in at least one order.
+
+Scale discipline (the whole point of a graph module on Spark):
+
+- The edge build is blocked ON THE ORDER (p1 < p2 within an
+  orderkey) — pair work is sum(basket_size^2)/2, bounded by basket
+  size, never the part catalog's n^2.
+- Triangle counting uses the degree-ordered node-iterator
+  (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+  Last Reducer", WWW'11): orient every edge from its (degree, id)-
+  smaller endpoint to the larger, so each node's out-degree is
+  O(sqrt(m)) and the wedge join is sum(out_deg^2) <= O(m^1.5) —
+  the worst reducer is bounded even on power-law degree
+  distributions. Wedges probe the edge set with an equijoin on the
+  canonical (min, max) pair; there is no cartesian anywhere.
+- PageRank is the classic rank/edge equijoin + groupBy-sum per
+  iteration with lineage truncated by localCheckpoint (the same
+  discipline as dedup_clusters_twostar); edges are cached once and
+  reused across iterations. Driver-side state is a handful of
+  scalars — ranks never leave the cluster.
+
+``q_graph_degree_histogram`` and ``q_triangle_count`` are exact
+integer computations and DuckDB-oracle-matched; ``q_pagerank`` is
+iterative float (rows-only), pinned against a pure-Python/numpy
+replica in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+
+
+def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (p1 < p2 canonical), one row per
+    part pair that shares at least one order. Distinct-first keeps a
+    part ordered twice in one order from manufacturing a self-pair;
+    the within-order self-join is basket-size-bounded."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of an undirected (p1 < p2) edge list."""
+    ends = edges.select(F.col("p1").alias("node")).unionAll(
+        edges.select(F.col("p2").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def q_graph_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many nodes
+    hold each degree. The read that tells you whether the graph is
+    power-law (hub-guard territory) or flat before you run anything
+    quadratic-prone on it. Two hash aggregates, no joins."""
+    edges = co_order_edges(spark, sf_dir)
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected (p1 < p2) edge list:
+    nodes, edges, wedges (open two-paths through a center),
+    triangles, and the global clustering coefficient 3T / wedges.
+
+    Degree-ordered orientation (ties broken by node id) makes the
+    wedge enumeration's worst key O(sqrt(m)) wide; each triangle is
+    counted exactly once because its three vertices have exactly one
+    (degree, id)-smallest member with out-edges to the other two.
+    The wedge -> edge probe is an equijoin on the canonical pair, so
+    the whole plan is three shuffles (degree agg, wedge self-join,
+    probe join) over edge-bounded data. The edge subplan appears
+    three times (degrees, orientation, probe) and is deduplicated by
+    Spark's ReusedExchange — fully lazy, no cache bookkeeping."""
+    deg = degrees(edges)
+
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", "p1"), "p1")
+        .withColumnRenamed("degree", "d1")
+        .join(deg.withColumnRenamed("node", "p2"), "p2")
+        .withColumnRenamed("degree", "d2")
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+        F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+    )
+
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+        .where(F.col("o1.v") < F.col("o2.v"))
+        .select(
+            F.least(F.col("o1.v"), F.col("o2.v")).alias("p1"),
+            F.greatest(F.col("o1.v"), F.col("o2.v")).alias("p2"),
+        )
+    )
+    tri = wedges.join(edges, ["p1", "p2"], "inner").agg(
+        F.count("*").alias("n_triangles")
+    )
+
+    # Open wedge count from degrees alone: sum of C(deg, 2) per node.
+    stats = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(
+                (F.col("degree") * (F.col("degree") - F.lit(1))) / F.lit(2)
+            )
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering_coefficient"),
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (see triangle_census
+    for the degree-ordered plan discipline)."""
+    return triangle_census(co_order_edges(spark, sf_dir))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected (p1 < p2) edge list, treated as a
+    symmetric directed graph. Returns (node, rank) with ranks summing
+    to ~1. Every node in the edge list has degree >= 1 by
+    construction, so there are no dangling nodes and no rank leak.
+
+    Per iteration: one equijoin (ranks x out-edges on src) and one
+    groupBy-sum on dst — the minimal two-shuffle PageRank step.
+    localCheckpoint every few rounds truncates the lineage so the
+    plan does not grow with the iteration count (the
+    dedup_clusters_twostar discipline)."""
+    directed = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    out_deg = directed.groupBy("src").agg(F.count("*").alias("out_deg"))
+    adj = directed.join(out_deg, "src").cache()
+
+    nodes = adj.select(F.col("src").alias("node")).distinct().cache()
+    n = nodes.count()
+    base = float(repr((1.0 - damping) / n))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = contribs.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def q_pagerank(
+    spark: SparkSession, sf_dir: str, top_k: int = 50
+) -> DataFrame:
+    """Top-k parts by PageRank in the co-purchase graph (damping
+    0.85, 10 fixed iterations) — 'centrality' ranking where raw
+    degree over-credits parts that co-occur only inside a few giant
+    baskets. Rows-only (iterative float summation has no
+    order-stable SQL twin); pinned against a numpy replica in
+    pytest, rounded to 6 so executor summation order cannot flip
+    the displayed rank."""
+    edges = co_order_edges(spark, sf_dir)
+    ranks = pagerank(edges)
+    return (
+        ranks.select(
+            F.col("node").alias("l_partkey"),
+            F.round("rank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), "l_partkey")
+        .limit(top_k)
+    )

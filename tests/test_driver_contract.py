@@ -45,6 +45,7 @@ ROWS_ONLY_ALLOWED = {
     "q_rolling_distinct_hll",  # same HLL sketch lineage, rolling form
     "q_compression_ratio",  # zlib has no SQL twin; Arrow map stage
     "q_audience_overlap_hll",  # HLL sketch arithmetic, no SQL twin
+    "q_pagerank",  # iterative float ranks; numpy-parity-pinned in pytest
 }
 
 

@@ -1,0 +1,100 @@
+"""Graph-family tests: triangle census on a hand-checkable graph,
+PageRank vs a dense numpy replica, degree histogram consistency.
+
+The oracle gate already pins q_graph_degree_histogram and
+q_triangle_count value-exactly against DuckDB at sf0.01; these tests
+pin the ALGORITHMS on graphs small enough to verify by hand, and the
+iterative path (q_pagerank, rows-only at the driver) against an
+independent dense-matrix implementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapoints_csv_extractor_spark.operators import graph as G
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "p1 long, p2 long"
+    )
+
+
+def test_triangle_census_on_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant path 4-5-6
+    # (0 triangles) and an isolated edge 7-8.
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (7, 8),
+    ]
+    row = G.triangle_census(_edges_df(spark, pairs)).collect()[0]
+    assert row.n_nodes == 8
+    assert row.n_edges == 9
+    assert row.n_triangles == 4
+    # Wedges: deg = {1:3, 2:3, 3:3, 4:4, 5:2, 6:1, 7:1, 8:1}
+    # sum C(d,2) = 3+3+3+6+1+0+0+0 = 16
+    assert row.n_wedges == 16
+    assert row.clustering_coefficient == pytest.approx(12 / 16, abs=1e-6)
+
+
+def test_triangle_census_counts_each_triangle_once_under_ties(spark):
+    # A triangle with all-equal degrees: orientation must fall back
+    # to the id tie-break and still count exactly one triangle.
+    row = G.triangle_census(
+        _edges_df(spark, [(10, 20), (20, 30), (10, 30)])
+    ).collect()[0]
+    assert row.n_triangles == 1
+    assert row.clustering_coefficient == pytest.approx(1.0, abs=1e-6)
+
+
+def test_degree_histogram_mass_matches_edge_count(spark):
+    # sum(degree * n_nodes) == 2 * |E| on the real testdata graph.
+    hist = G.q_graph_degree_histogram(spark, SF).collect()
+    n_edges = G.co_order_edges(spark, SF).count()
+    assert sum(r.degree * r.n_nodes for r in hist) == 2 * n_edges
+
+
+def test_pagerank_matches_numpy_replica(spark):
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (7, 8),
+    ]
+    got = {
+        r.node: r.rank
+        for r in G.pagerank(_edges_df(spark, pairs)).collect()
+    }
+
+    import numpy as np
+
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    out_deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = adj.T @ (r / out_deg)
+        r = (1.0 - 0.85) / n + 0.85 * contrib
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], rel=1e-9), node
+    # Symmetric structure: {1,2,3} are automorphic, so equal-ranked.
+    assert got[1] == pytest.approx(got[2], rel=1e-12)
+    assert got[2] == pytest.approx(got[3], rel=1e-12)
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    ranks = G.pagerank(G.co_order_edges(spark, SF))
+    total = ranks.groupBy().sum("rank").collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_q_pagerank_is_deterministic_across_runs(spark):
+    a = [tuple(r) for r in G.q_pagerank(spark, SF, top_k=20).collect()]
+    b = [tuple(r) for r in G.q_pagerank(spark, SF, top_k=20).collect()]
+    assert a == b

@@ -215,6 +215,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_audience_overlap_hll",  # types-row sketch table x itself
         "q_dsir_importance_sample",  # 1-row gram-total aggregate broadcast
         "q_rfm_segments",  # 1-row max-orderdate anchor broadcast
+        "q_triangle_count",  # 1-row census aggregates cross-assembled
     }
 
     offenders = {}
