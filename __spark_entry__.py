@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_degree_histogram": G.q_graph_degree_histogram,
         "q_triangle_count": G.q_triangle_count,
         "q_pagerank": G.q_pagerank,
+        "q_cusum_changepoint": A.q_cusum_changepoint,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -3034,6 +3035,75 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(s.n_wedges AS DOUBLE), 6)
                    AS clustering_coefficient
         FROM stats s, tri t
+    """
+    # CUSUM fold replay: the recursive CTE walks the identical
+    # greatest/reset arithmetic in the identical order (the Holt
+    # pattern), with the mean entering from exact centi-unit sums —
+    # bit-exact across engines, alarms and all.
+    sql["q_cusum_changepoint"] = """
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS INT)
+                       AS rn
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_c
+            FROM events GROUP BY event_type
+        ), m AS (
+            SELECT event_type, n,
+                   CAST(sum_c AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+                       AS mean
+            FROM stats
+        ), walk AS (
+            SELECT event_type, mean, n,
+                   CAST(0 AS INT) AS i,
+                   CAST(0.0 AS DOUBLE) AS sp,
+                   CAST(0.0 AS DOUBLE) AS sn,
+                   CAST(0 AS BIGINT) AS n_alarms,
+                   CAST(0 AS BIGINT) AS first_alarm,
+                   CAST(0.0 AS DOUBLE) AS max_sp,
+                   CAST(0.0 AS DOUBLE) AS max_sn
+            FROM m
+            UNION ALL
+            SELECT w.event_type, w.mean, w.n, o.rn,
+                   CASE WHEN greatest(0.0, w.sp + (o.v - w.mean) - 25.0) > 200.0
+                          OR greatest(0.0, w.sn + (w.mean - o.v) - 25.0) > 200.0
+                        THEN 0.0
+                        ELSE greatest(0.0, w.sp + (o.v - w.mean) - 25.0) END,
+                   CASE WHEN greatest(0.0, w.sp + (o.v - w.mean) - 25.0) > 200.0
+                          OR greatest(0.0, w.sn + (w.mean - o.v) - 25.0) > 200.0
+                        THEN 0.0
+                        ELSE greatest(0.0, w.sn + (w.mean - o.v) - 25.0) END,
+                   w.n_alarms
+                     + CASE WHEN greatest(0.0, w.sp + (o.v - w.mean) - 25.0) > 200.0
+                              OR greatest(0.0, w.sn + (w.mean - o.v) - 25.0) > 200.0
+                            THEN 1 ELSE 0 END,
+                   CASE WHEN (greatest(0.0, w.sp + (o.v - w.mean) - 25.0) > 200.0
+                              OR greatest(0.0, w.sn + (w.mean - o.v) - 25.0) > 200.0)
+                             AND w.first_alarm = 0
+                        THEN o.rn ELSE w.first_alarm END,
+                   greatest(w.max_sp,
+                            greatest(0.0, w.sp + (o.v - w.mean) - 25.0)),
+                   greatest(w.max_sn,
+                            greatest(0.0, w.sn + (w.mean - o.v) - 25.0))
+            FROM walk w
+            JOIN ordered o
+              ON o.event_type = w.event_type AND o.rn = w.i + 1
+        )
+        SELECT event_type,
+               n AS n_points,
+               round(mean, 4) AS mean_value,
+               CAST(n_alarms AS BIGINT) AS n_alarms,
+               CAST(first_alarm AS BIGINT) AS first_alarm_i,
+               round(max_sp, 4) AS max_cusum_pos,
+               round(max_sn, 4) AS max_cusum_neg
+        FROM walk
+        WHERE i = n
+        ORDER BY event_type
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

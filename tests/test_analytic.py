@@ -784,3 +784,85 @@ def test_holt_forecast_matches_python_replica(spark):
         assert abs(r.level - round(level, 4)) < 1e-9, et
         assert abs(r.trend - round(trend, 6)) < 1e-9, et
         assert abs(r.forecast_h24 - round(level + 24.0 * trend, 4)) < 1e-9
+
+
+def test_cusum_changepoint_matches_python_replica(spark):
+    """The CUSUM fold must replay the two-sided Page recurrence with
+    alarm reset exactly (slack k=25, threshold h=200, mean from exact
+    centi-unit sums)."""
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_cusum_changepoint,
+    )
+
+    rows = {
+        r.event_type: r for r in q_cusum_changepoint(spark, SF).collect()
+    }
+    ev = sorted(
+        (r.event_type, r.ts, r.event_id, float(r.value))
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    series: dict = {}
+    for et, _ts, _eid, v in ev:
+        series.setdefault(et, []).append(v)
+    assert set(rows) == set(series)
+    for et, vals in series.items():
+        mean = (
+            sum(int(math.floor(v * 100.0 + 0.5)) for v in vals)
+            / 100.0
+            / len(vals)
+        )
+        sp = sn = msp = msn = 0.0
+        alarms, first = 0, 0
+        for i, x in enumerate(vals):
+            sp = max(0.0, sp + (x - mean) - 25.0)
+            sn = max(0.0, sn + (mean - x) - 25.0)
+            msp, msn = max(msp, sp), max(msn, sn)
+            if sp > 200.0 or sn > 200.0:
+                alarms += 1
+                if first == 0:
+                    first = i + 1
+                sp = sn = 0.0
+        r = rows[et]
+        assert r.n_points == len(vals)
+        assert r.n_alarms == alarms, et
+        assert r.first_alarm_i == first, et
+        assert abs(r.mean_value - round(mean, 4)) < 1e-9
+        assert abs(r.max_cusum_pos - round(msp, 4)) < 1e-9
+        assert abs(r.max_cusum_neg - round(msn, 4)) < 1e-9
+
+
+def test_cusum_fires_on_planted_level_shift(spark):
+    """A flat series with a mid-stream level shift must alarm shortly
+    after the shift and never before it."""
+    from datetime import datetime, timedelta
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_cusum_changepoint,
+    )
+    import tempfile
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "flat",
+         50.0 if i < 100 else 120.0, "{}")
+        for i in range(200)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        out = q_cusum_changepoint(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # The global mean splits the difference (~85), so the LOW segment
+    # drifts the negative accumulator at ~10/step: first alarm near
+    # step 20. The HIGH segment then drives the positive side past h
+    # — both tails must fire on a genuine level shift.
+    assert r.n_alarms >= 2
+    assert 15 <= r.first_alarm_i <= 30
+    assert r.max_cusum_pos > 200.0
+    assert r.max_cusum_neg > 200.0
