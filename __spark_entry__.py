@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_count": G.q_triangle_count,
         "q_pagerank": G.q_pagerank,
         "q_cusum_changepoint": A.q_cusum_changepoint,
+        "q_attribution_credit": A.q_attribution_credit,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -3104,6 +3105,51 @@ def oracle_sql() -> dict[str, str]:
         FROM walk
         WHERE i = n
         ORDER BY event_type
+    """
+    # Attribution: linear credit folds as exact integer micro-credits
+    # (floor(1e6/n)) so reduction order cannot move the hash.
+    sql["q_attribution_credit"] = """
+        WITH conv AS (
+            SELECT user_id, event_id AS conv_id, ts AS conv_ts
+            FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+                   event_type AS channel
+            FROM events WHERE event_type IN ('click', 'view')
+        ), j AS (
+            SELECT c.conv_id, t.touch_id, t.touch_ts, t.channel
+            FROM touch t
+            JOIN conv c
+              ON t.user_id = c.user_id
+             AND t.touch_ts < c.conv_ts
+             AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+        ), scored AS (
+            SELECT channel, conv_id,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY touch_ts, touch_id)
+                       AS rn_first,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY touch_ts DESC,
+                                               touch_id DESC)
+                       AS rn_last,
+                   count(*) OVER (PARTITION BY conv_id)
+                       AS n_touches_conv
+            FROM j
+        )
+        SELECT channel,
+               count(*) AS n_touches,
+               count(DISTINCT conv_id) AS n_conversions,
+               CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS first_touch,
+               CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS last_touch,
+               round(CAST(sum(CAST(floor(
+                         1000000.0 / CAST(n_touches_conv AS DOUBLE))
+                     AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+                   AS linear_credit
+        FROM scored
+        GROUP BY channel
+        ORDER BY channel
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

@@ -1886,6 +1886,87 @@ def q_cusum_changepoint(
     ).orderBy("event_type")
 
 
+def q_attribution_credit(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Multi-touch marketing attribution: for every 'purchase'
+    conversion, the user's click/view touches in the preceding
+    ``lookback_days`` earn credit under three standard models —
+    first-touch (1.0 to the earliest touch), last-touch (1.0 to the
+    latest), and linear (1/n to each) — aggregated per channel.
+
+    The touch-conversion join is blocked ON THE USER (equijoin on
+    user_id + a time-range predicate), so pair work is bounded by
+    per-user activity, never events^2; per-conversion ordering is one
+    window over the conversion key. Linear credit is folded as exact
+    integer MICRO-credits (floor(1e6/n) per touch) so both engines
+    sum identically regardless of reduction order — the one float
+    division happens once, after the exact sum. Conversions with no
+    in-window touch earn no credit (inner join, documented)."""
+    e = load(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = touch.join(
+        conv,
+        (touch["user_id"] == conv["user_id"])
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        ),
+    ).select("conv_id", "touch_id", "touch_ts", "channel")
+    w = Window.partitionBy("conv_id")
+    wf = w.orderBy("touch_ts", "touch_id")
+    wl = w.orderBy(F.desc("touch_ts"), F.desc("touch_id"))
+    scored = j.select(
+        "channel",
+        "conv_id",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(w).alias("n_touches_conv"),
+    )
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum((F.col("rn_first") == 1).cast("long")).alias(
+                "first_touch"
+            ),
+            F.sum((F.col("rn_last") == 1).cast("long")).alias(
+                "last_touch"
+            ),
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0) / F.col("n_touches_conv").cast("double")
+                ).cast("long")
+            ).alias("linear_micro"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "n_conversions",
+            "first_touch",
+            "last_touch",
+            F.round(
+                F.col("linear_micro").cast("double") / F.lit(1000000.0), 4
+            ).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
 def q_top_session_paths(
     spark: SparkSession, sf_dir: str, max_steps: int = 4, top_k: int = 15
 ) -> DataFrame:

@@ -866,3 +866,63 @@ def test_cusum_fires_on_planted_level_shift(spark):
     assert 15 <= r.first_alarm_i <= 30
     assert r.max_cusum_pos > 200.0
     assert r.max_cusum_neg > 200.0
+
+
+def test_attribution_credit_invariants(spark):
+    """Each touched conversion hands out exactly one first-touch and
+    one last-touch credit, and linear credit totals the touched
+    conversion count up to the documented floor(1e6/n) bias."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_attribution_credit,
+    )
+
+    rows = q_attribution_credit(spark, SF).collect()
+    assert rows, "no attribution rows at sf0.001"
+    total_first = sum(r.first_touch for r in rows)
+    total_last = sum(r.last_touch for r in rows)
+    assert total_first == total_last
+    total_linear = sum(r.linear_credit for r in rows)
+    # floor bias removes < n/1e6 per conversion — far below 1%.
+    assert total_first * 0.99 <= total_linear <= total_first + 1e-6
+
+
+def test_attribution_credit_planted_scenario(spark):
+    """Hand-built journey: user 1 touches click(t1), view(t2),
+    click(t3) then purchases; user 2 views once outside the 7-day
+    lookback (no credit)."""
+    from datetime import datetime, timedelta
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_attribution_credit,
+    )
+
+    t0 = datetime(2024, 6, 10, 12, 0)
+    rows = [
+        (1, t0 + timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(hours=2), 1, "view", 1.0, "{}"),
+        (3, t0 + timedelta(hours=3), 1, "click", 1.0, "{}"),
+        (4, t0 + timedelta(hours=4), 1, "purchase", 9.0, "{}"),
+        (5, t0 - timedelta(days=9), 2, "view", 1.0, "{}"),
+        (6, t0, 2, "purchase", 5.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        got = {
+            r.channel: r
+            for r in q_attribution_credit(spark, d).collect()
+        }
+    assert set(got) == {"click", "view"}
+    # click is both first (t1) and last (t3) touch; view is neither.
+    assert got["click"].first_touch == 1
+    assert got["click"].last_touch == 1
+    assert got["view"].first_touch == 0
+    assert got["view"].last_touch == 0
+    assert got["click"].linear_credit == round(2 * 333333 / 1e6, 4)
+    assert got["view"].linear_credit == round(333333 / 1e6, 4)
+    # user 2's stale view earns nothing anywhere.
+    assert got["view"].n_conversions == 1
