@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": G.q_pagerank,
         "q_cusum_changepoint": A.q_cusum_changepoint,
         "q_attribution_credit": A.q_attribution_credit,
+        "q_rp_project": V.q_rp_project,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -3151,6 +3152,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY channel
         ORDER BY channel
     """
+    # JL random projection: the +-1 matrix is md5-derived from the
+    # seed on BOTH engines; the SQL twin is generated from the same
+    # sign matrix with the same left-assoc chain order (bit-exact).
+    sql["q_rp_project"] = V.rp_oracle_sql()
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """
         WITH li AS (

@@ -2625,3 +2625,117 @@ def compact_sq_index(spark: SparkSession, index_dir: str) -> int:
     shutil.rmtree(os.path.join(index_dir, "deletes"), ignore_errors=True)
     after = spark.read.parquet(codes_dir).count()
     return before - after
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: the DIMENSION axis of
+# embedding compression, next to SQ8 (precision), PQ (codebook), and
+# IVF (candidate pruning). Signs come from md5 over (seed, i, j) —
+# public, engine-independent determinism — so the projection itself
+# is expressible in ANSI SQL and the query is oracle-EXACT, unlike
+# trained codebooks. Achlioptas (2003) shows +-1 entries satisfy the
+# JL lemma with the same distortion bound as Gaussian matrices.
+# ---------------------------------------------------------------------------
+
+
+def rp_signs(
+    d_in: int = 64, d_out: int = 16, seed: str = "rp-v1"
+) -> list[list[float]]:
+    """Deterministic +-1 projection matrix (d_in x d_out): sign(i, j)
+    is the top bit of md5(f"{seed}:{i}:{j}"). Parameter-sized and
+    recomputable anywhere — the matrix never ships, only the seed."""
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """Append ``rp``: the d_out-dim projection of ``vec_col`` scaled
+    by 1/sqrt(d_out). Each output dim is one explicit left-assoc
+    double chain over the raw scan column (element_at on a stored
+    array is capture-safe — the CollapseProject trap needs a COMPUTED
+    array), fully inside whole-stage codegen; zero Python, zero
+    shuffle, and the identical chain is emitted as SQL text for the
+    oracle twin."""
+    import math
+
+    signs = rp_signs(d_in, d_out, seed)
+    scale = float(repr(1.0 / math.sqrt(float(d_out))))
+    dims = []
+    for j in range(d_out):
+        acc = None
+        for i in range(d_in):
+            term = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(
+                signs[i][j]
+            )
+            acc = term if acc is None else acc + term
+        dims.append((acc * F.lit(scale)).alias(f"rp_{j}"))
+    return df.withColumn("rp", F.array(*dims))
+
+
+def q_rp_project(
+    spark: SparkSession,
+    sf_dir: str,
+    d_out: int = 16,
+    seed: str = "rp-v1",
+) -> DataFrame:
+    """JL projection of every embedding to 16 dims in long form
+    (vec_id, dim, value) — 4x memory reduction with JL-bounded
+    distance distortion, oracle-exact because the +-1 matrix is
+    md5-derived on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    proj = rp_project(e, d_out=d_out, seed=seed)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim"),
+                F.round(F.element_at(F.col("rp"), j + 1), 6).alias("value"),
+            )
+            for j in range(d_out)
+        ]
+    )
+    return (
+        proj.select("vec_id", F.explode(pairs).alias("p"))
+        .select("vec_id", F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+def rp_oracle_sql(
+    d_in: int = 64, d_out: int = 16, seed: str = "rp-v1"
+) -> str:
+    """DuckDB twin of q_rp_project, generated from the SAME sign
+    matrix and the same left-assoc term order so the double chains
+    are bit-identical."""
+    import math
+
+    signs = rp_signs(d_in, d_out, seed)
+    scale = repr(1.0 / math.sqrt(float(d_out)))
+    branches = []
+    for j in range(d_out):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[i][j]!r}"
+            for i in range(d_in)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({j} AS INT) AS dim, "
+            f"round(({chain}) * {scale}, 6) AS value FROM embeddings"
+        )
+    return (
+        " UNION ALL ".join(branches) + " ORDER BY vec_id, dim"
+    )
