@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum_changepoint": A.q_cusum_changepoint,
         "q_attribution_credit": A.q_attribution_credit,
         "q_rp_project": V.q_rp_project,
+        "q_holt_winters": A.q_holt_winters,
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
@@ -3156,6 +3157,9 @@ def oracle_sql() -> dict[str, str]:
     # seed on BOTH engines; the SQL twin is generated from the same
     # sign matrix with the same left-assoc chain order (bit-exact).
     sql["q_rp_project"] = V.rp_oracle_sql()
+    # Holt-Winters: recursive-CTE replay with the 24-slot seasonal
+    # vector as walk columns, generated from the same parameters.
+    sql["q_holt_winters"] = A.holt_winters_oracle_sql()
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """
         WITH li AS (

@@ -1793,6 +1793,179 @@ def q_holt_forecast(
     ).orderBy("event_type")
 
 
+def q_holt_winters(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per
+    series, seasonality indexed by HOUR OF DAY (m=24) so irregular
+    sampling lands each observation in its true seasonal slot. The
+    whole recurrence — level, trend, and the 24-slot seasonal state —
+    runs as ONE JVM ``F.aggregate`` fold over the per-series ordered
+    (v, hour) array: the q_holt_forecast pattern with the seasonal
+    vector riding in the accumulator struct and updated by an indexed
+    ``F.transform`` (O(m) per step, m=24).
+
+    Initialization is deterministic and engine-neutral: level seeds
+    from the first observation, trend 0, seasonal all-zero (the
+    generic seasonal update then stays 0 on the first step). The
+    DuckDB oracle replays the identical arithmetic with the seasonal
+    vector as 24 recursive-CTE columns — generated from the same
+    parameters by ``holt_winters_oracle_sql`` so every double chain
+    matches bit for bit. Output: the final seasonal profile in long
+    form plus the final level/trend per series."""
+    e = load(spark, sf_dir, "events")
+    pts = e.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("value").cast("double").alias("v"),
+                    F.hour("ts").alias("h"),
+                )
+            )
+        ).alias("pts")
+    )
+    a, b, g = float(alpha), float(beta), float(gamma)
+    om_a = float(repr(1.0 - alpha))
+    om_b = float(repr(1.0 - beta))
+    om_g = float(repr(1.0 - gamma))
+    acc0 = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.array_repeat(F.lit(0.0), 24).alias("seasonal"),
+        F.lit(0).cast("long").alias("i"),
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        elem = F.element_at(acc["seasonal"], (x["h"] + 1).cast("int"))
+        lvl = F.when(first, x["v"]).otherwise(
+            a * (x["v"] - elem) + om_a * (acc["level"] + acc["trend"])
+        )
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            b * (lvl - acc["level"]) + om_b * acc["trend"]
+        )
+        snew = F.when(first, F.lit(0.0)).otherwise(
+            g * (x["v"] - lvl) + om_g * elem
+        )
+        seasonal = F.transform(
+            acc["seasonal"],
+            lambda s, j: F.when(j == x["h"], snew).otherwise(s),
+        )
+        return F.struct(
+            lvl.alias("level"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    fin = F.aggregate(F.col("pts"), acc0, step)
+    hours = F.array(*[F.lit(h) for h in range(24)])
+    return (
+        pts.select(
+            "event_type",
+            F.size("pts").alias("n_points"),
+            F.round(fin["level"], 4).alias("level"),
+            F.round(fin["trend"], 6).alias("trend"),
+            fin["seasonal"].alias("seasonal"),
+            F.explode(hours).alias("hour"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.round(
+                F.element_at(F.col("seasonal"), F.col("hour") + 1), 4
+            ).alias("seasonal_index"),
+            "n_points",
+            "level",
+            "trend",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def holt_winters_oracle_sql(
+    alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2
+) -> str:
+    """DuckDB recursive-CTE twin of q_holt_winters, generated from
+    the same smoothing parameters. The seasonal vector is 24 walk
+    columns; nested derived tables compute elem -> lvl once per step
+    so every reuse references the SAME double, exactly like the
+    Spark fold's column reuse."""
+    a, b, g = float(alpha), float(beta), float(gamma)
+    om_a = repr(1.0 - alpha)
+    om_b = repr(1.0 - beta)
+    om_g = repr(1.0 - gamma)
+    s_cols = ", ".join(f"CAST(0.0 AS DOUBLE) AS s{k}" for k in range(24))
+    w_cols = ", ".join(f"w.s{k}" for k in range(24))
+    elem_case = (
+        "CASE o.h "
+        + " ".join(f"WHEN {k} THEN w.s{k}" for k in range(24))
+        + " END"
+    )
+    s_updates = ", ".join(
+        f"CASE WHEN h = {k} THEN {g!r} * (v - lvl) + {om_g} * elem "
+        f"ELSE s{k} END AS s{k}"
+        for k in range(24)
+    )
+    final_case = (
+        "CASE h.hour "
+        + " ".join(f"WHEN {k} THEN f.s{k}" for k in range(24))
+        + " END"
+    )
+    return f"""
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   CAST(extract(hour FROM ts) AS INT) AS h,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS INT)
+                       AS rn
+            FROM events
+        ), counts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM ordered GROUP BY event_type
+        ), walk AS (
+            SELECT event_type, rn AS i, v AS level,
+                   CAST(0.0 AS DOUBLE) AS trend, {s_cols}
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT event_type, rn, lvl,
+                   {b!r} * (lvl - plevel) + {om_b} * ptrend,
+                   {s_updates}
+            FROM (
+                SELECT *,
+                       {a!r} * (v - elem)
+                         + {om_a} * (plevel + ptrend) AS lvl
+                FROM (
+                    SELECT o.event_type, o.rn, o.v, o.h,
+                           w.level AS plevel, w.trend AS ptrend,
+                           {w_cols}, {elem_case} AS elem
+                    FROM walk w
+                    JOIN ordered o
+                      ON o.event_type = w.event_type
+                     AND o.rn = w.i + 1
+                )
+            )
+        )
+        SELECT f.event_type,
+               h.hour,
+               round({final_case}, 4) AS seasonal_index,
+               c.n AS n_points,
+               round(f.level, 4) AS level,
+               round(f.trend, 6) AS trend
+        FROM walk f
+        JOIN counts c USING (event_type)
+        CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+        WHERE f.i = c.n
+        ORDER BY f.event_type, h.hour
+    """
+
+
 def q_cusum_changepoint(
     spark: SparkSession,
     sf_dir: str,

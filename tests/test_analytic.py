@@ -926,3 +926,74 @@ def test_attribution_credit_planted_scenario(spark):
     assert got["view"].linear_credit == round(333333 / 1e6, 4)
     # user 2's stale view earns nothing anywhere.
     assert got["view"].n_conversions == 1
+
+
+def test_holt_winters_matches_python_replica(spark):
+    """The triple-smoothing fold (level/trend/24-slot seasonal,
+    hour-of-day indexed) must replay the textbook additive recurrence
+    exactly, including the deterministic all-zero seasonal seed."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_holt_winters,
+    )
+
+    got = {}
+    for r in q_holt_winters(spark, SF).collect():
+        got.setdefault(r.event_type, {})[r.hour] = r
+    ev = sorted(
+        (r.event_type, r.ts, r.event_id, float(r.value), r.ts.hour)
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    series: dict = {}
+    for et, _ts, _eid, v, h in ev:
+        series.setdefault(et, []).append((v, h))
+    a, b, g = 0.3, 0.1, 0.2
+    om_a, om_b, om_g = (
+        float(repr(1.0 - a)), float(repr(1.0 - b)), float(repr(1.0 - g)),
+    )
+    for et, pts in series.items():
+        level, trend, seasonal = pts[0][0], 0.0, [0.0] * 24
+        for v, h in pts[1:]:
+            elem = seasonal[h]
+            nl = a * (v - elem) + om_a * (level + trend)
+            trend = b * (nl - level) + om_b * trend
+            seasonal[h] = g * (v - nl) + om_g * elem
+            level = nl
+        for h in range(24):
+            r = got[et][h]
+            assert r.n_points == len(pts)
+            assert abs(r.level - round(level, 4)) < 1e-9, (et, h)
+            assert abs(r.trend - round(trend, 6)) < 1e-9
+            assert abs(r.seasonal_index - round(seasonal[h], 4)) < 1e-9
+
+
+def test_holt_winters_learns_planted_diurnal_pattern(spark):
+    """An hourly series with value = 100 + 30 at noon / -30 at
+    midnight must end with positive noon and negative midnight
+    seasonal indexes."""
+    from datetime import datetime, timedelta
+    import math
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_holt_winters,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(24 * 30):
+        ts = t0 + timedelta(hours=i)
+        v = 100.0 + 30.0 * math.cos((ts.hour - 12) / 24.0 * 2 * math.pi)
+        rows.append((i, ts, 1, "diurnal", v, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        out = {r.hour: r for r in q_holt_winters(spark, d).collect()}
+    assert out[12].seasonal_index > 15.0
+    assert out[0].seasonal_index < -15.0
+    # level should sit near the 100 baseline once seasonality is
+    # absorbed (wide tolerance: additive HW splits slowly from a
+    # zero-seed seasonal state).
+    assert 70.0 < out[0].level < 130.0
