@@ -95,10 +95,14 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     (degree, id)-smallest member with out-edges to the other two.
     The wedge -> edge probe is an equijoin on the canonical pair, so
     the whole plan is three shuffles (degree agg, wedge self-join,
-    probe join) over edge-bounded data. The edge subplan appears
-    three times (degrees, orientation, probe) and is deduplicated by
-    Spark's ReusedExchange — fully lazy, no cache bookkeeping."""
-    deg = degrees(edges)
+    probe join) over edge-bounded data. The edge list and degree
+    table feed multiple consumers (degrees, orientation twice, the
+    probe), so both are EAGERLY localCheckpoint-materialized — left
+    lazy, the duplicated subtrees compile into a plan whose repeated
+    broadcast builds are both slow and memory-hungry (the
+    dedup-pipeline discipline, dedup.py:534)."""
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
 
     with_deg = (
         edges.join(deg.withColumnRenamed("node", "p1"), "p1")
@@ -112,7 +116,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
-    )
+    ).localCheckpoint()
 
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -174,9 +178,11 @@ def pagerank(
 
     Per iteration: one equijoin (ranks x out-edges on src) and one
     groupBy-sum on dst — the minimal two-shuffle PageRank step.
-    localCheckpoint every few rounds truncates the lineage so the
-    plan does not grow with the iteration count (the
-    dedup_clusters_twostar discipline)."""
+    EAGER localCheckpoint every few rounds truncates the lineage so
+    round N never replays rounds 1..N-1 (the dedup_clusters_twostar
+    discipline; a lazy checkpoint would leave the whole loop as one
+    giant nested plan whose broadcast builds exhaust driver memory —
+    observed at sf0.1 before this was eager)."""
     directed = edges.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(
@@ -205,7 +211,7 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

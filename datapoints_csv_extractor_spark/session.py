@@ -36,6 +36,13 @@ SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast joins for dimensions (region/nation/catalog) up to 64 MiB.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # PySpark's local-mode default heap is 1g — undersized for a
+    # local[32] analytics driver (in local mode the driver JVM hosts
+    # every executor thread AND every broadcast build; the dense-graph
+    # triangle census's broadcasts exhausted the 1g default). Applied
+    # at JVM launch only; getOrCreate on a live session ignores it,
+    # and real cluster deploys size executors separately.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
