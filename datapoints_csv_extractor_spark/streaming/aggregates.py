@@ -817,6 +817,104 @@ def stream_holt_state(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("first_alarm_i", T.LongType()),
+        T.StructField("max_cusum_pos", T.DoubleType()),
+        T.StructField("max_cusum_neg", T.DoubleType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sp", T.DoubleType()),
+        T.StructField("sn", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("first_alarm", T.LongType()),
+        T.StructField("max_sp", T.DoubleType()),
+        T.StructField("max_sn", T.DoubleType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def stream_cusum(
+    events: DataFrame,
+    targets: dict,
+    k: float = 25.0,
+    h: float = 200.0,
+) -> DataFrame:
+    """Streaming twin of ``q_cusum_changepoint``: the two-sided Page
+    recurrence carried across micro-batches with O(1) state per
+    series — (s+, s-, counters, peaks, last_ts).
+
+    One deliberate divergence from the batch form, documented here:
+    batch CUSUM centers on the mean estimated from the FULL series;
+    a stream cannot know that mean upfront, so the monitor takes the
+    in-control target mean per series as configuration (``targets``,
+    the textbook mu_0 — in practice trained from a historical window,
+    exactly what the batch query computes). Fed the batch means, the
+    final streaming state equals the batch fold bit for bit
+    (parity-pinned in pytest). Points at or behind the newest state
+    timestamp are dropped — the same arrival-order contract as
+    stream_holt_state."""
+    kf, hf = float(k), float(h)
+    tgt = {str(a): float(b) for a, b in targets.items()}
+
+    def fold(
+        key: Tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn, n, n_alarms, first, msp, msn, last_ts = (
+            tuple(state.get)
+            if state.exists
+            else (0.0, 0.0, 0, 0, 0, 0.0, 0.0, -1)
+        )
+        mean = tgt.get(key[0])
+        for pdf in batches:
+            if pdf.empty or mean is None:
+                continue
+            pdf = pdf.sort_values(["ts_ms", "event_id"])
+            for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
+                if ts_ms <= last_ts:
+                    continue
+                x = float(v)
+                sp = max(0.0, sp + (x - mean) - kf)
+                sn = max(0.0, sn + (mean - x) - kf)
+                msp, msn = max(msp, sp), max(msn, sn)
+                if sp > hf or sn > hf:
+                    n_alarms += 1
+                    if first == 0:
+                        first = n + 1
+                    sp = sn = 0.0
+                n += 1
+                last_ts = int(ts_ms)
+        state.update((sp, sn, n, n_alarms, first, msp, msn, last_ts))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_points": [n],
+                "n_alarms": [n_alarms],
+                "first_alarm_i": [first],
+                "max_cusum_pos": [msp],
+                "max_cusum_neg": [msn],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_session_rollup(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1028,3 +1028,67 @@ def test_stream_session_rollup_native_session_window(spark, tmp_path):
     assert len(sess) == 2
     assert sess[0] == (t0, 2, 3.0)
     assert sess[1] == (t0 + 50 * minute, 1, 3.0)
+
+
+def test_stream_cusum_matches_batch_fold(spark, tmp_path):
+    """Streaming CUSUM state across two micro-batches, fed the batch
+    target mean, must equal the batch recurrence over the
+    concatenated in-order series (alarm reset included)."""
+    import json
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_cusum,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    vals1 = [100.0, 400.0, 420.0, 50.0]
+    vals2 = [430.0, 10.0, 20.0, 30.0]
+    mean = 120.0
+
+    def write_batch(name, vals, start):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_type": "s", "event_id": i, "ts_ms": 1000 * i,
+                     "value": v}
+                )
+                for i, v in enumerate(vals, start=start)
+            )
+        )
+
+    schema = "event_type string, event_id long, ts_ms long, value double"
+    write_batch("b1.jsonl", vals1, 1)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    _drain(
+        spark, stream_cusum(stream, {"s": mean}), "cu1", ckpt, "update"
+    )
+    write_batch("b2.jsonl", vals2, 5)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    rows = _drain(
+        spark, stream_cusum(stream, {"s": mean}), "cu2", ckpt, "update"
+    )
+    final = rows[-1]
+
+    sp = sn = msp = msn = 0.0
+    alarms, first = 0, 0
+    for i, x in enumerate(vals1 + vals2):
+        sp = max(0.0, sp + (x - mean) - 25.0)
+        sn = max(0.0, sn + (mean - x) - 25.0)
+        msp, msn = max(msp, sp), max(msn, sn)
+        if sp > 200.0 or sn > 200.0:
+            alarms += 1
+            if first == 0:
+                first = i + 1
+            sp = sn = 0.0
+    assert alarms >= 1  # the drive must exercise the reset path
+    assert final.n_points == 8
+    assert final.n_alarms == alarms
+    assert final.first_alarm_i == first
+    assert abs(final.max_cusum_pos - msp) < 1e-12
+    assert abs(final.max_cusum_neg - msn) < 1e-12
