@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": D.q_dedup_clusters,
         "q_graph_degree_histogram": G.q_graph_degree_histogram,
         "q_pagerank": G.q_pagerank,
+        "q_series_ols_trend": A.q_series_ols_trend,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_items": R.q10_returned_items,
@@ -3166,6 +3167,59 @@ def oracle_sql() -> dict[str, str]:
     # Holt-Winters: recursive-CTE replay with the 24-slot seasonal
     # vector as walk columns, generated from the same parameters.
     sql["q_holt_winters"] = A.holt_winters_oracle_sql()
+    # OLS trend: exact BIGINT sufficient statistics (x = floored
+    # epoch seconds from the per-series min; y = centi-units), then
+    # one identical double expression per output — no regr_* builtins
+    # (their accumulation order varies). sum(BIGINT) must be cast
+    # back from DuckDB's HUGEINT.
+    sql["q_series_ols_trend"] = """
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y_c
+            FROM events
+        ), rel AS (
+            SELECT event_type,
+                   ts_s - min(ts_s) OVER (PARTITION BY event_type)
+                       AS x_s,
+                   y_c
+            FROM pts
+        ), agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x_s) AS BIGINT) AS sx,
+                   CAST(sum(y_c) AS BIGINT) AS sy,
+                   CAST(sum(x_s * y_c) AS BIGINT) AS sxy,
+                   CAST(sum(x_s * x_s) AS BIGINT) AS sxx,
+                   CAST(sum(y_c * y_c) AS BIGINT) AS syy
+            FROM rel GROUP BY event_type
+        )
+        SELECT event_type,
+               n AS n_points,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 86400.0 / 100.0, 6) AS slope_per_day,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS r2
+        FROM agg
+        ORDER BY event_type
+    """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """
         WITH li AS (

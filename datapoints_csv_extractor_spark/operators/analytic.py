@@ -2059,6 +2059,65 @@ def q_cusum_changepoint(
     ).orderBy("event_type")
 
 
+def q_series_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series ordinary-least-squares trend: slope (value/day),
+    intercept, and R^2 — the 'is this drifting' regression read next
+    to CUSUM's 'did it jump'.
+
+    Engine-exactness discipline: the five sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx, Syy) accumulate as EXACT BIGINT sums —
+    x is whole seconds from the per-series minimum timestamp (bounds
+    Sxx ~ 1e16 at month-long series, inside long range; raw epochs
+    would overflow), y is centi-units — and the closed-form slope/
+    intercept/R^2 are then ONE double expression in identical
+    operation order on both engines, so the query is oracle-exact
+    without any built-in regr_* (whose accumulation order varies).
+    Plan: one window (per-series min ts) + one groupBy on the same
+    key — AQE-coalesced single shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    pts = (
+        e.select(
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("y_c"),
+        )
+        .withColumn("x_s", F.col("ts_s") - F.min("ts_s").over(w))
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x_s").alias("sx"),
+        F.sum("y_c").alias("sy"),
+        F.sum(F.col("x_s") * F.col("y_c")).alias("sxy"),
+        F.sum(F.col("x_s") * F.col("x_s")).alias("sxx"),
+        F.sum(F.col("y_c") * F.col("y_c")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    denom = nd * sxx - sx * sx
+    slope_c_s = cov / denom
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope_c_s * F.lit(86400.0) / F.lit(100.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (sy - slope_c_s * sx) / nd / F.lit(100.0), 4
+        ).alias("intercept"),
+        F.round(
+            (cov * cov) / (denom * (nd * syy - sy * sy)), 6
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
 def q_attribution_credit(
     spark: SparkSession,
     sf_dir: str,

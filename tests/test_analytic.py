@@ -997,3 +997,61 @@ def test_holt_winters_learns_planted_diurnal_pattern(spark):
     # absorbed (wide tolerance: additive HW splits slowly from a
     # zero-seed seasonal state).
     assert 70.0 < out[0].level < 130.0
+
+
+def test_series_ols_trend_recovers_planted_line(spark):
+    """A perfectly linear series must recover its slope and intercept
+    exactly (centi-unit grid) with r2 = 1."""
+    from datetime import datetime, timedelta
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_series_ols_trend,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, "lin", 10.0 + 2.4 * i, "{}")
+        for i in range(100)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        r = q_series_ols_trend(spark, d).collect()[0]
+    # 2.4 per hour = 57.6 per day; intercept at the series start.
+    assert r.n_points == 100
+    assert abs(r.slope_per_day - 57.6) < 1e-6
+    assert abs(r.intercept - 10.0) < 1e-4
+    assert r.r2 == 1.0
+
+
+def test_series_ols_trend_matches_numpy(spark):
+    """Sufficient-statistic OLS on the real testdata must agree with
+    numpy polyfit on the same centi-rounded series."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_series_ols_trend,
+    )
+
+    got = {r.event_type: r for r in q_series_ols_trend(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append(
+            (int(r.ts.timestamp()), float(r.value))
+        )
+    for et, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        xs -= xs.min()
+        ys = np.array(
+            [np.floor(p[1] * 100.0 + 0.5) / 100.0 for p in pts]
+        )
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = got[et]
+        assert abs(r.slope_per_day - slope * 86400.0) < 1e-4, et
+        assert abs(r.intercept - intercept) < 1e-2, et
+        assert 0.0 <= r.r2 <= 1.0
