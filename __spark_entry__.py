@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_degree_histogram": G.q_graph_degree_histogram,
         "q_pagerank": G.q_pagerank,
         "q_series_ols_trend": A.q_series_ols_trend,
+        "q_kcore": G.q_kcore,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_items": R.q10_returned_items,

@@ -77,11 +77,13 @@ BENCH_QUERIES = [
     "q_holt_forecast",
     "q_holt_winters",
     "q_cusum_changepoint",
+    "q_series_ols_trend",
     "q_attribution_credit",
     "q_rp_project",
     "q_triangle_count",
     "q_graph_degree_histogram",
     "q_pagerank",
+    "q_kcore",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

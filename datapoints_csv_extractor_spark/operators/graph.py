@@ -215,6 +215,52 @@ def pagerank(
     return ranks
 
 
+def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
+    """Maximal subgraph of minimum degree >= k (the k-core), by
+    synchronous peeling: drop every node of degree < k, re-derive
+    degrees, repeat to fixpoint. Returns (node, degree) inside the
+    core (empty frame if the core is empty).
+
+    Rounds needed = peeling depth (6-10 on the co-purchase graph's
+    sharp random-graph transition); each round is one degree
+    aggregate + two semi-join-shaped filters, all equijoins on the
+    node key, with EAGER localCheckpoints truncating lineage (the
+    PageRank discipline). The driver sees only per-round counts —
+    membership never leaves the cluster."""
+    edges = edges.localCheckpoint()
+    for _ in range(max_iterations):
+        deg = degrees(edges).localCheckpoint()
+        n_nodes = deg.count()
+        keep = deg.where(F.col("degree") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            return deg
+        if n_keep == 0:
+            return deg.where(F.lit(False))
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "p1"), "p1", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "p2"), "p2", "left_semi")
+            .localCheckpoint()
+        )
+    return degrees(edges)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str, k: int = 80) -> DataFrame:
+    """Membership and within-core degree of the co-purchase graph's
+    k-core (k=80 sits just under this graph's sharp core-collapse
+    threshold, so peeling runs multiple non-trivial rounds). The
+    'dense engaged sub-market' read on top of the same edge set the
+    census uses. Rows-only (iterative peeling has no SQL twin);
+    pinned against a sequential Python peeler in pytest."""
+    core = kcore(co_order_edges(spark, sf_dir), k)
+    return core.select(
+        F.col("node").alias("l_partkey"),
+        F.col("degree").alias("core_degree"),
+    ).orderBy("l_partkey")
+
+
 def q_pagerank(
     spark: SparkSession, sf_dir: str, top_k: int = 50
 ) -> DataFrame:

@@ -46,6 +46,7 @@ ROWS_ONLY_ALLOWED = {
     "q_compression_ratio",  # zlib has no SQL twin; Arrow map stage
     "q_audience_overlap_hll",  # HLL sketch arithmetic, no SQL twin
     "q_pagerank",  # iterative float ranks; numpy-parity-pinned in pytest
+    "q_kcore",  # iterative peeling has no SQL twin; python-peeler-pinned
 }
 
 

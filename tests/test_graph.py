@@ -98,3 +98,43 @@ def test_q_pagerank_is_deterministic_across_runs(spark):
     a = [tuple(r) for r in G.q_pagerank(spark, SF, top_k=20).collect()]
     b = [tuple(r) for r in G.q_pagerank(spark, SF, top_k=20).collect()]
     assert a == b
+
+
+def test_kcore_on_known_graph(spark):
+    # K4 plus a pendant path: the 3-core is exactly the K4; the
+    # 4-core is empty.
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (7, 8),
+    ]
+    core3 = G.kcore(_edges_df(spark, pairs), 3).collect()
+    assert {r.node for r in core3} == {1, 2, 3, 4}
+    assert all(r.degree == 3 for r in core3)
+    assert G.kcore(_edges_df(spark, pairs), 4).count() == 0
+
+
+def test_kcore_matches_python_peeler(spark):
+    from collections import defaultdict
+
+    edges = [(r.p1, r.p2) for r in G.co_order_edges(spark, SF).collect()]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    k = 10
+    deg = {n: len(s) for n, s in adj.items()}
+    alive = set(deg)
+    while True:
+        drop = [n for n in alive if deg[n] < k]
+        if not drop:
+            break
+        for n in drop:
+            alive.discard(n)
+            for m in adj[n]:
+                if m in alive:
+                    deg[m] -= 1
+    got = {r.l_partkey: r.core_degree for r in G.q_kcore(spark, SF, k=k).collect()}
+    assert set(got) == alive
+    for n in alive:
+        assert got[n] == deg[n], n
