@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": G.q_pagerank,
         "q_series_ols_trend": A.q_series_ols_trend,
         "q_kcore": G.q_kcore,
+        "q_ab_test_welch": A.q_ab_test_welch,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_items": R.q10_returned_items,
@@ -3219,6 +3220,69 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                      6) AS r2
         FROM agg
+        ORDER BY event_type
+    """
+    # Welch A/B: one conditional-aggregation scan folds exact BIGINT
+    # per-arm partials; t and dof are single double expressions in
+    # identical operation order (no built-in stddev).
+    sql["q_ab_test_welch"] = """
+        WITH base AS (
+            SELECT event_type,
+                   substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                             1, 1) >= '8' AS arm_b,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+            FROM events
+        ), agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN arm_b THEN 0 ELSE 1 END)
+                        AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN arm_b THEN 0 ELSE y END)
+                        AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN arm_b THEN 0 ELSE y * y END)
+                        AS BIGINT) AS qa,
+                   CAST(sum(CASE WHEN arm_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb,
+                   CAST(sum(CASE WHEN arm_b THEN y ELSE 0 END)
+                        AS BIGINT) AS sb,
+                   CAST(sum(CASE WHEN arm_b THEN y * y ELSE 0 END)
+                        AS BIGINT) AS qb
+            FROM base GROUP BY event_type
+        ), stats AS (
+            SELECT event_type, na, nb,
+                   CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                       AS ma,
+                   CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+                       AS mb,
+                   (CAST(qa AS DOUBLE) / 10000.0
+                    - CAST(sa AS DOUBLE) / 100.0
+                      * CAST(sa AS DOUBLE) / 100.0
+                      / CAST(na AS DOUBLE))
+                   / (CAST(na AS DOUBLE) - 1.0) AS va,
+                   (CAST(qb AS DOUBLE) / 10000.0
+                    - CAST(sb AS DOUBLE) / 100.0
+                      * CAST(sb AS DOUBLE) / 100.0
+                      / CAST(nb AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) - 1.0) AS vb
+            FROM agg
+        ), welch AS (
+            SELECT *,
+                   va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)
+                       AS se2
+            FROM stats
+        )
+        SELECT event_type, na AS n_a, nb AS n_b,
+               round(ma, 4) AS mean_a,
+               round(mb, 4) AS mean_b,
+               round((ma - mb) / sqrt(se2), 6) AS t_stat,
+               round(se2 * se2
+                     / (va / CAST(na AS DOUBLE)
+                        * (va / CAST(na AS DOUBLE))
+                        / (CAST(na AS DOUBLE) - 1.0)
+                        + vb / CAST(nb AS DOUBLE)
+                          * (vb / CAST(nb AS DOUBLE))
+                          / (CAST(nb AS DOUBLE) - 1.0)), 2) AS dof,
+               abs((ma - mb) / sqrt(se2)) > 1.96 AS significant_5pct
+        FROM welch
         ORDER BY event_type
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.

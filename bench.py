@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_holt_winters",
     "q_cusum_changepoint",
     "q_series_ols_trend",
+    "q_ab_test_welch",
     "q_attribution_credit",
     "q_rp_project",
     "q_triangle_count",

@@ -2118,6 +2118,65 @@ def q_series_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment read: users split 50/50 into arms by the
+    deterministic md5 coin (the mixture-resample idiom — replay-stable
+    assignment, no RNG), then per event_type Welch's t statistic and
+    Welch-Satterthwaite degrees of freedom compare arm means.
+
+    Exactness: per-arm n / sum / sum-of-squares fold as BIGINT
+    centi-unit partials inside ONE conditional-aggregation scan (no
+    second pass, no join); t and dof are then single double
+    expressions evaluated in identical order on both engines —
+    oracle-exact, unlike built-in stddev whose accumulation order
+    varies. The 1.96 flag is the two-sided 5% normal approximation
+    (dof > 1000 here, where t and z coincide)."""
+    e = load(spark, sf_dir, "events")
+    # The shared hex-prefix coin idiom (textops.md5_prefix_bucket):
+    # first md5 hex char >= '8' puts the user in arm B (~50%).
+    arm_b = (
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        >= "8"
+    )
+    y = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = e.groupBy("event_type").agg(
+        F.sum(F.when(arm_b, 0).otherwise(1)).alias("na"),
+        F.sum(F.when(arm_b, F.lit(0).cast("long")).otherwise(y)).alias("sa"),
+        F.sum(F.when(arm_b, F.lit(0).cast("long")).otherwise(y * y)).alias("qa"),
+        F.sum(F.when(arm_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(arm_b, y).otherwise(F.lit(0).cast("long"))).alias("sb"),
+        F.sum(F.when(arm_b, y * y).otherwise(F.lit(0).cast("long"))).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    ma = sa / na / F.lit(100.0)
+    mb = sb / nb / F.lit(100.0)
+    # Sample variance from exact sums, in value units:
+    va = (qa / F.lit(10000.0) - sa / F.lit(100.0) * sa / F.lit(100.0) / na) / (na - F.lit(1.0))
+    vb = (qb / F.lit(10000.0) - sb / F.lit(100.0) * sb / F.lit(100.0) / nb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = se2 * se2 / (
+        va / na * (va / na) / (na - F.lit(1.0))
+        + vb / nb * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+        (F.abs(t) > F.lit(1.96)).alias("significant_5pct"),
+    ).orderBy("event_type")
+
+
 def q_attribution_credit(
     spark: SparkSession,
     sf_dir: str,

@@ -1055,3 +1055,73 @@ def test_series_ols_trend_matches_numpy(spark):
         assert abs(r.slope_per_day - slope * 86400.0) < 1e-4, et
         assert abs(r.intercept - intercept) < 1e-2, et
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_ab_test_welch_matches_python_replica(spark):
+    """Per-arm exact sums -> Welch t/dof must equal a pure-Python
+    computation over the same md5-coin assignment."""
+    import hashlib
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_ab_test_welch,
+    )
+
+    got = {r.event_type: r for r in q_ab_test_welch(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    arms: dict = {}
+    for r in ev:
+        b = hashlib.md5(f"ab:{r.user_id}".encode()).hexdigest()[0] >= "8"
+        y = int(math.floor(float(r.value) * 100.0 + 0.5))
+        arms.setdefault(r.event_type, {"a": [], "b": []})[
+            "b" if b else "a"
+        ].append(y)
+    for et, d in arms.items():
+        na, nb = len(d["a"]), len(d["b"])
+        sa, sb = sum(d["a"]), sum(d["b"])
+        qa, qb = sum(y * y for y in d["a"]), sum(y * y for y in d["b"])
+        ma, mb = sa / na / 100.0, sb / nb / 100.0
+        va = (qa / 10000.0 - sa / 100.0 * sa / 100.0 / na) / (na - 1.0)
+        vb = (qb / 10000.0 - sb / 100.0 * sb / 100.0 / nb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        r = got[et]
+        assert (r.n_a, r.n_b) == (na, nb), et
+        assert abs(r.t_stat - round(t, 6)) < 1e-9, et
+        assert r.significant_5pct == (abs(t) > 1.96)
+
+
+def test_ab_test_welch_flags_planted_effect(spark):
+    """Arm B shifted by +20 on a tight distribution must flag
+    significant; identical arms must not."""
+    import hashlib
+    from datetime import datetime, timedelta
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_ab_test_welch,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for uid in range(400):
+        in_b = hashlib.md5(f"ab:{uid}".encode()).hexdigest()[0] >= "8"
+        base = 50.0 + (uid % 7)
+        rows.append(
+            (uid, t0 + timedelta(minutes=uid), uid, "shifted",
+             base + (20.0 if in_b else 0.0), "{}")
+        )
+        rows.append(
+            (10_000 + uid, t0 + timedelta(minutes=uid), uid, "flat",
+             base, "{}")
+        )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        out = {r.event_type: r for r in q_ab_test_welch(spark, d).collect()}
+    assert out["shifted"].significant_5pct
+    assert abs(out["shifted"].mean_b - out["shifted"].mean_a - 20.0) < 1.0
+    assert not out["flat"].significant_5pct
