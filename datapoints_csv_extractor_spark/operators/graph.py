@@ -230,9 +230,13 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     edges = edges.localCheckpoint()
     for _ in range(max_iterations):
         deg = degrees(edges).localCheckpoint()
-        n_nodes = deg.count()
+        n_nodes, n_keep = deg.agg(
+            F.count("*"),
+            F.coalesce(
+                F.sum((F.col("degree") >= k).cast("long")), F.lit(0)
+            ),
+        ).first()
         keep = deg.where(F.col("degree") >= k).select("node")
-        n_keep = keep.count()
         if n_keep == n_nodes:
             return deg
         if n_keep == 0:
