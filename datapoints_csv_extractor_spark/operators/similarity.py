@@ -2409,6 +2409,28 @@ def q_ann_recall_report(
                 for qid, qvec in probes
             },
         )
+        # JL projection tier: brute-force cosine in the 16-dim
+        # projected space. Honest expectation on isotropic data:
+        # LOW recall (weakly-separated neighbors do not survive a 4x
+        # dimension cut) — the row exists so the datacard says so,
+        # next to the distance-preservation contract pinned in
+        # tests/test_random_projection.py.
+        proj = rp_project(e).select("vec_id", F.col("rp").alias("embedding"))
+        proj = proj.localCheckpoint()
+        rp_got = {}
+        for qid, _ in probes:
+            qrow = proj.where(F.col("vec_id") == qid).first()
+            qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+            rp_got[qid] = topk_ids(
+                proj.where(F.col("vec_id") != qid)
+                .select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qlit), 6).alias("c"),
+                )
+                .orderBy(F.desc("c"), F.asc("vec_id"))
+                .limit(k)
+            )
+        add("rp16_brute", rp_got)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

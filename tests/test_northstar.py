@@ -1425,7 +1425,8 @@ def test_ann_recall_report_mechanics(spark):
     df = V.q_ann_recall_report(spark, "/root/testdata/sf0.001", k=3, n_queries=2)
     rows = {r.method: r for r in df.collect()}
     assert set(rows) == {
-        "lsh_hyperplane", "ivf", "pq_adc_rerank", "ivfpq_rerank", "sq8"
+        "lsh_hyperplane", "ivf", "pq_adc_rerank", "ivfpq_rerank", "sq8",
+        "rp16_brute",
     }
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0
