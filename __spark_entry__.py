@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_series_ols_trend": A.q_series_ols_trend,
         "q_kcore": G.q_kcore,
         "q_ab_test_welch": A.q_ab_test_welch,
+        "q_forecast_backtest": A.q_forecast_backtest,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q10_returned_items": R.q10_returned_items,
@@ -3284,6 +3285,47 @@ def oracle_sql() -> dict[str, str]:
                abs((ma - mb) / sqrt(se2)) > 1.96 AS significant_5pct
         FROM welch
         ORDER BY event_type
+    """
+    # Walk-forward backtest: the Holt recursive-CTE replay extended
+    # with sequential error accumulators (fold-ordered double sums,
+    # bit-exact across engines).
+    sql["q_forecast_backtest"] = """
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS INT)
+                       AS rn
+            FROM events
+        ), counts AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM ordered GROUP BY event_type
+        ), walk AS (
+            SELECT event_type, rn AS i, v AS level,
+                   CAST(0.0 AS DOUBLE) AS trend,
+                   v AS prev,
+                   CAST(0.0 AS DOUBLE) AS esum,
+                   CAST(0.0 AS DOUBLE) AS nsum
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.event_type, o.rn,
+                   0.5 * o.v + 0.5 * (w.level + w.trend),
+                   0.3 * ((0.5 * o.v + 0.5 * (w.level + w.trend))
+                          - w.level) + 0.7 * w.trend,
+                   o.v,
+                   w.esum + abs(o.v - (w.level + w.trend)),
+                   w.nsum + abs(o.v - w.prev)
+            FROM walk w
+            JOIN ordered o
+              ON o.event_type = w.event_type AND o.rn = w.i + 1
+        )
+        SELECT w.event_type,
+               c.n AS n_points,
+               round(w.esum / CAST(c.n - 1 AS DOUBLE), 4) AS mae_holt,
+               round(w.nsum / CAST(c.n - 1 AS DOUBLE), 4) AS mae_naive,
+               round(1.0 - w.esum / w.nsum, 6) AS skill_vs_naive
+        FROM walk w JOIN counts c USING (event_type)
+        WHERE w.i = c.n
+        ORDER BY w.event_type
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.
     sql["q_table_stats"] = """

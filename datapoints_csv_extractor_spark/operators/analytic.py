@@ -1889,6 +1889,76 @@ def q_holt_winters(
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast evaluation: one-step-ahead Holt(0.5,
+    0.3) error per point, against the naive last-value baseline, per
+    series — MAE for both plus the skill score 1 - mae_holt /
+    mae_naive (positive = the model beats persistence; the first
+    question to ask before shipping any forecaster).
+
+    Same single-fold discipline as q_holt_forecast, with the error
+    accumulators riding in the accumulator struct. The double error
+    sums are SEQUENTIAL fold additions, so their order is fixed and
+    the DuckDB recursive-CTE replay is bit-exact — a backtest whose
+    metrics two engines agree on to the rounded digit."""
+    e = load(spark, sf_dir, "events")
+    pts = e.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"), F.col("event_id"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ).alias("pts")
+    )
+    vals = F.transform(F.col("pts"), lambda s: s["v"])
+    a, b = 0.5, 0.3
+    om_a, om_b = float(repr(1.0 - a)), float(repr(1.0 - b))
+    acc0 = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0.0).alias("prev"),
+        F.lit(0.0).alias("esum"),
+        F.lit(0.0).alias("nsum"),
+        F.lit(0).cast("long").alias("i"),
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        pred = acc["level"] + acc["trend"]
+        esum = F.when(first, F.lit(0.0)).otherwise(
+            acc["esum"] + F.abs(x - pred)
+        )
+        nsum = F.when(first, F.lit(0.0)).otherwise(
+            acc["nsum"] + F.abs(x - acc["prev"])
+        )
+        lvl = F.when(first, x).otherwise(a * x + om_a * pred)
+        trend = F.when(first, F.lit(0.0)).otherwise(
+            b * (lvl - acc["level"]) + om_b * acc["trend"]
+        )
+        return F.struct(
+            lvl.alias("level"),
+            trend.alias("trend"),
+            x.alias("prev"),
+            esum.alias("esum"),
+            nsum.alias("nsum"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    fin = F.aggregate(vals, acc0, step)
+    nm1 = (fin["i"] - 1).cast("double")
+    return pts.select(
+        "event_type",
+        fin["i"].cast("long").alias("n_points"),
+        F.round(fin["esum"] / nm1, 4).alias("mae_holt"),
+        F.round(fin["nsum"] / nm1, 4).alias("mae_naive"),
+        F.round(F.lit(1.0) - fin["esum"] / fin["nsum"], 6).alias(
+            "skill_vs_naive"
+        ),
+    ).orderBy("event_type")
+
+
 def holt_winters_oracle_sql(
     alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2
 ) -> str:

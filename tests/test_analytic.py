@@ -1125,3 +1125,65 @@ def test_ab_test_welch_flags_planted_effect(spark):
     assert out["shifted"].significant_5pct
     assert abs(out["shifted"].mean_b - out["shifted"].mean_a - 20.0) < 1.0
     assert not out["flat"].significant_5pct
+
+
+def test_forecast_backtest_matches_python_replica(spark):
+    """Walk-forward Holt MAE + naive baseline must replay the exact
+    sequential error accumulation."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_forecast_backtest,
+    )
+
+    got = {r.event_type: r for r in q_forecast_backtest(spark, SF).collect()}
+    ev = sorted(
+        (r.event_type, r.ts, r.event_id, float(r.value))
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    series: dict = {}
+    for et, _ts, _eid, v in ev:
+        series.setdefault(et, []).append(v)
+    for et, vals in series.items():
+        level, trend, prev = vals[0], 0.0, vals[0]
+        esum = nsum = 0.0
+        for v in vals[1:]:
+            pred = level + trend
+            esum += abs(v - pred)
+            nsum += abs(v - prev)
+            nl = 0.5 * v + 0.5 * pred
+            trend = 0.3 * (nl - level) + 0.7 * trend
+            level = nl
+            prev = v
+        r = got[et]
+        assert r.n_points == len(vals)
+        assert abs(r.mae_holt - round(esum / (len(vals) - 1), 4)) < 1e-9
+        assert abs(r.mae_naive - round(nsum / (len(vals) - 1), 4)) < 1e-9
+        assert abs(r.skill_vs_naive - round(1.0 - esum / nsum, 6)) < 1e-9
+
+
+def test_forecast_backtest_skill_positive_on_trending_series(spark):
+    """On a smooth trending series Holt must beat the naive baseline
+    (positive skill); the random testdata should sit near zero."""
+    from datetime import datetime, timedelta
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_forecast_backtest,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, "trend", 100.0 + 3.0 * i, "{}")
+        for i in range(200)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet", mode="overwrite")
+        r = q_forecast_backtest(spark, d).collect()[0]
+    # Naive lags a linear ramp by the full 3.0 step every point; Holt
+    # learns the trend and closes most of that gap.
+    assert r.mae_naive > 2.9
+    assert r.mae_holt < r.mae_naive
+    assert r.skill_vs_naive > 0.4
