@@ -2680,6 +2680,30 @@ def rp_signs(
     ]
 
 
+def _rp_dim_exprs(
+    vec_col: str, d_in: int, d_out: int, seed: str
+) -> list:
+    """One unscaled projection Column per output dim: a zip_with
+    multiply against a FOLDED array literal (F.lit(list), one
+    Literal node) followed by a 0.0-seeded sequential F.aggregate
+    sum. Two reasons for this shape over an explicit 64-term ADD
+    chain: (1) Catalyst PLANNING over 16 x 64-term trees costs ~7 s
+    per query (measured — execution was never the problem); the HOF
+    form is ~15 nodes per dim. (2) zip_with/aggregate take the array
+    as a DIRECT argument, so the form is capture-free-safe in any
+    plan shape. The oracle twin writes the same 0.0-seeded
+    left-assoc chain, so the fold order is bit-identical."""
+    signs = rp_signs(d_in, d_out, seed)
+    dims = []
+    for j in range(d_out):
+        col_j = F.lit([signs[i][j] for i in range(d_in)])
+        zipped = F.zip_with(
+            F.col(vec_col), col_j, lambda x, s: x.cast("double") * s
+        )
+        dims.append(F.aggregate(zipped, F.lit(0.0), lambda a, t: a + t))
+    return dims
+
+
 def rp_project(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -2688,25 +2712,15 @@ def rp_project(
     seed: str = "rp-v1",
 ) -> DataFrame:
     """Append ``rp``: the d_out-dim projection of ``vec_col`` scaled
-    by 1/sqrt(d_out). Each output dim is one explicit left-assoc
-    double chain over the raw scan column (element_at on a stored
-    array is capture-safe — the CollapseProject trap needs a COMPUTED
-    array), fully inside whole-stage codegen; zero Python, zero
-    shuffle, and the identical chain is emitted as SQL text for the
-    oracle twin."""
+    by 1/sqrt(d_out). Map-only, zero shuffle, zero Python; see
+    _rp_dim_exprs for the planning-cost and capture-safety notes."""
     import math
 
-    signs = rp_signs(d_in, d_out, seed)
     scale = float(repr(1.0 / math.sqrt(float(d_out))))
-    dims = []
-    for j in range(d_out):
-        acc = None
-        for i in range(d_in):
-            term = F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(
-                signs[i][j]
-            )
-            acc = term if acc is None else acc + term
-        dims.append((acc * F.lit(scale)).alias(f"rp_{j}"))
+    dims = [
+        (d * F.lit(scale)).alias(f"rp_{j}")
+        for j, d in enumerate(_rp_dim_exprs(vec_col, d_in, d_out, seed))
+    ]
     return df.withColumn("rp", F.array(*dims))
 
 
@@ -2720,20 +2734,27 @@ def q_rp_project(
     (vec_id, dim, value) — 4x memory reduction with JL-bounded
     distance distortion, oracle-exact because the +-1 matrix is
     md5-derived on both engines."""
+    import math
+
     e = load(spark, sf_dir, "embeddings")
-    proj = rp_project(e, d_out=d_out, seed=seed)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("dim"),
-                F.round(F.element_at(F.col("rp"), j + 1), 6).alias("value"),
-            )
-            for j in range(d_out)
-        ]
-    )
+    # (dim, value) structs built DIRECTLY from the per-dim fold
+    # expressions — one evaluation each, no intermediate `rp` column
+    # for CollapseProject to inline per element_at.
+    scale = float(repr(1.0 / math.sqrt(float(d_out))))
+    pairs = [
+        F.struct(
+            F.lit(j).alias("dim"),
+            F.round(d * F.lit(scale), 6).alias("value"),
+        )
+        for j, d in enumerate(_rp_dim_exprs("embedding", 64, d_out, seed))
+    ]
     return (
-        proj.select("vec_id", F.explode(pairs).alias("p"))
-        .select("vec_id", F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
+        e.select("vec_id", F.explode(F.array(*pairs)).alias("p"))
+        .select(
+            "vec_id",
+            F.col("p.dim").alias("dim"),
+            F.col("p.value").alias("value"),
+        )
         .orderBy("vec_id", "dim")
     )
 
@@ -2742,8 +2763,8 @@ def rp_oracle_sql(
     d_in: int = 64, d_out: int = 16, seed: str = "rp-v1"
 ) -> str:
     """DuckDB twin of q_rp_project, generated from the SAME sign
-    matrix and the same left-assoc term order so the double chains
-    are bit-identical."""
+    matrix with the same 0.0-seeded left-assoc fold order so the
+    double chains are bit-identical to the Spark aggregate."""
     import math
 
     signs = rp_signs(d_in, d_out, seed)
@@ -2751,8 +2772,11 @@ def rp_oracle_sql(
     branches = []
     for j in range(d_out):
         chain = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[i][j]!r}"
-            for i in range(d_in)
+            ["0.0"]
+            + [
+                f"CAST(embedding[{i + 1}] AS DOUBLE) * {signs[i][j]!r}"
+                for i in range(d_in)
+            ]
         )
         branches.append(
             f"SELECT vec_id, CAST({j} AS INT) AS dim, "
