@@ -651,10 +651,16 @@ def main() -> None:
                     "q_time_weighted_aggregates",
                     "q_anomaly_zscore",
                     "q_session_window",
-    "q_session_window_scalable",
+                    "q_session_window_scalable",
                     "q_asof_join",
-    "q_asof_join_scalable",
+                    "q_asof_join_scalable",
                     "q_upsert_merge",
+                    # Sequential-fold family (fifth arc): per-series
+                    # arrays grow 10x — the ratio checks the folds
+                    # stay linear in points.
+                    "q_cusum_changepoint",
+                    "q_holt_winters",
+                    "q_series_ols_trend",
                 ):
                     runs[ts_q] = _best_of(
                         lambda q=ts_q: _materialize(qs[q](spark, sdir)),
