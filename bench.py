@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_cusum_changepoint",
     "q_series_ols_trend",
     "q_ab_test_welch",
+    "q_forecast_backtest",
     "q_attribution_credit",
     "q_rp_project",
     "q_triangle_count",

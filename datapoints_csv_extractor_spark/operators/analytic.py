@@ -1802,100 +1802,83 @@ def q_holt_winters(
 ) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing) per
     series, seasonality indexed by HOUR OF DAY (m=24) so irregular
-    sampling lands each observation in its true seasonal slot. The
-    whole recurrence — level, trend, and the 24-slot seasonal state —
-    runs as ONE JVM ``F.aggregate`` fold over the per-series ordered
-    (v, hour) array: the q_holt_forecast pattern with the seasonal
-    vector riding in the accumulator struct and updated by an indexed
-    ``F.transform`` (O(m) per step, m=24).
+    sampling lands each observation in its true seasonal slot.
 
-    Initialization is deterministic and engine-neutral: level seeds
-    from the first observation, trend 0, seasonal all-zero (the
-    generic seasonal update then stays 0 on the first step). The
-    DuckDB oracle replays the identical arithmetic with the seasonal
-    vector as 24 recursive-CTE columns — generated from the same
-    parameters by ``holt_winters_oracle_sql`` so every double chain
-    matches bit for bit. Output: the final seasonal profile in long
-    form plus the final level/trend per series."""
+    Execution tier: an Arrow ``applyInPandas`` per-series pass (the
+    LTTB contract — sequential WITHIN a series, embarrassingly
+    parallel ACROSS series; one shuffle on the series key). This is
+    the measured exception to the engine's prefer-JVM-folds rule:
+    Spark evaluates higher-order-function lambdas INTERPRETED, and
+    with the 24-slot seasonal vector riding the accumulator struct
+    the per-step tree is large enough that the F.aggregate form costs
+    15-25 s at sf0.1 (both the indexed-transform and slice+concat
+    slot updates; scalar-state folds like q_holt_forecast/q_cusum
+    stay sub-second and remain JVM-side). The Python loop runs the
+    IDENTICAL IEEE-double operations in the identical order —
+    initialization level=first value, trend 0, seasonal all-zero —
+    so the recursive-CTE DuckDB oracle (24 seasonal walk columns,
+    generated by ``holt_winters_oracle_sql``) still matches bit for
+    bit; rounding happens JVM-side after the Arrow stage so both
+    engines round the same raw doubles.
+
+    Output: the final seasonal profile in long form plus the final
+    level/trend per series."""
+    import pandas as pd
+
     e = load(spark, sf_dir, "events")
-    pts = e.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("ts"),
-                    F.col("event_id"),
-                    F.col("value").cast("double").alias("v"),
-                    F.hour("ts").alias("h"),
-                )
-            )
-        ).alias("pts")
+    pts = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.hour("ts").alias("h"),
     )
     a, b, g = float(alpha), float(beta), float(gamma)
     om_a = float(repr(1.0 - alpha))
     om_b = float(repr(1.0 - beta))
     om_g = float(repr(1.0 - gamma))
-    acc0 = F.struct(
-        F.lit(0.0).alias("level"),
-        F.lit(0.0).alias("trend"),
-        F.array_repeat(F.lit(0.0), 24).alias("seasonal"),
-        F.lit(0).cast("long").alias("i"),
-    )
 
-    def step(acc, x):
-        first = acc["i"] == 0
-        elem = F.element_at(acc["seasonal"], (x["h"] + 1).cast("int"))
-        lvl = F.when(first, x["v"]).otherwise(
-            a * (x["v"] - elem) + om_a * (acc["level"] + acc["trend"])
-        )
-        trend = F.when(first, F.lit(0.0)).otherwise(
-            b * (lvl - acc["level"]) + om_b * acc["trend"]
-        )
-        snew = F.when(first, F.lit(0.0)).otherwise(
-            g * (x["v"] - lvl) + om_g * elem
-        )
-        # Slot update via slice+concat, NOT transform((s, j) -> when
-        # (j==h, snew, s)): lambdas get no CSE, so the transform form
-        # re-evaluates the full snew->lvl->elem chain PER SLOT (24x
-        # per step — measured 15.8 s at sf0.1; this form runs ~3 s).
-        seasonal = F.concat(
-            F.slice(acc["seasonal"], F.lit(1), x["h"]),
-            F.array(snew),
-            F.slice(
-                acc["seasonal"],
-                x["h"] + F.lit(2),
-                F.lit(23) - x["h"],
-            ),
-        )
-        return F.struct(
-            lvl.alias("level"),
-            trend.alias("trend"),
-            seasonal.alias("seasonal"),
-            (acc["i"] + 1).alias("i"),
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vs = pdf["v"].to_list()
+        hs = pdf["h"].to_list()
+        level, trend, seasonal = vs[0], 0.0, [0.0] * 24
+        for v, h in zip(vs[1:], hs[1:]):
+            elem = seasonal[h]
+            nl = a * (v - elem) + om_a * (level + trend)
+            trend = b * (nl - level) + om_b * trend
+            seasonal[h] = g * (v - nl) + om_g * elem
+            level = nl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]] * 24,
+                "hour": list(range(24)),
+                "seasonal_raw": seasonal,
+                "n_points": [len(vs)] * 24,
+                "level_raw": [level] * 24,
+                "trend_raw": [trend] * 24,
+            }
         )
 
-    fin = F.aggregate(F.col("pts"), acc0, step)
-    hours = F.array(*[F.lit(h) for h in range(24)])
-    return (
-        pts.select(
-            "event_type",
-            F.size("pts").alias("n_points"),
-            F.round(fin["level"], 4).alias("level"),
-            F.round(fin["trend"], 6).alias("trend"),
-            fin["seasonal"].alias("seasonal"),
-            F.explode(hours).alias("hour"),
+    from .skew import pin_grouped_parallelism
+
+    folded = (
+        pin_grouped_parallelism(pts, "event_type")
+        .groupBy("event_type")
+        .applyInPandas(
+            _hw,
+            "event_type string, hour int, seasonal_raw double, "
+            "n_points long, level_raw double, trend_raw double",
         )
-        .select(
-            "event_type",
-            "hour",
-            F.round(
-                F.element_at(F.col("seasonal"), F.col("hour") + 1), 4
-            ).alias("seasonal_index"),
-            "n_points",
-            "level",
-            "trend",
-        )
-        .orderBy("event_type", "hour")
     )
+    return folded.select(
+        "event_type",
+        "hour",
+        F.round("seasonal_raw", 4).alias("seasonal_index"),
+        "n_points",
+        F.round("level_raw", 4).alias("level"),
+        F.round("trend_raw", 6).alias("trend"),
+    ).orderBy("event_type", "hour")
 
 
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
