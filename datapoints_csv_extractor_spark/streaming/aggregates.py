@@ -915,6 +915,62 @@ def stream_cusum(
     )
 
 
+def stream_ols_trend(events: DataFrame, origin_s: int) -> DataFrame:
+    """Streaming twin of ``q_series_ols_trend``: the five OLS
+    sufficient statistics are ADDITIVE BIGINT partials, so the whole
+    regression state is one stock streaming aggregation in update
+    mode — no custom state function at all, the strongest possible
+    scale story (partial aggregation, tiny state per series, exact
+    integers so replay/merge order cannot drift the result).
+
+    One divergence from the batch form, same shape as stream_cusum's:
+    batch rebases x on the per-series MIN timestamp, which a stream
+    cannot know; the stream takes a fixed ``origin_s`` epoch-second
+    origin as configuration. Slope and R^2 are shift-invariant, so
+    they match the batch values exactly for any origin on the same
+    data (pinned in pytest); only the intercept is origin-relative
+    (it reads 'value at origin_s', documented here).
+
+    Input needs (event_type, ts_ms, value)."""
+    x = (F.col("ts_ms") / F.lit(1000)).cast("long") - F.lit(int(origin_s))
+    y = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    agg = (
+        events.withColumn("x_s", x)
+        .withColumn("y_c", y)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x_s").alias("sx"),
+            F.sum("y_c").alias("sy"),
+            F.sum(F.col("x_s") * F.col("y_c")).alias("sxy"),
+            F.sum(F.col("x_s") * F.col("x_s")).alias("sxx"),
+            F.sum(F.col("y_c") * F.col("y_c")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    denom = nd * sxx - sx * sx
+    slope_c_s = cov / denom
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope_c_s * F.lit(86400.0) / F.lit(100.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (sy - slope_c_s * sx) / nd / F.lit(100.0), 4
+        ).alias("intercept_at_origin"),
+        F.round(
+            (cov * cov) / (denom * (nd * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
 def stream_session_rollup(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -1092,3 +1092,71 @@ def test_stream_cusum_matches_batch_fold(spark, tmp_path):
     assert final.first_alarm_i == first
     assert abs(final.max_cusum_pos - msp) < 1e-12
     assert abs(final.max_cusum_neg - msn) < 1e-12
+
+
+def test_stream_ols_trend_matches_batch_slope(spark, tmp_path):
+    """Additive OLS partials across two micro-batches: slope and R^2
+    are origin-shift-invariant, so the streaming result (fixed
+    origin) must equal the batch operator (per-series-min origin) on
+    the same points."""
+    import json
+    from datetime import datetime, timezone
+
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_ols_trend,
+    )
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_series_ols_trend,
+    )
+
+    src = tmp_path / "ev"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    t0 = 1_700_000_000  # whole seconds; epoch origin for the stream
+    pts = [(i, t0 + 3600 * i, 10.0 + 2.5 * i + (i % 3)) for i in range(40)]
+
+    def write_batch(name, chunk):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_type": "s", "event_id": i,
+                     "ts_ms": 1000 * ts, "value": v}
+                )
+                for i, ts, v in chunk
+            )
+        )
+
+    schema = "event_type string, event_id long, ts_ms long, value double"
+    write_batch("b1.jsonl", pts[:25])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    _drain(spark, stream_ols_trend(stream, t0), "ols1", ckpt, "update")
+    write_batch("b2.jsonl", pts[25:])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    rows = _drain(
+        spark, stream_ols_trend(stream, t0), "ols2", ckpt, "update"
+    )
+    final = rows[-1]
+
+    # Batch twin over the same points written as an events table.
+    bdir = tmp_path / "batch"
+    spark.createDataFrame(
+        [
+            (i, datetime.fromtimestamp(ts, tz=timezone.utc)
+             .replace(tzinfo=None), 1, "s", v, "{}")
+            for i, ts, v in pts
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{bdir}/events.parquet", mode="overwrite")
+    batch = q_series_ols_trend(spark, str(bdir)).collect()[0]
+
+    assert final.n_points == 40 == batch.n_points
+    assert final.slope_per_day == batch.slope_per_day
+    assert final.r2 == batch.r2
+    # Streaming intercept reads at origin_s == the series min here,
+    # so it matches the batch intercept too.
+    assert final.intercept_at_origin == batch.intercept
