@@ -3221,6 +3221,9 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                      6) AS r2
         FROM agg
+        WHERE n >= 2
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
         ORDER BY event_type
     """
     # Welch A/B: one conditional-aggregation scan folds exact BIGINT
@@ -3248,6 +3251,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN arm_b THEN y * y ELSE 0 END)
                         AS BIGINT) AS qb
             FROM base GROUP BY event_type
+        ), guarded AS (
+            SELECT * FROM agg WHERE na >= 2 AND nb >= 2
         ), stats AS (
             SELECT event_type, na, nb,
                    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
@@ -3264,7 +3269,7 @@ def oracle_sql() -> dict[str, str]:
                       * CAST(sb AS DOUBLE) / 100.0
                       / CAST(nb AS DOUBLE))
                    / (CAST(nb AS DOUBLE) - 1.0) AS vb
-            FROM agg
+            FROM guarded
         ), welch AS (
             SELECT *,
                    va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)
@@ -3322,9 +3327,10 @@ def oracle_sql() -> dict[str, str]:
                c.n AS n_points,
                round(w.esum / CAST(c.n - 1 AS DOUBLE), 4) AS mae_holt,
                round(w.nsum / CAST(c.n - 1 AS DOUBLE), 4) AS mae_naive,
-               round(1.0 - w.esum / w.nsum, 6) AS skill_vs_naive
+               round(1.0 - w.esum / nullif(w.nsum, 0.0), 6)
+                   AS skill_vs_naive
         FROM walk w JOIN counts c USING (event_type)
-        WHERE w.i = c.n
+        WHERE w.i = c.n AND c.n >= 2
         ORDER BY w.event_type
     """
     # ANALYZE-style stats: one conditional-aggregate scan per table.

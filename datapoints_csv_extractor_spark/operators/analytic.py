@@ -1940,15 +1940,23 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fin = F.aggregate(vals, acc0, step)
     nm1 = (fin["i"] - 1).cast("double")
-    return pts.select(
-        "event_type",
-        fin["i"].cast("long").alias("n_points"),
-        F.round(fin["esum"] / nm1, 4).alias("mae_holt"),
-        F.round(fin["nsum"] / nm1, 4).alias("mae_naive"),
-        F.round(F.lit(1.0) - fin["esum"] / fin["nsum"], 6).alias(
-            "skill_vs_naive"
-        ),
-    ).orderBy("event_type")
+    # Guards: a 1-point series has no one-step errors (dropped); a
+    # perfectly flat series has mae_naive 0 and an undefined skill
+    # ratio (NULL via nullif, matching the oracle).
+    return (
+        pts.where(F.size("pts") >= 2)
+        .select(
+            "event_type",
+            fin["i"].cast("long").alias("n_points"),
+            F.round(fin["esum"] / nm1, 4).alias("mae_holt"),
+            F.round(fin["nsum"] / nm1, 4).alias("mae_naive"),
+            F.round(
+                F.lit(1.0) - fin["esum"] / F.nullif(fin["nsum"], F.lit(0.0)),
+                6,
+            ).alias("skill_vs_naive"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def holt_winters_oracle_sql(
@@ -2165,6 +2173,12 @@ def q_series_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = nd * sxy - sx * sy
     denom = nd * sxx - sx * sx
     slope_c_s = cov / denom
+    # Degenerate series guard: <2 points or zero x-variance (all
+    # points at one instant) has no defined slope — drop the row
+    # rather than emit NaN/inf (the oracle twin filters identically).
+    agg = agg.where(
+        (F.col("n") >= 2) & (nd * sxx - sx * sx != F.lit(0.0))
+    )
     return agg.select(
         "event_type",
         F.col("n").cast("long").alias("n_points"),
@@ -2213,6 +2227,9 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(arm_b, y).otherwise(F.lit(0).cast("long"))).alias("sb"),
         F.sum(F.when(arm_b, y * y).otherwise(F.lit(0).cast("long"))).alias("qb"),
     )
+    # An empty or single-point arm has no sample variance — drop the
+    # series rather than emit NaN (oracle twin filters identically).
+    agg = agg.where((F.col("na") >= 2) & (F.col("nb") >= 2))
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
     qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
