@@ -101,21 +101,39 @@ def _commit_manifest(store_path: str, manifest: dict) -> None:
     os.replace(ptmp, os.path.join(store_path, _LATEST))
 
 
+def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto ``schema`` (a StructType): missing columns
+    materialize as typed NULLs, order follows the schema — the
+    add-column evolution contract (rows written before a column
+    existed read it as NULL, like Delta/Iceberg)."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def read_store(
     spark: SparkSession, store_path: str, version: int | None = None
 ) -> DataFrame:
     """Current state at the latest (or a pinned) snapshot — all live
-    rows. An empty snapshot (every key tombstoned) returns an empty
-    frame from the manifest's schema."""
+    rows, projected onto the snapshot's schema (generations written
+    before a column was added surface it as NULL — add-column
+    evolution). An empty snapshot (every key tombstoned) returns an
+    empty frame from the manifest's schema."""
     from pyspark.sql import types as T
 
     m = _read_manifest(store_path, version)
+    schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
     dirs = [
         os.path.join(store_path, "buckets", d) for d in m["buckets"].values()
     ]
     if dirs:
-        return spark.read.parquet(*dirs)
-    schema = T.StructType.fromJson(m["schema"])
+        raw = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return _align_to_schema(raw, schema) if schema else raw
     return spark.createDataFrame([], schema)
 
 
@@ -137,7 +155,17 @@ def upsert_into_store(
     generation directories, latest-wins merge (one partial-aggregated
     shuffle over delta + affected state), write the affected buckets'
     NEW generation directories, and commit a manifest referencing new
-    generations for them and prior generations for the rest."""
+    generations for them and prior generations for the rest.
+
+    Add-column schema evolution: a delta carrying columns the store
+    has never seen WIDENS the committed schema (new fields append;
+    prior generations are untouched and read the new columns as NULL
+    through read_store's aligned projection). A delta MISSING stored
+    columns fills them with NULL for its own rows. Changing an
+    existing column's TYPE is refused loudly — silent coercion is how
+    stores corrupt."""
+    from pyspark.sql import types as T
+
     m = _read_manifest(store_path)
     n_buckets = m["n_buckets"] or n_buckets
     delta_b = _with_bucket(delta, keys, n_buckets)
@@ -146,19 +174,48 @@ def upsert_into_store(
     )
     if not affected:
         return []
+
+    delta_payload = delta_b.drop(_BUCKET, deleted_col).schema
+    if m["schema"]:
+        stored = T.StructType.fromJson(m["schema"])
+        stored_types = {f.name: f.dataType for f in stored.fields}
+        for f in delta_payload.fields:
+            if f.name in stored_types and f.dataType != stored_types[f.name]:
+                raise ValueError(
+                    f"schema evolution refused: column {f.name!r} is "
+                    f"{stored_types[f.name].simpleString()} in the store "
+                    f"but {f.dataType.simpleString()} in the delta"
+                )
+        widened = T.StructType(
+            list(stored.fields)
+            + [f for f in delta_payload.fields if f.name not in stored_types]
+        )
+    else:
+        widened = delta_payload
+    with_deleted = T.StructType(
+        list(widened.fields)
+        + [T.StructField(deleted_col, T.BooleanType())]
+    )
+
     base_dirs = [
         os.path.join(store_path, "buckets", m["buckets"][str(b)])
         for b in affected
         if str(b) in m["buckets"]
     ]
     if base_dirs:
-        base = spark.read.parquet(*base_dirs).withColumn(
-            deleted_col, F.lit(False)  # stored rows are live
-        )
+        base = _align_to_schema(
+            spark.read.option("mergeSchema", "true").parquet(*base_dirs),
+            widened,
+        ).withColumn(deleted_col, F.lit(False))  # stored rows are live
     else:
-        base = delta_b.drop(_BUCKET).limit(0)
+        base = spark.createDataFrame([], with_deleted)
+    delta_aligned = _align_to_schema(delta_b, with_deleted).withColumn(
+        deleted_col, F.coalesce(F.col(deleted_col), F.lit(False))
+    )
     merged = merge_upsert(
-        base, delta_b.drop(_BUCKET), keys=keys,
+        base,
+        delta_aligned,
+        keys=keys,
         version_cols=version_cols, deleted_col=deleted_col,
     )
     out = _with_bucket(merged.drop(deleted_col), keys, n_buckets)
@@ -189,8 +246,10 @@ def upsert_into_store(
         {
             "version": m["version"] + 1,
             "n_buckets": n_buckets,
-            "schema": m["schema"]
-            or merged.drop(deleted_col).schema.jsonValue(),
+            # The committed schema is the WIDENED one: evolution is
+            # monotone per commit, and every snapshot knows exactly
+            # the columns it serves.
+            "schema": widened.jsonValue(),
             "buckets": buckets,
         },
     )
@@ -288,17 +347,25 @@ def store_changes(
     def _read(m: dict) -> DataFrame:
         from pyspark.sql import types as T
 
+        # Both sides project onto the TO side's (wider, evolution is
+        # monotone) schema so the full-outer payload structs align;
+        # pre-evolution rows read the added columns as NULL. The v0
+        # (empty-store) manifest carries no schema — borrow the
+        # populated side's so the bootstrap diff aligns columns.
+        schema = T.StructType.fromJson(
+            m_to["schema"] or m_from["schema"]
+        )
         dirs = [
             os.path.join(store_path, "buckets", d)
             for b, d in m["buckets"].items()
             if b in changed
         ]
         if dirs:
-            return spark.read.parquet(*dirs)
-        # The v0 (empty-store) manifest carries no schema — borrow the
-        # populated side's so the bootstrap diff aligns columns.
-        schema = m["schema"] or m_to["schema"] or m_from["schema"]
-        return spark.createDataFrame([], T.StructType.fromJson(schema))
+            return _align_to_schema(
+                spark.read.option("mergeSchema", "true").parquet(*dirs),
+                schema,
+            )
+        return spark.createDataFrame([], schema)
 
     old = _read(m_from)
     new = _read(m_to)

@@ -431,3 +431,78 @@ def test_merge_upsert_property_vs_dict_replay(spark):
         assert got == expected
 
     run()
+
+
+def test_merge_store_add_column_evolution(spark, tmp_path):
+    """A delta carrying a NEW column widens the store schema; rows
+    from pre-evolution generations read it as NULL, untouched buckets
+    stay on their old generation directories, and time travel serves
+    each snapshot under its own schema."""
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        store_changes,
+    )
+
+    store = str(tmp_path / "estore")
+    upsert_into_store(
+        spark,
+        _delta(spark, [("a", 0, 0, 1.0, False), ("b", 0, 1, 2.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"], n_buckets=4,
+    )
+    v1_cols = set(read_store(spark, store).columns)
+    assert "tag" not in v1_cols
+
+    wide = spark.createDataFrame(
+        [("b", dt.datetime(2024, 1, 2), 5, 20.0, False, "fresh"),
+         ("c", dt.datetime(2024, 1, 2), 6, 30.0, False, "new")],
+        "k string, ts timestamp, seq long, v double, deleted boolean, "
+        "tag string",
+    )
+    upsert_into_store(
+        spark, wide, store, keys=["k"], version_cols=["ts", "seq"],
+        n_buckets=4,
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in read_store(spark, store).collect()}
+    assert got == {"a": (1.0, None), "b": (20.0, "fresh"), "c": (30.0, "new")}
+
+    # Time travel: snapshot 1 still reads under its original schema.
+    assert "tag" not in read_store(spark, store, version=1).columns
+
+    # A post-evolution delta WITHOUT the new column fills NULL.
+    upsert_into_store(
+        spark,
+        _delta(spark, [("d", 9, 9, 4.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"], n_buckets=4,
+    )
+    got = {r["k"]: r["tag"] for r in read_store(spark, store).collect()}
+    assert got["d"] is None and got["b"] == "fresh"
+
+    # The CDF across the evolution boundary carries the new column.
+    cdf = {
+        (r["change"], r["k"]): r
+        for r in store_changes(spark, store, 1, 2, keys=["k"]).collect()
+    }
+    assert cdf[("insert", "c")]["tag"] == "new"
+    assert cdf[("update", "b")]["tag"] == "fresh"
+
+
+def test_merge_store_refuses_type_change(spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    store = str(tmp_path / "tstore")
+    upsert_into_store(
+        spark,
+        _delta(spark, [("a", 0, 0, 1.0, False)]),
+        store, keys=["k"], version_cols=["ts", "seq"],
+    )
+    bad = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 2), 1, "oops", False)],
+        "k string, ts timestamp, seq long, v string, deleted boolean",
+    )
+    with pytest.raises(ValueError, match="schema evolution refused"):
+        upsert_into_store(
+            spark, bad, store, keys=["k"], version_cols=["ts", "seq"]
+        )
