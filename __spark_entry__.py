@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution_credit": A.q_attribution_credit,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         "q_discrete_variance": A.q_discrete_variance,
-        "q_synthetic_datapoints": A.q_synthetic_datapoints,
         "q_funnel_stages": A.q_funnel_stages,
         "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Text analysis (north-star)
@@ -101,8 +100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
         "q_decontamination": D.q_decontamination,
         # Past the 50-entry capture window from here down (locally
-        # oracle-swept): displaced in-window variants first. Round-6
-        # fifth-arc rotation: time_window_rollup / seasonal_adjusted
+        # oracle-swept). q_synthetic_datapoints moved out in round 6:
+        # the registry had drifted to 51 entries above this comment,
+        # silently pushing q_decontamination past the driver's
+        # 50-entry capture; the date-spine family stays represented
+        # out-of-window by q_recursive_date_spine / q_gap_fill.
+        "q_synthetic_datapoints": A.q_synthetic_datapoints,
+        # Displaced in-window variants next. Round-5 fifth-arc
+        # rotation: time_window_rollup / seasonal_adjusted
         # / gap_fill / quality_classifier / dedup_clusters moved out
         # (each family still represented in-window by a richer twin)
         # for the five new operator families — Holt-Winters seasonal
