@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": X.q_compression_ratio,
         "q_audience_overlap_hll": A.q_audience_overlap_hll,
         "q_dedup_cluster_sizes": D.q_dedup_cluster_sizes,
+        "q_dedup_jaccard_prefix": D.q_dedup_jaccard_prefix,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
         "q_knn_brute_force": V.q_knn_brute_force,
@@ -803,6 +804,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt c1 ON doc_id_1 = c1.doc_id
             JOIN cnt c2 ON doc_id_2 = c2.doc_id
             WHERE shared * 1.0 / (c1.n_sh + c2.n_sh - shared) >= 0.3
+        """,
+        # Same ground truth as q_dedup_ngram_jaccard at t=0.8: the
+        # prefix-filtered Spark plan must reproduce full blocking's
+        # answer exactly — the oracle doesn't care which candidate
+        # strategy produced the pairs.
+        "q_dedup_jaccard_prefix": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_1, doc_id_2,
+                   round(shared * 1.0 / (c1.n_sh + c2.n_sh - shared), 4) AS jaccard
+            FROM pairs
+            JOIN cnt c1 ON doc_id_1 = c1.doc_id
+            JOIN cnt c2 ON doc_id_2 = c2.doc_id
+            WHERE shared * 1.0 / (c1.n_sh + c2.n_sh - shared) >= 0.8
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE words AS (

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_curation_pipeline_full",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_jaccard_prefix",
     "q_dedup_clusters",
     "q_dedup_clusters_twostar",
     "q_minhash_dedup_pipeline",

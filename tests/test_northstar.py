@@ -60,6 +60,82 @@ def test_stop_shingle_cap_kills_hot_key(spark):
     assert real.jaccard > 0.5
 
 
+def test_jaccard_prefix_matches_full_blocking(spark):
+    # The PPJoin-style prefix/length/positional filters are PRUNING
+    # only: at any threshold the surviving exact-verified pairs must
+    # equal full shingle blocking's answer exactly, values included.
+    for t in (0.3, 0.8):
+        base = {
+            tuple(r)
+            for r in D.q_dedup_ngram_jaccard(spark, SF, threshold=t).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in D.q_dedup_jaccard_prefix(spark, SF, threshold=t).collect()
+        }
+        assert base, f"expected near-dup pairs at t={t} in testdata"
+        assert pref == base, f"t={t}: prefix-filtered != full blocking"
+
+
+def test_jaccard_prefix_candidates_cover_and_prune(spark):
+    # Candidates must be a SUPERSET of every true pair (no false
+    # negatives from the filters) and a strict subset of the full
+    # blocked pair space (the filters actually prune).
+    t = 0.8
+    docs = D.load(spark, SF, "documents")
+    sh = (
+        docs.withColumn("toks", D.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(D.shingles_of_tokens(F.col("toks"), 3)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+    )
+    cand = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D._prefix_candidates(sh, t).collect()
+    }
+    truth = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.q_dedup_ngram_jaccard(spark, SF, threshold=t).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "sh_hash")
+    blocked = (
+        a.join(b, "sh_hash")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+        .count()
+    )
+    assert truth and truth <= cand
+    assert len(cand) < blocked, (
+        f"prefix filters pruned nothing: {len(cand)} vs {blocked}"
+    )
+
+
+def test_jaccard_prefix_short_and_identical_docs(spark):
+    # Degenerate shapes: docs below the shingle width (no shingles,
+    # never paired), identical docs (jaccard 1.0 survives at t=0.9
+    # where the prefix is a single rarest shingle), and a
+    # high-overlap-but-below-threshold pair that candidates may
+    # contain but the exact verify must reject.
+    d = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "alpha beta gamma delta epsilon other words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in D.jaccard_prefix_pairs(d, threshold=0.9).collect()
+    }
+    assert got == {(2, 3): 1.0}
+
+
 def test_lsh_bucket_cap_plumbing(spark):
     # max_bucket=0 drops every band bucket -> zero candidates; the
     # default cap (far above any testdata bucket) changes nothing —
