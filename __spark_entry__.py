@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_multi": V.q_knn_multi,
         "q_source_mixture": X.q_source_mixture,
         "q_semantic_dedup": V.q_semantic_dedup,
+        "q_semantic_decontamination": V.q_semantic_decontamination,
         # TPC-H widening (round 4): more of the classic suite, adapted
         # to the driver's trimmed schema (no partsupp/commitdate).
         "q13_customer_distribution": R.q13_customer_distribution,
@@ -903,6 +904,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        # Max is over the per-pair ROUNDED cosine (both engines round
+        # first), so the report is engine-exact like the knn twins.
+        "q_semantic_decontamination": """
+            WITH ev AS (
+                SELECT vec_id AS eval_id, embedding AS qe
+                FROM embeddings WHERE vec_id % 20 = 0
+            ), scored AS (
+                SELECT c.vec_id, c.label,
+                       round(
+                           list_sum(list_transform(list_zip(c.embedding, ev.qe),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(ev.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) AS cosine
+                FROM embeddings c, ev
+                WHERE c.vec_id % 20 <> 0
+            )
+            SELECT vec_id, label,
+                   max(cosine) AS max_eval_cosine,
+                   max(cosine) >= 0.45 AS contaminated
+            FROM scored
+            GROUP BY vec_id, label
+            ORDER BY vec_id
         """,
         "q_knn_multi": """
             WITH q AS (

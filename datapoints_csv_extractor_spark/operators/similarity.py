@@ -1051,6 +1051,51 @@ def q_knn_multi(
     )
 
 
+def q_semantic_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = 20,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-space decontamination report: for every training
+    (corpus) vector, its maximum cosine to ANY held-out benchmark
+    vector, plus a contamination flag at ``threshold`` — the
+    embedding-side complement of the n-gram q_decontamination check
+    (a paraphrased eval item shares no 8-gram but sits right on top
+    of the benchmark in embedding space).
+
+    The benchmark side is ``vec_id % eval_mod == 0`` — a deterministic
+    stand-in for the real-world "small, fixed eval suite". That side
+    is broadcast: at 100 TB the corpus is the big side and the eval
+    suite stays thousands of rows, so the plan is one corpus scan x
+    broadcast nested-loop scoring + a corpus-keyed partial max — no
+    shuffle of the corpus beyond the final per-vector aggregate, and
+    no index to build or invalidate. Scoring stays JVM-side
+    (zip_with/aggregate fold, the q_knn_brute_force arithmetic) so the
+    rounded scores are engine-exact vs the oracle.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % eval_mod == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_embedding"),
+    )
+    corpus = e.where(F.col("vec_id") % eval_mod != 0)
+    cos = F.round(cosine(F.col("embedding"), F.col("eval_embedding")), 4)
+    return (
+        corpus.join(F.broadcast(ev), F.lit(True))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("cosine").alias("max_eval_cosine"))
+        .select(
+            "vec_id",
+            "label",
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= threshold).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def build_lsh_index(
     e: DataFrame, index_dir: str, n_bits: int = 8
 ) -> None:

@@ -136,6 +136,30 @@ def test_jaccard_prefix_short_and_identical_docs(spark):
     assert got == {(2, 3): 1.0}
 
 
+def test_semantic_decontamination_flags_planted_copy(spark, tmp_path):
+    # A corpus vector colinear with a benchmark vector must flag
+    # (cosine 1.0); an orthogonal one must not. The report covers
+    # EVERY corpus vector, flagged or not.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "eval"),     # benchmark (vec_id % 20 == 0)
+        (1, [2.0, 0.0, 0.0, 0.0], "copy"),     # colinear -> contaminated
+        (2, [0.0, 1.0, 0.0, 0.0], "clean"),    # orthogonal -> clean
+        (3, [1.0, 1.0, 0.0, 0.0], "near"),     # cos = 0.7071 -> contaminated
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.vec_id: (r.max_eval_cosine, r.contaminated)
+        for r in V.q_semantic_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1.0, True),
+        2: (0.0, False),
+        3: (0.7071, True),
+    }
+
+
 def test_lsh_bucket_cap_plumbing(spark):
     # max_bucket=0 drops every band bucket -> zero candidates; the
     # default cap (far above any testdata bucket) changes nothing —
