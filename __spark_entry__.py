@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": C.q_pii_stats,
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
+        "q_m4_downsample": A.q_m4_downsample,
+        "q_stl_decompose": A.q_stl_decompose,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         "q_gopher_rules": C.q_gopher_rules,
@@ -2342,6 +2344,81 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cum >= ceil(0.5 * total) THEN mid END) AS p50_est,
                min(CASE WHEN cum >= ceil(0.95 * total) THEN mid END) AS p95_est
         FROM walked GROUP BY event_type, day
+        ORDER BY event_type, day
+    """
+    sql["q_m4_downsample"] = """
+        WITH ev AS (
+            SELECT event_id, event_type, ts, value,
+                   CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                       AS bucket_start
+            FROM events
+        ), flagged AS (
+            SELECT event_type, bucket_start, ts, value,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY ts, event_id) AS rn_first,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY ts DESC, event_id) AS rn_last,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY value, ts, event_id) AS rn_min,
+                   row_number() OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY value DESC, ts, event_id) AS rn_max
+            FROM ev
+        )
+        SELECT event_type, bucket_start, role, ts, value FROM (
+            SELECT event_type, bucket_start, 'first' AS role, ts, value
+            FROM flagged WHERE rn_first = 1
+            UNION ALL
+            SELECT event_type, bucket_start, 'last', ts, value
+            FROM flagged WHERE rn_last = 1
+            UNION ALL
+            SELECT event_type, bucket_start, 'min', ts, value
+            FROM flagged WHERE rn_min = 1
+            UNION ALL
+            SELECT event_type, bucket_start, 'max', ts, value
+            FROM flagged WHERE rn_max = 1
+        )
+        ORDER BY event_type, bucket_start, role, ts
+    """
+    # Trend is one division of two windowed INTEGER sums; the weekday
+    # seasonal mean sums the day-ordered list sequentially (list_sum
+    # over a framed list()) — the same engine-exactness tricks as the
+    # Spark side, so doubles match bit-for-bit before rounding.
+    sql["q_stl_decompose"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, day, n_points,
+                   s / n_points / 100.0 AS day_mean,
+                   CAST(sum(s) OVER w AS BIGINT)
+                       / CAST(sum(n_points) OVER w AS BIGINT) / 100.0 AS trend
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), x AS (
+            SELECT event_type, day, n_points, day_mean, trend,
+                   day_mean - trend AS detrended,
+                   dayofweek(day) AS dow
+            FROM t
+        ), sea AS (
+            SELECT event_type, day, n_points, day_mean, trend, detrended,
+                   list_sum(list(detrended) OVER wd)
+                       / count(*) OVER wd AS seasonal
+            FROM x
+            WINDOW wd AS (PARTITION BY event_type, dow ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, day, n_points,
+               floor(day_mean * 10000 + 0.5) / 10000.0 AS day_mean,
+               floor(trend * 10000 + 0.5) / 10000.0 AS trend,
+               floor(seasonal * 10000 + 0.5) / 10000.0 AS seasonal,
+               floor((detrended - seasonal) * 10000 + 0.5) / 10000.0
+                   AS residual
+        FROM sea
         ORDER BY event_type, day
     """
     sql["q_seasonal_profile"] = """

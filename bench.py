@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q18_large_volume_customers",
     "q_lttb_downsample",
+    "q_m4_downsample",
+    "q_stl_decompose",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_profit",

@@ -488,6 +488,136 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(ev, n_buckets=20)
 
 
+def q_m4_downsample(
+    spark: SparkSession, sf_dir: str, bucket_s: int = 21600
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB'14 — public
+    literature): per (series, pixel-bucket), keep the four ACTUAL
+    points a pixel-perfect line render needs — first, last, min, max
+    — instead of LTTB's triangle heuristic (q_lttb_downsample covers
+    that; M4 is the error-free variant dashboards use).
+
+    All four picks are row_number()=1 under four orderings of ONE
+    window partitioning (event_type, bucket): a single shuffle, then
+    in-partition sorts; ties break on (ts, event_id) so the witness
+    point is engine-deterministic. Output is long-form (one row per
+    role) — a point winning several roles appears once per role, so
+    every bucket contributes exactly four rows and the downsample
+    ratio is fixed by construction. Scale: state per task is one
+    bucket's points; buckets are time-bounded, so skew is bounded by
+    the hottest (series, 6 h) cell, not the series size."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    bucket = F.floor(F.unix_timestamp("ts") / bucket_s)
+    ev = ev.withColumn("bucket_start", (bucket * bucket_s).cast("long"))
+    part = ["event_type", "bucket_start"]
+    orders = {
+        "first": [F.col("ts").asc(), F.col("event_id").asc()],
+        "last": [F.col("ts").desc(), F.col("event_id").asc()],
+        "min": [F.col("value").asc(), F.col("ts").asc(), F.col("event_id").asc()],
+        "max": [F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()],
+    }
+    flagged = ev.select(
+        "event_type",
+        "bucket_start",
+        "ts",
+        "value",
+        "event_id",
+        *[
+            F.row_number()
+            .over(Window.partitionBy(*part).orderBy(*o))
+            .alias(f"rn_{role}")
+            for role, o in orders.items()
+        ],
+    )
+    roles = F.array(
+        *[
+            F.when(F.col(f"rn_{role}") == 1, F.lit(role))
+            for role in orders
+        ]
+    )
+    return (
+        flagged.select(
+            "event_type",
+            "bucket_start",
+            F.explode(F.filter(roles, lambda r: r.isNotNull())).alias("role"),
+            "ts",
+            "value",
+        )
+        .orderBy("event_type", "bucket_start", "role", "ts")
+    )
+
+
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of each event type's daily
+    series: value = trend + seasonal(day-of-week) + residual — the
+    classical-decomposition baseline (trend via centered 7-day moving
+    average, seasonal via per-weekday means of the detrended series)
+    that seasonality-aware monitors subtract before thresholding.
+
+    Engine-exactness discipline (the q_seasonal_profile /
+    q_discrete_variance pattern): daily partials are exact centi-unit
+    integer sums, the trend is ONE division of two windowed integer
+    sums (a count-weighted centered MA — no FP accumulation order
+    anywhere), and the weekday-seasonal mean is a day-ordered
+    sequential fold over collect_list (both engines sum the identical
+    sequence), so every output double is bit-identical to the DuckDB
+    oracle before the display rounding."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    day_mean = F.col("s") / F.col("n_points") / 100.0
+    trend = (
+        F.sum("s").over(w7) / F.sum("n_points").over(w7) / 100.0
+    )
+    x = daily.select(
+        "event_type",
+        "day",
+        "n_points",
+        day_mean.alias("day_mean"),
+        trend.alias("trend"),
+        (day_mean - trend).alias("detrended"),
+        F.dayofweek("day").alias("dow"),
+    )
+    wdow = Window.partitionBy("event_type", "dow")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("day", "detrended")).over(wdow)
+    )
+    fold = F.aggregate(
+        ordered,
+        F.lit(0.0).cast("double"),
+        lambda acc, r: acc + r["detrended"],
+    )
+    seasonal = fold / F.count(F.lit(1)).over(wdow)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return (
+        x.select(
+            "event_type",
+            "day",
+            "n_points",
+            r4(F.col("day_mean")).alias("day_mean"),
+            r4(F.col("trend")).alias("trend"),
+            r4(seasonal).alias("seasonal"),
+            r4(F.col("detrended") - seasonal).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def datapoint_aggregates(
     df: DataFrame,
     granularity: str = "day",

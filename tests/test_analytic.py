@@ -22,6 +22,54 @@ def test_time_window_rollup_partitions_all_events(spark):
     assert out.count() == out.select("window_start", "event_type").distinct().count()
 
 
+def test_m4_downsample_invariants(spark):
+    out = A.q_m4_downsample(spark, SF).collect()
+    assert out
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault((r.event_type, r.bucket_start), {})[r.role] = r
+    raw = load(spark, SF, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600)
+         * 21600).cast("long").alias("bucket_start"),
+        "ts",
+        "value",
+    ).collect()
+    bounds: dict = {}
+    for r in raw:
+        k = (r.event_type, r.bucket_start)
+        lo_v, hi_v, lo_t, hi_t, n = bounds.get(
+            k, (float("inf"), float("-inf"), None, None, 0)
+        )
+        bounds[k] = (
+            min(lo_v, r.value), max(hi_v, r.value),
+            min(lo_t, r.ts) if lo_t else r.ts,
+            max(hi_t, r.ts) if hi_t else r.ts, n + 1,
+        )
+    # Exactly the non-empty buckets, exactly 4 roles each, and each
+    # role's witness matches the true per-bucket extremum.
+    assert set(by_bucket) == set(bounds)
+    for k, roles in by_bucket.items():
+        assert set(roles) == {"first", "last", "min", "max"}
+        lo_v, hi_v, lo_t, hi_t, _ = bounds[k]
+        assert roles["min"].value == lo_v and roles["max"].value == hi_v
+        assert roles["first"].ts == lo_t and roles["last"].ts == hi_t
+
+
+def test_stl_decompose_reconstructs_and_centers(spark):
+    rows = A.q_stl_decompose(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # Additive identity up to the four display roundings.
+        assert abs(r.day_mean - (r.trend + r.seasonal + r.residual)) < 5e-4
+    # Seasonal is constant within (event_type, weekday).
+    per_dow: dict = {}
+    for r in rows:
+        k = (r.event_type, r.day.weekday())
+        per_dow.setdefault(k, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in per_dow.values())
+
+
 def test_session_window_invariants(spark):
     e = load(spark, SF, "events")
     out = A.q_session_window(spark, SF)
