@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": X.q_unigram_logprob,
         "q_token_chunks": X.q_token_chunks,
         "q_knn_multi": V.q_knn_multi,
+        "q_retrieval_metrics": V.q_retrieval_metrics,
         "q_source_mixture": X.q_source_mixture,
         "q_semantic_dedup": V.q_semantic_dedup,
         "q_semantic_decontamination": V.q_semantic_decontamination,
@@ -263,6 +264,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promotion_suppliers": R.q20_promotion_suppliers,
         "q21_waiting_suppliers": R.q21_waiting_suppliers,
     }
+
+
+def _retrieval_metrics_oracle(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB twin of q_retrieval_metrics, built around the SAME
+    repr()-serialized discount literals the Spark plan embeds."""
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        _dcg_discounts,
+    )
+
+    disc = "[" + ", ".join(repr(d) for d in _dcg_discounts(k)) + "]"
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_vec_id, label AS query_label,
+                   embedding AS qe
+            FROM embeddings WHERE vec_id < {n_queries}
+        ), scored AS (
+            SELECT q.query_vec_id, q.query_label, e.vec_id, e.label,
+                   round(
+                       list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                       4) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored
+        ), topk AS (
+            SELECT query_vec_id, query_label, rnk,
+                   CASE WHEN label = query_label THEN 1 ELSE 0 END AS rel,
+                   ({disc})[rnk] AS disc
+            FROM ranked WHERE rnk <= {k}
+        ), sizes AS (
+            SELECT label, count(*) AS n_label FROM embeddings GROUP BY label
+        ), per_q AS (
+            SELECT query_vec_id, query_label,
+                   CAST(sum(rel) AS BIGINT) AS hits,
+                   min(CASE WHEN rel = 1 THEN rnk END) AS first_rel_rank,
+                   list_sum(list(rel * disc ORDER BY rnk)) AS dcg
+            FROM topk GROUP BY 1, 2
+        )
+        SELECT p.query_vec_id, p.query_label,
+               CAST(s.n_label - 1 AS BIGINT) AS n_relevant,
+               round(CAST(hits AS DOUBLE) / {k}, 4) AS precision_at_k,
+               CASE WHEN s.n_label - 1 > 0
+                    THEN round(CAST(hits AS DOUBLE) / (s.n_label - 1), 4)
+                    ELSE 0.0 END AS recall_at_k,
+               round(coalesce(CAST(1.0 AS DOUBLE) / first_rel_rank, 0.0), 4) AS mrr,
+               CASE WHEN s.n_label - 1 > 0
+                    THEN round(dcg / list_sum(({disc})[1:least({k}, s.n_label - 1)]), 4)
+                    ELSE 0.0 END AS ndcg_at_k
+        FROM per_q p JOIN sizes s ON p.query_label = s.label
+        ORDER BY p.query_vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -907,6 +964,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        # Ranking + discounts mirror q_retrieval_metrics exactly: the
+        # DCG discount table is the SAME repr()-literal list the Spark
+        # plan embeds (engine log2 differs in the last ulp), and every
+        # fold is rank-ordered.
+        "q_retrieval_metrics": _retrieval_metrics_oracle(),
         # Max is over the per-pair ROUNDED cosine (both engines round
         # first), so the report is engine-exact like the knn twins.
         "q_semantic_decontamination": """

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q_winnowing_fingerprints",
     "q_knn_brute_force",
     "q_semantic_decontamination",
+    "q_retrieval_metrics",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_ann_sq_topk",

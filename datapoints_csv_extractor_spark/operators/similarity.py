@@ -1096,6 +1096,113 @@ def q_semantic_decontamination(
     )
 
 
+def _dcg_discounts(k: int) -> list[float]:
+    """1/log2(rank+1) for ranks 1..k, materialized driver-side so both
+    engines consume IDENTICAL decimal literals — Spark's log2 and
+    DuckDB's differ in the last ulp (measured), which would leak
+    through any fold no matter how carefully ordered."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def q_retrieval_metrics(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality report for the exact top-k ranking:
+    precision@k, recall@k, MRR, and nDCG@k per probe query, with
+    same-label membership as the (binary) relevance judgment — the
+    evaluation harness run before trusting any retrieval stack, here
+    measuring the ceiling the ANN paths approximate
+    (q_ann_recall_report measures how closely they hit it).
+
+    The ranking is q_knn_multi's: rounded-cosine desc, vec_id
+    tie-break — engine-deterministic. DCG folds rank-ordered terms
+    sequentially (collect_list -> array_sort -> aggregate); the
+    discount table is a shared literal array (see _dcg_discounts), so
+    every double matches the oracle bit-for-bit. All per-query state
+    is k-sized; the corpus-side relevant counts are one broadcast-
+    joined aggregate — nothing driver-side scales with the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    disc = F.array(*[F.lit(d) for d in _dcg_discounts(k)])
+    cos = F.round(cosine(F.col("embedding"), F.col("query_embedding")), 4)
+    from pyspark.sql import Window
+
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_vec_id")
+    ).select(
+        "query_vec_id",
+        "query_label",
+        "vec_id",
+        "label",
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn(
+            "rel", (F.col("label") == F.col("query_label")).cast("int")
+        )
+    )
+    # Corpus-wide relevant count per query (excluding the query row),
+    # for recall@k and the ideal DCG depth.
+    label_sizes = e.groupBy("label").agg(F.count("*").alias("n_label"))
+    per_q = (
+        topk.groupBy("query_vec_id", "query_label")
+        .agg(
+            F.sum("rel").alias("hits"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+                "first_rel_rank"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        (F.col("rel") * F.element_at(disc, F.col("rank"))).alias(
+                            "term"
+                        ),
+                    )
+                )
+            ).alias("terms"),
+        )
+        .join(
+            label_sizes, F.col("query_label") == F.col("label")
+        )
+        .withColumn("n_relevant", F.col("n_label") - 1)
+    )
+    dcg = F.aggregate(
+        F.col("terms"), F.lit(0.0).cast("double"), lambda a, t: a + t["term"]
+    )
+    idcg = F.aggregate(
+        F.slice(disc, 1, F.least(F.lit(k), F.col("n_relevant"))),
+        F.lit(0.0).cast("double"),
+        lambda a, d: a + d,
+    )
+    return per_q.select(
+        "query_vec_id",
+        "query_label",
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.round(F.col("hits") / k, 4).alias("precision_at_k"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(F.col("hits") / F.col("n_relevant"), 4),
+        ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 4
+        ).alias("mrr"),
+        F.when(F.col("n_relevant") > 0, F.round(dcg / idcg, 4))
+        .otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+    ).orderBy("query_vec_id")
+
+
 def build_lsh_index(
     e: DataFrame, index_dir: str, n_bits: int = 8
 ) -> None:

@@ -160,6 +160,26 @@ def test_semantic_decontamination_flags_planted_copy(spark, tmp_path):
     }
 
 
+def test_retrieval_metrics_perfect_and_bounded(spark, tmp_path):
+    # A tight planted cluster around the probe must score perfect
+    # precision/recall/MRR/nDCG; every metric stays in [0, 1].
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], "a")]
+    rows += [(i, [1.0, 0.01 * i, 0.0, 0.0], "a") for i in (1, 2, 3)]
+    rows += [(i, [0.0, 0.0, 1.0, 0.1 * i], "b") for i in (20, 21, 22, 23)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    [r] = V.q_retrieval_metrics(
+        spark, str(tmp_path), n_queries=1, k=3
+    ).collect()
+    assert (r.precision_at_k, r.recall_at_k, r.mrr, r.ndcg_at_k) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
+    for row in V.q_retrieval_metrics(spark, SF).collect():
+        for m in ("precision_at_k", "recall_at_k", "mrr", "ndcg_at_k"):
+            assert 0.0 <= row[m] <= 1.0, (row.query_vec_id, m, row[m])
+
+
 def test_lsh_bucket_cap_plumbing(spark):
     # max_bucket=0 drops every band bucket -> zero candidates; the
     # default cap (far above any testdata bucket) changes nothing —
