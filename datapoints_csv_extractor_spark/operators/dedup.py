@@ -750,6 +750,54 @@ def decontamination(
     )
 
 
+def _doc_grams(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram_hash) — distinct word-k-gram hashes per doc."""
+    return d.select(
+        "doc_id",
+        F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gram_hash"))
+
+
+def eval_gram_table(eval_docs: DataFrame, k: int = 8) -> DataFrame:
+    """The eval suite reduced to its (eval_doc_id, gram_hash) set —
+    the precomputed STATIC side of decontamination. A streaming job
+    builds this once and checks every micro-batch against it (see
+    streaming/aggregates.py: stream_decontamination)."""
+    return _doc_grams(
+        eval_docs.withColumn("toks", tokens(F.col("text"))), k
+    ).select(F.col("doc_id").alias("eval_doc_id"), "gram_hash")
+
+
+def decontamination_against_grams(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    k: int = 8,
+    max_gram_df: int = STOP_SHINGLE_MAX_DF,
+) -> DataFrame:
+    """Flag (doc_id, text) training docs overlapping a PREBUILT eval
+    gram table (see decontamination for semantics; this entry skips
+    re-deriving the eval side — the shape both the streaming twin and
+    any repeated-scan batch caller want)."""
+    tg = _doc_grams(
+        spread_scan(train).withColumn("toks", tokens(F.col("text"))), k
+    )
+    hot = (
+        tg.groupBy("gram_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_gram_df)
+        .select("gram_hash")
+    )
+    tg = tg.join(F.broadcast(hot), "gram_hash", "left_anti")
+    return (
+        tg.join(eval_grams, "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram_hash").alias("n_contaminated_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
 def decontamination_from_toks(
     train_toks: DataFrame,
     eval_toks: DataFrame,
@@ -758,13 +806,7 @@ def decontamination_from_toks(
 ) -> DataFrame:
     """Decontamination over pre-tokenized (doc_id, toks) frames (see
     decontamination; composites pass their shared tokenized scan)."""
-    def grams(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id",
-            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("gram"),
-        ).select("doc_id", F.xxhash64("gram").alias("gram_hash"))
-
-    tg = grams(train_toks)
+    tg = _doc_grams(train_toks, k)
     hot = (
         tg.groupBy("gram_hash")
         .agg(F.count("*").alias("df"))
@@ -772,7 +814,7 @@ def decontamination_from_toks(
         .select("gram_hash")
     )
     tg = tg.join(F.broadcast(hot), "gram_hash", "left_anti")
-    eg = grams(eval_toks).select(
+    eg = _doc_grams(eval_toks, k).select(
         F.col("doc_id").alias("eval_doc_id"), "gram_hash"
     )
     return (

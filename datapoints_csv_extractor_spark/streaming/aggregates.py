@@ -234,6 +234,56 @@ def stream_dedup_incremental(
     return writer.start()
 
 
+def stream_decontamination(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    checkpoint_dir: str,
+    on_batch=None,
+    k: int = 8,
+    available_now: bool = True,
+):
+    """Continuous benchmark decontamination: every micro-batch of
+    (doc_id, text) training documents is checked for word-k-gram
+    overlap against a STATIC eval suite, and each batch's contaminated
+    docs are handed to ``on_batch(batch_id, flags_df)`` (e.g. to feed
+    a quarantine sink before the docs ever reach the corpus store —
+    admission control, where the batch q_decontamination is an audit).
+
+    Contamination is per-doc against a fixed reference, so batches
+    are independent: no cross-batch streaming state at all (the only
+    state is the file-source checkpoint), and a replayed batch
+    recomputes identical verdicts — trivially effectively-once for
+    any idempotent ``on_batch``. The eval side reduces to its gram
+    table ONCE (localCheckpoint) rather than per batch; at 100 TB the
+    stream side is the big one and each batch's work is
+    O(|batch grams| + overlaps).
+    """
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        decontamination_against_grams,
+        eval_gram_table,
+    )
+
+    eval_grams = eval_gram_table(eval_docs, k).localCheckpoint(eager=True)
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        flags = decontamination_against_grams(
+            batch_df, eval_grams, k
+        ).localCheckpoint()
+        if on_batch is not None:
+            on_batch(batch_id, flags)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("stream_decontamination")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_semantic_dedup_incremental(
     vecs_stream: DataFrame,
     index_dir: str,

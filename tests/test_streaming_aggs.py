@@ -245,6 +245,64 @@ def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
     ]
 
 
+def test_stream_decontamination_admission_control(spark, tmp_path):
+    """Two availableNow runs over a growing training-doc folder: each
+    run flags exactly its new docs sharing an 8-gram with the static
+    eval suite, clean docs never surface, and the file-source
+    checkpoint keeps run 2 from re-flagging run 1's docs."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_decontamination,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(9000, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "train"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    leak = (
+        "prefix words then alpha beta gamma delta epsilon zeta eta "
+        "theta more trailing content"
+    )  # contains eval 8-gram "alpha ... theta"
+    clean = (
+        "wholly unrelated text about shuffle partitions and adaptive "
+        "query execution in distributed engines"
+    )
+    spark.createDataFrame(
+        [(1, leak), (2, clean)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    batches: list[tuple[int, list]] = []
+
+    def run() -> None:
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(str(src))
+        q = stream_decontamination(
+            stream, eval_docs, ckpt,
+            on_batch=lambda bid, v: batches.append((bid, v.collect())),
+        )
+        q.awaitTermination(120)
+
+    run()
+    flagged = {r.doc_id: r for rows in batches for r in (rows[1] if isinstance(rows, tuple) else rows)}
+    assert set(flagged) == {1}
+    assert flagged[1].n_contaminated_grams >= 1
+    assert flagged[1].n_eval_docs_hit == 1
+
+    # Run 2: one new contaminated doc; run 1's docs are checkpointed
+    # away and must not re-flag.
+    spark.createDataFrame(
+        [(3, "noise then beta gamma delta epsilon zeta eta theta iota done")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    batches.clear()
+    run()
+    flagged2 = {r.doc_id for rows in batches for r in (rows[1] if isinstance(rows, tuple) else rows)}
+    assert flagged2 == {3}
+
+
 def test_stream_dedup_incremental_across_restarts(spark, tmp_path):
     """Two availableNow runs over a growing document folder: the second
     run must process ONLY the new shard (file-source checkpoint), flag
