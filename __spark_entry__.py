@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": R.q_scalar_subquery,
         "q_asof_join_tolerance": R.q_asof_join_tolerance,
         "q_window_lag": R.q_window_lag,
+        "q_scd2_history": R.q_scd2_history,
         "q_window_running_sum": R.q_window_running_sum,
         "q_set_ops": R.q_set_ops,
         "q_grouping_sets": A.q_grouping_sets,
@@ -256,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_datapoints": A.q_latest_datapoints,
         "q_derivative": A.q_derivative,
         "q_anomaly_zscore": A.q_anomaly_zscore,
+        "q_anomaly_mad": A.q_anomaly_mad,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1560,6 +1562,44 @@ def oracle_sql() -> dict[str, str]:
         FROM d
         WHERE dt_us > 0
         ORDER BY user_id, ts
+    """
+    sql["q_anomaly_mad"] = """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_id, e.event_type, e.ts, e.value, m.med,
+                   abs(e.value - m.med) AS abs_dev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.ts, d.value,
+               round(0.6745 * (d.value - d.med) / md.mad, 4) AS robust_z
+        FROM dev d JOIN mad md USING (event_type)
+        WHERE abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
+        ORDER BY d.event_type, d.event_id
+    """
+    sql["q_scd2_history"] = """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_attr
+            FROM events
+        ), changes AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM marked
+            WHERE prev_attr IS NULL OR event_type <> prev_attr
+        )
+        SELECT user_id, event_type,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
     """
     sql["q_anomaly_zscore"] = """
         WITH c AS (

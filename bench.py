@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "q_sliding_window_rollup_two_level",
     "q_time_weighted_aggregates_hourly",
     "q_anomaly_zscore",
+    "q_anomaly_mad",
+    "q_scd2_history",
     "q_derivative",
     "q_holt_forecast",
     "q_holt_winters",
@@ -656,6 +658,8 @@ def main() -> None:
                 for ts_q in (
                     "q_time_weighted_aggregates",
                     "q_anomaly_zscore",
+    "q_anomaly_mad",
+    "q_scd2_history",
                     "q_session_window",
                     "q_session_window_scalable",
                     "q_asof_join",

@@ -208,6 +208,47 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_mad(
+    spark: SparkSession, sf_dir: str, cutoff: float = 3.5
+) -> DataFrame:
+    """Robust anomaly detection by modified z-score (Iglewicz-Hoaglin,
+    public statistics practice): flag events where
+    0.6745 * |value - median| / MAD > ``cutoff``. Unlike
+    q_anomaly_zscore's mean/std, median and MAD don't move when the
+    outliers themselves get bigger — the robustness an alerting
+    pipeline needs when the contamination is exactly what it's
+    hunting.
+
+    Two grouped exact medians (value, then absolute deviation), each
+    joined back to the scan as a types-sized broadcast. Exact
+    ``percentile`` is sort-based per group; the 100 TB swap is
+    ``approx_percentile`` (mergeable t-digest), same call shape — the
+    q_percentiles trade, stated there."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > cutoff)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: events bucketed into generated 7-day
     intervals via ``start <= ts < end``.

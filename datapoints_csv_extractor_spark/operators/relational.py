@@ -402,6 +402,44 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("value_delta").isNotNull())
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: each
+    user's event_type stream collapses to its CHANGE points, versioned
+    with [valid_from, valid_to) intervals and an is_current flag — the
+    dimension-versioning complement of the merge store (which keeps
+    current state + CDF; SCD2 materializes the full history a
+    point-in-time join consumes).
+
+    Two windows over ONE (user_id)-partitioned sort: lag() marks
+    change points (consecutive repeats collapse — the no-op-update
+    suppression real SCD2 loaders do), then row_number/lead on the
+    surviving rows assign version numbers and close each interval
+    with its successor's start. No shuffle beyond the partition sort;
+    state per task is one user's history."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.col("event_type").alias("attr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_attr", F.lag("attr").over(w)).where(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("attr").alias("event_type"),
+            F.row_number().over(w2).alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user value total ordered by time (cumulative frame)."""
     ev = load(spark, sf_dir, "events")

@@ -22,6 +22,54 @@ def test_time_window_rollup_partitions_all_events(spark):
     assert out.count() == out.select("window_start", "event_type").distinct().count()
 
 
+def test_anomaly_mad_flags_planted_outlier_robustly(spark, tmp_path):
+    # 30 inliers at ~10 plus two gross outliers: MAD flags exactly the
+    # outliers, and (robustness) the flags don't move when the
+    # outliers get 10x worse — the property mean/std z-scores lack.
+    import datetime as dt
+
+    def write(outlier_scale: float) -> None:
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, i), 1, "a", 10.0 + (i % 5) * 0.1,
+             "{}")
+            for i in range(30)
+        ]
+        rows += [
+            (100, dt.datetime(2024, 1, 2), 1, "a", 500.0 * outlier_scale, "{}"),
+            (101, dt.datetime(2024, 1, 3), 1, "a", -400.0 * outlier_scale, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    write(1.0)
+    got = {r.event_id for r in A.q_anomaly_mad(spark, str(tmp_path)).collect()}
+    assert got == {100, 101}
+    write(10.0)
+    got10 = {r.event_id for r in A.q_anomaly_mad(spark, str(tmp_path)).collect()}
+    assert got10 == {100, 101}
+
+
+def test_scd2_history_invariants(spark):
+    from datapoints_csv_extractor_spark.operators import relational as R
+
+    rows = R.q_scd2_history(spark, SF).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # Versions are 1..n; intervals chain exactly; one current row.
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+            assert a.event_type != b.event_type  # no-op updates collapsed
+        assert hist[-1].is_current and hist[-1].valid_to is None
+
+
 def test_m4_downsample_invariants(spark):
     out = A.q_m4_downsample(spark, SF).collect()
     assert out
