@@ -658,8 +658,8 @@ def main() -> None:
                 for ts_q in (
                     "q_time_weighted_aggregates",
                     "q_anomaly_zscore",
-    "q_anomaly_mad",
-    "q_scd2_history",
+                    "q_anomaly_mad",
+                    "q_scd2_history",
                     "q_session_window",
                     "q_session_window_scalable",
                     "q_asof_join",
@@ -683,6 +683,12 @@ def main() -> None:
                     "q_dsir_importance_sample",
                     "q_bloom_decontamination",
                     "q_phrase_search",
+                    # Round-6 additions: prefix-filtered Jaccard
+                    # (candidate pruning must hold as pairs grow) and
+                    # the broadcast-eval decontamination report
+                    # (linear in the corpus side by construction).
+                    "q_dedup_jaccard_prefix",
+                    "q_semantic_decontamination",
                 ):
                     runs[corpus_q] = _best_of(
                         lambda q=corpus_q: _materialize(qs[q](spark, sdir)),
