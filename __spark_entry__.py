@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join_tolerance": R.q_asof_join_tolerance,
         "q_window_lag": R.q_window_lag,
         "q_scd2_history": R.q_scd2_history,
+        "q_pit_join": R.q_pit_join,
         "q_window_running_sum": R.q_window_running_sum,
         "q_set_ops": R.q_set_ops,
         "q_grouping_sets": A.q_grouping_sets,
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_derivative": A.q_derivative,
         "q_anomaly_zscore": A.q_anomaly_zscore,
         "q_anomaly_mad": A.q_anomaly_mad,
+        "q_feature_drift_ks": A.q_feature_drift_ks,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q4_order_priority": R.q4_order_priority,
         "q9_product_profit": R.q9_product_profit,
@@ -1600,6 +1602,70 @@ def oracle_sql() -> dict[str, str]:
         FROM changes
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, version
+    """
+    sql["q_pit_join"] = """
+        WITH tiered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN value < 33 THEN 'low'
+                        WHEN value < 66 THEN 'mid'
+                        ELSE 'high' END AS attr
+            FROM events
+        ), marked AS (
+            SELECT *, lag(attr) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_attr
+            FROM tiered
+        ), changes AS (
+            SELECT user_id, ts, event_id, attr
+            FROM marked WHERE prev_attr IS NULL OR attr <> prev_attr
+        ), hist AS (
+            SELECT user_id, attr AS tier,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT f.event_id, f.user_id, f.ts, h.tier,
+               h.version AS tier_version
+        FROM events f
+        JOIN hist h ON f.user_id = h.user_id
+                   AND h.valid_from <= f.ts
+                   AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        WHERE f.event_type = 'purchase'
+        ORDER BY f.event_id
+    """
+    # KS from integer ECDF cross-products; the only doubles are one
+    # division and one (IEEE-exact) sqrt.
+    sql["q_feature_drift_ks"] = """
+        WITH pts AS (
+            SELECT event_type, value,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type,
+                   CAST(sum(c1) OVER wv AS BIGINT) AS cum1,
+                   CAST(sum(c2) OVER wv AS BIGINT) AS cum2,
+                   CAST(sum(c1) OVER wt AS BIGINT) AS n1,
+                   CAST(sum(c2) OVER wt AS BIGINT) AS n2
+            FROM pts
+            WINDOW wv AS (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wt AS (PARTITION BY event_type)
+        ), agg AS (
+            SELECT event_type, n1, n2,
+                   CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+                       AS max_gap
+            FROM cum GROUP BY 1, 2, 3
+        )
+        SELECT event_type, n1 AS n_before, n2 AS n_after,
+               round(max_gap / (n1 * n2), 6) AS ks_stat,
+               max_gap / (n1 * n2)
+                   > 1.358 * sqrt((n1 + n2) / (n1 * n2)) AS drifted
+        FROM agg ORDER BY event_type
     """
     sql["q_anomaly_zscore"] = """
         WITH c AS (

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q_anomaly_zscore",
     "q_anomaly_mad",
     "q_scd2_history",
+    "q_pit_join",
+    "q_feature_drift_ks",
     "q_derivative",
     "q_holt_forecast",
     "q_holt_winters",

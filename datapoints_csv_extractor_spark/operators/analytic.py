@@ -249,6 +249,60 @@ def q_anomaly_mad(
     )
 
 
+def q_feature_drift_ks(
+    spark: SparkSession, sf_dir: str, alpha_c: float = 1.358
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: the
+    max ECDF gap between the first half of the month and the rest —
+    the nonparametric partner of q_distribution_drift_psi (PSI needs
+    binning; KS sees ANY distributional change and comes with a
+    significance cut, c(0.05)=1.358).
+
+    Exactness discipline: one hash aggregate to (type, value,
+    n_before, n_after) collapses ties, running INTEGER window sums
+    build both ECDFs, and the statistic is max |cum1*n2 - cum2*n1| —
+    all integer — divided once by n1*n2 at the end. The significance
+    threshold uses sqrt (IEEE correctly-rounded, engine-safe unlike
+    log/exp). Group cardinality is distinct values per type, not
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    before = (
+        F.col("ts").cast("timestamp") < F.lit("2024-01-16").cast("timestamp")
+    ).cast("long")
+    pts = ev.groupBy("event_type", "value").agg(
+        F.sum(before).alias("c1"),
+        F.sum(1 - before).alias("c2"),
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = pts.select(
+        "event_type",
+        F.sum("c1").over(wv).alias("cum1"),
+        F.sum("c2").over(wv).alias("cum2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    agg = cum.groupBy("event_type", "n1", "n2").agg(
+        F.max(gap).alias("max_gap")
+    )
+    ks = F.col("max_gap") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_before"),
+        F.col("n2").alias("n_after"),
+        F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("drifted"),
+    ).orderBy("event_type")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: events bucketed into generated 7-day
     intervals via ``start <= ts < end``.

@@ -27,7 +27,7 @@ Scale notes are inline per operator; the common themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -402,13 +402,11 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("value_delta").isNotNull())
 
 
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 slowly-changing-dimension build from an event log: each
-    user's event_type stream collapses to its CHANGE points, versioned
-    with [valid_from, valid_to) intervals and an is_current flag — the
-    dimension-versioning complement of the merge store (which keeps
-    current state + CDF; SCD2 materializes the full history a
-    point-in-time join consumes).
+def scd2_history(ev: DataFrame, attr: Column, attr_name: str) -> DataFrame:
+    """Type-2 SCD build over (user_id, ts, event_id) rows for an
+    arbitrary attribute expression: collapse each user's attribute
+    stream to its CHANGE points, versioned with [valid_from,
+    valid_to) intervals and an is_current flag.
 
     Two windows over ONE (user_id)-partitioned sort: lag() marks
     change points (consecutive repeats collapse — the no-op-update
@@ -416,27 +414,94 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows assign version numbers and close each interval
     with its successor's start. No shuffle beyond the partition sort;
     state per task is one user's history."""
-    ev = load(spark, sf_dir, "events").select(
+    ev = ev.select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
-        F.col("event_type").alias("attr"),
+        attr.alias("attr"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = ev.withColumn("prev_attr", F.lag("attr").over(w)).where(
         F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
     )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("attr").alias(attr_name),
+        F.row_number().over(w2).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        # Originating event id: lets consumers (q_pit_join) order
+        # same-timestamp changes deterministically.
+        F.col("event_id").alias("src_event_id"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: SCD2 history of each user's event_type — the
+    dimension-versioning complement of the merge store (which keeps
+    current state + CDF; SCD2 materializes the full history a
+    point-in-time join consumes, see q_pit_join)."""
+    return scd2_history(
+        load(spark, sf_dir, "events"), F.col("event_type"), "event_type"
+    ).drop("src_event_id").orderBy("user_id", "version")
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase event reads the
+    dimension version that was valid AT ITS TIMESTAMP — here each
+    user's value tier (low/mid/high, an SCD2 built from the full
+    event stream) as of the purchase. The reproducibility primitive
+    feature stores sell: training rows must see yesterday's dimension
+    exactly as serving did, never today's corrected one.
+
+    Shape: the scalable as-of form (q_asof_join_scalable), not the
+    interval join — tier change points and purchase facts UNION into
+    one (user_id)-partitioned sort, a last-non-null window carries the
+    latest change forward onto each fact, and change rows sort before
+    facts at equal ts so a fact lands on the version opening at its
+    own timestamp (valid_from <= ts semantics). No per-user fan-out,
+    no non-equi join: cost is one sort of changes+facts."""
+    ev = load(spark, sf_dir, "events")
+    tier = F.when(F.col("value") < 33, F.lit("low")).when(
+        F.col("value") < 66, F.lit("mid")
+    ).otherwise(F.lit("high"))
+    hist = scd2_history(ev, tier, "tier").select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("src_event_id").alias("ord_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        "tier",
+        "version",
+        F.lit(0).alias("kind"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("ord_id"),
+        "event_id",
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("int").alias("version"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "ord_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = hist.unionByName(facts).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("tier", ignorenulls=True).over(w).alias("tier"),
+        F.last("version", ignorenulls=True).over(w).alias("tier_version"),
+    )
     return (
-        changes.select(
-            "user_id",
-            F.col("attr").alias("event_type"),
-            F.row_number().over(w2).alias("version"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w2).alias("valid_to"),
-            F.lead("ts").over(w2).isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "version")
+        merged.where(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "tier", "tier_version")
+        .orderBy("event_id")
     )
 
 

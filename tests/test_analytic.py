@@ -52,6 +52,61 @@ def test_anomaly_mad_flags_planted_outlier_robustly(spark, tmp_path):
     assert got10 == {100, 101}
 
 
+def test_pit_join_reads_version_valid_at_fact_time(spark, tmp_path):
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.operators import relational as R
+
+    d = dt.datetime
+    rows = [
+        # user 1: tier low (v1) -> high (v2 at Jan 10) via value jumps.
+        (1, d(2024, 1, 1), 1, "view", 10.0, "{}"),       # low, v1
+        (2, d(2024, 1, 5), 1, "purchase", 20.0, "{}"),   # fact in v1 (low)
+        (3, d(2024, 1, 10), 1, "view", 90.0, "{}"),      # high, v2 opens
+        (4, d(2024, 1, 10), 1, "purchase", 70.0, "{}"),  # same ts, later id
+        (5, d(2024, 1, 20), 1, "purchase", 80.0, "{}"),  # fact in v2? value 80 keeps high
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_id: (r.tier, r.tier_version)
+           for r in R.q_pit_join(spark, str(tmp_path)).collect()}
+    # Purchase 2 sees v1/low; purchase 4 (ts == v2's valid_from) sees
+    # v2/high; purchase 5 sees high (its own value keeps the tier).
+    assert got[2] == ("low", 1)
+    assert got[4] == ("high", 2)
+    assert got[5][0] == "high"
+
+
+def test_feature_drift_ks_detects_planted_shift(spark, tmp_path):
+    import datetime as dt
+
+    n = 300
+    rows = []
+    for i in range(n):
+        half = i % 2 == 0  # interleave so both halves populated
+        ts = dt.datetime(2024, 1, 5) if half else dt.datetime(2024, 1, 25)
+        # type 'a': identical distribution both halves.
+        rows.append((i, ts, 1, "a", float(i % 50), "{}"))
+        # type 'b': second half shifted by +40.
+        rows.append(
+            (10_000 + i, ts, 1, "b",
+             float(i % 50) + (0.0 if half else 40.0), "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in A.q_feature_drift_ks(spark, str(tmp_path)).collect()}
+    assert not got["a"].drifted and got["a"].ks_stat < 0.1
+    assert got["b"].drifted and got["b"].ks_stat > 0.5
+    for r in got.values():
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
 def test_scd2_history_invariants(spark):
     from datapoints_csv_extractor_spark.operators import relational as R
 
