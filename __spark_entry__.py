@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": R.q10_returned_items,
         "q7_volume_shipping": R.q7_volume_shipping,
         "q_top_bigrams": X.q_top_bigrams,
+        "q_bigram_lift": X.q_bigram_lift,
         "q_text_normalize": X.q_text_normalize,
         "q_percentiles": A.q_percentiles,
         "q_outer_join": R.q_outer_join,
@@ -758,6 +759,41 @@ def oracle_sql() -> dict[str, str]:
             FROM bg
             GROUP BY bigram
             ORDER BY n_occurrences DESC, bigram
+            LIMIT 20
+        """,
+        # Lift from exact integer counts; ties break on the bigram
+        # string so the top-20 cut is engine-identical.
+        "q_bigram_lift": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w,
+                       generate_subscripts(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+            ), wc AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM words GROUP BY w
+            ), n_uni_t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_uni FROM words
+            ), pairs AS (
+                SELECT w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+                FROM words
+                QUALIFY w2 IS NOT NULL
+            ), n_bi_t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_bi FROM pairs
+            ), bc AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                FROM pairs GROUP BY w1, w2
+                HAVING count(*) >= 5
+            )
+            SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+                   bc.c_xy AS n_occurrences,
+                   round((bc.c_xy * n_uni * n_uni)
+                         / (n_bi * c1.c_w * c2.c_w), 4) AS lift
+            FROM bc
+            JOIN wc c1 ON bc.w1 = c1.w
+            JOIN wc c2 ON bc.w2 = c2.w
+            CROSS JOIN n_uni_t CROSS JOIN n_bi_t
+            ORDER BY lift DESC, bigram
             LIMIT 20
         """,
         "q_bpe_token_count": """

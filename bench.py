@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q12_late_shipment_priority",
     "q_upsert_merge",
     "q_topk_ngrams_per_source",
+    "q_bigram_lift",
     "q_bm25_search",
     "q_perplexity_filter",
     "q_phrase_search",

@@ -288,6 +288,73 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lift(
+    spark: SparkSession, sf_dir: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise lift: p(xy)/(p(x)p(y)) =
+    c(xy)*N^2 / (M*c(x)*c(y)) for adjacent word pairs — the
+    association complement of q_top_bigrams (raw frequency surfaces
+    boilerplate; lift surfaces pairs that co-occur far beyond chance,
+    i.e. genuine collocations, even when rare). PMI is ln(lift); the
+    log is left to the reader because engine ln differs in the last
+    ulp (the q_retrieval_metrics lesson) and the RANKING under a
+    monotone transform is identical anyway.
+
+    All counts are exact integers off two aggregates of one tokenized
+    scan; the statistic is one integer product ratio divided once
+    (c(xy)*N*N stays in long up to ~10^5-doc corpora per the factors'
+    magnitudes — at 100 TB the same formula runs in double with a
+    stated tolerance). min_count floors the variance of rare-pair
+    estimates, standard collocation practice."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    uni = d.select(F.explode(toks).alias("w"))
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    pairs = (
+        d.where(n >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    totals = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    c1 = wc.select(F.col("w").alias("w1"), F.col("c_w").alias("c1"))
+    c2 = wc.select(F.col("w").alias("w2"), F.col("c_w").alias("c2"))
+    lift = (
+        F.col("c_xy") * F.col("n_uni") * F.col("n_uni")
+    ) / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+    return (
+        bc.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_xy").alias("n_occurrences"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def quality_passes(text: Column) -> Column:
     """The pipeline's cheap quality gate (shared by the curation
     composites and the shard-ingest plan): minimum length and a

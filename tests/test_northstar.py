@@ -180,6 +180,26 @@ def test_retrieval_metrics_perfect_and_bounded(spark, tmp_path):
             assert 0.0 <= row[m] <= 1.0, (row.query_vec_id, m, row[m])
 
 
+def test_bigram_lift_surfaces_planted_collocation(spark, tmp_path):
+    # "zeta omega" always co-occur (never apart) -> lift ~ N/c(pair);
+    # a frequent-but-independent pair from shuffled filler ranks far
+    # below it despite higher raw count.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    filler = ["the", "cat", "sat", "mat", "dog", "ran", "far", "now"]
+    docs = []
+    for i in range(40):
+        words = [filler[(i + j) % 8] for j in range(12)]
+        words += ["zeta", "omega"]
+        docs.append((i, " ".join(words)))
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = X.q_bigram_lift(spark, str(tmp_path), min_count=5, k=5).collect()
+    assert rows[0].bigram == "zeta omega"
+    assert rows[0].lift > rows[-1].lift
+
+
 def test_lsh_bucket_cap_plumbing(spark):
     # max_bucket=0 drops every band bucket -> zero candidates; the
     # default cap (far above any testdata bucket) changes nothing —

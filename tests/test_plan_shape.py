@@ -206,6 +206,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_range_join",       # generated weekly calendar (O(weeks) rows)
         "q_scalar_subquery",  # 1-row scalar aggregate
         "q_vocab_coverage",   # 1-row x 1-row singleton-aggregate cross join
+        "q_bigram_lift",      # 1-row x 1-row corpus-total aggregates broadcast
         "q_tfidf_top_terms",  # 1-row doc-count aggregate broadcast
         "q_unigram_logprob",  # 1-row token-total aggregate broadcast
         "q_knn_multi",        # n_queries-row probe set broadcast
