@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": X.q_compression_ratio,
         "q_audience_overlap_hll": A.q_audience_overlap_hll,
         "q_dedup_cluster_sizes": D.q_dedup_cluster_sizes,
+        "q_leakage_safe_split": D.q_leakage_safe_split,
         "q_dedup_jaccard_prefix": D.q_dedup_jaccard_prefix,
         # Similarity search (north-star)
         "q_embedding_norms": V.q_embedding_norms,
@@ -2515,6 +2516,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_size, count(*) AS n_clusters
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+    # Split decided by the CLUSTER representative's md5 — the same
+    # components oracle, left-joined back onto the corpus.
+    sql["q_leakage_safe_split"] = f"""
+        WITH clusters AS ({sql["q_dedup_clusters"]})
+        SELECT d.doc_id,
+               coalesce(c.canonical_doc_id, d.doc_id) AS split_key,
+               CASE WHEN substring(md5(CAST(coalesce(c.canonical_doc_id, d.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(coalesce(c.canonical_doc_id, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               c.canonical_doc_id IS NOT NULL AS in_near_dup_cluster
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ORDER BY d.doc_id
     """
     sql["q_rolling_quantile_sketch"] = """
         WITH daily AS (

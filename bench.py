@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_audience_overlap",
     "q_audience_overlap_hll",
     "q_dedup_cluster_sizes",
+    "q_leakage_safe_split",
     "q_asof_join",
     "q_asof_join_scalable",
     "q_window_rank",

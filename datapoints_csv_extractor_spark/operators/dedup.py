@@ -639,6 +639,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document splits by
+    the md5 of its CLUSTER representative (connected components over
+    the exact-Jaccard pair graph), not its own id — so two near-copies
+    can never land one in train and one in test and inflate eval
+    numbers (the leakage q_dataset_split's per-doc hashing permits,
+    and the reason pretraining pipelines split after dedup).
+
+    Cost on top of the components run is one left join of the
+    (small — only clustered docs appear) label table back onto the
+    corpus; singletons fall back to their own id, so coverage is
+    every document exactly once, same as the plain split."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        split_assignment,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    key = F.coalesce(F.col("canonical_doc_id"), F.col("doc_id"))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            split_assignment(key).alias("split"),
+            F.col("canonical_doc_id").isNotNull().alias(
+                "in_near_dup_cluster"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_dedup_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -180,6 +180,34 @@ def test_retrieval_metrics_perfect_and_bounded(spark, tmp_path):
             assert 0.0 <= row[m] <= 1.0, (row.query_vec_id, m, row[m])
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    rows = D.q_leakage_safe_split(spark, SF).collect()
+    docs = {r.doc_id for r in rows}
+    assert len(rows) == len(docs)  # every doc exactly once
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    # One split per cluster key — near-dups can never straddle splits.
+    assert all(len(v) == 1 for v in by_key.values())
+    clustered = [r for r in rows if r.in_near_dup_cluster]
+    assert clustered, "testdata should contain near-dup clusters"
+    # Cluster members split by the representative, not themselves.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        split_assignment,
+    )
+
+    ref = {
+        r.doc_id: r.split
+        for r in spark.createDataFrame(
+            [(r.doc_id, r.split_key) for r in clustered],
+            "doc_id long, split_key long",
+        ).select(
+            "doc_id", split_assignment(F.col("split_key")).alias("split")
+        ).collect()
+    }
+    assert all(ref[r.doc_id] == r.split for r in clustered)
+
+
 def test_bigram_lift_surfaces_planted_collocation(spark, tmp_path):
     # "zeta omega" always co-occur (never apart) -> lift ~ N/c(pair);
     # a frequent-but-independent pair from shuffled filler ranks far
