@@ -67,15 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": A.q_session_window,
         "q_cube": A.q_cube,
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
-        "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_cusum_changepoint": A.q_cusum_changepoint,
-        "q_audience_overlap": A.q_audience_overlap,
+        "q_stl_decompose": A.q_stl_decompose,
+        "q_scd2_history": R.q_scd2_history,
         "q_range_join": A.q_range_join,
         "q_attribution_credit": A.q_attribution_credit,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
-        "q_discrete_variance": A.q_discrete_variance,
         "q_funnel_stages": A.q_funnel_stages,
-        "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         "q_bpe_token_count": X.q_bpe_token_count,
@@ -89,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": C.q_pii_redact,
         "q_data_quality_report": R.q_data_quality_report,
         "q_rp_project": V.q_rp_project,
+        "q_retrieval_metrics": V.q_retrieval_metrics,
+        "q_semantic_decontamination": V.q_semantic_decontamination,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
         "q_repeated_spans": C.q_repeated_spans,
@@ -106,6 +106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry capture; the date-spine family stays represented
         # out-of-window by q_recursive_date_spine / q_gap_fill.
         "q_synthetic_datapoints": A.q_synthetic_datapoints,
+        # Round-6 sixth-arc rotation: rolling_quantile_sketch /
+        # audience_overlap / discrete_variance / sliding_window_
+        # rollup_two_level moved out (each family keeps an in-window
+        # twin: quantile_sketch_rollup / approx_distinct /
+        # metrics_rollup / time_weighted_aggregates) for four new
+        # families — retrieval metrics, SCD2 history, STL-lite
+        # decomposition, and semantic decontamination.
+        "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
+        "q_audience_overlap": A.q_audience_overlap,
+        "q_discrete_variance": A.q_discrete_variance,
+        "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Displaced in-window variants next. Round-5 fifth-arc
         # rotation: time_window_rollup / seasonal_adjusted
         # / gap_fill / quality_classifier / dedup_clusters moved out
@@ -161,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_importance_sample": C.q_quality_importance_sample,
         "q_seasonal_profile": A.q_seasonal_profile,
         "q_m4_downsample": A.q_m4_downsample,
-        "q_stl_decompose": A.q_stl_decompose,
         "q_rolling_distinct_hll": A.q_rolling_distinct_hll,
         "q_weighted_sample_per_source": C.q_weighted_sample_per_source,
         "q_gopher_rules": C.q_gopher_rules,
@@ -198,7 +208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": R.q_scalar_subquery,
         "q_asof_join_tolerance": R.q_asof_join_tolerance,
         "q_window_lag": R.q_window_lag,
-        "q_scd2_history": R.q_scd2_history,
         "q_pit_join": R.q_pit_join,
         "q_window_running_sum": R.q_window_running_sum,
         "q_set_ops": R.q_set_ops,
@@ -222,10 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": X.q_unigram_logprob,
         "q_token_chunks": X.q_token_chunks,
         "q_knn_multi": V.q_knn_multi,
-        "q_retrieval_metrics": V.q_retrieval_metrics,
         "q_source_mixture": X.q_source_mixture,
         "q_semantic_dedup": V.q_semantic_dedup,
-        "q_semantic_decontamination": V.q_semantic_decontamination,
         # TPC-H widening (round 4): more of the classic suite, adapted
         # to the driver's trimmed schema (no partsupp/commitdate).
         "q13_customer_distribution": R.q13_customer_distribution,
