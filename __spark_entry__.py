@@ -1022,7 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_decontamination": """
             WITH ev AS (
                 SELECT vec_id AS eval_id, embedding AS qe
-                FROM embeddings WHERE vec_id % 20 = 0
+                FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000
             ), scored AS (
                 SELECT c.vec_id, c.label,
                        round(
@@ -1032,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_sum(list_transform(ev.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                            4) AS cosine
                 FROM embeddings c, ev
-                WHERE c.vec_id % 20 <> 0
+                WHERE c.vec_id % 20 <> 0 OR c.vec_id >= 2000
             )
             SELECT vec_id, label,
                    max(cosine) AS max_eval_cosine,
