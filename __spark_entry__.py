@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq_multi": V.q_ann_pq_multi,
         "q_ann_ivfpq_topk": V.q_ann_ivfpq_topk,
         "q_ann_recall_report": V.q_ann_recall_report,
+        "q_embedding_truncation_recall": V.q_embedding_truncation_recall,
         "q_multimodal_decode": M.q_multimodal_decode,
         "q_image_features": M.q_image_features,
         "q_audio_features": M.q_audio_features,
@@ -1011,6 +1012,49 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        # Prefix-slice cosines mirror the Spark slices element-for-
+        # element; intersections are integer; one division at the end.
+        "q_embedding_truncation_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ), dims AS (
+                SELECT unnest([8, 16, 32, 64]) AS dim
+            ), scored AS (
+                SELECT q.query_vec_id, e.vec_id, dims.dim,
+                       round(
+                           list_sum(list_transform(
+                               list_zip(e.embedding[1:dims.dim], q.qe[1:dims.dim]),
+                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding[1:dims.dim],
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(q.qe[1:dims.dim],
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) AS cosine
+                FROM embeddings e, q, dims
+                WHERE e.vec_id <> q.query_vec_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_vec_id, dim
+                                             ORDER BY cosine DESC, vec_id) AS rnk
+                FROM scored
+            ), topk AS (
+                SELECT query_vec_id, dim, list(vec_id ORDER BY vec_id) AS ids
+                FROM ranked WHERE rnk <= 10
+                GROUP BY query_vec_id, dim
+            ), fulltop AS (
+                SELECT query_vec_id, ids AS full_ids FROM topk WHERE dim = 64
+            ), hits AS (
+                SELECT t.dim,
+                       CAST(count(*) AS BIGINT) AS n_queries,
+                       CAST(sum(len(list_intersect(t.ids, f.full_ids))) AS BIGINT) AS hits
+                FROM topk t JOIN fulltop f USING (query_vec_id)
+                GROUP BY t.dim
+            )
+            SELECT dim, n_queries,
+                   round(CAST(hits AS DOUBLE) / (n_queries * 10), 4)
+                       AS avg_recall_at_k
+            FROM hits ORDER BY dim
         """,
         # Ranking + discounts mirror q_retrieval_metrics exactly: the
         # DCG discount table is the SAME repr()-literal list the Spark

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_knn_brute_force",
     "q_semantic_decontamination",
     "q_retrieval_metrics",
+    "q_embedding_truncation_recall",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_ann_sq_topk",

@@ -1233,6 +1233,97 @@ def q_retrieval_metrics(
     ).orderBy("query_vec_id")
 
 
+def q_embedding_truncation_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: tuple = (8, 16, 32, 64),
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Dimension-truncation recall report (the Matryoshka question):
+    for each prefix length d, how much of the FULL-dimension exact
+    top-k does a d-dim prefix search recover? The measurement that
+    decides whether truncated embeddings can serve the first-stage
+    retrieval at a fraction of the memory/bandwidth — reported as
+    recall@k averaged over the probe set, one row per d.
+
+    One broadcast scoring join computes ALL prefix cosines per pair
+    (slice + fold per d — the pair row is read once), a per-(probe, d)
+    window takes top-k, collect-to-array + array_intersect against
+    the full-dim list sizes the overlap, and the average is an exact
+    integer sum divided once. Per-query state is k-sized; nothing
+    driver-side scales with the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    from pyspark.sql import Window
+
+    full_dim = max(dims)
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_vec_id")
+    )
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.round(
+                    _dot(
+                        F.slice(F.col("embedding"), 1, d),
+                        F.slice(F.col("query_embedding"), 1, d),
+                    )
+                    / (
+                        _norm(F.slice(F.col("embedding"), 1, d))
+                        * _norm(F.slice(F.col("query_embedding"), 1, d))
+                    ),
+                    4,
+                ).alias("cosine"),
+            )
+            for d in dims
+        ]
+    )
+    exploded = scored.select(
+        "query_vec_id", "vec_id", F.explode(per_dim).alias("s")
+    ).select(
+        "query_vec_id",
+        "vec_id",
+        F.col("s.dim").alias("dim"),
+        F.col("s.cosine").alias("cosine"),
+    )
+    w = Window.partitionBy("query_vec_id", "dim").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .groupBy("query_vec_id", "dim")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+    )
+    full = topk.where(F.col("dim") == full_dim).select(
+        "query_vec_id", F.col("ids").alias("full_ids")
+    )
+    hits = (
+        topk.join(full, "query_vec_id")
+        .select(
+            "dim",
+            F.size(F.array_intersect("ids", "full_ids")).alias("n_hit"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hit").alias("hits"),
+        )
+    )
+    return hits.select(
+        "dim",
+        "n_queries",
+        F.round(
+            F.col("hits") / (F.col("n_queries") * k), 4
+        ).alias("avg_recall_at_k"),
+    ).orderBy("dim")
+
+
 def build_lsh_index(
     e: DataFrame, index_dir: str, n_bits: int = 8
 ) -> None:

@@ -1763,3 +1763,12 @@ def test_sq8_index_lifecycle(spark, tmp_path):
         ).collect()
     ]
     assert served == live
+
+
+def test_embedding_truncation_recall_monotone_and_exact_at_full(spark):
+    rows = {r.dim: r for r in V.q_embedding_truncation_recall(spark, SF).collect()}
+    dims = sorted(rows)
+    assert rows[dims[-1]].avg_recall_at_k == 1.0  # full dim recovers itself
+    vals = [rows[d].avg_recall_at_k for d in dims]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals == sorted(vals), f"recall not monotone in dim: {vals}"

@@ -212,6 +212,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_knn_multi",        # n_queries-row probe set broadcast
         "q_semantic_decontamination",  # eval-suite side broadcast (small, fixed)
         "q_retrieval_metrics",  # n_queries-row probe set broadcast (knn_multi shape)
+        "q_embedding_truncation_recall",  # n_queries-row probe set broadcast
         "q_source_mixture",   # 1-row token-total aggregate broadcast
         "q22_idle_rich_customers",  # 1-row avg-balance scalar broadcast
         "q11_important_parts",  # 1-row avg-part-value scalar broadcast
