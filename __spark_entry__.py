@@ -21,6 +21,7 @@ from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
 from datapoints_csv_extractor_spark.operators import similarity as V
 from datapoints_csv_extractor_spark.operators import textops as X
+from datapoints_csv_extractor_spark.plans import scd2_store as S2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join_tolerance": R.q_asof_join_tolerance,
         "q_window_lag": R.q_window_lag,
         "q_pit_join": R.q_pit_join,
+        "q_scd2_incremental": S2.q_scd2_incremental,
         "q_window_running_sum": R.q_window_running_sum,
         "q_set_ops": R.q_set_ops,
         "q_grouping_sets": A.q_grouping_sets,
@@ -1755,6 +1757,9 @@ def oracle_sql() -> dict[str, str]:
                    > 1.358 * sqrt((n1 + n2) / (n1 * n2)) AS drifted
         FROM agg ORDER BY event_type
     """
+    # The incremental store fold is exact, so the maintained view
+    # shares the batch recompute's oracle verbatim.
+    sql["q_scd2_incremental"] = sql["q_scd2_history"]
     sql["q_anomaly_zscore"] = """
         WITH c AS (
             SELECT user_id, ts, value,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_anomaly_zscore",
     "q_anomaly_mad",
     "q_scd2_history",
+    "q_scd2_incremental",
     "q_pit_join",
     "q_feature_drift_ks",
     "q_derivative",
@@ -665,6 +666,7 @@ def main() -> None:
                     "q_anomaly_zscore",
                     "q_anomaly_mad",
                     "q_scd2_history",
+    "q_scd2_incremental",
                     "q_session_window",
                     "q_session_window_scalable",
                     "q_asof_join",
