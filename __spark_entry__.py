@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decomposition, and semantic decontamination.
         "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_audience_overlap": A.q_audience_overlap,
+        "q_skyline": A.q_skyline,
         "q_discrete_variance": A.q_discrete_variance,
         "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Displaced in-window variants next. Round-5 fifth-arc
@@ -3866,5 +3867,22 @@ def oracle_sql() -> dict[str, str]:
                round(exp(sum(nll) / count(*)), 2) AS ppl,
                exp(sum(nll) / count(*)) <= 1000.0 AS keep
         FROM j GROUP BY doc_id ORDER BY doc_id
+    """
+
+    sql["q_skyline"] = """
+        WITH pts AS (
+            SELECT p_partkey, p_retailprice, p_size FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        )
+        SELECT p_partkey, p_retailprice, p_size
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+        ORDER BY p_partkey
     """
     return sql

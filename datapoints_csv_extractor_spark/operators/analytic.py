@@ -2614,3 +2614,103 @@ def q_top_session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier): rows not dominated
+    by any other row, where a dominator has ``min_col`` <= and
+    ``max_col`` >= with at least one strict inequality.
+
+    Distributed shape (skyline is distributive: removing a dominated
+    point never changes the frontier, and dominance chains terminate
+    at frontier points):
+
+    1. **Bucket prefilter** — group ``floor(min_col / width)`` buckets
+       (cardinality bounded by the VALUE DOMAIN, not the row count),
+       take each bucket's max of ``max_col``, and compute the running
+       max over strictly-cheaper buckets with a window over the tiny
+       bucket table. Any row at or below an earlier bucket's max is
+       dominated by a strictly-cheaper point and is dropped by a
+       broadcast equi-join — one map-side-combinable aggregate plus a
+       map-only filter over the fact table; survivors are roughly the
+       per-bucket frontier, O(buckets) in expectation.
+    2. **Exact pass on survivors** — per exact ``min_col`` group max,
+       then a strict-prefix running max over the (tiny) distinct-value
+       table; a survivor is frontier iff it is its group's max and
+       beats every strictly-cheaper group. Exactness holds because
+       every dominated survivor is dominated by some frontier point
+       (transitivity), and frontier points always survive step 1.
+
+    At 100 TB the fact table is touched once, map-only, against a
+    broadcast of O(domain/width) bucket rows; the only windows run
+    over bucket/distinct-value tables that do not grow with the data.
+    """
+    price = F.col(min_col).cast("double")
+    bucket = F.floor(price / F.lit(float(bucket_width))).alias("__bk")
+    fact = df.where(
+        F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+    ).withColumn("__bk", bucket)
+
+    bstats = fact.groupBy("__bk").agg(F.max(max_col).alias("__bmax"))
+    wb = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bprefix = bstats.select(
+        "__bk", F.max("__bmax").over(wb).alias("__bprefix")
+    )
+    survivors = (
+        fact.join(F.broadcast(bprefix), "__bk")
+        .where(
+            F.col("__bprefix").isNull()
+            | (F.col(max_col) > F.col("__bprefix"))
+        )
+        .drop("__bk", "__bprefix")
+    )
+
+    gstats = survivors.groupBy(min_col).agg(
+        F.max(max_col).alias("__gmax")
+    )
+    wg = Window.orderBy(min_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gprefix = gstats.select(
+        min_col,
+        "__gmax",
+        F.max("__gmax").over(wg).alias("__gprefix"),
+    )
+    return (
+        survivors.join(F.broadcast(gprefix), min_col)
+        .where(
+            (F.col(max_col) == F.col("__gmax"))
+            & (
+                F.col("__gprefix").isNull()
+                | (F.col(max_col) > F.col("__gprefix"))
+            )
+        )
+        .drop("__gmax", "__gprefix")
+    )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: no other part is at-most-as-expensive AND
+    at-least-as-large (strict somewhere) — the classic skyline
+    operator the reference (and stock Spark) lack as a primitive.
+    Oracle twin is the textbook NOT EXISTS dominance query; this side
+    is the two-phase bucket-prefilter + exact-pass composition in
+    ``skyline2d``."""
+    p = load(spark, sf_dir, "part")
+    return (
+        skyline2d(
+            p.select("p_partkey", "p_retailprice", "p_size"),
+            min_col="p_retailprice",
+            max_col="p_size",
+            bucket_width=50.0,
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
