@@ -19,6 +19,7 @@ from datapoints_csv_extractor_spark.operators import dedup as D
 from datapoints_csv_extractor_spark.operators import graph as G
 from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
+from datapoints_csv_extractor_spark.operators import seriesmining as SM
 from datapoints_csv_extractor_spark.operators import similarity as V
 from datapoints_csv_extractor_spark.operators import textops as X
 from datapoints_csv_extractor_spark.plans import scd2_store as S2
@@ -117,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_quantile_sketch": A.q_rolling_quantile_sketch,
         "q_audience_overlap": A.q_audience_overlap,
         "q_skyline": A.q_skyline,
+        "q_sax_words": SM.q_sax_words,
+        "q_sax_motifs": SM.q_sax_motifs,
+        "q_dtw_knn": SM.q_dtw_knn,
         "q_discrete_variance": A.q_discrete_variance,
         "q_sliding_window_rollup_two_level": A.q_sliding_window_rollup_two_level,
         # Displaced in-window variants next. Round-5 fifth-arc
@@ -3884,5 +3888,94 @@ def oracle_sql() -> dict[str, str]:
                    OR q.p_size > p.p_size)
         )
         ORDER BY p_partkey
+    """
+
+    sql["q_sax_words"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events
+        ), b AS (
+            SELECT min(day) AS min_day, max(day) AS max_day FROM ev
+        ), seg_counts AS (
+            SELECT user_id,
+                   (day - (SELECT min_day FROM b)) // 3 AS seg,
+                   count(*) AS n
+            FROM ev GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, s.seg
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            CROSS JOIN (
+                SELECT unnest(range(
+                    0,
+                    ((SELECT max_day FROM b) - (SELECT min_day FROM b))
+                        // 3 + 1
+                )) AS seg
+            ) s
+        ), dense AS (
+            SELECT g.user_id, g.seg, COALESCE(c.n, 0) AS n
+            FROM grid g
+            LEFT JOIN seg_counts c USING (user_id, seg)
+        ), lett AS (
+            SELECT user_id, seg, n,
+                   substr('abcd',
+                          ntile(4) OVER (PARTITION BY user_id
+                                         ORDER BY n, seg),
+                          1) AS letter
+            FROM dense
+        )
+        SELECT user_id,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               string_agg(letter, '' ORDER BY seg) AS word
+        FROM lett GROUP BY user_id ORDER BY user_id
+    """
+    sql["q_sax_motifs"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events
+        ), b AS (
+            SELECT min(day) AS min_day, max(day) AS max_day FROM ev
+        ), seg_counts AS (
+            SELECT user_id,
+                   (day - (SELECT min_day FROM b)) // 3 AS seg,
+                   count(*) AS n
+            FROM ev GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.user_id, s.seg
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            CROSS JOIN (
+                SELECT unnest(range(
+                    0,
+                    ((SELECT max_day FROM b) - (SELECT min_day FROM b))
+                        // 3 + 1
+                )) AS seg
+            ) s
+        ), dense AS (
+            SELECT g.user_id, g.seg, COALESCE(c.n, 0) AS n
+            FROM grid g
+            LEFT JOIN seg_counts c USING (user_id, seg)
+        ), lett AS (
+            SELECT user_id, seg, n,
+                   substr('abcd',
+                          ntile(4) OVER (PARTITION BY user_id
+                                         ORDER BY n, seg),
+                          1) AS letter
+            FROM dense
+        )
+        , sub AS (
+            SELECT user_id,
+                   letter || lead(letter, 1) OVER w
+                          || lead(letter, 2) OVER w AS motif,
+                   lead(letter, 2) OVER w AS l2
+            FROM lett
+            WINDOW w AS (PARTITION BY user_id ORDER BY seg)
+        )
+        SELECT motif,
+               count(*) AS n_windows,
+               count(DISTINCT user_id) AS n_users,
+               count(*) = 1 AS is_discord
+        FROM sub WHERE l2 IS NOT NULL
+        GROUP BY motif ORDER BY n_windows DESC, motif
     """
     return sql

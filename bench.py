@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "q_skyline",
+    "q_sax_words",
+    "q_sax_motifs",
+    "q_dtw_knn",
 ]
 
 

@@ -47,6 +47,7 @@ ROWS_ONLY_ALLOWED = {
     "q_audience_overlap_hll",  # HLL sketch arithmetic, no SQL twin
     "q_pagerank",  # iterative float ranks; numpy-parity-pinned in pytest
     "q_kcore",  # iterative peeling has no SQL twin; python-peeler-pinned
+    "q_dtw_knn",  # banded-DTW dynamic program has no SQL twin; numpy-pinned
 }
 
 

@@ -220,6 +220,9 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_dsir_importance_sample",  # 1-row gram-total aggregate broadcast
         "q_rfm_segments",  # 1-row max-orderdate anchor broadcast
         "q_triangle_count",  # 1-row census aggregates cross-assembled
+        "q_sax_words",  # 1-row global day-bounds aggregate broadcast
+        "q_sax_motifs",  # same 1-row day-bounds broadcast
+        "q_dtw_knn",  # same 1-row day-bounds broadcast (series + letters)
     }
 
     offenders = {}
