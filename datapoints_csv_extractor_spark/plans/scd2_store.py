@@ -3,36 +3,61 @@
 The batch operator (operators/relational.py: scd2_history) recomputes
 a type-2 history from the full event log; a production dimension is
 MAINTAINED — each day's (or micro-batch's) events fold into persisted
-state without rescanning history. The trick that keeps the fold both
-cheap and exactly equal to the batch recompute:
+state without rescanning history.
 
-    persist CHANGE POINTS, derive the SCD2 view at read time.
+Design (exactness under out-of-order arrival):
 
-A user's change-point list is a subsequence of their event stream that
-preserves every attribute transition, so recomputing change points
-over (stored change points ∪ new events) yields EXACTLY the change
-points of the full event stream — including the subtle case where an
-out-of-order event lands between two stored points and ABSORBS the
-later one (its attribute now repeats). Version numbers, valid_to, and
-is_current are all derivable by one per-user window at read time, so
-none of them need repair on ingest.
+    persist EVENTS, derive the SCD2 view at read time,
+    and compress only behind a watermark.
 
-Persistence rides the merge store (sinks/merge_store.py): change
-points are rows keyed (user_id, ts, event_id) with latest-wins
-versioning on the fold sequence and tombstone deletes for absorbed
-points — giving the SCD2 store snapshots, time travel, CDF, and
-vacuum for free, and O(delta + affected buckets) per fold. Replaying
-a fold (foreachBatch is at-least-once) recomputes the identical delta
-against the identical snapshot, so the store converges to the same
-state — effectively-once.
+Naively persisting just the change points is NOT exact: change-point
+compression discards the interior events of an attribute run, so a
+late event with a different attribute landing inside a stored run
+has no witness left to REOPEN the run. fold [a@Jan1, a@Jan10,
+b@Jan20] then late b@Jan5 must yield 4 versions (a,b,a,b) — with
+change points only, the Jan10 'a' was discarded and the store would
+collapse to 2. (Storing each run's last event as a witness is also
+inexact: the reopen would land on the witness's timestamp instead of
+the true first post-gap event.) So the fold stores the events
+themselves, keyed (user_id, ts, event_id) with latest-wins
+versioning on the fold sequence; change points, version numbers,
+valid_to, and is_current are all derived by per-user windows at read
+time, so the view is exact for ANY arrival order — a replayed or
+late batch folds into the same final state as the batch recompute
+over the full log.
 
-Scale: per-fold work is one scan of the batch + the affected users'
-stored change points (change points are the COMPRESSED history — one
-row per transition, not per event) + the merge store's bucket-bounded
-rewrite. Nothing rescans the raw event log, ever.
+Compression still exists, but as an explicit, watermark-gated
+maintenance job (``compact_scd2_store``): events strictly below a
+caller-asserted event-time watermark are FINAL, so replacing that
+region by its change points preserves every transition — including
+across the boundary (the region's trailing run keeps its opening
+event, so a first post-watermark event with the same attribute is
+correctly absorbed at read time). The watermark is persisted with
+the store; after compaction, ``scd2_fold`` enforces it — a batch row
+older than the watermark would land in compressed (witness-free)
+territory, so it is rejected per ``on_late`` ("error" by default,
+"drop" for streaming-style bounded lateness). Before any compaction
+there is no watermark and every arrival order is welcome.
+
+Persistence rides the merge store (sinks/merge_store.py), giving
+snapshots, time travel, CDF, and vacuum for free, and
+O(delta + affected buckets) per fold. Replaying a fold (foreachBatch
+is at-least-once) recomputes the identical delta against the
+identical snapshot — effectively-once.
+
+Scale: per-fold work is one scan of the batch + the merge store's
+bucket-bounded rewrite (no read-modify of other users' state at all —
+the fold is a pure keyed upsert). Read-time work is one per-user
+window over the stored events; the compaction job bounds that store
+to (change points below watermark) + (raw events above it), the same
+shape a Delta/Hudi MOR table keeps. Nothing rescans the raw event
+log, ever.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -55,6 +80,20 @@ def _change_points(ev: DataFrame) -> DataFrame:
     )
 
 
+def _watermark_path(store_path: str) -> str:
+    return os.path.join(store_path, "_scd2_watermark.json")
+
+
+def store_watermark(store_path: str):
+    """The persisted compaction watermark (ISO string) or None if the
+    store has never been compacted (every arrival order is exact)."""
+    p = _watermark_path(store_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["watermark"]
+
+
 def scd2_fold(
     spark: SparkSession,
     store_path: str,
@@ -62,49 +101,48 @@ def scd2_fold(
     attr: Column,
     fold_seq: int,
     n_buckets: int = 64,
+    on_late: str = "error",
 ) -> list[int]:
-    """Fold one batch of events into the persisted SCD2 change-point
-    store. ``events`` carries (user_id, ts, event_id) plus whatever
-    ``attr`` reads; ``fold_seq`` is the monotone fold number (batch id
-    in streaming) used as the latest-wins version. Returns the bucket
-    ids the merge store rewrote."""
+    """Fold one batch of events into the persisted SCD2 event store.
+    ``events`` carries (user_id, ts, event_id) plus whatever ``attr``
+    reads; ``fold_seq`` is the monotone fold number (batch id in
+    streaming) used as the latest-wins version. Exact under ANY
+    arrival order until the store is compacted; after compaction,
+    rows older than the persisted watermark are handled per
+    ``on_late`` ("error" raises, "drop" excludes them — the streaming
+    bounded-lateness contract). Returns the bucket ids the merge
+    store rewrote."""
     batch = events.select(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
         attr.alias("attr"),
     )
-    affected = batch.select("user_id").distinct()
-    if latest_version(store_path) is not None:
-        old = read_store(spark, store_path).select(
-            "user_id", "ts", "event_id", "attr"
-        ).join(affected, "user_id", "left_semi")
-    else:
-        old = batch.limit(0)
+    wm = store_watermark(store_path)
+    if wm is not None:
+        late = F.col("ts") < F.lit(wm).cast("timestamp")
+        if on_late == "drop":
+            batch = batch.where(~late)
+        else:
+            n_late = batch.where(late).limit(1).count()
+            if n_late:
+                raise ValueError(
+                    f"batch contains events older than the store's "
+                    f"compaction watermark {wm}; that region was "
+                    f"compressed to change points and can no longer "
+                    f"absorb late rows exactly. Pass on_late='drop' "
+                    f"to apply bounded-lateness semantics."
+                )
     # Batch rows WIN over stored ones for the same (user, ts, event)
-    # key — an amended attribute takes effect; a pure replay is a
-    # no-op. Explicit max_by, not dropDuplicates (whose pick is
-    # partition-order nondeterministic).
-    merged = (
-        old.withColumn("prio", F.lit(0))
-        .unionByName(
-            batch.dropDuplicates(["user_id", "ts", "event_id"]).withColumn(
-                "prio", F.lit(1)
-            )
-        )
-        .groupBy("user_id", "ts", "event_id")
-        .agg(F.max_by("attr", "prio").alias("attr"))
-    )
-    new_changes = _change_points(merged)
-    # Stored points no longer opening a run are ABSORBED -> tombstone.
-    deletes = old.join(
-        new_changes.select("user_id", "ts", "event_id"),
-        ["user_id", "ts", "event_id"],
-        "left_anti",
-    ).withColumn("deleted", F.lit(True))
+    # key — the merge store's latest-wins on fold_seq makes an amended
+    # attribute take effect and a pure replay a no-op. Within one
+    # batch, duplicate keys resolve by max(attr): arbitrary but
+    # DETERMINISTIC (dropDuplicates' pick is partition-order
+    # nondeterministic, which would break replay convergence).
     delta = (
-        new_changes.withColumn("deleted", F.lit(False))
-        .unionByName(deletes)
+        batch.groupBy("user_id", "ts", "event_id")
+        .agg(F.max("attr").alias("attr"))
+        .withColumn("deleted", F.lit(False))
         .withColumn("fold_seq", F.lit(fold_seq).cast("long"))
     )
     return upsert_into_store(
@@ -120,13 +158,13 @@ def scd2_fold(
 def scd2_read(
     spark: SparkSession, store_path: str, attr_name: str = "attr"
 ) -> DataFrame:
-    """The SCD2 view over the stored change points: versions,
-    [valid_from, valid_to) intervals, is_current — derived by one
-    per-user window, so it is consistent with ANY fold history that
-    produced the same change points (and therefore equals the batch
-    scd2_history over the full event log)."""
+    """The SCD2 view over the stored events: change points, versions,
+    [valid_from, valid_to) intervals, is_current — derived by
+    per-user windows, so the view equals the batch scd2_history over
+    the union of every folded batch, regardless of the order the
+    batches (or the rows within them) arrived."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cp = read_store(spark, store_path)
+    cp = _change_points(read_store(spark, store_path))
     return cp.select(
         "user_id",
         F.col("attr").alias(attr_name),
@@ -137,6 +175,55 @@ def scd2_read(
     )
 
 
+def compact_scd2_store(
+    spark: SparkSession,
+    store_path: str,
+    watermark,
+    fold_seq: int,
+    n_buckets: int = 64,
+) -> int:
+    """Compress the finalized region: tombstone every stored event
+    with ts < ``watermark`` that is not a change point. The caller
+    asserts (watermark semantics) that no event older than
+    ``watermark`` will ever arrive; the watermark is persisted and
+    enforced by subsequent folds. Exact: the surviving rows are a
+    subsequence preserving every attribute transition, including the
+    boundary into the raw (>= watermark) region, because each run
+    keeps its OPENING event. Returns the number of rows tombstoned.
+
+    Scale: one scan + one per-user window over the store (a
+    maintenance job, amortized), then a bucket-bounded tombstone
+    upsert — never touches the raw event log."""
+    wm_lit = F.lit(watermark).cast("timestamp")
+    ev = read_store(spark, store_path).select(
+        "user_id", "ts", "event_id", "attr"
+    )
+    keep = _change_points(ev).select("user_id", "ts", "event_id")
+    dead = (
+        ev.where(F.col("ts") < wm_lit)
+        .join(keep, ["user_id", "ts", "event_id"], "left_anti")
+        .withColumn("deleted", F.lit(True))
+        .withColumn("fold_seq", F.lit(fold_seq).cast("long"))
+        .localCheckpoint()
+    )
+    n_dead = dead.count()
+    if n_dead:
+        upsert_into_store(
+            spark,
+            dead,
+            store_path,
+            keys=["user_id", "ts", "event_id"],
+            version_cols=["fold_seq"],
+            n_buckets=n_buckets,
+        )
+    wm_str = str(watermark)
+    tmp = _watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"watermark": wm_str, "fold_seq": fold_seq}, fh)
+    os.replace(tmp, _watermark_path(store_path))
+    return n_dead
+
+
 def stream_scd2_fold(
     events_stream: DataFrame,
     store_path: str,
@@ -144,6 +231,7 @@ def stream_scd2_fold(
     attr: Column,
     on_batch=None,
     available_now: bool = True,
+    on_late: str = "error",
 ):
     """Streaming maintenance of the SCD2 store: each micro-batch folds
     under ``fold_seq=batch_id``, so a replayed batch recomputes the
@@ -154,7 +242,9 @@ def stream_scd2_fold(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        buckets = scd2_fold(spark, store_path, batch_df, attr, batch_id)
+        buckets = scd2_fold(
+            spark, store_path, batch_df, attr, batch_id, on_late=on_late
+        )
         if on_batch is not None:
             on_batch(batch_id, buckets)
 
@@ -170,10 +260,12 @@ def stream_scd2_fold(
 
 def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing: fold the events table into a fresh scratch SCD2
-    store in two halves (by event time), then read the maintained
-    view back. Because the change-point fold is exact, the read-back
-    equals the batch scd2_history over the full log — so this
-    INCREMENTAL operator shares q_scd2_history's oracle verbatim.
+    store in two halves (by event time), compact the first half's
+    region behind a watermark, then read the maintained view back.
+    Because the event fold is exact and compaction preserves every
+    transition, the read-back equals the batch scd2_history over the
+    full log — so this INCREMENTAL operator shares q_scd2_history's
+    oracle verbatim.
 
     The scratch store is a private mkdtemp per call, removed after the
     result is localCheckpoint-materialized (q_dedup_incremental's
@@ -202,7 +294,9 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # belongs to the caller via n_buckets.
         scd2_fold(spark, store, first, F.col("event_type"), fold_seq=1,
                   n_buckets=16)
-        scd2_fold(spark, store, second, F.col("event_type"), fold_seq=2,
+        wm = first.agg(F.max("ts")).first()[0]
+        compact_scd2_store(spark, store, wm, fold_seq=2, n_buckets=16)
+        scd2_fold(spark, store, second, F.col("event_type"), fold_seq=3,
                   n_buckets=16)
         out = (
             scd2_read(spark, store, "event_type")
