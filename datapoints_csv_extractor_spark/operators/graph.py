@@ -215,11 +215,19 @@ def pagerank(
     return ranks
 
 
-def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int, max_iterations: int | None = None
+) -> DataFrame:
     """Maximal subgraph of minimum degree >= k (the k-core), by
     synchronous peeling: drop every node of degree < k, re-derive
     degrees, repeat to fixpoint. Returns (node, degree) inside the
     core (empty frame if the core is empty).
+
+    Peeling always terminates — each non-final round strictly shrinks
+    the node set — so the default loops to the fixpoint. Passing
+    ``max_iterations`` bounds the rounds instead, and EXHAUSTING that
+    bound raises rather than silently returning a subgraph that is
+    not a k-core (nodes of degree < k could remain).
 
     Rounds needed = peeling depth (6-10 on the co-purchase graph's
     sharp random-graph transition); each round is one degree
@@ -228,7 +236,9 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     PageRank discipline). The driver sees only per-round counts —
     membership never leaves the cluster."""
     edges = edges.localCheckpoint()
-    for _ in range(max_iterations):
+    rounds = 0
+    while max_iterations is None or rounds < max_iterations:
+        rounds += 1
         deg = degrees(edges).localCheckpoint()
         n_nodes, n_keep = deg.agg(
             F.count("*"),
@@ -248,7 +258,12 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
             .join(keep.withColumnRenamed("node", "p2"), "p2", "left_semi")
             .localCheckpoint()
         )
-    return degrees(edges)
+    raise RuntimeError(
+        f"k-core peeling did not reach a fixpoint within "
+        f"{max_iterations} rounds — the partial result is NOT a "
+        f"k-core; raise max_iterations or pass None to peel to "
+        f"convergence"
+    )
 
 
 def q_kcore(spark: SparkSession, sf_dir: str, k: int = 80) -> DataFrame:

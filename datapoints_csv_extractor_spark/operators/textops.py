@@ -1268,10 +1268,15 @@ def delete_from_bm25_index(
     prior = _bm25_tombstones(spark, index_dir, meta)
     if prior is not None:
         live = live.join(prior, "doc_id", "left_anti")
+    # Per-(shard, doc) grain, NOT per doc: the shard ledger's
+    # n_docs/dl_sum counted a doc once per shard it was ingested into
+    # (a re-ingested doc contributes each shard's dl), so the delete
+    # ledger must subtract the same way or N/avgdl drift after
+    # delete/compact.
     n_docs, dl_sum = (
         live.join(ids, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
+        .select("shard", "doc_id", "dl")
+        .distinct()
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
@@ -1793,20 +1798,29 @@ def phrase_search_from_index(
     dead = _bm25_tombstones(spark, index_dir, meta)
     if dead is not None:
         posts = posts.join(dead, "doc_id", "left_anti")
-    # Pivot the <=len(phrase) term rows per doc into one row of
-    # per-term position lists, then count adjacency runs JVM-side.
+    # Pivot the term rows per doc into one row of per-term position
+    # lists, then count adjacency runs JVM-side. A doc_id re-ingested
+    # across shards has one postings row PER SHARD for the same term —
+    # union the lists (flatten + distinct), never pick an arbitrary
+    # shard's (F.first across shards would undercount hits).
     per_doc = posts.groupBy("doc_id").agg(
         *[
-            F.first(
-                F.when(F.col("term") == t, F.col("positions")),
-                ignorenulls=True,
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("term") == t, F.col("positions"))
+                        )
+                    )
+                )
             ).alias(f"p{j}")
             for j, t in enumerate(phrase_terms)
         ]
     )
-    # A doc missing ANY term cannot match.
+    # A doc missing ANY term cannot match (collect_list skipped every
+    # row -> empty list after flatten).
     for j in range(len(phrase_terms)):
-        per_doc = per_doc.where(F.col(f"p{j}").isNotNull())
+        per_doc = per_doc.where(F.size(F.col(f"p{j}")) > 0)
     starts = F.col("p0")
     run_ok = lambda i: reduce_and(  # noqa: E731
         [

@@ -111,6 +111,10 @@ def test_kcore_on_known_graph(spark):
     assert {r.node for r in core3} == {1, 2, 3, 4}
     assert all(r.degree == 3 for r in core3)
     assert G.kcore(_edges_df(spark, pairs), 4).count() == 0
+    # An exhausted explicit round budget RAISES (a partial peel is not
+    # a k-core) instead of silently returning whatever remained.
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        G.kcore(_edges_df(spark, pairs), 3, max_iterations=1)
 
 
 def test_kcore_matches_python_peeler(spark):

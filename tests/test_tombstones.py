@@ -244,6 +244,82 @@ def test_bm25_tombstones_pre_and_post_compaction(spark, tmp_path):
     )
 
 
+def test_bm25_delete_of_doc_reingested_across_shards(spark, tmp_path):
+    # The shard ledger counts a doc once PER SHARD it was ingested
+    # into; deleting that doc must subtract every shard's (count, dl)
+    # contribution or N/avgdl drift after delete/compact.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        _bm25_read_meta,
+        append_bm25_shard,
+        build_bm25_index,
+        compact_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(
+        spark.createDataFrame(
+            [(1, "old short text"), (2, "stable other doc here")],
+            "doc_id long, text string",
+        ),
+        idx,
+        n_buckets=8,
+    )
+    # Doc 1 re-ingested with a LONGER updated text in a second shard.
+    append_bm25_shard(
+        spark.createDataFrame(
+            [(1, "new much longer updated text body with more words")],
+            "doc_id long, text string",
+        ),
+        idx,
+        "s2",
+    )
+    meta = _bm25_read_meta(idx)
+    ledger_n = sum(s["n_docs"] for s in meta["shards"].values())
+    ledger_dl = sum(s["dl_sum"] for s in meta["shards"].values())
+    assert ledger_n == 3  # doc 1 twice + doc 2 once
+    delete_from_bm25_index(spark, idx, [1], delete_id="d1")
+    d = _bm25_read_meta(idx)["deletes"]["d1"]
+    assert d["n_docs"] == 2  # both shard occurrences subtracted
+    assert d["dl_sum"] == ledger_dl - 4  # doc 2's dl = 4 tokens remains
+    # After compaction the folded stats equal a fresh index over the
+    # surviving doc alone.
+    compact_bm25_index(spark, idx)
+    meta2 = _bm25_read_meta(idx)
+    assert sum(s["n_docs"] for s in meta2["shards"].values()) == 1
+    assert sum(s["dl_sum"] for s in meta2["shards"].values()) == 4
+
+
+def test_phrase_search_unions_positions_across_shards(spark, tmp_path):
+    # A doc_id present in two shards must match phrases using the
+    # UNION of its per-term position lists, not an arbitrary shard's.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        append_bm25_shard,
+        build_bm25_index,
+        phrase_search_from_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(
+        spark.createDataFrame(
+            [(5, "cat sat quietly")], "doc_id long, text string"
+        ),
+        idx,
+        n_buckets=8,
+    )
+    append_bm25_shard(
+        spark.createDataFrame(
+            [(5, "the cat sat")], "doc_id long, text string"
+        ),
+        idx,
+        "s2",
+    )
+    rows = phrase_search_from_index(spark, idx, ["cat", "sat"]).collect()
+    assert len(rows) == 1
+    # shard1: cat@0 sat@1; shard2: cat@1 sat@2 -> two adjacency runs.
+    assert rows[0].doc_id == 5 and rows[0].n_hits == 2
+
+
 def test_manifest_backward_compat_without_deletes_key(tmp_path):
     # A pre-tombstone manifest (no "deletes") reads with an empty
     # ledger and commits preserve it thereafter.
