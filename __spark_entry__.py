@@ -22,6 +22,7 @@ from datapoints_csv_extractor_spark.operators import relational as R
 from datapoints_csv_extractor_spark.operators import seriesmining as SM
 from datapoints_csv_extractor_spark.operators import similarity as V
 from datapoints_csv_extractor_spark.operators import textops as X
+from datapoints_csv_extractor_spark.plans import layout as L
 from datapoints_csv_extractor_spark.plans import scd2_store as S2
 
 
@@ -100,14 +101,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_triangle_count": G.q_triangle_count,
         "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
-        "q_decontamination": D.q_decontamination,
+        # Round-7 rotation: q_zorder_cells (multi-dimensional data
+        # layout — the Morton/Z-order key path, a family the window
+        # never exercised) takes q_decontamination's slot; the
+        # decontamination family keeps TWO in-window twins
+        # (q_bloom_decontamination, q_semantic_decontamination).
+        "q_zorder_cells": L.q_zorder_cells,
         # Past the 50-entry capture window from here down (locally
-        # oracle-swept). q_synthetic_datapoints moved out in round 6:
+        # oracle-swept). q_decontamination rotated out in round 7
+        # (family still in-window twice, see above).
+        "q_decontamination": D.q_decontamination,
+        # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
         # 50-entry capture; the date-spine family stays represented
         # out-of-window by q_recursive_date_spine / q_gap_fill.
         "q_synthetic_datapoints": A.q_synthetic_datapoints,
+        # Z-order layout effectiveness (rows-only: reports file-skip
+        # counts of scratch writes — no SQL twin; the key math itself
+        # is oracle-checked in-window by q_zorder_cells).
+        "q_zorder_pruning_report": L.q_zorder_pruning_report,
         # Round-6 sixth-arc rotation: rolling_quantile_sketch /
         # audience_overlap / discrete_variance / sliding_window_
         # rollup_two_level moved out (each family keeps an in-window
@@ -1278,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
+        "q_zorder_cells": L.zorder_cells_oracle_sql(),
         "q_decontamination": """
             WITH words AS (
                 SELECT doc_id,

@@ -64,6 +64,52 @@ def morton_key(normalized: list[Column], bits: int = ZORDER_BITS) -> Column:
     return key
 
 
+def with_morton_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    key_name: str = "__zkey",
+) -> DataFrame:
+    """``df`` plus its Morton key over ``cols`` (timestamps keyed by
+    epoch seconds; per-column bits capped at 63 // n_cols; NULLs in a
+    key column cluster at that axis's low edge). Column ranges come
+    from one 1-row min/max aggregate — parameter-sized driver state.
+    An entirely-NULL key column raises (no range to normalize)."""
+    if not cols:
+        raise ValueError("with_morton_key needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    probes = []
+    keyed = df
+    key_cols = []
+    for name in cols:
+        c = F.col(name)
+        if dict(df.dtypes).get(name, "").startswith("timestamp"):
+            c = F.unix_timestamp(c.cast("timestamp")).cast("double")
+        kc = f"__z_{name}"
+        keyed = keyed.withColumn(kc, c.cast("double"))
+        key_cols.append(kc)
+        probes += [F.min(kc).alias(f"lo_{name}"), F.max(kc).alias(f"hi_{name}")]
+    rng = keyed.agg(*probes).collect()[0]
+    for name in cols:
+        if rng[f"lo_{name}"] is None:
+            raise ValueError(
+                f"z-order column {name!r} is entirely NULL — it has no "
+                "range to normalize; drop it from cols or fill it"
+            )
+    normalized = [
+        _normalize(
+            F.coalesce(F.col(kc), F.lit(float(rng[f"lo_{name}"]))),
+            float(rng[f"lo_{name}"]),
+            float(rng[f"hi_{name}"]),
+            bits,
+        )
+        for kc, name in zip(key_cols, cols)
+    ]
+    return keyed.withColumn(key_name, morton_key(normalized, bits)).drop(
+        *key_cols
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -86,40 +132,139 @@ def write_zordered(
     the low edge of that axis rather than landing in
     range-partitioning limbo with a NULL key).
     """
-    if cols:
-        bits = min(bits, 63 // len(cols))
-    probes = []
-    keyed = df
-    key_cols = []
-    for name in cols:
-        c = F.col(name)
-        if dict(df.dtypes).get(name, "").startswith("timestamp"):
-            c = F.unix_timestamp(c.cast("timestamp")).cast("double")
-        kc = f"__z_{name}"
-        keyed = keyed.withColumn(kc, c.cast("double"))
-        key_cols.append(kc)
-        probes += [F.min(kc).alias(f"lo_{name}"), F.max(kc).alias(f"hi_{name}")]
-    rng = keyed.agg(*probes).collect()[0]
-    for name in cols:
-        if rng[f"lo_{name}"] is None:
-            raise ValueError(
-                f"write_zordered: z-order column {name!r} is entirely NULL — "
-                "it has no range to normalize; drop it from cols or fill it"
-            )
-    normalized = [
-        _normalize(
-            F.coalesce(F.col(kc), F.lit(float(rng[f"lo_{name}"]))),
-            float(rng[f"lo_{name}"]),
-            float(rng[f"hi_{name}"]),
-            bits,
-        )
-        for kc, name in zip(key_cols, cols)
-    ]
     (
-        keyed.withColumn("__zkey", morton_key(normalized, bits))
+        with_morton_key(df, cols, bits)
         .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey", *key_cols)
+        .drop("__zkey")
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def q_zorder_cells(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing: the Morton key path end to end, summarized per
+    Z-curve cell. Events are keyed on (user_id, epoch(ts)) with the
+    standard 16-bit-per-axis interleave; grouping by the key's top 6
+    bits (64 curve cells) shows the locality the layout buys — each
+    cell's user range is a narrow band, which is exactly why per-file
+    min/max stats become selective for BOTH columns after a z-ordered
+    write. Pure bitwise codegen (no UDF); one scan + one groupBy.
+
+    Oracle-exact: normalization is IEEE-identical in both engines
+    (double subtract/divide/multiply are correctly rounded, round(x,0)
+    is half-away-from-zero for the positive domain in both), and the
+    interleave is integer bit math."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    keyed = with_morton_key(ev, ["user_id", "ts"], bits=16)
+    return (
+        keyed.groupBy(F.shiftright(F.col("__zkey"), 26).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("zcell")
+    )
+
+
+def zorder_cells_oracle_sql(bits: int = 16) -> str:
+    """DuckDB twin of q_zorder_cells, interleave unrolled to the same
+    shift/mask/add chain morton_key builds (column i bit j lands at
+    position j*2+i for the two-column key)."""
+    hi = (1 << bits) - 1
+    norm = (
+        "least(greatest(CAST(round((({c}) - {lo}) / "
+        "greatest({hi} - {lo}, 1e-300) * {top}.0, 0) AS BIGINT), 0), {top})"
+    )
+    nu = norm.format(c="u", lo="lo_u", hi="hi_u", top=hi)
+    nt = norm.format(c="t", lo="lo_t", hi="hi_t", top=hi)
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((nu >> {j}) & 1) << {j * 2})")
+        terms.append(f"(((nt >> {j}) & 1) << {j * 2 + 1})")
+    zkey = " + ".join(terms)
+    return f"""
+        WITH base AS (
+            SELECT user_id,
+                   CAST(user_id AS DOUBLE) AS u,
+                   CAST(epoch(ts) AS DOUBLE) AS t
+            FROM events
+        ), rng AS (
+            SELECT min(u) AS lo_u, max(u) AS hi_u,
+                   min(t) AS lo_t, max(t) AS hi_t
+            FROM base
+        ), norm AS (
+            SELECT user_id, {nu} AS nu, {nt} AS nt FROM base, rng
+        ), keyed AS (
+            SELECT user_id, {zkey} AS zkey FROM norm
+        )
+        SELECT zkey >> 26               AS zcell,
+               count(*)                 AS n_events,
+               count(DISTINCT user_id)  AS n_users,
+               min(user_id)             AS min_user,
+               max(user_id)             AS max_user
+        FROM keyed
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+def q_zorder_pruning_report(spark, sf_dir: str) -> DataFrame:
+    """Driver-facing (rows-only): measure what the z-ordered layout is
+    FOR — file skipping under a two-dimensional box predicate. Writes
+    the events table to scratch twice (ts-sorted vs z-ordered on
+    (user_id, ts)), runs the same box query against both, and reports
+    per layout how many of the files hold matching rows (the proxy
+    for row-group/file pruning a stats-aware reader achieves; Spark's
+    parquet reader applies the same min/max logic per row group).
+    The z-ordered layout should touch strictly fewer files — pinned
+    in pytest; here the report itself is the product.
+
+    Scratch-store lifecycle per the incremental-ops discipline:
+    mkdtemp, localCheckpoint the small report, rmtree."""
+    import shutil
+    import tempfile
+
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    root = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    try:
+        ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+        n_files = 16
+        (
+            ev.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(f"{root}/linear")
+        )
+        write_zordered(ev, f"{root}/zorder", ["user_id", "ts"],
+                       n_files=n_files)
+        mid_user = ev.agg(F.expr("percentile_approx(user_id, 0.5)")).first()[0]
+        lo_ts, hi_ts = ev.agg(
+            F.min("ts"), F.expr("percentile_approx(ts, 0.25)")
+        ).first()
+        reports = []
+        for layout in ("linear", "zorder"):
+            hit = (
+                spark.read.parquet(f"{root}/{layout}")
+                .where(
+                    (F.col("user_id") <= F.lit(mid_user))
+                    & F.col("ts").between(F.lit(lo_ts), F.lit(hi_ts))
+                )
+                .groupBy(F.input_file_name().alias("f"))
+                .count()
+            )
+            n_hit, n_rows = hit.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("count"), F.lit(0))
+            ).first()
+            reports.append((layout, n_files, int(n_hit), int(n_rows)))
+        return spark.createDataFrame(
+            reports,
+            "layout string, n_files int, files_with_matches int, rows_hit long",
+        ).repartition(1).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

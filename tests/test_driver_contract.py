@@ -15,6 +15,7 @@ import __spark_entry__ as E
 # (xxhash64-based hashing, Arrow-batched Python decode). Anything else
 # registered without an oracle is a contract regression.
 ROWS_ONLY_ALLOWED = {
+    "q_zorder_pruning_report",  # file-skip counts of scratch writes
     "q_minhash_signatures",
     "q_minhash_lsh_candidates",
     "q_simhash",

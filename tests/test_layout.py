@@ -107,3 +107,49 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # z-ordered: both dimensions localized.
     assert user_span_z <= user_span_flat / 2
     assert ts_span_z < 512 * 0.8
+
+
+def test_zorder_pruning_report_beats_linear(spark):
+    from datapoints_csv_extractor_spark.plans.layout import (
+        q_zorder_pruning_report,
+    )
+
+    rows = {
+        r.layout: r
+        for r in q_zorder_pruning_report(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["zorder"].rows_hit == rows["linear"].rows_hit  # same answer
+    # The box predicate constrains BOTH dimensions, so the z-ordered
+    # layout must touch strictly fewer files than the ts-sorted one.
+    assert rows["zorder"].files_with_matches < rows["linear"].files_with_matches
+
+
+def test_with_morton_key_matches_manual_normalization(spark):
+    from datapoints_csv_extractor_spark.plans.layout import (
+        _normalize,
+        morton_key,
+        with_morton_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (3, 10.0), (1, 5.0), (None, 10.0)], "a long, b double"
+    )
+    got = {
+        tuple(r)[:2]: r["__zkey"]
+        for r in with_morton_key(df, ["a", "b"], bits=2).collect()
+    }
+    # a in [0,3] -> identity on 2 bits; b in [0,10] -> {0,5,10}->{0,2,3
+    # rounded: 5/10*3=1.5 -> 2}; NULL a clusters at the low edge (0).
+    manual = df.select(
+        "a",
+        "b",
+        morton_key(
+            [
+                _normalize(F.coalesce(F.col("a"), F.lit(0.0)), 0.0, 3.0, 2),
+                _normalize(F.col("b"), 0.0, 10.0, 2),
+            ],
+            bits=2,
+        ).alias("k"),
+    ).collect()
+    for r in manual:
+        assert got[(r.a, r.b)] == r.k
