@@ -22,6 +22,7 @@ from datapoints_csv_extractor_spark.operators import relational as R
 from datapoints_csv_extractor_spark.operators import seriesmining as SM
 from datapoints_csv_extractor_spark.operators import similarity as V
 from datapoints_csv_extractor_spark.operators import textops as X
+from datapoints_csv_extractor_spark.plans import agg_view as AV
 from datapoints_csv_extractor_spark.plans import layout as L
 from datapoints_csv_extractor_spark.plans import scd2_store as S2
 
@@ -79,7 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_stages": A.q_funnel_stages,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
-        "q_bpe_token_count": X.q_bpe_token_count,
+        # Round-7 rotation: the incremental aggregate view (O(delta)
+        # materialized-rollup maintenance — a family the window never
+        # exercised) takes q_bpe_token_count's slot; BPE tokenization
+        # keeps its in-window cousin q_token_stats and stays
+        # registered (and locally swept) below.
+        "q_agg_view_incremental": AV.q_agg_view_incremental,
         "q_bm25_search": X.q_bm25_search,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q_text_quality": X.q_text_quality,
@@ -108,9 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_bloom_decontamination, q_semantic_decontamination).
         "q_zorder_cells": L.q_zorder_cells,
         # Past the 50-entry capture window from here down (locally
-        # oracle-swept). q_decontamination rotated out in round 7
-        # (family still in-window twice, see above).
+        # oracle-swept). q_decontamination and q_bpe_token_count
+        # rotated out in round 7 (families still in-window, see
+        # above).
         "q_decontamination": D.q_decontamination,
+        "q_bpe_token_count": X.q_bpe_token_count,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1292,6 +1300,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        # Incremental agg view: the maintained rollup must equal the
+        # one-shot batch GROUP BY. Integer cents keep sums exact under
+        # any fold order; sum(BIGINT) is CAST back from DuckDB's
+        # HUGEINT; mean/variance derive from the integer partials with
+        # the same double expression tree Spark builds.
+        "q_agg_view_incremental": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(round(value * 100, 0) AS BIGINT)      AS cents
+                FROM events
+            )
+            SELECT event_type, day,
+                   count(cents)                  AS n,
+                   CAST(sum(cents) AS BIGINT)    AS sum_v,
+                   min(cents)                    AS min_v,
+                   max(cents)                    AS max_v,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                     / CAST(count(cents) AS DOUBLE)               AS mean_v,
+                   CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE)
+                     / CAST(count(cents) AS DOUBLE)
+                     - (CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                        / CAST(count(cents) AS DOUBLE))
+                       * (CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                          / CAST(count(cents) AS DOUBLE))         AS var_v
+            FROM base
+            GROUP BY event_type, day
+            ORDER BY event_type, day
+        """,
         "q_decontamination": """
             WITH words AS (
                 SELECT doc_id,
