@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_shuffle": C.q_global_shuffle,
         "q_mixture_plan": C.q_mixture_plan,
         "q_countmin_token_counts": X.q_countmin_token_counts,
+        # Frequent-items sketch (rows-only: brackets depend on the
+        # partition layout; the bracketing invariant is pytest-pinned).
+        "q_heavy_hitter_tokens": X.q_heavy_hitter_tokens,
         "q_tokenizer_fertility": X.q_tokenizer_fertility,
         "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_holt_forecast": A.q_holt_forecast,

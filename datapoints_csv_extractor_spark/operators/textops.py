@@ -2050,3 +2050,139 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def spacesaving_summaries(
+    items: DataFrame, col: str = "item", capacity: int = 256
+) -> DataFrame:
+    """Per-partition space-saving (Metwally et al.) summaries: each
+    partition tracks at most ``capacity`` counters in one pass and
+    emits (pid, item, cnt, err, pmin) rows where cnt OVERESTIMATES the
+    partition-local count, cnt - err UNDERESTIMATES it, and any item
+    the partition did NOT track occurred at most ``pmin`` times there
+    (the smallest tracked count; 0 when the partition never filled).
+    A per-partition sentinel row (item NULL) carries ``pmin`` so the
+    merge can bound untracked items even for partitions that tracked
+    nothing relevant.
+
+    This is the frequent-ITEMS sketch the engine's family was missing
+    (Count-Min answers "how often is X?" — space-saving answers
+    "WHICH items are frequent?"). State is bounded at ``capacity``
+    counters per partition regardless of input size; the Python pass
+    is Arrow-batched with a C-speed value_counts per batch feeding
+    bulk counter updates (the bulk variant keeps both bounds: an
+    evicted counter inherits min+c with err=min)."""
+    import uuid
+
+    import pandas as pd
+
+    def summarize(batches):
+        pid = uuid.uuid4().hex[:12]
+        counts: dict = {}
+        filled = False
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for item, c in vc.items():
+                c = int(c)
+                got = counts.get(item)
+                if got is not None:
+                    got[0] += c
+                elif len(counts) < capacity:
+                    counts[item] = [c, 0]
+                else:
+                    filled = True
+                    m_item = min(counts, key=lambda i: counts[i][0])
+                    m = counts.pop(m_item)[0]
+                    counts[item] = [m + c, m]
+        pmin = (
+            min((v[0] for v in counts.values()), default=0)
+            if (filled or len(counts) >= capacity)
+            else 0
+        )
+        rows = [(pid, item, v[0], v[1], pmin) for item, v in counts.items()]
+        rows.append((pid, None, 0, 0, pmin))
+        yield pd.DataFrame(
+            rows, columns=["pid", "item", "cnt", "err", "pmin"]
+        )
+
+    return items.select(F.col(col).alias("item")).mapInPandas(
+        summarize, "pid string, item string, cnt long, err long, pmin long"
+    )
+
+
+def heavy_hitters(
+    items: DataFrame, col: str = "item", capacity: int = 256, k: int = 20
+) -> DataFrame:
+    """Top-``k`` frequent items with DETERMINISTIC count bounds from
+    one distributed pass: merge the per-partition space-saving
+    summaries so that for every reported item
+
+        lower = sum(tracked cnt - err)            <= true count
+        upper = sum(tracked cnt)
+                + sum(pmin of partitions that did NOT track it) >= true count
+
+    (an untracked item occurred at most pmin times in that
+    partition). Every item with true count > sum(pmin) is guaranteed
+    to be tracked somewhere and therefore reported as a candidate.
+    Merge cost: the summaries are <= n_partitions x (capacity+1) rows
+    — parameter-sized, one small groupBy + one broadcast-scale scalar,
+    nothing proportional to the data."""
+    summaries = spacesaving_summaries(items, col, capacity).localCheckpoint()
+    total_min = (
+        summaries.select("pid", "pmin")
+        .distinct()
+        .agg(F.coalesce(F.sum("pmin"), F.lit(0)))
+        .first()[0]
+    )
+    merged = (
+        summaries.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("err").alias("err"),
+            F.sum("pmin").alias("covered_min"),
+        )
+    )
+    return (
+        merged.select(
+            "item",
+            (F.col("cnt") - F.col("err")).alias("lower"),
+            (F.col("cnt") + (F.lit(total_min) - F.col("covered_min"))).alias(
+                "upper"
+            ),
+        )
+        .orderBy(F.col("lower").desc(), "item")
+        .limit(k)
+    )
+
+
+def q_heavy_hitter_tokens(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Driver-facing space-saving demo with its honesty check inline
+    (the Count-Min demo's discipline): the top-k corpus tokens by
+    guaranteed lower bound, each with its exact count joined next to
+    the [lower, upper] bracket — bracket_ok is the measured guarantee.
+    Rows-only: the bracket depends on partition boundaries; the
+    bracketing INVARIANT (never the luck of the layout) is what
+    pytest pins."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("item"))
+    hh = heavy_hitters(toks, capacity=512, k=k)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        hh.join(exact, "item", "left")
+        .select(
+            "item",
+            "lower",
+            "upper",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            (
+                (F.col("lower") <= F.col("n_exact"))
+                & (F.col("n_exact") <= F.col("upper"))
+            ).alias("bracket_ok"),
+        )
+        .orderBy(F.col("lower").desc(), "item")
+    )

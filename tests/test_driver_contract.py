@@ -16,6 +16,7 @@ import __spark_entry__ as E
 # registered without an oracle is a contract regression.
 ROWS_ONLY_ALLOWED = {
     "q_zorder_pruning_report",  # file-skip counts of scratch writes
+    "q_heavy_hitter_tokens",  # space-saving brackets are layout-dependent
     "q_minhash_signatures",
     "q_minhash_lsh_candidates",
     "q_simhash",

@@ -1772,3 +1772,43 @@ def test_embedding_truncation_recall_monotone_and_exact_at_full(spark):
     vals = [rows[d].avg_recall_at_k for d in dims]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert vals == sorted(vals), f"recall not monotone in dim: {vals}"
+
+
+def test_spacesaving_heavy_hitters_bounds_and_completeness(spark):
+    """Space-saving invariants: every reported bracket contains the
+    exact count; with ample capacity the sketch is EXACT (lower ==
+    upper == truth) and the top set matches the exact top set; a
+    deliberately tiny capacity still brackets correctly (bounds are
+    the guarantee, precision is the budget's job)."""
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    toks = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(X.tokens(F.col("text"))).alias("item"))
+    )
+    exact = {
+        r.item: r.n
+        for r in toks.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    top_true = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    rows = X.q_heavy_hitter_tokens(spark, SF, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.bracket_ok for r in rows)
+    assert all(r.n_exact == exact[r.item] for r in rows)
+
+    # Ample capacity (> distinct items per partition): every counter
+    # is exact, so the report IS the exact top-10.
+    wide = {
+        r.item: (r.lower, r.upper)
+        for r in X.heavy_hitters(toks, capacity=200_000, k=10).collect()
+    }
+    assert set(wide) == {t for t, _ in top_true}
+    for t, n in top_true:
+        assert wide[t] == (n, n)
+
+    # Starved capacity: brackets must still hold for whatever is
+    # reported (grab exact counts for the reported items directly).
+    tight = X.heavy_hitters(toks, capacity=8, k=5).collect()
+    for r in tight:
+        assert r.lower <= exact.get(r.item, 0) <= r.upper
