@@ -72,7 +72,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": A.q_cube,
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
         "q_cusum_changepoint": A.q_cusum_changepoint,
-        "q_stl_decompose": A.q_stl_decompose,
+        # Round-7 rotation: BFS hop distances (iterative graph
+        # traversal with a recursive-CTE oracle — a family the window
+        # never exercised) takes q_stl_decompose's slot; seasonal
+        # decomposition keeps in-window cousins (q_holt_winters,
+        # q_quantile_sketch_rollup, q_cusum_changepoint) and STL stays
+        # registered below.
+        "q_bfs_hops": G.q_bfs_hops,
         "q_scd2_history": R.q_scd2_history,
         "q_range_join": A.q_range_join,
         "q_attribution_credit": A.q_attribution_credit,
@@ -119,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above).
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
+        "q_stl_decompose": A.q_stl_decompose,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1303,6 +1310,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        # BFS hop distances: recursive CTE over the identical edge
+        # derivation; UNION (distinct) bounds the working set at
+        # (node, dist) pairs and min(dist) per node is the BFS
+        # distance. Seeds = the 3 smallest node ids, hops <= 3.
+        "q_bfs_hops": """
+            WITH RECURSIVE li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+                SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM li a
+                JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+            ), sym AS (
+                SELECT p1 AS s, p2 AS d FROM edges
+                UNION ALL
+                SELECT p2, p1 FROM edges
+            ), seeds AS (
+                SELECT node FROM (
+                    SELECT p1 AS node FROM edges
+                    UNION SELECT p2 FROM edges
+                ) ORDER BY node LIMIT 3
+            ), walk(node, dist) AS (
+                SELECT node, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT sym.d, walk.dist + 1
+                FROM walk JOIN sym ON walk.node = sym.s
+                WHERE walk.dist < 3
+            )
+            SELECT node AS l_partkey, min(dist) AS dist
+            FROM walk
+            GROUP BY node
+            ORDER BY l_partkey
+        """,
         # Incremental agg view: the maintained rollup must equal the
         # one-shot batch GROUP BY. Integer cents keep sums exact under
         # any fold order; sum(BIGINT) is CAST back from DuckDB's

@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "q_graph_degree_histogram",
     "q_pagerank",
     "q_kcore",
+    "q_bfs_hops",
+    # Round-7 additions: layout, incremental rollup, frequent items.
+    "q_zorder_cells",
+    "q_zorder_pruning_report",
+    "q_agg_view_incremental",
+    "q_heavy_hitter_tokens",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

@@ -26,10 +26,11 @@ Scale discipline (the whole point of a graph module on Spark):
   reused across iterations. Driver-side state is a handful of
   scalars — ranks never leave the cluster.
 
-``q_graph_degree_histogram`` and ``q_triangle_count`` are exact
-integer computations and DuckDB-oracle-matched; ``q_pagerank`` is
-iterative float (rows-only), pinned against a pure-Python/numpy
-replica in pytest.
+``q_graph_degree_histogram``, ``q_triangle_count`` and ``q_bfs_hops``
+are exact integer computations and DuckDB-oracle-matched (BFS against
+a recursive CTE); ``q_pagerank`` is iterative float (rows-only),
+pinned against a pure-Python/numpy replica in pytest; ``q_kcore``
+peeling is pinned against a sequential Python peeler.
 """
 
 from __future__ import annotations
@@ -299,4 +300,63 @@ def q_pagerank(
         )
         .orderBy(F.desc("pagerank"), "l_partkey")
         .limit(top_k)
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source unweighted BFS over an undirected (p1 < p2) edge
+    list: (node, dist) with dist = fewest hops from ANY seed, bounded
+    at ``max_hops``. Frontier expansion — each round is one equijoin
+    of the CURRENT frontier against the edges plus one anti-join
+    against the visited set, so round cost is O(|frontier| x avg
+    degree), never nodes x edges; rounds = min(max_hops, reached
+    diameter). Visited/frontier lineage is truncated by EAGER
+    localCheckpoints (the PageRank discipline) and the driver sees
+    only per-round counts."""
+    sym = (
+        edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(edges.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .localCheckpoint()
+    )
+    frontier = seeds.select("node").distinct().localCheckpoint()
+    visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def q_bfs_hops(
+    spark: SparkSession, sf_dir: str, n_seeds: int = 3, max_hops: int = 3
+) -> DataFrame:
+    """Hop distance of every co-purchase-graph part from the
+    ``n_seeds`` smallest part ids, bounded at ``max_hops`` — the
+    'blast radius' read (recall / substitution reach) layered over
+    the same edge set the basket and triangle queries price.
+
+    Oracle-exact: unweighted BFS is pure integer set math; the DuckDB
+    twin is a recursive CTE over the identical edge derivation with
+    min(dist) per node (UNION-distinct on (node, dist) keeps the
+    working set bounded by nodes x hops)."""
+    edges = co_order_edges(spark, sf_dir).localCheckpoint()
+    nodes = degrees(edges).select("node")
+    seeds = nodes.orderBy("node").limit(n_seeds)
+    return (
+        bfs_distances(edges, seeds, max_hops=max_hops)
+        .select(F.col("node").alias("l_partkey"), "dist")
+        .orderBy("l_partkey")
     )

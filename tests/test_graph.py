@@ -142,3 +142,35 @@ def test_kcore_matches_python_peeler(spark):
     assert set(got) == alive
     for n in alive:
         assert got[n] == deg[n], n
+
+
+def test_bfs_distances_on_known_graph(spark):
+    # Path 1-2-3-4-5 plus an unreachable component {8,9}: distances
+    # from seed 1 bound at 3 hops; 5 and the island never appear.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in G.bfs_distances(_edges_df(spark, pairs), seeds, 3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # Early frontier exhaustion: the island seed stops after one hop.
+    got2 = {
+        r.node: r.dist
+        for r in G.bfs_distances(
+            _edges_df(spark, pairs),
+            spark.createDataFrame([(8,)], "node long"),
+            10,
+        ).collect()
+    }
+    assert got2 == {8: 0, 9: 1}
+    # Multi-source: nearest seed wins.
+    got3 = {
+        r.node: r.dist
+        for r in G.bfs_distances(
+            _edges_df(spark, pairs),
+            spark.createDataFrame([(1,), (5,)], "node long"),
+            3,
+        ).collect()
+    }
+    assert got3 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
