@@ -69,7 +69,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Temporal / OLAP analytics
         "q_holt_winters": A.q_holt_winters,
         "q_session_window": A.q_session_window,
-        "q_cube": A.q_cube,
+        # Round-7 rotation: the binned interval-overlap join (keyless
+        # many-x-many range join as a bucket equijoin — a family the
+        # window never exercised) takes q_cube's slot; multi-level
+        # grouping keeps q_metrics_rollup in-window and CUBE stays
+        # registered below.
+        "q_interval_overlap": A.q_interval_overlap,
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
         "q_cusum_changepoint": A.q_cusum_changepoint,
         # Round-7 rotation: BFS hop distances (iterative graph
@@ -126,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_stl_decompose": A.q_stl_decompose,
+        "q_cube": A.q_cube,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1310,6 +1316,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        # Binned interval-overlap join: DuckDB runs the plain theta
+        # join; Spark bins it to a bucket equijoin — same pairs, so
+        # the grouped counts match exactly.
+        "q_interval_overlap": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ),
+            sessions AS (
+                SELECT user_id                        AS s_user,
+                       min(ts)                        AS s_start,
+                       max(ts) + INTERVAL 30 MINUTE   AS s_end
+                FROM numbered
+                GROUP BY user_id, session_id
+            ),
+            wins AS (
+                SELECT DISTINCT user_id               AS w_user,
+                       ts                             AS w_start,
+                       ts + INTERVAL 2 HOUR           AS w_end
+                FROM events
+                WHERE event_type = 'error' AND user_id % 100 = 0
+            )
+            SELECT w.w_user, w.w_start,
+                   count(*)                  AS n_sessions,
+                   count(DISTINCT s.s_user)  AS n_users
+            FROM wins w
+            JOIN sessions s
+              ON s.s_start < w.w_end AND w.w_start < s.s_end
+             AND s.s_user <> w.w_user
+            GROUP BY w.w_user, w.w_start
+            ORDER BY w.w_user, w.w_start
+        """,
         # BFS hop distances: recursive CTE over the identical edge
         # derivation; UNION (distinct) bounds the working set at
         # (node, dist) pairs and min(dist) per node is the BFS

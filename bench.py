@@ -706,6 +706,17 @@ def main() -> None:
                     # (linear in the corpus side by construction).
                     "q_dedup_jaccard_prefix",
                     "q_semantic_decontamination",
+                    # Round-7 additions: the Morton-key projection is
+                    # an events-scan, the incremental rollup folds
+                    # O(delta), space-saving is one bounded-state
+                    # Arrow pass over tokens — all claimed linear, the
+                    # ratio checks it. (q_interval_overlap is NOT
+                    # probed: its PAIR count legitimately grows with
+                    # both interval sets — the operator's cost dial is
+                    # per-bucket density, pinned in test_plan_shape.)
+                    "q_zorder_cells",
+                    "q_agg_view_incremental",
+                    "q_heavy_hitter_tokens",
                 ):
                     runs[corpus_q] = _best_of(
                         lambda q=corpus_q: _materialize(qs[q](spark, sdir)),

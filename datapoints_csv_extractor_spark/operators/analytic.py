@@ -2714,3 +2714,92 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket_seconds: int = 7200,
+) -> DataFrame:
+    """Keyless many-x-many interval OVERLAP join as a binned equijoin.
+
+    The naive plan for ``l_start < r_end AND r_start < l_end`` is a
+    BroadcastNestedLoopJoin — O(|L| x |R|) compares and a broadcast
+    of a whole side, the classic Spark range-join trap. Binning fixes
+    the asymptotics: each interval explodes to the fixed-width time
+    buckets it touches, the join becomes an EQUIJOIN on bucket id
+    (shuffle-partitionable, AQE-skew-splittable), and the overlap
+    predicate then prunes the per-bucket candidates. Work is
+    sum_b(|L_b| x |R_b|) — local density, never the global product.
+    A pair spanning several shared buckets is deduped by one
+    ``distinct``; inputs must therefore be row-distinct (pre-distinct
+    them — the demo does).
+
+    Pick ``bucket_seconds`` near the typical interval length: the
+    explode factor is span/bucket + 1 while per-bucket density falls
+    with the bucket width (the standard binned-range-join dial;
+    Databricks ships the same idea as ``spark.databricks.optimizer.
+    rangeJoin.binSize``). Spans are half-open [start, end)."""
+    ls, le = left_span
+    rs, re_ = right_span
+    if set(left.columns) & set(right.columns):
+        raise ValueError(
+            "interval_overlap_join needs disjoint column names; rename "
+            f"the overlap: {sorted(set(left.columns) & set(right.columns))}"
+        )
+
+    def _buckets(s: str, e: str):
+        w = F.lit(bucket_seconds)
+        return F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / w).cast("long"),
+            F.floor(F.unix_timestamp(F.col(e)) / w).cast("long"),
+        )
+
+    lb = left.withColumn("__bucket", F.explode(_buckets(ls, le)))
+    rb = right.withColumn("__bucket", F.explode(_buckets(rs, re_)))
+    return (
+        lb.join(rb, "__bucket")
+        .where((F.col(ls) < F.col(re_)) & (F.col(rs) < F.col(le)))
+        .drop("__bucket")
+        .distinct()
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing binned overlap join: for each 'incident window'
+    (2 hours after an error event of the 1-in-100 sentinel users),
+    how many OTHER users' sessions overlapped it — the cross-user
+    interference read (did the incident coincide with foreign
+    activity?). Sessions come from the same 30-minute sessionization
+    q_session_window serves; windows are distinct-projected so both
+    engines pair identical row sets. Oracle: the plain theta join in
+    DuckDB — exact, because overlap is pure timestamp comparison and
+    the counts are integers."""
+    e = load(spark, sf_dir, "events")
+    sessions = session_window_agg(e).select(
+        F.col("user_id").alias("s_user"),
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    windows = (
+        e.where((F.col("event_type") == "error") & (F.col("user_id") % 100 == 0))
+        .select(
+            F.col("user_id").alias("w_user"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+        .distinct()
+    )
+    pairs = interval_overlap_join(
+        sessions, windows, ("s_start", "s_end"), ("w_start", "w_end")
+    ).where(F.col("s_user") != F.col("w_user"))
+    return (
+        pairs.groupBy("w_user", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("s_user").alias("n_users"),
+        )
+        .orderBy("w_user", "w_start")
+    )

@@ -596,3 +596,34 @@ def test_mixture_plan_single_aggregation_shuffle(spark):
 
     plan = _plan(C.q_mixture_plan(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_join_is_binned_equijoin(spark):
+    """The keyless overlap join must plan as an EQUIJOIN on bucket id
+    (SortMergeJoin/ShuffledHashJoin) — never a BroadcastNestedLoop
+    over the raw theta condition — and must find pairs that only
+    share a bucket via spanning (the dedup + boundary semantics)."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        interval_overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "2024-01-01 07:50:00"),   # spans 4 buckets
+         (2, "2024-01-01 01:00:00", "2024-01-01 01:05:00"),
+         (3, "2024-01-02 00:00:00", "2024-01-02 00:30:00")],  # overlaps nothing
+        "lid long, ls string, le string",
+    ).select("lid", F.col("ls").cast("timestamp"), F.col("le").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(10, "2024-01-01 01:30:00", "2024-01-01 06:00:00"),  # hits lid 1 only
+         (20, "2024-01-01 00:00:00", "2024-01-01 01:02:00")], # hits lids 1, 2
+        "rid long, rs string, re string",
+    ).select("rid", F.col("rs").cast("timestamp"), F.col("re").cast("timestamp"))
+    out = interval_overlap_join(L, R, ("ls", "le"), ("rs", "re"))
+    pairs = {(r.lid, r.rid) for r in out.collect()}
+    assert pairs == {(1, 10), (1, 20), (2, 20)}
+    # Multi-bucket co-span produces ONE row per pair (distinct folds
+    # the bucket multiplicity).
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
