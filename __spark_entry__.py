@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
+        # Join pre-flight: exact join cardinality + skew diagnosis
+        # from count tables (the report operators/skew.py acts on).
+        "q_join_size_estimate": R.q_join_size_estimate,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1316,6 +1319,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        "q_join_size_estimate": """
+            WITH ca AS (
+                SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1
+            ), cb AS (
+                SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1
+            ), j AS (
+                SELECT ca.k, na * nb AS prod FROM ca JOIN cb ON ca.k = cb.k
+            ), m AS (
+                SELECT max(prod) AS mx FROM j
+            )
+            SELECT CAST(sum(prod) AS BIGINT)                       AS join_rows,
+                   count(*)                                        AS n_join_keys,
+                   CAST(max(prod) AS BIGINT)                       AS max_key_rows,
+                   min(CASE WHEN prod = mx THEN k END)             AS top_key,
+                   CAST(CAST(max(prod) AS BIGINT) AS DOUBLE)
+                     / (CAST(CAST(sum(prod) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE))                AS skew_ratio
+            FROM j, m
+        """,
         # Binned interval-overlap join: DuckDB runs the plain theta
         # join; Spark bins it to a bucket equijoin — same pairs, so
         # the grouped counts match exactly.

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q_zorder_pruning_report",
     "q_agg_view_incremental",
     "q_heavy_hitter_tokens",
+    "q_interval_overlap",
+    "q_join_size_estimate",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

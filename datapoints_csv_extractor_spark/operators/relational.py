@@ -1903,3 +1903,58 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "l_partkey")
     )
+
+
+def join_size_report(
+    a: DataFrame, b: DataFrame, a_key: str, b_key: str
+) -> DataFrame:
+    """Exact inner-equijoin cardinality and skew diagnosis WITHOUT
+    executing the join: |A >< B on k| = sum over shared keys of
+    n_a(k) * n_b(k), computed from two per-key count aggregates and a
+    join of the (small) count tables. The pre-flight read that tells
+    you whether the real join will explode and which key to salt
+    (operators/skew.salted_join is the fix this report justifies) —
+    cost is two scans + a |keys|-sized equijoin, never the join
+    output's row count.
+
+    Returns one row: join_rows, n_join_keys, max_key_rows (the worst
+    key's contribution), top_key (smallest key achieving it — ties
+    broken deterministically), skew_ratio (worst key vs mean key)."""
+    ca = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    cb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    j = ca.join(cb, "k").select("k", (F.col("na") * F.col("nb")).alias("prod"))
+    j = j.localCheckpoint()  # two consumers: the max probe + the final agg
+    mx = j.agg(F.max("prod").alias("mx"))
+    return (
+        j.crossJoin(F.broadcast(mx))  # 1-row scalar broadcast
+        .agg(
+            F.sum("prod").alias("join_rows"),
+            F.count(F.lit(1)).alias("n_join_keys"),
+            F.max("prod").alias("max_key_rows"),
+            F.min(F.when(F.col("prod") == F.col("mx"), F.col("k"))).alias(
+                "top_key"
+            ),
+        )
+        .select(
+            "join_rows",
+            "n_join_keys",
+            "max_key_rows",
+            "top_key",
+            (
+                F.col("max_key_rows").cast("double")
+                / (
+                    F.col("join_rows").cast("double")
+                    / F.col("n_join_keys").cast("double")
+                )
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing join-size pre-flight over the engine's dominant
+    join (orders x lineitem on orderkey): exact output cardinality
+    plus the worst key and skew ratio, from count tables only."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return join_size_report(o, li, "o_orderkey", "l_orderkey")

@@ -219,6 +219,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_audience_overlap_hll",  # types-row sketch table x itself
         "q_dsir_importance_sample",  # 1-row gram-total aggregate broadcast
         "q_rfm_segments",  # 1-row max-orderdate anchor broadcast
+        "q_join_size_estimate",  # 1-row max-product scalar broadcast
         "q_triangle_count",  # 1-row census aggregates cross-assembled
         "q_sax_words",  # 1-row global day-bounds aggregate broadcast
         "q_sax_motifs",  # same 1-row day-bounds broadcast
@@ -627,3 +628,23 @@ def test_interval_overlap_join_is_binned_equijoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_size_report_matches_executed_join(spark):
+    """The pre-flight cardinality must equal the executed join's count
+    and finger the worst key, without ever materializing the join."""
+    from datapoints_csv_extractor_spark.operators.relational import (
+        join_size_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,), (3,)], "ka long"
+    )
+    b = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (3,), (9,)], "kb long"
+    )
+    row = join_size_report(a, b, "ka", "kb").collect()[0]
+    assert row.join_rows == a.join(b, a.ka == b.kb).count() == 10
+    assert row.n_join_keys == 3
+    assert row.max_key_rows == 6 and row.top_key == 3  # 3 x 2
+    assert row.skew_ratio == 6 / (10 / 3)
