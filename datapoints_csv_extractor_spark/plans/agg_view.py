@@ -44,28 +44,37 @@ from datapoints_csv_extractor_spark.sinks.merge_store import (
 
 COMPACT_SEQ = -1  # reserved fold id for compacted base rows
 
-_PARTIALS = ["n", "sum_v", "min_v", "max_v", "sum_sq"]
 
-
-def _partials(value: Column) -> list[Column]:
+def _partials(value: Column, distinct: Column | None = None) -> list[Column]:
     v = value.cast("long")
-    return [
+    cols = [
         F.count(v).alias("n"),
         F.sum(v).alias("sum_v"),
         F.min(v).alias("min_v"),
         F.max(v).alias("max_v"),
         F.sum(v * v).alias("sum_sq"),
     ]
+    if distinct is not None:
+        # HLL register state is a MERGEABLE partial (union = register-
+        # wise max, associative and lossless), so a maintained
+        # distinct-count rides the same fold/compact lifecycle as the
+        # decomposable aggregates — the thing a raw COUNT(DISTINCT)
+        # can never do incrementally.
+        cols.append(F.hll_sketch_agg(distinct).alias("nd"))
+    return cols
 
 
 def _combine(keys: list[str], df: DataFrame) -> DataFrame:
-    return df.groupBy(*keys).agg(
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
         F.sum("sum_sq").alias("sum_sq"),
-    )
+    ]
+    if "nd" in df.columns:
+        aggs.append(F.hll_union_agg("nd").alias("nd"))
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def agg_view_fold(
@@ -76,14 +85,17 @@ def agg_view_fold(
     value: Column,
     fold_seq: int,
     n_buckets: int = 32,
+    distinct: Column | None = None,
 ) -> list[int]:
     """Fold one batch into the view: one partial aggregate over the
     batch, upserted under key ``(keys..., fold_seq)``. ``value`` must
     be integral (cast to long) — integer partials keep the combined
-    sums exact under any fold order. Returns rewritten bucket ids."""
+    sums exact under any fold order. Pass ``distinct`` to also
+    maintain an HLL approx-distinct of that column (mergeable sketch
+    partials). Returns rewritten bucket ids."""
     delta = (
         batch.groupBy(*keys)
-        .agg(*_partials(value))
+        .agg(*_partials(value, distinct))
         .withColumn("fold_seq", F.lit(fold_seq).cast("long"))
         .withColumn("deleted", F.lit(False))
     )
@@ -108,7 +120,7 @@ def agg_view_read(
     c = _combine(keys, read_store(spark, store_path))
     mean = F.col("sum_v").cast("double") / F.col("n").cast("double")
     ex2 = F.col("sum_sq").cast("double") / F.col("n").cast("double")
-    return c.select(
+    out = [
         *keys,
         "n",
         "sum_v",
@@ -116,7 +128,10 @@ def agg_view_read(
         "max_v",
         mean.alias("mean_v"),
         (ex2 - mean * mean).alias("var_v"),
-    )
+    ]
+    if "nd" in c.columns:
+        out.append(F.hll_sketch_estimate("nd").alias("approx_distinct"))
+    return c.select(*out)
 
 
 def compact_agg_view(
@@ -138,10 +153,8 @@ def compact_agg_view(
         .withColumn("fold_seq", F.lit(COMPACT_SEQ).cast("long"))
         .withColumn("deleted", F.lit(False))
     )
-    dead = (
-        cur.where(F.col("fold_seq") != COMPACT_SEQ)
-        .select(*keys, "fold_seq", *_PARTIALS)
-        .withColumn("deleted", F.lit(True))
+    dead = cur.where(F.col("fold_seq") != COMPACT_SEQ).withColumn(
+        "deleted", F.lit(True)
     )
     upsert_into_store(
         spark,
@@ -162,6 +175,7 @@ def stream_agg_view_fold(
     value: Column,
     on_batch=None,
     available_now: bool = True,
+    distinct: Column | None = None,
 ):
     """Streaming maintenance: each micro-batch folds under
     ``fold_seq=batch_id`` — replays overwrite themselves (the row key
@@ -172,7 +186,8 @@ def stream_agg_view_fold(
             return
         spark = batch_df.sparkSession
         buckets = agg_view_fold(
-            spark, store_path, batch_df, keys, value, batch_id
+            spark, store_path, batch_df, keys, value, batch_id,
+            distinct=distinct,
         )
         if on_batch is not None:
             on_batch(batch_id, buckets)

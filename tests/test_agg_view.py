@@ -117,3 +117,41 @@ def test_stream_agg_view_across_restarts(spark, tmp_path):
     _b(spark, b2).repartition(1).write.mode("append").parquet(str(src))
     run()
     assert _view(spark, store) == _truth(spark, b1 + b2)
+
+
+def test_agg_view_maintains_hll_distinct_across_folds_and_compaction(
+    spark, tmp_path
+):
+    """HLL register state is a lossless-mergeable partial: the
+    maintained approx-distinct must equal the one-shot sketch over
+    the full data after any fold slicing AND after compaction (sketch
+    union is register-wise max, associative)."""
+    store = str(tmp_path / "view")
+    rows = [("a", i % 7) for i in range(50)] + [("b", i % 13) for i in range(40)]
+    b1, b2 = rows[:30], rows[30:]
+    for i, b in enumerate((b1, b2)):
+        agg_view_fold(
+            spark, store, _b(spark, b), ["k"], F.col("v"), i,
+            n_buckets=4, distinct=F.col("v"),
+        )
+    batch = {
+        r.k: r.nd
+        for r in _b(spark, rows)
+        .groupBy("k")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("nd")
+        )
+        .collect()
+    }
+    got = {
+        r.k: r.approx_distinct
+        for r in agg_view_read(spark, store, ["k"]).collect()
+    }
+    assert got == batch  # exact at these cardinalities: {a: 7, b: 13}
+    assert got == {"a": 7, "b": 13}
+    compact_agg_view(spark, store, ["k"], n_buckets=4)
+    got2 = {
+        r.k: r.approx_distinct
+        for r in agg_view_read(spark, store, ["k"]).collect()
+    }
+    assert got2 == batch
