@@ -2128,6 +2128,14 @@ def heavy_hitters(
     — parameter-sized, one small groupBy + one broadcast-scale scalar,
     nothing proportional to the data."""
     summaries = spacesaving_summaries(items, col, capacity).localCheckpoint()
+    return merge_spacesaving_summaries(summaries, k)
+
+
+def merge_spacesaving_summaries(summaries: DataFrame, k: int = 20) -> DataFrame:
+    """Merge (pid, item, cnt, err, pmin) space-saving summary rows —
+    from one pass's partitions OR many batches' stored summaries (the
+    bounds compose across any partitioning of the stream) — into the
+    top-``k`` [lower, upper] brackets."""
     total_min = (
         summaries.select("pid", "pmin")
         .distinct()

@@ -1051,3 +1051,60 @@ def stream_session_rollup(
             "total_value",
         )
     )
+
+
+def stream_heavy_hitters_fold(
+    items_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "item",
+    capacity: int = 256,
+    on_batch=None,
+    available_now: bool = True,
+):
+    """Streaming producer for the space-saving heavy-hitters sketch
+    (operators.textops.spacesaving_summaries): each micro-batch's
+    bounded per-partition summaries are written under
+    ``batch=<batch_id>/`` — an idempotent overwrite, so at-least-once
+    redelivery converges — and the served top-k merges ALL stored
+    summaries (heavy_hitters_from_store). The bounds compose across
+    any partitioning of the stream, so batch boundaries just act as
+    more partitions; state on disk is batches x (capacity+1) rows per
+    partition, never item-cardinality."""
+    import os
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        spacesaving_summaries,
+    )
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        summary = spacesaving_summaries(batch_df, item_col, capacity)
+        summary.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        items_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("heavy_hitters_fold")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def heavy_hitters_from_store(spark, store_dir: str, k: int = 20) -> DataFrame:
+    """Serve the streaming heavy-hitters store: merge every stored
+    batch's summaries into top-k [lower, upper] brackets. Upper
+    bounds widen with the number of capacity-saturated batches (each
+    contributes its smallest counter for items it did not track) —
+    the documented cost of bounded state on an unbounded stream."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        merge_spacesaving_summaries,
+    )
+
+    return merge_spacesaving_summaries(spark.read.parquet(store_dir), k)

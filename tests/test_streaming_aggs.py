@@ -1218,3 +1218,63 @@ def test_stream_ols_trend_matches_batch_slope(spark, tmp_path):
     # Streaming intercept reads at origin_s == the series min here,
     # so it matches the batch intercept too.
     assert final.intercept_at_origin == batch.intercept
+
+
+def test_stream_heavy_hitters_brackets_and_replay_idempotence(spark, tmp_path):
+    """The streaming space-saving store must bracket every reported
+    item's exact count after multiple batches, and an at-least-once
+    redelivery of a batch id must overwrite itself (idempotent)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        spacesaving_summaries,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        heavy_hitters_from_store,
+        stream_heavy_hitters_fold,
+    )
+
+    src = tmp_path / "items"
+    src.mkdir()
+    store = str(tmp_path / "hh_store")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("x",)] * 30 + [("y",)] * 10 + [("z",)] * 2
+    b2 = [("x",)] * 5 + [("w",)] * 20
+    spark.createDataFrame(b1, "item string").repartition(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema("item string").parquet(str(src))
+        q = stream_heavy_hitters_fold(stream, store, ckpt, capacity=16)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, "item string").repartition(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+
+    exact = {"x": 35, "y": 10, "z": 2, "w": 20}
+    rows = heavy_hitters_from_store(spark, store, k=10).collect()
+    got = {r.item: (r.lower, r.upper) for r in rows}
+    assert set(got) == set(exact)  # ample capacity: everything tracked
+    for item, n in exact.items():
+        lo, up = got[item]
+        assert lo <= n <= up
+    # Ample capacity means every partial is exact -> brackets are tight.
+    assert all(lo == up for lo, up in got.values())
+
+    # Redelivery: rewriting one batch id's summaries (the foreachBatch
+    # replay path) leaves the served brackets unchanged.
+    before = sorted(tuple(r) for r in rows)
+    summary = spacesaving_summaries(
+        spark.createDataFrame(b2, "item string"), "item", 16
+    )
+    summary.write.mode("overwrite").parquet(os.path.join(store, "batch=1"))
+    after = sorted(
+        tuple(r) for r in heavy_hitters_from_store(spark, store, k=10).collect()
+    )
+    assert after == before
