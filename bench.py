@@ -426,6 +426,23 @@ def main() -> None:
             lambda: _materialize(qs[name](spark, sf_dir)),
             clean_sec=clean_sec.get(name, 3.0),
         )
+        if name == "q_triangle_count":
+            # Shuffle volume next to wall time (plans/introspect.py):
+            # a regression is then readable as "more data moved"
+            # (edge/wedge blowup) vs "slower moving" (plan/host). The
+            # result is 1 row, so the extra collect is free.
+            from datapoints_csv_extractor_spark.plans.introspect import (
+                metrics_summary,
+            )
+
+            tri = qs[name](spark, sf_dir)
+            tri.collect()
+            s = metrics_summary(tri)
+            telemetry[name] = {
+                "sec": timings[name],
+                "shuffle_mb": round(s["shuffle_bytes_written"] / 2**20, 1),
+                "spill_mb": round(s["spill_bytes"] / 2**20, 1),
+            }
         if name == "q_dedup_clusters_twostar":
             # Rounds-to-convergence next to the wall time: a future
             # regression is then readable as "more rounds" (pair

@@ -648,3 +648,35 @@ def test_join_size_report_matches_executed_join(spark):
     assert row.n_join_keys == 3
     assert row.max_key_rows == 6 and row.top_key == 3  # 3 x 2
     assert row.skew_ratio == 6 / (10 / 3)
+
+
+def test_tebis_ingest_measured_shuffle_is_zero_bytes(spark, tmp_path):
+    """Stronger than the plan-string pin above: after actually running
+    the ingest, the executed plan's SQLMetrics must show ZERO shuffle
+    bytes written and zero spill — the measured no-shuffle claim."""
+    from datapoints_csv_extractor_spark.plans.introspect import (
+        executed_plan_metrics,
+        metrics_summary,
+    )
+    from datapoints_csv_extractor_spark.sources.tebis_csv import read_datapoints
+    from fixtures import write_tebis_csv
+
+    folder = tmp_path / "in"
+    folder.mkdir()
+    p1 = write_tebis_csv(folder, file_ts=1550092560, n_series=3, n_rows=10, seed=1)
+    p2 = write_tebis_csv(folder, file_ts=1550092620, n_series=5, n_rows=10, seed=2)
+    df = read_datapoints(spark, [p1, p2])
+    n = df.count()
+    assert n == 80
+    # count() executes an aggregate DERIVED from df; run df itself so
+    # its own executed plan carries metrics.
+    df.collect()
+    s = metrics_summary(df)
+    assert s["shuffle_bytes_written"] == 0
+    assert s["spill_bytes"] == 0
+    assert s["max_operator_rows"] >= 80
+    # And the walk sees real per-node metrics (not an empty traversal).
+    assert any(
+        r["metric"] == "number of output rows" and r["value"] == 80
+        for r in executed_plan_metrics(df)
+    )
