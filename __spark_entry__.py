@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Frequent-items sketch (rows-only: brackets depend on the
         # partition layout; the bracketing invariant is pytest-pinned).
         "q_heavy_hitter_tokens": X.q_heavy_hitter_tokens,
+        # Perceptual image dedup over real decoded pixels (rows-only:
+        # no SQL engine decodes PNG; planted-twin recovery pinned).
+        "q_image_near_dup": M.q_image_near_dup,
         "q_tokenizer_fertility": X.q_tokenizer_fertility,
         "q_ann_sq_topk": V.q_ann_sq_topk,
         "q_holt_forecast": A.q_holt_forecast,

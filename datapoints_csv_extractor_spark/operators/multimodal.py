@@ -880,3 +880,156 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob_id", "sample_rate", "n_frames", "duration_s", "rms",
         "zero_crossing_rate",
     ).orderBy("blob_id")
+
+
+def image_dhash(blobs: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image blob — the standard
+    perceptual fingerprint: decode, grayscale, block-average onto an
+    8x9 grid, emit one bit per horizontally-adjacent cell comparison.
+    Near-identical images (small edits, re-encodes) land within a few
+    Hamming bits; unrelated images are ~32 apart. Decode tiers match
+    image_features (PIL when importable, stdlib PNG inflate+unfilter
+    otherwise); undecodable payloads emit NULL. Arrow-batched
+    mapInPandas; the hash itself is numpy block means — no per-pixel
+    Python."""
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+    use_pil = pil_available()
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for bid, payload in zip(pdf["blob_id"], pdf["payload"]):
+                raw = bytes(payload)
+                px = None
+                if use_pil:
+                    try:
+                        import io
+
+                        from PIL import Image
+
+                        px = np.asarray(Image.open(io.BytesIO(raw)))
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                    except Exception:
+                        px = None
+                if px is None:
+                    px = _decode_png_pixels(raw)
+                ids.append(int(bid))
+                if px is None:
+                    hashes.append(None)
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                rs = np.linspace(0, gray.shape[0], 9).astype(int)
+                cs = np.linspace(0, gray.shape[1], 10).astype(int)
+                grid = np.array(
+                    [
+                        [
+                            gray[rs[r]: rs[r + 1], cs[c]: cs[c + 1]].mean()
+                            for c in range(9)
+                        ]
+                        for r in range(8)
+                    ]
+                )
+                bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:  # store as signed long
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"blob_id": ids, "dhash": hashes})
+
+    return blobs.select("blob_id", "payload").mapInPandas(go, schema)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 4, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join — the SimHash
+    pigeonhole on dHash bits: split the 64-bit hash into ``n_bands``
+    16-bit bands; any pair within ``max_hamming`` <= n_bands - 1 bits
+    must agree on at least one whole band, so candidates come from an
+    EQUIJOIN on (band index, band value) — never the n^2 pair space —
+    and the exact Hamming check (JVM xor + bit_count) verifies.
+    Unsigned shifts keep the sign bit from smearing across bands."""
+    band_ids = F.array(*[F.lit(i) for i in range(n_bands)])
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        return df.where(F.col("dhash").isNotNull()).select(
+            F.col("blob_id").alias(f"{side}_id"),
+            F.col("dhash").alias(f"{side}_hash"),
+            F.explode(band_ids).alias("band"),
+        ).withColumn(
+            "band_val",
+            # SQL form: the python shiftrightunsigned only takes an
+            # int literal shift, not a per-row column.
+            F.expr(
+                f"shiftrightunsigned({side}_hash, band * {width})"
+            ).bitwiseAND(F.lit(mask)),
+        )
+    a = banded(hashes, "a")
+    b = banded(hashes, "b")
+    ham = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing perceptual image dedup over REAL pixels: every
+    17th document's synthesized PNG gets a one-pixel-edited twin; the
+    dHash banded join must recover exactly the planted twins (an edit
+    of one pixel moves at most a couple of grid comparisons) without
+    ever forming the quadratic pair space. Rows-only (no SQL engine
+    decodes PNG); planted-pair recovery pinned in pytest."""
+    import hashlib
+
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"blob_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode()).digest()
+                buf = b"".join(
+                    hashlib.sha256(seed + bytes([i])).digest()
+                    for i in range(24)
+                )
+                px = np.frombuffer(buf[: 16 * 16 * 3], dtype=np.uint8).copy()
+                rows["blob_id"].append(int(did))
+                rows["payload"].append(encode_png(px.reshape(16, 16, 3)))
+                if did % 17 == 0:
+                    twin = px.copy()
+                    twin[0] = 255 - twin[0]  # one-channel edit
+                    rows["blob_id"].append(int(did) + 10_000_000)
+                    rows["payload"].append(
+                        encode_png(twin.reshape(16, 16, 3))
+                    )
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return (
+        image_near_dup_pairs(image_dhash(blobs), max_hamming=3)
+        .orderBy("a_id", "b_id")
+    )

@@ -17,6 +17,7 @@ import __spark_entry__ as E
 ROWS_ONLY_ALLOWED = {
     "q_zorder_pruning_report",  # file-skip counts of scratch writes
     "q_heavy_hitter_tokens",  # space-saving brackets are layout-dependent
+    "q_image_near_dup",  # real PNG decode; no SQL twin
     "q_minhash_signatures",
     "q_minhash_lsh_candidates",
     "q_simhash",

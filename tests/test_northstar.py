@@ -1812,3 +1812,46 @@ def test_spacesaving_heavy_hitters_bounds_and_completeness(spark):
     tight = X.heavy_hitters(toks, capacity=8, k=5).collect()
     for r in tight:
         assert r.lower <= exact.get(r.item, 0) <= r.upper
+
+
+def test_image_dhash_near_dup_recovers_planted_twins(spark):
+    """dHash + banded Hamming join: every planted one-pixel twin pair
+    is recovered, nothing else is (no false positives at the test
+    scale), hashes are deterministic, and the banded join does the
+    pigeonhole correctly for a hash pair differing in exactly one
+    band."""
+    from datapoints_csv_extractor_spark.operators import multimodal as MM
+
+    rows = MM.q_image_near_dup(spark, SF).collect()
+    assert rows, "expected planted near-dup pairs"
+    assert all(r.b_id == r.a_id + 10_000_000 for r in rows)
+    assert all(r.a_id % 17 == 0 for r in rows)
+    assert all(r.hamming <= 3 for r in rows)
+    # Every 17th doc planted a twin; all of them must be recovered.
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == len(range(0, n_docs, 17))
+    # Determinism.
+    again = MM.q_image_near_dup(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_image_near_dup_pairs_banding_pigeonhole(spark):
+    """Hand-built hashes: a pair within the Hamming budget but
+    differing INSIDE one band is caught via the other equal bands; a
+    pair over the budget sharing a band is candidate-joined but
+    verified away; NULL hashes never join."""
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    h = spark.createDataFrame(
+        [
+            (1, 0),
+            (2, 0b111),            # hamming 3 from id 1, bands 1-3 equal
+            (3, (1 << 16) | (1 << 32) | (1 << 48) | 1),  # 4 bits, spread
+            (4, None),
+        ],
+        "blob_id long, dhash long",
+    )
+    got = {(r.a_id, r.b_id): r.hamming for r in image_near_dup_pairs(h, 3).collect()}
+    assert got == {(1, 2): 3}
