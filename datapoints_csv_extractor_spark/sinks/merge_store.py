@@ -418,3 +418,48 @@ def store_stats(spark: SparkSession, store_path: str) -> DataFrame:
         .select(bucket.alias("bucket"), "generation", "n_rows")
         .orderBy("bucket")
     )
+
+
+def read_store_for_keys(
+    spark: SparkSession,
+    store_path: str,
+    key_values: DataFrame,
+    keys: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read: current state for the requested keys ONLY,
+    touching ONLY the bucket generations those keys hash into — the
+    serving-path read every store built on this layer inherits (SCD2
+    dimension, agg view, latest-value index). ``key_values`` must
+    carry the key columns at the stored types (xxhash64 is
+    type-sensitive). Cost: one parameter-sized collect of the wanted
+    bucket ids + a scan of <= |wanted| bucket directories + a
+    broadcast semi-join — never the full store.
+
+    Returns rows in the snapshot's schema; keys absent from the store
+    simply return no rows (left-semi semantics)."""
+    from pyspark.sql import types as T
+
+    m = _read_manifest(store_path, version)
+    schema = T.StructType.fromJson(m["schema"]) if m["schema"] else None
+    if schema is None:
+        raise ValueError(f"store {store_path!r} has no committed schema")
+    wanted_rows = (
+        _with_bucket(key_values.select(*keys).distinct(), keys, m["n_buckets"])
+        .select(_BUCKET)
+        .distinct()
+        .collect()
+    )
+    dirs = [
+        os.path.join(store_path, "buckets", m["buckets"][str(r[_BUCKET])])
+        for r in wanted_rows
+        if str(r[_BUCKET]) in m["buckets"]
+    ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    raw = _align_to_schema(
+        spark.read.option("mergeSchema", "true").parquet(*dirs), schema
+    )
+    return raw.join(
+        F.broadcast(key_values.select(*keys).distinct()), keys, "left_semi"
+    )

@@ -506,3 +506,42 @@ def test_merge_store_refuses_type_change(spark, tmp_path):
         upsert_into_store(
             spark, bad, store, keys=["k"], version_cols=["ts", "seq"]
         )
+
+
+def test_read_store_for_keys_prunes_to_wanted_buckets(spark, tmp_path):
+    """The point-lookup read must return exactly the requested keys'
+    current rows while SCANNING only the buckets they hash into —
+    measured from the files the executed plan actually read."""
+    from datapoints_csv_extractor_spark.sinks.merge_store import (
+        read_store_for_keys,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(f"k{i}", 0, 1, float(i), False) for i in range(200)]
+    upsert_into_store(
+        spark, _delta(spark, rows), store,
+        keys=["k"], version_cols=["seq"], n_buckets=32,
+    )
+    probe = spark.createDataFrame(
+        [("k3",), ("k77",), ("missing",)], "k string"
+    )
+    got = read_store_for_keys(spark, store, probe, ["k"])
+    vals = {(r.k, r.v) for r in got.collect()}
+    assert vals == {("k3", 3.0), ("k77", 77.0)}  # absent key -> no row
+    # Bucket pruning: the executed scan touched at most 3 (here <= 3
+    # wanted, out of 32) bucket directories.
+    files = {
+        os.path.dirname(r.f)
+        for r in got.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert 0 < len(files) <= 3
+    all_dirs = {
+        os.path.dirname(r.f)
+        for r in read_store(spark, store)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert len(files) < len(all_dirs)
