@@ -97,6 +97,7 @@ def agg_view_fold(
         batch.groupBy(*keys)
         .agg(*_partials(value, distinct))
         .withColumn("fold_seq", F.lit(fold_seq).cast("long"))
+        .withColumn("gen", F.lit(fold_seq).cast("long"))
         .withColumn("deleted", F.lit(False))
     )
     return upsert_into_store(
@@ -104,7 +105,7 @@ def agg_view_fold(
         delta,
         store_path,
         keys=[*keys, "fold_seq"],
-        version_cols=["fold_seq"],
+        version_cols=["gen"],
         n_buckets=n_buckets,
     )
 
@@ -143,25 +144,36 @@ def compact_agg_view(
     """Fold every key's partial rows into one row under the reserved
     COMPACT_SEQ id and tombstone the constituents — one atomic
     manifest commit, so a reader pinned to either snapshot sees a
-    complete view. Returns the number of partial rows retired."""
+    complete view. Returns the number of partial rows retired.
+
+    Versioning note: the merge's latest-wins tiebreak on EQUAL
+    versions is partition-order nondeterministic, so compaction rows
+    carry ``gen = max(stored gen) + 1`` — strictly above everything
+    they replace (monotone: any partial present arrived after the
+    previous compaction, so the new base always beats the old base
+    and tombstones always beat the partials they retire)."""
     cur = read_store(spark, store_path).localCheckpoint()
     n_partials = cur.where(F.col("fold_seq") != COMPACT_SEQ).count()
     if n_partials == 0:
         return 0
+    next_gen = cur.agg(F.max("gen")).first()[0] + 1
     base = (
-        _combine(keys, cur)
+        _combine(keys, cur.drop("gen"))
         .withColumn("fold_seq", F.lit(COMPACT_SEQ).cast("long"))
+        .withColumn("gen", F.lit(next_gen).cast("long"))
         .withColumn("deleted", F.lit(False))
     )
-    dead = cur.where(F.col("fold_seq") != COMPACT_SEQ).withColumn(
-        "deleted", F.lit(True)
+    dead = (
+        cur.where(F.col("fold_seq") != COMPACT_SEQ)
+        .withColumn("gen", F.lit(next_gen).cast("long"))
+        .withColumn("deleted", F.lit(True))
     )
     upsert_into_store(
         spark,
         base.unionByName(dead),
         store_path,
         keys=[*keys, "fold_seq"],
-        version_cols=["fold_seq"],
+        version_cols=["gen"],
         n_buckets=n_buckets,
     )
     return n_partials
