@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Join pre-flight: exact join cardinality + skew diagnosis
         # from count tables (the report operators/skew.py acts on).
         "q_join_size_estimate": R.q_join_size_estimate,
+        # ML feature/backtest preparation (round-7 late additions).
+        "q_target_encode": C.q_target_encode,
+        "q_purged_time_folds": C.q_purged_time_folds,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1322,6 +1325,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        "q_target_encode": """
+            WITH base AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ), sums AS (
+                SELECT event_type,
+                       CAST(sum(cents) AS BIGINT) AS s,
+                       count(cents)               AS n
+                FROM base GROUP BY event_type
+            )
+            SELECT event_id, b.event_type, cents,
+                   CASE WHEN n > 1
+                        THEN CAST(s - cents AS DOUBLE)
+                             / CAST(n - 1 AS DOUBLE)
+                   END AS te_cents
+            FROM base b JOIN sums USING (event_type)
+            ORDER BY event_id
+        """,
+        "q_purged_time_folds": """
+            WITH rng AS (
+                SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS lo,
+                       greatest(CAST(floor(max(epoch(ts))) AS BIGINT)
+                                - CAST(floor(min(epoch(ts))) AS BIGINT)
+                                + 1, 1)                      AS span
+                FROM events
+            ), base AS (
+                SELECT ts,
+                       CAST(least(floor(((CAST(floor(epoch(ts)) AS BIGINT) - lo)
+                                         * 4) / span), 3) AS INT) AS fold,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       lo, span
+                FROM events, rng
+            ), flagged AS (
+                SELECT ts, fold,
+                       (fold < 3 AND sec >=
+                        lo + CAST(floor(((fold + 1) * span) / 4) AS BIGINT)
+                           - 86400) AS embargoed
+                FROM base
+            )
+            SELECT fold, embargoed,
+                   count(*)  AS n_events,
+                   min(ts)   AS min_ts,
+                   max(ts)   AS max_ts
+            FROM flagged
+            GROUP BY fold, embargoed
+            ORDER BY fold, embargoed
+        """,
         "q_join_size_estimate": """
             WITH ca AS (
                 SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1

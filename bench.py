@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "q_heavy_hitter_tokens",
     "q_interval_overlap",
     "q_join_size_estimate",
+    "q_target_encode",
+    "q_purged_time_folds",
+    "q_image_near_dup",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

@@ -1212,3 +1212,102 @@ def q_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
         .orderBy("doc_id", "epoch")
     )
+
+
+def loo_target_encode(
+    df: DataFrame, key: str, target: Column, out: str = "te"
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets its group's target
+    mean EXCLUDING the row itself — (sum - x) / (n - 1) — the
+    standard leakage-safe categorical feature for tree/linear models
+    (plain per-key mean would leak each row's own label into its
+    feature). Singleton groups encode NULL (no peers to average).
+
+    One hash aggregate + one broadcast-scale join of the per-key
+    sums; the arithmetic stays integer until the one final division,
+    so the encoding is engine-exact for integral targets."""
+    t = target.cast("long")
+    sums = df.groupBy(key).agg(
+        F.sum(t).alias("__te_sum"), F.count(t).alias("__te_n")
+    )
+    enc = F.when(
+        F.col("__te_n") > 1,
+        (F.col("__te_sum") - t).cast("double")
+        / (F.col("__te_n") - F.lit(1)).cast("double"),
+    )
+    return df.join(sums, key).withColumn(out, enc).drop(
+        "__te_sum", "__te_n"
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing leave-one-out encoding of event value (integer
+    cents) by event_type — every row's feature excludes its own
+    label. Oracle: the same windowless sum/count formulation in SQL."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        loo_target_encode(ev, "event_type", F.col("cents"), "te_cents")
+        .select("event_id", "event_type", "cents", "te_cents")
+        .orderBy("event_id")
+    )
+
+
+def purged_time_folds(
+    df: DataFrame,
+    ts: Column,
+    n_folds: int = 4,
+    embargo_seconds: int = 86_400,
+) -> DataFrame:
+    """Purged time-series cross-validation folds: rows are assigned to
+    ``n_folds`` contiguous time slices, and each row also gets an
+    ``embargoed`` flag marking the embargo zone — rows within
+    ``embargo_seconds`` BEFORE their fold's start, which a careful
+    backtester drops from the preceding training fold so that
+    look-ahead leakage through near-boundary correlation cannot occur
+    (the Lopez de Prado purged-CV discipline, reduced to its
+    timestamp math). Fold boundaries are equal-width in TIME between
+    the observed min/max (two 1-row aggregates), so the assignment is
+    deterministic and engine-exact — no quantiles, no sampling."""
+    e = F.unix_timestamp(ts)
+    lo, hi = df.agg(F.min(e), F.max(e)).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    fold = F.least(
+        F.floor(((e - F.lit(int(lo))) * n_folds) / F.lit(span)),
+        F.lit(n_folds - 1),
+    ).cast("int")
+    # Start epoch of the NEXT fold: floor() before the long cast on
+    # both engines (Spark's double->long cast truncates, DuckDB's
+    # ROUNDS — floor-then-cast is exact in both).
+    next_start = F.lit(int(lo)) + F.floor(
+        ((fold.cast("long") + 1) * F.lit(span)) / F.lit(n_folds)
+    ).cast("long")
+    embargoed = (fold < F.lit(n_folds - 1)) & (
+        e >= next_start - F.lit(embargo_seconds)
+    )
+    return df.withColumn("fold", fold).withColumn("embargoed", embargoed)
+
+
+def q_purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing purged-CV assignment over the events table: per
+    (fold, embargoed) row counts plus the fold's time range — the
+    backtest-preparation read. Oracle: the identical integer
+    timestamp math in SQL."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    ev = load(spark, sf_dir, "events")
+    folds = purged_time_folds(ev, F.col("ts").cast("timestamp"))
+    return (
+        folds.groupBy("fold", "embargoed")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("fold", "embargoed")
+    )

@@ -529,3 +529,48 @@ def test_mixture_execute_realizes_the_plan(spark):
         assert abs(realized - expect) <= max(3, 0.35 * n_docs), (
             src, realized, expect,
         )
+
+
+def test_loo_target_encode_excludes_own_label(spark):
+    from datapoints_csv_extractor_spark.operators.curation import (
+        loo_target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 7)],
+        "id long, k string, y long",
+    )
+    got = {
+        r.id: r.te
+        for r in loo_target_encode(df, "k", F.col("y")).collect()
+    }
+    # Each row's mean over its PEERS only.
+    assert got[1] == (20 + 30) / 2
+    assert got[2] == (10 + 30) / 2
+    assert got[3] == (10 + 20) / 2
+    assert got[4] is None  # singleton group: no peers
+
+
+def test_purged_time_folds_assignment_and_embargo(spark):
+    import datetime as dt
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        purged_time_folds,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # 8 hourly rows over 2 folds: span 8 h, fold width 4 h.
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {
+        r.id: (r.fold, r.embargoed)
+        for r in purged_time_folds(
+            df, F.col("ts"), n_folds=2, embargo_seconds=2 * 3600
+        ).collect()
+    }
+    # Hours 0-3 -> fold 0, hours 4-7 -> fold 1.
+    assert all(out[i][0] == 0 for i in range(4))
+    assert all(out[i][0] == 1 for i in range(4, 8))
+    # Embargo: the 2 h before fold 1's start, i.e. hours 2-3 only
+    # (fold 1 rows are never embargoed — there is no later fold).
+    assert {i for i, (f, e) in out.items() if e} == {2, 3}
