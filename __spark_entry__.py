@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ML feature/backtest preparation (round-7 late additions).
         "q_target_encode": C.q_target_encode,
         "q_purged_time_folds": C.q_purged_time_folds,
+        # Sorted-neighborhood ER: rank-window blocking over a
+        # distributed exact global rank (no single-task window).
+        "q_sorted_neighborhood": R.q_sorted_neighborhood,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1325,6 +1328,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        "q_sorted_neighborhood": """
+            WITH ranked AS (
+                SELECT p_partkey, p_name,
+                       row_number() OVER (ORDER BY p_name, p_partkey) - 1
+                           AS r
+                FROM part
+            )
+            SELECT a.p_partkey                        AS a_key,
+                   b.p_partkey                        AS b_key,
+                   levenshtein(a.p_name, b.p_name)    AS edit_distance
+            FROM ranked a
+            JOIN ranked b
+              ON b.r > a.r AND b.r - a.r <= 5
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY a_key, b_key
+        """,
         "q_target_encode": """
             WITH base AS (
                 SELECT event_id, event_type,

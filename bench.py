@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_target_encode",
     "q_purged_time_folds",
     "q_image_near_dup",
+    "q_sorted_neighborhood",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

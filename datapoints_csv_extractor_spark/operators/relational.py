@@ -1958,3 +1958,108 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return join_size_report(o, li, "o_orderkey", "l_orderkey")
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], rank_name: str = "rank",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact 0-based global rank under a total order WITHOUT the
+    single-task trap: ``row_number().over(Window.orderBy(...))`` with
+    no partition key funnels the whole table through one task. Here:
+    range-repartition on the order columns (range-disjoint
+    partitions), rank WITHIN each partition (parallel), then add each
+    partition's prefix-sum offset (one parameter-sized collect of
+    per-partition counts). The rank is exact for ANY boundary
+    placement because partitions are range-disjoint — the offsets
+    recover the total order. ``order_cols`` must be a total order
+    (include a tiebreaker id) for the rank to be deterministic."""
+    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint()  # two consumers: counts + ranks
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(counts)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(counts)]),
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return parts.withColumn(
+        rank_name,
+        (F.row_number().over(w) - F.lit(1) + off).cast("long"),
+    ).drop("__pid")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_cols: list[str],
+    window: int = 5,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate
+    pairs are rows within ``window`` positions of each other under
+    the sort — the classic alternative to key-equality blocking when
+    near-duplicates share a PREFIX shape rather than an exact key.
+    Pair generation is an EQUIJOIN on rank buckets of width
+    ``window`` (each row joins its own and the next bucket, so every
+    |rank_a - rank_b| <= window pair co-occurs in >= 1 bucket) —
+    never a rank-distance theta join. Output: every column twice
+    (``a_``/``b_`` prefixes) for pairs with 0 < rank_b - rank_a <=
+    window."""
+    ranked = global_rank(df, order_cols, "__rank", n_parts)
+    bucket = F.floor(F.col("__rank") / F.lit(window))
+
+    def side(tag: str, extra_bucket) -> DataFrame:
+        out = ranked.select(
+            F.col("__rank").alias(f"{tag}_rank"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in df.columns],
+        )
+        return out.withColumn(
+            "__b", extra_bucket(F.floor(F.col(f"{tag}_rank") / F.lit(window)))
+        )
+
+    a = side("a", lambda b: F.explode(F.array(b, b + 1)))
+    b = side("b", lambda b: b)
+    return (
+        a.join(b, "__b")
+        .where(
+            (F.col("b_rank") > F.col("a_rank"))
+            & (F.col("b_rank") - F.col("a_rank") <= window)
+        )
+        .drop("__b")
+    )
+
+
+def q_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str, window: int = 5, max_edit: int = 2
+) -> DataFrame:
+    """Driver-facing sorted-neighborhood entity resolution over part
+    names: slide a rank window over the name-sorted catalog and keep
+    pairs within a small edit distance — catches near-duplicates that
+    q_fuzzy_match's brand-equality blocking would miss when the brand
+    itself is the dirty column. Oracle: DuckDB's row_number over the
+    same total order + a rank-distance join (exact, tiny at sf)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = sorted_neighborhood_pairs(
+        p, ["p_name", "p_partkey"], window=window
+    )
+    lev = F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
+    return (
+        pairs.select(
+            F.col("a_p_partkey").alias("a_key"),
+            F.col("b_p_partkey").alias("b_key"),
+            lev.alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= max_edit)
+        .orderBy("a_key", "b_key")
+    )

@@ -680,3 +680,45 @@ def test_tebis_ingest_measured_shuffle_is_zero_bytes(spark, tmp_path):
         r["metric"] == "number of output rows" and r["value"] == 80
         for r in executed_plan_metrics(df)
     )
+
+
+def test_global_rank_is_exact_and_distributed(spark):
+    """global_rank must equal the single-window row_number under the
+    same total order while planning NO no-partition window (the
+    single-task trap), and sorted_neighborhood_pairs must produce
+    exactly the |rank diff| <= w pair set via a bucket equijoin."""
+    from datapoints_csv_extractor_spark.operators.relational import (
+        global_rank,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name_{i % 7}_{i}") for i in range(100)], "id long, nm string"
+    )
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, ["nm", "id"], n_parts=8).collect()
+    }
+    from pyspark.sql import Window
+
+    truth = {
+        r.id: r.r - 1
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("nm", "id")).alias("r")
+        ).collect()
+    }
+    assert got == truth
+    # Pair set: every 0 < rank_b - rank_a <= 3 pair, nothing else.
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in sorted_neighborhood_pairs(df, ["nm", "id"], window=3,
+                                           n_parts=8).collect()
+    }
+    inv = {v: k for k, v in truth.items()}
+    expect = {
+        (inv[r], inv[r + d])
+        for r in range(100)
+        for d in (1, 2, 3)
+        if r + d < 100
+    }
+    assert pairs == expect
