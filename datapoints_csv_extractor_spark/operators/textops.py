@@ -2077,9 +2077,27 @@ def spacesaving_summaries(
     import pandas as pd
 
     def summarize(batches):
+        import heapq
+
         pid = uuid.uuid4().hex[:12]
         counts: dict = {}
+        # Lazily-invalidated min-heap of (count-snapshot, item): an
+        # eviction pops until a snapshot matches the live count, so
+        # finding the minimum is O(log) amortized instead of an
+        # O(capacity) scan per new item (the difference between fine
+        # and 5e9 dict scans on a 10M-vocabulary partition). Stale
+        # entries are bounded by rebuilding when the heap outgrows
+        # 4x capacity — O(capacity) amortized over >= 3x capacity
+        # pushes.
+        heap: list = []
         filled = False
+
+        def push(item) -> None:
+            heapq.heappush(heap, (counts[item][0], item))
+            if len(heap) > 4 * capacity:
+                heap[:] = [(v[0], i) for i, v in counts.items()]
+                heapq.heapify(heap)
+
         for pdf in batches:
             vc = pdf[col].dropna().value_counts()
             for item, c in vc.items():
@@ -2087,13 +2105,20 @@ def spacesaving_summaries(
                 got = counts.get(item)
                 if got is not None:
                     got[0] += c
+                    push(item)
                 elif len(counts) < capacity:
                     counts[item] = [c, 0]
+                    push(item)
                 else:
                     filled = True
-                    m_item = min(counts, key=lambda i: counts[i][0])
+                    while True:
+                        snap, m_item = heapq.heappop(heap)
+                        live = counts.get(m_item)
+                        if live is not None and live[0] == snap:
+                            break
                     m = counts.pop(m_item)[0]
                     counts[item] = [m + c, m]
+                    push(item)
         pmin = (
             min((v[0] for v in counts.values()), default=0)
             if (filled or len(counts) >= capacity)
