@@ -2721,7 +2721,7 @@ def interval_overlap_join(
     right: DataFrame,
     left_span: tuple[str, str],
     right_span: tuple[str, str],
-    bucket_seconds: int = 7200,
+    bucket_seconds: int | None = 7200,
 ) -> DataFrame:
     """Keyless many-x-many interval OVERLAP join as a binned equijoin.
 
@@ -2741,9 +2741,26 @@ def interval_overlap_join(
     explode factor is span/bucket + 1 while per-bucket density falls
     with the bucket width (the standard binned-range-join dial;
     Databricks ships the same idea as ``spark.databricks.optimizer.
-    rangeJoin.binSize``). Spans are half-open [start, end)."""
+    rangeJoin.binSize``). Pass ``bucket_seconds=None`` to derive the
+    dial from the data — the median interval length across both
+    sides (two 1-row sketch aggregates, parameter-sized driver
+    state), clamped to [60 s, 7 d]. Spans are half-open [start, end)."""
     ls, le = left_span
     rs, re_ = right_span
+    if bucket_seconds is None:
+        med = [
+            df.agg(
+                F.expr(
+                    f"percentile_approx(unix_timestamp({e}) - "
+                    f"unix_timestamp({s}), 0.5)"
+                )
+            ).first()[0]
+            for df, (s, e) in ((left, left_span), (right, right_span))
+        ]
+        spans = [m for m in med if m is not None and m > 0]
+        bucket_seconds = int(
+            min(max(sum(spans) / len(spans), 60), 7 * 86_400)
+        ) if spans else 7200
     if set(left.columns) & set(right.columns):
         raise ValueError(
             "interval_overlap_join needs disjoint column names; rename "

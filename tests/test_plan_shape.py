@@ -722,3 +722,34 @@ def test_global_rank_is_exact_and_distributed(spark):
         if r + d < 100
     }
     assert pairs == expect
+
+
+def test_interval_overlap_join_auto_bucket(spark):
+    """bucket_seconds=None derives the dial from the median interval
+    length and must produce the identical pair set."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        interval_overlap_join,
+    )
+
+    L = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i}:00:00", f"2024-01-01 0{i}:45:00")
+         for i in range(1, 6)],
+        "lid long, ls string, le string",
+    ).select("lid", F.col("ls").cast("timestamp"), F.col("le").cast("timestamp"))
+    R2 = spark.createDataFrame(
+        [(10, "2024-01-01 01:30:00", "2024-01-01 03:10:00")],
+        "rid long, rs string, re string",
+    ).select("rid", F.col("rs").cast("timestamp"), F.col("re").cast("timestamp"))
+    fixed = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R2, ("ls", "le"), ("rs", "re"), bucket_seconds=600
+        ).collect()
+    }
+    auto = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R2, ("ls", "le"), ("rs", "re"), bucket_seconds=None
+        ).collect()
+    }
+    assert auto == fixed == {(1, 10), (2, 10), (3, 10)}
