@@ -1108,3 +1108,86 @@ def heavy_hitters_from_store(spark, store_dir: str, k: int = 20) -> DataFrame:
     )
 
     return merge_spacesaving_summaries(spark.read.parquet(store_dir), k)
+
+
+def stream_series_tracker_tws(
+    datapoints_stream: DataFrame,
+    output_mode: str = "append",
+):
+    """`series_state_tracker`'s twin on Spark 4's NEW arbitrary-state
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``):
+    per-series running (n_points, last_ts_ms, last_value) kept in a
+    typed ValueState, one updated summary row emitted per series per
+    micro-batch. Versus the legacy ``applyInPandasWithState`` path it
+    replaces GroupState's whole-tuple get/update with named, typed,
+    independently-evolvable state variables (plus TTL and timers when
+    needed) — the forward-looking shape for custom streaming state;
+    both twins stay because the old API is what most deployments run.
+
+    State is one fixed-width row per series (O(series), key-
+    partitioned); arbitrarily late data still folds correctly because
+    max_by/last-ts comparison, not arrival order, decides the carried
+    last value. Returns the transformed streaming DataFrame — attach
+    your own sink.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state worker; without the
+    ``protobuf`` package the query dies mid-flight with an opaque
+    worker crash, so the missing dependency is raised HERE, eagerly
+    and by name. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); it is not importable in "
+            "this environment — use the applyInPandasWithState twin "
+            "(series_state_tracker) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeriesTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "series_summary",
+                "n_points long, last_ts_ms long, last_value double",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, last_ts, last_v = 0, -1, None
+            if self._state.exists():
+                n, last_ts, last_v = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                top = pdf.loc[pdf["ts_ms"].idxmax()]
+                if int(top["ts_ms"]) >= last_ts:
+                    last_ts = int(top["ts_ms"])
+                    last_v = float(top["value"])
+            self._state.update((n, last_ts, last_v))
+            yield pd.DataFrame(
+                {
+                    "external_id": [key[0]],
+                    "n_points": [n],
+                    "last_ts_ms": [last_ts],
+                    "last_value": [last_v],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return datapoints_stream.groupBy("external_id").transformWithStateInPandas(
+        SeriesTracker(),
+        outputStructType=(
+            "external_id string, n_points long, last_ts_ms long, "
+            "last_value double"
+        ),
+        outputMode=output_mode,
+        timeMode="none",
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pandas as pd
+import pytest
 
 from datapoints_csv_extractor_spark.streaming.aggregates import (
     series_state_tracker,
@@ -1278,3 +1279,77 @@ def test_stream_heavy_hitters_brackets_and_replay_idempotence(spark, tmp_path):
         tuple(r) for r in heavy_hitters_from_store(spark, store, k=10).collect()
     )
     assert after == before
+
+
+def test_stream_series_tracker_tws_matches_legacy_twin(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas tracker: where the
+    protobuf state protocol is available, exact per-series state
+    across micro-batches and restarts (counts accumulate, carried
+    last value follows max ts, not arrival order); where it is not,
+    the operator must fail EAGERLY with the dependency named — never
+    the opaque mid-query worker crash."""
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_series_tracker_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    src = tmp_path / "dp"
+    ckpt = tmp_path / "ckpt"
+    _write_points(
+        spark, src,
+        [("a", 1_000, 1.0), ("a", 3_000, 3.0), ("b", 2_000, 2.0)],
+    )
+
+    if not have_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_series_tracker_tws(
+                spark.readStream.schema(
+                    "external_id string, name string, ts_ms long, "
+                    "value double, source_file string, file_ts long"
+                ).parquet(str(src))
+            )
+        return
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "external_id string, name string, ts_ms long, value double, "
+            "source_file string, file_ts long"
+        ).parquet(str(src))
+        out = stream_series_tracker_tws(stream)
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.external_id: (r.n_points, r.last_ts_ms, r.last_value)
+                for r in collected}
+
+    try:
+        got = run()
+        assert got == {"a": (2, 3_000, 3.0), "b": (1, 2_000, 2.0)}
+        _write_points(spark, src, [("a", 2_500, 99.0), ("b", 4_000, 4.0)])
+        got2 = run()
+        assert got2 == {"a": (3, 3_000, 3.0), "b": (2, 4_000, 4.0)}
+    finally:
+        if before is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, before)
