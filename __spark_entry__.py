@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Sorted-neighborhood ER: rank-window blocking over a
         # distributed exact global rank (no single-task window).
         "q_sorted_neighborhood": R.q_sorted_neighborhood,
+        # Keep-best-representative dedup (argmax quality per cluster).
+        "q_dedup_keep_best": D.q_dedup_keep_best,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -2813,6 +2815,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster_size, count(*) AS n_clusters
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+    # Keep-best dedup: the same components oracle joined onto token
+    # counts; the survivor is the row_number-1 pick under
+    # (n_tokens DESC, doc_id) — identical to Spark's struct-ordered
+    # max_by on (n_tokens, -doc_id).
+    sql["q_dedup_keep_best"] = f"""
+        WITH clusters AS ({sql["q_dedup_clusters"]}),
+        toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT c.canonical_doc_id, c.doc_id, t.n_tokens,
+                   row_number() OVER (PARTITION BY c.canonical_doc_id
+                                      ORDER BY t.n_tokens DESC, c.doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY c.canonical_doc_id)
+                       AS n_members
+            FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+        )
+        SELECT canonical_doc_id,
+               doc_id                       AS kept_doc_id,
+               n_tokens                     AS kept_tokens,
+               CAST(n_members AS BIGINT)    AS n_members
+        FROM ranked
+        WHERE rn = 1
+        ORDER BY canonical_doc_id
     """
     # Split decided by the CLUSTER representative's md5 — the same
     # components oracle, left-joined back onto the corpus.

@@ -1656,3 +1656,40 @@ def plan_lsh_parameters(
         "fn_area": fn,
         "fp_area": fp,
     }
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-representative dedup: per near-dup cluster, the
+    surviving document is the most valuable member — here the longest
+    (token count), tie-broken by smallest id — not the arbitrary
+    min-id canonical. The production curation choice: when near-copies
+    differ (one truncated, one complete), min-id keeps whichever
+    crawled first; keep-best keeps the complete one.
+
+    One join of the component labels onto token counts + one
+    struct-ordered max_by per cluster (deterministic argmax:
+    (n_tokens, -doc_id) ordering), all JVM-side. Oracle: the cluster
+    recursive CTE + a row_number pick over the same ordering."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    joined = labels.join(toks, "doc_id")
+    best = F.max_by(
+        F.struct(
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tokens").alias("kept_tokens"),
+        ),
+        F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        joined.groupBy("canonical_doc_id")
+        .agg(best.alias("best"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "canonical_doc_id",
+            F.col("best.kept_doc_id").alias("kept_doc_id"),
+            F.col("best.kept_tokens").alias("kept_tokens"),
+            "n_members",
+        )
+        .orderBy("canonical_doc_id")
+    )
