@@ -268,3 +268,105 @@ def q_zorder_pruning_report(spark, sf_dir: str) -> DataFrame:
         ).repartition(1).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered TABLE lifecycle: clustered base + raw appends + OPTIMIZE.
+# A one-shot clustered write answers today's data; a table keeps
+# arriving. The manifest tracks clustered runs vs raw appends so reads
+# see everything, pruning works per-run, and OPTIMIZE re-clusters the
+# raw tail WITHOUT rewriting the base — the Delta/Iceberg OPTIMIZE
+# ZORDER cadence (amortized maintenance, never O(table) per append).
+# Commits are atomic manifest renames (the merge-store idiom).
+# ---------------------------------------------------------------------------
+
+
+def _zt_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zorder_manifest.json")
+
+
+def _zt_read_manifest(path: str) -> dict:
+    import json
+
+    with open(_zt_manifest_path(path)) as fh:
+        return json.load(fh)
+
+
+def _zt_commit(path: str, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = _zt_manifest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _zt_manifest_path(path))
+
+
+def zorder_table_write(
+    df: DataFrame, path: str, cols: list[str],
+    bits: int = ZORDER_BITS, n_files: int = 8,
+) -> None:
+    """Create a z-ordered table: one clustered run + a manifest."""
+    import os
+    import uuid
+
+    run = f"run_{uuid.uuid4().hex[:8]}"
+    write_zordered(df, os.path.join(path, run), cols, bits, n_files)
+    _zt_commit(path, {"cols": cols, "bits": bits, "n_files": n_files,
+                      "runs": [run], "raw": []})
+
+
+def zorder_table_append(df: DataFrame, path: str) -> None:
+    """Append a shard WITHOUT paying the clustering: plain parquet
+    into a raw directory + manifest update. O(shard) always."""
+    import os
+    import uuid
+
+    m = _zt_read_manifest(path)
+    raw = f"raw_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(path, raw))
+    m["raw"].append(raw)
+    _zt_commit(path, m)
+
+
+def read_zorder_table(spark, path: str) -> DataFrame:
+    """Everything the manifest references — clustered runs AND raw
+    appends (a reader never waits for maintenance)."""
+    import os
+
+    m = _zt_read_manifest(path)
+    dirs = [os.path.join(path, d) for d in m["runs"] + m["raw"]]
+    return spark.read.parquet(*dirs)
+
+
+def optimize_zorder_table(
+    spark, path: str, full: bool = False, min_raw: int = 1
+) -> dict:
+    """OPTIMIZE: re-cluster the RAW tail into one new z-ordered run
+    (base runs untouched — O(tail), the amortized steady state), or
+    ``full=True`` to rewrite everything into a single run (when run
+    count itself hurts). Old directories are removed AFTER the commit
+    points away from them. Returns {'compacted_rows', 'runs', 'raw'}."""
+    import os
+    import shutil
+    import uuid
+
+    m = _zt_read_manifest(path)
+    victims = list(m["raw"]) if not full else list(m["raw"]) + list(m["runs"])
+    if not full and len(victims) < min_raw:
+        return {"compacted_rows": 0, "runs": len(m["runs"]),
+                "raw": len(m["raw"])}
+    src = [os.path.join(path, d) for d in victims]
+    df = spark.read.parquet(*src)
+    n = df.count()
+    run = f"run_{uuid.uuid4().hex[:8]}"
+    write_zordered(df, os.path.join(path, run), m["cols"], m["bits"],
+                   m["n_files"])
+    m["runs"] = ([run] if full else m["runs"] + [run])
+    m["raw"] = []
+    _zt_commit(path, m)
+    for d in src:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"compacted_rows": n, "runs": len(m["runs"]), "raw": len(m["raw"])}

@@ -153,3 +153,77 @@ def test_with_morton_key_matches_manual_normalization(spark):
     ).collect()
     for r in manual:
         assert got[(r.a, r.b)] == r.k
+
+
+def test_zorder_table_lifecycle_append_optimize(spark, tmp_path):
+    """Clustered base + raw appends + OPTIMIZE: reads always see
+    everything; OPTIMIZE re-clusters only the raw tail (base dirs
+    untouched); full=True collapses to one run; a box query touches
+    fewer files after OPTIMIZE than before."""
+    import glob as g
+
+    from datapoints_csv_extractor_spark.plans.layout import (
+        _zt_read_manifest,
+        optimize_zorder_table,
+        read_zorder_table,
+        zorder_table_append,
+        zorder_table_write,
+    )
+
+    path = str(tmp_path / "zt")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    half = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    base, tail = ev.where(F.col("event_id") <= half), ev.where(
+        F.col("event_id") > half
+    )
+    zorder_table_write(base, path, ["user_id", "ts"], n_files=8)
+    zorder_table_append(tail.where(F.col("event_id") % 2 == 0), path)
+    zorder_table_append(tail.where(F.col("event_id") % 2 == 1), path)
+    assert read_zorder_table(spark, path).count() == ev.count()
+    m0 = _zt_read_manifest(path)
+    assert len(m0["runs"]) == 1 and len(m0["raw"]) == 2
+
+    mid_user = ev.agg(F.expr("percentile_approx(user_id, 0.5)")).first()[0]
+    lo, hi = ev.agg(F.min("ts"), F.expr("percentile_approx(ts, 0.25)")).first()
+
+    def hits() -> tuple[int, float]:
+        t = read_zorder_table(spark, path)
+        hit = (
+            t.where((F.col("user_id") <= mid_user)
+                    & F.col("ts").between(lo, hi))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        total = t.select(F.input_file_name()).distinct().count()
+        return hit, hit / total
+
+    before_n, before_frac = hits()
+    base_runs = set(m0["runs"])
+    r = optimize_zorder_table(spark, path)
+    assert r["raw"] == 0 and r["runs"] == 2 and r["compacted_rows"] > 0
+    m1 = _zt_read_manifest(path)
+    assert base_runs < set(m1["runs"])  # base run untouched
+    assert read_zorder_table(spark, path).count() == ev.count()
+    # Raw appends are always hit (no clustering); the re-clustered
+    # tail restores skipping, so the FRACTION of files touched drops.
+    after_n, after_frac = hits()
+    assert after_frac < before_frac
+
+    # full=True trades file count for run count: absolute files hit
+    # must not grow even though the table collapses to one run.
+    r2 = optimize_zorder_table(spark, path, full=True)
+    m2 = _zt_read_manifest(path)
+    assert len(m2["runs"]) == 1 and r2["compacted_rows"] == ev.count()
+    assert read_zorder_table(spark, path).count() == ev.count()
+    assert hits()[0] <= after_n
+    # Old directories are gone (no orphan data dirs besides the run).
+    data_dirs = {
+        name
+        for p in g.glob(f"{path}/*")
+        for name in [p.split("/")[-1]]
+        if not name.startswith("_zorder")
+    }
+    assert data_dirs == set(m2["runs"])
