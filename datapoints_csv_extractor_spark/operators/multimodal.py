@@ -994,12 +994,25 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash banded join must recover exactly the planted twins (an edit
     of one pixel moves at most a couple of grid comparisons) without
     ever forming the quadratic pair space. Rows-only (no SQL engine
-    decodes PNG); planted-pair recovery pinned in pytest."""
+    decodes PNG); planted-pair recovery pinned in pytest.
+
+    The demo corpus is a deterministic quarter of the documents
+    (doc_id % 4 == 0): the cost here is SYNTHESIZING the PNGs, not
+    the operator — a real deployment hashes stored payloads once."""
     import hashlib
 
     import numpy as np
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    # spread_scan: the docs table is one parquet file -> one input
+    # partition -> a single-task Arrow stage; spread the synth/decode
+    # across the cluster (the similarity-module discipline).
+    d = spread_scan(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
     schema = T.StructType(
         [
             T.StructField("blob_id", T.LongType()),

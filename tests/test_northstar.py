@@ -1827,9 +1827,10 @@ def test_image_dhash_near_dup_recovers_planted_twins(spark):
     assert all(r.b_id == r.a_id + 10_000_000 for r in rows)
     assert all(r.a_id % 17 == 0 for r in rows)
     assert all(r.hamming <= 3 for r in rows)
-    # Every 17th doc planted a twin; all of them must be recovered.
+    # Every 17th doc IN THE demo quarter (doc_id % 4 == 0) planted a
+    # twin; all of them must be recovered -> every lcm(4,17)=68th doc.
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
-    assert len(rows) == len(range(0, n_docs, 17))
+    assert len(rows) == len(range(0, n_docs, 68))
     # Determinism.
     again = MM.q_image_near_dup(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
