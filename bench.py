@@ -662,6 +662,13 @@ def main() -> None:
     # quick local iteration via SPARK_GRAFT_SKIP_SF1=1.
     sf1_section: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        # The probe runs after 150 queries' worth of JVM state; left
+        # alone, GC pressure inflates the 10x ratios (measured: 3.09
+        # in-session vs 1.52 isolated for the same plans). Clear
+        # caches and force one full GC so the probe measures the
+        # PLANS, not the session's debris.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         from datapoints_csv_extractor_spark.operators.dedup import (
             minhash_dedup_pipeline,
         )
