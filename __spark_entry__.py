@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_neighborhood": R.q_sorted_neighborhood,
         # Keep-best-representative dedup (argmax quality per cluster).
         "q_dedup_keep_best": D.q_dedup_keep_best,
+        # Weighted shortest paths (rows-only: float min-plus; pinned
+        # against a pure-Python Bellman-Ford replica in pytest).
+        "q_sssp_weighted": G.q_sssp_weighted,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_image_near_dup",
     "q_sorted_neighborhood",
     "q_dedup_keep_best",
+    "q_sssp_weighted",
     "q_multimodal_dedup_clusters",
     "q_quality_importance_sample",
     "q_pivot",

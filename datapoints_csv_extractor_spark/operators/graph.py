@@ -360,3 +360,111 @@ def q_bfs_hops(
         .select(F.col("node").alias("l_partkey"), "dist")
         .orderBy("l_partkey")
     )
+
+
+def co_order_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges with affinity weights: (p1 < p2, n_shared
+    orders, weight = 1 / n_shared) — strongly co-purchased parts are
+    CLOSER. Same order-blocked build as co_order_edges, one extra
+    count aggregate."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "weight", F.lit(1.0) / F.col("n_shared").cast("double")
+        )
+    )
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, bounded at
+    ``max_hops`` edges — synchronous Bellman-Ford relaxation:
+    dist_k(v) = min(dist_{k-1}(v), min over (u,v) of dist_{k-1}(u)+w).
+    Each round relaxes only the FRONTIER (nodes improved last round)
+    against the edges — one equijoin + one min-aggregate + one
+    full-outer merge, all on the node key — and stops early when no
+    distance improves; rounds <= max_hops. Same lineage discipline as
+    BFS/PageRank (eager localCheckpoints, driver sees only counts).
+    Requires non-negative weights (relaxation's usual contract)."""
+    sym = (
+        edges.select(
+            F.col("p1").alias("s"), F.col("p2").alias("d"),
+            F.col(weight_col).alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("p2").alias("s"), F.col("p1").alias("d"),
+                F.col(weight_col).alias("w"),
+            )
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        best = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(
+                F.col("d").alias("node"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = dist.join(best, "node", "full").select(
+            "node",
+            F.least(
+                F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                F.coalesce(F.col("nd"), F.lit(float("inf"))),
+            ).alias("dist"),
+            (
+                F.col("nd").isNotNull()
+                & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            ).alias("chg"),
+        ).localCheckpoint()
+        frontier = merged.where("chg").select("node", "dist")
+        dist = merged.drop("chg")
+        if not frontier.take(1):
+            break
+    return dist
+
+
+def q_sssp_weighted(
+    spark: SparkSession, sf_dir: str, n_seeds: int = 3, max_hops: int = 3
+) -> DataFrame:
+    """Affinity distance of every part from the ``n_seeds`` smallest
+    part ids over the weighted co-purchase graph (weight = 1/shared
+    orders), bounded at ``max_hops`` edges — 'how substitutable is
+    this part for the anchor set'. Rows-only (float min-plus over an
+    engine-specific relaxation order has no SQL twin); pinned against
+    a pure-Python Bellman-Ford replica in pytest."""
+    edges = co_order_weighted_edges(spark, sf_dir).localCheckpoint()
+    nodes = degrees(edges.select("p1", "p2")).select("node")
+    seeds = nodes.orderBy("node").limit(n_seeds)
+    return (
+        sssp_distances(edges, seeds, max_hops=max_hops)
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.round(F.col("dist"), 9).alias("affinity_dist"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -18,6 +18,7 @@ ROWS_ONLY_ALLOWED = {
     "q_zorder_pruning_report",  # file-skip counts of scratch writes
     "q_heavy_hitter_tokens",  # space-saving brackets are layout-dependent
     "q_image_near_dup",  # real PNG decode; no SQL twin
+    "q_sssp_weighted",  # float min-plus relaxation; python-replica-pinned
     "q_minhash_signatures",
     "q_minhash_lsh_candidates",
     "q_simhash",

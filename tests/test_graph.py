@@ -174,3 +174,49 @@ def test_bfs_distances_on_known_graph(spark):
         ).collect()
     }
     assert got3 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """Weighted bounded-hop distances must equal the textbook DP
+    dist_k(v) = min(dist_{k-1}(v), min over (u,v) dist_{k-1}(u)+w)
+    computed in pure Python — on a hand graph AND on the real
+    co-purchase weights."""
+    # Hand graph: direct edge 1-3 (w 5.0) loses to the 2-hop path
+    # through 2 (1+1); hop bound 1 must NOT see the cheaper path yet.
+    pairs = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (8, 9, 2.0)]
+    edges = spark.createDataFrame(pairs, "p1 long, p2 long, weight double")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {
+        r.node: r.dist
+        for r in G.sssp_distances(edges, seeds, max_hops=1).collect()
+    }
+    assert one == {1: 0.0, 2: 1.0, 3: 5.0}
+    two = {
+        r.node: r.dist
+        for r in G.sssp_distances(edges, seeds, max_hops=2).collect()
+    }
+    assert two == {1: 0.0, 2: 1.0, 3: 2.0}
+
+    # Real graph vs the DP replica.
+    max_hops, n_seeds = 3, 3
+    rows = G.co_order_weighted_edges(spark, SF).collect()
+    adj = {}
+    for r in rows:
+        adj.setdefault(r.p1, []).append((r.p2, r.weight))
+        adj.setdefault(r.p2, []).append((r.p1, r.weight))
+    seeds_py = sorted(adj)[:n_seeds]
+    dist = {s: 0.0 for s in seeds_py}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj[u]:
+                if v not in nxt or du + w < nxt[v]:
+                    nxt[v] = du + w
+        dist = nxt
+    got = {
+        r.l_partkey: r.affinity_dist
+        for r in G.q_sssp_weighted(spark, SF, n_seeds, max_hops).collect()
+    }
+    assert set(got) == set(dist)
+    for n, d in dist.items():
+        assert got[n] == round(d, 9), n
