@@ -2742,9 +2742,10 @@ def interval_overlap_join(
     with the bucket width (the standard binned-range-join dial;
     Databricks ships the same idea as ``spark.databricks.optimizer.
     rangeJoin.binSize``). Pass ``bucket_seconds=None`` to derive the
-    dial from the data — the median interval length across both
-    sides (two 1-row sketch aggregates, parameter-sized driver
-    state), clamped to [60 s, 7 d]. Spans are half-open [start, end)."""
+    dial from the data — the average of the two per-side median
+    interval lengths (two 1-row sketch aggregates, parameter-sized
+    driver state), clamped to [60 s, 7 d]. Spans are half-open
+    [start, end)."""
     ls, le = left_span
     rs, re_ = right_span
     if bucket_seconds is None:

@@ -1222,6 +1222,11 @@ def loo_target_encode(
     standard leakage-safe categorical feature for tree/linear models
     (plain per-key mean would leak each row's own label into its
     feature). Singleton groups encode NULL (no peers to average).
+    Rows whose key is NULL SURVIVE: the per-key join is null-safe
+    (``eqNullSafe`` + left), so NULL is its own group — a NULL-key
+    row gets the leave-one-out mean over the other NULL-key rows
+    (NULL when it is the only one) rather than being silently dropped
+    the way a null-unsafe inner equijoin would drop it.
 
     One hash aggregate + one broadcast-scale join of the per-key
     sums; the arithmetic stays integer until the one final division,
@@ -1235,8 +1240,15 @@ def loo_target_encode(
         (F.col("__te_sum") - t).cast("double")
         / (F.col("__te_n") - F.lit(1)).cast("double"),
     )
-    return df.join(sums, key).withColumn(out, enc).drop(
-        "__te_sum", "__te_n"
+    skey = "__te_key"
+    return (
+        df.join(
+            sums.withColumnRenamed(key, skey),
+            df[key].eqNullSafe(F.col(skey)),
+            "left",
+        )
+        .withColumn(out, enc)
+        .drop("__te_sum", "__te_n", skey)
     )
 
 

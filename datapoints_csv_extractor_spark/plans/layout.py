@@ -174,7 +174,14 @@ def q_zorder_cells(spark, sf_dir: str) -> DataFrame:
 def zorder_cells_oracle_sql(bits: int = 16) -> str:
     """DuckDB twin of q_zorder_cells, interleave unrolled to the same
     shift/mask/add chain morton_key builds (column i bit j lands at
-    position j*2+i for the two-column key)."""
+    position j*2+i for the two-column key).
+
+    ``floor(epoch(ts))`` matters: Spark's ``unix_timestamp`` truncates
+    to whole seconds while DuckDB's ``epoch`` keeps the microsecond
+    fraction; without the floor, rows with fractional timestamps key
+    on different normalized values and only coarse zcell aggregation
+    hides the mismatch (same pattern as the q_purged_time_folds
+    oracle)."""
     hi = (1 << bits) - 1
     norm = (
         "least(greatest(CAST(round((({c}) - {lo}) / "
@@ -191,7 +198,7 @@ def zorder_cells_oracle_sql(bits: int = 16) -> str:
         WITH base AS (
             SELECT user_id,
                    CAST(user_id AS DOUBLE) AS u,
-                   CAST(epoch(ts) AS DOUBLE) AS t
+                   CAST(floor(epoch(ts)) AS DOUBLE) AS t
             FROM events
         ), rng AS (
             SELECT min(u) AS lo_u, max(u) AS hi_u,

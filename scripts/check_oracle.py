@@ -137,6 +137,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # A typo'd sweep must not masquerade as green ("0 failures"
+        # over 11 of 12 requested queries) — fail loudly up front.
+        print(f"FAIL  unknown query name(s): {unknown}")
+        print(f"\n{len(unknown)} failures: {unknown}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

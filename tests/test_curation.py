@@ -551,6 +551,26 @@ def test_loo_target_encode_excludes_own_label(spark):
     assert got[4] is None  # singleton group: no peers
 
 
+def test_loo_target_encode_null_key_rows_survive(spark):
+    from datapoints_csv_extractor_spark.operators.curation import (
+        loo_target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 30), (3, "a", 5), (4, None, 50), (5, "b", 9)],
+        "id long, k string, y long",
+    )
+    rows = loo_target_encode(df, "k", F.col("y")).collect()
+    # NULL-key rows are NOT dropped (a null-unsafe inner join would
+    # lose them); NULL forms its own group for the encoding.
+    assert len(rows) == 5
+    got = {r.id: r.te for r in rows}
+    assert got[1] == (30 + 50) / 2
+    assert got[2] == (10 + 50) / 2
+    assert got[4] == (10 + 30) / 2
+    assert got[3] is None and got[5] is None  # singletons
+
+
 def test_purged_time_folds_assignment_and_embargo(spark):
     import datetime as dt
 
