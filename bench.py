@@ -168,6 +168,34 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Best-of-N (N<=3 typical, early exit on a clean run): this VM shows
+# sporadic multi-second stalls (single-task jobs intermittently
+# 20-30x slower, not reproducible, independent of the query).
+# Min-of-N measures the engine rather than the hypervisor while
+# keeping total bench wall-time bounded.
+# max_runs=6: a stall WINDOW can outlast 3 back-to-back runs
+# (observed: tebis_ingest best-of-3 read 54 s during one, 0.9 s
+# warm outside it); extra retries cost nothing on clean runs
+# because of the early exit.
+# min_runs=2: the clean-run early exit previously applied to the
+# FIRST run too, so any query landing under clean_sec was
+# single-sampled — a first run that pays plan compile (or a mild
+# stall) became the recorded number, which manufactured phantom
+# round-over-round "regressions" on sub-3 s queries. Two runs
+# minimum means the recorded number is never a cold/compile run.
+def _best_of(
+    fn, clean_sec: float = 3.0, max_runs: int = 6, min_runs: int = 2
+) -> float:
+    best = float("inf")
+    for i in range(max_runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+        if i + 1 >= min_runs and best < clean_sec:
+            break
+    return round(best, 3)
+
+
 def _make_skewed_corpus(spark, sf: float) -> "DataFrame":  # noqa: F821
     """Adversarially skewed document corpus, sized like the sf corpus:
 
@@ -359,6 +387,199 @@ def _make_tebis_folder(sf: float) -> Path:
     return folder
 
 
+# The probe's query families (all REGISTERED queries plus the
+# incremental/serving phases), claimed LINEAR in corpus size by their
+# docstrings; the 1x-vs-10x wall ratio checks the claim.
+SF1_REGISTERED_QUERIES = [
+    # Time-series family over the scaled synthetic events stream.
+    "q_time_weighted_aggregates",
+    "q_anomaly_zscore",
+    "q_anomaly_mad",
+    "q_scd2_history",
+    "q_scd2_incremental",
+    "q_session_window",
+    "q_session_window_scalable",
+    "q_asof_join",
+    "q_asof_join_scalable",
+    "q_upsert_merge",
+    # Sequential-fold family: per-series arrays grow 10x — the ratio
+    # checks the folds stay linear in points.
+    "q_cusum_changepoint",
+    "q_holt_winters",
+    "q_series_ols_trend",
+    # Corpus linear scans: DSIR scoring, the Bloom screen, the
+    # capture-free phrase scan, prefix-filtered Jaccard (candidate
+    # pruning must hold as pairs grow), the broadcast-eval
+    # decontamination report, the Morton-key projection, the O(delta)
+    # incremental rollup, and bounded-state space-saving.
+    # (q_interval_overlap is NOT probed: its PAIR count legitimately
+    # grows with both interval sets — the operator's cost dial is
+    # per-bucket density, pinned in test_plan_shape.)
+    "q_dsir_importance_sample",
+    "q_bloom_decontamination",
+    "q_phrase_search",
+    "q_dedup_jaccard_prefix",
+    "q_semantic_decontamination",
+    "q_zorder_cells",
+    "q_agg_view_incremental",
+    "q_heavy_hitter_tokens",
+]
+
+
+def _sf1_probe_main(out_path: str) -> None:
+    """sf1 scale probe, run in a FRESH process (own JVM, zero session
+    history): the heavy composites' docstrings claim LINEAR cost in
+    corpus size; verify it by running the SAME registered queries on
+    synthetic corpora at 1x and 10x the sf0.1 row counts (identical
+    generator, so the wall-time ratio isolates volume).
+
+    Process isolation is the round-8 fix for round-7's probe drift:
+    in-session the probe ran after ~150 queries' worth of JVM/session
+    state, and despite clearCache+System.gc the recorded 10x ratios
+    inflated ~2x vs isolated runs of the same plans (VERDICT r7 —
+    q_semantic_decontamination 4.25x in-session vs a measured 1.33x
+    isolated). A fresh JVM measures the PLANS.
+
+    Session-state asymmetry is additionally exposed head-on: the 1x
+    suite runs BEFORE the 10x suite and once more AFTER it
+    (``sf0.1_post``); the ratio denominator is min(pre, post), and
+    both orders are recorded so a pre-vs-post gap is readable as
+    probe-internal state accumulation rather than operator cost.
+
+    A linear operator lands <= ~1.5x at 10x data on a fixed-core
+    machine (10x work on 10x rows across the same 32 cores, plus
+    shuffle/setup overhead); a super-linear one (pair blowup, O(n^2)
+    cell matrices) shows 3-10x.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-sf1-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_dedup_pipeline,
+    )
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        ann_pq_topk_from_index,
+        build_pq_index,
+        q_semantic_dedup,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_curation_pipeline_full,
+    )
+
+    qs = E.queries()
+    probe_root = tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        sdirs = {}
+        for tag, mult in (("sf0.1_synth", 1), ("sf1_synth", 10)):
+            sdirs[tag] = _make_scaled_sfdir(
+                spark, os.path.join(probe_root, tag), mult
+            )
+
+        def run_suite(tag: str, pass_label: str, max_runs: int = 2):
+            sdir = sdirs[tag]
+            runs: dict[str, float] = {}
+            runs["q_minhash_dedup_pipeline"] = _best_of(
+                lambda: _materialize(minhash_dedup_pipeline(spark, sdir)),
+                clean_sec=1e9, max_runs=max_runs,
+            )
+            runs["q_semantic_dedup"] = _best_of(
+                lambda: _materialize(q_semantic_dedup(spark, sdir)),
+                clean_sec=1e9, max_runs=max_runs,
+            )
+            runs["q_curation_pipeline_full"] = _best_of(
+                lambda: _materialize(q_curation_pipeline_full(spark, sdir)),
+                clean_sec=1e9, max_runs=max_runs,
+            )
+            for q in SF1_REGISTERED_QUERIES:
+                runs[q] = _best_of(
+                    lambda q=q: _materialize(qs[q](spark, sdir)),
+                    clean_sec=1e9, max_runs=max_runs,
+                )
+            # Incremental dedup, QUERY phase only (store seeded from
+            # the first half, second half timed). Store paths carry
+            # the pass label so the post pass seeds a fresh store.
+            store = os.path.join(probe_root, f"band_{tag}_{pass_label}")
+            docs = spark.read.parquet(os.path.join(sdir, "documents.parquet"))
+            half = docs.agg(
+                F.expr("percentile_approx(doc_id, 0.5)")
+            ).first()[0]
+            _materialize(
+                dedup_incremental(
+                    docs.where(F.col("doc_id") <= half), store,
+                    ingest_id="seed",
+                )
+            )
+            runs["q_dedup_incremental_query"] = _best_of(
+                lambda: _materialize(
+                    dedup_incremental(
+                        docs.where(F.col("doc_id") > half), store,
+                        ingest_id="probe",
+                    )
+                ),
+                clean_sec=1e9, max_runs=max_runs,
+            )
+            # PQ serving, QUERY phase only: the ADC scan over the
+            # stored codes + exact re-rank must scale linearly in
+            # corpus size (the codes table is the only data-sized
+            # input in the plan).
+            e_syn = spark.read.parquet(
+                os.path.join(sdir, "embeddings.parquet")
+            )
+            pq_dir = os.path.join(probe_root, f"pq_{tag}_{pass_label}")
+            build_pq_index(e_syn, pq_dir, n_iters=2)
+            qv = [
+                float(x)
+                for x in e_syn.where(F.col("vec_id") == 0).first()["embedding"]
+            ]
+            runs["q_ann_pq_query"] = _best_of(
+                lambda: _materialize(
+                    ann_pq_topk_from_index(
+                        spark, pq_dir, qv, k=10, source=e_syn,
+                        exclude_vec_id=0,
+                    )
+                ),
+                clean_sec=1e9, max_runs=max_runs,
+            )
+            return runs
+
+        # Warm the fresh JVM once (codegen, parquet reader, Arrow
+        # paths) so the pre pass isn't a cold-JIT measurement; the
+        # min-of-2 per query absorbs the rest.
+        _materialize(qs["q_token_stats"](spark, sdirs["sf0.1_synth"]))
+
+        pre = run_suite("sf0.1_synth", "pre")
+        big = run_suite("sf1_synth", "big")
+        post = run_suite("sf0.1_synth", "post", max_runs=1)
+        section = {
+            "isolation": "fresh JVM subprocess; 1x re-measured after 10x",
+            "sf0.1": pre,
+            "sf0.1_post": post,
+            "sf1": big,
+            "ratio": {
+                q: round(big[q] / max(min(pre[q], post.get(q, pre[q])), 1e-9), 2)
+                for q in big
+            },
+        }
+        with open(out_path, "w") as fh:
+            json.dump(section, fh, indent=1)
+    finally:
+        shutil.rmtree(probe_root, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -382,33 +603,6 @@ def main() -> None:
     # measure execution, not first-touch JIT/IO.
     _materialize(qs["q1_pricing_summary"](spark, sf_dir))
 
-    # Best-of-N (N<=3, early exit on a clean run): this VM shows
-    # sporadic multi-second stalls (single-task jobs intermittently
-    # 20-30x slower, not reproducible, independent of the query).
-    # Min-of-N measures the engine rather than the hypervisor while
-    # keeping total bench wall-time bounded.
-    # max_runs=6: a stall WINDOW can outlast 3 back-to-back runs
-    # (observed: tebis_ingest best-of-3 read 54 s during one, 0.9 s
-    # warm outside it); extra retries cost nothing on clean runs
-    # because of the early exit.
-    # min_runs=2: the clean-run early exit previously applied to the
-    # FIRST run too, so any query landing under clean_sec was
-    # single-sampled — a first run that pays plan compile (or a mild
-    # stall) became the recorded number, which manufactured phantom
-    # round-over-round "regressions" on sub-3 s queries. Two runs
-    # minimum means the recorded number is never a cold/compile run.
-    def _best_of(
-        fn, clean_sec: float = 3.0, max_runs: int = 6, min_runs: int = 2
-    ) -> float:
-        best = float("inf")
-        for i in range(max_runs):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-            if i + 1 >= min_runs and best < clean_sec:
-                break
-        return round(best, 3)
-
     # Iterative queries (connected components: ~8 Spark jobs/round)
     # legitimately run past the default clean threshold — a higher one
     # stops them from burning retries on every bench run.
@@ -428,27 +622,39 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        timings[name] = _best_of(
-            lambda: _materialize(qs[name](spark, sf_dir)),
-            clean_sec=clean_sec.get(name, 3.0),
-        )
         if name == "q_triangle_count":
             # Shuffle volume next to wall time (plans/introspect.py):
             # a regression is then readable as "more data moved"
-            # (edge/wedge blowup) vs "slower moving" (plan/host). The
-            # result is 1 row, so the extra collect is free.
+            # (edge/wedge blowup) vs "slower moving" (plan/host).
+            # The timed runs THEMSELVES produce the telemetry frame:
+            # each run collect()s a fresh frame (1-row result, so
+            # collect == noop materialize) and the last run's metrics
+            # are read back — no extra execution of the full DAG.
             from datapoints_csv_extractor_spark.plans.introspect import (
                 metrics_summary,
             )
 
-            tri = qs[name](spark, sf_dir)
-            tri.collect()
-            s = metrics_summary(tri)
+            last_frame = []
+
+            def _run_tri():
+                tri = qs["q_triangle_count"](spark, sf_dir)
+                tri.collect()
+                last_frame[:] = [tri]
+
+            timings[name] = _best_of(
+                _run_tri, clean_sec=clean_sec.get(name, 3.0)
+            )
+            s = metrics_summary(last_frame[0])
             telemetry[name] = {
                 "sec": timings[name],
                 "shuffle_mb": round(s["shuffle_bytes_written"] / 2**20, 1),
                 "spill_mb": round(s["spill_bytes"] / 2**20, 1),
             }
+            continue
+        timings[name] = _best_of(
+            lambda: _materialize(qs[name](spark, sf_dir)),
+            clean_sec=clean_sec.get(name, 3.0),
+        )
         if name == "q_dedup_clusters_twostar":
             # Rounds-to-convergence next to the wall time: a future
             # regression is then readable as "more rounds" (pair
@@ -653,173 +859,40 @@ def main() -> None:
     finally:
         shutil.rmtree(os.path.dirname(skew_dir), ignore_errors=True)
 
-    # sf1 scale probe: the heavy composites' docstrings claim LINEAR
-    # cost in corpus size; verify it by running the SAME registered
-    # queries on synthetic corpora at 1x and 10x the sf0.1 row counts
-    # (identical generator, so the wall-time ratio isolates volume).
-    # A linear operator lands <= ~12x at 10x data on a fixed-core
-    # machine (10x work + shuffle/setup overhead); a super-linear one
-    # (pair blowup, O(n^2) cell matrices) shows 30-100x. Skippable for
+    # sf1 scale probe, dispatched to a FRESH subprocess (own JVM):
+    # round 7 showed in-session ratios inflate ~2x from accumulated
+    # JVM/session state even after clearCache + System.gc, so the
+    # probe now measures the plans in isolation (see _sf1_probe_main
+    # for the full design: pre/post 1x passes bracket the 10x pass
+    # and the ratio denominator is min(pre, post)). Skippable for
     # quick local iteration via SPARK_GRAFT_SKIP_SF1=1.
-    sf1_section: dict[str, dict[str, float]] = {}
+    sf1_section: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
-        # The probe runs after 150 queries' worth of JVM state; left
-        # alone, GC pressure inflates the 10x ratios (measured: 3.09
-        # in-session vs 1.52 isolated for the same plans). Clear
-        # caches and force one full GC so the probe measures the
-        # PLANS, not the session's debris.
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        from datapoints_csv_extractor_spark.operators.dedup import (
-            minhash_dedup_pipeline,
-        )
-        from datapoints_csv_extractor_spark.operators.similarity import (
-            q_semantic_dedup,
-        )
-        from datapoints_csv_extractor_spark.operators.textops import (
-            q_curation_pipeline_full,
-        )
+        import subprocess
 
-        probe_root = tempfile.mkdtemp(prefix="bench_sf1_")
+        probe_out = os.path.join(
+            tempfile.mkdtemp(prefix="bench_sf1_out_"), "probe.json"
+        )
         try:
-            per_scale: dict[str, dict[str, float]] = {}
-            for tag, mult in (("sf0.1_synth", 1), ("sf1_synth", 10)):
-                sdir = _make_scaled_sfdir(
-                    spark, os.path.join(probe_root, tag), mult
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sf1-probe", probe_out],
+                capture_output=True, text=True, timeout=3600,
+            )
+            if proc.returncode == 0 and os.path.exists(probe_out):
+                with open(probe_out) as fh:
+                    sf1_section = json.load(fh)
+            else:
+                print(
+                    "sf1 probe subprocess failed (rc="
+                    f"{proc.returncode}): {proc.stderr[-2000:]}",
+                    file=sys.stderr,
                 )
-                runs: dict[str, float] = {}
-                runs["q_minhash_dedup_pipeline"] = _best_of(
-                    lambda: _materialize(minhash_dedup_pipeline(spark, sdir)),
-                    clean_sec=1e9, max_runs=2,
-                )
-                runs["q_semantic_dedup"] = _best_of(
-                    lambda: _materialize(q_semantic_dedup(spark, sdir)),
-                    clean_sec=1e9, max_runs=2,
-                )
-                runs["q_curation_pipeline_full"] = _best_of(
-                    lambda: _materialize(q_curation_pipeline_full(spark, sdir)),
-                    clean_sec=1e9, max_runs=2,
-                )
-                # Time-series family over the scaled synthetic events
-                # stream: the same REGISTERED queries the correctness
-                # gate runs, so the ratio measures the shipped plans.
-                for ts_q in (
-                    "q_time_weighted_aggregates",
-                    "q_anomaly_zscore",
-                    "q_anomaly_mad",
-                    "q_scd2_history",
-    "q_scd2_incremental",
-                    "q_session_window",
-                    "q_session_window_scalable",
-                    "q_asof_join",
-                    "q_asof_join_scalable",
-                    "q_upsert_merge",
-                    # Sequential-fold family (fifth arc): per-series
-                    # arrays grow 10x — the ratio checks the folds
-                    # stay linear in points.
-                    "q_cusum_changepoint",
-                    "q_holt_winters",
-                    "q_series_ols_trend",
-                ):
-                    runs[ts_q] = _best_of(
-                        lambda q=ts_q: _materialize(qs[q](spark, sdir)),
-                        clean_sec=1e9, max_runs=2,
-                    )
-                # New-curation linear scans (round-6 continuation):
-                # DSIR scoring, the Bloom screen, and the capture-free
-                # phrase scan — all claimed linear; the ratio checks it.
-                for corpus_q in (
-                    "q_dsir_importance_sample",
-                    "q_bloom_decontamination",
-                    "q_phrase_search",
-                    # Round-6 additions: prefix-filtered Jaccard
-                    # (candidate pruning must hold as pairs grow) and
-                    # the broadcast-eval decontamination report
-                    # (linear in the corpus side by construction).
-                    "q_dedup_jaccard_prefix",
-                    "q_semantic_decontamination",
-                    # Round-7 additions: the Morton-key projection is
-                    # an events-scan, the incremental rollup folds
-                    # O(delta), space-saving is one bounded-state
-                    # Arrow pass over tokens — all claimed linear, the
-                    # ratio checks it. (q_interval_overlap is NOT
-                    # probed: its PAIR count legitimately grows with
-                    # both interval sets — the operator's cost dial is
-                    # per-bucket density, pinned in test_plan_shape.)
-                    "q_zorder_cells",
-                    "q_agg_view_incremental",
-                    "q_heavy_hitter_tokens",
-                ):
-                    runs[corpus_q] = _best_of(
-                        lambda q=corpus_q: _materialize(qs[q](spark, sdir)),
-                        clean_sec=1e9, max_runs=2,
-                    )
-                # Incremental dedup, QUERY phase only (store seeded
-                # from the first half, second half timed).
-                store = os.path.join(probe_root, f"band_{tag}")
-                docs = spark.read.parquet(os.path.join(sdir, "documents.parquet"))
-                half = docs.agg(
-                    F.expr("percentile_approx(doc_id, 0.5)")
-                ).first()[0]
-                _materialize(
-                    dedup_incremental(
-                        docs.where(F.col("doc_id") <= half), store,
-                        ingest_id="seed",
-                    )
-                )
-                runs["q_dedup_incremental_query"] = _best_of(
-                    lambda: _materialize(
-                        dedup_incremental(
-                            docs.where(F.col("doc_id") > half), store,
-                            ingest_id="probe",
-                        )
-                    ),
-                    clean_sec=1e9, max_runs=2,
-                )
-                # PQ serving, QUERY phase only: the ADC scan over the
-                # stored codes + exact re-rank must scale linearly in
-                # corpus size (the codes table is the only data-sized
-                # input in the plan).
-                from datapoints_csv_extractor_spark.operators.similarity import (
-                    ann_pq_topk_from_index,
-                    build_pq_index,
-                )
-
-                e_syn = spark.read.parquet(
-                    os.path.join(sdir, "embeddings.parquet")
-                )
-                pq_dir = os.path.join(probe_root, f"pq_{tag}")
-                build_pq_index(e_syn, pq_dir, n_iters=2)
-                qv = [
-                    float(x)
-                    for x in e_syn.where(F.col("vec_id") == 0).first()[
-                        "embedding"
-                    ]
-                ]
-                runs["q_ann_pq_query"] = _best_of(
-                    lambda: _materialize(
-                        ann_pq_topk_from_index(
-                            spark, pq_dir, qv, k=10, source=e_syn,
-                            exclude_vec_id=0,
-                        )
-                    ),
-                    clean_sec=1e9, max_runs=2,
-                )
-                per_scale[tag] = runs
-            sf1_section = {
-                "sf0.1": per_scale["sf0.1_synth"],
-                "sf1": per_scale["sf1_synth"],
-                "ratio": {
-                    q: round(
-                        per_scale["sf1_synth"][q]
-                        / max(per_scale["sf0.1_synth"][q], 1e-9),
-                        2,
-                    )
-                    for q in per_scale["sf1_synth"]
-                },
-            }
+        except subprocess.TimeoutExpired:
+            print("sf1 probe subprocess timed out", file=sys.stderr)
         finally:
-            shutil.rmtree(probe_root, ignore_errors=True)
+            shutil.rmtree(os.path.dirname(probe_out), ignore_errors=True)
+
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -832,10 +905,26 @@ def main() -> None:
     }
     if sf1_section:
         detail["sf1_probe"] = sf1_section
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_root, "bench_detail.json")
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # Per-round archive: bench_detail.json is overwritten every run,
+    # which made round-over-round per-query diffs impossible for the
+    # ~125 queries outside the byte-budgeted stdout tail. Stamp a copy
+    # with the CURRENT round number (max existing BENCH_r{N} + 1 — the
+    # driver writes BENCH_r{N}.json after this bench run completes).
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_root)
+        if (m := _re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
+    with open(
+        os.path.join(repo_root, f"bench_detail_r{this_round:02d}.json"), "w"
+    ) as fh:
         json.dump(detail, fh, indent=1)
 
     # The driver keeps only the last ~2 kB of stdout; round 5's full
@@ -866,4 +955,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sf1-probe":
+        _sf1_probe_main(sys.argv[2])
+    else:
+        main()
