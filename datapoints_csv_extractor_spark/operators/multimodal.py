@@ -15,10 +15,12 @@ also real where a pure-stdlib codec exists: 16-bit PCM WAV decodes to
 actual audio features (``audio_features``: duration/RMS/ZCR/peak) and
 PNG decodes to actual pixels (``image_features``: zlib inflate +
 filter reconstruction -> brightness/contrast/channel means; PIL stays
-the preferred tier when importable). Only compressed-codec decoding
-(ffmpeg-class work: JPEG entropy decode without PIL, MP3/AAC, H.264)
-remains a clearly-marked stand-in — this container ships no media
-libraries.
+the preferred tier when importable), and baseline-sequential JPEG
+decodes to actual pixels too (``jpegcodec.decode_jpeg``: Huffman
+entropy decode + IDCT + chroma upsample — see that module). The
+remaining compressed-codec stand-in boundary is non-baseline JPEG
+(progressive/arithmetic) and temporal codecs (MP3/AAC, H.264) —
+ffmpeg-class work this container ships no libraries for.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -680,13 +682,31 @@ def _decode_png_pixels(raw: bytes):
     return out.astype(np.uint8).reshape(height, width, channels)
 
 
+def _decode_image_pixels(raw: bytes):
+    """Stdlib image pixel decode dispatch: PNG (zlib inflate +
+    per-scanline unfilter, ``_decode_png_pixels``) or baseline JPEG
+    (Huffman entropy decode + IDCT, ``jpegcodec.decode_jpeg``) to an
+    (h, w, channels) uint8 array; None for anything else. Both
+    decoders magic-check first, so dispatch is two cheap prefix
+    tests, and both are parse-or-NULL on corrupt input."""
+    px = _decode_png_pixels(raw)
+    if px is not None:
+        return px
+    from datapoints_csv_extractor_spark.operators.jpegcodec import (
+        decode_jpeg,
+    )
+
+    return decode_jpeg(raw)
+
+
 def image_features(blobs: DataFrame) -> DataFrame:
-    """REAL pixel-level image features for PNG blobs with no
-    third-party codec: per-channel means, overall brightness, and
-    contrast (grayscale std) — the signals an image-curation pass
-    gates on (black/blank frames, exposure outliers). PIL-decodable
-    formats use PIL when present; PNG falls back to the stdlib
-    inflate+unfilter decoder, and anything else emits NULLs."""
+    """REAL pixel-level image features for PNG and baseline-JPEG
+    blobs with no third-party codec: per-channel means, overall
+    brightness, and contrast (grayscale std) — the signals an
+    image-curation pass gates on (black/blank frames, exposure
+    outliers). PIL-decodable formats use PIL when present; PNG/JPEG
+    fall back to the stdlib decoders (``_decode_image_pixels``), and
+    anything else emits NULLs."""
     schema = T.StructType(
         [
             T.StructField("blob_id", T.LongType()),
@@ -723,7 +743,7 @@ def image_features(blobs: DataFrame) -> DataFrame:
                     except Exception:
                         px = None
                 if px is None:
-                    px = _decode_png_pixels(raw)
+                    px = _decode_image_pixels(raw)
                 out["blob_id"].append(int(bid))
                 out["mime"].append(mime)
                 if px is None:
@@ -888,8 +908,8 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
     8x9 grid, emit one bit per horizontally-adjacent cell comparison.
     Near-identical images (small edits, re-encodes) land within a few
     Hamming bits; unrelated images are ~32 apart. Decode tiers match
-    image_features (PIL when importable, stdlib PNG inflate+unfilter
-    otherwise); undecodable payloads emit NULL. Arrow-batched
+    image_features (PIL when importable, stdlib PNG/baseline-JPEG
+    decoders otherwise); undecodable payloads emit NULL. Arrow-batched
     mapInPandas; the hash itself is numpy block means — no per-pixel
     Python."""
     schema = T.StructType(
@@ -920,7 +940,7 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
                     except Exception:
                         px = None
                 if px is None:
-                    px = _decode_png_pixels(raw)
+                    px = _decode_image_pixels(raw)
                 ids.append(int(bid))
                 if px is None:
                     hashes.append(None)
@@ -990,15 +1010,26 @@ def image_near_dup_pairs(
 
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing perceptual image dedup over REAL pixels: every
-    17th document's synthesized PNG gets a one-pixel-edited twin; the
-    dHash banded join must recover exactly the planted twins (an edit
-    of one pixel moves at most a couple of grid comparisons) without
-    ever forming the quadratic pair space. Rows-only (no SQL engine
-    decodes PNG); planted-pair recovery pinned in pytest.
+    17th document's synthesized PNG gets a one-pixel-edited twin, and
+    every 19th gets a CROSS-FORMAT twin — the same image stored once
+    as PNG and once as baseline JPEG (``jpegcodec.encode_jpeg``), the
+    classic re-encode duplicate. The dHash banded join must recover
+    exactly the planted twins without ever forming the quadratic pair
+    space; the JPEG pair proves the near-dup path decodes real JPEG
+    entropy-coded pixels, not just headers. Rows-only (no SQL engine
+    decodes PNG/JPEG); planted-pair recovery pinned in pytest.
+
+    The cross-format image is piecewise-constant on the dHash 8x9
+    sampling grid with adjacent cells on levels >=64 gray apart, so
+    every hash comparison carries a margin JPEG quantization error
+    (<= a few gray levels at q95) cannot flip — recovery is
+    deterministic, not a tail-probability bet the way noise pixels
+    would be (measured: noise images flip up to 4 bits even at
+    quality 100).
 
     The demo corpus is a deterministic quarter of the documents
-    (doc_id % 4 == 0): the cost here is SYNTHESIZING the PNGs, not
-    the operator — a real deployment hashes stored payloads once."""
+    (doc_id % 4 == 0): the cost here is SYNTHESIZING the payloads,
+    not the operator — a real deployment hashes stored blobs once."""
     import hashlib
 
     import numpy as np
@@ -1020,7 +1051,35 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    levels = (32, 96, 160, 224)
+    rs = np.linspace(0, 16, 9).astype(int)
+    cs = np.linspace(0, 16, 10).astype(int)
+
+    def cell_image(seed: bytes) -> np.ndarray:
+        """Gray image constant on each dHash sampling cell, adjacent
+        cells always on different levels (margin >= 64)."""
+        stream = b"".join(
+            hashlib.sha256(seed + b"cell" + bytes([i])).digest()
+            for i in range(3)
+        )
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        k = 0
+        for r in range(8):
+            lev = levels[stream[k] % 4]
+            k += 1
+            for c in range(9):
+                if c > 0:
+                    others = [x for x in levels if x != lev]
+                    lev = others[stream[k] % 3]
+                    k += 1
+                img[rs[r] : rs[r + 1], cs[c] : cs[c + 1], :] = lev
+        return img
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datapoints_csv_extractor_spark.operators.jpegcodec import (
+            encode_jpeg,
+        )
+
         for pdf in batches:
             rows = {"blob_id": [], "payload": []}
             for did, text in zip(pdf["doc_id"], pdf["text"]):
@@ -1039,6 +1098,13 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["payload"].append(
                         encode_png(twin.reshape(16, 16, 3))
                     )
+                if did % 19 == 0:
+                    # Cross-format twin: same image, PNG + JPEG.
+                    cell = cell_image(seed)
+                    rows["blob_id"].append(int(did) + 20_000_000)
+                    rows["payload"].append(encode_png(cell))
+                    rows["blob_id"].append(int(did) + 30_000_000)
+                    rows["payload"].append(encode_jpeg(cell, quality=95))
             yield pd.DataFrame(rows)
 
     blobs = d.mapInPandas(synth, schema)

@@ -283,3 +283,233 @@ def test_png_pixel_decode_reconstructs_all_filters(spark):
     assert r.contrast == 0.0
     assert r.channel_means == [128.0, 128.0, 128.0]
     assert rows[2].brightness is None
+
+
+# --- Baseline JPEG codec (operators/jpegcodec.py) -------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    gray=st.booleans(),
+    quality=st.integers(60, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_decodes_close_pixels(w, h, gray, quality, seed):
+    """encode_jpeg -> decode_jpeg round-trips any shape (including
+    non-multiple-of-8 edges and 1x1), recovers exact dimensions and
+    channel count, and lands within lossy-codec error of the input
+    (DC of every 8x8 block is quantized by <= the table's [0,0]
+    entry, so block means can't drift far)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    rng = np.random.RandomState(seed)
+    c = 1 if gray else 3
+    px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    blob = J.encode_jpeg(px, quality=quality)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    out = J.decode_jpeg(blob)
+    assert out is not None and out.shape == (h, w, c)
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    # Random noise is the worst case for a transform codec; even so
+    # the mean abs error stays far below "different image" territory.
+    assert err <= (40 if quality < 80 else 20)
+
+
+def test_jpeg_decode_smooth_image_near_exact():
+    """On low-frequency content (where JPEG is designed to be
+    transparent) the decoder must reproduce the input almost exactly
+    at high quality — a correctness pin much tighter than the noise
+    bound above."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = np.stack(
+        [np.clip(xx * 2 + yy, 0, 255), np.clip(255 - xx * 3, 0, 255),
+         np.full_like(xx, 77)],
+        axis=2,
+    ).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(smooth, quality=95))
+    assert out is not None
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 1.5
+
+
+def test_jpeg_decode_subsampled_and_restart_markers():
+    """4:2:0-style subsampled and DRI/RSTn streams decode: build the
+    bitstream by hand (the encoder emits only 4:4:4 without DRI) so
+    the decoder's chroma upsample and restart-realign paths are
+    covered. A 16x16 constant-color image has an exactly predictable
+    decode under any sampling layout."""
+    import struct
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    # Declare 4:2:0 (luma 2x2, chroma 1x1): the entropy stream then
+    # carries per MCU 4 luma + 1 Cb + 1 Cr blocks. Build the whole
+    # stream by hand with the module's own table helpers.
+    qy = J._quality_scaled(J._QUANT_LUMA, 90)
+    qc = J._quality_scaled(J._QUANT_CHROMA, 90)
+    dc_y = J._canonical_codes(*J._DC_LUMA)
+    ac_y = J._canonical_codes(*J._AC_LUMA)
+    dc_c = J._canonical_codes(*J._DC_CHROMA)
+    ac_c = J._canonical_codes(*J._AC_CHROMA)
+
+    y_val = 0.299 * 200 + 0.587 * 200 + 0.114 * 200  # = 200
+    blocks_y = np.zeros((8, 8)) + (y_val - 128.0)
+    blocks_c = np.zeros((8, 8))  # Cb=Cr=128 -> centered 0
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tq, tbl in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(tbl[z]) for z in J._ZZ)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x22, 0])  # luma 2x2
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    for tclass, (counts, syms) in (
+        (0x00, J._DC_LUMA), (0x10, J._AC_LUMA),
+        (0x01, J._DC_CHROMA), (0x11, J._AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+        out += bytes([tclass]) + bytes(counts) + bytes(syms)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: restart every MCU
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    def emit_mcu(bw, preds):
+        # 4 luma blocks then Cb, Cr; DC diff vs predictor, all-zero AC.
+        for ci, (blk, q, dcc, acc) in enumerate(
+            [(blocks_y, qy, dc_y, ac_y)] * 4
+            + [(blocks_c, qc, dc_c, ac_c), (blocks_c, qc, dc_c, ac_c)]
+        ):
+            comp = 0 if ci < 4 else ci - 3
+            dct = (J._T8 @ blk @ J._T8.T).reshape(-1)
+            dc = int(round(dct[0] / q[0]))
+            diff = dc - preds[comp]
+            preds[comp] = dc
+            mag = abs(diff)
+            size = mag.bit_length()
+            code, length = dcc[size]
+            bw.write(code, length)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            code, length = acc[0x00]  # EOB
+            bw.write(code, length)
+
+    # One MCU covers the whole 16x16 image; DRI=1 means a restart
+    # marker would follow BETWEEN MCUs — with a single MCU none is
+    # required, so also emit a second image 32 wide (2 MCUs) to force
+    # one RST0 into the stream.
+    bw = J._BitWriter()
+    emit_mcu(bw, [0, 0, 0])
+    bw.flush()
+    single = bytes(out) + bytes(bw.out) + b"\xff\xd9"
+    px = J.decode_jpeg(single)
+    assert px is not None and px.shape == (16, 16, 3)
+    got = np.unique(px.reshape(-1, 3), axis=0)
+    assert len(got) == 1
+    assert np.all(np.abs(got[0].astype(int) - 200) <= 2)
+
+    # Same header rebuilt for a 16x32 image: two MCUs, so DRI=1 forces
+    # one RST0 between them (predictors reset, bit reader realigns).
+    wide = bytearray()
+    wide += b"\xff\xd8"
+    for tq, tbl in ((0, qy), (1, qc)):
+        wide += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        wide += bytes(int(tbl[z]) for z in J._ZZ)
+    wide += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3)
+    wide += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tclass, (counts, syms) in (
+        (0x00, J._DC_LUMA), (0x10, J._AC_LUMA),
+        (0x01, J._DC_CHROMA), (0x11, J._AC_CHROMA),
+    ):
+        wide += b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+        wide += bytes([tclass]) + bytes(counts) + bytes(syms)
+    wide += b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    wide += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    wide += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    bw = J._BitWriter()
+    emit_mcu(bw, [0, 0, 0])
+    bw.flush()
+    wide += bytes(bw.out) + b"\xff\xd0"  # RST0, predictors reset
+    bw = J._BitWriter()
+    emit_mcu(bw, [0, 0, 0])
+    bw.flush()
+    wide += bytes(bw.out) + b"\xff\xd9"
+    px = J.decode_jpeg(bytes(wide))
+    assert px is not None and px.shape == (16, 32, 3)
+    got = np.unique(px.reshape(-1, 3), axis=0)
+    assert len(got) == 1
+    assert np.all(np.abs(got[0].astype(int) - 200) <= 2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=400))
+def test_jpeg_decode_never_crashes_on_garbage(raw):
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    assert J.decode_jpeg(raw) is None
+    assert J.decode_jpeg(b"\xff\xd8" + raw) is None or True
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cut=st.integers(2, 200),
+    flip_at=st.integers(2, 200),
+    flip_to=st.integers(0, 255),
+)
+def test_jpeg_decode_truncated_and_bitflipped_is_parse_or_null(
+    cut, flip_at, flip_to
+):
+    """Truncations and byte flips of a VALID stream must decode to
+    None or to some image — never raise (parse-or-NULL contract the
+    mapInPandas tier relies on)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    blob = J.encode_jpeg(px, quality=85)
+    J.decode_jpeg(blob[: min(cut, len(blob))])
+    mut = bytearray(blob)
+    mut[min(flip_at, len(mut) - 1)] = flip_to
+    J.decode_jpeg(bytes(mut))
+
+
+def test_image_features_and_dhash_decode_real_jpeg(spark):
+    """image_features reports true stats for a JPEG blob (constant
+    image -> exact closed-form brightness within codec error), and
+    image_dhash produces matching hashes for the same image stored as
+    PNG vs JPEG (the cross-format near-dup premise)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, 8:, :] = 220
+    grad[:, :8, :] = 30
+    blobs = spark.createDataFrame(
+        [
+            (1, "image/jpeg", bytearray(J.encode_jpeg(flat, quality=92))),
+            (2, "image/png", bytearray(M.encode_png(grad))),
+            (3, "image/jpeg", bytearray(J.encode_jpeg(grad, quality=92))),
+        ],
+        "blob_id long, mime string, payload binary",
+    )
+    feats = {r.blob_id: r for r in M.image_features(blobs).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].channels) == (16, 16, 3)
+    assert abs(feats[1].brightness - 130 / 255) < 0.02
+    assert feats[1].contrast < 0.02
+    hashes = {r.blob_id: r.dhash for r in M.image_dhash(blobs).collect()}
+    assert hashes[2] is not None and hashes[3] is not None
+    ham = bin((hashes[2] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2, f"png-vs-jpeg dhash hamming {ham}"

@@ -1824,13 +1824,22 @@ def test_image_dhash_near_dup_recovers_planted_twins(spark):
 
     rows = MM.q_image_near_dup(spark, SF).collect()
     assert rows, "expected planted near-dup pairs"
-    assert all(r.b_id == r.a_id + 10_000_000 for r in rows)
-    assert all(r.a_id % 17 == 0 for r in rows)
     assert all(r.hamming <= 3 for r in rows)
-    # Every 17th doc IN THE demo quarter (doc_id % 4 == 0) planted a
-    # twin; all of them must be recovered -> every lcm(4,17)=68th doc.
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
-    assert len(rows) == len(range(0, n_docs, 68))
+    # One-pixel-edit PNG twins: every 17th doc IN THE demo quarter
+    # (doc_id % 4 == 0) planted one -> every lcm(4,17)=68th doc.
+    edit_pairs = [r for r in rows if r.a_id < 20_000_000]
+    assert all(r.b_id == r.a_id + 10_000_000 for r in edit_pairs)
+    assert all(r.a_id % 17 == 0 for r in edit_pairs)
+    assert len(edit_pairs) == len(range(0, n_docs, 68))
+    # Cross-format twins (PNG id+20M, baseline JPEG id+30M of the
+    # SAME image): every 19th doc in the quarter -> every 76th doc.
+    # Recovery proves the dHash path decodes real JPEG pixels.
+    fmt_pairs = [r for r in rows if r.a_id >= 20_000_000]
+    assert all(r.b_id == r.a_id + 10_000_000 for r in fmt_pairs)
+    assert all((r.a_id - 20_000_000) % 76 == 0 for r in fmt_pairs)
+    assert len(fmt_pairs) == len(range(0, n_docs, 76))
+    assert len(edit_pairs) + len(fmt_pairs) == len(rows)
     # Determinism.
     again = MM.q_image_near_dup(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
