@@ -98,7 +98,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registered (and locally swept) below.
         "q_agg_view_incremental": AV.q_agg_view_incremental,
         "q_bm25_search": X.q_bm25_search,
-        "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
+        # Round-8 rotation: q_heavy_hitters_ample (the space-saving
+        # frequent-items sketch under ample capacity, where its
+        # brackets provably collapse to exact counts — the family's
+        # first hash-exact oracle) takes q_topk_ngrams_per_source's
+        # slot; the n-gram family keeps q_dedup_ngram_jaccard and
+        # q_repeated_spans in-window, and the starved-capacity
+        # bracketing invariant stays pinned in pytest.
+        "q_heavy_hitters_ample": X.q_heavy_hitters_ample,
         "q_text_quality": X.q_text_quality,
         "q_lang_id": X.q_lang_id,
         "q_bloom_decontamination": D.q_bloom_decontamination,
@@ -126,10 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_cells": L.q_zorder_cells,
         # Past the 50-entry capture window from here down (locally
         # oracle-swept). q_decontamination and q_bpe_token_count
-        # rotated out in round 7 (families still in-window, see
-        # above).
+        # rotated out in round 7, q_topk_ngrams_per_source in round 8
+        # (families still in-window, see above).
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
+        "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
         # Join pre-flight: exact join cardinality + skew diagnosis
@@ -1333,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_zorder_cells": L.zorder_cells_oracle_sql(),
+        # Ample-capacity space-saving: brackets provably collapse to
+        # exact counts, so the sketch machinery is SQL-expressible.
+        "q_heavy_hitters_ample": X.heavy_hitters_ample_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2219,3 +2219,47 @@ def q_heavy_hitter_tokens(
         )
         .orderBy(F.col("lower").desc(), "item")
     )
+
+
+def q_heavy_hitters_ample(
+    spark: SparkSession, sf_dir: str, k: int = 25
+) -> DataFrame:
+    """Space-saving under AMPLE capacity, oracle-exact: capacity is
+    sized above the corpus's global distinct-token count (one
+    distinct-count job, a driver scalar), so no partition ever
+    evicts, every tracked counter is exact (err=0, pmin=0), and the
+    merged [lower, upper] brackets collapse onto the true counts —
+    the report IS the exact top-k by count. That makes the whole
+    summarize -> merge machinery expressible as GROUP BY count /
+    ORDER BY / LIMIT in ANSI SQL, turning the family's pytest-only
+    bracketing invariant into a hash-exact DuckDB comparison (the
+    starved-capacity behavior stays pinned in pytest, where partition
+    layout is controlled). Fully deterministic: ties break on the
+    token itself."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("item"))
+    cap = toks.select("item").distinct().count() + 1
+    return (
+        heavy_hitters(toks, capacity=cap, k=k)
+        .orderBy(F.col("lower").desc(), "item")
+    )
+
+
+def heavy_hitters_ample_oracle_sql(k: int = 25) -> str:
+    """DuckDB twin of q_heavy_hitters_ample: with no evictions the
+    space-saving brackets equal the exact token counts."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(trim(text),
+                   '\\s+'), x -> x <> '')) AS item
+            FROM documents
+        ), counts AS (
+            SELECT item, count(*) AS n FROM toks GROUP BY item
+        )
+        SELECT item, n AS lower, n AS upper
+        FROM counts
+        ORDER BY lower DESC, item
+        LIMIT {k}
+    """

@@ -1774,6 +1774,28 @@ def test_embedding_truncation_recall_monotone_and_exact_at_full(spark):
     assert vals == sorted(vals), f"recall not monotone in dim: {vals}"
 
 
+def test_heavy_hitters_ample_is_exact_topk(spark):
+    """q_heavy_hitters_ample: capacity auto-sized above the global
+    distinct count means no eviction anywhere, so lower == upper ==
+    the exact count for every reported row and the report equals the
+    exact top-k by (count desc, token)."""
+    from datapoints_csv_extractor_spark.operators import textops as X
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    rows = X.q_heavy_hitters_ample(spark, SF, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.lower == r.upper for r in rows)
+    toks = load(spark, SF, "documents").select(
+        F.explode(X.tokens(F.col("text"))).alias("item")
+    )
+    exact = {
+        r.item: r.n
+        for r in toks.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.item, r.lower) for r in rows] == want
+
+
 def test_spacesaving_heavy_hitters_bounds_and_completeness(spark):
     """Space-saving invariants: every reported bracket contains the
     exact count; with ample capacity the sketch is EXACT (lower ==
