@@ -142,12 +142,23 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-bucket hashed vocabulary -> fixed weight vector. A real pipeline
 # trains these offline (fasttext-style) and ships them as literals
 # exactly like this: scoring is then a pure map-side expression, no
-# model server, no shuffle. Weights here are a deterministic stand-in,
-# stored as integer tenths so the per-token accumulation is EXACT
-# integer arithmetic in both engines — float summation order can
-# differ between Spark's fold and DuckDB's list_sum, and an exact
-# accumulator removes that nondeterminism before the single float
-# division/sigmoid at the end.
+# model server, no shuffle. Weights are stored as integer tenths so
+# the per-token accumulation is EXACT integer arithmetic in both
+# engines — float summation order can differ between Spark's fold and
+# DuckDB's list_sum, and an exact accumulator removes that
+# nondeterminism before the single float division/sigmoid at the end.
+#
+# The training loop that produces such literals is
+# ``train_quality_classifier`` below (distributed featurization +
+# deterministic logistic regression + tenths quantization), pinned in
+# pytest at >= 0.9 held-out accuracy on a planted-signal corpus. The
+# SHIPPED values stay a deterministic stand-in by documented decision:
+# the harness's synthetic documents table has no learnable quality
+# signal to distill (measured round 8: zero punctuation, every doc
+# passes every quality gate, and the lang label is statistically
+# independent of the token stream — best single-feature or 16/64/256-
+# bucket logistic accuracy == majority class), so "trained" weights
+# from it would encode noise while looking authoritative.
 CLASSIFIER_WEIGHTS_X10 = [
     8, -5, 3, -2, 6, -7, 1, 4,
     -3, 2, -6, 5, -1, 7, -4, 0,
@@ -175,23 +186,32 @@ def _token_bucket(tok: Column) -> Column:
     return _hex_val(F.substring(F.md5(tok), 1, 1))
 
 
-def quality_classifier_score(toks: Column) -> Column:
+def quality_classifier_score(
+    toks: Column,
+    weights_x10: list[int] | None = None,
+    bias: float | None = None,
+) -> Column:
     """Mean hashed-bucket weight + bias, squashed by a sigmoid.
 
     F.aggregate folds JVM-side over the token array — the whole
     feature-extract + dot-product + sigmoid is one codegen'd
     expression per row. The fold accumulates integer tenths (exact),
-    so only the final divide + exp are float ops.
+    so only the final divide + exp are float ops. ``weights_x10`` /
+    ``bias`` default to the shipped literals; pass the output of
+    ``train_quality_classifier`` to score with freshly trained
+    weights.
     """
-    w = F.array(*[F.lit(x) for x in CLASSIFIER_WEIGHTS_X10])
+    w = F.array(
+        *[F.lit(x) for x in (weights_x10 or CLASSIFIER_WEIGHTS_X10)]
+    )
     acc = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda a, t: a + F.element_at(w, _token_bucket(t) + 1),
     )
-    z = F.lit(CLASSIFIER_BIAS) + (acc / F.lit(10.0)) / F.greatest(
-        F.size(toks), F.lit(1)
-    )
+    z = F.lit(CLASSIFIER_BIAS if bias is None else bias) + (
+        acc / F.lit(10.0)
+    ) / F.greatest(F.size(toks), F.lit(1))
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
 
 
@@ -207,6 +227,103 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_cap: int = 4096,
+    n_iters: int = 2000,
+    lr: float = 3.0,
+    l2: float = 1e-5,
+    holdout_mod: int = 5,
+) -> dict:
+    """Train the 16-bucket hashed linear quality classifier on a
+    labeled corpus and return quantized literals ready to ship.
+
+    The fasttext-quality-filter training loop re-expressed for the
+    engine's scorer: featurization is DISTRIBUTED (explode tokens ->
+    the exact ``_token_bucket`` md5 hash the scorer uses -> one
+    groupBy(doc, bucket) count — so train-time and serve-time
+    features can never skew), then a deterministic bounded sample
+    (every ceil(n/sample_cap)-th doc by id hash, <= sample_cap x 16
+    count rows) collects to the driver where full-batch logistic
+    regression runs in numpy (fixed iterations/learning rate, L2,
+    zero init — bit-reproducible on identical input). Weights are
+    quantized to integer tenths, matching the scorer's exact integer
+    fold, and both reported accuracies are computed WITH the
+    quantized weights (what would actually ship), on an id-hash
+    holdout.
+
+    Returns ``{"weights_x10", "bias", "train_acc", "test_acc",
+    "n_train", "n_test"}`` — feed the first two straight to
+    ``quality_classifier_score``.
+
+    The SHIPPED ``CLASSIFIER_WEIGHTS_X10`` literals remain a
+    documented deterministic stand-in: the harness's synthetic
+    documents table has no learnable quality signal to distill
+    (measured: zero punctuation, uniform quality gates, and a lang
+    label statistically independent of the token stream), so training
+    on it can only reproduce the majority class. This function is the
+    real mechanism, pinned in pytest on a planted-signal corpus."""
+    import numpy as np
+
+    labeled = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).where(F.col("__y").isNotNull())
+    n = labeled.count()
+    stride = max(1, -(-n // sample_cap))
+    sampled = labeled.where(
+        F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
+    )
+    counts = (
+        sampled.select(
+            "__id", "__y", F.explode_outer("__toks").alias("__tok")
+        )
+        .withColumn("__b", _token_bucket(F.col("__tok")))
+        .groupBy("__id", "__y", "__b")
+        .agg(F.count(F.col("__tok")).alias("__c"))
+        .collect()
+    )
+    feats: dict = {}
+    for r in counts:
+        key = (r["__id"], r["__y"])
+        v = feats.setdefault(key, np.zeros(16))
+        if r["__b"] is not None:
+            v[r["__b"]] += r["__c"]
+    ids = sorted(feats)  # deterministic row order
+    X = np.array([feats[k] / max(feats[k].sum(), 1.0) for k in ids])
+    y = np.array([k[1] for k in ids])
+    is_test = np.array([int(k[0]) % holdout_mod == 0 for k in ids])
+    tr, te = ~is_test, is_test
+    w = np.zeros(16)
+    b = 0.0
+    for _ in range(n_iters):
+        p = 1.0 / (1.0 + np.exp(-(X[tr] @ w + b)))
+        g = p - y[tr]
+        w -= lr * (X[tr].T @ g / max(tr.sum(), 1) + l2 * w)
+        b -= lr * g.mean()
+    wq = np.round(w * 10).astype(int)
+    bq = round(float(b), 4)
+
+    def _acc(mask) -> float:
+        if not mask.any():
+            return float("nan")
+        p = 1.0 / (1.0 + np.exp(-(X[mask] @ (wq / 10.0) + bq)))
+        return float(((p >= 0.5) == y[mask]).mean())
+
+    return {
+        "weights_x10": [int(x) for x in wq],
+        "bias": bq,
+        "train_acc": round(_acc(tr), 4),
+        "test_acc": round(_acc(te), 4),
+        "n_train": int(tr.sum()),
+        "n_test": int(te.sum()),
+    }
 
 
 # --------------------------------------------------------------------------

@@ -594,3 +594,60 @@ def test_purged_time_folds_assignment_and_embargo(spark):
     # Embargo: the 2 h before fold 1's start, i.e. hours 2-3 only
     # (fold 1 rows are never embargoed — there is no later fold).
     assert {i for i, (f, e) in out.items() if e} == {2, 3}
+
+
+def test_train_quality_classifier_learns_planted_signal(spark):
+    """train_quality_classifier distills a planted lexical signal:
+    'good' docs draw from an English-prose vocabulary, 'bad' docs
+    from boilerplate/symbol tokens. The trained quantized weights
+    must (a) beat 0.9 held-out accuracy, (b) be bit-reproducible
+    across runs, and (c) separate the classes when fed back through
+    the serving-path scorer (quality_classifier_score with the
+    trained literals). The shipped literal weights stay a documented
+    stand-in because the harness corpus has no learnable signal —
+    this pins the MECHANISM on data that does."""
+    import itertools
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    good_vocab = ["the", "quick", "study", "found", "that", "results",
+                  "were", "clear", "and", "method", "shows", "evidence"]
+    bad_vocab = ["click", "here", "$$$", "buy", "now!!!", "===", ">>>",
+                 "free", "***", "subscribe", "#ad", "@@@"]
+
+    def doc(vocab, seed, n=30):
+        # deterministic pseudo-random token stream, no RNG state
+        return " ".join(
+            vocab[(seed * 31 + i * 17) % len(vocab)] for i in range(n)
+        )
+
+    rows = []
+    for i in range(300):
+        rows.append((i * 2, doc(good_vocab, i), 1))
+        rows.append((i * 2 + 1, doc(bad_vocab, i), 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    model = train_quality_classifier(docs, "label")
+    assert model["n_train"] > 0 and model["n_test"] > 0
+    assert model["test_acc"] >= 0.9, model
+    assert model["train_acc"] >= 0.9, model
+
+    again = train_quality_classifier(docs, "label")
+    assert again == model  # bit-reproducible
+
+    # Round-trip through the serving scorer: trained weights separate
+    # the classes on the JVM-side fold too.
+    scored = docs.withColumn(
+        "s",
+        quality_classifier_score(
+            tokens(F.col("text")), model["weights_x10"], model["bias"]
+        ),
+    ).collect()
+    acc = sum(
+        1 for r in scored if (r.s >= 0.5) == (r.label == 1)
+    ) / len(scored)
+    assert acc >= 0.9, acc
