@@ -446,22 +446,40 @@ def _sf1_probe_main(out_path: str) -> None:
     both orders are recorded so a pre-vs-post gap is readable as
     probe-internal state accumulation rather than operator cost.
 
-    A linear operator lands <= ~1.5x at 10x data on a fixed-core
-    machine (10x work on 10x rows across the same 32 cores, plus
-    shuffle/setup overhead); a super-linear one (pair blowup, O(n^2)
-    cell matrices) shows 3-10x.
+    WALL ratio is utilization-confounded on a fixed-core machine: a
+    1x run whose independent DAG subtrees overlap on idle cores can
+    double its wall at 10x while doing exactly 10x the work (measured
+    round 8: q_curation_pipeline_full wall 2x but every subtree
+    linear). So the probe records BOTH dials per query:
+
+    - ``ratio`` — wall ratio; <= ~2x is healthy here, superlinear
+      plans (pair blowup, O(n^2) cell matrices) show 3-10x;
+    - ``work_ratio`` — executor task-time ratio (the 100x-scale
+      evidence): ~10x at 10x data IS linear; >> 10x means per-row
+      cost grew and the operator would not survive a real scale-up.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import functions as F
 
+    from datapoints_csv_extractor_spark.plans.introspect import (
+        executor_run_time_ms,
+    )
     from datapoints_csv_extractor_spark.session import get_spark
 
     spark = get_spark(
         app_name="bench-sf1-probe",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # executor_run_time_ms diffs the status store's stage
+            # list; keep every probe stage retained so no delta ever
+            # shrinks from eviction.
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -491,23 +509,37 @@ def _sf1_probe_main(out_path: str) -> None:
         def run_suite(tag: str, pass_label: str, max_runs: int = 2):
             sdir = sdirs[tag]
             runs: dict[str, float] = {}
-            runs["q_minhash_dedup_pipeline"] = _best_of(
+            works: dict[str, int] = {}
+
+            def timed(name, fn):
+                # First run bounds the work counter (task-time is
+                # run-invariant; wall is not), remaining runs refine
+                # the min wall.
+                w0 = executor_run_time_ms(spark)
+                t0 = time.perf_counter()
+                fn()
+                wall = time.perf_counter() - t0
+                works[name] = max(executor_run_time_ms(spark) - w0, 0)
+                for _ in range(max_runs - 1):
+                    t0 = time.perf_counter()
+                    fn()
+                    wall = min(wall, time.perf_counter() - t0)
+                runs[name] = round(wall, 3)
+
+            timed(
+                "q_minhash_dedup_pipeline",
                 lambda: _materialize(minhash_dedup_pipeline(spark, sdir)),
-                clean_sec=1e9, max_runs=max_runs,
             )
-            runs["q_semantic_dedup"] = _best_of(
+            timed(
+                "q_semantic_dedup",
                 lambda: _materialize(q_semantic_dedup(spark, sdir)),
-                clean_sec=1e9, max_runs=max_runs,
             )
-            runs["q_curation_pipeline_full"] = _best_of(
+            timed(
+                "q_curation_pipeline_full",
                 lambda: _materialize(q_curation_pipeline_full(spark, sdir)),
-                clean_sec=1e9, max_runs=max_runs,
             )
             for q in SF1_REGISTERED_QUERIES:
-                runs[q] = _best_of(
-                    lambda q=q: _materialize(qs[q](spark, sdir)),
-                    clean_sec=1e9, max_runs=max_runs,
-                )
+                timed(q, lambda q=q: _materialize(qs[q](spark, sdir)))
             # Incremental dedup, QUERY phase only (store seeded from
             # the first half, second half timed). Store paths carry
             # the pass label so the post pass seeds a fresh store.
@@ -522,14 +554,14 @@ def _sf1_probe_main(out_path: str) -> None:
                     ingest_id="seed",
                 )
             )
-            runs["q_dedup_incremental_query"] = _best_of(
+            timed(
+                "q_dedup_incremental_query",
                 lambda: _materialize(
                     dedup_incremental(
                         docs.where(F.col("doc_id") > half), store,
                         ingest_id="probe",
                     )
                 ),
-                clean_sec=1e9, max_runs=max_runs,
             )
             # PQ serving, QUERY phase only: the ADC scan over the
             # stored codes + exact re-rank must scale linearly in
@@ -544,25 +576,25 @@ def _sf1_probe_main(out_path: str) -> None:
                 float(x)
                 for x in e_syn.where(F.col("vec_id") == 0).first()["embedding"]
             ]
-            runs["q_ann_pq_query"] = _best_of(
+            timed(
+                "q_ann_pq_query",
                 lambda: _materialize(
                     ann_pq_topk_from_index(
                         spark, pq_dir, qv, k=10, source=e_syn,
                         exclude_vec_id=0,
                     )
                 ),
-                clean_sec=1e9, max_runs=max_runs,
             )
-            return runs
+            return runs, works
 
         # Warm the fresh JVM once (codegen, parquet reader, Arrow
         # paths) so the pre pass isn't a cold-JIT measurement; the
         # min-of-2 per query absorbs the rest.
         _materialize(qs["q_token_stats"](spark, sdirs["sf0.1_synth"]))
 
-        pre = run_suite("sf0.1_synth", "pre")
-        big = run_suite("sf1_synth", "big")
-        post = run_suite("sf0.1_synth", "post", max_runs=1)
+        pre, pre_work = run_suite("sf0.1_synth", "pre")
+        big, big_work = run_suite("sf1_synth", "big")
+        post, _ = run_suite("sf0.1_synth", "post", max_runs=1)
         section = {
             "isolation": "fresh JVM subprocess; 1x re-measured after 10x",
             "sf0.1": pre,
@@ -571,6 +603,14 @@ def _sf1_probe_main(out_path: str) -> None:
             "ratio": {
                 q: round(big[q] / max(min(pre[q], post.get(q, pre[q])), 1e-9), 2)
                 for q in big
+            },
+            # Executor task-time (work) per query, ms, and its 10x/1x
+            # ratio — ~10 IS linear; see docstring.
+            "work_ms_sf0.1": pre_work,
+            "work_ms_sf1": big_work,
+            "work_ratio": {
+                q: round(big_work[q] / max(pre_work[q], 1), 2)
+                for q in big_work
             },
         }
         with open(out_path, "w") as fh:

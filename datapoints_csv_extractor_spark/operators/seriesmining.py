@@ -285,6 +285,12 @@ def dtw_nearest_neighbor(
        lb_top_m * DTW) cost instead of O(n^2) DTW.
     """
     n_tables, sdays, rseed = tables, seg_days, seed
+    # Three consumers read the series frame (the sizing count, the
+    # LSH-key pass, the envelope-prep pass); localCheckpoint runs its
+    # upstream DAG (typically an events groupBy) once instead of
+    # three times — the multi-consumer materialization discipline
+    # minhash_dedup uses for its signatures.
+    series = series.localCheckpoint()
     if bits is None:
         # Auto-size so expected block population ~ 32: one count()
         # job returning a single scalar — parameter-sized driver work.
@@ -319,7 +325,11 @@ def dtw_nearest_neighbor(
                 {"user_id": out_u, "tbl": out_t, "key": out_k}
             )
 
-    keys = series.mapInPandas(_keys, "user_id long, tbl int, key int")
+    # keys feeds the census AND the cold-block join; prep feeds both
+    # pair sides — checkpoint each so the Arrow passes run once.
+    keys = series.mapInPandas(
+        _keys, "user_id long, tbl int, key int"
+    ).localCheckpoint()
     census = keys.groupBy("tbl", "key").agg(
         F.count(F.lit(1)).alias("block_n")
     )
@@ -375,7 +385,7 @@ def dtw_nearest_neighbor(
     prep_schema = (
         "user_id long, z array<double>, eu array<double>, el array<double>"
     )
-    prep = series.mapInPandas(_prep, prep_schema)
+    prep = series.mapInPandas(_prep, prep_schema).localCheckpoint()
     sa = prep.select(
         F.col("user_id").alias("ua"),
         F.col("z").alias("za"),

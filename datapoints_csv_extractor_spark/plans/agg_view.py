@@ -216,11 +216,15 @@ def stream_agg_view_fold(
 
 def q_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing: maintain a (event_type, day) rollup of the
-    events table in three time-sliced folds, compact between folds two
-    and three, and serve the view — which must equal the one-shot
-    batch GROUP BY, so the oracle is that plain SQL. The measure is
-    the event value in integer cents (round then cast keeps both
-    engines exact; integer sums make fold order irrelevant).
+    events table in two time-sliced folds with a compaction between
+    them (fold -> compact -> fold: both the pre- and post-compaction
+    fold paths run), and serve the view — which must equal the
+    one-shot batch GROUP BY, so the oracle is that plain SQL. The
+    measure is the event value in integer cents (round then cast
+    keeps both engines exact; integer sums make fold order
+    irrelevant). Two folds, not three: the third fold re-exercised a
+    path the second already covers at ~2 s of commit overhead
+    (round-8 demo trim; multi-fold sequences stay pinned in pytest).
 
     Scratch store per call: mkdtemp -> folds -> localCheckpoint the
     small served view -> rmtree."""
@@ -231,30 +235,35 @@ def q_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = tempfile.mkdtemp(prefix="spark_graft_aggview_")
     try:
-        ev = load(spark, sf_dir, "events").select(
-            "event_type",
-            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-            F.col("ts").cast("timestamp").alias("ts"),
+        # localCheckpoint: three consumers (the percentile scalar and
+        # two folds) would otherwise each re-scan and re-project the
+        # events parquet — pure stage-count overhead at demo scale.
+        ev = (
+            load(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+                    "day"
+                ),
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+            .localCheckpoint()
         )
-        t1, t2 = ev.agg(
-            F.expr("percentile_approx(unix_timestamp(ts), 0.33)"),
-            F.expr("percentile_approx(unix_timestamp(ts), 0.66)"),
+        (cut,) = ev.agg(
+            F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
         ).first()
         keys = ["event_type", "day"]
         slices = [
-            ev.where(F.unix_timestamp("ts") <= t1),
-            ev.where(
-                (F.unix_timestamp("ts") > t1) & (F.unix_timestamp("ts") <= t2)
-            ),
-            ev.where(F.unix_timestamp("ts") > t2),
+            ev.where(F.unix_timestamp("ts") <= cut),
+            ev.where(F.unix_timestamp("ts") > cut),
         ]
         for i, s in enumerate(slices):
             agg_view_fold(
                 spark, store, s, keys, F.col("cents"), fold_seq=i,
                 n_buckets=8,
             )
-            if i == 1:
+            if i == 0:
                 compact_agg_view(spark, store, keys, n_buckets=8)
         out = (
             agg_view_read(spark, store, keys)

@@ -99,3 +99,34 @@ def metrics_summary(df: DataFrame) -> dict:
             default=0,
         ),
     }
+
+
+def executor_run_time_ms(spark) -> int:
+    """Cumulative executor task run time (ms) summed over every stage
+    the app status store still retains — the WORK counter the wall
+    clock can't give you on a fixed-size machine.
+
+    Deltas around a query isolate its total task-seconds: on a
+    32-core box a linear operator fed 10x the data costs ~10x the
+    task-time even when its WALL time only doubles (at small scale
+    independent DAG subtrees overlap on idle cores; at large scale
+    they serialize — utilization, not complexity). The sf1 scale
+    probe records both, so "superlinear" accusations are made against
+    work, not against scheduling.
+
+    Caveat: the store evicts old stages past spark.ui.retainedStages
+    (deltas could then shrink) — callers that diff this counter
+    should raise that limit for the session. Driver cost: one py4j
+    walk over retained stage summaries, no jobs."""
+    sc = spark.sparkContext
+    gw = sc._gateway
+    empty = sc._jvm.java.util.ArrayList()
+    no_quantiles = gw.new_array(gw.jvm.double, 0)
+    stages = sc._jsc.sc().statusStore().stageList(
+        empty, False, False, no_quantiles, empty
+    )
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().executorRunTime()
+    return int(total)

@@ -277,27 +277,36 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = tempfile.mkdtemp(prefix="spark_graft_scd2store_")
     try:
-        ev = load(spark, sf_dir, "events").select(
-            "user_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "event_id",
-            "event_type",
+        # localCheckpoint: the demo's three consumers (percentile
+        # scalar + two folds) otherwise each re-scan and re-cast the
+        # events parquet — at demo scale the extra scans are pure
+        # stage-count overhead.
+        ev = (
+            load(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_id",
+                "event_type",
+            )
+            .localCheckpoint()
         )
         cut = ev.agg(
             F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
         ).first()[0]
         first = ev.where(F.unix_timestamp("ts") <= cut)
         second = ev.where(F.unix_timestamp("ts") > cut)
-        # 16 buckets: the testdata store is MB-scale, and each fold's
-        # cost is stage-count-dominated — fewer bucket dirs halve the
-        # demo's wall time (64 -> 16 measured 2x); production sizing
-        # belongs to the caller via n_buckets.
+        # 8 buckets: the testdata store is MB-scale, and each fold's
+        # cost is stage-count-dominated — fewer bucket dirs cut the
+        # demo's wall time (64 -> 16 measured 2x in round 7, 16 -> 8
+        # another ~10% in round 8); production sizing belongs to the
+        # caller via n_buckets.
         scd2_fold(spark, store, first, F.col("event_type"), fold_seq=1,
-                  n_buckets=16)
+                  n_buckets=8)
         wm = first.agg(F.max("ts")).first()[0]
-        compact_scd2_store(spark, store, wm, fold_seq=2, n_buckets=16)
+        compact_scd2_store(spark, store, wm, fold_seq=2, n_buckets=8)
         scd2_fold(spark, store, second, F.col("event_type"), fold_seq=3,
-                  n_buckets=16)
+                  n_buckets=8)
         out = (
             scd2_read(spark, store, "event_type")
             .orderBy("user_id", "version")

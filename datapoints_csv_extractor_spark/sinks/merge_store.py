@@ -168,6 +168,14 @@ def upsert_into_store(
 
     m = _read_manifest(store_path)
     n_buckets = m["n_buckets"] or n_buckets
+    # The bucketed delta is read twice (the affected-bucket census
+    # here, the merge+write below). Deliberately NOT checkpointed:
+    # measured at demo scale the re-run of the delta DAG is cheaper
+    # than materializing it, and at production scale the census is a
+    # column-pruned scan (only the key columns reach the hash) while
+    # a checkpoint would spool the full delta — the same
+    # double-scan-the-source trade Delta Lake's MERGE makes for its
+    # touched-file pruning pass.
     delta_b = _with_bucket(delta, keys, n_buckets)
     affected = sorted(
         r[_BUCKET] for r in delta_b.select(_BUCKET).distinct().collect()
