@@ -52,7 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_functions": R.q_scalar_functions,
         "q_unpivot": R.q_unpivot,
         "q_pivot": A.q_pivot,
-        "q_approx_distinct": R.q_approx_distinct,
+        # Round-8 rotation: q_stratified_sample (deterministic
+        # exact-count per-stratum sampling via WindowGroupLimit — a
+        # family the window never exercised) takes q_approx_distinct's
+        # slot; the sketch family keeps q_quantile_sketch_rollup and
+        # q_heavy_hitters_ample in-window and approx-distinct stays
+        # registered below.
+        "q_stratified_sample": C.q_stratified_sample,
         # TPC-H-style relational core (§7 Phase 2). q3/q5/q10 sit past
         # the window now (still locally swept): their join+agg shape
         # overlaps q1/q12/q6, and the freed slots carry three operator
@@ -60,7 +66,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seasonal decomposition, exact audience-overlap matrix).
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q_upsert_merge": R.q_upsert_merge,
-        "q12_late_shipment_priority": R.q12_late_shipment_priority,
+        # Round-8 rotation: q_chunk_documents (overlapping
+        # token-window chunking — the context-window splitter, a
+        # family the window never exercised) takes
+        # q12_late_shipment_priority's slot; TPC-H keeps q1 + q6
+        # in-window and q12 stays registered below.
+        "q_chunk_documents": X.q_chunk_documents,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
         "q_fuzzy_match": R.q_fuzzy_match,
@@ -138,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
+        "q12_late_shipment_priority": R.q12_late_shipment_priority,
+        "q_approx_distinct": R.q_approx_distinct,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
         # Join pre-flight: exact join cardinality + skew diagnosis
@@ -1344,6 +1357,11 @@ def oracle_sql() -> dict[str, str]:
         # Ample-capacity space-saving: brackets provably collapse to
         # exact counts, so the sketch machinery is SQL-expressible.
         "q_heavy_hitters_ample": X.heavy_hitters_ample_oracle_sql(),
+        # Overlapping token-window chunking (exact integer chunk
+        # count; 1-based inclusive slices match on both engines).
+        "q_chunk_documents": X.chunk_documents_oracle_sql(),
+        # Deterministic exact-count stratified sampling (md5-rank).
+        "q_stratified_sample": C.stratified_sample_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

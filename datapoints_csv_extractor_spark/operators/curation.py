@@ -326,6 +326,63 @@ def train_quality_classifier(
     }
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size per-stratum sample, deterministic and RNG-free:
+    rank each stratum's rows by the md5 of their id (a uniform,
+    reproducible shuffle order — the repo's hash-based sampling
+    idiom) and keep the first ``n_per_stratum``. Strata smaller than
+    n keep every row. Re-runs, retries, and incremental re-ingests
+    pick the identical rows, which ``resample_keep``'s RATE-based
+    hash thresholds cannot promise about exact COUNTS.
+
+    Scale: the rank <= n filter compiles to WindowGroupLimit (partial
+    map-side top-n BEFORE the exchange, plan-pinned in
+    test_plan_shape), so the stratum shuffle carries at most
+    n * input_partitions rows per stratum, never the stratum itself —
+    the skewed-stratum failure mode of a naive window is gone."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing: exactly 5 docs per source, hash-ordered."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_exact(d, "source", 5).orderBy(
+        "source", "doc_id"
+    )
+
+
+def stratified_sample_oracle_sql(n: int = 5) -> str:
+    """DuckDB twin of q_stratified_sample (md5-of-id rank per
+    stratum — both engines hash the identical decimal string)."""
+    return f"""
+        SELECT doc_id, source
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {n}
+        ORDER BY source, doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # Mixture resampling
 # --------------------------------------------------------------------------

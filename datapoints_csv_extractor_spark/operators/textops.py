@@ -62,6 +62,104 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the
+    context-window splitter every training/RAG pipeline runs between
+    curation and tokenization: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens and no token is dropped. A document shorter
+    than one window still emits exactly one (possibly short) chunk,
+    and an empty document emits one empty chunk — downstream joins
+    never lose doc_ids.
+
+    Pure JVM projection: one tokenize, one integer chunk-count
+    (integer-until-the-end arithmetic — no float ceil, so both
+    engines compute the identical count), one
+    ``explode(sequence(...))``, one ``slice`` + ``array_join`` per
+    chunk. Map-only at any scale; output rows ~= corpus tokens /
+    stride. Emits (id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = docs.withColumn("__toks", tokens(F.col(text_col)))
+    n = F.size(F.col("__toks"))
+    # ceil((n - overlap) / stride) in exact integer math, floored at
+    # 1; floor-then-cast keeps both engines identical.
+    n_chunks = F.greatest(
+        F.floor(
+            (n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id").cast("int") * stride + 1,
+        chunk_tokens,
+    )
+    return (
+        d.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing chunking demo: 64-token windows with 8-token
+    overlap over the corpus; emits the chunk's md5 instead of its
+    text to keep the compared frame narrow (the hash pins every byte
+    of the chunk content anyway)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    c = chunk_documents(d, chunk_tokens=64, overlap=8)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 64, overlap: int = 8) -> str:
+    """DuckDB twin of q_chunk_documents: identical integer chunk
+    count, 1-based inclusive list slice == Spark's (start, length)
+    slice, same separator join."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, toks,
+                   greatest((len(toks) - {overlap} + {stride - 1})
+                            // {stride}, 1) AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               i AS chunk_id,
+               len(toks[i * {stride} + 1 : i * {stride} + {chunk_tokens}])
+                   AS n_tokens,
+               md5(array_to_string(
+                   toks[i * {stride} + 1 : i * {stride} + {chunk_tokens}],
+                   ' ')) AS chunk_hash
+        FROM p, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+        ORDER BY doc_id, chunk_id
+    """
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, word count, punctuation ratio,
     stopword ratio, type-token ratio — the standard cheap filters a

@@ -1887,3 +1887,51 @@ def test_image_near_dup_pairs_banding_pigeonhole(spark):
     )
     got = {(r.a_id, r.b_id): r.hamming for r in image_near_dup_pairs(h, 3).collect()}
     assert got == {(1, 2): 3}
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """chunk_documents invariants: stride spacing with exact overlap,
+    full token coverage (de-overlapped concatenation reconstructs the
+    document), short docs emit one whole chunk, empty docs emit one
+    empty chunk (no doc_id is lost), and overlap >= chunk size is
+    refused."""
+    import pytest
+
+    from datapoints_csv_extractor_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    long_text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=10, overlap=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+
+    # doc 1: 25 tokens, stride 7 -> ceil((25-3)/7) = 4 chunks.
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in c1] == [10, 10, 10, 4]
+    toks = long_text.split()
+    for i, r in enumerate(c1):
+        assert r.chunk_text.split() == toks[i * 7 : i * 7 + 10]
+    # De-overlapped reconstruction covers every token exactly once.
+    rebuilt = c1[0].chunk_text.split()
+    for r in c1[1:]:
+        rebuilt += r.chunk_text.split()[3:]
+    assert rebuilt == toks
+
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+    assert by_doc[2][0].chunk_text == "a b c"
+    for did in (3, 4):  # empty / whitespace-only
+        assert len(by_doc[did]) == 1
+        assert by_doc[did][0].n_tokens == 0
+        assert by_doc[did][0].chunk_text == ""
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)

@@ -753,3 +753,40 @@ def test_interval_overlap_join_auto_bucket(spark):
         ).collect()
     }
     assert auto == fixed == {(1, 10), (2, 10), (3, 10)}
+
+
+def test_stratified_sample_pushes_window_group_limit(spark):
+    """stratified_sample_exact's rank filter must compile to
+    WindowGroupLimit (partial map-side top-n BEFORE the stratum
+    exchange) — the property that keeps a skewed stratum from
+    funneling through one sort — and the sample must be exact-count
+    and deterministic."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        stratified_sample_exact,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+    )
+    out = stratified_sample_exact(df, "src", 7, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+    rows = out.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+    assert {len(v) for v in by_src.values()} == {7}
+    again = {tuple(sorted(v)) for v in by_src.values()}
+    rows2 = stratified_sample_exact(df, "src", 7, id_col="doc_id").collect()
+    by_src2: dict = {}
+    for r in rows2:
+        by_src2.setdefault(r.src, []).append(r.doc_id)
+    assert {tuple(sorted(v)) for v in by_src2.values()} == again
+
+    # Strata smaller than n keep every row.
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string"
+    )
+    assert stratified_sample_exact(tiny, "src", 5).count() == 3
