@@ -985,6 +985,9 @@ def main() -> None:
     }
     if sf1_section:
         out["sf1_ratio"] = sf1_section["ratio"]
+        # The utilization-corrected linearity dial (see
+        # _sf1_probe_main): ~10x task-time at 10x data IS linear.
+        out["sf1_work_ratio"] = sf1_section.get("work_ratio", {})
     for name in sorted(timings, key=timings.get, reverse=True):
         out["queries"][name] = round(timings[name], 2)
         if len(json.dumps(out, separators=(",", ":"))) > budget:
