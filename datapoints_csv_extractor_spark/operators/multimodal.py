@@ -15,12 +15,15 @@ also real where a pure-stdlib codec exists: 16-bit PCM WAV decodes to
 actual audio features (``audio_features``: duration/RMS/ZCR/peak) and
 PNG decodes to actual pixels (``image_features``: zlib inflate +
 filter reconstruction -> brightness/contrast/channel means; PIL stays
-the preferred tier when importable), and baseline-sequential JPEG
+the preferred tier when importable), baseline-sequential JPEG
 decodes to actual pixels too (``jpegcodec.decode_jpeg``: Huffman
-entropy decode + IDCT + chroma upsample — see that module). The
-remaining compressed-codec stand-in boundary is non-baseline JPEG
-(progressive/arithmetic) and temporal codecs (MP3/AAC, H.264) —
-ffmpeg-class work this container ships no libraries for.
+entropy decode + IDCT + chroma upsample), and GIF decodes its first
+frame (``gifcodec.decode_gif``: variable-width LZW + palette +
+interlace) — the classic image trio all sample-decode with zero
+third-party code. The remaining compressed-codec stand-in boundary
+is non-baseline JPEG (progressive/arithmetic), GIF animation beyond
+frame 1, and temporal codecs (MP3/AAC, H.264) — ffmpeg-class work
+this container ships no libraries for.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -683,20 +686,26 @@ def _decode_png_pixels(raw: bytes):
 
 
 def _decode_image_pixels(raw: bytes):
-    """Stdlib image pixel decode dispatch: PNG (zlib inflate +
-    per-scanline unfilter, ``_decode_png_pixels``) or baseline JPEG
-    (Huffman entropy decode + IDCT, ``jpegcodec.decode_jpeg``) to an
-    (h, w, channels) uint8 array; None for anything else. Both
-    decoders magic-check first, so dispatch is two cheap prefix
-    tests, and both are parse-or-NULL on corrupt input."""
+    """Stdlib image pixel decode dispatch across the classic trio:
+    PNG (zlib inflate + per-scanline unfilter,
+    ``_decode_png_pixels``), baseline JPEG (Huffman entropy decode +
+    IDCT, ``jpegcodec.decode_jpeg``), or GIF (variable-width LZW +
+    palette, ``gifcodec.decode_gif``) to an (h, w, channels) uint8
+    array; None for anything else. Every decoder magic-checks first,
+    so dispatch is three cheap prefix tests, and all are
+    parse-or-NULL on corrupt input."""
     px = _decode_png_pixels(raw)
     if px is not None:
         return px
+    from datapoints_csv_extractor_spark.operators.gifcodec import decode_gif
     from datapoints_csv_extractor_spark.operators.jpegcodec import (
         decode_jpeg,
     )
 
-    return decode_jpeg(raw)
+    px = decode_jpeg(raw)
+    if px is not None:
+        return px
+    return decode_gif(raw)
 
 
 def image_features(blobs: DataFrame) -> DataFrame:

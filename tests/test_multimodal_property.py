@@ -513,3 +513,113 @@ def test_image_features_and_dhash_decode_real_jpeg(spark):
     assert hashes[2] is not None and hashes[3] is not None
     ham = bin((hashes[2] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
     assert ham <= 2, f"png-vs-jpeg dhash hamming {ham}"
+
+
+# --- GIF codec (operators/gifcodec.py) ------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    n_levels=st.integers(2, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_is_exact(w, h, n_levels, seed):
+    """GIF is lossless: encode_gif -> decode_gif must reproduce the
+    input byte-for-byte for any palette-sized image (including 1x1
+    and code-width-growth cases)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import gifcodec as G
+
+    rng = np.random.RandomState(seed)
+    levels = np.linspace(0, 255, n_levels).astype(np.uint8)
+    px = levels[rng.randint(0, n_levels, size=(h, w, 3))]
+    out = G.decode_gif(G.encode_gif(px))
+    assert out is not None and np.array_equal(out, px)
+
+
+def test_gif_decode_interlaced_and_transparent():
+    """Hand-built streams cover what the encoder doesn't emit: an
+    interlaced image (8/8/4/2 pass weave) must de-weave to the
+    original row order, and a transparent index (GIF89a graphic
+    control) must composite onto the background color."""
+    import struct
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import gifcodec as G
+
+    # 10 rows, 4 cols, each row a distinct palette index 0..9.
+    h, w = 10, 4
+    rows = np.repeat(np.arange(h, dtype=np.int32)[:, None], w, axis=1)
+    pal = np.stack(
+        [np.arange(10) * 20, np.arange(10) * 10, np.arange(10) * 5],
+        axis=1,
+    ).astype(np.uint8)
+    pal_full = np.zeros((16, 3), dtype=np.uint8)
+    pal_full[:10] = pal
+    # Interlace pass order: rows 0,8 then 4 then 2,6 then odd rows.
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    woven = rows[order].reshape(-1).tolist()
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(4)
+    lzw = G._lzw_encode(woven, 4)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    px = G.decode_gif(bytes(out))
+    assert px is not None and px.shape == (h, w, 3)
+    assert np.array_equal(px, pal[rows])
+
+    # Transparency: index 5 transparent, background index 2.
+    out2 = bytearray()
+    out2 += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 3, 2, 0)
+    out2 += pal_full.tobytes()
+    out2 += b"\x21\xf9\x04\x01\x00\x00\x05\x00"  # GCE: transparent=5
+    out2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out2.append(4)
+    lzw = G._lzw_encode(rows.reshape(-1).tolist(), 4)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out2.append(len(chunk))
+        out2 += chunk
+    out2 += b"\x00\x3b"
+    px = G.decode_gif(bytes(out2))
+    assert px is not None
+    want = rows.copy()
+    want[want == 5] = 2
+    assert np.array_equal(px, pal[want])
+
+
+@settings(max_examples=60, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=300))
+def test_gif_decode_never_crashes_on_garbage(raw):
+    from datapoints_csv_extractor_spark.operators import gifcodec as G
+
+    G.decode_gif(raw)
+    G.decode_gif(b"GIF89a" + raw)
+
+
+def test_image_features_decode_real_gif(spark):
+    """The mapInPandas tier reports true pixel stats for a GIF blob
+    through the shared dispatcher."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import gifcodec as G
+
+    flat = np.full((12, 9, 3), 120, dtype=np.uint8)
+    blobs = spark.createDataFrame(
+        [(1, "image/gif", bytearray(G.encode_gif(flat)))],
+        "blob_id long, mime string, payload binary",
+    )
+    r = M.image_features(blobs).collect()[0]
+    assert (r.width, r.height, r.channels) == (9, 12, 3)
+    assert abs(r.brightness - 120 / 255) < 1e-6
+    assert r.contrast == 0.0
