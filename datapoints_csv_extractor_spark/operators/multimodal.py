@@ -503,10 +503,12 @@ def resize_blobs(
 
 
 def _parse_wav_pcm(raw: bytes):
-    """Locate a 16-bit PCM WAV's sample data: returns (sample_rate,
-    n_channels, data_offset, data_size) or None when the payload is
-    not RIFF/WAVE/PCM-16 (compressed codecs stay out of scope — the
-    stand-in boundary is now 'non-PCM codecs', not 'audio')."""
+    """Locate a decodable WAV's sample data: returns (sample_rate,
+    n_channels, data_offset, data_size, fmt_tag, bits) for the
+    formats ``_decode_wav_samples`` handles — linear PCM (fmt 1,
+    8/16-bit) and the G.711 telephony codecs (fmt 6 A-law, fmt 7
+    mu-law, 8-bit) — or None otherwise (the stand-in boundary is
+    'perceptual codecs', not 'audio')."""
     import struct
 
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -527,23 +529,81 @@ def _parse_wav_pcm(raw: bytes):
         if rate is not None and data is not None:
             break
         off += 8 + size + (size & 1)
-    if fmt_tag != 1 or bits != 16 or not rate or not channels or data is None:
+    ok = (fmt_tag == 1 and bits in (8, 16)) or (
+        fmt_tag in (6, 7) and bits == 8
+    )
+    if not ok or not rate or not channels or data is None:
         return None
     data_off, data_size = data
     data_size = min(data_size, len(raw) - data_off)
-    return rate, channels, data_off, data_size
+    return rate, channels, data_off, data_size, fmt_tag, bits
+
+
+def _g711_tables():
+    """256-entry mu-law / A-law decode lookup tables (ITU-T G.711 —
+    public telephony standard; the canonical segment/mantissa
+    expansion formulas)."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int64)
+    inv = ~u & 0xFF
+    e = (inv >> 4) & 0x07
+    m = inv & 0x0F
+    t = (((m << 3) + 0x84) << e) - 0x84
+    ulaw = np.where(inv & 0x80, -t, t).astype(np.float64)
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    e = (a >> 4) & 0x07
+    m = a & 0x0F
+    t = (m << 4) + 8
+    t = np.where(e > 0, (t + 0x100) << np.maximum(e - 1, 0), t)
+    alaw = np.where(a & 0x80, -t, t).astype(np.float64)
+    return ulaw, alaw
+
+
+def _decode_wav_samples(raw: bytes):
+    """Decode a WAV payload to (sample_rate, mono float64 array in
+    [-1, 1]) — 16-bit PCM, 8-bit unsigned PCM, or G.711
+    mu-law/A-law — or None when the container/codec is out of
+    scope."""
+    import numpy as np
+
+    parsed = _parse_wav_pcm(raw)
+    if parsed is None:
+        return None
+    rate, ch, off, size, fmt_tag, bits = parsed
+    if fmt_tag == 1 and bits == 16:
+        n = (size // 2 // ch) * ch
+        x = np.frombuffer(raw, dtype="<i2", count=n, offset=off).astype(
+            np.float64
+        )
+        scale = 32768.0
+    else:
+        n = (size // ch) * ch
+        b = np.frombuffer(raw, dtype=np.uint8, count=n, offset=off)
+        if fmt_tag == 1:  # 8-bit PCM is unsigned
+            x = b.astype(np.float64) - 128.0
+            scale = 128.0
+        else:
+            ulaw, alaw = _g711_tables()
+            x = (ulaw if fmt_tag == 7 else alaw)[b]
+            scale = 32768.0
+    if not len(x):
+        return rate, np.zeros(0)
+    return rate, x.reshape(-1, ch).mean(axis=1) / scale
 
 
 def audio_features(blobs: DataFrame) -> DataFrame:
-    """REAL sample-level audio feature extraction for PCM WAV blobs —
+    """REAL sample-level audio feature extraction for WAV blobs —
     duration, RMS energy, zero-crossing rate, peak amplitude — the
     features an audio-curation pass gates on (silence/clipping
     detection, speech-band heuristics). Arrow ``mapInPandas`` over
-    the binary column, numpy int16 decode, channels mono-mixed by
-    mean; non-WAV / non-PCM payloads emit NULL features
-    (skip-don't-fail, the module's contract). This closes the
-    sample-decode gap for the one audio container a pure-stdlib
-    environment can fully decode; compressed codecs remain the
+    the binary column; ``_decode_wav_samples`` handles 16-bit and
+    8-bit linear PCM plus the G.711 telephony codecs (mu-law/A-law,
+    table-driven numpy expansion — the format call-center and
+    voicemail corpora actually arrive in); channels mono-mix by
+    mean. Out-of-scope payloads emit NULL features (skip-don't-fail,
+    the module's contract); perceptual codecs (MP3/AAC) remain the
     documented stand-in boundary."""
     schema = T.StructType(
         [
@@ -567,17 +627,10 @@ def audio_features(blobs: DataFrame) -> DataFrame:
                 pdf["blob_id"], pdf["mime"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                parsed = _parse_wav_pcm(raw)
+                decoded = _decode_wav_samples(raw)
                 row = [None] * 6
-                if parsed is not None:
-                    rate, ch, off, size = parsed
-                    n16 = (size // 2 // ch) * ch
-                    x = (
-                        np.frombuffer(raw, dtype="<i2", count=n16, offset=off)
-                        .reshape(-1, ch)
-                        .mean(axis=1)
-                        / 32768.0
-                    )
+                if decoded is not None:
+                    rate, x = decoded
                     if len(x):
                         zc = float(np.mean(np.abs(np.diff(np.signbit(x)))))
                         row = [

@@ -623,3 +623,68 @@ def test_image_features_decode_real_gif(spark):
     assert (r.width, r.height, r.channels) == (9, 12, 3)
     assert abs(r.brightness - 120 / 255) < 1e-6
     assert r.contrast == 0.0
+
+
+def _wav(fmt_tag, bits, rate, payload: bytes, channels=1) -> bytes:
+    block = channels * (bits // 8)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, fmt_tag, channels, rate, rate * block, block, bits
+        )
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+
+def test_audio_features_decode_g711_and_pcm8(spark):
+    """G.711 mu-law / A-law and 8-bit PCM WAVs decode to real
+    samples: a companded 440 Hz sine must measure its closed-form
+    RMS within companding quantization error, and the three variants
+    must agree with the 16-bit PCM reference."""
+    import math
+
+    import numpy as np
+
+    rate, freq, amp = 8000, 440, 0.5
+    n = rate  # 1 second
+    x = amp * np.sin(2 * math.pi * freq * np.arange(n) / rate)
+    pcm16 = (x * 32767).astype("<i2")
+
+    # Inverse companders (ITU-T G.711 encode formulas) for the test.
+    def ulaw_encode(s):
+        s = np.clip((s * 32768).astype(np.int64), -32635, 32635)
+        sign = np.where(s < 0, 0x80, 0)
+        mag = np.abs(s) + 0x84
+        e = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+        m = (mag >> (e + 3)) & 0x0F
+        return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+    def alaw_encode(s):
+        s = np.clip((s * 32768).astype(np.int64), -32767, 32767)
+        sign = np.where(s >= 0, 0x80, 0)
+        mag = np.abs(s)
+        e = np.maximum(
+            (np.floor(np.log2(np.maximum(mag, 256))) - 7).astype(np.int64), 0
+        )
+        m = np.where(e > 0, (mag >> (e + 3)) & 0x0F, mag >> 4)
+        return (((sign | (e << 4) | m) ^ 0x55) & 0xFF).astype(np.uint8)
+
+    pcm8 = ((x * 127) + 128).astype(np.uint8)
+    blobs = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(_wav(1, 16, rate, pcm16.tobytes()))),
+            (2, "audio/wav", bytearray(_wav(7, 8, rate, ulaw_encode(x).tobytes()))),
+            (3, "audio/wav", bytearray(_wav(6, 8, rate, alaw_encode(x).tobytes()))),
+            (4, "audio/wav", bytearray(_wav(1, 8, rate, pcm8.tobytes()))),
+            (5, "audio/wav", bytearray(_wav(3, 32, rate, b"\x00" * 64))),
+        ],
+        "blob_id long, mime string, payload binary",
+    )
+    rows = {r.blob_id: r for r in M.audio_features(blobs).collect()}
+    want_rms = amp / math.sqrt(2)
+    for bid, tol in ((1, 0.002), (2, 0.02), (3, 0.02), (4, 0.02)):
+        r = rows[bid]
+        assert r.sample_rate == rate and r.n_frames == n, bid
+        assert abs(r.rms - want_rms) < tol, (bid, r.rms)
+        assert abs(r.zero_crossing_rate - 2 * freq / rate) < 0.01, bid
+    assert rows[5].rms is None  # float WAV: out of scope, NULL not garbage
