@@ -201,6 +201,81 @@ def _parse_wav_header(raw: bytes) -> tuple[None, None, int] | None:
     return (None, None, data_size // block_align)
 
 
+# MPEG audio (ISO/IEC 11172-3 / 13818-3) bitrate tables, kbps, by
+# (version-group, layer): V1 = MPEG-1, V2 = MPEG-2 & 2.5. Index 0 is
+# free-format (frame size unknowable from the header — rejected),
+# index 15 invalid.
+_MP3_BITRATES = {
+    ("V1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                384, 416, 448],
+    ("V1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 384],
+    ("V1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320],
+    ("V2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                192, 224, 256],
+    ("V2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                144, 160],
+    ("V2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def _parse_mp3_frames(raw: bytes) -> tuple[None, None, int] | None:
+    """Pure-stdlib MPEG-audio (MP3/MP2/MP1) frame walk: skip an
+    ID3v2 tag if present, then hop frame headers (sync + version/
+    layer/bitrate/samplerate -> exact frame byte length) counting
+    PCM sample frames (mpeg frames x samples-per-frame) — the audio
+    analog of the MP4 ``stts`` walk, real metadata with zero codec
+    work. Returns (None, None, n_sample_frames) or None when the
+    payload is not MPEG audio / uses free-format bitrate. Sample
+    DECODE (the perceptual codec itself) stays out of scope."""
+    pos = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        size = 0
+        for b in raw[6:10]:  # syncsafe big-endian
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        pos = 10 + size
+    total_samples = 0
+    n_frames = 0
+    while pos + 4 <= len(raw):
+        b0, b1, b2, _ = raw[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:  # trailing junk / APEv2 tag after audio
+                break
+            return None
+        ver_bits = (b1 >> 3) & 0x03  # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer_bits = (b1 >> 1) & 0x03  # 1=L3, 2=L2, 3=L1
+        if ver_bits == 1 or layer_bits == 0:
+            return None
+        layer = 4 - layer_bits
+        vgroup = "V1" if ver_bits == 3 else "V2"
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == "V1") else 576
+            per = 144 if samples == 1152 else 72
+            frame_len = per * bitrate // rate + padding
+        if frame_len <= 4:
+            return None
+        total_samples += samples
+        n_frames += 1
+        pos += frame_len
+    return (None, None, total_samples) if n_frames else None
+
+
 def _parse_mp4_frames(raw: bytes) -> tuple[int | None, int | None, int] | None:
     """Pure-stdlib MP4 (ISO BMFF) box walk (public container spec):
     find the video track (``hdlr`` handler 'vide') and sum its
@@ -322,11 +397,15 @@ def decode_blobs(blobs: DataFrame, use_pil: bool | None = None) -> DataFrame:
 
     def _non_image(mime: str, raw: bytes):
         # Audio: REAL stdlib WAV parse (sample-frame count as
-        # n_frames). Video: REAL stdlib MP4 box walk (stts frame
-        # count + tkhd dims). Both parse-or-NULL, like the image
-        # tiers; unknown mimes keep the deterministic stand-in.
+        # n_frames), falling back to an MPEG-audio frame walk (MP3/
+        # MP2/MP1 — exact PCM sample-frame count from the headers).
+        # Video: REAL stdlib MP4 box walk (stts frame count + tkhd
+        # dims). All parse-or-NULL, like the image tiers; unknown
+        # mimes keep the deterministic stand-in.
         if mime.startswith("audio/"):
             parsed = _parse_wav_header(raw)
+            if parsed is None:
+                parsed = _parse_mp3_frames(raw)
             return parsed if parsed is not None else (None, None, None)
         if mime.startswith("video/"):
             parsed = _parse_mp4_frames(raw)

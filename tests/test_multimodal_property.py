@@ -688,3 +688,81 @@ def test_audio_features_decode_g711_and_pcm8(spark):
         assert abs(r.rms - want_rms) < tol, (bid, r.rms)
         assert abs(r.zero_crossing_rate - 2 * freq / rate) < 0.01, bid
     assert rows[5].rms is None  # float WAV: out of scope, NULL not garbage
+
+
+def _mp3_frame(ver_bits=3, layer_bits=1, br_idx=9, sr_idx=0, pad=0) -> bytes:
+    """One syntactically-valid MPEG audio frame (header + zero
+    payload sized to the header's own length formula)."""
+    h = bytes(
+        [
+            0xFF,
+            0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            0x00,
+        ]
+    )
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+    )
+
+    layer = 4 - layer_bits
+    vgroup = "V1" if ver_bits == 3 else "V2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    if layer == 1:
+        n = (12 * bitrate // rate + pad) * 4
+    else:
+        per = 144 if (layer == 2 or vgroup == "V1") else 72
+        n = per * bitrate // rate + pad
+    return h + b"\x00" * (n - 4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 12),
+    ver=st.sampled_from([3, 2, 0]),
+    layer_bits=st.sampled_from([1, 2, 3]),
+    br_idx=st.integers(1, 14),
+    sr_idx=st.integers(0, 2),
+    id3=st.booleans(),
+)
+def test_mp3_frame_walk_counts_samples(
+    n_frames, ver, layer_bits, br_idx, sr_idx, id3
+):
+    layer = 4 - layer_bits
+    if layer == 1:
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or ver == 3) else 576
+    body = _mp3_frame(ver, layer_bits, br_idx, sr_idx) * n_frames
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 if id3 else b""
+    got = M._parse_mp3_frames(tag + body)
+    assert got == (None, None, n_frames * samples)
+    # Trailing junk after valid frames is tolerated (APEv2/ID3v1).
+    got = M._parse_mp3_frames(tag + body + b"TAGjunkjunk")
+    assert got == (None, None, n_frames * samples)
+
+
+def test_mp3_frame_walk_rejects_non_mpeg():
+    assert M._parse_mp3_frames(b"") is None
+    assert M._parse_mp3_frames(b"RIFFxxxxWAVE") is None
+    # free-format bitrate (index 0) is rejected, not guessed
+    bad = bytes([0xFF, 0xFB, 0x02, 0x00]) + b"\x00" * 100
+    assert M._parse_mp3_frames(bad) is None
+
+
+def test_decode_blobs_audio_mp3_tier(spark):
+    """decode_blobs' audio tier: WAV first, MPEG frame walk second,
+    NULL for everything else — all through the Arrow path."""
+    mp3 = _mp3_frame() * 3
+    blobs = spark.createDataFrame(
+        [
+            (1, "audio/mpeg", bytearray(mp3), None, None),
+            (2, "audio/wav", bytearray(b"notawav"), None, None),
+        ],
+        "blob_id long, mime string, payload binary, byte_len long, sha256 string",
+    )
+    rows = {r.blob_id: r for r in M.decode_blobs(blobs).collect()}
+    assert rows[1].n_frames == 3 * 1152 and rows[1].width is None
+    assert rows[2].n_frames is None
