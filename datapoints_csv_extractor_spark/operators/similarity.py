@@ -1084,9 +1084,13 @@ def q_semantic_decontamination(
     # The benchmark side is BOUNDED by contract (max_eval_id), not
     # just a fraction of the table: a real eval suite is fixed-size
     # while the corpus grows without limit, and the bound is what
-    # keeps the scoring work linear in the corpus — the sf1 probe
-    # measured 15x wall for 10x data when both sides grew (fraction
-    # semantics), 1.33x with the bound (fixed suite semantics).
+    # keeps the scoring work linear in the corpus — with both sides
+    # growing (fraction semantics) the sf1 probe once measured 15x
+    # wall for 10x data; with the bound, the round-8 fresh-JVM probe
+    # records ~2.0x wall / 2.5x task-time for 10x data (in-session
+    # round-7 numbers ran up to 4.25x from accumulated session
+    # state, which is why the probe now isolates — see
+    # bench._sf1_probe_main).
     ev = e.where(
         (F.col("vec_id") % eval_mod == 0) & (F.col("vec_id") < max_eval_id)
     ).select(
