@@ -111,3 +111,151 @@ def corrupt_line_stats(spark: SparkSession, path: str) -> DataFrame:
             F.when(~corrupt & F.col("d.text").isNull(), 1).otherwise(0)
         ).alias("n_missing_text"),
     )
+
+
+def read_documents_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http_headers: bool = True,
+) -> DataFrame:
+    """Read WARC archives (ISO 28500 — the Common Crawl format) into
+    a canonical documents frame: one row per selected WARC record
+    with (doc_id, text, url, warc_date, content_type, n_bytes,
+    source).
+
+    Parallelism is FILE-level (``binaryFile`` scan -> one archive per
+    task, parsed inside Arrow-batched ``mapInPandas``), which is how
+    WARC is processed everywhere: records are length-prefixed, so an
+    archive cannot be split mid-stream, but crawls ship millions of
+    ~1 GB archives and the files ARE the parallel unit. ``.warc.gz``
+    is handled as the spec's per-record gzip members (a multistream
+    decompressobj loop — NOT one monolithic stream).
+
+    Record selection by ``WARC-Type`` (default: ``response`` — raw
+    HTTP captures — and ``conversion`` — pre-extracted text the way
+    Common Crawl's WET files carry it). For response records the HTTP
+    header block is stripped by default so ``text`` is the body
+    payload. Bytes decode utf-8-with-replacement: corpus text with
+    invalid sequences survives (skip-don't-fail) rather than killing
+    the task. doc_id = xxhash64(record id) computed JVM-side after
+    the parse, deterministic across re-ingests.
+
+    One archive must fit in one task's memory — the correct
+    constraint for this format; a production cluster sizes executor
+    memory for the crawl's archive size, not for the corpus."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("record_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_date", T.StringType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    want = {t.lower() for t in record_types}
+
+    def _gunzip_members(raw: bytes) -> bytes:
+        import zlib
+
+        out = bytearray()
+        pos = 0
+        while pos < len(raw):
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            out += d.decompress(raw[pos:])
+            out += d.flush()
+            tail = d.unused_data
+            if not tail:
+                break
+            pos = len(raw) - len(tail)
+        return bytes(out)
+
+    def _records(payload: bytes):
+        """Yield (headers dict, body bytes) per WARC record."""
+        pos = 0
+        n = len(payload)
+        while pos < n:
+            # Skip inter-record blank lines.
+            while pos < n and payload[pos : pos + 2] in (b"\r\n", b"\n"):
+                pos += 2 if payload[pos : pos + 2] == b"\r\n" else 1
+            if not payload[pos : pos + 5] == b"WARC/":
+                return
+            hdr_end = payload.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                return
+            headers: dict[str, str] = {}
+            for line in payload[pos:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            body_start = hdr_end + 4
+            body = payload[body_start : body_start + length]
+            yield headers, body
+            pos = body_start + length
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in out_schema.fields}
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                try:
+                    if raw[:2] == b"\x1f\x8b":
+                        raw = _gunzip_members(raw)
+                    for headers, body in _records(raw):
+                        rtype = headers.get("warc-type", "").lower()
+                        if rtype not in want:
+                            continue
+                        ctype = headers.get("content-type", "")
+                        if (
+                            strip_http_headers
+                            and rtype == "response"
+                            and body[:5] in (b"HTTP/",)
+                        ):
+                            split = body.find(b"\r\n\r\n")
+                            if split >= 0:
+                                body = body[split + 4 :]
+                        rows["record_id"].append(
+                            headers.get("warc-record-id", "")
+                        )
+                        rows["text"].append(
+                            body.decode("utf-8", errors="replace")
+                        )
+                        rows["url"].append(
+                            headers.get("warc-target-uri")
+                        )
+                        rows["warc_date"].append(headers.get("warc-date"))
+                        rows["content_type"].append(ctype)
+                        rows["n_bytes"].append(len(body))
+                        rows["source"].append(fname)
+                except Exception:  # noqa: BLE001 — a corrupt archive
+                    # poisons only its own records, never the job
+                    continue
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(parse, out_schema)
+        .select(
+            F.xxhash64(F.col("record_id")).alias("doc_id"),
+            "text",
+            "url",
+            "warc_date",
+            "content_type",
+            "n_bytes",
+            "source",
+            F.col("record_id").alias("warc_record_id"),
+        )
+    )

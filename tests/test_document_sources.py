@@ -532,3 +532,67 @@ def test_dsir_store_ingest_gate(spark, tmp_path):
     assert stats["published"] == 1
     out = spark.read.parquet(str(tmp_path / "corpus"))
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def _warc_record(rtype, rid, uri, body: bytes, extra_http=False) -> bytes:
+    if extra_http:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def test_read_documents_warc_plain_and_gzip(spark, tmp_path):
+    """WARC ingestion: response records get their HTTP headers
+    stripped, conversion (WET-style) records pass through, warcinfo
+    records are skipped, a corrupt archive poisons only itself, and
+    record-level gzip members (.warc.gz) decode."""
+    import gzip
+
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_warc,
+    )
+
+    recs = (
+        _warc_record("warcinfo", "w0", "-", b"software: test")
+        + _warc_record(
+            "response", "r1", "http://a.example/x",
+            b"hello <b>world</b>", extra_http=True,
+        )
+        + _warc_record("conversion", "c1", "http://a.example/x", b"hello world")
+    )
+    (tmp_path / "a.warc").write_bytes(recs)
+    # Record-level gzip members: each record its own gzip stream.
+    gz = b"".join(
+        gzip.compress(r)
+        for r in (
+            _warc_record("response", "r2", "http://b.example/y",
+                         b"second doc", extra_http=True),
+        )
+    )
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+    (tmp_path / "c.warc").write_bytes(b"NOT A WARC AT ALL")
+
+    rows = read_documents_warc(spark, str(tmp_path)).collect()
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r.url, []).append(r)
+    assert set(by_uri) == {"http://a.example/x", "http://b.example/y"}
+    a = sorted(by_uri["http://a.example/x"], key=lambda r: r.warc_record_id)
+    texts = sorted(r.text for r in a)
+    assert texts == ["hello <b>world</b>", "hello world"]  # headers stripped
+    assert by_uri["http://b.example/y"][0].text == "second doc"
+    assert all(r.doc_id is not None for r in rows)
+    # Determinism of ids across re-ingest.
+    again = {r.warc_record_id: r.doc_id
+             for r in read_documents_warc(spark, str(tmp_path)).collect()}
+    assert {r.warc_record_id: r.doc_id for r in rows} == again
