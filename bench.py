@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "q_zorder_pruning_report",
     "q_agg_view_incremental",
     "q_heavy_hitter_tokens",
+    # Round-8 additions.
+    "q_heavy_hitters_ample",
+    "q_chunk_documents",
+    "q_stratified_sample",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
@@ -423,6 +427,10 @@ SF1_REGISTERED_QUERIES = [
     "q_zorder_cells",
     "q_agg_view_incremental",
     "q_heavy_hitter_tokens",
+    # Round-8 additions.
+    "q_heavy_hitters_ample",
+    "q_chunk_documents",
+    "q_stratified_sample",
 ]
 
 
