@@ -868,6 +868,51 @@ def main() -> None:
     finally:
         shutil.rmtree(folder, ignore_errors=True)
 
+    # WARC ingest throughput (the LLM-corpus source format): a
+    # synthetic gzip'd crawl sized like the sf documents table, one
+    # response record per doc, parsed file-per-task.
+    warc_root = Path(tempfile.mkdtemp(prefix="bench_warc_"))
+    try:
+        import gzip
+
+        from datapoints_csv_extractor_spark.sources.documents import (
+            read_documents_warc,
+        )
+
+        n_docs = max(20, int(5000 * (sf / 0.1)))
+        n_archives = max(2, n_docs // 250)
+        per = n_docs // n_archives
+        body_words = (
+            "the quick brown corpus record body with enough words to "
+            "look like a page of extracted crawl text " * 6
+        ).encode()
+        for a in range(n_archives):
+            members = []
+            for d in range(per):
+                rid = f"bench-{a}-{d}"
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body_words
+                    + rid.encode()
+                )
+                hdr = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                    f"WARC-Target-URI: http://bench.example/{rid}\r\n"
+                    f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    f"Content-Type: application/http\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                members.append(gzip.compress(hdr + body + b"\r\n\r\n"))
+            (warc_root / f"part{a:04d}.warc.gz").write_bytes(
+                b"".join(members)
+            )
+        timings["warc_ingest"] = _best_of(
+            lambda: _materialize(read_documents_warc(spark, str(warc_root)))
+        )
+    finally:
+        shutil.rmtree(warc_root, ignore_errors=True)
+
     # Adversarial-skew dedup bench: the hot-key guards are proven
     # correct in pytest at toy scale; this records that at bench scale
     # the GUARDED paths stay flat on a corpus built to blow up the
