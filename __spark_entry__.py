@@ -99,7 +99,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": A.q_range_join,
         "q_attribution_credit": A.q_attribution_credit,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
-        "q_funnel_stages": A.q_funnel_stages,
+        # Round-8 rotation: q_repetition_signals (the Gopher
+        # repetition filters — dup-line and top-2-gram character
+        # fractions, a published-filter family the window never
+        # exercised) takes q_funnel_stages's slot; event-sequence
+        # analytics keeps q_attribution_credit in-window and the
+        # funnel stays registered below.
+        "q_repetition_signals": C.q_repetition_signals,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         # Round-7 rotation: the incremental aggregate view (O(delta)
@@ -151,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q_approx_distinct": R.q_approx_distinct,
+        "q_funnel_stages": A.q_funnel_stages,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
         # Join pre-flight: exact join cardinality + skew diagnosis
@@ -1362,6 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_documents": X.chunk_documents_oracle_sql(),
         # Deterministic exact-count stratified sampling (md5-rank).
         "q_stratified_sample": C.stratified_sample_oracle_sql(),
+        # Gopher repetition filters (dup-line / top-2-gram fractions).
+        "q_repetition_signals": C.repetition_signals_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

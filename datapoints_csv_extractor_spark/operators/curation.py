@@ -923,6 +923,191 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """The Gopher REPETITION filters (Rae et al. 2021, Appendix A —
+    the signals the word-level ``gopher_rules`` set does not cover):
+    per document,
+
+    - ``dup_line_frac``      — duplicated lines / lines,
+    - ``dup_line_char_frac`` — characters inside duplicated lines /
+      all line characters (a doc whose one long line repeats is worse
+      than one whose short line does),
+    - ``top_2gram_char_frac`` — characters covered by the most
+      frequent word 2-gram / all token characters (loops and
+      boilerplate light this up long before exact dedup would).
+
+    Two explode -> groupBy subtrees (doc x line, doc x 2-gram) joined
+    back on doc_id — linear, two shuffles, no per-doc quadratic HOF
+    scans. Counting stays integer until each final division
+    (cross-engine hash parity); the top 2-gram tie-breaks (count
+    desc, gram asc) so the argmax is deterministic. Empty docs emit
+    zeros, never NULL/NaN."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_lines"
+        ),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            # Guard: sequence(1, 0) would DESCEND in Spark and index
+            # element 0 under ANSI; docs with < 2 tokens have no
+            # 2-grams at all (the left join restores them with NULLs
+            # -> zeros).
+            F.when(
+                F.size("toks") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top_gram = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("c", "gram"),
+                # min over (-count, gram) = count desc then gram asc
+                # — deterministic argmax in one aggregate.
+                F.struct(
+                    (-F.col("c")).alias("_nc"), F.col("gram")
+                ),
+            ).alias("top")
+        )
+        .select(
+            "doc_id",
+            F.col("top.c").alias("top_gram_count"),
+            F.col("top.gram").alias("top_gram"),
+        )
+    )
+    tok_chars = toks.select(
+        "doc_id",
+        F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.length(t),
+        ).alias("tok_chars"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(top_gram, "doc_id", "left")
+        .join(tok_chars, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("n_dup_lines"), z)
+                / F.greatest(F.col("n_lines"), F.lit(1)),
+                4,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("dup_line_chars"), z)
+                / F.greatest(F.col("line_chars"), F.lit(1)),
+                4,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                (
+                    F.coalesce(F.col("top_gram_count"), z)
+                    * (F.length(F.coalesce(F.col("top_gram"), F.lit("")))
+                       - F.lit(1))
+                )
+                / F.greatest(F.col("tok_chars"), F.lit(1)),
+                4,
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing repetition-signal scan over the corpus."""
+    return repetition_signals(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def repetition_signals_oracle_sql() -> str:
+    """DuckDB twin of q_repetition_signals (identical integer counts,
+    identical tie-break, one final division per ratio)."""
+    return """
+        WITH d AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM d
+        ), per_line AS (
+            SELECT doc_id, line, count(*) AS c
+            FROM lines GROUP BY doc_id, line
+        ), line_stats AS (
+            SELECT doc_id,
+                   sum(c) AS n_lines,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_lines,
+                   sum(c * length(line)) AS line_chars,
+                   sum(CASE WHEN c > 1 THEN c * length(line)
+                       ELSE 0 END) AS dup_line_chars
+            FROM per_line GROUP BY doc_id
+        ), grams AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        ), per_gram AS (
+            SELECT doc_id, gram, count(*) AS c
+            FROM grams GROUP BY doc_id, gram
+        ), top_gram AS (
+            SELECT doc_id, c AS top_gram_count, gram AS top_gram
+            FROM (
+                SELECT doc_id, c, gram,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY c DESC, gram ASC
+                       ) AS rk
+                FROM per_gram
+            ) WHERE rk = 1
+        ), tok_chars AS (
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(toks,
+                       x -> length(x))), 0) AS tok_chars
+            FROM d
+        )
+        SELECT d.doc_id,
+               round(coalesce(n_dup_lines, 0)
+                     / greatest(n_lines, 1), 4) AS dup_line_frac,
+               round(coalesce(dup_line_chars, 0)
+                     / greatest(line_chars, 1), 4) AS dup_line_char_frac,
+               round(coalesce(top_gram_count, 0)
+                     * (length(coalesce(top_gram, '')) - 1)
+                     / greatest(tok_chars, 1), 4) AS top_2gram_char_frac
+        FROM d
+        LEFT JOIN line_stats USING (doc_id)
+        LEFT JOIN top_gram USING (doc_id)
+        LEFT JOIN tok_chars ON d.doc_id = tok_chars.doc_id
+        ORDER BY doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
 # --------------------------------------------------------------------------

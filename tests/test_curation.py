@@ -651,3 +651,39 @@ def test_train_quality_classifier_learns_planted_signal(spark):
         1 for r in scored if (r.s >= 0.5) == (r.label == 1)
     ) / len(scored)
     assert acc >= 0.9, acc
+
+
+def test_repetition_signals_closed_form(spark):
+    """Planted repetition with known fractions: a doc of 4 lines
+    where one line appears twice; a doc that is one 2-gram looped; a
+    clean doc; an empty doc (zeros, not NULL/NaN)."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    looped = " ".join(["ab cd"] * 10)  # "ab cd ab cd ..." 20 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa\nbb\naaa\ncccc"),
+            (2, looped),
+            (3, "all distinct words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # doc 1: 4 lines, 'aaa' twice -> dup lines 2/4; chars 3+2+3+4=12,
+    # dup chars 6.
+    assert rows[1].dup_line_frac == 0.5
+    assert rows[1].dup_line_char_frac == 0.5
+    # doc 2: 20 tokens, 19 2-grams: "ab cd" x10, "cd ab" x9. Top
+    # covers 10 * 4 chars / 40 token chars = 1.0.
+    assert rows[2].top_2gram_char_frac == 1.0
+    assert rows[2].dup_line_frac == 0.0  # one line, not duplicated
+    # doc 3: no repetition; top 2-gram appears once ->
+    # (len('all distinct')-1)/chars = 11/20.
+    assert rows[3].dup_line_frac == 0.0
+    assert rows[3].top_2gram_char_frac == round(11 / 20, 4)
+    # doc 4: all-zero signals, no NULLs.
+    assert (rows[4].dup_line_frac, rows[4].dup_line_char_frac,
+            rows[4].top_2gram_char_frac) == (0.0, 0.0, 0.0)
