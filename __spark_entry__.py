@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q_approx_distinct": R.q_approx_distinct,
         "q_funnel_stages": A.q_funnel_stages,
+        # Crawl URL hygiene: normalize -> domain rollup (round 8).
+        "q_url_stats": C.q_url_stats,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
         # Join pre-flight: exact join cardinality + skew diagnosis
@@ -1371,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": C.stratified_sample_oracle_sql(),
         # Gopher repetition filters (dup-line / top-2-gram fractions).
         "q_repetition_signals": C.repetition_signals_oracle_sql(),
+        # URL normalization + per-domain rollup.
+        "q_url_stats": C.url_stats_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -923,6 +923,178 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# URL pieces via Java∩RE2 regex (no lookaround): scheme://authority,
+# then path up to ? or #, then optional query, discarded fragment.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$"
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for crawl dedup — the normalization pass a
+    pipeline runs before URL-level dedup so trivially-different
+    spellings of one page collapse: lowercase scheme and host, strip
+    a default port (:80 http / :443 https), empty path becomes '/',
+    drop the fragment, and SORT the query parameters (split on '&',
+    array_sort, rejoin — param order is almost always non-semantic).
+    Pure JVM expressions, one regexp automaton evaluated per piece;
+    non-URL strings (no scheme://authority match) pass through
+    unchanged rather than turning into garbage."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    raw_host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = (
+        F.when(
+            (scheme == F.lit("http")) & raw_host.endswith(":80"),
+            F.substring(raw_host, 1, F.length(raw_host) - 3),
+        )
+        .when(
+            (scheme == F.lit("https")) & raw_host.endswith(":443"),
+            F.substring(raw_host, 1, F.length(raw_host) - 4),
+        )
+        .otherwise(raw_host)
+    )
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _URL_RE, 4)
+    sorted_q = F.array_join(
+        F.array_sort(F.split(query, "&")), "&"
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
+def url_domain(url: Column) -> Column:
+    """Last-two-labels domain of a normalized URL's host ('a.b.c.com'
+    -> 'c.com') — the per-site aggregation key. A public-suffix list
+    would refine multi-label TLDs ('co.uk'); last-two is the
+    documented approximation a list-free environment can compute."""
+    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
+        ),
+    ).otherwise(host)
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing URL hygiene over synthetic crawl URLs derived
+    from doc_id (the _with_pii augmentation idiom: the corpus has no
+    URL column, so both engines first synthesize engine-identical
+    URLs exercising every normalization rule — uppercase hosts,
+    default ports, fragments, unsorted params — then normalize and
+    aggregate per domain)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTP://"),
+        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("cdn.site")),
+        (did % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(did % 3 == 0, F.lit(".COM"))
+        .when(did % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".Net")),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/page/"), (did % 11).cast("string"))
+        ),
+        F.when(
+            did % 4 == 0, F.lit("?b=2&a=1")
+        ).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url_normalize(raw).alias("url"))
+    return (
+        u.select("url", url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+def url_stats_oracle_sql() -> str:
+    """DuckDB twin of q_url_stats: the same synthesize -> normalize
+    -> aggregate chain in portable SQL (list_sort for the query-param
+    sort, identical regexes)."""
+    return r"""
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTP://'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site'
+                           ELSE 'cdn.site' END
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '.Example'
+                   || CASE WHEN doc_id % 3 = 0 THEN '.COM'
+                           WHEN doc_id % 3 = 1 THEN '.org'
+                           ELSE '.Net' END
+                   || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ''
+                           ELSE '/page/' || CAST(doc_id % 11 AS VARCHAR) END
+                   || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+                   AS url
+            FROM documents
+        ), pieces AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$', 2)) AS rhost,
+                   regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$', 3) AS path,
+                   regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$', 4) AS query
+            FROM raw
+        ), norm AS (
+            SELECT doc_id,
+                   scheme || '://'
+                   || CASE WHEN scheme = 'http' AND rhost LIKE '%:80'
+                           THEN substring(rhost, 1, length(rhost) - 3)
+                           WHEN scheme = 'https' AND rhost LIKE '%:443'
+                           THEN substring(rhost, 1, length(rhost) - 4)
+                           ELSE rhost END
+                   || CASE WHEN path = '' THEN '/' ELSE path END
+                   || CASE WHEN query = '' THEN ''
+                           ELSE '?' || array_to_string(
+                               list_sort(string_split(query, '&')), '&') END
+                   AS url,
+                   CASE WHEN scheme = 'http' AND rhost LIKE '%:80'
+                        THEN substring(rhost, 1, length(rhost) - 3)
+                        WHEN scheme = 'https' AND rhost LIKE '%:443'
+                        THEN substring(rhost, 1, length(rhost) - 4)
+                        ELSE rhost END AS host
+            FROM pieces
+        ), dom AS (
+            SELECT url,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN string_split(host, '.')[-2] || '.'
+                             || string_split(host, '.')[-1]
+                        ELSE host END AS domain
+            FROM norm
+        )
+        SELECT domain,
+               count(*) AS n_urls,
+               count(DISTINCT url) AS n_distinct_urls,
+               min(url) AS first_url
+        FROM dom
+        GROUP BY domain
+        ORDER BY domain
+    """
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """The Gopher REPETITION filters (Rae et al. 2021, Appendix A —
     the signals the word-level ``gopher_rules`` set does not cover):

@@ -687,3 +687,48 @@ def test_repetition_signals_closed_form(spark):
     # doc 4: all-zero signals, no NULLs.
     assert (rows[4].dup_line_frac, rows[4].dup_line_char_frac,
             rows[4].top_2gram_char_frac) == (0.0, 0.0, 0.0)
+
+
+def test_url_normalize_rules(spark):
+    """Each normalization rule on a hand-built URL, plus the
+    pass-through for non-URL strings."""
+    cases = [
+        (1, "HTTP://WWW.Example.COM:80/Path?b=2&a=1#frag",
+         "http://www.example.com/Path?a=1&b=2"),
+        (2, "https://Host.example:443", "https://host.example/"),
+        (3, "https://host.example:8443/x", "https://host.example:8443/x"),
+        (4, "http://a.b/p?only=1", "http://a.b/p?only=1"),
+        (5, "not a url at all", "not a url at all"),
+        (6, "ftp://Files.Example.org:80/f", "ftp://files.example.org:80/f"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in cases], "i long, url string"
+    )
+    out = {
+        r.i: r.n
+        for r in df.select(
+            "i", C.url_normalize(F.col("url")).alias("n")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_url_domain_last_two_labels(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.b.c.example.com/x"),
+            (2, "http://example.org/"),
+            (3, "http://localhost:9000/x"),
+        ],
+        "i long, url string",
+    )
+    out = {
+        r.i: r.d
+        for r in df.select(
+            "i", C.url_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert out[1] == "example.com"
+    assert out[2] == "example.org"
+    assert out[3] == "localhost"
