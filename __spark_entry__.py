@@ -124,11 +124,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bracketing invariant stays pinned in pytest.
         "q_heavy_hitters_ample": X.q_heavy_hitters_ample,
         "q_text_quality": X.q_text_quality,
-        "q_lang_id": X.q_lang_id,
+        # Round-8 rotation: q_c4_rules (the C4 page-filter rule set,
+        # Raffel et al. 2020 — the second canonical published filter
+        # family next to the in-window Gopher repetition signals)
+        # takes q_lang_id's slot; text analysis keeps q_text_quality
+        # and q_token_stats in-window.
+        "q_c4_rules": C.q_c4_rules,
         "q_bloom_decontamination": D.q_bloom_decontamination,
         "q_curation_pipeline": X.q_curation_pipeline,
-        # Corpus curation (north-star)
-        "q_pii_redact": C.q_pii_redact,
+        # Round-8 rotation: q_url_stats (crawl URL normalization +
+        # per-domain rollup, the hygiene pass ahead of URL-level
+        # dedup) takes q_pii_redact's slot; curation keeps
+        # q_curation_pipeline and q_data_quality_report in-window.
+        "q_url_stats": C.q_url_stats,
         "q_data_quality_report": R.q_data_quality_report,
         "q_rp_project": V.q_rp_project,
         "q_retrieval_metrics": V.q_retrieval_metrics,
@@ -150,16 +158,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_cells": L.q_zorder_cells,
         # Past the 50-entry capture window from here down (locally
         # oracle-swept). q_decontamination and q_bpe_token_count
-        # rotated out in round 7, q_topk_ngrams_per_source in round 8
-        # (families still in-window, see above).
+        # rotated out in round 7; q_topk_ngrams_per_source,
+        # q_lang_id, and q_pii_redact in round 8 (families still
+        # in-window, see above).
+        "q_lang_id": X.q_lang_id,
+        "q_pii_redact": C.q_pii_redact,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
         "q12_late_shipment_priority": R.q12_late_shipment_priority,
         "q_approx_distinct": R.q_approx_distinct,
         "q_funnel_stages": A.q_funnel_stages,
-        # Crawl URL hygiene: normalize -> domain rollup (round 8).
-        "q_url_stats": C.q_url_stats,
         "q_stl_decompose": A.q_stl_decompose,
         "q_cube": A.q_cube,
         # Join pre-flight: exact join cardinality + skew diagnosis
@@ -1375,6 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_signals": C.repetition_signals_oracle_sql(),
         # URL normalization + per-domain rollup.
         "q_url_stats": C.url_stats_oracle_sql(),
+        # C4 page filters over synthesized pages.
+        "q_c4_rules": C.c4_rules_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -1854,3 +1854,206 @@ def q_purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "embargoed")
     )
+
+
+# --------------------------------------------------------------------------
+# C4 page filters (Raffel et al. 2020, §2.2)
+# --------------------------------------------------------------------------
+
+C4_BADWORDS = ("badword",)
+
+
+def c4_rules(
+    docs: DataFrame,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+    min_sentences: int = 3,
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """The C4 corpus-cleaning rule set (Raffel et al. 2020, §2.2 —
+    the published heuristics behind the C4/mC4 corpora, the other
+    canonical filter family next to ``gopher_rules``), as one
+    map-only pass over a page's lines:
+
+    * keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``), contain >= ``min_words_per_line`` words, and do
+      not mention ``javascript`` (the paper's enable-javascript
+      boilerplate cut);
+    * drop the whole page if it contains ``lorem ipsum``, a curly
+      brace (code), or any word from the (corpus-localized, like the
+      Gopher stopword list) badword list;
+    * require >= ``min_sentences`` sentences across kept lines
+      (paper default 5; the knob exists because the threshold is
+      corpus-calibrated).
+
+    Every signal is a JVM higher-order-function expression over the
+    line array materialized once; zero Python, zero shuffle — like
+    the Gopher gate this runs at scan speed in front of everything
+    expensive at 100 TB. All outputs are integers/booleans, so the
+    cross-engine hash compare is exact by construction (no float
+    rounding contract needed)."""
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.array_remove(F.split(F.trim(l), r"\s+"), ""))
+           >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_sentences = F.coalesce(
+        F.aggregate(
+            kept,
+            F.lit(0).cast("long"),
+            lambda acc, l: acc
+            + F.length(l)
+            - F.length(F.regexp_replace(l, r"[.!?]", "")),
+        ),
+        F.lit(0).cast("long"),
+    )
+    kept_chars = F.coalesce(
+        F.aggregate(
+            kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        ),
+        F.lit(0).cast("long"),
+    )
+    low = F.lower(F.col("text"))
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    toks = tokens(low)
+    bad = F.array(*[F.lit(w) for w in badwords])
+    has_badword = F.size(F.array_intersect(toks, bad)) > 0
+    passes = (
+        (n_sentences >= min_sentences)
+        & ~has_lorem
+        & ~has_brace
+        & ~has_badword
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        kept_chars.alias("kept_chars"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        has_badword.alias("has_badword"),
+        passes.alias("passes_c4"),
+    ).orderBy("doc_id")
+
+
+def _synthesize_pages(d: DataFrame) -> DataFrame:
+    """Multi-line 'web pages' synthesized deterministically from
+    doc_id + the doc's own text (the ``_with_pii`` augmentation
+    idiom: the synthetic corpus has no newlines or punctuation, so
+    raw C4 rules would be vacuous on it — both engines build the
+    identical page first, then filter it). Every rule fires on a
+    known slice: a fragment line (no terminal punct), a too-short
+    line, three kept sentences, and modular injections of the
+    javascript / lorem-ipsum / brace / badword cuts."""
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.substring(F.col("text"), 1, 40),  # fragment: no punct -> dropped
+        nl,
+        F.lit("the quick data row flows into table "),
+        (did % 9).cast("string"),
+        F.lit("."),
+        nl,
+        F.lit("short one"),  # 2 words, no punct -> dropped twice over
+        nl,
+        F.lit("is this a well formed question number "),
+        (did % 13).cast("string"),
+        F.lit("?"),
+        nl,
+        F.lit("values get merged and sorted here now!"),
+        F.when(
+            did % 4 == 0,
+            F.concat(nl, F.lit("please enable javascript to continue browsing.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(nl, F.lit("standard lorem ipsum filler text appears here.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(nl, F.lit("code sample: function f() { return 1; }")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(nl, F.lit("this line contains a badword indeed.")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", page.alias("text"))
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing C4 gate over synthesized pages (see
+    ``_synthesize_pages``). Both verdicts occur: pages hit by the
+    lorem-ipsum / brace / badword injections fail, the rest pass on
+    exactly three kept sentences."""
+    return c4_rules(_synthesize_pages(load(spark, sf_dir, "documents")))
+
+
+def c4_rules_oracle_sql() -> str:
+    """DuckDB twin of q_c4_rules: the identical page synthesis and
+    line filters in portable SQL (string_split on chr(10),
+    list_filter/list_transform for the HOFs)."""
+    return r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   substring(text, 1, 40) || chr(10)
+                   || 'the quick data row flows into table '
+                   || CAST(doc_id % 9 AS VARCHAR) || '.' || chr(10)
+                   || 'short one' || chr(10)
+                   || 'is this a well formed question number '
+                   || CAST(doc_id % 13 AS VARCHAR) || '?' || chr(10)
+                   || 'values get merged and sorted here now!'
+                   || CASE WHEN doc_id % 4 = 0 THEN chr(10)
+                        || 'please enable javascript to continue browsing.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+                        || 'standard lorem ipsum filler text appears here.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                        || 'code sample: function f() { return 1; }'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                        || 'this line contains a badword indeed.'
+                        ELSE '' END
+                   AS text
+            FROM documents
+        ), m AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS lines,
+                   list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND len(list_filter(
+                                    string_split_regex(trim(l), '\s+'),
+                                    x -> x <> '')) >= 3
+                            AND NOT contains(lower(l), 'javascript'))
+                       AS kept
+            FROM pages
+        ), s AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(kept) AS n_kept_lines,
+                   CAST(coalesce(list_sum(list_transform(kept,
+                            l -> length(l))), 0) AS BIGINT) AS kept_chars,
+                   CAST(coalesce(list_sum(list_transform(kept,
+                            l -> length(l) - length(
+                                regexp_replace(l, '[.!?]', '', 'g')))),
+                        0) AS BIGINT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{') AS has_brace,
+                   len(list_intersect(
+                       list_filter(string_split_regex(trim(lower(text)),
+                                                      '\s+'),
+                                   x -> x <> ''),
+                       ['badword'])) > 0 AS has_badword
+            FROM m
+        )
+        SELECT doc_id, n_lines, n_kept_lines, kept_chars, n_sentences,
+               has_lorem_ipsum, has_brace, has_badword,
+               (n_sentences >= 3 AND NOT has_lorem_ipsum
+                AND NOT has_brace AND NOT has_badword) AS passes_c4
+        FROM s ORDER BY doc_id
+    """

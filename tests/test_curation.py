@@ -732,3 +732,32 @@ def test_url_domain_last_two_labels(spark):
     assert out[1] == "example.com"
     assert out[2] == "example.org"
     assert out[3] == "localhost"
+
+
+def test_c4_rules_closed_form(spark):
+    """Each C4 rule on a hand-built page with known counts."""
+    good = "one fine sentence here.\nis it good?\nyes it is now!"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                          # 3 kept lines, 3 sentences
+            (2, "too short.\nno punct line here\nfragment"),  # nothing kept
+            (3, good + "\nplease enable javascript now."),    # js line dropped
+            (4, good + "\nlorem ipsum dolor sit amet."),      # page fails
+            (5, good + "\ncode { x }"),                       # brace fails
+            (6, good + "\na badword appears right here."),    # badword fails
+            (7, ""),                                          # nothing kept
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in C.c4_rules(docs).collect()}
+    assert rows[1].n_kept_lines == 3 and rows[1].n_sentences == 3
+    assert rows[1].passes_c4
+    # 'too short.' is 2 words -> dropped; others lack terminal punct.
+    assert rows[2].n_kept_lines == 0 and not rows[2].passes_c4
+    # javascript line is dropped but the page itself still passes.
+    assert rows[3].n_kept_lines == 3 and rows[3].passes_c4
+    assert rows[4].has_lorem_ipsum and not rows[4].passes_c4
+    assert rows[5].has_brace and not rows[5].passes_c4
+    assert rows[6].has_badword and not rows[6].passes_c4
+    assert rows[7].n_kept_lines == 0 and rows[7].kept_chars == 0
+    assert not rows[7].passes_c4
