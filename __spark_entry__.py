@@ -146,7 +146,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": C.q_repeated_spans,
         "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
-        "q_dedup_exact": D.q_dedup_exact,
+        # Round-8 rotation: q_html_extract (HTML -> visible text +
+        # link density, the step between WARC ingest and the text
+        # filters) takes q_dedup_exact's slot; dedup keeps
+        # q_dedup_ngram_jaccard and q_multimodal_dedup_clusters
+        # in-window.
+        "q_html_extract": X.q_html_extract,
         "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
         "q_triangle_count": G.q_triangle_count,
         "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
@@ -163,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, see above).
         "q_lang_id": X.q_lang_id,
         "q_pii_redact": C.q_pii_redact,
+        "q_dedup_exact": D.q_dedup_exact,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1386,6 +1392,8 @@ def oracle_sql() -> dict[str, str]:
         "q_url_stats": C.url_stats_oracle_sql(),
         # C4 page filters over synthesized pages.
         "q_c4_rules": C.c4_rules_oracle_sql(),
+        # HTML -> text extraction + link density.
+        "q_html_extract": X.html_extract_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

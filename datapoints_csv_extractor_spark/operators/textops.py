@@ -2361,3 +2361,187 @@ def heavy_hitters_ample_oracle_sql(k: int = 25) -> str:
         ORDER BY lower DESC, item
         LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (the step between WARC ingest and the filters)
+# --------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 patterns: (?is) flags and lazy quantifiers are
+# implemented identically by both engines; no lookaround, no backrefs.
+_HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"<[^>]+>"
+_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML page — the extraction pass between
+    ``sources.documents.read_documents_warc`` (which yields raw
+    response bodies) and the text filters (C4/Gopher/lang-id), which
+    all assume markup-free prose. Drops the head block (title/meta
+    are metadata, not body text), script/style blocks and comments,
+    replaces every remaining tag with a space (so
+    ``a</p><p>b`` does not fuse into ``ab``), decodes the six basic
+    entities (``&amp;`` last, so ``&amp;lt;`` round-trips to the
+    literal ``&lt;`` and is not double-decoded), and collapses runs
+    of whitespace. Pure JVM regexp chain — map-only, scan-speed at
+    100 TB, no Python."""
+    t = F.regexp_replace(html, _HEAD_RE, " ")
+    t = F.regexp_replace(t, _SCRIPT_RE, " ")
+    t = F.regexp_replace(t, _STYLE_RE, " ")
+    t = F.regexp_replace(t, _COMMENT_RE, " ")
+    t = F.regexp_replace(t, _TAG_RE, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_features(docs: DataFrame, html: Column) -> DataFrame:
+    """Per-page extraction report: cleaned text, its length, the
+    <title>, anchor count, and link-character density (raw captured
+    anchor inner text over cleaned text chars — boilerplate-heavy
+    navigation pages score high; the classic signal content
+    extractors threshold on). One map-only projection."""
+    anchors = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    link_chars = F.coalesce(
+        F.aggregate(
+            anchors, F.lit(0).cast("long"),
+            lambda acc, a: acc + F.length(F.trim(a)),
+        ),
+        F.lit(0).cast("long"),
+    )
+    text = html_to_text(html)
+    text_chars = F.length(text)
+    return docs.select(
+        "doc_id",
+        html_to_text(F.regexp_extract(html, _TITLE_RE, 1)).alias("title"),
+        text.alias("text_clean"),
+        text_chars.cast("long").alias("text_chars"),
+        F.size(anchors).alias("n_links"),
+        F.round(
+            link_chars / F.greatest(text_chars.cast("long"), F.lit(1).cast("long")), 4
+        ).alias("link_char_frac"),
+    ).orderBy("doc_id")
+
+
+def _synthesize_html(d: DataFrame) -> DataFrame:
+    """Deterministic HTML pages built from doc_id + the doc's own
+    text (the augmentation idiom: the corpus ships plain prose, so
+    both engines wrap it in identical markup first). Exercises every
+    extraction rule: script/style/comment blocks, entities incl. the
+    &amp;lt; double-decode trap, anchors, and a modular nav-heavy
+    variant for the link-density signal."""
+    did = F.col("doc_id")
+    body = F.substring(F.col("text"), 1, 60)
+    page = F.concat(
+        F.lit("<html><head><title>Page "),
+        (did % 17).cast("string"),
+        F.lit(" &amp; friends</title>"),
+        F.lit("<style>body { color: red; }</style>"),
+        F.lit("<script>var x = 1 < 2;</script></head><body>"),
+        F.lit("<!-- hidden comment -->"),
+        F.lit("<p>"), body, F.lit("</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<nav><a href="/a">home sweet home</a>'),
+                F.lit('<a href="/b">about &amp;lt;us&amp;gt;</a></nav>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.lit("<p>5 &lt; 7 &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select("doc_id", page.alias("html"))
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing HTML extraction over synthesized pages (see
+    ``_synthesize_html``): title, cleaned-text stats, link density."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = _synthesize_html(load(spark, sf_dir, "documents"))
+    return html_features(d, F.col("html")).select(
+        "doc_id", "title", "text_chars", "n_links", "link_char_frac",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+def html_extract_oracle_sql() -> str:
+    """DuckDB twin of q_html_extract: identical synthesis and regexp
+    chain. The 11-deep nested regexp_replace is composed
+    programmatically (paren-count mistakes in a hand-written nest
+    are exactly the bug this avoids); DuckDB needs the explicit 'g'
+    flag where Spark's regexp_replace is global by default."""
+    steps = [
+        (r"(?is)<head[^>]*>.*?</head>", " "),
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"<[^>]+>", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        (r"\s+", " "),
+    ]
+
+    def chain(expr: str) -> str:
+        for pat, rep in steps:
+            rep_sql = rep.replace("'", "''")
+            expr = (
+                f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+            )
+        return f"trim({expr})"
+
+    clean_html = chain("html")
+    clean_title = chain(
+        "coalesce(regexp_extract(html,"
+        " '(?is)<title[^>]*>(.*?)</title>', 1), '')"
+    )
+    return rf"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><head><title>Page '
+                   || CAST(doc_id % 17 AS VARCHAR)
+                   || ' &amp; friends</title>'
+                   || '<style>body {{ color: red; }}</style>'
+                   || '<script>var x = 1 < 2;</script></head><body>'
+                   || '<!-- hidden comment -->'
+                   || '<p>' || substring(text, 1, 60) || '</p>'
+                   || CASE WHEN doc_id % 3 = 0 THEN
+                        '<nav><a href="/a">home sweet home</a>'
+                        || '<a href="/b">about &amp;lt;us&amp;gt;</a></nav>'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0 THEN
+                        '<p>5 &lt; 7 &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>'
+                        ELSE '' END
+                   || '</body></html>' AS html
+            FROM documents
+        ), cleaned AS (
+            SELECT doc_id, html,
+                   {clean_html} AS text_clean,
+                   {clean_title} AS title,
+                   regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1)
+                       AS anchors
+            FROM pages
+        )
+        SELECT doc_id, title,
+               CAST(length(text_clean) AS BIGINT) AS text_chars,
+               len(anchors) AS n_links,
+               round(CAST(coalesce(list_sum(list_transform(anchors,
+                         a -> length(trim(a)))), 0) AS BIGINT)
+                     / greatest(CAST(length(text_clean) AS BIGINT), 1),
+                     4) AS link_char_frac,
+               md5(text_clean) AS clean_md5
+        FROM cleaned ORDER BY doc_id
+    """

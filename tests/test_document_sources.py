@@ -596,3 +596,49 @@ def test_read_documents_warc_plain_and_gzip(spark, tmp_path):
     again = {r.warc_record_id: r.doc_id
              for r in read_documents_warc(spark, str(tmp_path)).collect()}
     assert {r.warc_record_id: r.doc_id for r in rows} == again
+
+
+def test_html_to_text_and_features(spark):
+    """Closed-form HTML extraction: script/style/comment removal,
+    tag-to-space (no word fusion), entity decode incl. the &amp;lt;
+    double-decode trap, and the link-density signal."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        html_features,
+        html_to_text,
+    )
+
+    html = (
+        "<html><head><title>My &amp; Title</title>"
+        "<style>p { x: 1; }</style>"
+        "<script>if (1 < 2) alert('hi');</script></head>"
+        "<body><!-- nope --><p>alpha</p><p>beta</p>"
+        '<a href="/l">click here</a>'
+        "<p>5 &lt; 7 &amp;lt;literal&amp;gt; &quot;q&quot;&nbsp;.</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    txt = df.select(html_to_text(F.col("html")).alias("t")).collect()[0].t
+    # Tags become spaces: alpha / beta do not fuse; script/style gone.
+    assert txt == 'alpha beta click here 5 < 7 &lt;literal&gt; "q" .'
+    feats = html_features(df, F.col("html")).collect()[0]
+    assert feats.title == "My & Title"
+    assert feats.n_links == 1
+    assert feats.link_char_frac == round(len("click here") / len(txt), 4)
+
+
+def test_warc_to_text_pipeline_hop(spark, tmp_path):
+    """WARC response bodies flow through html_to_text into
+    filter-ready prose — the crawl path end-to-end."""
+    from datapoints_csv_extractor_spark.operators.textops import html_to_text
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_warc,
+    )
+
+    body = b"<html><body><p>crawled prose</p><script>x()</script></body></html>"
+    (tmp_path / "a.warc").write_bytes(
+        _warc_record("response", "r1", "http://x.example/", body,
+                     extra_http=True)
+    )
+    docs = read_documents_warc(spark, str(tmp_path))
+    out = docs.select(html_to_text(F.col("text")).alias("t")).collect()
+    assert [r.t for r in out] == ["crawled prose"]
