@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": X.q_lang_id,
         "q_pii_redact": C.q_pii_redact,
         "q_dedup_exact": D.q_dedup_exact,
+        # Privacy governance: k-anonymity / l-diversity release gate.
+        "q_k_anonymity": C.q_k_anonymity,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1394,6 +1396,8 @@ def oracle_sql() -> dict[str, str]:
         "q_c4_rules": C.c4_rules_oracle_sql(),
         # HTML -> text extraction + link density.
         "q_html_extract": X.html_extract_oracle_sql(),
+        # k-anonymity / l-diversity release gate.
+        "q_k_anonymity": C.k_anonymity_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2057,3 +2057,103 @@ def c4_rules_oracle_sql() -> str:
                 AND NOT has_brace AND NOT has_badword) AS passes_c4
         FROM s ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity (privacy governance before data release)
+# --------------------------------------------------------------------------
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy-governance report (Sweeney 2002 k-anonymity; Machanava-
+    jjhala et al. 2007 l-diversity) a pipeline runs before releasing a
+    table containing person-adjacent attributes: group by the
+    quasi-identifier tuple, then per equivalence class measure size
+    (k-anonymity) and distinct sensitive values (l-diversity), and
+    roll up the one-row verdict a release gate thresholds on.
+
+    Shape: ONE shuffle on the quasi-identifier key with map-side
+    partial aggregation (count + one exact distinct over the single
+    sensitive column per group — Spark plans the distinct as a
+    two-phase partial too), then a 1-row global fold. No per-row
+    output, no second scan: at 100 TB the report costs one pass.
+    Integer outputs only, so the cross-engine compare is exact."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+    )
+    return groups.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(l).cast("long").alias("l"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum((F.col("class_size") < k).cast("long")).alias(
+            "n_classes_below_k"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_rows_below_k"),
+        F.min("n_sensitive").alias("min_l_diversity"),
+        F.sum((F.col("n_sensitive") < l).cast("long")).alias(
+            "n_classes_below_l"
+        ),
+        ((F.max((F.col("class_size") < k).cast("long")) == 0)
+         & (F.max((F.col("n_sensitive") < l).cast("long")) == 0)
+         ).alias("release_ok"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing k-anonymity gate over the customer table:
+    quasi-identifiers (nation, market segment), sensitive attribute
+    = the account-balance thousand-band (the salary-band shape of
+    the original k-anonymity examples). Integer band via floor so
+    both engines bucket identically."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balance_band"),
+    )
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "balance_band",
+        k=10,
+        l=2,
+    )
+
+
+def k_anonymity_oracle_sql() -> str:
+    """DuckDB twin of q_k_anonymity: identical two-level aggregate."""
+    return """
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS class_size,
+                   count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                       AS n_sensitive
+            FROM customer
+            GROUP BY 1, 2
+        )
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(2 AS BIGINT) AS l,
+               count(*) AS n_classes,
+               min(class_size) AS min_class_size,
+               CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_below_k,
+               CAST(sum(CASE WHEN class_size < 10 THEN class_size
+                             ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+               min(n_sensitive) AS min_l_diversity,
+               CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_below_l,
+               (max(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) = 0
+                AND max(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) = 0)
+                   AS release_ok
+        FROM classes
+    """

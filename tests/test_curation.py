@@ -761,3 +761,24 @@ def test_c4_rules_closed_form(spark):
     assert rows[6].has_badword and not rows[6].passes_c4
     assert rows[7].n_kept_lines == 0 and rows[7].kept_chars == 0
     assert not rows[7].passes_c4
+
+
+def test_k_anonymity_report_closed_form(spark):
+    """Hand-built classes: one ample+diverse, one small, one
+    sensitive-homogeneous — every report column has a known value."""
+    rows = []
+    # class A: 4 rows, 3 distinct sensitive values
+    rows += [("A", "x", s) for s in (1, 2, 3, 1)]
+    # class B: 2 rows (below k=3), 2 distinct
+    rows += [("B", "x", 1), ("B", "x", 2)]
+    # class C: 3 rows, 1 distinct (below l=2)
+    rows += [("C", "y", 7)] * 3
+    df = spark.createDataFrame(rows, "qa string, qb string, s long")
+    r = C.k_anonymity_report(df, ["qa", "qb"], "s", k=3, l=2).collect()[0]
+    assert (r.n_classes, r.min_class_size) == (3, 2)
+    assert (r.n_classes_below_k, r.n_rows_below_k) == (1, 2)
+    assert (r.min_l_diversity, r.n_classes_below_l) == (1, 1)
+    assert not r.release_ok
+
+    ok = C.k_anonymity_report(df, ["qa", "qb"], "s", k=2, l=1).collect()[0]
+    assert ok.release_ok
