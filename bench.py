@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "q_heavy_hitters_ample",
     "q_chunk_documents",
     "q_stratified_sample",
+    "q_url_stats",
+    "q_c4_rules",
+    "q_html_extract",
+    "q_k_anonymity",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
