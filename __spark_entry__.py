@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup_lsh": V.q_embedding_near_dup_lsh,
         "q_repetition_stats": X.q_repetition_stats,
         "q_winnowing_near_dup": X.q_winnowing_near_dup,
+        # Content-defined chunking: Rabin-style boundaries + shared-
+        # chunk (storage-dedup) rollup.
+        "q_cdc_chunks": D.q_cdc_chunks,
         "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
         "q_vocab_coverage": X.q_vocab_coverage,
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
@@ -1398,6 +1401,8 @@ def oracle_sql() -> dict[str, str]:
         "q_html_extract": X.html_extract_oracle_sql(),
         # k-anonymity / l-diversity release gate.
         "q_k_anonymity": C.k_anonymity_oracle_sql(),
+        # Content-defined chunking + shared-chunk rollup.
+        "q_cdc_chunks": D.cdc_chunks_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -1693,3 +1693,174 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style rolling-window boundaries)
+# --------------------------------------------------------------------------
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    boundary_prefix: str = "0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS family — Muthitacharoen
+    et al. 2001; the primitive behind chunk-level storage dedup of
+    near-identical files): a chunk boundary falls after position ``i``
+    whenever the hash of the trailing ``window`` bytes satisfies the
+    boundary condition, so an insertion early in a document only
+    reshapes the chunks it touches — unlike fixed-size blocks, where
+    one shifted byte changes every downstream block hash.
+
+    The boundary rule here is the STATELESS form (boundary iff
+    ``md5(trailing window)`` starts with ``boundary_prefix`` — expected
+    chunk length ``16^len(prefix)`` bytes plus the window): each
+    position's verdict depends only on its own window, which is what
+    makes the operator a pure JVM HOF chain (sequence -> filter ->
+    transform -> posexplode), map-only at 100 TB, and expressible in
+    portable SQL for the cross-engine oracle. Production CDC adds
+    min/max chunk-size clamps, which make the boundary sequence a
+    sequential fold (each accepted boundary masks the next min-size
+    bytes) — that variant trades the shared-boundary self-healing
+    property for bounded chunk sizes and is deliberately not modeled.
+
+    Emits one row per chunk: (id, chunk_id, start, chunk_len,
+    chunk_hash), 1-based start, covering every byte exactly once; an
+    empty document emits one empty chunk so ids never vanish."""
+    text = F.col(text_col)
+    L = F.length(text)
+    pos = F.when(
+        L >= window, F.sequence(F.lit(window), L)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        pos,
+        lambda i: F.md5(
+            text.substr(i - F.lit(window - 1), F.lit(window))
+        ).startswith(boundary_prefix),
+    )
+    # Close the final chunk at L without doubling an existing boundary.
+    ends = F.concat(
+        bounds,
+        F.when(F.array_contains(bounds, L), F.array().cast("array<int>"))
+        .otherwise(F.array(L)),
+    )
+    # CAPTURE-FREE chunk construction (the shingles_of_tokens rule):
+    # an element_at(ends, i) lambda would re-evaluate the whole
+    # bounds expression (an O(len) md5 sweep) once per chunk after
+    # CollapseProject inlines it. Instead pair each end with its
+    # predecessor by zipping against a 0-prepended shift; every
+    # lambda touches only its own arguments, and the repeated direct
+    # references to ``ends`` in one projection are CSE'd by codegen.
+    prev = F.concat(
+        F.array(F.lit(0)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    chunks = F.zip_with(
+        prev,
+        ends,
+        lambda p, e: F.struct((p + 1).alias("start"), e.alias("end")),
+    )
+    d = docs.select(F.col(id_col), text.alias("__text"),
+                    chunks.alias("__chunks"))
+    c = d.select(
+        id_col,
+        F.posexplode("__chunks").alias("chunk_id", "c"),
+        F.col("__text"),
+    )
+    clen = F.col("c.end") - F.col("c.start") + 1
+    return c.select(
+        id_col,
+        "chunk_id",
+        F.col("c.start").alias("start"),
+        clen.alias("chunk_len"),
+        F.md5(F.col("__text").substr(F.col("c.start"), clen)).alias(
+            "chunk_hash"
+        ),
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing CDC dedup report: chunk the corpus, count each
+    chunk hash corpus-wide, and report per doc how many of its chunks
+    are shared with at least one other chunk instance — the
+    storage-dedup ratio a chunk store would realize. Two shuffles
+    (corpus-wide hash counts, per-doc rollup), both map-side-combined
+    partial aggregates; no pair space anywhere."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(d)
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_instances")
+    )
+    return (
+        chunks.join(counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("sum_chunk_len"),
+            F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+            F.sum((F.col("n_instances") > 1).cast("long")).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def cdc_chunks_oracle_sql(window: int = 8, prefix: str = "0") -> str:
+    """DuckDB twin of q_cdc_chunks: identical stateless boundary rule
+    and chunk reconstruction (generate_series + list_filter +
+    1-based substr are position-identical across engines)."""
+    w1 = window - 1
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, length(text) AS L FROM documents
+        ), b AS (
+            SELECT doc_id, text, L,
+                   list_filter(
+                       CASE WHEN L >= {window}
+                            THEN generate_series({window}, L)
+                            ELSE [] END,
+                       i -> substr(md5(substr(text, i - {w1}, {window})),
+                                   1, {len(prefix)}) = '{prefix}')
+                       AS bounds
+            FROM t
+        ), e AS (
+            SELECT doc_id, text,
+                   list_concat(
+                       bounds,
+                       CASE WHEN list_contains(bounds, L) THEN []
+                            ELSE [L] END) AS ends
+            FROM b
+        ), c AS (
+            SELECT doc_id,
+                   i - 1 AS chunk_id,
+                   CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END
+                       AS start,
+                   ends[i] - (CASE WHEN i = 1 THEN 1
+                                   ELSE ends[i - 1] + 1 END) + 1
+                       AS chunk_len,
+                   md5(substr(text,
+                              CASE WHEN i = 1 THEN 1
+                                   ELSE ends[i - 1] + 1 END,
+                              ends[i] - (CASE WHEN i = 1 THEN 1
+                                              ELSE ends[i - 1] + 1 END)
+                              + 1)) AS chunk_hash
+            FROM e, unnest(generate_series(1, len(ends))) AS g(i)
+        ), counts AS (
+            SELECT chunk_hash, count(*) AS n_instances
+            FROM c GROUP BY chunk_hash
+        )
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(c.chunk_len) AS BIGINT) AS sum_chunk_len,
+               count(DISTINCT c.chunk_hash) AS n_distinct_chunks,
+               CAST(sum(CASE WHEN counts.n_instances > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_chunks
+        FROM c JOIN counts USING (chunk_hash)
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """

@@ -1935,3 +1935,52 @@ def test_chunk_documents_windows_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_cdc_chunks_coverage_and_self_healing(spark):
+    """Content-defined chunking invariants: chunks tile the document
+    exactly (coverage), an EARLY insertion leaves the chunk hashes
+    after the touched region identical (the self-healing property
+    fixed-size blocking lacks), and the empty doc emits one empty
+    chunk."""
+    import hashlib as _h
+
+    from datapoints_csv_extractor_spark.operators.dedup import cdc_chunks
+
+    base = "".join(
+        _h.md5(str(i).encode()).hexdigest() for i in range(40)
+    )  # 1280 pseudo-random chars -> plenty of boundaries at p=1/16
+    edited = base[:5] + "XYZ" + base[5:]  # insertion near the front
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r.chunk_id)
+
+    # Coverage: starts/lens tile [1, len] with no gap or overlap.
+    for did, text in ((1, base), (2, edited)):
+        pos = 1
+        for r in by_doc[did]:
+            assert r.start == pos
+            assert r.chunk_len >= 0
+            pos += r.chunk_len
+        assert pos == len(text) + 1
+        # >1 chunk at this length with p=1/16 boundaries
+        assert len(by_doc[did]) > 3
+
+    # Self-healing: the suffix chunk hashes realign after the edit.
+    h1 = [r.chunk_hash for r in by_doc[1]]
+    h2 = [r.chunk_hash for r in by_doc[2]]
+    tail = 0
+    while (tail < min(len(h1), len(h2))
+           and h1[-1 - tail] == h2[-1 - tail]):
+        tail += 1
+    assert tail >= len(h1) - 3, (len(h1), len(h2), tail)
+
+    # Empty doc: one zero-length chunk, id preserved.
+    assert len(by_doc[3]) == 1
+    assert by_doc[3][0].chunk_len == 0
