@@ -435,6 +435,14 @@ SF1_REGISTERED_QUERIES = [
     "q_heavy_hitters_ample",
     "q_chunk_documents",
     "q_stratified_sample",
+    # Crawl-hygiene scans (map-only regexp/HOF chains) and the CDC
+    # shared-chunk rollup (per-char md5 sweep + two combined aggs —
+    # the costliest of the round-8 scans, so its linearity claim
+    # gets the probe's work-ratio dial).
+    "q_url_stats",
+    "q_c4_rules",
+    "q_html_extract",
+    "q_cdc_chunks",
 ]
 
 
