@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": D.q_dedup_exact,
         # Privacy governance: k-anonymity / l-diversity release gate.
         "q_k_anonymity": C.q_k_anonymity,
+        # Crawl politeness: robots.txt longest-prefix gate.
+        "q_robots_filter": C.q_robots_filter,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1403,6 +1405,8 @@ def oracle_sql() -> dict[str, str]:
         "q_k_anonymity": C.k_anonymity_oracle_sql(),
         # Content-defined chunking + shared-chunk rollup.
         "q_cdc_chunks": D.cdc_chunks_oracle_sql(),
+        # robots.txt longest-prefix gate.
+        "q_robots_filter": C.robots_filter_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

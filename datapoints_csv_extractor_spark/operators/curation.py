@@ -986,14 +986,14 @@ def url_domain(url: Column) -> Column:
     ).otherwise(host)
 
 
-def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing URL hygiene over synthetic crawl URLs derived
-    from doc_id (the _with_pii augmentation idiom: the corpus has no
-    URL column, so both engines first synthesize engine-identical
-    URLs exercising every normalization rule — uppercase hosts,
-    default ports, fragments, unsorted params — then normalize and
-    aggregate per domain)."""
-    d = load(spark, sf_dir, "documents")
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Normalized synthetic crawl URLs derived from doc_id (the
+    ``_with_pii`` augmentation idiom: the corpus has no URL column,
+    so both engines synthesize engine-identical URLs exercising
+    every normalization rule — uppercase hosts, default ports,
+    fragments, unsorted params — then normalize). Shared by
+    ``q_url_stats`` and ``q_robots_filter``; the SQL twin of this
+    builder is ``_URL_SYNTH_SQL_CTE``."""
     did = F.col("doc_id")
     raw = F.concat(
         F.lit("HTTP://"),
@@ -1012,25 +1012,13 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
-    u = d.select("doc_id", url_normalize(raw).alias("url"))
-    return (
-        u.select("url", url_domain(F.col("url")).alias("domain"))
-        .groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("url").alias("n_distinct_urls"),
-            F.min("url").alias("first_url"),
-        )
-        .orderBy("domain")
-    )
+    return d.select("doc_id", url_normalize(raw).alias("url"))
 
 
-def url_stats_oracle_sql() -> str:
-    """DuckDB twin of q_url_stats: the same synthesize -> normalize
-    -> aggregate chain in portable SQL (list_sort for the query-param
-    sort, identical regexes)."""
-    return r"""
-        WITH raw AS (
+# DuckDB CTE chain mirroring _synth_urls: yields
+# synth_urls(doc_id, url, host, path) with url/host normalized and
+# path the raw pre-normalization path ('' for the bare-root slice).
+_URL_SYNTH_SQL_CTE = r"""raw AS (
             SELECT doc_id,
                    'HTTP://'
                    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site'
@@ -1058,7 +1046,7 @@ def url_stats_oracle_sql() -> str:
                    regexp_extract(url,
                        '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?.*$', 4) AS query
             FROM raw
-        ), norm AS (
+        ), synth_urls AS (
             SELECT doc_id,
                    scheme || '://'
                    || CASE WHEN scheme = 'http' AND rhost LIKE '%:80'
@@ -1075,15 +1063,39 @@ def url_stats_oracle_sql() -> str:
                         THEN substring(rhost, 1, length(rhost) - 3)
                         WHEN scheme = 'https' AND rhost LIKE '%:443'
                         THEN substring(rhost, 1, length(rhost) - 4)
-                        ELSE rhost END AS host
+                        ELSE rhost END AS host,
+                   path
             FROM pieces
-        ), dom AS (
+        )"""
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing URL hygiene: synthesize engine-identical crawl
+    URLs (see ``_synth_urls``), normalize, aggregate per domain."""
+    u = _synth_urls(load(spark, sf_dir, "documents"))
+    return (
+        u.select("url", url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+def url_stats_oracle_sql() -> str:
+    """DuckDB twin of q_url_stats: the shared synthesize -> normalize
+    CTE chain, then the same per-domain aggregate."""
+    return rf"""
+        WITH {_URL_SYNTH_SQL_CTE}, dom AS (
             SELECT url,
                    CASE WHEN len(string_split(host, '.')) >= 2
                         THEN string_split(host, '.')[-2] || '.'
                              || string_split(host, '.')[-1]
                         ELSE host END AS domain
-            FROM norm
+            FROM synth_urls
         )
         SELECT domain,
                count(*) AS n_urls,
@@ -2156,4 +2168,157 @@ def k_anonymity_oracle_sql() -> str:
                 AND max(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) = 0)
                    AS release_ok
         FROM classes
+    """
+
+
+# --------------------------------------------------------------------------
+# robots.txt filtering (crawl politeness, RFC 9309 match semantics)
+# --------------------------------------------------------------------------
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "sparkbot",
+) -> DataFrame:
+    """Apply parsed robots.txt rules to a URL frame — the politeness
+    gate between URL normalization and fetch. Implements RFC 9309
+    match semantics: per domain, the applicable group is the
+    crawler's own user-agent group if one exists, else ``*``; within
+    the group the LONGEST matching path prefix wins, with allow
+    beating disallow on equal length; a URL with no matching rule
+    (or a domain with no rules at all) is allowed.
+
+    ``rules`` is the parsed form (domain, agent, path_prefix, allow)
+    — robots files are tiny, so the frame is dimension-sized by
+    construction and every join below is a broadcast: group
+    selection is a broadcast join against a per-domain aggregate of
+    the rules, candidate matching is a broadcast join + startswith
+    filter, and the longest-match pick is one window over the URL
+    key — the only shuffle, sized by the URL frame. At 100 TB of
+    URLs the plan is scan -> broadcast matches -> one partial-agg
+    window; no rule-side shuffle exists.
+    """
+    from pyspark.sql import Window
+
+    chosen = rules.groupBy("domain").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("has_own")
+    )
+    applicable = (
+        rules.join(F.broadcast(chosen), "domain")
+        .where(
+            F.when(F.col("has_own") == 1, F.col("agent") == agent)
+            .otherwise(F.col("agent") == "*")
+        )
+        .select("domain", "path_prefix", "allow")
+    )
+    u = urls.select(
+        "doc_id",
+        "url",
+        url_domain(F.col("url")).alias("domain"),
+        F.when(
+            F.regexp_extract(F.col("url"), _URL_RE, 3) == "", F.lit("/")
+        )
+        .otherwise(F.regexp_extract(F.col("url"), _URL_RE, 3))
+        .alias("path"),
+    )
+    cand = u.join(
+        F.broadcast(applicable),
+        (u["domain"] == applicable["domain"])
+        & u["path"].startswith(applicable["path_prefix"]),
+        "left",
+    ).select(
+        u["doc_id"], u["url"], u["domain"], u["path"],
+        applicable["path_prefix"], applicable["allow"],
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("path_prefix").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+        F.col("path_prefix"),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "url",
+            "domain",
+            F.col("path_prefix").alias("matched_prefix"),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ROBOTS_RULES = [
+    # example.com publishes a sparkbot-specific group, so its '*'
+    # rules must be IGNORED for us (RFC 9309 group selection).
+    ("example.com", "sparkbot", "/page/3", False),
+    ("example.com", "*", "/", False),
+    # example.org: '*' group with a longest-match pair — /page/1 is
+    # blocked but the longer /page/10 allow re-opens that subtree.
+    ("example.org", "*", "/page/1", False),
+    ("example.org", "*", "/page/10", True),
+    # example.net: no rules at all -> everything allowed.
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing robots gate over the synthesized crawl URLs of
+    ``q_url_stats`` with a fixed parsed rule set exercising group
+    precedence, longest-match, the equal-length allow tie-break, and
+    the no-rules default."""
+    d = load(spark, sf_dir, "documents")
+    u = _synth_urls(d)
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "domain string, agent string, path_prefix string, allow boolean"
+    )
+    return robots_filter(u, rules)
+
+
+def robots_filter_oracle_sql() -> str:
+    """DuckDB twin of q_robots_filter: identical synthesis, group
+    selection, and longest-prefix pick (QUALIFY row_number)."""
+    rules_values = ", ".join(
+        f"('{d}', '{a}', '{p}', {str(al).lower()})"
+        for d, a, p, al in _ROBOTS_RULES
+    )
+    return rf"""
+        WITH {_URL_SYNTH_SQL_CTE},
+        rules(domain, agent, path_prefix, allow) AS (
+            VALUES {rules_values}
+        ), chosen AS (
+            SELECT domain,
+                   max(CASE WHEN agent = 'sparkbot' THEN 1 ELSE 0 END)
+                       AS has_own
+            FROM rules GROUP BY domain
+        ), applicable AS (
+            SELECT r.domain, r.path_prefix, r.allow
+            FROM rules r JOIN chosen c USING (domain)
+            WHERE CASE WHEN c.has_own = 1 THEN r.agent = 'sparkbot'
+                       ELSE r.agent = '*' END
+        ), u AS (
+            SELECT doc_id, url,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN string_split(host, '.')[-2] || '.'
+                             || string_split(host, '.')[-1]
+                        ELSE host END AS domain,
+                   CASE WHEN path = '' THEN '/' ELSE path END AS path
+            FROM synth_urls
+        ), cand AS (
+            SELECT u.doc_id, u.url, u.domain, a.path_prefix, a.allow
+            FROM u LEFT JOIN applicable a
+              ON u.domain = a.domain
+             AND starts_with(u.path, a.path_prefix)
+        )
+        SELECT doc_id, url, domain,
+               path_prefix AS matched_prefix,
+               coalesce(allow, true) AS allowed
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY length(path_prefix) DESC NULLS LAST,
+                     allow DESC NULLS LAST,
+                     path_prefix
+        ) = 1
+        ORDER BY doc_id
     """

@@ -782,3 +782,35 @@ def test_k_anonymity_report_closed_form(spark):
 
     ok = C.k_anonymity_report(df, ["qa", "qb"], "s", k=2, l=1).collect()[0]
     assert ok.release_ok
+
+
+def test_robots_filter_rfc9309_semantics(spark):
+    """Group precedence (own agent beats '*'), longest-prefix match,
+    the equal-length allow tie-break, and the no-rules default."""
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),   # '*' disallow /private
+            (2, "http://a.com/public/x"),    # no match -> allowed
+            (3, "http://b.com/private/x"),   # own group allows all
+            (4, "http://c.com/anything"),    # no rules -> allowed
+            (5, "http://a.com/dual/x"),      # equal-length tie: allow wins
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "*", "/private", False),
+            ("a.com", "*", "/dual", False),
+            ("a.com", "*", "/dual", True),
+            ("b.com", "*", "/", False),
+            ("b.com", "sparkbot", "/private", True),
+        ],
+        "domain string, agent string, path_prefix string, allow boolean",
+    )
+    out = {r.doc_id: r for r in C.robots_filter(urls, rules).collect()}
+    assert not out[1].allowed and out[1].matched_prefix == "/private"
+    assert out[2].allowed and out[2].matched_prefix is None
+    # b.com has a sparkbot group -> the '*' disallow-all is ignored.
+    assert out[3].allowed and out[3].matched_prefix == "/private"
+    assert out[4].allowed
+    assert out[5].allowed  # allow beats disallow at equal length
