@@ -2373,6 +2373,7 @@ _HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
 _SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
 _STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
+_BLOCK_RE = r"(?i)</p>|<br[^>]*>|</div>|</li>|</h[1-6]>|</tr>"
 _TAG_RE = r"<[^>]+>"
 _ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
@@ -2385,20 +2386,31 @@ def html_to_text(html: Column) -> Column:
     all assume markup-free prose. Drops the head block (title/meta
     are metadata, not body text), script/style blocks and comments,
     replaces every remaining tag with a space (so
-    ``a</p><p>b`` does not fuse into ``ab``), decodes the six basic
-    entities (``&amp;`` last, so ``&amp;lt;`` round-trips to the
-    literal ``&lt;`` and is not double-decoded), and collapses runs
-    of whitespace. Pure JVM regexp chain — map-only, scan-speed at
-    100 TB, no Python."""
+    ``a</p><p>b`` does not fuse into ``ab``) EXCEPT block
+    boundaries (``</p> <br> </div> </li> </h1..6> </tr>``), which
+    become newlines — line structure is load-bearing downstream: the
+    C4 line filters and dup-line repetition signals judge lines, and
+    an extractor that flattens a page to one line silently disables
+    them. Decodes the six basic entities (``&amp;`` last, so
+    ``&amp;lt;`` round-trips to the literal ``&lt;`` and is not
+    double-decoded), collapses horizontal whitespace runs, strips
+    spaces around newlines, and collapses blank-line runs. Pure JVM
+    regexp chain — map-only, scan-speed at 100 TB, no Python."""
     t = F.regexp_replace(html, _HEAD_RE, " ")
     t = F.regexp_replace(t, _SCRIPT_RE, " ")
     t = F.regexp_replace(t, _STYLE_RE, " ")
     t = F.regexp_replace(t, _COMMENT_RE, " ")
+    t = F.regexp_replace(t, _BLOCK_RE, "\n")
     t = F.regexp_replace(t, _TAG_RE, " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         t = F.regexp_replace(t, ent, ch)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    # Explicit edge-trim (DuckDB's trim() strips spaces only, so the
+    # oracle could not mirror F.trim's whitespace set).
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
 def html_features(docs: DataFrame, html: Column) -> DataFrame:
@@ -2485,6 +2497,7 @@ def html_extract_oracle_sql() -> str:
         (r"(?is)<script[^>]*>.*?</script>", " "),
         (r"(?is)<style[^>]*>.*?</style>", " "),
         (r"(?s)<!--.*?-->", " "),
+        (r"(?i)</p>|<br[^>]*>|</div>|</li>|</h[1-6]>|</tr>", "\n"),
         (r"<[^>]+>", " "),
         ("&lt;", "<"),
         ("&gt;", ">"),
@@ -2492,16 +2505,23 @@ def html_extract_oracle_sql() -> str:
         ("&#39;", "'"),
         ("&nbsp;", " "),
         ("&amp;", "&"),
-        (r"\s+", " "),
+        (r"[ \t\r]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n+", "\n"),
+        (r"^\s+|\s+$", ""),
     ]
 
     def chain(expr: str) -> str:
         for pat, rep in steps:
-            rep_sql = rep.replace("'", "''")
-            expr = (
-                f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+            # A newline replacement must reach DuckDB as chr(10) (a
+            # plain '\n' literal would be the two chars backslash-n).
+            rep_sql = "chr(10)" if rep == "\n" else (
+                "'" + rep.replace("'", "''") + "'"
             )
-        return f"trim({expr})"
+            expr = (
+                f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+            )
+        return expr
 
     clean_html = chain("html")
     clean_title = chain(

@@ -358,3 +358,85 @@ def stream_ingest_corpus(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_warc_crawl(
+    spark: SparkSession,
+    warc_path: str,
+    corpus_path: str,
+    store_path: str,
+    robots_rules: DataFrame | None = None,
+    c4_min_sentences: int | None = None,
+    ingest_id: str | None = None,
+    **ingest_kwargs,
+):
+    """End-to-end crawl ingestion: WARC archives -> the curated
+    corpus, composing the crawl-hygiene operators in the order a
+    production pipeline runs them:
+
+    1. ``read_documents_warc`` — archive scan (file-level
+       parallelism, corrupt archives contained);
+    2. URL normalization (``url_normalize``) and, when
+       ``robots_rules`` is given, the robots.txt longest-prefix gate
+       (disallowed URLs are dropped BEFORE any text work — at crawl
+       scale this is the cheapest place to cut);
+    3. ``html_to_text`` — markup-stripped visible text;
+    4. optionally the C4 sentence-floor page gate (the
+       lorem-ipsum/brace/badword page cuts plus >= n kept
+       sentences), as a pre-filter in front of the ingest plan's own
+       quality gates;
+    5. ``ingest_corpus_shard`` — PII scrub, quality/perplexity/DSIR
+       gates, incremental near-dup against the persisted band store,
+       split assignment, partitioned publish. All its knobs pass
+       through via ``ingest_kwargs``.
+
+    Returns the ingest plan's count ledger extended with the
+    crawl-stage drops (``robots_blocked``, ``c4_filtered``). Every
+    stage before the band store is map-only or broadcast-joined, so
+    the crawl prefix adds no shuffle beyond the robots longest-match
+    window."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        c4_rules,
+        robots_filter,
+        url_normalize,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import html_to_text
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_warc,
+    )
+
+    raw = read_documents_warc(spark, warc_path).withColumn(
+        "url", url_normalize(F.col("url"))
+    )
+    ledger_extra = {"robots_blocked": 0, "c4_filtered": 0}
+    if robots_rules is not None:
+        verdicts = robots_filter(
+            raw.select("doc_id", "url"), robots_rules
+        ).select("doc_id", "allowed")
+        raw = raw.join(verdicts, "doc_id")
+        ledger_extra["robots_blocked"] = raw.where(~F.col("allowed")).count()
+        raw = raw.where(F.col("allowed")).drop("allowed")
+
+    docs = raw.withColumn("text", html_to_text(F.col("text")))
+
+    if c4_min_sentences is not None:
+        verdict = c4_rules(
+            docs, min_sentences=c4_min_sentences
+        ).select("doc_id", "passes_c4")
+        docs = docs.join(verdict, "doc_id")
+        ledger_extra["c4_filtered"] = docs.where(~F.col("passes_c4")).count()
+        docs = docs.where(F.col("passes_c4")).drop("passes_c4")
+
+    shard = docs.select(
+        "doc_id", "text",
+        F.lit("und").alias("lang"),
+        F.coalesce(F.col("url"), F.lit("warc")).alias("source"),
+    )
+    stats = ingest_corpus_shard(
+        spark, shard, corpus_path, store_path,
+        ingest_id=ingest_id, **ingest_kwargs,
+    )
+    stats.update(ledger_extra)
+    return stats

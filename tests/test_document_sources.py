@@ -618,8 +618,9 @@ def test_html_to_text_and_features(spark):
     )
     df = spark.createDataFrame([(1, html)], "doc_id long, html string")
     txt = df.select(html_to_text(F.col("html")).alias("t")).collect()[0].t
-    # Tags become spaces: alpha / beta do not fuse; script/style gone.
-    assert txt == 'alpha beta click here 5 < 7 &lt;literal&gt; "q" .'
+    # Block closes become newlines (C4/dup-line filters judge lines);
+    # inline tags become spaces; script/style/comment gone.
+    assert txt == 'alpha\nbeta\nclick here 5 < 7 &lt;literal&gt; "q" .'
     feats = html_features(df, F.col("html")).collect()[0]
     assert feats.title == "My & Title"
     assert feats.n_links == 1
@@ -642,3 +643,77 @@ def test_warc_to_text_pipeline_hop(spark, tmp_path):
     docs = read_documents_warc(spark, str(tmp_path))
     out = docs.select(html_to_text(F.col("text")).alias("t")).collect()
     assert [r.t for r in out] == ["crawled prose"]
+
+
+def test_ingest_warc_crawl_end_to_end(spark, tmp_path):
+    """The full crawl path: WARC archives -> robots gate -> HTML
+    extraction -> C4 sentence floor -> corpus ingest. One page is
+    robots-blocked before any text work, one fails the C4 lorem-ipsum
+    cut, two good pages publish, and the ledger accounts for all."""
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_warc_crawl,
+    )
+
+    def page(*paras):
+        return (
+            "<html><head><title>t</title></head><body>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</body></html>"
+        ).encode()
+
+    good1 = page(
+        "the quick brown fox jumps over the lazy dog today.",
+        "seventeen green turtles watch from a mossy riverbank.",
+        "pale skies stretch over the quiet northern valley.",
+    )
+    good2 = page(
+        "distributed query engines shuffle partitions across executors.",
+        "adaptive plans coalesce partitions at runtime for efficiency.",
+        "broadcast joins keep dimension tables off the exchange path.",
+    )
+    lorem = page(
+        "standard lorem ipsum filler text appears right here today.",
+        "more filler prose follows the boilerplate opening line now.",
+        "yet another sentence to clear every cheap length gate.",
+    )
+    blocked = page(
+        "this page lives under a disallowed prefix and must not load.",
+        "its text would pass every filter if it were ever extracted.",
+        "the robots gate has to drop it before the text stage runs.",
+    )
+    recs = (
+        _warc_record("response", "g1", "http://crawl.example/articles/1",
+                     good1, extra_http=True)
+        + _warc_record("response", "g2", "http://crawl.example/articles/2",
+                       good2, extra_http=True)
+        + _warc_record("response", "l1", "http://crawl.example/articles/3",
+                       lorem, extra_http=True)
+        + _warc_record("response", "b1", "http://crawl.example/private/1",
+                       blocked, extra_http=True)
+    )
+    (tmp_path / "crawl.warc").write_bytes(recs)
+
+    rules = spark.createDataFrame(
+        [("crawl.example", "*", "/private", False)],
+        "domain string, agent string, path_prefix string, allow boolean",
+    )
+    stats = ingest_warc_crawl(
+        spark,
+        str(tmp_path),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "band"),
+        robots_rules=rules,
+        c4_min_sentences=3,
+        ingest_id="crawl1",
+    )
+    assert stats["robots_blocked"] == 1
+    assert stats["c4_filtered"] == 1
+    assert stats["received"] == 2
+    assert stats["published"] == 2
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    texts = [r.text for r in out.collect()]
+    assert len(texts) == 2
+    # Markup never reaches the corpus; line structure survives.
+    assert all("<" not in t for t in texts)
+    assert all(t.count("\n") == 2 for t in texts)
