@@ -1903,3 +1903,74 @@ def cdc_chunks_oracle_sql(
         GROUP BY c.doc_id
         ORDER BY c.doc_id
     """
+
+
+def cdc_chunks_binary(
+    blobs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    remainder: int = 0,
+    blob_col: str = "payload",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """``cdc_chunks`` for binary blob columns — the multimodal twin:
+    chunk-level dedup of near-identical media files (re-encoded
+    containers sharing payload runs, re-uploaded files with edited
+    headers). Same stateless base-31 window hash and the same
+    vectorized Arrow kernel, over raw bytes (uint8) instead of code
+    points; chunk hashes are md5 of the chunk bytes. Map-only; the
+    byte-domain boundary decisions are pinned against the text
+    variant in pytest (ASCII payloads must chunk identically through
+    either path)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    powers = np.array(
+        [pow(31, window - 1 - j, 1 << 32) for j in range(window)],
+        dtype=np.uint64,
+    )
+    out_schema = (
+        f"{id_col} long, chunk_id int, start int, chunk_len int, "
+        "chunk_hash string"
+    )
+
+    def _chunk_batch(batches):
+        for pdf in batches:
+            rows = {
+                id_col: [], "chunk_id": [], "start": [],
+                "chunk_len": [], "chunk_hash": [],
+            }
+            for bid, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = b"" if payload is None else bytes(payload)
+                L = len(payload)
+                if L >= window:
+                    codes = np.frombuffer(payload, dtype=np.uint8).astype(
+                        np.uint64
+                    )
+                    wins = np.lib.stride_tricks.sliding_window_view(
+                        codes, window
+                    )
+                    h = (wins * powers).sum(axis=1) & 0xFFFFFFFF
+                    ends = (
+                        np.flatnonzero(h % divisor == remainder) + window
+                    )
+                    if len(ends) == 0 or ends[-1] != L:
+                        ends = np.append(ends, L)
+                else:
+                    ends = np.array([L])
+                starts = np.concatenate(([0], ends[:-1])) + 1
+                for cid, (s, e) in enumerate(zip(starts, ends)):
+                    rows[id_col].append(bid)
+                    rows["chunk_id"].append(cid)
+                    rows["start"].append(int(s))
+                    rows["chunk_len"].append(int(e - s + 1))
+                    rows["chunk_hash"].append(
+                        hashlib.md5(payload[s - 1 : e]).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return blobs.select(id_col, blob_col).mapInPandas(
+        _chunk_batch, schema=out_schema
+    )

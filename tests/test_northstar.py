@@ -1984,3 +1984,45 @@ def test_cdc_chunks_coverage_and_self_healing(spark):
     # Empty doc: one zero-length chunk, id preserved.
     assert len(by_doc[3]) == 1
     assert by_doc[3][0].chunk_len == 0
+
+
+def test_cdc_chunks_binary_matches_text_on_ascii_and_self_heals(spark):
+    """The byte-domain kernel: ASCII payloads chunk identically to
+    the text path (code point == byte there), and a byte insertion
+    early in a blob leaves the suffix chunk hashes shared."""
+    import hashlib as _h
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_chunks_binary,
+    )
+
+    base = "".join(
+        _h.md5(str(i).encode()).hexdigest() for i in range(40)
+    )
+    edited = base[:7] + "Q" + base[7:]
+    tdf = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1, base.encode()), (2, edited.encode())],
+        "blob_id long, payload binary",
+    )
+    t_rows = sorted(
+        map(tuple, cdc_chunks(tdf).collect())
+    )
+    b_rows = sorted(
+        map(tuple, cdc_chunks_binary(bdf).collect())
+    )
+    assert t_rows == b_rows  # ASCII: byte == code point
+
+    by_blob = {}
+    for r in cdc_chunks_binary(bdf).collect():
+        by_blob.setdefault(r.blob_id, []).append((r.chunk_id, r.chunk_hash))
+    h1 = [h for _, h in sorted(by_blob[1])]
+    h2 = [h for _, h in sorted(by_blob[2])]
+    shared_tail = 0
+    while (shared_tail < min(len(h1), len(h2))
+           and h1[-1 - shared_tail] == h2[-1 - shared_tail]):
+        shared_tail += 1
+    assert shared_tail >= len(h1) - 3
