@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_anonymity": C.q_k_anonymity,
         # Crawl politeness: robots.txt longest-prefix gate.
         "q_robots_filter": C.q_robots_filter,
+        # Crawl discovery: sitemap XML round-trip parse.
+        "q_sitemap_parse": C.q_sitemap_parse,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1407,6 +1409,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_chunks": D.cdc_chunks_oracle_sql(),
         # robots.txt longest-prefix gate.
         "q_robots_filter": C.robots_filter_oracle_sql(),
+        # Sitemap XML round-trip parse.
+        "q_sitemap_parse": C.sitemap_parse_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2322,3 +2322,162 @@ def robots_filter_oracle_sql() -> str:
         ) = 1
         ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Sitemap parsing (crawl discovery)
+# --------------------------------------------------------------------------
+
+_SITEMAP_ENTRY_RE = r"(?is)<url>(.*?)</url>"
+_SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemaps(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Parse sitemaps.org XML into one row per ``<url>`` entry —
+    the crawl-discovery stage that seeds the frontier: extract each
+    entry block, then its ``<loc>`` (required) and ``<lastmod>``
+    (optional, NULL when absent — the signal schedulers use for
+    recrawl priority). Two regexp passes, both JVM; the per-entry
+    explode is a Generate (no shuffle), so parsing N sitemaps is
+    map-only at any scale. Entries without a ``<loc>`` are dropped
+    (malformed per the spec)."""
+    entries = F.regexp_extract_all(
+        F.col(xml_col), F.lit(_SITEMAP_ENTRY_RE), 1
+    )
+    d = df.select(
+        *[c for c in df.columns if c != xml_col],
+        F.explode(entries).alias("__entry"),
+    )
+    loc = F.regexp_extract(F.col("__entry"), _SITEMAP_LOC_RE, 1)
+    lastmod = F.regexp_extract(F.col("__entry"), _SITEMAP_LASTMOD_RE, 1)
+    return (
+        d.select(
+            *[c for c in d.columns if c != "__entry"],
+            loc.alias("url"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+        )
+        .where(F.col("url") != "")
+    )
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing sitemap round-trip: build one sitemap XML per
+    domain from the synthesized URL set (entries ordered by doc_id;
+    every 9th entry omits <lastmod>), parse it back, and aggregate
+    per domain — the parse path is exercised on multi-entry
+    documents with optional fields, and the counts must survive the
+    round trip exactly."""
+    u = _synth_urls(load(spark, sf_dir, "documents"))
+    entry = F.concat(
+        F.lit("<url><loc> "),
+        F.col("url"),
+        F.lit(" </loc>"),
+        F.when(
+            F.col("doc_id") % 9 != 0,
+            F.concat(
+                F.lit("<lastmod>"),
+                F.date_format(
+                    F.date_add(
+                        F.to_date(F.lit("2024-01-01")),
+                        (F.col("doc_id") % 365).cast("int"),
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    maps = (
+        u.select(
+            url_domain(F.col("url")).alias("domain"),
+            F.col("doc_id"),
+            entry.alias("entry"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "entry"))
+                        ),
+                        lambda s: s["entry"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = parse_sitemaps(maps, "xml")
+    return (
+        parsed.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.countDistinct("url").alias("n_distinct_urls"),
+            F.sum(F.col("lastmod").isNotNull().cast("long")).alias(
+                "n_with_lastmod"
+            ),
+            F.min("lastmod").alias("min_lastmod"),
+            F.max("lastmod").alias("max_lastmod"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+def sitemap_parse_oracle_sql() -> str:
+    """DuckDB twin of q_sitemap_parse: identical synthesis (shared
+    URL CTE), string_agg XML build, regexp parse, aggregate."""
+    return rf"""
+        WITH {_URL_SYNTH_SQL_CTE}, entries AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN string_split(host, '.')[-2] || '.'
+                             || string_split(host, '.')[-1]
+                        ELSE host END AS domain,
+                   '<url><loc> ' || url || ' </loc>'
+                   || CASE WHEN doc_id % 9 != 0
+                        THEN '<lastmod>'
+                          || strftime(DATE '2024-01-01'
+                               + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d')
+                          || '</lastmod>'
+                        ELSE '' END
+                   || '</url>' AS entry
+            FROM synth_urls
+        ), maps AS (
+            SELECT domain,
+                   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || string_agg(entry, '' ORDER BY doc_id)
+                   || '</urlset>' AS xml
+            FROM entries GROUP BY domain
+        ), blocks AS (
+            SELECT domain,
+                   unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1))
+                       AS entry
+            FROM maps
+        ), parsed AS (
+            SELECT domain,
+                   regexp_extract(entry, '(?is)<loc>\s*(.*?)\s*</loc>', 1)
+                       AS url,
+                   nullif(regexp_extract(entry,
+                       '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1), '')
+                       AS lastmod
+            FROM blocks
+        )
+        SELECT domain,
+               count(*) AS n_entries,
+               count(DISTINCT url) AS n_distinct_urls,
+               CAST(sum(CASE WHEN lastmod IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_lastmod,
+               min(lastmod) AS min_lastmod,
+               max(lastmod) AS max_lastmod,
+               min(url) AS first_url
+        FROM parsed
+        WHERE url <> ''
+        GROUP BY domain
+        ORDER BY domain
+    """

@@ -814,3 +814,23 @@ def test_robots_filter_rfc9309_semantics(spark):
     assert out[3].allowed and out[3].matched_prefix == "/private"
     assert out[4].allowed
     assert out[5].allowed  # allow beats disallow at equal length
+
+
+def test_parse_sitemaps_closed_form(spark):
+    """Entry extraction, whitespace-tolerant loc, optional lastmod,
+    malformed (loc-less) entry dropped."""
+    xml = (
+        '<urlset><url><loc> http://a.com/1 </loc>'
+        "<lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>http://a.com/2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "sitemap_id long, xml string")
+    rows = sorted(
+        (r.url, r.lastmod) for r in C.parse_sitemaps(df).collect()
+    )
+    assert rows == [
+        ("http://a.com/1", "2024-03-01"),
+        ("http://a.com/2", None),
+    ]
