@@ -367,6 +367,7 @@ def ingest_warc_crawl(
     store_path: str,
     robots_rules: DataFrame | None = None,
     c4_min_sentences: int | None = None,
+    frontier_path: str | None = None,
     ingest_id: str | None = None,
     **ingest_kwargs,
 ):
@@ -391,7 +392,12 @@ def ingest_warc_crawl(
        through via ``ingest_kwargs``.
 
     Returns the ingest plan's count ledger extended with the
-    crawl-stage drops (``robots_blocked``, ``c4_filtered``). Every
+    crawl-stage drops (``already_seen``, ``robots_blocked``,
+    ``c4_filtered``). With ``frontier_path`` set, URLs already in
+    the persisted seen-store (plans/frontier.py) are dropped before
+    robots/text work, and this batch's surviving URLs are committed
+    back — repeated crawls of overlapping archives skip refetched
+    pages at O(batch) store cost. Every
     stage before the band store is map-only or broadcast-joined, so
     the crawl prefix adds no shuffle beyond the robots longest-match
     window."""
@@ -410,7 +416,15 @@ def ingest_warc_crawl(
     raw = read_documents_warc(spark, warc_path).withColumn(
         "url", url_normalize(F.col("url"))
     )
-    ledger_extra = {"robots_blocked": 0, "c4_filtered": 0}
+    ledger_extra = {"already_seen": 0, "robots_blocked": 0, "c4_filtered": 0}
+    if frontier_path is not None:
+        from datapoints_csv_extractor_spark.plans.frontier import (
+            frontier_filter,
+        )
+
+        before = raw.count()
+        raw = frontier_filter(spark, raw, frontier_path)
+        ledger_extra["already_seen"] = before - raw.count()
     if robots_rules is not None:
         verdicts = robots_filter(
             raw.select("doc_id", "url"), robots_rules
@@ -438,5 +452,19 @@ def ingest_warc_crawl(
         spark, shard, corpus_path, store_path,
         ingest_id=ingest_id, **ingest_kwargs,
     )
+    if frontier_path is not None:
+        from datapoints_csv_extractor_spark.plans.frontier import (
+            frontier_commit,
+        )
+
+        # Every URL that REACHED the text stage is recorded as seen —
+        # including docs later dropped by quality/dedup (a recrawl
+        # would re-drop them; refetching is the waste to prevent).
+        # Robots-blocked URLs are NOT recorded: a rule change should
+        # make them fetchable.
+        frontier_commit(
+            spark, docs.select("url"), frontier_path,
+            ingest_id=ingest_id or "crawl",
+        )
     stats.update(ledger_extra)
     return stats

@@ -717,3 +717,53 @@ def test_ingest_warc_crawl_end_to_end(spark, tmp_path):
     # Markup never reaches the corpus; line structure survives.
     assert all("<" not in t for t in texts)
     assert all(t.count("\n") == 2 for t in texts)
+
+
+def test_ingest_warc_crawl_frontier_skips_seen_urls(spark, tmp_path):
+    """A second crawl over an archive overlapping the first fetch
+    drops the already-seen URL at the frontier, before text work."""
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        ingest_warc_crawl,
+    )
+
+    def page(*paras):
+        return (
+            "<html><body>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</body></html>"
+        ).encode()
+
+    a = page(
+        "the quick brown fox jumps over the lazy dog today.",
+        "seventeen green turtles watch from a mossy riverbank.",
+        "pale skies stretch over the quiet northern valley.",
+    )
+    b = page(
+        "distributed query engines shuffle partitions across executors.",
+        "adaptive plans coalesce partitions at runtime for efficiency.",
+        "broadcast joins keep dimension tables off the exchange path.",
+    )
+    d1 = tmp_path / "day1"; d1.mkdir()
+    (d1 / "a.warc").write_bytes(
+        _warc_record("response", "r1", "http://f.example/a", a,
+                     extra_http=True)
+    )
+    d2 = tmp_path / "day2"; d2.mkdir()
+    (d2 / "b.warc").write_bytes(
+        _warc_record("response", "r2", "http://f.example/a", a,
+                     extra_http=True)
+        + _warc_record("response", "r3", "http://f.example/b", b,
+                       extra_http=True)
+    )
+    frontier = str(tmp_path / "frontier")
+    s1 = ingest_warc_crawl(
+        spark, str(d1), str(tmp_path / "corpus"), str(tmp_path / "band"),
+        frontier_path=frontier, c4_min_sentences=3, ingest_id="d1",
+    )
+    assert s1["already_seen"] == 0 and s1["published"] == 1
+    s2 = ingest_warc_crawl(
+        spark, str(d2), str(tmp_path / "corpus"), str(tmp_path / "band"),
+        frontier_path=frontier, c4_min_sentences=3, ingest_id="d2",
+    )
+    assert s2["already_seen"] == 1
+    assert s2["received"] == 1 and s2["published"] == 1

@@ -545,3 +545,37 @@ def test_read_store_for_keys_prunes_to_wanted_buckets(spark, tmp_path):
         .collect()
     }
     assert len(files) < len(all_dirs)
+
+
+def test_crawl_frontier_filter_and_commit(spark, tmp_path):
+    """The seen-URL frontier: batch 2's overlap with batch 1 is
+    filtered, commits are replay-idempotent, and the filter read
+    touches only the batch's buckets (inherited point-lookup path)."""
+    from datapoints_csv_extractor_spark.plans.frontier import (
+        frontier_commit,
+        frontier_filter,
+    )
+
+    store = str(tmp_path / "frontier")
+    b1 = spark.createDataFrame(
+        [(f"http://s.example/p/{i}",) for i in range(20)], "url string"
+    )
+    # Absent store: everything passes.
+    assert frontier_filter(spark, b1, store).count() == 20
+    frontier_commit(spark, b1, store, ingest_id="b1")
+
+    b2 = spark.createDataFrame(
+        [(f"http://s.example/p/{i}",) for i in range(15, 30)], "url string"
+    )
+    fresh = frontier_filter(spark, b2, store)
+    assert sorted(r.url for r in fresh.collect()) == sorted(
+        f"http://s.example/p/{i}" for i in range(20, 30)
+    )
+    frontier_commit(spark, fresh, store, ingest_id="b2")
+
+    # Replay of b2 converges: nothing new, state unchanged.
+    frontier_commit(spark, fresh, store, ingest_id="b2")
+    assert frontier_filter(spark, b2, store).count() == 0
+    from datapoints_csv_extractor_spark.sinks.merge_store import read_store
+
+    assert read_store(spark, store).count() == 30
