@@ -64,7 +64,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlaps q1/q12/q6, and the freed slots carry three operator
         # families the window didn't exercise (rolling sketch merge,
         # seasonal decomposition, exact audience-overlap matrix).
-        "q6_forecast_revenue": R.q6_forecast_revenue,
+        # Round-8 rotation: q_cdc_chunks (content-defined chunking +
+        # shared-chunk storage-dedup rollup — the vectorized Arrow
+        # kernel path, a family the window never exercised) takes
+        # q6_forecast_revenue's slot; TPC-H keeps q1 and q12
+        # in-window and q6's filter-agg shape is a strict subset of
+        # q1's.
+        "q_cdc_chunks": D.q_cdc_chunks,
         "q_upsert_merge": R.q_upsert_merge,
         # Round-8 rotation: q_chunk_documents (overlapping
         # token-window chunking — the context-window splitter, a
@@ -169,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": X.q_lang_id,
         "q_pii_redact": C.q_pii_redact,
         "q_dedup_exact": D.q_dedup_exact,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
         # Privacy governance: k-anonymity / l-diversity release gate.
         "q_k_anonymity": C.q_k_anonymity,
         # Crawl politeness: robots.txt longest-prefix gate.
@@ -334,9 +341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup_lsh": V.q_embedding_near_dup_lsh,
         "q_repetition_stats": X.q_repetition_stats,
         "q_winnowing_near_dup": X.q_winnowing_near_dup,
-        # Content-defined chunking: Rabin-style boundaries + shared-
-        # chunk (storage-dedup) rollup.
-        "q_cdc_chunks": D.q_cdc_chunks,
         "q_multimodal_feature_knn": M.q_multimodal_feature_knn,
         "q_vocab_coverage": X.q_vocab_coverage,
         "q_curation_pipeline_full": X.q_curation_pipeline_full,
