@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": C.q_robots_filter,
         # Crawl discovery: sitemap XML round-trip parse.
         "q_sitemap_parse": C.q_sitemap_parse,
+        # Hyperlink extraction -> domain link graph.
+        "q_link_graph": C.q_link_graph,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1415,6 +1417,8 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_filter": C.robots_filter_oracle_sql(),
         # Sitemap XML round-trip parse.
         "q_sitemap_parse": C.sitemap_parse_oracle_sql(),
+        # Hyperlink extraction -> domain link graph.
+        "q_link_graph": C.link_graph_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

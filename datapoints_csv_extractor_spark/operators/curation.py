@@ -2481,3 +2481,220 @@ def sitemap_parse_oracle_sql() -> str:
         GROUP BY domain
         ORDER BY domain
     """
+
+
+# --------------------------------------------------------------------------
+# Hyperlink extraction -> web link graph
+# --------------------------------------------------------------------------
+
+_HREF_RE = r'(?is)<a[^>]*href\s*=\s*"([^"]*)"[^>]*>'
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = "url",
+) -> DataFrame:
+    """Outgoing hyperlinks of an HTML page — the edge extractor that
+    turns a crawl into a web graph (PageRank seeds, anchor-based
+    discovery, spam-farm detection all start here). One
+    ``regexp_extract_all`` for double-quoted hrefs, one Generate;
+    map-only.
+
+    Resolution: absolute ``http(s)://`` links pass through;
+    root-relative links (``/path``) resolve against the page's own
+    scheme+host when ``base_url_col`` is given; fragment-only,
+    empty, and other-scheme (mailto:, javascript:) hrefs drop.
+    Directory-relative links (``sub/page``) also drop — resolving
+    them needs RFC 3986 dot-segment folding, and at corpus scale
+    root-relative + absolute cover the overwhelming majority of
+    real links (documented simplification). Every kept link is
+    normalized (``url_normalize``) so edges join against the
+    frontier and URL stores exactly."""
+    keep = [c for c in df.columns if c != html_col]
+    d = df.select(
+        *keep,
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
+        ).alias("href"),
+    )
+    href = F.col("href")
+    absolute = href.rlike("(?i)^https?://")
+    if base_url_col is not None:
+        scheme = F.regexp_extract(F.col(base_url_col), _URL_RE, 1)
+        host = F.regexp_extract(F.col(base_url_col), _URL_RE, 2)
+        rooted = F.concat(scheme, F.lit("://"), host, href)
+        resolved = F.when(absolute, href).when(
+            href.startswith("/"), rooted
+        )
+    else:
+        resolved = F.when(absolute, href)
+    return (
+        d.select(*keep, url_normalize(resolved).alias("link"))
+        .where(F.col("link").isNotNull())
+    )
+
+
+def _raw_url_expr(did: Column) -> Column:
+    """The synthesized RAW (pre-normalization) URL for an arbitrary
+    integer id expression — shared by ``_synth_urls`` (own URL from
+    doc_id) and ``q_link_graph`` (target URLs from derived ids)."""
+    return F.concat(
+        F.lit("HTTP://"),
+        F.when(did % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("cdn.site")),
+        (did % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(did % 3 == 0, F.lit(".COM"))
+        .when(did % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".Net")),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/page/"), (did % 11).cast("string"))
+        ),
+        F.when(did % 4 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _raw_url_sql(expr: str) -> str:
+    """SQL twin of ``_raw_url_expr`` for an arbitrary integer SQL
+    expression (kept textually parallel so the two can never drift
+    independently of the shared synthesis CTE)."""
+    return f"""'HTTP://'
+        || CASE WHEN ({expr}) % 3 = 0 THEN 'WWW.Site' ELSE 'cdn.site' END
+        || CAST(({expr}) % 7 AS VARCHAR)
+        || '.Example'
+        || CASE WHEN ({expr}) % 3 = 0 THEN '.COM'
+                WHEN ({expr}) % 3 = 1 THEN '.org'
+                ELSE '.Net' END
+        || CASE WHEN ({expr}) % 2 = 0 THEN ':80' ELSE '' END
+        || CASE WHEN ({expr}) % 5 = 0 THEN ''
+                ELSE '/page/' || CAST(({expr}) % 11 AS VARCHAR) END
+        || CASE WHEN ({expr}) % 4 = 0 THEN '?b=2&a=1' ELSE '' END
+        || CASE WHEN ({expr}) % 6 = 0 THEN '#frag' ELSE '' END"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing link-graph build: each doc's page carries two
+    absolute links (to the synthesized URLs of ids doc_id+1 and
+    3*doc_id+5 — RAW spellings, so extraction must normalize), one
+    root-relative link (resolved against the page's own URL), and
+    one mailto: (dropped). Edges aggregate to the domain level —
+    the rollup a crawl scheduler and a link-spam detector both
+    read."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    own = url_normalize(_raw_url_expr(did))
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        _raw_url_expr(did + 1),
+        F.lit('">next</a><a href="'),
+        _raw_url_expr(did * 3 + 5),
+        F.lit('">far</a><a href="/local/'),
+        (did % 13).cast("string"),
+        F.lit('">here</a><a href="mailto:x@y.z">mail</a></body></html>'),
+    )
+    pages = d.select(
+        "doc_id", own.alias("url"), html.alias("html")
+    )
+    links = extract_links(pages, "html", "url")
+    return (
+        links.select(
+            url_domain(F.col("url")).alias("src_domain"),
+            url_domain(F.col("link")).alias("dst_domain"),
+            "link",
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("link").alias("n_distinct_targets"),
+        )
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+def link_graph_oracle_sql() -> str:
+    """DuckDB twin of q_link_graph: identical page synthesis, href
+    extraction, resolution, normalization, and domain rollup. The
+    piecewise URL expressions are composed by helpers so the two
+    engines share one synthesis formula."""
+    U = ("'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
+         "([^?#]*)(?:\\?([^#]*))?.*$'")
+
+    def piece(expr, grp):
+        return f"regexp_extract({expr}, {U}, {grp})"
+
+    def host_norm(expr):
+        sch = f"lower({piece(expr, 1)})"
+        h = f"lower({piece(expr, 2)})"
+        return (
+            f"CASE WHEN {sch} = 'http' AND {h} LIKE '%:80' "
+            f"THEN substring({h}, 1, length({h}) - 3) "
+            f"WHEN {sch} = 'https' AND {h} LIKE '%:443' "
+            f"THEN substring({h}, 1, length({h}) - 4) "
+            f"ELSE {h} END"
+        )
+
+    def normalize(expr):
+        sch = f"lower({piece(expr, 1)})"
+        p = piece(expr, 3)
+        q = piece(expr, 4)
+        return (
+            f"{sch} || '://' || {host_norm(expr)} "
+            f"|| CASE WHEN {p} = '' THEN '/' ELSE {p} END "
+            f"|| CASE WHEN {q} = '' THEN '' ELSE '?' || "
+            f"array_to_string(list_sort(string_split({q}, '&')), '&') END"
+        )
+
+    def domain(expr):
+        h = (f"regexp_replace(lower({piece(expr, 2)}), "
+             "':[0-9]+$', '')")
+        parts = f"string_split({h}, '.')"
+        return (
+            f"CASE WHEN len({parts}) >= 2 THEN {parts}[-2] || '.' || "
+            f"{parts}[-1] ELSE {h} END"
+        )
+
+    raw_own = _raw_url_sql("doc_id")
+    raw1 = _raw_url_sql("doc_id + 1")
+    raw2 = _raw_url_sql("doc_id * 3 + 5")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   {raw_own} AS own_raw,
+                   '<html><body><a href="' || {raw1}
+                   || '">next</a><a href="' || {raw2}
+                   || '">far</a><a href="/local/'
+                   || CAST(doc_id % 13 AS VARCHAR)
+                   || '">here</a><a href="mailto:x@y.z">mail</a></body></html>'
+                       AS html
+            FROM pages_src
+        ), hrefs AS (
+            SELECT doc_id, own_raw,
+                   unnest(regexp_extract_all(html,
+                       '(?is)<a[^>]*href\\s*=\\s*"([^"]*)"[^>]*>', 1))
+                       AS href
+            FROM pages
+        ), resolved AS (
+            SELECT doc_id, own_raw,
+                   CASE WHEN regexp_matches(href, '(?i)^https?://')
+                        THEN href
+                        WHEN starts_with(href, '/')
+                        THEN lower({piece("own_raw", 1)}) || '://'
+                             || lower({piece("own_raw", 2)}) || href
+                        ELSE NULL END AS r
+            FROM hrefs
+        ), normed AS (
+            SELECT doc_id,
+                   {normalize("own_raw")} AS own,
+                   {normalize("r")} AS link
+            FROM resolved WHERE r IS NOT NULL
+        )
+        SELECT {domain("own")} AS src_domain,
+               {domain("link")} AS dst_domain,
+               count(*) AS n_links,
+               count(DISTINCT link) AS n_distinct_targets
+        FROM normed
+        GROUP BY src_domain, dst_domain
+        ORDER BY src_domain, dst_domain
+    """.replace("pages_src", "documents")

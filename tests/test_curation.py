@@ -834,3 +834,26 @@ def test_parse_sitemaps_closed_form(spark):
         ("http://a.com/1", "2024-03-01"),
         ("http://a.com/2", None),
     ]
+
+
+def test_extract_links_resolution_rules(spark):
+    """Absolute pass-through (normalized), root-relative resolved
+    against the page URL, mailto/fragment/directory-relative dropped."""
+    html = (
+        '<a href="HTTP://Other.Example.COM:80/X?b=2&a=1">abs</a>'
+        '<a href="/rooted/path">rel</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="sub/dir">dir-rel</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://my.site.example/base/page", html)],
+        "doc_id long, url string, html string",
+    )
+    links = sorted(
+        r.link for r in C.extract_links(df, "html", "url").collect()
+    )
+    assert links == [
+        "http://other.example.com/X?a=1&b=2",
+        "https://my.site.example/rooted/path",
+    ]
