@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q_c4_rules",
     "q_html_extract",
     "q_k_anonymity",
+    "q_robots_filter",
+    "q_sitemap_parse",
+    "q_link_graph",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
@@ -443,6 +446,7 @@ SF1_REGISTERED_QUERIES = [
     "q_c4_rules",
     "q_html_extract",
     "q_cdc_chunks",
+    "q_link_graph",
 ]
 
 

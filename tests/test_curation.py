@@ -857,3 +857,56 @@ def test_extract_links_resolution_rules(spark):
         "http://other.example.com/X?a=1&b=2",
         "https://my.site.example/rooted/path",
     ]
+
+
+def test_url_normalize_idempotent_property(spark):
+    """Normalization must be a projection (f(f(x)) == f(x)) — the
+    frontier and every URL-keyed store join on the normalized form,
+    so a non-idempotent normalizer would miss its own output."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    host_chars = st.text(
+        alphabet="abcDEF123.-", min_size=1, max_size=12
+    )
+    path_chars = st.text(
+        alphabet="abcXYZ019/._~-", max_size=12
+    )
+    q_chars = st.text(alphabet="abz=&19", max_size=10)
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["http", "HTTPS", "ftp"]),
+                host_chars,
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                path_chars,
+                q_chars,
+                st.sampled_from(["", "#frag"]),
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(parts):
+        urls = [
+            (i, f"{sch}://{h}{port}{('/' + p) if p else ''}"
+                + (f"?{q}" if q else "") + frag)
+            for i, (sch, h, port, p, q, frag) in enumerate(parts)
+        ] + [(len(parts), "not a url"), (len(parts) + 1, "")]
+        df = spark.createDataFrame(urls, "i long, url string")
+        once = df.select(
+            "i", C.url_normalize(F.col("url")).alias("u1")
+        )
+        twice = once.select(
+            "i", "u1", C.url_normalize(F.col("u1")).alias("u2")
+        ).collect()
+        for r in twice:
+            assert r.u1 == r.u2, (r.u1, r.u2)
+
+    check()
