@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_parse": C.q_sitemap_parse,
         # Hyperlink extraction -> domain link graph.
         "q_link_graph": C.q_link_graph,
+        # Audio near-dup: constellation landmark matcher (rows-only).
+        "q_audio_near_dup": M.q_audio_near_dup,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,

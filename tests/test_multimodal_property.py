@@ -766,3 +766,52 @@ def test_decode_blobs_audio_mp3_tier(spark):
     rows = {r.blob_id: r for r in M.decode_blobs(blobs).collect()}
     assert rows[1].n_frames == 3 * 1152 and rows[1].width is None
     assert rows[2].n_frames is None
+
+
+def _tone_wav(freqs, rate=4000, dur_s=0.6, prefix_silence_s=0.0):
+    """16-bit PCM WAV of a linear chirp from freqs[0] to freqs[1] —
+    a moving spectral peak, so the constellation has per-frame
+    structure (a stationary sine gives every frame the same peak and
+    degenerates the landmark scheme)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    n = int(rate * dur_s)
+    t = np.arange(n) / rate
+    f0, f1 = freqs
+    x = np.sin(2 * math.pi * (f0 * t + (f1 - f0) * t * t / (2 * dur_s)))
+    x = np.concatenate([np.zeros(int(rate * prefix_silence_s)), x])
+    data = (0.6 * 32767 * x).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_near_dup_matches_shifted_copy_only(spark):
+    """The constellation matcher: a time-shifted copy of a recording
+    matches it with a consistent offset; an unrelated recording does
+    not; silence produces no spurious pairs."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    a = _tone_wav((440, 880))
+    a_shift = _tone_wav((440, 880), prefix_silence_s=0.2)
+    other = _tone_wav((1500, 300))
+    blobs = spark.createDataFrame(
+        [(1, a), (2, a_shift), (3, other)],
+        "blob_id long, payload binary",
+    )
+    fp = audio_fingerprints(blobs)
+    assert fp.where(F.col("blob_id") == 1).count() > 20
+    pairs = audio_near_dup_pairs(fp, min_votes=5).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    # The shifted copy aligns on ONE offset with many votes.
+    assert pairs[0].best_offset_votes >= 10
