@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_graph": C.q_link_graph,
         # Audio near-dup: constellation landmark matcher (rows-only).
         "q_audio_near_dup": M.q_audio_near_dup,
+        # Block-level main-content extraction (boilerplate removal).
+        "q_html_main_content": X.q_html_main_content,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1421,6 +1423,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sitemap_parse": C.sitemap_parse_oracle_sql(),
         # Hyperlink extraction -> domain link graph.
         "q_link_graph": C.link_graph_oracle_sql(),
+        # Block-level main-content extraction.
+        "q_html_main_content": X.html_main_content_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

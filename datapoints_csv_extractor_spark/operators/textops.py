@@ -2565,3 +2565,197 @@ def html_extract_oracle_sql() -> str:
                md5(text_clean) AS clean_md5
         FROM cleaned ORDER BY doc_id
     """
+
+
+def html_main_content(
+    html: Column,
+    min_block_chars: int = 30,
+    max_link_frac: float = 0.4,
+) -> Column:
+    """Main-content text of an HTML page — block-level boilerplate
+    removal in the jusText/Readability tradition: split the page at
+    block boundaries (the same tag set html_to_text turns into
+    newlines), score each block by cleaned-text length and LINK
+    DENSITY (anchor-text chars / text chars), and keep only prose
+    blocks (long enough, link-sparse). Navigation bars, footers, and
+    related-links rails are short and link-dense — page-level link
+    density (html_features) flags nav-heavy PAGES; this removes the
+    nav blocks from mixed pages while keeping their article text.
+
+    Whole chain is JVM HOFs over one split (every lambda touches
+    only its own element — capture-free), map-only at any scale.
+    Kept blocks join with newlines, matching html_to_text's block
+    contract downstream (C4 line filters etc.)."""
+    blocks = F.split(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, _HEAD_RE, " "), _SCRIPT_RE, " "
+            ),
+            _STYLE_RE,
+            " ",
+        ),
+        _BLOCK_RE,
+    )
+
+    def clean(b: Column) -> Column:
+        t = F.regexp_replace(b, _COMMENT_RE, " ")
+        t = F.regexp_replace(t, _TAG_RE, " ")
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+            t = F.regexp_replace(t, ent, ch)
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    def link_chars(b: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1),
+                F.lit(0).cast("long"),
+                lambda acc, a: acc + F.length(F.trim(a)),
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            clean(b).alias("txt"), link_chars(b).alias("lc")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= min_block_chars)
+        & (
+            s["lc"]
+            <= F.round(max_link_frac * F.length(s["txt"]), 0).cast("long")
+        ),
+    )
+    return F.array_join(
+        F.transform(kept, lambda s: s["txt"]), "\n"
+    )
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing main-content extraction over synthesized mixed
+    pages: every page carries a link-dense nav block, a too-short
+    stub block, and 1-2 prose paragraphs built from the doc's own
+    text — only the prose must survive. Output pins the kept-block
+    count and the exact main text (md5)."""
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    para1 = F.concat(
+        F.lit("<p>Article body one: "),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(".</p>"),
+    )
+    para2 = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit("<p>Article body two continues with "),
+            F.substring(F.col("text"), 40, 60),
+            F.lit(".</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><head><title>x</title></head><body>'),
+        F.lit('<div><a href="/a">home</a> <a href="/b">news</a> '
+              '<a href="/c">sports page</a> <a href="/d">more links</a></div>'),
+        para1,
+        para2,
+        F.lit("<p>ok.</p>"),  # too short -> dropped
+        F.lit("</body></html>"),
+    )
+    main = html_main_content(page)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.split(main, "\n")
+        ).alias("n_kept_blocks"),
+        F.length(main).cast("long").alias("main_chars"),
+        F.md5(main).alias("main_md5"),
+    ).orderBy("doc_id")
+
+
+def html_main_content_oracle_sql(
+    min_block_chars: int = 30, max_link_frac: float = 0.4
+) -> str:
+    """DuckDB twin of q_html_main_content: identical synthesis,
+    block split, per-block clean/link-density scoring (the regexp
+    chain is composed programmatically, as in
+    html_extract_oracle_sql), filter, and newline join."""
+    steps = [
+        (r"(?s)<!--.*?-->", " "),
+        (r"<[^>]+>", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        (r"\s+", " "),
+    ]
+
+    def chain(expr: str) -> str:
+        for pat, rep in steps:
+            rep_sql = "'" + rep.replace("'", "''") + "'"
+            expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+        return f"trim({expr})"
+
+    clean_b = chain("b")
+    strip3 = (
+        "regexp_replace(regexp_replace(regexp_replace(page, "
+        "'(?is)<head[^>]*>.*?</head>', ' ', 'g'), "
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    )
+    return rf"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><head><title>x</title></head><body>'
+                   || '<div><a href="/a">home</a> <a href="/b">news</a> '
+                   || '<a href="/c">sports page</a> <a href="/d">more links</a></div>'
+                   || '<p>Article body one: ' || substring(text, 1, 80)
+                   || '.</p>'
+                   || CASE WHEN doc_id % 3 != 0
+                        THEN '<p>Article body two continues with '
+                          || substring(text, 40, 60) || '.</p>'
+                        ELSE '' END
+                   || '<p>ok.</p>'
+                   || '</body></html>' AS page
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id,
+                   string_split_regex({strip3},
+                       '(?i)</p>|<br[^>]*>|</div>|</li>|</h[1-6]>|</tr>')
+                       AS bs
+            FROM pages
+        ), scored AS (
+            SELECT doc_id,
+                   list_transform(bs, b -> struct_pack(
+                       txt := {clean_b},
+                       lc := CAST(coalesce(list_sum(list_transform(
+                           regexp_extract_all(b,
+                               '(?is)<a[^>]*>(.*?)</a>', 1),
+                           a -> length(trim(a)))), 0) AS BIGINT)))
+                       AS sb
+            FROM blocks
+        ), kept AS (
+            SELECT doc_id,
+                   list_filter(sb, s ->
+                       length(s.txt) >= {min_block_chars}
+                       AND s.lc <= CAST(round({max_link_frac}
+                           * length(s.txt), 0) AS BIGINT)) AS ks
+            FROM scored
+        ), main AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(ks, s -> s.txt),
+                                   chr(10)) AS m
+            FROM kept
+        )
+        SELECT doc_id,
+               len(string_split(m, chr(10))) AS n_kept_blocks,
+               CAST(length(m) AS BIGINT) AS main_chars,
+               md5(m) AS main_md5
+        FROM main ORDER BY doc_id
+    """

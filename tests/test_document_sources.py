@@ -767,3 +767,32 @@ def test_ingest_warc_crawl_frontier_skips_seen_urls(spark, tmp_path):
     )
     assert s2["already_seen"] == 1
     assert s2["received"] == 1 and s2["published"] == 1
+
+
+def test_html_main_content_drops_nav_keeps_prose(spark):
+    """Block scoring: the link-dense nav and the short stub drop;
+    both prose paragraphs survive in order; a prose block WITH a
+    modest inline link stays (link density under the ceiling)."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        html_main_content,
+    )
+
+    html = (
+        "<html><body>"
+        '<div><a href="/1">home</a> <a href="/2">about</a> '
+        '<a href="/3">contact us</a></div>'
+        "<p>This is the first real paragraph of the article text.</p>"
+        "<p>short.</p>"
+        "<p>A second paragraph citing <a href=\"/r\">one source</a> "
+        "inline but otherwise full of ordinary running prose.</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = df.select(
+        html_main_content(F.col("html")).alias("m")
+    ).collect()[0].m
+    lines = out.split("\n")
+    assert len(lines) == 2
+    assert lines[0] == "This is the first real paragraph of the article text."
+    assert lines[1].startswith("A second paragraph citing one source")
+    assert "home" not in out and "short." not in out
