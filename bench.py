@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_robots_filter",
     "q_sitemap_parse",
     "q_link_graph",
+    "q_html_main_content",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
@@ -447,6 +448,7 @@ SF1_REGISTERED_QUERIES = [
     "q_html_extract",
     "q_cdc_chunks",
     "q_link_graph",
+    "q_html_main_content",
 ]
 
 
