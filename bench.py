@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_url_stats",
     "q_c4_rules",
     "q_html_extract",
+    "q_cdc_chunks",
     "q_k_anonymity",
     "q_robots_filter",
     "q_sitemap_parse",
