@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_near_dup": M.q_audio_near_dup,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
+        # Domain reputation: per-site C4 pass rate -> derived blocklist.
+        "q_domain_quality": C.q_domain_quality,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1425,6 +1427,8 @@ def oracle_sql() -> dict[str, str]:
         "q_link_graph": C.link_graph_oracle_sql(),
         # Block-level main-content extraction.
         "q_html_main_content": X.html_main_content_oracle_sql(),
+        # Domain reputation rollup.
+        "q_domain_quality": C.domain_quality_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2698,3 +2698,70 @@ def link_graph_oracle_sql() -> str:
         GROUP BY src_domain, dst_domain
         ORDER BY src_domain, dst_domain
     """.replace("pages_src", "documents")
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup — the RefinedWeb-style step that
+    turns per-PAGE filter verdicts into a per-SITE reputation and a
+    derived blocklist: join each synthesized page's C4 verdict to
+    its URL's domain, aggregate pass rates, and flag domains whose
+    pass rate falls under the floor. At crawl scale this is the
+    cheap feedback loop that saves fetch budget (a consistently
+    low-quality domain is skipped at the frontier, before any text
+    work). One map-only verdict join (both sides keyed by doc_id —
+    the join collapses to a zip over the same scan) plus one
+    low-cardinality domain aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    verdicts = c4_rules(_synthesize_pages(docs)).select(
+        "doc_id", "passes_c4"
+    )
+    domains = _synth_urls(docs).select(
+        "doc_id", url_domain(F.col("url")).alias("domain")
+    )
+    return (
+        domains.join(verdicts, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("passes_c4").cast("long")).alias("n_pass"),
+            F.round(
+                F.sum(F.col("passes_c4").cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pass_rate"),
+        )
+        .withColumn("blocked", F.col("pass_rate") < 0.5)
+        .orderBy("domain")
+    )
+
+
+def domain_quality_oracle_sql() -> str:
+    """DuckDB twin of q_domain_quality: the shared URL-synthesis CTE
+    joined to the shared page-synthesis + C4 chain, rolled up per
+    domain."""
+    c4 = c4_rules_oracle_sql()
+    # Reuse the full C4 oracle as a subquery yielding (doc_id,
+    # passes_c4); textual reuse keeps the two chains from drifting.
+    return rf"""
+        WITH {_URL_SYNTH_SQL_CTE}, dom AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN string_split(host, '.')[-2] || '.'
+                             || string_split(host, '.')[-1]
+                        ELSE host END AS domain
+            FROM synth_urls
+        ), verdicts AS (
+            SELECT doc_id, passes_c4 FROM ({c4})
+        )
+        SELECT domain,
+               count(*) AS n_pages,
+               CAST(sum(CASE WHEN passes_c4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               round(sum(CASE WHEN passes_c4 THEN 1 ELSE 0 END)
+                     / count(*), 4) AS pass_rate,
+               (round(sum(CASE WHEN passes_c4 THEN 1 ELSE 0 END)
+                      / count(*), 4) < 0.5) AS blocked
+        FROM dom JOIN verdicts USING (doc_id)
+        GROUP BY domain
+        ORDER BY domain
+    """

@@ -790,3 +790,25 @@ def test_stratified_sample_pushes_window_group_limit(spark):
         [(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string"
     )
     assert stratified_sample_exact(tiny, "src", 5).count() == 3
+
+
+def test_robots_filter_rule_joins_broadcast(spark):
+    """The robots gate's rule-side joins (group choice + candidate
+    match) must broadcast — rules are dimension-sized by
+    construction, and a sort-merge join against the URL frame would
+    shuffle the whole crawl on domain."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_robots_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_quality_verdict_join_never_sort_merges(spark):
+    """q_domain_quality joins two derivations of the SAME documents
+    scan on doc_id; at this size the planner must broadcast one side
+    rather than shuffle both."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    plan = _plan(C.q_domain_quality(spark, SF))
+    assert "SortMergeJoin" not in plan
