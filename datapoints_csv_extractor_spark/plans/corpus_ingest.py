@@ -401,21 +401,43 @@ def ingest_warc_crawl(
     stage before the band store is map-only or broadcast-joined, so
     the crawl prefix adds no shuffle beyond the robots longest-match
     window."""
-    from pyspark.sql import functions as F
+    from datapoints_csv_extractor_spark.sources.documents import (
+        read_documents_warc,
+    )
 
+    raw = read_documents_warc(spark, warc_path)
+    return ingest_crawl_docs(
+        spark, raw, corpus_path, store_path,
+        robots_rules=robots_rules, c4_min_sentences=c4_min_sentences,
+        frontier_path=frontier_path, ingest_id=ingest_id,
+        **ingest_kwargs,
+    )
+
+
+def ingest_crawl_docs(
+    spark: SparkSession,
+    raw: DataFrame,
+    corpus_path: str,
+    store_path: str,
+    robots_rules: DataFrame | None = None,
+    c4_min_sentences: int | None = None,
+    frontier_path: str | None = None,
+    ingest_id: str | None = None,
+    **ingest_kwargs,
+):
+    """The crawl-hygiene stages of ``ingest_warc_crawl`` over an
+    already-parsed raw documents frame (doc_id, text=HTML, url ...)
+    — shared by the batch reader path and the streaming drive
+    (``stream_warc_ingest``), so both run the identical frontier ->
+    robots -> extract -> C4 -> publish plan."""
     from datapoints_csv_extractor_spark.operators.curation import (
         c4_rules,
         robots_filter,
         url_normalize,
     )
     from datapoints_csv_extractor_spark.operators.textops import html_to_text
-    from datapoints_csv_extractor_spark.sources.documents import (
-        read_documents_warc,
-    )
 
-    raw = read_documents_warc(spark, warc_path).withColumn(
-        "url", url_normalize(F.col("url"))
-    )
+    raw = raw.withColumn("url", url_normalize(F.col("url")))
     ledger_extra = {"already_seen": 0, "robots_blocked": 0, "c4_filtered": 0}
     if frontier_path is not None:
         from datapoints_csv_extractor_spark.plans.frontier import (
@@ -468,3 +490,77 @@ def ingest_warc_crawl(
         )
     stats.update(ledger_extra)
     return stats
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    warc_path: str,
+    corpus_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    robots_rules: DataFrame | None = None,
+    c4_min_sentences: int | None = None,
+    frontier_path: str | None = None,
+    on_batch=None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 20,
+    **ingest_kwargs,
+):
+    """Streaming crawl ingestion: a binaryFile file stream over the
+    archive directory drives the SAME frontier -> robots -> extract
+    -> C4 -> publish plan as ``ingest_warc_crawl``, one micro-batch
+    of newly-arrived archives at a time (``foreachBatch`` — stores
+    are batch sinks). The checkpointed file-source log guarantees
+    each archive is processed once across restarts, and within a
+    replayed batch every stage converges: the frontier commit and
+    corpus ingest are keyed by a deterministic per-batch ingest id,
+    the same effectively-once discipline as the live TEBIS path
+    (streaming/live.py) and stream_scd2_fold.
+
+    ``max_files_per_trigger`` bounds a micro-batch the way the
+    reference's live loop caps files per cycle; ``on_batch`` (if
+    given) receives (batch_id, stats) per micro-batch. With
+    ``available_now`` the query drains everything present and stops
+    — the backfill mode; pass False for a continuous tail."""
+    from datapoints_csv_extractor_spark.sources.documents import (
+        parse_warc_binary,
+    )
+
+    # Streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format.
+    binary_schema = (
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(warc_path)
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        raw = parse_warc_binary(batch_df)
+        stats = ingest_crawl_docs(
+            spark, raw, corpus_path, store_path,
+            robots_rules=robots_rules,
+            c4_min_sentences=c4_min_sentences,
+            frontier_path=frontier_path,
+            ingest_id=f"warc-stream-{batch_id}",
+            **ingest_kwargs,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, stats)
+
+    writer = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -113,13 +113,29 @@ def corrupt_line_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_documents_warc(
-    spark: SparkSession,
-    path: str,
+def parse_warc_binary(
+    binary_df: DataFrame,
     record_types: tuple[str, ...] = ("response", "conversion"),
     strip_http_headers: bool = True,
 ) -> DataFrame:
-    """Read WARC archives (ISO 28500 — the Common Crawl format) into
+    """Parse a (path, content) binary-file frame of WARC archives into
+    the canonical documents frame — the engine shared by the batch
+    reader (``read_documents_warc``) and the streaming drive
+    (``plans.corpus_ingest.stream_warc_ingest``), which feeds each
+    micro-batch's newly-arrived archives through the same parser.
+    See ``read_documents_warc`` for format semantics."""
+    return _parse_warc_binary_impl(binary_df, record_types, strip_http_headers)
+
+
+def _parse_warc_binary_impl(
+    binary_df: DataFrame,
+    record_types: tuple[str, ...],
+    strip_http_headers: bool,
+) -> DataFrame:
+    """Body of the WARC parse (see parse_warc_binary). Original batch
+    docstring follows for the format contract:
+
+    Read WARC archives (ISO 28500 — the Common Crawl format) into
     a canonical documents frame: one row per selected WARC record
     with (doc_id, text, url, warc_date, content_type, n_bytes,
     source).
@@ -242,11 +258,7 @@ def read_documents_warc(
             yield pd.DataFrame(rows)
 
     return (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.warc*")
-        .load(path)
-        .select("path", "content")
+        binary_df.select("path", "content")
         .mapInPandas(parse, out_schema)
         .select(
             F.xxhash64(F.col("record_id")).alias("doc_id"),
@@ -258,4 +270,23 @@ def read_documents_warc(
             "source",
             F.col("record_id").alias("warc_record_id"),
         )
+    )
+
+
+def read_documents_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http_headers: bool = True,
+) -> DataFrame:
+    """Batch WARC reader: binaryFile scan (file-level parallelism —
+    the correct unit, see ``parse_warc_binary``) over ``path``, then
+    the shared parse."""
+    return parse_warc_binary(
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path),
+        record_types,
+        strip_http_headers,
     )

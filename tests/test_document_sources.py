@@ -796,3 +796,64 @@ def test_html_main_content_drops_nav_keeps_prose(spark):
     assert lines[0] == "This is the first real paragraph of the article text."
     assert lines[1].startswith("A second paragraph citing one source")
     assert "home" not in out and "short." not in out
+
+
+def test_stream_warc_ingest_two_drains(spark, tmp_path):
+    """The streaming crawl drive: drain one archive, drop a new
+    archive (containing one already-seen URL and one new page) and
+    drain again — the checkpointed source never re-reads archive 1,
+    the frontier drops the re-crawled URL, and both drains publish
+    exactly their new pages."""
+    from datapoints_csv_extractor_spark.plans.corpus_ingest import (
+        stream_warc_ingest,
+    )
+
+    def page(*paras):
+        return (
+            "<html><body>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</body></html>"
+        ).encode()
+
+    a = page(
+        "the quick brown fox jumps over the lazy dog today.",
+        "seventeen green turtles watch from a mossy riverbank.",
+        "pale skies stretch over the quiet northern valley.",
+    )
+    b = page(
+        "distributed query engines shuffle partitions across executors.",
+        "adaptive plans coalesce partitions at runtime for efficiency.",
+        "broadcast joins keep dimension tables off the exchange path.",
+    )
+    crawl = tmp_path / "crawl"; crawl.mkdir()
+    (crawl / "a.warc").write_bytes(
+        _warc_record("response", "s1", "http://st.example/a", a,
+                     extra_http=True)
+    )
+    stats_log = []
+    args = dict(
+        warc_path=str(crawl),
+        corpus_path=str(tmp_path / "corpus"),
+        store_path=str(tmp_path / "band"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        frontier_path=str(tmp_path / "frontier"),
+        c4_min_sentences=3,
+        on_batch=lambda bid, st: stats_log.append((bid, st)),
+    )
+    stream_warc_ingest(spark, **args)
+    total1 = sum(st["published"] for _, st in stats_log)
+    assert total1 == 1
+
+    (crawl / "b.warc").write_bytes(
+        _warc_record("response", "s2", "http://st.example/a", a,
+                     extra_http=True)  # re-crawl of the seen URL
+        + _warc_record("response", "s3", "http://st.example/b", b,
+                       extra_http=True)
+    )
+    stats_log.clear()
+    stream_warc_ingest(spark, **args)
+    assert sum(st["published"] for _, st in stats_log) == 1
+    assert sum(st["already_seen"] for _, st in stats_log) == 1
+
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert out.count() == 2
