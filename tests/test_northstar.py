@@ -2026,3 +2026,57 @@ def test_cdc_chunks_binary_matches_text_on_ascii_and_self_heals(spark):
            and h1[-1 - shared_tail] == h2[-1 - shared_tail]):
         shared_tail += 1
     assert shared_tail >= len(h1) - 3
+
+
+def test_cdc_chunks_unicode_property(spark):
+    """Arbitrary unicode docs (multibyte code points included): chunks
+    tile [1, len] in CHARACTERS, and every chunk_hash equals the md5
+    of the corresponding python slice — pinning that the kernel's
+    utf-32 code-point view agrees with character-indexed substring
+    semantics."""
+    import hashlib as _h
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datapoints_csv_extractor_spark.operators.dedup import cdc_chunks
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=1,
+                    max_codepoint=0x10FFF,
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=120,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        by_doc = {}
+        for r in cdc_chunks(df).collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for did, text in enumerate(texts):
+            rows = sorted(by_doc[did], key=lambda r: r.chunk_id)
+            pos = 1
+            for r in rows:
+                assert r.start == pos
+                piece = text[r.start - 1 : r.start - 1 + r.chunk_len]
+                assert r.chunk_hash == _h.md5(
+                    piece.encode("utf-8")
+                ).hexdigest()
+                pos += r.chunk_len
+            assert pos == len(text) + 1
+
+    check()
