@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.
         "q_domain_quality": C.q_domain_quality,
+        # One-sided containment decontamination (GPT-3/PaLM dial).
+        "q_containment_decontamination": D.q_containment_decontamination,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1429,6 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "q_html_main_content": X.html_main_content_oracle_sql(),
         # Domain reputation rollup.
         "q_domain_quality": C.domain_quality_oracle_sql(),
+        # One-sided containment decontamination.
+        "q_containment_decontamination": D.containment_decontamination_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

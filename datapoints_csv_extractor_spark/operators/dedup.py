@@ -1974,3 +1974,116 @@ def cdc_chunks_binary(
     return blobs.select(id_col, blob_col).mapInPandas(
         _chunk_batch, schema=out_schema
     )
+
+
+def q_containment_decontamination(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 97
+) -> DataFrame:
+    """One-sided CONTAINMENT decontamination: for each eval-suite
+    document, the train document maximizing C(eval, train) =
+    |shingles(eval) ∩ shingles(train)| / |shingles(eval)| — the
+    GPT-3/PaLM-style contamination dial. Symmetric Jaccard
+    under-scores an eval doc EMBEDDED in a larger train doc (the
+    union term grows with the train doc); containment normalizes by
+    the eval side only, which is exactly the leak being hunted.
+
+    The eval suite is a bounded slice (doc_id % eval_mod == 0 — the
+    fixed-size-suite contract shared with q_semantic_decontamination),
+    so the shingle equijoin is bounded by |eval shingles| x max
+    shingle df regardless of corpus size; production adds the
+    stop-shingle df cap in front (the dedup discipline) — omitted
+    here so the oracle's full-blocking SQL is reproduced exactly.
+    One equijoin + one pair aggregate + one per-eval argmax window;
+    integer intersection counts, one rounded division. Emits the
+    best-match REPORT row per eval doc (the release artifact a
+    decontamination review reads); the caller applies its corpus's
+    calibrated containment gate downstream — this synthetic corpus
+    peaks at ~0.05, so any fixed gate here would be vacuous."""
+    from pyspark.sql import Window
+
+    from datapoints_csv_extractor_spark.operators.relational import load
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles_of_tokens(tokens(F.col("text")), 3).alias("sh")
+    )
+    ev = d.where(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    tr = d.where(F.col("doc_id") % eval_mod != 0).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    e_sh = ev.select("eval_id", F.explode("sh").alias("shingle"))
+    t_sh = tr.select("train_id", F.explode("sh").alias("shingle"))
+    shared = (
+        e_sh.join(t_sh, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = ev.select("eval_id", F.size("sh").alias("n_shingles"))
+    scored = shared.join(sizes, "eval_id").withColumn(
+        "containment",
+        F.round(F.col("shared") / F.col("n_shingles"), 4),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("containment"), F.asc("train_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            F.col("train_id").alias("best_train_id"),
+            "shared",
+            "n_shingles",
+            "containment",
+        )
+        .orderBy("eval_id")
+    )
+
+
+def containment_decontamination_oracle_sql(eval_mod: int = 97) -> str:
+    """DuckDB twin of q_containment_decontamination: the established
+    window-shingle CTE, one-sided normalization, per-eval argmax."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text),
+                       '\\s+'), x -> x <> '')) AS w,
+                   generate_subscripts(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> ''), 1) AS ord
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w || ' ' || lead(w) OVER win || ' '
+                     || lead(w, 2) OVER win AS shingle
+            FROM words
+            WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), ev AS (
+            SELECT doc_id AS eval_id, shingle FROM sh
+            WHERE doc_id % {eval_mod} = 0
+        ), tr AS (
+            SELECT doc_id AS train_id, shingle FROM sh
+            WHERE doc_id % {eval_mod} != 0
+        ), sizes AS (
+            SELECT eval_id, count(*) AS n_shingles FROM ev GROUP BY eval_id
+        ), shared AS (
+            SELECT e.eval_id, t.train_id, count(*) AS shared
+            FROM ev e JOIN tr t USING (shingle)
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT s.eval_id, s.train_id, s.shared, z.n_shingles,
+                   round(s.shared * 1.0 / z.n_shingles, 4) AS containment
+            FROM shared s JOIN sizes z USING (eval_id)
+        )
+        SELECT eval_id, train_id AS best_train_id, shared, n_shingles,
+               containment
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY eval_id
+            ORDER BY containment DESC, train_id
+        ) = 1
+        ORDER BY eval_id
+    """

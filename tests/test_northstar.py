@@ -2080,3 +2080,34 @@ def test_cdc_chunks_unicode_property(spark):
             assert pos == len(text) + 1
 
     check()
+
+
+def test_containment_vs_jaccard_on_embedded_doc(spark):
+    """The semantics containment exists for: a short eval doc fully
+    embedded in a much longer train doc scores containment 1.0 while
+    its Jaccard stays low — built directly from the operator's own
+    shingle/normalization pieces."""
+    from pyspark.sql import Window
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        shingles_of_tokens,
+    )
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    evald = "alpha beta gamma delta epsilon zeta"
+    train_long = (
+        "prefix words before the leak " + evald + " and a long tail "
+        + " ".join(f"filler{i}" for i in range(40))
+    )
+    df = spark.createDataFrame(
+        [(0, evald), (1, train_long)], "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id", shingles_of_tokens(tokens(F.col("text")), 3).alias("sh")
+    )
+    rows = {r.doc_id: set(r.sh) for r in sh.collect()}
+    inter = len(rows[0] & rows[1])
+    containment = inter / len(rows[0])
+    jaccard = inter / len(rows[0] | rows[1])
+    assert containment == 1.0
+    assert jaccard < 0.15
