@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_sitemap_parse",
     "q_link_graph",
     "q_html_main_content",
+    "q_containment_decontamination",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
