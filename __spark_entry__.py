@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_quality": C.q_domain_quality,
         # One-sided containment decontamination (GPT-3/PaLM dial).
         "q_containment_decontamination": D.q_containment_decontamination,
+        # Margin-based bitext mining (LASER/CCMatrix mutual-best).
+        "q_bitext_mine": V.q_bitext_mine,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,
@@ -1239,6 +1241,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             WHERE rank <= 10
+        """,
+        # Bitext mining: the pair cosine is rounded then scaled to an
+        # INTEGER (x10000), so every downstream statistic (top-k sums,
+        # counts, the margin ratio itself) is integer-rational — one
+        # double division per margin, rounded identically on both
+        # engines; mutual-argmax ties break on the partner id.
+        "q_bitext_mine": """
+            WITH src AS (
+                SELECT vec_id AS src_id, label, embedding AS se
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), tgt AS (
+                SELECT vec_id AS tgt_id, label, embedding AS te
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), pairs AS (
+                SELECT s.src_id, t.tgt_id, s.label,
+                       CAST(round(round(
+                           list_sum(list_transform(list_zip(s.se, t.te),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(s.se,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(t.te,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) * 10000, 0) AS BIGINT) AS cos_i
+                FROM src s JOIN tgt t USING (label)
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY cos_i DESC, tgt_id) AS rf,
+                       row_number() OVER (PARTITION BY tgt_id
+                                          ORDER BY cos_i DESC, src_id) AS rb
+                FROM pairs WHERE cos_i IS NOT NULL
+            ), fwd AS (
+                SELECT src_id, sum(cos_i) AS f_sum, count(*) AS f_cnt
+                FROM ranked WHERE rf <= 4 GROUP BY src_id
+            ), bwd AS (
+                SELECT tgt_id, sum(cos_i) AS b_sum, count(*) AS b_cnt
+                FROM ranked WHERE rb <= 4 GROUP BY tgt_id
+            ), scored AS (
+                SELECT p.src_id, p.tgt_id, p.label, p.cos_i,
+                       round(CAST(2 * p.cos_i * f.f_cnt * b.b_cnt AS DOUBLE)
+                             / (f.f_sum * b.b_cnt + b.b_sum * f.f_cnt),
+                             4) AS margin
+                FROM pairs p
+                JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)
+                WHERE p.cos_i IS NOT NULL
+                  AND f.f_sum * b.b_cnt + b.b_sum * f.f_cnt > 0
+            ), mranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY margin DESC, tgt_id) AS mf,
+                       row_number() OVER (PARTITION BY tgt_id
+                                          ORDER BY margin DESC, src_id) AS mb
+                FROM scored
+            )
+            SELECT src_id, tgt_id, label,
+                   round(cos_i / 10000.0, 4) AS cosine, margin
+            FROM mranked
+            WHERE mf = 1 AND mb = 1 AND margin >= 1.0
+            ORDER BY src_id
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

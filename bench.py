@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_link_graph",
     "q_html_main_content",
     "q_containment_decontamination",
+    "q_bitext_mine",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
@@ -428,7 +429,9 @@ SF1_REGISTERED_QUERIES = [
     # incremental rollup, and bounded-state space-saving.
     # (q_interval_overlap is NOT probed: its PAIR count legitimately
     # grows with both interval sets — the operator's cost dial is
-    # per-bucket density, pinned in test_plan_shape.)
+    # per-bucket density, pinned in test_plan_shape. q_bitext_mine is
+    # likewise excluded: within-cell mining is src x tgt by design, so
+    # its dial is the blocking-cell size, not the corpus.)
     "q_dsir_importance_sample",
     "q_bloom_decontamination",
     "q_phrase_search",

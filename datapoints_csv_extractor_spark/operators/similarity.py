@@ -3062,3 +3062,134 @@ def rp_oracle_sql(
     return (
         " UNION ALL ".join(branches) + " ORDER BY vec_id, dim"
     )
+
+
+def q_bitext_mine(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix recipe): score every cross-lingual candidate
+    pair by its cosine RATIO to the local neighborhood density —
+    margin(x, y) = cos(x, y) / mean(avg top-k cos of x, avg top-k cos
+    of y) — then keep pairs that are each other's best margin match
+    (the "max" strategy's mutual form). Plain cosine thresholds
+    over-mine hubs (vectors near everything); the margin denominator
+    cancels hubness out.
+
+    Stand-in bilingual setup over the embeddings table: even vec_ids
+    are the source language, odd the target, and the ``label`` column
+    is the coarse blocking cell (at 100 TB: the IVF cell / LSH bucket
+    that caps the candidate space — pair work is sum(b_src*b_tgt) per
+    cell, never |src| x |tgt|).
+
+    Engine-exactness: the pair cosine is the JVM sequential fold
+    rounded to 4 (the repo's established parity contract), then
+    scaled to an INTEGER (x10000). Every downstream statistic —
+    top-k sums, counts, and the margin itself — is integer-rational:
+    margin = 2*cos_i*f_cnt*b_cnt / (f_sum*b_cnt + b_sum*f_cnt), one
+    double division rounded to 4 on both engines. Ties in the mutual
+    argmax break on the partner id, so the mined set is
+    engine-independent.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    # Norms are hoisted to one fold per ROW (not per pair) — sqrt of
+    # the same sequential sum the per-pair form would compute, so the
+    # cosine doubles are unchanged; only 1 of 3 folds remains per pair.
+    src = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("embedding").alias("se"),
+        _norm(F.col("embedding")).alias("sn"),
+    )
+    tgt = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        "label",
+        F.col("embedding").alias("te"),
+        _norm(F.col("embedding")).alias("tn"),
+    )
+    cos_i = F.round(
+        F.round(
+            _dot(F.col("se"), F.col("te")) / (F.col("sn") * F.col("tn")), 4
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    pairs = (
+        _spread(src)
+        .join(tgt, "label")
+        .select("src_id", "tgt_id", "label", cos_i.alias("cos_i"))
+        .where(F.col("cos_i").isNotNull())
+    )
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_i"), F.asc("tgt_id")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_i"), F.asc("src_id")
+    )
+    ranked = pairs.select(
+        "*",
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_b).alias("rb"),
+    )
+    fwd = (
+        ranked.where(F.col("rf") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_i").alias("f_sum"),
+            F.count("*").alias("f_cnt"),
+        )
+    )
+    bwd = (
+        ranked.where(F.col("rb") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_i").alias("b_sum"),
+            F.count("*").alias("b_cnt"),
+        )
+    )
+    den = F.col("f_sum") * F.col("b_cnt") + F.col("b_sum") * F.col("f_cnt")
+    margin = F.round(
+        (2 * F.col("cos_i") * F.col("f_cnt") * F.col("b_cnt")).cast("double")
+        / den,
+        4,
+    )
+    # fwd/bwd are |src|- and |tgt|-sized (one row per vector) — NOT
+    # broadcastable at scale; both joins are key-partitioned shuffles
+    # whose bigger side (pairs) is already cell-capped.
+    scored = (
+        pairs.join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .where(den > 0)
+        .select("src_id", "tgt_id", "label", "cos_i", margin.alias("margin"))
+    )
+    w_mf = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    w_mb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.asc("src_id")
+    )
+    return (
+        scored.select(
+            "*",
+            F.row_number().over(w_mf).alias("mf"),
+            F.row_number().over(w_mb).alias("mb"),
+        )
+        .where(
+            (F.col("mf") == 1)
+            & (F.col("mb") == 1)
+            & (F.col("margin") >= threshold)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "label",
+            F.round(F.col("cos_i") / 10000.0, 4).alias("cosine"),
+            "margin",
+        )
+        .orderBy("src_id")
+    )

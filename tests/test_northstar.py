@@ -2111,3 +2111,75 @@ def test_containment_vs_jaccard_on_embedded_doc(spark):
     jaccard = inter / len(rows[0] | rows[1])
     assert containment == 1.0
     assert jaccard < 0.15
+
+
+def test_bitext_mine_mutual_best_and_margin(spark):
+    """Mined pairs are mutual-best by margin within their label block,
+    margins clear the threshold, and a brute-force python replay of
+    the margin recipe over the same rounded-integer cosines agrees
+    exactly (the oracle contract, re-derived independently)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    mined = V.q_bitext_mine(spark, sf).collect()
+    assert mined, "expected at least one mined pair in testdata"
+
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, tuple[list, list]] = {}
+    for r in rows:
+        side = by_label.setdefault(r.label, ([], []))
+        side[r.vec_id % 2].append((r.vec_id, np.array(r.embedding, float)))
+
+    # Replay: integer-scaled rounded cosines -> top-4 sums -> margin.
+    pairs: dict[tuple[int, int], tuple[int, int]] = {}
+    fwd: dict[int, list[tuple[int, int]]] = {}
+    bwd: dict[int, list[tuple[int, int]]] = {}
+    for lab, (evens, odds) in by_label.items():
+        for sid, se in evens:
+            for tid, te in odds:
+                c = float(se @ te / (np.linalg.norm(se) * np.linalg.norm(te)))
+                ci = int(round(round(c, 4) * 10000))
+                pairs[(sid, tid)] = (lab, ci)
+                fwd.setdefault(sid, []).append((ci, tid))
+                bwd.setdefault(tid, []).append((ci, sid))
+    fstat = {
+        s: (sum(c for c, _ in sorted(v, key=lambda p: (-p[0], p[1]))[:4]),
+            min(len(v), 4))
+        for s, v in fwd.items()
+    }
+    bstat = {
+        t: (sum(c for c, _ in sorted(v, key=lambda p: (-p[0], p[1]))[:4]),
+            min(len(v), 4))
+        for t, v in bwd.items()
+    }
+    margins: dict[tuple[int, int], float] = {}
+    for (sid, tid), (_lab, ci) in pairs.items():
+        fs, fc = fstat[sid]
+        bs, bc = bstat[tid]
+        den = fs * bc + bs * fc
+        if den > 0:
+            margins[(sid, tid)] = round(2 * ci * fc * bc / den, 4)
+
+    best_f = {}
+    best_b = {}
+    for (sid, tid), m in margins.items():
+        if sid not in best_f or (-m, tid) < best_f[sid][0]:
+            best_f[sid] = ((-m, tid), tid)
+        if tid not in best_b or (-m, sid) < best_b[tid][0]:
+            best_b[tid] = ((-m, sid), sid)
+    expected = sorted(
+        (sid, tid)
+        for (sid, tid), m in margins.items()
+        if m >= 1.0 and best_f[sid][1] == tid and best_b[tid][1] == sid
+    )
+    got = sorted((r.src_id, r.tgt_id) for r in mined)
+    assert got == expected
+    for r in mined:
+        assert r.margin >= 1.0
+        assert abs(margins[(r.src_id, r.tgt_id)] - r.margin) < 1e-9
