@@ -145,7 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_stats": C.q_url_stats,
         "q_data_quality_report": R.q_data_quality_report,
         "q_rp_project": V.q_rp_project,
-        "q_retrieval_metrics": V.q_retrieval_metrics,
+        # Round-8 rotation: bitext mining (new oracle-exact family)
+        # takes q_retrieval_metrics' window slot; retrieval metrics
+        # (green in CORRECTNESS_r07) stays registered below.
+        "q_bitext_mine": V.q_bitext_mine,
         "q_semantic_decontamination": V.q_semantic_decontamination,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         "q_distribution_drift_psi": A.q_distribution_drift_psi,
@@ -192,8 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_quality": C.q_domain_quality,
         # One-sided containment decontamination (GPT-3/PaLM dial).
         "q_containment_decontamination": D.q_containment_decontamination,
-        # Margin-based bitext mining (LASER/CCMatrix mutual-best).
-        "q_bitext_mine": V.q_bitext_mine,
+        "q_retrieval_metrics": V.q_retrieval_metrics,
+        # Train-once distributed PCA (gram partials + driver eigh);
+        # rows-only — eigendecomposition is not ANSI-SQL-expressible,
+        # exactness pinned in tests/test_pca.py vs a numpy replay.
+        "q_pca_project": V.q_pca_project,
         "q_decontamination": D.q_decontamination,
         "q_bpe_token_count": X.q_bpe_token_count,
         "q_topk_ngrams_per_source": X.q_topk_ngrams_per_source,

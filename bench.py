@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_html_main_content",
     "q_containment_decontamination",
     "q_bitext_mine",
+    "q_pca_project",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
@@ -454,6 +455,9 @@ SF1_REGISTERED_QUERIES = [
     "q_cdc_chunks",
     "q_link_graph",
     "q_html_main_content",
+    # One-pass gram-partial trainer + map-only projection: the
+    # classic tall-skinny linear shape, probed to prove it.
+    "q_pca_project",
 ]
 
 

@@ -3193,3 +3193,150 @@ def q_bitext_mine(
         )
         .orderBy("src_id")
     )
+
+
+# --------------------------------------------------------------------
+# Distributed PCA (tall-skinny): one Arrow pass folds each batch to a
+# (count, sum-vector, gram-matrix) partial — d^2 + d + 1 doubles, so
+# the driver reduction is parameter-sized no matter how many rows the
+# corpus has — then numpy's eigh factors the d x d covariance on the
+# driver and the k x d component matrix broadcasts back as literals.
+# This is the canonical n-huge / d-small shape: the only full-data
+# pass is map-side, shuffle-free, and linear.
+
+
+def pca_train(
+    df: DataFrame, col: str = "embedding", k: int = 4
+) -> dict:
+    """Fit PCA over an array<float> column.
+
+    Returns ``{"mean": [d], "components": [k][d], "eigenvalues": [k],
+    "n": int, "d": int}`` with components L2-normalized, ordered by
+    descending eigenvalue, and SIGN-CANONICALIZED (the largest-|.|
+    entry of each component is made positive) so retrains on the same
+    data reproduce byte-identical models. Partials are summed in
+    min-vec-id order so the driver-side float fold is order-stable
+    across cluster re-partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "part_key": [int(pdf["__pk"].min())],
+                    "n": [int(len(m))],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    src = df.select(F.monotonically_increasing_id().alias("__pk"), col)
+    rows = sorted(
+        src.mapInPandas(
+            _partials,
+            "part_key long, n long, s array<double>, g array<double>",
+        ).collect(),
+        key=lambda r: r.part_key,
+    )
+    if not rows:
+        raise ValueError("pca_train: empty input")
+    d = len(rows[0].s)
+    n = sum(r.n for r in rows)
+    if n < 2:
+        raise ValueError("pca_train: need at least 2 rows")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r.s)
+        g += np.array(r.g).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = []
+    for j in order:
+        v = evecs[:, j]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v.tolist())
+    return {
+        "mean": mean.tolist(),
+        "components": comps,
+        "eigenvalues": [float(evals[j]) for j in order],
+        "n": int(n),
+        "d": int(d),
+    }
+
+
+def pca_save(spark: SparkSession, model: dict, path: str) -> None:
+    """Persist the model as a 1-row parquet frame (self-describing,
+    readable by any engine — the repo's store idiom for
+    parameter-sized artifacts)."""
+    spark.createDataFrame(
+        [
+            (
+                model["mean"],
+                model["components"],
+                model["eigenvalues"],
+                model["n"],
+                model["d"],
+            )
+        ],
+        "mean array<double>, components array<array<double>>, "
+        "eigenvalues array<double>, n long, d long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pca_load(spark: SparkSession, path: str) -> dict:
+    row = _require_row(spark.read.parquet(path).first(), f"PCA model at {path}")
+    return {
+        "mean": list(row.mean),
+        "components": [list(c) for c in row.components],
+        "eigenvalues": list(row.eigenvalues),
+        "n": row.n,
+        "d": row.d,
+    }
+
+
+def pca_project(
+    df: DataFrame, model: dict, col: str = "embedding", prefix: str = "pc"
+) -> DataFrame:
+    """Project rows onto the fitted components: pc_j = (x - mean) . c_j
+    as JVM sequential folds over broadcast component LITERALS (k*d
+    doubles inlined into the plan — no join, no shuffle, whole-stage
+    codegen keeps the scan map-only)."""
+    centered = F.zip_with(
+        F.col(col),
+        F.array(*[F.lit(float(m)) for m in model["mean"]]),
+        lambda x, m: x.cast("double") - m,
+    )
+    out = df.withColumn("__c", centered)
+    for j, comp in enumerate(model["components"], start=1):
+        out = out.withColumn(
+            f"{prefix}{j}",
+            F.round(
+                _dot(F.col("__c"), F.array(*[F.lit(float(c)) for c in comp])),
+                6,
+            ),
+        )
+    return out.drop("__c")
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """Train-once PCA on the embeddings table, then project every
+    vector onto the top-k components (vec_id, label, pc1..pck).
+
+    Rows-only for the driver (eigendecomposition is not expressible in
+    ANSI SQL); exactness vs a full numpy PCA replay — subspace match,
+    per-component variance = eigenvalue, orthonormality, sign
+    canonicalization, save/load round-trip — is pinned in pytest."""
+    e = load(spark, sf_dir, "embeddings")
+    model = pca_train(e, "embedding", k)
+    return pca_project(
+        e.select("vec_id", "label", "embedding"), model
+    ).drop("embedding").orderBy("vec_id")

@@ -1,0 +1,105 @@
+"""Distributed PCA: numpy-replay parity, spectral invariants, sign
+canonicalization, save/load round-trip, and the serving projection.
+
+The trainer folds each Arrow batch to (count, sum, gram) partials —
+the tall-skinny shape — so the full numpy PCA over the collected
+rows is the exact ground truth the distributed pass must reproduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datapoints_csv_extractor_spark.operators import similarity as V
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = V.pca_train(e, "embedding", k=4)
+    x = np.array(
+        [r.embedding for r in e.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    return model, x
+
+
+def test_pca_matches_numpy_eigh(fitted):
+    model, x = fitted
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    assert np.allclose(model["mean"], x.mean(axis=0), atol=1e-9)
+    assert np.allclose(
+        model["eigenvalues"], [evals[j] for j in order], rtol=1e-8
+    )
+    for got, j in zip(model["components"], order):
+        ref = evecs[:, j]
+        # Same 1-D eigenspace: |cosine| == 1 (sign is canonicalized
+        # separately; random testdata has distinct eigenvalues).
+        assert abs(abs(np.dot(got, ref)) - 1.0) < 1e-8
+
+
+def test_pca_components_orthonormal_and_sign_canonical(fitted):
+    model, _ = fitted
+    c = np.array(model["components"])
+    assert np.allclose(c @ c.T, np.eye(len(c)), atol=1e-9)
+    for v in c:
+        assert v[int(np.argmax(np.abs(v)))] > 0
+    ev = model["eigenvalues"]
+    assert all(a >= b for a, b in zip(ev, ev[1:]))
+
+
+def test_pca_projection_variance_equals_eigenvalue(fitted, spark):
+    model, x = fitted
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    proj = (
+        V.pca_project(e.select("vec_id", "embedding"), model)
+        .orderBy("vec_id")
+        .collect()
+    )
+    centered = x - np.array(model["mean"])
+    for j, comp in enumerate(model["components"], start=1):
+        got = np.array([r[f"pc{j}"] for r in proj])
+        ref = centered @ np.array(comp)
+        assert np.allclose(got, ref, atol=1e-6)  # round(6) serving
+        assert np.isclose(
+            ref.var(ddof=1), model["eigenvalues"][j - 1], rtol=1e-8
+        )
+
+
+def test_pca_train_is_deterministic_across_partitionings(spark, fitted):
+    model, _ = fitted
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    again = V.pca_train(e.repartition(7), "embedding", k=4)
+    assert np.allclose(model["mean"], again["mean"], atol=1e-12)
+    for a, b in zip(model["components"], again["components"]):
+        assert np.allclose(a, b, atol=1e-9)
+
+
+def test_pca_save_load_round_trip(spark, fitted, tmp_path):
+    model, _ = fitted
+    path = str(tmp_path / "pca_model")
+    V.pca_save(spark, model, path)
+    back = V.pca_load(spark, path)
+    assert back["n"] == model["n"] and back["d"] == model["d"]
+    assert np.allclose(back["mean"], model["mean"])
+    assert np.allclose(back["components"], model["components"])
+    assert np.allclose(back["eigenvalues"], model["eigenvalues"])
+
+
+def test_q_pca_project_shape(spark):
+    df = V.q_pca_project(spark, SF)
+    assert df.columns == ["vec_id", "label", "pc1", "pc2", "pc3", "pc4"]
+    assert df.count() == 500
+
+
+def test_pca_train_raises_on_empty_and_singleton(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        V.pca_train(e.where("vec_id < 0"), "embedding")
+    with pytest.raises(ValueError):
+        V.pca_train(e.limit(1), "embedding")
