@@ -151,7 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_mine": V.q_bitext_mine,
         "q_semantic_decontamination": V.q_semantic_decontamination,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
-        "q_distribution_drift_psi": A.q_distribution_drift_psi,
+        # Round-8 rotation: MMR reranking (new oracle-exact family)
+        # takes q_distribution_drift_psi's slot (green in r07); PSI
+        # stays registered below.
+        "q_mmr_rerank": V.q_mmr_rerank,
         "q_repeated_spans": C.q_repeated_spans,
         "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
@@ -196,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # One-sided containment decontamination (GPT-3/PaLM dial).
         "q_containment_decontamination": D.q_containment_decontamination,
         "q_retrieval_metrics": V.q_retrieval_metrics,
+        "q_distribution_drift_psi": A.q_distribution_drift_psi,
         # Train-once distributed PCA (gram partials + driver eigh);
         # rows-only — eigendecomposition is not ANSI-SQL-expressible,
         # exactness pinned in tests/test_pca.py vs a numpy replay.
@@ -1306,6 +1310,63 @@ def oracle_sql() -> dict[str, str]:
             FROM mranked
             WHERE mf = 1 AND mb = 1 AND margin >= 1.0
             ORDER BY src_id
+        """,
+        # MMR: the greedy selection is a recursive CTE whose per-step
+        # argmax runs on INTEGER scores (cos x10000, lambda in tenths:
+        # 7*cos_i - 3*max_sim_i), so the pick order is a total integer
+        # order both engines share; doubles appear only in the final
+        # display divisions.
+        "q_mmr_rerank": """
+            WITH RECURSIVE q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), cand AS (
+                SELECT e.vec_id, e.label,
+                       CAST(round(round(
+                           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(q.qe,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) * 10000, 0) AS BIGINT) AS cos_i,
+                       e.embedding
+                FROM embeddings e, q WHERE e.vec_id <> 0
+                ORDER BY cos_i DESC, e.vec_id LIMIT 25
+            ), pairs AS (
+                SELECT a.vec_id AS ai, b.vec_id AS bi,
+                       CAST(round(round(
+                           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(a.embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(b.embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           4) * 10000, 0) AS BIGINT) AS sim_i
+                FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+            ), sel(step, ids, pick_id, pick_score) AS (
+                SELECT 1, [c.vec_id], c.vec_id, 7 * c.cos_i
+                FROM (SELECT vec_id, cos_i FROM cand
+                      ORDER BY cos_i DESC, vec_id LIMIT 1) c
+                UNION ALL
+                SELECT sel.step + 1, list_append(sel.ids, p.vid),
+                       p.vid, p.score
+                FROM sel, LATERAL (
+                    SELECT c.vec_id AS vid,
+                           7 * c.cos_i - 3 * (
+                               SELECT max(pp.sim_i) FROM pairs pp
+                               WHERE pp.ai = c.vec_id
+                                 AND list_contains(sel.ids, pp.bi)) AS score
+                    FROM cand c WHERE NOT list_contains(sel.ids, c.vec_id)
+                    ORDER BY score DESC, c.vec_id LIMIT 1
+                ) p
+                WHERE sel.step < 10
+            )
+            SELECT CAST(sel.step AS INT) AS rank, sel.pick_id AS vec_id,
+                   c.label,
+                   round(c.cos_i / 10000.0, 4) AS cosine,
+                   round(sel.pick_score / 70000.0, 4) AS mmr_score
+            FROM sel JOIN cand c ON c.vec_id = sel.pick_id
+            ORDER BY rank
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_containment_decontamination",
     "q_bitext_mine",
     "q_pca_project",
+    "q_mmr_rerank",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",

@@ -3340,3 +3340,95 @@ def q_pca_project(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
     return pca_project(
         e.select("vec_id", "label", "embedding"), model
     ).drop("embedding").orderBy("vec_id")
+
+
+def q_mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    pool: int = 25,
+    k: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): greedily pick k results that balance query relevance
+    against redundancy with what's already picked —
+    score(d) = lambda*cos(q,d) - (1-lambda)*max_{s in S} cos(d,s),
+    lambda = 0.7. Plain top-k returns near-duplicate hits; MMR is the
+    standard diversification pass over a bounded rerank window.
+
+    Plan shape: candidate generation is the distributed part (one
+    map-only scan + TakeOrdered for the top-``pool``); the greedy
+    rerank is O(pool^2) PARAMETER-sized work — ``pool`` is the serving
+    dial, exactly like an ANN re-score window. Pool pair cosines are
+    computed by the JVM sequential fold (25 x 24 pairs), collected,
+    and the greedy loop runs on INTEGERS only: cosines are scaled to
+    x10000 BIGINT and lambda to tenths (score_i = 7*cos_i -
+    3*max_sim_i), so the selection order is a total integer order
+    (ties -> smaller vec_id) that DuckDB's recursive-CTE twin
+    reproduces exactly; the only doubles are the final display
+    divisions, rounded by SPARK so both engines share round()
+    semantics."""
+    e = load(spark, sf_dir, "embeddings")
+    qrow = _require_row(
+        e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
+        f"query vec_id={query_vec_id}",
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cos_i = F.round(
+        F.round(cosine(F.col("embedding"), qlit), 4) * 10000, 0
+    ).cast("long")
+    cand = (
+        e.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "embedding", cos_i.alias("cos_i"))
+        .orderBy(F.desc("cos_i"), F.asc("vec_id"))
+        .limit(pool)
+    ).cache()
+    a = cand.select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("eb")
+    )
+    sim_i = F.round(
+        F.round(cosine(F.col("ea"), F.col("eb")), 4) * 10000, 0
+    ).cast("long")
+    pair_rows = (
+        a.join(b, F.col("ai") != F.col("bi"))
+        .select("ai", "bi", sim_i.alias("sim_i"))
+        .collect()
+    )
+    sim = {(r.ai, r.bi): r.sim_i for r in pair_rows}
+    cands = {
+        r.vec_id: (r.label, r.cos_i)
+        for r in cand.select("vec_id", "label", "cos_i").collect()
+    }
+    cand.unpersist()
+
+    picked: list[tuple[int, int, int, int, int]] = []  # rank,vid,label,cos_i,score_i
+    selected: list[int] = []
+    for step in range(1, min(k, len(cands)) + 1):
+        best = None
+        for vid, (lab, ci) in cands.items():
+            if vid in selected:
+                continue
+            if selected:
+                score = 7 * ci - 3 * max(sim[(vid, s)] for s in selected)
+            else:
+                score = 7 * ci
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, lab, ci, score)
+        _, vid, lab, ci, score = best
+        selected.append(vid)
+        picked.append((step, vid, lab, ci, score))
+
+    out = spark.createDataFrame(
+        picked, "rank int, vec_id long, label int, cos_i long, score_i long"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        "label",
+        F.round(F.col("cos_i") / 10000.0, 4).alias("cosine"),
+        F.round(F.col("score_i") / 70000.0, 4).alias("mmr_score"),
+    ).orderBy("rank")

@@ -2183,3 +2183,59 @@ def test_bitext_mine_mutual_best_and_margin(spark):
     for r in mined:
         assert r.margin >= 1.0
         assert abs(margins[(r.src_id, r.tgt_id)] - r.margin) < 1e-9
+
+
+def test_mmr_rerank_greedy_replay_and_diversity(spark):
+    """Independent python replay of the integer greedy (from raw
+    numpy cosines, re-rounded the oracle way) matches the operator's
+    pick order exactly; first pick is the plain top-1; each pick's
+    mmr_score never increases (greedy argmax over a shrinking set
+    with a growing penalty envelope is non-increasing here because
+    score_1 >= score_t for the chosen items)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    got = V.q_mmr_rerank(spark, sf).collect()
+    assert [r.rank for r in got] == list(range(1, 11))
+
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.array(r.embedding, float) for r in rows}
+    qv = vecs[0]
+
+    def ci(a, b):
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return int(round(round(c, 4) * 10000))
+
+    scored = sorted(
+        ((ci(qv, v), -vid) for vid, v in vecs.items() if vid != 0),
+        reverse=True,
+    )
+    pool = [(-nvid, c) for c, nvid in scored[:25]]
+    sims = {
+        (a, b): ci(vecs[a], vecs[b])
+        for a, _ in pool
+        for b, _ in pool
+        if a != b
+    }
+    selected: list[int] = []
+    for _ in range(10):
+        best = None
+        for vid, c in pool:
+            if vid in selected:
+                continue
+            s = 7 * c - (3 * max(sims[(vid, x)] for x in selected) if selected else 0)
+            if best is None or (-s, vid) < best[0]:
+                best = ((-s, vid), vid)
+        selected.append(best[1])
+    assert [r.vec_id for r in got] == selected
+
+    top1 = max((c, -vid) for vid, c in pool)
+    assert got[0].vec_id == -top1[1]
+    scores = [r.mmr_score for r in got]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
