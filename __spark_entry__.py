@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_graph": C.q_link_graph,
         # Audio near-dup: constellation landmark matcher (rows-only).
         "q_audio_near_dup": M.q_audio_near_dup,
+        # Video near-dup: animated-GIF frame dHash + offset voting
+        # (rows-only — no SQL engine decodes GIF LZW).
+        "q_video_near_dup": M.q_video_near_dup,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.

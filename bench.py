@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_dedup_keep_best",
     "q_sssp_weighted",
     "q_multimodal_dedup_clusters",
+    "q_video_near_dup",
     "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",

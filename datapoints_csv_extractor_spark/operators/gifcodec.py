@@ -15,8 +15,15 @@ the image's distinct colors, <= 256 required) so tests and pipelines
 can make valid payloads with no media library; both ends speak
 through the bitstream only.
 
-Out of scope (None, never a guess): animation beyond frame 1 (the
-walk stops at the first image descriptor), images whose pixel data
+``decode_gif_frames`` / ``encode_gif_frames`` extend the codec to
+ANIMATION (GIF89a): the frame walk honors each frame's Graphic
+Control Extension — per-frame transparency, disposal methods 0/1
+(leave), 2 (restore background), 3 (restore previous) — and
+composites sub-rectangle frames onto the logical-screen canvas, so
+every returned frame is the full rendered canvas at that point of
+the animation, which is what a perceptual hash must see.
+
+Out of scope (None, never a guess): images whose pixel data
 overruns the declared dimensions, and palettes the stream does not
 carry. Corrupt input is data, not a bug: parse-or-NULL like every
 decoder in multimodal.py.
@@ -278,4 +285,171 @@ def encode_gif(px) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+_MAX_CANVAS_PIXELS = 1 << 22          # 4 Mpx logical screen
+_MAX_ANIMATION_PIXELS = 1 << 26       # 64 Mpx across all frames
+
+
+def decode_gif_frames(raw: bytes):
+    """Decode a GIF87a/89a stream to the list of RENDERED frames —
+    each an (sh, sw, 3) uint8 RGB snapshot of the logical-screen
+    canvas after compositing that frame (GCE transparency + disposal
+    honored). None for non-GIF / malformed input."""
+    try:
+        return _decode_gif_frames_strict(raw)
+    except Exception:  # noqa: BLE001 — corrupt input is data, not a bug
+        return None
+
+
+def _decode_gif_frames_strict(raw: bytes):
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed, bg_index, _ = struct.unpack("<HHBBB", raw[6:13])
+    if sw == 0 or sh == 0 or sw * sh > _MAX_CANVAS_PIXELS:
+        return None
+    off = 13
+    global_tbl = None
+    if packed & 0x80:
+        global_tbl, off = _read_color_table(raw, off, 2 << (packed & 0x07))
+        if global_tbl is None:
+            return None
+    bg_rgb = (
+        global_tbl[bg_index]
+        if global_tbl is not None and bg_index < len(global_tbl)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    budget = _MAX_ANIMATION_PIXELS
+    transparent = None
+    disposal = 0
+    while off < len(raw):
+        b = raw[off]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if off + 2 > len(raw):
+                return None
+            label = raw[off + 1]
+            off += 2
+            if label == 0xF9 and off < len(raw) and raw[off] == 4:
+                flags = raw[off + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = raw[off + 4] if flags & 0x01 else None
+            while off < len(raw) and raw[off] != 0:
+                off += 1 + raw[off]
+            off += 1
+            continue
+        if b == 0x2C:  # image descriptor
+            if off + 10 > len(raw):
+                return None
+            ix, iy, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", raw[off + 1 : off + 10]
+            )
+            off += 10
+            if iw == 0 or ih == 0 or ix + iw > sw or iy + ih > sh:
+                return None
+            tbl = global_tbl
+            if ipacked & 0x80:
+                tbl, off = _read_color_table(raw, off, 2 << (ipacked & 0x07))
+            if tbl is None or off >= len(raw):
+                return None
+            min_code = raw[off]
+            off += 1
+            if not (2 <= min_code <= 11):
+                return None
+            data = bytearray()
+            while off < len(raw) and raw[off] != 0:
+                n = raw[off]
+                data += raw[off + 1 : off + 1 + n]
+                off += 1 + n
+            off += 1  # sub-block terminator
+            budget -= iw * ih
+            if budget < 0:
+                return None
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                return None
+            grid = np.array(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: de-weave the 4 passes
+                woven = np.empty_like(grid)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    for r in range(start, ih, step):
+                        woven[r] = grid[src]
+                        src += 1
+                grid = woven
+            if int(grid.max()) >= len(tbl):
+                return None
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            before = region.copy() if disposal == 3 else None
+            rgb = tbl[grid]
+            if transparent is not None:
+                mask = grid != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                region[:, :] = bg_rgb
+            elif disposal == 3:
+                region[:, :] = before
+            transparent = None
+            disposal = 0
+            continue
+        return None  # unknown block
+    return frames or None
+
+
+def encode_gif_frames(frames, delay_cs: int = 4) -> bytes:
+    """Encode a sequence of same-shape (h, w, 3) uint8 RGB arrays as
+    an animated GIF89a: one GLOBAL palette over the union of colors
+    (<= 256 required — this is a test-payload writer, quantization
+    belongs to a real image library), full-screen frames, disposal 1
+    (leave), NETSCAPE2.0 loop extension."""
+    mats = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not mats:
+        raise ValueError("encode_gif_frames: no frames")
+    for i, m in enumerate(mats):
+        if m.ndim == 2:
+            mats[i] = np.repeat(m[:, :, None], 3, axis=2)
+    h, w, _ = mats[0].shape
+    if any(m.shape != (h, w, 3) for m in mats):
+        raise ValueError("encode_gif_frames: frames must share one shape")
+    stacked = np.concatenate([m.reshape(-1, 3) for m in mats])
+    colors, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif_frames palette overflow (>256 colors)")
+    depth = 1
+    while (1 << depth) < max(len(colors), 2):
+        depth += 1
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop forever.
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(depth, 2)
+    per = h * w
+    for i, _ in enumerate(mats):
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs
+        ) + b"\x00\x00"  # disposal 1, no transparency
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(
+            inverse[i * per : (i + 1) * per].astype(np.int32).tolist(),
+            min_code,
+        )
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

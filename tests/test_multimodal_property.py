@@ -815,3 +815,159 @@ def test_audio_near_dup_matches_shifted_copy_only(spark):
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     # The shifted copy aligns on ONE offset with many votes.
     assert pairs[0].best_offset_votes >= 10
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF codec + video near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animation_round_trip_exact():
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [
+        (rng.randint(0, 4, (12, 9, 1)) * 70).astype(np.uint8).repeat(3, 2)
+        for _ in range(6)
+    ]
+    raw = encode_gif_frames(frames)
+    back = decode_gif_frames(raw)
+    assert len(back) == 6
+    assert all((a == b).all() for a, b in zip(frames, back))
+    # The single-frame decoder sees the animation's first frame.
+    assert (decode_gif(raw) == frames[0]).all()
+
+
+def test_gif_frames_compositing_disposal_and_transparency():
+    """Hand-built 2-frame GIF: full red background frame, then a
+    transparent-holed green sub-rectangle with disposal=2 (restore
+    background) — rendered frames must show true compositing, and a
+    disposal-3 variant must restore the pre-frame canvas."""
+    import struct
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    def img_block(ix, iy, iw, ih, indices):
+        out = bytearray(b"\x2c" + struct.pack("<HHHHB", ix, iy, iw, ih, 0))
+        out.append(2)  # min code size
+        lzw = _lzw_encode(indices, 2)
+        for j in range(0, len(lzw), 255):
+            out.append(len(lzw[j:j + 255]))
+            out += lzw[j:j + 255]
+        out += b"\x00"
+        return bytes(out)
+
+    def gce(disposal, transparent=None):
+        flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes([flags, 0, 0, transparent or 0]) + b"\x00"
+
+    # Palette: 0=red 1=green 2=blue 3=black; screen 4x4, bg index 0.
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])
+    full_red = img_block(0, 0, 4, 4, [0] * 16)
+    # 2x2 green patch at (1,1) whose top-left pixel is TRANSPARENT
+    # (index 3 marked transparent): that pixel keeps the red below.
+    patch = img_block(1, 1, 2, 2, [3, 1, 1, 1])
+
+    raw2 = hdr + pal + gce(1) + full_red + gce(2, transparent=3) + patch
+    raw2 += gce(1) + img_block(0, 0, 1, 1, [2]) + b"\x3b"
+    frames = decode_gif_frames(raw2)
+    assert len(frames) == 3
+    red, green = np.array([255, 0, 0]), np.array([0, 255, 0])
+    assert (frames[0] == red).all()
+    assert (frames[1][1, 1] == red).all()        # transparent hole
+    assert (frames[1][1, 2] == green).all()      # painted pixel
+    assert (frames[1][2, 1] == green).all()
+    # disposal=2 restored the patch region to bg before frame 3.
+    assert (frames[2][1, 2] == red).all()
+    assert (frames[2][0, 0] == np.array([0, 0, 255])).all()
+
+    # disposal=3: frame 2's region must revert to frame 1's pixels
+    # (no transparency here, so index 3 paints BLACK in frame 2).
+    raw3 = hdr + pal + gce(1) + full_red + gce(3) + patch
+    raw3 += gce(1) + img_block(0, 0, 1, 1, [2]) + b"\x3b"
+    f3 = decode_gif_frames(raw3)
+    assert (f3[1][1, 1] == np.array([0, 0, 0])).all()
+    assert (f3[1][1, 2] == green).all()
+    assert (f3[2][1, 1] == red).all()
+    assert (f3[2][1, 2] == red).all()
+
+
+def test_gif_frames_rejects_out_of_bounds_and_garbage():
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        decode_gif_frames,
+    )
+
+    assert decode_gif_frames(b"not a gif") is None
+    assert decode_gif_frames(b"GIF89a\x00") is None
+    # Sub-image overruns the logical screen -> parse-or-NULL.
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    bad = hdr + pal + b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    assert decode_gif_frames(bad + b"\x02\x00\x3b") is None
+
+
+def test_video_near_dup_recovers_exactly_planted_twins(spark):
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        q_video_near_dup,
+    )
+
+    rows = q_video_near_dup(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected planted twins in testdata"
+    expected = sorted(
+        did for did in range(0, 500, 4) if did % 17 == 0
+    )
+    assert sorted(r.a_id for r in rows) == expected
+    for r in rows:
+        assert r.b_id == r.a_id + 10_000_000
+        assert r.offset == 2          # twin dropped 2 leading frames
+        assert r.best_offset_votes == 6
+        assert r.n_anchors == 6
+
+
+def test_video_near_dup_hot_band_cap_drops_shared_title_card(spark):
+    """Every video sharing one identical frame (a title card) must
+    NOT pairwise-match through it: the hot-band cap removes the
+    shared frame's bands before the join, and offset votes from a
+    single frame stay under min_votes anyway."""
+    import numpy as np
+    import pandas as pd
+
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        encode_gif_frames,
+    )
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        video_frame_dhashes,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    title = (rng.randint(0, 4, (16, 16, 1)) * 80).astype(np.uint8).repeat(3, 2)
+    payloads = []
+    for i in range(60):
+        r = np.random.RandomState(100 + i)
+        body = [
+            (r.randint(0, 4, (16, 16, 1)) * 80).astype(np.uint8).repeat(3, 2)
+            for _ in range(5)
+        ]
+        payloads.append((i, encode_gif_frames([title] + body)))
+    blobs = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["blob_id", "payload"])
+    )
+    out = video_near_dup_pairs(
+        video_frame_dhashes(blobs), max_band_df=50
+    ).collect()
+    assert out == []
