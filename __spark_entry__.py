@@ -150,13 +150,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green in CORRECTNESS_r07) stays registered below.
         "q_bitext_mine": V.q_bitext_mine,
         "q_semantic_decontamination": V.q_semantic_decontamination,
+        # Hard-negative mining (triplet-violation report) — new
+        # round-8 oracle-exact family, in-window.
+        "q_hard_negative_mine": V.q_hard_negative_mine,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         # Round-8 rotation: MMR reranking (new oracle-exact family)
         # takes q_distribution_drift_psi's slot (green in r07); PSI
         # stays registered below.
         "q_mmr_rerank": V.q_mmr_rerank,
         "q_repeated_spans": C.q_repeated_spans,
-        "q_export_shards": C.q_export_shards,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -179,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_lang_id, and q_pii_redact in round 8 (families still
         # in-window, see above).
         "q_lang_id": X.q_lang_id,
+        # Rotated out of the window round-8 (green in r07) to make
+        # room for q_hard_negative_mine; still oracle-checked locally.
+        "q_export_shards": C.q_export_shards,
         "q_pii_redact": C.q_pii_redact,
         "q_dedup_exact": D.q_dedup_exact,
         "q6_forecast_revenue": R.q6_forecast_revenue,
@@ -1370,6 +1375,43 @@ def oracle_sql() -> dict[str, str]:
                    round(sel.pick_score / 70000.0, 4) AS mmr_score
             FROM sel JOIN cand c ON c.vec_id = sel.pick_id
             ORDER BY rank
+        """,
+        # Hard negatives: rounded-cosine ranking with vec_id ties —
+        # the q_knn_multi parity recipe plus the positive-margin join.
+        "q_hard_negative_mine": """
+            WITH wn AS (
+                SELECT vec_id, label, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_vec_id, label AS query_label,
+                       embedding AS qe, nrm AS qn
+                FROM wn WHERE vec_id % 20 = 0 AND vec_id < 2000
+            ), scored AS (
+                SELECT q.query_vec_id, q.query_label, e.vec_id, e.label,
+                       round(
+                           list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (e.nrm * q.qn), 4) AS cosine
+                FROM wn e, q
+                WHERE e.vec_id <> q.query_vec_id
+            ), pos AS (
+                SELECT query_vec_id, max(cosine) AS pos_cosine
+                FROM scored WHERE label = query_label
+                GROUP BY query_vec_id
+            ), negs AS (
+                SELECT *, CAST(row_number() OVER (
+                           PARTITION BY query_vec_id
+                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
+                FROM scored WHERE label <> query_label
+            )
+            SELECT n.query_vec_id, n.query_label, n.rank, n.vec_id,
+                   n.label, n.cosine, p.pos_cosine,
+                   n.cosine >= p.pos_cosine AS violation
+            FROM negs n JOIN pos p USING (query_vec_id)
+            WHERE n.rank <= 5
+            ORDER BY n.query_vec_id, n.rank
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

@@ -3432,3 +3432,78 @@ def q_mmr_rerank(
         F.round(F.col("cos_i") / 10000.0, 4).alias("cosine"),
         F.round(F.col("score_i") / 70000.0, 4).alias("mmr_score"),
     ).orderBy("rank")
+
+
+def q_hard_negative_mine(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = 20,
+    max_query_id: int = 2_000,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/triplet training: for each
+    anchor in a bounded query set, the top-k most-similar vectors of a
+    DIFFERENT label (the negatives that actually teach the model),
+    each flagged when it violates the triplet margin — i.e. scores at
+    or above the anchor's best same-label positive. Random negatives
+    are mostly easy; mining the confusable ones is the standard
+    curriculum step for embedding-model training data.
+
+    Same plan contract as q_semantic_decontamination: the anchor side
+    is bounded (``vec_id % eval_mod == 0 AND vec_id < max_query_id``
+    — a fixed probe set) and broadcast, so the corpus is scanned ONCE
+    with no shuffle before the per-anchor top-k window; per-row norms
+    are hoisted out of the pair fold. Scoring is the JVM sequential
+    fold rounded to 4 — engine-exact vs the oracle; ties break on
+    vec_id."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = with_norm.where(
+        (F.col("vec_id") % eval_mod == 0) & (F.col("vec_id") < max_query_id)
+    ).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qn")),
+        4,
+    )
+    scored = with_norm.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_vec_id")
+    ).select(
+        "query_vec_id", "query_label", "vec_id", "label", cos.alias("cosine")
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("query_label"))
+        .groupBy("query_vec_id")
+        .agg(F.max("cosine").alias("pos_cosine"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    negs = (
+        scored.where(F.col("label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    # pos is one row per anchor — parameter-sized, broadcastable.
+    return (
+        negs.join(F.broadcast(pos), "query_vec_id")
+        .select(
+            "query_vec_id",
+            "query_label",
+            "rank",
+            "vec_id",
+            "label",
+            "cosine",
+            "pos_cosine",
+            (F.col("cosine") >= F.col("pos_cosine")).alias("violation"),
+        )
+        .orderBy("query_vec_id", "rank")
+    )

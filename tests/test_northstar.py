@@ -2239,3 +2239,26 @@ def test_mmr_rerank_greedy_replay_and_diversity(spark):
     assert got[0].vec_id == -top1[1]
     scores = [r.mmr_score for r in got]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_hard_negative_mine_semantics(spark):
+    """Every mined negative has a different label than its anchor,
+    ranks are contiguous per anchor, cosines are non-increasing by
+    rank, and the violation flag equals cosine >= pos_cosine where
+    pos_cosine is the anchor's true best same-label score."""
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    rows = V.q_hard_negative_mine(spark, sf).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.label != r.query_label
+        assert r.violation == (r.cosine >= r.pos_cosine)
+        by_q.setdefault(r.query_vec_id, []).append(r)
+    for recs in by_q.values():
+        recs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in recs] == list(range(1, len(recs) + 1))
+        cosines = [r.cosine for r in recs]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+        assert len({r.pos_cosine for r in recs}) == 1
