@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datapoints_csv_extractor_spark.operators import analytic as A
 from datapoints_csv_extractor_spark.operators import curation as C
 from datapoints_csv_extractor_spark.operators import dedup as D
+from datapoints_csv_extractor_spark.operators import factorization as FX
 from datapoints_csv_extractor_spark.operators import graph as G
 from datapoints_csv_extractor_spark.operators import multimodal as M
 from datapoints_csv_extractor_spark.operators import relational as R
@@ -200,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Video near-dup: animated-GIF frame dHash + offset voting
         # (rows-only — no SQL engine decodes GIF LZW).
         "q_video_near_dup": M.q_video_near_dup,
+        # ALS embedding factorization (MLlib block-ALS; rows-only —
+        # iterated least squares has no ANSI-SQL twin).
+        "q_als_recommend": FX.q_als_recommend,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q_sssp_weighted",
     "q_multimodal_dedup_clusters",
     "q_video_near_dup",
+    "q_als_recommend",
     "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",
