@@ -154,12 +154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hard-negative mining (triplet-violation report) — new
         # round-8 oracle-exact family, in-window.
         "q_hard_negative_mine": V.q_hard_negative_mine,
+        # Greedy k-center coreset (farthest-point sampling) — new
+        # round-8 oracle-exact family (recursive-CTE twin), in-window.
+        "q_coreset_kcenter": V.q_coreset_kcenter,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
         # Round-8 rotation: MMR reranking (new oracle-exact family)
         # takes q_distribution_drift_psi's slot (green in r07); PSI
         # stays registered below.
         "q_mmr_rerank": V.q_mmr_rerank,
-        "q_repeated_spans": C.q_repeated_spans,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -183,8 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, see above).
         "q_lang_id": X.q_lang_id,
         # Rotated out of the window round-8 (green in r07) to make
-        # room for q_hard_negative_mine; still oracle-checked locally.
+        # room for q_hard_negative_mine / q_coreset_kcenter; still
+        # oracle-checked locally.
         "q_export_shards": C.q_export_shards,
+        "q_repeated_spans": C.q_repeated_spans,
         "q_pii_redact": C.q_pii_redact,
         "q_dedup_exact": D.q_dedup_exact,
         "q6_forecast_revenue": R.q6_forecast_revenue,
@@ -1416,6 +1420,41 @@ def oracle_sql() -> dict[str, str]:
             FROM negs n JOIN pos p USING (query_vec_id)
             WHERE n.rank <= 5
             ORDER BY n.query_vec_id, n.rank
+        """,
+        # k-center coreset: integer maximin decisions (squared-L2
+        # x10000 BIGINT) make the greedy a recursive CTE, like MMR.
+        "q_coreset_kcenter": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS ai, b.vec_id AS bi,
+                       CAST(round(round(
+                           list_sum(list_transform(
+                               list_zip(a.embedding, b.embedding),
+                               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                           , 4) * 10000, 0) AS BIGINT) AS d
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), seed AS (
+                SELECT min(vec_id) AS vid FROM embeddings
+            ), sel(step, ids, pick_id, pick_dist) AS (
+                SELECT 1, [vid], vid, CAST(NULL AS BIGINT) FROM seed
+                UNION ALL
+                SELECT sel.step + 1, list_append(sel.ids, p.vid),
+                       p.vid, p.d
+                FROM sel, LATERAL (
+                    SELECT c.vec_id AS vid,
+                           (SELECT min(pp.d) FROM pairs pp
+                            WHERE pp.ai = c.vec_id
+                              AND list_contains(sel.ids, pp.bi)) AS d
+                    FROM embeddings c
+                    WHERE NOT list_contains(sel.ids, c.vec_id)
+                    ORDER BY d DESC, c.vec_id LIMIT 1
+                ) p
+                WHERE sel.step < 16
+            )
+            SELECT CAST(sel.step AS INT) AS rank, sel.pick_id AS vec_id,
+                   e.label, round(sel.pick_dist / 10000.0, 4) AS maximin_dist
+            FROM sel JOIN embeddings e ON e.vec_id = sel.pick_id
+            ORDER BY rank
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

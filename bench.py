@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q_pca_project",
     "q_mmr_rerank",
     "q_hard_negative_mine",
+    "q_coreset_kcenter",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",

@@ -91,21 +91,38 @@ def q_als_recommend(
     top-k part recommendations for a bounded probe set of customers
     (custkey % ``user_mod`` == 0) — (user, rank, item, score), score
     rounded to 4. Rows-only; determinism + quality pinned in pytest."""
+    from pyspark.sql import Window
+
     inter = als_interactions(spark, sf_dir)
     model = train_als(inter, max_iter=max_iter)
-    users = inter.select("user").distinct().where(
-        F.col("user") % user_mod == 0
+    # Serving is hand-planned instead of recommendForUserSubset: MLlib
+    # plans that as a raw CartesianProduct (both sides unbounded in
+    # general), while the probe-set contract here makes the user side
+    # parameter-sized — so broadcast it and cross-score the item
+    # factors (BroadcastNestedLoopJoin with a bounded build, the
+    # q_knn_multi shape), then window top-k. Scores are the factor
+    # dot product, the same quantity ALS ranks by.
+    uf = model.userFactors.where(F.col("id") % user_mod == 0).select(
+        F.col("id").alias("user"), F.col("features").alias("ufeat")
     )
-    recs = model.recommendForUserSubset(users, k)
+    itf = model.itemFactors.select(
+        F.col("id").alias("item"), F.col("features").alias("ifeat")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ufeat"),
+            F.col("ifeat"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
     return (
-        recs.select(
-            "user", F.posexplode("recommendations").alias("pos", "rec")
-        )
-        .select(
-            "user",
-            (F.col("pos") + 1).cast("int").alias("rank"),
-            F.col("rec.item").alias("item"),
-            F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
-        )
+        itf.join(F.broadcast(uf))
+        .select("user", "item", F.round(dot, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("user", F.col("rank").cast("int").alias("rank"), "item", "score")
         .orderBy("user", "rank")
     )

@@ -3507,3 +3507,78 @@ def q_hard_negative_mine(
         )
         .orderBy("query_vec_id", "rank")
     )
+
+
+def q_coreset_kcenter(
+    spark: SparkSession, sf_dir: str, k: int = 16
+) -> DataFrame:
+    """Coreset selection by farthest-point sampling (greedy k-center,
+    Gonzalez 1985): seed with the smallest vec_id, then repeatedly add
+    the point MAXIMIZING its distance to the nearest already-chosen
+    center — the classic 2-approximation for k-center coverage, used
+    for training-data pruning and active-learning batch selection
+    (pick the k docs that best cover embedding space, not k random
+    ones).
+
+    Distributed shape: the corpus is never paired with itself — each
+    round scores ONE new center (a broadcast literal) against the
+    corpus and folds it into a materialized running min-distance
+    column (cache-swap per round, k rounds of map-only work + a
+    1-row argmax action; O(k * n) distance folds total, the standard
+    iterative-driver pattern used by Lloyd/PageRank here).
+
+    Engine-exact: squared-L2 distances are the JVM sequential fold
+    rounded to 4 then scaled to x10000 BIGINT, so the running min and
+    the argmax (ties -> smaller vec_id) are integer decisions the
+    recursive-CTE oracle twin reproduces exactly. The seed row
+    reports NULL distance (nothing to be far from yet)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    seed = _require_row(
+        e.orderBy(F.asc("vec_id")).first(), "non-empty embeddings"
+    )
+
+    def dist_to(center: list[float]) -> Column:
+        clit = F.array(*[F.lit(float(x)) for x in center])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                clit,
+                lambda x, c: (x.cast("double") - c)
+                * (x.cast("double") - c),
+            ),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        return F.round(F.round(d2, 4) * 10000, 0).cast("long")
+
+    picked = [(1, seed.vec_id, seed.label, None)]
+    chosen_ids = {seed.vec_id}
+    cur = e.withColumn("mind", dist_to(list(seed.embedding))).cache()
+    cur.count()
+    for step in range(2, k + 1):
+        far = _require_row(
+            cur.where(~F.col("vec_id").isin(*chosen_ids))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .first(),
+            "corpus larger than k",
+        )
+        picked.append((step, far.vec_id, far.label, far.mind))
+        chosen_ids.add(far.vec_id)
+        nxt = cur.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(list(far.embedding)))
+        ).cache()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    out = spark.createDataFrame(
+        picked, "rank int, vec_id long, label int, mind long"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        "label",
+        F.round(F.col("mind") / 10000.0, 4).alias("maximin_dist"),
+    ).orderBy("rank")

@@ -2262,3 +2262,50 @@ def test_hard_negative_mine_semantics(spark):
         cosines = [r.cosine for r in recs]
         assert all(a >= b for a, b in zip(cosines, cosines[1:]))
         assert len({r.pos_cosine for r in recs}) == 1
+
+
+def test_coreset_kcenter_greedy_replay(spark):
+    """Independent numpy replay of farthest-point sampling over the
+    same integer-scaled squared-L2 distances matches the operator's
+    pick order and maximin distances exactly; maximin distances are
+    non-increasing (greedy coverage radius shrinks)."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    got = V.q_coreset_kcenter(spark, sf, k=16).collect()
+    assert [r.rank for r in got] == list(range(1, 17))
+
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def d_int(i, j):
+        d2 = float(((x[i] - x[j]) ** 2).sum())
+        return int(round(round(d2, 4) * 10000))
+
+    chosen = [0]  # min vec_id is index 0 here (vec_ids are 0..n-1)
+    mind = {i: d_int(i, 0) for i in range(len(ids)) if i != 0}
+    order = [ids[0]]
+    dists = [None]
+    for _ in range(15):
+        far = min(((-d, i) for i, d in mind.items()))
+        idx = far[1]
+        order.append(ids[idx])
+        dists.append(-far[0])
+        del mind[idx]
+        for i in list(mind):
+            mind[i] = min(mind[i], d_int(i, idx))
+        chosen.append(idx)
+    assert [r.vec_id for r in got] == order
+    got_d = [None if r.maximin_dist is None else round(r.maximin_dist * 10000)
+             for r in got]
+    assert got_d == dists
+    real = [d for d in dists if d is not None]
+    assert all(a >= b for a, b in zip(real, real[1:]))

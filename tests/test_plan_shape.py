@@ -211,6 +211,8 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_unigram_logprob",  # 1-row token-total aggregate broadcast
         "q_knn_multi",        # n_queries-row probe set broadcast
         "q_semantic_decontamination",  # eval-suite side broadcast (small, fixed)
+        "q_hard_negative_mine",  # anchor probe-set broadcast (decontamination shape)
+        "q_als_recommend",    # probe-user factor rows broadcast (knn_multi shape)
         "q_retrieval_metrics",  # n_queries-row probe set broadcast (knn_multi shape)
         "q_embedding_truncation_recall",  # n_queries-row probe set broadcast
         "q_source_mixture",   # 1-row token-total aggregate broadcast
