@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALS embedding factorization (MLlib block-ALS; rows-only —
         # iterated least squares has no ANSI-SQL twin).
         "q_als_recommend": FX.q_als_recommend,
+        # Page-level HITS over the crawl link graph (rows-only —
+        # iterative float power iteration; numpy-parity pinned).
+        "q_hits_pages": G.q_hits_pages,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.

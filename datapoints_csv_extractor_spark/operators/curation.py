@@ -2574,14 +2574,13 @@ def _raw_url_sql(expr: str) -> str:
         || CASE WHEN ({expr}) % 6 = 0 THEN '#frag' ELSE '' END"""
 
 
-def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing link-graph build: each doc's page carries two
-    absolute links (to the synthesized URLs of ids doc_id+1 and
-    3*doc_id+5 — RAW spellings, so extraction must normalize), one
-    root-relative link (resolved against the page's own URL), and
-    one mailto: (dropped). Edges aggregate to the domain level —
-    the rollup a crawl scheduler and a link-spam detector both
-    read."""
+def link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized crawl pages for the link-graph family: each doc's
+    page carries two absolute links (to the synthesized URLs of ids
+    doc_id+1 and 3*doc_id+5 — RAW spellings, so extraction must
+    normalize), one root-relative link (resolved against the page's
+    own URL), and one mailto: (dropped). Shared by q_link_graph
+    (domain rollup) and q_hits_pages (page-level HITS)."""
     d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     own = url_normalize(_raw_url_expr(did))
@@ -2594,9 +2593,14 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 13).cast("string"),
         F.lit('">here</a><a href="mailto:x@y.z">mail</a></body></html>'),
     )
-    pages = d.select(
-        "doc_id", own.alias("url"), html.alias("html")
-    )
+    return d.select("doc_id", own.alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing link-graph build over ``link_pages``: edges
+    aggregate to the domain level — the rollup a crawl scheduler and
+    a link-spam detector both read."""
+    pages = link_pages(spark, sf_dir)
     links = extract_links(pages, "html", "url")
     return (
         links.select(

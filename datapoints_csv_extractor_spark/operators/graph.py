@@ -468,3 +468,104 @@ def q_sssp_weighted(
         )
         .orderBy("l_partkey")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Kleinberg's HITS (1999) over a DIRECTED (src, dst) edge list:
+    alternating authority <- sum of in-neighbor hub scores and
+    hub <- sum of out-neighbor authority scores, L2-normalized each
+    half-step — the web-graph 'good directory vs good destination'
+    decomposition PageRank's single score can't express.
+
+    Plan per iteration: two equijoins + two groupBy-sums (the
+    pagerank discipline), normalization via a broadcast 1-row L2
+    aggregate (no driver collect in the loop), EAGER localCheckpoint
+    every few rounds to truncate lineage. Nodes a half-step never
+    reaches simply contribute 0 and are restored with zero scores in
+    the final frame. Undirected graphs degenerate (hub == authority);
+    feed this crawl-style directed edges."""
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm")
+        )
+        return df.crossJoin(F.broadcast(nrm)).select(
+            "node", (F.col(col) / F.col("__nrm")).alias(col)
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(1.0))
+    for i in range(iterations):
+        auths = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hubs = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        # Power iteration is scale-invariant, so normalization is a
+        # STABILITY step, not a per-round requirement: renormalize at
+        # lineage-truncation boundaries only (growth between
+        # checkpoints is ~lambda_max^checkpoint_every — nowhere near
+        # double overflow), saving 2 extra stages per round.
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            auths = _l2_normalize(auths, "auth").localCheckpoint(eager=True)
+            hubs = _l2_normalize(hubs, "hub").localCheckpoint(eager=True)
+    auths = _l2_normalize(auths, "auth")
+    hubs = _l2_normalize(hubs, "hub")
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+
+def q_hits_pages(
+    spark: SparkSession, sf_dir: str, top_k: int = 50
+) -> DataFrame:
+    """Hub/authority scores for the crawl's PAGE-level link graph
+    (``curation.link_pages`` -> ``extract_links`` — HITS's original
+    setting, Kleinberg 1999): which pages are good directories (link
+    to authorities) vs good destinations (linked from hubs) — the
+    decomposition PageRank's single score can't express. Self-links
+    are dropped (internal navigation is not endorsement). Rows-only
+    (iterative float); pinned against a numpy replica in pytest,
+    rounded to 6 so summation order cannot flip ranks."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        extract_links,
+        link_pages,
+    )
+
+    edges = (
+        extract_links(link_pages(spark, sf_dir), "html", "url")
+        .where(F.col("url") != F.col("link"))
+        .select(F.col("url").alias("src"), F.col("link").alias("dst"))
+    )
+    return (
+        hits_scores(edges)
+        .select(
+            F.col("node").alias("url"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "url")
+        .limit(top_k)
+    )

@@ -220,3 +220,54 @@ def test_sssp_matches_python_bellman_ford(spark):
     assert set(got) == set(dist)
     for n, d in dist.items():
         assert got[n] == round(d, 9), n
+
+
+def test_hits_pages_matches_numpy_power_iteration(spark):
+    """q_hits_pages vs a numpy replica running the SAME schedule
+    (8 rounds, renormalize every 4th + final): scores agree to 1e-6
+    and hub/authority rankings are identical."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        extract_links,
+        link_pages,
+    )
+    from datapoints_csv_extractor_spark.operators.graph import q_hits_pages
+
+    sf = "/root/testdata/sf0.001"
+    got = q_hits_pages(spark, sf, top_k=1000).collect()
+
+    edges = (
+        extract_links(link_pages(spark, sf), "html", "url")
+        .where("url != link")
+        .selectExpr("url AS src", "link AS dst")
+        .distinct()
+        .collect()
+    )
+    nodes = sorted({e.src for e in edges} | {e.dst for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    a_mat = np.zeros((len(nodes), len(nodes)))
+    for e in edges:
+        a_mat[idx[e.src], idx[e.dst]] = 1.0
+    hub = np.ones(len(nodes))
+    auth = np.ones(len(nodes))
+    for i in range(8):
+        auth = a_mat.T @ hub
+        hub = a_mat @ auth
+        if (i + 1) % 4 == 0 and i + 1 < 8:
+            auth /= np.linalg.norm(auth)
+            hub /= np.linalg.norm(hub)
+    auth /= np.linalg.norm(auth)
+    hub /= np.linalg.norm(hub)
+
+    assert len(got) == len(nodes)
+    ref = {n: (h, a) for n, h, a in zip(nodes, hub, auth)}
+    for row in got:
+        h, a = ref[row.url]
+        assert abs(row.hub - h) < 1e-6
+        assert abs(row.authority - a) < 1e-6
+    # Ordering is by the ROUNDED authority (ties -> url): re-derive
+    # it from the operator's own displayed values.
+    assert [r.url for r in got] == [
+        r.url for r in sorted(got, key=lambda r: (-r.authority, r.url))
+    ]
