@@ -3205,18 +3205,15 @@ def q_bitext_mine(
 # pass is map-side, shuffle-free, and linear.
 
 
-def pca_train(
-    df: DataFrame, col: str = "embedding", k: int = 4
-) -> dict:
-    """Fit PCA over an array<float> column.
-
-    Returns ``{"mean": [d], "components": [k][d], "eigenvalues": [k],
-    "n": int, "d": int}`` with components L2-normalized, ordered by
-    descending eigenvalue, and SIGN-CANONICALIZED (the largest-|.|
-    entry of each component is made positive) so retrains on the same
-    data reproduce byte-identical models. Partials are summed in
-    min-vec-id order so the driver-side float fold is order-stable
-    across cluster re-partitionings."""
+def _pca_sufficient_stats(
+    df: DataFrame, col: str
+) -> tuple[int, "object", "object"]:
+    """One Arrow pass folding the column to its PCA sufficient
+    statistics (n, sum-vector, gram-matrix) — d^2 + d + 1 doubles,
+    ADDITIVE across batches/shards (which is what makes the model
+    incrementally updatable). Partials are summed in min-vec-id order
+    so the driver-side float fold is order-stable across cluster
+    re-partitionings."""
     import numpy as np
     import pandas as pd
 
@@ -3243,16 +3240,26 @@ def pca_train(
         key=lambda r: r.part_key,
     )
     if not rows:
-        raise ValueError("pca_train: empty input")
+        raise ValueError("pca: empty input")
     d = len(rows[0].s)
     n = sum(r.n for r in rows)
-    if n < 2:
-        raise ValueError("pca_train: need at least 2 rows")
     s = np.zeros(d)
     g = np.zeros((d, d))
     for r in rows:
         s += np.array(r.s)
         g += np.array(r.g).reshape(d, d)
+    return n, s, g
+
+
+def _pca_factorize(n: int, s, g, k: int) -> dict:
+    """Eigendecompose the covariance implied by (n, sum, gram) and
+    package the model dict (components sign-canonicalized: largest-|.|
+    entry positive — retrains and incremental folds stay byte-stable)."""
+    import numpy as np
+
+    if n < 2:
+        raise ValueError("pca: need at least 2 rows")
+    d = len(s)
     mean = s / n
     cov = (g - n * np.outer(mean, mean)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -3270,7 +3277,44 @@ def pca_train(
         "eigenvalues": [float(evals[j]) for j in order],
         "n": int(n),
         "d": int(d),
+        "sum": [float(x) for x in s],
+        "gram": [float(x) for x in g.ravel()],
     }
+
+
+def pca_train(
+    df: DataFrame, col: str = "embedding", k: int = 4
+) -> dict:
+    """Fit PCA over an array<float> column.
+
+    Returns ``{"mean": [d], "components": [k][d], "eigenvalues": [k],
+    "n": int, "d": int, "sum": [d], "gram": [d*d]}`` — the model
+    CARRIES its sufficient statistics, so ``pca_update`` can fold new
+    data in exactly (the stats are additive) without revisiting old
+    rows. Components are L2-normalized, ordered by descending
+    eigenvalue, and sign-canonicalized."""
+    n, s, g = _pca_sufficient_stats(df, col)
+    return _pca_factorize(n, s, g, k)
+
+
+def pca_update(
+    model: dict, df: DataFrame, col: str = "embedding", k: int | None = None
+) -> dict:
+    """Incremental refit: fold a new batch's sufficient statistics
+    into the model's and re-eigendecompose — EXACTLY the model a full
+    retrain on old+new would produce (the stats are additive; only
+    the d x d eigensolve repeats, never the old data pass). The
+    persisted-store analog of the band/IVF incremental folds."""
+    import numpy as np
+
+    n2, s2, g2 = _pca_sufficient_stats(df, col)
+    d = model["d"]
+    if len(s2) != d:
+        raise ValueError(f"pca_update: dimension mismatch {len(s2)} != {d}")
+    n = model["n"] + n2
+    s = np.array(model["sum"]) + s2
+    g = np.array(model["gram"]).reshape(d, d) + g2
+    return _pca_factorize(n, s, g, k or len(model["components"]))
 
 
 def pca_save(spark: SparkSession, model: dict, path: str) -> None:
@@ -3285,10 +3329,13 @@ def pca_save(spark: SparkSession, model: dict, path: str) -> None:
                 model["eigenvalues"],
                 model["n"],
                 model["d"],
+                model["sum"],
+                model["gram"],
             )
         ],
         "mean array<double>, components array<array<double>>, "
-        "eigenvalues array<double>, n long, d long",
+        "eigenvalues array<double>, n long, d long, "
+        "sum array<double>, gram array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -3300,6 +3347,8 @@ def pca_load(spark: SparkSession, path: str) -> dict:
         "eigenvalues": list(row.eigenvalues),
         "n": row.n,
         "d": row.d,
+        "sum": list(row.sum),
+        "gram": list(row.gram),
     }
 
 

@@ -103,3 +103,44 @@ def test_pca_train_raises_on_empty_and_singleton(spark):
         V.pca_train(e.where("vec_id < 0"), "embedding")
     with pytest.raises(ValueError):
         V.pca_train(e.limit(1), "embedding")
+
+
+def test_pca_update_equals_full_retrain(spark):
+    """Folding the second half of the corpus into a model trained on
+    the first half reproduces the full-corpus model (sufficient
+    statistics are additive; only float-assoc noise differs)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = e.where("vec_id < 250")
+    second = e.where("vec_id >= 250")
+    full = V.pca_train(e, "embedding", k=4)
+    inc = V.pca_update(V.pca_train(first, "embedding", k=4), second)
+    assert inc["n"] == full["n"]
+    assert np.allclose(inc["mean"], full["mean"], atol=1e-9)
+    assert np.allclose(inc["eigenvalues"], full["eigenvalues"], rtol=1e-7)
+    for a, b in zip(inc["components"], full["components"]):
+        assert np.allclose(a, b, atol=1e-7)
+
+
+def test_pca_update_rejects_dimension_mismatch(spark):
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = V.pca_train(e.where("vec_id < 100"), "embedding", k=2)
+    truncated = e.where("vec_id >= 100").select(
+        F.slice("embedding", 1, 8).alias("embedding")
+    )
+    with pytest.raises(ValueError):
+        V.pca_update(model, truncated)
+
+
+def test_pca_save_load_round_trips_sufficient_stats(spark, fitted, tmp_path):
+    model, _ = fitted
+    path = str(tmp_path / "pca_inc")
+    V.pca_save(spark, model, path)
+    back = V.pca_load(spark, path)
+    assert np.allclose(back["sum"], model["sum"])
+    assert np.allclose(back["gram"], model["gram"])
+    # A loaded model keeps updating exactly.
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    upd = V.pca_update(back, e.where("vec_id < 50"))
+    assert upd["n"] == model["n"] + 50
