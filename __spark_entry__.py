@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Page-level HITS over the crawl link graph (rows-only —
         # iterative float power iteration; numpy-parity pinned).
         "q_hits_pages": G.q_hits_pages,
+        # Linear-time MMD^2 embedding-drift test (oracle-exact).
+        "q_embedding_drift_mmd": V.q_embedding_drift_mmd,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.
@@ -1458,6 +1460,76 @@ def oracle_sql() -> dict[str, str]:
                    e.label, round(sel.pick_dist / 10000.0, 4) AS maximin_dist
             FROM sel JOIN embeddings e ON e.vec_id = sel.pick_id
             ORDER BY rank
+        """,
+        # Linear-time MMD: polynomial kernel over ROUNDED dots (exp
+        # would hinge on libm parity); per-quadruple h rounds to 6 and
+        # sums as DECIMAL — order-independent, engine-exact.
+        "q_embedding_drift_mmd": """
+            WITH x AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), y AS (
+                SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), x1 AS (SELECT (rn + 1) // 2 AS quad, embedding AS x1
+                      FROM x WHERE rn % 2 = 1),
+               x2 AS (SELECT (rn + 1) // 2 AS quad, embedding AS x2
+                      FROM x WHERE rn % 2 = 0),
+               y1 AS (SELECT (rn + 1) // 2 AS quad, embedding AS y1
+                      FROM y WHERE rn % 2 = 1),
+               y2 AS (SELECT (rn + 1) // 2 AS quad, embedding AS y2
+                      FROM y WHERE rn % 2 = 0),
+            quads AS (
+                SELECT x1.quad, x1.x1, x2.x2, y1.y1, y2.y2
+                FROM x1 JOIN x2 USING (quad)
+                        JOIN y1 USING (quad) JOIN y2 USING (quad)
+            ), hs AS (
+                SELECT round(
+                    (1.0 + round(list_sum(list_transform(list_zip(x1, x2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    * (1.0 + round(list_sum(list_transform(list_zip(x1, x2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    + (1.0 + round(list_sum(list_transform(list_zip(y1, y2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    * (1.0 + round(list_sum(list_transform(list_zip(y1, y2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    - (1.0 + round(list_sum(list_transform(list_zip(x1, y2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    * (1.0 + round(list_sum(list_transform(list_zip(x1, y2),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    - (1.0 + round(list_sum(list_transform(list_zip(x2, y1),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                    * (1.0 + round(list_sum(list_transform(list_zip(x2, y1),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4)
+                        / len(x1))
+                , 6) AS h
+                FROM quads
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_quadruples,
+                       sum(CAST(h AS DECIMAL(28,6))) AS h_sum,
+                       sum(CAST(h * h AS DECIMAL(28,6))) AS h2_sum
+                FROM hs
+            )
+            SELECT n_quadruples,
+                   round(CAST(h_sum AS DOUBLE) / n_quadruples, 6) AS mmd2,
+                   round((CAST(h_sum AS DOUBLE) / n_quadruples)
+                         / sqrt((CAST(h2_sum AS DOUBLE) / n_quadruples
+                                 - (CAST(h_sum AS DOUBLE) / n_quadruples)
+                                   * (CAST(h_sum AS DOUBLE) / n_quadruples))
+                                / n_quadruples), 4) AS z_score,
+                   round((CAST(h_sum AS DOUBLE) / n_quadruples)
+                         / sqrt((CAST(h2_sum AS DOUBLE) / n_quadruples
+                                 - (CAST(h_sum AS DOUBLE) / n_quadruples)
+                                   * (CAST(h_sum AS DOUBLE) / n_quadruples))
+                                / n_quadruples), 4) > 2.3263 AS drifted
+            FROM agg
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

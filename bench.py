@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q_mmr_rerank",
     "q_hard_negative_mine",
     "q_coreset_kcenter",
+    "q_embedding_drift_mmd",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",

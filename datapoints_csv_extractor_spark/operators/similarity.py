@@ -3631,3 +3631,99 @@ def q_coreset_kcenter(
         "label",
         F.round(F.col("mind") / 10000.0, 4).alias("maximin_dist"),
     ).orderBy("rank")
+
+
+def q_embedding_drift_mmd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-distribution drift test: the LINEAR-TIME MMD^2
+    estimator (Gretton et al. 2012, the paired h-statistic) between a
+    reference sample (even vec_ids) and a current sample (odd
+    vec_ids) — the vector-space analog of the scalar PSI/KS drift
+    reports: a retrained embedder or upstream corpus shift moves the
+    whole distribution even when every per-coordinate histogram
+    looks stable.
+
+    The quadratic MMD is a pair-space statistic; the linear estimator
+    pairs CONSECUTIVE samples (by vec_id rank) and averages
+    h(i) = k(x1,x2) + k(y1,y2) - k(x1,y2) - k(x2,y1) over disjoint
+    quadruples — ONE pass, no pair space, unbiased, with a CLT
+    z-score from the same h sample. Kernel: polynomial
+    (1 + <a,b>/d)^2 over the ROUNDED JVM-fold dot (exp-based RBF
+    would hinge on libm parity across engines; the polynomial is
+    rational in the rounded dots, so both engines compute identical
+    doubles). Per-quadruple h rounds to 6 and sums as DECIMAL(28,6)
+    — order-independent, engine-exact (the q_unigram_logprob
+    discipline).
+
+    Output: one row (n_quadruples, mmd2, z_score, drifted at 1%
+    one-sided). Same-distribution halves of the testdata should NOT
+    flag."""
+    e = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    def side(parity: int, pref: str) -> DataFrame:
+        w = Window.orderBy("vec_id")
+        return (
+            e.where(F.col("vec_id") % 2 == parity)
+            .select("vec_id", "embedding")
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                F.col("rn"),
+                F.col("embedding").alias(f"{pref}_emb"),
+            )
+        )
+
+    x = side(0, "x")
+    y = side(1, "y")
+    # Quadruple id: consecutive rank pairs (1,2), (3,4), ... on each
+    # side; odd rank is slot 1, even rank slot 2.
+    def slots(df: DataFrame, pref: str) -> DataFrame:
+        q = ((F.col("rn") + 1) / 2).cast("long")
+        return df.groupBy(q.alias("quad")).agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col(f"{pref}_emb"))).alias(
+                f"{pref}1"
+            ),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col(f"{pref}_emb"))).alias(
+                f"{pref}2"
+            ),
+        )
+
+    quads = (
+        slots(x, "x")
+        .join(slots(y, "y"), "quad")
+        .where(
+            F.col("x1").isNotNull()
+            & F.col("x2").isNotNull()
+            & F.col("y1").isNotNull()
+            & F.col("y2").isNotNull()
+        )
+    )
+
+    def kern(a: str, b: str):
+        r = F.round(_dot(F.col(a), F.col(b)), 4)
+        base = F.lit(1.0) + r / F.size(F.col("x1")).cast("double")
+        return base * base
+
+    h = F.round(
+        kern("x1", "x2") + kern("y1", "y2") - kern("x1", "y2")
+        - kern("x2", "y1"),
+        6,
+    )
+    stats = quads.select(h.alias("h")).agg(
+        F.count("*").alias("n_quadruples"),
+        F.sum(F.col("h").cast("decimal(28,6)")).alias("h_sum"),
+        F.sum((F.col("h") * F.col("h")).cast("decimal(28,6)")).alias(
+            "h2_sum"
+        ),
+    )
+    n = F.col("n_quadruples").cast("double")
+    mean = F.col("h_sum").cast("double") / n
+    var = (F.col("h2_sum").cast("double") / n) - mean * mean
+    z = mean / F.sqrt(var / n)
+    return stats.select(
+        "n_quadruples",
+        F.round(mean, 6).alias("mmd2"),
+        F.round(z, 4).alias("z_score"),
+        (F.round(z, 4) > 2.3263).alias("drifted"),
+    )

@@ -2309,3 +2309,37 @@ def test_coreset_kcenter_greedy_replay(spark):
     assert got_d == dists
     real = [d for d in dists if d is not None]
     assert all(a >= b for a, b in zip(real, real[1:]))
+
+
+def test_embedding_drift_mmd_controls(spark, tmp_path):
+    """Negative control: the testdata's parity halves are one
+    distribution -> no drift flag. Positive control: shifting the
+    odd half by a constant vector must flag at the 1% level."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    sf = "/root/testdata/sf0.001"
+    base = V.q_embedding_drift_mmd(spark, sf).first()
+    assert base.drifted is False
+    assert abs(base.z_score) < 2.3263
+
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    shifted = []
+    for r in rows:
+        emb = list(r.embedding)
+        if r.vec_id % 2 == 1:
+            emb = [float(v) + 0.5 for v in emb]
+        shifted.append((r.vec_id, emb, r.label))
+    drift_dir = str(tmp_path / "drifted")
+    spark.createDataFrame(
+        shifted, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{drift_dir}/embeddings.parquet")
+    moved = V.q_embedding_drift_mmd(spark, drift_dir).first()
+    assert moved.drifted is True
+    assert moved.z_score > 2.3263
+    assert moved.mmd2 > base.mmd2
