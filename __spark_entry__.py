@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Video near-dup: animated-GIF frame dHash + offset voting
         # (rows-only — no SQL engine decodes GIF LZW).
         "q_video_near_dup": M.q_video_near_dup,
+        # Cross-modal thumbnail-in-video linking (rows-only).
+        "q_thumbnail_match": M.q_thumbnail_match,
         # ALS embedding factorization (MLlib block-ALS; rows-only —
         # iterated least squares has no ANSI-SQL twin).
         "q_als_recommend": FX.q_als_recommend,

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q_multimodal_dedup_clusters",
     "q_video_near_dup",
     "q_als_recommend",
+    "q_thumbnail_match",
     "q_quality_importance_sample",
     "q_pivot",
     "q_range_join",

@@ -1733,3 +1733,94 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(synth, schema)
     return video_near_dup_pairs(video_frame_dhashes(blobs))
+
+
+def q_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal linking: find still images that are FRAMES of some
+    video (thumbnail/poster detection — the dedup question a mixed
+    image+video corpus asks before counting the same footage twice).
+
+    Corpus: every 4th document synthesizes the 8-frame animation from
+    q_video_near_dup; every 13th of those also publishes frame 3 as a
+    standalone GIF still — the planted thumbnail. Match = exact
+    64-bit frame-dHash equijoin (image hash x video frame hash; the
+    near-dup banded join generalizes this to edited thumbnails, so
+    the exact join keeps this query's semantics crisp), one shuffle.
+    Rows-only; planted recovery pinned in pytest."""
+    import hashlib
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        encode_gif,
+        encode_gif_frames,
+    )
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    levels = (32, 96, 160, 224)
+    rs = np.linspace(0, 16, 9).astype(int)
+    cs = np.linspace(0, 16, 10).astype(int)
+
+    def cell_frame(seed: bytes) -> np.ndarray:
+        stream = b"".join(
+            hashlib.sha256(seed + b"vcell" + bytes([i])).digest()
+            for i in range(3)
+        )
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        k = 0
+        for r in range(8):
+            lev = levels[stream[k] % 4]
+            k += 1
+            for c in range(9):
+                if c > 0:
+                    others = [x for x in levels if x != lev]
+                    lev = others[stream[k] % 3]
+                    k += 1
+                img[rs[r]: rs[r + 1], cs[c]: cs[c + 1], :] = lev
+        return img
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"blob_id": [], "kind": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode()).digest()
+                frames = [cell_frame(seed + b"f%d" % i) for i in range(8)]
+                rows["blob_id"].append(int(did))
+                rows["kind"].append("video")
+                rows["payload"].append(encode_gif_frames(frames))
+                if did % 13 == 0:
+                    rows["blob_id"].append(int(did) + 10_000_000)
+                    rows["kind"].append("image")
+                    rows["payload"].append(encode_gif(frames[3]))
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    videos = blobs.where(F.col("kind") == "video")
+    images = blobs.where(F.col("kind") == "image")
+    frame_hashes = video_frame_dhashes(videos)
+    img_hashes = image_dhash(images).where(F.col("dhash").isNotNull())
+    return (
+        img_hashes.select(
+            F.col("blob_id").alias("image_id"), "dhash"
+        )
+        .join(
+            frame_hashes.select(
+                F.col("blob_id").alias("video_id"), "frame_idx", "dhash"
+            ),
+            "dhash",
+        )
+        .select("image_id", "video_id", "frame_idx")
+        .orderBy("image_id", "video_id", "frame_idx")
+    )

@@ -31,6 +31,7 @@ ROWS_ONLY_ALLOWED = {
     "q_audio_features",   # real PCM sample decode — same
     "q_audio_near_dup",   # FFT landmark fingerprints — no SQL twin
     "q_video_near_dup",   # animated-GIF frame decode — no SQL twin
+    "q_thumbnail_match",  # GIF frame/still decode — no SQL twin
     "q_als_recommend",    # iterated least squares — no SQL twin
     "q_hits_pages",       # iterative float power iteration — no SQL twin
     "q_pca_project",      # driver-side eigh — no ANSI-SQL eigendecomposition

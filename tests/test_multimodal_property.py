@@ -971,3 +971,37 @@ def test_video_near_dup_hot_band_cap_drops_shared_title_card(spark):
         video_frame_dhashes(blobs), max_band_df=50
     ).collect()
     assert out == []
+
+
+def test_thumbnail_match_recovers_planted_stills(spark):
+    """Every planted still (frame 3 of every 13th video-doc) is
+    matched to its own video at frame 3; any EXTRA match must come
+    from a pair of documents with identical text (the corpus's real
+    exact-dups produce identical footage — true positives)."""
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        q_thumbnail_match,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_thumbnail_match(spark, sf).collect()
+    assert rows
+    planted = {
+        did for did in range(0, 500, 4) if did % 13 == 0
+    }
+    got_self = {
+        r.image_id - 10_000_000
+        for r in rows
+        if r.video_id == r.image_id - 10_000_000
+    }
+    assert got_self == planted
+    assert all(r.frame_idx == 3 for r in rows)
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        src = r.image_id - 10_000_000
+        if r.video_id != src:
+            assert texts[r.video_id] == texts[src]
