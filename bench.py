@@ -465,6 +465,10 @@ SF1_REGISTERED_QUERIES = [
     # One-pass gram-partial trainer + map-only projection: the
     # classic tall-skinny linear shape, probed to prove it.
     "q_pca_project",
+    # Bounded-anchor broadcast scans (the decontamination shape) and
+    # the one-pass linear-time MMD — both linear in the corpus.
+    "q_hard_negative_mine",
+    "q_embedding_drift_mmd",
 ]
 
 
