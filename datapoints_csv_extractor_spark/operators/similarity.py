@@ -3633,6 +3633,83 @@ def q_coreset_kcenter(
     ).orderBy("rank")
 
 
+def mmd_quadruple_stats(
+    x: DataFrame, y: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """The linear-MMD h-statistic's SUFFICIENT STATISTICS for two
+    embedding samples: one row (n_quadruples, h_sum, h2_sum) —
+    additive across shards/micro-batches, which is what makes the
+    streaming drift monitor an exact fold of batch recomputes.
+
+    Quadruples pair consecutive id-rank rows on each side; when the
+    reference side ``x`` is smaller its quadruples CYCLE (reference
+    reuse — standard for a fixed monitoring reference; the CLT
+    z-score is then approximate, noted at the caller). Kernel is the
+    polynomial (1 + <a,b>/d)^2 over the ROUNDED JVM-fold dot; h
+    rounds to 6 and sums as DECIMAL(28,6) (order-independent,
+    engine-exact)."""
+    from pyspark.sql import Window
+
+    def slots(df: DataFrame, pref: str) -> DataFrame:
+        w = Window.orderBy(id_col)
+        rn = F.row_number().over(w)
+        d = df.select(
+            rn.alias("rn"), F.col("embedding").alias(f"{pref}_emb")
+        )
+        q = ((F.col("rn") + 1) / 2).cast("long")
+        return d.groupBy(q.alias("quad")).agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col(f"{pref}_emb"))).alias(
+                f"{pref}1"
+            ),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col(f"{pref}_emb"))).alias(
+                f"{pref}2"
+            ),
+        ).where(
+            F.col(f"{pref}1").isNotNull() & F.col(f"{pref}2").isNotNull()
+        )
+
+    xs = slots(x, "x")
+    ys = slots(y, "y")
+    n_x = xs.count()
+    if n_x == 0:
+        raise ValueError("mmd_quadruple_stats: reference side empty")
+    ys = ys.withColumn("quad", (F.col("quad") - 1) % n_x + 1)
+    quads = ys.join(xs, "quad")
+
+    def kern(a: str, b: str):
+        r = F.round(_dot(F.col(a), F.col(b)), 4)
+        base = F.lit(1.0) + r / F.size(F.col("x1")).cast("double")
+        return base * base
+
+    h = F.round(
+        kern("x1", "x2") + kern("y1", "y2") - kern("x1", "y2")
+        - kern("x2", "y1"),
+        6,
+    )
+    return quads.select(h.alias("h")).agg(
+        F.count("*").alias("n_quadruples"),
+        F.sum(F.col("h").cast("decimal(28,6)")).alias("h_sum"),
+        F.sum((F.col("h") * F.col("h")).cast("decimal(28,6)")).alias(
+            "h2_sum"
+        ),
+    )
+
+
+def mmd_drift_report(stats: DataFrame) -> DataFrame:
+    """(n, h_sum, h2_sum) -> the drift verdict row: mean h (the MMD^2
+    estimate), its CLT z-score, drifted at 1% one-sided."""
+    n = F.col("n_quadruples").cast("double")
+    mean = F.col("h_sum").cast("double") / n
+    var = (F.col("h2_sum").cast("double") / n) - mean * mean
+    z = mean / F.sqrt(var / n)
+    return stats.select(
+        "n_quadruples",
+        F.round(mean, 6).alias("mmd2"),
+        F.round(z, 4).alias("z_score"),
+        (F.round(z, 4) > 2.3263).alias("drifted"),
+    )
+
+
 def q_embedding_drift_mmd(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3660,70 +3737,6 @@ def q_embedding_drift_mmd(
     one-sided). Same-distribution halves of the testdata should NOT
     flag."""
     e = load(spark, sf_dir, "embeddings")
-    from pyspark.sql import Window
-
-    def side(parity: int, pref: str) -> DataFrame:
-        w = Window.orderBy("vec_id")
-        return (
-            e.where(F.col("vec_id") % 2 == parity)
-            .select("vec_id", "embedding")
-            .withColumn("rn", F.row_number().over(w))
-            .select(
-                F.col("rn"),
-                F.col("embedding").alias(f"{pref}_emb"),
-            )
-        )
-
-    x = side(0, "x")
-    y = side(1, "y")
-    # Quadruple id: consecutive rank pairs (1,2), (3,4), ... on each
-    # side; odd rank is slot 1, even rank slot 2.
-    def slots(df: DataFrame, pref: str) -> DataFrame:
-        q = ((F.col("rn") + 1) / 2).cast("long")
-        return df.groupBy(q.alias("quad")).agg(
-            F.max(F.when(F.col("rn") % 2 == 1, F.col(f"{pref}_emb"))).alias(
-                f"{pref}1"
-            ),
-            F.max(F.when(F.col("rn") % 2 == 0, F.col(f"{pref}_emb"))).alias(
-                f"{pref}2"
-            ),
-        )
-
-    quads = (
-        slots(x, "x")
-        .join(slots(y, "y"), "quad")
-        .where(
-            F.col("x1").isNotNull()
-            & F.col("x2").isNotNull()
-            & F.col("y1").isNotNull()
-            & F.col("y2").isNotNull()
-        )
-    )
-
-    def kern(a: str, b: str):
-        r = F.round(_dot(F.col(a), F.col(b)), 4)
-        base = F.lit(1.0) + r / F.size(F.col("x1")).cast("double")
-        return base * base
-
-    h = F.round(
-        kern("x1", "x2") + kern("y1", "y2") - kern("x1", "y2")
-        - kern("x2", "y1"),
-        6,
-    )
-    stats = quads.select(h.alias("h")).agg(
-        F.count("*").alias("n_quadruples"),
-        F.sum(F.col("h").cast("decimal(28,6)")).alias("h_sum"),
-        F.sum((F.col("h") * F.col("h")).cast("decimal(28,6)")).alias(
-            "h2_sum"
-        ),
-    )
-    n = F.col("n_quadruples").cast("double")
-    mean = F.col("h_sum").cast("double") / n
-    var = (F.col("h2_sum").cast("double") / n) - mean * mean
-    z = mean / F.sqrt(var / n)
-    return stats.select(
-        "n_quadruples",
-        F.round(mean, 6).alias("mmd2"),
-        F.round(z, 4).alias("z_score"),
-        (F.round(z, 4) > 2.3263).alias("drifted"),
-    )
+    x = e.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    y = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    return mmd_drift_report(mmd_quadruple_stats(x, y))

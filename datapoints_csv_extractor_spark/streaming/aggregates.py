@@ -1191,3 +1191,71 @@ def stream_series_tracker_tws(
         outputMode=output_mode,
         timeMode="none",
     )
+
+
+def stream_embedding_drift(
+    vecs_stream: DataFrame,
+    reference: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    available_now: bool = True,
+):
+    """Continuous embedding-distribution drift monitoring: every
+    micro-batch of (vec_id, embedding) rows is scored against a FIXED
+    reference sample with the linear-time MMD h-statistic
+    (``operators.similarity.mmd_quadruple_stats``), the batch's
+    sufficient statistics (n, sum h, sum h^2 — ADDITIVE) are
+    persisted one file per batch id (overwrite -> replay-idempotent,
+    the store-fold discipline), and the CUMULATIVE drift verdict over
+    all batches so far is handed to ``on_batch(batch_id, report_row)``
+    — an embedder regression or upstream corpus shift alarms while
+    the corpus is ingesting, not at the next offline audit.
+
+    The reference side is parameter-sized by contract (a fixed
+    monitoring sample) and reduced to its quadruple slots once; each
+    batch's work is one pass over the batch. Reference quadruples
+    CYCLE when batches are larger, so the CLT z is approximate — the
+    standard fixed-reference monitoring trade, noted here and in the
+    helper."""
+    import os
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        mmd_drift_report,
+        mmd_quadruple_stats,
+    )
+
+    ref = reference.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    spark = reference.sparkSession
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        stats = mmd_quadruple_stats(ref, batch_df)
+        (
+            stats.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
+        total = (
+            spark.read.parquet(os.path.join(state_dir, "batch=*"))
+            .agg(
+                F.sum("n_quadruples").alias("n_quadruples"),
+                F.sum("h_sum").alias("h_sum"),
+                F.sum("h2_sum").alias("h2_sum"),
+            )
+        )
+        report = mmd_drift_report(total).first()
+        if on_batch is not None:
+            on_batch(batch_id, report)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("stream_embedding_drift")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1353,3 +1353,71 @@ def test_stream_series_tracker_tws_matches_legacy_twin(spark, tmp_path):
             spark.conf.unset(prov)
         else:
             spark.conf.set(prov, before)
+
+
+def test_stream_embedding_drift_alarms_on_shifted_batch(spark, tmp_path):
+    """Two micro-batch drops against a fixed reference: the
+    same-distribution drop stays quiet, the +0.5-shifted drop pushes
+    the CUMULATIVE z over the 1% line; the per-batch partial files
+    make replays idempotent (one file per batch id) and the
+    cumulative stats equal a batch recompute over the union (the
+    sufficient statistics are additive)."""
+    import time
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        mmd_drift_report,
+        mmd_quadruple_stats,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_embedding_drift,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ref = src.where("vec_id % 2 = 0").select("vec_id", "embedding")
+    clean = src.where("vec_id % 2 = 1").select("vec_id", "embedding")
+    from pyspark.sql import functions as F
+
+    shifted = clean.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: (v.cast("double") + 0.5).cast("float")
+        ).alias("embedding"),
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    clean.coalesce(1).write.parquet(str(in_dir / "drop1"))
+    reports = {}
+
+    def drain():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(in_dir))
+        )
+        q = stream_embedding_drift(
+            stream,
+            ref,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            on_batch=lambda bid, row: reports.__setitem__(bid, row),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+    drain()
+    first = reports[max(reports)]
+    assert first.drifted is False
+
+    shifted.coalesce(1).write.parquet(str(in_dir / "drop2"))
+    drain()
+    second = reports[max(reports)]
+    assert second.drifted is True
+    assert second.z_score > 2.3263
+
+    # Cumulative state == one batch recompute over the union.
+    union_stats = mmd_quadruple_stats(ref, clean.unionAll(shifted))
+    want = mmd_drift_report(union_stats).first()
+    assert second.n_quadruples == want.n_quadruples
