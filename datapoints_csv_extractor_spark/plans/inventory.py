@@ -141,6 +141,16 @@ def _dsir(spark: SparkSession, path: str) -> tuple:
     )
 
 
+def _pca(spark: SparkSession, path: str) -> tuple:
+    from datapoints_csv_extractor_spark.operators.similarity import pca_load
+
+    m = pca_load(spark, path)
+    return 1, m["n"], 0, (
+        f"d={m['d']} k={len(m['components'])} "
+        f"top_eig={m['eigenvalues'][0]:.4g}"
+    )
+
+
 _ADAPTERS = {
     "band": _band,
     "bm25": _bm25,
@@ -150,6 +160,7 @@ _ADAPTERS = {
     "merge": _merge,
     "lm": _lm,
     "dsir": _dsir,
+    "pca": _pca,
 }
 
 

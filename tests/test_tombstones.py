@@ -690,6 +690,8 @@ def test_store_inventory_reads_every_family(spark, tmp_path):
     from datapoints_csv_extractor_spark.operators.similarity import (
         build_ivf_index,
         build_sq_index,
+        pca_save,
+        pca_train,
     )
     from datapoints_csv_extractor_spark.operators.textops import (
         build_bm25_index,
@@ -717,6 +719,8 @@ def test_store_inventory_reads_every_family(spark, tmp_path):
     build_lm_store(docs.select("doc_id", "text"), lm)
     dsir = str(tmp_path / "dsir")
     build_dsir_store(docs, docs.where(F.col("doc_id") % 2 == 0), dsir)
+    pca = str(tmp_path / "pca")
+    pca_save(spark, pca_train(emb, "embedding", k=2), pca)
     merge = str(tmp_path / "merge")
     upsert_into_store(
         spark,
@@ -741,14 +745,16 @@ def test_store_inventory_reads_every_family(spark, tmp_path):
             "quality-lm": ("lm", lm),
             "selection": ("dsir", dsir),
             "latest": ("merge", merge),
+            "projector": ("pca", pca),
             "broken": ("band", str(tmp_path / "nope")),
             "weird": ("zzz", "/"),
         },
     ).collect()
     by = {r.store_type: r for r in inv}
-    assert len(inv) == 9
+    assert len(inv) == 10
     for t in ("band:dedup", "bm25:search", "ivf:ann", "sq:ann8",
-              "lm:quality-lm", "dsir:selection", "merge:latest"):
+              "lm:quality-lm", "dsir:selection", "merge:latest",
+              "pca:projector"):
         assert by[t].ok and by[t].n_rows > 0, t
     assert not by["band:broken"].ok
     assert not by["weird"].ok
