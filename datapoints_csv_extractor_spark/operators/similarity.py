@@ -3119,9 +3119,20 @@ def q_bitext_mine(
         * 10000,
         0,
     ).cast("long")
+    # The blocking key alone has only n_cells distinct values, so a
+    # plain label equijoin caps the per-pair fold at n_cells-way
+    # parallelism (and AQE's skew splitter keys on BYTES, which tiny
+    # embedding rows never trip). Fragment-replicate salting restores
+    # fan-out: the src side fragments on src_id, the tgt side
+    # replicates each row across the S fragments — S x tgt rows
+    # buys (n_cells x S)-way parallel pair work, values unchanged.
+    salt_n = 8
+    s_src = src.withColumn("salt", F.pmod(F.col("src_id"), F.lit(salt_n)))
+    s_tgt = tgt.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
     pairs = (
-        _spread(src)
-        .join(tgt, "label")
+        s_src.join(s_tgt, ["label", "salt"])
         .select("src_id", "tgt_id", "label", cos_i.alias("cos_i"))
         .where(F.col("cos_i").isNotNull())
     )
