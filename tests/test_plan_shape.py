@@ -815,3 +815,23 @@ def test_domain_quality_verdict_join_never_sort_merges(spark):
 
     plan = _plan(C.q_domain_quality(spark, SF))
     assert "SortMergeJoin" not in plan
+
+
+def test_pca_projection_measured_shuffle_is_zero_bytes(spark):
+    """PCA serving inlines the component matrix as literals — the
+    projection must be a map-only scan: zero shuffle bytes, zero
+    spill, measured on the executed plan."""
+    from datapoints_csv_extractor_spark.operators import similarity as V
+    from datapoints_csv_extractor_spark.plans.introspect import (
+        metrics_summary,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = V.pca_train(e, "embedding", k=2)
+    proj = V.pca_project(e.select("vec_id", "embedding"), model).drop(
+        "embedding"
+    )
+    assert proj.collect()
+    s = metrics_summary(proj)
+    assert s["shuffle_bytes_written"] == 0
+    assert s["spill_bytes"] == 0
