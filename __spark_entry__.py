@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits_pages": G.q_hits_pages,
         # Linear-time MMD^2 embedding-drift test (oracle-exact).
         "q_embedding_drift_mmd": V.q_embedding_drift_mmd,
+        # Fellegi-Sunter probabilistic record linkage (oracle-exact).
+        "q_record_linkage_fs": R.q_record_linkage_fs,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.
@@ -1532,6 +1534,78 @@ def oracle_sql() -> dict[str, str]:
                                    * (CAST(h_sum AS DOUBLE) / n_quadruples))
                                 / n_quadruples), 4) > 2.3263 AS drifted
             FROM agg
+        """,
+        # Fellegi-Sunter: empirical u-rates over the candidate pool,
+        # fixed m=0.95 priors, log2 weights rounded 6, DECIMAL score
+        # sum. 1.0 - 0.95 is spelled as the SUBTRACTION so both
+        # engines compute the identical IEEE double.
+        "q_record_linkage_fs": """
+            WITH p0 AS (
+                SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                       p_retailprice
+                FROM part
+            ), tw AS (
+                SELECT p_partkey + 10000000 AS p_partkey,
+                       p_name || ' copy' AS p_name,
+                       p_brand, p_type, p_size, p_retailprice
+                FROM p0 WHERE p_partkey % 40 = 0
+            ), fullt AS (
+                SELECT u.*, split_part(u.p_name, ' ', 1) AS name_tok
+                FROM (SELECT * FROM p0 UNION ALL SELECT * FROM tw) u
+            ), cand AS (
+                SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                       CAST(a.p_type = b.p_type AS INT) AS agree_type,
+                       CAST(a.p_size = b.p_size AS INT) AS agree_size,
+                       CAST(a.p_retailprice = b.p_retailprice AS INT)
+                           AS agree_price,
+                       CAST(a.name_tok = b.name_tok AS INT) AS agree_name
+                FROM fullt a JOIN fullt b
+                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            ), u AS (
+                SELECT
+                  least(greatest(avg(CAST(agree_type AS DOUBLE)), 1e-6),
+                        1.0 - 1e-6) AS u_type,
+                  least(greatest(avg(CAST(agree_size AS DOUBLE)), 1e-6),
+                        1.0 - 1e-6) AS u_size,
+                  least(greatest(avg(CAST(agree_price AS DOUBLE)), 1e-6),
+                        1.0 - 1e-6) AS u_price,
+                  least(greatest(avg(CAST(agree_name AS DOUBLE)), 1e-6),
+                        1.0 - 1e-6) AS u_name
+                FROM cand
+            ), scored AS (
+                SELECT c.a_key, c.b_key,
+                       c.agree_type + c.agree_size + c.agree_price
+                           + c.agree_name AS n_agree,
+                       CAST(
+                         CAST(CASE WHEN c.agree_type = 1
+                              THEN round(log2(0.95 / u.u_type), 6)
+                              ELSE round(log2((1.0 - 0.95)
+                                   / (1.0 - u.u_type)), 6) END
+                              AS DECIMAL(18,6))
+                       + CAST(CASE WHEN c.agree_size = 1
+                              THEN round(log2(0.95 / u.u_size), 6)
+                              ELSE round(log2((1.0 - 0.95)
+                                   / (1.0 - u.u_size)), 6) END
+                              AS DECIMAL(18,6))
+                       + CAST(CASE WHEN c.agree_price = 1
+                              THEN round(log2(0.95 / u.u_price), 6)
+                              ELSE round(log2((1.0 - 0.95)
+                                   / (1.0 - u.u_price)), 6) END
+                              AS DECIMAL(18,6))
+                       + CAST(CASE WHEN c.agree_name = 1
+                              THEN round(log2(0.95 / u.u_name), 6)
+                              ELSE round(log2((1.0 - 0.95)
+                                   / (1.0 - u.u_name)), 6) END
+                              AS DECIMAL(18,6))
+                       AS DOUBLE) AS score
+                FROM cand c, u
+            )
+            SELECT a_key, b_key, n_agree, score,
+                   CASE WHEN score >= 12.0 THEN 'match'
+                        WHEN score >= 4.0 THEN 'review' END AS verdict
+            FROM scored
+            WHERE score >= 4.0
+            ORDER BY a_key, b_key
         """,
         "q_embedding_near_dup": """
             SELECT * FROM (

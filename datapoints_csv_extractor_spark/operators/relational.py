@@ -2063,3 +2063,113 @@ def q_sorted_neighborhood(
         .where(F.col("edit_distance") <= max_edit)
         .orderBy("a_key", "b_key")
     )
+
+
+def q_record_linkage_fs(
+    spark: SparkSession, sf_dir: str, twin_mod: int = 40
+) -> DataFrame:
+    """Probabilistic record linkage with Fellegi-Sunter match weights
+    (Fellegi & Sunter 1969; the Splink/production-linker scoring
+    model): every candidate pair gets a log-likelihood-ratio score
+    summed over field comparisons — agreement on field f adds
+    log2(m_f/u_f), disagreement adds log2((1-m_f)/(1-u_f)) — and a
+    match/review verdict by threshold. This upgrades the engine's
+    rule-based matchers (q_fuzzy_match's edit-distance cut,
+    q_sorted_neighborhood's window) to principled evidence weighing:
+    agreement on a rare field (exact retail price) outweighs
+    agreement on a common one (size bucket) automatically, with the
+    weights DERIVED from the data instead of hand-tuned.
+
+    Corpus: parts plus a planted DIRTY COPY of every ``twin_mod``-th
+    part (key + 10^7, name suffixed — the linkage must match records
+    whose display name no longer equals; its FIRST TOKEN still
+    agrees, so the name comparison stays informative). Candidates
+    block on p_brand (at 100 TB: a finer composite key + the bitext
+    salting pattern; brand keeps the u-estimation sample rich at test
+    scale). The u-probabilities (P(agree | non-match)) are estimated
+    EMPIRICALLY as each field's agreement rate over all candidate
+    pairs (the standard unsupervised initializer — at this match
+    prevalence the candidate pool approximates the non-match
+    population); m-priors are fixed at 0.95 (documented choice, as
+    in Splink's default initialization). Weights round to 6 and the
+    score sums as DECIMAL(18,6) — order-independent and engine-exact
+    (the q_unigram_logprob log-parity discipline).
+
+    Output: match + review pairs only (score thresholds 12 / 4)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice",
+    )
+    twins = p.where(F.col("p_partkey") % twin_mod == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+        F.concat(F.col("p_name"), F.lit(" copy")).alias("p_name"),
+        "p_brand", "p_type", "p_size", "p_retailprice",
+    )
+    full = p.unionAll(twins).withColumn(
+        "name_tok", F.split(F.col("p_name"), " ")[0]
+    )
+    a = full.select(*[F.col(x).alias(f"a_{x}") for x in full.columns])
+    b = full.select(*[F.col(x).alias(f"b_{x}") for x in full.columns])
+    cand = a.join(
+        b,
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    agree = {
+        "type": (F.col("a_p_type") == F.col("b_p_type")),
+        "size": (F.col("a_p_size") == F.col("b_p_size")),
+        "price": (F.col("a_p_retailprice") == F.col("b_p_retailprice")),
+        "name": (F.col("a_name_tok") == F.col("b_name_tok")),
+    }
+    flagged = cand.select(
+        F.col("a_p_partkey").alias("a_key"),
+        F.col("b_p_partkey").alias("b_key"),
+        *[v.cast("int").alias(f"agree_{k}") for k, v in agree.items()],
+    )
+    # Empirical u per field: agreement rate over the candidate pool,
+    # clamped away from {0, 1} so the log-odds stay finite.
+    u_stats = flagged.agg(
+        *[
+            F.least(
+                F.greatest(
+                    F.avg(F.col(f"agree_{k}").cast("double")),
+                    F.lit(1e-6),
+                ),
+                F.lit(1.0 - 1e-6),
+            ).alias(f"u_{k}")
+            for k in agree
+        ]
+    )
+    m = 0.95
+    scored = flagged.crossJoin(F.broadcast(u_stats))
+    w_terms = []
+    for k in agree:
+        w_a = F.round(F.log2(F.lit(m) / F.col(f"u_{k}")), 6)
+        w_d = F.round(
+            F.log2(F.lit(1.0 - m) / (F.lit(1.0) - F.col(f"u_{k}"))), 6
+        )
+        w_terms.append(
+            F.when(F.col(f"agree_{k}") == 1, w_a).otherwise(w_d).cast(
+                "decimal(18,6)"
+            )
+        )
+    total = w_terms[0]
+    for t in w_terms[1:]:
+        total = total + t
+    n_agree = sum(F.col(f"agree_{k}") for k in agree)
+    return (
+        scored.select(
+            "a_key",
+            "b_key",
+            n_agree.alias("n_agree"),
+            total.cast("double").alias("score"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("score") >= 12.0, F.lit("match"))
+            .when(F.col("score") >= 4.0, F.lit("review"))
+            .otherwise(F.lit(None)),
+        )
+        .where(F.col("verdict").isNotNull())
+        .orderBy("a_key", "b_key")
+    )

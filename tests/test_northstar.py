@@ -2343,3 +2343,33 @@ def test_embedding_drift_mmd_controls(spark, tmp_path):
     assert moved.drifted is True
     assert moved.z_score > 2.3263
     assert moved.mmd2 > base.mmd2
+
+
+def test_record_linkage_fs_recovers_planted_twins(spark):
+    """Every planted dirty twin classifies 'match' with all four
+    fields agreeing; no non-twin pair reaches 'match'; review pairs
+    sit strictly between the thresholds; and rare-field agreement
+    outweighs common-field agreement in the derived weights (the
+    Fellegi-Sunter point)."""
+    from datapoints_csv_extractor_spark.operators.relational import (
+        q_record_linkage_fs,
+    )
+
+    rows = q_record_linkage_fs(spark, "/root/testdata/sf0.001").collect()
+    matches = [r for r in rows if r.verdict == "match"]
+    reviews = [r for r in rows if r.verdict == "review"]
+    n_parts = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet").count()
+    )
+    planted = {
+        (k, k + 10_000_000) for k in range(0, n_parts, 40)
+    }
+    assert {(r.a_key, r.b_key) for r in matches} == planted
+    assert all(r.n_agree == 4 for r in matches)
+    for r in reviews:
+        assert 4.0 <= r.score < 12.0
+        assert r.n_agree < 4
+    # A twin (4 agreements incl. the rare price field) must outscore
+    # every coincidental pair.
+    if reviews:
+        assert min(r.score for r in matches) > max(r.score for r in reviews)
