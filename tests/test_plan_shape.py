@@ -214,6 +214,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_hard_negative_mine",  # anchor probe-set broadcast (decontamination shape)
         "q_als_recommend",    # probe-user factor rows broadcast (knn_multi shape)
         "q_hits_pages",       # 1-row L2-norm aggregate broadcast per renorm
+        "q_record_linkage_fs",  # 1-row u-rate aggregate broadcast
         "q_retrieval_metrics",  # n_queries-row probe set broadcast (knn_multi shape)
         "q_embedding_truncation_recall",  # n_queries-row probe set broadcast
         "q_source_mixture",   # 1-row token-total aggregate broadcast
