@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Weighted shortest paths (rows-only: float min-plus; pinned
         # against a pure-Python Bellman-Ford replica in pytest).
         "q_sssp_weighted": G.q_sssp_weighted,
+        # Synchronous min-tie-break label propagation (4 rounds) +
+        # Newman modularity — both oracle-exact (unrolled CTE rounds,
+        # integer-numerator Q).
+        "q_lpa_communities": G.q_lpa_communities,
+        "q_lpa_modularity": G.q_lpa_modularity,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -4713,5 +4718,72 @@ def oracle_sql() -> dict[str, str]:
                count(*) = 1 AS is_discord
         FROM sub WHERE l2 IS NOT NULL
         GROUP BY motif ORDER BY n_windows DESC, motif
+    """
+    # Synchronous LPA: four unrolled vote/argmax rounds over the
+    # affinity graph (co-purchase pairs sharing >= 2 orders). Pure
+    # integer label math — bit-exact across engines. The modularity
+    # twin reuses the identical lab4 CTE chain and computes Newman Q
+    # with the integer numerator sum(4*m*e_c - d_c^2) / (4*m^2).
+    _lpa_rounds = "".join(
+        f""", lab{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM (SELECT e.d AS node, l.label, count(*) AS cnt
+                      FROM sym e JOIN lab{i - 1} l ON e.s = l.node
+                      GROUP BY 1, 2))
+            WHERE rn = 1
+        )"""
+        for i in range(1, 5)
+    )
+    _lpa_base = f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT p1, p2 FROM (
+                SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       count(*) AS n_shared
+                FROM li a
+                JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+            WHERE n_shared >= 2
+        ), sym AS (
+            SELECT p1 AS s, p2 AS d FROM edges
+            UNION ALL
+            SELECT p2, p1 FROM edges
+        ), lab0 AS (
+            SELECT DISTINCT s AS node, s AS label FROM sym
+        ){_lpa_rounds}"""
+    sql["q_lpa_communities"] = f"""{_lpa_base}
+        SELECT node AS l_partkey, label AS community
+        FROM lab4 ORDER BY l_partkey
+    """
+    sql["q_lpa_modularity"] = f"""{_lpa_base}
+        , deg AS (SELECT s AS node, count(*) AS degree FROM sym GROUP BY 1)
+        , mm AS (SELECT count(*) AS m FROM edges)
+        , intra AS (
+            SELECT l1.label AS community, count(*) AS e_c
+            FROM edges e
+            JOIN lab4 l1 ON e.p1 = l1.node
+            JOIN lab4 l2 ON e.p2 = l2.node
+            WHERE l1.label = l2.label
+            GROUP BY 1
+        ), dc AS (
+            SELECT l.label AS community,
+                   CAST(sum(d.degree) AS BIGINT) AS d_c
+            FROM deg d JOIN lab4 l ON d.node = l.node GROUP BY 1
+        ), per AS (
+            SELECT dc.community, COALESCE(intra.e_c, 0) AS e_c, dc.d_c
+            FROM dc LEFT JOIN intra USING (community)
+        )
+        SELECT count(*) AS n_communities,
+               CAST(mm.m AS BIGINT) AS n_edges,
+               round(CAST(CAST(sum(4 * mm.m * e_c - d_c * d_c) AS BIGINT)
+                          AS DOUBLE)
+                     / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE)),
+                     6) AS modularity
+        FROM per, mm
+        GROUP BY mm.m
     """
     return sql

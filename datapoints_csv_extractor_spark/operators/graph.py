@@ -569,3 +569,162 @@ def q_hits_pages(
         .orderBy(F.desc("authority"), "url")
         .limit(top_k)
     )
+
+
+def affinity_edges(
+    spark: SparkSession, sf_dir: str, min_shared: int = 2
+) -> DataFrame:
+    """Thresholded co-purchase edges: keep pairs sharing at least
+    ``min_shared`` orders. The unthresholded graph is near-complete at
+    basket densities (it holds an 80-core at sf0.01), so community
+    structure only exists after dropping the single-co-occurrence
+    noise floor — the standard affinity-graph sparsification."""
+    return (
+        co_order_weighted_edges(spark, sf_dir)
+        .where(F.col("n_shared") >= F.lit(min_shared))
+        .select("p1", "p2")
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected (p1 < p2) edge list, made fully
+    DETERMINISTIC: every node starts labeled with its own id, and each
+    round simultaneously relabels every node with the label most
+    frequent among its neighbors, ties broken toward the SMALLEST
+    label. Classic async LPA is run-order-dependent (its results
+    cannot be tested, let alone oracle-matched); the synchronous
+    min-tie-break variant is a pure function of (edges, rounds), so
+    the 4-round assignment is expressible as four unrolled SQL CTEs
+    and the query is oracle-EXACT — the registry's first
+    community-structure read.
+
+    Per round: one equijoin (labels x directed edges on src) + one
+    (node, label) vote count + one per-node argmax via
+    max(struct(cnt, -label)) — three shuffles on node-bounded data,
+    no pair space anywhere. Lineage is truncated by eager
+    localCheckpoint every other round (the PageRank discipline).
+    Fixed small ``rounds`` is the point, not a limitation: synchronous
+    LPA is used as a bounded-round refinement (label oscillation means
+    it need not converge), and the round count is part of the
+    operator's contract."""
+    sym = (
+        edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(
+            edges.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+        )
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(rounds):
+        votes = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .groupBy(F.col("d"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("d").agg(
+            F.max(
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+            ).alias("top")
+        )
+        labels = best.select(
+            F.col("d").alias("node"), (-F.col("top.neg")).alias("label")
+        )
+        if (i + 1) % 2 == 0 and i + 1 < rounds:
+            labels = labels.localCheckpoint()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def modularity(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected
+    (p1 < p2) edge list: Q = sum_c [ e_c/m - (D_c/2m)^2 ] with e_c =
+    intra-community edges, D_c = total degree inside community c, m =
+    total edges. Computed with the INTEGER numerator
+    sum_c(4*m*e_c - D_c^2) over 4*m^2 — exact under any fold order,
+    one final division (engine-identical IEEE double; exactness holds
+    while 4*m*e_c fits a BIGINT, i.e. to ~1.5e9 edges — past that
+    switch the numerator to double and accept ulp noise).
+
+    Plan: two label-lookup equijoins on the edge endpoints (intra
+    count), one on the degree table (D_c), a per-community merge
+    (left join: a community can have zero intra edges but never zero
+    degree), and 1-row total-edge broadcasts — all node/edge-bounded,
+    no pair space."""
+    e = edges.localCheckpoint()
+    a1 = assign.withColumnRenamed("node", "p1").withColumnRenamed(
+        "community", "c1"
+    )
+    a2 = assign.withColumnRenamed("node", "p2").withColumnRenamed(
+        "community", "c2"
+    )
+    intra = (
+        e.join(a1, "p1")
+        .join(a2, "p2")
+        .where(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg_c = (
+        degrees(e)
+        .join(assign, "node")
+        .groupBy("community")
+        .agg(F.sum("degree").alias("d_c"))
+    )
+    per_c = deg_c.join(intra, "community", "left").select(
+        "community",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    m_row = e.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        per_c.crossJoin(m_row)
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_c")
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+            F.first("m").alias("m"),
+        )
+        .select(
+            "n_communities",
+            F.col("m").alias("n_edges"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(4.0) * F.col("m").cast("double")
+                   * F.col("m").cast("double")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def q_lpa_communities(
+    spark: SparkSession, sf_dir: str, rounds: int = 4
+) -> DataFrame:
+    """Community assignment of the affinity graph (co-purchase pairs
+    sharing >= 2 orders) after 4 synchronous min-tie-break LPA rounds
+    — 'which sub-market does this part belong to'. Oracle-exact: the
+    DuckDB twin unrolls the identical four rounds as CTEs (vote count
+    + row_number argmax per round); pure integer label math, so the
+    engines agree bit-for-bit."""
+    edges = affinity_edges(spark, sf_dir).localCheckpoint()
+    return (
+        label_propagation(edges, rounds=rounds)
+        .select(F.col("node").alias("l_partkey"), "community")
+        .orderBy("l_partkey")
+    )
+
+
+def q_lpa_modularity(
+    spark: SparkSession, sf_dir: str, rounds: int = 4
+) -> DataFrame:
+    """Newman modularity of the 4-round LPA partition on the affinity
+    graph — the scalar 'did the communities capture real structure'
+    read (Q=0 is the random-graph null). Oracle-exact via the integer
+    numerator (see modularity)."""
+    edges = affinity_edges(spark, sf_dir).localCheckpoint()
+    assign = label_propagation(edges, rounds=rounds)
+    return modularity(edges, assign)

@@ -228,6 +228,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_sax_words",  # 1-row global day-bounds aggregate broadcast
         "q_sax_motifs",  # same 1-row day-bounds broadcast
         "q_dtw_knn",  # same 1-row day-bounds broadcast (series + letters)
+        "q_lpa_modularity",  # 1-row total-edge aggregate broadcast
     }
 
     offenders = {}
