@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-numerator Q).
         "q_lpa_communities": G.q_lpa_communities,
         "q_lpa_modularity": G.q_lpa_modularity,
+        # KMV distinct/overlap sketch — the HLL family's oracle-exact
+        # sibling (engine-reproducible md5-prefix hashes).
+        "q_kmv_overlap": A.q_kmv_overlap,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -4785,5 +4788,67 @@ def oracle_sql() -> dict[str, str]:
                      6) AS modularity
         FROM per, mm
         GROUP BY mm.m
+    """
+    # KMV overlap sketch: deterministic 60-bit md5-prefix hashes, so
+    # sketch contents, union k-window, and the rho intersection
+    # estimator reproduce bit-for-bit. 2^60 and k-1 are exact double
+    # literals; the division shape matches the Spark expression tree.
+    _kmv_k = 256
+    sql["q_kmv_overlap"] = f"""
+        WITH hashes AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM events WHERE value >= 250
+        ), ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashes
+        ), sk AS (
+            SELECT event_type,
+                   list_sort(list(h)) AS arr,
+                   count(*) AS n_sk,
+                   CASE WHEN count(*) < {_kmv_k}
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE ({_kmv_k - 1}.0 * 1152921504606846976.0)
+                             / CAST(max(h) AS DOUBLE)
+                   END AS est_distinct
+            FROM ranked WHERE rn <= {_kmv_k}
+            GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.est_distinct AS est_a, b.est_distinct AS est_b,
+                   a.arr AS arr_a, b.arr AS arr_b
+            FROM sk a, sk b
+            WHERE a.event_type <= b.event_type
+        ), calc AS (
+            SELECT type_a, type_b, est_a, est_b,
+                   list_sort(list_distinct(list_concat(arr_a, arr_b)))[1:{_kmv_k}] AS merged,
+                   len(list_distinct(list_concat(arr_a, arr_b))) AS n_merged,
+                   len(list_intersect(arr_a, arr_b)) AS shared_all,
+                   len(list_intersect(
+                       list_sort(list_distinct(list_concat(arr_a, arr_b)))[1:{_kmv_k}],
+                       list_intersect(arr_a, arr_b))) AS shared_win
+            FROM pairs
+        ), est AS (
+            SELECT type_a, type_b, est_a, est_b, n_merged, shared_all,
+                   shared_win,
+                   CASE WHEN n_merged < {_kmv_k}
+                        THEN CAST(n_merged AS DOUBLE)
+                        ELSE ({_kmv_k - 1}.0 * 1152921504606846976.0)
+                             / CAST(merged[{_kmv_k}] AS DOUBLE)
+                   END AS est_union
+            FROM calc
+        )
+        SELECT type_a, type_b,
+               round(est_a, 4) AS est_a,
+               round(est_b, 4) AS est_b,
+               round(est_union, 4) AS est_union,
+               round(CASE WHEN n_merged < {_kmv_k}
+                          THEN CAST(shared_all AS DOUBLE)
+                          ELSE CAST(shared_win AS DOUBLE) * est_union
+                               / {_kmv_k}.0
+                     END, 4) AS est_intersection
+        FROM est
+        ORDER BY type_a, type_b
     """
     return sql

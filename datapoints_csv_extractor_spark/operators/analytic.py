@@ -14,7 +14,7 @@ sides broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -1939,6 +1939,118 @@ def q_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
             inter.cast("long").alias("approx_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def kmv_sketches(
+    df: DataFrame, group: str, value: Column, k: int = 256
+) -> DataFrame:
+    """K-minimum-values sketch per group (Bar-Yossef et al. 2002):
+    the ``k`` smallest distinct 60-bit md5-prefix hashes of ``value``,
+    as a sorted array, plus the distinct-count estimate — exact
+    ``n_sk`` when the group holds fewer than k distinct values (the
+    sketch IS the hash set), else (k-1) * 2^60 / kth_min.
+
+    The HLL family (q_audience_overlap_hll, q_hll_distinct_rollup)
+    covers the production sketch; KMV is its ORACLE-EXACT sibling —
+    the md5-prefix hash is engine-reproducible (the Bloom/stratified
+    discipline), every step is integer set math plus one fixed-shape
+    double division, so a DuckDB twin reproduces the estimates
+    bit-for-bit where HLL's opaque registers cannot. Sketch state is
+    k longs per group; the build is one distinct + one per-group
+    rank, both shuffled on the group key."""
+    hashes = df.select(
+        F.col(group),
+        F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    m_scale = float(2**60)
+    return ranked.groupBy(group).agg(
+        F.sort_array(F.collect_list("h")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sk"),
+    ).select(
+        group,
+        "arr",
+        "n_sk",
+        F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(m_scale)
+            / F.element_at("arr", k).cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def q_kmv_overlap(
+    spark: SparkSession, sf_dir: str, k: int = 256
+) -> DataFrame:
+    """Pairwise audience overlap from KMV sketches: per event-type
+    pair, estimated |A|, |B|, |A ∪ B| and |A ∩ B| — the
+    q_audience_overlap matrix rebuilt from parameter-sized sketches
+    instead of the users x types membership table, and unlike the HLL
+    twin it is oracle-EXACT (deterministic hashes, integer set math,
+    fixed-shape double arithmetic).
+
+    Union estimate: k smallest of the merged sketch arrays (exact
+    count when the merge holds < k hashes — then the sketches ARE the
+    hash sets). Intersection: the standard KMV rho estimator —
+    |shared hashes within the union's k-window| / k of the union
+    estimate (every window hash below a side's kth min is IN that
+    side's sketch iff it is in the side, so rho is well-defined).
+    The pair join is a broadcast NLJ of the sketch table against
+    itself — one ~2 KB row per type, never user-bounded. Same
+    high-value membership corpus as q_audience_overlap, whose exact
+    matrix pins the estimates in pytest."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.where(F.col("value") >= 250).select("event_type", "user_id")
+    sk = kmv_sketches(m, "event_type", F.col("user_id"), k=k)
+    a = sk.alias("a")
+    b = sk.alias("b")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("a.arr"), F.col("b.arr")))
+        ),
+        1,
+        k,
+    )
+    n_merged = F.size(
+        F.array_distinct(F.concat(F.col("a.arr"), F.col("b.arr")))
+    )
+    shared_all = F.size(F.array_intersect(F.col("a.arr"), F.col("b.arr")))
+    shared_win = F.size(
+        F.array_intersect(
+            merged, F.array_intersect(F.col("a.arr"), F.col("b.arr"))
+        )
+    )
+    m_scale = float(2**60)
+    est_union = F.when(n_merged < k, n_merged.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(m_scale)
+        / F.element_at(merged, k).cast("double")
+    )
+    est_inter = F.when(n_merged < k, shared_all.cast("double")).otherwise(
+        shared_win.cast("double") * est_union / F.lit(float(k))
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            F.col("a.event_type") <= F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.round(F.col("a.est_distinct"), 4).alias("est_a"),
+            F.round(F.col("b.est_distinct"), 4).alias("est_b"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(est_inter, 4).alias("est_intersection"),
         )
         .orderBy("type_a", "type_b")
     )

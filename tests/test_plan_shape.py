@@ -221,6 +221,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q22_idle_rich_customers",  # 1-row avg-balance scalar broadcast
         "q11_important_parts",  # 1-row avg-part-value scalar broadcast
         "q_audience_overlap_hll",  # types-row sketch table x itself
+        "q_kmv_overlap",  # types-row KMV sketch table x itself
         "q_dsir_importance_sample",  # 1-row gram-total aggregate broadcast
         "q_rfm_segments",  # 1-row max-orderdate anchor broadcast
         "q_join_size_estimate",  # 1-row max-product scalar broadcast

@@ -857,3 +857,53 @@ def test_phrase_hits_matches_python_reference_fuzzed(spark):
         assert got == {i: py_hits(t) for i, t in enumerate(docs)}
 
     check()
+
+
+def test_kmv_overlap_exact_below_k_and_close_above(spark):
+    """KMV with k larger than every audience must reproduce the exact
+    overlap matrix cell for cell (the sketch IS the hash set); with a
+    small k the estimates must still land within the standard
+    ~1/sqrt(k) relative band on the union."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_audience_overlap,
+        q_kmv_overlap,
+    )
+
+    exact = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in q_audience_overlap(spark, SF).collect()
+    }
+    big_k = {
+        (r["type_a"], r["type_b"]): r["est_intersection"]
+        for r in q_kmv_overlap(spark, SF, k=100_000).collect()
+    }
+    for key in set(exact) | set(big_k):
+        assert big_k.get(key, 0.0) == float(exact.get(key, 0)), key
+
+    small = q_kmv_overlap(spark, SF, k=64).collect()
+    for r in small:
+        key = (r["type_a"], r["type_b"])
+        if key[0] == key[1]:
+            # diagonal: est_intersection estimates the set itself
+            true = float(exact[key])
+            assert abs(r["est_intersection"] - true) <= 0.5 * true + 8
+
+
+def test_kmv_sketch_estimate_on_known_cardinality(spark):
+    """One group of exactly 5000 distinct ids: the k=256 estimate must
+    land within 3/sqrt(k) (~19%) of the truth, and the k>=n sketch
+    must be exact."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        kmv_sketches,
+    )
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = kmv_sketches(df, "g", F.col("v"), k=256).collect()[0]
+    assert abs(est["est_distinct"] - 5000) < 5000 * 3 / 16
+    exact = kmv_sketches(df, "g", F.col("v"), k=8192).collect()[0]
+    assert exact["est_distinct"] == 5000.0
+    assert exact["n_sk"] == 5000
