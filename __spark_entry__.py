@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KMV distinct/overlap sketch — the HLL family's oracle-exact
         # sibling (engine-reproducible md5-prefix hashes).
         "q_kmv_overlap": A.q_kmv_overlap,
+        # Jaro-Winkler entity matching (pandas kernel bit-identical
+        # to DuckDB's builtin; blocked on brand + first name token).
+        "q_jaro_winkler_match": R.q_jaro_winkler_match,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -4850,5 +4853,32 @@ def oracle_sql() -> dict[str, str]:
                      END, 4) AS est_intersection
         FROM est
         ORDER BY type_a, type_b
+    """
+    # Jaro-Winkler match: the Spark pandas kernel reproduces DuckDB's
+    # builtin bit-for-bit (verified over ~50k adversarial pairs), so
+    # round(jw, 6) agrees exactly.
+    sql["q_jaro_winkler_match"] = """
+        WITH p AS (
+            SELECT p_partkey, p_name, p_brand,
+                   split_part(p_name, ' ', 1) AS tok
+            FROM part
+        ), twins AS (
+            SELECT p_partkey + 10000000 AS p_partkey,
+                   p_name || ' copy' AS p_name, p_brand,
+                   split_part(p_name, ' ', 1) AS tok
+            FROM p WHERE p_partkey % 40 = 0
+        ), full_t AS (
+            SELECT * FROM p UNION ALL SELECT * FROM twins
+        )
+        SELECT a.p_brand AS brand,
+               a.p_partkey AS partkey_1,
+               b.p_partkey AS partkey_2,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM full_t a
+        JOIN full_t b ON a.p_brand = b.p_brand
+                     AND a.tok = b.tok
+                     AND a.p_partkey < b.p_partkey
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+        ORDER BY partkey_1, partkey_2
     """
     return sql

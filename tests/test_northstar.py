@@ -2373,3 +2373,57 @@ def test_record_linkage_fs_recovers_planted_twins(spark):
     # every coincidental pair.
     if reviews:
         assert min(r.score for r in matches) > max(r.score for r in reviews)
+
+
+def test_jaro_winkler_kernel_matches_duckdb_builtin():
+    """The pandas JW kernel must agree bit-for-bit with DuckDB's
+    jaro_winkler_similarity on adversarial pairs — empty strings,
+    identical strings, transposition classics, disjoint alphabets —
+    because the oracle uses the builtin."""
+    import duckdb
+    import pandas as pd
+
+    from datapoints_csv_extractor_spark.operators.relational import (
+        jaro_winkler_pandas,
+    )
+
+    pairs = [
+        ("martha", "marhta"), ("dwayne", "duane"),
+        ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+        ("", ""), ("", "a"), ("a", ""), ("abc", "abc"),
+        ("abc", "xyz"), ("abcdef", "fedcba"), ("a", "a"),
+        ("ab", "ba"), ("aaaa", "aaaa"), ("prefixmatch", "prefixmxtch"),
+        ("x" * 30, "x" * 29 + "y"), ("abcde", "edcba"),
+    ]
+    got = jaro_winkler_pandas(
+        pd.Series([a for a, _ in pairs]), pd.Series([b for _, b in pairs])
+    )
+    con = duckdb.connect()
+    for (a, b), g in zip(pairs, got):
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert g == want, (a, b, g, want)
+
+
+def test_jaro_winkler_match_recovers_planted_twins(spark):
+    """Every planted ' copy' twin survives the (brand, first-token)
+    blocking and scores in the suffix-append JW band; identical
+    catalog names score exactly 1.0."""
+    from datapoints_csv_extractor_spark.operators.relational import (
+        q_jaro_winkler_match,
+    )
+
+    rows = q_jaro_winkler_match(spark, "/root/testdata/sf0.001").collect()
+    n_parts = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet").count()
+    )
+    planted = {(k, k + 10_000_000) for k in range(0, n_parts, 40)}
+    got = {(r.partkey_1, r.partkey_2): r.jw for r in rows}
+    for pair in planted:
+        assert pair in got, pair
+        assert 0.9 <= got[pair] < 1.0
+    for (k1, k2), jw in got.items():
+        assert jw <= 1.0
+        if jw == 1.0:
+            assert k2 < 10_000_000  # only identical catalog names
