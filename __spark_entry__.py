@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaro-Winkler entity matching (pandas kernel bit-identical
         # to DuckDB's builtin; blocked on brand + first name token).
         "q_jaro_winkler_match": R.q_jaro_winkler_match,
+        # DP aggregate release (deterministic seeded-hash Laplace —
+        # the oracle-checkable mechanism; budget split documented).
+        "q_dp_event_counts": C.q_dp_event_counts,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -4880,5 +4883,36 @@ def oracle_sql() -> dict[str, str]:
                      AND a.p_partkey < b.p_partkey
         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
         ORDER BY partkey_1, partkey_2
+    """
+    # DP release: the seeded-hash Laplace noise recomputes exactly —
+    # hash prefix CAST to DOUBLE before the +0.5 (BIGINT + 0.5 would
+    # run in DECIMAL here and diverge by an ulp from Spark's double
+    # path); clipped sum folds in integer cents.
+    sql["q_dp_event_counts"] = """
+        WITH agg AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(least(greatest(
+                       CAST(round(value * 100, 0) AS BIGINT), 0), 50000))
+                     AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type
+        ), seeded AS (
+            SELECT event_type, n, sum_cents,
+                   (CAST(('0x' || substring(md5('dpc:' || event_type), 1, 15))::BIGINT
+                         AS DOUBLE) + 0.5) / 1152921504606846976.0 AS uc,
+                   (CAST(('0x' || substring(md5('dps:' || event_type), 1, 15))::BIGINT
+                         AS DOUBLE) + 0.5) / 1152921504606846976.0 AS us
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(1.0 AS DOUBLE) AS epsilon_total,
+               round(CAST(n AS DOUBLE)
+                     + (-2.0 * (CASE WHEN uc - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                        * ln(1.0 - 2.0 * abs(uc - 0.5))), 4) AS noisy_count,
+               round(CAST(sum_cents AS DOUBLE) / 100.0
+                     + (-1000.0 * (CASE WHEN us - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                        * ln(1.0 - 2.0 * abs(us - 0.5))), 4) AS noisy_value_sum
+        FROM seeded
+        ORDER BY event_type
     """
     return sql

@@ -2122,6 +2122,88 @@ def k_anonymity_report(
     )
 
 
+def _laplace_noise(seed: Column, scale: float) -> Column:
+    """Deterministic Laplace(0, scale) noise via inverse-CDF over an
+    engine-reproducible uniform: u = (md5-60-bit-prefix(seed) + 0.5)
+    / 2^60 in (0, 1), noise = -scale * sign(u - 0.5) * ln(1 - 2|u -
+    0.5|). The hash prefix is CAST to double BEFORE the +0.5 (DuckDB
+    would otherwise run the addition in DECIMAL and diverge by an
+    ulp); ln() agreed bit-for-bit with DuckDB's on every probed
+    input (the F-S log2 precedent), and the release rounds to 4
+    anyway. Determinism is a TESTING property: the seed string is
+    the released group key, so re-releasing the same statistic gives
+    the same noise (no privacy-budget double-dip through averaging);
+    a production release would fold a secret salt into the seed."""
+    h = (
+        F.conv(F.substring(F.md5(seed), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(2**60))
+    x = u - F.lit(0.5)
+    return (
+        F.lit(-float(scale))
+        * F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(x))
+    )
+
+
+def q_dp_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    epsilon: float = 1.0,
+    clip_cents: int = 50_000,
+) -> DataFrame:
+    """Differentially-private release of per-event-type statistics —
+    the aggregate-publication step after the record-level privacy
+    gates (q_pii_redact scrubs rows, q_k_anonymity vets classes;
+    this protects the published AGGREGATES): noisy count and noisy
+    clipped-value sum per event_type via the Laplace mechanism,
+    splitting the ``epsilon`` budget evenly across the two
+    statistics (sequential composition).
+
+    Sensitivity accounting: add/remove one event changes the count
+    by 1 and the [0, clip]-clipped sum by at most clip — so b_count
+    = 2/eps and b_sum = 2*clip/eps at eps/2 each. Clipping runs in
+    integer CENTS and the sum stays a long until the one final
+    division (order-independent, engine-exact); the noise is the
+    deterministic seeded-hash Laplace of _laplace_noise, so the
+    whole release is oracle-checkable — the rare property for a DP
+    mechanism (opaque RNG noise can't be cross-checked at all).
+    One hash aggregate, map-side partials, no joins."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.least(
+        F.greatest(
+            F.round(F.col("value") * 100, 0).cast("long"), F.lit(0)
+        ),
+        F.lit(clip_cents),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    b_count = 2.0 / epsilon
+    b_sum = 2.0 * (clip_cents / 100.0) / epsilon
+    return agg.select(
+        "event_type",
+        F.lit(float(epsilon)).alias("epsilon_total"),
+        F.round(
+            F.col("n").cast("double")
+            + _laplace_noise(
+                F.concat(F.lit("dpc:"), F.col("event_type")), b_count
+            ),
+            4,
+        ).alias("noisy_count"),
+        F.round(
+            F.col("sum_cents").cast("double") / F.lit(100.0)
+            + _laplace_noise(
+                F.concat(F.lit("dps:"), F.col("event_type")), b_sum
+            ),
+            4,
+        ).alias("noisy_value_sum"),
+    ).orderBy("event_type")
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing k-anonymity gate over the customer table:
     quasi-identifiers (nation, market segment), sensitive attribute

@@ -910,3 +910,71 @@ def test_url_normalize_idempotent_property(spark):
             assert r.u1 == r.u2, (r.u1, r.u2)
 
     check()
+
+
+def test_dp_release_deterministic_noisy_and_within_utility_band(spark):
+    """The DP release must (a) reproduce exactly across runs (seeded
+    noise), (b) actually perturb every statistic (no silent zero
+    noise), and (c) stay within the 99.9% Laplace utility band
+    |noise| <= b * ln(1000) of the true aggregates."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_dp_event_counts,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    sf = "/root/testdata/sf0.001"
+    a = q_dp_event_counts(spark, sf).collect()
+    b = q_dp_event_counts(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    cents = F.least(
+        F.greatest(F.round(F.col("value") * 100, 0).cast("long"), F.lit(0)),
+        F.lit(50_000),
+    )
+    truth = {
+        r["event_type"]: (r["n"], r["s"] / 100.0)
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+        .collect()
+    }
+    b_count, b_sum = 2.0, 1000.0
+    for r in a:
+        n_true, s_true = truth[r["event_type"]]
+        assert r["noisy_count"] != n_true
+        assert r["noisy_value_sum"] != s_true
+        assert abs(r["noisy_count"] - n_true) <= b_count * math.log(1000)
+        assert abs(r["noisy_value_sum"] - s_true) <= b_sum * math.log(1000)
+
+
+def test_laplace_noise_distribution_shape(spark):
+    """Over 4000 distinct seeds the seeded-hash Laplace must look
+    Laplace(0, b): median near 0, mean |noise| near b, symmetric
+    sign split, and the empirical 95th percentile of |noise| near
+    b * ln(20)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        _laplace_noise,
+    )
+
+    b = 3.0
+    df = spark.range(4000).select(
+        _laplace_noise(F.concat(F.lit("t:"), F.col("id")), b).alias("x")
+    )
+    xs = sorted(r["x"] for r in df.collect())
+    n = len(xs)
+    med = xs[n // 2]
+    assert abs(med) < 0.25
+    mean_abs = sum(abs(x) for x in xs) / n
+    assert abs(mean_abs - b) < 0.25
+    pos = sum(1 for x in xs if x > 0)
+    assert 0.45 < pos / n < 0.55
+    p95 = sorted(abs(x) for x in xs)[int(0.95 * n)]
+    assert abs(p95 - b * math.log(20)) < 0.9
