@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DP aggregate release (deterministic seeded-hash Laplace —
         # the oracle-checkable mechanism; budget split documented).
         "q_dp_event_counts": C.q_dp_event_counts,
+        # Markov removal-effect attribution (rows-only: absorbing-
+        # chain solve over the parameter-sized transition matrix).
+        "q_markov_attribution": A.q_markov_attribution,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's

@@ -1465,6 +1465,141 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    model that replaces q_attribution_credit's positional heuristics
+    (first/last/linear credit assume the answer; the Markov model
+    MEASURES each channel's causal contribution as how much the
+    conversion probability drops when the channel is removed from
+    the journey graph; Anderl et al. 2014, the standard industry
+    formulation).
+
+    Journeys: per user, the event stream splits at each conversion
+    (exclusive prefix count of conversions = journey id); within a
+    journey every non-conversion event is a channel touch, the
+    conversion is the absorbing CONV state, and a journey that ends
+    without converting absorbs into NULL. Transitions (START ->
+    first touch, touch -> touch, touch -> CONV/NULL, last-touch ->
+    NULL) are counted distributed — one lag window on the user key
+    plus one groupBy over at most (|types|+2)^2 cells — and ONLY the
+    parameter-sized transition matrix reaches the driver (the PCA
+    gram-partial pattern), where an O(k^3) absorption solve (k <=
+    |types|) computes P(CONV | START) for the full chain and for
+    each single-channel-removed chain (removal redirects the
+    channel's inbound mass to NULL). Rows-only: the linear solve has
+    no SQL twin; pinned in pytest against an independent
+    power-iteration replica and a planted must-pass/never-pass
+    corpus."""
+    import numpy as np
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_conv = (F.col("event_type") == conversion_type).cast("long")
+    rows = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.coalesce(
+            F.sum(is_conv).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    jw = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    state = F.when(
+        F.col("event_type") == conversion_type, F.lit("CONV")
+    ).otherwise(F.col("event_type"))
+    stepped = rows.select(
+        "user_id",
+        "journey",
+        state.alias("to_state"),
+        F.coalesce(F.lag(state).over(jw), F.lit("START")).alias(
+            "from_state"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "journey").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn_last"),
+    )
+    inner = stepped.select("from_state", "to_state")
+    # Non-converting journeys: their last row absorbs into NULL.
+    tail = stepped.where(
+        (F.col("rn_last") == 1) & (F.col("to_state") != "CONV")
+    ).select(
+        F.col("to_state").alias("from_state"),
+        F.lit("NULL").alias("to_state"),
+    )
+    counts = (
+        inner.unionByName(tail)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    # Driver side: parameter-sized absorbing-chain solve.
+    trans: dict[str, dict[str, int]] = {}
+    for r in counts:
+        trans.setdefault(r["from_state"], {})[r["to_state"]] = r["n"]
+    channels = sorted(
+        s for s in set(trans) | {t for d in trans.values() for t in d}
+        if s not in ("CONV", "NULL", "START")
+    )
+
+    def p_conv(removed: str | None) -> float:
+        states = ["START"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        q = np.zeros((k, k))
+        b = np.zeros(k)
+        for s in states:
+            out = trans.get(s, {})
+            tot = sum(out.values())
+            if tot == 0:
+                continue
+            for t, n in out.items():
+                p = n / tot
+                if t == "CONV":
+                    b[idx[s]] += p
+                elif t in idx:
+                    q[idx[s], idx[t]] += p
+                # else: t removed or NULL -> absorbed, no conversion
+        return float(np.linalg.solve(np.eye(k) - q, b)[idx["START"]])
+
+    p_full = p_conv(None)
+    effects = []
+    for c in channels:
+        re_c = 0.0 if p_full == 0.0 else 1.0 - p_conv(c) / p_full
+        effects.append((c, max(re_c, 0.0)))
+    tot_re = sum(e for _, e in effects)
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                round(re_c, 6),
+                round(re_c / tot_re, 6) if tot_re > 0 else 0.0,
+                round(p_full, 6),
+            )
+            for c, re_c in effects
+        ],
+        "channel string, removal_effect double, "
+        "attribution_share double, p_conv_full double",
+    ).orderBy("channel")
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over the events stream (conversion
+    = 'purchase'). Rows-only; the transition-count layer is the
+    oracle-backed q_event_transition_matrix's shape, and pytest pins
+    the solve against a power-iteration replica plus planted
+    journeys with known effects."""
+    return markov_attribution(load(spark, sf_dir, "events"))
+
+
 def q_interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of per-user inter-event gaps in logarithmic
     buckets (the cadence profile a capacity planner reads): lag diff

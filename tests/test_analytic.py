@@ -1338,3 +1338,117 @@ def test_forecast_backtest_skill_positive_on_trending_series(spark):
     assert r.mae_naive > 2.9
     assert r.mae_holt < r.mae_naive
     assert r.skill_vs_naive > 0.4
+
+
+def test_markov_attribution_planted_journeys(spark):
+    """Hand-solvable chain: 20 journeys a->b->CONV, 10 journeys
+    z->b->NULL. First-order pooling gives P(CONV|b)=2/3 regardless of
+    path, so p_full = 2/3; removing b kills every path (RE_b = 1);
+    removing a drops P to (1/3)(2/3) = 2/9 (RE_a = 2/3); removing z
+    sends z's START mass to NULL, P = 4/9 (RE_z = 1/3 — the standard
+    removal-effect definition does NOT redistribute the removed
+    channel's entry mass; a dead-end channel still 'carries' the
+    journeys that started through it)."""
+    from datetime import datetime, timedelta
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        markov_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(u, i, typ):
+        nonlocal eid
+        rows.append((eid, t0 + timedelta(minutes=i), u, typ, 1.0, "{}"))
+        eid += 1
+
+    # 20 converting users: a -> b -> purchase
+    for u in range(20):
+        add(u, 0, "a"); add(u, 1, "b"); add(u, 2, "purchase")
+    # 10 non-converting users: z -> b (journey dies)
+    for u in range(100, 110):
+        add(u, 0, "z"); add(u, 1, "b")
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r.channel: r for r in markov_attribution(ev).collect()}
+    assert set(out) == {"a", "b", "z"}
+    assert out["a"].p_conv_full == 0.666667
+    assert out["b"].removal_effect == 1.0
+    assert out["a"].removal_effect == 0.666667
+    assert out["z"].removal_effect == 0.333333
+    # shares normalize the effects: 2/3 : 1 : 1/3 -> 1/3 : 1/2 : 1/6
+    assert out["a"].attribution_share == 0.333333
+    assert out["b"].attribution_share == 0.5
+    assert out["z"].attribution_share == 0.166667
+
+
+def test_markov_attribution_matches_power_iteration_replica(spark):
+    """On the real testdata the absorption solve must agree with an
+    independent power-iteration replica of the same chain to 1e-9."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_markov_attribution,
+    )
+    from datapoints_csv_extractor_spark.operators.relational import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.channel: r for r in q_markov_attribution(spark, sf).collect()}
+
+    # Rebuild the transition counts independently (plain collect of
+    # raw events, pure-Python journey walk).
+    ev = (
+        load(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.event_type)
+    trans = {}
+
+    def bump(a, b):
+        trans.setdefault(a, {}).setdefault(b, 0)
+        trans[a][b] += 1
+
+    for types in by_user.values():
+        prev = "START"
+        for t in types:
+            cur = "CONV" if t == "purchase" else t
+            bump(prev, cur)
+            prev = "START" if cur == "CONV" else cur
+        if prev != "START":
+            bump(prev, "NULL")
+
+    def p_conv(removed):
+        # power iteration: v[s] = P(absorb in CONV from s)
+        states = [s for s in trans if s not in ("CONV", "NULL")]
+        v = {s: 0.0 for s in states}
+        for _ in range(4000):
+            nv = {}
+            for s in states:
+                out = {
+                    t: n for t, n in trans[s].items() if t != removed
+                }
+                tot = sum(trans[s].values())
+                acc = 0.0
+                for t, n in out.items():
+                    if t == "CONV":
+                        acc += n / tot
+                    elif t in v:
+                        acc += n / tot * v[t]
+                nv[s] = acc
+            v = nv
+        return v.get("START", 0.0)
+
+    p_full = p_conv(None)
+    assert abs(got[next(iter(got))].p_conv_full - round(p_full, 6)) <= 1e-6
+    for c, r in got.items():
+        want = 0.0 if p_full == 0 else max(1.0 - p_conv(c) / p_full, 0.0)
+        assert abs(r.removal_effect - want) < 1e-6, (c, r.removal_effect, want)

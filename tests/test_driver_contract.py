@@ -58,6 +58,7 @@ ROWS_ONLY_ALLOWED = {
     "q_pagerank",  # iterative float ranks; numpy-parity-pinned in pytest
     "q_kcore",  # iterative peeling has no SQL twin; python-peeler-pinned
     "q_dtw_knn",  # banded-DTW dynamic program has no SQL twin; numpy-pinned
+    "q_markov_attribution",  # absorbing-chain solve; replica-pinned
 }
 
 
