@@ -81,11 +81,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": X.q_chunk_documents,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
-        "q_fuzzy_match": R.q_fuzzy_match,
+        # Round-8 rotation: q_jaro_winkler_match (position-dependent
+        # Jaro-Winkler ER scoring, bit-identical to DuckDB's builtin —
+        # the family's principled upgrade) takes q_fuzzy_match's slot;
+        # edit-distance matching keeps the richer twin in-window and
+        # levenshtein fuzzy match stays registered below.
+        "q_jaro_winkler_match": R.q_jaro_winkler_match,
         "q_window_distribution": R.q_window_distribution,
         "q_variant_extract": R.q_variant_extract,
         # Temporal / OLAP analytics
-        "q_holt_winters": A.q_holt_winters,
+        # Round-8 rotation: q_dp_event_counts (differentially-private
+        # aggregate release with deterministic seeded-hash Laplace
+        # noise — the privacy family's first in-window entry next to
+        # the k-anonymity gate) takes q_holt_winters's slot; seasonal
+        # forecasting was green in r07 and stays registered below.
+        "q_dp_event_counts": C.q_dp_event_counts,
         "q_session_window": A.q_session_window,
         # Round-7 rotation: the binned interval-overlap join (keyless
         # many-x-many range join as a bucket equijoin — a family the
@@ -93,7 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouping keeps q_metrics_rollup in-window and CUBE stays
         # registered below.
         "q_interval_overlap": A.q_interval_overlap,
-        "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
+        # Round-8 rotation: q_kmv_overlap (KMV distinct/overlap sketch
+        # matrix, oracle-exact via engine-reproducible md5-prefix
+        # hashes) takes q_quantile_sketch_rollup's slot; the sketch
+        # family keeps q_heavy_hitters_ample in-window and the
+        # quantile sketch (green r07) stays registered below.
+        "q_kmv_overlap": A.q_kmv_overlap,
         "q_cusum_changepoint": A.q_cusum_changepoint,
         # Round-7 rotation: BFS hop distances (iterative graph
         # traversal with a recursive-CTE oracle — a family the window
@@ -101,7 +116,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decomposition keeps in-window cousins (q_holt_winters,
         # q_quantile_sketch_rollup, q_cusum_changepoint) and STL stays
         # registered below.
-        "q_bfs_hops": G.q_bfs_hops,
+        # Round-8 rotation: q_lpa_communities (synchronous
+        # min-tie-break label propagation with an unrolled-CTE oracle
+        # — community detection, a graph subfamily the window never
+        # exercised) takes q_bfs_hops's slot; iterative traversal was
+        # green r07 and the graph family keeps q_triangle_count
+        # in-window; BFS stays registered below.
+        "q_lpa_communities": G.q_lpa_communities,
         "q_scd2_history": R.q_scd2_history,
         "q_range_join": A.q_range_join,
         "q_attribution_credit": A.q_attribution_credit,
@@ -251,20 +272,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Weighted shortest paths (rows-only: float min-plus; pinned
         # against a pure-Python Bellman-Ford replica in pytest).
         "q_sssp_weighted": G.q_sssp_weighted,
-        # Synchronous min-tie-break label propagation (4 rounds) +
-        # Newman modularity — both oracle-exact (unrolled CTE rounds,
-        # integer-numerator Q).
-        "q_lpa_communities": G.q_lpa_communities,
+        # Newman modularity of the LPA communities — oracle-exact
+        # (integer-numerator Q); shares _lpa_base with the in-window
+        # community query.
         "q_lpa_modularity": G.q_lpa_modularity,
-        # KMV distinct/overlap sketch — the HLL family's oracle-exact
-        # sibling (engine-reproducible md5-prefix hashes).
-        "q_kmv_overlap": A.q_kmv_overlap,
-        # Jaro-Winkler entity matching (pandas kernel bit-identical
-        # to DuckDB's builtin; blocked on brand + first name token).
-        "q_jaro_winkler_match": R.q_jaro_winkler_match,
-        # DP aggregate release (deterministic seeded-hash Laplace —
-        # the oracle-checkable mechanism; budget split documented).
-        "q_dp_event_counts": C.q_dp_event_counts,
+        # Displaced by the round-8 LPA/KMV/JW/DP rotations (all four
+        # were green in r07 and keep in-window family twins):
+        "q_bfs_hops": G.q_bfs_hops,
+        "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
+        "q_fuzzy_match": R.q_fuzzy_match,
+        "q_holt_winters": A.q_holt_winters,
         # Markov removal-effect attribution (rows-only: absorbing-
         # chain solve over the parameter-sized transition matrix).
         "q_markov_attribution": A.q_markov_attribution,
