@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Markov removal-effect attribution (rows-only: absorbing-
         # chain solve over the parameter-sized transition matrix).
         "q_markov_attribution": A.q_markov_attribution,
+        # Character-entropy gibberish gate — vocabulary-free quality
+        # signal next to q_text_quality (oracle-exact decimal fold).
+        "q_char_entropy": X.q_char_entropy,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1834,6 +1837,8 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_quality": C.domain_quality_oracle_sql(),
         # One-sided containment decontamination.
         "q_containment_decontamination": D.containment_decontamination_oracle_sql(),
+        # Character-entropy gibberish gate (rounded-decimal log2 fold).
+        "q_char_entropy": X.char_entropy_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2759,3 +2759,93 @@ def html_main_content_oracle_sql(
                md5(m) AS main_md5
         FROM main ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Character-entropy gibberish gate
+# --------------------------------------------------------------------------
+
+def q_char_entropy(
+    spark: SparkSession,
+    sf_dir: str,
+    low: float = 2.0,
+    high: float = 5.3,
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) with the
+    band verdict — the cheapest gibberish detector in the curation
+    stack: natural-language text sits in a narrow entropy band
+    (~3.5-4.5 bits for English characters) while pathological inputs
+    fall outside it on BOTH sides: `aaaa...` repetition collapses
+    toward 0 and base64 / minified / random blobs push past ~5 bits.
+    Quality stacks run this before any tokenizer because it needs no
+    vocabulary. (The reference has no text analytics; north-star
+    extension next to q_text_quality / q_repetition_signals.)
+
+    Plan shape: one per-character explode with map-side partial
+    aggregation — the shuffle carries (doc, char) PAIRS, so its volume
+    is O(docs x alphabet), not O(corpus chars) — then a bounded
+    per-doc fold. Per-character terms round to 6 dp and sum as
+    DECIMAL(18,6) (the unigram-logprob order-independence discipline)
+    so the entropy is engine-exact despite libm log2 appearing once
+    per (doc, char)."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.length(F.col("text")))
+        ).alias("pos", "i"),
+        F.col("text"),
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    totals = counts.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    term = F.round(
+        -(F.col("k") / F.col("n")) * F.log2(F.col("k") / F.col("n")), 6
+    ).cast("decimal(18,6)")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count("*").alias("distinct_chars"),
+            F.round(F.sum(term).cast("double"), 4).alias("char_entropy"),
+        )
+        .withColumn(
+            "pass_entropy",
+            (F.col("char_entropy") >= F.lit(low))
+            & (F.col("char_entropy") <= F.lit(high)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def char_entropy_oracle_sql(low: float = 2.0, high: float = 5.3) -> str:
+    """DuckDB twin of q_char_entropy: identical per-character explode,
+    identical rounded-decimal entropy fold."""
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS g
+            FROM documents
+        ), chars AS (
+            SELECT doc_id, substring(text, g, 1) AS ch FROM pos
+        ), counts AS (
+            SELECT doc_id, ch, count(*) AS k
+            FROM chars GROUP BY 1, 2
+        ), totals AS (
+            SELECT doc_id, sum(k) AS n FROM counts GROUP BY 1
+        ), folded AS (
+            SELECT c.doc_id,
+                   max(t.n) AS n_chars,
+                   count(*) AS distinct_chars,
+                   round(CAST(sum(CAST(round(
+                       -(c.k / t.n) * log2(c.k / t.n), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE), 4) AS char_entropy
+            FROM counts c JOIN totals t USING (doc_id)
+            GROUP BY c.doc_id
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               distinct_chars, char_entropy,
+               (char_entropy >= {low} AND char_entropy <= {high})
+                   AS pass_entropy
+        FROM folded ORDER BY doc_id
+    """

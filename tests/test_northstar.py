@@ -2427,3 +2427,32 @@ def test_jaro_winkler_match_recovers_planted_twins(spark):
         assert jw <= 1.0
         if jw == 1.0:
             assert k2 < 10_000_000  # only identical catalog names
+
+
+def test_char_entropy_closed_form_band(spark, tmp_path):
+    # Closed forms: a 1-symbol doc has H = 0 (fails low), a uniform
+    # 16-symbol doc has H = 4.0 exactly (in band), a uniform 64-symbol
+    # doc has H = 6.0 (fails high), and English-ish prose lands in
+    # band. Also pins n_chars / distinct_chars as exact integers.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    sixteen = "".join(chr(ord("a") + i) for i in range(16)) * 8
+    sixtyfour = "".join(chr(48 + i) for i in range(64)) * 2
+    docs = [
+        (0, "a" * 100),
+        (1, sixteen),
+        (2, sixtyfour),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in X.q_char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].char_entropy == 0.0 and not rows[0].pass_entropy
+    assert rows[0].n_chars == 100 and rows[0].distinct_chars == 1
+    assert rows[1].char_entropy == 4.0 and rows[1].pass_entropy
+    assert rows[2].char_entropy == 6.0 and not rows[2].pass_entropy
+    assert rows[2].distinct_chars == 64
+    assert 3.0 < rows[3].char_entropy < 4.5 and rows[3].pass_entropy
