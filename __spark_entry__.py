@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Character-entropy gibberish gate — vocabulary-free quality
         # signal next to q_text_quality (oracle-exact decimal fold).
         "q_char_entropy": X.q_char_entropy,
+        # t-closeness release gate — the EMD leg of the privacy trio
+        # next to q_k_anonymity / q_dp_event_counts (integer-exact
+        # ordered EMD, one double division per class).
+        "q_t_closeness": C.q_t_closeness,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1839,6 +1843,8 @@ def oracle_sql() -> dict[str, str]:
         "q_containment_decontamination": D.containment_decontamination_oracle_sql(),
         # Character-entropy gibberish gate (rounded-decimal log2 fold).
         "q_char_entropy": X.char_entropy_oracle_sql(),
+        # t-closeness ordered-EMD release gate.
+        "q_t_closeness": C.t_closeness_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

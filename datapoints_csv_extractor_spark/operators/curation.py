@@ -23,7 +23,7 @@ sort or single-partition window exists anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -2250,6 +2250,157 @@ def k_anonymity_oracle_sql() -> str:
                 AND max(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) = 0)
                    AS release_ok
         FROM classes
+    """
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) — the third leg
+    of the release-gate trio next to k-anonymity / l-diversity:
+    l-diversity only counts DISTINCT sensitive values per equivalence
+    class, so a class can be l-diverse yet still leak (all its values
+    clustered at one end of an ordered attribute). t-closeness bounds
+    the Earth Mover's Distance between each class's sensitive-value
+    distribution and the table-wide one; for an ordered attribute with
+    B distinct values, EMD = sum_i |cumsum_i(p_class - p_global)| /
+    (B - 1).
+
+    Exactness: per-band differences are kept as the INTEGER
+    c_class*N - C_global*n_class over the common denominator
+    n_class*N (DECIMAL(38,0) so 100 TB row counts cannot overflow the
+    cross product), the ordered cumulative sum folds exactly, and one
+    double division per class produces the EMD — both engines divide
+    the same two exact integers.
+
+    Shape: one shuffle on (quasi, band) with map-side combine, a
+    broadcast-joined band dimension completing each class to the full
+    grid (classes x B rows — dimension-sized), one window cumsum, one
+    class fold. The fact table is scanned once."""
+    cls = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("cg"))
+    totals = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_class"))
+    nb = df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(sensitive_col).alias("n_bands"),
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(glob.select(sensitive_col, "cg")))
+        .join(cls, [*quasi_cols, sensitive_col], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(nb))
+    )
+    diff = (
+        F.col("c").cast("decimal(38,0)") * F.col("n_total")
+        - F.col("cg").cast("decimal(38,0)") * F.col("n_class")
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(diff).over(w)
+    per_band = grid.select(
+        *quasi_cols,
+        "n_class",
+        "n_total",
+        "n_bands",
+        F.abs(cum).alias("abs_cum"),
+    )
+    emd = F.round(
+        F.sum("abs_cum").cast("double")
+        / (
+            F.max("n_class").cast("double")
+            * F.max("n_total").cast("double")
+            * F.greatest(F.max("n_bands") - 1, F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    return (
+        per_band.groupBy(*quasi_cols)
+        .agg(
+            F.max("n_class").alias("class_size"),
+            emd.alias("emd"),
+        )
+        .withColumn("pass_t", F.col("emd") <= F.lit(t))
+        .orderBy(*quasi_cols)
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing t-closeness report over the same release candidate
+    as q_k_anonymity: quasi-identifiers (nation, market segment),
+    ordered sensitive attribute = account-balance thousand-band."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balance_band"),
+    )
+    return t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment"], "balance_band", t=0.2
+    )
+
+
+def t_closeness_oracle_sql(t: float = 0.2) -> str:
+    """DuckDB twin of q_t_closeness: identical integer EMD fold."""
+    return f"""
+        WITH base AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band
+            FROM customer
+        ), cls AS (
+            SELECT c_nationkey, c_mktsegment, balance_band,
+                   count(*) AS c
+            FROM base GROUP BY 1, 2, 3
+        ), gdist AS (
+            SELECT balance_band, count(*) AS cg FROM base GROUP BY 1
+        ), totals AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS n_class
+            FROM base GROUP BY 1, 2
+        ), nb AS (
+            SELECT count(*) AS n_total,
+                   count(DISTINCT balance_band) AS n_bands
+            FROM base
+        ), grid AS (
+            SELECT t.c_nationkey, t.c_mktsegment, g.balance_band,
+                   t.n_class, g.cg, coalesce(c.c, 0) AS c,
+                   nb.n_total, nb.n_bands
+            FROM totals t
+            CROSS JOIN gdist g
+            LEFT JOIN cls c
+              ON c.c_nationkey = t.c_nationkey
+             AND c.c_mktsegment = t.c_mktsegment
+             AND c.balance_band = g.balance_band
+            CROSS JOIN nb
+        ), cums AS (
+            SELECT c_nationkey, c_mktsegment, n_class, n_total, n_bands,
+                   abs(sum(c * n_total - cg * n_class) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY balance_band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS abs_cum
+            FROM grid
+        )
+        SELECT c_nationkey, c_mktsegment,
+               max(n_class) AS class_size,
+               round(CAST(sum(abs_cum) AS DOUBLE)
+                     / (CAST(max(n_class) AS DOUBLE)
+                        * CAST(max(n_total) AS DOUBLE)
+                        * CAST(greatest(max(n_bands) - 1, 1) AS DOUBLE)),
+                     6) AS emd,
+               round(CAST(sum(abs_cum) AS DOUBLE)
+                     / (CAST(max(n_class) AS DOUBLE)
+                        * CAST(max(n_total) AS DOUBLE)
+                        * CAST(greatest(max(n_bands) - 1, 1) AS DOUBLE)),
+                     6) <= {t} AS pass_t
+        FROM cums
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """
 
 

@@ -978,3 +978,29 @@ def test_laplace_noise_distribution_shape(spark):
     assert 0.45 < pos / n < 0.55
     p95 = sorted(abs(x) for x in xs)[int(0.95 * n)]
     assert abs(p95 - b * math.log(20)) < 0.9
+
+
+def test_t_closeness_closed_form(spark):
+    # Global over bands {0,1} is 50/50. Class "skew0" (all band 0) and
+    # "skew1" (all band 1) each have EMD = 0.5; class "mix" mirrors the
+    # global distribution exactly, EMD = 0. With t=0.2 only "mix"
+    # releases.
+    from datapoints_csv_extractor_spark.operators.curation import (
+        t_closeness_report,
+    )
+
+    rows = (
+        [("skew0", 0)] * 10
+        + [("skew1", 1)] * 10
+        + [("mix", 0)] * 10
+        + [("mix", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "grp string, band long")
+    out = {
+        r.grp: r
+        for r in t_closeness_report(df, ["grp"], "band", t=0.2).collect()
+    }
+    assert out["mix"].emd == 0.0 and out["mix"].pass_t
+    assert out["skew0"].emd == 0.5 and not out["skew0"].pass_t
+    assert out["skew1"].emd == 0.5 and not out["skew1"].pass_t
+    assert out["skew0"].class_size == 10 and out["mix"].class_size == 20
