@@ -292,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next to q_k_anonymity / q_dp_event_counts (integer-exact
         # ordered EMD, one double division per class).
         "q_t_closeness": C.q_t_closeness,
+        # Kaplan-Meier repeat-purchase survival — right-censoring-
+        # aware churn curve; bit-identical ordered product fold
+        # (recursive-CTE oracle).
+        "q_kaplan_meier": A.q_kaplan_meier,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1845,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "q_char_entropy": X.char_entropy_oracle_sql(),
         # t-closeness ordered-EMD release gate.
         "q_t_closeness": C.t_closeness_oracle_sql(),
+        # Kaplan-Meier survival (recursive-CTE ordered product).
+        "q_kaplan_meier": A.kaplan_meier_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

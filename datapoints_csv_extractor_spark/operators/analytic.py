@@ -3068,3 +3068,170 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_user", "w_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (repeat-purchase / churn analysis)
+# --------------------------------------------------------------------------
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) — the standard right-censoring-aware answer to "how long
+    until the event", which a plain duration histogram gets WRONG
+    whenever some subjects haven't had the event yet (dropping them
+    biases short, counting them as events biases the tail).
+
+    Input: one row per subject with an integer ``duration`` and
+    ``event`` (1 = observed, 0 = right-censored). Output: one row per
+    distinct EVENT time with the risk-set size, event/censor counts,
+    and the survival curve S(t) = prod_{t_i <= t} (n_i - d_i) / n_i.
+
+    Exactness contract: n_i and d_i are exact integers, each factor is
+    ONE double division of those integers, and S(t) is the
+    left-to-right product of those identical doubles — the Spark side
+    folds a time-ordered factor array, the DuckDB twin multiplies in
+    the same order through a recursive CTE, so the products are
+    bit-identical (IEEE multiplication is deterministic; no exp/ln
+    round trip).
+
+    Scale shape: one shuffle aggregates subjects to the per-duration
+    table, which is DIMENSION-sized (distinct integer durations are
+    bounded by the observation span — days, not subjects), so the
+    ordered window + fold run on a parameter-sized frame. The subject
+    table is scanned once."""
+    dur = F.col(duration_col)
+    ev = F.col(event_col).cast("long")
+    per_t = subjects.groupBy(dur.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(1 - ev).alias("censored"),
+        F.count(F.lit(1)).alias("arrivals"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = subjects.agg(F.count(F.lit(1)).alias("n_total"))
+    risked = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - (F.sum("arrivals").over(w_all) - F.col("arrivals")),
+    )
+    factor = (
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    curve = risked.withColumn("factor", factor).withColumn(
+        "survival",
+        F.aggregate(
+            F.collect_list(
+                F.when(F.col("d") > 0, F.col("factor"))
+            ).over(w_all),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return (
+        curve.where(F.col("d") > 0)
+        .select(
+            "t",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            "censored",
+            F.round(F.col("survival"), 6).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing repeat-purchase survival over orders: per
+    customer, the event is the SECOND distinct order date (duration =
+    days from first to second distinct order date); customers who
+    never reorder are right-censored at the dataset's last order date.
+    Same-day repeat orders don't count as a reorder — the curve
+    answers "how long until the customer comes BACK"."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("dt")
+    )
+    dd = o.distinct()
+    w = Window.partitionBy("cust").orderBy("dt")
+    ranked = dd.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("cust").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("dt"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("dt"))).alias("d2"),
+    )
+    maxd = o.agg(F.max("dt").alias("dmax"))
+    subjects = per_cust.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+        .cast("long")
+        .alias("duration"),
+        F.col("d2").isNotNull().cast("long").alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
+def kaplan_meier_oracle_sql() -> str:
+    """DuckDB twin of q_kaplan_meier: identical subject construction;
+    the survival product is a recursive CTE multiplying the SAME
+    time-ordered double factors left to right, so the curve is
+    bit-identical to Spark's array fold."""
+    return """
+        WITH RECURSIVE dd AS (
+            SELECT DISTINCT o_custkey AS cust, o_orderdate AS dt
+            FROM orders
+        ), ranked AS (
+            SELECT cust, dt,
+                   row_number() OVER (PARTITION BY cust ORDER BY dt) AS rn
+            FROM dd
+        ), per_cust AS (
+            SELECT cust,
+                   min(CASE WHEN rn = 1 THEN dt END) AS d1,
+                   min(CASE WHEN rn = 2 THEN dt END) AS d2
+            FROM ranked WHERE rn <= 2 GROUP BY cust
+        ), maxd AS (
+            SELECT max(o_orderdate) AS dmax FROM orders
+        ), subjects AS (
+            SELECT CASE WHEN d2 IS NOT NULL
+                        THEN date_diff('day', d1, d2)
+                        ELSE date_diff('day', d1, dmax) END AS duration,
+                   CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_cust CROSS JOIN maxd
+        ), per_t AS (
+            SELECT duration AS t,
+                   sum(event) AS d,
+                   sum(1 - event) AS censored,
+                   count(*) AS arrivals
+            FROM subjects GROUP BY 1
+        ), risked AS (
+            SELECT t, d, censored,
+                   (SELECT count(*) FROM subjects)
+                       - (sum(arrivals) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - arrivals) AS n_risk
+            FROM per_t
+        ), ev AS (
+            SELECT t, n_risk, d, censored,
+                   CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       AS factor,
+                   row_number() OVER (ORDER BY t) AS r
+            FROM risked WHERE d > 0
+        ), km AS (
+            SELECT r, t, n_risk, d, censored, factor,
+                   factor AS survival
+            FROM ev WHERE r = 1
+            UNION ALL
+            SELECT e.r, e.t, e.n_risk, e.d, e.censored, e.factor,
+                   km.survival * e.factor
+            FROM ev e JOIN km ON e.r = km.r + 1
+        )
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_events,
+               CAST(censored AS BIGINT) AS censored,
+               round(survival, 6) AS survival
+        FROM km ORDER BY t
+    """

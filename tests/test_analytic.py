@@ -1452,3 +1452,26 @@ def test_markov_attribution_matches_power_iteration_replica(spark):
     for c, r in got.items():
         want = 0.0 if p_full == 0 else max(1.0 - p_conv(c) / p_full, 0.0)
         assert abs(r.removal_effect - want) < 1e-6, (c, r.removal_effect, want)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # Classic hand-computed curve: events at t=1,3,4 with censoring at
+    # t=2,5. S(1) = 4/5; S(3) = 4/5 * 2/3; S(4) = that * 1/2. Censored
+    # subjects leave the risk set but contribute no factor.
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        kaplan_meier,
+    )
+
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0)],
+        "duration long, event long",
+    )
+    rows = {r.t: r for r in kaplan_meier(subj).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[1].n_risk == 5 and rows[1].n_events == 1
+    assert rows[1].survival == 0.8
+    assert rows[3].n_risk == 3
+    assert rows[3].survival == round(0.8 * (2 / 3), 6)
+    assert rows[4].n_risk == 2
+    assert rows[4].survival == round(0.8 * (2 / 3) * 0.5, 6)
+    assert rows[1].censored == 0 and rows[3].censored == 0
