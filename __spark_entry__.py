@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aware churn curve; bit-identical ordered product fold
         # (recursive-CTE oracle).
         "q_kaplan_meier": A.q_kaplan_meier,
+        # Strongly connected components of the page link graph —
+        # FW-coloring peel, canonical min-member labels; the oracle
+        # re-derives them from a recursive-CTE transitive closure.
+        "q_scc_pages": G.q_scc_pages,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1851,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "q_t_closeness": C.t_closeness_oracle_sql(),
         # Kaplan-Meier survival (recursive-CTE ordered product).
         "q_kaplan_meier": A.kaplan_meier_oracle_sql(),
+        # SCC canonical labels from a transitive-closure CTE.
+        "q_scc_pages": G.scc_pages_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -2850,53 +2850,59 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def link_graph_oracle_sql() -> str:
-    """DuckDB twin of q_link_graph: identical page synthesis, href
-    extraction, resolution, normalization, and domain rollup. The
-    piecewise URL expressions are composed by helpers so the two
-    engines share one synthesis formula."""
-    U = ("'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
-         "([^?#]*)(?:\\?([^#]*))?.*$'")
+_U_SQL = ("'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)"
+          "([^?#]*)(?:\\?([^#]*))?.*$'")
 
-    def piece(expr, grp):
-        return f"regexp_extract({expr}, {U}, {grp})"
 
-    def host_norm(expr):
-        sch = f"lower({piece(expr, 1)})"
-        h = f"lower({piece(expr, 2)})"
-        return (
-            f"CASE WHEN {sch} = 'http' AND {h} LIKE '%:80' "
-            f"THEN substring({h}, 1, length({h}) - 3) "
-            f"WHEN {sch} = 'https' AND {h} LIKE '%:443' "
-            f"THEN substring({h}, 1, length({h}) - 4) "
-            f"ELSE {h} END"
-        )
+def _sql_piece(expr: str, grp: int) -> str:
+    return f"regexp_extract({expr}, {_U_SQL}, {grp})"
 
-    def normalize(expr):
-        sch = f"lower({piece(expr, 1)})"
-        p = piece(expr, 3)
-        q = piece(expr, 4)
-        return (
-            f"{sch} || '://' || {host_norm(expr)} "
-            f"|| CASE WHEN {p} = '' THEN '/' ELSE {p} END "
-            f"|| CASE WHEN {q} = '' THEN '' ELSE '?' || "
-            f"array_to_string(list_sort(string_split({q}, '&')), '&') END"
-        )
 
-    def domain(expr):
-        h = (f"regexp_replace(lower({piece(expr, 2)}), "
-             "':[0-9]+$', '')")
-        parts = f"string_split({h}, '.')"
-        return (
-            f"CASE WHEN len({parts}) >= 2 THEN {parts}[-2] || '.' || "
-            f"{parts}[-1] ELSE {h} END"
-        )
+def _sql_host_norm(expr: str) -> str:
+    sch = f"lower({_sql_piece(expr, 1)})"
+    h = f"lower({_sql_piece(expr, 2)})"
+    return (
+        f"CASE WHEN {sch} = 'http' AND {h} LIKE '%:80' "
+        f"THEN substring({h}, 1, length({h}) - 3) "
+        f"WHEN {sch} = 'https' AND {h} LIKE '%:443' "
+        f"THEN substring({h}, 1, length({h}) - 4) "
+        f"ELSE {h} END"
+    )
 
+
+def _sql_url_normalize(expr: str) -> str:
+    sch = f"lower({_sql_piece(expr, 1)})"
+    p = _sql_piece(expr, 3)
+    q = _sql_piece(expr, 4)
+    return (
+        f"{sch} || '://' || {_sql_host_norm(expr)} "
+        f"|| CASE WHEN {p} = '' THEN '/' ELSE {p} END "
+        f"|| CASE WHEN {q} = '' THEN '' ELSE '?' || "
+        f"array_to_string(list_sort(string_split({q}, '&')), '&') END"
+    )
+
+
+def _sql_url_domain(expr: str) -> str:
+    h = (f"regexp_replace(lower({_sql_piece(expr, 2)}), "
+         "':[0-9]+$', '')")
+    parts = f"string_split({h}, '.')"
+    return (
+        f"CASE WHEN len({parts}) >= 2 THEN {parts}[-2] || '.' || "
+        f"{parts}[-1] ELSE {h} END"
+    )
+
+
+def page_links_sql_ctes() -> str:
+    """The shared CTE chain (pages -> hrefs -> resolved -> normed)
+    that re-derives ``extract_links(link_pages(...))`` in DuckDB SQL —
+    ``normed`` holds one row per kept link with the page's normalized
+    own URL and the normalized target. Composed by both the
+    link-graph rollup oracle and the SCC oracle so the synthesis
+    cannot drift between them."""
     raw_own = _raw_url_sql("doc_id")
     raw1 = _raw_url_sql("doc_id + 1")
     raw2 = _raw_url_sql("doc_id * 3 + 5")
-    return f"""
-        WITH pages AS (
+    return f"""pages AS (
             SELECT doc_id,
                    {raw_own} AS own_raw,
                    '<html><body><a href="' || {raw1}
@@ -2917,24 +2923,32 @@ def link_graph_oracle_sql() -> str:
                    CASE WHEN regexp_matches(href, '(?i)^https?://')
                         THEN href
                         WHEN starts_with(href, '/')
-                        THEN lower({piece("own_raw", 1)}) || '://'
-                             || lower({piece("own_raw", 2)}) || href
+                        THEN lower({_sql_piece("own_raw", 1)}) || '://'
+                             || lower({_sql_piece("own_raw", 2)}) || href
                         ELSE NULL END AS r
             FROM hrefs
         ), normed AS (
             SELECT doc_id,
-                   {normalize("own_raw")} AS own,
-                   {normalize("r")} AS link
+                   {_sql_url_normalize("own_raw")} AS own,
+                   {_sql_url_normalize("r")} AS link
             FROM resolved WHERE r IS NOT NULL
-        )
-        SELECT {domain("own")} AS src_domain,
-               {domain("link")} AS dst_domain,
+        )""".replace("pages_src", "documents")
+
+
+def link_graph_oracle_sql() -> str:
+    """DuckDB twin of q_link_graph: the shared page-synthesis /
+    href-extraction / normalization CTE chain, rolled up to the
+    domain level."""
+    return f"""
+        WITH {page_links_sql_ctes()}
+        SELECT {_sql_url_domain("own")} AS src_domain,
+               {_sql_url_domain("link")} AS dst_domain,
                count(*) AS n_links,
                count(DISTINCT link) AS n_distinct_targets
         FROM normed
         GROUP BY src_domain, dst_domain
         ORDER BY src_domain, dst_domain
-    """.replace("pages_src", "documents")
+    """
 
 
 def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

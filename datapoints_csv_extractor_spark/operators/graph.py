@@ -35,7 +35,7 @@ peeling is pinned against a sequential Python peeler.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import load
@@ -728,3 +728,216 @@ def q_lpa_modularity(
     edges = affinity_edges(spark, sf_dir).localCheckpoint()
     assign = label_propagation(edges, rounds=rounds)
     return modularity(edges, assign)
+
+
+# --------------------------------------------------------------------------
+# Strongly connected components (directed web-graph structure)
+# --------------------------------------------------------------------------
+
+def scc_components(
+    edges: DataFrame,
+    max_outer: int = 25,
+    max_inner: int = 80,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED (src, dst) edge
+    list via coloring + backward-reach peeling (Orzan 2004 / the
+    FW-BW family — the standard distributed SCC, since Tarjan's
+    stack is inherently sequential). Returns (node, scc_id) where
+    ``scc_id`` is the MINIMUM member of the component — a canonical
+    labeling an oracle can reproduce from the transitive closure.
+
+    Each outer round: (1) forward min-label propagation to fixpoint —
+    color(v) = smallest node that reaches v; (2) every node whose
+    color is ITSELF is a root, and the root's SCC is exactly the set
+    of nodes that reach it BACKWARD inside its color class (a member
+    m < root would force color(root) <= m, so the root is the min
+    member — the labels match the oracle by construction); (3) peel
+    the found SCCs and repeat on the remainder. Outer rounds are
+    bounded by the depth of the SCC condensation DAG; inner rounds by
+    graph diameter. Per inner round: one equijoin + one groupBy-min +
+    an eager localCheckpoint (the pagerank lineage discipline), so at
+    scale each round is one bounded shuffle — no pair space, no
+    closure materialization (the CLOSURE lives only in the DuckDB
+    twin). Raises if the round budget is exhausted rather than
+    returning a partial labeling."""
+    e_all = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    active = (
+        e_all.select(F.col("src").alias("node"))
+        .unionAll(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: list[DataFrame] = []
+    for _outer in range(max_outer):
+        if active.isEmpty():
+            break
+        e_act = (
+            e_all.join(active.withColumnRenamed("node", "src"), "src", "semi")
+            .join(active.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        color = active.withColumn("color", F.col("node"))
+        for _inner in range(max_inner):
+            upd = (
+                e_act.join(
+                    color.withColumnRenamed("node", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("in_color"))
+            )
+            nxt = (
+                color.join(upd, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("in_color", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = not (
+                nxt.join(
+                    color.withColumnRenamed("color", "old"), "node"
+                )
+                .where(F.col("color") != F.col("old"))
+                .isEmpty()
+            )
+            color = nxt
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"scc_components: forward coloring did not converge in "
+                f"{max_inner} rounds"
+            )
+        # Backward reach from each root inside its color class.
+        csrc = color.select(
+            F.col("node").alias("src"), F.col("color").alias("c_src")
+        )
+        cdst = color.select(
+            F.col("node").alias("dst"), F.col("color").alias("c_dst")
+        )
+        e_col = (
+            e_act.join(csrc, "src")
+            .join(cdst, "dst")
+            .where(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        reach = (
+            color.where(F.col("node") == F.col("color"))
+            .select("node", "color")
+            .localCheckpoint(eager=True)
+        )
+        for _inner in range(max_inner):
+            grown = (
+                e_col.join(
+                    reach.select(
+                        F.col("node").alias("dst"),
+                        F.col("color").alias("r_color"),
+                    ),
+                    "dst",
+                )
+                .where(F.col("color") == F.col("r_color"))
+                .select(F.col("src").alias("node"), "color")
+                .distinct()
+                .unionAll(reach)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if grown.count() == reach.count():
+                reach = grown
+                break
+            reach = grown
+        else:
+            raise RuntimeError(
+                f"scc_components: backward reach did not converge in "
+                f"{max_inner} rounds"
+            )
+        done.append(reach.select("node", F.col("color").alias("scc_id")))
+        active = (
+            active.join(reach.select("node"), "node", "anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"scc_components: peeling did not finish in {max_outer} rounds"
+        )
+    out = done[0]
+    for part in done[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+def q_scc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCCs of the crawl's page-level link graph — the bow-tie
+    decomposition read (Broder et al. 2000): the giant core SCC vs
+    the IN/OUT fringes, which decides crawl prioritization and dedup
+    batching for mutually-linked page clusters. Oracle-exact: the
+    DuckDB twin derives the same canonical min-member labels from the
+    recursive-CTE transitive closure (closure pairs are the ORACLE's
+    cost — the Spark side never materializes them)."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        extract_links,
+        link_pages,
+    )
+
+    edges = (
+        extract_links(link_pages(spark, sf_dir), "html", "url")
+        .where(F.col("url") != F.col("link"))
+        .select(F.col("url").alias("src"), F.col("link").alias("dst"))
+    )
+    labels = scc_components(edges)
+    w = Window.partitionBy("scc_id")
+    return (
+        labels.withColumn("scc_size", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("node").alias("url"),
+            "scc_id",
+            F.col("scc_size").cast("long").alias("scc_size"),
+        )
+        .orderBy("url")
+    )
+
+
+def scc_pages_oracle_sql() -> str:
+    """DuckDB twin of q_scc_pages: the shared page-link CTE chain
+    (``curation.page_links_sql_ctes`` — same synthesis the Spark side
+    extracts from), then the transitive closure by recursive CTE and
+    the canonical labels scc_id(u) = least(u, min mutually-reachable
+    v). The closure is the ORACLE's cost model, not the engine's."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        page_links_sql_ctes,
+    )
+
+    return f"""
+        WITH RECURSIVE {page_links_sql_ctes()}, edges AS (
+            SELECT DISTINCT own AS src, link AS dst
+            FROM normed WHERE own <> link
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), reach AS (
+            SELECT src AS a, dst AS b FROM edges
+            UNION
+            SELECT r.a, e.dst
+            FROM reach r JOIN edges e ON e.src = r.b
+        ), mutual AS (
+            SELECT r1.a AS u, r1.b AS v
+            FROM reach r1
+            JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        ), labels AS (
+            SELECT n.node,
+                   least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+            FROM nodes n
+            LEFT JOIN mutual m ON m.u = n.node
+            GROUP BY n.node
+        )
+        SELECT node AS url, scc_id,
+               (count(*) OVER (PARTITION BY scc_id)) AS scc_size
+        FROM labels
+        ORDER BY url
+    """

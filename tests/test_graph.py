@@ -345,3 +345,81 @@ def test_modularity_all_one_community_is_zero(spark):
     )
     row = G.modularity(edges, assign).collect()[0]
     assert row.modularity == 0.0
+
+
+def _tarjan_sccs(edges):
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        g[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index, low, onstk, stk, comps = {}, {}, set(), [], []
+    ctr = [0]
+
+    def strong(v):
+        work = [(v, 0)]
+        while work:
+            node, pi = work.pop()
+            if pi == 0:
+                index[node] = low[node] = ctr[0]
+                ctr[0] += 1
+                stk.append(node)
+                onstk.add(node)
+            recurse = False
+            for i in range(pi, len(g[node])):
+                w = g[node][i]
+                if w not in index:
+                    work.append((node, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[node] = min(low[node], index[w])
+            if not recurse:
+                if low[node] == index[node]:
+                    comp = []
+                    while True:
+                        w = stk.pop()
+                        onstk.discard(w)
+                        comp.append(w)
+                        if w == node:
+                            break
+                    comps.append(comp)
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[node])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    return {n: min(c) for c in comps for n in c}
+
+
+def test_scc_matches_tarjan_on_chained_cycles(spark):
+    # Two cycles joined by a one-way bridge (so they are SEPARATE
+    # SCCs and the peel needs more than one outer round), a tail path,
+    # and an isolated edge pair. Canonical min-member labels must
+    # match a sequential Tarjan exactly.
+    from datapoints_csv_extractor_spark.operators.graph import (
+        scc_components,
+    )
+
+    edges = [
+        # cycle A: 1 -> 2 -> 3 -> 1
+        (1, 2), (2, 3), (3, 1),
+        # bridge A -> B (one-way: different SCCs)
+        (3, 4),
+        # cycle B: 4 -> 5 -> 6 -> 4
+        (4, 5), (5, 6), (6, 4),
+        # tail: 6 -> 7 -> 8 (singletons)
+        (6, 7), (7, 8),
+        # separate 2-cycle: 10 <-> 11
+        (10, 11), (11, 10),
+        # one-way pair: 20 -> 21 (singletons)
+        (20, 21),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in scc_components(df).collect()}
+    assert got == _tarjan_sccs(edges)

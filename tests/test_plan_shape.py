@@ -230,6 +230,8 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_sax_motifs",  # same 1-row day-bounds broadcast
         "q_dtw_knn",  # same 1-row day-bounds broadcast (series + letters)
         "q_lpa_modularity",  # 1-row total-edge aggregate broadcast
+        "q_t_closeness",  # band-dimension grid + 1-row (N, B) broadcast
+        "q_kaplan_meier",  # 1-row subject-total / max-date broadcasts
     }
 
     offenders = {}
