@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FW-coloring peel, canonical min-member labels; the oracle
         # re-derives them from a recursive-CTE transitive closure.
         "q_scc_pages": G.q_scc_pages,
+        # Wald SPRT sequential A/B monitor — peeking-safe experiment
+        # verdicts; literal log constants make the LLR engine-exact.
+        "q_sprt_ab": A.q_sprt_ab,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1857,6 +1860,8 @@ def oracle_sql() -> dict[str, str]:
         "q_kaplan_meier": A.kaplan_meier_oracle_sql(),
         # SCC canonical labels from a transitive-closure CTE.
         "q_scc_pages": G.scc_pages_oracle_sql(),
+        # SPRT cumulative log-likelihood walk (literal constants).
+        "q_sprt_ab": A.sprt_ab_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

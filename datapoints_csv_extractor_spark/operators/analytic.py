@@ -3235,3 +3235,127 @@ def kaplan_meier_oracle_sql() -> str:
                round(survival, 6) AS survival
         FROM km ORDER BY t
     """
+
+
+# --------------------------------------------------------------------------
+# Sequential A/B testing (Wald SPRT)
+# --------------------------------------------------------------------------
+
+def sprt_monitor(
+    subjects: DataFrame,
+    arm_col: str = "arm",
+    period_col: str = "day",
+    success_col: str = "success",
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) — the
+    peeking-safe way to monitor an online experiment: a fixed-horizon
+    test read daily inflates false positives, while the SPRT's
+    log-likelihood-ratio walk with Wald bounds holds (alpha, beta)
+    at EVERY look. One row per (arm, period) with the cumulative
+    trial/success counts, the LLR, and the running verdict.
+
+    For Bernoulli H0: p=p0 vs H1: p=p1, LLR after (n, k) is
+    k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)); both log constants and the
+    Wald bounds ln((1-beta)/alpha), ln(beta/(1-alpha)) are computed
+    ONCE driver-side and embedded as literals, so each engine
+    evaluates the identical k*C1 + (n-k)*C0 over exact integer
+    cumulative counts — engine-exact with no libm call in either
+    plan. Shape: one (arm, period) aggregate with map-side combine,
+    then a window cumsum over the dimension-sized period table."""
+    import math
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1 - p1) / (1 - p0))
+    upper = math.log((1 - beta) / alpha)
+    lower = math.log(beta / (1 - alpha))
+    per = subjects.groupBy(arm_col, period_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("k"),
+    )
+    w = (
+        Window.partitionBy(arm_col)
+        .orderBy(period_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_n = F.sum("n").over(w)
+    cum_k = F.sum("k").over(w)
+    llr = F.round(
+        cum_k.cast("double") * F.lit(c1)
+        + (cum_n - cum_k).cast("double") * F.lit(c0),
+        6,
+    )
+    return per.select(
+        arm_col,
+        period_col,
+        cum_n.alias("cum_n"),
+        cum_k.alias("cum_k"),
+        llr.alias("llr"),
+        F.when(llr >= F.lit(round(upper, 6)), F.lit("accept_h1"))
+        .when(llr <= F.lit(round(lower, 6)), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("verdict"),
+    ).orderBy(arm_col, period_col)
+
+
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing SPRT monitor over events: arms by user-id parity
+    (the deterministic assignment hash), success = purchase event,
+    one look per day."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").alias("success"),
+    )
+    return sprt_monitor(ev)
+
+
+def sprt_ab_oracle_sql(
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> str:
+    """DuckDB twin of q_sprt_ab: identical literal constants, integer
+    cumulative counts, identical expression shape."""
+    import math
+
+    c1 = repr(math.log(p1 / p0))
+    c0 = repr(math.log((1 - p1) / (1 - p0)))
+    upper = round(math.log((1 - beta) / alpha), 6)
+    lower = round(math.log(beta / (1 - alpha)), 6)
+    return f"""
+        WITH per AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(ts AS DATE) AS day,
+                   count(*) AS n,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS k
+            FROM events GROUP BY 1, 2
+        ), cums AS (
+            SELECT arm, day,
+                   sum(n) OVER w AS cum_n,
+                   sum(k) OVER w AS cum_k
+            FROM per
+            WINDOW w AS (PARTITION BY arm ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT arm, day,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(cum_k AS BIGINT) AS cum_k,
+               round(CAST(cum_k AS DOUBLE) * {c1}
+                     + CAST(cum_n - cum_k AS DOUBLE) * {c0}, 6) AS llr,
+               CASE WHEN round(CAST(cum_k AS DOUBLE) * {c1}
+                     + CAST(cum_n - cum_k AS DOUBLE) * {c0}, 6)
+                         >= {upper} THEN 'accept_h1'
+                    WHEN round(CAST(cum_k AS DOUBLE) * {c1}
+                     + CAST(cum_n - cum_k AS DOUBLE) * {c0}, 6)
+                         <= {lower} THEN 'accept_h0'
+                    ELSE 'continue' END AS verdict
+        FROM cums
+        ORDER BY arm, day
+    """

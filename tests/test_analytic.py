@@ -1475,3 +1475,30 @@ def test_kaplan_meier_textbook_curve(spark):
     assert rows[4].n_risk == 2
     assert rows[4].survival == round(0.8 * (2 / 3) * 0.5, 6)
     assert rows[1].censored == 0 and rows[3].censored == 0
+
+
+def test_sprt_crosses_both_wald_bounds(spark):
+    # Arm 0 succeeds every trial -> the LLR walk climbs ~0.2007/trial
+    # and must accept H1 within 50 trials; arm 1 never succeeds ->
+    # drifts down ~-0.05/trial and must accept H0 within 100. Early
+    # looks stay 'continue'. Cumulative counts are exact integers.
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        sprt_monitor,
+    )
+
+    rows = []
+    for day in range(1, 5):
+        for i in range(25):
+            rows.append((0, day, True))
+            rows.append((1, day, False))
+    df = spark.createDataFrame(rows, "arm long, day long, success boolean")
+    out = {(r.arm, r.day): r for r in sprt_monitor(df).collect()}
+    c1 = math.log(0.22 / 0.18)
+    assert out[(0, 1)].cum_n == 25 and out[(0, 1)].cum_k == 25
+    assert out[(0, 1)].llr == round(25 * c1, 6)
+    assert out[(0, 1)].verdict == "accept_h1"  # 25*0.2007 > 2.77
+    assert out[(1, 1)].verdict == "continue"  # 25*-0.05 > -1.558
+    assert out[(1, 2)].verdict == "accept_h0"  # 50*-0.05 < -1.558
+    assert out[(0, 4)].cum_n == 100
