@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Wald SPRT sequential A/B monitor — peeking-safe experiment
         # verdicts; literal log constants make the LLR engine-exact.
         "q_sprt_ab": A.q_sprt_ab,
+        # Flesch reading-ease readability bands — map-only regex
+        # counts, no explode (oracle-exact).
+        "q_flesch_readability": X.q_flesch_readability,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1862,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "q_scc_pages": G.scc_pages_oracle_sql(),
         # SPRT cumulative log-likelihood walk (literal constants).
         "q_sprt_ab": A.sprt_ab_oracle_sql(),
+        # Flesch readability (integer regex counts, one expression).
+        "q_flesch_readability": X.flesch_readability_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

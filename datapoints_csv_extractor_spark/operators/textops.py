@@ -2849,3 +2849,101 @@ def char_entropy_oracle_sql(low: float = 2.0, high: float = 5.3) -> str:
                    AS pass_entropy
         FROM folded ORDER BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease readability
+# --------------------------------------------------------------------------
+
+def q_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (Flesch 1948) — the classic
+    readability score curation stacks use as a grade-level quality
+    dial next to the Gopher/C4 gates: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), bucketed into the standard
+    difficulty bands.
+
+    Counting contract (all exact integers, both engines): words =
+    whitespace tokens; sentences = [.!?]+ runs, floored at 1;
+    syllables = [aeiouy]+ vowel runs per word floored at 1 per word —
+    because vowel runs never cross whitespace, the per-word sum equals
+    ONE regexp count over the whole text plus the number of
+    zero-vowel words (counted by a second regexp over the token
+    array), so the plan is map-only: no explode, no shuffle, three
+    JVM regex counts per row. The final score is one double
+    expression over those integers, rounded identically."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.lower(F.col("text")))
+    )
+    n_words = F.greatest(F.size(F.col("toks")), F.lit(1))
+    n_sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    vowel_runs = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    no_vowel_words = F.size(
+        F.filter(F.col("toks"), lambda t: ~t.rlike("[aeiouy]"))
+    )
+    n_syllables = vowel_runs + no_vowel_words
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+            * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6)
+            * (n_syllables.cast("double") / n_words.cast("double")),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+        score.alias("flesch"),
+        F.when(score >= 60, F.lit("easy"))
+        .when(score >= 30, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    ).orderBy("doc_id")
+
+
+def flesch_readability_oracle_sql() -> str:
+    """DuckDB twin of q_flesch_readability: identical regex counts and
+    the identical one-expression score."""
+    return """
+        WITH counted AS (
+            SELECT doc_id,
+                   greatest(len(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '')), 1) AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   + len(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '' AND NOT regexp_matches(t, '[aeiouy]')))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 4) AS flesch,
+               CASE WHEN round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 4) >= 60
+                    THEN 'easy'
+                    WHEN round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 4) >= 30
+                    THEN 'standard'
+                    ELSE 'difficult' END AS band
+        FROM counted
+        ORDER BY doc_id
+    """

@@ -2456,3 +2456,29 @@ def test_char_entropy_closed_form_band(spark, tmp_path):
     assert rows[2].char_entropy == 6.0 and not rows[2].pass_entropy
     assert rows[2].distinct_chars == 64
     assert 3.0 < rows[3].char_entropy < 4.5 and rows[3].pass_entropy
+
+
+def test_flesch_readability_hand_counts(spark, tmp_path):
+    # "The cat sat. It ran!" -> 5 words, 2 sentences, 5 vowel runs;
+    # flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5). A vowel-less token
+    # ("hmm") floors at 1 syllable; a no-punctuation doc floors at 1
+    # sentence.
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    docs = [
+        (0, "The cat sat. It ran!"),
+        (1, "hmm hmm grr"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in X.q_flesch_readability(spark, str(tmp_path)).collect()
+    }
+    r0 = rows[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (5, 2, 5)
+    assert r0.flesch == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 4)
+    assert r0.band == "easy"
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
