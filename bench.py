@@ -185,6 +185,20 @@ BENCH_QUERIES = [
     "q_sax_words",
     "q_sax_motifs",
     "q_dtw_knn",
+    # Round-8 post-close families.
+    "q_lpa_communities",
+    "q_lpa_modularity",
+    "q_kmv_overlap",
+    "q_jaro_winkler_match",
+    "q_dp_event_counts",
+    "q_markov_attribution",
+    "q_char_entropy",
+    "q_t_closeness",
+    "q_kaplan_meier",
+    # q_scc_pages is iteration-latency-bound (the HITS/pagerank
+    # family, already represented) and stays out of the reported list.
+    "q_sprt_ab",
+    "q_flesch_readability",
 ]
 
 
