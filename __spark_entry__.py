@@ -306,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flesch reading-ease readability bands — map-only regex
         # counts, no explode (oracle-exact).
         "q_flesch_readability": X.q_flesch_readability,
+        # Isotonic (PAV) probability calibration via the minimax
+        # characterization — parameter-sized bin fit, oracle-exact.
+        "q_isotonic_calibration": C.q_isotonic_calibration,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1867,6 +1870,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sprt_ab": A.sprt_ab_oracle_sql(),
         # Flesch readability (integer regex counts, one expression).
         "q_flesch_readability": X.flesch_readability_oracle_sql(),
+        # Isotonic calibration (minimax fit over the bin table).
+        "q_isotonic_calibration": C.isotonic_calibration_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -3016,3 +3016,171 @@ def domain_quality_oracle_sql() -> str:
         GROUP BY domain
         ORDER BY domain
     """
+
+
+# --------------------------------------------------------------------------
+# Isotonic (PAV) probability calibration
+# --------------------------------------------------------------------------
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Isotonic probability calibration of a classifier score
+    (Zadrozny & Elkan 2002): raw scores rank documents but their
+    VALUES are not probabilities; the monotone fit of empirical label
+    rates over score bins is the standard distribution-free
+    calibration map (the binned form every reliability-diagram
+    pipeline uses). Returns one row per non-empty bin with the raw
+    and calibrated rates.
+
+    Spark-first shape: ONE fact shuffle bins (score, label) into at
+    most ``bins`` cells (global min/max via a 1-row broadcast); the
+    isotonic fit then runs entirely on the parameter-sized bin table
+    using the minimax characterization of isotonic regression
+    (Barlow et al. 1972): fit(i) = max_{j<=i} min_{k>=i}
+    weightedRate(j..k). That is a B^3 triple expansion over B <= a
+    few dozen bins — parameter work, no driver loop, no sequential
+    PAV stack — and it is ENGINE-EXACT: every candidate rate is one
+    double division of exact integer cumulative sums, and both
+    engines min/max over the identical double set."""
+    s = F.col(score_col).cast("double")
+    stats = df.agg(
+        F.min(s).alias("lo"), F.max(s).alias("hi")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (s - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+                ).cast("int"),
+            ).alias("bin"),
+            F.col(label_col).cast("long").alias("y"),
+            F.col("lo"),
+            F.col("hi"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("pos"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = binned.select(
+        "bin", "n", "pos", "lo", "hi",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    j = cums.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before_j"),
+        (F.col("cp") - F.col("pos")).alias("cp_before_j"),
+    )
+    k = cums.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cp_k") - F.col("cp_before_j")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before_j")).cast("double")
+        ).alias("rate_jk"),
+    )
+    i = cums.select(F.col("bin").alias("i"))
+    fit = (
+        i.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("rate_jk").alias("min_k"))
+        .groupBy("i")
+        .agg(F.max("min_k").alias("calibrated"))
+    )
+    return (
+        cums.join(fit, cums["bin"] == fit["i"])
+        .select(
+            "bin",
+            F.round(
+                F.col("lo")
+                + F.col("bin") * ((F.col("hi") - F.col("lo")) / F.lit(float(bins))),
+                6,
+            ).alias("bin_lo"),
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(F.col("calibrated"), 6).alias("calibrated"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing isotonic calibration over events: score = event
+    value, label = purchase — the monotone map from a raw engagement
+    score to P(purchase)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return isotonic_calibrate(ev, "score", "label", bins=20)
+
+
+def isotonic_calibration_oracle_sql(bins: int = 20) -> str:
+    """DuckDB twin of q_isotonic_calibration: identical binning and
+    the identical minimax isotonic fit over the bin table."""
+    b = float(bins)
+    return f"""
+        WITH stats AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        ), binned AS (
+            SELECT least({bins} - 1, CAST(floor(
+                       (value - lo) / ((hi - lo) / {b})) AS INT)) AS bin,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   lo, hi
+            FROM events CROSS JOIN stats
+        ), per_bin AS (
+            SELECT bin, count(*) AS n, sum(y) AS pos,
+                   min(lo) AS lo, min(hi) AS hi
+            FROM binned GROUP BY bin
+        ), cums AS (
+            SELECT bin, n, pos, lo, hi,
+                   sum(n) OVER w AS cn,
+                   sum(pos) OVER w AS cp
+            FROM per_bin
+            WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), pairs AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                       / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate_jk
+            FROM cums j JOIN cums k ON j.bin <= k.bin
+        ), triples AS (
+            SELECT i.bin AS i, p.j, min(p.rate_jk) AS min_k
+            FROM cums i
+            JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+            GROUP BY i.bin, p.j
+        ), fit AS (
+            SELECT i, max(min_k) AS calibrated FROM triples GROUP BY i
+        )
+        SELECT c.bin,
+               round(c.lo + c.bin * ((c.hi - c.lo) / {b}), 6) AS bin_lo,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(c.pos AS BIGINT) AS pos,
+               round(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+                   AS raw_rate,
+               round(f.calibrated, 6) AS calibrated
+        FROM cums c JOIN fit f ON f.i = c.bin
+        ORDER BY c.bin
+    """

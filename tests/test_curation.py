@@ -1004,3 +1004,45 @@ def test_t_closeness_closed_form(spark):
     assert out["skew0"].emd == 0.5 and not out["skew0"].pass_t
     assert out["skew1"].emd == 0.5 and not out["skew1"].pass_t
     assert out["skew0"].class_size == 10 and out["mix"].class_size == 20
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    # The minimax fit must equal classic sequential pool-adjacent-
+    # violators on the same bin table, and be non-decreasing. Labels
+    # are deliberately non-monotone in the score so pooling happens.
+    from datapoints_csv_extractor_spark.operators.curation import (
+        isotonic_calibrate,
+    )
+
+    rows = []
+    # bin rates by construction: 0.2, 0.8, 0.4, 0.6 over 4 score bands
+    for band, rate in [(0, 0.2), (1, 0.8), (2, 0.4), (3, 0.6)]:
+        for i in range(10):
+            rows.append((band * 10.0 + i, i < rate * 10))
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = isotonic_calibrate(df, "score", "label", bins=4).collect()
+    assert [r.bin for r in out] == [0, 1, 2, 3]
+    # sequential PAV replica over the same (n, pos) table
+    blocks = [[r.n, r.pos] for r in out]
+    i = 0
+    while i + 1 < len(blocks):
+        if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # re-expand pooled blocks to bins
+    expect = []
+    idx = 0
+    for n, p in blocks:
+        cnt = 0
+        while cnt < n:
+            cnt += out[idx].n
+            expect.append(round(p / n, 6))
+            idx += 1
+    got = [r.calibrated for r in out]
+    assert got == expect, (got, expect)
+    assert got == sorted(got)
+    assert [r.raw_rate for r in out] == [0.2, 0.8, 0.4, 0.6]
