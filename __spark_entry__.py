@@ -309,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Isotonic (PAV) probability calibration via the minimax
         # characterization — parameter-sized bin fit, oracle-exact.
         "q_isotonic_calibration": C.q_isotonic_calibration,
+        # Smoothed-unigram negative sampling (word2vec table) — exact
+        # DECIMAL CDF picks from replay-stable md5 coins.
+        "q_negative_sampling": X.q_negative_sampling,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1872,6 +1875,8 @@ def oracle_sql() -> dict[str, str]:
         "q_flesch_readability": X.flesch_readability_oracle_sql(),
         # Isotonic calibration (minimax fit over the bin table).
         "q_isotonic_calibration": C.isotonic_calibration_oracle_sql(),
+        # Negative sampling (exact DECIMAL CDF range join).
+        "q_negative_sampling": X.negative_sampling_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -2946,4 +2946,191 @@ def flesch_readability_oracle_sql() -> str:
                     ELSE 'difficult' END AS band
         FROM counted
         ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Smoothed-unigram negative sampling (contrastive-training prep)
+# --------------------------------------------------------------------------
+
+def negative_samples(
+    docs: DataFrame,
+    k: int = 3,
+    alpha_num: int = 3,
+    alpha_den: int = 4,
+    cdf_buckets: int = 1024,
+) -> DataFrame:
+    """Frequency-smoothed unigram negative sampling (the word2vec
+    P(t) ~ count(t)^0.75 table, Mikolov et al. 2013) — the batch
+    construction step of every contrastive / noise-contrastive
+    training pipeline: for each document, draw ``k`` negative tokens
+    from the corpus unigram distribution raised to alpha = 3/4 (the
+    exponent that keeps rare words reachable without letting
+    stopwords dominate).
+
+    Determinism + exactness: the coin for (doc, slot) is a 48-bit
+    md5-prefix integer U (replay-stable, the mixture-resample
+    discipline); token weights are round(cnt^0.75, 6) DECIMALs so the
+    CDF is exact integer arithmetic, and the pick condition
+    lo * 2^48 <= U * W < hi * 2^48 is an exact DECIMAL comparison —
+    no float ever decides a sample, so the oracle reproduces every
+    draw.
+
+    Scale shape: the vocab CDF's prefix sum is computed in TWO
+    PHASES — a per-bucket window (bucket = first token char, a RANGE
+    of the global token order) plus a broadcast of the ~36 bucket
+    offsets — so no global single-partition window touches the vocab.
+    The sample -> vocab CDF lookup is the binned interval join
+    (q_interval_overlap's shape): samples hash to one CDF bucket,
+    vocab rows explode over the few buckets their interval spans, the
+    exact DECIMAL range filter decides. Everything is equijoins over
+    corpus-linear data; the only non-linear object is the
+    ``cdf_buckets`` literal."""
+    pairs = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w_col = F.round(
+        F.pow(F.col("cnt").cast("double"), F.lit(alpha_num / alpha_den)), 6
+    ).cast("decimal(18,6)")
+    vocab = vocab.withColumn("w", w_col).withColumn(
+        "cbucket", F.substring("token", 1, 1)
+    )
+    in_bucket = Window.partitionBy("cbucket").orderBy("token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vocab = vocab.withColumn("cum_in", F.sum("w").over(in_bucket))
+    totals = vocab.groupBy("cbucket").agg(F.sum("w").alias("btot"))
+    off_w = Window.orderBy("cbucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "cbucket", (F.sum("btot").over(off_w) - F.col("btot")).alias("boff")
+    )
+    vocab = vocab.join(F.broadcast(offsets), "cbucket").select(
+        "token",
+        "cnt",
+        "w",
+        (F.col("cum_in") + F.col("boff")).alias("hi"),
+        (F.col("cum_in") + F.col("boff") - F.col("w")).alias("lo"),
+    )
+    tot = vocab.agg(F.sum("w").alias("wtot"))
+    scale = F.lit(2**48).cast("long")
+    # Bucketing is per-engine plumbing: coverage only needs the SAME
+    # monotone double map on both join sides within this engine; the
+    # exact DECIMAL range filter decides membership.
+    vocab_b = (
+        vocab.crossJoin(F.broadcast(tot))
+        .withColumn("lo_s", F.col("lo") * scale)
+        .withColumn("hi_s", F.col("hi") * scale)
+        .withColumn(
+            "bwidth",
+            (F.col("wtot") * scale).cast("double") / F.lit(float(cdf_buckets)),
+        )
+        .withColumn(
+            "b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo_s").cast("double") / F.col("bwidth")),
+                    F.floor(F.col("hi_s").cast("double") / F.col("bwidth")),
+                )
+            ),
+        )
+        .select("b", "token", "w", "lo_s", "hi_s")
+    )
+    samples = (
+        docs.select("doc_id")
+        .withColumn("slot", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("target", F.col("u") * F.col("wtot"))
+        .withColumn(
+            "b",
+            F.floor(
+                F.col("target").cast("double")
+                / ((F.col("wtot") * scale).cast("double") / F.lit(float(cdf_buckets)))
+            ),
+        )
+    )
+    picked = samples.join(vocab_b, "b").where(
+        (F.col("target") >= F.col("lo_s")) & (F.col("target") < F.col("hi_s"))
+    )
+    p = F.round(
+        F.col("w").cast("double") / F.col("wtot").cast("double"), 6
+    )
+    return picked.select(
+        "doc_id",
+        "slot",
+        F.col("token").alias("neg_token"),
+        p.alias("p_smoothed"),
+    ).orderBy("doc_id", "slot")
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing negative sampling over the documents corpus:
+    three smoothed-unigram negatives per document."""
+    return negative_samples(load(spark, sf_dir, "documents"), k=3)
+
+
+def negative_sampling_oracle_sql(
+    k: int = 3,
+) -> str:
+    """DuckDB twin of q_negative_sampling: identical weights and CDF
+    (DECIMAL addition is order-independent, so a plain ordered window
+    equals Spark's two-phase prefix sum), identical 48-bit coins, and
+    a direct range join where Spark uses the bucketed form — the
+    exact comparison decides in both engines."""
+    return f"""
+        WITH pairs AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS cnt,
+                   CAST(round(pow(count(*), 0.75), 6) AS DECIMAL(18,6))
+                       AS w
+            FROM pairs GROUP BY token
+        ), cdf AS (
+            SELECT token, cnt, w,
+                   sum(w) OVER (ORDER BY token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS hi
+            FROM vocab
+        ), tot AS (
+            SELECT sum(w) AS W FROM vocab
+        ), samples AS (
+            SELECT d.doc_id, gs.g AS slot,
+                   ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+                       || ':' || CAST(gs.g AS VARCHAR)), 1, 12))::BIGINT
+                       AS u
+            FROM (SELECT doc_id FROM documents) d,
+                 generate_series(1, {k}) AS gs(g)
+        )
+        SELECT s.doc_id, s.slot, c.token AS neg_token,
+               round(CAST(c.w AS DOUBLE) / CAST(t.W AS DOUBLE), 6)
+                   AS p_smoothed
+        FROM samples s
+        CROSS JOIN tot t
+        JOIN cdf c
+          ON s.u * t.W >= (c.hi - c.w) * 281474976710656
+         AND s.u * t.W < c.hi * 281474976710656
+        ORDER BY s.doc_id, s.slot
     """

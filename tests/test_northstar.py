@@ -2482,3 +2482,33 @@ def test_flesch_readability_hand_counts(spark, tmp_path):
     assert r0.band == "easy"
     r1 = rows[1]
     assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+
+
+def test_negative_sampling_exact_one_pick_and_smoothed_bias(spark, tmp_path):
+    # 60 docs x 5 slots = 300 draws over a vocab where "zipf" has 64x
+    # the count of each rare token. Every (doc, slot) must pick
+    # EXACTLY one token; "zipf"'s draw share must sit near its
+    # smoothed probability (64^0.75 ~ 22.6x a rare token's weight,
+    # i.e. ~0.59 of the mass with 16 rare types), NOT its raw 0.8
+    # frequency share; and re-running draws the identical sample.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        negative_samples,
+    )
+
+    rare = [f"tok{i:02d}" for i in range(16)]
+    docs = []
+    for d in range(60):
+        words = ["zipf"] * 64 + rare
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = negative_samples(df, k=5).collect()
+    assert len(out) == 300
+    assert len({(r.doc_id, r.slot) for r in out}) == 300
+    zipf_share = sum(1 for r in out if r.neg_token == "zipf") / 300
+    w_zipf = round((64 * 60) ** 0.75, 6)
+    w_rare = round(60**0.75, 6)
+    p_zipf = w_zipf / (w_zipf + 16 * w_rare)
+    assert abs(zipf_share - p_zipf) < 0.1, (zipf_share, p_zipf)
+    assert p_zipf < 0.75  # the smoothing visibly downweights the head
+    out2 = negative_samples(df, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
