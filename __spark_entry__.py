@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Smoothed-unigram negative sampling (word2vec table) — exact
         # DECIMAL CDF picks from replay-stable md5 coins.
         "q_negative_sampling": X.q_negative_sampling,
+        # Benford first-digit audit — data-forensics read with literal
+        # probabilities and a rounded-decimal chi-square fold.
+        "q_benford_totalprice": A.q_benford_totalprice,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1877,6 +1880,8 @@ def oracle_sql() -> dict[str, str]:
         "q_isotonic_calibration": C.isotonic_calibration_oracle_sql(),
         # Negative sampling (exact DECIMAL CDF range join).
         "q_negative_sampling": X.negative_sampling_oracle_sql(),
+        # Benford audit (literal probs, decimal chi-square fold).
+        "q_benford_totalprice": A.benford_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -484,6 +484,15 @@ SF1_REGISTERED_QUERIES = [
     # the one-pass linear-time MMD — both linear in the corpus.
     "q_hard_negative_mine",
     "q_embedding_drift_mmd",
+    # Round-8 coda additions: the per-character explode (shuffle is
+    # O(docs x alphabet) by claim), the CDF negative sampler (vocab
+    # and sample sides both corpus-linear), the map-only readability
+    # scan, and the events-side SPRT / isotonic bin folds.
+    "q_char_entropy",
+    "q_negative_sampling",
+    "q_flesch_readability",
+    "q_sprt_ab",
+    "q_isotonic_calibration",
 ]
 
 

@@ -1502,3 +1502,30 @@ def test_sprt_crosses_both_wald_bounds(spark):
     assert out[(1, 1)].verdict == "continue"  # 25*-0.05 > -1.558
     assert out[(1, 2)].verdict == "accept_h0"  # 50*-0.05 < -1.558
     assert out[(0, 4)].cum_n == 100
+
+
+def test_benford_flags_uniform_but_passes_benford_data(spark):
+    # 10^u for uniform-ish u is Benford-distributed (multiplicative
+    # growth) -> must NOT deviate; uniform [10, 99) values start with
+    # every digit equally -> must deviate. Digit extraction and the
+    # chi-square verdict are pinned on both.
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        benford_audit,
+    )
+    from pyspark.sql import functions as F
+
+    n = 5000
+    base = spark.range(n)
+    benford = base.select(
+        F.pow(F.lit(10.0), (F.col("id") % 1000).cast("double") / 1000.0
+              + 1.0).alias("v")
+    )
+    out = benford_audit(benford, F.col("v")).collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    assert not out[0].deviates, out[0].chi2
+    uniform = base.select(
+        (F.lit(10.0) + (F.col("id") % 89).cast("double")).alias("v")
+    )
+    out_u = benford_audit(uniform, F.col("v")).collect()
+    assert out_u[0].deviates, out_u[0].chi2
+    assert sum(r.n_obs for r in out_u) == n

@@ -234,6 +234,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_kaplan_meier",  # 1-row subject-total / max-date broadcasts
         "q_isotonic_calibration",  # B<=20 bin-table minimax triples
         "q_negative_sampling",  # 1-row total-weight aggregate broadcast
+        "q_benford_totalprice",  # 1-row digit-total aggregate broadcast
     }
 
     offenders = {}
