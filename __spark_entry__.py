@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Benford first-digit audit — data-forensics read with literal
         # probabilities and a rounded-decimal chi-square fold.
         "q_benford_totalprice": A.q_benford_totalprice,
+        # Scene-cut keyframe extraction (rows-only: GIF decode) —
+        # content-aware frame sampling; planted shots pinned in
+        # pytest.
+        "q_video_keyframes": M.q_video_keyframes,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's

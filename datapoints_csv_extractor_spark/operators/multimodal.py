@@ -1824,3 +1824,115 @@ def q_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_id", "video_id", "frame_idx")
         .orderBy("image_id", "video_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection / content-aware keyframe extraction
+# --------------------------------------------------------------------------
+
+def video_keyframes(
+    frame_hashes: DataFrame, cut_bits: int = 16
+) -> DataFrame:
+    """Content-aware keyframe extraction from per-frame dHashes: a
+    SCENE CUT is a frame whose perceptual hash sits more than
+    ``cut_bits`` Hamming bits from its predecessor (hard cuts move
+    30-60 of the 64 gradient bits; within-shot motion moves a
+    handful), and the keyframe set is frame 0 plus the first frame of
+    every new shot — the frame-sample step a multimodal training
+    pipeline actually wants, versus the blind every-Nth
+    ``frame_sample`` (which oversamples static shots and can straddle
+    cuts). Feed it ``video_frame_dhashes`` output.
+
+    All post-decode work is JVM: one per-video window (lag + XOR +
+    bit_count + a running cut count for the shot id). The shuffle key
+    is the video id, so the cost is one partition-local pass over
+    frames — linear in total frame count at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("blob_id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    hamming = F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+        F.bit_count(F.col("dhash").bitwiseXOR(prev)).cast("int")
+    )
+    scored = frame_hashes.withColumn("hamming_prev", hamming).withColumn(
+        "is_cut",
+        F.coalesce(F.col("hamming_prev") > cut_bits, F.lit(False)),
+    )
+    shot = F.sum(F.col("is_cut").cast("int")).over(
+        Window.partitionBy("blob_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        "blob_id",
+        "frame_idx",
+        "hamming_prev",
+        shot.cast("int").alias("shot_id"),
+        ((F.col("frame_idx") == 0) | F.col("is_cut")).alias("is_keyframe"),
+    ).orderBy("blob_id", "frame_idx")
+
+
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing scene-cut keyframing over synthesized multi-shot
+    animations: every 4th document becomes a 9-frame GIF with 3 shots
+    (frames repeat within a shot — Hamming 0 — and change scene at
+    the planted boundaries), so the expected result is exactly 3
+    keyframes per video at the shot starts. Rows-only (GIF LZW decode
+    has no SQL twin); the planted boundaries are pinned in pytest."""
+    import hashlib
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.gifcodec import (
+        encode_gif_frames,
+    )
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    levels = (32, 96, 160, 224)
+    rs = np.linspace(0, 16, 9).astype(int)
+    cs = np.linspace(0, 16, 10).astype(int)
+
+    def cell_frame(seed: bytes) -> np.ndarray:
+        stream = b"".join(
+            hashlib.sha256(seed + b"kcell" + bytes([i])).digest()
+            for i in range(3)
+        )
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        k = 0
+        for r in range(8):
+            lev = levels[stream[k] % 4]
+            k += 1
+            for c in range(9):
+                if c > 0:
+                    others = [x for x in levels if x != lev]
+                    lev = others[stream[k] % 3]
+                    k += 1
+                img[rs[r]: rs[r + 1], cs[c]: cs[c + 1], :] = lev
+        return img
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"blob_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode()).digest()
+                frames = []
+                for shot in range(3):
+                    scene = cell_frame(seed + b"s%d" % shot)
+                    frames += [scene] * 3
+                rows["blob_id"].append(int(did))
+                rows["payload"].append(encode_gif_frames(frames))
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return video_keyframes(video_frame_dhashes(blobs))

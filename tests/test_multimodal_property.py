@@ -1005,3 +1005,33 @@ def test_thumbnail_match_recovers_planted_stills(spark):
         src = r.image_id - 10_000_000
         if r.video_id != src:
             assert texts[r.video_id] == texts[src]
+
+
+def test_video_keyframes_find_planted_shot_boundaries(spark, tmp_path):
+    # 9-frame animations with 3 shots of 3 identical frames each:
+    # within-shot Hamming is 0, shot changes are large. Keyframes must
+    # be exactly frames {0, 3, 6} and shot ids 0/1/2.
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(0, "alpha doc"), (4, "beta doc")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        q_video_keyframes,
+    )
+
+    rows = q_video_keyframes(spark, str(tmp_path)).collect()
+    assert {r.blob_id for r in rows} == {0, 4}
+    for bid in (0, 4):
+        vid = [r for r in rows if r.blob_id == bid]
+        assert [r.frame_idx for r in vid] == list(range(9))
+        keys = [r.frame_idx for r in vid if r.is_keyframe]
+        assert keys == [0, 3, 6], keys
+        assert [r.shot_id for r in vid] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+        # within-shot hamming exactly 0, boundaries far apart
+        for r in vid:
+            if r.frame_idx in (1, 2, 4, 5, 7, 8):
+                assert r.hamming_prev == 0
+            elif r.frame_idx in (3, 6):
+                assert r.hamming_prev > 16
