@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-aware frame sampling; planted shots pinned in
         # pytest.
         "q_video_keyframes": M.q_video_keyframes,
+        # HBOS multivariate outlier scores — naive-Bayes histogram
+        # density, three broadcast histogram joins (oracle-exact).
+        "q_hbos_outliers": A.q_hbos_outliers,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1886,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         "q_negative_sampling": X.negative_sampling_oracle_sql(),
         # Benford audit (literal probs, decimal chi-square fold).
         "q_benford_totalprice": A.benford_oracle_sql(),
+        # HBOS (rounded-decimal -log10 fold, exact p99 cut).
+        "q_hbos_outliers": A.hbos_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -3477,3 +3477,130 @@ def benford_oracle_sql(chi2_cut: float = 15.507) -> str:
         FROM terms
         ORDER BY digit
     """
+
+
+# --------------------------------------------------------------------------
+# HBOS multivariate outlier scoring
+# --------------------------------------------------------------------------
+
+def q_hbos_outliers(
+    spark: SparkSession, sf_dir: str, bins: int = 10
+) -> DataFrame:
+    """Histogram-based outlier score (Goldstein & Dengel 2012) over
+    events: the linear-time multivariate anomaly read next to the
+    trailing-window z-score/MAD family — per feature, bin the value
+    and score -log10(p_bin); an event's HBOS is the SUM over
+    features, so a point is anomalous when it is jointly rare across
+    independent histograms (a cheap naive-Bayes density estimate,
+    no pair work, no model).
+
+    Features: equal-width value bin (global min/max via a 1-row
+    broadcast), hour of day, and the event type (categorical bins as
+    themselves). Each histogram is one map-side-combined groupBy;
+    scoring is three broadcast joins of parameter-sized histograms
+    back onto one fact scan. Exactness: probabilities are exact
+    integer ratios, each -log10 term rounds to 6 and the per-event
+    sum folds as DECIMAL (order-independent); the outlier flag cuts
+    at the exact p99 of the scores (the percentile idiom
+    q_percentiles pinned cross-engine)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+    )
+    stats = ev.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).withColumn(
+        "vbin",
+        F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(bins)))
+            ).cast("int"),
+        ),
+    )
+
+    def hist(col: str):
+        return binned.groupBy(col).agg(F.count(F.lit(1)).alias(f"c_{col}"))
+
+    term = lambda c: F.round(  # noqa: E731
+        -F.log10(F.col(c).cast("double") / F.col("n_total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        binned.join(F.broadcast(hist("vbin")), "vbin")
+        .join(F.broadcast(hist("hour")), "hour")
+        .join(F.broadcast(hist("event_type")), "event_type")
+        .withColumn(
+            "hbos",
+            (term("c_vbin") + term("c_hour") + term("c_event_type"))
+            .cast("double"),
+        )
+    )
+    cut = scored.agg(
+        F.percentile("hbos", F.lit(0.99)).alias("p99")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "event_id",
+            F.col("vbin"),
+            F.col("hour"),
+            "event_type",
+            F.round("hbos", 6).alias("hbos"),
+            (F.col("hbos") >= F.col("p99")).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def hbos_oracle_sql(bins: int = 10) -> str:
+    """DuckDB twin of q_hbos_outliers: identical binning, identical
+    rounded-decimal -log10 fold, identical exact-percentile cut."""
+    b = float(bins)
+    return f"""
+        WITH ev AS (
+            SELECT event_id, CAST(value AS DOUBLE) AS v,
+                   EXTRACT(hour FROM ts) AS hour, event_type
+            FROM events
+        ), stats AS (
+            SELECT min(v) AS lo, max(v) AS hi, count(*) AS n_total
+            FROM ev
+        ), binned AS (
+            SELECT event_id, hour, event_type, n_total,
+                   least({bins} - 1, CAST(floor(
+                       (v - lo) / ((hi - lo) / {b})) AS INT)) AS vbin
+            FROM ev CROSS JOIN stats
+        ), hv AS (
+            SELECT vbin, count(*) AS c_vbin FROM binned GROUP BY 1
+        ), hh AS (
+            SELECT hour, count(*) AS c_hour FROM binned GROUP BY 1
+        ), ht AS (
+            SELECT event_type, count(*) AS c_event_type
+            FROM binned GROUP BY 1
+        ), scored AS (
+            SELECT b.event_id, b.vbin, b.hour, b.event_type,
+                   CAST(
+                     CAST(round(-log10(CAST(c_vbin AS DOUBLE)
+                         / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
+                   + CAST(round(-log10(CAST(c_hour AS DOUBLE)
+                         / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
+                   + CAST(round(-log10(CAST(c_event_type AS DOUBLE)
+                         / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(18,6))
+                   AS DOUBLE) AS hbos
+            FROM binned b
+            JOIN hv USING (vbin) JOIN hh USING (hour)
+            JOIN ht USING (event_type)
+        ), cut AS (
+            SELECT quantile_cont(hbos, 0.99) AS p99 FROM scored
+        )
+        SELECT event_id, vbin, hour, event_type,
+               round(hbos, 6) AS hbos,
+               hbos >= p99 AS is_outlier
+        FROM scored CROSS JOIN cut
+        ORDER BY event_id
+    """

@@ -1529,3 +1529,36 @@ def test_benford_flags_uniform_but_passes_benford_data(spark):
     out_u = benford_audit(uniform, F.col("v")).collect()
     assert out_u[0].deviates, out_u[0].chi2
     assert sum(r.n_obs for r in out_u) == n
+
+
+def test_hbos_scores_jointly_rare_point_highest(spark, tmp_path):
+    # A point that is rare on EVERY feature must outscore points rare
+    # on only one; the flag fires at the exact p99. Closed-form check
+    # of one score from the histogram counts.
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_hbos_outliers,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(99):
+        rows.append((eid, "2024-01-01 10:00:00", 3, "click", 50.0, "{}"))
+        eid += 1
+    # the planted outlier: unique hour, unique type, extreme value
+    rows.append((eid, "2024-01-01 03:00:00", 7, "error", 999.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_hbos_outliers(spark, str(tmp_path)).collect()
+    byid = {r.event_id: r for r in out}
+    top = max(out, key=lambda r: r.hbos)
+    assert top.event_id == 99 and top.is_outlier
+    assert not byid[0].is_outlier
+    # closed form: every feature of the outlier has count 1 of 100
+    expect = 3 * round(-math.log10(1 / 100), 6)
+    assert abs(byid[99].hbos - expect) < 1e-6

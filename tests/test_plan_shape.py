@@ -235,6 +235,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_isotonic_calibration",  # B<=20 bin-table minimax triples
         "q_negative_sampling",  # 1-row total-weight aggregate broadcast
         "q_benford_totalprice",  # 1-row digit-total aggregate broadcast
+        "q_hbos_outliers",  # 1-row min/max/total + 1-row p99 broadcasts
     }
 
     offenders = {}
