@@ -1259,3 +1259,89 @@ def stream_embedding_drift(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sprt_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    on_batch=None,
+    available_now: bool = True,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+):
+    """Continuous sequential A/B monitoring: the batch SPRT's
+    (``operators.analytic.sprt_monitor``) sufficient statistics per
+    arm are just (n trials, k successes) — ADDITIVE — so the
+    streaming twin is an exact fold: each micro-batch's per-arm
+    counts persist one file per batch id (overwrite ->
+    replay-idempotent, the stream_embedding_drift discipline), and
+    the CUMULATIVE Wald verdict over all batches so far is handed to
+    ``on_batch(batch_id, rows)``. This is exactly what the SPRT is
+    FOR — the experiment stops the moment the cumulative LLR walk
+    crosses a bound, mid-ingest, with alpha/beta guaranteed at every
+    look; a daily batch job looks once a day and wastes the
+    sequential guarantee's sample-size savings.
+
+    Expects (arm, success) rows; the LLR constants and Wald bounds
+    are the same Python literals the batch operator embeds, so a
+    stream drained to completion reports the identical verdict a
+    batch run over the union would."""
+    import math
+    import os
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1 - p1) / (1 - p0))
+    upper = round(math.log((1 - beta) / alpha), 6)
+    lower = round(math.log(beta / (1 - alpha)), 6)
+    spark = events_stream.sparkSession
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        counts = batch_df.groupBy("arm").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("success").cast("long")).alias("k"),
+        )
+        (
+            counts.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
+        total = (
+            spark.read.parquet(os.path.join(state_dir, "batch=*"))
+            .groupBy("arm")
+            .agg(F.sum("n").alias("cum_n"), F.sum("k").alias("cum_k"))
+        )
+        llr = F.round(
+            F.col("cum_k").cast("double") * F.lit(c1)
+            + (F.col("cum_n") - F.col("cum_k")).cast("double") * F.lit(c0),
+            6,
+        )
+        rows = (
+            total.select(
+                "arm",
+                "cum_n",
+                "cum_k",
+                llr.alias("llr"),
+                F.when(llr >= F.lit(upper), F.lit("accept_h1"))
+                .when(llr <= F.lit(lower), F.lit("accept_h0"))
+                .otherwise(F.lit("continue"))
+                .alias("verdict"),
+            )
+            .orderBy("arm")
+            .collect()
+        )
+        if on_batch is not None:
+            on_batch(batch_id, rows)
+
+    writer = (
+        events_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .queryName("stream_sprt_monitor")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1421,3 +1421,70 @@ def test_stream_embedding_drift_alarms_on_shifted_batch(spark, tmp_path):
     union_stats = mmd_quadruple_stats(ref, clean.unionAll(shifted))
     want = mmd_drift_report(union_stats).first()
     assert second.n_quadruples == want.n_quadruples
+
+
+def test_stream_sprt_crosses_bound_mid_ingest(spark, tmp_path):
+    """Two micro-batch drops: after the first (12 all-success trials
+    on arm 0) the walk is still inside the Wald bounds; the second
+    batch pushes the CUMULATIVE LLR over the accept_h1 line — the
+    mid-ingest stop the SPRT exists for. The cumulative verdict must
+    equal the batch sprt_monitor over the union, and re-draining is
+    idempotent (one partial file per batch id)."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        sprt_monitor,
+    )
+    from datapoints_csv_extractor_spark.streaming.aggregates import (
+        stream_sprt_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(0, True)] * 12, "arm long, success boolean"
+    )
+    b1.coalesce(1).write.parquet(str(in_dir / "drop1"))
+    reports = {}
+
+    def drain():
+        stream = (
+            spark.readStream.schema("arm long, success boolean")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(in_dir))
+        )
+        q = stream_sprt_monitor(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            on_batch=lambda bid, rows: reports.update({bid: rows}),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = list(reports.values())[-1]
+    assert first[0].verdict == "continue", first
+    assert first[0].cum_n == 12
+
+    b2 = spark.createDataFrame(
+        [(0, True)] * 12, "arm long, success boolean"
+    )
+    b2.coalesce(1).write.parquet(str(in_dir / "drop2"))
+    reports.clear()
+    drain()
+    final = list(reports.values())[-1]
+    assert final[0].verdict == "accept_h1", final
+    assert final[0].cum_n == 24 and final[0].cum_k == 24
+
+    # cumulative == one batch run over the union (period is a dummy)
+    union = b1.unionAll(b2).withColumn("day", F.lit(1))
+    batch = sprt_monitor(union, period_col="day").collect()[-1]
+    assert batch.llr == final[0].llr
+    assert batch.verdict == final[0].verdict
+
+    # replay idempotence: draining again with no new files changes
+    # nothing (checkpointed source skips processed files).
+    reports.clear()
+    drain()
+    assert not reports or list(reports.values())[-1][0].cum_n == 24
