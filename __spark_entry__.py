@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HBOS multivariate outlier scores — naive-Bayes histogram
         # density, three broadcast histogram joins (oracle-exact).
         "q_hbos_outliers": A.q_hbos_outliers,
+        # Post-stratified ATE — confounding-adjusted treatment effect
+        # next to q_ab_test_welch / q_sprt_ab (oracle-exact).
+        "q_stratified_ate": A.q_stratified_ate,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1891,6 +1894,8 @@ def oracle_sql() -> dict[str, str]:
         "q_benford_totalprice": A.benford_oracle_sql(),
         # HBOS (rounded-decimal -log10 fold, exact p99 cut).
         "q_hbos_outliers": A.hbos_oracle_sql(),
+        # Post-stratified ATE (integer rates, decimal weighted fold).
+        "q_stratified_ate": A.stratified_ate_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

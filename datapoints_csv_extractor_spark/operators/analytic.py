@@ -3604,3 +3604,135 @@ def hbos_oracle_sql(bins: int = 10) -> str:
         FROM scored CROSS JOIN cut
         ORDER BY event_id
     """
+
+
+# --------------------------------------------------------------------------
+# Post-stratified average treatment effect
+# --------------------------------------------------------------------------
+
+def stratified_ate(
+    df: DataFrame,
+    treatment_col: str = "treated",
+    outcome_col: str = "y",
+    stratum_col: str = "stratum",
+) -> DataFrame:
+    """Post-stratified average-treatment-effect estimate (Cochran
+    1968 — the adjustment behind every observational A/B readout):
+    when treatment assignment correlates with a confounder, the naive
+    treated-vs-control rate difference is biased; stratifying on the
+    confounder and size-weighting the within-stratum differences
+    removes the confounding the strata capture. Emits one row per
+    stratum (rates, difference, weight) with the dataset-level ATE
+    and the naive contrast side by side — the gap between the two IS
+    the measured confounding.
+
+    One (stratum, treatment) aggregate with map-side combine, then
+    parameter-sized stratum work. Exactness: every rate is one double
+    division of exact integer counts, the weighted per-stratum terms
+    round to 6 and fold as DECIMAL, so both engines report the
+    identical ATE."""
+    t = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    per = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(t).alias("n1"),
+        F.sum(t * y).alias("k1"),
+        F.sum(1 - t).alias("n0"),
+        F.sum((1 - t) * y).alias("k0"),
+    )
+    tot = per.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum("n1").alias("n1_t"),
+        F.sum("k1").alias("k1_t"),
+        F.sum("n0").alias("n0_t"),
+        F.sum("k0").alias("k0_t"),
+    )
+    rate1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    rate0 = F.col("k0").cast("double") / F.col("n0").cast("double")
+    diff = rate1 - rate0
+    term = F.round(
+        diff * (F.col("n_s").cast("double") / F.col("n_total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    naive = (
+        F.col("k1_t").cast("double") / F.col("n1_t").cast("double")
+        - F.col("k0_t").cast("double") / F.col("n0_t").cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            "n_s",
+            "n1",
+            "n0",
+            F.round(rate1, 6).alias("rate_treated"),
+            F.round(rate0, 6).alias("rate_control"),
+            F.round(diff, 6).alias("diff"),
+            F.sum(term).over(w).cast("double").alias("ate"),
+            F.round(naive, 6).alias("naive_diff"),
+        )
+        .orderBy(stratum_col)
+    )
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing post-stratified ATE over events: treatment =
+    user-id parity, outcome = purchase, strata = four six-hour
+    day-part bands (the time-of-day confounder every engagement
+    readout must adjust for)."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("event_type") == "purchase").alias("y"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("stratum"),
+    )
+    return stratified_ate(ev)
+
+
+def stratified_ate_oracle_sql() -> str:
+    """DuckDB twin of q_stratified_ate: identical counts, divisions,
+    and rounded-decimal weighted fold."""
+    return """
+        WITH base AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS stratum
+            FROM events
+        ), per AS (
+            SELECT stratum,
+                   count(*) AS n_s,
+                   sum(t) AS n1, sum(t * y) AS k1,
+                   sum(1 - t) AS n0, sum((1 - t) * y) AS k0
+            FROM base GROUP BY 1
+        ), tot AS (
+            SELECT sum(n_s) AS n_total, sum(n1) AS n1_t, sum(k1) AS k1_t,
+                   sum(n0) AS n0_t, sum(k0) AS k0_t
+            FROM per
+        ), scored AS (
+            SELECT p.stratum, p.n_s, p.n1, p.n0,
+                   CAST(p.k1 AS DOUBLE) / CAST(p.n1 AS DOUBLE) AS rate1,
+                   CAST(p.k0 AS DOUBLE) / CAST(p.n0 AS DOUBLE) AS rate0,
+                   CAST(round((CAST(p.k1 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+                        - CAST(p.k0 AS DOUBLE) / CAST(p.n0 AS DOUBLE))
+                        * (CAST(p.n_s AS DOUBLE)
+                           / CAST(t.n_total AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS term,
+                   CAST(t.k1_t AS DOUBLE) / CAST(t.n1_t AS DOUBLE)
+                   - CAST(t.k0_t AS DOUBLE) / CAST(t.n0_t AS DOUBLE)
+                       AS naive
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT stratum,
+               CAST(n_s AS BIGINT) AS n_s,
+               CAST(n1 AS BIGINT) AS n1,
+               CAST(n0 AS BIGINT) AS n0,
+               round(rate1, 6) AS rate_treated,
+               round(rate0, 6) AS rate_control,
+               round(rate1 - rate0, 6) AS diff,
+               CAST(sum(term) OVER () AS DOUBLE) AS ate,
+               round(naive, 6) AS naive_diff
+        FROM scored
+        ORDER BY stratum
+    """

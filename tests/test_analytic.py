@@ -1562,3 +1562,34 @@ def test_hbos_scores_jointly_rare_point_highest(spark, tmp_path):
     # closed form: every feature of the outlier has count 1 of 100
     expect = 3 * round(-math.log10(1 / 100), 6)
     assert abs(byid[99].hbos - expect) < 1e-6
+
+
+def test_stratified_ate_removes_planted_confounding(spark):
+    # Simpson's-paradox construction: within EVERY stratum treatment
+    # lifts the rate by exactly +0.1, but treated rows concentrate in
+    # the low-baseline stratum, so the naive contrast is far from
+    # +0.1 (here it is negative). The stratified ATE must recover 0.1
+    # exactly; the naive column must show the bias.
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        stratified_ate,
+    )
+
+    rows = []
+    # stratum 0: baseline 0.1 -> treated 0.2; 200 treated, 20 control
+    # stratum 1: baseline 0.6 -> treated 0.7; 20 treated, 200 control
+    def add(stratum, treated, rate, n):
+        k = int(rate * n)
+        for i in range(n):
+            rows.append((treated, i < k, stratum))
+
+    add(0, True, 0.2, 200)
+    add(0, False, 0.1, 20)
+    add(1, True, 0.7, 20)
+    add(1, False, 0.6, 200)
+    df = spark.createDataFrame(rows, "treated boolean, y boolean, stratum int")
+    out = stratified_ate(df).collect()
+    assert len(out) == 2
+    assert out[0].diff == 0.1 and out[1].diff == 0.1
+    # weights 220/440 each -> ate = 0.1 exactly
+    assert abs(out[0].ate - 0.1) < 1e-9
+    assert out[0].naive_diff < 0  # the planted Simpson reversal
