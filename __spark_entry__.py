@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Post-stratified ATE — confounding-adjusted treatment effect
         # next to q_ab_test_welch / q_sprt_ab (oracle-exact).
         "q_stratified_ate": A.q_stratified_ate,
+        # VAD-style audio activity segmentation (rows-only: PCM
+        # decode) — planted tone/silence/tone bounds pinned in pytest.
+        "q_audio_segments": M.q_audio_segments,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's

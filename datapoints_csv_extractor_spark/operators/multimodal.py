@@ -1936,3 +1936,144 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(synth, schema)
     return video_keyframes(video_frame_dhashes(blobs))
+
+
+# --------------------------------------------------------------------------
+# Audio activity segmentation (VAD-style silence trimming)
+# --------------------------------------------------------------------------
+
+def audio_segments(
+    blobs: DataFrame,
+    frame_ms: int = 20,
+    energy_cut: float = 0.01,
+    min_gap_frames: int = 2,
+) -> DataFrame:
+    """Energy-threshold activity segmentation for WAV blobs — the
+    VAD-style preprocessing an audio training pipeline runs before
+    anything expensive: frame the signal into ``frame_ms`` windows,
+    mark frames whose RMS clears ``energy_cut``, close gaps shorter
+    than ``min_gap_frames`` (spoken pauses), and emit one row per
+    ACTIVE segment with millisecond bounds and mean energy. Silence
+    costs storage and compute downstream and teaches a model nothing;
+    this is the trim.
+
+    Arrow ``mapInPandas`` over the binary column (the module's
+    decode contract: out-of-scope payloads emit nothing, vectorized
+    numpy per batch — framing is one reshape, energies one
+    einsum-free mean of squares). One output row per segment; all
+    post-decode analytics (counts, durations, per-source rollups)
+    stay JVM-side on the emitted frame."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("mean_rms", T.DoubleType()),
+        ]
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"blob_id": [], "seg_idx": [], "start_ms": [],
+                   "end_ms": [], "mean_rms": []}
+            for bid, payload in zip(pdf["blob_id"], pdf["payload"]):
+                decoded = _decode_wav_samples(bytes(payload))
+                if decoded is None:
+                    continue
+                rate, x = decoded
+                if not len(x):
+                    continue
+                flen = max(int(rate * frame_ms / 1000), 1)
+                n_frames = len(x) // flen
+                if n_frames == 0:
+                    continue
+                frames = x[: n_frames * flen].reshape(n_frames, flen)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                active = rms > energy_cut
+                # close sub-threshold gaps shorter than min_gap_frames
+                idx = np.flatnonzero(active)
+                if len(idx) == 0:
+                    continue
+                for a, b in zip(idx[:-1], idx[1:]):
+                    if 0 < b - a - 1 < min_gap_frames:
+                        active[a + 1: b] = True
+                # segment boundaries from the closed mask
+                edges = np.diff(active.astype(np.int8))
+                starts = list(np.flatnonzero(edges == 1) + 1)
+                ends = list(np.flatnonzero(edges == -1) + 1)
+                if active[0]:
+                    starts = [0] + starts
+                if active[-1]:
+                    ends = ends + [n_frames]
+                for si, (s, e) in enumerate(zip(starts, ends)):
+                    out["blob_id"].append(int(bid))
+                    out["seg_idx"].append(si)
+                    out["start_ms"].append(int(s * flen * 1000 // rate))
+                    out["end_ms"].append(int(e * flen * 1000 // rate))
+                    out["mean_rms"].append(float(rms[s:e].mean()))
+            yield pd.DataFrame(out).astype(
+                {"blob_id": "int64", "seg_idx": "int32",
+                 "start_ms": "int64", "end_ms": "int64"}
+            )
+
+    return blobs.select("blob_id", "payload").mapInPandas(go, schema)
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing activity segmentation over synthesized WAVs:
+    every 5th document becomes a tone / silence / tone clip (0.3 s
+    each), so the expected output is exactly two active segments per
+    blob around the planted silence. Rows-only (PCM decode); the
+    planted boundaries are pinned in pytest."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.skew import spread_scan
+
+    d = spread_scan(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def wav(x: "np.ndarray", rate: int) -> bytes:
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm))
+        )
+        return hdr + pcm
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+        t = np.arange(int(0.3 * rate)) / rate
+        for pdf in batches:
+            rows = {"blob_id": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode()).digest()
+                f1 = 400 + (seed[0] % 8) * 50
+                f2 = 900 + (seed[1] % 8) * 50
+                clip = np.concatenate([
+                    0.5 * np.sin(2 * np.pi * f1 * t),
+                    np.zeros(int(0.3 * rate)),
+                    0.5 * np.sin(2 * np.pi * f2 * t),
+                ])
+                rows["blob_id"].append(int(did))
+                rows["payload"].append(wav(clip, rate))
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return audio_segments(blobs).orderBy("blob_id", "seg_idx")

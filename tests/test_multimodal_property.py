@@ -1035,3 +1035,51 @@ def test_video_keyframes_find_planted_shot_boundaries(spark, tmp_path):
                 assert r.hamming_prev == 0
             elif r.frame_idx in (3, 6):
                 assert r.hamming_prev > 16
+
+
+def test_audio_segments_trim_planted_silence(spark, tmp_path):
+    # tone(0.3s) | silence(0.3s) | tone(0.3s) at 8 kHz must yield
+    # exactly two active segments with ~[0,300) and ~[600,900) ms
+    # bounds; a 40 ms pause INSIDE speech (shorter than the gap
+    # closer) must NOT split a segment.
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.multimodal import (
+        audio_segments,
+        q_audio_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (5, "beta")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_audio_segments(spark, str(tmp_path)).collect()
+    for bid in (0, 5):
+        segs = [r for r in rows if r.blob_id == bid]
+        assert [r.seg_idx for r in segs] == [0, 1]
+        assert segs[0].start_ms == 0 and abs(segs[0].end_ms - 300) <= 20
+        assert abs(segs[1].start_ms - 600) <= 20
+        assert abs(segs[1].end_ms - 900) <= 20
+        assert segs[0].mean_rms > 0.2
+
+    # gap-closing: 40 ms dip inside speech stays one segment
+    import struct
+
+    rate = 8000
+    t = np.arange(int(0.2 * rate)) / rate
+    x = np.concatenate([
+        0.5 * np.sin(2 * np.pi * 500 * t),
+        np.zeros(int(0.04 * rate)),
+        0.5 * np.sin(2 * np.pi * 500 * t),
+    ])
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+    )
+    blob = spark.createDataFrame(
+        [(7, bytearray(hdr + pcm))], "blob_id long, payload binary"
+    )
+    segs = audio_segments(blob, min_gap_frames=3).collect()
+    assert len(segs) == 1 and segs[0].start_ms == 0
