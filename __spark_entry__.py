@@ -87,7 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edit-distance matching keeps the richer twin in-window and
         # levenshtein fuzzy match stays registered below.
         "q_jaro_winkler_match": R.q_jaro_winkler_match,
-        "q_window_distribution": R.q_window_distribution,
+        # Round-8 rotation: q_kaplan_meier (right-censoring-aware
+        # survival, bit-identical ordered product via a recursive-CTE
+        # oracle — a family the window never exercised) takes
+        # q_window_distribution's slot; the window-function family
+        # keeps q_time_weighted_aggregates in-window.
+        "q_kaplan_meier": A.q_kaplan_meier,
         "q_variant_extract": R.q_variant_extract,
         # Temporal / OLAP analytics
         # Round-8 rotation: q_dp_event_counts (differentially-private
@@ -96,7 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the k-anonymity gate) takes q_holt_winters's slot; seasonal
         # forecasting was green in r07 and stays registered below.
         "q_dp_event_counts": C.q_dp_event_counts,
-        "q_session_window": A.q_session_window,
+        # Round-8 rotation: q_negative_sampling (exact DECIMAL-CDF
+        # contrastive negative draws — a family the window never
+        # exercised) takes q_session_window's slot; sessionization
+        # keeps q_interval_overlap in-window and stays registered
+        # below.
+        "q_negative_sampling": X.q_negative_sampling,
         # Round-7 rotation: the binned interval-overlap join (keyless
         # many-x-many range join as a bucket equijoin — a family the
         # window never exercised) takes q_cube's slot; multi-level
@@ -123,9 +133,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green r07 and the graph family keeps q_triangle_count
         # in-window; BFS stays registered below.
         "q_lpa_communities": G.q_lpa_communities,
-        "q_scd2_history": R.q_scd2_history,
+        # Round-8 rotation: q_stratified_ate (confounding-adjusted
+        # treatment effects — the causal-inference family's first
+        # in-window entry) takes q_scd2_history's slot; SCD2 was
+        # green r07 and stays registered (and locally swept) below.
+        "q_stratified_ate": A.q_stratified_ate,
         "q_range_join": A.q_range_join,
-        "q_attribution_credit": A.q_attribution_credit,
+        # Round-8 rotation: q_isotonic_calibration (minimax PAV fit
+        # over the bin table — a family the window never exercised)
+        # takes q_attribution_credit's slot; attribution keeps its
+        # Markov twin registered below.
+        "q_isotonic_calibration": C.q_isotonic_calibration,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         # Round-8 rotation: q_repetition_signals (the Gopher
         # repetition filters — dup-line and top-2-gram character
@@ -166,7 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_curation_pipeline and q_data_quality_report in-window.
         "q_url_stats": C.q_url_stats,
         "q_data_quality_report": R.q_data_quality_report,
-        "q_rp_project": V.q_rp_project,
+        # Round-8 rotation: q_scc_pages (directed-graph strongly
+        # connected components with a transitive-closure oracle)
+        # takes q_rp_project's slot; the projection family was green
+        # r07 and the similarity window keeps five richer entries.
+        "q_scc_pages": G.q_scc_pages,
         # Round-8 rotation: bitext mining (new oracle-exact family)
         # takes q_retrieval_metrics' window slot; retrieval metrics
         # (green in CORRECTNESS_r07) stays registered below.
@@ -282,6 +304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
         "q_fuzzy_match": R.q_fuzzy_match,
         "q_holt_winters": A.q_holt_winters,
+        # Displaced by the round-8 KM/negsample/ATE/isotonic/SCC
+        # rotations (all green r07; families keep in-window twins or
+        # stay locally swept):
+        "q_window_distribution": R.q_window_distribution,
+        "q_session_window": A.q_session_window,
+        "q_scd2_history": R.q_scd2_history,
+        "q_attribution_credit": A.q_attribution_credit,
+        "q_rp_project": V.q_rp_project,
         # Markov removal-effect attribution (rows-only: absorbing-
         # chain solve over the parameter-sized transition matrix).
         "q_markov_attribution": A.q_markov_attribution,
@@ -292,26 +322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next to q_k_anonymity / q_dp_event_counts (integer-exact
         # ordered EMD, one double division per class).
         "q_t_closeness": C.q_t_closeness,
-        # Kaplan-Meier repeat-purchase survival — right-censoring-
-        # aware churn curve; bit-identical ordered product fold
-        # (recursive-CTE oracle).
-        "q_kaplan_meier": A.q_kaplan_meier,
-        # Strongly connected components of the page link graph —
-        # FW-coloring peel, canonical min-member labels; the oracle
-        # re-derives them from a recursive-CTE transitive closure.
-        "q_scc_pages": G.q_scc_pages,
         # Wald SPRT sequential A/B monitor — peeking-safe experiment
         # verdicts; literal log constants make the LLR engine-exact.
         "q_sprt_ab": A.q_sprt_ab,
         # Flesch reading-ease readability bands — map-only regex
         # counts, no explode (oracle-exact).
         "q_flesch_readability": X.q_flesch_readability,
-        # Isotonic (PAV) probability calibration via the minimax
-        # characterization — parameter-sized bin fit, oracle-exact.
-        "q_isotonic_calibration": C.q_isotonic_calibration,
-        # Smoothed-unigram negative sampling (word2vec table) — exact
-        # DECIMAL CDF picks from replay-stable md5 coins.
-        "q_negative_sampling": X.q_negative_sampling,
         # Benford first-digit audit — data-forensics read with literal
         # probabilities and a rounded-decimal chi-square fold.
         "q_benford_totalprice": A.q_benford_totalprice,
@@ -322,9 +338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HBOS multivariate outlier scores — naive-Bayes histogram
         # density, three broadcast histogram joins (oracle-exact).
         "q_hbos_outliers": A.q_hbos_outliers,
-        # Post-stratified ATE — confounding-adjusted treatment effect
-        # next to q_ab_test_welch / q_sprt_ab (oracle-exact).
-        "q_stratified_ate": A.q_stratified_ate,
         # VAD-style audio activity segmentation (rows-only: PCM
         # decode) — planted tone/silence/tone bounds pinned in pytest.
         "q_audio_segments": M.q_audio_segments,
