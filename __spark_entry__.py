@@ -341,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VAD-style audio activity segmentation (rows-only: PCM
         # decode) — planted tone/silence/tone bounds pinned in pytest.
         "q_audio_segments": M.q_audio_segments,
+        # Split-conformal prediction intervals — distribution-free
+        # uncertainty next to isotonic calibration (oracle-exact).
+        "q_conformal_interval": A.q_conformal_interval,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1912,6 +1915,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hbos_outliers": A.hbos_oracle_sql(),
         # Post-stratified ATE (integer rates, decimal weighted fold).
         "q_stratified_ate": A.stratified_ate_oracle_sql(),
+        # Split-conformal intervals (md5 thirds, exact quantile).
+        "q_conformal_interval": A.conformal_interval_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

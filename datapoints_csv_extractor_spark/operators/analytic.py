@@ -3736,3 +3736,144 @@ def stratified_ate_oracle_sql() -> str:
         FROM scored
         ORDER BY stratum
     """
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# --------------------------------------------------------------------------
+
+def q_conformal_interval(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.1
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; the
+    Lei et al. 2018 split form) over events: distribution-free
+    uncertainty for ANY point predictor — here the hour-of-day mean
+    fitted on a training split — by taking the (1-alpha) quantile of
+    absolute residuals on a held-out CALIBRATION split; the
+    guarantee (coverage >= 1-alpha on exchangeable data) holds no
+    matter how bad the predictor is. Emits one row per hour with the
+    fitted center and the dataset-level interval half-width q_alpha,
+    plus the measured coverage on a third TEST split — the
+    finite-sample check of the guarantee.
+
+    Splits are md5-coin thirds (replay-stable, the dataset-split
+    discipline). Exactness: the center is one division of exact
+    centi-unit integer sums; residuals are identical doubles; the
+    calibration quantile is the exact-percentile idiom
+    (q_percentiles); coverage is an integer count ratio. Two
+    aggregates + one broadcast join on a single fact scan per
+    split."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias(
+            "coin"
+        ),
+    )
+    split = (
+        F.when(F.col("coin") < "6", F.lit("train"))
+        .when(F.col("coin") < "b", F.lit("calib"))
+        .otherwise(F.lit("test"))
+    )
+    ev = ev.withColumn("split", split)
+    centers = (
+        ev.where(F.col("split") == "train")
+        .groupBy("hour")
+        .agg(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")
+             / F.lit(100.0)).alias("center"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    resid = F.abs(
+        F.col("cents").cast("double") / F.lit(100.0) - F.col("center")
+    )
+    calib = (
+        ev.where(F.col("split") == "calib")
+        .join(F.broadcast(centers), "hour")
+        .agg(
+            F.percentile(resid, F.lit(1.0 - alpha)).alias("q_alpha"),
+            F.count(F.lit(1)).alias("n_calib"),
+        )
+    )
+    test = (
+        ev.where(F.col("split") == "test")
+        .join(F.broadcast(centers), "hour")
+        .crossJoin(F.broadcast(calib))
+        .agg(
+            F.max("q_alpha").alias("q_alpha"),
+            F.max("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((resid <= F.col("q_alpha")).cast("long")).alias("n_in"),
+        )
+    )
+    return (
+        centers.crossJoin(F.broadcast(test))
+        .select(
+            "hour",
+            "n_train",
+            F.round("center", 6).alias("center"),
+            F.round("q_alpha", 6).alias("q_alpha"),
+            "n_calib",
+            "n_test",
+            F.round(
+                F.col("n_in").cast("double") / F.col("n_test").cast("double"),
+                6,
+            ).alias("test_coverage"),
+            F.lit(1.0 - alpha).alias("target_coverage"),
+        )
+        .orderBy("hour")
+    )
+
+
+def conformal_interval_oracle_sql(alpha: float = 0.1) -> str:
+    """DuckDB twin of q_conformal_interval: identical md5 thirds,
+    centi-unit centers, exact residual quantile, count-ratio
+    coverage."""
+    return f"""
+        WITH ev AS (
+            SELECT event_id,
+                   EXTRACT(hour FROM ts) AS hour,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                             < '6' THEN 'train'
+                        WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                             < 'b' THEN 'calib'
+                        ELSE 'test' END AS split
+            FROM events
+        ), centers AS (
+            SELECT hour,
+                   CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       / 100.0 AS center,
+                   count(*) AS n_train
+            FROM ev WHERE split = 'train' GROUP BY hour
+        ), calib AS (
+            SELECT quantile_cont(
+                       abs(CAST(e.cents AS DOUBLE) / 100.0 - c.center),
+                       {1.0 - alpha}) AS q_alpha,
+                   count(*) AS n_calib
+            FROM ev e JOIN centers c USING (hour)
+            WHERE e.split = 'calib'
+        ), test AS (
+            SELECT max(q.q_alpha) AS q_alpha,
+                   max(q.n_calib) AS n_calib,
+                   count(*) AS n_test,
+                   sum(CASE WHEN abs(CAST(e.cents AS DOUBLE) / 100.0
+                                     - c.center) <= q.q_alpha
+                            THEN 1 ELSE 0 END) AS n_in
+            FROM ev e JOIN centers c USING (hour) CROSS JOIN calib q
+            WHERE e.split = 'test'
+        )
+        SELECT c.hour,
+               CAST(c.n_train AS BIGINT) AS n_train,
+               round(c.center, 6) AS center,
+               round(t.q_alpha, 6) AS q_alpha,
+               CAST(t.n_calib AS BIGINT) AS n_calib,
+               CAST(t.n_test AS BIGINT) AS n_test,
+               round(CAST(t.n_in AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+                   AS test_coverage,
+               CAST({1.0 - alpha} AS DOUBLE) AS target_coverage
+        FROM centers c CROSS JOIN test t
+        ORDER BY c.hour
+    """

@@ -1593,3 +1593,23 @@ def test_stratified_ate_removes_planted_confounding(spark):
     # weights 220/440 each -> ate = 0.1 exactly
     assert abs(out[0].ate - 0.1) < 1e-9
     assert out[0].naive_diff < 0  # the planted Simpson reversal
+
+
+def test_conformal_coverage_holds_on_exchangeable_data(spark):
+    # On exchangeable data the split-conformal guarantee must hold:
+    # test coverage >= ~(1 - alpha) minus finite-sample slack. The
+    # events slice at sf0.01 is hash-split into thirds, so this is a
+    # real finite-sample check, not a tautology.
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_conformal_interval,
+    )
+
+    rows = q_conformal_interval(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 24
+    r = rows[0]
+    assert r.target_coverage == 0.9
+    assert r.test_coverage >= 0.85, r.test_coverage
+    assert r.q_alpha > 0
+    assert r.n_train + 0 > 0 and r.n_calib > 0 and r.n_test > 0
+    # all rows carry the same dataset-level interval and coverage
+    assert len({x.q_alpha for x in rows}) == 1

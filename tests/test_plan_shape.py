@@ -237,6 +237,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_benford_totalprice",  # 1-row digit-total aggregate broadcast
         "q_hbos_outliers",  # 1-row min/max/total + 1-row p99 broadcasts
         "q_stratified_ate",  # 1-row grand-total aggregate broadcast
+        "q_conformal_interval",  # 1-row calib-quantile broadcast
     }
 
     offenders = {}
