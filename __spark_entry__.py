@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Split-conformal prediction intervals — distribution-free
         # uncertainty next to isotonic calibration (oracle-exact).
         "q_conformal_interval": A.q_conformal_interval,
+        # Per-source boilerplate-prefix stripping — banner removal
+        # before dedup/n-gram stats; md5-pinned strip (oracle-exact).
+        "q_boilerplate_prefix": C.q_boilerplate_prefix,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1917,6 +1920,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_ate": A.stratified_ate_oracle_sql(),
         # Split-conformal intervals (md5 thirds, exact quantile).
         "q_conformal_interval": A.conformal_interval_oracle_sql(),
+        # Boilerplate prefix strip (md5 of the stripped text).
+        "q_boilerplate_prefix": C.boilerplate_prefix_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -3184,3 +3184,135 @@ def isotonic_calibration_oracle_sql(bins: int = 20) -> str:
         FROM cums c JOIN fit f ON f.i = c.bin
         ORDER BY c.bin
     """
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-prefix detection / stripping
+# --------------------------------------------------------------------------
+
+def boilerplate_prefix_report(
+    docs: DataFrame,
+    k: int = 6,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source boilerplate-PREFIX removal — the header-stripping
+    step crawl pipelines run before dedup and n-gram stats: sites
+    stamp the same banner ("cookie notice", "all rights reserved",
+    nav crumbs) at the TOP of every page, which inflates n-gram
+    repetition, poisons MinHash shingles, and wastes tokens. A
+    leading ``k``-token gram shared by at least ``min_frac`` of a
+    source's documents is declared boilerplate and stripped from the
+    affected documents.
+
+    Shape: one (source, prefix-gram) aggregate (map-side combined)
+    plus a per-source total, then a BROADCAST join of the
+    dimension-sized boilerplate list back onto one doc scan — the
+    strip itself is a map-only array slice. Emits per-doc verdicts
+    with the md5 of the stripped text so the oracle pins the exact
+    strip, not just the flag."""
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    d = docs.withColumn("toks", tokens(F.col("text")))
+    pref = F.concat_ws(" ", F.slice(F.col("toks"), 1, k))
+    base = d.select(
+        "doc_id", "source", "toks", pref.alias("prefix"),
+        F.size("toks").alias("n_toks"),
+    )
+    counts = base.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    boiler = (
+        counts.join(totals, "source")
+        .where(
+            (F.col("c").cast("double") / F.col("n_src").cast("double")
+             >= F.lit(min_frac))
+            & (F.col("prefix") != "")
+        )
+        .select("source", "prefix", F.lit(True).alias("is_boiler"))
+    )
+    joined = base.join(F.broadcast(boiler), ["source", "prefix"], "left")
+    stripped = F.when(
+        F.col("is_boiler").isNotNull() & (F.col("n_toks") > k),
+        F.concat_ws(" ", F.slice(F.col("toks"), k + 1, 1_000_000)),
+    ).otherwise(F.concat_ws(" ", F.col("toks")))
+    return joined.select(
+        "doc_id",
+        "source",
+        F.coalesce("is_boiler", F.lit(False)).alias("stripped_prefix"),
+        F.when(F.col("is_boiler").isNotNull(), F.lit(k))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_tokens_stripped"),
+        F.md5(stripped).alias("stripped_md5"),
+    ).orderBy("doc_id")
+
+
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing prefix stripping over banner-stamped pages:
+    ~3/4 of each source's documents get the source's 6-token banner
+    prepended (md5-coin selection, so both engines stamp the same
+    docs); the report must flag exactly the stamped docs and strip
+    exactly the banner."""
+    d = load(spark, sf_dir, "documents")
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    banner = F.concat(
+        F.lit("NOTICE from "), F.col("source"),
+        F.lit(" portal all rights reserved"),
+    )
+    stamped = d.select(
+        "doc_id",
+        "source",
+        F.when(coin < "c", F.concat(banner, F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_prefix_report(stamped, k=6, min_frac=0.5)
+
+
+def boilerplate_prefix_oracle_sql(k: int = 6) -> str:
+    """DuckDB twin of q_boilerplate_prefix: identical stamping,
+    tokenization, per-source prefix rates, and strip."""
+    return f"""
+        WITH stamped AS (
+            SELECT doc_id, source,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                             < 'c'
+                        THEN 'NOTICE from ' || source
+                             || ' portal all rights reserved ' || text
+                        ELSE text END AS text
+            FROM documents
+        ), base AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM stamped
+        ), pref AS (
+            SELECT doc_id, source, toks,
+                   len(toks) AS n_toks,
+                   array_to_string(toks[1:{k}], ' ') AS prefix
+            FROM base
+        ), counts AS (
+            SELECT source, prefix, count(*) AS c
+            FROM pref GROUP BY 1, 2
+        ), totals AS (
+            SELECT source, count(*) AS n_src FROM pref GROUP BY 1
+        ), boiler AS (
+            SELECT c.source, c.prefix
+            FROM counts c JOIN totals t USING (source)
+            WHERE CAST(c.c AS DOUBLE) / CAST(t.n_src AS DOUBLE) >= 0.5
+              AND c.prefix <> ''
+        )
+        SELECT p.doc_id, p.source,
+               (b.prefix IS NOT NULL) AS stripped_prefix,
+               CAST(CASE WHEN b.prefix IS NOT NULL THEN {k} ELSE 0 END
+                    AS INT) AS n_tokens_stripped,
+               md5(CASE WHEN b.prefix IS NOT NULL AND p.n_toks > {k}
+                        THEN array_to_string(p.toks[{k + 1}:], ' ')
+                        ELSE array_to_string(p.toks, ' ') END)
+                   AS stripped_md5
+        FROM pref p
+        LEFT JOIN boiler b
+          ON b.source = p.source AND b.prefix = p.prefix
+        ORDER BY p.doc_id
+    """

@@ -1046,3 +1046,35 @@ def test_isotonic_calibration_matches_sequential_pav(spark):
     assert got == expect, (got, expect)
     assert got == sorted(got)
     assert [r.raw_rate for r in out] == [0.2, 0.8, 0.4, 0.6]
+
+
+def test_boilerplate_prefix_strips_exactly_the_banner(spark):
+    # Source A: 8/10 docs share the 6-token banner -> flagged and
+    # stripped back to the original body. Source B: every doc starts
+    # differently -> nothing flagged. A doc whose body HAPPENS to
+    # open like the banner of another source stays untouched
+    # (grouping is per source).
+    import hashlib
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        boilerplate_prefix_report,
+    )
+
+    banner = "w1 w2 w3 w4 w5 w6"
+    rows = []
+    for i in range(10):
+        body = f"body text number {i} unique tail here"
+        text = f"{banner} {body}" if i < 8 else body
+        rows.append((i, "srcA", text))
+    for i in range(10, 20):
+        rows.append((i, "srcB", f"opener{i} differs {banner} inside"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in boilerplate_prefix_report(df).collect()}
+    for i in range(8):
+        body = f"body text number {i} unique tail here"
+        assert out[i].stripped_prefix and out[i].n_tokens_stripped == 6
+        assert out[i].stripped_md5 == hashlib.md5(body.encode()).hexdigest()
+    for i in range(8, 10):
+        assert not out[i].stripped_prefix
+    for i in range(10, 20):
+        assert not out[i].stripped_prefix  # banner mid-text, per-source group
