@@ -199,6 +199,15 @@ BENCH_QUERIES = [
     # family, already represented) and stays out of the reported list.
     "q_sprt_ab",
     "q_flesch_readability",
+    "q_isotonic_calibration",
+    "q_negative_sampling",
+    "q_benford_totalprice",
+    "q_video_keyframes",
+    "q_hbos_outliers",
+    "q_stratified_ate",
+    "q_audio_segments",
+    "q_conformal_interval",
+    "q_boilerplate_prefix",
 ]
 
 
