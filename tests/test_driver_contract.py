@@ -59,6 +59,8 @@ ROWS_ONLY_ALLOWED = {
     "q_kcore",  # iterative peeling has no SQL twin; python-peeler-pinned
     "q_dtw_knn",  # banded-DTW dynamic program has no SQL twin; numpy-pinned
     "q_markov_attribution",  # absorbing-chain solve; replica-pinned
+    "q_video_keyframes",  # GIF frame decode — no SQL twin
+    "q_audio_segments",  # PCM decode + VAD framing — no SQL twin
 }
 
 
