@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Per-source boilerplate-prefix stripping — banner removal
         # before dedup/n-gram stats; md5-pinned strip (oracle-exact).
         "q_boilerplate_prefix": C.q_boilerplate_prefix,
+        # Experiment power sizing — per-type minimum detectable
+        # effect at current sample sizes (IEEE sqrt, oracle-exact).
+        "q_mde_power": A.q_mde_power,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1922,6 +1925,8 @@ def oracle_sql() -> dict[str, str]:
         "q_conformal_interval": A.conformal_interval_oracle_sql(),
         # Boilerplate prefix strip (md5 of the stripped text).
         "q_boilerplate_prefix": C.boilerplate_prefix_oracle_sql(),
+        # MDE power sizing (shared z literals, IEEE sqrt).
+        "q_mde_power": A.mde_power_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -3877,3 +3877,102 @@ def conformal_interval_oracle_sql(alpha: float = 0.1) -> str:
         FROM centers c CROSS JOIN test t
         ORDER BY c.hour
     """
+
+
+# --------------------------------------------------------------------------
+# Experiment power sizing (minimum detectable effect)
+# --------------------------------------------------------------------------
+
+def q_mde_power(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minimum detectable effect per event type at the CURRENT sample
+    sizes — the pre-registration read an experimentation platform
+    shows before anyone launches: with arms split by user parity and
+    the conversion defined per event type, the two-proportion MDE at
+    alpha=0.05 / power=0.8 is (z_{1-a/2} + z_{1-b}) *
+    sqrt(p(1-p)(1/n1+1/n0)). Effects smaller than this are
+    undetectable at the planned test; the relative column says it in
+    percent-of-baseline terms.
+
+    One (type, arm) aggregate with map-side combine, then
+    parameter-sized rows. Exactness: counts are exact integers, the
+    z constants are shared Python literals, and IEEE-754 specifies
+    sqrt as correctly rounded — so the one sqrt per row is
+    bit-identical across engines (unlike exp/ln, sqrt needs no
+    rounding discipline)."""
+    z_a = 1.959963984540054  # Phi^-1(0.975)
+    z_b = 0.8416212335729143  # Phi^-1(0.8)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).cast("long").alias("t"),
+        F.lit(1).alias("one"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.sum("t").alias("n1"),
+        F.sum(1 - F.col("t")).alias("n0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    p = F.col("n").cast("double") / F.col("n_all").cast("double")
+    mde = (
+        F.lit(z_a + z_b)
+        * F.sqrt(
+            p * (F.lit(1.0) - p)
+            * (
+                F.lit(1.0) / F.col("n1").cast("double")
+                + F.lit(1.0) / F.col("n0").cast("double")
+            )
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n1",
+            "n0",
+            F.round(p, 6).alias("p_baseline"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(mde / p, 6).alias("mde_rel"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mde_power_oracle_sql() -> str:
+    """DuckDB twin of q_mde_power: identical literals and the
+    identical IEEE sqrt expression."""
+    z = repr(1.959963984540054 + 0.8416212335729143)
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+            FROM events
+        ), per AS (
+            SELECT event_type, sum(t) AS n1, sum(1 - t) AS n0,
+                   count(*) AS n
+            FROM ev GROUP BY 1
+        ), tot AS (
+            SELECT count(*) AS n_all FROM ev
+        )
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n1,
+               CAST(n0 AS BIGINT) AS n0,
+               round(CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+                   AS p_baseline,
+               round(CAST({z} AS DOUBLE) * sqrt(
+                   (CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   * (1.0 - CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))
+               ), 6) AS mde_abs,
+               round(CAST({z} AS DOUBLE) * sqrt(
+                   (CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   * (1.0 - CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))
+               ) / (CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+                   AS mde_rel
+        FROM per CROSS JOIN tot
+        ORDER BY event_type
+    """

@@ -1613,3 +1613,38 @@ def test_conformal_coverage_holds_on_exchangeable_data(spark):
     assert r.n_train + 0 > 0 and r.n_calib > 0 and r.n_test > 0
     # all rows carry the same dataset-level interval and coverage
     assert len({x.q_alpha for x in rows}) == 1
+
+
+def test_mde_power_closed_form_and_monotonicity(spark, tmp_path):
+    # Closed form: equal arms of 5000 at p=0.5 give
+    # mde = 2.8016 * sqrt(0.25 * (2/5000)); and more samples must
+    # shrink the MDE.
+    import math
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_mde_power,
+    )
+
+    rows = []
+    eid = 0
+    for n, typ in ((10000, "big"), (400, "small")):
+        for i in range(n):
+            rows.append(
+                (eid, "2024-01-01 10:00:00", i, typ, 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in q_mde_power(spark, str(tmp_path)).collect()}
+    big = out["big"]
+    assert big.n1 == 5000 and big.n0 == 5000
+    p = 10000 / 10400
+    expect = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        p * (1 - p) * (2 / 5000)
+    )
+    assert big.mde_abs == round(expect, 6)
+    assert out["small"].mde_abs > big.mde_abs

@@ -238,6 +238,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_hbos_outliers",  # 1-row min/max/total + 1-row p99 broadcasts
         "q_stratified_ate",  # 1-row grand-total aggregate broadcast
         "q_conformal_interval",  # 1-row calib-quantile broadcast
+        "q_mde_power",  # 1-row grand-total aggregate broadcast
     }
 
     offenders = {}
