@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Experiment power sizing — per-type minimum detectable
         # effect at current sample sizes (IEEE sqrt, oracle-exact).
         "q_mde_power": A.q_mde_power,
+        # Source-concentration Lorenz/Gini report (integer folds).
+        "q_source_concentration": X.q_source_concentration,
+        # Zipf rank-frequency head fit (rounded-decimal ln sums).
+        "q_zipf_fit": X.q_zipf_fit,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1927,6 +1931,10 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate_prefix": C.boilerplate_prefix_oracle_sql(),
         # MDE power sizing (shared z literals, IEEE sqrt).
         "q_mde_power": A.mde_power_oracle_sql(),
+        # Lorenz/Gini source concentration.
+        "q_source_concentration": X.source_concentration_oracle_sql(),
+        # Zipf head fit (decimal ln folds).
+        "q_zipf_fit": X.zipf_fit_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

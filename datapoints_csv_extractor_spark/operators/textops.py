@@ -3134,3 +3134,194 @@ def negative_sampling_oracle_sql(
          AND s.u * t.W < c.hi * 281474976710656
         ORDER BY s.doc_id, s.slot
     """
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: source concentration (Gini/Lorenz) and Zipf fit
+# --------------------------------------------------------------------------
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration report — the Lorenz curve + Gini
+    coefficient of per-source token mass: the mixture-health read
+    that says whether "500 sources" really means 500 sources or three
+    crawls wearing 497 hats (a concentrated corpus overfits its head
+    sources no matter what the mixture plan claims). One row per
+    source in ascending token order with its cumulative Lorenz share,
+    plus the dataset Gini G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n.
+
+    One token-count aggregate (map-side combined), then SOURCE-sized
+    work: the rank window and integer folds run on one row per
+    source. Exactness: everything is integer until one division per
+    output column."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    per = d.groupBy("source").agg(
+        F.sum(F.size("toks").cast("long")).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = per.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("n_tokens").alias("t_all"),
+        F.sum(F.col("rank").cast("decimal(38,0)") * F.col("n_tokens"))
+        .alias("weighted"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("weighted").cast("double")
+        / (F.col("n_src").cast("double") * F.col("t_all").cast("double"))
+        - (F.col("n_src") + 1).cast("double") / F.col("n_src").cast("double"),
+        6,
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("cum").cast("double") / F.col("t_all").cast("double"), 6
+            ).alias("lorenz_share"),
+            gini.alias("gini"),
+        )
+        .orderBy("rank")
+    )
+
+
+def source_concentration_oracle_sql() -> str:
+    """DuckDB twin of q_source_concentration."""
+    return """
+        WITH per AS (
+            SELECT source,
+                   sum(len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> t <> ''))) AS n_tokens
+            FROM documents GROUP BY source
+        ), ranked AS (
+            SELECT source, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens, source) AS rank,
+                   sum(n_tokens) OVER (ORDER BY n_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM per
+        ), tot AS (
+            SELECT count(*) AS n_src, sum(n_tokens) AS t_all,
+                   sum(rank * n_tokens) AS weighted
+            FROM ranked
+        )
+        SELECT r.rank, r.source,
+               CAST(r.n_tokens AS BIGINT) AS n_tokens,
+               round(CAST(r.cum AS DOUBLE) / CAST(t.t_all AS DOUBLE), 6)
+                   AS lorenz_share,
+               round(2.0 * CAST(t.weighted AS DOUBLE)
+                     / (CAST(t.n_src AS DOUBLE) * CAST(t.t_all AS DOUBLE))
+                     - CAST(t.n_src + 1 AS DOUBLE)
+                       / CAST(t.n_src AS DOUBLE), 6) AS gini
+        FROM ranked r CROSS JOIN tot t
+        ORDER BY r.rank
+    """
+
+
+def q_zipf_fit(
+    spark: SparkSession, sf_dir: str, top_ranks: int = 1000
+) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health read that catches
+    synthetic or template-heavy text before training: natural
+    language's token frequencies follow count ~ rank^-s with s near
+    1, so the OLS slope over (ln rank, ln count) for the head of the
+    distribution is a one-number language-likeness dial (template
+    spam flattens it; a stuck generator steepens it).
+
+    One token-count aggregate, a deterministic top-``top_ranks``
+    head (orderBy count desc, token — the literal cap bounds
+    everything after the aggregate), then parameter-sized OLS.
+    Exactness: per-rank ln terms round to 6 and their sums fold as
+    DECIMAL, and the slope/intercept are one shared double expression
+    over those exact sums."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(top_ranks)
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    xy = F.round(
+        F.log(F.col("rank").cast("double"))
+        * F.log(F.col("cnt").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    xx = F.round(
+        F.log(F.col("rank").cast("double"))
+        * F.log(F.col("rank").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xy).cast("double").alias("sxy"),
+        F.sum(xx).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
+            "intercept"
+        ),
+    )
+
+
+def zipf_fit_oracle_sql(top_ranks: int = 1000) -> str:
+    """DuckDB twin of q_zipf_fit: identical head, rounded-decimal ln
+    sums, identical slope expression."""
+    return f"""
+        WITH counts AS (
+            SELECT token, count(*) AS cnt
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ) GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT {top_ranks}
+        ), ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS rank
+            FROM counts
+        ), sums AS (
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                       * ln(CAST(cnt AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                       * ln(CAST(rank AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_ranks,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                     / CAST(n AS DOUBLE), 4) AS intercept
+        FROM sums
+    """

@@ -2512,3 +2512,56 @@ def test_negative_sampling_exact_one_pick_and_smoothed_bias(spark, tmp_path):
     assert p_zipf < 0.75  # the smoothing visibly downweights the head
     out2 = negative_samples(df, k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_gini_closed_forms_equal_and_concentrated(spark, tmp_path):
+    # Perfect equality (4 sources x equal mass) -> Gini ~ 0 (exactly
+    # (n-1)/n shy of 0 at small n per the discrete formula: here 0).
+    # One source holding ~everything -> Gini near (n-1)/n = 0.75.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_source_concentration,
+    )
+
+    equal = [(i, f"src{i % 4}", "tok " * 10) for i in range(40)]
+    spark.createDataFrame(
+        equal, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_source_concentration(spark, str(tmp_path)).collect()
+    assert rows[0].gini == 0.0
+    assert rows[-1].lorenz_share == 1.0
+
+    skew = [(0, "big", "tok " * 9700)] + [
+        (i, f"tiny{i}", "tok " * 100) for i in range(1, 4)
+    ]
+    spark.createDataFrame(
+        skew, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_source_concentration(spark, str(tmp_path)).collect()
+    assert rows[0].gini > 0.7
+    assert rows[-1].source == "big"
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
+    # A corpus synthesized with count(rank) = round(C / rank) must fit
+    # a slope near -1; a flat (uniform) vocabulary must fit ~0.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_zipf_fit,
+    )
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(2000 / rank))
+    docs = [(0, " ".join(words))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_zipf_fit(spark, str(tmp_path), top_ranks=50).collect()[0]
+    assert r.n_ranks == 50
+    assert -1.1 < r.zipf_slope < -0.9, r.zipf_slope
+
+    flat = [(0, " ".join(f"u{i:03d}" for i in range(200)) * 5)]
+    spark.createDataFrame(
+        flat, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_zipf_fit(spark, str(tmp_path), top_ranks=100).collect()[0]
+    assert abs(r.zipf_slope) < 0.05, r.zipf_slope
