@@ -2990,6 +2990,21 @@ def negative_samples(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     vocab = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return _ns_draw(docs, vocab, k, alpha_num, alpha_den, cdf_buckets)
+
+
+def _ns_draw(
+    docs: DataFrame,
+    vocab: DataFrame,
+    k: int,
+    alpha_num: int = 3,
+    alpha_den: int = 4,
+    cdf_buckets: int = 1024,
+) -> DataFrame:
+    """The sampling core shared by the inline and store-backed paths:
+    given a (token, cnt) table, build the exact-DECIMAL smoothed CDF
+    and draw ``k`` negatives per doc (see negative_samples for the
+    exactness and plan-shape contract)."""
     w_col = F.round(
         F.pow(F.col("cnt").cast("double"), F.lit(alpha_num / alpha_den)), 6
     ).cast("decimal(18,6)")
@@ -3325,3 +3340,77 @@ def zipf_fit_oracle_sql(top_ranks: int = 1000) -> str:
                      / CAST(n AS DOUBLE), 4) AS intercept
         FROM sums
     """
+
+
+def append_ns_vocab_shard(
+    docs: DataFrame, store_dir: str, ingest_id: str
+) -> None:
+    """Fold one shard's token counts into the persisted
+    negative-sampling vocabulary store — the incremental-lifecycle
+    form of the word2vec table (the band-store discipline,
+    operators/dedup.py): counts land under
+    ``counts/ingest=<id>/`` (full overwrite, so a replayed ingest id
+    is idempotent), and the id joins ``manifest.json`` via the
+    locked atomic-rename commit, so readers never see a crashed
+    partial. Token counts are ADDITIVE, which is the whole trick —
+    the store never rewrites old shards and the CDF is derived at
+    serve time from the committed sum."""
+    import os
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _commit_manifest,
+    )
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "counts", f"ingest={ingest_id}")
+    )
+    _commit_manifest(
+        store_dir,
+        lambda ids: ids if ingest_id in ids else [*ids, ingest_id],
+    )
+
+
+def read_ns_vocab(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Committed vocabulary counts summed across ingests, or None when
+    nothing is committed."""
+    import os
+
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        _read_manifest,
+    )
+
+    ids = _read_manifest(store_dir)
+    if not ids:
+        return None
+    paths = [
+        os.path.join(store_dir, "counts", f"ingest={i}") for i in ids
+    ]
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def negative_samples_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    docs: DataFrame,
+    k: int = 3,
+    cdf_buckets: int = 1024,
+) -> DataFrame:
+    """Draw negatives against the PERSISTED vocabulary instead of
+    rescanning the corpus — the serving path once the store holds the
+    committed counts. Because counts are additive and the coins
+    depend only on (doc_id, slot), a store fed shard by shard draws
+    the IDENTICAL samples a single full-corpus pass would (pinned in
+    pytest)."""
+    vocab = read_ns_vocab(spark, store_dir)
+    if vocab is None:
+        raise ValueError(f"ns vocab store at {store_dir} has no commits")
+    return _ns_draw(docs, vocab, k, cdf_buckets=cdf_buckets)

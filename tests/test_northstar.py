@@ -2565,3 +2565,35 @@ def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     r = q_zipf_fit(spark, str(tmp_path), top_ranks=100).collect()[0]
     assert abs(r.zipf_slope) < 0.05, r.zipf_slope
+
+
+def test_ns_vocab_store_incremental_equals_full_corpus(spark, tmp_path):
+    # Feed the vocabulary store two half-corpus shards: the
+    # store-backed draws must be IDENTICAL to the single-pass
+    # negative_samples over the full corpus (counts are additive and
+    # the coins depend only on (doc_id, slot)); replaying a shard id
+    # must not change the counts.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        append_ns_vocab_shard,
+        negative_samples,
+        negative_samples_from_store,
+        read_ns_vocab,
+    )
+
+    docs = [(i, f"alpha beta gamma tok{i % 7} zeta") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    store = str(tmp_path / "ns_store")
+    append_ns_vocab_shard(df.where("doc_id < 20"), store, "day1")
+    append_ns_vocab_shard(df.where("doc_id >= 20"), store, "day2")
+    got = negative_samples_from_store(spark, store, df, k=3).collect()
+    want = negative_samples(df, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # replay idempotence
+    before = {
+        r.token: r.cnt for r in read_ns_vocab(spark, store).collect()
+    }
+    append_ns_vocab_shard(df.where("doc_id < 20"), store, "day1")
+    after = {
+        r.token: r.cnt for r in read_ns_vocab(spark, store).collect()
+    }
+    assert before == after
