@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "q_audio_segments",
     "q_conformal_interval",
     "q_boilerplate_prefix",
+    "q_mde_power",
+    "q_source_concentration",
+    "q_zipf_fit",
 ]
 
 
