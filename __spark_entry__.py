@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Experiment power sizing — per-type minimum detectable
         # effect at current sample sizes (IEEE sqrt, oracle-exact).
         "q_mde_power": A.q_mde_power,
+        # Chi-square independence + Cramér's V — categorical
+        # association read (oracle-exact decimal fold, IEEE sqrt).
+        "q_chi2_independence": A.q_chi2_independence,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1931,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate_prefix": C.boilerplate_prefix_oracle_sql(),
         # MDE power sizing (shared z literals, IEEE sqrt).
         "q_mde_power": A.mde_power_oracle_sql(),
+        # Chi-square independence + Cramér's V.
+        "q_chi2_independence": A.chi2_independence_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

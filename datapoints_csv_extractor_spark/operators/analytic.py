@@ -3976,3 +3976,147 @@ def mde_power_oracle_sql() -> str:
         FROM per CROSS JOIN tot
         ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# Categorical association: chi-square independence + Cramér's V
+# --------------------------------------------------------------------------
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V between event type
+    and day-part band — the categorical-association read behind
+    feature screening and segmentation sanity checks (V is the
+    scale-free effect size the raw chi-square statistic is not: it
+    answers "does WHAT users do depend on WHEN they do it" without
+    growing with N). One row per contingency cell with observed vs
+    expected counts and the dataset-level statistic, V, and the
+    V >= 0.1 association flag.
+
+    One (type, band) aggregate with map-side combine, then
+    parameter-sized cell work (marginals join back by broadcast).
+    The contingency table is COMPLETED to the full r x c grid before
+    scoring — unobserved cells contribute (0 - E)^2 / E, and dropping
+    them silently understates the statistic (a perfectly diagonal
+    table would read chi2 = 2N/3 instead of 2N; caught by the V = 1
+    closed-form pin). Exactness: expected counts are exact integer
+    products over one division, chi-square terms fold as rounded
+    DECIMALs, and V's square root is IEEE-correctly-rounded —
+    oracle-exact end to end."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("int").alias("band"),
+    )
+    observed = ev.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    rowm = observed.groupBy("event_type").agg(
+        F.sum("n_obs").alias("row_tot")
+    )
+    colm = observed.groupBy("band").agg(F.sum("n_obs").alias("col_tot"))
+    cells = (
+        rowm.crossJoin(F.broadcast(colm))
+        .join(observed, ["event_type", "band"], "left")
+        .na.fill({"n_obs": 0})
+    )
+    tot = observed.agg(
+        F.sum("n_obs").alias("n_total"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("band").alias("c"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    term = F.round(
+        (F.col("n_obs").cast("double") - expected)
+        * (F.col("n_obs").cast("double") - expected)
+        / expected,
+        6,
+    ).cast("decimal(18,6)")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi2 = F.sum(term).over(w).cast("double")
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n_total").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "band",
+            "n_obs",
+            F.round(expected, 4).alias("expected_n"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(v, 6).alias("cramers_v"),
+            (F.round(v, 6) >= 0.1).alias("associated"),
+        )
+        .orderBy("event_type", "band")
+    )
+
+
+def chi2_independence_oracle_sql() -> str:
+    """DuckDB twin of q_chi2_independence."""
+    return """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(EXTRACT(hour FROM ts) / 6) AS INT) AS band
+            FROM events
+        ), observed AS (
+            SELECT event_type, band, count(*) AS n_obs
+            FROM ev GROUP BY 1, 2
+        ), rowm AS (
+            SELECT event_type, sum(n_obs) AS row_tot
+            FROM observed GROUP BY 1
+        ), colm AS (
+            SELECT band, sum(n_obs) AS col_tot FROM observed GROUP BY 1
+        ), cells AS (
+            SELECT r.event_type, c.band, r.row_tot, c.col_tot,
+                   coalesce(o.n_obs, 0) AS n_obs
+            FROM rowm r
+            CROSS JOIN colm c
+            LEFT JOIN observed o
+              ON o.event_type = r.event_type AND o.band = c.band
+        ), tot AS (
+            SELECT sum(n_obs) AS n_total,
+                   count(DISTINCT event_type) AS r,
+                   count(DISTINCT band) AS c
+            FROM observed
+        ), scored AS (
+            SELECT cells.event_type, cells.band, cells.n_obs,
+                   CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                       / CAST(n_total AS DOUBLE) AS expected,
+                   CAST(round(
+                       (CAST(n_obs AS DOUBLE)
+                        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                          / CAST(n_total AS DOUBLE))
+                       * (CAST(n_obs AS DOUBLE)
+                          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))
+                       / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                          / CAST(n_total AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS term,
+                   n_total, r, c
+            FROM cells
+            CROSS JOIN tot
+        )
+        SELECT event_type, band,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               round(expected, 4) AS expected_n,
+               round(CAST(sum(term) OVER () AS DOUBLE), 6) AS chi2,
+               round(sqrt(CAST(sum(term) OVER () AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+                   AS cramers_v,
+               round(sqrt(CAST(sum(term) OVER () AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE)
+                        * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) >= 0.1
+                   AS associated
+        FROM scored
+        ORDER BY event_type, band
+    """

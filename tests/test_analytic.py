@@ -1648,3 +1648,44 @@ def test_mde_power_closed_form_and_monotonicity(spark, tmp_path):
     )
     assert big.mde_abs == round(expect, 6)
     assert out["small"].mde_abs > big.mde_abs
+
+
+def test_chi2_independence_planted_association(spark, tmp_path):
+    # Perfectly dependent construction (each type occurs in exactly
+    # one band) must give V = 1; a perfectly balanced table must give
+    # chi2 = 0 and no association flag.
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_chi2_independence,
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn(
+            "ts", __import__("pyspark").sql.functions.to_timestamp("ts")
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    dep = []
+    eid = 0
+    for typ, hour in (("a", 1), ("b", 7), ("c", 13)):
+        for i in range(50):
+            dep.append((eid, f"2024-01-01 {hour:02d}:00:00", i, typ, 1.0, "{}"))
+            eid += 1
+    write(dep)
+    out = q_chi2_independence(spark, str(tmp_path)).collect()
+    assert out[0].cramers_v == 1.0 and out[0].associated
+
+    bal = []
+    eid = 0
+    for typ in ("a", "b"):
+        for hour in (1, 7):
+            for i in range(50):
+                bal.append(
+                    (eid, f"2024-01-01 {hour:02d}:00:00", i, typ, 1.0, "{}")
+                )
+                eid += 1
+    write(bal)
+    out = q_chi2_independence(spark, str(tmp_path)).collect()
+    assert out[0].chi2 == 0.0 and not out[0].associated
