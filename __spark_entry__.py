@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Chi-square independence + Cramér's V — categorical
         # association read (oracle-exact decimal fold, IEEE sqrt).
         "q_chi2_independence": A.q_chi2_independence,
+        # Expected calibration error — reliability read next to the
+        # isotonic map (oracle-exact decimal fold).
+        "q_calibration_error": C.q_calibration_error,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1936,6 +1939,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mde_power": A.mde_power_oracle_sql(),
         # Chi-square independence + Cramér's V.
         "q_chi2_independence": A.chi2_independence_oracle_sql(),
+        # Expected calibration error (micro-unit bin folds).
+        "q_calibration_error": C.calibration_error_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

@@ -3316,3 +3316,135 @@ def boilerplate_prefix_oracle_sql(k: int = 6) -> str:
           ON b.source = p.source AND b.prefix = p.prefix
         ORDER BY p.doc_id
     """
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_col: str = "p",
+    label_col: str = "y",
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015) — the standard
+    one-number answer to "are these probabilities honest": bin
+    predictions by confidence, compare each bin's mean predicted
+    probability with its empirical accuracy, and average the gaps
+    weighted by bin mass. The read that decides whether the isotonic
+    map (isotonic_calibrate) is needed and whether it worked.
+
+    One (bin) aggregate with map-side combine over a single scan,
+    then <= ``bins`` rows of work. Exactness: bin means are divisions
+    of exact integer sums (probabilities enter as millionths), per-bin
+    gap terms round to 6 and fold as DECIMAL — oracle-exact."""
+    p = F.col(prob_col).cast("double")
+    b = F.least(
+        F.lit(bins - 1), F.floor(p * F.lit(float(bins))).cast("int")
+    )
+    micro = F.round(p * 1_000_000).cast("long")
+    per = (
+        df.select(
+            b.alias("bin"),
+            micro.alias("p_micro"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_micro").alias("p_sum"),
+            F.sum("y").alias("k"),
+        )
+    )
+    tot = per.agg(F.sum("n").alias("n_total"))
+    conf = F.col("p_sum").cast("double") / F.col("n").cast("double") / 1e6
+    acc = F.col("k").cast("double") / F.col("n").cast("double")
+    term = F.round(
+        F.abs(acc - conf)
+        * (F.col("n").cast("double") / F.col("n_total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(conf, 6).alias("mean_confidence"),
+            F.round(acc, 6).alias("accuracy"),
+            F.sum(term).over(w).cast("double").alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing ECE over events: the 'model' is the hour-of-day
+    purchase rate fitted on the md5 train half, evaluated on the
+    other half — a well-calibrated predictor by construction, so the
+    read is the near-zero baseline a real model is compared against
+    (a planted miscalibrated predictor is pinned in pytest)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.hour("ts").alias("hour"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        (
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8"
+        ).alias("is_train"),
+    )
+    rates = (
+        ev.where("is_train")
+        .groupBy("hour")
+        .agg(
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("p")
+        )
+    )
+    test = ev.where(~F.col("is_train")).join(F.broadcast(rates), "hour")
+    return expected_calibration_error(test, "p", "y", bins=10)
+
+
+def calibration_error_oracle_sql(bins: int = 10) -> str:
+    """DuckDB twin of q_calibration_error."""
+    return f"""
+        WITH ev AS (
+            SELECT event_id, EXTRACT(hour FROM ts) AS hour,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                       AS is_train
+            FROM events
+        ), rates AS (
+            SELECT hour,
+                   round(CAST(sum(y) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS p
+            FROM ev WHERE is_train GROUP BY hour
+        ), test AS (
+            SELECT e.y, r.p,
+                   least({bins} - 1,
+                         CAST(floor(r.p * {float(bins)}) AS INT)) AS bin,
+                   CAST(round(r.p * 1000000) AS BIGINT) AS p_micro
+            FROM ev e JOIN rates r USING (hour)
+            WHERE NOT e.is_train
+        ), per AS (
+            SELECT bin, count(*) AS n, sum(p_micro) AS p_sum,
+                   sum(y) AS k
+            FROM test GROUP BY bin
+        ), tot AS (
+            SELECT sum(n) AS n_total FROM per
+        ), scored AS (
+            SELECT bin, n,
+                   CAST(p_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS conf,
+                   CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+                   CAST(round(abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(p_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+                       * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS term
+            FROM per CROSS JOIN tot
+        )
+        SELECT bin, CAST(n AS BIGINT) AS n,
+               round(conf, 6) AS mean_confidence,
+               round(acc, 6) AS accuracy,
+               CAST(sum(term) OVER () AS DOUBLE) AS ece
+        FROM scored ORDER BY bin
+    """

@@ -1078,3 +1078,26 @@ def test_boilerplate_prefix_strips_exactly_the_banner(spark):
         assert not out[i].stripped_prefix
     for i in range(10, 20):
         assert not out[i].stripped_prefix  # banner mid-text, per-source group
+
+
+def test_ece_flags_miscalibrated_and_passes_honest(spark):
+    # An honest predictor (p equals the true rate per group) must
+    # score near-zero ECE; the same data with overconfident p = 0.9
+    # everywhere must score ~|0.9 - base_rate|. Closed-form on exact
+    # counts.
+    from datapoints_csv_extractor_spark.operators.curation import (
+        expected_calibration_error,
+    )
+
+    rows = []
+    for grp, rate, n in ((0, 0.2, 500), (1, 0.8, 500)):
+        for i in range(n):
+            rows.append((float(rate), i < rate * n))
+    honest = spark.createDataFrame(rows, "p double, y boolean")
+    out = expected_calibration_error(honest, "p", "y").collect()
+    assert out[0].ece == 0.0
+    over = honest.selectExpr("0.9 as p", "y")
+    out = expected_calibration_error(over, "p", "y").collect()
+    # base rate is 0.5 -> gap 0.4 with all mass in one bin
+    assert abs(out[0].ece - 0.4) < 1e-6
+    assert out[0].mean_confidence == 0.9 and out[0].accuracy == 0.5

@@ -240,6 +240,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_conformal_interval",  # 1-row calib-quantile broadcast
         "q_mde_power",  # 1-row grand-total aggregate broadcast
         "q_chi2_independence",  # r x c marginal grid + 1-row totals
+        "q_calibration_error",  # 1-row bin-total aggregate broadcast
     }
 
     offenders = {}
