@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
         "q_zipf_fit": X.q_zipf_fit,
+        # Pairwise source Jensen-Shannon divergence matrix — the
+        # cross-source leg of the drift family (oracle-exact).
+        "q_source_jsd": X.q_source_jsd,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -1945,6 +1948,8 @@ def oracle_sql() -> dict[str, str]:
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).
         "q_zipf_fit": X.zipf_fit_oracle_sql(),
+        # Source JSD matrix (smoothed head vocab, decimal folds).
+        "q_source_jsd": X.source_jsd_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -3414,3 +3414,120 @@ def negative_samples_from_store(
     if vocab is None:
         raise ValueError(f"ns vocab store at {store_dir} has no commits")
     return _ns_draw(docs, vocab, k, cdf_buckets=cdf_buckets)
+
+
+def q_source_jsd(
+    spark: SparkSession, sf_dir: str, top_tokens: int = 300
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the symmetric, bounded [0, 1]-bit divergence the
+    mixture planner reads to know which sources are near-duplicates
+    of each other DISTRIBUTIONALLY (two crawls of the same site
+    deserve one mixture slot, not two). PSI/KS cover per-series
+    drift over time; this is the cross-SOURCE matrix.
+
+    Vocabulary is the corpus-wide top-``top_tokens`` head (literal
+    cap), so after one token aggregate the matrix work is
+    sources^2 x top_tokens — parameter-sized. Laplace-smoothed
+    (add-1 over the shared vocabulary) so absent tokens don't produce
+    log(0). Exactness: probabilities are exact integer ratios, each
+    JSD term rounds to 6 and folds as DECIMAL."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    head = (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(top_tokens)
+        .select("token")
+    )
+    counts = (
+        pairs.join(F.broadcast(head), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(F.broadcast(head))
+        .join(counts, ["source", "token"], "left")
+        .na.fill({"c": 0})
+    )
+    totals = grid.groupBy("source").agg(
+        (F.sum("c") + F.lit(top_tokens)).alias("n_sm")
+    )
+    probs = grid.join(F.broadcast(totals), "source").select(
+        "source",
+        "token",
+        ((F.col("c") + 1).cast("double") / F.col("n_sm").cast("double"))
+        .alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("src_a"),
+        "token",
+        F.col("p").alias("pa"),
+    )
+    b = probs.select(
+        F.col("source").alias("src_b"),
+        "token",
+        F.col("p").alias("pb"),
+    )
+    joined = a.join(b, "token").where(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = F.round(
+        (
+            F.col("pa") * F.log2(F.col("pa") / m)
+            + F.col("pb") * F.log2(F.col("pb") / m)
+        )
+        / F.lit(2.0),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        joined.groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("jsd_bits"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_jsd_oracle_sql(top_tokens: int = 300) -> str:
+    """DuckDB twin of q_source_jsd."""
+    return f"""
+        WITH pairs AS (
+            SELECT source, unnest(list_filter(
+                string_split_regex(trim(text), '\\s+'),
+                t -> t <> '')) AS token
+            FROM documents
+        ), head AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM pairs GROUP BY token
+                ORDER BY cnt DESC, token LIMIT {top_tokens}
+            )
+        ), counts AS (
+            SELECT p.source, p.token, count(*) AS c
+            FROM pairs p JOIN head h USING (token)
+            GROUP BY 1, 2
+        ), grid AS (
+            SELECT s.source, h.token, coalesce(c.c, 0) AS c
+            FROM (SELECT DISTINCT source FROM counts) s
+            CROSS JOIN head h
+            LEFT JOIN counts c
+              ON c.source = s.source AND c.token = h.token
+        ), totals AS (
+            SELECT source, sum(c) + {top_tokens} AS n_sm
+            FROM grid GROUP BY source
+        ), probs AS (
+            SELECT g.source, g.token,
+                   CAST(g.c + 1 AS DOUBLE) / CAST(t.n_sm AS DOUBLE) AS p
+            FROM grid g JOIN totals t USING (source)
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               round(CAST(sum(CAST(round(
+                   (a.p * log2(a.p / ((a.p + b.p) / 2.0))
+                    + b.p * log2(b.p / ((a.p + b.p) / 2.0))) / 2.0, 6)
+                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS jsd_bits
+        FROM probs a
+        JOIN probs b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

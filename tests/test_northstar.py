@@ -2597,3 +2597,36 @@ def test_ns_vocab_store_incremental_equals_full_corpus(spark, tmp_path):
         r.token: r.cnt for r in read_ns_vocab(spark, store).collect()
     }
     assert before == after
+
+
+def test_source_jsd_identical_zero_disjoint_high(spark, tmp_path):
+    # Two sources with identical token distributions must sit at
+    # JSD ~ 0 (exactly 0 up to smoothing); two with disjoint
+    # vocabularies must approach the 1-bit maximum; a half-overlap
+    # source lands between.
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_source_jsd,
+    )
+
+    same = "alpha beta gamma delta " * 20
+    other = "omega psi chi phi " * 20
+    mixed = "alpha beta omega psi " * 20
+    rows = (
+        [(i, "s_twin1", same) for i in range(10)]
+        + [(100 + i, "s_twin2", same) for i in range(10)]
+        + [(200 + i, "s_far", other) for i in range(10)]
+        + [(300 + i, "s_mid", mixed) for i in range(10)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.src_a, r.src_b): r.jsd_bits
+        for r in q_source_jsd(spark, str(tmp_path), top_tokens=12).collect()
+    }
+    twin = out[("s_twin1", "s_twin2")]
+    far = out[("s_far", "s_twin1")]
+    mid = out[("s_mid", "s_twin1")]
+    assert twin < 0.01, twin
+    assert far > 0.8, far
+    assert twin < mid < far

@@ -241,6 +241,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_mde_power",  # 1-row grand-total aggregate broadcast
         "q_chi2_independence",  # r x c marginal grid + 1-row totals
         "q_calibration_error",  # 1-row bin-total aggregate broadcast
+        "q_source_jsd",  # sources x top-300 head-vocab grid broadcast
     }
 
     offenders = {}
