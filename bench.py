@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "q_mde_power",
     "q_source_concentration",
     "q_zipf_fit",
+    "q_chi2_independence",
+    "q_calibration_error",
+    "q_source_jsd",
 ]
 
 
