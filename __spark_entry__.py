@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Expected calibration error — reliability read next to the
         # isotonic map (oracle-exact decimal fold).
         "q_calibration_error": C.q_calibration_error,
+        # Exact-substring dedup REWRITE (Lee et al.) — removal, not
+        # just scoring; the stripped text md5 is oracle-pinned.
+        "q_repeated_span_removal": C.q_repeated_span_removal,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1944,6 +1947,8 @@ def oracle_sql() -> dict[str, str]:
         "q_chi2_independence": A.chi2_independence_oracle_sql(),
         # Expected calibration error (micro-unit bin folds).
         "q_calibration_error": C.calibration_error_oracle_sql(),
+        # Repeated-span removal (md5 of the rewritten text).
+        "q_repeated_span_removal": C.repeated_span_removal_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

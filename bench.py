@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "q_chi2_independence",
     "q_calibration_error",
     "q_source_jsd",
+    "q_repeated_span_removal",
 ]
 
 

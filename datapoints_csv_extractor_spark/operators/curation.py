@@ -3448,3 +3448,150 @@ def calibration_error_oracle_sql(bins: int = 10) -> str:
                CAST(sum(term) OVER () AS DOUBLE) AS ece
         FROM scored ORDER BY bin
     """
+
+
+def repeated_span_removal(
+    docs_toks: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): where
+    ``repeated_spans`` only scores documents, this removes the
+    offending tokens — every token covered by a ``k``-gram that also
+    occurs in >= ``min_docs`` documents is excised and the remainder
+    reassembled in order. Trained models memorize exactly these
+    spans; scoring alone doesn't stop that.
+
+    Shape (all corpus-linear, the decontamination discipline):
+    stride-1 grams -> gram document frequency (one shuffle on the
+    gram) -> shared-gram positions explode to covered token positions
+    (x k fan-out, bounded) -> anti-join against token positions ->
+    per-doc ordered reassembly via sort_array over (pos, token)
+    structs — no window, one groupBy. Emits the md5 of the rewritten
+    text so the oracle pins the exact rewrite."""
+    toks = docs_toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    grams = docs_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, k)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    df_counts = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(df_counts, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("rewritten"),
+    )
+    return (
+        docs_toks.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce("rewritten", F.lit(""))).alias(
+                "rewritten_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing span removal over the documents corpus (same
+    tokenization as repeated_spans; the corpus's real exact-dup texts
+    make the removal non-vacuous at every SF)."""
+    from datapoints_csv_extractor_spark.operators.textops import tokens
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    return repeated_span_removal(d.select("doc_id", "toks"))
+
+
+def repeated_span_removal_oracle_sql(k: int = 5, min_docs: int = 2) -> str:
+    """DuckDB twin of q_repeated_span_removal: identical grams, df
+    floor, coverage expansion, and ordered reassembly."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, len(toks) - 1)) AS pos,
+                   unnest(toks) AS tok
+            FROM base
+        ), gpos AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {k})) AS pos
+            FROM base WHERE len(toks) >= {k}
+        ), grams AS (
+            SELECT doc_id, pos,
+                   array_to_string(toks[pos + 1: pos + {k}], ' ') AS gram
+            FROM gpos
+        ), shared AS (
+            SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS df
+                FROM grams GROUP BY gram
+            ) WHERE df >= {min_docs}
+        ), covered AS (
+            SELECT DISTINCT doc_id,
+                   pos + unnest(generate_series(0, {k - 1})) AS pos
+            FROM grams g
+            WHERE gram IN (SELECT gram FROM shared)
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t
+            LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+        ), rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS rewritten
+            FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               CAST(len(b.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               md5(coalesce(r.rewritten, '')) AS rewritten_md5
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY b.doc_id
+    """

@@ -1101,3 +1101,38 @@ def test_ece_flags_miscalibrated_and_passes_honest(spark):
     # base rate is 0.5 -> gap 0.4 with all mass in one bin
     assert abs(out[0].ece - 0.4) < 1e-6
     assert out[0].mean_confidence == 0.9 and out[0].accuracy == 0.5
+
+
+def test_repeated_span_removal_excises_exactly_the_shared_span(spark):
+    # Two docs share an 8-token boilerplate tail -> all 8 tokens (the
+    # union of the shared 5-grams' coverage) must be removed from
+    # both, leaving exactly the unique heads; a fresh doc is
+    # untouched; a short doc (< k tokens) survives intact.
+    import hashlib
+
+    from datapoints_csv_extractor_spark.operators.curation import (
+        repeated_span_removal,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "all rights reserved do not redistribute this document"
+    rows = [
+        (1, f"unique alpha beta gamma delta epsilon {boiler}"),
+        (2, f"other zeta eta theta iota kappa {boiler}"),
+        (3, "completely fresh text nothing shared here at all today"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
+    )
+    out = {r.doc_id: r for r in repeated_span_removal(df).collect()}
+    assert out[1].n_removed == 8 and out[2].n_removed == 8
+    exp1 = "unique alpha beta gamma delta epsilon"
+    exp2 = "other zeta eta theta iota kappa"
+    assert out[1].rewritten_md5 == hashlib.md5(exp1.encode()).hexdigest()
+    assert out[2].rewritten_md5 == hashlib.md5(exp2.encode()).hexdigest()
+    assert out[3].n_removed == 0
+    assert out[3].rewritten_md5 == hashlib.md5(
+        rows[2][1].encode()
+    ).hexdigest()
+    assert out[4].n_removed == 0 and out[4].n_tokens == 2
