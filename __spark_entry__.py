@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Exact-substring dedup REWRITE (Lee et al.) — removal, not
         # just scoring; the stripped text md5 is oracle-pinned.
         "q_repeated_span_removal": C.q_repeated_span_removal,
+        # Context-length planning: padding vs truncation trade per
+        # candidate window (oracle-exact integer folds).
+        "q_packing_efficiency": X.q_packing_efficiency,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1949,6 +1952,8 @@ def oracle_sql() -> dict[str, str]:
         "q_calibration_error": C.calibration_error_oracle_sql(),
         # Repeated-span removal (md5 of the rewritten text).
         "q_repeated_span_removal": C.repeated_span_removal_oracle_sql(),
+        # Packing-efficiency planning report.
+        "q_packing_efficiency": X.packing_efficiency_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

@@ -3531,3 +3531,93 @@ def source_jsd_oracle_sql(top_tokens: int = 300) -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def q_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-length planning report — for each candidate window
+    size, how much of the token budget padding would waste under
+    naive one-doc-per-sequence batching vs how many documents must
+    TRUNCATE: the two losses a context-length choice trades off, and
+    the numbers that justify sequence packing (q_sequence_packing)
+    when the waste column is large. One token-count scan, then one
+    conditional aggregate per candidate length via a broadcast
+    candidate dimension — the whole report is a single shuffle.
+
+    Exactness: everything is integer arithmetic except the two final
+    rate divisions."""
+    d = load(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    ctxs = spark.createDataFrame(
+        [(c,) for c in (128, 256, 512, 1024)], "ctx int"
+    )
+    joined = d.crossJoin(F.broadcast(ctxs))
+    used = F.least(F.col("n_tok"), F.col("ctx"))
+    pad = F.col("ctx") - used
+    return (
+        joined.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("corpus_tokens"),
+            F.sum((F.col("n_tok") > F.col("ctx")).cast("long")).alias(
+                "n_truncated"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > F.col("ctx"),
+                    F.col("n_tok") - F.col("ctx"),
+                ).otherwise(0).cast("long")
+            ).alias("tokens_truncated"),
+            F.sum(pad.cast("long")).alias("tokens_padded"),
+            F.round(
+                F.sum(pad.cast("double"))
+                / F.sum(F.col("ctx").cast("double")),
+                6,
+            ).alias("pad_fraction"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_tok") > F.col("ctx"),
+                        F.col("n_tok") - F.col("ctx"),
+                    ).otherwise(0).cast("double")
+                )
+                / F.sum(F.col("n_tok").cast("double")),
+                6,
+            ).alias("truncation_fraction"),
+        )
+        .orderBy("ctx")
+    )
+
+
+def packing_efficiency_oracle_sql() -> str:
+    """DuckDB twin of q_packing_efficiency."""
+    return """
+        WITH d AS (
+            SELECT len(list_filter(
+                string_split_regex(trim(text), '\\s+'),
+                t -> t <> '')) AS n_tok
+            FROM documents
+        ), ctxs AS (
+            SELECT unnest([128, 256, 512, 1024]) AS ctx
+        )
+        SELECT ctx,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS corpus_tokens,
+               CAST(sum(CASE WHEN n_tok > ctx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_truncated,
+               CAST(sum(CASE WHEN n_tok > ctx THEN n_tok - ctx
+                             ELSE 0 END) AS BIGINT) AS tokens_truncated,
+               CAST(sum(ctx - least(n_tok, ctx)) AS BIGINT)
+                   AS tokens_padded,
+               round(CAST(sum(ctx - least(n_tok, ctx)) AS DOUBLE)
+                     / CAST(sum(ctx) AS DOUBLE), 6) AS pad_fraction,
+               round(CAST(sum(CASE WHEN n_tok > ctx THEN n_tok - ctx
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(n_tok) AS DOUBLE), 6)
+                   AS truncation_fraction
+        FROM d CROSS JOIN ctxs
+        GROUP BY ctx
+        ORDER BY ctx
+    """

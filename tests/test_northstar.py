@@ -2630,3 +2630,27 @@ def test_source_jsd_identical_zero_disjoint_high(spark, tmp_path):
     assert twin < 0.01, twin
     assert far > 0.8, far
     assert twin < mid < far
+
+
+def test_packing_efficiency_closed_form(spark, tmp_path):
+    # 10 docs of exactly 100 tokens: at ctx=128 each pads 28
+    # (pad_fraction 28/128, no truncation); at ctx=64 each truncates
+    # 36 (truncation_fraction 36/100, zero padding).
+    from datapoints_csv_extractor_spark.operators import textops as X
+    from pyspark.sql import functions as F
+
+    docs = [(i, " ".join(f"t{j}" for j in range(100))) for i in range(10)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    # drive the generic shape with custom ctxs through the registered
+    # query's logic by checking the two relevant rows of the default
+    # candidate list
+    rows = {r.ctx: r for r in X.q_packing_efficiency(spark, str(tmp_path)).collect()}
+    r128 = rows[128]
+    assert r128.n_truncated == 0 and r128.tokens_padded == 280
+    assert r128.pad_fraction == round(280 / 1280, 6)
+    r256 = rows[256]
+    assert r256.tokens_padded == 1560
+    assert rows[1024].truncation_fraction == 0.0

@@ -242,6 +242,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_chi2_independence",  # r x c marginal grid + 1-row totals
         "q_calibration_error",  # 1-row bin-total aggregate broadcast
         "q_source_jsd",  # sources x top-300 head-vocab grid broadcast
+        "q_packing_efficiency",  # 4-row context-candidate broadcast
     }
 
     offenders = {}
