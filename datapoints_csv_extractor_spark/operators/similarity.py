@@ -3387,6 +3387,33 @@ def pca_project(
     return out.drop("__c")
 
 
+def pca_whiten_project(
+    df: DataFrame,
+    model: dict,
+    col: str = "embedding",
+    prefix: str = "wc",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA WHITENING projection — pc_j / sqrt(eigenvalue_j), so every
+    output coordinate has unit variance over the training
+    distribution. Retrieval stacks whiten before cosine/inner-product
+    search because a few high-variance directions otherwise dominate
+    every similarity (the standard fix for anisotropic embedding
+    spaces); it is also the ZCA precursor. Same plan shape as
+    pca_project: the scale factors fold into the component LITERALS
+    driver-side, so the scan stays map-only, no join, codegen'd.
+    ``eps`` guards zero-variance directions (degenerate training
+    data) rather than emitting inf."""
+    import math
+
+    scaled = dict(model)
+    scaled["components"] = [
+        [c / math.sqrt(max(ev, eps)) for c in comp]
+        for comp, ev in zip(model["components"], model["eigenvalues"])
+    ]
+    return pca_project(df, scaled, col=col, prefix=prefix)
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
     """Train-once PCA on the embeddings table, then project every
     vector onto the top-k components (vec_id, label, pc1..pck).

@@ -144,3 +144,37 @@ def test_pca_save_load_round_trips_sufficient_stats(spark, fitted, tmp_path):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     upd = V.pca_update(back, e.where("vec_id < 50"))
     assert upd["n"] == model["n"] + 50
+
+
+def test_whitened_projection_has_unit_variance(spark):
+    # Whitened coordinates must have variance ~1 along every kept
+    # component over the training rows, and equal pc_j / sqrt(ev_j).
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+        pca_whiten_project,
+    )
+
+    rng_rows = []
+    for i in range(300):
+        # anisotropic: dim0 stretched 10x
+        base = [
+            ((i * 37 + d * 11) % 101 - 50) / 50.0 for d in range(6)
+        ]
+        base[0] *= 10
+        rng_rows.append((i, base))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    model = pca_train(df, "embedding", 3)
+    w = pca_whiten_project(df, model).select("vec_id", "wc1", "wc2", "wc3")
+    arr = np.array(
+        [[r.wc1, r.wc2, r.wc3] for r in w.orderBy("vec_id").collect()]
+    )
+    var = arr.var(axis=0)
+    assert np.all(np.abs(var - 1.0) < 0.05), var
+    p = pca_project(df, model).select("vec_id", "pc1").orderBy("vec_id")
+    pc1 = np.array([r.pc1 for r in p.collect()])
+    ratio = pc1 / arr[:, 0]
+    ev0 = model["eigenvalues"][0]
+    assert np.allclose(ratio, np.sqrt(ev0), rtol=1e-3)
