@@ -362,6 +362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Context-length planning: padding vs truncation trade per
         # candidate window (oracle-exact integer folds).
         "q_packing_efficiency": X.q_packing_efficiency,
+        # ColBERT-style late-interaction MaxSim retrieval — per-token
+        # max then sum, integer-exact (oracle-exact).
+        "q_colbert_maxsim": V.q_colbert_maxsim,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1954,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
         "q_repeated_span_removal": C.repeated_span_removal_oracle_sql(),
         # Packing-efficiency planning report.
         "q_packing_efficiency": X.packing_efficiency_oracle_sql(),
+        # ColBERT MaxSim (integer max-then-sum over rounded cosines).
+        "q_colbert_maxsim": V.colbert_maxsim_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

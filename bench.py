@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "q_calibration_error",
     "q_source_jsd",
     "q_repeated_span_removal",
+    "q_packing_efficiency",
+    "q_colbert_maxsim",
 ]
 
 

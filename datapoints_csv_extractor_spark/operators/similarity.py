@@ -23,7 +23,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -3778,3 +3778,123 @@ def q_embedding_drift_mmd(
     x = e.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
     y = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
     return mmd_drift_report(mmd_quadruple_stats(x, y))
+
+
+# --------------------------------------------------------------------------
+# Late-interaction (ColBERT-style MaxSim) retrieval
+# --------------------------------------------------------------------------
+
+def q_colbert_maxsim(
+    spark: SparkSession,
+    sf_dir: str,
+    tokens_per_doc: int = 16,
+    n_queries: int = 5,
+    top_k: int = 5,
+) -> DataFrame:
+    """Late-interaction retrieval (Khattab & Zaharia 2020, ColBERT):
+    documents and queries are SETS of token vectors, and the score is
+    MaxSim — for each query token take its best match among the
+    document's tokens, then sum over query tokens. The per-token max
+    is what single-vector cosine cannot express (one off-topic
+    passage token doesn't drag the score down), and it is exactly a
+    groupBy-max + groupBy-sum over an equijoin-shaped scan.
+
+    Data shape: consecutive ``tokens_per_doc`` embeddings form one
+    passage (vec_id div tokens_per_doc); the first ``n_queries``
+    passages are the query set — the bounded broadcast probe contract
+    (knn_multi / decontamination shape), so the scan is ONE pass over
+    corpus token vectors with no corpus-side shuffle before the
+    per-(query, qtoken, doc) max. Engine-exact by the integer-scale
+    trick: cosines round to x10000 BIGINT, MaxSim is an integer
+    max-then-sum, and the one double division per output row is the
+    display rescale."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("vec_id") / tokens_per_doc).cast("long").alias("doc"),
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    queries = e.where(F.col("doc") < n_queries).select(
+        F.col("doc").alias("qid"),
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = e.where(F.col("doc") >= n_queries)
+    cos_i = F.round(
+        F.round(
+            _dot(F.col("embedding"), F.col("qe"))
+            / (F.col("nrm") * F.col("qn")),
+            4,
+        )
+        * 10000
+    ).cast("long")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid", "qtok", "doc", cos_i.alias("c")
+    )
+    maxsim = (
+        scored.groupBy("qid", "qtok", "doc")
+        .agg(F.max("c").alias("m"))
+        .groupBy("qid", "doc")
+        .agg(F.sum("m").alias("score_i"), F.count(F.lit(1)).alias("nq"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_i"), F.col("doc")
+    )
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "qid",
+            "rank",
+            "doc",
+            F.round(
+                F.col("score_i").cast("double") / 10000.0 / F.col("nq"), 4
+            ).alias("maxsim"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def colbert_maxsim_oracle_sql(
+    tokens_per_doc: int = 16, n_queries: int = 5, top_k: int = 5
+) -> str:
+    """DuckDB twin of q_colbert_maxsim: identical passage grouping,
+    rounded-integer cosines, max-then-sum, and rank tie-break."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   CAST(floor(vec_id / {tokens_per_doc}) AS BIGINT) AS doc,
+                   embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), queries AS (
+            SELECT doc AS qid, vec_id AS qtok, embedding AS qe,
+                   nrm AS qn
+            FROM e WHERE doc < {n_queries}
+        ), scored AS (
+            SELECT q.qid, q.qtok, c.doc,
+                   CAST(round(round(
+                       list_sum(list_transform(list_zip(c.embedding, q.qe),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / (c.nrm * q.qn), 4) * 10000, 0) AS BIGINT) AS c
+            FROM e c CROSS JOIN queries q
+            WHERE c.doc >= {n_queries}
+        ), maxsim AS (
+            SELECT qid, doc, sum(m) AS score_i, count(*) AS nq
+            FROM (
+                SELECT qid, qtok, doc, max(c) AS m
+                FROM scored GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        ), ranked AS (
+            SELECT qid, doc, score_i, nq,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY score_i DESC, doc) AS rank
+            FROM maxsim
+        )
+        SELECT qid, rank, doc,
+               round(CAST(score_i AS DOUBLE) / 10000.0 / nq, 4) AS maxsim
+        FROM ranked WHERE rank <= {top_k}
+        ORDER BY qid, rank
+    """

@@ -2654,3 +2654,43 @@ def test_packing_efficiency_closed_form(spark, tmp_path):
     r256 = rows[256]
     assert r256.tokens_padded == 1560
     assert rows[1024].truncation_fraction == 0.0
+
+
+def test_colbert_maxsim_rewards_per_token_matches(spark, tmp_path):
+    # Construct 4-dim token vectors where doc A matches BOTH query
+    # tokens perfectly on different doc tokens, while doc B matches
+    # only one and wastes the other — MaxSim must rank A over B even
+    # though B's best single token is as good as any of A's. The
+    # numpy replica pins the exact scores.
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        q_colbert_maxsim,
+    )
+
+    def unit(v):
+        a = np.array(v, dtype=float)
+        return (a / np.linalg.norm(a)).tolist()
+
+    e1, e2, e3 = unit([1, 0, 0, 0]), unit([0, 1, 0, 0]), unit([0, 0, 1, 0])
+    rows = []
+    # query passage 0: tokens e1, e2
+    rows.append((0, 0, e1))
+    rows.append((1, 0, e2))
+    # doc 1 (vec_ids 2,3): matches both query tokens
+    rows.append((2, 1, e1))
+    rows.append((3, 1, e2))
+    # doc 2 (vec_ids 4,5): matches only e1
+    rows.append((4, 2, e1))
+    rows.append((5, 2, e3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_colbert_maxsim(
+        spark, str(tmp_path), tokens_per_doc=2, n_queries=1, top_k=2
+    ).collect()
+    assert [r.doc for r in out] == [1, 2]
+    assert out[0].maxsim == 1.0  # both tokens matched perfectly
+    # doc 2: e1 matched (1.0), e2's best is 0.0 -> mean 0.5
+    assert out[1].maxsim == 0.5

@@ -243,6 +243,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_calibration_error",  # 1-row bin-total aggregate broadcast
         "q_source_jsd",  # sources x top-300 head-vocab grid broadcast
         "q_packing_efficiency",  # 4-row context-candidate broadcast
+        "q_colbert_maxsim",  # bounded query-token probe-set broadcast
     }
 
     offenders = {}
