@@ -365,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ColBERT-style late-interaction MaxSim retrieval — per-token
         # max then sum, integer-exact (oracle-exact).
         "q_colbert_maxsim": V.q_colbert_maxsim,
+        # DSIR importance-weight effective sample size — the
+        # resampling health diagnostic (shared lw CTE oracle).
+        "q_dsir_ess": C.q_dsir_ess,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1959,6 +1962,8 @@ def oracle_sql() -> dict[str, str]:
         "q_packing_efficiency": X.packing_efficiency_oracle_sql(),
         # ColBERT MaxSim (integer max-then-sum over rounded cosines).
         "q_colbert_maxsim": V.colbert_maxsim_oracle_sql(),
+        # DSIR ESS (shared lw CTE, shifted-exp decimal folds).
+        "q_dsir_ess": C.dsir_ess_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).
@@ -3755,39 +3760,10 @@ def oracle_sql() -> dict[str, str]:
     # Gumbel-top-k resampling. Per-bucket log-ratios round to 6 dp and
     # fold as DECIMAL(18,6) (order-independent sums); the Gumbel coin
     # is the exact md5 dyadic rational so the RANKING is engine-exact.
-    sql["q_dsir_importance_sample"] = r"""
-        WITH t AS (
-          SELECT doc_id, source,
-                 list_filter(string_split_regex(trim(text), '\s+'),
-                             x -> x <> '') AS toks
-          FROM documents
-        ), pairs AS (
-          SELECT doc_id,
-                 source IN ('src0','src1','src2','src3') AS tgt,
-                 (('0x' || substr(md5(bg),1,4))::INTEGER) % 4096 AS bucket
-          FROM (
-            SELECT doc_id, source,
-                   unnest(list_transform(generate_series(1, len(toks)-1),
-                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
-            FROM t WHERE len(toks) >= 2
-          )
-        ), counts AS (
-          SELECT bucket, count(*) AS cr,
-                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
-          FROM pairs GROUP BY bucket
-        ), totals AS (
-          SELECT count(*) AS rt,
-                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt FROM pairs
-        ), ratio AS (
-          SELECT bucket,
-                 CAST(round(ln((ct + 1.0) / (tt + 4096.0))
-                          - ln((cr + 1.0) / (rt + 4096.0)), 6)
-                      AS DECIMAL(18,6)) AS log_ratio
-          FROM counts, totals
-        ), lw AS (
-          SELECT doc_id, count(*) AS n_bigrams, sum(log_ratio) AS log_weight
-          FROM pairs JOIN ratio USING (bucket) GROUP BY doc_id
-        ), scored AS (
+    # The lw derivation is the shared CTE chain
+    # (curation.dsir_lw_sql_ctes) also composed by the ESS oracle.
+    sql["q_dsir_importance_sample"] = f"""
+        WITH {C.dsir_lw_sql_ctes()}, scored AS (
           SELECT d.doc_id, d.source,
                  CAST(coalesce(lw.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                  coalesce(lw.log_weight, CAST(0 AS DECIMAL(18,6))) AS lwv,

@@ -3595,3 +3595,131 @@ def repeated_span_removal_oracle_sql(k: int = 5, min_docs: int = 2) -> str:
         FROM base b LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY b.doc_id
     """
+
+
+def dsir_lw_sql_ctes() -> str:
+    """The shared DuckDB CTE chain deriving per-document DSIR
+    log-weights (t -> pairs -> counts -> totals -> ratio -> lw) —
+    composed by the q_dsir_importance_sample oracle and the ESS
+    diagnostic oracle so the weight derivation cannot drift between
+    them."""
+    return r"""t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), pairs AS (
+          SELECT doc_id,
+                 source IN ('src0','src1','src2','src3') AS tgt,
+                 (('0x' || substr(md5(bg),1,4))::INTEGER) % 4096 AS bucket
+          FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(toks)-1),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2
+          )
+        ), counts AS (
+          SELECT bucket, count(*) AS cr,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+          FROM pairs GROUP BY bucket
+        ), totals AS (
+          SELECT count(*) AS rt,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt FROM pairs
+        ), ratio AS (
+          SELECT bucket,
+                 CAST(round(ln((ct + 1.0) / (tt + 4096.0))
+                          - ln((cr + 1.0) / (rt + 4096.0)), 6)
+                      AS DECIMAL(18,6)) AS log_ratio
+          FROM counts, totals
+        ), lw AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(log_ratio) AS log_weight
+          FROM pairs JOIN ratio USING (bucket) GROUP BY doc_id
+        )"""
+
+
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per
+    source and overall — THE health check for importance resampling
+    (Kong 1992): ESS = (sum w)^2 / sum w^2 says how many
+    equally-weighted documents the weighted selection is really
+    worth; ESS/n near 1 means the reweighting is gentle, near 0 means
+    a few documents dominate and the resample will be noisy. Run it
+    before trusting any DSIR-selected corpus.
+
+    Weights exponentiate SHIFTED log-weights (exp(lw - max lw),
+    broadcast 1-row max — overflow-safe and scale-invariant since ESS
+    ignores constant factors), rounded to 6 and folded as DECIMAL
+    (the classifier's exp-parity precedent); the two final divisions
+    are shared double expressions."""
+    d = load(spark, sf_dir, "documents")
+    lw = dsir_log_weights(
+        d, F.col("source").isin("src0", "src1", "src2", "src3")
+    ).select("doc_id", "log_weight")
+    base = (
+        d.select("doc_id", "source")
+        .join(lw, "doc_id", "left")
+        .na.fill({"log_weight": 0.0})
+    )
+    mx = base.agg(F.max("log_weight").alias("lw_max"))
+    w = F.round(
+        F.exp(F.col("log_weight").cast("double") - F.col("lw_max")), 6
+    ).cast("decimal(18,6)")
+    weighted = base.crossJoin(F.broadcast(mx)).select(
+        "source", w.alias("w")
+    )
+    per_src = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s1"),
+        F.sum(F.col("w") * F.col("w")).alias("s2"),
+    )
+    total = weighted.groupBy(F.lit("__all__").alias("source")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s1"),
+        F.sum(F.col("w") * F.col("w")).alias("s2"),
+    )
+    ess = (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / F.col("s2").cast("double")
+    return (
+        per_src.unionAll(total)
+        .select(
+            "source",
+            "n",
+            F.round(ess, 4).alias("ess"),
+            F.round(ess / F.col("n").cast("double"), 6).alias(
+                "ess_fraction"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def dsir_ess_oracle_sql() -> str:
+    """DuckDB twin of q_dsir_ess, composing the shared lw CTE."""
+    return f"""
+        WITH {dsir_lw_sql_ctes()}, base AS (
+            SELECT d.source,
+                   CAST(round(exp(
+                       CAST(coalesce(lw.log_weight,
+                                     CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+                       - (SELECT max(CAST(coalesce(l2.log_weight,
+                              CAST(0 AS DECIMAL(18,6))) AS DOUBLE))
+                          FROM documents d2
+                          LEFT JOIN lw l2 USING (doc_id))
+                   ), 6) AS DECIMAL(18,6)) AS w
+            FROM documents d LEFT JOIN lw USING (doc_id)
+        ), per AS (
+            SELECT source, count(*) AS n, sum(w) AS s1,
+                   sum(w * w) AS s2
+            FROM base GROUP BY source
+            UNION ALL
+            SELECT '__all__', count(*), sum(w), sum(w * w) FROM base
+        )
+        SELECT source, CAST(n AS BIGINT) AS n,
+               round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(s2 AS DOUBLE), 4) AS ess,
+               round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS ess_fraction
+        FROM per ORDER BY source
+    """

