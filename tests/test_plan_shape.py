@@ -245,6 +245,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_packing_efficiency",  # 4-row context-candidate broadcast
         "q_colbert_maxsim",  # bounded query-token probe-set broadcast
         "q_dsir_ess",  # 1-row max-log-weight + gram-total broadcasts
+        "q_source_concentration",  # 1-row Gini-total aggregate broadcast
     }
 
     offenders = {}
