@@ -1117,10 +1117,23 @@ def main() -> None:
         "queries": {},
     }
     if sf1_section:
-        out["sf1_ratio"] = sf1_section["ratio"]
-        # The utilization-corrected linearity dial (see
-        # _sf1_probe_main): ~10x task-time at 10x data IS linear.
-        out["sf1_work_ratio"] = sf1_section.get("work_ratio", {})
+        # The probe list grew past 40 families; the FULL ratio dicts
+        # no longer fit the stdout budget next to the per-query tail
+        # (a full dump left n_queries_shown at 0). Stdout carries the
+        # judge-relevant slice — the worst wall ratios (everything
+        # near/over the 2x line) and the worst task-time ratios (the
+        # linearity dial; ~10x at 10x data IS linear) — while the
+        # complete probe lives in the bench_detail sidecar.
+        r = sf1_section["ratio"]
+        w = sf1_section.get("work_ratio", {})
+        out["sf1_ratio"] = dict(
+            sorted(r.items(), key=lambda kv: -kv[1])[:12]
+        )
+        out["sf1_ratio_families"] = len(r)
+        out["sf1_work_ratio"] = dict(
+            sorted(w.items(), key=lambda kv: -kv[1])[:6]
+        )
+        out["sf1_work_ratio_max"] = max(w.values()) if w else None
     for name in sorted(timings, key=timings.get, reverse=True):
         out["queries"][name] = round(timings[name], 2)
         if len(json.dumps(out, separators=(",", ":"))) > budget:
