@@ -368,6 +368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance-weight effective sample size — the
         # resampling health diagnostic (shared lw CTE oracle).
         "q_dsir_ess": C.q_dsir_ess,
+        # Windowed spike detection — integer margin test, no division
+        # (oracle-exact).
+        "q_peak_detection": A.q_peak_detection,
+        # Theil-Sen robust trend — median pairwise slope, outlier-
+        # tolerant partner of the OLS trend (oracle-exact).
+        "q_theil_sen_trend": A.q_theil_sen_trend,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1964,6 +1970,10 @@ def oracle_sql() -> dict[str, str]:
         "q_colbert_maxsim": V.colbert_maxsim_oracle_sql(),
         # DSIR ESS (shared lw CTE, shifted-exp decimal folds).
         "q_dsir_ess": C.dsir_ess_oracle_sql(),
+        # Peak detection (integer window margin test).
+        "q_peak_detection": A.peak_detection_oracle_sql(),
+        # Theil-Sen median slope (exact percentile over slopes).
+        "q_theil_sen_trend": A.theil_sen_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "q_repeated_span_removal",
     "q_packing_efficiency",
     "q_colbert_maxsim",
+    "q_dsir_ess",
+    "q_peak_detection",
+    "q_theil_sen_trend",
 ]
 
 

@@ -4120,3 +4120,163 @@ def chi2_independence_oracle_sql() -> str:
         FROM scored
         ORDER BY event_type, band
     """
+
+
+# --------------------------------------------------------------------------
+# Peak detection and Theil-Sen robust trend
+# --------------------------------------------------------------------------
+
+def q_peak_detection(
+    spark: SparkSession, sf_dir: str, w: int = 3
+) -> DataFrame:
+    """Windowed peak detection over per-type daily totals: a day is a
+    PEAK when it is the maximum of its +/-``w``-day window AND at
+    least twice the window's average — the margin floor that
+    separates campaign spikes from ordinary wiggle (a bare local-max
+    test flags half the series). The alerting read next to the
+    z-score/CUSUM family: those find level SHIFTS, this finds
+    isolated spikes.
+
+    Exactness: daily totals are exact centi-unit integers, the window
+    max is integer, and the margin test v >= 2*avg is evaluated as
+    the INTEGER cross-product v*n >= 2*sum — no division anywhere.
+    One fact aggregate, then one RANGE-framed window per type over
+    the dimension-sized daily table."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("v")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-w * 86400, w * 86400)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.max("v").over(win).alias("w_max"),
+        F.sum("v").over(win).alias("w_sum"),
+        F.count(F.lit(1)).over(win).alias("w_n"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        F.round(F.col("v").cast("double") / 100.0, 2).alias("daily_total"),
+        (
+            (F.col("v") == F.col("w_max"))
+            & (F.col("v") * F.col("w_n") >= 2 * F.col("w_sum"))
+        ).alias("is_peak"),
+    ).orderBy("event_type", "day")
+
+
+def peak_detection_oracle_sql(w: int = 3) -> str:
+    """DuckDB twin of q_peak_detection: identical integer window
+    tests."""
+    secs = w * 86400
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS v
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT event_type, day, v,
+                   max(v) OVER win AS w_max,
+                   sum(v) OVER win AS w_sum,
+                   count(*) OVER win AS w_n
+            FROM daily
+            WINDOW win AS (
+                PARTITION BY event_type
+                ORDER BY epoch(CAST(day AS TIMESTAMP))
+                RANGE BETWEEN {secs} PRECEDING AND {secs} FOLLOWING)
+        )
+        SELECT event_type, day,
+               round(CAST(v AS DOUBLE) / 100.0, 2) AS daily_total,
+               (v = w_max AND v * w_n >= 2 * w_sum) AS is_peak
+        FROM scored
+        ORDER BY event_type, day
+    """
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise day-to-day slopes — the robust partner of
+    q_series_ols_trend (one campaign-spike day drags an OLS slope;
+    the median slope shrugs it off, tolerating ~29% outliers). Pair
+    work is WITHIN each type's dimension-sized daily series (~days^2
+    per type, the documented bounded-cell contract — the fact table
+    is aggregated to days before any pairing), so the self-join never
+    touches event rows.
+
+    Exactness: each slope is one double division of exact integer
+    (cents, days) differences; the median is the exact-percentile
+    idiom over identical doubles."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("v")
+    )
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("d1"),
+        F.col("v").alias("v1"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            (
+                (F.col("v2") - F.col("v1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+                / F.lit(100.0)
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 4).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_oracle_sql() -> str:
+    """DuckDB twin of q_theil_sen_trend."""
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS v
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   CAST(b.v - a.v AS DOUBLE)
+                   / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+                   / 100.0 AS slope
+            FROM daily a
+            JOIN daily b
+              ON a.event_type = b.event_type AND b.day > a.day
+        )
+        SELECT event_type,
+               count(*) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 4) AS theil_sen_slope
+        FROM slopes
+        GROUP BY event_type
+        ORDER BY event_type
+    """

@@ -1689,3 +1689,45 @@ def test_chi2_independence_planted_association(spark, tmp_path):
     write(bal)
     out = q_chi2_independence(spark, str(tmp_path)).collect()
     assert out[0].chi2 == 0.0 and not out[0].associated
+
+
+def test_peak_and_theil_sen_planted_signals(spark, tmp_path):
+    # A flat series with one 5x spike day: the spike (and only the
+    # spike) must flag as a peak, and the Theil-Sen slope must stay ~0
+    # while an OLS-style mean of slopes would be dragged. A genuinely
+    # trending series must yield the planted slope exactly (all
+    # pairwise slopes equal -> median equals it).
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_peak_detection,
+        q_theil_sen_trend,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        v = 500.0 if d == 10 else 100.0
+        rows.append((eid, f"2024-01-{d:02d} 12:00:00", 1, "spiky", v, "{}"))
+        eid += 1
+    for d in range(1, 21):
+        rows.append(
+            (eid, f"2024-01-{d:02d} 12:00:00", 1, "trend", 10.0 * d, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    peaks = [
+        r
+        for r in q_peak_detection(spark, str(tmp_path)).collect()
+        if r.event_type == "spiky" and r.is_peak
+    ]
+    assert [str(r.day) for r in peaks] == ["2024-01-10"]
+    ts = {
+        r.event_type: r for r in q_theil_sen_trend(spark, str(tmp_path)).collect()
+    }
+    assert ts["spiky"].theil_sen_slope == 0.0
+    assert ts["trend"].theil_sen_slope == 10.0
+    assert ts["trend"].n_pairs == 190
