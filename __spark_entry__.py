@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Theil-Sen robust trend — median pairwise slope, outlier-
         # tolerant partner of the OLS trend (oracle-exact).
         "q_theil_sen_trend": A.q_theil_sen_trend,
+        # Log-rank test — censoring-aware two-curve comparison, the
+        # hypothesis-test companion of q_kaplan_meier (oracle-exact).
+        "q_logrank_test": A.q_logrank_test,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1974,6 +1977,8 @@ def oracle_sql() -> dict[str, str]:
         "q_peak_detection": A.peak_detection_oracle_sql(),
         # Theil-Sen median slope (exact percentile over slopes).
         "q_theil_sen_trend": A.theil_sen_oracle_sql(),
+        # Log-rank two-curve test (integer-rational terms).
+        "q_logrank_test": A.logrank_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

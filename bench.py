@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "q_dsir_ess",
     "q_peak_detection",
     "q_theil_sen_trend",
+    "q_logrank_test",
 ]
 
 

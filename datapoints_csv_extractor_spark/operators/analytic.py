@@ -4280,3 +4280,186 @@ def theil_sen_oracle_sql() -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) between two repeat-purchase
+    survival curves — the hypothesis-test companion of
+    q_kaplan_meier: do machinery-segment customers reorder on a
+    different clock than everyone else, accounting for censoring?
+    At each event time the observed arm-1 events compare against the
+    hypergeometric expectation from the shared risk set; the summed
+    (O - E) over the summed variance is chi-square(1).
+
+    Same subject construction as q_kaplan_meier (second distinct
+    order date = event, censored at the horizon) with arm =
+    (mktsegment = MACHINERY). One subject shuffle folds to the
+    dimension-sized per-duration table; per-time expectation and
+    variance terms are exact integer rationals evaluated identically
+    and folded through rounded DECIMALs; the final statistic is one
+    shared expression."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("dt")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        (F.col("c_mktsegment") == "MACHINERY").cast("long").alias("arm"),
+    )
+    dd = o.distinct()
+    w = Window.partitionBy("cust").orderBy("dt")
+    ranked = dd.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    per_cust = ranked.groupBy("cust").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("dt"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("dt"))).alias("d2"),
+    )
+    maxd = o.agg(F.max("dt").alias("dmax"))
+    subjects = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .join(cust, "cust")
+        .select(
+            "arm",
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+            .cast("long")
+            .alias("t"),
+            F.col("d2").isNotNull().cast("long").alias("event"),
+        )
+    )
+    per_t = subjects.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.col("event") * F.col("arm")).alias("d1a"),
+        F.count(F.lit(1)).alias("arrivals"),
+        F.sum("arm").alias("arrivals1"),
+    )
+    tot = subjects.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("arm").alias("n_arm1"),
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1a",
+        (
+            F.col("n_all") - (F.sum("arrivals").over(wt) - F.col("arrivals"))
+        ).alias("n"),
+        (
+            F.col("n_arm1")
+            - (F.sum("arrivals1").over(wt) - F.col("arrivals1"))
+        ).alias("n1"),
+    ).where(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    dd_ = F.col("d").cast("double")
+    e_term = F.round(dd_ * n1d / nd, 6).cast("decimal(18,6)")
+    v_term = F.round(
+        F.when(
+            F.col("n") > 1,
+            dd_
+            * (n1d / nd)
+            * (1 - n1d / nd)
+            * (nd - dd_)
+            / (nd - 1),
+        ).otherwise(F.lit(0.0)),
+        6,
+    ).cast("decimal(18,6)")
+    agg = risk.agg(
+        F.sum("d1a").alias("o1"),
+        F.sum(e_term).cast("double").alias("e1"),
+        F.sum(v_term).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("n_event_times"),
+    )
+    chi2 = (
+        (F.col("o1").cast("double") - F.col("e1"))
+        * (F.col("o1").cast("double") - F.col("e1"))
+        / F.col("v")
+    )
+    return agg.select(
+        "n_event_times",
+        "o1",
+        F.round("e1", 4).alias("e1"),
+        F.round("v", 4).alias("variance"),
+        F.round(chi2, 4).alias("chi2"),
+        (F.round(chi2, 4) > 3.841).alias("curves_differ"),
+    )
+
+
+def logrank_oracle_sql() -> str:
+    """DuckDB twin of q_logrank_test."""
+    return """
+        WITH dd AS (
+            SELECT DISTINCT o_custkey AS cust, o_orderdate AS dt
+            FROM orders
+        ), ranked AS (
+            SELECT cust, dt,
+                   row_number() OVER (PARTITION BY cust ORDER BY dt) AS rn
+            FROM dd
+        ), per_cust AS (
+            SELECT cust,
+                   min(CASE WHEN rn = 1 THEN dt END) AS d1,
+                   min(CASE WHEN rn = 2 THEN dt END) AS d2
+            FROM ranked WHERE rn <= 2 GROUP BY cust
+        ), maxd AS (
+            SELECT max(o_orderdate) AS dmax FROM orders
+        ), subjects AS (
+            SELECT CASE WHEN c.c_mktsegment = 'MACHINERY'
+                        THEN 1 ELSE 0 END AS arm,
+                   CASE WHEN p.d2 IS NOT NULL
+                        THEN date_diff('day', p.d1, p.d2)
+                        ELSE date_diff('day', p.d1, m.dmax) END AS t,
+                   CASE WHEN p.d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM per_cust p
+            CROSS JOIN maxd m
+            JOIN customer c ON c.c_custkey = p.cust
+        ), per_t AS (
+            SELECT t, sum(event) AS d,
+                   sum(event * arm) AS d1a,
+                   count(*) AS arrivals,
+                   sum(arm) AS arrivals1
+            FROM subjects GROUP BY t
+        ), tot AS (
+            SELECT count(*) AS n_all, sum(arm) AS n_arm1 FROM subjects
+        ), risk AS (
+            SELECT t, d, d1a,
+                   n_all - (sum(arrivals) OVER wt - arrivals) AS n,
+                   n_arm1 - (sum(arrivals1) OVER wt - arrivals1) AS n1
+            FROM per_t CROSS JOIN tot
+            WINDOW wt AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        ), terms AS (
+            SELECT d1a, 
+                   CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                              / CAST(n AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS e_term,
+                   CAST(round(CASE WHEN n > 1 THEN
+                       CAST(d AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1)
+                       ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS v_term
+            FROM risk WHERE d > 0
+        )
+        SELECT count(*) AS n_event_times,
+               CAST(sum(d1a) AS BIGINT) AS o1,
+               round(CAST(sum(e_term) AS DOUBLE), 4) AS e1,
+               round(CAST(sum(v_term) AS DOUBLE), 4) AS variance,
+               round((CAST(sum(d1a) AS DOUBLE)
+                      - CAST(sum(e_term) AS DOUBLE))
+                     * (CAST(sum(d1a) AS DOUBLE)
+                        - CAST(sum(e_term) AS DOUBLE))
+                     / CAST(sum(v_term) AS DOUBLE), 4) AS chi2,
+               round((CAST(sum(d1a) AS DOUBLE)
+                      - CAST(sum(e_term) AS DOUBLE))
+                     * (CAST(sum(d1a) AS DOUBLE)
+                        - CAST(sum(e_term) AS DOUBLE))
+                     / CAST(sum(v_term) AS DOUBLE), 4) > 3.841
+                   AS curves_differ
+        FROM terms
+    """

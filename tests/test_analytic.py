@@ -1731,3 +1731,43 @@ def test_peak_and_theil_sen_planted_signals(spark, tmp_path):
     assert ts["spiky"].theil_sen_slope == 0.0
     assert ts["trend"].theil_sen_slope == 10.0
     assert ts["trend"].n_pairs == 190
+
+
+def test_logrank_separates_planted_fast_and_slow_arms(spark, tmp_path):
+    # Arm 1 customers reorder after ~5 days, arm 0 after ~50; the
+    # test must flag the curves as different. Identical arms must NOT
+    # flag (chi2 ~ 0 by symmetry of the construction).
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_logrank_test,
+    )
+
+    def build(separated):
+        orders, custs = [], []
+        ok = 0
+        for cid in range(200):
+            arm = cid % 2
+            custs.append(
+                (cid, "MACHINERY" if arm else "BUILDING")
+            )
+            gap = (5 if arm else 50) if separated else 20
+            gap += cid % 3  # within-arm variation
+            orders.append((ok, cid, "2024-01-01"))
+            ok += 1
+            orders.append((ok, cid, f"2024-{1 + gap // 28:02d}-{1 + gap % 28:02d}"))
+            ok += 1
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate string"
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "CAST(o_orderdate AS DATE) o_orderdate"
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        spark.createDataFrame(
+            custs, "c_custkey long, c_mktsegment string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    build(True)
+    r = q_logrank_test(spark, str(tmp_path)).collect()[0]
+    assert r.curves_differ, r
+    assert r.o1 == 100  # every arm-1 subject is an observed event
+    build(False)
+    r = q_logrank_test(spark, str(tmp_path)).collect()[0]
+    assert not r.curves_differ, r

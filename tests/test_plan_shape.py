@@ -246,6 +246,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_colbert_maxsim",  # bounded query-token probe-set broadcast
         "q_dsir_ess",  # 1-row max-log-weight + gram-total broadcasts
         "q_source_concentration",  # 1-row Gini-total aggregate broadcast
+        "q_logrank_test",  # 1-row max-date / arm-total broadcasts
     }
 
     offenders = {}
