@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Log-rank test — censoring-aware two-curve comparison, the
         # hypothesis-test companion of q_kaplan_meier (oracle-exact).
         "q_logrank_test": A.q_logrank_test,
+        # Cross-source syndication matrix — which sources carry the
+        # same texts (exact-dup groups spanning sources; oracle-exact).
+        "q_syndication_matrix": D.q_syndication_matrix,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1979,6 +1982,8 @@ def oracle_sql() -> dict[str, str]:
         "q_theil_sen_trend": A.theil_sen_oracle_sql(),
         # Log-rank two-curve test (integer-rational terms).
         "q_logrank_test": A.logrank_oracle_sql(),
+        # Syndication matrix (exact-dup groups across sources).
+        "q_syndication_matrix": D.syndication_matrix_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

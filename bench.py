@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "q_peak_detection",
     "q_theil_sen_trend",
     "q_logrank_test",
+    "q_syndication_matrix",
 ]
 
 

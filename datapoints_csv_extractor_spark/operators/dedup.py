@@ -2087,3 +2087,50 @@ def containment_decontamination_oracle_sql(eval_mod: int = 97) -> str:
         ) = 1
         ORDER BY eval_id
     """
+
+
+def q_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication matrix — which sources publish the
+    same LEAD: documents whose first 200 characters hash identically
+    across two sources count once per source pair. Wire-service
+    syndication and mirror crawls share the lead paragraph while
+    localizing the tail, so the lead hash catches what a full-text
+    hash misses (and the full-text form is the k=all special case).
+    The provenance read behind mixture planning and the JSD matrix's
+    sharper sibling: JSD says two sources LOOK alike, this says they
+    literally carry the same articles — double-counted evidence
+    unless one copy is dropped.
+
+    One hash aggregate to lead groups (map-side combined), then pair
+    expansion WITHIN each group's distinct source list — bounded by
+    sources^2 per group, never corpus pairs (groups collapse to
+    their distinct source sets first). Integer counts only;
+    oracle-exact."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.md5(F.substring(F.col("text"), 1, 200)).alias("h")
+    )
+    group_sources = d.distinct()
+    a = group_sources.select("h", F.col("source").alias("src_a"))
+    b = group_sources.select("h", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_leads"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def syndication_matrix_oracle_sql() -> str:
+    """DuckDB twin of q_syndication_matrix."""
+    return """
+        WITH gs AS (
+            SELECT DISTINCT source, md5(substring(text, 1, 200)) AS h
+            FROM documents
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared_leads
+        FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

@@ -2694,3 +2694,37 @@ def test_colbert_maxsim_rewards_per_token_matches(spark, tmp_path):
     assert out[0].maxsim == 1.0  # both tokens matched perfectly
     # doc 2: e1 matched (1.0), e2's best is 0.0 -> mean 0.5
     assert out[1].maxsim == 0.5
+
+
+def test_syndication_matrix_counts_shared_leads_per_pair(spark, tmp_path):
+    # srcA and srcB share two wire leads (with localized tails); srcC
+    # shares one of them; srcD is original-only. Duplicate copies of
+    # the same lead WITHIN a source must not inflate pair counts
+    # (distinct source sets per group).
+    from datapoints_csv_extractor_spark.operators.dedup import (
+        q_syndication_matrix,
+    )
+
+    lead1 = "WIRE: markets rallied today " * 10
+    lead2 = "WIRE: storm approaches coast " * 10
+    rows = [
+        (0, "srcA", lead1 + "local tail A"),
+        (1, "srcA", lead1 + "another copy same source"),
+        (2, "srcB", lead1 + "local tail B"),
+        (3, "srcA", lead2 + "tail"),
+        (4, "srcB", lead2 + "tail b"),
+        (5, "srcC", lead2 + "tail c"),
+        (6, "srcD", "entirely original content " * 12),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.src_a, r.src_b): r.n_shared_leads
+        for r in q_syndication_matrix(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("srcA", "srcB"): 2,
+        ("srcA", "srcC"): 1,
+        ("srcB", "srcC"): 1,
+    }, out
