@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Cross-source syndication matrix — which sources carry the
         # same texts (exact-dup groups spanning sources; oracle-exact).
         "q_syndication_matrix": D.q_syndication_matrix,
+        # Winsorized/trimmed robust means — the tail-heaviness triple
+        # next to MAD and Theil-Sen (oracle-exact).
+        "q_winsorized_stats": A.q_winsorized_stats,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
         # Zipf rank-frequency head fit (rounded-decimal ln sums).
@@ -1984,6 +1987,8 @@ def oracle_sql() -> dict[str, str]:
         "q_logrank_test": A.logrank_oracle_sql(),
         # Syndication matrix (exact-dup groups across sources).
         "q_syndication_matrix": D.syndication_matrix_oracle_sql(),
+        # Winsorized/trimmed means (exact percentiles + decimal clip).
+        "q_winsorized_stats": A.winsorized_stats_oracle_sql(),
         # Lorenz/Gini source concentration.
         "q_source_concentration": X.source_concentration_oracle_sql(),
         # Zipf head fit (decimal ln folds).

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q_theil_sen_trend",
     "q_logrank_test",
     "q_syndication_matrix",
+    "q_winsorized_stats",
 ]
 
 

@@ -4463,3 +4463,113 @@ def logrank_oracle_sql() -> str:
                    AS curves_differ
         FROM terms
     """
+
+
+def q_winsorized_stats(
+    spark: SparkSession, sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """Winsorized and trimmed means per event type — the robust
+    location estimates a metrics pipeline publishes next to the raw
+    mean when heavy tails are suspected: winsorizing CLIPS values to
+    the [p05, p95] band (keeps the row count), trimming DROPS the
+    tails (changes it), and the spread between the three numbers is
+    itself the tail-heaviness read. Completes the robust-stats row
+    next to MAD anomalies and the Theil-Sen slope.
+
+    Two passes over one fact table: exact per-type percentiles (the
+    pinned cross-engine idiom), broadcast back, then one aggregate.
+    Exactness: raw and trimmed means are divisions of exact
+    centi-unit integer sums; clipped values round to 6 and fold as
+    DECIMAL (clip bounds are interpolated doubles, identical on both
+    engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(lo_q)).alias("lo"),
+        F.percentile(F.col("cents").cast("double"), F.lit(hi_q)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.round(
+        F.least(
+            F.greatest(F.col("cents").cast("double"), F.col("lo")),
+            F.col("hi"),
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    in_band = (F.col("cents").cast("double") >= F.col("lo")) & (
+        F.col("cents").cast("double") <= F.col("hi")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("lo") / 100.0, 4).alias("p_lo"),
+            F.round(F.max("hi") / 100.0, 4).alias("p_hi"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                4,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(clipped).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                4,
+            ).alias("winsorized_mean"),
+            F.sum(in_band.cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.when(in_band, F.col("cents")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(in_band.cast("long")).cast("double")
+                / 100.0,
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def winsorized_stats_oracle_sql(
+    lo_q: float = 0.05, hi_q: float = 0.95
+) -> str:
+    """DuckDB twin of q_winsorized_stats."""
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), bounds AS (
+            SELECT event_type,
+                   quantile_cont(CAST(cents AS DOUBLE), {lo_q}) AS lo,
+                   quantile_cont(CAST(cents AS DOUBLE), {hi_q}) AS hi
+            FROM ev GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(max(b.lo) / 100.0, 4) AS p_lo,
+               round(max(b.hi) / 100.0, 4) AS p_hi,
+               round(CAST(sum(e.cents) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 100.0, 4) AS raw_mean,
+               round(CAST(sum(CAST(round(least(greatest(
+                         CAST(e.cents AS DOUBLE), b.lo), b.hi), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 100.0, 4)
+                   AS winsorized_mean,
+               CAST(sum(CASE WHEN CAST(e.cents AS DOUBLE) >= b.lo
+                              AND CAST(e.cents AS DOUBLE) <= b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(CAST(sum(CASE WHEN CAST(e.cents AS DOUBLE) >= b.lo
+                                    AND CAST(e.cents AS DOUBLE) <= b.hi
+                                   THEN e.cents ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN CAST(e.cents AS DOUBLE) >= b.lo
+                                      AND CAST(e.cents AS DOUBLE) <= b.hi
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / 100.0, 4) AS trimmed_mean
+        FROM ev e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """

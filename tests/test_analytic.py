@@ -1771,3 +1771,28 @@ def test_logrank_separates_planted_fast_and_slow_arms(spark, tmp_path):
     build(False)
     r = q_logrank_test(spark, str(tmp_path)).collect()[0]
     assert not r.curves_differ, r
+
+
+def test_winsorized_trimmed_means_tame_a_planted_outlier(spark, tmp_path):
+    # 99 values of 10.00 plus one of 100000.00: the raw mean is
+    # dragged to ~1009.9, while the winsorized mean clips the outlier
+    # to p95 and the trimmed mean drops it entirely (back to 10.0).
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_winsorized_stats,
+    )
+
+    rows = []
+    for i in range(99):
+        rows.append((i, "2024-01-01 10:00:00", i, "steady", 10.0, "{}"))
+    rows.append((99, "2024-01-01 11:00:00", 99, "steady", 100000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q_winsorized_stats(spark, str(tmp_path)).collect()[0]
+    assert r.raw_mean > 1000
+    assert r.trimmed_mean == 10.0
+    assert r.winsorized_mean < r.raw_mean / 10
+    assert r.n_kept == 99 and r.n == 100
