@@ -1674,10 +1674,13 @@ def oracle_sql() -> dict[str, str]:
                                 / n_quadruples), 4) > 2.3263 AS drifted
             FROM agg
         """,
-        # Fellegi-Sunter: empirical u-rates over the candidate pool,
-        # fixed m=0.95 priors, log2 weights rounded 6, DECIMAL score
-        # sum. 1.0 - 0.95 is spelled as the SUBTRACTION so both
-        # engines compute the identical IEEE double.
+        # Fellegi-Sunter: sorted-neighborhood candidates (window 8
+        # over (brand, name-token, size, price, key), kept where both
+        # blocking keys agree — linear pairs/row), u-rates Laplace-
+        # smoothed over the md5-coin pair sample, fixed m=0.95
+        # priors, log2 weights rounded 6, DECIMAL score sum.
+        # 1.0 - 0.95 is spelled as the SUBTRACTION so both engines
+        # compute the identical IEEE double.
         "q_record_linkage_fs": """
             WITH p0 AS (
                 SELECT p_partkey, p_name, p_brand, p_type, p_size,
@@ -1689,32 +1692,42 @@ def oracle_sql() -> dict[str, str]:
                        p_brand, p_type, p_size, p_retailprice
                 FROM p0 WHERE p_partkey % 40 = 0
             ), fullt AS (
-                SELECT u.*, split_part(u.p_name, ' ', 1) AS name_tok
+                SELECT u.*, split_part(u.p_name, ' ', 1) AS name_tok,
+                       row_number() OVER (
+                           ORDER BY u.p_brand,
+                                    split_part(u.p_name, ' ', 1),
+                                    u.p_size, u.p_retailprice,
+                                    u.p_partkey
+                       ) AS rn
                 FROM (SELECT * FROM p0 UNION ALL SELECT * FROM tw) u
             ), cand AS (
-                SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                SELECT least(a.p_partkey, b.p_partkey) AS a_key,
+                       greatest(a.p_partkey, b.p_partkey) AS b_key,
                        CAST(a.p_type = b.p_type AS INT) AS agree_type,
                        CAST(a.p_size = b.p_size AS INT) AS agree_size,
                        CAST(a.p_retailprice = b.p_retailprice AS INT)
-                           AS agree_price,
-                       CAST(a.name_tok = b.name_tok AS INT) AS agree_name
+                           AS agree_price
                 FROM fullt a JOIN fullt b
-                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                  ON b.rn > a.rn AND b.rn - a.rn <= 8
+                 AND a.p_brand = b.p_brand AND a.name_tok = b.name_tok
+            ), samp AS (
+                SELECT * FROM cand
+                WHERE ('0x' || substring(md5(CAST(a_key AS VARCHAR)
+                          || ':' || CAST(b_key AS VARCHAR)), 1, 8)
+                      )::BIGINT % 4 = 0
             ), u AS (
                 SELECT
-                  least(greatest(avg(CAST(agree_type AS DOUBLE)), 1e-6),
-                        1.0 - 1e-6) AS u_type,
-                  least(greatest(avg(CAST(agree_size AS DOUBLE)), 1e-6),
-                        1.0 - 1e-6) AS u_size,
-                  least(greatest(avg(CAST(agree_price AS DOUBLE)), 1e-6),
-                        1.0 - 1e-6) AS u_price,
-                  least(greatest(avg(CAST(agree_name AS DOUBLE)), 1e-6),
-                        1.0 - 1e-6) AS u_name
-                FROM cand
+                  (CAST(sum(agree_type) AS DOUBLE) + 0.5)
+                      / (CAST(count(*) AS DOUBLE) + 1.0) AS u_type,
+                  (CAST(sum(agree_size) AS DOUBLE) + 0.5)
+                      / (CAST(count(*) AS DOUBLE) + 1.0) AS u_size,
+                  (CAST(sum(agree_price) AS DOUBLE) + 0.5)
+                      / (CAST(count(*) AS DOUBLE) + 1.0) AS u_price
+                FROM samp
             ), scored AS (
                 SELECT c.a_key, c.b_key,
                        c.agree_type + c.agree_size + c.agree_price
-                           + c.agree_name AS n_agree,
+                           AS n_agree,
                        CAST(
                          CAST(CASE WHEN c.agree_type = 1
                               THEN round(log2(0.95 / u.u_type), 6)
@@ -1731,19 +1744,14 @@ def oracle_sql() -> dict[str, str]:
                               ELSE round(log2((1.0 - 0.95)
                                    / (1.0 - u.u_price)), 6) END
                               AS DECIMAL(18,6))
-                       + CAST(CASE WHEN c.agree_name = 1
-                              THEN round(log2(0.95 / u.u_name), 6)
-                              ELSE round(log2((1.0 - 0.95)
-                                   / (1.0 - u.u_name)), 6) END
-                              AS DECIMAL(18,6))
                        AS DOUBLE) AS score
                 FROM cand c, u
             )
             SELECT a_key, b_key, n_agree, score,
                    CASE WHEN score >= 12.0 THEN 'match'
-                        WHEN score >= 4.0 THEN 'review' END AS verdict
+                        WHEN score >= 3.0 THEN 'review' END AS verdict
             FROM scored
-            WHERE score >= 4.0
+            WHERE score >= 3.0
             ORDER BY a_key, b_key
         """,
         "q_embedding_near_dup": """
@@ -5009,31 +5017,55 @@ def oracle_sql() -> dict[str, str]:
         FROM est
         ORDER BY type_a, type_b
     """
-    # Jaro-Winkler match: the Spark pandas kernel reproduces DuckDB's
-    # builtin bit-for-bit (verified over ~50k adversarial pairs), so
+    # Jaro-Winkler match: exact tier links duplicate names to their
+    # min-key representative at literal 1.0 (linear star edges);
+    # fuzzy tier is a sorted-neighborhood window over distinct-name
+    # reps. The Spark pandas kernel reproduces DuckDB's builtin
+    # bit-for-bit (verified over ~50k adversarial pairs), so
     # round(jw, 6) agrees exactly.
     sql["q_jaro_winkler_match"] = """
         WITH p AS (
-            SELECT p_partkey, p_name, p_brand,
-                   split_part(p_name, ' ', 1) AS tok
-            FROM part
+            SELECT p_partkey, p_name, p_brand FROM part
         ), twins AS (
             SELECT p_partkey + 10000000 AS p_partkey,
-                   p_name || ' copy' AS p_name, p_brand,
-                   split_part(p_name, ' ', 1) AS tok
+                   p_name || ' copy' AS p_name, p_brand
             FROM p WHERE p_partkey % 40 = 0
         ), full_t AS (
             SELECT * FROM p UNION ALL SELECT * FROM twins
+        ), reps AS (
+            SELECT p_brand, p_name,
+                   split_part(p_name, ' ', 1) AS tok,
+                   min(p_partkey) AS rep_key
+            FROM full_t GROUP BY p_brand, p_name
+        ), exact AS (
+            SELECT f.p_brand AS brand,
+                   r.rep_key AS partkey_1,
+                   f.p_partkey AS partkey_2,
+                   CAST(1.0 AS DOUBLE) AS jw
+            FROM full_t f
+            JOIN reps r ON f.p_brand = r.p_brand AND f.p_name = r.p_name
+            WHERE f.p_partkey <> r.rep_key
+        ), ranked AS (
+            SELECT r.*,
+                   row_number() OVER (
+                       ORDER BY p_brand, tok, p_name, rep_key
+                   ) AS rn
+            FROM reps r
+        ), fuzzy AS (
+            SELECT a.p_brand AS brand,
+                   least(a.rep_key, b.rep_key) AS partkey_1,
+                   greatest(a.rep_key, b.rep_key) AS partkey_2,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                       AS jw
+            FROM ranked a
+            JOIN ranked b ON b.rn > a.rn AND b.rn - a.rn <= 4
+                         AND a.p_brand = b.p_brand AND a.tok = b.tok
+            WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                      >= 0.9
         )
-        SELECT a.p_brand AS brand,
-               a.p_partkey AS partkey_1,
-               b.p_partkey AS partkey_2,
-               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-        FROM full_t a
-        JOIN full_t b ON a.p_brand = b.p_brand
-                     AND a.tok = b.tok
-                     AND a.p_partkey < b.p_partkey
-        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+        SELECT brand, partkey_1, partkey_2, jw FROM (
+            SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+        )
         ORDER BY partkey_1, partkey_2
     """
     # DP release: the seeded-hash Laplace noise recomputes exactly —

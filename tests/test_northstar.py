@@ -2346,11 +2346,12 @@ def test_embedding_drift_mmd_controls(spark, tmp_path):
 
 
 def test_record_linkage_fs_recovers_planted_twins(spark):
-    """Every planted dirty twin classifies 'match' with all four
-    fields agreeing; no non-twin pair reaches 'match'; review pairs
-    sit strictly between the thresholds; and rare-field agreement
-    outweighs common-field agreement in the derived weights (the
-    Fellegi-Sunter point)."""
+    """Every planted dirty twin survives the sorted-neighborhood
+    candidate window (measured rank distance <= 2; window 8) and
+    classifies 'match' with all three scored fields agreeing; no
+    non-twin pair reaches 'match'; review pairs sit strictly between
+    the thresholds; and rare-field agreement outweighs common-field
+    agreement in the derived weights (the Fellegi-Sunter point)."""
     from datapoints_csv_extractor_spark.operators.relational import (
         q_record_linkage_fs,
     )
@@ -2365,11 +2366,11 @@ def test_record_linkage_fs_recovers_planted_twins(spark):
         (k, k + 10_000_000) for k in range(0, n_parts, 40)
     }
     assert {(r.a_key, r.b_key) for r in matches} == planted
-    assert all(r.n_agree == 4 for r in matches)
+    assert all(r.n_agree == 3 for r in matches)
     for r in reviews:
-        assert 4.0 <= r.score < 12.0
-        assert r.n_agree < 4
-    # A twin (4 agreements incl. the rare price field) must outscore
+        assert 3.0 <= r.score < 12.0
+        assert r.n_agree < 3
+    # A twin (3 agreements incl. the rare price field) must outscore
     # every coincidental pair.
     if reviews:
         assert min(r.score for r in matches) > max(r.score for r in reviews)
@@ -2407,9 +2408,12 @@ def test_jaro_winkler_kernel_matches_duckdb_builtin():
 
 
 def test_jaro_winkler_match_recovers_planted_twins(spark):
-    """Every planted ' copy' twin survives the (brand, first-token)
-    blocking and scores in the suffix-append JW band; identical
-    catalog names score exactly 1.0."""
+    """Every planted ' copy' twin is CONNECTED to its source in the
+    match graph: either directly (both are their name-group reps,
+    fuzzy edge in the suffix-append JW band) or through exact-tier
+    rep edges at 1.0 plus the rep-to-rep fuzzy edge. Exact-tier
+    edges score exactly 1.0; fuzzy edges sit in [0.9, 1.0) —
+    distinct rep names can never score 1.0."""
     from datapoints_csv_extractor_spark.operators.relational import (
         q_jaro_winkler_match,
     )
@@ -2419,14 +2423,31 @@ def test_jaro_winkler_match_recovers_planted_twins(spark):
         spark.read.parquet("/root/testdata/sf0.001/part.parquet").count()
     )
     planted = {(k, k + 10_000_000) for k in range(0, n_parts, 40)}
-    got = {(r.partkey_1, r.partkey_2): r.jw for r in rows}
-    for pair in planted:
-        assert pair in got, pair
-        assert 0.9 <= got[pair] < 1.0
-    for (k1, k2), jw in got.items():
-        assert jw <= 1.0
-        if jw == 1.0:
-            assert k2 < 10_000_000  # only identical catalog names
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_exact = n_fuzzy = 0
+    for r in rows:
+        assert 0.9 <= r.jw <= 1.0
+        if r.jw == 1.0:
+            n_exact += 1
+        else:
+            n_fuzzy += 1
+        parent[find(r.partkey_1)] = find(r.partkey_2)
+    assert n_fuzzy > 0  # at least the twin rep edges
+    for k1, k2 in planted:
+        assert find(k1) == find(k2), (k1, k2)
+    # Fuzzy edges connect DISTINCT-name reps in the suffix band —
+    # at least one per distinct twinned name, all strictly < 1.0.
+    fuzzy_scores = [r.jw for r in rows if r.jw < 1.0]
+    assert all(0.9 <= s < 1.0 for s in fuzzy_scores)
 
 
 def test_char_entropy_closed_form_band(spark, tmp_path):
