@@ -60,18 +60,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_heavy_hitters_ample in-window and approx-distinct stays
         # registered below.
         "q_stratified_sample": C.q_stratified_sample,
-        # TPC-H-style relational core (§7 Phase 2). q3/q5/q10 sit past
-        # the window now (still locally swept): their join+agg shape
-        # overlaps q1/q12/q6, and the freed slots carry three operator
-        # families the window didn't exercise (rolling sketch merge,
-        # seasonal decomposition, exact audience-overlap matrix).
-        # Round-8 rotation: q_cdc_chunks (content-defined chunking +
-        # shared-chunk storage-dedup rollup — the vectorized Arrow
-        # kernel path, a family the window never exercised) takes
-        # q6_forecast_revenue's slot; TPC-H keeps q1 and q12
-        # in-window and q6's filter-agg shape is a strict subset of
-        # q1's.
-        "q_cdc_chunks": D.q_cdc_chunks,
         "q_upsert_merge": R.q_upsert_merge,
         # Round-8 rotation: q_chunk_documents (overlapping
         # token-window chunking — the context-window splitter, a
@@ -79,20 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q12_late_shipment_priority's slot; TPC-H keeps q1 + q6
         # in-window and q12 stays registered below.
         "q_chunk_documents": X.q_chunk_documents,
-        "q_hybrid_rrf": V.q_hybrid_rrf,
-        "q_asof_join": R.q_asof_join,
         # Round-8 rotation: q_jaro_winkler_match (position-dependent
         # Jaro-Winkler ER scoring, bit-identical to DuckDB's builtin —
         # the family's principled upgrade) takes q_fuzzy_match's slot;
         # edit-distance matching keeps the richer twin in-window and
         # levenshtein fuzzy match stays registered below.
         "q_jaro_winkler_match": R.q_jaro_winkler_match,
-        # Round-8 rotation: q_kaplan_meier (right-censoring-aware
-        # survival, bit-identical ordered product via a recursive-CTE
-        # oracle — a family the window never exercised) takes
-        # q_window_distribution's slot; the window-function family
-        # keeps q_time_weighted_aggregates in-window.
-        "q_kaplan_meier": A.q_kaplan_meier,
         "q_variant_extract": R.q_variant_extract,
         # Temporal / OLAP analytics
         # Round-8 rotation: q_dp_event_counts (differentially-private
@@ -101,57 +81,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the k-anonymity gate) takes q_holt_winters's slot; seasonal
         # forecasting was green in r07 and stays registered below.
         "q_dp_event_counts": C.q_dp_event_counts,
-        # Round-8 rotation: q_negative_sampling (exact DECIMAL-CDF
-        # contrastive negative draws — a family the window never
-        # exercised) takes q_session_window's slot; sessionization
-        # keeps q_interval_overlap in-window and stays registered
-        # below.
-        "q_negative_sampling": X.q_negative_sampling,
         # Round-7 rotation: the binned interval-overlap join (keyless
         # many-x-many range join as a bucket equijoin — a family the
         # window never exercised) takes q_cube's slot; multi-level
         # grouping keeps q_metrics_rollup in-window and CUBE stays
         # registered below.
         "q_interval_overlap": A.q_interval_overlap,
-        # Round-8 rotation: q_kmv_overlap (KMV distinct/overlap sketch
-        # matrix, oracle-exact via engine-reproducible md5-prefix
-        # hashes) takes q_quantile_sketch_rollup's slot; the sketch
-        # family keeps q_heavy_hitters_ample in-window and the
-        # quantile sketch (green r07) stays registered below.
-        "q_kmv_overlap": A.q_kmv_overlap,
-        "q_cusum_changepoint": A.q_cusum_changepoint,
-        # Round-7 rotation: BFS hop distances (iterative graph
-        # traversal with a recursive-CTE oracle — a family the window
-        # never exercised) takes q_stl_decompose's slot; seasonal
-        # decomposition keeps in-window cousins (q_holt_winters,
-        # q_quantile_sketch_rollup, q_cusum_changepoint) and STL stays
-        # registered below.
-        # Round-8 rotation: q_lpa_communities (synchronous
-        # min-tie-break label propagation with an unrolled-CTE oracle
-        # — community detection, a graph subfamily the window never
-        # exercised) takes q_bfs_hops's slot; iterative traversal was
-        # green r07 and the graph family keeps q_triangle_count
-        # in-window; BFS stays registered below.
-        "q_lpa_communities": G.q_lpa_communities,
-        # Round-8 rotation: q_stratified_ate (confounding-adjusted
-        # treatment effects — the causal-inference family's first
-        # in-window entry) takes q_scd2_history's slot; SCD2 was
-        # green r07 and stays registered (and locally swept) below.
-        "q_stratified_ate": A.q_stratified_ate,
         "q_range_join": A.q_range_join,
-        # Round-8 rotation: q_isotonic_calibration (minimax PAV fit
-        # over the bin table — a family the window never exercised)
-        # takes q_attribution_credit's slot; attribution keeps its
-        # Markov twin registered below.
-        "q_isotonic_calibration": C.q_isotonic_calibration,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
-        # Round-8 rotation: q_repetition_signals (the Gopher
-        # repetition filters — dup-line and top-2-gram character
-        # fractions, a published-filter family the window never
-        # exercised) takes q_funnel_stages's slot; event-sequence
-        # analytics keeps q_attribution_credit in-window and the
-        # funnel stays registered below.
-        "q_repetition_signals": C.q_repetition_signals,
         # Text analysis (north-star)
         "q_token_stats": X.q_token_stats,
         # Round-7 rotation: the incremental aggregate view (O(delta)
@@ -178,33 +115,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_rules": C.q_c4_rules,
         "q_bloom_decontamination": D.q_bloom_decontamination,
         "q_curation_pipeline": X.q_curation_pipeline,
-        # Round-8 rotation: q_url_stats (crawl URL normalization +
-        # per-domain rollup, the hygiene pass ahead of URL-level
-        # dedup) takes q_pii_redact's slot; curation keeps
-        # q_curation_pipeline and q_data_quality_report in-window.
-        "q_url_stats": C.q_url_stats,
         "q_data_quality_report": R.q_data_quality_report,
         # Round-8 rotation: q_scc_pages (directed-graph strongly
         # connected components with a transitive-closure oracle)
         # takes q_rp_project's slot; the projection family was green
         # r07 and the similarity window keeps five richer entries.
         "q_scc_pages": G.q_scc_pages,
-        # Round-8 rotation: bitext mining (new oracle-exact family)
-        # takes q_retrieval_metrics' window slot; retrieval metrics
-        # (green in CORRECTNESS_r07) stays registered below.
-        "q_bitext_mine": V.q_bitext_mine,
         "q_semantic_decontamination": V.q_semantic_decontamination,
         # Hard-negative mining (triplet-violation report) — new
         # round-8 oracle-exact family, in-window.
         "q_hard_negative_mine": V.q_hard_negative_mine,
-        # Greedy k-center coreset (farthest-point sampling) — new
-        # round-8 oracle-exact family (recursive-CTE twin), in-window.
-        "q_coreset_kcenter": V.q_coreset_kcenter,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
-        # Round-8 rotation: MMR reranking (new oracle-exact family)
-        # takes q_distribution_drift_psi's slot (green in r07); PSI
-        # stays registered below.
-        "q_mmr_rerank": V.q_mmr_rerank,
+        # --- Round-9 rotation (15 in): the two re-blocked linkage
+        # queries (semantics changed this round — the driver must
+        # re-verify them) plus the 13 round-8 coda families the
+        # driver has never hash-verified (VERDICT r8 item 6). The
+        # 15 evicted entries were all green in CORRECTNESS_r08 and
+        # keep in-window family twins; see the rotated-out block
+        # past the window marker below.
+        # Fellegi-Sunter probabilistic record linkage (oracle-exact).
+        "q_record_linkage_fs": R.q_record_linkage_fs,
+        "q_fuzzy_match": R.q_fuzzy_match,
+        # ColBERT-style late-interaction MaxSim retrieval — per-token
+        # max then sum, integer-exact (oracle-exact).
+        "q_colbert_maxsim": V.q_colbert_maxsim,
+        # Theil-Sen robust trend — median pairwise slope, outlier-
+        # tolerant partner of the OLS trend (oracle-exact).
+        "q_theil_sen_trend": A.q_theil_sen_trend,
+        # Log-rank test — censoring-aware two-curve comparison, the
+        # hypothesis-test companion of q_kaplan_meier (oracle-exact).
+        "q_logrank_test": A.q_logrank_test,
+        # Cross-source syndication matrix — which sources carry the
+        # same texts (exact-dup groups spanning sources; oracle-exact).
+        "q_syndication_matrix": D.q_syndication_matrix,
+        # Winsorized/trimmed robust means — the tail-heaviness triple
+        # next to MAD and Theil-Sen (oracle-exact).
+        "q_winsorized_stats": A.q_winsorized_stats,
+        # HBOS multivariate outlier scores — naive-Bayes histogram
+        # density, three broadcast histogram joins (oracle-exact).
+        "q_hbos_outliers": A.q_hbos_outliers,
+        # Benford first-digit audit — data-forensics read with literal
+        # probabilities and a rounded-decimal chi-square fold.
+        "q_benford_totalprice": A.q_benford_totalprice,
+        # Split-conformal prediction intervals — distribution-free
+        # uncertainty next to isotonic calibration (oracle-exact).
+        "q_conformal_interval": A.q_conformal_interval,
+        # Chi-square independence + Cramér's V — categorical
+        # association read (oracle-exact decimal fold, IEEE sqrt).
+        "q_chi2_independence": A.q_chi2_independence,
+        # Expected calibration error — reliability read next to the
+        # isotonic map (oracle-exact decimal fold).
+        "q_calibration_error": C.q_calibration_error,
+        # Windowed spike detection — integer margin test, no division
+        # (oracle-exact).
+        "q_peak_detection": A.q_peak_detection,
+        # Zipf rank-frequency head fit (rounded-decimal ln sums).
+        "q_zipf_fit": X.q_zipf_fit,
+        # Pairwise source Jensen-Shannon divergence matrix — the
+        # cross-source leg of the drift family (oracle-exact).
+        "q_source_jsd": X.q_source_jsd,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -226,6 +195,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 7; q_topk_ngrams_per_source,
         # q_lang_id, and q_pii_redact in round 8 (families still
         # in-window, see above).
+        # Rotated out in round 9 (all green in CORRECTNESS_r08; every
+        # family keeps an in-window twin: chunking->q_chunk_documents,
+        # retrieval->q_bm25_search/q_colbert_maxsim, temporal joins->
+        # q_range_join/q_interval_overlap, survival->q_logrank_test,
+        # contrastive->q_hard_negative_mine, sketches->
+        # q_heavy_hitters_ample, sequence stats->q_peak_detection,
+        # graph->q_triangle_count/q_scc_pages, experimentation->
+        # q_chi2_independence/q_conformal_interval, calibration->
+        # q_calibration_error, text filters->q_c4_rules, crawl->
+        # q_html_extract, similarity keeps 4 richer entries):
+        "q_cdc_chunks": D.q_cdc_chunks,
+        "q_hybrid_rrf": V.q_hybrid_rrf,
+        "q_asof_join": R.q_asof_join,
+        "q_kaplan_meier": A.q_kaplan_meier,
+        "q_negative_sampling": X.q_negative_sampling,
+        "q_kmv_overlap": A.q_kmv_overlap,
+        "q_cusum_changepoint": A.q_cusum_changepoint,
+        "q_lpa_communities": G.q_lpa_communities,
+        "q_stratified_ate": A.q_stratified_ate,
+        "q_isotonic_calibration": C.q_isotonic_calibration,
+        "q_repetition_signals": C.q_repetition_signals,
+        "q_url_stats": C.q_url_stats,
+        "q_bitext_mine": V.q_bitext_mine,
+        "q_coreset_kcenter": V.q_coreset_kcenter,
+        "q_mmr_rerank": V.q_mmr_rerank,
         "q_lang_id": X.q_lang_id,
         # Rotated out of the window round-8 (green in r07) to make
         # room for q_hard_negative_mine / q_coreset_kcenter; still
@@ -258,8 +252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits_pages": G.q_hits_pages,
         # Linear-time MMD^2 embedding-drift test (oracle-exact).
         "q_embedding_drift_mmd": V.q_embedding_drift_mmd,
-        # Fellegi-Sunter probabilistic record linkage (oracle-exact).
-        "q_record_linkage_fs": R.q_record_linkage_fs,
         # Block-level main-content extraction (boilerplate removal).
         "q_html_main_content": X.q_html_main_content,
         # Domain reputation: per-site C4 pass rate -> derived blocklist.
@@ -302,7 +294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were green in r07 and keep in-window family twins):
         "q_bfs_hops": G.q_bfs_hops,
         "q_quantile_sketch_rollup": A.q_quantile_sketch_rollup,
-        "q_fuzzy_match": R.q_fuzzy_match,
         "q_holt_winters": A.q_holt_winters,
         # Displaced by the round-8 KM/negsample/ATE/isotonic/SCC
         # rotations (all green r07; families keep in-window twins or
@@ -328,68 +319,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Flesch reading-ease readability bands — map-only regex
         # counts, no explode (oracle-exact).
         "q_flesch_readability": X.q_flesch_readability,
-        # Benford first-digit audit — data-forensics read with literal
-        # probabilities and a rounded-decimal chi-square fold.
-        "q_benford_totalprice": A.q_benford_totalprice,
         # Scene-cut keyframe extraction (rows-only: GIF decode) —
         # content-aware frame sampling; planted shots pinned in
         # pytest.
         "q_video_keyframes": M.q_video_keyframes,
-        # HBOS multivariate outlier scores — naive-Bayes histogram
-        # density, three broadcast histogram joins (oracle-exact).
-        "q_hbos_outliers": A.q_hbos_outliers,
         # VAD-style audio activity segmentation (rows-only: PCM
         # decode) — planted tone/silence/tone bounds pinned in pytest.
         "q_audio_segments": M.q_audio_segments,
-        # Split-conformal prediction intervals — distribution-free
-        # uncertainty next to isotonic calibration (oracle-exact).
-        "q_conformal_interval": A.q_conformal_interval,
         # Per-source boilerplate-prefix stripping — banner removal
         # before dedup/n-gram stats; md5-pinned strip (oracle-exact).
         "q_boilerplate_prefix": C.q_boilerplate_prefix,
         # Experiment power sizing — per-type minimum detectable
         # effect at current sample sizes (IEEE sqrt, oracle-exact).
         "q_mde_power": A.q_mde_power,
-        # Chi-square independence + Cramér's V — categorical
-        # association read (oracle-exact decimal fold, IEEE sqrt).
-        "q_chi2_independence": A.q_chi2_independence,
-        # Expected calibration error — reliability read next to the
-        # isotonic map (oracle-exact decimal fold).
-        "q_calibration_error": C.q_calibration_error,
         # Exact-substring dedup REWRITE (Lee et al.) — removal, not
         # just scoring; the stripped text md5 is oracle-pinned.
         "q_repeated_span_removal": C.q_repeated_span_removal,
         # Context-length planning: padding vs truncation trade per
         # candidate window (oracle-exact integer folds).
         "q_packing_efficiency": X.q_packing_efficiency,
-        # ColBERT-style late-interaction MaxSim retrieval — per-token
-        # max then sum, integer-exact (oracle-exact).
-        "q_colbert_maxsim": V.q_colbert_maxsim,
         # DSIR importance-weight effective sample size — the
         # resampling health diagnostic (shared lw CTE oracle).
         "q_dsir_ess": C.q_dsir_ess,
-        # Windowed spike detection — integer margin test, no division
-        # (oracle-exact).
-        "q_peak_detection": A.q_peak_detection,
-        # Theil-Sen robust trend — median pairwise slope, outlier-
-        # tolerant partner of the OLS trend (oracle-exact).
-        "q_theil_sen_trend": A.q_theil_sen_trend,
-        # Log-rank test — censoring-aware two-curve comparison, the
-        # hypothesis-test companion of q_kaplan_meier (oracle-exact).
-        "q_logrank_test": A.q_logrank_test,
-        # Cross-source syndication matrix — which sources carry the
-        # same texts (exact-dup groups spanning sources; oracle-exact).
-        "q_syndication_matrix": D.q_syndication_matrix,
-        # Winsorized/trimmed robust means — the tail-heaviness triple
-        # next to MAD and Theil-Sen (oracle-exact).
-        "q_winsorized_stats": A.q_winsorized_stats,
         # Source-concentration Lorenz/Gini report (integer folds).
         "q_source_concentration": X.q_source_concentration,
-        # Zipf rank-frequency head fit (rounded-decimal ln sums).
-        "q_zipf_fit": X.q_zipf_fit,
-        # Pairwise source Jensen-Shannon divergence matrix — the
-        # cross-source leg of the drift family (oracle-exact).
-        "q_source_jsd": X.q_source_jsd,
         # q_synthetic_datapoints moved out in round 6:
         # the registry had drifted to 51 entries above this comment,
         # silently pushing q_decontamination past the driver's
@@ -801,15 +754,63 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id AND c.ts >= p.ts
             WHERE epoch(c.ts) - epoch(p.ts) <= 24 * 3600
         """,
+        # Fuzzy match: exact tier links duplicate (brand, name)
+        # members to their min-key rep at edit 0; fuzzy tier is a
+        # TWO-PASS sorted neighborhood over distinct-name reps
+        # (forward + reversed name order, window 8), deduplicated,
+        # then levenshtein-scored.
         "q_fuzzy_match": """
-            SELECT a.p_brand   AS brand,
-                   a.p_partkey AS partkey_1,
-                   b.p_partkey AS partkey_2,
-                   levenshtein(a.p_name, b.p_name) AS edit_distance
-            FROM part a
-            JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-                       AND abs(length(a.p_name) - length(b.p_name)) <= 2
-            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            WITH reps AS (
+                SELECT p_brand, p_name, min(p_partkey) AS rep_key
+                FROM part GROUP BY p_brand, p_name
+            ), exact AS (
+                SELECT p.p_brand AS brand,
+                       r.rep_key AS partkey_1,
+                       p.p_partkey AS partkey_2,
+                       0 AS edit_distance
+                FROM part p
+                JOIN reps r ON p.p_brand = r.p_brand AND p.p_name = r.p_name
+                WHERE p.p_partkey <> r.rep_key
+            ), rf AS (
+                SELECT r.*, row_number() OVER (
+                           ORDER BY p_brand, p_name, rep_key) AS rn
+                FROM reps r
+            ), rr AS (
+                SELECT r.*, row_number() OVER (
+                           ORDER BY p_brand, reverse(p_name), rep_key) AS rn
+                FROM reps r
+            ), candu AS (
+                SELECT a.p_brand AS brand, a.rep_key AS a_key,
+                       a.p_name AS a_name, b.rep_key AS b_key,
+                       b.p_name AS b_name
+                FROM rf a JOIN rf b
+                  ON b.rn > a.rn AND b.rn - a.rn <= 8
+                 AND a.p_brand = b.p_brand
+                UNION ALL
+                SELECT a.p_brand, a.rep_key, a.p_name,
+                       b.rep_key, b.p_name
+                FROM rr a JOIN rr b
+                  ON b.rn > a.rn AND b.rn - a.rn <= 8
+                 AND a.p_brand = b.p_brand
+            ), cand AS (
+                SELECT DISTINCT brand,
+                       least(a_key, b_key) AS partkey_1,
+                       greatest(a_key, b_key) AS partkey_2,
+                       CASE WHEN a_key < b_key
+                            THEN a_name ELSE b_name END AS name_1,
+                       CASE WHEN a_key < b_key
+                            THEN b_name ELSE a_name END AS name_2
+                FROM candu
+            ), fuzzy AS (
+                SELECT brand, partkey_1, partkey_2,
+                       levenshtein(name_1, name_2) AS edit_distance
+                FROM cand
+                WHERE abs(length(name_1) - length(name_2)) <= 2
+                  AND levenshtein(name_1, name_2) <= 2
+            )
+            SELECT brand, partkey_1, partkey_2, edit_distance FROM exact
+            UNION ALL
+            SELECT brand, partkey_1, partkey_2, edit_distance FROM fuzzy
         """,
         "q_window_rank": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price

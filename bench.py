@@ -415,10 +415,66 @@ def _make_scaled_sfdir(spark, root: str, mult: int) -> str:
         vbase.select(
             "vec_id",
             emb.alias("embedding"),
-            (F.col("vec_id") % 10).cast("int").alias("label"),
+            # Hash-derived (not vec_id % 10: that makes label parity
+            # track vec_id parity, so the bitext src/tgt split would
+            # never share a blocking cell); keyed on vseed so planted
+            # duplicate vectors keep their source's label.
+            F.pmod(F.xxhash64(vseed, F.lit(7)), F.lit(10))
+            .cast("int")
+            .alias("label"),
         )
         .write.mode("overwrite")
         .parquet(emb_dir)
+    )
+
+    # Part catalog at mult x the sf0.1 row count (20000 at mult=1),
+    # mirroring the testdata generator's shape: a FIXED 8x8 name
+    # vocabulary (so duplicate-name group sizes grow linearly with
+    # the corpus — the structure that makes naive blocking quadratic
+    # and stresses the linkage stack's exact tier), 25 brands, 6
+    # types, 50 sizes, one-decimal prices in [900, 1000).
+    part_dir = os.path.join(root, "part.parquet")
+    n_parts = 20000 * mult
+    adjs = F.array(*[F.lit(w) for w in (
+        "blue", "old", "small", "new", "large", "hot", "cold", "red")])
+    nouns = F.array(*[F.lit(w) for w in (
+        "widget", "gizmo", "ring", "gear", "anvil", "bolt", "plate",
+        "rod")])
+    ptypes = F.array(*[F.lit(w) for w in (
+        "ECONOMY", "MEDIUM", "PROMO", "LARGE", "STANDARD", "SMALL")])
+
+    def _pick(arr, salt, mod):
+        return F.element_at(
+            arr,
+            (F.pmod(F.xxhash64("p_partkey", F.lit(salt)), F.lit(mod)) + 1)
+            .cast("int"),
+        )
+
+    (
+        spark.range(n_parts)
+        .select(F.col("id").alias("p_partkey"))
+        .select(
+            "p_partkey",
+            F.concat(
+                _pick(adjs, 10, 8), F.lit(" "), _pick(nouns, 11, 8)
+            ).alias("p_name"),
+            F.concat(
+                F.lit("Brand#"),
+                (F.pmod(F.xxhash64("p_partkey", F.lit(12)), F.lit(25)) + 1)
+                .cast("string"),
+            ).alias("p_brand"),
+            _pick(ptypes, 13, 6).alias("p_type"),
+            (F.pmod(F.xxhash64("p_partkey", F.lit(14)), F.lit(50)) + 1)
+            .cast("int")
+            .alias("p_size"),
+            (
+                F.lit(900.0)
+                + F.pmod(F.xxhash64("p_partkey", F.lit(15)), F.lit(1000))
+                / F.lit(10.0)
+            ).alias("p_retailprice"),
+        )
+        .write.mode("overwrite")
+        .parquet(part_dir)
     )
     return root
 
@@ -517,6 +573,13 @@ SF1_REGISTERED_QUERIES = [
     "q_flesch_readability",
     "q_sprt_ab",
     "q_isotonic_calibration",
+    # Round-9 additions: the re-blocked linkage stack (the probe dirs
+    # now carry a scaled part table) — sorted-neighborhood candidate
+    # generation claims <= window pairs/row, so work must be ~linear.
+    "q_record_linkage_fs",
+    "q_jaro_winkler_match",
+    "q_fuzzy_match",
+    "q_sorted_neighborhood",
 ]
 
 
@@ -689,6 +752,81 @@ def _sf1_probe_main(out_path: str) -> None:
         pre, pre_work = run_suite("sf0.1_synth", "pre")
         big, big_work = run_suite("sf1_synth", "big")
         post, _ = run_suite("sf0.1_synth", "post", max_runs=1)
+
+        # Candidate-pair growth telemetry for the blocking-based
+        # matchers (round-8 verdict item 5): the linkage family's
+        # scale failure mode is PAIR-COUNT growth, which is cheap to
+        # measure exactly — ~10x pairs at 10x rows is linear; round
+        # 8's brand-blocked F-S measured ~100x. Counts come from the
+        # operators' OWN candidate helpers, so the telemetry counts
+        # exactly what the queries enumerate.
+        from datapoints_csv_extractor_spark.operators.relational import (
+            fs_candidates,
+            fuzzy_match_candidates,
+            jw_fuzzy_candidates,
+            sorted_neighborhood_pairs,
+        )
+        from datapoints_csv_extractor_spark.operators.similarity import (
+            lsh_bucket,
+        )
+
+        def pair_counts(sdir: str, rebucket_bits: int) -> dict:
+            out = {}
+            out["record_linkage_fs"] = fs_candidates(spark, sdir).count()
+            out["jaro_winkler_fuzzy"] = jw_fuzzy_candidates(
+                spark, sdir
+            ).count()
+            out["fuzzy_match_fuzzy"] = fuzzy_match_candidates(
+                spark, sdir
+            ).count()
+            p = spark.read.parquet(
+                os.path.join(sdir, "part.parquet")
+            ).select("p_partkey", "p_name")
+            out["sorted_neighborhood"] = sorted_neighborhood_pairs(
+                p, ["p_name", "p_partkey"], window=5
+            ).count()
+            e = spark.read.parquet(os.path.join(sdir, "embeddings.parquet"))
+            dim = len(e.select("embedding").first()[0])
+
+            def cellpairs(cell):
+                g = e.groupBy(cell.alias("cell")).agg(
+                    F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias(
+                        "ns"
+                    ),
+                    F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias(
+                        "nt"
+                    ),
+                )
+                return int(
+                    g.agg(F.sum(F.col("ns") * F.col("nt"))).first()[0] or 0
+                )
+
+            # Raw label-cell pair work (bitext mining is src x tgt
+            # WITHIN a cell by design; with the label cardinality
+            # fixed this grows quadratically — expected, and it is
+            # why bitext is excluded from the wall-ratio suite).
+            out["bitext_label_cells"] = cellpairs(F.col("label"))
+            # The operator's documented 100 TB dial: the blocking
+            # cell REFINES as the corpus grows (a finer IVF/LSH
+            # bucket). rebucket_bits extra hyperplane bits at 10x
+            # models the production re-bucketing; pair work then
+            # stays ~linear.
+            if rebucket_bits:
+                out["bitext_rebucketed"] = cellpairs(
+                    F.concat_ws(
+                        "|",
+                        F.col("label").cast("string"),
+                        lsh_bucket(
+                            F.col("embedding"), dim, rebucket_bits
+                        ).cast("string"),
+                    )
+                )
+            else:
+                out["bitext_rebucketed"] = out["bitext_label_cells"]
+            return out
+
+        pairs_1x = pair_counts(sdirs["sf0.1_synth"], 0)
+        pairs_10x = pair_counts(sdirs["sf1_synth"], 4)
         section = {
             "isolation": "fresh JVM subprocess; 1x re-measured after 10x",
             "sf0.1": pre,
@@ -705,6 +843,14 @@ def _sf1_probe_main(out_path: str) -> None:
             "work_ratio": {
                 q: round(big_work[q] / max(pre_work[q], 1), 2)
                 for q in big_work
+            },
+            # Candidate-pair counts for the blocking matchers at 1x
+            # and 10x, plus their growth ratio (~10 = linear).
+            "pair_counts_sf0.1": pairs_1x,
+            "pair_counts_sf1": pairs_10x,
+            "pair_ratio": {
+                k: round(pairs_10x[k] / max(pairs_1x[k], 1), 2)
+                for k in pairs_1x
             },
         }
         with open(out_path, "w") as fh:

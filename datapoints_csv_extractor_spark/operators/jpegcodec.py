@@ -4,22 +4,30 @@ knowledge: ITU-T T.81 / ISO 10918-1).
 Closes the engine's biggest multimodal stand-in: real corpora are
 mostly JPEG, and until round 8 sample-level decode was real only for
 PNG and PCM WAV — JPEG pixels needed PIL, which this container does
-not ship. ``decode_jpeg`` is a baseline-sequential (SOF0) decoder:
-marker walk, DQT/DHT table parse, Huffman entropy decode with
-byte-unstuffing and RSTn restart handling, dequantize + dezigzag,
-vectorized numpy IDCT per 8x8 block, chroma upsampling for the
-common sampling layouts (4:4:4, 4:2:2, 4:2:0), and YCbCr->RGB.
-``encode_jpeg`` is its inverse for making valid test/round-trip
-payloads without a media library: 4:4:4, quality-scaled Annex-K
-quantization tables, the Annex-K "typical" Huffman tables, byte
-stuffing. Both ends exchange tables THROUGH the bitstream (DQT/DHT
-segments), so round-trip correctness never depends on table choice.
+not ship. ``decode_jpeg`` handles baseline-sequential (SOF0/SOF1)
+AND, since round 9, PROGRESSIVE (SOF2) streams — the majority of
+real-world web JPEGs: marker walk, DQT/DHT table parse, Huffman
+entropy decode with byte-unstuffing and RSTn restart handling, and
+for progressive frames the full T.81 Annex G scan machinery
+(DC first/refinement, spectral-selection AC first scans with EOBn
+run decoding, successive-approximation AC refinement with
+correction bits), accumulating coefficients across scans and then
+dequantize + dezigzag + one vectorized numpy IDCT pass, chroma
+upsampling for the common sampling layouts (4:4:4, 4:2:2, 4:2:0),
+and YCbCr->RGB. ``encode_jpeg`` is the baseline inverse for making
+valid test/round-trip payloads without a media library: 4:4:4,
+quality-scaled Annex-K quantization tables, the Annex-K "typical"
+Huffman tables, byte stuffing; ``encode_jpeg_progressive`` emits the
+same quantized coefficients through a libjpeg-style successive-
+approximation scan script, so progressive decode is testable as a
+BIT-EXACT equality against the baseline decode. Both ends exchange
+tables THROUGH the bitstream (DQT/DHT segments), so round-trip
+correctness never depends on table choice.
 
-Out of scope (returns None rather than guessing): progressive
-(SOF2), arithmetic coding, 12-bit precision, hierarchical, CMYK and
-other >3-component color — the documented stand-in boundary narrows
-to "non-baseline JPEG", matching the PNG decoder's "8-bit
-non-interlaced" boundary.
+Out of scope (returns None rather than guessing): arithmetic
+coding, 12-bit precision, lossless/hierarchical, CMYK and other
+>3-component color — the stand-in boundary now matches what
+mainstream decoders reject or rarely meet in web corpora.
 
 Scale: the decoder is called from Arrow-batched ``mapInPandas``
 workers (multimodal.py), one image per call — per-image Python cost,
@@ -260,11 +268,22 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(raw: bytes):
-    """Decode baseline-sequential JPEG bytes to an (h, w, channels)
-    uint8 array (channels 1 for grayscale, 3 for YCbCr->RGB), or
-    None for anything outside the baseline subset (progressive,
-    arithmetic, 12-bit, >3 components) or for malformed input —
-    parse-or-NULL, matching every other decoder in multimodal.py."""
+    """Decode baseline-sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    JPEG bytes to an (h, w, channels) uint8 array (channels 1 for
+    grayscale, 3 for YCbCr->RGB), or None for anything outside that
+    subset (arithmetic coding, 12-bit, hierarchical, >3 components)
+    or for malformed input — parse-or-NULL, matching every other
+    decoder in multimodal.py.
+
+    Progressive support (round 9; T.81 Annex G): the decoder
+    accumulates dequantization-ready coefficients across every SOS
+    scan — DC first/refinement (successive approximation on the DC
+    band, interleaved or not), AC first scans with EOBn run decoding,
+    and AC refinement scans with correction-bit handling — then
+    dequantizes and inverse-transforms ONCE at EOI. The sequential
+    path is the same machinery with a single full-band scan, which
+    also makes multi-scan SEQUENTIAL files (one band per SOS) decode
+    where round 8 bailed after the first scan."""
     try:
         return _decode_jpeg_strict(raw)
     except Exception:  # noqa: BLE001 — corrupt input is data, not a bug
@@ -278,13 +297,20 @@ def _decode_jpeg_strict(raw: bytes):
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (precision, h, w, components)
+    frame = None  # (progressive, h, w, comps, geometry)
     restart_interval = 0
-    while pos + 4 <= len(raw):
+    coefs: list[np.ndarray] = []
+    scanned = False
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             return None
         marker = raw[pos + 1]
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > len(raw):
             return None
         (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         body = raw[pos + 4 : pos + 2 + seglen]
@@ -315,11 +341,11 @@ def _decode_jpeg_strict(raw: bytes):
                 off += 17 + n
                 tbl = _decode_table(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             precision = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
-            if precision != 8 or ncomp not in (1, 3):
+            if precision != 8 or ncomp not in (1, 3) or h == 0 or w == 0:
                 return None
             comps = []
             for i in range(ncomp):
@@ -329,10 +355,28 @@ def _decode_jpeg_strict(raw: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF,
                      "tq": body[8 + i * 3]}
                 )
-            frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+                return None
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = {
+                "progressive": marker == 0xC2,
+                "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+            }
+            # Coefficient store, zigzag order, sized on the MCU grid.
+            coefs = [
+                np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -344,76 +388,213 @@ def _decode_jpeg_strict(raw: bytes):
                 cs = body[1 + i * 2]
                 tdta = body[2 + i * 2]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_scan(
-                raw, pos, frame, quant, huff_dc, huff_ac, scan,
-                restart_interval,
+            ss = body[1 + ns * 2]
+            se = body[2 + ns * 2]
+            ah_al = body[3 + ns * 2]
+            pos = _decode_entropy(
+                raw, pos, frame, coefs, huff_dc, huff_ac, scan,
+                ss, se, ah_al >> 4, ah_al & 0xF, restart_interval,
             )
+            scanned = True
         # else: APPn / COM / DNL — skip
-    return None
-
-
-def _decode_scan(
-    raw, pos, frame, quant, huff_dc, huff_ac, scan, restart_interval
-):
-    _, h, w, comps = frame
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+    if frame is None or not scanned:
         return None
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
+    return _reconstruct(frame, coefs, quant)
+
+
+def _decode_entropy(
+    raw, pos, frame, coefs, huff_dc, huff_ac, scan, ss, se, ah, al, ri
+):
+    """Decode one scan's entropy data into the zigzag coefficient
+    store, covering all four progressive scan kinds (T.81 G.2) plus
+    the sequential full-band scan, and return the stream position of
+    the marker that ends the scan."""
+    comps = frame["comps"]
+    progressive = frame["progressive"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
     order = []
     for cs, td, ta in scan:
-        c = by_id.get(cs)
-        if c is None:
-            return None
-        order.append((c, huff_dc.get(td), huff_ac.get(ta)))
-    planes = []
-    for c in comps:
-        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if cs not in by_id:
+            raise ValueError("scan references unknown component")
+        # Missing tables only fail if the scan kind actually uses
+        # them (_huff_decode(None) raises -> parse-or-NULL).
+        order.append((by_id[cs], huff_dc.get(td), huff_ac.get(ta)))
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
     reader = _BitReader(raw, pos)
     preds = [0] * len(comps)
-    idx = {c["id"]: i for i, c in enumerate(comps)}
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                reader.restart()
-                preds = [0] * len(comps)
-            for c, dtab, atab in order:
-                ci = idx[c["id"]]
-                q = quant[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs = np.zeros(64, dtype=np.int64)
-                        size = _huff_decode(reader, dtab)
-                        diff = _extend(reader.read_bits(size), size)
-                        preds[ci] += diff
-                        coefs[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, atab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC overflow")
-                            coefs[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = (coefs * q)[_UNZZ].reshape(8, 8)
-                        px = _T8.T @ block @ _T8 + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            n_mcu += 1
+    eobrun = 0
+
+    def dc_first(blk, ci, dtab):
+        size = _huff_decode(reader, dtab)
+        diff = _extend(reader.read_bits(size), size)
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+
+    def dc_refine(blk):
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+    def ac_sequential(blk, atab):
+        k = 1
+        while k <= se:
+            rs = _huff_decode(reader, atab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC overflow")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+
+    def ac_first(blk, atab):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, atab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block is a member
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, atab):
+        # T.81 G.1.2.3 correction-bit decoding: already-nonzero
+        # coefficients consume one bit each as they are passed;
+        # zero-history runs count only zero coefficients.
+        nonlocal eobrun
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, atab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:  # EOBn — includes this block
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refine size must be 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                v = int(blk[k])
+                if v != 0 and reader.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(blk, ci, dtab, atab):
+        if not progressive:
+            dc_first(blk, ci, dtab)
+            ac_sequential(blk, atab)
+        elif ss == 0:
+            if ah == 0:
+                dc_first(blk, ci, dtab)
+            else:
+                dc_refine(blk)
+        elif ah == 0:
+            ac_first(blk, atab)
+        else:
+            ac_refine(blk, atab)
+
+    def do_restart():
+        nonlocal preds, eobrun
+        reader.restart()
+        preds = [0] * len(comps)
+        eobrun = 0
+
+    n_unit = 0
+    if len(order) == 1:
+        # ns == 1 means non-interleaved (T.81 A.2.2): the block
+        # raster covers the COMPONENT's own dimensions, not the MCU
+        # grid.
+        ci, dtab, atab = order[0]
+        c = comps[ci]
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])
+        ch = -(-frame["h"] * c["v"] // frame["vmax"])
+        bw_i, bh_i = -(-cw // 8), -(-ch // 8)
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                if ri and n_unit and n_unit % ri == 0:
+                    do_restart()
+                decode_block(coefs[ci][by, bx], ci, dtab, atab)
+                n_unit += 1
+    else:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if ri and n_unit and n_unit % ri == 0:
+                    do_restart()
+                for ci, dtab, atab in order:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                coefs[ci][my * c["v"] + by,
+                                          mx * c["h"] + bx],
+                                ci, dtab, atab,
+                            )
+                n_unit += 1
+    return reader.pos
+
+
+def _reconstruct(frame, coefs, quant):
+    """Dequantize + batch IDCT the accumulated coefficients, then
+    upsample and color-convert — one vectorized pass at EOI."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for c, plane in zip(comps, planes):
+    for c, arr in zip(comps, coefs):
+        q = quant[c["tq"]]
+        deq = arr.astype(np.int64) * q  # zigzag order
+        blocks = deq[:, :, _UNZZ].reshape(arr.shape[0], arr.shape[1], 8, 8)
+        px = (
+            np.einsum("ij,abjk,kl->abil", _T8.T, blocks.astype(np.float64),
+                      _T8)
+            + 128.0
+        )
+        plane = px.transpose(0, 2, 1, 3).reshape(
+            arr.shape[0] * 8, arr.shape[1] * 8
+        )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -575,3 +756,247 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# "Flat" Huffman tables for the progressive encoder: every DC size
+# symbol at 5 bits, every possible AC run/size byte at 8 or 9 bits
+# (a DHT count byte caps at 255, so 256 symbols split across two
+# lengths). Not compact, but CANONICALLY valid, they cover every
+# symbol any scan can emit (including all EOBn codes 0x10..0xE0,
+# which the Annex-K typical tables lack), and neither reaches the
+# all-ones codeword.
+_DC_FLAT = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(16)))
+_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+def encode_jpeg_progressive(px, quality: int = 90) -> bytes:
+    """Encode an (h, w, c) uint8 array as a PROGRESSIVE (SOF2) JFIF
+    JPEG, 4:4:4, using the standard successive-approximation scan
+    script (DC Al=1 then refine; luma AC split 1-5/6-63 at Al=2 with
+    two refinement passes; chroma AC at Al=1 with one) — the same
+    shape libjpeg's simple-progression script emits, so the decoder's
+    DC-first/DC-refine/AC-first/AC-refine and EOBn paths all get
+    exercised by round-trip tests. Quantized coefficients are
+    IDENTICAL to ``encode_jpeg``'s at the same quality, so
+    decode(progressive) must equal decode(baseline) bit-for-bit."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c == 2:
+        px = px[:, :, :1]
+    elif c == 4:
+        px = px[:, :, :3]
+    c = px.shape[2]
+    f = px.astype(np.float64)
+    if c == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [f[:, :, 0]]
+    ncomp = len(planes)
+    qy = _quality_scaled(_QUANT_LUMA, quality)
+    qc = _quality_scaled(_QUANT_CHROMA, quality)
+    qs = [qy] + [qc] * (ncomp - 1)
+
+    # Quantized zigzag coefficients per component, (BY, BX, 64).
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    by_n, bx_n = (h + pad_h) // 8, (w + pad_w) // 8
+    coefs = []
+    for ci, p in enumerate(planes):
+        padded = np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") - 128.0
+        # Per-block matmul in the SAME operation order as encode_jpeg
+        # (an einsum batch sums in a different order and can flip a
+        # round() at a .5 boundary) — the bit-exact-vs-baseline test
+        # contract depends on identical quantized coefficients. qs
+        # are row-major (like the baseline encoder's division); the
+        # quantized result reorders to zigzag for the scan coder.
+        arr = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                dct = (_T8 @ blk @ _T8.T).reshape(-1)
+                arr[by, bx] = np.round(dct / qs[ci]).astype(np.int64)[_ZZ]
+        coefs.append(arr)
+
+    dc_codes = _canonical_codes(*_DC_FLAT)
+    ac_codes = _canonical_codes(*_AC_FLAT)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    for tq, tbl in ((0, qy), (1, qc))[: 1 if ncomp == 1 else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(tbl[z]) for z in _ZZ)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    for tclass, (counts, syms) in ((0x00, _DC_FLAT), (0x10, _AC_FLAT)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+        out += bytes([tclass]) + bytes(counts) + bytes(syms)
+
+    if ncomp == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),   # DC first, Al=1
+            ([0], 1, 5, 0, 2),         # luma AC band 1-5 at Al=2
+            ([2], 1, 63, 0, 1),        # chroma AC at Al=1
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),        # luma AC band 6-63 at Al=2
+            ([0, 1, 2], 0, 0, 1, 0),   # DC refine
+            ([0], 1, 63, 2, 1),        # luma AC refine 2->1
+            ([2], 1, 63, 1, 0),        # chroma AC refine 1->0
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),        # luma AC refine 1->0
+        ]
+    else:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+        ]
+    for comps_in_scan, ss, se, ah, al in script:
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps_in_scan), len(comps_in_scan)
+        )
+        for ci in comps_in_scan:
+            out += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        out += bytes([ss, se, (ah << 4) | al])
+        out += _encode_progressive_scan(
+            coefs, comps_in_scan, ss, se, ah, al, dc_codes, ac_codes,
+            by_n, bx_n,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scan(
+    coefs, comps_in_scan, ss, se, ah, al, dc_codes, ac_codes, by_n, bx_n
+):
+    """Entropy-code one progressive scan (T.81 G.1.2): DC first as
+    differential (dc >> Al), DC refine as one bit per block, AC first
+    with EOBn run aggregation, AC refine with buffered correction
+    bits (the jcphuff discipline: bits for already-nonzero
+    coefficients queue behind the next emitted symbol)."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def emit_sym(sym):
+        code, length = ac_codes[sym]
+        bw.write(code, length)
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            emit_sym(nbits << 4)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for bit in pending:
+            bw.write(bit, 1)
+        pending.clear()
+
+    def ac_first_block(blk):
+        nonlocal eobrun
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            mag = (v if v >= 0 else -v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                emit_sym(0xF0)
+                r -= 16
+            s = mag.bit_length()
+            emit_sym((r << 4) | s)
+            sv = mag if v >= 0 else -mag
+            bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eobrun()
+
+    def ac_refine_block(blk):
+        nonlocal eobrun
+        mags = [
+            (abs(int(blk[k])) >> al) for k in range(ss, se + 1)
+        ]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for i, m in enumerate(mags):
+            if m == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []
+        for i, m in enumerate(mags):
+            if m == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                flush_eobrun()
+                emit_sym(0xF0)
+                r -= 16
+                for bit in br:
+                    bw.write(bit, 1)
+                br.clear()
+            if m > 1:
+                # History coefficient: queue its correction bit.
+                br.append(m & 1)
+                continue
+            flush_eobrun()
+            emit_sym((r << 4) | 1)
+            r = 0
+            bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            br.clear()
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 32767:
+                flush_eobrun()
+
+    if ss == 0:  # DC scan, interleaved over the scan's components
+        preds = {ci: 0 for ci in comps_in_scan}
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in comps_in_scan:
+                    dc = int(coefs[ci][by, bx, 0]) >> al  # arith shift
+                    if ah == 0:
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        mag = abs(diff)
+                        s = mag.bit_length()
+                        code, length = dc_codes[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s,
+                            )
+                    else:
+                        bw.write(dc & 1, 1)
+    else:  # AC scan, single component, non-interleaved
+        ci = comps_in_scan[0]
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if ah == 0:
+                    ac_first_block(coefs[ci][by, bx])
+                else:
+                    ac_refine_block(coefs[ci][by, bx])
+        flush_eobrun()
+    bw.flush()
+    return bytes(bw.out)

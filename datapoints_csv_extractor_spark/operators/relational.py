@@ -742,56 +742,70 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fuzzy_match(spark: SparkSession, sf_dir: str, max_edit: int = 2) -> DataFrame:
+def q_fuzzy_match(
+    spark: SparkSession,
+    sf_dir: str,
+    max_edit: int = 2,
+    window: int = 8,
+) -> DataFrame:
     """Fuzzy string matching: part-name pairs within a small edit
-    distance, blocked by brand.
+    distance — the entity-resolution primitive for catalog/series-
+    name reconciliation.
 
-    The blocking key caps the quadratic pair space (same role as the
-    LSH bands in dedup: pairs only form inside a block); levenshtein
-    runs JVM-side on the surviving candidates. The entity-resolution
-    primitive for catalog/series-name reconciliation.
+    CANDIDATE GENERATION (the 100 TB contract, rebuilt in round 9
+    alongside q_jaro_winkler_match): brand-equality blocking is
+    quadratic on this corpus — 25 brands means block size grows
+    linearly with the catalog, and the identical-name pair mass
+    (edit distance 0) grows d^2 per duplicate group on its own. The
+    linear split:
+
+    1. EXACT tier: one representative per (brand, name) = the min
+       key; every other member links to its rep at edit distance 0.
+       Star-shaped edges, d - 1 per duplicate group, transitively
+       complete — a groupBy + equi-join, no pair enumeration.
+    2. FUZZY tier: MULTI-PASS sorted-neighborhood (Hernandez-Stolfo)
+       over the distinct-name reps — one pass ordered by the name,
+       one by its REVERSE — kept where brands agree, deduplicated,
+       then scored. Measured on this corpus: every distinct-name
+       edit<=2 pair differs in the FIRST word (so the forward sort
+       alone would miss all of them) and same-tail clusters cap at
+       8 reps, so the reversed pass with window 8 is recall-complete
+       here; the forward pass covers trailing-word edits
+       symmetrically. At most 2 x ``window`` candidates per DISTINCT
+       name — linear in the corpus.
 
     A length-band prefilter (|len(a)-len(b)| <= max_edit) guards the
     levenshtein: edit distance is bounded below by the length
     difference, so the filter is exact, and it prices most candidate
-    pairs at an integer compare instead of an O(len^2) DP — the cheap
-    second blocking dimension that keeps big brand blocks from going
-    quadratic in levenshtein cost at scale. The guard lives INSIDE a
-    ``when``, not as a separate conjunct: Catalyst merges filter
-    conjuncts into the join condition in arbitrary order (observed:
+    pairs at an integer compare instead of an O(len^2) DP. The guard
+    lives INSIDE a ``when``, not as a separate conjunct: Catalyst
+    reorders plain filter conjuncts arbitrarily (observed:
     levenshtein first), while ``when`` short-circuits per row
     unconditionally.
     """
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("partkey_1"),
-        F.col("p_name").alias("name_1"),
-        F.length("p_name").alias("len_1"),
+    reps = p.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("rep_key")
     )
-    b = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("partkey_2"),
-        F.col("p_name").alias("name_2"),
-        F.length("p_name").alias("len_2"),
+    exact = (
+        p.join(reps, ["p_brand", "p_name"])
+        .where(F.col("p_partkey") != F.col("rep_key"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("rep_key").alias("partkey_1"),
+            F.col("p_partkey").alias("partkey_2"),
+            F.lit(0).cast("int").alias("edit_distance"),
+        )
     )
+    cand = fuzzy_match_candidates(spark, sf_dir, window=window, reps=reps)
     dist = F.when(
-        F.abs(F.col("len_1") - F.col("len_2")) <= max_edit,
+        F.abs(F.length("name_1") - F.length("name_2")) <= max_edit,
         F.levenshtein("name_1", "name_2"),
     ).otherwise(F.lit(max_edit + 1))
-    return (
-        a.join(
-            b,
-            (a["brand"] == b["brand"]) & (F.col("partkey_1") < F.col("partkey_2")),
-        )
-        .where(dist <= max_edit)
-        .select(
-            a["brand"].alias("brand"),
-            "partkey_1",
-            "partkey_2",
-            dist.alias("edit_distance"),
-        )
+    fuzzy = cand.where(dist <= max_edit).select(
+        "brand", "partkey_1", "partkey_2", dist.alias("edit_distance")
     )
+    return exact.unionByName(fuzzy)
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,6 +2079,130 @@ def q_sorted_neighborhood(
     )
 
 
+def linkage_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    twin_mod: int = 40,
+    cols: tuple = ("p_partkey", "p_name", "p_brand"),
+) -> DataFrame:
+    """Parts plus a planted DIRTY COPY of every ``twin_mod``-th part
+    (key + 10^7, name suffixed ' copy', every other field copied) —
+    the shared corpus of the linkage stack (q_jaro_winkler_match,
+    q_record_linkage_fs)."""
+    p = load(spark, sf_dir, "part").select(*cols)
+    rest = [c for c in cols if c not in ("p_partkey", "p_name")]
+    twins = p.where(F.col("p_partkey") % twin_mod == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+        F.concat(F.col("p_name"), F.lit(" copy")).alias("p_name"),
+        *rest,
+    )
+    return p.unionAll(twins)
+
+
+def fs_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    twin_mod: int = 40,
+    window: int = 8,
+) -> DataFrame:
+    """Candidate pairs of q_record_linkage_fs BEFORE scoring: the
+    sorted-neighborhood window over (brand, name-token, size, price,
+    key), kept where both blocking keys agree. Exposed separately so
+    the bench's pair-growth telemetry counts exactly what the query
+    enumerates (<= ``window`` pairs per row — linear by
+    construction)."""
+    full = linkage_corpus(
+        spark,
+        sf_dir,
+        twin_mod,
+        cols=(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        ),
+    ).withColumn("name_tok", F.split(F.col("p_name"), " ")[0])
+    return sorted_neighborhood_pairs(
+        full,
+        ["p_brand", "name_tok", "p_size", "p_retailprice", "p_partkey"],
+        window=window,
+    ).where(
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_name_tok") == F.col("b_name_tok"))
+    )
+
+
+def jw_fuzzy_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    twin_mod: int = 40,
+    window: int = 4,
+    reps: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy-tier candidate pairs of q_jaro_winkler_match BEFORE the
+    JW kernel: the sorted-neighborhood window over distinct-name
+    representatives, kept where (brand, token) agree. Exposed for the
+    bench's pair-growth telemetry — this is the set the Python
+    kernel prices, <= ``window`` pairs per DISTINCT name."""
+    if reps is None:
+        reps = (
+            linkage_corpus(spark, sf_dir, twin_mod)
+            .groupBy("p_brand", "p_name")
+            .agg(F.min("p_partkey").alias("rep_key"))
+            .withColumn("tok", F.split(F.col("p_name"), " ")[0])
+        )
+    return sorted_neighborhood_pairs(
+        reps, ["p_brand", "tok", "p_name", "rep_key"], window=window
+    ).where(
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_tok") == F.col("b_tok"))
+    )
+
+
+def fuzzy_match_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 8,
+    reps: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy-tier candidate pairs of q_fuzzy_match BEFORE the
+    levenshtein: the union of the forward and reversed-name
+    sorted-neighborhood passes over distinct-name reps, brand-kept,
+    deduplicated. Exposed for the bench's pair-growth telemetry —
+    <= 2 x ``window`` pairs per DISTINCT name."""
+    if reps is None:
+        reps = (
+            load(spark, sf_dir, "part")
+            .select("p_partkey", "p_brand", "p_name")
+            .groupBy("p_brand", "p_name")
+            .agg(F.min("p_partkey").alias("rep_key"))
+        )
+    r = reps.withColumn("rname", F.reverse(F.col("p_name")))
+    passes = [
+        sorted_neighborhood_pairs(
+            r, ["p_brand", "p_name", "rep_key"], window=window
+        ),
+        sorted_neighborhood_pairs(
+            r, ["p_brand", "rname", "rep_key"], window=window
+        ),
+    ]
+    return (
+        passes[0]
+        .unionByName(passes[1])
+        .where(F.col("a_p_brand") == F.col("b_p_brand"))
+        .select(
+            F.col("a_p_brand").alias("brand"),
+            F.least("a_rep_key", "b_rep_key").alias("partkey_1"),
+            F.greatest("a_rep_key", "b_rep_key").alias("partkey_2"),
+            F.when(F.col("a_rep_key") < F.col("b_rep_key"), F.col("a_p_name"))
+            .otherwise(F.col("b_p_name"))
+            .alias("name_1"),
+            F.when(F.col("a_rep_key") < F.col("b_rep_key"), F.col("b_p_name"))
+            .otherwise(F.col("a_p_name"))
+            .alias("name_2"),
+        )
+        .distinct()  # a pair can surface in both passes
+    )
+
+
 def jaro_winkler_pandas(s1, s2):
     """Vectorized Jaro-Winkler similarity (pandas Series -> Series),
     implementing the SAME semantics as DuckDB's
@@ -2173,13 +2311,7 @@ def q_jaro_winkler_match(
     pairs scoring >= ``threshold`` (twin reps land in [0.91, 0.95];
     fuzzy pairs are strictly < 1.0 since rep names differ)."""
     jw_udf = F.pandas_udf(jaro_winkler_pandas, "double")
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    twins = p.where(F.col("p_partkey") % twin_mod == 0).select(
-        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
-        F.concat(F.col("p_name"), F.lit(" copy")).alias("p_name"),
-        "p_brand",
-    )
-    full = p.unionAll(twins)
+    full = linkage_corpus(spark, sf_dir, twin_mod)
     reps = (
         full.groupBy("p_brand", "p_name")
         .agg(F.min("p_partkey").alias("rep_key"))
@@ -2196,13 +2328,7 @@ def q_jaro_winkler_match(
         )
     )
     fuzzy = (
-        sorted_neighborhood_pairs(
-            reps, ["p_brand", "tok", "p_name", "rep_key"], window=window
-        )
-        .where(
-            (F.col("a_p_brand") == F.col("b_p_brand"))
-            & (F.col("a_tok") == F.col("b_tok"))
-        )
+        jw_fuzzy_candidates(spark, sf_dir, twin_mod, window, reps=reps)
         .withColumn(
             "jw",
             F.round(jw_udf(F.col("a_p_name"), F.col("b_p_name")), 6),
@@ -2277,26 +2403,7 @@ def q_record_linkage_fs(
     counts, so both engines produce the identical double.
 
     Output: match + review pairs only (score thresholds 12 / 3)."""
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
-        "p_retailprice",
-    )
-    twins = p.where(F.col("p_partkey") % twin_mod == 0).select(
-        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
-        F.concat(F.col("p_name"), F.lit(" copy")).alias("p_name"),
-        "p_brand", "p_type", "p_size", "p_retailprice",
-    )
-    full = p.unionAll(twins).withColumn(
-        "name_tok", F.split(F.col("p_name"), " ")[0]
-    )
-    cand = sorted_neighborhood_pairs(
-        full,
-        ["p_brand", "name_tok", "p_size", "p_retailprice", "p_partkey"],
-        window=window,
-    ).where(
-        (F.col("a_p_brand") == F.col("b_p_brand"))
-        & (F.col("a_name_tok") == F.col("b_name_tok"))
-    )
+    cand = fs_candidates(spark, sf_dir, twin_mod, window)
     agree = {
         "type": (F.col("a_p_type") == F.col("b_p_type")),
         "size": (F.col("a_p_size") == F.col("b_p_size")),

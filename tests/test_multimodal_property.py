@@ -451,6 +451,82 @@ def test_jpeg_decode_subsampled_and_restart_markers():
     assert np.all(np.abs(got[0].astype(int) - 200) <= 2)
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    gray=st.booleans(),
+    quality=st.integers(60, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_decode_matches_baseline_exactly(
+    w, h, gray, quality, seed
+):
+    """encode_jpeg_progressive quantizes IDENTICALLY to encode_jpeg,
+    so decoding the progressive stream must reproduce the baseline
+    decode bit-for-bit — one equality that exercises every
+    progressive path at once (DC first + refine, AC first with EOBn
+    runs, two-level AC successive approximation with correction
+    bits), since the scan script splits luma at Al=2 and chroma at
+    Al=1."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    rng = np.random.RandomState(seed)
+    c = 1 if gray else 3
+    px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    blob = J.encode_jpeg_progressive(px, quality=quality)
+    assert b"\xff\xc2" in blob[:256]  # SOF2 frame header (after DQTs)
+    base = J.decode_jpeg(J.encode_jpeg(px, quality=quality))
+    prog = J.decode_jpeg(blob)
+    assert prog is not None and base is not None
+    assert prog.shape == (h, w, c)
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_smooth_image_near_exact():
+    """The progressive pipeline end-to-end on low-frequency content —
+    the same transparency pin as the baseline codec's."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = np.stack(
+        [np.clip(xx * 2 + yy, 0, 255), np.clip(255 - xx * 3, 0, 255),
+         np.full_like(xx, 77)],
+        axis=2,
+    ).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_progressive(smooth, quality=95))
+    assert out is not None
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 1.5
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cut=st.integers(2, 200),
+    flip_at=st.integers(2, 200),
+    flip_to=st.integers(0, 255),
+)
+def test_jpeg_progressive_truncated_and_bitflipped_is_parse_or_null(
+    cut, flip_at, flip_to
+):
+    """The parse-or-NULL contract holds for progressive streams too:
+    truncations and byte flips decode to None or some image, never
+    raise."""
+    import numpy as np
+
+    from datapoints_csv_extractor_spark.operators import jpegcodec as J
+
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    blob = J.encode_jpeg_progressive(px, quality=85)
+    J.decode_jpeg(blob[: min(cut, len(blob))])
+    mut = bytearray(blob)
+    mut[flip_at % len(mut)] = flip_to
+    J.decode_jpeg(bytes(mut))
+
+
 @settings(max_examples=60, deadline=None)
 @given(raw=st.binary(min_size=0, max_size=400))
 def test_jpeg_decode_never_crashes_on_garbage(raw):
