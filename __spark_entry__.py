@@ -174,6 +174,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pairwise source Jensen-Shannon divergence matrix — the
         # cross-source leg of the drift family (oracle-exact).
         "q_source_jsd": X.q_source_jsd,
+        # Two-sample Kolmogorov-Smirnov test — full-CDF distribution
+        # equality, no binning choice (oracle-exact integer CDFs).
+        "q_ks_test": A.q_ks_test,
+        # Mann-Whitney U / Wilcoxon rank-sum — location-shift test on
+        # doubled midranks (exact BIGINT rank folds, oracle-exact).
+        "q_mannwhitney_u": A.q_mannwhitney_u,
+        # Lexical diversity: distinct-1/distinct-2 degeneracy dials
+        # per source (oracle-exact integer counts).
+        "q_distinct_ngrams": X.q_distinct_ngrams,
+        # BPE tokenizer TRAINING: learn the merge table over the
+        # corpus (two-level distinct-word plan; unrolled-CTE oracle,
+        # oracle-exact via engine-identical replace() semantics).
+        "q_bpe_train": X.q_bpe_train,
+        # BPE APPLY + per-source fertility (tokens/word, chars/token)
+        # with the trained merges (oracle re-derives them).
+        "q_bpe_apply": X.q_bpe_apply,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2004,6 +2020,14 @@ def oracle_sql() -> dict[str, str]:
         "q_zipf_fit": X.zipf_fit_oracle_sql(),
         # Source JSD matrix (smoothed head vocab, decimal folds).
         "q_source_jsd": X.source_jsd_oracle_sql(),
+        # Two-sample KS / Mann-Whitney over event values.
+        "q_ks_test": A.ks_test_oracle_sql(),
+        "q_mannwhitney_u": A.mannwhitney_oracle_sql(),
+        # Lexical diversity (degeneracy dials per source).
+        "q_distinct_ngrams": X.distinct_ngrams_oracle_sql(),
+        # BPE merge training (unrolled 6-step CTE).
+        "q_bpe_train": X.bpe_train_oracle_sql(),
+        "q_bpe_apply": X.bpe_apply_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

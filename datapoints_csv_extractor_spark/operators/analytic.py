@@ -4573,3 +4573,242 @@ def winsorized_stats_oracle_sql(
         GROUP BY e.event_type
         ORDER BY e.event_type
     """
+
+
+def q_ks_test(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two event types'
+    value distributions — the classic distribution-equality check a
+    data pipeline runs before pooling sources or after a dial change
+    (the drift family's nonparametric sibling: PSI/JSD bin first, KS
+    uses the full empirical CDFs and needs no binning choice).
+
+    Plan: one groupBy(value) per-side count aggregate (map-side
+    combine; the distinct-value table is DIMENSION-sized, ~100
+    distinct cents values here), then an ordered cumulative sum over
+    distinct values and a global max — the supremum of |F_a - F_b|
+    lands exactly on a distinct observed value, so the grouped scan
+    is exact, never a sample. At 100 TB the shuffle carries only
+    distinct values; the single-partition cumulative window is over
+    the dimension table (the repo's established CDF shape).
+
+    Exactness: D's numerator folds as max |ca*nB - cb*nA| over exact
+    BIGINTs; ONE double division at the end (rounded 6). The
+    alpha=0.05 critical value is c(alpha)*sqrt((nA+nB)/(nA*nB)) with
+    c = 1.358 — IEEE sqrt + one multiply, rounded 6 — and the reject
+    flag compares the two rounded doubles, identically in both
+    engines."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    sides = ev.where(F.col("event_type").isin([type_a, type_b])).select(
+        "value",
+        (F.col("event_type") == type_a).cast("long").alias("is_a"),
+        (F.col("event_type") == type_b).cast("long").alias("is_b"),
+    )
+    per_v = sides.groupBy("value").agg(
+        F.sum("is_a").alias("na_v"), F.sum("is_b").alias("nb_v")
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        F.sum("na_v").over(wcum).alias("ca"),
+        F.sum("nb_v").over(wcum).alias("cb"),
+        F.sum("na_v").over(wall).alias("n_a"),
+        F.sum("nb_v").over(wall).alias("n_b"),
+    )
+    d_num = F.max(
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    )
+    out = cum.groupBy("n_a", "n_b").agg(d_num.alias("d_num"))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    ks_d = F.round(F.col("d_num").cast("double") / (nad * nbd), 6)
+    crit = F.round(
+        F.lit(1.358) * F.sqrt((nad + nbd) / (nad * nbd)), 6
+    )
+    return out.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        ks_d.alias("ks_d"),
+        crit.alias("critical_005"),
+        (ks_d > crit).alias("reject_h0"),
+    )
+
+
+def ks_test_oracle_sql(type_a: str = "click", type_b: str = "purchase") -> str:
+    return f"""
+        WITH sides AS (
+            SELECT value,
+                   CAST(event_type = '{type_a}' AS BIGINT) AS is_a,
+                   CAST(event_type = '{type_b}' AS BIGINT) AS is_b
+            FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')
+        ), per_v AS (
+            SELECT value, sum(is_a) AS na_v, sum(is_b) AS nb_v
+            FROM sides GROUP BY value
+        ), cum AS (
+            SELECT sum(na_v) OVER (ORDER BY value) AS ca,
+                   sum(nb_v) OVER (ORDER BY value) AS cb,
+                   sum(na_v) OVER () AS n_a,
+                   sum(nb_v) OVER () AS n_b
+            FROM per_v
+        ), agg AS (
+            SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a)) AS d_num
+            FROM cum GROUP BY n_a, n_b
+        )
+        SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                   AS ks_d,
+               round(1.358 * sqrt((CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))
+                                  / (CAST(n_a AS DOUBLE)
+                                     * CAST(n_b AS DOUBLE))), 6)
+                   AS critical_005,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               > round(1.358 * sqrt((CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE))
+                                    / (CAST(n_a AS DOUBLE)
+                                       * CAST(n_b AS DOUBLE))), 6)
+                   AS reject_h0
+        FROM agg
+    """
+
+
+def q_mannwhitney_u(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two event
+    types' value distributions — the location-shift companion of
+    q_ks_test (KS reacts to ANY distributional difference; the
+    rank-sum is the standard "is one systematically larger" read,
+    robust where the t-test's normality assumption fails).
+
+    Plan: identical dimension-sized shape to q_ks_test — groupBy
+    distinct value, ordered cumulative rank assignment, one global
+    fold. Ties get midranks; with midranks DOUBLED every rank
+    quantity is an exact BIGINT (the repo's integer-scaling
+    discipline), so R1, U1 and the tie-correction term
+    sum(t^3 - t) all fold exactly; the z-score's normal
+    approximation runs as a handful of double ops rounded 4, with
+    the two-sided alpha=0.05 flag on |z| > 1.96."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    sides = ev.where(F.col("event_type").isin([type_a, type_b])).select(
+        "value",
+        (F.col("event_type") == type_a).cast("long").alias("is_a"),
+        (F.col("event_type") == type_b).cast("long").alias("is_b"),
+    )
+    per_v = sides.groupBy("value").agg(
+        F.sum("is_a").alias("na_v"), F.sum("is_b").alias("nb_v")
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_v = F.col("na_v") + F.col("nb_v")
+    ranked = per_v.select(
+        "na_v",
+        t_v.alias("t_v"),
+        # doubled midrank: 2*(#strictly below) + t + 1 — exact BIGINT
+        (
+            F.lit(2) * (F.sum(t_v).over(wcum) - t_v) + t_v + F.lit(1)
+        ).alias("r2_v"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("na_v") * F.col("r2_v")).alias("r1_x2"),
+        F.sum("na_v").alias("n_a"),
+        F.sum(F.col("t_v") - F.col("na_v")).alias("n_b"),
+        F.sum(
+            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+        ).alias("tie_t3"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = nad + nbd
+    u1_x2 = F.col("r1_x2") - F.col("n_a") * (F.col("n_a") + 1)
+    u1 = F.round(u1_x2.cast("double") / 2.0, 1)
+    mu = nad * nbd / 2.0
+    sigma = F.sqrt(
+        nad * nbd / 12.0
+        * ((nd + 1.0) - F.col("tie_t3").cast("double") / (nd * (nd - 1.0)))
+    )
+    z = F.round((u1_x2.cast("double") / 2.0 - mu) / sigma, 4)
+    return agg.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        u1.alias("u_stat"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_h0"),
+    )
+
+
+def mannwhitney_oracle_sql(
+    type_a: str = "click", type_b: str = "purchase"
+) -> str:
+    return f"""
+        WITH sides AS (
+            SELECT value,
+                   CAST(event_type = '{type_a}' AS BIGINT) AS is_a,
+                   CAST(event_type = '{type_b}' AS BIGINT) AS is_b
+            FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')
+        ), per_v AS (
+            SELECT value, sum(is_a) AS na_v, sum(is_b) AS nb_v
+            FROM sides GROUP BY value
+        ), ranked AS (
+            SELECT na_v, na_v + nb_v AS t_v,
+                   2 * (sum(na_v + nb_v) OVER (ORDER BY value)
+                        - (na_v + nb_v)) + (na_v + nb_v) + 1 AS r2_v
+            FROM per_v
+        ), agg AS (
+            SELECT sum(na_v * r2_v) AS r1_x2,
+                   sum(na_v) AS n_a,
+                   sum(t_v - na_v) AS n_b,
+                   sum(t_v * t_v * t_v - t_v) AS tie_t3
+            FROM ranked
+        )
+        SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(CAST(r1_x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0, 1)
+                   AS u_stat,
+               round((CAST(r1_x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            / 12.0
+                            * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                + 1.0)
+                               - CAST(tie_t3 AS DOUBLE)
+                                 / ((CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE))
+                                    * (CAST(n_a AS DOUBLE)
+                                       + CAST(n_b AS DOUBLE) - 1.0)))),
+                     4) AS z_score,
+               abs(round((CAST(r1_x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            / 12.0
+                            * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                + 1.0)
+                               - CAST(tie_t3 AS DOUBLE)
+                                 / ((CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE))
+                                    * (CAST(n_a AS DOUBLE)
+                                       + CAST(n_b AS DOUBLE) - 1.0)))),
+                     4)) > 1.96 AS reject_h0
+        FROM agg
+    """

@@ -3723,3 +3723,4 @@ def dsir_ess_oracle_sql() -> str:
                    AS ess_fraction
         FROM per ORDER BY source
     """
+

@@ -3621,3 +3621,398 @@ def packing_efficiency_oracle_sql() -> str:
         GROUP BY ctx
         ORDER BY ctx
     """
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report: type-token ratio and
+    distinct-bigram ratio (distinct-1 / distinct-2, Li et al. 2016)
+    — the standard degeneracy dials for synthetic/model-generated
+    data (template-stamped or looping text shows a collapsed
+    distinct-2 long before a human notices), plus docs-per-distinct-
+    bigram as the cross-document repetition read.
+
+    Plan: one explode per n over the tokenized corpus, then a
+    groupBy(source) count + approx-free COUNT(DISTINCT) — both are
+    single shuffles with map-side partial aggregation; the unigram
+    and bigram legs run independently and join on the
+    dimension-sized source key. Exact integer counts, one rounded
+    division per ratio."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    uni = (
+        d.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+    )
+    bi = (
+        d.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("toks"), i + 1),
+                            F.element_at(F.col("toks"), i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("distinct_1"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.round(
+                F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("distinct_2"),
+        )
+        .orderBy("source")
+    )
+
+
+def distinct_ngrams_oracle_sql() -> str:
+    return """
+        WITH toked AS (
+            SELECT source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), uni AS (
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_types
+            FROM (SELECT source, unnest(toks) AS tok FROM toked)
+            GROUP BY source
+        ), bi AS (
+            SELECT source, count(*) AS n_bigrams,
+                   count(DISTINCT bigram) AS n_distinct_bigrams
+            FROM (
+                SELECT source,
+                       unnest(CASE WHEN len(toks) >= 2
+                              THEN list_transform(
+                                  range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+                              ELSE [] END) AS bigram
+                FROM toked
+            )
+            GROUP BY source
+        )
+        SELECT u.source,
+               CAST(u.n_tokens AS BIGINT) AS n_tokens,
+               CAST(u.n_types AS BIGINT) AS n_types,
+               round(CAST(u.n_types AS DOUBLE)
+                     / CAST(u.n_tokens AS DOUBLE), 6) AS distinct_1,
+               CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(b.n_distinct_bigrams AS BIGINT)
+                   AS n_distinct_bigrams,
+               round(CAST(b.n_distinct_bigrams AS DOUBLE)
+                     / CAST(b.n_bigrams AS DOUBLE), 6) AS distinct_2
+        FROM uni u JOIN bi b ON u.source = b.source
+        ORDER BY u.source
+    """
+
+
+def q_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 6
+) -> DataFrame:
+    """Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. 2016)
+    over the corpus — the learn-the-merges half the engine was
+    missing next to its BPE-ish token counter: ``n_merges``
+    iterations of count-all-adjacent-symbol-pairs -> merge the
+    most frequent pair everywhere. Output: the learned merge table
+    (step, merge_left, merge_right, pair_freq), i.e. the tokenizer
+    artifact a training pipeline ships.
+
+    Plan (the classic two-level BPE shape, which is what makes it
+    100 TB-safe): pair statistics are computed over the DISTINCT-
+    WORD table weighted by word frequency — one corpus-sized
+    explode+groupBy ONCE, then every Lloyd-like merge iteration
+    touches only the dimension-sized word table (distinct words
+    grow sublinearly in any natural corpus). Per iteration: one
+    explode of adjacent pairs per distinct word, a groupBy(pair)
+    sum with map-side combine, a parameter-sized argmax collect,
+    and a map-only string rewrite; localCheckpoint truncates the
+    growing lineage (the iterative-loop discipline).
+
+    EXACTNESS (how a merge loop becomes oracle-checkable): word
+    symbol state is a string with TWO-space separators, and a merge
+    is replace(' l  o ', ' lo ') — left-to-right non-overlapping
+    replace() has IDENTICAL semantics in Spark and DuckDB, and the
+    double-space encoding makes boundary-sharing occurrences
+    (' l o l o ') merge exactly like the canonical list walk while
+    keeping 'a a a' -> 'aa a' (first-wins, skip). Pair counting
+    counts overlapping adjacencies (Sennrich's get_stats). Argmax
+    tie-break: freq DESC, then (left, right) lexicographic — fully
+    deterministic, so the DuckDB oracle unrolls the same
+    ``n_merges`` steps as CTEs (the LPA unrolled-oracle pattern)
+    and every step's winner matches hash-exactly."""
+    merges = bpe_train_merges(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, pair_freq long",
+    ).orderBy("step")
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 6
+) -> list[tuple]:
+    """The trainer loop behind q_bpe_train / q_bpe_apply: returns the
+    parameter-sized merge list [(step, left, right, pair_freq)]."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    words = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.split(F.col("w"), ""), "  "),
+                F.lit("  </w>  "),
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.array_remove(F.split(F.trim(F.col("seq")), r"\s+"), "")
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(syms) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(syms) - 2),
+                        lambda i: F.struct(
+                            F.element_at(syms, i + 1).alias("l"),
+                            F.element_at(syms, i + 2).alias("r"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<l:string,r:string>>")
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((step, best["l"], best["r"], int(best["cnt"])))
+        words = words.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {best['l']}  {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_train_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled n-step BPE oracle: each step re-derives pair counts
+    from the previous word state, picks the same deterministic
+    argmax, and rewrites with the same replace()."""
+    parts = [
+        """
+        WITH w0 AS (
+            SELECT '  ' || array_to_string(string_split_regex(w, ''),
+                                           '  ')
+                   || '  </w>  ' AS seq,
+                   count(*) AS freq
+            FROM (
+                SELECT unnest(list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY 1
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+        , p{i} AS (
+            SELECT s[CAST(i AS BIGINT)] AS l,
+                   s[CAST(i AS BIGINT) + 1] AS r,
+                   sum(freq) AS cnt
+            FROM (
+                SELECT list_filter(string_split_regex(trim(seq),
+                                                      '\\s+'),
+                                   x -> x <> '') AS s,
+                       freq,
+                       unnest(range(1, len(list_filter(
+                           string_split_regex(trim(seq), '\\s+'),
+                           x -> x <> '')))) AS i
+                FROM w{i - 1}
+            )
+            GROUP BY 1, 2
+        ), b{i} AS (
+            SELECT l, r, cnt FROM p{i}
+            ORDER BY cnt DESC, l, r LIMIT 1
+        ), w{i} AS (
+            SELECT replace(w.seq, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') AS seq,
+                   w.freq
+            FROM w{i - 1} w, b{i} b
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS merge_left, r AS merge_right, "
+        f"CAST(cnt AS BIGINT) AS pair_freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({selects}) ORDER BY step"
+
+
+def q_bpe_apply(
+    spark: SparkSession, sf_dir: str, n_merges: int = 6
+) -> DataFrame:
+    """The serving half of the BPE pair: tokenize the corpus with the
+    merges q_bpe_train learned and report per-source FERTILITY —
+    BPE tokens per word and characters per BPE token, the dials that
+    decide context-window budgets and per-language cost when a
+    tokenizer meets a corpus.
+
+    Plan: merges are trained once (parameter-sized list, see
+    bpe_train_merges), then applied as a chain of ``n_merges``
+    map-only replace() rewrites over the DISTINCT (source, word)
+    table — corpus text is touched once to build that table, and the
+    apply work is dimension-sized (distinct words per source), the
+    same two-level shape as training. Per-word token counts fold
+    back weighted by occurrence count; exact integers, two rounded
+    divisions per source. The oracle re-derives the identical merges
+    (replace() parity, see q_bpe_train) and applies the same nested
+    rewrite chain."""
+    merges = bpe_train_merges(spark, sf_dir, n_merges)
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    words = (
+        d.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = F.concat(
+        F.lit("  "),
+        F.array_join(F.split(F.col("w"), ""), "  "),
+        F.lit("  </w>  "),
+    )
+    for _, left, right, _f in merges:
+        seq = F.replace(
+            seq, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    syms = F.array_remove(F.split(F.trim(seq), r"\s+"), "")
+    # A solitary trailing '</w>' attaches to the previous token for
+    # counting; once merges fuse it into a token it counts there.
+    n_toks = F.size(syms) - (
+        F.element_at(syms, -1) == F.lit("</w>")
+    ).cast("int")
+    per_word = words.select(
+        "source",
+        "freq",
+        (F.col("freq") * n_toks).alias("tok_occ"),
+        (F.col("freq") * F.length("w")).alias("char_occ"),
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum("tok_occ").alias("n_bpe_tokens"),
+            F.sum("char_occ").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
+    """Re-derives the merges with the trainer's unrolled CTEs, then
+    applies them as a nested replace() chain over the distinct
+    (source, word) table."""
+    train = bpe_train_oracle_sql(n_merges)
+    # Reuse the trainer's CTE prefix (everything before the final
+    # SELECT) so both oracles share one derivation — no drift.
+    prefix = train[: train.rindex(" SELECT * FROM (")]
+    expr = "'  ' || array_to_string(string_split_regex(w, ''), '  ') || '  </w>  '"
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, (SELECT ' ' || l || '  ' || r || ' ' "
+            f"FROM b{i}), (SELECT ' ' || l || r || ' ' FROM b{i}))"
+        )
+    return f"""{prefix}
+        , sw AS (
+            SELECT source, w, count(*) AS freq FROM (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY source, w
+        ), applied AS (
+            SELECT source, freq, length(w) AS n_chars_w,
+                   len(list_filter(string_split_regex(trim({expr}),
+                                                      '\\s+'),
+                       x -> x <> ''))
+                   - CASE WHEN list_filter(string_split_regex(
+                              trim({expr}), '\\s+'),
+                              x -> x <> '')[-1] = '</w>'
+                          THEN 1 ELSE 0 END AS n_toks
+            FROM sw
+        )
+        SELECT source,
+               CAST(sum(freq) AS BIGINT) AS n_words,
+               CAST(sum(freq * n_toks) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(freq * n_toks) AS DOUBLE)
+                     / CAST(sum(freq) AS DOUBLE), 6) AS tokens_per_word,
+               CAST(sum(freq * n_chars_w) AS BIGINT) AS n_chars,
+               round(CAST(sum(freq * n_chars_w) AS DOUBLE)
+                     / CAST(sum(freq * n_toks) AS DOUBLE), 6)
+                   AS chars_per_token
+        FROM applied
+        GROUP BY source
+        ORDER BY source
+    """

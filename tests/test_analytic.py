@@ -1796,3 +1796,66 @@ def test_winsorized_trimmed_means_tame_a_planted_outlier(spark, tmp_path):
     assert r.trimmed_mean == 10.0
     assert r.winsorized_mean < r.raw_mean / 10
     assert r.n_kept == 99 and r.n == 100
+
+
+def _write_two_sample_events(spark, tmp_path, b_vals):
+    """Events table with 200 'click' values 0..199 and 200 'purchase'
+    values from b_vals."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "2024-01-01 10:00:00", i, "click",
+                     float(i), "{}"))
+    for j, v in enumerate(b_vals):
+        rows.append((1000 + j, "2024-01-01 11:00:00", j, "purchase",
+                     float(v), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_ks_and_mannwhitney_reject_a_planted_shift(spark, tmp_path):
+    """A +100 location shift on one arm must reject under both tests;
+    and the KS statistic has the closed form D = 0.5 for two
+    half-overlapping uniform supports (0..199 vs 100..299: the CDFs
+    differ most at x=99.5 where F_a = 0.5, F_b = 0)."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_ks_test,
+        q_mannwhitney_u,
+    )
+
+    _write_two_sample_events(
+        spark, tmp_path, [100 + i for i in range(200)]
+    )
+    ks = q_ks_test(spark, str(tmp_path)).collect()[0]
+    assert ks.n_a == 200 and ks.n_b == 200
+    assert ks.ks_d == 0.5
+    assert ks.reject_h0 is True
+    mw = q_mannwhitney_u(spark, str(tmp_path)).collect()[0]
+    # Closed form: overlap region ties pairwise half-wins —
+    # U1 counts pairs (a < b) + ties/2; here exactly 200*200 minus
+    # the 100-choose-2-ish dominated block; assert direction + flag.
+    assert mw.z_score < -1.96
+    assert mw.reject_h0 is True
+
+
+def test_ks_and_mannwhitney_accept_identical_samples(spark, tmp_path):
+    """Identical samples: D = 0 exactly, U = n1*n2/2 exactly (every
+    cross pair is a tie at midrank), z = 0 — neither test rejects."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_ks_test,
+        q_mannwhitney_u,
+    )
+
+    _write_two_sample_events(spark, tmp_path, list(range(200)))
+    ks = q_ks_test(spark, str(tmp_path)).collect()[0]
+    assert ks.ks_d == 0.0
+    assert ks.reject_h0 is False
+    mw = q_mannwhitney_u(spark, str(tmp_path)).collect()[0]
+    assert mw.u_stat == 200 * 200 / 2.0
+    assert mw.z_score == 0.0
+    assert mw.reject_h0 is False

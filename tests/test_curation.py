@@ -1156,3 +1156,92 @@ def test_dsir_ess_bounds_and_degenerate_cases(spark):
         assert r.ess <= r.n + 1e-6
     # total n equals the sum of per-source n
     assert allr.n == sum(r.n for r in rows if r.source != "__all__")
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Canonical Sennrich BPE on a word-frequency dict: count
+    adjacent symbol pairs (overlaps included), merge the argmax
+    (freq desc, then lexicographic pair) left-to-right first-wins."""
+    words = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        stats = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + f
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_bpe_train_matches_canonical_reference(spark, tmp_path):
+    """The distributed trainer must reproduce the canonical
+    list-walk BPE exactly on a planted corpus — including the
+    overlap-counting ('aaaa' pairs), first-wins merging, and the
+    deterministic tie-break."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_bpe_train,
+    )
+
+    corpus = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaaa": 4, "banana": 2,
+    }
+    rows = []
+    did = 0
+    for w, f in corpus.items():
+        for _ in range(f):
+            rows.append((did, w, "en", "src0", len(w)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r.step, r.merge_left, r.merge_right, r.pair_freq)
+        for r in q_bpe_train(spark, str(tmp_path), n_merges=8).collect()
+    ]
+    want = _bpe_reference(corpus, 8)
+    assert got == want, (got, want)
+
+
+def test_bpe_apply_fertility_closed_form(spark, tmp_path):
+    """After enough merges a repeated single word collapses to ONE
+    token (plus nothing): fertility hits exactly 1 token/word, and
+    chars_per_token equals the word length."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_bpe_apply,
+    )
+
+    rows = [(i, "abab", "en", "src0", 4) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_bpe_apply(spark, str(tmp_path), n_merges=4).collect()[0]
+    # merges: (a,b) -> ab; (ab,ab) -> abab; (abab,</w>) -> word token
+    assert r.n_words == 10
+    assert r.n_bpe_tokens == 10  # one token per word
+    assert r.tokens_per_word == 1.0
+    assert r.chars_per_token == 4.0
