@@ -190,6 +190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE APPLY + per-source fertility (tokens/word, chars/token)
         # with the trained merges (oracle re-derives them).
         "q_bpe_apply": X.q_bpe_apply,
+        # Bradley-Terry preference strengths via unrolled MM updates
+        # (the RLHF pairwise-preference primitive; oracle-exact).
+        "q_bradley_terry": A.q_bradley_terry,
+        # Mojibake (UTF-8-as-Latin-1) detect + byte-exact repair
+        # (rows-only: Python transcoding; round-trip pytest-pinned).
+        "q_mojibake_repair": C.q_mojibake_repair,
+        # Maximum spanning forest (Boruvka) of the co-purchase graph
+        # (rows-only: union-find; Kruskal-reference pytest-pinned).
+        "q_mst_boruvka": G.q_mst_boruvka,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2028,6 +2037,7 @@ def oracle_sql() -> dict[str, str]:
         # BPE merge training (unrolled 6-step CTE).
         "q_bpe_train": X.bpe_train_oracle_sql(),
         "q_bpe_apply": X.bpe_apply_oracle_sql(),
+        "q_bradley_terry": A.bradley_terry_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    # Round-9 additions: the nonparametric two-sample pair, lexical
+    # diversity, and the BPE tokenizer train/apply lifecycle.
+    "q_ks_test",
+    "q_mannwhitney_u",
+    "q_distinct_ngrams",
+    "q_bpe_train",
+    "q_bpe_apply",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

@@ -4812,3 +4812,151 @@ def mannwhitney_oracle_sql(
                      4)) > 1.96 AS reject_h0
         FROM agg
     """
+
+
+def q_bradley_terry(
+    spark: SparkSession, sf_dir: str, n_iters: int = 3
+) -> DataFrame:
+    """Bradley-Terry preference-strength fit (Bradley & Terry 1952,
+    via the Zermelo/MM iteration) — the model behind pairwise
+    preference data everywhere from ranking dashboards to RLHF
+    reward-model sanity checks: given head-to-head win counts,
+    recover item strengths s_i with P(i beats j) = s_i/(s_i+s_j).
+
+    Comparisons are derived from the corpus: within each user, every
+    pair of event types the user touched is one head-to-head match,
+    won by the type with the larger total spend (exact integer
+    cents; ties are no-contests). The per-user pair derivation is
+    the only corpus-sized work — one groupBy(user, type) aggregate,
+    then a per-user self-join whose width is the TYPE dimension
+    (<= 5x5 per user, linear overall). The fit itself runs
+    ``n_iters`` MM updates over the parameter-sized item table:
+    s_i' = W_i / sum_j N_ij / (s_i + s_j), sum-normalized at the
+    end.
+
+    Exactness: the MM denominator folds per-opponent terms rounded
+    to 6 as DECIMAL(18,6) (order-independent), one double division
+    per update — so the whole iteration chain is engine-identical
+    and the DuckDB oracle unrolls the same ``n_iters`` CTEs."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.sum("cents").alias("total")
+    )
+    a = per_ut.select(
+        "user_id",
+        F.col("event_type").alias("i"),
+        F.col("total").alias("ti"),
+    )
+    b = per_ut.select(
+        "user_id",
+        F.col("event_type").alias("j"),
+        F.col("total").alias("tj"),
+    )
+    duels = a.join(b, "user_id").where(F.col("i") != F.col("j"))
+    pair = duels.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_met"),
+        F.sum((F.col("ti") > F.col("tj")).cast("long")).alias("n_wins"),
+        F.sum(
+            ((F.col("ti") > F.col("tj")) | (F.col("tj") > F.col("ti")))
+            .cast("long")
+        ).alias("n_games"),  # ties are no-contests
+    ).localCheckpoint()  # consumed once per MM iteration
+    items = pair.groupBy("i").agg(
+        F.sum("n_wins").alias("wins"), F.sum("n_games").alias("games")
+    )
+    s = items.select("i", F.lit(1.0).alias("s"))
+    for _ in range(n_iters):
+        sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+        denom = (
+            pair.join(F.broadcast(s), "i")
+            .join(F.broadcast(sj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n_games").cast("double")
+                        / (F.col("s") + F.col("s_j")),
+                        6,
+                    ).cast("decimal(18,6)")
+                ).alias("den")
+            )
+        )
+        s = (
+            items.join(denom, "i")
+            .select(
+                "i",
+                (
+                    F.col("wins").cast("double")
+                    / F.col("den").cast("double")
+                ).alias("s"),
+            )
+        )
+    wnorm = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total_s = F.sum(F.round(F.col("s"), 6).cast("decimal(18,6)")).over(
+        wnorm
+    )
+    return (
+        s.join(items, "i")
+        .select(
+            F.col("i").alias("item"),
+            "wins",
+            "games",
+            F.round(F.col("s") / total_s.cast("double"), 6).alias(
+                "strength"
+            ),
+        )
+        .orderBy(F.desc("strength"), "item")
+    )
+
+
+def bradley_terry_oracle_sql(n_iters: int = 3) -> str:
+    parts = ["""
+        WITH per_ut AS (
+            SELECT user_id, event_type,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) AS total
+            FROM events GROUP BY user_id, event_type
+        ), pair AS (
+            SELECT a.event_type AS i, b.event_type AS j,
+                   count(*) AS n_met,
+                   sum(CAST(a.total > b.total AS BIGINT)) AS n_wins,
+                   sum(CAST(a.total <> b.total AS BIGINT)) AS n_games
+            FROM per_ut a JOIN per_ut b
+              ON a.user_id = b.user_id AND a.event_type <> b.event_type
+            GROUP BY 1, 2
+        ), items AS (
+            SELECT i, sum(n_wins) AS wins, sum(n_games) AS games
+            FROM pair GROUP BY i
+        ), s0 AS (
+            SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items
+        )"""]
+    for k in range(1, n_iters + 1):
+        parts.append(f"""
+        , s{k} AS (
+            SELECT items.i,
+                   CAST(items.wins AS DOUBLE)
+                   / CAST((SELECT sum(CAST(round(
+                             CAST(p.n_games AS DOUBLE)
+                             / (si.s + sj.s), 6) AS DECIMAL(18,6)))
+                           FROM pair p
+                           JOIN s{k - 1} si ON si.i = p.i
+                           JOIN s{k - 1} sj ON sj.i = p.j
+                           WHERE p.i = items.i) AS DOUBLE) AS s
+            FROM items
+        )""")
+    parts.append(f"""
+        SELECT s.i AS item,
+               CAST(items.wins AS BIGINT) AS wins,
+               CAST(items.games AS BIGINT) AS games,
+               round(s.s / CAST((SELECT sum(CAST(round(s2.s, 6)
+                                 AS DECIMAL(18,6))) FROM s{n_iters} s2)
+                                AS DOUBLE), 6) AS strength
+        FROM s{n_iters} s JOIN items ON items.i = s.i
+        ORDER BY strength DESC, item
+    """)
+    return "".join(parts)

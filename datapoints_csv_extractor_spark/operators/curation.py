@@ -3724,3 +3724,85 @@ def dsir_ess_oracle_sql() -> str:
         FROM per ORDER BY source
     """
 
+
+
+def q_mojibake_repair(
+    spark: SparkSession, sf_dir: str, plant_mod: int = 25
+) -> DataFrame:
+    """Mojibake detection + repair: find text that is UTF-8 bytes
+    mis-decoded as Latin-1 ('café' shipped as 'cafÃ©' — the single
+    most common encoding corruption in web crawls) and undo it by
+    the exact inverse transform (re-encode Latin-1, re-decode
+    UTF-8). This is the ftfy-class hygiene pass that runs between
+    ingest and every text filter; left unfixed, mojibake poisons
+    tokenizers (each corrupted character becomes 2-4 junk tokens)
+    and dedup (corrupt and clean copies stop matching).
+
+    The corpus is ASCII, so the query PLANTS the condition (the
+    linkage stack's dirty-twin discipline): every ``plant_mod``-th
+    document gains a non-ASCII tail and is then corrupted by the
+    real byte-level transform inside the same Arrow batch.
+    Detection is conservative: flag only when a Latin-1 lead-byte
+    marker (Ã, Â, Å, â, Ð, Ñ...) is present AND the inverse
+    transform round-trips strictly — pure-ASCII text can never
+    false-positive (it contains no markers), and text that merely
+    LOOKS suspicious but fails strict UTF-8 stays untouched
+    (parse-or-skip, the engine's P4 rule).
+
+    Map-only mapInPandas end to end (no shuffle; the plan is a scan
+    + one Arrow pass — 100 TB cost is one read). Rows-only entry:
+    Python byte-transcoding has no DuckDB twin; the pytest pins the
+    repair as a strict round-trip (repair(corrupt(x)) == x) plus
+    zero false positives on clean rows."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def work(batches):
+        markers = ("Ã", "Â", "Å", "â", "Ð", "Ñ")
+        tail = " — café naïve résumé…"
+
+        def corrupt(s: str) -> str:
+            return (s + tail).encode("utf-8").decode("latin-1")
+
+        def repair(s: str):
+            if not any(m in s for m in markers):
+                return None
+            try:
+                fixed = s.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return None
+            return fixed
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                planted = int(doc_id) % plant_mod == 0
+                shipped = corrupt(text) if planted else text
+                fixed = repair(shipped)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "had_mojibake": fixed is not None,
+                        "n_marker_chars": sum(
+                            shipped.count(m) for m in markers
+                        ),
+                        "repaired_len": len(
+                            fixed if fixed is not None else shipped
+                        ),
+                        "shipped_len": len(shipped),
+                        "roundtrip_ok": (
+                            fixed == text + tail if planted else fixed is None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        d.mapInPandas(
+            work,
+            "doc_id long, had_mojibake boolean, n_marker_chars long,"
+            " repaired_len long, shipped_len long, roundtrip_ok boolean",
+        )
+        .orderBy("doc_id")
+    )

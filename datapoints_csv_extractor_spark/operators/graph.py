@@ -941,3 +941,101 @@ def scc_pages_oracle_sql() -> str:
         FROM labels
         ORDER BY url
     """
+
+
+def q_mst_boruvka(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 12
+) -> DataFrame:
+    """MAXIMUM spanning forest of the co-purchase graph by
+    Boruvka's algorithm — the product-affinity BACKBONE: the
+    strongest acyclic skeleton connecting every part to its
+    most-co-purchased neighborhood (the structure recommenders and
+    category-taxonomy bootstrapping read off a co-occurrence graph;
+    also single-linkage clustering's dual, so cutting its weakest
+    edges yields the co-purchase dendrogram).
+
+    Boruvka is THE spanning-tree algorithm for a shuffle-based
+    engine (Prim is inherently sequential, Kruskal's union-find is
+    driver state): every component picks its best incident edge
+    (one groupBy-min over a lexicographic struct), picked edges
+    contract via the dedup stack's min-label components
+    (dedup_clusters reused verbatim), and the component count at
+    least halves per round — O(log n) rounds of joins/aggregates,
+    each shuffle-bounded by the edge list, no driver-sized state.
+
+    DETERMINISM: edges order by the struct (cost, p1, p2) with
+    cost = -n_shared_orders; the (p1, p2) tie-break makes the edge
+    order TOTAL, so the forest is unique and engine-independent
+    even with tied weights (the classic MST-uniqueness argument).
+    Rows-only entry (union-find has no SQL twin); the pytest pins
+    the exact edge set against a sequential Kruskal reference with
+    the same total order."""
+    edges = co_order_weighted_edges(spark, sf_dir).select(
+        "p1", "p2",
+        F.col("n_shared").alias("n_shared_orders"),
+        (-F.col("n_shared")).cast("long").alias("cost"),
+    ).localCheckpoint()
+    comp = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    forest = None
+    for _ in range(max_rounds):
+        c1 = comp.select(
+            F.col("node").alias("p1"), F.col("comp").alias("c1")
+        )
+        c2 = comp.select(
+            F.col("node").alias("p2"), F.col("comp").alias("c2")
+        )
+        cross = (
+            edges.join(c1, "p1")
+            .join(c2, "p2")
+            .where(F.col("c1") != F.col("c2"))
+            .localCheckpoint()
+        )
+        if cross.limit(1).count() == 0:
+            break
+        pick = F.struct(
+            F.col("cost"), F.col("p1"), F.col("p2"),
+            F.col("n_shared_orders"), F.col("c1"), F.col("c2"),
+        )
+        cand = cross.select(F.col("c1").alias("cmp"), pick.alias("pick")).unionAll(
+            cross.select(F.col("c2").alias("cmp"), pick.alias("pick"))
+        )
+        chosen = (
+            cand.groupBy("cmp")
+            .agg(F.min("pick").alias("pick"))
+            .select("pick.*")
+            .distinct()
+            .localCheckpoint()
+        )
+        picked_edges = chosen.select("p1", "p2", "n_shared_orders")
+        forest = (
+            picked_edges
+            if forest is None
+            else forest.unionAll(picked_edges).localCheckpoint()
+        )
+        from .dedup import dedup_clusters
+
+        mapping = dedup_clusters(
+            chosen.select(
+                F.col("c1").alias("doc_id_1"), F.col("c2").alias("doc_id_2")
+            )
+        ).select(
+            F.col("doc_id").alias("old_comp"),
+            F.col("canonical_doc_id").alias("new_comp"),
+        )
+        comp = (
+            comp.join(mapping, comp.comp == mapping.old_comp, "left")
+            .select(
+                "node",
+                F.coalesce("new_comp", "comp").alias("comp"),
+            )
+            .localCheckpoint()
+        )
+    if forest is None:
+        return edges.select("p1", "p2", "n_shared_orders").limit(0)
+    return forest.orderBy("p1", "p2")

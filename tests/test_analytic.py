@@ -1859,3 +1859,36 @@ def test_ks_and_mannwhitney_accept_identical_samples(spark, tmp_path):
     assert mw.u_stat == 200 * 200 / 2.0
     assert mw.z_score == 0.0
     assert mw.reject_h0 is False
+
+
+def test_bradley_terry_recovers_a_planted_total_order(spark, tmp_path):
+    """Users whose spend always ranks gold > silver > bronze must
+    yield strictly ordered strengths, a clean sweep for gold's wins,
+    and strengths summing to ~1."""
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_bradley_terry,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        for t, v in (("gold", 30.0), ("silver", 20.0), ("bronze", 10.0)):
+            rows.append(
+                (eid, "2024-01-01 10:00:00", u, t, v + (u % 3), "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_bradley_terry(spark, str(tmp_path)).collect()
+    by = {r.item: r for r in out}
+    assert by["gold"].wins == 80  # beats both, 40 users each
+    assert by["bronze"].wins == 0
+    assert (
+        by["gold"].strength > by["silver"].strength > by["bronze"].strength
+    )
+    assert abs(sum(r.strength for r in out) - 1.0) < 1e-4
+    assert [r.item for r in out] == ["gold", "silver", "bronze"]

@@ -1245,3 +1245,35 @@ def test_bpe_apply_fertility_closed_form(spark, tmp_path):
     assert r.n_bpe_tokens == 10  # one token per word
     assert r.tokens_per_word == 1.0
     assert r.chars_per_token == 4.0
+
+
+def test_mojibake_repair_roundtrips_planted_corruption(spark, tmp_path):
+    """Planted UTF-8-as-Latin-1 rows repair back to the exact
+    original bytes; clean ASCII rows are never flagged (markers
+    can't occur), and a lookalike row with a real Latin-1 char that
+    fails strict UTF-8 stays untouched."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_mojibake_repair,
+    )
+
+    rows = [
+        (i, f"plain ascii document {i}", "en", "src0", 20)
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_mojibake_repair(spark, str(tmp_path)).collect()}
+    for i in range(60):
+        r = out[i]
+        assert r.roundtrip_ok, i
+        if i % 25 == 0:
+            assert r.had_mojibake
+            assert r.n_marker_chars >= 3  # é, ï, é, … lead bytes
+            assert r.repaired_len < r.shipped_len
+        else:
+            assert not r.had_mojibake
+            assert r.n_marker_chars == 0
+            assert r.repaired_len == r.shipped_len

@@ -15,6 +15,8 @@ import __spark_entry__ as E
 # (xxhash64-based hashing, Arrow-batched Python decode). Anything else
 # registered without an oracle is a contract regression.
 ROWS_ONLY_ALLOWED = {
+    "q_mojibake_repair",  # Python byte transcoding; round-trip pinned
+    "q_mst_boruvka",  # Boruvka union-find; Kruskal-replica-pinned
     "q_zorder_pruning_report",  # file-skip counts of scratch writes
     "q_heavy_hitter_tokens",  # space-saving brackets are layout-dependent
     "q_image_near_dup",  # real PNG decode; no SQL twin

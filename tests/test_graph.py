@@ -423,3 +423,46 @@ def test_scc_matches_tarjan_on_chained_cycles(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.scc_id for r in scc_components(df).collect()}
     assert got == _tarjan_sccs(edges)
+
+
+def test_mst_boruvka_matches_kruskal_reference(spark):
+    """The distributed Boruvka forest must equal a sequential
+    Kruskal with the identical total edge order (cost, p1, p2) —
+    edge-set equality, not just total weight, since the tie-broken
+    MST is unique."""
+    from datapoints_csv_extractor_spark.operators.graph import (
+        co_order_weighted_edges,
+        q_mst_boruvka,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r.p1, r.p2, r.n_shared)
+        for r in co_order_weighted_edges(spark, sf).collect()
+    ]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for p1, p2, w in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        r1, r2 = find(p1), find(p2)
+        if r1 != r2:
+            parent[r1] = r2
+            want.add((p1, p2, w))
+
+    got = {
+        (r.p1, r.p2, r.n_shared_orders)
+        for r in q_mst_boruvka(spark, sf).collect()
+    }
+    assert got == want
+    # Forest invariant: |edges| = |nodes| - |components|.
+    nodes = {p for e in edges for p in e[:2]}
+    comps = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - comps
