@@ -199,6 +199,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Maximum spanning forest (Boruvka) of the co-purchase graph
         # (rows-only: union-find; Kruskal-reference pytest-pinned).
         "q_mst_boruvka": G.q_mst_boruvka,
+        # ROC-AUC + Gini + KS separation via exact doubled midranks
+        # (the ranking half of classifier eval next to ECE).
+        "q_roc_auc": C.q_roc_auc,
+        # CUPED pre-period covariate adjustment (Deng et al. 2013) —
+        # exact integer moments, algebraic 1-rho^2 variance identity.
+        "q_cuped": A.q_cuped,
+        # AMS F2 sketch vs exact second frequency moment per source
+        # (median of 16 +-1-hash estimators, integer-exact).
+        "q_ams_f2": X.q_ams_f2,
+        # Heaps'-law vocabulary-growth fit over doc-order prefixes
+        # (single-pass checkpoint cumsums; decimal-fold OLS).
+        "q_heaps_law": X.q_heaps_law,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2038,6 +2050,10 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_train": X.bpe_train_oracle_sql(),
         "q_bpe_apply": X.bpe_apply_oracle_sql(),
         "q_bradley_terry": A.bradley_terry_oracle_sql(),
+        "q_roc_auc": C.roc_auc_oracle_sql(),
+        "q_cuped": A.cuped_oracle_sql(),
+        "q_ams_f2": X.ams_f2_oracle_sql(),
+        "q_heaps_law": X.heaps_law_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -24,12 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     # Round-9 additions: the nonparametric two-sample pair, lexical
-    # diversity, and the BPE tokenizer train/apply lifecycle.
+    # diversity, the BPE tokenizer train/apply lifecycle, classifier
+    # ranking eval, CUPED, the AMS sketch, Heaps' law, Bradley-Terry
+    # and the mojibake hygiene pass. (q_mst_boruvka is iteration-
+    # latency-bound — the HITS/pagerank rule — and stays out.)
     "q_ks_test",
     "q_mannwhitney_u",
     "q_distinct_ngrams",
     "q_bpe_train",
     "q_bpe_apply",
+    "q_roc_auc",
+    "q_cuped",
+    "q_ams_f2",
+    "q_heaps_law",
+    "q_bradley_terry",
+    "q_mojibake_repair",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

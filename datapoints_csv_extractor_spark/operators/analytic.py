@@ -4960,3 +4960,170 @@ def bradley_terry_oracle_sql(n_iters: int = 3) -> str:
         ORDER BY strength DESC, item
     """)
     return "".join(parts)
+
+
+def q_cuped(
+    spark: SparkSession, sf_dir: str, split_date: str = "2024-01-15"
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-
+    standard pre-experiment covariate adjustment): per-user PRE-
+    period spend X predicts POST-period spend Y, and the adjusted
+    metric Y' = Y - theta (X - mean X) with theta = cov(X, Y)/var(X)
+    strips the between-user variance an A/B readout wastes power on.
+    Completes the experimentation family: Welch tests the raw means,
+    SPRT sequences them, MDE sizes them — CUPED is how real
+    platforms make all three sharper without more traffic.
+
+    Arms reuse the q_ab_test_welch md5 coin (replay-stable). Users
+    missing a period contribute 0 for it (standard). Exactness:
+    per-user X/Y are exact centi-integer sums; one conditional-
+    aggregation scan folds n, Sx, Sy, Sxy, Sxx per arm as BIGINTs;
+    theta, the adjusted means, and the variance-reduction identity
+    1 - rho^2 (exact algebra: var(Y - theta X) = var(Y)(1 - rho^2)
+    at the optimal theta) are then single double expressions in
+    identical order on both engines — no per-row double folds
+    anywhere."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") < F.lit(split_date).cast("timestamp")).alias("pre"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pre"), F.col("cents")).otherwise(0)).alias("x"),
+        F.sum(F.when(~F.col("pre"), F.col("cents")).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    arm_b = (
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        )
+        >= "8"
+    )
+    tagged = per_user.select(
+        F.when(arm_b, F.lit("B")).otherwise(F.lit("A")).alias("arm"),
+        "x",
+        "y",
+    )
+    per_arm = tagged.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    tot = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tsx"),
+        F.sum("y").alias("tsy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = per_arm.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mx = F.col("tsx").cast("double") / nd
+    my = F.col("tsy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    varx = F.col("sxx").cast("double") / nd - mx * mx
+    vary = F.col("syy").cast("double") / nd - my * my
+    theta = cov / varx
+    rho2 = cov * cov / (varx * vary)
+    nad = F.col("n_users").cast("double")
+    mean_y = F.col("sy").cast("double") / nad / 100.0
+    mean_x_arm = F.col("sx").cast("double") / nad
+    mean_y_cuped = (
+        F.col("sy").cast("double") / nad
+        - theta * (mean_x_arm - mx)
+    ) / 100.0
+    return j.select(
+        "arm",
+        "n_users",
+        F.round(mean_y, 4).alias("mean_post"),
+        F.round(mean_y_cuped, 4).alias("mean_post_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+        F.round(F.lit(100.0) * rho2, 4).alias("var_reduction_pct"),
+    ).orderBy("arm")
+
+
+def cuped_oracle_sql(split_date: str = "2024-01-15") -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '{split_date}'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '{split_date}'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ), tagged AS (
+            SELECT CASE WHEN substring(md5('ab:' || CAST(user_id
+                            AS VARCHAR)), 1, 1) >= '8'
+                        THEN 'B' ELSE 'A' END AS arm,
+                   x, y
+            FROM per_user
+        ), per_arm AS (
+            SELECT arm, count(*) AS n_users, sum(x) AS sx, sum(y) AS sy
+            FROM tagged GROUP BY arm
+        ), tot AS (
+            SELECT count(*) AS n, sum(x) AS tsx, sum(y) AS tsy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM tagged
+        )
+        SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+               round(CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     / 100.0, 4) AS mean_post,
+               round((CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      - ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(tsx AS DOUBLE)
+                                 / CAST(n AS DOUBLE))))
+                        * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                           - CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / 100.0, 4) AS mean_post_cuped,
+               round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))),
+                     6) AS theta,
+               round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(tsy AS DOUBLE)
+                                / CAST(n AS DOUBLE)))),
+                     6) AS rho2,
+               round(100.0 * ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(tsx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(tsy AS DOUBLE)
+                                / CAST(n AS DOUBLE))))), 4)
+                   AS var_reduction_pct
+        FROM per_arm, tot
+        ORDER BY arm
+    """

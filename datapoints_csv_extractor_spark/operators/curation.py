@@ -3806,3 +3806,122 @@ def q_mojibake_repair(
         )
         .orderBy("doc_id")
     )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (+ Gini and the KS separation statistic) for a binary
+    classifier over the corpus — the threshold-free ranking metric
+    that completes the classifier-eval family next to the expected
+    calibration error (ECE says "are the probabilities honest"; AUC
+    says "does the score ORDER positives above negatives at all").
+    Classifier under evaluation: document length as an is-English
+    score — deliberately crude; the metric machinery is the
+    operator.
+
+    Exactness (the rank-sum identity): AUC = (R_pos - n_pos(n_pos+1)/2)
+    / (n_pos * n_neg) with midranks for ties — identical machinery to
+    q_mannwhitney_u, so DOUBLED midranks keep every rank quantity an
+    exact BIGINT and ties (integer scores tie heavily) are handled
+    exactly, with ONE double division at the end. KS separation
+    (max |TPR - FPR|) folds as max |cp*n_neg - cn*n_pos| over exact
+    cumulative BIGINTs — the same numerator trick as q_ks_test.
+    Plan: one groupBy(score) dimension-sized aggregate, one ordered
+    cumulative window over distinct scores, one global fold."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    per_s = d.groupBy("score").agg(
+        F.sum("is_pos").alias("np_v"),
+        F.sum(F.lit(1) - F.col("is_pos")).alias("nn_v"),
+    )
+    wcum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_v = F.col("np_v") + F.col("nn_v")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_s.select(
+        "np_v",
+        "nn_v",
+        (
+            F.lit(2) * (F.sum(t_v).over(wcum) - t_v) + t_v + F.lit(1)
+        ).alias("r2_v"),
+        F.sum("np_v").over(wcum).alias("cp"),
+        F.sum("nn_v").over(wcum).alias("cn"),
+        F.sum("np_v").over(wall).alias("tot_p"),
+        F.sum("nn_v").over(wall).alias("tot_n"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("np_v") * F.col("r2_v")).alias("rpos_x2"),
+        F.sum("np_v").alias("n_pos"),
+        F.sum("nn_v").alias("n_neg"),
+        F.max(
+            F.abs(
+                F.col("cp") * F.col("tot_n") - F.col("cn") * F.col("tot_p")
+            )
+        ).alias("ks_num"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    auc = F.round(
+        (F.col("rpos_x2").cast("double") / 2.0
+         - npd * (npd + 1.0) / 2.0)
+        / (npd * nnd),
+        6,
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        F.round(auc * 2.0 - 1.0, 6).alias("gini"),
+        F.round(F.col("ks_num").cast("double") / (npd * nnd), 6).alias(
+            "ks_separation"
+        ),
+    )
+
+
+def roc_auc_oracle_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(n_chars AS BIGINT) AS score,
+                   CAST(lang = 'en' AS BIGINT) AS is_pos
+            FROM documents
+        ), per_s AS (
+            SELECT score, sum(is_pos) AS np_v,
+                   sum(1 - is_pos) AS nn_v
+            FROM d GROUP BY score
+        ), ranked AS (
+            SELECT np_v, nn_v,
+                   2 * (sum(np_v + nn_v) OVER (ORDER BY score)
+                        - (np_v + nn_v)) + (np_v + nn_v) + 1 AS r2_v,
+                   sum(np_v) OVER (ORDER BY score) AS cp,
+                   sum(nn_v) OVER (ORDER BY score) AS cn
+            FROM per_s
+        ), agg AS (
+            SELECT sum(np_v * r2_v) AS rpos_x2,
+                   sum(np_v) AS n_pos,
+                   sum(nn_v) AS n_neg,
+                   max(abs(cp * (SELECT sum(nn_v) FROM ranked)
+                           - cn * (SELECT sum(np_v) FROM ranked)))
+                       AS ks_num
+            FROM ranked
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               round((CAST(rpos_x2 AS DOUBLE) / 2.0
+                      - CAST(n_pos AS DOUBLE)
+                        * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                     6) AS auc,
+               round(round((CAST(rpos_x2 AS DOUBLE) / 2.0
+                      - CAST(n_pos AS DOUBLE)
+                        * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                     6) * 2.0 - 1.0, 6) AS gini,
+               round(CAST(ks_num AS DOUBLE)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                     6) AS ks_separation
+        FROM agg
+    """

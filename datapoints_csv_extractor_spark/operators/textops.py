@@ -4016,3 +4016,301 @@ def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
         GROUP BY source
         ORDER BY source
     """
+
+
+def q_ams_f2(
+    spark: SparkSession, sf_dir: str, n_estimators: int = 16
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996,
+    the result that started streaming sketches): estimate
+    F2 = sum_w f_w^2 of the token-frequency vector per source from
+    ``n_estimators`` +-1-hash counters, next to the exact F2 for the
+    error read. F2 is the self-join size of the token table — the
+    skew dial that prices shuffle joins and repetition-heavy sources
+    (F2/F1^2 is a concentration read the datacard wants).
+
+    Sketch math: Z_i = sum_w f_w s_i(w) with 4-wise-ish signs from
+    the seeded md5 coin; E[Z_i^2] = F2. The estimate is the MEDIAN
+    of the 16 Z_i^2 (median-of-estimates is the AMS variance
+    control; with even n, the mean of the two middle order
+    statistics). Everything is exact integers until one final
+    division: signs are +-1, Z_i folds as BIGINT, Z_i^2 exact, the
+    median of BIGINTs has one /2.0.
+
+    Plan: signs are computed on the DISTINCT (source, token)
+    frequency table (two-level — the corpus is touched once), then
+    a 16x explode keeps the estimator dimension in rows, one
+    groupBy(source, estimator) sum, one per-source sorted-array
+    fold. All dimension-sized after the first aggregate."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    freq = (
+        d.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint()  # feeds the exact-F2 and the sketch legs
+    )
+    exact = freq.groupBy("source").agg(
+        F.sum(F.col("f") * F.col("f")).alias("f2_true"),
+        F.sum("f").alias("n_tokens"),
+    )
+    est = freq.select(
+        "source",
+        "tok",
+        "f",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_estimators)])
+        ).alias("i"),
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("ams"), F.col("i"), F.col("tok")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    z = est.groupBy("source", "i").agg(
+        F.sum(F.col("f") * sign).alias("z")
+    )
+    sk = z.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.col("z") * F.col("z"))).alias(
+            "ests"
+        )
+    )
+    lo = F.element_at(F.col("ests"), n_estimators // 2)
+    hi = F.element_at(F.col("ests"), n_estimators // 2 + 1)
+    f2_ams = (lo + hi).cast("double") / 2.0
+    return (
+        exact.join(sk, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "f2_true",
+            F.round(f2_ams, 1).alias("f2_ams"),
+            F.round(
+                (f2_ams - F.col("f2_true").cast("double"))
+                / F.col("f2_true").cast("double"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
+def ams_f2_oracle_sql(n_estimators: int = 16) -> str:
+    return f"""
+        WITH freq AS (
+            SELECT source, tok, count(*) AS f FROM (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY source, tok
+        ), exact AS (
+            SELECT source, sum(f * f) AS f2_true, sum(f) AS n_tokens
+            FROM freq GROUP BY source
+        ), z AS (
+            SELECT source, i,
+                   sum(f * CASE WHEN ('0x' || substring(md5(
+                           'ams:' || CAST(i AS VARCHAR) || ':' || tok),
+                           1, 8))::BIGINT % 2 = 0
+                           THEN 1 ELSE -1 END) AS z
+            FROM freq,
+                 (SELECT unnest(range(0, {n_estimators})) AS i)
+            GROUP BY source, i
+        ), sk AS (
+            SELECT source, list_sort(list(z * z)) AS ests
+            FROM z GROUP BY source
+        )
+        SELECT e.source,
+               CAST(e.n_tokens AS BIGINT) AS n_tokens,
+               CAST(e.f2_true AS BIGINT) AS f2_true,
+               round(CAST(sk.ests[{n_estimators // 2}]
+                          + sk.ests[{n_estimators // 2 + 1}] AS DOUBLE)
+                     / 2.0, 1) AS f2_ams,
+               round((CAST(sk.ests[{n_estimators // 2}]
+                           + sk.ests[{n_estimators // 2 + 1}] AS DOUBLE)
+                      / 2.0 - CAST(e.f2_true AS DOUBLE))
+                     / CAST(e.f2_true AS DOUBLE), 4) AS rel_error
+        FROM exact e JOIN sk ON e.source = sk.source
+        ORDER BY e.source
+    """
+
+
+def q_heaps_law(
+    spark: SparkSession, sf_dir: str, n_checkpoints: int = 10
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ~ K * N^beta over
+    ``n_checkpoints`` doc-order prefixes of the corpus — the
+    companion dial to the in-window Zipf fit (Zipf reads the
+    frequency head; Heaps reads how fast NEW types keep arriving,
+    which is what sizes tokenizer vocabularies and predicts
+    out-of-vocabulary rates as a corpus grows).
+
+    Plan (single-pass, no 10x re-scan): each document maps to the
+    FIRST checkpoint whose doc-id threshold covers it, each word to
+    the checkpoint of its FIRST occurrence (one groupBy(word) min) —
+    then cumulative sums over the 10-row checkpoint grid give exact
+    prefix token counts and vocabulary sizes. The log-log OLS fit
+    folds rounded-6 ln terms as DECIMALs over the 10-row grid (the
+    q_zipf_fit discipline), so slope and intercept are
+    engine-identical."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    per_doc = d.select("doc_id", F.size("toks").alias("n_toks"))
+    firsts = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    m = per_doc.agg(F.max("doc_id").alias("m"))
+
+    def jmin(idcol):
+        arr = F.transform(
+            F.sequence(F.lit(1), F.lit(n_checkpoints)),
+            lambda j: F.floor(
+                F.col("m").cast("double") * j / F.lit(n_checkpoints)
+            ),
+        )
+        return (
+            F.lit(1)
+            + F.size(F.filter(arr, lambda t: t < idcol))
+        ).alias("j")
+
+    docs_g = (
+        per_doc.crossJoin(F.broadcast(m))
+        .select(jmin(F.col("doc_id")), "n_toks")
+        .groupBy("j")
+        .agg(F.sum("n_toks").alias("toks_new"))
+    )
+    words_g = (
+        firsts.crossJoin(F.broadcast(m))
+        .select(jmin(F.col("first_doc")))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+    )
+    grid = (
+        spark.range(1, n_checkpoints + 1)
+        .select(F.col("id").cast("int").alias("j"))
+        .join(docs_g, "j", "left")
+        .join(words_g, "j", "left")
+        .na.fill({"toks_new": 0, "vocab_new": 0})
+    )
+    wcum = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "j",
+        F.sum("toks_new").over(wcum).alias("n_tokens"),
+        F.sum("vocab_new").over(wcum).alias("vocab"),
+    )
+    lx = F.round(F.log(F.col("n_tokens").cast("double")), 6)
+    ly = F.round(F.log(F.col("vocab").cast("double")), 6)
+    pts = cum.select(
+        "j", "n_tokens", "vocab", lx.alias("lx"), ly.alias("ly")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    n = F.count(F.lit(1)).over(wall).cast("double")
+    sx = F.sum(dec(F.col("lx"))).over(wall).cast("double")
+    sy = F.sum(dec(F.col("ly"))).over(wall).cast("double")
+    sxy = F.sum(dec(F.round(F.col("lx") * F.col("ly"), 6))).over(
+        wall
+    ).cast("double")
+    sxx = F.sum(dec(F.round(F.col("lx") * F.col("lx"), 6))).over(
+        wall
+    ).cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.select(
+        "j",
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((sy - beta * sx) / n), 4).alias("heaps_k"),
+    ).orderBy("j")
+
+
+def heaps_law_oracle_sql(n_checkpoints: int = 10) -> str:
+    k = n_checkpoints
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), m AS (SELECT max(doc_id) AS m FROM d),
+        per_doc AS (
+            SELECT doc_id, len(toks) AS n_toks FROM d
+        ), firsts AS (
+            SELECT tok, min(doc_id) AS first_doc FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM d
+            ) GROUP BY tok
+        ), docs_g AS (
+            SELECT 1 + len(list_filter(
+                       list_transform(range(1, {k} + 1),
+                           j -> floor(CAST(m.m AS DOUBLE) * j / {k})),
+                       t -> t < doc_id)) AS j,
+                   sum(n_toks) AS toks_new
+            FROM per_doc, m GROUP BY 1
+        ), words_g AS (
+            SELECT 1 + len(list_filter(
+                       list_transform(range(1, {k} + 1),
+                           j -> floor(CAST(m.m AS DOUBLE) * j / {k})),
+                       t -> t < first_doc)) AS j,
+                   count(*) AS vocab_new
+            FROM firsts, m GROUP BY 1
+        ), grid AS (
+            SELECT CAST(g.j AS INT) AS j,
+                   coalesce(d.toks_new, 0) AS toks_new,
+                   coalesce(w.vocab_new, 0) AS vocab_new
+            FROM (SELECT unnest(range(1, {k} + 1)) AS j) g
+            LEFT JOIN docs_g d ON d.j = g.j
+            LEFT JOIN words_g w ON w.j = g.j
+        ), cum AS (
+            SELECT j,
+                   sum(toks_new) OVER (ORDER BY j) AS n_tokens,
+                   sum(vocab_new) OVER (ORDER BY j) AS vocab
+            FROM grid
+        ), pts AS (
+            SELECT j, n_tokens, vocab,
+                   round(ln(CAST(n_tokens AS DOUBLE)), 6) AS lx,
+                   round(ln(CAST(vocab AS DOUBLE)), 6) AS ly
+            FROM cum
+        ), fit AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(round(lx * ly, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(round(lx * lx, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sxx
+            FROM pts
+        )
+        SELECT pts.j, CAST(pts.n_tokens AS BIGINT) AS n_tokens,
+               CAST(pts.vocab AS BIGINT) AS vocab,
+               round((fit.n * fit.sxy - fit.sx * fit.sy)
+                     / (fit.n * fit.sxx - fit.sx * fit.sx), 6)
+                   AS heaps_beta,
+               round(exp((fit.sy - (fit.n * fit.sxy - fit.sx * fit.sy)
+                          / (fit.n * fit.sxx - fit.sx * fit.sx)
+                          * fit.sx) / fit.n), 4) AS heaps_k
+        FROM pts, fit
+        ORDER BY pts.j
+    """

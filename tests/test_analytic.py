@@ -1892,3 +1892,42 @@ def test_bradley_terry_recovers_a_planted_total_order(spark, tmp_path):
     )
     assert abs(sum(r.strength for r in out) - 1.0) < 1e-4
     assert [r.item for r in out] == ["gold", "silver", "bronze"]
+
+
+def test_cuped_strips_planted_preperiod_variance(spark, tmp_path):
+    """Post = pre + small arm effect: theta ~ 1, rho^2 near 1, and
+    the CUPED-adjusted arm means preserve the planted lift while the
+    variance-reduction readout is large."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_cuped,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(200):
+        base = 10.0 + (u % 50)  # big between-user spread
+        rows.append((eid, "2024-01-05 10:00:00", u, "click", base, "{}"))
+        eid += 1
+        arm_b = None  # arm comes from the md5 coin inside the operator
+        rows.append(
+            (eid, "2024-01-20 10:00:00", u, "click", base + 1.0, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.arm: r for r in q_cuped(spark, str(tmp_path)).collect()}
+    assert set(out) == {"A", "B"}
+    r = out["A"]
+    # post = pre + 1 exactly -> cov = var -> theta = 1, rho^2 = 1.
+    assert abs(r.theta - 1.0) < 1e-6
+    assert abs(r.rho2 - 1.0) < 1e-6
+    assert r.var_reduction_pct > 99.99
+    # With theta = 1 the adjusted means collapse to mean(post - pre)
+    # + grand mean(pre): both arms read the same adjusted value.
+    assert abs(out["A"].mean_post_cuped - out["B"].mean_post_cuped) < 1e-9

@@ -1277,3 +1277,33 @@ def test_mojibake_repair_roundtrips_planted_corruption(spark, tmp_path):
             assert not r.had_mojibake
             assert r.n_marker_chars == 0
             assert r.repaired_len == r.shipped_len
+
+
+def test_roc_auc_closed_forms(spark, tmp_path):
+    """A perfectly separating score gives AUC = 1, Gini = 1, KS = 1;
+    a constant score (all tied) gives AUC exactly 0.5 and KS 0."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_roc_auc,
+    )
+
+    # Perfect: every English doc longer than every non-English doc.
+    rows = []
+    for i in range(50):
+        rows.append((i, "x", "en", "s", 1000 + i))
+        rows.append((100 + i, "x", "de", "s", 10 + i))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_roc_auc(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (50, 50)
+    assert r.auc == 1.0 and r.gini == 1.0 and r.ks_separation == 1.0
+
+    # Degenerate: one shared length -> pure ties, AUC 0.5, KS 0.
+    rows = [(i, "x", "en" if i % 2 else "de", "s", 77) for i in range(80)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_roc_auc(spark, str(tmp_path)).collect()[0]
+    assert r.auc == 0.5 and r.gini == 0.0 and r.ks_separation == 0.0

@@ -2749,3 +2749,49 @@ def test_syndication_matrix_counts_shared_leads_per_pair(spark, tmp_path):
         ("srcA", "srcC"): 1,
         ("srcB", "srcC"): 1,
     }, out
+
+
+def test_ams_f2_exact_on_degenerate_and_bounded_on_real(spark, tmp_path):
+    """A one-word corpus makes every AMS estimator exact (Z_i = +-n,
+    Z_i^2 = n^2 = F2, rel_error 0); on a mixed corpus the median
+    estimate must sit within a sane band of the true F2."""
+    from datapoints_csv_extractor_spark.operators.textops import q_ams_f2
+
+    rows = [(i, "spark spark spark spark", "en", "s0", 23)
+            for i in range(25)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_ams_f2(spark, str(tmp_path)).collect()[0]
+    assert r.n_tokens == 100
+    assert r.f2_true == 100 * 100
+    assert r.f2_ams == float(100 * 100)
+    assert r.rel_error == 0.0
+
+    real = q_ams_f2(spark, "/root/testdata/sf0.001").collect()
+    assert len(real) == 20
+    for row in real:
+        assert abs(row.rel_error) < 1.0  # median-of-16 keeps it sane
+
+
+def test_heaps_law_closed_form_linear_vocab(spark, tmp_path):
+    """Every doc contributes exactly one NEVER-SEEN word and one
+    token, so V(N) = N exactly: beta = 1, K = 1, and each checkpoint
+    row has vocab == n_tokens."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_heaps_law,
+    )
+
+    rows = [(i, f"w{i:05d}", "en", "s0", 6) for i in range(400)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_heaps_law(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.vocab == r.n_tokens
+        assert r.heaps_beta == 1.0
+        assert r.heaps_k == 1.0
+    assert out[-1].n_tokens == 400
