@@ -211,6 +211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Heaps'-law vocabulary-growth fit over doc-order prefixes
         # (single-pass checkpoint cumsums; decimal-fold OLS).
         "q_heaps_law": X.q_heaps_law,
+        # Luhn-validated credit-card PII detection (planted valid +
+        # lookalike; JVM array fold, oracle-exact).
+        "q_luhn_pii": C.q_luhn_pii,
+        # Unicode script-mix census (code-point range counts via
+        # single-char comparisons — no regex dialect; oracle-exact).
+        "q_script_mix": X.q_script_mix,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2054,6 +2060,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cuped": A.cuped_oracle_sql(),
         "q_ams_f2": X.ams_f2_oracle_sql(),
         "q_heaps_law": X.heaps_law_oracle_sql(),
+        "q_luhn_pii": C.luhn_pii_oracle_sql(),
+        "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q_heaps_law",
     "q_bradley_terry",
     "q_mojibake_repair",
+    "q_luhn_pii",
+    "q_script_mix",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

@@ -3925,3 +3925,113 @@ def roc_auc_oracle_sql() -> str:
                      6) AS ks_separation
         FROM agg
     """
+
+
+def q_luhn_pii(
+    spark: SparkSession, sf_dir: str, plant_mod: int = 20
+) -> DataFrame:
+    """Credit-card-number PII detection with LUHN VALIDATION — the
+    checksum pass that separates real card numbers from the sea of
+    13-19-digit lookalikes (order ids, timestamps, EANs) a naive
+    regex redactor would mangle: a digit-run is only reportable PII
+    if its Luhn check digit verifies (ISO/IEC 7812), which cuts
+    false positives ~10x and is what production DLP scanners do.
+
+    The corpus is digit-light, so the query PLANTS both classes (the
+    dirty-twin discipline): every ``plant_mod``-th doc gains a VALID
+    card number, every (plant_mod, offset-7) doc an INVALID
+    lookalike differing in one digit. Candidates are standalone
+    13-19 digit runs; the Luhn fold doubles every second digit from
+    the right, subtracting 9 on overflow — expressed as an
+    index-aware array fold (JVM-side higher-order functions, no
+    UDF), with the identical fold in the DuckDB oracle via an
+    unnested position join. Output: per-source candidate vs
+    Luhn-valid counts — exact integers."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = F.when(
+        F.col("doc_id") % plant_mod == 0,
+        F.concat(F.col("text"), F.lit(" card 4532015112830366 on file")),
+    ).when(
+        F.col("doc_id") % plant_mod == 7,
+        F.concat(F.col("text"), F.lit(" ref 4532015112830367 thanks")),
+    ).otherwise(F.col("text"))
+    cands = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(planted, F.lit(r"\b(\d{13,19})\b"), 1)
+        ).alias("num"),
+    )
+    digits = F.reverse(F.split(F.col("num"), ""))
+    term = lambda c, i: F.when(  # noqa: E731
+        i % 2 == 1,
+        F.when(
+            (c.cast("int") * 2) > 9, c.cast("int") * 2 - 9
+        ).otherwise(c.cast("int") * 2),
+    ).otherwise(c.cast("int"))
+    luhn_sum = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.size(digits) - 1),
+            lambda c, i: term(c, i),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    checked = cands.select(
+        "source", (luhn_sum % 10 == 0).cast("long").alias("ok")
+    )
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("ok").alias("n_luhn_valid"),
+        )
+        .orderBy("source")
+    )
+
+
+def luhn_pii_oracle_sql(plant_mod: int = 20) -> str:
+    return f"""
+        WITH planted AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % {plant_mod} = 0
+                        THEN text || ' card 4532015112830366 on file'
+                        WHEN doc_id % {plant_mod} = 7
+                        THEN text || ' ref 4532015112830367 thanks'
+                        ELSE text END AS text
+            FROM documents
+        ), lists AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(text,
+                          '\\b(\\d{{13,19}})\\b', 1) AS nums
+            FROM planted
+        ), cands AS (
+            SELECT doc_id, source, k, nums[k] AS num
+            FROM lists, unnest(range(1, len(nums) + 1)) AS t(k)
+        ), digitpos AS (
+            SELECT doc_id, source, k, num,
+                   unnest(range(0, length(num))) AS i
+            FROM cands
+        ), terms AS (
+            SELECT doc_id, source, k, num,
+                   CASE WHEN i % 2 = 1 THEN
+                        CASE WHEN CAST(substring(reverse(num), i + 1, 1)
+                                  AS INT) * 2 > 9
+                             THEN CAST(substring(reverse(num), i + 1, 1)
+                                  AS INT) * 2 - 9
+                             ELSE CAST(substring(reverse(num), i + 1, 1)
+                                  AS INT) * 2 END
+                   ELSE CAST(substring(reverse(num), i + 1, 1) AS INT)
+                   END AS t
+            FROM digitpos
+        ), checked AS (
+            SELECT source,
+                   CAST(sum(t) % 10 = 0 AS BIGINT) AS ok
+            FROM terms GROUP BY doc_id, source, k, num
+        )
+        SELECT source, count(*) AS n_candidates,
+               CAST(sum(ok) AS BIGINT) AS n_luhn_valid
+        FROM checked GROUP BY source
+        ORDER BY source
+    """

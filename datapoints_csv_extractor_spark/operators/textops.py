@@ -4314,3 +4314,111 @@ def heaps_law_oracle_sql(n_checkpoints: int = 10) -> str:
         FROM pts, fit
         ORDER BY pts.j
     """
+
+
+def q_script_mix(
+    spark: SparkSession, sf_dir: str, plant_mod: int = 17
+) -> DataFrame:
+    """Unicode script-mix census: per-document counts of Latin, CJK,
+    Cyrillic, Arabic, digit and other characters, rolled up per
+    source — the lang-id adjunct that catches what an n-gram model
+    can't (mixed-script spam, wrong-script injections inside an
+    'en' page, mojibake that survived repair) and the routing dial
+    for per-script tokenizer branches.
+
+    The corpus is ASCII, so two script tails are PLANTED per
+    ``plant_mod`` cycle (the dirty-twin discipline). Counting is a
+    single JVM-side filter over the char array per range — a
+    SINGLE-CHARACTER string comparison is a code-point comparison
+    in both engines (no regex unicode-class dialect to disagree
+    over), so every count is an exact integer in both. Map-only +
+    one rollup."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = (
+        F.when(
+            F.col("doc_id") % plant_mod == 3,
+            F.concat(F.col("text"), F.lit(" Привет мир")),
+        )
+        .when(
+            F.col("doc_id") % plant_mod == 5,
+            F.concat(F.col("text"), F.lit(" 你好世界 مرحبا")),
+        )
+        .otherwise(F.col("text"))
+    )
+    chars = F.split(planted, "")
+
+    def in_range(lo, hi):
+        return F.size(
+            F.filter(chars, lambda c: (c >= F.lit(lo)) & (c <= F.lit(hi)))
+        )
+
+    latin = in_range("A", "Z") + in_range("a", "z")
+    digit = in_range("0", "9")
+    cjk = in_range("一", "鿿")
+    cyrillic = in_range("Ѐ", "ӿ")
+    arabic = in_range("؀", "ۿ")
+    per_doc = d.select(
+        "source",
+        F.length(planted).alias("n_chars"),
+        latin.alias("latin"),
+        digit.alias("digit"),
+        cjk.alias("cjk"),
+        cyrillic.alias("cyrillic"),
+        arabic.alias("arabic"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("latin").alias("n_latin"),
+            F.sum("digit").alias("n_digit"),
+            F.sum("cjk").alias("n_cjk"),
+            F.sum("cyrillic").alias("n_cyrillic"),
+            F.sum("arabic").alias("n_arabic"),
+            F.sum(
+                (F.col("cjk") + F.col("cyrillic") + F.col("arabic") > 0)
+                .cast("long")
+            ).alias("n_docs_nonlatin_script"),
+        )
+        .orderBy("source")
+    )
+
+
+def script_mix_oracle_sql(plant_mod: int = 17) -> str:
+    rng = (
+        "len(list_filter(string_split_regex(text, ''), "
+        "c -> c >= '{lo}' and c <= '{hi}'))"
+    )
+    return f"""
+        WITH planted AS (
+            SELECT source,
+                   CASE WHEN doc_id % {plant_mod} = 3
+                        THEN text || ' Привет мир'
+                        WHEN doc_id % {plant_mod} = 5
+                        THEN text || ' 你好世界 مرحبا'
+                        ELSE text END AS text
+            FROM documents
+        ), per_doc AS (
+            SELECT source, length(text) AS n_chars,
+                   {rng.format(lo='A', hi='Z')}
+                   + {rng.format(lo='a', hi='z')} AS latin,
+                   {rng.format(lo='0', hi='9')} AS digit,
+                   {rng.format(lo=chr(0x4E00), hi=chr(0x9FFF))} AS cjk,
+                   {rng.format(lo=chr(0x0400), hi=chr(0x04FF))}
+                       AS cyrillic,
+                   {rng.format(lo=chr(0x0600), hi=chr(0x06FF))}
+                       AS arabic
+            FROM planted
+        )
+        SELECT source,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(latin) AS BIGINT) AS n_latin,
+               CAST(sum(digit) AS BIGINT) AS n_digit,
+               CAST(sum(cjk) AS BIGINT) AS n_cjk,
+               CAST(sum(cyrillic) AS BIGINT) AS n_cyrillic,
+               CAST(sum(arabic) AS BIGINT) AS n_arabic,
+               CAST(sum(CAST(cjk + cyrillic + arabic > 0 AS BIGINT))
+                    AS BIGINT) AS n_docs_nonlatin_script
+        FROM per_doc GROUP BY source
+        ORDER BY source
+    """

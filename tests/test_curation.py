@@ -1307,3 +1307,46 @@ def test_roc_auc_closed_forms(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     r = q_roc_auc(spark, str(tmp_path)).collect()[0]
     assert r.auc == 0.5 and r.gini == 0.0 and r.ks_separation == 0.0
+
+
+def test_luhn_pii_separates_valid_from_lookalike(spark, tmp_path):
+    """The planted valid card validates, the one-digit-off lookalike
+    does not, and digit-free docs produce no candidates — the
+    checksum is doing the work, not the regex."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_luhn_pii,
+    )
+
+    rows = [(i, "no digits here", "en", "s0", 14) for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_luhn_pii(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ids 0, 20 get the valid card; ids 7, 27 the invalid lookalike.
+    assert r.n_candidates == 4
+    assert r.n_luhn_valid == 2
+
+
+def test_script_mix_counts_planted_scripts_exactly(spark, tmp_path):
+    """' Привет мир' plants exactly 9 Cyrillic letters; ' 你好世界 مرحبا'
+    plants 4 CJK + 5 Arabic; pure-ASCII docs count zero non-Latin."""
+    from datapoints_csv_extractor_spark.operators.textops import (
+        q_script_mix,
+    )
+
+    rows = [(i, "abc 123", "en", "s0", 7) for i in range(34)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = q_script_mix(spark, str(tmp_path)).collect()[0]
+    # ids 3, 20 -> cyrillic tail; ids 5, 22 -> cjk+arabic tail.
+    assert r.n_cyrillic == 2 * 9
+    assert r.n_cjk == 2 * 4
+    assert r.n_arabic == 2 * 5
+    assert r.n_docs_nonlatin_script == 4
+    assert r.n_latin == 34 * 3
+    assert r.n_digit == 34 * 3
