@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode script-mix census (code-point range counts via
         # single-char comparisons — no regex dialect; oracle-exact).
         "q_script_mix": X.q_script_mix,
+        # Cohen's kappa between the Gopher and C4 gates — the
+        # filter-redundancy read (composes both gates verbatim).
+        "q_filter_kappa": C.q_filter_kappa,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -5157,5 +5160,59 @@ def oracle_sql() -> dict[str, str]:
                         * ln(1.0 - 2.0 * abs(us - 0.5))), 4) AS noisy_value_sum
         FROM seeded
         ORDER BY event_type
+    """
+    # Cohen's kappa between the Gopher and C4 gates: nests the two
+    # gates' OWN oracle SQL as derived tables — shared derivation,
+    # zero predicate drift.
+    sql["q_filter_kappa"] = f"""
+        WITH g AS (SELECT doc_id, CAST(passes_gopher AS BIGINT) AS g
+                   FROM ({sql["q_gopher_rules"]})),
+        c AS (SELECT doc_id, CAST(passes_c4 AS BIGINT) AS c
+              FROM ({sql["q_c4_rules"]})),
+        cells AS (
+            SELECT count(*) AS n_docs,
+                   sum(g * c) AS n_both_pass,
+                   sum((1 - g) * (1 - c)) AS n_both_fail,
+                   sum(g * (1 - c)) AS n_gopher_only,
+                   sum((1 - g) * c) AS n_c4_only
+            FROM g JOIN c USING (doc_id)
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_both_pass AS BIGINT) AS n_both_pass,
+               CAST(n_both_fail AS BIGINT) AS n_both_fail,
+               CAST(n_gopher_only AS BIGINT) AS n_gopher_only,
+               CAST(n_c4_only AS BIGINT) AS n_c4_only,
+               round((CAST(n_both_pass AS DOUBLE)
+                      + CAST(n_both_fail AS DOUBLE))
+                     / CAST(n_docs AS DOUBLE), 6) AS agreement,
+               round(((CAST(n_both_pass AS DOUBLE)
+                       + CAST(n_both_fail AS DOUBLE))
+                      / CAST(n_docs AS DOUBLE)
+                      - (((CAST(n_both_pass AS DOUBLE)
+                           + CAST(n_gopher_only AS DOUBLE))
+                          / CAST(n_docs AS DOUBLE))
+                         * ((CAST(n_both_pass AS DOUBLE)
+                             + CAST(n_c4_only AS DOUBLE))
+                            / CAST(n_docs AS DOUBLE))
+                         + (1.0 - (CAST(n_both_pass AS DOUBLE)
+                                   + CAST(n_gopher_only AS DOUBLE))
+                                  / CAST(n_docs AS DOUBLE))
+                           * (1.0 - (CAST(n_both_pass AS DOUBLE)
+                                     + CAST(n_c4_only AS DOUBLE))
+                                    / CAST(n_docs AS DOUBLE))))
+                     / (1.0 - (((CAST(n_both_pass AS DOUBLE)
+                                 + CAST(n_gopher_only AS DOUBLE))
+                                / CAST(n_docs AS DOUBLE))
+                               * ((CAST(n_both_pass AS DOUBLE)
+                                   + CAST(n_c4_only AS DOUBLE))
+                                  / CAST(n_docs AS DOUBLE))
+                               + (1.0 - (CAST(n_both_pass AS DOUBLE)
+                                         + CAST(n_gopher_only AS DOUBLE))
+                                        / CAST(n_docs AS DOUBLE))
+                                 * (1.0 - (CAST(n_both_pass AS DOUBLE)
+                                           + CAST(n_c4_only AS DOUBLE))
+                                          / CAST(n_docs AS DOUBLE)))),
+                     6) AS kappa
+        FROM cells
     """
     return sql

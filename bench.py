@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q_mojibake_repair",
     "q_luhn_pii",
     "q_script_mix",
+    "q_filter_kappa",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

@@ -4035,3 +4035,62 @@ def luhn_pii_oracle_sql(plant_mod: int = 20) -> str:
         FROM checked GROUP BY source
         ORDER BY source
     """
+
+
+def q_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two published quality filters
+    (Gopher vs C4) over the same corpus — the FILTER-REDUNDANCY
+    read: raw agreement over-credits filters that both pass almost
+    everything, kappa corrects for chance, so a low kappa says the
+    two rule sets encode genuinely different notions of quality
+    (keep both) while kappa ~ 1 says one is deadweight. The same
+    arithmetic is the inter-annotator-agreement primitive for
+    labeling QA.
+
+    Composes the existing gates verbatim (q_gopher_rules /
+    q_c4_rules — no re-derived predicates to drift) with one
+    doc_id equi-join and a single 2x2 confusion fold: exact integer
+    cells, marginal chance agreement pe and kappa as identical-order
+    double expressions rounded 6. The oracle nests the two gates'
+    own oracle SQL as CTEs — shared derivation, zero drift."""
+    from datapoints_csv_extractor_spark.operators.curation import (  # noqa
+        q_c4_rules,
+        q_gopher_rules,
+    )
+
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("long").alias("g")
+    )
+    c = q_c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").cast("long").alias("c")
+    )
+    cells = g.join(c, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g") * F.col("c")).alias("n_both_pass"),
+        F.sum((1 - F.col("g")) * (1 - F.col("c"))).alias("n_both_fail"),
+        F.sum(F.col("g") * (1 - F.col("c"))).alias("n_gopher_only"),
+        F.sum((1 - F.col("g")) * F.col("c")).alias("n_c4_only"),
+    )
+    nd = F.col("n_docs").cast("double")
+    po = (
+        F.col("n_both_pass").cast("double")
+        + F.col("n_both_fail").cast("double")
+    ) / nd
+    pg = (
+        F.col("n_both_pass").cast("double")
+        + F.col("n_gopher_only").cast("double")
+    ) / nd
+    pc = (
+        F.col("n_both_pass").cast("double")
+        + F.col("n_c4_only").cast("double")
+    ) / nd
+    pe = pg * pc + (1.0 - pg) * (1.0 - pc)
+    return cells.select(
+        "n_docs",
+        "n_both_pass",
+        "n_both_fail",
+        "n_gopher_only",
+        "n_c4_only",
+        F.round(po, 6).alias("agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

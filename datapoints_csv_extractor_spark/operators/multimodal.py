@@ -21,10 +21,12 @@ entropy decode + IDCT + chroma upsample), and GIF decodes its first
 frame (``gifcodec.decode_gif``: variable-width LZW + palette +
 interlace) — the classic image trio all sample-decode with zero
 third-party code (JPEG covers baseline AND progressive SOF2 since
-round 9). The remaining compressed-codec stand-in boundary is
-arithmetic-coded/12-bit JPEG, GIF animation beyond frame 1, and
-temporal codecs (MP3/AAC, H.264) — ffmpeg-class work this container
-ships no libraries for.
+round 9; GIF covers full animation — frame compositing with GCE
+transparency and disposal — since round 8, see
+gifcodec.decode_gif_frames). The remaining compressed-codec
+stand-in boundary is arithmetic-coded/12-bit JPEG and temporal
+codecs (MP3/AAC, H.264) — ffmpeg-class work this container ships
+no libraries for.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is

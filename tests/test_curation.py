@@ -1350,3 +1350,39 @@ def test_script_mix_counts_planted_scripts_exactly(spark, tmp_path):
     assert r.n_docs_nonlatin_script == 4
     assert r.n_latin == 34 * 3
     assert r.n_digit == 34 * 3
+
+
+def test_filter_kappa_matches_pure_python_recompute(spark):
+    """The kappa row must agree with a pure-Python recompute from
+    the two gates' own verdict tables (confusion cells, chance-
+    corrected agreement), and the cells must partition the corpus."""
+    from datapoints_csv_extractor_spark.operators.curation import (
+        q_c4_rules,
+        q_filter_kappa,
+        q_gopher_rules,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    g = {r.doc_id: bool(r.passes_gopher)
+         for r in q_gopher_rules(spark, sf).collect()}
+    c = {r.doc_id: bool(r.passes_c4)
+         for r in q_c4_rules(spark, sf).collect()}
+    both = set(g) & set(c)
+    n11 = sum(1 for d in both if g[d] and c[d])
+    n00 = sum(1 for d in both if not g[d] and not c[d])
+    n10 = sum(1 for d in both if g[d] and not c[d])
+    n01 = sum(1 for d in both if not g[d] and c[d])
+    n = len(both)
+    po = (n11 + n00) / n
+    pg, pc = (n11 + n10) / n, (n11 + n01) / n
+    pe = pg * pc + (1 - pg) * (1 - pc)
+    want = round((po - pe) / (1 - pe), 6)
+
+    r = q_filter_kappa(spark, sf).collect()[0]
+    assert r.n_docs == n
+    assert (r.n_both_pass, r.n_both_fail, r.n_gopher_only, r.n_c4_only) \
+        == (n11, n00, n10, n01)
+    assert r.n_both_pass + r.n_both_fail + r.n_gopher_only \
+        + r.n_c4_only == r.n_docs
+    assert abs(r.kappa - want) < 1e-9
+    assert -1.0 <= r.kappa <= 1.0

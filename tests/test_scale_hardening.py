@@ -394,3 +394,43 @@ def test_ivf_cell_balance_and_refresh_recovers_recall(spark, tmp_path):
     # B's tight cluster dominates the neighborhood of any B member:
     # the refreshed geometry must place it in probeable cells.
     assert len([v for v in got if v >= 1000]) >= 8, got
+
+
+def test_linkage_candidate_pools_are_window_bounded(spark):
+    """The round-9 linkage contract: candidate pairs are bounded by
+    rows x window (F-S), distinct-name reps x window (JW), and
+    2 x reps x window (fuzzy two-pass) — the property that killed
+    round 8's quadratic blocking. Checked at sf0.01 with the
+    operators' own candidate helpers (the same functions the bench
+    pair telemetry counts)."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.relational import (
+        fs_candidates,
+        fuzzy_match_candidates,
+        jw_fuzzy_candidates,
+        linkage_corpus,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n_rows = linkage_corpus(spark, sf).count()
+    assert fs_candidates(spark, sf, window=8).count() <= n_rows * 8
+
+    reps_jw = (
+        linkage_corpus(spark, sf)
+        .groupBy("p_brand", "p_name")
+        .agg(F.min("p_partkey"))
+        .count()
+    )
+    assert jw_fuzzy_candidates(spark, sf, window=4).count() <= reps_jw * 4
+
+    reps_fz = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .groupBy("p_brand", "p_name")
+        .agg(F.min("p_partkey"))
+        .count()
+    )
+    assert (
+        fuzzy_match_candidates(spark, sf, window=8).count()
+        <= 2 * reps_fz * 8
+    )
