@@ -599,6 +599,20 @@ SF1_REGISTERED_QUERIES = [
     "q_jaro_winkler_match",
     "q_fuzzy_match",
     "q_sorted_neighborhood",
+    # Round-9 coda: single-pass scans/aggregates claiming linearity
+    # (the BPE pair is excluded: per-iteration job overhead dominates
+    # at probe scale — the HITS rule).
+    "q_ks_test",
+    "q_mannwhitney_u",
+    "q_distinct_ngrams",
+    "q_ams_f2",
+    "q_heaps_law",
+    "q_roc_auc",
+    "q_cuped",
+    "q_script_mix",
+    "q_mojibake_repair",
+    "q_luhn_pii",
+    "q_filter_kappa",
 ]
 
 
