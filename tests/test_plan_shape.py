@@ -247,6 +247,10 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_dsir_ess",  # 1-row max-log-weight + gram-total broadcasts
         "q_source_concentration",  # 1-row Gini-total aggregate broadcast
         "q_logrank_test",  # 1-row max-date / arm-total broadcasts
+        "q_cuped",  # 1-row pooled-moment aggregate broadcast
+        "q_heaps_law",  # 1-row max-doc-id aggregate broadcast
+        "q_filter_kappa",  # 1-row 2x2-confusion aggregate fold
+        "q_bradley_terry",  # item-dimension strength table broadcasts
     }
 
     offenders = {}
