@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_coreset_kcenter",
     "q_embedding_drift_mmd",
     "q_record_linkage_fs",
+    "q_fuzzy_match",
     "q_interval_overlap",
     "q_join_size_estimate",
     "q_target_encode",
