@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Cohen's kappa between the Gopher and C4 gates — the
         # filter-redundancy read (composes both gates verbatim).
         "q_filter_kappa": C.q_filter_kappa,
+        # Spearman rank correlation (tie-aware Pearson-on-midranks,
+        # DECIMAL(38,0) folds; oracle-exact).
+        "q_spearman_corr": A.q_spearman_corr,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2063,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cuped": A.cuped_oracle_sql(),
         "q_ams_f2": X.ams_f2_oracle_sql(),
         "q_heaps_law": X.heaps_law_oracle_sql(),
+        "q_spearman_corr": A.spearman_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """

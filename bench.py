@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q_luhn_pii",
     "q_script_mix",
     "q_filter_kappa",
+    "q_spearman_corr",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -614,6 +615,7 @@ SF1_REGISTERED_QUERIES = [
     "q_mojibake_repair",
     "q_luhn_pii",
     "q_filter_kappa",
+    "q_spearman_corr",
 ]
 
 

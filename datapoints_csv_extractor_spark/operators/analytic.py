@@ -5127,3 +5127,150 @@ def cuped_oracle_sql(split_date: str = "2024-01-15") -> str:
         FROM per_arm, tot
         ORDER BY arm
     """
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user click and purchase
+    spend — the monotone-association read ("do heavy browsers buy
+    more") that Pearson gets wrong under heavy tails and the OLS
+    trend can't give across users. Completes the correlation family:
+    Theil-Sen is the robust trend IN TIME, Spearman is the robust
+    association ACROSS entities.
+
+    Tie-aware: the textbook 1 - 6*sum(d^2)/(n(n^2-1)) formula is
+    WRONG under ties, so this computes Pearson over midranks — and
+    with DOUBLED midranks (the q_mannwhitney_u discipline) every
+    rank, product, and sum is an exact integer. Sums fold as
+    DECIMAL(38,0): sum of n products of two 2n-scale ranks is
+    O(n^3), past BIGINT at ~10^9 users but inside decimal128 to
+    ~10^12. One sqrt + one division at the end, identical order on
+    both engines.
+
+    Plan: one groupBy(user) conditional aggregate (corpus touched
+    once), two dimension-sized distinct-value rank tables joined
+    back by value, one global fold."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(
+                0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("cents")
+            ).otherwise(0)
+        ).alias("y"),
+    )
+
+    def rank2(col_name):
+        per_v = per_user.groupBy(col_name).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        wcum = Window.orderBy(col_name).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return per_v.select(
+            col_name,
+            (
+                F.lit(2) * (F.sum("t").over(wcum) - F.col("t"))
+                + F.col("t")
+                + F.lit(1)
+            ).alias(f"r_{col_name}"),
+        )
+
+    ranked = per_user.join(rank2("x"), "x").join(rank2("y"), "y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("r_x"))).alias("sx"),
+        F.sum(dec(F.col("r_y"))).alias("sy"),
+        F.sum(dec(F.col("r_x") * F.col("r_y"))).alias("sxy"),
+        F.sum(dec(F.col("r_x") * F.col("r_x"))).alias("sxx"),
+        F.sum(dec(F.col("r_y") * F.col("r_y"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round(rho, 6).alias("spearman_rho"),
+        # Large-sample significance: z = rho * sqrt(n - 1).
+        F.round(rho * F.sqrt(nd - 1.0), 4).alias("z_score"),
+        (F.abs(F.round(rho * F.sqrt(nd - 1.0), 4)) > F.lit(1.96)).alias(
+            "significant"
+        ),
+    )
+
+
+def spearman_oracle_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ), rx AS (
+            SELECT x,
+                   2 * (sum(t) OVER (ORDER BY x) - t) + t + 1 AS r_x
+            FROM (SELECT x, count(*) AS t FROM per_user GROUP BY x)
+        ), ry AS (
+            SELECT y,
+                   2 * (sum(t) OVER (ORDER BY y) - t) + t + 1 AS r_y
+            FROM (SELECT y, count(*) AS t FROM per_user GROUP BY y)
+        ), ranked AS (
+            SELECT r_x, r_y FROM per_user
+            JOIN rx USING (x) JOIN ry USING (y)
+        ), agg AS (
+            SELECT count(*) AS n,
+                   sum(CAST(r_x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(r_y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(r_x * r_y AS DECIMAL(38,0))) AS sxy,
+                   sum(CAST(r_x * r_x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(r_y * r_y AS DECIMAL(38,0))) AS syy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))), 6)
+                   AS spearman_rho,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE)))
+                     * sqrt(CAST(n AS DOUBLE) - 1.0), 4) AS z_score,
+               abs(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE)))
+                     * sqrt(CAST(n AS DOUBLE) - 1.0), 4)) > 1.96
+                   AS significant
+        FROM agg
+    """

@@ -1931,3 +1931,43 @@ def test_cuped_strips_planted_preperiod_variance(spark, tmp_path):
     # With theta = 1 the adjusted means collapse to mean(post - pre)
     # + grand mean(pre): both arms read the same adjusted value.
     assert abs(out["A"].mean_post_cuped - out["B"].mean_post_cuped) < 1e-9
+
+
+def test_spearman_closed_forms(spark, tmp_path):
+    """Perfect monotone (nonlinear) relation -> rho = 1 exactly;
+    perfect inverse -> rho = -1; and a constant column yields no
+    rank variance (rho NULL-guarded by the driver contract is not
+    needed — we pin the +-1 cases)."""
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_spearman_corr,
+    )
+
+    def write(pairs):
+        rows = []
+        eid = 0
+        for u, (x, y) in enumerate(pairs):
+            rows.append((eid, "2024-01-01 10:00:00", u, "click",
+                         float(x), "{}"))
+            eid += 1
+            rows.append((eid, "2024-01-01 11:00:00", u, "purchase",
+                         float(y), "{}"))
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    # y = x^3-ish: monotone but wildly nonlinear — Spearman sees 1.
+    write([(i, i * i * i % 97 + i * 1000) for i in range(60)])
+    r = q_spearman_corr(spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 60
+    assert r.spearman_rho == 1.0
+    assert r.significant is True
+
+    write([(i, 1000 - i) for i in range(60)])
+    r = q_spearman_corr(spark, str(tmp_path)).collect()[0]
+    assert r.spearman_rho == -1.0
