@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spearman rank correlation (tie-aware Pearson-on-midranks,
         # DECIMAL(38,0) folds; oracle-exact).
         "q_spearman_corr": A.q_spearman_corr,
+        # Hill tail-index estimator over top-k order statistics
+        # (heavy-tail forensics; TakeOrdered + decimal ln folds).
+        "q_hill_tail_index": A.q_hill_tail_index,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -2067,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": X.ams_f2_oracle_sql(),
         "q_heaps_law": X.heaps_law_oracle_sql(),
         "q_spearman_corr": A.spearman_oracle_sql(),
+        "q_hill_tail_index": A.hill_tail_index_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_script_mix",
     "q_filter_kappa",
     "q_spearman_corr",
+    "q_hill_tail_index",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -616,6 +617,7 @@ SF1_REGISTERED_QUERIES = [
     "q_luhn_pii",
     "q_filter_kappa",
     "q_spearman_corr",
+    "q_hill_tail_index",
 ]
 
 

@@ -5274,3 +5274,100 @@ def spearman_oracle_sql() -> str:
                    AS significant
         FROM agg
     """
+
+
+def q_hill_tail_index(
+    spark: SparkSession, sf_dir: str, k: int = 200
+) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) over order totals — the
+    heavy-tail read that tells you whether means/variances of a
+    metric can be trusted at all: alpha_hat = k / sum ln(x_(i)/x_(k))
+    over the top-k order statistics; alpha < 2 means infinite
+    variance (sample means never stabilize), alpha < 1 means even
+    the mean diverges. The quantitative companion to the Zipf/Gini/
+    Benford forensics row: those say "skewed", Hill says HOW heavy
+    the tail is in the units that decide which estimators are safe
+    (it is why robust rollups like the winsorized mean exist).
+
+    Plan: the top-(k+1) order statistics come from a TakeOrdered
+    (parameter-sized, no global sort — the q_topk_newest shape);
+    the ln-ratio terms fold as rounded-6 DECIMALs over the k-row
+    grid, one division at the end. Exactness: cents are exact
+    integers, each ln(x_i/x_threshold) is one libm call on the
+    identical double ratio, rounded before the order-independent
+    DECIMAL sum."""
+    o = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    top = o.orderBy(F.desc("cents")).limit(k + 1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = F.min("cents").over(wall)  # the (k+1)-th order statistic
+    terms = top.select(
+        "cents",
+        thr.alias("thr"),
+        F.when(
+            F.col("cents") > thr,
+            F.round(
+                F.log(
+                    F.col("cents").cast("double")
+                    / thr.cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        ).alias("term"),
+    )
+    agg = terms.agg(
+        F.count("term").alias("n_terms"),
+        F.sum("term").alias("lnsum"),
+        F.max("thr").alias("thr"),
+        F.max("cents").alias("max_cents"),
+    )
+    alpha = F.col("n_terms").cast("double") / F.col("lnsum").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n_terms").alias("k_used"),
+        F.round(F.col("thr").cast("double") / 100.0, 2).alias(
+            "threshold"
+        ),
+        F.round(F.col("max_cents").cast("double") / 100.0, 2).alias(
+            "max_value"
+        ),
+        F.round(alpha, 6).alias("hill_alpha"),
+        (F.round(alpha, 6) < F.lit(2.0)).alias("infinite_variance"),
+    )
+
+
+def hill_tail_index_oracle_sql(k: int = 200) -> str:
+    return f"""
+        WITH top AS (
+            SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+            ORDER BY cents DESC LIMIT {k} + 1
+        ), terms AS (
+            SELECT cents, min(cents) OVER () AS thr,
+                   CASE WHEN cents > min(cents) OVER ()
+                        THEN CAST(round(ln(CAST(cents AS DOUBLE)
+                                  / CAST(min(cents) OVER () AS DOUBLE)),
+                                  6) AS DECIMAL(18,6))
+                   END AS term
+            FROM top
+        ), agg AS (
+            SELECT count(term) AS n_terms, sum(term) AS lnsum,
+                   max(thr) AS thr, max(cents) AS max_cents
+            FROM terms
+        )
+        SELECT CAST(n_terms AS BIGINT) AS k_used,
+               round(CAST(thr AS DOUBLE) / 100.0, 2) AS threshold,
+               round(CAST(max_cents AS DOUBLE) / 100.0, 2) AS max_value,
+               round(CAST(n_terms AS DOUBLE) / CAST(lnsum AS DOUBLE), 6)
+                   AS hill_alpha,
+               round(CAST(n_terms AS DOUBLE) / CAST(lnsum AS DOUBLE), 6)
+                   < 2.0 AS infinite_variance
+        FROM agg
+    """

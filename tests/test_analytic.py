@@ -1971,3 +1971,41 @@ def test_spearman_closed_forms(spark, tmp_path):
     write([(i, 1000 - i) for i in range(60)])
     r = q_spearman_corr(spark, str(tmp_path)).collect()[0]
     assert r.spearman_rho == -1.0
+
+
+def test_hill_tail_index_matches_python_replica(spark, tmp_path):
+    """Pin the estimator against a pure-Python replica with the same
+    cents/rounding arithmetic on a planted Pareto(alpha=1.5) sample —
+    the estimate must land near 1.5 and flag infinite variance."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datapoints_csv_extractor_spark.operators.analytic import (
+        q_hill_tail_index,
+    )
+
+    # Deterministic Pareto(1.5): x = 100 * u^(-1/1.5) with a fixed
+    # low-discrepancy u grid.
+    vals = [100.0 * ((i + 0.5) / 5000.0) ** (-1.0 / 1.5)
+            for i in range(5000)]
+    rows = [(i, f"2024-01-{(i % 27) + 1:02d}", i, "O", v, 0)
+            for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_custkey long,"
+        " o_orderstatus string, o_totalprice double, o_shippriority int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    k = 200
+    cents = sorted(
+        (math.floor(v * 100.0 + 0.5) for v in vals), reverse=True
+    )[: k + 1]
+    thr = cents[-1]
+    terms = [round(math.log(c / thr), 6) for c in cents if c > thr]
+    want = round(len(terms) / sum(terms), 6)
+
+    r = q_hill_tail_index(spark, str(tmp_path), k=k).collect()[0]
+    assert r.k_used == len(terms)
+    assert abs(r.hill_alpha - want) < 1e-9
+    assert 1.2 < r.hill_alpha < 1.8  # near the planted 1.5
+    assert r.infinite_variance is True
