@@ -53,13 +53,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_functions": R.q_scalar_functions,
         "q_unpivot": R.q_unpivot,
         "q_pivot": A.q_pivot,
-        # Round-8 rotation: q_stratified_sample (deterministic
-        # exact-count per-stratum sampling via WindowGroupLimit — a
-        # family the window never exercised) takes q_approx_distinct's
-        # slot; the sketch family keeps q_quantile_sketch_rollup and
-        # q_heavy_hitters_ample in-window and approx-distinct stays
-        # registered below.
-        "q_stratified_sample": C.q_stratified_sample,
+        # Round-9 swap: q_bpe_train (distributed tokenizer merge
+        # training — a family the window has never exercised, new
+        # this round) takes q_stratified_sample's slot; sampling
+        # keeps q_dsir_importance_sample in-window and stratified
+        # sampling (green r08) stays registered below.
+        # BPE tokenizer TRAINING: learn the merge table over the
+        # corpus (two-level distinct-word plan; unrolled-CTE oracle,
+        # oracle-exact via engine-identical replace() semantics).
+        "q_bpe_train": X.q_bpe_train,
         "q_upsert_merge": R.q_upsert_merge,
         # Round-8 rotation: q_chunk_documents (overlapping
         # token-window chunking — the context-window splitter, a
@@ -174,6 +176,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Pairwise source Jensen-Shannon divergence matrix — the
         # cross-source leg of the drift family (oracle-exact).
         "q_source_jsd": X.q_source_jsd,
+        # Deduplication (north-star)
+        # Round-8 rotation: q_html_extract (HTML -> visible text +
+        # link density, the step between WARC ingest and the text
+        # filters) takes q_dedup_exact's slot; dedup keeps
+        # q_dedup_ngram_jaccard and q_multimodal_dedup_clusters
+        # in-window.
+        "q_html_extract": X.q_html_extract,
+        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
+        "q_triangle_count": G.q_triangle_count,
+        "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
+        # Round-7 rotation: q_zorder_cells (multi-dimensional data
+        # layout — the Morton/Z-order key path, a family the window
+        # never exercised) takes q_decontamination's slot; the
+        # decontamination family keeps TWO in-window twins
+        # (q_bloom_decontamination, q_semantic_decontamination).
+        "q_zorder_cells": L.q_zorder_cells,
+        # Past the 50-entry capture window from here down (locally
+        # oracle-swept). q_decontamination and q_bpe_token_count
+        # rotated out in round 7; q_topk_ngrams_per_source,
+        # q_lang_id, and q_pii_redact in round 8 (families still
+        # in-window, see above).
+        # Rotated out in round 9 (all green in CORRECTNESS_r08; every
+        # family keeps an in-window twin: chunking->q_chunk_documents,
+        # retrieval->q_bm25_search/q_colbert_maxsim, temporal joins->
+        # q_range_join/q_interval_overlap, survival->q_logrank_test,
+        # contrastive->q_hard_negative_mine, sketches->
+        # q_heavy_hitters_ample, sequence stats->q_peak_detection,
+        # graph->q_triangle_count/q_scc_pages, experimentation->
+        # q_chi2_independence/q_conformal_interval, calibration->
+        # q_calibration_error, text filters->q_c4_rules, crawl->
+        # q_html_extract, similarity keeps 4 richer entries):
+        # Round-9 coda registrations (new this round, locally swept
+        # oracle-exact at both SFs; q_bpe_train carries the window
+        # slot for the group):
+        # Round-8 rotation: q_stratified_sample (deterministic
+        # exact-count per-stratum sampling via WindowGroupLimit — a
+        # family the window never exercised) takes q_approx_distinct's
+        # slot; the sketch family keeps q_quantile_sketch_rollup and
+        # q_heavy_hitters_ample in-window and approx-distinct stays
+        # registered below.
+        "q_stratified_sample": C.q_stratified_sample,
         # Two-sample Kolmogorov-Smirnov test — full-CDF distribution
         # equality, no binning choice (oracle-exact integer CDFs).
         "q_ks_test": A.q_ks_test,
@@ -183,10 +226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lexical diversity: distinct-1/distinct-2 degeneracy dials
         # per source (oracle-exact integer counts).
         "q_distinct_ngrams": X.q_distinct_ngrams,
-        # BPE tokenizer TRAINING: learn the merge table over the
-        # corpus (two-level distinct-word plan; unrolled-CTE oracle,
-        # oracle-exact via engine-identical replace() semantics).
-        "q_bpe_train": X.q_bpe_train,
         # BPE APPLY + per-source fertility (tokens/word, chars/token)
         # with the trained merges (oracle re-derives them).
         "q_bpe_apply": X.q_bpe_apply,
@@ -226,37 +265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hill tail-index estimator over top-k order statistics
         # (heavy-tail forensics; TakeOrdered + decimal ln folds).
         "q_hill_tail_index": A.q_hill_tail_index,
-        # Deduplication (north-star)
-        # Round-8 rotation: q_html_extract (HTML -> visible text +
-        # link density, the step between WARC ingest and the text
-        # filters) takes q_dedup_exact's slot; dedup keeps
-        # q_dedup_ngram_jaccard and q_multimodal_dedup_clusters
-        # in-window.
-        "q_html_extract": X.q_html_extract,
-        "q_dedup_ngram_jaccard": D.q_dedup_ngram_jaccard,
-        "q_triangle_count": G.q_triangle_count,
-        "q_multimodal_dedup_clusters": D.q_multimodal_dedup_clusters,
-        # Round-7 rotation: q_zorder_cells (multi-dimensional data
-        # layout — the Morton/Z-order key path, a family the window
-        # never exercised) takes q_decontamination's slot; the
-        # decontamination family keeps TWO in-window twins
-        # (q_bloom_decontamination, q_semantic_decontamination).
-        "q_zorder_cells": L.q_zorder_cells,
-        # Past the 50-entry capture window from here down (locally
-        # oracle-swept). q_decontamination and q_bpe_token_count
-        # rotated out in round 7; q_topk_ngrams_per_source,
-        # q_lang_id, and q_pii_redact in round 8 (families still
-        # in-window, see above).
-        # Rotated out in round 9 (all green in CORRECTNESS_r08; every
-        # family keeps an in-window twin: chunking->q_chunk_documents,
-        # retrieval->q_bm25_search/q_colbert_maxsim, temporal joins->
-        # q_range_join/q_interval_overlap, survival->q_logrank_test,
-        # contrastive->q_hard_negative_mine, sketches->
-        # q_heavy_hitters_ample, sequence stats->q_peak_detection,
-        # graph->q_triangle_count/q_scc_pages, experimentation->
-        # q_chi2_independence/q_conformal_interval, calibration->
-        # q_calibration_error, text filters->q_c4_rules, crawl->
-        # q_html_extract, similarity keeps 4 richer entries):
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
