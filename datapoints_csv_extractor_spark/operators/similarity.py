@@ -3064,6 +3064,18 @@ def rp_oracle_sql(
     )
 
 
+def bitext_side_flags() -> tuple["Column", "Column"]:  # noqa: F821
+    """The (src, tgt) side-split convention of :func:`q_bitext_mine`
+    as boolean Column expressions over the embeddings schema — the
+    SINGLE definition of which rows are "source language" vs "target
+    language". Exported so the bench probe's pair telemetry counts
+    exactly the pair set the query enumerates (round-9 advice: the
+    probe previously duplicated the ``vec_id % 2`` convention inline,
+    so a change to the operator's split would have silently decoupled
+    the telemetry from the query)."""
+    return (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)
+
+
 def q_bitext_mine(
     spark: SparkSession,
     sf_dir: str,
@@ -3100,13 +3112,14 @@ def q_bitext_mine(
     # Norms are hoisted to one fold per ROW (not per pair) — sqrt of
     # the same sequential sum the per-pair form would compute, so the
     # cosine doubles are unchanged; only 1 of 3 folds remains per pair.
-    src = e.where(F.col("vec_id") % 2 == 0).select(
+    src_side, tgt_side = bitext_side_flags()
+    src = e.where(src_side).select(
         F.col("vec_id").alias("src_id"),
         "label",
         F.col("embedding").alias("se"),
         _norm(F.col("embedding")).alias("sn"),
     )
-    tgt = e.where(F.col("vec_id") % 2 == 1).select(
+    tgt = e.where(tgt_side).select(
         F.col("vec_id").alias("tgt_id"),
         "label",
         F.col("embedding").alias("te"),
