@@ -4597,7 +4597,11 @@ def q_ks_test(
     the dimension table (the repo's established CDF shape).
 
     Exactness: D's numerator folds as max |ca*nB - cb*nA| over exact
-    BIGINTs; ONE double division at the end (rounded 6). The
+    DECIMAL(38,0)s — the cross products multiply two corpus-scale
+    counts, so at ~1e12 rows a BIGINT fold would overflow (~1e24)
+    under the ANSI driver mirror; DECIMAL(38,0) holds to ~1e38, the
+    same guard q_spearman_corr uses for this product shape. ONE
+    double division at the end (rounded 6). The
     alpha=0.05 critical value is c(alpha)*sqrt((nA+nB)/(nA*nB)) with
     c = 1.358 — IEEE sqrt + one multiply, rounded 6 — and the reject
     flag compares the two rounded doubles, identically in both
@@ -4623,8 +4627,12 @@ def q_ks_test(
         F.sum("na_v").over(wall).alias("n_a"),
         F.sum("nb_v").over(wall).alias("n_b"),
     )
+    dec = "decimal(38,0)"
     d_num = F.max(
-        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        F.abs(
+            F.col("ca").cast(dec) * F.col("n_b").cast(dec)
+            - F.col("cb").cast(dec) * F.col("n_a").cast(dec)
+        )
     )
     out = cum.groupBy("n_a", "n_b").agg(d_num.alias("d_num"))
     nad = F.col("n_a").cast("double")
@@ -4662,7 +4670,13 @@ def ks_test_oracle_sql(type_a: str = "click", type_b: str = "purchase") -> str:
                    sum(nb_v) OVER () AS n_b
             FROM per_v
         ), agg AS (
-            SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a)) AS d_num
+            -- DECIMAL(38,0) cross products, mirroring the Spark fold:
+            -- BIGINT*BIGINT overflows at corpus scale (~1e24).
+            SELECT n_a, n_b,
+                   max(abs(CAST(ca AS DECIMAL(38,0))
+                           * CAST(n_b AS DECIMAL(38,0))
+                           - CAST(cb AS DECIMAL(38,0))
+                           * CAST(n_a AS DECIMAL(38,0)))) AS d_num
             FROM cum GROUP BY n_a, n_b
         )
         SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
@@ -4701,9 +4715,11 @@ def q_mannwhitney_u(
     Plan: identical dimension-sized shape to q_ks_test — groupBy
     distinct value, ordered cumulative rank assignment, one global
     fold. Ties get midranks; with midranks DOUBLED every rank
-    quantity is an exact BIGINT (the repo's integer-scaling
-    discipline), so R1, U1 and the tie-correction term
-    sum(t^3 - t) all fold exactly; the z-score's normal
+    quantity is an exact integer (the repo's integer-scaling
+    discipline), and the corpus-scale products — R1's na_v*r2_v and
+    the tie term t^3 - t — fold as DECIMAL(38,0) (int64 overflows
+    at ~1e12 rows under the ANSI driver mirror, the q_spearman_corr
+    guard for this product shape); the z-score's normal
     approximation runs as a handful of double ops rounded 4, with
     the two-sided alpha=0.05 flag on |z| > 1.96."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
@@ -4727,18 +4743,29 @@ def q_mannwhitney_u(
             F.lit(2) * (F.sum(t_v).over(wcum) - t_v) + t_v + F.lit(1)
         ).alias("r2_v"),
     )
+    # Corpus-scale product folds run as DECIMAL(38,0): na_v*r2_v and
+    # t_v^3 both exceed int64 at ~1e12 rows (the q_spearman_corr
+    # guard for this product shape); every term is still an exact
+    # integer, just in a wider register.
+    dec = "decimal(38,0)"
     agg = ranked.agg(
-        F.sum(F.col("na_v") * F.col("r2_v")).alias("r1_x2"),
+        F.sum(F.col("na_v").cast(dec) * F.col("r2_v").cast(dec)).alias(
+            "r1_x2"
+        ),
         F.sum("na_v").alias("n_a"),
         F.sum(F.col("t_v") - F.col("na_v")).alias("n_b"),
         F.sum(
-            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+            F.col("t_v").cast(dec) * F.col("t_v").cast(dec)
+            * F.col("t_v").cast(dec)
+            - F.col("t_v").cast(dec)
         ).alias("tie_t3"),
     )
     nad = F.col("n_a").cast("double")
     nbd = F.col("n_b").cast("double")
     nd = nad + nbd
-    u1_x2 = F.col("r1_x2") - F.col("n_a") * (F.col("n_a") + 1)
+    u1_x2 = F.col("r1_x2") - F.col("n_a").cast(dec) * (
+        F.col("n_a") + 1
+    ).cast(dec)
     u1 = F.round(u1_x2.cast("double") / 2.0, 1)
     mu = nad * nbd / 2.0
     sigma = F.sqrt(
@@ -4776,10 +4803,16 @@ def mannwhitney_oracle_sql(
                         - (na_v + nb_v)) + (na_v + nb_v) + 1 AS r2_v
             FROM per_v
         ), agg AS (
-            SELECT sum(na_v * r2_v) AS r1_x2,
+            -- DECIMAL(38,0) product folds, mirroring the Spark side's
+            -- corpus-scale overflow guard.
+            SELECT sum(CAST(na_v AS DECIMAL(38,0))
+                       * CAST(r2_v AS DECIMAL(38,0))) AS r1_x2,
                    sum(na_v) AS n_a,
                    sum(t_v - na_v) AS n_b,
-                   sum(t_v * t_v * t_v - t_v) AS tie_t3
+                   sum(CAST(t_v AS DECIMAL(38,0))
+                       * CAST(t_v AS DECIMAL(38,0))
+                       * CAST(t_v AS DECIMAL(38,0))
+                       - CAST(t_v AS DECIMAL(38,0))) AS tie_t3
             FROM ranked
         )
         SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,

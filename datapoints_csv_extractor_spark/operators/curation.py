@@ -3821,10 +3821,13 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness (the rank-sum identity): AUC = (R_pos - n_pos(n_pos+1)/2)
     / (n_pos * n_neg) with midranks for ties — identical machinery to
     q_mannwhitney_u, so DOUBLED midranks keep every rank quantity an
-    exact BIGINT and ties (integer scores tie heavily) are handled
+    exact integer and ties (integer scores tie heavily) are handled
     exactly, with ONE double division at the end. KS separation
-    (max |TPR - FPR|) folds as max |cp*n_neg - cn*n_pos| over exact
-    cumulative BIGINTs — the same numerator trick as q_ks_test.
+    (max |TPR - FPR|) folds as max |cp*n_neg - cn*n_pos| — the same
+    numerator trick as q_ks_test. The rank-sum and cross products
+    multiply two corpus-scale counts, so they fold as DECIMAL(38,0)
+    (int64 would overflow ~1e24 at 1e12 rows under the ANSI driver
+    mirror).
     Plan: one groupBy(score) dimension-sized aggregate, one ordered
     cumulative window over distinct scores, one global fold."""
     d = load(spark, sf_dir, "documents").select(
@@ -3853,13 +3856,20 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np_v").over(wall).alias("tot_p"),
         F.sum("nn_v").over(wall).alias("tot_n"),
     )
+    # Corpus-scale product folds in DECIMAL(38,0): np_v*r2_v and the
+    # cp*tot_n cross products overflow int64 at ~1e12 rows under the
+    # ANSI driver mirror (the q_spearman_corr guard for this shape).
+    dec = "decimal(38,0)"
     agg = ranked.agg(
-        F.sum(F.col("np_v") * F.col("r2_v")).alias("rpos_x2"),
+        F.sum(F.col("np_v").cast(dec) * F.col("r2_v").cast(dec)).alias(
+            "rpos_x2"
+        ),
         F.sum("np_v").alias("n_pos"),
         F.sum("nn_v").alias("n_neg"),
         F.max(
             F.abs(
-                F.col("cp") * F.col("tot_n") - F.col("cn") * F.col("tot_p")
+                F.col("cp").cast(dec) * F.col("tot_n").cast(dec)
+                - F.col("cn").cast(dec) * F.col("tot_p").cast(dec)
             )
         ).alias("ks_num"),
     )
@@ -3900,11 +3910,18 @@ def roc_auc_oracle_sql() -> str:
                    sum(nn_v) OVER (ORDER BY score) AS cn
             FROM per_s
         ), agg AS (
-            SELECT sum(np_v * r2_v) AS rpos_x2,
+            -- DECIMAL(38,0) product folds, mirroring the Spark side's
+            -- corpus-scale overflow guard.
+            SELECT sum(CAST(np_v AS DECIMAL(38,0))
+                       * CAST(r2_v AS DECIMAL(38,0))) AS rpos_x2,
                    sum(np_v) AS n_pos,
                    sum(nn_v) AS n_neg,
-                   max(abs(cp * (SELECT sum(nn_v) FROM ranked)
-                           - cn * (SELECT sum(np_v) FROM ranked)))
+                   max(abs(CAST(cp AS DECIMAL(38,0))
+                           * CAST((SELECT sum(nn_v) FROM ranked)
+                                  AS DECIMAL(38,0))
+                           - CAST(cn AS DECIMAL(38,0))
+                           * CAST((SELECT sum(np_v) FROM ranked)
+                                  AS DECIMAL(38,0))))
                        AS ks_num
             FROM ranked
         )

@@ -944,7 +944,7 @@ def scc_pages_oracle_sql() -> str:
 
 
 def q_mst_boruvka(
-    spark: SparkSession, sf_dir: str, max_rounds: int = 12
+    spark: SparkSession, sf_dir: str, max_rounds: int = 20
 ) -> DataFrame:
     """MAXIMUM spanning forest of the co-purchase graph by
     Boruvka's algorithm — the product-affinity BACKBONE: the
@@ -983,6 +983,7 @@ def q_mst_boruvka(
         .localCheckpoint()
     )
     forest = None
+    converged = False
     for _ in range(max_rounds):
         c1 = comp.select(
             F.col("node").alias("p1"), F.col("comp").alias("c1")
@@ -997,6 +998,7 @@ def q_mst_boruvka(
             .localCheckpoint()
         )
         if cross.limit(1).count() == 0:
+            converged = True
             break
         pick = F.struct(
             F.col("cost"), F.col("p1"), F.col("p2"),
@@ -1038,4 +1040,26 @@ def q_mst_boruvka(
         )
     if forest is None:
         return edges.select("p1", "p2", "n_shared_orders").limit(0)
+    # Convergence guard (round-9 advice): Boruvka only guarantees the
+    # component count HALVES per round, so a fixed round budget that
+    # runs out with cross-component edges remaining would silently
+    # return a partial forest — which downstream single-linkage /
+    # backbone reads would treat as complete. max_rounds=20 covers
+    # ~1M-component graphs (log2), and an unconverged run fails LOUD.
+    # (The flag misses one boundary case — the final allowed round did
+    # the last contraction — so re-check the edge set before raising.)
+    if not converged:
+        c1 = comp.select(F.col("node").alias("p1"), F.col("comp").alias("c1"))
+        c2 = comp.select(F.col("node").alias("p2"), F.col("comp").alias("c2"))
+        leftover = (
+            edges.join(c1, "p1").join(c2, "p2")
+            .where(F.col("c1") != F.col("c2"))
+            .limit(1)
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"q_mst_boruvka did not converge in {max_rounds} rounds:"
+                " cross-component edges remain — raise max_rounds"
+            )
     return forest.orderBy("p1", "p2")

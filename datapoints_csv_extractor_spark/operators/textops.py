@@ -4006,9 +4006,9 @@ def bpe_apply_oracle_sql(n_merges: int = 6) -> str:
         SELECT source,
                CAST(sum(freq) AS BIGINT) AS n_words,
                CAST(sum(freq * n_toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(freq * n_chars_w) AS BIGINT) AS n_chars,
                round(CAST(sum(freq * n_toks) AS DOUBLE)
                      / CAST(sum(freq) AS DOUBLE), 6) AS tokens_per_word,
-               CAST(sum(freq * n_chars_w) AS BIGINT) AS n_chars,
                round(CAST(sum(freq * n_chars_w) AS DOUBLE)
                      / CAST(sum(freq * n_toks) AS DOUBLE), 6)
                    AS chars_per_token

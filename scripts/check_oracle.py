@@ -174,6 +174,16 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        elif s_cols != d_cols:
+            # Column ORDER parity: the value comparison below sorts
+            # columns by name, so an order-only divergence is invisible
+            # here — but it is a latent driver risk and every oracle in
+            # the repo is expected to mirror its Spark twin's SELECT
+            # order exactly (round-9 advice: q_bpe_apply shipped with a
+            # reordered oracle that only this check would catch).
+            problems.append(
+                f"column ORDER differs: spark={s_cols} duckdb={d_cols}"
+            )
         problems.extend(dtype_parity_problems(df.dtypes, d_cols, rel.types))
         if not problems:
             sn, dn = norm_rows(s_cols, s_rows), norm_rows(d_cols, d_rows)
