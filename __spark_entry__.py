@@ -38,7 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's 50-entry correctness capture window: reference-surface
     twins first, then TPC-H relational, OLAP analytics, and the full
     LLM-pipeline north-star set (text / curation / dedup / similarity
-    / multimodal). Every in-window entry has a DuckDB oracle twin;
+    / multimodal). Every in-window entry has a DuckDB oracle twin
+    except two judge-requested round-10 rotations (q_mojibake_repair,
+    q_mst_boruvka — engine-specific transcoding / union-find, each
+    pinned by a reference-implementation pytest instead); other
     rows-only queries (xxhash64 / engine-specific hashing end to end)
     and close variants of in-window operators sit past entry 50 —
     still registered and pytest/oracle-checked locally via
@@ -53,15 +56,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_functions": R.q_scalar_functions,
         "q_unpivot": R.q_unpivot,
         "q_pivot": A.q_pivot,
-        # Round-9 swap: q_bpe_train (distributed tokenizer merge
-        # training — a family the window has never exercised, new
-        # this round) takes q_stratified_sample's slot; sampling
-        # keeps q_dsir_importance_sample in-window and stratified
-        # sampling (green r08) stays registered below.
-        # BPE tokenizer TRAINING: learn the merge table over the
-        # corpus (two-level distinct-word plan; unrolled-CTE oracle,
-        # oracle-exact via engine-identical replace() semantics).
-        "q_bpe_train": X.q_bpe_train,
         "q_upsert_merge": R.q_upsert_merge,
         # Round-8 rotation: q_chunk_documents (overlapping
         # token-window chunking — the context-window splitter, a
@@ -69,12 +63,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q12_late_shipment_priority's slot; TPC-H keeps q1 + q6
         # in-window and q12 stays registered below.
         "q_chunk_documents": X.q_chunk_documents,
-        # Round-8 rotation: q_jaro_winkler_match (position-dependent
-        # Jaro-Winkler ER scoring, bit-identical to DuckDB's builtin —
-        # the family's principled upgrade) takes q_fuzzy_match's slot;
-        # edit-distance matching keeps the richer twin in-window and
-        # levenshtein fuzzy match stays registered below.
-        "q_jaro_winkler_match": R.q_jaro_winkler_match,
         "q_variant_extract": R.q_variant_extract,
         # Temporal / OLAP analytics
         # Round-8 rotation: q_dp_event_counts (differentially-private
@@ -83,12 +71,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the k-anonymity gate) takes q_holt_winters's slot; seasonal
         # forecasting was green in r07 and stays registered below.
         "q_dp_event_counts": C.q_dp_event_counts,
-        # Round-7 rotation: the binned interval-overlap join (keyless
-        # many-x-many range join as a bucket equijoin — a family the
-        # window never exercised) takes q_cube's slot; multi-level
-        # grouping keeps q_metrics_rollup in-window and CUBE stays
-        # registered below.
-        "q_interval_overlap": A.q_interval_overlap,
         "q_range_join": A.q_range_join,
         "q_time_weighted_aggregates": A.q_time_weighted_aggregates,
         # Text analysis (north-star)
@@ -116,7 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and q_token_stats in-window.
         "q_c4_rules": C.q_c4_rules,
         "q_bloom_decontamination": D.q_bloom_decontamination,
-        "q_curation_pipeline": X.q_curation_pipeline,
         "q_data_quality_report": R.q_data_quality_report,
         # Round-8 rotation: q_scc_pages (directed-graph strongly
         # connected components with a transitive-closure oracle)
@@ -128,54 +109,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 oracle-exact family, in-window.
         "q_hard_negative_mine": V.q_hard_negative_mine,
         "q_dsir_importance_sample": C.q_dsir_importance_sample,
-        # --- Round-9 rotation (15 in): the two re-blocked linkage
-        # queries (semantics changed this round — the driver must
-        # re-verify them) plus the 13 round-8 coda families the
-        # driver has never hash-verified (VERDICT r8 item 6). The
-        # 15 evicted entries were all green in CORRECTNESS_r08 and
-        # keep in-window family twins; see the rotated-out block
-        # past the window marker below.
+        # Round-9 rotation survivors: the two re-blocked linkage
+        # queries (driver-verified green in CORRECTNESS_r09) stay
+        # in-window as the ER family's twins, and q_logrank_test
+        # stays as the survival family's only oracle-exact entry.
         # Fellegi-Sunter probabilistic record linkage (oracle-exact).
         "q_record_linkage_fs": R.q_record_linkage_fs,
         "q_fuzzy_match": R.q_fuzzy_match,
-        # ColBERT-style late-interaction MaxSim retrieval — per-token
-        # max then sum, integer-exact (oracle-exact).
-        "q_colbert_maxsim": V.q_colbert_maxsim,
-        # Theil-Sen robust trend — median pairwise slope, outlier-
-        # tolerant partner of the OLS trend (oracle-exact).
-        "q_theil_sen_trend": A.q_theil_sen_trend,
         # Log-rank test — censoring-aware two-curve comparison, the
         # hypothesis-test companion of q_kaplan_meier (oracle-exact).
         "q_logrank_test": A.q_logrank_test,
-        # Cross-source syndication matrix — which sources carry the
-        # same texts (exact-dup groups spanning sources; oracle-exact).
-        "q_syndication_matrix": D.q_syndication_matrix,
-        # Winsorized/trimmed robust means — the tail-heaviness triple
-        # next to MAD and Theil-Sen (oracle-exact).
-        "q_winsorized_stats": A.q_winsorized_stats,
-        # HBOS multivariate outlier scores — naive-Bayes histogram
-        # density, three broadcast histogram joins (oracle-exact).
-        "q_hbos_outliers": A.q_hbos_outliers,
-        # Benford first-digit audit — data-forensics read with literal
-        # probabilities and a rounded-decimal chi-square fold.
-        "q_benford_totalprice": A.q_benford_totalprice,
-        # Split-conformal prediction intervals — distribution-free
-        # uncertainty next to isotonic calibration (oracle-exact).
-        "q_conformal_interval": A.q_conformal_interval,
-        # Chi-square independence + Cramér's V — categorical
-        # association read (oracle-exact decimal fold, IEEE sqrt).
-        "q_chi2_independence": A.q_chi2_independence,
-        # Expected calibration error — reliability read next to the
-        # isotonic map (oracle-exact decimal fold).
-        "q_calibration_error": C.q_calibration_error,
-        # Windowed spike detection — integer margin test, no division
-        # (oracle-exact).
-        "q_peak_detection": A.q_peak_detection,
-        # Zipf rank-frequency head fit (rounded-decimal ln sums).
-        "q_zipf_fit": X.q_zipf_fit,
-        # Pairwise source Jensen-Shannon divergence matrix — the
-        # cross-source leg of the drift family (oracle-exact).
-        "q_source_jsd": X.q_source_jsd,
         # Deduplication (north-star)
         # Round-8 rotation: q_html_extract (HTML -> visible text +
         # link density, the step between WARC ingest and the text
@@ -192,36 +135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination family keeps TWO in-window twins
         # (q_bloom_decontamination, q_semantic_decontamination).
         "q_zorder_cells": L.q_zorder_cells,
-        # Past the 50-entry capture window from here down (locally
-        # oracle-swept). q_decontamination and q_bpe_token_count
-        # rotated out in round 7; q_topk_ngrams_per_source,
-        # q_lang_id, and q_pii_redact in round 8 (families still
-        # in-window, see above).
-        # Rotated out in round 9 (all green in CORRECTNESS_r08; every
-        # family keeps an in-window twin: chunking->q_chunk_documents,
-        # retrieval->q_bm25_search/q_colbert_maxsim, temporal joins->
-        # q_range_join/q_interval_overlap, survival->q_logrank_test,
-        # contrastive->q_hard_negative_mine, sketches->
-        # q_heavy_hitters_ample, sequence stats->q_peak_detection,
-        # graph->q_triangle_count/q_scc_pages, experimentation->
-        # q_chi2_independence/q_conformal_interval, calibration->
-        # q_calibration_error, text filters->q_c4_rules, crawl->
-        # q_html_extract, similarity keeps 4 richer entries):
-        # Round-9 coda registrations (new this round, locally swept
-        # oracle-exact at both SFs; q_bpe_train carries the window
-        # slot for the group):
-        # Round-8 rotation: q_stratified_sample (deterministic
-        # exact-count per-stratum sampling via WindowGroupLimit — a
-        # family the window never exercised) takes q_approx_distinct's
-        # slot; the sketch family keeps q_quantile_sketch_rollup and
-        # q_heavy_hitters_ample in-window and approx-distinct stays
-        # registered below.
-        "q_stratified_sample": C.q_stratified_sample,
+        # --- Round-10 rotation (16 in): the round-9 coda families the
+        # driver has never hash-verified (VERDICT r9 item 3) — all
+        # locally swept oracle-exact at both SFs and independently
+        # spot-checked by the round-9 judge. The 16 evicted entries
+        # were green in CORRECTNESS_r09 (or earlier) and keep
+        # in-window family twins; see the rotated-out block past the
+        # window marker below.
         # Two-sample Kolmogorov-Smirnov test — full-CDF distribution
         # equality, no binning choice (oracle-exact integer CDFs).
         "q_ks_test": A.q_ks_test,
         # Mann-Whitney U / Wilcoxon rank-sum — location-shift test on
-        # doubled midranks (exact BIGINT rank folds, oracle-exact).
+        # doubled midranks (DECIMAL(38,0) rank folds, oracle-exact).
         "q_mannwhitney_u": A.q_mannwhitney_u,
         # Lexical diversity: distinct-1/distinct-2 degeneracy dials
         # per source (oracle-exact integer counts).
@@ -265,6 +190,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hill tail-index estimator over top-k order statistics
         # (heavy-tail forensics; TakeOrdered + decimal ln folds).
         "q_hill_tail_index": A.q_hill_tail_index,
+        # Past the 50-entry capture window from here down (locally
+        # oracle-swept). q_decontamination and q_bpe_token_count
+        # rotated out in round 7; q_topk_ngrams_per_source,
+        # q_lang_id, and q_pii_redact in round 8 (families still
+        # in-window, see above).
+        # Rotated out in round 9 (all green in CORRECTNESS_r08; every
+        # family keeps an in-window twin: chunking->q_chunk_documents,
+        # retrieval->q_bm25_search/q_colbert_maxsim, temporal joins->
+        # q_range_join/q_interval_overlap, survival->q_logrank_test,
+        # contrastive->q_hard_negative_mine, sketches->
+        # q_heavy_hitters_ample, sequence stats->q_peak_detection,
+        # graph->q_triangle_count/q_scc_pages, experimentation->
+        # q_chi2_independence/q_conformal_interval, calibration->
+        # q_calibration_error, text filters->q_c4_rules, crawl->
+        # q_html_extract, similarity keeps 4 richer entries):
+        # Rotated out in round 10 (green in CORRECTNESS_r09 or
+        # earlier; every family keeps an in-window twin: tokenizer->
+        # q_bpe_apply, ER->q_record_linkage_fs/q_fuzzy_match, range
+        # joins->q_range_join, curation composite->q_c4_rules/
+        # q_text_quality, retrieval->q_bm25_search, robust trend/
+        # association->q_spearman_corr, rank tests->q_mannwhitney_u,
+        # tail forensics->q_hill_tail_index/q_benford... via
+        # q_hill_tail_index, experimentation->q_cuped, categorical
+        # association->q_filter_kappa, classifier eval->q_roc_auc,
+        # lexical laws->q_heaps_law, drift/divergence->q_ks_test,
+        # cross-source dedup->q_dedup_ngram_jaccard):
+        "q_bpe_train": X.q_bpe_train,
+        "q_jaro_winkler_match": R.q_jaro_winkler_match,
+        "q_interval_overlap": A.q_interval_overlap,
+        "q_curation_pipeline": X.q_curation_pipeline,
+        "q_colbert_maxsim": V.q_colbert_maxsim,
+        "q_theil_sen_trend": A.q_theil_sen_trend,
+        "q_syndication_matrix": D.q_syndication_matrix,
+        "q_winsorized_stats": A.q_winsorized_stats,
+        "q_hbos_outliers": A.q_hbos_outliers,
+        "q_benford_totalprice": A.q_benford_totalprice,
+        "q_conformal_interval": A.q_conformal_interval,
+        "q_chi2_independence": A.q_chi2_independence,
+        "q_calibration_error": C.q_calibration_error,
+        "q_peak_detection": A.q_peak_detection,
+        "q_zipf_fit": X.q_zipf_fit,
+        "q_source_jsd": X.q_source_jsd,
+        # Round-8 rotation: q_stratified_sample (deterministic
+        # exact-count per-stratum sampling via WindowGroupLimit — a
+        # family the window never exercised) takes q_approx_distinct's
+        # slot; the sketch family keeps q_quantile_sketch_rollup and
+        # q_heavy_hitters_ample in-window and approx-distinct stays
+        # registered below.
+        "q_stratified_sample": C.q_stratified_sample,
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
@@ -299,6 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_graph": C.q_link_graph,
         # Audio near-dup: constellation landmark matcher (rows-only).
         "q_audio_near_dup": M.q_audio_near_dup,
+        # MPEG-audio stream metadata (duration / mean bitrate / VBR)
+        # via the pure frame-header walk — the metadata tier of the
+        # permanent perceptual-codec boundary (rows-only: binary
+        # frame-hop; closed-form pytest-pinned).
+        "q_audio_stream_meta": M.q_audio_stream_meta,
         # Video near-dup: animated-GIF frame dHash + offset voting
         # (rows-only — no SQL engine decodes GIF LZW).
         "q_video_near_dup": M.q_video_near_dup,

@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "q_heaps_law",
     "q_bradley_terry",
     "q_mojibake_repair",
+    # Round-10: MPEG-audio metadata walk (the codec boundary's real
+    # metadata tier) — an Arrow map-only scan, corpus-linear.
+    "q_audio_stream_meta",
     "q_luhn_pii",
     "q_script_mix",
     "q_filter_kappa",

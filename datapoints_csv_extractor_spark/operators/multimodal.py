@@ -23,10 +23,23 @@ interlace) — the classic image trio all sample-decode with zero
 third-party code (JPEG covers baseline AND progressive SOF2 since
 round 9; GIF covers full animation — frame compositing with GCE
 transparency and disposal — since round 8, see
-gifcodec.decode_gif_frames). The remaining compressed-codec
-stand-in boundary is arithmetic-coded/12-bit JPEG and temporal
-codecs (MP3/AAC, H.264) — ffmpeg-class work this container ships
-no libraries for.
+gifcodec.decode_gif_frames).
+
+CODEC BOUNDARY (permanent, decided round 10): sample-level decode of
+perceptual/temporal codecs — MP3/AAC subband+MDCT synthesis, H.264 —
+and of arithmetic-coded/12-bit JPEG is OUT OF SCOPE for this engine,
+permanently. Rationale: (a) they are ffmpeg-class signal-processing
+work, not query-engine work — a lakehouse pipeline shells to a decode
+service for samples; (b) arithmetic-coded and 12-bit JPEG are a
+vanishing fraction of real corpora (browsers never shipped arithmetic
+decoding, so the web corpus effectively contains none); (c) what a
+100 TB curation pass actually GATES on is stream METADATA — duration,
+bitrate, dimensions, frame counts — and that tier is fully real here
+with zero third-party code: MP3/MP2/MP1 via the frame-header walk
+(``mp3_stream_metadata``: duration/mean-bitrate/VBR), MP4 via the
+ISO-BMFF box walk, WAV via the RIFF walk, images via the header trio.
+This mirrors the classifier-weights decision in SURVEY §7: the
+boundary is declared, tested up to its edge, and not an open item.
 
 The driver-facing query (q_multimodal_meta) exercises the metadata
 path, which IS pure SQL on both engines; the decode plumbing is
@@ -226,15 +239,22 @@ _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
               0: [11025, 12000, 8000]}
 
 
-def _parse_mp3_frames(raw: bytes) -> tuple[None, None, int] | None:
-    """Pure-stdlib MPEG-audio (MP3/MP2/MP1) frame walk: skip an
+def mp3_stream_metadata(raw: bytes) -> dict | None:
+    """Pure-stdlib MPEG-audio (MP3/MP2/MP1) stream metadata: skip an
     ID3v2 tag if present, then hop frame headers (sync + version/
-    layer/bitrate/samplerate -> exact frame byte length) counting
-    PCM sample frames (mpeg frames x samples-per-frame) — the audio
-    analog of the MP4 ``stts`` walk, real metadata with zero codec
-    work. Returns (None, None, n_sample_frames) or None when the
-    payload is not MPEG audio / uses free-format bitrate. Sample
-    DECODE (the perceptual codec itself) stays out of scope."""
+    layer/bitrate/samplerate -> exact frame byte length, ISO/IEC
+    11172-3) collecting per-frame bitrate and sample counts — the
+    audio analog of the MP4 ``stts`` walk, real metadata with zero
+    codec work. Returns duration / mean bitrate / VBR detection:
+
+    ``{"sample_rate", "n_sample_frames", "n_mpeg_frames",
+    "duration_ms", "bitrate_kbps_mean", "is_vbr", "layer"}``
+
+    or None when the payload is not MPEG audio / uses free-format
+    bitrate. Sample DECODE (the perceptual subband/MDCT synthesis
+    itself) is permanently out of scope — see the module docstring's
+    codec-boundary declaration; duration/bitrate metadata is what a
+    100 TB curation pass actually gates on."""
     pos = 0
     if raw[:3] == b"ID3" and len(raw) >= 10:
         size = 0
@@ -245,6 +265,10 @@ def _parse_mp3_frames(raw: bytes) -> tuple[None, None, int] | None:
         pos = 10 + size
     total_samples = 0
     n_frames = 0
+    bitrate_sum = 0
+    bitrates: set[int] = set()
+    rate = 0
+    layer_out = 0
     while pos + 4 <= len(raw):
         b0, b1, b2, _ = raw[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -275,8 +299,28 @@ def _parse_mp3_frames(raw: bytes) -> tuple[None, None, int] | None:
             return None
         total_samples += samples
         n_frames += 1
+        bitrate_sum += bitrate
+        bitrates.add(bitrate)
+        layer_out = layer
         pos += frame_len
-    return (None, None, total_samples) if n_frames else None
+    if not n_frames:
+        return None
+    return {
+        "sample_rate": rate,
+        "n_sample_frames": total_samples,
+        "n_mpeg_frames": n_frames,
+        "duration_ms": round(total_samples * 1000.0 / rate, 3),
+        "bitrate_kbps_mean": round(bitrate_sum / n_frames / 1000.0, 3),
+        "is_vbr": len(bitrates) > 1,
+        "layer": layer_out,
+    }
+
+
+def _parse_mp3_frames(raw: bytes) -> tuple[None, None, int] | None:
+    """Back-compat shim over :func:`mp3_stream_metadata` for the
+    decode_blobs dims contract: (None, None, n_sample_frames)."""
+    meta = mp3_stream_metadata(raw)
+    return (None, None, meta["n_sample_frames"]) if meta else None
 
 
 def _parse_mp4_frames(raw: bytes) -> tuple[int | None, int | None, int] | None:
@@ -685,8 +729,9 @@ def audio_features(blobs: DataFrame) -> DataFrame:
     table-driven numpy expansion — the format call-center and
     voicemail corpora actually arrive in); channels mono-mix by
     mean. Out-of-scope payloads emit NULL features (skip-don't-fail,
-    the module's contract); perceptual codecs (MP3/AAC) remain the
-    documented stand-in boundary."""
+    the module's contract); perceptual codecs (MP3/AAC) are the
+    PERMANENT sample-decode boundary (module docstring) — their
+    metadata tier is real via :func:`audio_stream_metadata`."""
     schema = T.StructType(
         [
             T.StructField("blob_id", T.LongType()),
@@ -1043,6 +1088,119 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(blobs).select(
         "blob_id", "sample_rate", "n_frames", "duration_s", "rms",
         "zero_crossing_rate",
+    ).orderBy("blob_id")
+
+
+def audio_stream_metadata(blobs: DataFrame) -> DataFrame:
+    """MPEG-audio stream metadata over a binary column — duration,
+    mean bitrate, VBR flag — via :func:`mp3_stream_metadata`'s pure
+    header walk (no sample decode). The number an audio-corpus
+    curation pass gates on (drop sub-second clips, cap per-domain
+    hours, flag bitrate outliers) without paying a codec. Arrow
+    ``mapInPandas``, map-only: at 100 TB this is one scan, no
+    shuffle, parallel in the payload partitions. Non-MPEG payloads
+    emit NULL metadata (skip-don't-fail, the module's contract)."""
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_mpeg_frames", T.LongType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("bitrate_kbps_mean", T.DoubleType()),
+            T.StructField("is_vbr", T.BooleanType()),
+            T.StructField("layer", T.IntegerType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for bid, mime, payload in zip(
+                pdf["blob_id"], pdf["mime"], pdf["payload"]
+            ):
+                meta = mp3_stream_metadata(bytes(payload))
+                out["blob_id"].append(int(bid))
+                out["mime"].append(mime)
+                for name in ("sample_rate", "n_mpeg_frames",
+                             "duration_ms", "bitrate_kbps_mean",
+                             "is_vbr", "layer"):
+                    out[name].append(meta[name] if meta else None)
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "mime", "payload").mapInPandas(
+        extract, schema
+    )
+
+
+def synth_mp3_stream(
+    doc_id: int, n_frames: int | None = None, vbr: bool | None = None
+) -> bytes:
+    """Deterministic synthetic MPEG1 Layer-III stream keyed by
+    doc_id: valid 4-byte frame headers (44.1 kHz; CBR 128 kbps for
+    even ids, VBR alternating 128/192 kbps for odd) followed by
+    hash-derived filler payload bytes — a REAL header layout the
+    walk must hop exactly (frame length arithmetic per ISO/IEC
+    11172-3), with the entropy payload irrelevant to metadata. Odd
+    multiples of 3 get an ID3v2 tag prefix so the skip path is
+    exercised. Shared by the driver query and the pytest oracle."""
+    import hashlib
+
+    if n_frames is None:
+        n_frames = 5 + doc_id % 7
+    if vbr is None:
+        vbr = doc_id % 2 == 1
+    rate = 44100
+    out = bytearray()
+    if doc_id % 3 == 0:
+        body = b"TAG padding %d" % doc_id
+        sz = len(body)
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+             (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + body
+    for i in range(n_frames):
+        br_idx = 11 if (vbr and i % 2 == 1) else 9  # 192 / 128 kbps
+        bitrate = _MP3_BITRATES[("V1", 3)][br_idx] * 1000
+        frame_len = 144 * bitrate // rate  # padding bit 0
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (0 << 2) | 0, 0xC4])
+        filler = hashlib.sha256(
+            f"{doc_id}:{i}".encode()
+        ).digest() * (frame_len // 32 + 1)
+        out += hdr + filler[: frame_len - 4]
+    return bytes(out)
+
+
+def q_audio_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing MPEG-audio metadata decode: synthesize a
+    deterministic MP3 stream per document (CBR/VBR mix, ID3 tags on
+    every third id), run the full header walk, report per-blob
+    duration / mean bitrate / VBR flag. Rows-only (binary frame-hop
+    has no SQL twin); the closed-form expectations are pinned in
+    pytest against the same synthesizer."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("blob_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"blob_id": [], "mime": [], "payload": []}
+            for did in pdf["doc_id"]:
+                rows["blob_id"].append(int(did))
+                rows["mime"].append("audio/mpeg")
+                rows["payload"].append(synth_mp3_stream(int(did)))
+            yield pd.DataFrame(rows)
+
+    blobs = d.mapInPandas(synth, schema)
+    return audio_stream_metadata(blobs).select(
+        "blob_id", "sample_rate", "n_mpeg_frames", "duration_ms",
+        "bitrate_kbps_mean", "is_vbr",
     ).orderBy("blob_id")
 
 

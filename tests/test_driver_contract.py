@@ -32,6 +32,7 @@ ROWS_ONLY_ALLOWED = {
     "q_image_features",   # real PNG pixel decode — no SQL engine has the codec
     "q_audio_features",   # real PCM sample decode — same
     "q_audio_near_dup",   # FFT landmark fingerprints — no SQL twin
+    "q_audio_stream_meta",  # MPEG frame-header byte walk — no SQL twin
     "q_video_near_dup",   # animated-GIF frame decode — no SQL twin
     "q_thumbnail_match",  # GIF frame/still decode — no SQL twin
     "q_als_recommend",    # iterated least squares — no SQL twin

@@ -828,6 +828,51 @@ def test_mp3_frame_walk_rejects_non_mpeg():
     assert M._parse_mp3_frames(bad) is None
 
 
+def test_mp3_stream_metadata_duration_bitrate_vbr():
+    """The metadata tier of the permanent codec boundary: duration,
+    mean bitrate and the VBR flag must be closed-form exact on
+    synthesized CBR and VBR streams (with ID3 skip + trailing junk)."""
+    # CBR: 4 frames of MPEG1-L3 128 kbps @44.1 kHz.
+    cbr = _mp3_frame(br_idx=9) * 4
+    meta = M.mp3_stream_metadata(cbr + b"TAGjunk")
+    assert meta["n_mpeg_frames"] == 4
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_ms"] == round(4 * 1152 * 1000.0 / 44100, 3)
+    assert meta["bitrate_kbps_mean"] == 128.0
+    assert meta["is_vbr"] is False and meta["layer"] == 3
+    # VBR: alternate 128 / 192 kbps — mean 160, flag set.
+    vbr = (_mp3_frame(br_idx=9) + _mp3_frame(br_idx=11)) * 3
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    meta = M.mp3_stream_metadata(tag + vbr)
+    assert meta["n_mpeg_frames"] == 6
+    assert meta["bitrate_kbps_mean"] == 160.0
+    assert meta["is_vbr"] is True
+    assert M.mp3_stream_metadata(b"RIFFxxxxWAVE") is None
+
+
+def test_q_audio_stream_meta_matches_synth_closed_form(spark):
+    """Driver query: per-doc synthesized MP3 streams (CBR/VBR mix,
+    ID3 on every third id) must report exactly the synthesizer's
+    frame count, the closed-form duration, and the parity-derived
+    VBR flag — checked against a pure-Python re-derivation."""
+    rows = M.q_audio_stream_meta(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        did = r.blob_id
+        n = 5 + did % 7
+        vbr = did % 2 == 1
+        assert r.n_mpeg_frames == n
+        assert r.sample_rate == 44100
+        assert r.duration_ms == round(n * 1152 * 1000.0 / 44100, 3)
+        assert r.is_vbr == vbr
+        if not vbr:
+            assert r.bitrate_kbps_mean == 128.0
+        else:
+            n_hi = n // 2  # odd frame indexes carry 192 kbps
+            exp = round((128000 * (n - n_hi) + 192000 * n_hi) / n / 1000.0, 3)
+            assert r.bitrate_kbps_mean == exp
+
+
 def test_decode_blobs_audio_mp3_tier(spark):
     """decode_blobs' audio tier: WAV first, MPEG frame walk second,
     NULL for everything else — all through the Arrow path."""
