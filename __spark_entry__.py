@@ -239,6 +239,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_heavy_hitters_ample in-window and approx-distinct stays
         # registered below.
         "q_stratified_sample": C.q_stratified_sample,
+        # --- Round-10 coda registrations (new this round, locally
+        # swept oracle-exact at both SFs; every family has an
+        # in-window twin — association->q_spearman_corr, effect/
+        # experimentation->q_cuped/q_mannwhitney_u, drift->q_ks_test,
+        # tail forensics->q_hill_tail_index, sketches->q_ams_f2/
+        # q_heavy_hitters_ample, lexical->q_distinct_ngrams/
+        # q_heaps_law, product analytics->q_cuped).
+        # Kendall tau-b concordance over a fixed contingency grid
+        # (DECIMAL(38,0) pair folds; oracle-exact).
+        "q_kendall_tau": A.q_kendall_tau,
+        # Cohen's d + Hedges' g + Cliff's delta from exact moments
+        # and the rank-sum identity (oracle-exact).
+        "q_effect_sizes": A.q_effect_sizes,
+        # Mutual information + NMI between event type and spend
+        # bucket (rounded-decimal ln folds; oracle-exact).
+        "q_mutual_information": A.q_mutual_information,
+        # Gumbel block-maxima EVT fit + 365-day return level
+        # (method of moments on exact daily maxima; oracle-exact).
+        "q_gumbel_block_maxima": A.q_gumbel_block_maxima,
+        # Weekly cohort retention matrix (integer date math, one
+        # division; oracle-exact).
+        "q_retention_cohorts": A.q_retention_cohorts,
+        # Fano factor burstiness per event type over the hour grid
+        # (integer-rational, one division; oracle-exact).
+        "q_burstiness_fano": A.q_burstiness_fano,
+        # Count-Min point-query sketch vs exact counts for the top
+        # tokens (md5-coin buckets, integer-exact; oracle-exact).
+        "q_countmin_sketch": X.q_countmin_sketch,
+        # Gini-Simpson diversity + HHI concentration per source
+        # (integer-rational, one division each; oracle-exact).
+        "q_simpson_diversity": X.q_simpson_diversity,
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
@@ -2058,6 +2089,14 @@ def oracle_sql() -> dict[str, str]:
         "q_heaps_law": X.heaps_law_oracle_sql(),
         "q_spearman_corr": A.spearman_oracle_sql(),
         "q_hill_tail_index": A.hill_tail_index_oracle_sql(),
+        "q_kendall_tau": A.kendall_tau_oracle_sql(),
+        "q_effect_sizes": A.effect_sizes_oracle_sql(),
+        "q_mutual_information": A.mutual_information_oracle_sql(),
+        "q_gumbel_block_maxima": A.gumbel_block_maxima_oracle_sql(),
+        "q_retention_cohorts": A.retention_cohorts_oracle_sql(),
+        "q_burstiness_fano": A.burstiness_fano_oracle_sql(),
+        "q_countmin_sketch": X.countmin_sketch_oracle_sql(),
+        "q_simpson_diversity": X.simpson_diversity_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """

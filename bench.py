@@ -47,6 +47,17 @@ BENCH_QUERIES = [
     "q_filter_kappa",
     "q_spearman_corr",
     "q_hill_tail_index",
+    # Round-10 coda: concordance, effect sizes, MI, EVT, retention,
+    # burstiness, Count-Min, Simpson diversity — all single-pass
+    # folds over events/documents.
+    "q_kendall_tau",
+    "q_effect_sizes",
+    "q_mutual_information",
+    "q_gumbel_block_maxima",
+    "q_retention_cohorts",
+    "q_burstiness_fano",
+    "q_countmin_sketch",
+    "q_simpson_diversity",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -689,6 +700,18 @@ SF1_REGISTERED_QUERIES = [
     "q_filter_kappa",
     "q_spearman_corr",
     "q_hill_tail_index",
+    # Round-10 coda: all single-pass corpus-linear folds (the
+    # Kendall grid self-join and the Count-Min cell table are
+    # parameter-sized, so the ratio isolates the corpus scan).
+    "q_kendall_tau",
+    "q_effect_sizes",
+    "q_mutual_information",
+    "q_gumbel_block_maxima",
+    "q_retention_cohorts",
+    "q_burstiness_fano",
+    "q_countmin_sketch",
+    "q_simpson_diversity",
+    "q_audio_stream_meta",
 ]
 
 

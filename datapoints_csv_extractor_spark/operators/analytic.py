@@ -5404,3 +5404,807 @@ def hill_tail_index_oracle_sql(k: int = 200) -> str:
                    < 2.0 AS infinite_variance
         FROM agg
     """
+
+
+def q_kendall_tau(
+    spark: SparkSession, sf_dir: str, bucket_cents: int = 50000
+) -> DataFrame:
+    """Kendall tau-b between per-user click and purchase spend —
+    the concordance companion of q_spearman_corr (Spearman measures
+    monotone association through ranks; tau-b is the probability-
+    scale "pick two users: does the ordering agree" read, the
+    statistic preferred when the pair interpretation matters).
+
+    Exact pairwise concordance is O(n^2); the scalable form is
+    tau-b over a FIXED contingency grid (spend buckets of
+    ``bucket_cents``): one groupBy(bucket_x, bucket_y) pass over
+    users, then concordant/discordant pairs fold over the grid's
+    self-join — the grid is parameter-sized (<= 21 x 21 cells), so
+    the quadratic lives on a broadcast table, never on the corpus
+    (the q_chi2_independence shape). Tie corrections (tau-b's
+    denominator) come from the same marginals.
+
+    Exactness: C, D, and the tie terms are sums of products of
+    corpus-scale cell counts — DECIMAL(38,0) folds (n(n-1)/2 alone
+    is ~1e24 at 1e12 users); ONE double division after the sqrt.
+
+    100 TB: corpus touched once (user fold + grid count); the
+    self-join moves <= 441 rows.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents"))
+            .otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("y"),
+    )
+    cells = per_user.groupBy(
+        F.least(
+            F.floor(F.col("x") / F.lit(bucket_cents)), F.lit(20)
+        ).alias("bx"),
+        F.least(
+            F.floor(F.col("y") / F.lit(bucket_cents)), F.lit(20)
+        ).alias("by"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = cells.select(
+        F.col("bx").alias("ax"), F.col("by").alias("ay"),
+        F.col("cnt").alias("an"),
+    )
+    b = cells.select(
+        F.col("bx").alias("cx"), F.col("by").alias("cy"),
+        F.col("cnt").alias("bn"),
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(F.broadcast(b))
+    conc = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("cx") > F.col("ax")) & (F.col("cy") > F.col("ay")),
+                F.col("an").cast(dec) * F.col("bn").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("c2"),
+        F.sum(
+            F.when(
+                (F.col("cx") > F.col("ax")) & (F.col("cy") < F.col("ay")),
+                F.col("an").cast(dec) * F.col("bn").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("d2"),
+    )
+    margx = cells.groupBy("bx").agg(F.sum("cnt").alias("tx")).agg(
+        F.sum(F.col("tx").cast(dec) * (F.col("tx") - 1).cast(dec)).alias(
+            "tiex2"
+        ),
+        F.sum("tx").alias("n"),
+    )
+    margy = cells.groupBy("by").agg(F.sum("cnt").alias("ty")).agg(
+        F.sum(F.col("ty").cast(dec) * (F.col("ty") - 1).cast(dec)).alias(
+            "tiey2"
+        )
+    )
+    agg = conc.join(F.broadcast(margx)).join(F.broadcast(margy))
+    # c2/d2 count each unordered pair ONCE (strict dominance is
+    # asymmetric); the tie terms are DOUBLED (t*(t-1) = 2*C(t,2)), so
+    # the denominator is 2*sqrt((n0-n1)(n0-n2)) and the trailing
+    # *2.0 restores tau-b exactly.
+    n0x2 = F.col("n").cast(dec) * (F.col("n") - 1).cast(dec)
+    tau = (
+        (F.col("c2") - F.col("d2")).cast("double")
+        / F.sqrt(
+            (n0x2 - F.col("tiex2")).cast("double")
+            * (n0x2 - F.col("tiey2")).cast("double")
+        )
+        * 2.0
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("c2").cast("long").alias("concordant"),
+        F.col("d2").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+def kendall_tau_oracle_sql(bucket_cents: int = 50000) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS x,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ), cells AS (
+            SELECT least(CAST(floor(x / {bucket_cents}) AS BIGINT), 20)
+                       AS bx,
+                   least(CAST(floor(y / {bucket_cents}) AS BIGINT), 20)
+                       AS by,
+                   count(*) AS cnt
+            FROM per_user GROUP BY 1, 2
+        ), conc AS (
+            SELECT sum(CASE WHEN b.bx > a.bx AND b.by > a.by
+                       THEN CAST(a.cnt AS DECIMAL(38,0))
+                            * CAST(b.cnt AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS c2,
+                   sum(CASE WHEN b.bx > a.bx AND b.by < a.by
+                       THEN CAST(a.cnt AS DECIMAL(38,0))
+                            * CAST(b.cnt AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS d2
+            FROM cells a, cells b
+        ), margx AS (
+            SELECT sum(CAST(tx AS DECIMAL(38,0))
+                       * CAST(tx - 1 AS DECIMAL(38,0))) AS tiex2,
+                   sum(tx) AS n
+            FROM (SELECT bx, sum(cnt) AS tx FROM cells GROUP BY bx)
+        ), margy AS (
+            SELECT sum(CAST(ty AS DECIMAL(38,0))
+                       * CAST(ty - 1 AS DECIMAL(38,0))) AS tiey2
+            FROM (SELECT by, sum(cnt) AS ty FROM cells GROUP BY by)
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(c2 AS BIGINT) AS concordant,
+               CAST(d2 AS BIGINT) AS discordant,
+               round(CAST(c2 - d2 AS DOUBLE)
+                     / sqrt(CAST(CAST(n AS DECIMAL(38,0))
+                                 * CAST(n - 1 AS DECIMAL(38,0))
+                                 - tiex2 AS DOUBLE)
+                            * CAST(CAST(n AS DECIMAL(38,0))
+                                   * CAST(n - 1 AS DECIMAL(38,0))
+                                   - tiey2 AS DOUBLE)) * 2.0, 6)
+                   AS kendall_tau_b
+        FROM conc, margx, margy
+    """
+
+
+def q_effect_sizes(
+    spark: SparkSession,
+    sf_dir: str,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Standardized effect sizes between two event types' value
+    distributions — Cohen's d, Hedges' g (small-sample-corrected d),
+    and Cliff's delta — the "HOW BIG is the difference" companion of
+    the q_mannwhitney_u / q_ks_test significance pair (at corpus
+    scale everything is significant; effect size is the number that
+    decides whether anyone should care).
+
+    Cohen's d = (mean_a - mean_b) / s_pooled from exact integer
+    moments (cents sums and squared sums fold as DECIMAL(38,0) —
+    cents^2 x 1e12 rows is ~1e20). Hedges' g applies the
+    J = 1 - 3/(4 df - 1) bias correction (df = n_a + n_b - 2, i.e.
+    1 - 3/(4(n_a + n_b) - 9)). Cliff's delta comes
+    from the SAME doubled-midrank machinery as q_mannwhitney_u via
+    the rank-sum identity delta = 2 U1/(n_a n_b) - 1 — no second
+    pass over the data.
+
+    Plan: one groupBy(value) dimension-sized aggregate feeds both
+    the moment folds and the midrank CDF; one global fold each.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sides = ev.where(
+        F.col("event_type").isin([type_a, type_b])
+    ).select(
+        "cents",
+        (F.col("event_type") == type_a).cast("long").alias("is_a"),
+    )
+    per_v = sides.groupBy("cents").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+    )
+    dec = "decimal(38,0)"
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_v = F.col("na_v") + F.col("nb_v")
+    ranked = per_v.select(
+        "cents",
+        "na_v",
+        "nb_v",
+        (
+            F.lit(2) * (F.sum(t_v).over(wcum) - t_v) + t_v + F.lit(1)
+        ).alias("r2_v"),
+    )
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(F.col("na_v").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sa"
+        ),
+        F.sum(F.col("nb_v").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sb"
+        ),
+        F.sum(
+            F.col("na_v").cast(dec) * F.col("cents").cast(dec)
+            * F.col("cents").cast(dec)
+        ).alias("saa"),
+        F.sum(
+            F.col("nb_v").cast(dec) * F.col("cents").cast(dec)
+            * F.col("cents").cast(dec)
+        ).alias("sbb"),
+        F.sum(F.col("na_v").cast(dec) * F.col("r2_v").cast(dec)).alias(
+            "r1_x2"
+        ),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    # Sample variances from exact sums: (n*sxx - sx^2) / (n*(n-1)).
+    var_a = (na * F.col("saa").cast("double") - sa * sa) / (
+        na * (na - 1.0)
+    )
+    var_b = (nb * F.col("sbb").cast("double") - sb * sb) / (
+        nb * (nb - 1.0)
+    )
+    s_pooled = F.sqrt(
+        ((na - 1.0) * var_a + (nb - 1.0) * var_b) / (na + nb - 2.0)
+    )
+    d = (sa / na - sb / nb) / s_pooled
+    jcorr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    u1_x2 = F.col("r1_x2") - F.col("n_a").cast(dec) * (
+        F.col("n_a") + 1
+    ).cast(dec)
+    cliffs = u1_x2.cast("double") / (na * nb) - 1.0
+    return agg.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * jcorr, 6).alias("hedges_g"),
+        F.round(cliffs, 6).alias("cliffs_delta"),
+    )
+
+
+def effect_sizes_oracle_sql(
+    type_a: str = "click", type_b: str = "purchase"
+) -> str:
+    return f"""
+        WITH sides AS (
+            SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                   CAST(event_type = '{type_a}' AS BIGINT) AS is_a
+            FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')
+        ), per_v AS (
+            SELECT cents, sum(is_a) AS na_v, sum(1 - is_a) AS nb_v
+            FROM sides GROUP BY cents
+        ), ranked AS (
+            SELECT cents, na_v, nb_v,
+                   2 * (sum(na_v + nb_v) OVER (ORDER BY cents)
+                        - (na_v + nb_v)) + (na_v + nb_v) + 1 AS r2_v
+            FROM per_v
+        ), agg AS (
+            SELECT sum(na_v) AS n_a, sum(nb_v) AS n_b,
+                   sum(CAST(na_v AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS sa,
+                   sum(CAST(nb_v AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS sb,
+                   sum(CAST(na_v AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS saa,
+                   sum(CAST(nb_v AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))
+                       * CAST(cents AS DECIMAL(38,0))) AS sbb,
+                   sum(CAST(na_v AS DECIMAL(38,0))
+                       * CAST(r2_v AS DECIMAL(38,0))) AS r1_x2
+            FROM ranked
+        )
+        SELECT '{type_a}' AS type_a, '{type_b}' AS type_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / sqrt(((CAST(n_a AS DOUBLE) - 1.0)
+                              * ((CAST(n_a AS DOUBLE)
+                                  * CAST(saa AS DOUBLE)
+                                  - CAST(sa AS DOUBLE)
+                                    * CAST(sa AS DOUBLE))
+                                 / (CAST(n_a AS DOUBLE)
+                                    * (CAST(n_a AS DOUBLE) - 1.0)))
+                              + (CAST(n_b AS DOUBLE) - 1.0)
+                              * ((CAST(n_b AS DOUBLE)
+                                  * CAST(sbb AS DOUBLE)
+                                  - CAST(sb AS DOUBLE)
+                                    * CAST(sb AS DOUBLE))
+                                 / (CAST(n_b AS DOUBLE)
+                                    * (CAST(n_b AS DOUBLE) - 1.0))))
+                             / (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE) - 2.0))), 6)
+                   AS cohens_d,
+               round((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt(((CAST(n_a AS DOUBLE) - 1.0)
+                             * ((CAST(n_a AS DOUBLE)
+                                 * CAST(saa AS DOUBLE)
+                                 - CAST(sa AS DOUBLE)
+                                   * CAST(sa AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE)
+                                   * (CAST(n_a AS DOUBLE) - 1.0)))
+                             + (CAST(n_b AS DOUBLE) - 1.0)
+                             * ((CAST(n_b AS DOUBLE)
+                                 * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)
+                                   * CAST(sb AS DOUBLE))
+                                / (CAST(n_b AS DOUBLE)
+                                   * (CAST(n_b AS DOUBLE) - 1.0))))
+                            / (CAST(n_a AS DOUBLE)
+                               + CAST(n_b AS DOUBLE) - 2.0))
+                     * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                            + CAST(n_b AS DOUBLE))
+                                     - 9.0)), 6) AS hedges_g,
+               round(CAST(r1_x2 - CAST(n_a AS DECIMAL(38,0))
+                          * CAST(n_a + 1 AS DECIMAL(38,0)) AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     - 1.0, 6) AS cliffs_delta
+        FROM agg
+    """
+
+
+def q_mutual_information(
+    spark: SparkSession, sf_dir: str, bucket_cents: int = 500
+) -> DataFrame:
+    """Mutual information (and normalized MI) between event type and
+    value bucket — the model-free association read for categorical x
+    binned data: "how many nats does knowing the event type tell you
+    about the spend bracket". Completes the association family:
+    chi-square tests INDEPENDENCE, Cramér's V scales it, MI is the
+    information-theoretic magnitude the feature-selection and
+    leakage-audit passes actually rank on (a near-duplicate column
+    shows up as NMI ~ 1 regardless of dtype).
+
+    Plan: one groupBy(type, bucket) corpus fold to a <= 5 x 20 cell
+    table; marginals and the MI fold are broadcast-sized. Exactness:
+    every probability ratio is a ratio of exact BIGINT counts; each
+    cell term (p * ln(N * n_tb / (n_t * n_b))) is ONE libm ln on an
+    identical double (the corpus-scale product N*n_tb folds as
+    DECIMAL(38,0) before the ONE division), rounded 6 and summed as
+    DECIMAL(18,6) — order-independent, engine-identical. Entropies
+    use the same discipline; NMI = MI / sqrt(H_t * H_b) is one final
+    division on already-rounded terms."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.floor(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                / F.lit(bucket_cents)
+            ),
+            F.lit(19),
+        ).cast("long").alias("bucket"),
+    )
+    cells = e.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_tb")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wb = Window.partitionBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = cells.select(
+        "event_type",
+        "bucket",
+        "n_tb",
+        F.sum("n_tb").over(wt).alias("n_t"),
+        F.sum("n_tb").over(wb).alias("n_b"),
+        F.sum("n_tb").over(wall).alias("n"),
+        # Entropy terms must fold once per MARGINAL value: tag the
+        # first cell of each marginal group (deterministic min-bucket
+        # / min-type representative).
+        F.min("bucket").over(wt).alias("first_b"),
+        F.min("event_type").over(wb).alias("first_t"),
+    )
+    nd = F.col("n").cast("double")
+    mi_term = F.round(
+        F.col("n_tb").cast("double") / nd
+        * F.log(
+            (F.col("n_tb").cast(dec) * F.col("n").cast(dec)).cast("double")
+            / (F.col("n_t").cast(dec) * F.col("n_b").cast(dec)).cast(
+                "double"
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    ht_term = F.when(
+        F.col("bucket") == F.col("first_b"),
+        F.round(
+            -(F.col("n_t").cast("double") / nd)
+            * F.log(F.col("n_t").cast("double") / nd),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    hb_term = F.when(
+        F.col("event_type") == F.col("first_t"),
+        F.round(
+            -(F.col("n_b").cast("double") / nd)
+            * F.log(F.col("n_b").cast("double") / nd),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    terms = g.select(
+        "n",
+        mi_term.alias("mi_term"),
+        ht_term.alias("ht_term"),
+        hb_term.alias("hb_term"),
+    )
+    agg = terms.agg(
+        F.max("n").alias("n_events"),
+        F.sum("mi_term").alias("mi"),
+        F.sum("ht_term").alias("h_type"),
+        F.sum("hb_term").alias("h_bucket"),
+    )
+    return agg.select(
+        F.col("n_events"),
+        F.col("mi").cast("double").alias("mi_nats"),
+        F.col("h_type").cast("double").alias("h_type"),
+        F.col("h_bucket").cast("double").alias("h_bucket"),
+        F.round(
+            F.col("mi").cast("double")
+            / F.sqrt(
+                F.col("h_type").cast("double")
+                * F.col("h_bucket").cast("double")
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def mutual_information_oracle_sql(bucket_cents: int = 500) -> str:
+    return f"""
+        WITH e AS (
+            SELECT event_type,
+                   least(CAST(floor(CAST(floor(value * 100.0 + 0.5)
+                                         AS BIGINT)
+                                    / {bucket_cents}) AS BIGINT), 19)
+                       AS bucket
+            FROM events
+        ), cells AS (
+            SELECT event_type, bucket, count(*) AS n_tb
+            FROM e GROUP BY 1, 2
+        ), g AS (
+            SELECT event_type, bucket, n_tb,
+                   sum(n_tb) OVER (PARTITION BY event_type) AS n_t,
+                   sum(n_tb) OVER (PARTITION BY bucket) AS n_b,
+                   sum(n_tb) OVER () AS n,
+                   min(bucket) OVER (PARTITION BY event_type)
+                       AS first_b,
+                   min(event_type) OVER (PARTITION BY bucket)
+                       AS first_t
+            FROM cells
+        ), agg AS (
+            SELECT max(n) AS n_events,
+                   sum(CAST(round(CAST(n_tb AS DOUBLE)
+                                  / CAST(n AS DOUBLE)
+                                  * ln(CAST(CAST(n_tb AS DECIMAL(38,0))
+                                            * CAST(n AS DECIMAL(38,0))
+                                            AS DOUBLE)
+                                       / CAST(CAST(n_t AS DECIMAL(38,0))
+                                              * CAST(n_b
+                                                     AS DECIMAL(38,0))
+                                              AS DOUBLE)), 6)
+                            AS DECIMAL(18,6))) AS mi,
+                   sum(CASE WHEN bucket = first_b THEN
+                       CAST(round(-(CAST(n_t AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_t AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) END) AS h_type,
+                   sum(CASE WHEN event_type = first_t THEN
+                       CAST(round(-(CAST(n_b AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_b AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) END) AS h_bucket
+            FROM g
+        )
+        SELECT CAST(n_events AS BIGINT) AS n_events,
+               CAST(mi AS DOUBLE) AS mi_nats,
+               CAST(h_type AS DOUBLE) AS h_type,
+               CAST(h_bucket AS DOUBLE) AS h_bucket,
+               round(CAST(mi AS DOUBLE)
+                     / sqrt(CAST(h_type AS DOUBLE)
+                            * CAST(h_bucket AS DOUBLE)), 6) AS nmi
+        FROM agg
+    """
+
+
+def q_gumbel_block_maxima(
+    spark: SparkSession, sf_dir: str, return_period: int = 365
+) -> DataFrame:
+    """Extreme-value analysis via Gumbel block maxima — fit the
+    Gumbel (EV type I) distribution to DAILY maxima of event values
+    by the method of moments and report the ``return_period``-day
+    return level: the value exceeded on average once per period.
+    The capacity-planning read of the tail family (Hill says HOW
+    heavy the tail is; the return level says what peak to provision
+    for), and the classical EVT result for maxima of light-tailed
+    data (Fisher-Tippett-Gnedenko).
+
+    Method of moments: beta = s * sqrt(6) / pi,
+    mu = xbar - gamma * beta (gamma = Euler-Mascheroni), return
+    level x_T = mu - beta * ln(-ln(1 - 1/T)).
+
+    Plan: one groupBy(day) max fold over the corpus (map-side
+    combine), then the moment fold over the DAY-COUNT-sized block
+    table — blocks stay dimension-sized at any corpus scale.
+    Exactness: block maxima are exact cents; mean/variance come
+    from exact integer sums (DECIMAL(38,0) squares); the constants
+    are double literals, the transcendentals one libm call each on
+    identical doubles, rounded 6."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    blocks = e.groupBy("day").agg(F.max("cents").alias("mx"))
+    agg = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("mx").cast(dec)).alias("sx"),
+        F.sum(F.col("mx").cast(dec) * F.col("mx").cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / nd / 100.0
+    sd = F.sqrt(
+        (nd * sxx - sx * sx) / (nd * (nd - 1.0))
+    ) / 100.0
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    t = float(return_period)
+    rl = mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / t)))
+    return agg.select(
+        F.col("n_blocks"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl, 6).alias(f"return_level_{return_period}d"),
+    )
+
+
+def gumbel_block_maxima_oracle_sql(return_period: int = 365) -> str:
+    t = float(return_period)
+    return f"""
+        WITH blocks AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS mx
+            FROM events GROUP BY 1
+        ), agg AS (
+            SELECT count(*) AS n_blocks,
+                   sum(CAST(mx AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(mx AS DECIMAL(38,0))
+                       * CAST(mx AS DECIMAL(38,0))) AS sxx
+            FROM blocks
+        )
+        SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+               round(CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                     / 100.0
+                     - 0.5772156649015329
+                       * (sqrt((CAST(n_blocks AS DOUBLE)
+                                * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE))
+                               / (CAST(n_blocks AS DOUBLE)
+                                  * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                          / 100.0 * sqrt(6.0) / 3.141592653589793), 6)
+                   AS gumbel_mu,
+               round(sqrt((CAST(n_blocks AS DOUBLE)
+                           * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n_blocks AS DOUBLE)
+                             * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                     / 100.0 * sqrt(6.0) / 3.141592653589793, 6)
+                   AS gumbel_beta,
+               round((CAST(sx AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                      / 100.0
+                      - 0.5772156649015329
+                        * (sqrt((CAST(n_blocks AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                / (CAST(n_blocks AS DOUBLE)
+                                   * (CAST(n_blocks AS DOUBLE)
+                                      - 1.0)))
+                           / 100.0 * sqrt(6.0) / 3.141592653589793))
+                     - (sqrt((CAST(n_blocks AS DOUBLE)
+                              * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                             / (CAST(n_blocks AS DOUBLE)
+                                * (CAST(n_blocks AS DOUBLE) - 1.0)))
+                        / 100.0 * sqrt(6.0) / 3.141592653589793)
+                       * ln(-ln({1.0 - 1.0 / t!r})), 6)
+                   AS return_level_{return_period}d
+        FROM agg
+    """
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the product-analytics
+    staple: users cohorted by first-seen week, each later week's
+    active share of the cohort. The triangle whose diagonal decay is
+    the single most-watched growth metric; the funnel family's
+    longitudinal sibling (q_funnel_stages is within-session, this is
+    across weeks).
+
+    Plan: one groupBy(user) min-date fold (corpus touched once for
+    cohorts), one distinct (user, week) projection (the activity
+    set), one broadcast-joinable cohort table (users are dimension-
+    sized relative to events), one groupBy(cohort, offset) count.
+    Exactness: week arithmetic is pure integer date math from a
+    fixed epoch; retention is ONE division rounded 4."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    week = (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7)
+    cohorts = e.groupBy("user_id").agg(
+        F.floor(F.min(week)).cast("long").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.floor(week).cast("long").alias("active_week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    ret = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    return ret.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("n_cohort").cast("double"),
+            4,
+        ).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+def retention_cohorts_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        ), cohorts AS (
+            SELECT user_id,
+                   CAST(floor(min(datediff('day', DATE '2024-01-01',
+                                           day)) / 7.0) AS BIGINT)
+                       AS cohort_week
+            FROM e GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(datediff('day', DATE '2024-01-01', day)
+                              / 7.0) AS BIGINT) AS active_week
+            FROM e
+        ), sizes AS (
+            SELECT cohort_week, count(*) AS n_cohort
+            FROM cohorts GROUP BY cohort_week
+        ), ret AS (
+            SELECT c.cohort_week,
+                   a.active_week - c.cohort_week AS week_offset,
+                   count(*) AS n_active
+            FROM activity a JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_week, week_offset,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(n_cohort AS BIGINT) AS n_cohort,
+               round(CAST(n_active AS DOUBLE)
+                     / CAST(n_cohort AS DOUBLE), 4) AS retention
+        FROM ret JOIN sizes USING (cohort_week)
+        ORDER BY cohort_week, week_offset
+    """
+
+
+def q_burstiness_fano(
+    spark: SparkSession, sf_dir: str, n_hours: int = 720
+) -> DataFrame:
+    """Fano factor (index of dispersion) per event type over hourly
+    buckets — the burstiness read: 1.0 is Poisson, >> 1 is bursty
+    (thundering herds, bot storms, replay floods), << 1 is
+    metronomic (schedulers, heartbeats). What capacity planning and
+    bot-detection actually look at before any model; the temporal
+    sibling of the AMS F2 concentration read.
+
+    Fano = var/mean over the FULL hour grid including empty hours:
+    with N events in H hours and sxx = sum of squared hourly counts
+    (empty hours add zero), population var/mean collapses to the
+    integer-rational (H * sxx - N^2) / (H * N) — exact DECIMAL(38,0)
+    products, ONE division rounded 6.
+
+    Plan: one groupBy(type, hour) corpus fold (map-side combine;
+    the cell table is H x types, dimension-sized), one per-type
+    fold. H is a parameter of the corpus window (720 = 30 days)."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).alias("hour"),
+    )
+    cells = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_hours"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sxx"),
+    )
+    fano = (
+        (
+            F.lit(n_hours).cast(dec) * F.col("sxx")
+            - F.col("n_events").cast(dec) * F.col("n_events").cast(dec)
+        ).cast("double")
+        / (F.lit(n_hours).cast(dec) * F.col("n_events").cast(dec)).cast(
+            "double"
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        F.round(fano, 6).alias("fano_factor"),
+        (F.round(fano, 6) > F.lit(1.0)).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+def burstiness_fano_oracle_sql(n_hours: int = 720) -> str:
+    return f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type,
+                   sum(c) AS n_events,
+                   count(*) AS n_active_hours,
+                   sum(CAST(c AS DECIMAL(38,0))
+                       * CAST(c AS DECIMAL(38,0))) AS sxx
+            FROM cells GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_active_hours AS BIGINT) AS n_active_hours,
+               round(CAST(CAST({n_hours} AS DECIMAL(38,0)) * sxx
+                          - CAST(n_events AS DECIMAL(38,0))
+                            * CAST(n_events AS DECIMAL(38,0))
+                          AS DOUBLE)
+                     / CAST(CAST({n_hours} AS DECIMAL(38,0))
+                            * CAST(n_events AS DECIMAL(38,0))
+                            AS DOUBLE), 6) AS fano_factor,
+               round(CAST(CAST({n_hours} AS DECIMAL(38,0)) * sxx
+                          - CAST(n_events AS DECIMAL(38,0))
+                            * CAST(n_events AS DECIMAL(38,0))
+                          AS DOUBLE)
+                     / CAST(CAST({n_hours} AS DECIMAL(38,0))
+                            * CAST(n_events AS DECIMAL(38,0))
+                            AS DOUBLE), 6) > 1.0 AS overdispersed
+        FROM agg ORDER BY event_type
+    """

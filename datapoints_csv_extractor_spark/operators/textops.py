@@ -4422,3 +4422,222 @@ def script_mix_oracle_sql(plant_mod: int = 17) -> str:
         FROM per_doc GROUP BY source
         ORDER BY source
     """
+
+
+def q_countmin_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, reported against exact counts for the corpus's top
+    tokens — the third leg of the sketch family (space-saving tracks
+    WHO is frequent, AMS tracks the moment, Count-Min answers point
+    queries with a one-sided eps*N error bound in O(d*w) space).
+    The overestimate column is the bound made visible: estimates are
+    NEVER below truth (min over rows of bucket sums that each
+    include the true count), and the report shows how close the
+    d x w grid gets on real token skew.
+
+    Plan: one tokenize + groupBy(token) corpus fold (the vocab
+    table), then the sketch's d bucket rows come from a vocab-sized
+    explode-by-seed groupBy — O(vocab * d) rows shuffled, never the
+    corpus; the top-k join is broadcast (parameter-sized). At 100 TB
+    the sketch phase touches the VOCAB table, which the token fold
+    already produced — corpus read once.
+
+    Exactness: buckets are md5-prefix coins (the repo's seeded-hash
+    discipline, identical string -> identical bucket in both
+    engines); every count, bucket sum, min, and difference is an
+    exact BIGINT."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint()  # feeds the cells, the top-k, and the join
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit("cms"), F.col("i"), F.col("tok"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % width
+    seeded = vocab.select(
+        "tok",
+        "f",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    ).select("tok", "f", "i", bucket.alias("b"))
+    cells = seeded.groupBy("i", "b").agg(F.sum("f").alias("cell_sum"))
+    top = (
+        vocab.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok", F.col("f").alias("exact_count"))
+    )
+    top_cells = (
+        top.select(
+            "tok",
+            "exact_count",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("i"),
+        )
+        .select("tok", "exact_count", "i", bucket.alias("b"))
+        .join(cells, ["i", "b"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell_sum").alias("cm_estimate"))
+    )
+    return top_cells.select(
+        "tok",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).alias(
+            "overestimate"
+        ),
+    ).orderBy(F.desc("exact_count"), F.asc("tok"))
+
+
+def countmin_sketch_oracle_sql(
+    depth: int = 4, width: int = 256, top_k: int = 10
+) -> str:
+    return f"""
+        WITH vocab AS (
+            SELECT t.tok, count(*) AS f
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY t.tok
+        ), seeded AS (
+            SELECT tok, f, i,
+                   CAST(('0x' || substr(md5('cms' || ':' || i || ':'
+                                            || tok), 1, 8))
+                        AS BIGINT) % {width} AS b
+            FROM vocab, unnest(range({depth})) AS s(i)
+        ), cells AS (
+            SELECT i, b, sum(f) AS cell_sum
+            FROM seeded GROUP BY i, b
+        ), top AS (
+            SELECT tok, f AS exact_count
+            FROM vocab ORDER BY f DESC, tok ASC LIMIT {top_k}
+        ), est AS (
+            SELECT top.tok, top.exact_count,
+                   min(cells.cell_sum) AS cm_estimate
+            FROM top, unnest(range({depth})) AS s(i)
+            JOIN cells
+              ON cells.i = s.i
+             AND cells.b = CAST(('0x' || substr(md5('cms' || ':' || s.i
+                                                    || ':' || top.tok),
+                                                1, 8))
+                                AS BIGINT) % {width}
+            GROUP BY top.tok, top.exact_count
+        )
+        SELECT tok, CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(cm_estimate AS BIGINT) AS cm_estimate,
+               CAST(cm_estimate - exact_count AS BIGINT)
+                   AS overestimate
+        FROM est ORDER BY exact_count DESC, tok ASC
+    """
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity + Herfindahl concentration of the
+    token distribution per source — the "repertoire" dials next to
+    the lexical-law pair (Heaps says how vocabulary GROWS, Zipf how
+    it DECAYS; Simpson/HHI say how concentrated usage is RIGHT NOW:
+    the probability two random tokens differ, and the effective
+    number of tokens in use). A template-generated source shows up
+    as HHI spiking and effective vocab collapsing long before a
+    human reads it.
+
+    Exactness: Gini-Simpson 1 - sum f(f-1) / (N(N-1)) is the
+    unbiased (sampling-without-replacement) form — an integer
+    rational with ONE division; HHI = sum f^2 / N^2 likewise. The
+    f-products fold as DECIMAL(38,0) (f^2 at web scale passes
+    int64); effective vocab = 1/HHI divides the already-rounded
+    value, engine-identical.
+
+    Plan: one tokenize + groupBy(source, token) corpus fold, one
+    per-source fold over the vocab table. Corpus read once."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = freq.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("f").cast(dec) * (F.col("f") - 1).cast(dec)).alias(
+            "s2m"
+        ),
+        F.sum(F.col("f").cast(dec) * F.col("f").cast(dec)).alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    gini_simpson = F.round(
+        1.0
+        - F.col("s2m").cast("double")
+        / (
+            F.col("n_tokens").cast(dec)
+            * (F.col("n_tokens") - 1).cast(dec)
+        ).cast("double"),
+        6,
+    )
+    hhi = F.round(F.col("s2").cast("double") / (nd * nd), 6)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        gini_simpson.alias("gini_simpson"),
+        hhi.alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 2).alias("effective_vocab"),
+    ).orderBy("source")
+
+
+def simpson_diversity_oracle_sql() -> str:
+    return """
+        WITH freq AS (
+            SELECT source, t.tok, count(*) AS f
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY source, t.tok
+        ), agg AS (
+            SELECT source,
+                   sum(f) AS n_tokens,
+                   count(*) AS vocab,
+                   sum(CAST(f AS DECIMAL(38,0))
+                       * CAST(f - 1 AS DECIMAL(38,0))) AS s2m,
+                   sum(CAST(f AS DECIMAL(38,0))
+                       * CAST(f AS DECIMAL(38,0))) AS s2
+            FROM freq GROUP BY source
+        )
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(vocab AS BIGINT) AS vocab,
+               round(1.0 - CAST(s2m AS DOUBLE)
+                     / CAST(CAST(n_tokens AS DECIMAL(38,0))
+                            * CAST(n_tokens - 1 AS DECIMAL(38,0))
+                            AS DOUBLE), 6) AS gini_simpson,
+               round(CAST(s2 AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE)
+                        * CAST(n_tokens AS DOUBLE)), 6) AS hhi,
+               round(1.0 / round(CAST(s2 AS DOUBLE)
+                                 / (CAST(n_tokens AS DOUBLE)
+                                    * CAST(n_tokens AS DOUBLE)), 6), 2)
+                   AS effective_vocab
+        FROM agg ORDER BY source
+    """

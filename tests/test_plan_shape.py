@@ -251,6 +251,10 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_heaps_law",  # 1-row max-doc-id aggregate broadcast
         "q_filter_kappa",  # 1-row 2x2-confusion aggregate fold
         "q_bradley_terry",  # item-dimension strength table broadcasts
+        "q_kendall_tau",  # <=441-cell contingency grid x itself + 1-row folds
+        "q_mutual_information",  # 1-row MI/entropy aggregate assembly
+        "q_gumbel_block_maxima",  # 1-row block-moment aggregate fold
+        "q_effect_sizes",  # 1-row moment + rank-sum aggregate fold
     }
 
     offenders = {}
