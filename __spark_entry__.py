@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fano factor burstiness per event type over the hour grid
         # (integer-rational, one division; oracle-exact).
         "q_burstiness_fano": A.q_burstiness_fano,
+        # Multiple OLS by normal equations + Cramer's rule (one
+        # corpus fold to 10 moments, closed-form solve; oracle-exact).
+        "q_ols_normal_equations": A.q_ols_normal_equations,
+        # Matthews correlation between the Gopher and C4 gates
+        # (DECIMAL confusion products; oracle-exact, composed gates).
+        "q_filter_mcc": C.q_filter_mcc,
         # Count-Min point-query sketch vs exact counts for the top
         # tokens (md5-coin buckets, integer-exact; oracle-exact).
         "q_countmin_sketch": X.q_countmin_sketch,
@@ -2097,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "q_burstiness_fano": A.burstiness_fano_oracle_sql(),
         "q_countmin_sketch": X.countmin_sketch_oracle_sql(),
         "q_simpson_diversity": X.simpson_diversity_oracle_sql(),
+        "q_ols_normal_equations": A.ols_normal_equations_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """
@@ -5247,6 +5254,42 @@ def oracle_sql() -> dict[str, str]:
                                            + CAST(n_c4_only AS DOUBLE))
                                           / CAST(n_docs AS DOUBLE)))),
                      6) AS kappa
+        FROM cells
+    """
+    # Matthews correlation over the same composed 2x2 — DECIMAL(38,0)
+    # confusion products mirroring the Spark fold.
+    sql["q_filter_mcc"] = f"""
+        WITH g AS (SELECT doc_id, CAST(passes_gopher AS BIGINT) AS g
+                   FROM ({sql["q_gopher_rules"]})),
+        c AS (SELECT doc_id, CAST(passes_c4 AS BIGINT) AS c
+              FROM ({sql["q_c4_rules"]})),
+        cells AS (
+            SELECT count(*) AS n_docs,
+                   sum(g * c) AS tp,
+                   sum((1 - g) * (1 - c)) AS tn,
+                   sum((1 - g) * c) AS fp,
+                   sum(g * (1 - c)) AS fn
+            FROM g JOIN c USING (doc_id)
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(tp AS BIGINT) AS n_both_pass,
+               CAST(tn AS BIGINT) AS n_both_fail,
+               CAST(fp AS BIGINT) AS n_c4_only,
+               CAST(fn AS BIGINT) AS n_gopher_only,
+               round(CAST(CAST(tp AS DECIMAL(38,0))
+                          * CAST(tn AS DECIMAL(38,0))
+                          - CAST(fp AS DECIMAL(38,0))
+                            * CAST(fn AS DECIMAL(38,0)) AS DOUBLE)
+                     / sqrt(CAST((CAST(tp AS DECIMAL(38,0))
+                                  + CAST(fp AS DECIMAL(38,0)))
+                                 * (CAST(tp AS DECIMAL(38,0))
+                                    + CAST(fn AS DECIMAL(38,0)))
+                                 AS DOUBLE)
+                            * CAST((CAST(tn AS DECIMAL(38,0))
+                                    + CAST(fp AS DECIMAL(38,0)))
+                                   * (CAST(tn AS DECIMAL(38,0))
+                                      + CAST(fn AS DECIMAL(38,0)))
+                                   AS DOUBLE)), 6) AS mcc
         FROM cells
     """
     return sql

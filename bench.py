@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q_burstiness_fano",
     "q_countmin_sketch",
     "q_simpson_diversity",
+    "q_ols_normal_equations",
+    "q_filter_mcc",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -711,6 +713,7 @@ SF1_REGISTERED_QUERIES = [
     "q_burstiness_fano",
     "q_countmin_sketch",
     "q_simpson_diversity",
+    "q_ols_normal_equations",
     "q_audio_stream_meta",
 ]
 

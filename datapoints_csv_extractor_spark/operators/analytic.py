@@ -6208,3 +6208,159 @@ def burstiness_fano_oracle_sql(n_hours: int = 720) -> str:
                             AS DOUBLE), 6) > 1.0 AS overdispersed
         FROM agg ORDER BY event_type
     """
+
+
+def q_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by normal equations, solved in
+    closed form with Cramer's rule — purchase spend per user
+    regressed on click count and view count. The workhorse "does
+    engagement predict spend, holding browsing constant" read, and
+    the template for ANY distributed k-feature OLS: the corpus folds
+    to the 9 moment sums of [1, x1, x2] x [y], the 3x3 solve is
+    pure arithmetic on that one row — no iteration, no driver-side
+    linear algebra library (the q_series_ols_trend shape, one
+    feature up; the PCA/gram trainer is this family's big sibling).
+
+    Exactness: the moment sums fold as DECIMAL(38,0) over exact
+    integer counts/cents (sum x1*y at 1e12 users passes int64); the
+    determinants expand as IDENTICAL-order double expressions on
+    those exact sums in both engines (det products pass decimal128,
+    so the solve runs in doubles — deterministic, same IEEE ops),
+    with betas and R^2 rounded 6. R^2 comes from the algebraic
+    identity SSE = Syy - b'X'y (no second pass).
+
+    100 TB: ONE corpus fold (map-side combine to 10 numbers), then
+    literally a single row of arithmetic."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("y"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x1"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x2"),
+    )
+    c = lambda n: F.col(n).cast(dec)  # noqa: E731
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c("x1")).alias("s1"),
+        F.sum(c("x2")).alias("s2"),
+        F.sum(c("x1") * c("x1")).alias("s11"),
+        F.sum(c("x1") * c("x2")).alias("s12"),
+        F.sum(c("x2") * c("x2")).alias("s22"),
+        F.sum(c("y")).alias("sy"),
+        F.sum(c("x1") * c("y")).alias("s1y"),
+        F.sum(c("x2") * c("y")).alias("s2y"),
+        F.sum(c("y") * c("y")).alias("syy"),
+    )
+    d = lambda n: F.col(n).cast("double")  # noqa: E731
+    n, s1, s2 = d("n"), d("s1"), d("s2")
+    s11, s12, s22 = d("s11"), d("s12"), d("s22")
+    sy, s1y, s2y, syy = d("sy"), d("s1y"), d("s2y"), d("syy")
+    # X'X = [[n s1 s2], [s1 s11 s12], [s2 s12 s22]]; X'y = [sy s1y s2y].
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(b0 / 100.0, 6).alias("intercept"),
+        F.round(b1 / 100.0, 6).alias("beta_clicks"),
+        F.round(b2 / 100.0, 6).alias("beta_views"),
+        F.round(1.0 - sse / sst, 6).alias("r_squared"),
+    )
+
+
+def ols_normal_equations_oracle_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS y,
+                   sum(CAST(event_type = 'click' AS BIGINT)) AS x1,
+                   sum(CAST(event_type = 'view' AS BIGINT)) AS x2
+            FROM events GROUP BY user_id
+        ), s AS (
+            SELECT count(*) AS n,
+                   sum(CAST(x1 AS DECIMAL(38,0))) AS s1,
+                   sum(CAST(x2 AS DECIMAL(38,0))) AS s2,
+                   sum(CAST(x1 AS DECIMAL(38,0))
+                       * CAST(x1 AS DECIMAL(38,0))) AS s11,
+                   sum(CAST(x1 AS DECIMAL(38,0))
+                       * CAST(x2 AS DECIMAL(38,0))) AS s12,
+                   sum(CAST(x2 AS DECIMAL(38,0))
+                       * CAST(x2 AS DECIMAL(38,0))) AS s22,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x1 AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0))) AS s1y,
+                   sum(CAST(x2 AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0))) AS s2y,
+                   sum(CAST(y AS DECIMAL(38,0))
+                       * CAST(y AS DECIMAL(38,0))) AS syy
+            FROM per_user
+        ), dd AS (
+            SELECT CAST(n AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                   CAST(s11 AS DOUBLE) AS s11,
+                   CAST(s12 AS DOUBLE) AS s12,
+                   CAST(s22 AS DOUBLE) AS s22,
+                   CAST(sy AS DOUBLE) AS sy,
+                   CAST(s1y AS DOUBLE) AS s1y,
+                   CAST(s2y AS DOUBLE) AS s2y,
+                   CAST(syy AS DOUBLE) AS syy
+            FROM s
+        ), solved AS (
+            SELECT n, sy, s1y, s2y, syy,
+                   (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) AS det,
+                   (sy * (s11 * s22 - s12 * s12)
+                    - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+                   (n * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2)) AS det1,
+                   (n * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2)) AS det2
+            FROM dd
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round(det0 / det / 100.0, 6) AS intercept,
+               round(det1 / det / 100.0, 6) AS beta_clicks,
+               round(det2 / det / 100.0, 6) AS beta_views,
+               round(1.0 - (syy - ((det0 / det) * sy
+                                   + (det1 / det) * s1y
+                                   + (det2 / det) * s2y))
+                     / (syy - sy * sy / n), 6) AS r_squared
+        FROM solved
+    """

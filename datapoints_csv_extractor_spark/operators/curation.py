@@ -4111,3 +4111,47 @@ def q_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("agreement"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+def q_filter_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient between the Gopher and C4
+    gates — the filter-agreement family's third dial next to raw
+    agreement and Cohen's kappa (q_filter_kappa): kappa corrects
+    agreement for chance, MCC is the binary-confusion correlation
+    (the balanced metric of record when the pass rates are skewed,
+    which quality gates always are — a filter passing 95% can post
+    high kappa while its MCC exposes near-zero discrimination).
+
+    Composes the existing gates verbatim (zero predicate drift), one
+    equi-join, one 2x2 fold. Exactness: MCC's numerator TP*TN-FP*FN
+    and each denominator marginal product are corpus-scale count
+    products — DECIMAL(38,0) folds (1e24 at 1e12 docs), ONE sqrt and
+    ONE division rounded 6, identical order in both engines."""
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("long").alias("g")
+    )
+    c = q_c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").cast("long").alias("c")
+    )
+    cells = g.join(c, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g") * F.col("c")).alias("tp"),
+        F.sum((1 - F.col("g")) * (1 - F.col("c"))).alias("tn"),
+        F.sum((1 - F.col("g")) * F.col("c")).alias("fp"),
+        F.sum(F.col("g") * (1 - F.col("c"))).alias("fn"),
+    )
+    dec = "decimal(38,0)"
+    d = lambda n: F.col(n).cast(dec)  # noqa: E731
+    num = (d("tp") * d("tn") - d("fp") * d("fn")).cast("double")
+    den = F.sqrt(
+        ((d("tp") + d("fp")) * (d("tp") + d("fn"))).cast("double")
+        * ((d("tn") + d("fp")) * (d("tn") + d("fn"))).cast("double")
+    )
+    return cells.select(
+        "n_docs",
+        F.col("tp").alias("n_both_pass"),
+        F.col("tn").alias("n_both_fail"),
+        F.col("fp").alias("n_c4_only"),
+        F.col("fn").alias("n_gopher_only"),
+        F.round(num / den, 6).alias("mcc"),
+    )

@@ -244,3 +244,88 @@ def test_simpson_diversity_matches_reference(spark):
         assert float(r.gini_simpson) == gs
         assert float(r.hhi) == hhi
         assert float(r.effective_vocab) == round(1.0 / hhi, 2)
+
+
+def test_ols_normal_equations_matches_reference(spark, events):
+    per_user: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for t, u, c, _ in events:
+        if t == "purchase":
+            per_user[u][0] += c
+        elif t == "click":
+            per_user[u][1] += 1
+        elif t == "view":
+            per_user[u][2] += 1
+    ys = [v[0] for v in per_user.values()]
+    x1 = [v[1] for v in per_user.values()]
+    x2 = [v[2] for v in per_user.values()]
+    n = len(ys)
+    s1, s2 = sum(x1), sum(x2)
+    s11 = sum(a * a for a in x1)
+    s12 = sum(a * b for a, b in zip(x1, x2))
+    s22 = sum(b * b for b in x2)
+    sy = sum(ys)
+    s1y = sum(a * y for a, y in zip(x1, ys))
+    s2y = sum(b * y for b, y in zip(x2, ys))
+    syy = sum(y * y for y in ys)
+    nf, s1f, s2f = float(n), float(s1), float(s2)
+    det = (
+        nf * (s11 * s22 - s12 * s12)
+        - s1f * (s1f * s22 - s12 * s2f)
+        + s2f * (s1f * s12 - s11 * s2f)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1f * (s1y * s22 - s12 * s2y)
+        + s2f * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        nf * (s1y * s22 - s12 * s2y)
+        - sy * (s1f * s22 - s12 * s2f)
+        + s2f * (s1f * s2y - s1y * s2f)
+    )
+    det2 = (
+        nf * (s11 * s2y - s1y * s12)
+        - s1f * (s1f * s2y - s1y * s2f)
+        + sy * (s1f * s12 - s11 * s2f)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / nf
+    row = A.q_ols_normal_equations(spark, SF).first()
+    assert row.n_users == n
+    assert float(row.intercept) == pytest.approx(
+        round(b0 / 100.0, 6), abs=2e-6
+    )
+    assert float(row.beta_clicks) == pytest.approx(
+        round(b1 / 100.0, 6), abs=2e-6
+    )
+    assert float(row.beta_views) == pytest.approx(
+        round(b2 / 100.0, 6), abs=2e-6
+    )
+    assert float(row.r_squared) == pytest.approx(
+        round(1.0 - sse / sst, 6), abs=2e-6
+    )
+    assert 0.0 <= float(row.r_squared) <= 1.0
+
+
+def test_filter_mcc_consistent_with_kappa_confusion(spark):
+    """MCC must be the textbook formula over the SAME 2x2 confusion
+    q_filter_kappa reports (both compose the gates verbatim, so the
+    cells must agree exactly and MCC follows from them)."""
+    from datapoints_csv_extractor_spark.operators import curation as C
+
+    k = C.q_filter_kappa(spark, SF).first()
+    m = C.q_filter_mcc(spark, SF).first()
+    assert (
+        m.n_docs, m.n_both_pass, m.n_both_fail,
+        m.n_gopher_only, m.n_c4_only,
+    ) == (
+        k.n_docs, k.n_both_pass, k.n_both_fail,
+        k.n_gopher_only, k.n_c4_only,
+    )
+    tp, tn = m.n_both_pass, m.n_both_fail
+    fp, fn = m.n_c4_only, m.n_gopher_only
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        float((tp + fp) * (tp + fn)) * float((tn + fp) * (tn + fn))
+    )
+    assert float(m.mcc) == pytest.approx(round(mcc, 6), abs=2e-6)
