@@ -6046,22 +6046,29 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     longitudinal sibling (q_funnel_stages is within-session, this is
     across weeks).
 
-    Plan: one groupBy(user) min-date fold (corpus touched once for
-    cohorts), one distinct (user, week) projection (the activity
-    set), one broadcast-joinable cohort table (users are dimension-
-    sized relative to events), one groupBy(cohort, offset) count.
-    Exactness: week arithmetic is pure integer date math from a
-    fixed epoch; retention is ONE division rounded 4."""
+    Plan: ONE corpus scan to the distinct (user, week) activity set,
+    localCheckpointed at the multi-consumer point (three consumers —
+    the retention join, the cohort derivation, the size table — would
+    otherwise each rescan the corpus; the checkpoint is users x weeks
+    rows of two narrow columns, tiny next to events). The cohort
+    table derives FROM that set (min week per user — the same value
+    as min over raw events, since distinct preserves per-user week
+    minima). Exactness: week arithmetic is pure integer date math
+    from a fixed epoch; retention is ONE division rounded 4."""
     e = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     week = (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) / 7)
-    cohorts = e.groupBy("user_id").agg(
-        F.floor(F.min(week)).cast("long").alias("cohort_week")
+    activity = (
+        e.select(
+            "user_id", F.floor(week).cast("long").alias("active_week")
+        )
+        .distinct()
+        .localCheckpoint()
     )
-    activity = e.select(
-        "user_id", F.floor(week).cast("long").alias("active_week")
-    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )

@@ -863,3 +863,52 @@ def test_pca_projection_measured_shuffle_is_zero_bytes(spark):
     s = metrics_summary(proj)
     assert s["shuffle_bytes_written"] == 0
     assert s["spill_bytes"] == 0
+
+
+def test_round10_coda_scans_are_pruned_and_single_pass(spark):
+    """The round-10 coda's corpus folds must (a) prune the scan to
+    the columns they use — an events scan reading props/event_id for
+    a 3-column fold is wrong at 100 TB — and (b) for
+    q_retention_cohorts, touch the events parquet ONCE (the cohort
+    table derives from the distinct activity set, not a second
+    scan)."""
+    from datapoints_csv_extractor_spark.operators import analytic as A
+    from datapoints_csv_extractor_spark.operators import textops as X
+
+    def read_schemas(plan: str) -> list[str]:
+        return re.findall(r"ReadSchema: (.+)", plan)
+
+    cases = [
+        (A.q_ols_normal_equations, {"user_id", "event_type", "value"}),
+        (A.q_kendall_tau, {"user_id", "event_type", "value"}),
+        (A.q_effect_sizes, {"event_type", "value"}),
+        (A.q_mutual_information, {"event_type", "value"}),
+        (A.q_gumbel_block_maxima, {"ts", "value"}),
+        (A.q_burstiness_fano, {"event_type", "ts"}),
+        (X.q_simpson_diversity, {"source", "text"}),
+    ]
+    for fn, want in cases:
+        plan = _plan(fn(spark, SF))
+        schemas = read_schemas(plan)
+        assert schemas, f"{fn.__name__}: no parquet scan found"
+        for s in schemas:
+            got = set(re.findall(r"(\w+):", s))
+            assert got <= want, (
+                f"{fn.__name__} scan reads {got - want} beyond {want}: {s}"
+            )
+
+    # Retention: the corpus folds ONCE into the localCheckpointed
+    # distinct activity set — the downstream plan must carry zero
+    # parquet scans, and the materialized intermediate exactly the
+    # two narrow columns (scan hygiene happens BEFORE materializing).
+    df = A.q_retention_cohorts(spark, SF)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan, (
+        "retention rescans the corpus past the checkpoint"
+    )
+    rdd_schemas = re.findall(
+        r"Scan ExistingRDD\S*\s*\nOutput \[\d+\]: \[(.+?)\]", plan
+    )
+    assert rdd_schemas, plan[:500]
+    cols = set(re.findall(r"(\w+)#", rdd_schemas[0]))
+    assert cols == {"user_id", "active_week"}, cols
