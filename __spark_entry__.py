@@ -276,6 +276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gini-Simpson diversity + HHI concentration per source
         # (integer-rational, one division each; oracle-exact).
         "q_simpson_diversity": X.q_simpson_diversity,
+        # BLEU-2 over neighbor-doc pairs per source (clipped n-gram
+        # precision + brevity penalty as row-local HOF folds — the
+        # text-gen eval family's canonical metric; oracle-exact).
+        "q_bleu_pairs": X.q_bleu_pairs,
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
@@ -2104,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "q_countmin_sketch": X.countmin_sketch_oracle_sql(),
         "q_simpson_diversity": X.simpson_diversity_oracle_sql(),
         "q_ols_normal_equations": A.ols_normal_equations_oracle_sql(),
+        "q_bleu_pairs": X.bleu_pairs_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
         "q_sorted_neighborhood": """

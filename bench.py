@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_simpson_diversity",
     "q_ols_normal_equations",
     "q_filter_mcc",
+    "q_bleu_pairs",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -714,6 +715,7 @@ SF1_REGISTERED_QUERIES = [
     "q_countmin_sketch",
     "q_simpson_diversity",
     "q_ols_normal_equations",
+    "q_bleu_pairs",
     "q_audio_stream_meta",
 ]
 

@@ -4641,3 +4641,186 @@ def simpson_diversity_oracle_sql() -> str:
                    AS effective_vocab
         FROM agg ORDER BY source
     """
+
+
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. 2002) between deterministic
+    neighbor-doc pairs, rolled up per source — the canonical
+    text-overlap metric (clipped n-gram precision x brevity
+    penalty), here read as CORPUS HOMOGENEITY: template-generated or
+    syndicated sources score high mean BLEU against their own
+    neighbors long before exact-dup hashing fires (the continuous
+    companion of the n-gram Jaccard dedup tier; the same machinery
+    scores model output against references in an eval pipeline).
+
+    Pairing is the lead(doc) in doc_id order within source — a
+    parameter of the read, not the metric; the operator IS the BLEU
+    fold: p_n = clipped matches / candidate n-grams for n=1,2
+    (clipping = min(count in candidate, count in reference) per
+    distinct gram — the part naive precision gets wrong), brevity
+    penalty min(1, e^(1-r/c)), BLEU = BP * sqrt(p1 * p2).
+
+    Plan: ONE shuffle (the per-source lead window); the gram
+    clipping runs per ROW over the pair's two token arrays as JVM
+    higher-order functions (docs are short; O(distinct x len) per
+    row beats exploding the corpus into two gram tables and joining
+    them back — no second shuffle, no skew surface). Exactness:
+    clip counts and gram totals are exact integers; each pair's
+    BLEU is a short identical-order double chain rounded 6, summed
+    per source as DECIMAL(18,6), ONE division for the mean."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = d.select(
+        "source",
+        "doc_id",
+        F.col("toks").alias("cand"),
+        F.lead("toks").over(w).alias("ref"),
+    ).where(F.col("ref").isNotNull())
+
+    def grams(col, n):
+        if n == 1:
+            return col
+        # Guard: sequence(1, size-1) runs DESCENDING when size < 2
+        # (element_at(col, 0) then raises under the ANSI driver
+        # mirror) — sub-bigram docs get an empty gram list instead.
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(col, i), F.element_at(col, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped(cand_g, ref_g):
+        return F.aggregate(
+            F.array_distinct(cand_g),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(cand_g, lambda x: x == g)),
+                F.size(F.filter(ref_g, lambda x: x == g)),
+            ).cast("long"),
+        )
+
+    cand1, ref1 = grams(F.col("cand"), 1), grams(F.col("ref"), 1)
+    cand2, ref2 = grams(F.col("cand"), 2), grams(F.col("ref"), 2)
+    scored = pairs.select(
+        "source",
+        F.size("cand").alias("c_len"),
+        F.size("ref").alias("r_len"),
+        clipped(cand1, ref1).alias("clip1"),
+        clipped(cand2, ref2).alias("clip2"),
+        (F.size("cand") - 1).cast("long").alias("n2"),
+    )
+    p1 = F.col("clip1").cast("double") / F.col("c_len").cast("double")
+    p2 = F.col("clip2").cast("double") / F.col("n2").cast("double")
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(
+            F.lit(1.0)
+            - F.col("r_len").cast("double") / F.col("c_len").cast("double")
+        ),
+    )
+    bleu = F.when(
+        (F.col("clip1") > 0) & (F.col("clip2") > 0) & (F.col("n2") > 0),
+        F.round(bp * F.sqrt(p1 * p2), 6),
+    ).otherwise(F.lit(0.0))
+    # Integer-scaling discipline: per-pair BLEU becomes an exact
+    # micro-BLEU BIGINT (x1e6; the value is already rounded to 6, so
+    # the scaling is tie-free), the per-source mean is the exact
+    # integer half-up division (2s + n) DIV (2n) — a double mean hit
+    # a representation-boundary tie at sf0.01 (sum/24 = 0.1247985)
+    # where Spark's BigDecimal HALF_UP and DuckDB's scaled-double
+    # round disagree by 1e-6.
+    per_pair = scored.select(
+        "source",
+        F.round(bleu * F.lit(1000000.0), 0).cast("long").alias("micro"),
+    )
+    agg = per_pair.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("micro").alias("micro_sum"),
+        F.max("micro").alias("micro_max"),
+    )
+    return agg.select(
+        "source",
+        "n_pairs",
+        (
+            F.expr("(2 * micro_sum + n_pairs) DIV (2 * n_pairs)").cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+        ).alias("mean_bleu2"),
+        (F.col("micro_max").cast("double") / F.lit(1000000.0)).alias(
+            "max_bleu2"
+        ),
+    ).orderBy("source")
+
+
+def bleu_pairs_oracle_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT source, doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT source, toks AS cand,
+                   lead(toks) OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS ref
+            FROM d
+        ), scored AS (
+            SELECT source,
+                   len(cand) AS c_len,
+                   len(ref) AS r_len,
+                   CAST(list_sum(list_transform(list_distinct(cand),
+                        g -> least(len(list_filter(cand, x -> x = g)),
+                                   len(list_filter(ref, x -> x = g)))))
+                        AS BIGINT) AS clip1,
+                   CAST(coalesce(list_sum(list_transform(
+                        list_distinct(
+                            list_transform(range(1, len(cand)),
+                                i -> cand[i] || ' ' || cand[i + 1])),
+                        g -> least(
+                            len(list_filter(
+                                list_transform(range(1, len(cand)),
+                                    i -> cand[i] || ' ' || cand[i + 1]),
+                                x -> x = g)),
+                            len(list_filter(
+                                list_transform(range(1, len(ref)),
+                                    i -> ref[i] || ' ' || ref[i + 1]),
+                                x -> x = g))))), 0)
+                        AS BIGINT) AS clip2,
+                   len(cand) - 1 AS n2
+            FROM pairs WHERE ref IS NOT NULL
+        ), per_pair AS (
+            -- micro-BLEU BIGINTs (x1e6 of the rounded-6 value) so the
+            -- per-source mean is an exact integer half-up division,
+            -- mirroring the Spark side's tie-free fold.
+            SELECT source,
+                   CAST(round(CASE WHEN clip1 > 0 AND clip2 > 0
+                                        AND n2 > 0
+                        THEN round(
+                            least(1.0, exp(1.0 - CAST(r_len AS DOUBLE)
+                                           / CAST(c_len AS DOUBLE)))
+                            * sqrt((CAST(clip1 AS DOUBLE)
+                                    / CAST(c_len AS DOUBLE))
+                                   * (CAST(clip2 AS DOUBLE)
+                                      / CAST(n2 AS DOUBLE))), 6)
+                        ELSE 0.0 END * 1000000.0, 0) AS BIGINT)
+                       AS micro
+            FROM scored
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST((2 * sum(micro) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 1000000.0
+                   AS mean_bleu2,
+               CAST(max(micro) AS DOUBLE) / 1000000.0 AS max_bleu2
+        FROM per_pair GROUP BY source ORDER BY source
+    """

@@ -329,3 +329,60 @@ def test_filter_mcc_consistent_with_kappa_confusion(spark):
         float((tp + fp) * (tp + fn)) * float((tn + fp) * (tn + fn))
     )
     assert float(m.mcc) == pytest.approx(round(mcc, 6), abs=2e-6)
+
+
+def test_bleu_pairs_matches_reference(spark):
+    """BLEU-2 over neighbor pairs vs a textbook Python BLEU: clipped
+    n-gram precision, brevity penalty, geometric mean — per-source
+    mean (exact integer half-up of micro-BLEU) and max."""
+    docs = load(spark, SF, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    by_src: dict[str, list] = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((r.doc_id, _tokens(r.text)))
+
+    def bleu2(cand: list[str], ref: list[str]) -> float:
+        if len(cand) < 2:
+            return 0.0
+
+        def clip(cg, rg):
+            rc = Counter(rg)
+            return sum(min(c, rc[g]) for g, c in Counter(cg).items())
+
+        big = lambda t: [  # noqa: E731
+            f"{a} {b}" for a, b in zip(t, t[1:])
+        ]
+        c1 = clip(cand, ref)
+        c2 = clip(big(cand), big(ref))
+        if c1 == 0 or c2 == 0:
+            return 0.0
+        p1 = c1 / len(cand)
+        p2 = c2 / (len(cand) - 1)
+        bp = min(1.0, math.exp(1.0 - len(ref) / len(cand)))
+        return round(bp * math.sqrt(p1 * p2), 6)
+
+    expect = {}
+    for src, items in by_src.items():
+        items.sort()
+        micros = [
+            int(round(bleu2(a[1], b[1]) * 1e6))
+            for a, b in zip(items, items[1:])
+        ]
+        n = len(micros)
+        expect[src] = (
+            n,
+            ((2 * sum(micros) + n) // (2 * n)) / 1e6,
+            max(micros) / 1e6,
+        )
+    rows = {r.source: r for r in X.q_bleu_pairs(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for src, (n, mean, mx) in expect.items():
+        r = rows[src]
+        assert r.n_pairs == n
+        assert float(r.mean_bleu2) == pytest.approx(mean, abs=2e-6)
+        assert float(r.max_bleu2) == pytest.approx(mx, abs=2e-6)
+    # Non-degenerate: some neighbor pair overlaps (the corpus carries
+    # planted near-dups), and BLEU stays in [0, 1].
+    assert any(r.max_bleu2 > 0 for r in rows.values())
+    assert all(0.0 <= r.max_bleu2 <= 1.0 for r in rows.values())
