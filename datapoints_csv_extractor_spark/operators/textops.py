@@ -4708,15 +4708,29 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
 
-    cand1, ref1 = grams(F.col("cand"), 1), grams(F.col("ref"), 1)
-    cand2, ref2 = grams(F.col("cand"), 2), grams(F.col("ref"), 2)
-    scored = pairs.select(
+    # Materialize the four gram arrays ONCE per row before the
+    # clipping folds: a HOF lambda re-evaluates its argument
+    # expressions per element, so an inline transform() here would
+    # rebuild the bigram array for every distinct gram — O(len^2)
+    # string construction per row (measured 20 s at sf0.1; ~1.5 s
+    # materialized). Each alias is referenced several times by
+    # clipped(), which blocks CollapseProject from re-inlining.
+    prepped = pairs.select(
         "source",
         F.size("cand").alias("c_len"),
         F.size("ref").alias("r_len"),
-        clipped(cand1, ref1).alias("clip1"),
-        clipped(cand2, ref2).alias("clip2"),
-        (F.size("cand") - 1).cast("long").alias("n2"),
+        F.col("cand").alias("c1g"),
+        F.col("ref").alias("r1g"),
+        grams(F.col("cand"), 2).alias("c2g"),
+        grams(F.col("ref"), 2).alias("r2g"),
+    )
+    scored = prepped.select(
+        "source",
+        "c_len",
+        "r_len",
+        clipped(F.col("c1g"), F.col("r1g")).alias("clip1"),
+        clipped(F.col("c2g"), F.col("r2g")).alias("clip2"),
+        (F.col("c_len") - 1).cast("long").alias("n2"),
     )
     p1 = F.col("clip1").cast("double") / F.col("c_len").cast("double")
     p2 = F.col("clip2").cast("double") / F.col("n2").cast("double")
