@@ -67,6 +67,20 @@ ROWS_ONLY_ALLOWED = {
 }
 
 
+def test_capture_window_is_fully_oracle_backed():
+    """The driver hash-verifies the FIRST 50 queries() entries.
+    Round 11 restored the 50/50 invariant (VERDICT r10 item 2: the
+    two round-10 oracle-less rotations moved past slot 50); this pin
+    makes any future oracle-less rotation into the window a red test
+    instead of a silent `no_oracle` row in CORRECTNESS_r{N}."""
+    window = list(E.queries())[:50]
+    oracles = set(E.oracle_sql())
+    missing = [q for q in window if q not in oracles]
+    assert not missing, (
+        f"capture-window entries without a DuckDB oracle: {missing}"
+    )
+
+
 def test_every_query_is_oracle_checked_or_whitelisted():
     qs = set(E.queries())
     oracles = set(E.oracle_sql())
