@@ -639,10 +639,14 @@ SF1_REGISTERED_QUERIES = [
     # incremental rollup, and bounded-state space-saving.
     # (q_interval_overlap is NOT probed: its PAIR count legitimately
     # grows with both interval sets — the operator's cost dial is
-    # per-bucket density, pinned in test_plan_shape. q_bitext_mine is
-    # likewise excluded: within-cell mining is src x tgt by design, so
-    # its dial is the blocking-cell size, not the corpus.)
+    # per-bucket density, pinned in test_plan_shape.)
     "q_dsir_importance_sample",
+    # Bitext mining joined the suite in round 11: the auto
+    # re-bucketing dial (bitext_auto_bits) keeps the EXECUTED
+    # candidate join linear in corpus size, so its work ratio is now
+    # a claim the probe should check (pair telemetry below measures
+    # the same executed join's candidate count).
+    "q_bitext_mine",
     "q_bloom_decontamination",
     "q_phrase_search",
     "q_dedup_jaccard_prefix",
@@ -904,11 +908,12 @@ def _sf1_probe_main(out_path: str) -> None:
             sorted_neighborhood_pairs,
         )
         from datapoints_csv_extractor_spark.operators.similarity import (
+            bitext_auto_bits,
+            bitext_blocking_key,
             bitext_side_flags,
-            lsh_bucket,
         )
 
-        def pair_counts(sdir: str, rebucket_bits: int) -> dict:
+        def pair_counts(sdir: str) -> dict:
             out = {}
             out["record_linkage_fs"] = fs_candidates(spark, sdir).count()
             out["jaro_winkler_fuzzy"] = jw_fuzzy_candidates(
@@ -939,32 +944,30 @@ def _sf1_probe_main(out_path: str) -> None:
                     g.agg(F.sum(F.col("ns") * F.col("nt"))).first()[0] or 0
                 )
 
-            # Raw label-cell pair work (bitext mining is src x tgt
-            # WITHIN a cell by design; with the label cardinality
-            # fixed this grows quadratically — expected, and it is
-            # why bitext is excluded from the wall-ratio suite).
-            out["bitext_label_cells"] = cellpairs(F.col("label"))
-            # The operator's documented 100 TB dial: the blocking
-            # cell REFINES as the corpus grows (a finer IVF/LSH
-            # bucket). rebucket_bits extra hyperplane bits at 10x
-            # models the production re-bucketing; pair work then
-            # stays ~linear.
-            if rebucket_bits:
-                out["bitext_rebucketed"] = cellpairs(
-                    F.concat_ws(
-                        "|",
-                        F.col("label").cast("string"),
-                        lsh_bucket(
-                            F.col("embedding"), dim, rebucket_bits
-                        ).cast("string"),
-                    )
-                )
-            else:
-                out["bitext_rebucketed"] = out["bitext_label_cells"]
+            # EXECUTED bitext candidate-join pair work (round-10
+            # verdict item 1): the counter goes through the
+            # operator's own exported bitext_blocking_key /
+            # bitext_auto_bits, so it measures exactly the join
+            # q_bitext_mine builds at this corpus size — raw label
+            # cells in the oracle-checked regime, label+LSH-bit cells
+            # once the auto dial engages. The raw-cell count stays
+            # recorded as bitext_raw_cells for the by-design
+            # quadratic reference.
+            n_rows = e.count()
+            auto_bits = bitext_auto_bits(n_rows)
+            out["bitext_auto_bits"] = auto_bits
+            out["bitext_label_cells"] = cellpairs(
+                bitext_blocking_key(dim, auto_bits)
+            )
+            out["bitext_raw_cells"] = (
+                cellpairs(bitext_blocking_key(dim, 0))
+                if auto_bits
+                else out["bitext_label_cells"]
+            )
             return out
 
-        pairs_1x = pair_counts(sdirs["sf0.1_synth"], 0)
-        pairs_10x = pair_counts(sdirs["sf1_synth"], 4)
+        pairs_1x = pair_counts(sdirs["sf0.1_synth"])
+        pairs_10x = pair_counts(sdirs["sf1_synth"])
         section = {
             "isolation": "fresh JVM subprocess; 1x re-measured after 10x",
             "sf0.1": pre,
@@ -984,11 +987,15 @@ def _sf1_probe_main(out_path: str) -> None:
             },
             # Candidate-pair counts for the blocking matchers at 1x
             # and 10x, plus their growth ratio (~10 = linear).
+            # bitext_label_cells is the EXECUTED join's count (auto
+            # dial engaged at 10x); bitext_raw_cells the by-design
+            # quadratic reference.
             "pair_counts_sf0.1": pairs_1x,
             "pair_counts_sf1": pairs_10x,
             "pair_ratio": {
                 k: round(pairs_10x[k] / max(pairs_1x[k], 1), 2)
                 for k in pairs_1x
+                if k != "bitext_auto_bits"
             },
         }
         with open(out_path, "w") as fh:

@@ -6149,7 +6149,12 @@ def q_burstiness_fano(
 
     Plan: one groupBy(type, hour) corpus fold (map-side combine;
     the cell table is H x types, dimension-sized), one per-type
-    fold. H is a parameter of the corpus window (720 = 30 days)."""
+    fold. H is a parameter of the corpus window (720 = 30 days).
+    A corpus spanning MORE active hours than n_hours would flip
+    H*sxx - N^2 negative and silently report a nonsense Fano factor,
+    so the plan embeds a raise_error guard (the Boruvka
+    convergence-guard pattern, per round-10 advice): executors fail
+    loud on n_active_hours > n_hours instead of returning garbage."""
     dec = "decimal(38,0)"
     e = load(spark, sf_dir, "events").select(
         "event_type",
@@ -6172,12 +6177,28 @@ def q_burstiness_fano(
             "double"
         )
     )
+    guarded_fano = F.when(
+        F.col("n_active_hours") <= F.lit(n_hours), F.round(fano, 6)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_burstiness_fano: corpus spans more active hours "
+                    f"than the n_hours={n_hours} grid for event_type="
+                ),
+                F.col("event_type"),
+                F.lit(" (n_active_hours="),
+                F.col("n_active_hours").cast("string"),
+                F.lit(") — widen n_hours to cover the corpus window"),
+            )
+        ).cast("double")
+    )
     return agg.select(
         "event_type",
         "n_events",
         "n_active_hours",
-        F.round(fano, 6).alias("fano_factor"),
-        (F.round(fano, 6) > F.lit(1.0)).alias("overdispersed"),
+        guarded_fano.alias("fano_factor"),
+        (guarded_fano > F.lit(1.0)).alias("overdispersed"),
     ).orderBy("event_type")
 
 

@@ -251,10 +251,14 @@ def mp3_stream_metadata(raw: bytes) -> dict | None:
     "duration_ms", "bitrate_kbps_mean", "is_vbr", "layer"}``
 
     or None when the payload is not MPEG audio / uses free-format
-    bitrate. Sample DECODE (the perceptual subband/MDCT synthesis
-    itself) is permanently out of scope — see the module docstring's
-    codec-boundary declaration; duration/bitrate metadata is what a
-    100 TB curation pass actually gates on."""
+    bitrate — or when sample rate or MPEG version CHANGES mid-stream
+    (a concatenation artifact: a single well-formed stream keeps one
+    rate, and averaging duration across mixed rates would be silently
+    wrong — round-10 advice). Sample DECODE (the perceptual
+    subband/MDCT synthesis itself) is permanently out of scope — see
+    the module docstring's codec-boundary declaration;
+    duration/bitrate metadata is what a 100 TB curation pass actually
+    gates on."""
     pos = 0
     if raw[:3] == b"ID3" and len(raw) >= 10:
         size = 0
@@ -268,6 +272,7 @@ def mp3_stream_metadata(raw: bytes) -> dict | None:
     bitrate_sum = 0
     bitrates: set[int] = set()
     rate = 0
+    first_ver = -1
     layer_out = 0
     while pos + 4 <= len(raw):
         b0, b1, b2, _ = raw[pos : pos + 4]
@@ -286,7 +291,13 @@ def mp3_stream_metadata(raw: bytes) -> dict | None:
         if br_idx in (0, 15) or sr_idx == 3:
             return None
         bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
-        rate = _MP3_RATES[ver_bits][sr_idx]
+        frame_rate = _MP3_RATES[ver_bits][sr_idx]
+        if n_frames and (frame_rate != rate or ver_bits != first_ver):
+            # Mid-stream rate/version switch: duration over a single
+            # nominal rate would be wrong — reject, don't guess.
+            return None
+        rate = frame_rate
+        first_ver = ver_bits
         padding = (b2 >> 1) & 0x01
         if layer == 1:
             frame_len = (12 * bitrate // rate + padding) * 4
@@ -1141,9 +1152,10 @@ def synth_mp3_stream(
     even ids, VBR alternating 128/192 kbps for odd) followed by
     hash-derived filler payload bytes — a REAL header layout the
     walk must hop exactly (frame length arithmetic per ISO/IEC
-    11172-3), with the entropy payload irrelevant to metadata. Odd
-    multiples of 3 get an ID3v2 tag prefix so the skip path is
-    exercised. Shared by the driver query and the pytest oracle."""
+    11172-3), with the entropy payload irrelevant to metadata. Every
+    third id (doc_id % 3 == 0) gets an ID3v2 tag prefix so the skip
+    path is exercised. Shared by the driver query and the pytest
+    oracle."""
     import hashlib
 
     if n_frames is None:

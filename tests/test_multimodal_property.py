@@ -848,6 +848,15 @@ def test_mp3_stream_metadata_duration_bitrate_vbr():
     assert meta["bitrate_kbps_mean"] == 160.0
     assert meta["is_vbr"] is True
     assert M.mp3_stream_metadata(b"RIFFxxxxWAVE") is None
+    # Mid-stream sample-rate or MPEG-version switches are
+    # concatenation artifacts: duration over one nominal rate would
+    # be silently wrong, so the walk rejects them (round-10 advice).
+    mixed_rate = _mp3_frame(sr_idx=0) + _mp3_frame(sr_idx=1)
+    assert M.mp3_stream_metadata(mixed_rate) is None
+    mixed_ver = _mp3_frame(ver_bits=3) + _mp3_frame(ver_bits=2)
+    assert M.mp3_stream_metadata(mixed_ver) is None
+    # Same-rate multi-frame streams still walk fine after the guard.
+    assert M.mp3_stream_metadata(_mp3_frame() * 3)["n_mpeg_frames"] == 3
 
 
 def test_q_audio_stream_meta_matches_synth_closed_form(spark):

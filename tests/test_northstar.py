@@ -2185,6 +2185,75 @@ def test_bitext_mine_mutual_best_and_margin(spark):
         assert abs(margins[(r.src_id, r.tgt_id)] - r.margin) < 1e-9
 
 
+def test_bitext_rebucket_dial(spark, tmp_path):
+    """The 100 TB scale dial (VERDICT r10 item 1). (a) auto-bit
+    schedule: 0 in the oracle-checked regime, one bit per corpus
+    doubling past the threshold; (b) the registered default executes
+    the SAME plan as extra_bucket_bits=0 on the testdata SFs (the
+    oracle stays exact); (c) with the dial engaged, planted identical
+    cross-side vectors are still mined — identical vectors agree on
+    every hyperplane sign bit, so refinement never separates true
+    twins; (d) the refined blocking provably shrinks the candidate
+    join the operator executes (measured through the same exported
+    bitext_blocking_key the bench probe uses)."""
+    from datapoints_csv_extractor_spark.operators import similarity as V
+
+    assert [
+        V.bitext_auto_bits(n) for n in (1, 500, 2048, 2049, 4096, 20000)
+    ] == [0, 0, 0, 1, 1, 4]
+
+    sf = "/root/testdata/sf0.001"
+    got_default = sorted(
+        map(tuple, V.q_bitext_mine(spark, sf).collect())
+    )
+    got_zero = sorted(
+        map(tuple, V.q_bitext_mine(spark, sf, extra_bucket_bits=0).collect())
+    )
+    assert got_default == got_zero and got_default
+
+    # Planted twins: 400 hash-noise vectors in ONE label cell plus
+    # identical even/odd pairs — the worst case for blocking (every
+    # row shares the label), where the dial matters most.
+    n, dim = 400, 16
+    rows = []
+    import hashlib
+
+    def vec(seed: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+
+    for vid in range(n):
+        # vec_ids 100/101, 200/201, 300/301 are planted twins
+        # (odd copies the even's vector); everything else is noise.
+        seed = vid - 1 if vid in (101, 201, 301) else vid
+        rows.append((vid, 0, vec(seed)))
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    mined = V.q_bitext_mine(spark, str(tmp_path), extra_bucket_bits=3)
+    got = {(r.src_id, r.tgt_id) for r in mined.collect()}
+    for pair in ((100, 101), (200, 201), (300, 301)):
+        assert pair in got, f"planted twin {pair} lost under re-bucketing"
+
+    # Candidate-join shrinkage, via the shared exported key.
+    from pyspark.sql import functions as F
+
+    def pairs_at(bits: int) -> int:
+        src_side, tgt_side = V.bitext_side_flags()
+        g = emb.groupBy(V.bitext_blocking_key(dim, bits).alias("c")).agg(
+            F.sum(src_side.cast("long")).alias("ns"),
+            F.sum(tgt_side.cast("long")).alias("nt"),
+        )
+        return int(g.agg(F.sum(F.col("ns") * F.col("nt"))).first()[0] or 0)
+
+    raw, refined = pairs_at(0), pairs_at(3)
+    assert raw == 200 * 200
+    assert refined < raw / 4, (raw, refined)
+
+
 def test_mmr_rerank_greedy_replay_and_diversity(spark):
     """Independent python replay of the integer greedy (from raw
     numpy cosines, re-rounded the oracle way) matches the operator's

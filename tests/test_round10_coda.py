@@ -198,6 +198,17 @@ def test_burstiness_fano_matches_reference(spark, events):
         assert float(rows[t].fano_factor) == round(fano, 6)
 
 
+def test_burstiness_fano_guards_undersized_hour_grid(spark):
+    """A grid smaller than the corpus's active hours would flip
+    H*sxx - N^2 negative; the plan's raise_error guard must fail
+    loud instead of reporting a nonsense Fano factor (round-10
+    advice, the Boruvka convergence-guard pattern)."""
+    import pytest
+
+    with pytest.raises(Exception, match="more active hours"):
+        A.q_burstiness_fano(spark, SF, n_hours=2).collect()
+
+
 def _tokens(text: str) -> list[str]:
     return [t for t in text.strip().split() if t]
 
