@@ -272,6 +272,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_kappa": C.q_filter_kappa,
         "q_spearman_corr": A.q_spearman_corr,
         "q_hill_tail_index": A.q_hill_tail_index,
+        # --- Round-11 coda registrations (new this round, locally
+        # swept oracle-exact at both SFs; every family has an
+        # in-window twin — concentration/inequality->
+        # q_simpson_diversity, association->q_kendall_tau/
+        # q_mutual_information, drift/distance->q_mutual_information,
+        # randomization/hypothesis->q_logrank_test, filter
+        # agreement->q_filter_mcc, vocabulary laws->
+        # q_simpson_diversity, discriminative tokens->
+        # q_dsir_importance_sample, n-gram novelty->
+        # q_bloom_decontamination/q_bleu_pairs).
+        # Gini coefficient of doc length per source (rank-weighted
+        # DECIMAL folds, one division; oracle-exact).
+        "q_gini_coefficient": A.q_gini_coefficient,
+        # Cramér's V between source and language (exact-decimal cell
+        # deviations, rounded-6 term sum; oracle-exact).
+        "q_cramers_v": A.q_cramers_v,
+        # Theil's uncertainty coefficients, both directions (the MI
+        # entropy discipline verbatim; oracle-exact).
+        "q_theils_u": A.q_theils_u,
+        # 1-D Wasserstein distance source-vs-rest over doc lengths
+        # (integer CDF cross-products, one division; oracle-exact).
+        "q_wasserstein_1d": A.q_wasserstein_1d,
+        # Paired sign-flip permutation test with md5-coin flips
+        # (integer contrasts, add-one MC p-value; oracle-exact).
+        "q_permutation_test": A.q_permutation_test,
+        # McNemar's test over the composed Gopher/C4 discordant
+        # cells (integer-rational, one division; oracle-exact).
+        "q_mcnemar_filters": C.q_mcnemar_filters,
+        # Chao1 vocabulary-richness estimate + coverage per source
+        # (abundance-spectrum integers, one division; oracle-exact).
+        "q_chao1_richness": X.q_chao1_richness,
+        # Good-Turing unseen mass + smoothed r* per source (spectrum
+        # integers, per-output single divisions; oracle-exact).
+        "q_good_turing": X.q_good_turing,
+        # Monroe et al. Dirichlet log-odds z-scores for the tokens
+        # separating one language from the rest (rounded-6 ln terms
+        # as DECIMAL(18,6); oracle-exact).
+        "q_log_odds_dirichlet": X.q_log_odds_dirichlet,
+        # Held-out word-8-gram novelty per source via the md5 split
+        # coin + anti-join (integer-rational; oracle-exact).
+        "q_ngram_novelty": X.q_ngram_novelty,
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
@@ -2103,6 +2144,16 @@ def oracle_sql() -> dict[str, str]:
         "q_bleu_pairs": X.bleu_pairs_oracle_sql(),
         "q_luhn_pii": C.luhn_pii_oracle_sql(),
         "q_script_mix": X.script_mix_oracle_sql(),
+        # Round-11 coda oracles (operator modules own the SQL twins).
+        "q_gini_coefficient": A.gini_coefficient_oracle_sql(),
+        "q_cramers_v": A.cramers_v_oracle_sql(),
+        "q_theils_u": A.theils_u_oracle_sql(),
+        "q_wasserstein_1d": A.wasserstein_1d_oracle_sql(),
+        "q_permutation_test": A.permutation_test_oracle_sql(),
+        "q_chao1_richness": X.chao1_richness_oracle_sql(),
+        "q_good_turing": X.good_turing_oracle_sql(),
+        "q_log_odds_dirichlet": X.log_odds_dirichlet_oracle_sql(),
+        "q_ngram_novelty": X.ngram_novelty_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,
@@ -5287,6 +5338,45 @@ def oracle_sql() -> dict[str, str]:
                                    * (CAST(tn AS DECIMAL(38,0))
                                       + CAST(fn AS DECIMAL(38,0)))
                                    AS DOUBLE)), 6) AS mcc
+        FROM cells
+    """
+    # McNemar over the same composed gates: discordant cells only,
+    # integer-rational chi2 + Edwards continuity correction.
+    sql["q_mcnemar_filters"] = f"""
+        WITH g AS (SELECT doc_id, CAST(passes_gopher AS BIGINT) AS g
+                   FROM ({sql["q_gopher_rules"]})),
+        c AS (SELECT doc_id, CAST(passes_c4 AS BIGINT) AS c
+              FROM ({sql["q_c4_rules"]})),
+        cells AS (
+            SELECT count(*) AS n_docs,
+                   sum(g * (1 - c)) AS b,
+                   sum((1 - g) * c) AS cc
+            FROM g JOIN c USING (doc_id)
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(b AS BIGINT) AS n_gopher_only,
+               CAST(cc AS BIGINT) AS n_c4_only,
+               CASE WHEN b + cc > 0 THEN
+                   round(CAST((CAST(b AS DECIMAL(38,0))
+                               - CAST(cc AS DECIMAL(38,0)))
+                              * (CAST(b AS DECIMAL(38,0))
+                                 - CAST(cc AS DECIMAL(38,0)))
+                              AS DOUBLE)
+                         / CAST(CAST(b + cc AS DECIMAL(38,0))
+                                AS DOUBLE), 6) END AS mcnemar_chi2,
+               CASE WHEN b + cc > 0 THEN
+                   round(CASE WHEN abs(CAST(b AS DECIMAL(38,0))
+                                       - CAST(cc AS DECIMAL(38,0)))
+                                   - 1 > 0
+                         THEN CAST((abs(CAST(b AS DECIMAL(38,0))
+                                        - CAST(cc AS DECIMAL(38,0)))
+                                    - 1)
+                                   * (abs(CAST(b AS DECIMAL(38,0))
+                                          - CAST(cc AS DECIMAL(38,0)))
+                                      - 1) AS DOUBLE)
+                         ELSE 0.0 END
+                         / CAST(CAST(b + cc AS DECIMAL(38,0))
+                                AS DOUBLE), 6) END AS mcnemar_chi2_cc
         FROM cells
     """
     return sql

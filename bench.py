@@ -61,6 +61,21 @@ BENCH_QUERIES = [
     "q_ols_normal_equations",
     "q_filter_mcc",
     "q_bleu_pairs",
+    # Round-11 coda: inequality / association / distance /
+    # randomization / richness / discriminative-token / novelty
+    # reads — all single-fold corpus scans with dimension-sized
+    # tails (the permutation explode is users x 200, the novelty
+    # anti-join keys on distinct grams).
+    "q_gini_coefficient",
+    "q_cramers_v",
+    "q_theils_u",
+    "q_wasserstein_1d",
+    "q_permutation_test",
+    "q_mcnemar_filters",
+    "q_chao1_richness",
+    "q_good_turing",
+    "q_log_odds_dirichlet",
+    "q_ngram_novelty",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -726,6 +741,18 @@ SF1_REGISTERED_QUERIES = [
     "q_ols_normal_equations",
     "q_bleu_pairs",
     "q_audio_stream_meta",
+    # Round-11 coda: corpus-linear by construction (rank windows,
+    # dimension-sized grids, user-sized permutation explodes,
+    # distinct-gram anti-joins). The probe checks the claims.
+    "q_gini_coefficient",
+    "q_cramers_v",
+    "q_theils_u",
+    "q_wasserstein_1d",
+    "q_permutation_test",
+    "q_chao1_richness",
+    "q_good_turing",
+    "q_log_odds_dirichlet",
+    "q_ngram_novelty",
 ]
 
 

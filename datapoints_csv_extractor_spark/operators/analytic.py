@@ -6392,3 +6392,653 @@ def ols_normal_equations_oracle_sql() -> str:
                      / (syy - sy * sy / n), 6) AS r_squared
         FROM solved
     """
+
+
+# --------------------------------------------------------------------
+# Round-11 coda: inequality / association / distribution-distance /
+# randomization statistics. Same exactness discipline as the round-10
+# block: integer and DECIMAL(38,0) folds, libm calls on
+# identical-integer-derived doubles, rounded-6 terms summed as
+# DECIMAL(18,6), ONE final division per output.
+
+
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the
+    inequality read of the corpus-balance family (Simpson/HHI say how
+    concentrated TOKEN usage is; Gini says how unequally SIZE is
+    distributed across documents). A source whose Gini drifts up is
+    turning into a few mega-pages plus stubs — exactly what length
+    filters and packing planners need to know before they run.
+
+    Exactness: with per-source lengths sorted ascending and ranked
+    1..n, G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — both
+    rank-weighted folds are DECIMAL(38,0) (rank * length at 1e12 docs
+    x 1e6 chars = 1e18/term), ONE double division rounded 6. Ties:
+    equal lengths commute inside sum(i*x_i), so the deterministic
+    (n_chars, doc_id) rank order is tie-invariant.
+
+    Plan: one per-source sort (the rank window), two folds — the
+    same shuffle shape as any per-key rank statistic; no joins. At
+    100 TB the window partitions by source (thousands of cells), and
+    a skewed mega-source salts into the two-level rank fold the rank
+    family already uses."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("i").cast(dec) * F.col("n_chars").cast(dec)).alias(
+            "s_ix"
+        ),
+    )
+    gini = (
+        (
+            F.lit(2).cast(dec) * F.col("s_ix")
+            - (F.col("n_docs") + 1).cast(dec)
+            * F.col("total_chars").cast(dec)
+        ).cast("double")
+        / (
+            F.col("n_docs").cast(dec) * F.col("total_chars").cast(dec)
+        ).cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("source")
+
+
+def gini_coefficient_oracle_sql() -> str:
+    return """
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS i
+            FROM documents
+        ), agg AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   sum(CAST(i AS DECIMAL(38,0))
+                       * CAST(n_chars AS DECIMAL(38,0))) AS s_ix
+            FROM ranked GROUP BY source
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(total_chars AS BIGINT) AS total_chars,
+               round(CAST(CAST(2 AS DECIMAL(38,0)) * s_ix
+                          - CAST(n_docs + 1 AS DECIMAL(38,0))
+                            * CAST(total_chars AS DECIMAL(38,0))
+                          AS DOUBLE)
+                     / CAST(CAST(n_docs AS DECIMAL(38,0))
+                            * CAST(total_chars AS DECIMAL(38,0))
+                            AS DOUBLE), 6) AS gini
+        FROM agg ORDER BY source
+    """
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document source and language — the scaled
+    chi-square association read for categorical x categorical (the
+    chi-square family's third dial: q_chi2_independence TESTS,
+    q_mutual_information measures in nats, V normalizes to [0, 1] so
+    associations are comparable across tables). The curation use:
+    V(source, lang) near 1 means language is source-determined and
+    per-language mixture targets can't be tuned independently.
+
+    Exactness: the cell table is (n_sources x n_langs)-sized. Each
+    cell's deviation o*n - rt*ct folds as DECIMAL(38,0) (EXACT — the
+    square would hit 1e48 at web scale, so the square happens in
+    DOUBLE after one exact-decimal cast, identically ordered in both
+    engines); per-cell terms dev^2 / (n*rt*ct) are rounded 6 and
+    summed as DECIMAL(18,6); V = sqrt(chi2 / (n*min(r-1,c-1))) is
+    ONE final division + sqrt.
+
+    Plan: one groupBy(source, lang) corpus fold; marginals via
+    windows over the dimension-sized cell table; no corpus joins."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ws = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wl = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = cells.select(
+        "o",
+        F.sum("o").over(ws).alias("rt"),
+        F.sum("o").over(wl).alias("ct"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("source").over(wall)).alias("r"),
+        F.size(F.collect_set("lang").over(wall)).alias("c"),
+    )
+    dev = (
+        F.col("o").cast(dec) * F.col("n").cast(dec)
+        - F.col("rt").cast(dec) * F.col("ct").cast(dec)
+    ).cast("double")
+    term = F.round(
+        dev * dev
+        / (
+            F.col("n").cast(dec)
+            * F.col("rt").cast(dec)
+            * F.col("ct").cast(dec)
+        ).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    agg = g.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("n_sources"),
+        F.max("c").alias("n_langs"),
+        F.sum(term).alias("chi2"),
+    )
+    v = F.sqrt(
+        F.col("chi2").cast("double")
+        / (
+            F.col("n")
+            * F.least(F.col("n_sources") - 1, F.col("n_langs") - 1)
+        ).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("chi2").cast("double").alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def cramers_v_oracle_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT source, lang, count(*) AS o
+            FROM documents GROUP BY source, lang
+        ), g AS (
+            SELECT o,
+                   sum(o) OVER (PARTITION BY source) AS rt,
+                   sum(o) OVER (PARTITION BY lang) AS ct,
+                   sum(o) OVER () AS n,
+                   count(DISTINCT source) OVER () AS r,
+                   count(DISTINCT lang) OVER () AS c
+            FROM cells
+        ), agg AS (
+            SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+                   sum(CAST(round(
+                       CAST(CAST(o AS DECIMAL(38,0))
+                            * CAST(n AS DECIMAL(38,0))
+                            - CAST(rt AS DECIMAL(38,0))
+                              * CAST(ct AS DECIMAL(38,0)) AS DOUBLE)
+                       * CAST(CAST(o AS DECIMAL(38,0))
+                              * CAST(n AS DECIMAL(38,0))
+                              - CAST(rt AS DECIMAL(38,0))
+                                * CAST(ct AS DECIMAL(38,0)) AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0))
+                              * CAST(rt AS DECIMAL(38,0))
+                              * CAST(ct AS DECIMAL(38,0)) AS DOUBLE),
+                       6) AS DECIMAL(18,6))) AS chi2
+            FROM g
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(r AS BIGINT) AS n_sources,
+               CAST(c AS BIGINT) AS n_langs,
+               CAST(chi2 AS DOUBLE) AS chi2,
+               round(sqrt(CAST(chi2 AS DOUBLE)
+                          / CAST(n * least(r - 1, c - 1) AS DOUBLE)),
+                     6) AS cramers_v
+        FROM agg
+    """
+
+
+def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(lang | source) and
+    U(source | lang) — the ASYMMETRIC association read the symmetric
+    pair (Cramér's V, NMI) can't give: "knowing the source removes
+    X% of the uncertainty about the language" is a different claim
+    from its converse, and mixture planning needs the direction
+    (source->lang near 1: language targets are implied by source
+    caps; lang->source near 1: deduping by language silently dedupes
+    sources).
+
+    U(X|Y) = (H(X) - H(X|Y)) / H(X) with H(X|Y) = H(X,Y) - H(Y).
+    Exactness: the q_mutual_information discipline verbatim — every
+    entropy term is count/n * ln(count/n) on identical
+    integer-derived doubles, rounded 6, summed as DECIMAL(18,6);
+    marginal terms fold once via first-cell tagging; the two U
+    values are single divisions on already-rounded entropies.
+
+    Plan: one groupBy(source, lang) corpus fold; everything after is
+    windows over the dimension-sized cell table."""
+    d = load(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ws = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wl = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = cells.select(
+        "n_sl",
+        F.sum("n_sl").over(ws).alias("n_s"),
+        F.sum("n_sl").over(wl).alias("n_l"),
+        F.sum("n_sl").over(wall).alias("n"),
+        F.min("lang").over(ws).alias("first_l"),
+        F.min("source").over(wl).alias("first_s"),
+        "source",
+        "lang",
+    )
+    nd = F.col("n").cast("double")
+    d186 = "decimal(18,6)"
+
+    def ent_term(cnt: Column) -> Column:
+        p = cnt.cast("double") / nd
+        return F.round(-p * F.log(p), 6).cast(d186)
+
+    hj_term = ent_term(F.col("n_sl"))
+    hs_term = F.when(F.col("lang") == F.col("first_l"),
+                     ent_term(F.col("n_s")))
+    hl_term = F.when(F.col("source") == F.col("first_s"),
+                     ent_term(F.col("n_l")))
+    agg = g.agg(
+        F.max("n").alias("n"),
+        F.sum(hj_term).alias("h_joint"),
+        F.sum(hs_term).alias("h_source"),
+        F.sum(hl_term).alias("h_lang"),
+    )
+    u_l_given_s = (
+        F.col("h_lang") + F.col("h_source") - F.col("h_joint")
+    ).cast("double") / F.col("h_lang").cast("double")
+    u_s_given_l = (
+        F.col("h_lang") + F.col("h_source") - F.col("h_joint")
+    ).cast("double") / F.col("h_source").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("h_source").cast("double").alias("h_source"),
+        F.col("h_lang").cast("double").alias("h_lang"),
+        F.col("h_joint").cast("double").alias("h_joint"),
+        F.round(u_l_given_s, 6).alias("u_lang_given_source"),
+        F.round(u_s_given_l, 6).alias("u_source_given_lang"),
+    )
+
+
+def theils_u_oracle_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT source, lang, count(*) AS n_sl
+            FROM documents GROUP BY source, lang
+        ), g AS (
+            SELECT n_sl, source, lang,
+                   sum(n_sl) OVER (PARTITION BY source) AS n_s,
+                   sum(n_sl) OVER (PARTITION BY lang) AS n_l,
+                   sum(n_sl) OVER () AS n,
+                   min(lang) OVER (PARTITION BY source) AS first_l,
+                   min(source) OVER (PARTITION BY lang) AS first_s
+            FROM cells
+        ), agg AS (
+            SELECT max(n) AS n,
+                   sum(CAST(round(-(CAST(n_sl AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_sl AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6))) AS h_joint,
+                   sum(CASE WHEN lang = first_l THEN
+                       CAST(round(-(CAST(n_s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_s AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) END) AS h_source,
+                   sum(CASE WHEN source = first_s THEN
+                       CAST(round(-(CAST(n_l AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(n_l AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) END) AS h_lang
+            FROM g
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(h_source AS DOUBLE) AS h_source,
+               CAST(h_lang AS DOUBLE) AS h_lang,
+               CAST(h_joint AS DOUBLE) AS h_joint,
+               round(CAST(h_lang + h_source - h_joint AS DOUBLE)
+                     / CAST(h_lang AS DOUBLE), 6)
+                   AS u_lang_given_source,
+               round(CAST(h_lang + h_source - h_joint AS DOUBLE)
+                     / CAST(h_source AS DOUBLE), 6)
+                   AS u_source_given_lang
+        FROM agg
+    """
+
+
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between each source's
+    document-length distribution and the pooled REST of the corpus —
+    the drift family's metric completion: KS reads the worst single
+    CDF gap, PSI reads binned log-drift, W1 integrates the WHOLE CDF
+    gap in character units ("moving this source's length profile to
+    the corpus profile costs 37 chars of mass-distance per doc").
+    Scale-free of binning choices; the standard two-sample
+    distribution distance in data-shift monitoring.
+
+    W1 = sum_k |F_a(x_k) - F_b(x_k)| * (x_{k+1} - x_k) over the
+    merged support grid. Exactness: with cumulative counts cumA/cumB
+    and totals nA/nB, each term is |cumA*nB - cumB*nA| * gap — pure
+    DECIMAL(38,0) products (1e12 * 1e12 * 1e6 = 1e30) — summed
+    exactly, ONE final division by nA*nB rounded 6.
+
+    Plan: one groupBy(source, n_chars) corpus fold to a value grid,
+    a dimension-sized (sources x values) completion cross join, two
+    window cumsums, one fold per source. The corpus is read once; at
+    100 TB the grid is bounded by the length cap (~1e6 values), so
+    everything after the first fold is dimension-sized."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    cnt = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # The max value keeps a zero gap (F(max)=1 on both sides, so its
+    # term is 0) rather than being dropped: dropping it would truncate
+    # the per-source totals for sources owning max-length docs.
+    vals = (
+        d.select(F.col("n_chars").alias("v")).distinct()
+        .select(
+            "v",
+            F.coalesce(
+                F.lead("v").over(Window.orderBy("v")) - F.col("v"),
+                F.lit(0),
+            ).alias("gap"),
+        )
+    )
+    srcs = d.select("source").distinct()
+    grid = srcs.crossJoin(vals)
+    filled = grid.join(
+        cnt,
+        (grid["source"] == cnt["source"]) & (grid["v"] == cnt["n_chars"]),
+        "left",
+    ).select(
+        grid["source"], grid["v"], grid["gap"],
+        F.coalesce(cnt["c"], F.lit(0)).alias("c"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = filled.select(
+        "source", "v", "gap",
+        F.sum("c").over(wcum).alias("cum_a"),
+        F.sum("c").over(
+            Window.orderBy("v").rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum_all"),
+        F.sum("c").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_a"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    term = (
+        F.abs(
+            F.col("cum_a").cast(dec) * (F.col("n") - F.col("n_a")).cast(dec)
+            - (F.col("cum_all") - F.col("cum_a")).cast(dec)
+            * F.col("n_a").cast(dec)
+        )
+        * F.col("gap").cast(dec)
+    )
+    agg = cum.groupBy("source").agg(
+        F.max("n_a").alias("n_docs"),
+        F.max(F.col("n") - F.col("n_a")).alias("n_rest"),
+        F.sum(term).alias("num"),
+    )
+    w1 = F.col("num").cast("double") / (
+        F.col("n_docs").cast(dec) * F.col("n_rest").cast(dec)
+    ).cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.round(w1, 6).alias("w1_chars"),
+    ).orderBy("source")
+
+
+def wasserstein_1d_oracle_sql() -> str:
+    return """
+        WITH cnt AS (
+            SELECT source, n_chars, count(*) AS c
+            FROM documents GROUP BY source, n_chars
+        ), vals AS (
+            SELECT v, coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+            FROM (SELECT DISTINCT n_chars AS v FROM documents)
+        ), grid AS (
+            SELECT s.source, vals.v, vals.gap
+            FROM (SELECT DISTINCT source FROM documents) s
+            CROSS JOIN vals
+        ), filled AS (
+            SELECT grid.source, grid.v, grid.gap,
+                   coalesce(cnt.c, 0) AS c
+            FROM grid LEFT JOIN cnt
+              ON grid.source = cnt.source AND grid.v = cnt.n_chars
+        ), cum AS (
+            SELECT source, v, gap,
+                   sum(c) OVER (PARTITION BY source ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   sum(c) OVER (ORDER BY v
+                                RANGE UNBOUNDED PRECEDING) AS cum_all,
+                   sum(c) OVER (PARTITION BY source) AS n_a,
+                   sum(c) OVER () AS n
+            FROM filled
+        ), agg AS (
+            SELECT source,
+                   max(n_a) AS n_docs,
+                   max(n - n_a) AS n_rest,
+                   sum(abs(CAST(cum_a AS DECIMAL(38,0))
+                           * CAST(n - n_a AS DECIMAL(38,0))
+                           - CAST(cum_all - cum_a AS DECIMAL(38,0))
+                             * CAST(n_a AS DECIMAL(38,0)))
+                       * CAST(gap AS DECIMAL(38,0))) AS num
+            FROM cum GROUP BY source
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_rest AS BIGINT) AS n_rest,
+               round(CAST(num AS DOUBLE)
+                     / CAST(CAST(n_docs AS DECIMAL(38,0))
+                            * CAST(n_rest AS DECIMAL(38,0)) AS DOUBLE),
+                     6) AS w1_chars
+        FROM agg ORDER BY source
+    """
+
+
+def q_permutation_test(
+    spark: SparkSession, sf_dir: str, n_perms: int = 200
+) -> DataFrame:
+    """Paired sign-flip permutation test: does a user's purchase
+    value run higher than their click value, beyond what chance
+    assignment explains? The experimentation family's
+    distribution-free member — Welch assumes normals, the rank tests
+    assume exchangeable POOLED samples; the sign-flip test only
+    assumes the per-user contrast is sign-symmetric under H0, and it
+    is the standard randomization check behind A/B readouts.
+
+    Per user u with both event types: the integer contrast
+    d_u = sumP_u * cntC_u - sumC_u * cntP_u (cents x counts — the
+    cross-multiplied mean difference, exact). T_obs = sum d_u.
+    Each permutation p flips signs with the md5 coin
+    parity(md5("pt:" || u || ":" || p)): T_p = sum s(u,p) * d_u.
+    p_value = (1 + #{|T_p| >= |T_obs|}) / (n_perms + 1) — the
+    add-one Monte-Carlo form, exact integer rational.
+
+    Exactness: d_u and every T are DECIMAL(38,0) folds; the md5 coin
+    is engine-portable (established countmin/DSIR idiom); ONE final
+    division. Plan: one groupBy(user) corpus fold, an n_perms-way
+    explode of the USER-sized contrast table (n_perms is the dial —
+    the replicated table is users x 200, never events x 200), one
+    groupBy(perm) fold, one broadcast-sized comparison."""
+    dec = "decimal(38,0)"
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        F.col("event_type"),
+        cents.alias("cents"),
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.col("cents"))).alias("sum_p"),
+            F.count(F.when(F.col("event_type") == "purchase",
+                           F.lit(1))).alias("cnt_p"),
+            F.sum(F.when(F.col("event_type") == "click",
+                         F.col("cents"))).alias("sum_c"),
+            F.count(F.when(F.col("event_type") == "click",
+                           F.lit(1))).alias("cnt_c"),
+        )
+        .where((F.col("cnt_p") > 0) & (F.col("cnt_c") > 0))
+        .select(
+            "user_id",
+            (
+                F.col("sum_p").cast(dec) * F.col("cnt_c").cast(dec)
+                - F.col("sum_c").cast(dec) * F.col("cnt_p").cast(dec)
+            ).alias("d"),
+        )
+        # Feeds T_obs, the permutation explode, and the user count —
+        # three consumers, one computation.
+        .localCheckpoint()
+    )
+    obs = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.abs(F.sum("d")).alias("t_abs"),
+        F.sum("d").alias("t_obs"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("pt"),
+                        F.col("user_id").cast("string"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    perms = (
+        per_user.select(
+            "user_id",
+            "d",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_perms))
+            ).alias("p"),
+        )
+        .select(
+            "p",
+            F.when(coin == 0, F.col("d")).otherwise(-F.col("d")).alias(
+                "sd"
+            ),
+        )
+        .groupBy("p")
+        .agg(F.abs(F.sum("sd")).alias("t_p"))
+    )
+    extreme = perms.crossJoin(F.broadcast(obs)).where(
+        F.col("t_p") >= F.col("t_abs")
+    ).agg(F.count(F.lit(1)).alias("n_extreme"))
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n_users",
+            F.col("t_obs").cast("double").alias("t_obs"),
+            F.lit(n_perms).cast("long").alias("n_perms"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round(
+                (F.col("n_extreme") + 1).cast("double")
+                / F.lit(float(n_perms + 1)),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+def permutation_test_oracle_sql(n_perms: int = 200) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN cents END) AS DECIMAL(38,0))
+                   * CAST(count(CASE WHEN event_type = 'click'
+                                THEN 1 END) AS DECIMAL(38,0))
+                   - CAST(sum(CASE WHEN event_type = 'click'
+                              THEN cents END) AS DECIMAL(38,0))
+                     * CAST(count(CASE WHEN event_type = 'purchase'
+                                  THEN 1 END) AS DECIMAL(38,0)) AS d
+            FROM (
+                SELECT user_id, event_type,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+            )
+            GROUP BY user_id
+            HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       > 0
+               AND count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+        ), obs AS (
+            SELECT count(*) AS n_users,
+                   abs(sum(d)) AS t_abs,
+                   sum(d) AS t_obs
+            FROM per_user
+        ), perms AS (
+            SELECT p.p,
+                   abs(sum(CASE WHEN
+                       ('0x' || substr(md5('pt:' || CAST(user_id AS
+                                VARCHAR) || ':' || CAST(p.p AS
+                                VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                       THEN d ELSE -d END)) AS t_p
+            FROM per_user
+            CROSS JOIN (SELECT unnest(generate_series(1, {n_perms}))
+                        AS p) p
+            GROUP BY p.p
+        ), extreme AS (
+            SELECT count(*) AS n_extreme
+            FROM perms, obs WHERE perms.t_p >= obs.t_abs
+        )
+        SELECT CAST(n_users AS BIGINT) AS n_users,
+               CAST(t_obs AS DOUBLE) AS t_obs,
+               CAST({n_perms} AS BIGINT) AS n_perms,
+               CAST(n_extreme AS BIGINT) AS n_extreme,
+               round(CAST(n_extreme + 1 AS DOUBLE)
+                     / CAST({n_perms + 1} AS DOUBLE), 6) AS p_value
+        FROM obs, extreme
+    """

@@ -4160,3 +4160,62 @@ def q_filter_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fn").alias("n_gopher_only"),
         F.round(num / den, 6).alias("mcc"),
     )
+
+
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between the Gopher and C4 gates — the
+    filter-agreement family's fourth dial, and the only one that
+    answers the OPERATIONAL question: do the two filters disagree
+    SYMMETRICALLY, or does one systematically pass documents the
+    other rejects? Kappa/MCC measure agreement strength; McNemar
+    tests the marginal-homogeneity null using ONLY the discordant
+    cells (b = Gopher-only passes, c = C4-only passes):
+    chi2 = (b-c)^2/(b+c), plus the Edwards continuity-corrected
+    form (|b-c|-1)^2/(b+c). A significant McNemar with high kappa
+    means "the filters agree, but one is strictly stricter" — swap
+    order in the pipeline and the cheaper one first.
+
+    Composes the existing gate queries verbatim (zero predicate
+    drift, the q_filter_kappa/q_filter_mcc precedent). Exactness:
+    b, c are exact counts; both statistics are integer-rational with
+    ONE division rounded 6 (NULL when b + c = 0: no discordance, no
+    test).
+
+    Plan: two gate evaluations (each a map-side scan), one doc_id
+    equi-join, one 2x2 fold — identical shuffle shape to
+    q_filter_mcc."""
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("long").alias("g")
+    )
+    c = q_c4_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes_c4").cast("long").alias("c")
+    )
+    cells = g.join(c, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("g") * (1 - F.col("c"))).alias("b"),
+        F.sum((1 - F.col("g")) * F.col("c")).alias("cc"),
+    )
+    dec = "decimal(38,0)"
+    diff = F.col("b").cast(dec) - F.col("cc").cast(dec)
+    tot = (F.col("b") + F.col("cc")).cast(dec)
+    chi2 = F.when(
+        F.col("b") + F.col("cc") > 0,
+        F.round((diff * diff).cast("double") / tot.cast("double"), 6),
+    )
+    adiff = F.abs(diff) - 1
+    chi2_cc = F.when(
+        F.col("b") + F.col("cc") > 0,
+        F.round(
+            F.when(adiff > 0, (adiff * adiff).cast("double"))
+            .otherwise(F.lit(0.0))
+            / tot.cast("double"),
+            6,
+        ),
+    )
+    return cells.select(
+        "n_docs",
+        F.col("b").cast("long").alias("n_gopher_only"),
+        F.col("cc").cast("long").alias("n_c4_only"),
+        chi2.alias("mcnemar_chi2"),
+        chi2_cc.alias("mcnemar_chi2_cc"),
+    )

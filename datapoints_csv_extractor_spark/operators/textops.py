@@ -4838,3 +4838,410 @@ def bleu_pairs_oracle_sql() -> str:
                CAST(max(micro) AS DOUBLE) / 1000000.0 AS max_bleu2
         FROM per_pair GROUP BY source ORDER BY source
     """
+
+
+# --------------------------------------------------------------------
+# Round-11 coda: vocabulary-richness estimation, smoothed unseen-mass,
+# discriminative-token, and n-gram-novelty reads over the documents
+# table. Exactness discipline as above (integer rationals, md5 coins,
+# DECIMAL(38,0) folds, one division per output).
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 nonparametric vocabulary-richness estimate per source —
+    "how many distinct tokens does this source REALLY use, counting
+    the ones we haven't sampled yet". Heaps' law extrapolates growth
+    from prefixes; Chao1 needs only the abundance spectrum's first
+    two cells: chao1 = V + f1*(f1-1)/(2*(f2+1)) (the bias-corrected
+    form, defined even when nothing occurs twice). The curation use:
+    a source whose chao1/V ratio is near 1 is fully sampled — more
+    crawl budget buys no new vocabulary.
+
+    Exactness: V, f1 (hapaxes), f2 (doubletons) are exact integer
+    counts off one token-frequency fold; the correction is ONE
+    integer-rational division rounded 6.
+
+    Plan: one tokenize + groupBy(source, token) corpus fold, one
+    per-source fold over the vocab table — the q_simpson_diversity
+    shuffle shape exactly."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao1 = F.col("vocab").cast("double") + (
+        F.col("f1").cast("decimal(38,0)")
+        * (F.col("f1") - 1).cast("decimal(38,0)")
+    ).cast("double") / (2.0 * (F.col("f2") + 1).cast("double"))
+    return agg.select(
+        "source",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("n_hapax"),
+        F.col("f2").cast("long").alias("n_doubleton"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(
+            F.col("vocab").cast("double")
+            / F.round(chao1, 6),
+            6,
+        ).alias("coverage"),
+    ).orderBy("source")
+
+
+def chao1_richness_oracle_sql() -> str:
+    return """
+        WITH freq AS (
+            SELECT source, t.tok, count(*) AS f
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY source, t.tok
+        ), agg AS (
+            SELECT source,
+                   count(*) AS vocab,
+                   sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1,
+                   sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2
+            FROM freq GROUP BY source
+        )
+        SELECT source,
+               CAST(vocab AS BIGINT) AS vocab,
+               CAST(f1 AS BIGINT) AS n_hapax,
+               CAST(f2 AS BIGINT) AS n_doubleton,
+               round(CAST(vocab AS DOUBLE)
+                     + CAST(CAST(f1 AS DECIMAL(38,0))
+                            * CAST(f1 - 1 AS DECIMAL(38,0)) AS DOUBLE)
+                       / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+               round(CAST(vocab AS DOUBLE)
+                     / round(CAST(vocab AS DOUBLE)
+                             + CAST(CAST(f1 AS DECIMAL(38,0))
+                                    * CAST(f1 - 1 AS DECIMAL(38,0))
+                                    AS DOUBLE)
+                               / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6),
+                     6) AS coverage
+        FROM agg ORDER BY source
+    """
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass and smoothed low-count estimates per
+    source — the language-modeling read of the abundance spectrum:
+    P0 = N1/N is the probability the NEXT token drawn is one never
+    seen (the coverage gap perplexity filters feel as OOV mass), and
+    r* = (r+1) * N_{r+1} / N_r re-estimates how much a count of r is
+    actually worth. Chao1 (above) asks "how many types are
+    missing?"; Good-Turing asks "how much PROBABILITY is missing?" —
+    both off the same single fold.
+
+    Exactness: N, N1..N4 are exact integer counts; each output is
+    ONE integer-rational division rounded 6, NULL (not a clamp) when
+    the spectrum cell is empty.
+
+    Plan: the q_simpson_diversity fold shape — one tokenize +
+    groupBy(source, token) corpus pass, one per-source fold."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    spec = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("f") == r, 1).otherwise(0)
+    ).alias(f"n{r}")
+    agg = freq.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        spec(1), spec(2), spec(3), spec(4),
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n1").cast("long").alias("n_hapax"),
+        ratio(F.col("n1"), F.col("n_tokens")).alias("p_unseen"),
+        ratio(2 * F.col("n2"), F.col("n1")).alias("r1_star"),
+        ratio(3 * F.col("n3"), F.col("n2")).alias("r2_star"),
+        ratio(4 * F.col("n4"), F.col("n3")).alias("r3_star"),
+    ).orderBy("source")
+
+
+def good_turing_oracle_sql() -> str:
+    return """
+        WITH freq AS (
+            SELECT source, t.tok, count(*) AS f
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY source, t.tok
+        ), agg AS (
+            SELECT source,
+                   sum(f) AS n_tokens,
+                   sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n2,
+                   sum(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS n3,
+                   sum(CASE WHEN f = 4 THEN 1 ELSE 0 END) AS n4
+            FROM freq GROUP BY source
+        )
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n1 AS BIGINT) AS n_hapax,
+               CASE WHEN n_tokens > 0 THEN
+                   round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                         6) END AS p_unseen,
+               CASE WHEN n1 > 0 THEN
+                   round(CAST(2 * n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+                         6) END AS r1_star,
+               CASE WHEN n2 > 0 THEN
+                   round(CAST(3 * n3 AS DOUBLE) / CAST(n2 AS DOUBLE),
+                         6) END AS r2_star,
+               CASE WHEN n3 > 0 THEN
+                   round(CAST(4 * n4 AS DOUBLE) / CAST(n3 AS DOUBLE),
+                         6) END AS r3_star
+        FROM agg ORDER BY source
+    """
+
+
+def q_log_odds_dirichlet(
+    spark: SparkSession,
+    sf_dir: str,
+    group_a: str = "en",
+    top_k: int = 25,
+) -> DataFrame:
+    """Monroe et al. 2008 "Fightin' Words": log-odds with a Dirichlet
+    prior, z-scored, for the tokens that most distinguish one
+    language slice (default: lang='en') from the rest of the corpus
+    — the principled replacement for raw tf-idf deltas when corpus
+    sizes differ (raw log-odds overweights rare tokens; the prior
+    shrinks them; the variance term z-scores what's left). The
+    curation read: the top |z| tokens ARE a source's template
+    boilerplate, mined with a statistic instead of eyeballs.
+
+    delta_w = ln((y_aw + 1)/(n_a + V - y_aw - 1))
+            - ln((y_bw + 1)/(n_b + V - y_bw - 1)) with the flat
+    alpha=1 prior (integer arguments by construction);
+    var_w = 1/(y_aw + 1) + 1/(y_bw + 1); z = delta/sqrt(var).
+
+    Exactness: every ln/div argument is an exact integer off one
+    token fold; each ln is rounded 6 and combined as DECIMAL(18,6);
+    z is ONE final division rounded 4. Top-k selection orders by
+    exact integer total frequency (desc, token) BEFORE any float —
+    the ranked set is engine-identical.
+
+    Plan: one tokenize + groupBy(token, side) corpus fold; the
+    top-k filter keeps the scored table k rows; no corpus joins."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == group_a).alias("is_a"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("y_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("y_b"),
+    ).localCheckpoint()  # feeds totals AND the scored top-k
+    totals = freq.agg(
+        F.sum("y_a").alias("n_a"),
+        F.sum("y_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    top = (
+        freq.orderBy(F.desc(F.col("y_a") + F.col("y_b")), F.asc("tok"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    d186 = "decimal(18,6)"
+    ln6 = lambda x: F.round(F.log(x.cast("double")), 6).cast(  # noqa: E731
+        d186
+    )
+    delta = (
+        ln6(F.col("y_a") + 1)
+        - ln6(F.col("n_a") + F.col("v") - F.col("y_a") - 1)
+        - ln6(F.col("y_b") + 1)
+        + ln6(F.col("n_b") + F.col("v") - F.col("y_b") - 1)
+    )
+    var = F.round(
+        1.0 / (F.col("y_a") + 1).cast("double")
+        + 1.0 / (F.col("y_b") + 1).cast("double"),
+        6,
+    )
+    return top.select(
+        "tok",
+        F.col("y_a").cast("long").alias("count_a"),
+        F.col("y_b").cast("long").alias("count_b"),
+        delta.cast("double").alias("log_odds"),
+        F.round(delta.cast("double") / F.sqrt(var), 4).alias("z"),
+    ).orderBy("tok")
+
+
+def log_odds_dirichlet_oracle_sql(
+    group_a: str = "en", top_k: int = 25
+) -> str:
+    return f"""
+        WITH freq AS (
+            SELECT t.tok,
+                   sum(CASE WHEN lang = '{group_a}' THEN 1 ELSE 0 END)
+                       AS y_a,
+                   sum(CASE WHEN lang = '{group_a}' THEN 0 ELSE 1 END)
+                       AS y_b
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY t.tok
+        ), totals AS (
+            SELECT sum(y_a) AS n_a, sum(y_b) AS n_b, count(*) AS v
+            FROM freq
+        ), top AS (
+            SELECT * FROM freq, totals
+            ORDER BY y_a + y_b DESC, tok ASC LIMIT {top_k}
+        ), scored AS (
+            SELECT tok, y_a, y_b,
+                   CAST(round(ln(CAST(y_a + 1 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))
+                   - CAST(round(ln(CAST(n_a + v - y_a - 1 AS DOUBLE)),
+                                6) AS DECIMAL(18,6))
+                   - CAST(round(ln(CAST(y_b + 1 AS DOUBLE)), 6)
+                          AS DECIMAL(18,6))
+                   + CAST(round(ln(CAST(n_b + v - y_b - 1 AS DOUBLE)),
+                                6) AS DECIMAL(18,6)) AS delta,
+                   round(1.0 / CAST(y_a + 1 AS DOUBLE)
+                         + 1.0 / CAST(y_b + 1 AS DOUBLE), 6) AS var
+            FROM top
+        )
+        SELECT tok,
+               CAST(y_a AS BIGINT) AS count_a,
+               CAST(y_b AS BIGINT) AS count_b,
+               CAST(delta AS DOUBLE) AS log_odds,
+               round(CAST(delta AS DOUBLE) / sqrt(var), 4) AS z
+        FROM scored ORDER BY tok
+    """
+
+
+def q_ngram_novelty(
+    spark: SparkSession, sf_dir: str, n: int = 8, test_mod: int = 4
+) -> DataFrame:
+    """Held-out n-gram novelty per source: split the corpus by the
+    md5 doc coin (doc_id % residue — the established reproducible-
+    split idiom), then measure what fraction of the held-out split's
+    DISTINCT word 8-grams never occur in the training split. The
+    memorization/contamination dial inverted: decontamination asks
+    "is the benchmark in the training set?"; novelty asks "does this
+    source keep producing n-grams the rest of its corpus hasn't
+    already written?" — templated/syndicated sources collapse toward
+    zero novelty and add no training signal.
+
+    Exactness: the split coin, the 8-gram extraction (positional
+    slices of the shared whitespace tokenizer), the distinct sets,
+    and the anti-join are all exact; novelty is ONE integer-rational
+    division rounded 6.
+
+    Plan: one tokenize+slice pass per side off the same scan shape
+    as q_bloom_decontamination's screen, one distinct per side, a
+    broadcast-averse ANTI join keyed on the gram string (at 100 TB
+    the join keys on a 64-bit gram hash instead — same plan, thinner
+    shuffle; the string key keeps the oracle byte-exact here), one
+    per-source fold."""
+    d = load(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % test_mod
+    )
+    toks = d.select(
+        "source",
+        (coin == 0).alias("is_test"),
+        tokens(F.col("text")).alias("ws"),
+    )
+    # Filter BEFORE the slice explode: Spark's sequence(1, size-7)
+    # DESCENDS when size < 8, which would manufacture junk grams.
+    grams = toks.where(F.size("ws") >= n).select(
+        "source",
+        "is_test",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("ws") - F.lit(n - 1)
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ws"), i, n)
+                ),
+            )
+        ).alias("gram"),
+    )
+    train = grams.where(~F.col("is_test")).select("gram").distinct()
+    test = (
+        grams.where(F.col("is_test"))
+        .select("source", "gram")
+        .distinct()
+    )
+    novel = test.join(train, "gram", "left_anti")
+    counts = test.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test_grams")
+    )
+    novel_counts = novel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    out = counts.join(novel_counts, "source", "left").select(
+        "source",
+        "n_test_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+    )
+    return out.select(
+        "source",
+        F.col("n_test_grams").cast("long").alias("n_test_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_test_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    ).orderBy("source")
+
+
+def ngram_novelty_oracle_sql(n: int = 8, test_mod: int = 4) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   )::BIGINT % {test_mod} = 0 AS is_test,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT source, is_test,
+                   array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+            FROM toks,
+                 unnest(generate_series(1, len(ws) - {n - 1})) AS g(i)
+            WHERE len(ws) >= {n}
+        ), train AS (
+            SELECT DISTINCT gram FROM grams WHERE NOT is_test
+        ), test AS (
+            SELECT DISTINCT source, gram FROM grams WHERE is_test
+        ), novel AS (
+            SELECT source, count(*) AS n_novel
+            FROM test WHERE gram NOT IN (SELECT gram FROM train)
+            GROUP BY source
+        ), counts AS (
+            SELECT source, count(*) AS n_test_grams
+            FROM test GROUP BY source
+        )
+        SELECT counts.source,
+               CAST(n_test_grams AS BIGINT) AS n_test_grams,
+               CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+               round(CAST(coalesce(n_novel, 0) AS DOUBLE)
+                     / CAST(n_test_grams AS DOUBLE), 6) AS novelty
+        FROM counts LEFT JOIN novel ON counts.source = novel.source
+        ORDER BY counts.source
+    """

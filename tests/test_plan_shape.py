@@ -255,6 +255,9 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_mutual_information",  # 1-row MI/entropy aggregate assembly
         "q_gumbel_block_maxima",  # 1-row block-moment aggregate fold
         "q_effect_sizes",  # 1-row moment + rank-sum aggregate fold
+        "q_wasserstein_1d",  # sources x length-grid completion (dimension-sized)
+        "q_permutation_test",  # 1-row T_obs + 1-row extreme-count broadcasts
+        "q_log_odds_dirichlet",  # 1-row corpus-total aggregate broadcast
     }
 
     offenders = {}
