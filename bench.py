@@ -932,7 +932,7 @@ def _sf1_probe_main(out_path: str) -> None:
 
         pre, pre_work = run_suite("sf0.1_synth", "pre")
         big, big_work = run_suite("sf1_synth", "big")
-        post, _ = run_suite("sf0.1_synth", "post", max_runs=1)
+        post, post_work = run_suite("sf0.1_synth", "post", max_runs=1)
 
         # Candidate-pair growth telemetry for the blocking-based
         # matchers (round-8 verdict item 5): the linkage family's
@@ -1018,11 +1018,20 @@ def _sf1_probe_main(out_path: str) -> None:
                 for q in big
             },
             # Executor task-time (work) per query, ms, and its 10x/1x
-            # ratio — ~10 IS linear; see docstring.
+            # ratio — ~10 IS linear; see docstring. Denominator is
+            # the min over BOTH 1x passes (pre min-of-2 + post), the
+            # same noise treatment the wall ratio gets (VERDICT r10
+            # item 4): work samples are lower-bounded by true work,
+            # so min-of-3 is the consistent 1x estimator.
             "work_ms_sf0.1": pre_work,
+            "work_ms_sf0.1_post": post_work,
             "work_ms_sf1": big_work,
             "work_ratio": {
-                q: round(big_work[q] / max(pre_work[q], 1), 2)
+                q: round(
+                    big_work[q]
+                    / max(min(pre_work[q], post_work.get(q, pre_work[q])), 1),
+                    2,
+                )
                 for q in big_work
             },
             # Candidate-pair counts for the blocking matchers at 1x

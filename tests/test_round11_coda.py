@@ -198,7 +198,6 @@ def test_mcnemar_cells_consistent_with_kappa_confusion(spark):
     """The discordant cells must equal q_filter_mcc's off-diagonal
     (same composed gates), and both statistics must match the
     closed form."""
-    mc = A if False else C  # noqa: F841 — keep import used
     mcc = C.q_filter_mcc(spark, SF).collect()[0]
     row = C.q_mcnemar_filters(spark, SF).collect()[0]
     assert row.n_docs == mcc.n_docs
