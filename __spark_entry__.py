@@ -313,6 +313,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Held-out word-8-gram novelty per source via the md5 split
         # coin + anti-join (integer-rational; oracle-exact).
         "q_ngram_novelty": X.q_ngram_novelty,
+        # --- Round-11 coda, second batch (same discipline; in-window
+        # twins: trend tests->q_kendall_tau, seasonality->
+        # q_burstiness_fano, cross-source sets->q_dedup_ngram_jaccard
+        # + q_simpson_diversity, token dispersion->q_burstiness_fano,
+        # sequence degeneracy->q_mutual_information/q_bleu_pairs).
+        # Mann-Kendall trend test on daily revenue per event type
+        # (day-grid pair fold, tie-corrected variance; oracle-exact).
+        "q_mann_kendall_trend": A.q_mann_kendall_trend,
+        # Hour-of-day uniformity chi-square per event type (integer
+        # 24-phase profile deviations; oracle-exact).
+        "q_seasonality_chi2": A.q_seasonality_chi2,
+        # Pairwise source vocabulary Jaccard (token-keyed self-join
+        # bounded by source count per key; oracle-exact).
+        "q_vocab_jaccard_matrix": X.q_vocab_jaccard_matrix,
+        # Church-Gale token burstiness vs the Poisson df expectation
+        # for the top tokens (single exp libm term; oracle-exact).
+        "q_token_burstiness": X.q_token_burstiness,
+        # Per-source conditional bigram entropy + branch perplexity
+        # (rounded-6 ln terms as DECIMAL(18,6); oracle-exact).
+        "q_bigram_cond_entropy": X.q_bigram_cond_entropy,
         "q_cdc_chunks": D.q_cdc_chunks,
         "q_hybrid_rrf": V.q_hybrid_rrf,
         "q_asof_join": R.q_asof_join,
@@ -2154,6 +2174,11 @@ def oracle_sql() -> dict[str, str]:
         "q_good_turing": X.good_turing_oracle_sql(),
         "q_log_odds_dirichlet": X.log_odds_dirichlet_oracle_sql(),
         "q_ngram_novelty": X.ngram_novelty_oracle_sql(),
+        "q_mann_kendall_trend": A.mann_kendall_trend_oracle_sql(),
+        "q_seasonality_chi2": A.seasonality_chi2_oracle_sql(),
+        "q_vocab_jaccard_matrix": X.vocab_jaccard_matrix_oracle_sql(),
+        "q_token_burstiness": X.token_burstiness_oracle_sql(),
+        "q_bigram_cond_entropy": X.bigram_cond_entropy_oracle_sql(),
         "q_sorted_neighborhood": """
             WITH ranked AS (
                 SELECT p_partkey, p_name,

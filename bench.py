@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "q_good_turing",
     "q_log_odds_dirichlet",
     "q_ngram_novelty",
+    "q_mann_kendall_trend",
+    "q_seasonality_chi2",
+    "q_vocab_jaccard_matrix",
+    "q_token_burstiness",
+    "q_bigram_cond_entropy",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
@@ -753,6 +758,11 @@ SF1_REGISTERED_QUERIES = [
     "q_good_turing",
     "q_log_odds_dirichlet",
     "q_ngram_novelty",
+    "q_mann_kendall_trend",
+    "q_seasonality_chi2",
+    "q_vocab_jaccard_matrix",
+    "q_token_burstiness",
+    "q_bigram_cond_entropy",
 ]
 
 

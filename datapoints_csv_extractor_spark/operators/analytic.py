@@ -7042,3 +7042,231 @@ def permutation_test_oracle_sql(n_perms: int = 200) -> str:
                      / CAST({n_perms + 1} AS DOUBLE), 6) AS p_value
         FROM obs, extreme
     """
+
+
+def q_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily revenue per
+    event type — the distribution-free answer to "is this series
+    actually trending?": S = sum of sign(x_j - x_i) over day pairs
+    i < j, with the tie-corrected normal approximation. Theil-Sen
+    (in the registry) estimates the SLOPE; Mann-Kendall tests the
+    HYPOTHESIS — together they are the standard monotonic-trend kit
+    for irregular, outlier-heavy operational series.
+
+    Exactness: daily cells are exact integer cent sums; the pair
+    fold is confined to the DAY-GRID self-join per type (n days
+    choose 2 — dimension-sized, the q_kendall_tau confinement
+    pattern, never a corpus join); S and the tie spectrum are
+    integers, Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18 folds
+    as DECIMAL(38,0) with ONE division by 18 in double; z applies
+    the standard +-1 continuity correction and is ONE division
+    rounded 4.
+
+    Plan: one groupBy(type, day) corpus fold; everything after runs
+    on the <= types x days cell table."""
+    dec = "decimal(38,0)"
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+        .localCheckpoint()  # feeds the pair fold AND the tie spectrum
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    s_fold = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1"))).cast("long").alias(
+                "s"
+            )
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t").cast(dec)
+                * (F.col("t") - 1).cast(dec)
+                * (2 * F.col("t") + 5).cast(dec)
+            ).alias("tie_term"),
+        )
+    )
+    j = s_fold.join(ties, "event_type")
+    var_s = (
+        F.col("n").cast(dec)
+        * (F.col("n") - 1).cast(dec)
+        * (2 * F.col("n") + 5).cast(dec)
+        - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = F.when(
+        F.col("s") > 0,
+        (F.col("s") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        F.col("s") < 0,
+        (F.col("s") + 1).cast("double") / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        "s",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) > F.lit(1.96)).alias("trending"),
+    ).orderBy("event_type")
+
+
+def mann_kendall_trend_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), s_fold AS (
+            SELECT a.event_type,
+                   CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ), ties AS (
+            SELECT event_type,
+                   count(*) AS n_groups,
+                   sum(t) AS n,
+                   sum(CAST(t AS DECIMAL(38,0))
+                       * CAST(t - 1 AS DECIMAL(38,0))
+                       * CAST(2 * t + 5 AS DECIMAL(38,0))) AS tie_term
+            FROM (SELECT event_type, x, count(*) AS t
+                  FROM daily GROUP BY event_type, x)
+            GROUP BY event_type
+        ), j AS (
+            SELECT s_fold.event_type, s, n,
+                   CAST(CAST(n AS DECIMAL(38,0))
+                        * CAST(n - 1 AS DECIMAL(38,0))
+                        * CAST(2 * n + 5 AS DECIMAL(38,0))
+                        - tie_term AS DOUBLE) / 18.0 AS var_s
+            FROM s_fold JOIN ties ON s_fold.event_type = ties.event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               s,
+               round(var_s, 6) AS var_s,
+               round(CASE WHEN s > 0
+                          THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                          WHEN s < 0
+                          THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                          ELSE 0.0 END, 4) AS z,
+               abs(round(CASE WHEN s > 0
+                          THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                          WHEN s < 0
+                          THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                          ELSE 0.0 END, 4)) > 1.96 AS trending
+        FROM j ORDER BY event_type
+    """
+
+
+def q_seasonality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day uniformity chi-square per event type — the
+    seasonality detector that runs BEFORE any seasonal model is
+    fitted: under "no daily rhythm" the 24 hour-of-day buckets are
+    uniform, and chi2 = sum (o_h - n/24)^2 / (n/24) says how far the
+    type deviates. Organic traffic fails uniformity with a smooth
+    diurnal curve; scheduled jobs fail it on one spike; true Poisson
+    noise passes. The Fano factor (in-window twin) reads VARIANCE
+    burstiness on the hour grid; this reads the 24-phase PROFILE.
+
+    Exactness: chi2 over integer counts folds as
+    sum((24*o_h - n)^2) / (24*n) — the per-cell deviation 24*o - n
+    is DECIMAL(38,0) exact, its square stays within DECIMAL(38,0)
+    through web scale (24e12^2 ~ 6e26), the cell sum is exact, and
+    the statistic is ONE division rounded 6. Missing hours
+    contribute n^2 each: the fold adds (24 - observed_hours) * n^2
+    in closed form rather than completing the grid.
+
+    Plan: one groupBy(type, hour24) corpus fold; the rest is a
+    24-cell-per-type table."""
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = (
+        e.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .select("event_type", "o", F.sum("o").over(wt).alias("nt"))
+    )
+    dev = 24 * F.col("o").cast(dec) - F.col("nt").cast(dec)
+    agg = cells.groupBy("event_type").agg(
+        F.max("nt").alias("n"),
+        F.count(F.lit(1)).alias("hours_seen"),
+        F.sum(dev * dev).alias("dev2"),
+    )
+    chi2 = (
+        F.col("dev2")
+        + (24 - F.col("hours_seen")).cast(dec)
+        * F.col("n").cast(dec)
+        * F.col("n").cast(dec)
+    ).cast("double") / (24.0 * F.col("n").cast("double"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("hours_seen").cast("long").alias("hours_seen"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > F.lit(35.172)).alias("seasonal"),
+    ).orderBy("event_type")
+
+
+def seasonality_chi2_oracle_sql() -> str:
+    return """
+        WITH cells0 AS (
+            SELECT event_type, extract(hour FROM ts) AS h,
+                   count(*) AS o
+            FROM events GROUP BY event_type, extract(hour FROM ts)
+        ), cells AS (
+            SELECT event_type, o,
+                   sum(o) OVER (PARTITION BY event_type) AS nt
+            FROM cells0
+        ), agg AS (
+            SELECT event_type,
+                   max(nt) AS n,
+                   count(*) AS hours_seen,
+                   sum((24 * CAST(o AS DECIMAL(38,0))
+                        - CAST(nt AS DECIMAL(38,0)))
+                       * (24 * CAST(o AS DECIMAL(38,0))
+                          - CAST(nt AS DECIMAL(38,0)))) AS dev2
+            FROM cells GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(hours_seen AS BIGINT) AS hours_seen,
+               round(CAST(dev2 + CAST(24 - hours_seen AS DECIMAL(38,0))
+                          * CAST(n AS DECIMAL(38,0))
+                          * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                     / (24.0 * CAST(n AS DOUBLE)), 6) AS chi2,
+               round(CAST(dev2 + CAST(24 - hours_seen AS DECIMAL(38,0))
+                          * CAST(n AS DECIMAL(38,0))
+                          * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                     / (24.0 * CAST(n AS DOUBLE)), 6) > 35.172
+                   AS seasonal
+        FROM agg ORDER BY event_type
+    """

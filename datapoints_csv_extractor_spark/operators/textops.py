@@ -5245,3 +5245,298 @@ def ngram_novelty_oracle_sql(n: int = 8, test_mod: int = 4) -> str:
         FROM counts LEFT JOIN novel ON counts.source = novel.source
         ORDER BY counts.source
     """
+
+
+def q_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the
+    cross-source similarity read at the TYPE level: q_source_jsd
+    compares token-frequency DISTRIBUTIONS, this compares the
+    vocabulary SETS, which is what syndication and mirror detection
+    actually key on (a scraped mirror shares the vocabulary even
+    after its frequency profile drifts). Ranked pairs feed the same
+    dedupe-or-merge decisions the doc-level n-gram Jaccard tier
+    makes, one level up.
+
+    Exactness: intersections and vocab sizes are exact integer
+    counts; jaccard = inter / (va + vb - inter), ONE division
+    rounded 6.
+
+    Plan: one tokenize + distinct(source, token) corpus fold, then a
+    TOKEN-keyed self-join whose per-key fan-out is bounded by the
+    source count (n_sources choose 2 pairs per token — linear in
+    vocabulary, never corpus-quadratic), one pair fold. The vocab
+    sizes broadcast onto the pair table (dimension-sized)."""
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .localCheckpoint()  # feeds sizes AND the pair join
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = st.select(F.col("source").alias("sa"), "tok")
+    b = st.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("sa"),
+                                     F.col("v").alias("va"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("sb"),
+                                     F.col("v").alias("vb"))),
+            "sb",
+        )
+    )
+    return j.select(
+        "sa",
+        "sb",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("va").cast("long").alias("vocab_a"),
+        F.col("vb").cast("long").alias("vocab_b"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("va") + F.col("vb") - F.col("inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("sa", "sb")
+
+
+def vocab_jaccard_matrix_oracle_sql() -> str:
+    return """
+        WITH st AS (
+            SELECT DISTINCT source, t.tok
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+        ), sizes AS (
+            SELECT source, count(*) AS v FROM st GROUP BY source
+        ), inter AS (
+            SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+            FROM st a JOIN st b
+              ON a.tok = b.tok AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT sa, sb,
+               CAST(inter AS BIGINT) AS inter,
+               CAST(za.v AS BIGINT) AS vocab_a,
+               CAST(zb.v AS BIGINT) AS vocab_b,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(za.v + zb.v - inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes za ON inter.sa = za.source
+        JOIN sizes zb ON inter.sb = zb.source
+        ORDER BY sa, sb
+    """
+
+
+def q_token_burstiness(
+    spark: SparkSession, sf_dir: str, top_k: int = 30
+) -> DataFrame:
+    """Church-Gale token burstiness for the corpus's top tokens:
+    compare each token's observed document frequency with the df a
+    Poisson scatter of its total count would produce —
+    E[df] = D * (1 - exp(-cf/D)). Function words track the Poisson
+    line; CONTENT words are bursty (fewer docs than Poisson, more
+    occurrences per containing doc). The curation read: a "content"
+    token whose burstiness collapses to 1.0 corpus-wide is template
+    boilerplate, not topic vocabulary — the distribution-level
+    sibling of the repeated-span detectors.
+
+    Exactness: df, cf, D are exact integers; burstiness = cf/df is
+    ONE division rounded 6; the Poisson expectation is ONE exp on
+    the identical double cf/D, rounded 6 (libm-parity discipline);
+    the df/E[df] ratio divides the already-rounded value. Top-k
+    picked on exact integer cf (desc, token).
+
+    Plan: one tokenize + groupBy(token) corpus fold carrying a
+    distinct-doc count, one top-k, no joins beyond the 1-row D
+    broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (
+        freq.orderBy(F.desc("cf"), F.asc("tok"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    expected_df = F.round(
+        F.col("n_docs").cast("double")
+        * (
+            1.0
+            - F.exp(
+                -F.col("cf").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+        ),
+        6,
+    )
+    return top.select(
+        "tok",
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("cf").cast("double") / F.col("df").cast("double"), 6
+        ).alias("burstiness"),
+        expected_df.alias("poisson_df"),
+        F.round(
+            F.col("df").cast("double") / expected_df, 6
+        ).alias("df_ratio"),
+    ).orderBy("tok")
+
+
+def token_burstiness_oracle_sql(top_k: int = 30) -> str:
+    return f"""
+        WITH freq AS (
+            SELECT t.tok,
+                   count(*) AS cf,
+                   count(DISTINCT doc_id) AS df
+            FROM documents,
+                 unnest(list_filter(string_split_regex(trim(text),
+                                                       '\\s+'),
+                        x -> x <> '')) AS t(tok)
+            GROUP BY t.tok
+        ), totals AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), top AS (
+            SELECT * FROM freq, totals
+            ORDER BY cf DESC, tok ASC LIMIT {top_k}
+        )
+        SELECT tok,
+               CAST(cf AS BIGINT) AS cf,
+               CAST(df AS BIGINT) AS df,
+               round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                   AS burstiness,
+               round(CAST(n_docs AS DOUBLE)
+                     * (1.0 - exp(-CAST(cf AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))), 6)
+                   AS poisson_df,
+               round(CAST(df AS DOUBLE)
+                     / round(CAST(n_docs AS DOUBLE)
+                             * (1.0 - exp(-CAST(cf AS DOUBLE)
+                                          / CAST(n_docs AS DOUBLE))),
+                             6), 6) AS df_ratio
+        FROM top ORDER BY tok
+    """
+
+
+def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source conditional entropy H(next token | current token)
+    and its perplexity — the sequence-level degeneracy dial: unigram
+    entropy (and Simpson/HHI) can look healthy while every token
+    DETERMINES its successor (templates, boilerplate chains,
+    generated loops). H(W2|W1) near zero with a broad vocabulary is
+    the fingerprint of templated text; organic prose keeps several
+    bits of successor surprise. The distribution-level companion of
+    the distinct-2 ratio.
+
+    H(W2|W1) = -sum_{w1,w2} p(w1,w2) ln(c12/c1): every probability
+    is a ratio of exact bigram/prefix counts off ONE bigram fold;
+    each term is one libm ln on an identical integer-derived double,
+    rounded 6, summed as DECIMAL(18,6); perplexity = exp of the
+    already-rounded entropy, rounded 4.
+
+    Plan: one tokenize + within-doc bigram explode + groupBy(source,
+    w1, w2) corpus fold (bigram cells are linear in corpus tokens),
+    a window for the prefix marginal, one per-source fold."""
+    d = load(spark, sf_dir, "documents")
+    ws = d.select("source", tokens(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bigrams = ws.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cells = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    w1w = Window.partitionBy("source", "w1").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ws_all = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = cells.select(
+        "source",
+        "c12",
+        F.sum("c12").over(w1w).alias("c1"),
+        F.sum("c12").over(ws_all).alias("n"),
+    )
+    term = F.round(
+        -(F.col("c12").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            F.col("c12").cast("double") / F.col("c1").cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    agg = g.groupBy("source").agg(
+        F.max("n").alias("n_bigrams"),
+        F.sum(term).alias("h_cond"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("h_cond").cast("double").alias("cond_entropy"),
+        F.round(F.exp(F.col("h_cond").cast("double")), 4).alias(
+            "branch_perplexity"
+        ),
+    ).orderBy("source")
+
+
+def bigram_cond_entropy_oracle_sql() -> str:
+    return """
+        WITH ws AS (
+            SELECT source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), bigrams AS (
+            SELECT source, w[i] AS w1, w[i + 1] AS w2
+            FROM ws, unnest(generate_series(1, len(w) - 1)) AS g(i)
+            WHERE len(w) >= 2
+        ), cells AS (
+            SELECT source, w1, w2, count(*) AS c12
+            FROM bigrams GROUP BY source, w1, w2
+        ), g AS (
+            SELECT source, c12,
+                   sum(c12) OVER (PARTITION BY source, w1) AS c1,
+                   sum(c12) OVER (PARTITION BY source) AS n
+            FROM cells
+        ), agg AS (
+            SELECT source,
+                   max(n) AS n_bigrams,
+                   sum(CAST(round(-(CAST(c12 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(c12 AS DOUBLE)
+                                       / CAST(c1 AS DOUBLE)), 6)
+                            AS DECIMAL(18,6))) AS h_cond
+            FROM g GROUP BY source
+        )
+        SELECT source,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(h_cond AS DOUBLE) AS cond_entropy,
+               round(exp(CAST(h_cond AS DOUBLE)), 4)
+                   AS branch_perplexity
+        FROM agg ORDER BY source
+    """

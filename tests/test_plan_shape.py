@@ -258,6 +258,7 @@ def test_no_cartesian_product_in_any_registered_query(spark):
         "q_wasserstein_1d",  # sources x length-grid completion (dimension-sized)
         "q_permutation_test",  # 1-row T_obs + 1-row extreme-count broadcasts
         "q_log_odds_dirichlet",  # 1-row corpus-total aggregate broadcast
+        "q_token_burstiness",  # 1-row doc-count aggregate broadcast
     }
 
     offenders = {}

@@ -303,3 +303,161 @@ def test_ngram_novelty_matches_reference_and_detects_templates(
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = X.q_ngram_novelty(spark, str(tmp_path)).collect()
     assert len(out) == 1 and float(out[0].novelty) == 0.0
+
+
+def test_mann_kendall_matches_pair_reference(spark):
+    ev = [
+        (r.event_type, r.ts.date(), int(math.floor(r.value * 100.0 + 0.5)))
+        for r in load(spark, SF, "events").collect()
+    ]
+    daily: dict[tuple, int] = defaultdict(int)
+    for t, day, c in ev:
+        daily[(t, day)] += c
+    by_type: dict[str, list[tuple]] = defaultdict(list)
+    for (t, day), x in daily.items():
+        by_type[t].append((day, x))
+    rows = {r.event_type: r for r in A.q_mann_kendall_trend(spark, SF).collect()}
+    for t, pts in by_type.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        tie_term = sum(t_ * (t_ - 1) * (2 * t_ + 5) for t_ in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (
+            (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+        assert rows[t].n_days == n
+        assert rows[t].s == s
+        assert float(rows[t].var_s) == pytest.approx(round(var_s, 6), abs=2e-6)
+        assert float(rows[t].z) == pytest.approx(round(z, 4), abs=2e-4)
+
+
+def test_mann_kendall_detects_planted_trend(spark, tmp_path):
+    """A strictly increasing series must hit the theoretical max
+    S = n(n-1)/2 and flag trending; a constant one gives S = 0."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(30):
+        ts = base + datetime.timedelta(days=i)
+        rows.append((i, ts, 1, "up", 1.0 * (i + 1), "{}"))
+        rows.append((1000 + i, ts, 2, "flat", 5.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in A.q_mann_kendall_trend(
+        spark, str(tmp_path)).collect()}
+    assert out["up"].s == 30 * 29 // 2 and bool(out["up"].trending)
+    assert out["flat"].s == 0 and not bool(out["flat"].trending)
+
+
+def test_seasonality_chi2_matches_reference(spark):
+    ev = [
+        (r.event_type, r.ts.hour)
+        for r in load(spark, SF, "events").collect()
+    ]
+    cells: dict[str, Counter] = defaultdict(Counter)
+    for t, h in ev:
+        cells[t][h] += 1
+    rows = {r.event_type: r for r in A.q_seasonality_chi2(spark, SF).collect()}
+    for t, byh in cells.items():
+        n = sum(byh.values())
+        dev2 = sum((24 * o - n) ** 2 for o in byh.values())
+        dev2 += (24 - len(byh)) * n * n
+        chi2 = dev2 / (24.0 * n)
+        assert rows[t].n_events == n
+        assert rows[t].hours_seen == len(byh)
+        assert float(rows[t].chi2) == pytest.approx(round(chi2, 6), abs=2e-6)
+        # chi2 against uniform of a uniform-ish synthetic stream stays
+        # near dof=23; the identity sum(o)=n makes chi2 >= 0 always.
+        assert float(rows[t].chi2) >= 0.0
+
+
+def test_vocab_jaccard_matches_set_reference(spark, docs):
+    vocab: dict[str, set] = defaultdict(set)
+    for _, text, _, src, _ in docs:
+        vocab[src].update(_tokens(text))
+    rows = {
+        (r.sa, r.sb): r
+        for r in X.q_vocab_jaccard_matrix(spark, SF).collect()
+    }
+    srcs = sorted(vocab)
+    n_pairs = len(srcs) * (len(srcs) - 1) // 2
+    assert len(rows) == n_pairs
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            union = len(vocab[sa] | vocab[sb])
+            r = rows[(sa, sb)]
+            assert r.inter == inter
+            assert r.vocab_a == len(vocab[sa]) and r.vocab_b == len(vocab[sb])
+            assert float(r.jaccard) == round(inter / union, 6)
+
+
+def test_token_burstiness_matches_reference(spark, docs):
+    cf = Counter()
+    df = Counter()
+    for _, text, _, _, _ in docs:
+        ts = _tokens(text)
+        cf.update(ts)
+        df.update(set(ts))
+    n_docs = len(docs)
+    top = sorted(cf, key=lambda t: (-cf[t], t))[:30]
+    rows = {r.tok: r for r in X.q_token_burstiness(spark, SF).collect()}
+    assert set(rows) == set(top)
+    for t in top:
+        r = rows[t]
+        assert r.cf == cf[t] and r.df == df[t]
+        assert float(r.burstiness) == round(cf[t] / df[t], 6)
+        pdf = round(n_docs * (1.0 - math.exp(-cf[t] / n_docs)), 6)
+        assert float(r.poisson_df) == pytest.approx(pdf, abs=2e-6)
+        # Burstiness >= 1 by construction (cf >= df), and observed df
+        # can never exceed the doc count.
+        assert float(r.burstiness) >= 1.0 and r.df <= n_docs
+
+
+def test_bigram_cond_entropy_matches_reference_and_template_zero(
+    spark, docs, tmp_path
+):
+    cells: dict[str, Counter] = defaultdict(Counter)
+    for _, text, _, src, _ in docs:
+        ws = _tokens(text)
+        for i in range(len(ws) - 1):
+            cells[src][(ws[i], ws[i + 1])] += 1
+    rows = {r.source: r for r in X.q_bigram_cond_entropy(spark, SF).collect()}
+    for src, c in cells.items():
+        n = sum(c.values())
+        c1 = Counter()
+        for (w1, _), v in c.items():
+            c1[w1] += v
+        h = sum(
+            round(-(v / n) * math.log(v / c1[w1]), 6)
+            for (w1, _), v in c.items()
+        )
+        assert rows[src].n_bigrams == n
+        assert float(rows[src].cond_entropy) == pytest.approx(h, abs=2e-6)
+        assert float(rows[src].branch_perplexity) == pytest.approx(
+            round(math.exp(h), 4), abs=2e-4
+        )
+
+    # Fully deterministic successor chain -> zero conditional entropy.
+    text = " ".join(f"w{i}" for i in range(15))
+    tpl = [(i, text, "en", "tpl", len(text)) for i in range(20)]
+    spark.createDataFrame(
+        tpl, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = X.q_bigram_cond_entropy(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert float(out[0].cond_entropy) == 0.0
+    assert float(out[0].branch_perplexity) == 1.0
