@@ -153,10 +153,22 @@ def ngram_jaccard_pairs(
     # counts as an independent subtree (3 cheap scans of a small
     # table) beats one "clever" pass; the broadcast joins on the tiny
     # per-doc counts are ~free.
+    # The hashed shingle table feeds FOUR consumers (hot-df aggregate,
+    # both sides of the self-join, per-doc counts); left lazy, each
+    # consumer re-runs the tokenize -> shingle-fold -> explode chain —
+    # measured ~5 s executor work PER evaluation at sf0.1, x4 ≈ 20 s
+    # of pure recompute inside every query that builds on this pair
+    # graph (clusters / keep-best / cluster-sizes / leakage split /
+    # two-star). One eager localCheckpoint materializes the (long,
+    # long) rows once — the same multi-consumer discipline the
+    # MinHash pipeline applies to its signature table; at scale this
+    # is O(corpus shingles) of executor storage spilling to disk,
+    # strictly cheaper than 4 recomputes of the same pass.
     sh = (
         spread_scan(docs).withColumn("toks", tokens(F.col("text")))
         .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+        .localCheckpoint()
     )
     hot = (
         sh.groupBy("sh_hash")
@@ -235,6 +247,9 @@ def jaccard_prefix_pairs(
     prefixes on sh_hash; AQE handles the small-side broadcasts.
     """
     t = threshold
+    # Same multi-consumer checkpoint as ngram_jaccard_pairs: this
+    # frame feeds the hot-df aggregate, the prefix ranking, and both
+    # verify equijoins — left lazy each one re-tokenizes the corpus.
     sh = (
         spread_scan(docs).withColumn("toks", tokens(F.col("text")))
         .select(
@@ -242,6 +257,7 @@ def jaccard_prefix_pairs(
             F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"),
         )
         .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+        .localCheckpoint()
     )
     hot = (
         sh.groupBy("sh_hash")
@@ -1541,8 +1557,12 @@ def bloom_decontamination(
             "h2",
         )
         .select(((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("p"))
-        .distinct()
     )
+    # No distinct before the word fold: bit_or is idempotent, so
+    # duplicate positions are harmless, and the groupBy's map-side
+    # partial aggregation already reduces every task's output to at
+    # most m/64 rows — the distinct was a second full shuffle that
+    # bought nothing at any scale.
     words = (
         pos.groupBy((F.col("p") / 64).cast("int").alias("wi"))
         .agg(
@@ -1557,7 +1577,12 @@ def bloom_decontamination(
         bitset[r.wi] = r.bits
     bitset_lit = F.lit(bitset).cast("array<long>")
 
-    t = train.withColumn("toks", tokens(F.col("text"))).select(
+    # spread_scan: the probe is the map-only half of the operator and
+    # the training corpus often arrives as few parquet splits (ONE at
+    # the test SFs) — without the fan-out the whole md5 probe chain
+    # runs on one core (measured: ~2.8 s serial at sf0.1, <0.2 s
+    # spread over 32).
+    t = spread_scan(train).withColumn("toks", tokens(F.col("text"))).select(
         "doc_id", shingles_of_tokens(F.col("toks"), k).alias("grams")
     )
 

@@ -12,14 +12,15 @@ Scale discipline (the whole point of a graph module on Spark):
 - The edge build is blocked ON THE ORDER (p1 < p2 within an
   orderkey) — pair work is sum(basket_size^2)/2, bounded by basket
   size, never the part catalog's n^2.
-- Triangle counting uses the degree-ordered node-iterator
+- Triangle counting uses the degree-ordered orientation
   (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
   Last Reducer", WWW'11): orient every edge from its (degree, id)-
   smaller endpoint to the larger, so each node's out-degree is
-  O(sqrt(m)) and the wedge join is sum(out_deg^2) <= O(m^1.5) —
-  the worst reducer is bounded even on power-law degree
-  distributions. Wedges probe the edge set with an equijoin on the
-  canonical (min, max) pair; there is no cartesian anywhere.
+  O(sqrt(m)) and the total intersection work is sum(out_deg^2)
+  <= O(m^1.5) — the worst key is bounded even on power-law degree
+  distributions. Counting intersects out-neighbor sets per oriented
+  edge (arrays shuffled once; the wedge space is never formed);
+  there is no cartesian anywhere.
 - PageRank is the classic rank/edge equijoin + groupBy-sum per
   iteration with lineage truncated by localCheckpoint (the same
   discipline as dedup_clusters_twostar); edges are cached once and
@@ -41,24 +42,46 @@ from pyspark.sql import functions as F
 from .relational import load
 
 
+def _order_pairs(li: DataFrame) -> DataFrame:
+    """One row per (order, unordered part pair) of an
+    (l_orderkey, l_partkey) frame: collect each order's DISTINCT
+    sorted basket with ONE shuffle (map-side partial collect_set),
+    then emit the p1 < p2 pairs from the sorted array in place.
+
+    Replaces the previous distinct -> self-join build, which cost
+    three exchanges (the (orderkey, partkey) distinct plus both join
+    sides re-partitioned by orderkey) and a sort-merge join of the
+    whole lineitem projection against itself. Pair fan-out is
+    unchanged — sum(basket^2)/2, basket-bounded — but it now happens
+    as an in-partition array fold instead of a join, so the only
+    data that ever crosses the network is the (orderkey, partkey)
+    pairs themselves, once."""
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return basket.select(
+        "l_orderkey", F.explode(pairs).alias("pr")
+    ).select("l_orderkey", F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+
+
 def co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges (p1 < p2 canonical), one row per
-    part pair that shares at least one order. Distinct-first keeps a
-    part ordered twice in one order from manufacturing a self-pair;
-    the within-order self-join is basket-size-bounded."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
+    part pair that shares at least one order. The sorted collect_set
+    basket keeps a part ordered twice in one order from manufacturing
+    a self-pair; pair fan-out is basket-size-bounded (see
+    _order_pairs for the one-shuffle build)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _order_pairs(li).select("p1", "p2").distinct()
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -90,13 +113,14 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     nodes, edges, wedges (open two-paths through a center),
     triangles, and the global clustering coefficient 3T / wedges.
 
-    Degree-ordered orientation (ties broken by node id) makes the
-    wedge enumeration's worst key O(sqrt(m)) wide; each triangle is
-    counted exactly once because its three vertices have exactly one
-    (degree, id)-smallest member with out-edges to the other two.
-    The wedge -> edge probe is an equijoin on the canonical pair, so
-    the whole plan is three shuffles (degree agg, wedge self-join,
-    probe join) over edge-bounded data. The edge list and degree
+    Degree-ordered orientation (ties broken by node id) bounds every
+    out-neighbor set at O(sqrt(m)); each triangle is counted exactly
+    once because its three vertices have exactly one (degree,
+    id)-smallest member with out-edges to the other two. Counting is
+    adjacency-intersection: per oriented edge (u, v), the size of
+    N+(u) ∩ N+(v) — the out-neighbor arrays travel once (collect_set,
+    one shuffle) and the wedge space (sum out_deg^2 rows) is never
+    materialized or shuffled. The edge list and degree
     table feed multiple consumers (degrees, orientation twice, the
     probe), so both are EAGERLY localCheckpoint-materialized — left
     lazy, the duplicated subtrees compile into a plan whose repeated
@@ -119,18 +143,38 @@ def triangle_census(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
     ).localCheckpoint()
 
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = (
-        o1.join(o2, F.col("o1.u") == F.col("o2.u"))
-        .where(F.col("o1.v") < F.col("o2.v"))
-        .select(
-            F.least(F.col("o1.v"), F.col("o2.v")).alias("p1"),
-            F.greatest(F.col("o1.v"), F.col("o2.v")).alias("p2"),
+    # Triangles per oriented edge (u, v): |N+(u) ∩ N+(v)| — the
+    # adjacency-intersection form of the same degree-ordered census.
+    # The previous wedge enumeration MATERIALIZED every open wedge
+    # (sum out_deg^2 rows — ~37M at sf0.1, 65 s executor work) and
+    # shuffled it into a probe join against the edge set; here the
+    # out-neighbor sets travel once as arrays (collect_set = one
+    # shuffle of the oriented edges) and the intersection is an
+    # in-partition hash probe per edge, so the wedge space is never
+    # formed. Counted-once is inherited from the orientation: the
+    # (deg, id)-smallest vertex of each triangle is the unique u
+    # with out-edges to both others. Hub safety is the same
+    # O(sqrt(m)) out-degree bound — arrays stay small even on
+    # power-law graphs.
+    adj = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    empty = F.array().cast("array<bigint>")
+    tri = (
+        oriented.join(adj.withColumnRenamed("nbrs", "nu"), "u")
+        .join(
+            adj.select(
+                F.col("u").alias("v"), F.col("nbrs").alias("nv")
+            ),
+            "v",
+            "left",
         )
-    )
-    tri = wedges.join(edges, ["p1", "p2"], "inner").agg(
-        F.count("*").alias("n_triangles")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nu"), F.coalesce(F.col("nv"), empty)
+                )
+            ).alias("c")
+        )
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
 
     # Open wedge count from degrees alone: sum of C(deg, 2) per node.
@@ -367,16 +411,9 @@ def co_order_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, weight = 1 / n_shared) — strongly co-purchased parts are
     CLOSER. Same order-blocked build as co_order_edges, one extra
     count aggregate."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("p1") < F.col("p2"))
+        _order_pairs(li)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .withColumn(

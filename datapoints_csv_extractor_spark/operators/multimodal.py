@@ -1770,8 +1770,19 @@ def video_near_dup_pairs(
     spread across the overlap; accidental frame collisions scatter.
     Hot bands (> ``max_band_df`` distinct videos — title cards, black
     frames) are dropped before the join: the stop-shingle rule.
-    Three shuffles total (band df, band join, offset groupBy)."""
+    Three shuffles total (band df, band join, offset groupBy).
+
+    The frame-hash table is eagerly localCheckpoint-materialized:
+    it feeds the hot-band aggregate and BOTH join sides, and its
+    lineage is the GIF decode itself — left lazy, the optimizer
+    duplicates the MapInPandas decode subtree into every consumer
+    (16 decode nodes in the executed plan at sf0.1; ~100 s executor
+    work re-decoding the same payloads). Hashes are a few dozen
+    bytes per frame, so this is the guide's decide-on-small-rows
+    discipline: decode once, reason over fingerprints."""
     from pyspark.sql import Window
+
+    frame_hashes = frame_hashes.localCheckpoint()
 
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -1979,7 +1990,12 @@ def q_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["payload"].append(encode_gif(frames[3]))
             yield pd.DataFrame(rows)
 
-    blobs = d.mapInPandas(synth, schema)
+    # One synth pass: the video and image branches each re-execute
+    # the whole mapInPandas subtree when blobs stays lazy (8 decode/
+    # synth nodes in the executed plan, ~50 s executor work at
+    # sf0.1). Materializing the blobs once means every payload is
+    # synthesized once and decoded once by exactly one branch.
+    blobs = d.mapInPandas(synth, schema).localCheckpoint()
     videos = blobs.where(F.col("kind") == "video")
     images = blobs.where(F.col("kind") == "image")
     frame_hashes = video_frame_dhashes(videos)

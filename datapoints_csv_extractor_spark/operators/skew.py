@@ -114,3 +114,38 @@ def spread_scan(df: DataFrame, already_parallel: bool | None = None) -> DataFram
     if already_parallel:
         return df
     return df.repartition(n)
+
+
+def partitioned_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialize ``df`` hash-partitioned on ``keys`` with the
+    partitioning METADATA preserved, so every later join/aggregate on
+    those keys skips its Exchange on this side.
+
+    The iterative operators (pagerank / k-core / BFS / SSSP / LPA)
+    join a static edge-bounded frame against a node-bounded frame
+    once per round; left to itself each round re-shuffles the EDGE
+    frame — the large side — every iteration. Partitioning the edge
+    frame on the per-round join key once turns every round into a
+    shuffle of the node-bounded side only (guide §2: remove shuffles
+    where the data is already partitioned as needed).
+
+    Plain ``localCheckpoint()`` cannot do this under AQE: the
+    AdaptiveSparkPlanExec reports UnknownPartitioning, so the
+    checkpointed LogicalRDD loses the layout and downstream
+    EnsureRequirements re-shuffles (measured: hashpartitioning ->
+    UnknownPartitioning(0) on Spark 4.1). Disabling AQE just for the
+    one repartition+checkpoint materialization keeps the physical
+    plan's HashPartitioning visible to the LogicalRDD; the frame is
+    tiny-stage work (one round-robin-to-hash exchange), so losing
+    AQE for it costs nothing. Partition count follows
+    ``spark.sql.shuffle.partitions`` — conf-driven, so the cluster
+    deployment scales it without code changes."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        out = df.repartition(n, *keys).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    return out

@@ -4668,9 +4668,21 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip counts and gram totals are exact integers; each pair's
     BLEU is a short identical-order double chain rounded 6, summed
     per source as DECIMAL(18,6), ONE division for the mean."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "toks", tokens(F.col("text"))
+    from datapoints_csv_extractor_spark.operators.skew import (
+        pin_grouped_parallelism,
     )
+
+    # Explicit repartition on the window key: the lead() exchange is
+    # ENSURE_REQUIREMENTS, so AQE coalesces its tiny-bytes shuffle to
+    # 1-2 partitions and the clip folds below — the query's entire
+    # compute — run serial (measured: 5.9 s executor work on ~2
+    # tasks, wall ≈ work). A user repartition is exempt from AQE
+    # coalescing and the window reuses its hash partitioning (no
+    # second exchange), so the fold stage keeps one task per source.
+    d = pin_grouped_parallelism(
+        load(spark, sf_dir, "documents").select("source", "doc_id", "text"),
+        "source",
+    ).withColumn("toks", tokens(F.col("text")))
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy("doc_id")

@@ -594,13 +594,20 @@ def test_ivf_query_keeps_cell_pruning_with_tombstones(spark, tmp_path):
 
 def test_bloom_decontamination_probe_is_map_only(spark):
     """The Bloom probe's RETURNED plan must scan only (doc_id, text)
-    and contain no Exchange at all — the bitset rides in as a literal,
-    so the training corpus is filtered in place (the whole point of
-    the Bloom tier vs the exact gram equijoin)."""
+    and contain no DATA shuffle — no hash/range exchange, i.e. no
+    join or aggregation: the bitset rides in as a literal, so the
+    training corpus is filtered in place (the whole point of the
+    Bloom tier vs the exact gram equijoin). A ROUND-ROBIN spread of
+    the scan is permitted: it fans a single-split corpus out to the
+    executors before the per-row md5 probe chain (a no-op at real
+    scale where splits >> cores) and does not move data toward any
+    key — filter-in-place semantics are unchanged."""
     from datapoints_csv_extractor_spark.operators import dedup as D
 
     plan = _plan(D.q_bloom_decontamination(spark, SF))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     m = re.search(r"ReadSchema: (.+)", plan)
     assert m and "doc_id" in m.group(1) and "text" in m.group(1)
 
