@@ -120,6 +120,39 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hot_dropped_shingles(
+    docs: DataFrame, max_shingle_df: int, k: int
+) -> DataFrame:
+    """(doc_id, sh_hash) word-k-gram shingle table with shingles of
+    document frequency > ``max_shingle_df`` dropped.
+
+    The tokenize -> shingle-fold -> explode chain is ~5 s executor
+    work per evaluation at sf0.1 and every caller fans the result out
+    to several consumers, so the raw shingle table is materialized
+    once (localCheckpoint). The hot-df guard is a count-aggregate
+    (collapses map-side — no reducer ever materializes a hot
+    shingle's posting list) anti-joined as a BROADCAST (the hot list
+    is tiny by construction: only keys over the cap), never a
+    shuffled join — pinned by test_plan_shape."""
+    sh = (
+        spread_scan(docs)
+        .withColumn("toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+        .localCheckpoint()
+    )
+    hot = (
+        sh.groupBy("sh_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("sh_hash")
+    )
+    return sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.3,
@@ -144,46 +177,73 @@ def ngram_jaccard_pairs(
     # pair counts (collision odds ~n^2/2^64), a fraction of the
     # shuffle bytes.
     #
-    # NOTE (measured, sf0.1): carrying n_sh alongside the explode
-    # ("size + explode of the same array in one projection, counts
-    # ride the join") looks like it saves the separate counts
-    # aggregation, but runs 7x SLOWER (14 s vs 2 s) — the optimizer's
-    # projection collapsing re-expands the HOF shingle expression into
-    # both consumers and the array is evaluated per use. Keeping
-    # counts as an independent subtree (3 cheap scans of a small
-    # table) beats one "clever" pass; the broadcast joins on the tiny
-    # per-doc counts are ~free.
-    # The hashed shingle table feeds FOUR consumers (hot-df aggregate,
-    # both sides of the self-join, per-doc counts); left lazy, each
-    # consumer re-runs the tokenize -> shingle-fold -> explode chain —
-    # measured ~5 s executor work PER evaluation at sf0.1, x4 ≈ 20 s
-    # of pure recompute inside every query that builds on this pair
-    # graph (clusters / keep-best / cluster-sizes / leakage split /
-    # two-star). One eager localCheckpoint materializes the (long,
-    # long) rows once — the same multi-consumer discipline the
-    # MinHash pipeline applies to its signature table; at scale this
-    # is O(corpus shingles) of executor storage spilling to disk,
-    # strictly cheaper than 4 recomputes of the same pass.
-    sh = (
-        spread_scan(docs).withColumn("toks", tokens(F.col("text")))
-        .select("doc_id", F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+    # Pair generation is a POSTINGS FOLD, not a self-join: group the
+    # (hot-dropped) shingle table once by sh_hash into a sorted doc-id
+    # array and emit the i<j pairs in place (the _order_pairs basket
+    # discipline from graph.py). The previous a x b self-join shuffled
+    # the shingle table onto sh_hash TWICE (both join sides) and paid
+    # two sort-merge sorts to produce exactly the fan-out rows this
+    # fold emits partition-locally; the rewrite drops the pair path
+    # from 5 data exchanges to 3. Pair multiplicity is unchanged: a
+    # sorted array with duplicate doc_ids (only possible via a 64-bit
+    # hash collision inside one doc) emits m1*m2 (d1 < d2) structs —
+    # exactly the join's row count — and the strict < filter drops
+    # self-structs exactly like the old join predicate.
+    #
+    # The hot-df guard stays a SEPARATE count-aggregate + broadcast
+    # anti-join (inside _hot_dropped_shingles), deliberately: folding
+    # the cap into the collect_list aggregate itself would build the
+    # one giant array the cap exists to prevent (a boilerplate
+    # shingle at corpus scale is millions of entries on one key).
+    dropped = _hot_dropped_shingles(docs, max_shingle_df, k)
+    # Posting lists are <= max_shingle_df entries each by construction
+    # (hot keys are gone), so the fold's per-key fan-out is bounded at
+    # df^2/2 structs built in place — never shuffled unaggregated. The
+    # postings frame feeds the per-doc counts and the pair fold, so it
+    # is materialized once; it is strictly smaller than the shingle
+    # table it replaces as the multi-consumer intermediate. The
+    # grouping shuffle is NOT pinned: AQE coalescing the small-bytes
+    # postings shuffle to few partitions is fine here because the
+    # fold is an in-memory array pass, not a per-group Python stage —
+    # a 3-run A/B at sf0.1 measured the pinned variant at 2x the
+    # executor work (49.7 s vs 23.5 s) and worse wall (2.92 s vs
+    # 2.39 s): 32-way tiny partitions just multiply per-task and
+    # partial-aggregation overhead downstream. At real scale the
+    # postings shuffle exceeds the advisory size and keeps full
+    # parallelism on its own.
+
+    posted = (
+        dropped.groupBy("sh_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .localCheckpoint()
     )
-    hot = (
-        sh.groupBy("sh_hash")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > max_shingle_df)
-        .select("sh_hash")
+    counts = (
+        posted.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
-    sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "sh_hash")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "sh_hash")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("docs"), i + F.lit(2), F.size(F.col("docs"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("doc_id_1"), y.alias("doc_id_2")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_id_1"] < p["doc_id_2"],
+    )
     pairs = (
-        a.join(b, "sh_hash")
-        .where(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
+        posted.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.doc_id_1").alias("doc_id_1"),
+            F.col("p.doc_id_2").alias("doc_id_2"),
+        )
         .agg(F.count("*").alias("shared"))
     )
     c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
@@ -247,25 +307,11 @@ def jaccard_prefix_pairs(
     prefixes on sh_hash; AQE handles the small-side broadcasts.
     """
     t = threshold
-    # Same multi-consumer checkpoint as ngram_jaccard_pairs: this
-    # frame feeds the hot-df aggregate, the prefix ranking, and both
-    # verify equijoins — left lazy each one re-tokenizes the corpus.
-    sh = (
-        spread_scan(docs).withColumn("toks", tokens(F.col("text")))
-        .select(
-            "doc_id",
-            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"),
-        )
-        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
-        .localCheckpoint()
-    )
-    hot = (
-        sh.groupBy("sh_hash")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > max_shingle_df)
-        .select("sh_hash")
-    )
-    sh = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+    # Same multi-consumer checkpoint as ngram_jaccard_pairs (inside
+    # _hot_dropped_shingles): the raw shingle frame feeds the hot-df
+    # aggregate, the prefix ranking, and both verify equijoins — left
+    # lazy each one re-tokenizes the corpus.
+    sh = _hot_dropped_shingles(docs, max_shingle_df, k)
     cand = _prefix_candidates(sh, t)
     # Candidate-restricted exact verify: |A ∩ B| via two equijoins
     # whose volume is sum over candidates of set sizes.

@@ -180,10 +180,19 @@ def test_fuzzy_match_levenshtein_is_guarded_by_length_band(spark):
 
 def test_ngram_jaccard_hot_shingle_cap_is_broadcast_anti_join(spark):
     """The stop-shingle df cap must anti-join against a BROADCAST hot
-    list (tiny by construction), never a shuffled one."""
+    list (tiny by construction), never a shuffled one. The guard
+    targets _hot_dropped_shingles — the shared shingle source of both
+    Jaccard pair generators — directly, because ngram_jaccard_pairs
+    materializes its postings fold with an eager localCheckpoint, so
+    the anti-join no longer appears in the final query's lazy plan."""
     from datapoints_csv_extractor_spark.operators import dedup as D
+    from datapoints_csv_extractor_spark.operators.relational import load
 
-    plan = _plan(D.q_dedup_ngram_jaccard(spark, SF))
+    plan = _plan(
+        D._hot_dropped_shingles(
+            load(spark, SF, "documents"), D.STOP_SHINGLE_MAX_DF, 3
+        )
+    )
     anti = [
         ln
         for ln in plan.splitlines()
