@@ -32,7 +32,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
-from datapoints_csv_extractor_spark.operators.skew import spread_scan
+from datapoints_csv_extractor_spark.operators.skew import (
+    pin_grouped_parallelism,
+    spread_scan,
+)
 from datapoints_csv_extractor_spark.operators.textops import tokens
 
 MERSENNE_P = (1 << 31) - 1
@@ -45,6 +48,14 @@ MERSENNE_P = (1 << 31) - 1
 # df (7 at sf0.01, 25 at sf0.1 — measured) so oracle rows are
 # unchanged, while capping any hot key's pair count at 128^2/2.
 STOP_SHINGLE_MAX_DF = 128
+
+# Posting lists at or under this length take the in-place array pair
+# fold in ngram_jaccard_pairs; longer lists (only reachable when a
+# caller raises the df cap past it) stream through a keyed self-join
+# instead of materializing an m^2 pair array per key. 256 keeps the
+# default guarded path (<= STOP_SHINGLE_MAX_DF = 128) entirely on the
+# fold.
+_POSTING_FOLD_MAX = 256
 LSH_MAX_BUCKET = 128
 N_PERM = 32
 N_BANDS = 8
@@ -238,12 +249,54 @@ def ngram_jaccard_pairs(
         ),
         lambda p: p["doc_id_1"] < p["doc_id_2"],
     )
+    # The in-place fold is the right plan for BOUNDED posting lists
+    # (the 99.99% case under the df cap: <= max_shingle_df entries,
+    # so <= df^2/2 structs built in one pass), but it materializes the
+    # whole m^2/2 pair array per key THREE times (nested transform,
+    # flatten, filter) — on an over-cap key (a caller-raised cap, or
+    # the bench's deliberately unguarded twin) that is hundreds of MB
+    # of single-allocation churn per key: measured 26.2 s vs the old
+    # self-join's ~1.7 s on the adversarial corpus. Oversized lists
+    # therefore take the STREAMING plan instead — re-explode just the
+    # hot posting lists and self-join on the key, which pipelines the
+    # same (d1 < d2) multiset row-at-a-time with no giant array ever
+    # built (measured 26.2 s -> ~2 s on the unguarded skew bench,
+    # flatten fold untouched and flat on the guarded corpora). The
+    # split scans `posted` twice, but it is localCheckpoint-
+    # materialized and key-bounded, so the second scan is a cheap
+    # in-memory filter, and under the default cap the hot branch is
+    # EMPTY (every group <= 128 <= _POSTING_FOLD_MAX) — AQE sees 0
+    # rows and the join collapses at runtime.
+    small_pairs = posted.where(
+        F.size("docs") <= _POSTING_FOLD_MAX
+    ).select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.doc_id_1").alias("doc_id_1"),
+        F.col("p.doc_id_2").alias("doc_id_2"),
+    )
+    # Pin the hot branch's partitioning: its pair work is m^2 per key
+    # but its BYTES are tiny (one posting row per member), so AQE's
+    # size-based coalescing would lump every hot key into one task
+    # (the pin_grouped_parallelism trap); an explicit keyed
+    # repartition is AQE-exempt and both join sides share it, so the
+    # join adds no further exchange.
+    hot_posts = pin_grouped_parallelism(
+        posted.where(F.size("docs") > _POSTING_FOLD_MAX).select(
+            "sh_hash", F.explode("docs").alias("doc_id")
+        ),
+        "sh_hash",
+    )
+    ha, hb = hot_posts.alias("ha"), hot_posts.alias("hb")
+    big_pairs = ha.join(
+        hb,
+        (F.col("ha.sh_hash") == F.col("hb.sh_hash"))
+        & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+    ).select(
+        F.col("ha.doc_id").alias("doc_id_1"),
+        F.col("hb.doc_id").alias("doc_id_2"),
+    )
     pairs = (
-        posted.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.doc_id_1").alias("doc_id_1"),
-            F.col("p.doc_id_2").alias("doc_id_2"),
-        )
+        small_pairs.unionAll(big_pairs)
+        .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count("*").alias("shared"))
     )
     c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))

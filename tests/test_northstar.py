@@ -60,6 +60,42 @@ def test_stop_shingle_cap_kills_hot_key(spark):
     assert real.jaccard > 0.5
 
 
+def test_over_cap_posting_lists_stream_identically(spark, monkeypatch):
+    # ngram_jaccard_pairs routes posting lists longer than
+    # _POSTING_FOLD_MAX through a keyed self-join (streaming, no m^2
+    # array per key) instead of the in-place pair fold. The two
+    # emissions must be indistinguishable: same pairs, same shared
+    # counts, same jaccard values. Build a corpus whose hot shingles
+    # exceed the default fold bound (df=300 > 256), run once with the
+    # production split, once with the bound raised so EVERYTHING takes
+    # the fold, and require identical row sets.
+    boiler = "shared boilerplate preamble common to the hot cohort"
+    docs = [
+        (i, f"{boiler} tail{i}a tail{i}b tail{i}c") for i in range(300)
+    ]
+    docs.append((900, "kappa lambda mu nu xi omicron pi rho"))
+    docs.append((901, "kappa lambda mu nu xi omicron pi sigma"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    no_cap = 10**9
+    hybrid = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            d, threshold=0.01, max_shingle_df=no_cap
+        ).collect()
+    }
+    monkeypatch.setattr(D, "_POSTING_FOLD_MAX", no_cap)
+    fold_only = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            d, threshold=0.01, max_shingle_df=no_cap
+        ).collect()
+    }
+    assert hybrid == fold_only
+    # The hot branch really fired: the boilerplate cohort pairs up.
+    assert len(hybrid) >= 300 * 299 // 2
+
+
 def test_jaccard_prefix_matches_full_blocking(spark):
     # The PPJoin-style prefix/length/positional filters are PRUNING
     # only: at any threshold the surviving exact-verified pairs must
