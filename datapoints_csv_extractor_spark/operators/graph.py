@@ -227,7 +227,17 @@ def pagerank(
     round N never replays rounds 1..N-1 (the dedup_clusters_twostar
     discipline; a lazy checkpoint would leave the whole loop as one
     giant nested plan whose broadcast builds exhaust driver memory —
-    observed at sf0.1 before this was eager)."""
+    observed at sf0.1 before this was eager). Cadence 3 is MEASURED,
+    not folklore — fresh-JVM best-of-3 at sf0.1: every=3 is the
+    executor-work minimum (13-20 s) against every=2 (24 s: more
+    checkpoint materializations) and every=5 (29-32 s: each
+    iteration's ranks-side broadcast build replays the unckeckpointed
+    chain since the last cut, so longer windows pay O(window^2)
+    replay). Alternatives measured and rejected the same way:
+    partitioned_checkpoint on adj (no broadcast rebuild, but wall
+    4.39 -> 5.10 s — the small-ranks broadcast join beats SMJ
+    partition reuse here) and F.broadcast(ranks) (work 14.6 ->
+    133 s: re-collects and re-ships ranks every iteration)."""
     directed = edges.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(
@@ -358,9 +368,11 @@ def bfs_distances(
     of the CURRENT frontier against the edges plus one anti-join
     against the visited set, so round cost is O(|frontier| x avg
     degree), never nodes x edges; rounds = min(max_hops, reached
-    diameter). Visited/frontier lineage is truncated by EAGER
-    localCheckpoints (the PageRank discipline) and the driver sees
-    only per-round counts."""
+    diameter). Frontier lineage is truncated by EAGER
+    localCheckpoints (the PageRank discipline); the visited set is a
+    shallow union OVER those checkpoints (depth <= max_hops), which
+    needs no materialization of its own. The driver sees only
+    per-round counts."""
     sym = (
         edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
         .unionAll(edges.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
@@ -379,7 +391,13 @@ def bfs_distances(
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # No checkpoint on the union: both legs are ALREADY
+        # materialized (visited's leaves are prior checkpoints, nxt
+        # just ran its own), so the union is a trivial concat plan
+        # whose depth is bounded by max_hops — checkpointing it only
+        # re-wrote the same rows once more per round (measured at
+        # sf0.1: 10.5 -> 7.5 s wall on q_bfs_hops, identical output).
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 
