@@ -144,6 +144,32 @@ def test_kcore_matches_python_peeler(spark):
         assert got[n] == deg[n], n
 
 
+def test_kcore_semi_and_anti_filter_branches_agree(spark):
+    # The per-round edge filter has two result-identical forms: the
+    # broadcast anti-join on the (small) dropped set (default) and the
+    # shuffled semi-join on keep (the fallback when a round drops more
+    # than KCORE_BROADCAST_DROP_MAX nodes). Forcing the fallback via
+    # the threshold must peel the identical core.
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 7), (7, 8), (2, 8),
+    ]
+    want = sorted(
+        (r.node, r.degree)
+        for r in G.kcore(_edges_df(spark, pairs), 3).collect()
+    )
+    cap = G.KCORE_BROADCAST_DROP_MAX
+    try:
+        G.KCORE_BROADCAST_DROP_MAX = -1  # every round takes the semi-join
+        got = sorted(
+            (r.node, r.degree)
+            for r in G.kcore(_edges_df(spark, pairs), 3).collect()
+        )
+    finally:
+        G.KCORE_BROADCAST_DROP_MAX = cap
+    assert got == want and want  # non-vacuous: the 3-core is K4
+
+
 def test_bfs_distances_on_known_graph(spark):
     # Path 1-2-3-4-5 plus an unreachable component {8,9}: distances
     # from seed 1 bound at 3 hops; 5 and the island never appear.
