@@ -201,37 +201,59 @@ def ngram_jaccard_pairs(
     # exactly the join's row count — and the strict < filter drops
     # self-structs exactly like the old join predicate.
     #
-    # The hot-df guard stays a SEPARATE count-aggregate + broadcast
-    # anti-join (inside _hot_dropped_shingles), deliberately: folding
-    # the cap into the collect_list aggregate itself would build the
-    # one giant array the cap exists to prevent (a boilerplate
-    # shingle at corpus scale is millions of entries on one key).
-    dropped = _hot_dropped_shingles(docs, max_shingle_df, k)
-    # Posting lists are <= max_shingle_df entries each by construction
-    # (hot keys are gone), so the fold's per-key fan-out is bounded at
-    # df^2/2 structs built in place — never shuffled unaggregated. The
-    # postings frame feeds the per-doc counts and the pair fold, so it
-    # is materialized once; it is strictly smaller than the shingle
-    # table it replaces as the multi-consumer intermediate. The
-    # grouping shuffle is NOT pinned: AQE coalescing the small-bytes
-    # postings shuffle to few partitions is fine here because the
-    # fold is an in-memory array pass, not a per-group Python stage —
-    # a 3-run A/B at sf0.1 measured the pinned variant at 2x the
-    # executor work (49.7 s vs 23.5 s) and worse wall (2.92 s vs
-    # 2.39 s): 32-way tiny partitions just multiply per-task and
-    # partial-aggregation overhead downstream. At real scale the
-    # postings shuffle exceeds the advisory size and keeps full
-    # parallelism on its own.
-
-    posted = (
-        dropped.groupBy("sh_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    # The hot-df guard stays a count-aggregate + broadcast anti-join,
+    # deliberately: folding the cap into the collect_list aggregate
+    # itself would build the one giant array the cap exists to prevent
+    # (a boilerplate shingle at corpus scale is millions of entries on
+    # one key). ONE df aggregate now feeds both key splits — the
+    # over-guard-cap drop AND the fold-vs-stream routing below — so
+    # the hybrid costs no extra pass over the shingle table.
+    sh = (
+        spread_scan(docs)
+        .withColumn("toks", tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k)).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
         .localCheckpoint()
     )
-    counts = (
-        posted.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"))
+    dfs = sh.groupBy("sh_hash").agg(F.count("*").alias("df"))
+    hot = dfs.where(F.col("df") > max_shingle_df).select("sh_hash")
+    dropped = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
+    # Per-doc shingle counts come from the FLAT frame: identical
+    # multiset to exploding the posting arrays back out, without
+    # re-walking them.
+    counts = dropped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Keys whose posting list would exceed the fold bound (reachable
+    # only when a caller raises the df cap past _POSTING_FOLD_MAX)
+    # are routed to the streaming self-join BEFORE any array is
+    # built: the previous hybrid collected the over-cap arrays into
+    # `posted` first and re-exploded them, so the unguarded
+    # adversarial corpus paid collect_list + localCheckpoint +
+    # explode on exactly the keys the fold cannot handle. Both key
+    # lists are rare-by-construction and broadcast. Under the
+    # default cap the stream set is provably empty
+    # (_POSTING_FOLD_MAX >= STOP_SHINGLE_MAX_DF).
+    over_cap = dfs.where(
+        (F.col("df") <= max_shingle_df) & (F.col("df") > _POSTING_FOLD_MAX)
+    ).select("sh_hash")
+    # Posting lists here are <= _POSTING_FOLD_MAX entries each by
+    # construction, so the fold's per-key fan-out is bounded at
+    # df^2/2 structs built in place — never shuffled unaggregated.
+    # The grouping shuffle is NOT pinned: AQE coalescing the
+    # small-bytes postings shuffle to few partitions is fine here
+    # because the fold is an in-JVM array pass, not a per-group
+    # Python stage — a 3-run A/B at sf0.1 measured the pinned
+    # variant at 2x the executor work (49.7 s vs 23.5 s) and worse
+    # wall (2.92 s vs 2.39 s). At real scale the postings shuffle
+    # exceeds the advisory size and keeps full parallelism on its
+    # own. Single consumer now (counts read the flat frame), so no
+    # checkpoint.
+    posted = (
+        dropped.join(F.broadcast(over_cap), "sh_hash", "left_anti")
+        .groupBy("sh_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
     )
     pair_structs = F.filter(
         F.flatten(
@@ -250,39 +272,28 @@ def ngram_jaccard_pairs(
         lambda p: p["doc_id_1"] < p["doc_id_2"],
     )
     # The in-place fold is the right plan for BOUNDED posting lists
-    # (the 99.99% case under the df cap: <= max_shingle_df entries,
+    # (the 99.99% case under the df cap: <= _POSTING_FOLD_MAX entries,
     # so <= df^2/2 structs built in one pass), but it materializes the
     # whole m^2/2 pair array per key THREE times (nested transform,
     # flatten, filter) — on an over-cap key (a caller-raised cap, or
     # the bench's deliberately unguarded twin) that is hundreds of MB
     # of single-allocation churn per key: measured 26.2 s vs the old
-    # self-join's ~1.7 s on the adversarial corpus. Oversized lists
-    # therefore take the STREAMING plan instead — re-explode just the
-    # hot posting lists and self-join on the key, which pipelines the
-    # same (d1 < d2) multiset row-at-a-time with no giant array ever
-    # built (measured 26.2 s -> ~2 s on the unguarded skew bench,
-    # flatten fold untouched and flat on the guarded corpora). The
-    # split scans `posted` twice, but it is localCheckpoint-
-    # materialized and key-bounded, so the second scan is a cheap
-    # in-memory filter, and under the default cap the hot branch is
-    # EMPTY (every group <= 128 <= _POSTING_FOLD_MAX) — AQE sees 0
-    # rows and the join collapses at runtime.
-    small_pairs = posted.where(
-        F.size("docs") <= _POSTING_FOLD_MAX
-    ).select(F.explode(pair_structs).alias("p")).select(
+    # self-join's ~1.7 s on the adversarial corpus. Oversized keys
+    # therefore take the STREAMING plan, routed by df BEFORE any
+    # array is built — the self-join pipelines the same (d1 < d2)
+    # multiset row-at-a-time with no giant array ever formed.
+    small_pairs = posted.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.doc_id_1").alias("doc_id_1"),
         F.col("p.doc_id_2").alias("doc_id_2"),
     )
     # Pin the hot branch's partitioning: its pair work is m^2 per key
-    # but its BYTES are tiny (one posting row per member), so AQE's
+    # but its BYTES are tiny (one shingle row per member), so AQE's
     # size-based coalescing would lump every hot key into one task
     # (the pin_grouped_parallelism trap); an explicit keyed
     # repartition is AQE-exempt and both join sides share it, so the
     # join adds no further exchange.
     hot_posts = pin_grouped_parallelism(
-        posted.where(F.size("docs") > _POSTING_FOLD_MAX).select(
-            "sh_hash", F.explode("docs").alias("doc_id")
-        ),
+        dropped.join(F.broadcast(over_cap), "sh_hash", "left_semi"),
         "sh_hash",
     )
     ha, hb = hot_posts.alias("ha"), hot_posts.alias("hb")
