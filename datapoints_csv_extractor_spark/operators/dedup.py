@@ -1646,17 +1646,25 @@ def bloom_decontamination(
             .alias("h2"),
         )
 
+    import numpy as np
+
     n_words = m_bits // 64
     # Variable-distance shifts aren't expressible in the classic Column
     # API (shiftleft takes a literal), so single-bit masks come from a
-    # 64-entry powers-of-two lookup; bit 63 is the sign bit.
-    # F.lit(list), NOT F.array(*lits): the latter is a CreateArray
-    # expression that HOF lambdas rebuild per evaluation (no CSE in
-    # lambdas — 2048 child exprs per probe, measured ~10x slower);
-    # lit folds to one reused array Literal object.
+    # 64-entry powers-of-two lookup. F.lit(numpy array), NOT
+    # F.lit(list) / F.array(*lits): PySpark expands a Python list into
+    # array(*[lit(x) ...]) — one py4j round-trip PER ELEMENT to build
+    # (measured 1.2-1.5 s of pure driver time for the 2048-word
+    # bitset) and a CreateArray expression that HOF lambdas then
+    # rebuild per evaluation (no constant folding inside lambda
+    # bodies). A 1-D numpy array takes the single-call JVM literal
+    # path and lands as one true array Literal.
     pow2 = F.lit(
-        [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
-    ).cast("array<long>")
+        np.array(
+            [(1 << i) if i < 63 else -(1 << 63) for i in range(64)],
+            dtype=np.int64,
+        )
+    )
     pos = (
         gram_hashes(eval_set)
         .select(
@@ -1682,10 +1690,10 @@ def bloom_decontamination(
         )
         .collect()
     )
-    bitset = [0] * n_words
+    bitset = np.zeros(n_words, dtype=np.int64)
     for r in words:
         bitset[r.wi] = r.bits
-    bitset_lit = F.lit(bitset).cast("array<long>")
+    bitset_lit = F.lit(bitset)
 
     # spread_scan: the probe is the map-only half of the operator and
     # the training corpus often arrives as few parquet splits (ONE at

@@ -579,7 +579,11 @@ def q_multimodal_feature_knn(
         .first(),
         f"query blob_id={query_blob_id}",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    from datapoints_csv_extractor_spark.operators.similarity import (
+        _f64_lit,
+    )
+
+    qlit = _f64_lit(float(x) for x in qrow[0])
     cos = F.round(cosine(F.col("feature"), qlit), 4)
     return (
         decoded.where(F.col("blob_id") != query_blob_id)

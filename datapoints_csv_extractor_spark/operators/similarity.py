@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
 
+
+def _f64_lit(values) -> Column:
+    """One float64 array literal via the numpy lit path: a single py4j
+    call producing a true JVM Literal. F.lit(list) / F.array(*lits)
+    instead issues one py4j round-trip per element at build time AND
+    leaves a CreateArray expression that is re-evaluated per row (per
+    ELEMENT when referenced inside a HOF lambda body, where constant
+    folding does not descend). Float64 conversion is value-exact."""
+    import numpy as np
+
+    return F.lit(np.asarray(list(values), dtype=np.float64))
+
 _HYPERPLANE_BITS = 16
 
 
@@ -113,7 +125,7 @@ def q_knn_brute_force(
         e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
         f"query vec_id={query_vec_id}",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = _f64_lit(float(x) for x in qrow[0])
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     return (
         e.where(F.col("vec_id") != query_vec_id)
@@ -384,7 +396,7 @@ def lsh_bucket(emb: Column, dim: int, n_bits: int = _HYPERPLANE_BITS) -> Column:
     products, all JVM-side."""
     out = F.lit(0)
     for j, row in enumerate(_hyperplanes(dim, n_bits)):
-        comp = F.array(*[F.lit(x) for x in row])
+        comp = _f64_lit(row)
         d = F.aggregate(
             F.zip_with(emb, comp, lambda x, y: x.cast("double") * y),
             F.lit(0).cast("double"),
@@ -426,7 +438,7 @@ def ann_lsh_topk_df(
         .first(),
         f"query vec_id={query_vec_id}",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = _f64_lit(float(x) for x in qrow[0])
     qbucket = qrow[1]
     probes = [qbucket] + [qbucket ^ (1 << j) for j in range(n_bits)]
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
@@ -453,7 +465,7 @@ def _cos_list(a: list[float], b: list[float]) -> float:
 def _nearest_cell(emb: Column, centroids: list[list[float]]) -> Column:
     """0-based index of the max-cosine centroid, via a per-row HOF over
     a broadcast centroid array literal — NO join, NO shuffle."""
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cent_lit = F.array(*[_f64_lit(c) for c in centroids])
     sims = F.transform(cent_lit, lambda c: cosine(emb, c))
     # array_position is 1-based; cell ids 0-based.
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
@@ -587,7 +599,7 @@ def ann_ivf_topk_df(
             key=lambda t: -t[1],
         )[:n_probe]
     ]
-    qlit = F.array(*[F.lit(x) for x in qvec])
+    qlit = _f64_lit(qvec)
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     return (
         assigned.where(F.col("cell").isin(probe_cells))
@@ -751,7 +763,7 @@ def ann_ivf_topk_from_index(
         )[:n_probe]
     ]
     assigned = read_ivf_assignments(spark, index_dir)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _f64_lit(float(x) for x in query_vec)
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     out = assigned.where(F.col("cell").isin(probe_cells))
     if exclude_vec_id is not None:
@@ -1377,7 +1389,7 @@ def ann_lsh_topk_from_index(
             qbucket += 1 << j
     probes = [qbucket] + [qbucket ^ (1 << j) for j in range(n_bits)]
     assigned = spark.read.parquet(os.path.join(index_dir, "assignments"))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _f64_lit(float(x) for x in query_vec)
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     out = assigned.where(F.col("bucket").isin(probes))
     if exclude_vec_id is not None:
@@ -1858,7 +1870,7 @@ def pq_topk_df(
     Returns ascending approximate squared-L2 (= 2-2cos order)."""
     n_k = len(codebooks[0])
     lut = _adc_lut(query_vec, codebooks)
-    lut_lit = F.array(*[F.lit(x) for x in lut])
+    lut_lit = _f64_lit(lut)
     dist = F.aggregate(
         F.transform(
             F.col("codes"),
@@ -1899,7 +1911,7 @@ def pq_topk_rerank(
             exclude_vec_id=exclude_vec_id,
         ).collect()
     ]
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _f64_lit(float(x) for x in query_vec)
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     return (
         source.where(F.col("vec_id").isin(cand))
@@ -2089,7 +2101,7 @@ def q_hybrid_rrf(
         emb.where(F.col("vec_id") == 0).select("embedding").first(),
         "query vec_id=0",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = _f64_lit(float(x) for x in qrow[0])
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     sem = (
         emb.where(F.col("vec_id") != 0)
@@ -2521,7 +2533,7 @@ def ann_ivfpq_topk(
     if source is None:
         return adc
     cand = [r["vec_id"] for r in adc.collect()]
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _f64_lit(float(x) for x in query_vec)
     cos = F.round(cosine(F.col("embedding"), qlit), 4)
     return (
         source.where(F.col("vec_id").isin(cand))
@@ -2598,7 +2610,7 @@ def q_ann_recall_report(
 
     exact: dict[int, set[int]] = {}
     for qid, qvec in probes:
-        qlit = F.array(*[F.lit(x) for x in qvec])
+        qlit = _f64_lit(qvec)
         exact[qid] = set(
             topk_ids(
                 e.where(F.col("vec_id") != qid)
@@ -2796,7 +2808,7 @@ def q_ann_sq_topk(
         e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
         f"query vec_id={query_vec_id}",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = _f64_lit(float(x) for x in qrow[0])
     mins_lit = F.lit(mins).cast("array<double>")
     maxs_lit = F.lit(maxs).cast("array<double>")
 
@@ -2851,7 +2863,7 @@ def ann_sq_topk_from_index(
         params = json.load(fh)
     mins_lit = F.lit(params["mins"]).cast("array<double>")
     maxs_lit = F.lit(params["maxs"]).cast("array<double>")
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _f64_lit(float(x) for x in query_vec)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     dead = _sq_tombstones(spark, index_dir)
     if dead is not None:
@@ -2961,8 +2973,8 @@ def _rp_dim_exprs(
     vec_col: str, d_in: int, d_out: int, seed: str
 ) -> list:
     """One unscaled projection Column per output dim: a zip_with
-    multiply against a FOLDED array literal (F.lit(list), one
-    Literal node) followed by a 0.0-seeded sequential F.aggregate
+    multiply against a numpy-path array literal (one true Literal
+    node, see _f64_lit) followed by a 0.0-seeded sequential F.aggregate
     sum. Two reasons for this shape over an explicit 64-term ADD
     chain: (1) Catalyst PLANNING over 16 x 64-term trees costs ~7 s
     per query (measured — execution was never the problem); the HOF
@@ -2973,7 +2985,7 @@ def _rp_dim_exprs(
     signs = rp_signs(d_in, d_out, seed)
     dims = []
     for j in range(d_out):
-        col_j = F.lit([signs[i][j] for i in range(d_in)])
+        col_j = _f64_lit(signs[i][j] for i in range(d_in))
         zipped = F.zip_with(
             F.col(vec_col), col_j, lambda x, s: x.cast("double") * s
         )
@@ -3540,7 +3552,7 @@ def q_mmr_rerank(
         e.where(F.col("vec_id") == query_vec_id).select("embedding").first(),
         f"query vec_id={query_vec_id}",
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = _f64_lit(float(x) for x in qrow[0])
     cos_i = F.round(
         F.round(cosine(F.col("embedding"), qlit), 4) * 10000, 0
     ).cast("long")
