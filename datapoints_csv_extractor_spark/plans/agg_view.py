@@ -153,10 +153,19 @@ def compact_agg_view(
     previous compaction, so the new base always beats the old base
     and tombstones always beat the partials they retire)."""
     cur = read_store(spark, store_path).localCheckpoint()
-    n_partials = cur.where(F.col("fold_seq") != COMPACT_SEQ).count()
+    # One action for both scalars (partial census + generation high
+    # water) instead of a count() then a max() — the compaction is a
+    # driver-sequential lifecycle, so every action saved is a whole
+    # job round-trip.
+    n_partials, max_gen = cur.agg(
+        F.coalesce(
+            F.sum((F.col("fold_seq") != COMPACT_SEQ).cast("long")), F.lit(0)
+        ),
+        F.max("gen"),
+    ).first()
     if n_partials == 0:
         return 0
-    next_gen = cur.agg(F.max("gen")).first()[0] + 1
+    next_gen = max_gen + 1
     base = (
         _combine(keys, cur.drop("gen"))
         .withColumn("fold_seq", F.lit(COMPACT_SEQ).cast("long"))

@@ -307,7 +307,19 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # path stays pinned by the store's own pytest).
         scd2_fold(spark, store, first, F.col("event_type"), fold_seq=1,
                   n_buckets=4)
-        wm = first.agg(F.max("ts")).first()[0]
+        # The watermark is the CALLER'S assertion, and compaction is
+        # exactness-preserving for ANY asserted value (module
+        # docstring), so the cut itself serves: every first-half event
+        # has unix_timestamp(ts) <= cut (ts < cut+1 s) and every
+        # second-half event has ts >= cut+1 s > wm, so fold 2 is never
+        # late. This replaces a max(ts) aggregation over the first
+        # half — one whole action, and at scale one whole pass over
+        # the events slice — with a literal already in hand.
+        from datetime import datetime, timezone
+
+        wm = datetime.fromtimestamp(int(cut), tz=timezone.utc).replace(
+            tzinfo=None
+        )
         compact_scd2_store(spark, store, wm, fold_seq=2, n_buckets=4)
         scd2_fold(spark, store, second, F.col("event_type"), fold_seq=3,
                   n_buckets=4, on_late="drop")
