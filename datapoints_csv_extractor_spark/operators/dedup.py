@@ -1424,10 +1424,14 @@ def dedup_clusters_twostar(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     detected by an order-insensitive xxhash64 checksum of the oriented
     edge set (one tiny aggregate per round, collision odds ~2^-64).
     """
+    # Materialize the pair set ONCE: nodes and edges are separate
+    # checkpoint actions, and without this the whole upstream pair
+    # generation (the Jaccard join/fold) re-executed for each —
+    # exchange reuse never spans actions (the kcore lesson).
     raw = pairs.select(
         F.col("doc_id_1").cast("long").alias("a"),
         F.col("doc_id_2").cast("long").alias("b"),
-    )
+    ).localCheckpoint()
     # Nodes come from the UNFILTERED pair set: a doc appearing only in
     # a self-pair still gets its (doc, doc) verdict row, matching
     # dedup_clusters' output contract; only the edge set drops
