@@ -1438,8 +1438,15 @@ def semantic_dedup(
     threshold in the same cell/sub-block).
     """
     centroids = train_ivf_centroids(e, n_centroids, n_train_iters)
-    assigned = _spread(e.select("vec_id", "embedding")).withColumn(
-        "cell", _nearest_cell(F.col("embedding"), centroids)
+    # Materialize the assignment once: cell_sizes is built as a
+    # broadcast (its own job), so a lazy `assigned` would re-run the
+    # per-row nearest-cell fold for the broadcast build AND the main
+    # plan — the same write-the-assignment-table step the incremental
+    # variant (and SemDeDup production practice) already takes.
+    assigned = (
+        _spread(e.select("vec_id", "embedding"))
+        .withColumn("cell", _nearest_cell(F.col("embedding"), centroids))
+        .localCheckpoint()
     )
     cell_sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
     n_sub = F.greatest(
