@@ -2789,13 +2789,16 @@ def q_char_entropy(
     so the entropy is engine-exact despite libm log2 appearing once
     per (doc, char)."""
     d = load(spark, sf_dir, "documents")
+    # split(text, '') splits between every character in ONE linear
+    # pass; the previous posexplode(sequence) + substring(text, i, 1)
+    # form paid an O(i) UTF-8 seek per character = O(len^2) per
+    # document. The ch != '' filter covers the empty-text edge, where
+    # split('') yields [''] — and unlike sequence(1, 0) (which
+    # DESCENDS in Spark, emitting two phantom '' rows) it matches the
+    # oracle's generate_series(1, 0) = empty semantics exactly.
     chars = d.select(
-        "doc_id",
-        F.posexplode(
-            F.sequence(F.lit(1), F.length(F.col("text")))
-        ).alias("pos", "i"),
-        F.col("text"),
-    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
     totals = counts.groupBy("doc_id").agg(F.sum("k").alias("n"))
     term = F.round(

@@ -250,9 +250,11 @@ def q_zorder_pruning_report(spark, sf_dir: str) -> DataFrame:
         )
         write_zordered(ev, f"{root}/zorder", ["user_id", "ts"],
                        n_files=n_files)
-        mid_user = ev.agg(F.expr("percentile_approx(user_id, 0.5)")).first()[0]
-        lo_ts, hi_ts = ev.agg(
-            F.min("ts"), F.expr("percentile_approx(ts, 0.25)")
+        # One action for all three box-predicate scalars (was two).
+        mid_user, lo_ts, hi_ts = ev.agg(
+            F.expr("percentile_approx(user_id, 0.5)"),
+            F.min("ts"),
+            F.expr("percentile_approx(ts, 0.25)"),
         ).first()
         reports = []
         for layout in ("linear", "zorder"):
