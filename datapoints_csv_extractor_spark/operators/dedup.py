@@ -205,9 +205,21 @@ def ngram_jaccard_pairs(
     # deliberately: folding the cap into the collect_list aggregate
     # itself would build the one giant array the cap exists to prevent
     # (a boilerplate shingle at corpus scale is millions of entries on
-    # one key). ONE df aggregate now feeds both key splits — the
-    # over-guard-cap drop AND the fold-vs-stream routing below — so
-    # the hybrid costs no extra pass over the shingle table.
+    # one key).
+    #
+    # Fold-vs-stream routing is decided from the PARAMETERS, not the
+    # data: with the df cap at or under _POSTING_FOLD_MAX (the guarded
+    # default) no surviving posting list can exceed the fold bound, so
+    # the plan is the lean pure-fold shape — one df aggregate, one
+    # grouping pass, per-doc counts read from the (checkpointed,
+    # two-consumer) postings frame. Only a raised cap pays for the
+    # hybrid: over-bound keys route to a streaming self-join BEFORE
+    # any array is built (an over-cap posting array is exactly the
+    # allocation the fold cannot afford — measured 26.2 s vs ~2 s on
+    # the adversarial corpus), per-doc counts then come from the flat
+    # frame, and the stream-key list is rare-by-construction and
+    # broadcast.
+    streams = max_shingle_df > _POSTING_FOLD_MAX
     sh = (
         spread_scan(docs)
         .withColumn("toks", tokens(F.col("text")))
@@ -221,23 +233,19 @@ def ngram_jaccard_pairs(
     dfs = sh.groupBy("sh_hash").agg(F.count("*").alias("df"))
     hot = dfs.where(F.col("df") > max_shingle_df).select("sh_hash")
     dropped = sh.join(F.broadcast(hot), "sh_hash", "left_anti")
-    # Per-doc shingle counts come from the FLAT frame: identical
-    # multiset to exploding the posting arrays back out, without
-    # re-walking them.
-    counts = dropped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Keys whose posting list would exceed the fold bound (reachable
-    # only when a caller raises the df cap past _POSTING_FOLD_MAX)
-    # are routed to the streaming self-join BEFORE any array is
-    # built: the previous hybrid collected the over-cap arrays into
-    # `posted` first and re-exploded them, so the unguarded
-    # adversarial corpus paid collect_list + localCheckpoint +
-    # explode on exactly the keys the fold cannot handle. Both key
-    # lists are rare-by-construction and broadcast. Under the
-    # default cap the stream set is provably empty
-    # (_POSTING_FOLD_MAX >= STOP_SHINGLE_MAX_DF).
-    over_cap = dfs.where(
-        (F.col("df") <= max_shingle_df) & (F.col("df") > _POSTING_FOLD_MAX)
-    ).select("sh_hash")
+    if streams:
+        over_cap = dfs.where(
+            (F.col("df") <= max_shingle_df)
+            & (F.col("df") > _POSTING_FOLD_MAX)
+        ).select("sh_hash")
+        # Per-doc counts from the FLAT frame: identical multiset to
+        # exploding the postings back out, and the postings frame no
+        # longer covers the streamed keys.
+        counts = dropped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        folded = dropped.join(F.broadcast(over_cap), "sh_hash", "left_anti")
+    else:
+        counts = None  # derived from the postings frame below
+        folded = dropped
     # Posting lists here are <= _POSTING_FOLD_MAX entries each by
     # construction, so the fold's per-key fan-out is bounded at
     # df^2/2 structs built in place — never shuffled unaggregated.
@@ -248,13 +256,18 @@ def ngram_jaccard_pairs(
     # variant at 2x the executor work (49.7 s vs 23.5 s) and worse
     # wall (2.92 s vs 2.39 s). At real scale the postings shuffle
     # exceeds the advisory size and keeps full parallelism on its
-    # own. Single consumer now (counts read the flat frame), so no
-    # checkpoint.
-    posted = (
-        dropped.join(F.broadcast(over_cap), "sh_hash", "left_anti")
-        .groupBy("sh_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+    # own.
+    posted = folded.groupBy("sh_hash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
+    if not streams:
+        # Two consumers (counts + the pair fold): materialize once.
+        posted = posted.localCheckpoint()
+        counts = (
+            posted.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+        )
     pair_structs = F.filter(
         F.flatten(
             F.transform(
@@ -271,44 +284,34 @@ def ngram_jaccard_pairs(
         ),
         lambda p: p["doc_id_1"] < p["doc_id_2"],
     )
-    # The in-place fold is the right plan for BOUNDED posting lists
-    # (the 99.99% case under the df cap: <= _POSTING_FOLD_MAX entries,
-    # so <= df^2/2 structs built in one pass), but it materializes the
-    # whole m^2/2 pair array per key THREE times (nested transform,
-    # flatten, filter) — on an over-cap key (a caller-raised cap, or
-    # the bench's deliberately unguarded twin) that is hundreds of MB
-    # of single-allocation churn per key: measured 26.2 s vs the old
-    # self-join's ~1.7 s on the adversarial corpus. Oversized keys
-    # therefore take the STREAMING plan, routed by df BEFORE any
-    # array is built — the self-join pipelines the same (d1 < d2)
-    # multiset row-at-a-time with no giant array ever formed.
     small_pairs = posted.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.doc_id_1").alias("doc_id_1"),
         F.col("p.doc_id_2").alias("doc_id_2"),
     )
-    # Pin the hot branch's partitioning: its pair work is m^2 per key
-    # but its BYTES are tiny (one shingle row per member), so AQE's
-    # size-based coalescing would lump every hot key into one task
-    # (the pin_grouped_parallelism trap); an explicit keyed
-    # repartition is AQE-exempt and both join sides share it, so the
-    # join adds no further exchange.
-    hot_posts = pin_grouped_parallelism(
-        dropped.join(F.broadcast(over_cap), "sh_hash", "left_semi"),
-        "sh_hash",
-    )
-    ha, hb = hot_posts.alias("ha"), hot_posts.alias("hb")
-    big_pairs = ha.join(
-        hb,
-        (F.col("ha.sh_hash") == F.col("hb.sh_hash"))
-        & (F.col("ha.doc_id") < F.col("hb.doc_id")),
-    ).select(
-        F.col("ha.doc_id").alias("doc_id_1"),
-        F.col("hb.doc_id").alias("doc_id_2"),
-    )
-    pairs = (
-        small_pairs.unionAll(big_pairs)
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("shared"))
+    pair_src = small_pairs
+    if streams:
+        # Pin the hot branch's partitioning: its pair work is m^2 per
+        # key but its BYTES are tiny (one shingle row per member), so
+        # AQE's size-based coalescing would lump every hot key into
+        # one task (the pin_grouped_parallelism trap); an explicit
+        # keyed repartition is AQE-exempt and both join sides share
+        # it, so the join adds no further exchange.
+        hot_posts = pin_grouped_parallelism(
+            dropped.join(F.broadcast(over_cap), "sh_hash", "left_semi"),
+            "sh_hash",
+        )
+        ha, hb = hot_posts.alias("ha"), hot_posts.alias("hb")
+        big_pairs = ha.join(
+            hb,
+            (F.col("ha.sh_hash") == F.col("hb.sh_hash"))
+            & (F.col("ha.doc_id") < F.col("hb.doc_id")),
+        ).select(
+            F.col("ha.doc_id").alias("doc_id_1"),
+            F.col("hb.doc_id").alias("doc_id_2"),
+        )
+        pair_src = small_pairs.unionAll(big_pairs)
+    pairs = pair_src.groupBy("doc_id_1", "doc_id_2").agg(
+        F.count("*").alias("shared")
     )
     c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
     c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
