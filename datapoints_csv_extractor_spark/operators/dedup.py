@@ -569,7 +569,26 @@ def lsh_candidates_from_signatures(
     sig: DataFrame, max_bucket: int = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Band-bucket candidate pairs from a (doc_id, signature) frame
-    (see q_minhash_lsh_candidates for semantics and the bucket cap)."""
+    (see q_minhash_lsh_candidates for semantics and the bucket cap).
+
+    With the cap raised above ``_POSTING_FOLD_MAX`` (the regime that
+    permits hub buckets), the band frame's parallelism is pinned on
+    the bucket key before the self-join: a hub bucket's pair emission
+    is m^2 per key while its BYTES are tiny (one 3-long row per
+    member), so AQE's size-based coalescing otherwise runs the whole
+    m^2 emission on ONE task (measured at sf0.1: the 0.2n hub clique's
+    4M-pair join ran serially, 2.7-3.8 s wall; pinned it spreads over
+    the band keys, 1.5-2.4 s wall). The guarded default keeps the
+    original unpinned plan — its buckets are bounded at ``max_bucket``
+    members so no single key can dominate, and the tiny band frame
+    broadcast-joins with no exchange at all, which the pin would
+    forfeit. A postings-array fold (the ngram_jaccard_pairs
+    discipline) was measured and REJECTED for this operator: band
+    rows are already narrow keys — there is no wide shingle table to
+    keep off the shuffle — and the fold's in-place m^2/2 struct
+    materialization costs ~2x the join's streamed emission (19.7 s vs
+    7.3-23.8 s work, worse wall) on the adversarial corpus.
+    """
     bands = signature_bands(sig)
     hot = (
         bands.groupBy("band_id", "band_hash")
@@ -578,6 +597,8 @@ def lsh_candidates_from_signatures(
         .select("band_id", "band_hash")
     )
     bands = bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    if max_bucket > _POSTING_FOLD_MAX:
+        bands = pin_grouped_parallelism(bands, "band_id", "band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
