@@ -27,8 +27,35 @@ Scale notes are inline per operator; the common themes:
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Lazy-scan memo: every spark.read.parquet() call builds a fresh
+# relation — a driver-side file listing plus footer/schema resolution
+# measured at 100-500 ms per call on this host — and the registry's
+# ~180 sub-second entries each pay it one to three times per run.
+# The memo returns the SAME lazy DataFrame for repeat scans of an
+# unchanged table path within one session (key: application id + path
+# + directory mtime, so a rewritten path or a new session misses).
+# This caches scan METADATA only — the plan object, exactly what a
+# catalog table registration would hold; no row data is cached and
+# every action still reads the parquet bytes from disk.
+_SCAN_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _scan(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mtime = _os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, path, mtime)
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SCAN_MEMO[key] = df
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -43,11 +70,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = _scan(spark, f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _scan(spark, f"{sf_dir}/{table}.parquet")
 
 
 def load_events_range(
@@ -68,7 +95,7 @@ def load_events_range(
     csv_extractor.py:252). Pinned by tests/test_plan_shape.py.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _scan(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         import pandas as pd
 

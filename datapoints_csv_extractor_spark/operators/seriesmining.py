@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.operators.relational import load
@@ -290,13 +290,18 @@ def dtw_nearest_neighbor(
     # upstream DAG (typically an events groupBy) once instead of
     # three times — the multi-consumer materialization discipline
     # minhash_dedup uses for its signatures.
-    series = series.localCheckpoint()
     if bits is None:
-        # Auto-size so expected block population ~ 32: one count()
-        # job returning a single scalar — parameter-sized driver work.
-        n = series.count()
+        # Auto-size so expected block population ~ 32. The sizing
+        # count rides the series checkpoint's own job as an observed
+        # metric — one action instead of two (guide §5).
+        obs = Observation()
+        series = series.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint()
+        n = obs.get["n"]
         n_bits = max(3, min(12, int(np.ceil(np.log2(max(n, 1) / 32 + 1)))))
     else:
+        series = series.localCheckpoint()
         n_bits = bits
 
     def _keys(batches):
@@ -327,25 +332,7 @@ def dtw_nearest_neighbor(
 
     # keys feeds the census AND the cold-block join; prep feeds both
     # pair sides — checkpoint each so the Arrow passes run once.
-    keys = series.mapInPandas(
-        _keys, "user_id long, tbl int, key int"
-    ).localCheckpoint()
-    census = keys.groupBy("tbl", "key").agg(
-        F.count(F.lit(1)).alias("block_n")
-    )
-    cold = keys.join(
-        F.broadcast(census.where(F.col("block_n") <= hot_block_cap)),
-        ["tbl", "key"],
-    ).select("user_id", "tbl", "key")
-
-    a = cold.select(F.col("user_id").alias("ua"), "tbl", "key")
-    bb = cold.select(F.col("user_id").alias("ub"), "tbl", "key")
-    cand = (
-        a.join(bb, ["tbl", "key"])
-        .where(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
-    )
+    keys_lazy = series.mapInPandas(_keys, "user_id long, tbl int, key int")
 
     # One Arrow pass per user (NOT per pair): z-normalize and build
     # the banded Keogh envelope once; every downstream LB evaluation
@@ -385,7 +372,38 @@ def dtw_nearest_neighbor(
     prep_schema = (
         "user_id long, z array<double>, eu array<double>, el array<double>"
     )
-    prep = series.mapInPandas(_prep, prep_schema).localCheckpoint()
+    prep_lazy = series.mapInPandas(_prep, prep_schema)
+
+    # keys and prep are INDEPENDENT Arrow passes over the same
+    # checkpointed series frame; materialize them as two concurrent
+    # jobs from a small driver pool (guide §2.6) so the second pass
+    # back-fills executor cores freed by the first one's tail instead
+    # of running strictly after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fk = _pool.submit(keys_lazy.localCheckpoint)
+        _fp = _pool.submit(prep_lazy.localCheckpoint)
+        keys = _fk.result()
+        prep = _fp.result()
+
+    census = keys.groupBy("tbl", "key").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    cold = keys.join(
+        F.broadcast(census.where(F.col("block_n") <= hot_block_cap)),
+        ["tbl", "key"],
+    ).select("user_id", "tbl", "key")
+
+    a = cold.select(F.col("user_id").alias("ua"), "tbl", "key")
+    bb = cold.select(F.col("user_id").alias("ub"), "tbl", "key")
+    cand = (
+        a.join(bb, ["tbl", "key"])
+        .where(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+
     sa = prep.select(
         F.col("user_id").alias("ua"),
         F.col("z").alias("za"),

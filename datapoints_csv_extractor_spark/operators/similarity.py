@@ -2777,8 +2777,11 @@ def sq_encode_df(
     this tier is the one ANN family whose whole serving path a SQL
     oracle can replay bit for bit.
     """
-    mins_lit = F.lit(mins).cast("array<double>")
-    maxs_lit = F.lit(maxs).cast("array<double>")
+    # numpy-path literals (see _f64_lit): one true Literal each —
+    # F.lit(list) built a CreateArray that the enc/dec transform
+    # lambdas re-evaluated PER ELEMENT (the r11 lit-tax class).
+    mins_lit = _f64_lit(mins)
+    maxs_lit = _f64_lit(maxs)
 
     def enc(x: Column, i: Column) -> Column:
         mn = F.element_at(mins_lit, i + 1)
@@ -2816,8 +2819,11 @@ def q_ann_sq_topk(
         f"query vec_id={query_vec_id}",
     )
     qlit = _f64_lit(float(x) for x in qrow[0])
-    mins_lit = F.lit(mins).cast("array<double>")
-    maxs_lit = F.lit(maxs).cast("array<double>")
+    # numpy-path literals (see _f64_lit): one true Literal each —
+    # F.lit(list) built a CreateArray that the enc/dec transform
+    # lambdas re-evaluated PER ELEMENT (the r11 lit-tax class).
+    mins_lit = _f64_lit(mins)
+    maxs_lit = _f64_lit(maxs)
 
     def dec(c: Column, i: Column) -> Column:
         mn = F.element_at(mins_lit, i + 1)
@@ -2868,8 +2874,8 @@ def ann_sq_topk_from_index(
 
     with open(os.path.join(index_dir, "params.json")) as fh:
         params = json.load(fh)
-    mins_lit = F.lit(params["mins"]).cast("array<double>")
-    maxs_lit = F.lit(params["maxs"]).cast("array<double>")
+    mins_lit = _f64_lit(params["mins"])
+    maxs_lit = _f64_lit(params["maxs"])
     qlit = _f64_lit(float(x) for x in query_vec)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     dead = _sq_tombstones(spark, index_dir)
@@ -3000,6 +3006,37 @@ def _rp_dim_exprs(
     return dims
 
 
+def _rp_matrix_expr(vec_col: str, d_in: int, d_out: int, seed: str, finish):
+    """All ``d_out`` projection dims as ONE array expression:
+    transform over sequence(0, d_out-1), each element the same
+    0.0-seeded zip_with/aggregate fold `_rp_dim_exprs` builds, against
+    a row-slice of the FLATTENED sign matrix (one numpy-path literal
+    for the whole matrix). Per-dim values and fold order are
+    bit-identical to `_rp_dim_exprs`; the difference is build cost —
+    the per-dim form issues ~2 py4j-heavy HOF constructions per output
+    dim (measured ~0.6 s of pure driver time for 16 dims), this form
+    issues 3 total. ``finish`` maps each dim's raw fold (scale/round)
+    inside the lambda."""
+    signs = rp_signs(d_in, d_out, seed)
+    flat = _f64_lit(
+        signs[i][j] for j in range(d_out) for i in range(d_in)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d_out - 1)),
+        lambda j: finish(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.slice(flat, j * F.lit(d_in) + F.lit(1), F.lit(d_in)),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            )
+        ),
+    )
+
+
 def rp_project(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -3013,11 +3050,12 @@ def rp_project(
     import math
 
     scale = float(repr(1.0 / math.sqrt(float(d_out))))
-    dims = [
-        (d * F.lit(scale)).alias(f"rp_{j}")
-        for j, d in enumerate(_rp_dim_exprs(vec_col, d_in, d_out, seed))
-    ]
-    return df.withColumn("rp", F.array(*dims))
+    return df.withColumn(
+        "rp",
+        _rp_matrix_expr(
+            vec_col, d_in, d_out, seed, lambda d: d * F.lit(scale)
+        ),
+    )
 
 
 def q_rp_project(
@@ -3033,24 +3071,15 @@ def q_rp_project(
     import math
 
     e = load(spark, sf_dir, "embeddings")
-    # (dim, value) structs built DIRECTLY from the per-dim fold
-    # expressions — one evaluation each, no intermediate `rp` column
-    # for CollapseProject to inline per element_at.
+    # One matrix expression for all dims (see _rp_matrix_expr), then
+    # posexplode: pos IS the dim index, so no per-dim struct building.
     scale = float(repr(1.0 / math.sqrt(float(d_out))))
-    pairs = [
-        F.struct(
-            F.lit(j).alias("dim"),
-            F.round(d * F.lit(scale), 6).alias("value"),
-        )
-        for j, d in enumerate(_rp_dim_exprs("embedding", 64, d_out, seed))
-    ]
+    rp = _rp_matrix_expr(
+        "embedding", 64, d_out, seed,
+        lambda d: F.round(d * F.lit(scale), 6),
+    )
     return (
-        e.select("vec_id", F.explode(F.array(*pairs)).alias("p"))
-        .select(
-            "vec_id",
-            F.col("p.dim").alias("dim"),
-            F.col("p.value").alias("value"),
-        )
+        e.select("vec_id", F.posexplode(rp).alias("dim", "value"))
         .orderBy("vec_id", "dim")
     )
 

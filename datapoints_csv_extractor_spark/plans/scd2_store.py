@@ -59,10 +59,11 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.sinks.merge_store import (
+    _read_manifest,
     latest_version,
     read_store,
     upsert_into_store,
@@ -199,14 +200,33 @@ def compact_scd2_store(
         "user_id", "ts", "event_id", "attr"
     )
     keep = _change_points(ev).select("user_id", "ts", "event_id")
+    # The tombstone count AND the affected-bucket census ride the
+    # checkpoint's own job as observed metrics — one action where
+    # there were three (count + checkpoint + the upsert's census;
+    # guide §5, the lifecycle's wall is job-count-bound at demo
+    # scale). The bucket expression mirrors the store's _with_bucket
+    # exactly (same keys, the MANIFEST's n_buckets), which is the
+    # affected_hint contract.
+    eff_buckets = _read_manifest(store_path)["n_buckets"] or n_buckets
+    bucket = F.pmod(
+        F.xxhash64(F.col("user_id"), F.col("ts"), F.col("event_id")),
+        F.lit(eff_buckets),
+    ).cast("int")
+    obs = Observation()
     dead = (
         ev.where(F.col("ts") < wm_lit)
         .join(keep, ["user_id", "ts", "event_id"], "left_anti")
         .withColumn("deleted", F.lit(True))
         .withColumn("fold_seq", F.lit(fold_seq).cast("long"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(bucket).alias("affected"),
+        )
         .localCheckpoint()
     )
-    n_dead = dead.count()
+    got = obs.get
+    n_dead = got["n"]
     if n_dead:
         upsert_into_store(
             spark,
@@ -215,6 +235,7 @@ def compact_scd2_store(
             keys=["user_id", "ts", "event_id"],
             version_cols=["fold_seq"],
             n_buckets=n_buckets,
+            affected_hint=[int(b) for b in got["affected"]],
         )
     wm_str = str(watermark)
     tmp = _watermark_path(store_path) + ".tmp"
@@ -281,6 +302,9 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scalar + two folds) otherwise each re-scan and re-cast the
         # events parquet — at demo scale the extra scans are pure
         # stage-count overhead.
+        # The percentile cut rides the checkpoint's materialization as
+        # an observed metric — one action instead of two (guide §5).
+        obs = Observation()
         ev = (
             load(spark, sf_dir, "events")
             .select(
@@ -289,11 +313,15 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "event_type",
             )
+            .observe(
+                obs,
+                F.expr(
+                    "percentile_approx(unix_timestamp(ts), 0.5)"
+                ).alias("cut"),
+            )
             .localCheckpoint()
         )
-        cut = ev.agg(
-            F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
-        ).first()[0]
+        cut = obs.get["cut"]
         first = ev.where(F.unix_timestamp("ts") <= cut)
         second = ev.where(F.unix_timestamp("ts") > cut)
         # 4 buckets: the testdata store is MB-scale, and each fold's

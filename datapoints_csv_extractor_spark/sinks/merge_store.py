@@ -145,6 +145,7 @@ def upsert_into_store(
     version_cols: list[str],
     deleted_col: str = "deleted",
     n_buckets: int = 64,
+    affected_hint: list[int] | None = None,
 ) -> list[int]:
     """Merge one delta batch into the store as a new snapshot; returns
     the bucket ids whose generations were rewritten (the O(affected)
@@ -163,7 +164,14 @@ def upsert_into_store(
     through read_store's aligned projection). A delta MISSING stored
     columns fills them with NULL for its own rows. Changing an
     existing column's TYPE is refused loudly — silent coercion is how
-    stores corrupt."""
+    stores corrupt.
+
+    ``affected_hint``: the delta's exact distinct bucket-id set when
+    the caller already has it in hand (e.g. observed as a metric of
+    the job that materialized the delta) — skips the census action.
+    The hint must equal ``pmod(xxhash64(*keys), n_buckets)`` over the
+    delta's rows; a wrong hint reads/rewrites the wrong buckets, so
+    only pass values derived from the same rows and key columns."""
     from pyspark.sql import types as T
 
     m = _read_manifest(store_path)
@@ -177,9 +185,12 @@ def upsert_into_store(
     # double-scan-the-source trade Delta Lake's MERGE makes for its
     # touched-file pruning pass.
     delta_b = _with_bucket(delta, keys, n_buckets)
-    affected = sorted(
-        r[_BUCKET] for r in delta_b.select(_BUCKET).distinct().collect()
-    )
+    if affected_hint is not None:
+        affected = sorted({int(b) for b in affected_hint})
+    else:
+        affected = sorted(
+            r[_BUCKET] for r in delta_b.select(_BUCKET).distinct().collect()
+        )
     if not affected:
         return []
 
