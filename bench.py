@@ -1425,7 +1425,9 @@ def main() -> None:
         # estimator as the graph family) so stall vs data-work is
         # readable from the artifact. Additions-only: entry names,
         # sink, and the best-of estimator are unchanged.
-        def _skew_timed(key: str, fn, clean_sec: float = 3.0) -> None:
+        def _skew_timed(
+            key: str, fn, clean_sec: float = 3.0, max_runs: int = 6
+        ) -> None:
             works: list[int] = []
             w_last = [executor_run_time_ms(spark)]
 
@@ -1435,7 +1437,9 @@ def main() -> None:
                 works.append(max(w_now - w_last[0], 0))
                 w_last[0] = w_now
 
-            timings[key] = _best_of(_run, clean_sec=clean_sec, max_runs=2)
+            timings[key] = _best_of(
+                _run, clean_sec=clean_sec, max_runs=max_runs
+            )
             telemetry[key] = {
                 "sec": timings[key],
                 "work_ms_per_run": min(works) if works else 0,
@@ -1452,6 +1456,7 @@ def main() -> None:
                 ngram_jaccard_pairs(skew, max_shingle_df=no_cap)
             ),
             clean_sec=0.0,  # expected slow: no early exit
+            max_runs=2,  # VERDICT r11 item 2: was 1 (noise-blind)
         )
         sig = minhash_signatures_df(skew).localCheckpoint()
         _skew_timed(
@@ -1464,6 +1469,7 @@ def main() -> None:
                 lsh_candidates_from_signatures(sig, max_bucket=no_cap)
             ),
             clean_sec=0.0,
+            max_runs=2,  # VERDICT r11 item 2: was 1 (noise-blind)
         )
     finally:
         shutil.rmtree(os.path.dirname(skew_dir), ignore_errors=True)

@@ -34,7 +34,7 @@ All decomposable-aggregate math is JVM-side codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datapoints_csv_extractor_spark.sinks.merge_store import (
@@ -152,17 +152,26 @@ def compact_agg_view(
     they replace (monotone: any partial present arrived after the
     previous compaction, so the new base always beats the old base
     and tombstones always beat the partials they retire)."""
-    cur = read_store(spark, store_path).localCheckpoint()
-    # One action for both scalars (partial census + generation high
-    # water) instead of a count() then a max() — the compaction is a
+    # Both scalars (partial census + generation high water) ride the
+    # checkpoint's own materialization as observed metrics — one
+    # action where there were two (the compaction is a
     # driver-sequential lifecycle, so every action saved is a whole
-    # job round-trip.
-    n_partials, max_gen = cur.agg(
-        F.coalesce(
-            F.sum((F.col("fold_seq") != COMPACT_SEQ).cast("long")), F.lit(0)
-        ),
-        F.max("gen"),
-    ).first()
+    # job round-trip; guide §5).
+    obs = Observation()
+    cur = (
+        read_store(spark, store_path)
+        .observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("fold_seq") != COMPACT_SEQ).cast("long")),
+                F.lit(0),
+            ).alias("n_partials"),
+            F.max("gen").alias("max_gen"),
+        )
+        .localCheckpoint()
+    )
+    got = obs.get
+    n_partials, max_gen = got["n_partials"], got["max_gen"]
     if n_partials == 0:
         return 0
     next_gen = max_gen + 1
@@ -247,6 +256,9 @@ def q_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: three consumers (the percentile scalar and
         # two folds) would otherwise each re-scan and re-project the
         # events parquet — pure stage-count overhead at demo scale.
+        # The percentile cut rides the checkpoint's materialization as
+        # an observed metric — one action instead of two (guide §5).
+        obs = Observation()
         ev = (
             load(spark, sf_dir, "events")
             .select(
@@ -257,11 +269,15 @@ def q_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
                 F.col("ts").cast("timestamp").alias("ts"),
             )
+            .observe(
+                obs,
+                F.expr(
+                    "percentile_approx(unix_timestamp(ts), 0.5)"
+                ).alias("cut"),
+            )
             .localCheckpoint()
         )
-        (cut,) = ev.agg(
-            F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
-        ).first()
+        cut = obs.get["cut"]
         keys = ["event_type", "day"]
         slices = [
             ev.where(F.unix_timestamp("ts") <= cut),
