@@ -668,13 +668,35 @@ def q_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_passes(F.col("text")).alias("passes_quality"),
         (F.col("doc_id") == exact_canonical).alias("is_exact_canonical"),
     )
-    clusters = minhash_dedup_pipeline_from_toks(
-        d.select("doc_id", "toks")
-    ).select("doc_id", F.col("canonical_doc_id").alias("near_canonical"))
-    contaminated = decontamination_from_toks(
-        d.where(F.col("doc_id") % 50 != 0).select("doc_id", "toks"),
-        d.where(F.col("doc_id") % 50 == 0).select("doc_id", "toks"),
-    ).select("doc_id", F.lit(True).alias("is_contaminated"))
+    # The MinHash component loop (driver-sequential actions) and the
+    # decontamination gram join are INDEPENDENT consumers of the
+    # shared tokenized checkpoint; run them as two concurrent driver
+    # jobs (guide §2.6) so the contamination pass executes on cores
+    # the cluster loop's per-round tail leaves idle instead of
+    # strictly after it. Results are unchanged — the contamination
+    # frame is simply materialized (localCheckpoint) by its thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _clusters():
+        return minhash_dedup_pipeline_from_toks(
+            d.select("doc_id", "toks")
+        ).select("doc_id", F.col("canonical_doc_id").alias("near_canonical"))
+
+    def _contaminated():
+        return (
+            decontamination_from_toks(
+                d.where(F.col("doc_id") % 50 != 0).select("doc_id", "toks"),
+                d.where(F.col("doc_id") % 50 == 0).select("doc_id", "toks"),
+            )
+            .select("doc_id", F.lit(True).alias("is_contaminated"))
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fc = _pool.submit(_clusters)
+        _fd = _pool.submit(_contaminated)
+        clusters = _fc.result()
+        contaminated = _fd.result()
     out = (
         flagged.join(clusters, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
