@@ -579,3 +579,50 @@ def test_crawl_frontier_filter_and_commit(spark, tmp_path):
     from datapoints_csv_extractor_spark.sinks.merge_store import read_store
 
     assert read_store(spark, store).count() == 30
+
+
+def test_upsert_affected_hint_matches_census_path(spark, tmp_path):
+    # affected_hint skips the census action when the caller already
+    # holds the delta's exact bucket set (e.g. observed as a metric of
+    # the job that materialized the delta). The hinted upsert must be
+    # indistinguishable from the census path: same returned bucket
+    # ids, same store state.
+    s_census = str(tmp_path / "census")
+    s_hinted = str(tmp_path / "hinted")
+    b1 = _delta(
+        spark,
+        [("a", 0, 0, 1.0, False), ("b", 0, 1, 2.0, False),
+         ("c", 0, 2, 3.0, False)],
+    )
+    b2 = _delta(
+        spark,
+        [("a", 5, 3, 10.0, False), ("b", 5, 4, 0.0, True),
+         ("d", 5, 5, 40.0, False)],
+    )
+
+    def hint_for(delta, n_buckets=64):
+        return [
+            r["b"]
+            for r in delta.select(
+                F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+
+    got = {}
+    for path, hinted in ((s_census, False), (s_hinted, True)):
+        affected = []
+        for b in (b1, b2):
+            kwargs = {"affected_hint": hint_for(b)} if hinted else {}
+            affected.append(
+                upsert_into_store(
+                    spark, b, path, keys=["k"],
+                    version_cols=["ts", "seq"], **kwargs,
+                )
+            )
+        got[path] = (affected, _state(spark, path))
+    assert got[s_census] == got[s_hinted]
+    assert got[s_hinted][1] == {"a": (10.0, 3), "c": (3.0, 2), "d": (40.0, 5)}

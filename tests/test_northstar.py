@@ -2900,3 +2900,41 @@ def test_heaps_law_closed_form_linear_vocab(spark, tmp_path):
         assert r.heaps_beta == 1.0
         assert r.heaps_k == 1.0
     assert out[-1].n_tokens == 400
+
+
+def test_lsh_pinned_hot_branch_matches_unpinned_plan(spark, monkeypatch):
+    # With the bucket cap raised above _POSTING_FOLD_MAX,
+    # lsh_candidates_from_signatures pins the band frame's
+    # partitioning on the bucket key before the self-join (the hub
+    # bucket's m^2 emission otherwise runs on one AQE-coalesced
+    # task). The pin changes PLACEMENT only: the candidate set must
+    # equal the unpinned plan's exactly. Corpus: a 60-doc identical-
+    # text clique (every band a hub bucket) plus distinct filler.
+    docs = [(i, "the very same boilerplate text body") for i in range(60)]
+    docs += [
+        (200 + i, f"unique filler document number {i} alpha beta {i}")
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = D.minhash_signatures_df(d).localCheckpoint()
+
+    no_cap = 10**9
+    pinned = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.lsh_candidates_from_signatures(
+            sig, max_bucket=no_cap
+        ).collect()
+    }
+    # Raise the fold bound so the same call takes the ORIGINAL
+    # unpinned plan, then require identical candidates.
+    monkeypatch.setattr(D, "_POSTING_FOLD_MAX", no_cap + 1)
+    unpinned = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.lsh_candidates_from_signatures(
+            sig, max_bucket=no_cap
+        ).collect()
+    }
+    assert pinned == unpinned
+    # The hub clique really paired up, ordered and deduped.
+    assert len(pinned) >= 60 * 59 // 2
+    assert all(a < b for a, b in pinned)
